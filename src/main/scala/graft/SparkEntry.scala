@@ -1,13 +1,24 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY §2): relational core
+  * (RelQueries), the tgres DSL function library (TsQueries), and the
+  * training-data pipeline operators (PipelineQueries). `oracleSql` maps
+  * each to equivalent DuckDB SQL; queries without an entry get the
+  * driver's weaker rows-only check (non-SQL-expressible ops).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelQueries.queries("q04_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelQueries.queries ++ TsQueries.queries ++ PipelineQueries.queries
+
+  def oracleSql: Map[String, String] =
+    RelQueries.oracles ++ TsQueries.oracles ++ PipelineQueries.oracles
 }

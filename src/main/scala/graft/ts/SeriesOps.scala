@@ -1,0 +1,440 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The tgres DSL function inventory (SURVEY §2.3), re-expressed as pure
+  * DataFrame transforms over the canonical series frame
+  * `(name: String, t: Long, value: Double|NULL)`.
+  *
+  * Every function here is declarative (Catalyst expressions / window
+  * specs only — no UDFs, no collect), so all of them stay inside
+  * whole-stage codegen and scale by partitioning on `name` (window ops)
+  * or `t` (cross-series aggregation). NULL ≡ the reference's NaN.
+  */
+object SeriesOps {
+
+  /** Per-series time order — every windowed op partitions by series so the
+    * work distributes across executors one series (or less) per task. */
+  private def w = Window.partitionBy("name").orderBy("t")
+  private def wAll = Window.partitionBy("name")
+
+  private val v = col("value")
+
+  // ===== per-point scalar transforms (reference wraps AliasSeries and
+  // ===== overrides CurrentValue(); here: one withColumn each) =====
+
+  /** scale(f) — `dsl/funcs.go:1128-1150` */
+  def scale(df: DataFrame, f: Double): DataFrame = df.withColumn("value", v * f)
+
+  /** absolute() — `dsl/funcs.go:1107-1126` */
+  def absolute(df: DataFrame): DataFrame = df.withColumn("value", abs(v))
+
+  /** offset(o) — `dsl/funcs.go:1287-1306` */
+  def offset(df: DataFrame, o: Double): DataFrame = df.withColumn("value", v + o)
+
+  /** invert ~ logarithm(base) — `dsl/funcs.go:1233-1252` */
+  def logarithm(df: DataFrame, base: Double = 10.0): DataFrame =
+    df.withColumn("value", log(base, v))
+
+  /** offsetToZero() — subtract the series min — `dsl/funcs.go:1308-1334` */
+  def offsetToZero(df: DataFrame): DataFrame =
+    df.withColumn("value", v - min(v).over(wAll))
+
+  /** transformNull(default) — NaN→default — `dsl/funcs.go:1385-1408` */
+  def transformNull(df: DataFrame, dflt: Double): DataFrame =
+    df.withColumn("value", coalesce(v, lit(dflt)))
+
+  /** scaleToSeconds(n) — v*n (values are already per-second rates) —
+    * `dsl/funcs.go:2213-2235` */
+  def scaleToSeconds(df: DataFrame, n: Double): DataFrame = scale(df, n)
+
+  /** hitcount(interval) — rate→count: v * interval_seconds —
+    * `dsl/funcs.go:2133-2161` */
+  def hitcount(df: DataFrame, intervalSec: Long): DataFrame =
+    df.withColumn("value", v * intervalSec.toDouble)
+
+  /** timeShift(shift) — reported time shifted by `shiftSec` —
+    * `dsl/funcs.go:1336-1383` */
+  def timeShift(df: DataFrame, shiftSec: Long): DataFrame =
+    df.withColumn("t", col("t") + shiftSec)
+
+  /** removeAboveValue(n) / removeBelowValue(n) — clamp to NULL —
+    * `dsl/funcs.go:1868-1917` */
+  def removeAboveValue(df: DataFrame, n: Double): DataFrame =
+    df.withColumn("value", when(v > n, lit(null)).otherwise(v))
+  def removeBelowValue(df: DataFrame, n: Double): DataFrame =
+    df.withColumn("value", when(v < n, lit(null)).otherwise(v))
+
+  /** changed() — 1 if value differs from previous point else 0 —
+    * `dsl/funcs.go:2064-2091` */
+  def changed(df: DataFrame): DataFrame =
+    df.withColumn("value",
+      when(lag(v, 1).over(w).isNull && v.isNull, 0.0)
+        .when(lag(v, 1).over(w).isNull || v.isNull, 1.0)
+        .when(v =!= lag(v, 1).over(w), 1.0).otherwise(0.0))
+
+  /** derivative() — v − prev, NULL for the first point —
+    * `dsl/funcs.go:1180-1203` */
+  def derivative(df: DataFrame): DataFrame =
+    df.withColumn("value", v - lag(v, 1).over(w))
+
+  /** nonNegativeDerivative(maxValue) — counter-wrap aware diff —
+    * `dsl/funcs.go:1254-1285` */
+  def nonNegativeDerivative(df: DataFrame, maxValue: Option[Double]): DataFrame = {
+    val prev = lag(v, 1).over(w)
+    val diff = v - prev
+    val wrapped = maxValue match {
+      case Some(m) => when(diff < 0, (lit(m) - prev) + v + 1.0).otherwise(diff)
+      case None    => when(diff < 0, lit(null)).otherwise(diff)
+    }
+    df.withColumn("value", wrapped)
+  }
+
+  /** integral() — *exclusive* prefix sum, NaN-skipping, 0 at the first
+    * point. The reference accumulates in Next() before advancing, so the
+    * emitted total excludes the current point (`dsl/funcs.go:1205-1231`,
+    * pinned by `dsl/funcs_test.go:295-315`). */
+  def integral(df: DataFrame): DataFrame =
+    df.withColumn("value",
+      coalesce(sum(v).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+
+  /** keepLastValue(limit) — forward-fill NULL up to `limit` consecutive
+    * slots; limit<=0 fills nothing (`dsl/funcs.go:2163-2195`: the fill
+    * branch requires maxCnt>0). */
+  def keepLastValue(df: DataFrame, limit: Int): DataFrame = {
+    val rn = row_number().over(w)
+    val lastV = last(v, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val lastRn = max(when(v.isNotNull, rn)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val gap = rn - lastRn
+    df.withColumn("value",
+      if (limit <= 0) v
+      else when(v.isNull && gap <= limit, lastV).otherwise(v))
+  }
+
+  /** nPercentile(p) — constant line at the series' p-th percentile
+    * (reference Quantile, pos = p(n+1)) — `dsl/funcs.go:1410-1445` */
+  def nPercentile(df: DataFrame, p: Double): DataFrame =
+    df.withColumn("value", refQuantile(sort_array(collect_list(v).over(wAll)), p))
+
+  /** removeAbovePercentile(p) / removeBelowPercentile(p) —
+    * `dsl/funcs.go:1783-1866` */
+  def removeAbovePercentile(df: DataFrame, p: Double): DataFrame = {
+    val q = refQuantile(sort_array(collect_list(v).over(wAll)), p)
+    df.withColumn("value", when(v > q, lit(null)).otherwise(v))
+  }
+  def removeBelowPercentile(df: DataFrame, p: Double): DataFrame = {
+    val q = refQuantile(sort_array(collect_list(v).over(wAll)), p)
+    df.withColumn("value", when(v < q, lit(null)).otherwise(v))
+  }
+
+  /** summarize(intervalSec, cf) — TRUE re-bucketing semantics (the
+    * reference's `dsl/funcs.go:2288-2324` is a scaling hack; SURVEY §2.3
+    * directs the honest implementation). Slot = floor(t / interval). */
+  def summarize(df: DataFrame, intervalSec: Long, cf: String): DataFrame = {
+    val bucket = (col("t").divide(lit(intervalSec)).cast("long") * intervalSec).as("t")
+    val aggV = cf match {
+      case "sum"  => sum(v)
+      case "avg"  => avg(v)
+      case "max"  => max(v)
+      case "min"  => min(v)
+      case "last" => max_by(v, when(v.isNotNull, col("t")))
+      case other  => throw new IllegalArgumentException(s"summarize cf: $other")
+    }
+    df.groupBy(col("name"), bucket).agg(aggV.as("value"))
+  }
+
+  /** consolidateBy(cf) — selects the consolidation function for
+    * re-bucketing (`dsl/funcs.go:2255-2286`, honest semantics). */
+  def consolidateBy(df: DataFrame, intervalSec: Long, cf: String): DataFrame =
+    summarize(df, intervalSec, cf)
+
+  // ===== moving-window functions — ring buffer over trailing N points;
+  // ===== the reference emits only once the buffer is full =====
+
+  private def emitFromNth(df: DataFrame, cols: Seq[(String, Column)], n: Int): DataFrame = {
+    val rn = row_number().over(w)
+    val out = cols.foldLeft(df.withColumn("__rn", rn)) {
+      case (d, (cn, c)) => d.withColumn(cn, c)
+    }
+    out.filter(col("__rn") >= n).drop("__rn")
+  }
+
+  /** movingAverage(points) — NaN-propagating mean of the trailing window
+    * (the reference sums raw NaNs: `dsl/funcs.go:1699-1705`); first N−1
+    * points are consumed silently (`dsl/funcs.go:1653-1680`). */
+  def movingAverage(df: DataFrame, n: Int): DataFrame = {
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val mean = when(count(v).over(frame) < n, lit(null))
+      .otherwise(avg(v).over(frame))
+    emitFromNth(df, Seq("value" -> mean), n)
+  }
+
+  /** movingMedian(points) — reference Quantile(0.5) over the trailing
+    * window — `dsl/funcs.go:1709-1781` */
+  def movingMedian(df: DataFrame, n: Int): DataFrame = {
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val med = refQuantile(sort_array(collect_list(v).over(frame)), 0.5)
+    emitFromNth(df, Seq("value" -> med), n)
+  }
+
+  /** stdev(points) — trailing sample standard deviation —
+    * `dsl/funcs.go:1919-1991` */
+  def stdev(df: DataFrame, n: Int): DataFrame = {
+    val frame = w.rowsBetween(-(n - 1), 0)
+    emitFromNth(df, Seq("value" -> stddev_samp(v).over(frame)), n)
+  }
+
+  // ===== cross-series combines (vertical aggregation on the aligned
+  // ===== grid) — reference reducers in series/seriesslice.go =====
+
+  private def combine(df: DataFrame, outName: String, aggV: Column): DataFrame =
+    df.groupBy(col("t")).agg(aggV.as("value"))
+      .select(lit(outName).as("name"), col("t"), col("value"))
+
+  /** sumSeries — NaN treated as 0 (`series/seriesslice.go:176-183`) */
+  def sumSeries(df: DataFrame, outName: String = "sumSeries"): DataFrame =
+    combine(df, outName, sum(coalesce(v, lit(0.0))))
+
+  /** averageSeries — Sum()/len: NaNs count in the denominator
+    * (`series/seriesslice.go:200-202`) */
+  def averageSeries(df: DataFrame, outName: String = "averageSeries"): DataFrame =
+    combine(df, outName, sum(coalesce(v, lit(0.0))) / count(lit(1)))
+
+  /** maxSeries / minSeries — NaN-skipping (`series/seriesslice.go:206-228`) */
+  def maxSeries(df: DataFrame, outName: String = "maxSeries"): DataFrame =
+    combine(df, outName, max(v))
+  def minSeries(df: DataFrame, outName: String = "minSeries"): DataFrame =
+    combine(df, outName, min(v))
+
+  /** multiplySeries — NaN propagates (`series/seriesslice.go:187-196`) */
+  def multiplySeries(df: DataFrame, outName: String = "multiplySeries"): DataFrame =
+    combine(df, outName,
+      when(count(v) < count(lit(1)), lit(null))
+        .otherwise(aggregate(collect_list(v), lit(1.0), (acc, x) => acc * x)))
+
+  /** rangeOfSeries — max − min (`series/seriesslice.go:275-277`) */
+  def rangeOfSeries(df: DataFrame, outName: String = "rangeOfSeries"): DataFrame =
+    combine(df, outName, max(v) - min(v))
+
+  /** isNonNull — count of non-NaN inputs (`dsl/funcs.go:1085-1105`) */
+  def isNonNull(df: DataFrame, outName: String = "isNonNull"): DataFrame =
+    combine(df, outName, count(v).cast("double"))
+
+  /** countSeries — constant series = number of input series
+    * (`dsl/funcs.go:2116-2131`) */
+  def countSeries(df: DataFrame, outName: String = "countSeries"): DataFrame =
+    combine(df, outName, countDistinct(col("name")).cast("double"))
+
+  /** percentileOfSeries(p) — reference Quantile across the series' values
+    * at each timestamp (`dsl/funcs.go:882-899`, `series/seriesslice.go:241-271`) */
+  def percentileOfSeries(df: DataFrame, p: Double,
+      outName: String = "percentileOfSeries"): DataFrame =
+    combine(df, outName, refQuantile(sort_array(collect_list(v)), p))
+
+  /** diffSeries — first (by name) minus the rest; NaN propagates through
+    * Go float arithmetic (`dsl/funcs.go:614-647`, `series/seriesslice.go:281-291`) */
+  def diffSeries(df: DataFrame, outName: String = "diffSeries"): DataFrame =
+    combine(df, outName,
+      when(count(v) < count(lit(1)), lit(null))
+        .otherwise(lit(2.0) * min_by(v, col("name")) - sum(v)))
+
+  /** divideSeries(num, den) — `dsl/funcs.go:649-682` */
+  def divideSeries(num: DataFrame, den: DataFrame,
+      outName: String = "divideSeries"): DataFrame = {
+    val n = num.select(col("t"), v.as("num"))
+    val d = den.select(col("t"), v.as("den"))
+    n.join(d, Seq("t"), "inner")
+      .select(lit(outName).as("name"), col("t"),
+        when(col("den") === 0.0, lit(null))
+          .otherwise(col("num") / col("den")).as("value"))
+  }
+
+  /** group(...) — merge series sets (`dsl/funcs.go:933-937`) */
+  def group(dfs: DataFrame*): DataFrame = dfs.reduce(_.unionByName(_))
+
+  // ===== name-node family (dotted names) =====
+
+  private def nameParts = split(col("name"), "\\.")
+
+  /** sumSeriesWithWildcards(pos...) / averageSeriesWithWildcards —
+    * collapse name node(s) to `*`, combine per collapsed name
+    * (`dsl/funcs.go:684-798`) */
+  def seriesWithWildcards(df: DataFrame, positions: Seq[Int], cf: String): DataFrame = {
+    val collapsed = array_join(
+      transform(nameParts, (p, i) =>
+        when(positions.foldLeft(lit(false))((acc, n) => acc || i === n), lit("*"))
+          .otherwise(p)),
+      ".")
+    val aggV = cf match {
+      case "sum" => sum(coalesce(v, lit(0.0)))
+      case "avg" => sum(coalesce(v, lit(0.0))) / count(lit(1))
+    }
+    df.groupBy(collapsed.as("name"), col("t")).agg(aggV.as("value"))
+  }
+
+  /** groupByNode(n, cf) — group by the n-th name node —
+    * `dsl/funcs.go:800-880` */
+  def groupByNode(df: DataFrame, node: Int, cf: String): DataFrame = {
+    val key = element_at(nameParts, node + 1) // reference nodes are 0-based
+    val aggV = cf match {
+      case "sum" => sum(coalesce(v, lit(0.0)))
+      case "avg" => sum(coalesce(v, lit(0.0))) / count(lit(1))
+      case "max" => max(v)
+      case "min" => min(v)
+    }
+    df.groupBy(key.as("name"), col("t")).agg(aggV.as("value"))
+  }
+
+  /** weightedAverage(avgSet, weightSet, node) — pair the two sets by name
+    * node, Σ(a·w)/Σ(w) per timestamp (`dsl/funcs.go:1993-2062`) */
+  def weightedAverage(avgS: DataFrame, weightS: DataFrame, node: Int,
+      outName: String = "weightedAverage"): DataFrame = {
+    val key = element_at(nameParts, node + 1)
+    val a = avgS.select(key.as("k"), col("t"), v.as("a"))
+    val ww = weightS.select(key.as("k"), col("t"), v.as("w"))
+    a.join(ww, Seq("k", "t"), "inner")
+      .groupBy(col("t"))
+      .agg((sum(col("a") * col("w")) / sum(col("w"))).as("value"))
+      .select(lit(outName).as("name"), col("t"), col("value"))
+  }
+
+  // ===== aliasing (metadata-only) =====
+
+  /** alias(s) — `dsl/funcs.go:945-954` */
+  def aliasAll(df: DataFrame, s: String): DataFrame = df.withColumn("name", lit(s))
+
+  /** aliasByMetric() — keep last dot-part (`dsl/funcs.go:956-965`) */
+  def aliasByMetric(df: DataFrame): DataFrame =
+    df.withColumn("name", element_at(nameParts, -1))
+
+  /** aliasByNode(n...) — selected parts, 0-based (`dsl/funcs.go:967-993`) */
+  def aliasByNode(df: DataFrame, nodes: Seq[Int]): DataFrame = {
+    val parts = nodes.map(n => element_at(nameParts, if (n >= 0) n + 1 else n))
+    df.withColumn("name", concat_ws(".", parts: _*))
+  }
+
+  /** aliasSub(search, replace) — regex rename (`dsl/funcs.go:995-1016`);
+    * `replace` uses Java `$1` group syntax. */
+  def aliasSub(df: DataFrame, search: String, replace: String): DataFrame =
+    df.withColumn("name", regexp_replace(col("name"), search, replace))
+
+  // ===== series-set filters / top-k (rank by whole-series summary —
+  // ===== series/summaryseries.go reducers) =====
+
+  /** Per-series summary frame: (name, savg, smax, smin, sstd, slast). */
+  def summaries(df: DataFrame): DataFrame =
+    df.groupBy(col("name")).agg(
+      avg(v).as("savg"),
+      max(v).as("smax"),
+      min(v).as("smin"),
+      stddev_samp(v).as("sstd"),
+      max_by(v, when(v.isNotNull, col("t"))).as("slast"))
+
+  private def keepTop(df: DataFrame, metric: Column, n: Int, asc: Boolean): DataFrame = {
+    val ord = if (asc) Seq(metric.asc, col("name").asc) else Seq(metric.desc, col("name").asc)
+    val ranked = summaries(df)
+      .withColumn("__r", row_number().over(Window.orderBy(ord: _*)))
+      .filter(col("__r") <= n).select("name")
+    // series count is small — broadcast the kept-names semi-join
+    df.join(broadcast(ranked), Seq("name"), "left_semi")
+  }
+
+  /** highestCurrent(n) — `dsl/funcs.go:1480-1497` */
+  def highestCurrent(df: DataFrame, n: Int): DataFrame = keepTop(df, col("slast"), n, asc = false)
+  /** highestMax(n) — `dsl/funcs.go:1499-1516` */
+  def highestMax(df: DataFrame, n: Int): DataFrame = keepTop(df, col("smax"), n, asc = false)
+  /** lowestAverage(n) — `dsl/funcs.go:1533-1550` */
+  def lowestAverage(df: DataFrame, n: Int): DataFrame = keepTop(df, col("savg"), n, asc = true)
+  /** lowestCurrent(n) — `dsl/funcs.go:1552-1567` */
+  def lowestCurrent(df: DataFrame, n: Int): DataFrame = keepTop(df, col("slast"), n, asc = true)
+  /** mostDeviant(n) — `dsl/funcs.go:1625-1642` */
+  def mostDeviant(df: DataFrame, n: Int): DataFrame = keepTop(df, col("sstd"), n, asc = false)
+
+  private def keepWhere(df: DataFrame, pred: Column): DataFrame =
+    df.join(broadcast(summaries(df).filter(pred).select("name")), Seq("name"), "left_semi")
+
+  /** maximumAbove/Below, minimumAbove/Below — `dsl/funcs.go:1569-1623` */
+  def maximumAbove(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("smax") > x)
+  def maximumBelow(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("smax") < x)
+  def minimumAbove(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("smin") > x)
+  def minimumBelow(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("smin") < x)
+
+  /** useSeriesAbove(value, search, replace) — `dsl/funcs.go:2237-2253` */
+  def useSeriesAbove(df: DataFrame, x: Double, search: String, replace: String): DataFrame =
+    aliasSub(keepWhere(df, col("smax") > x), search, replace)
+
+  /** limit(n) — first n by sorted name (`dsl/funcs.go:1518-1531`) */
+  def limitSeries(df: DataFrame, n: Int): DataFrame = {
+    val kept = df.select("name").distinct()
+      .withColumn("__r", row_number().over(Window.orderBy(col("name"))))
+      .filter(col("__r") <= n).select("name")
+    df.join(broadcast(kept), Seq("name"), "left_semi")
+  }
+
+  /** exclude(regex) — `dsl/funcs.go:2197-2211` */
+  def exclude(df: DataFrame, pattern: String): DataFrame =
+    df.filter(!col("name").rlike(pattern))
+
+  // ===== alignment (SeriesSlice.Align — LCM of member steps,
+  // ===== re-consolidate by average: series/seriesslice.go:138-172) =====
+
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+  def lcm(a: Long, b: Long): Long = a / gcd(a, b) * b
+
+  /** Align a set of frames with differing steps onto the LCM step by
+    * average re-consolidation, then union. */
+  def align(frames: Seq[(DataFrame, Long)]): (DataFrame, Long) = {
+    val step = frames.map(_._2).reduce(lcm)
+    val out = frames.map { case (df, s) =>
+      if (s == step) df
+      else df.groupBy(col("name"),
+          (col("t").divide(lit(step)).cast("long") * step).as("t"))
+        .agg(avg(v).as("value"))
+    }.reduce(_.unionByName(_))
+    (out, step)
+  }
+
+  // ===== generators =====
+
+  /** constantLine(v) — 2-point series spanning the range
+    * (`dsl/funcs.go:2093-2114`) */
+  def constantLine(spark: org.apache.spark.sql.SparkSession,
+      value: Double, fromSec: Long, toSec: Long): DataFrame = {
+    import spark.implicits._
+    Seq((s"constantLine($value)", fromSec, value),
+        (s"constantLine($value)", toSec, value))
+      .toDF("name", "t", "value")
+  }
+
+  /** The reference's Quantile (`series/seriesslice.go:241-271`):
+    * pos = p(n+1), clamped, linear interpolation — over a pre-sorted
+    * ascending array column (1-based element_at). */
+  def refQuantile(sorted: Column, p: Double): Column = {
+    val n = size(sorted)
+    val pos = lit(p) * (n.cast("double") + lit(1.0))
+    val fp = floor(pos)
+    val lower = element_at(sorted, fp.cast("int"))
+    val upper = element_at(sorted, fp.cast("int") + 1)
+    when(n === 0, lit(null))
+      .when(pos < 1.0, element_at(sorted, 1))
+      .when(pos >= n.cast("double"), element_at(sorted, n))
+      .otherwise(lower + (pos - fp) * (upper - lower))
+  }
+
+  /** SQL text of refQuantile for the DuckDB oracle — `s` must be a sorted
+    * DuckDB list expression, `p` the quantile. Kept adjacent to
+    * [[refQuantile]]; the two must stay formula-identical. */
+  def refQuantileSql(s: String, p: Double): String = {
+    val pos = s"($p * (len($s) + 1.0))"
+    val fp = s"floor($pos)"
+    s"""CASE WHEN len($s) = 0 THEN NULL
+       | WHEN $pos < 1.0 THEN $s[1]
+       | WHEN $pos >= CAST(len($s) AS DOUBLE) THEN $s[len($s)]
+       | ELSE $s[CAST($fp AS INT)] + ($pos - $fp) * ($s[CAST($fp AS INT) + 1] - $s[CAST($fp AS INT)])
+       | END""".stripMargin.replace("\n", " ")
+  }
+}
