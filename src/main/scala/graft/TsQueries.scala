@@ -160,8 +160,7 @@ object TsQueries {
       ((s, d) => fin(O.changed(M.dense(s, d)))): Q,
       Some(denseQ(
         s"""SELECT name, t,
-           |  CASE WHEN prev IS NULL AND value IS NULL THEN 0.0
-           |       WHEN prev IS NULL OR value IS NULL THEN 1.0
+           |  CASE WHEN prev IS NULL OR value IS NULL THEN 1.0
            |       WHEN value <> prev THEN 1.0 ELSE 0.0 END AS value
            | FROM (SELECT name, t, value, lag(value) OVER ($byNameT) AS prev FROM series)""".stripMargin))),
 
@@ -174,15 +173,16 @@ object TsQueries {
       ((s, d) => fin(O.nonNegativeDerivative(M.sparse(s, d), None))): Q,
       Some(sparseQ(
         s"""SELECT name, t,
-           |  CASE WHEN value - prev < 0 THEN NULL ELSE value - prev END AS value
+           |  CASE WHEN value - prev > 0 THEN value - prev ELSE NULL END AS value
            | FROM (SELECT name, t, value, lag(value) OVER ($byNameT) AS prev FROM series)""".stripMargin))),
 
     ("ts_non_negative_derivative_wrap",
       ((s, d) => fin(O.nonNegativeDerivative(M.sparse(s, d), Some(400.0)))): Q,
       Some(sparseQ(
         s"""SELECT name, t,
-           |  CASE WHEN value - prev < 0 THEN (400.0 - prev) + value + 1.0
-           |       ELSE value - prev END AS value
+           |  CASE WHEN value - prev > 0 THEN value - prev
+           |       WHEN 400.0 > value THEN (400.0 - prev) + value + 1.0
+           |       ELSE NULL END AS value
            | FROM (SELECT name, t, value, lag(value) OVER ($byNameT) AS prev FROM series)""".stripMargin))),
 
     ("ts_integral",
@@ -347,7 +347,7 @@ object TsQueries {
     ("ts_weighted_average",
       ((s, d) => {
         val ev = Tables.events(s, d)
-        val slot = (unix_timestamp(col("ts")).divide(lit(3600)).cast("long") * 3600).as("t")
+        val slot = (floor(unix_timestamp(col("ts")).divide(lit(3600))).cast("long") * 3600).as("t")
         val a = ev.groupBy(concat(lit("a."), col("event_type")).as("name"), slot)
           .agg(ts.Round6.r6(avg(col("value"))).as("value"))
         val w = ev.groupBy(concat(lit("w."), col("event_type")).as("name"), slot)
@@ -468,8 +468,8 @@ object TsQueries {
       ((s, d) => {
         val ev = Tables.events(s, d)
         val bounds = ev.agg(
-          (unix_timestamp(min(col("ts"))).divide(lit(3600)).cast("long") * 3600).as("lo"),
-          (unix_timestamp(max(col("ts"))).divide(lit(3600)).cast("long") * 3600).as("hi"))
+          (floor(unix_timestamp(min(col("ts"))).divide(lit(3600))).cast("long") * 3600).as("lo"),
+          (floor(unix_timestamp(max(col("ts"))).divide(lit(3600))).cast("long") * 3600).as("hi"))
         fin(bounds.select(explode(array(col("lo"), col("hi"))).as("t"))
           .select(lit("constantLine(42.5)").as("name"), col("t"), lit(42.5).as("value")))
       }): Q,
@@ -488,8 +488,8 @@ object TsQueries {
       ((s, d) => {
         val ev = Tables.events(s, d)
         val bounds = ev.agg(
-          (unix_timestamp(min(col("ts"))).divide(lit(3600)).cast("long") * 3600).as("lo"),
-          (unix_timestamp(max(col("ts"))).divide(lit(3600)).cast("long") * 3600).as("hi"))
+          (floor(unix_timestamp(min(col("ts"))).divide(lit(3600))).cast("long") * 3600).as("lo"),
+          (floor(unix_timestamp(max(col("ts"))).divide(lit(3600))).cast("long") * 3600).as("hi"))
         val grid = bounds.select(col("lo"),
           explode(sequence(col("lo"), col("hi"), lit(3600L))).as("t"))
         fin(grid.select(lit("sinusoid").as("name"), col("t"),

@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * (`dsl/seriesmap.go:20-44`): one *long* DataFrame holds every series,
   * distinguished by `name`, instead of one lazy-iterator object per series.
   * SQL NULL plays the role the reference gives NaN (`rrd/pdp.go:67-68`) —
-  * the unknown/gap marker. `t` is the slot END boundary truncated to the
-  * step, kept as epoch seconds (BIGINT) so interval arithmetic is integer
-  * math and oracle comparison is timezone-free.
+  * the unknown/gap marker. `t` is the slot START boundary
+  * (`floor(ts/step)*step`), kept as epoch seconds (BIGINT) so interval
+  * arithmetic is integer math and oracle comparison is timezone-free.
+  * (The reference marks slot ENDs — `dsl/funcs.go` constantLine comment;
+  * this engine deliberately uses starts, applied consistently on both the
+  * Spark and oracle sides, since only grid *consistency* is semantic.)
   *
   * Scale notes (100 TB): the raw `events` scan is the only large input; the
   * per-(name, slot) aggregate is a map-side-combinable hash aggregate whose
@@ -30,8 +33,10 @@ object SeriesModel {
 
   import graft.Tables
 
+  // floor, not cast-truncation: both engines must round pre-1970
+  // (negative-epoch) timestamps down to the same slot
   private def slot(stepSec: Long) =
-    (unix_timestamp(col("ts")).divide(lit(stepSec)).cast("long") * stepSec).as("t")
+    (floor(unix_timestamp(col("ts")).divide(lit(stepSec))).cast("long") * stepSec).as("t")
 
   /** Sparse consolidated series: average of raw values per (series, slot) —
     * the reference's groupBy-average re-consolidation
@@ -49,8 +54,8 @@ object SeriesModel {
     val ev = Tables.events(spark, dir)
     val raw = sparse(spark, dir, stepSec)
     val bounds = ev.agg(
-      (unix_timestamp(min(col("ts"))).divide(lit(stepSec)).cast("long") * stepSec).as("lo"),
-      (unix_timestamp(max(col("ts"))).divide(lit(stepSec)).cast("long") * stepSec).as("hi"))
+      (floor(unix_timestamp(min(col("ts"))).divide(lit(stepSec))).cast("long") * stepSec).as("lo"),
+      (floor(unix_timestamp(max(col("ts"))).divide(lit(stepSec))).cast("long") * stepSec).as("hi"))
     val grid = bounds.select(explode(sequence(col("lo"), col("hi"), lit(stepSec))).as("t"))
     val names = ev.select(col("event_type").as("name")).distinct()
     grid.crossJoin(broadcast(names))

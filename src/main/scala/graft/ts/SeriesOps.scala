@@ -68,11 +68,12 @@ object SeriesOps {
     df.withColumn("value", when(v < n, lit(null)).otherwise(v))
 
   /** changed() — 1 if value differs from previous point else 0 —
-    * `dsl/funcs.go:2064-2091` */
+    * `dsl/funcs.go:2064-2091`. The reference compares raw Go floats, and
+    * `NaN != x` (including `NaN != NaN`) is true, so ANY pair involving a
+    * gap — first point included (last starts as NaN) — yields 1. */
   def changed(df: DataFrame): DataFrame =
     df.withColumn("value",
-      when(lag(v, 1).over(w).isNull && v.isNull, 0.0)
-        .when(lag(v, 1).over(w).isNull || v.isNull, 1.0)
+      when(v.isNull || lag(v, 1).over(w).isNull, 1.0)
         .when(v =!= lag(v, 1).over(w), 1.0).otherwise(0.0))
 
   /** derivative() — v − prev, NULL for the first point —
@@ -81,15 +82,18 @@ object SeriesOps {
     df.withColumn("value", v - lag(v, 1).over(w))
 
   /** nonNegativeDerivative(maxValue) — counter-wrap aware diff —
-    * `dsl/funcs.go:1254-1285` */
+    * `dsl/funcs.go:1254-1285`: `diff > 0` is the only positive case; a
+    * zero or negative diff applies the counter-wrap formula
+    * `(max − prev) + v + 1` only when `maxValue > current`, else NaN. */
   def nonNegativeDerivative(df: DataFrame, maxValue: Option[Double]): DataFrame = {
     val prev = lag(v, 1).over(w)
     val diff = v - prev
-    val wrapped = maxValue match {
-      case Some(m) => when(diff < 0, (lit(m) - prev) + v + 1.0).otherwise(diff)
-      case None    => when(diff < 0, lit(null)).otherwise(diff)
+    val out = maxValue match {
+      case Some(m) => when(diff > 0, diff)
+        .when(lit(m) > v, (lit(m) - prev) + v + 1.0) // else NULL
+      case None    => when(diff > 0, diff) // else NULL
     }
-    df.withColumn("value", wrapped)
+    df.withColumn("value", out)
   }
 
   /** integral() — *exclusive* prefix sum, NaN-skipping, 0 at the first
@@ -134,7 +138,9 @@ object SeriesOps {
     * reference's `dsl/funcs.go:2288-2324` is a scaling hack; SURVEY §2.3
     * directs the honest implementation). Slot = floor(t / interval). */
   def summarize(df: DataFrame, intervalSec: Long, cf: String): DataFrame = {
-    val bucket = (col("t").divide(lit(intervalSec)).cast("long") * intervalSec).as("t")
+    // floor, not cast-truncation: pre-1970 (negative) slots must round down
+    // like the oracle's integer floor-division
+    val bucket = (floor(col("t").divide(lit(intervalSec))).cast("long") * intervalSec).as("t")
     val aggV = cf match {
       case "sum"  => sum(v)
       case "avg"  => avg(v)
@@ -241,7 +247,11 @@ object SeriesOps {
       when(count(v) < count(lit(1)), lit(null))
         .otherwise(lit(2.0) * min_by(v, col("name")) - sum(v)))
 
-  /** divideSeries(num, den) — `dsl/funcs.go:649-682` */
+  /** divideSeries(num, den) — series[0] / series[1], same shape as
+    * `dsl/funcs.go:649-682`. DELIBERATE DIVERGENCE on zero denominators:
+    * the reference does raw Go float division (x/0 = ±Inf, 0/0 = NaN);
+    * ±Inf has no representation in this engine's NULL≡NaN model, so both
+    * cases map to NULL here. */
   def divideSeries(num: DataFrame, den: DataFrame,
       outName: String = "divideSeries"): DataFrame = {
     val n = num.select(col("t"), v.as("num"))
@@ -392,7 +402,7 @@ object SeriesOps {
     val out = frames.map { case (df, s) =>
       if (s == step) df
       else df.groupBy(col("name"),
-          (col("t").divide(lit(step)).cast("long") * step).as("t"))
+          (floor(col("t").divide(lit(step))).cast("long") * step).as("t"))
         .agg(avg(v).as("value"))
     }.reduce(_.unionByName(_))
     (out, step)
