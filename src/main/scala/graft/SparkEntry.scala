@@ -17,8 +17,10 @@ object SparkEntry {
     RelQueries.queries("q04_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelQueries.queries ++ TsQueries.queries ++ PipelineQueries.queries
+    RelQueries.queries ++ TsQueries.queries ++ PipelineQueries.queries ++
+      RrdQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelQueries.oracles ++ TsQueries.oracles ++ PipelineQueries.oracles
+    RelQueries.oracles ++ TsQueries.oracles ++ PipelineQueries.oracles ++
+      RrdQueries.oracles
 }
