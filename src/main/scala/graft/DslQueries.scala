@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dsl.{Dsl, Eval}
+import graft.ts.{SeriesModel => M, SeriesOps => O, Round6}
+
+/** Driver-checked queries exercising the FULL query path of the
+  * reference: expression string → parser → evaluator → DataFrame plan
+  * (`/render?target=...`, SURVEY §3.1). The oracle SQL re-states each
+  * expression's semantics directly, so a pass means parser + evaluator +
+  * operator all agree with an independent engine.
+  *
+  * Store: the multi-node name set `events.<type>.u<bucket>` at step 3600
+  * ([[M.multi]]); glob regexes appear verbatim in both the Spark plan
+  * (via `Dsl.globToRegex`) and the oracle SQL.
+  */
+object DslQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def fin(df: DataFrame): DataFrame =
+    df.select(col("name"), col("t").cast("long").as("t"),
+        Round6.r6(col("value").cast("double")).as("value"))
+      .orderBy(col("name").asc_nulls_first, col("t").asc_nulls_first,
+        col("value").asc_nulls_first)
+
+  private def tail(): String =
+    s""" SELECT name, CAST(t AS BIGINT) AS t, ${Round6.r6Sql("CAST(value AS DOUBLE)")} AS value FROM out
+       | ORDER BY name NULLS FIRST, t NULLS FIRST, value NULLS FIRST""".stripMargin
+
+  private def multiQ(body: String): String =
+    M.multiSql() + s", out AS ($body)" + tail()
+
+  /** Evaluate `expr` against the multi store. */
+  private def dq(expr: String): Q = (s, d) => {
+    val ctx = Eval.Ctx(s, M.multi(s, d), M.StepSeconds, 0L, 0L)
+    fin(Eval.evalExpr(ctx, expr))
+  }
+
+  private val byNameT = "PARTITION BY name ORDER BY t"
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // plain glob fetch via group(): `*` must not cross dots
+    ("dsl_fetch_glob",
+      dq("group(events.*.u1)"),
+      Some(multiQ(
+        """SELECT name, t, value FROM series
+          | WHERE regexp_matches(name, '^events\.[^.]*\.u1$')""".stripMargin))),
+
+    // brace alternation + chained scalar transform (receiver-prepend)
+    ("dsl_brace_chain",
+      dq("events.{click,view}.u0.scale(2.5)"),
+      Some(multiQ(
+        """SELECT name, t, value * 2.5 AS value FROM series
+          | WHERE regexp_matches(name, '^events\.(click|view)\.u0$')""".stripMargin))),
+
+    // nested call: cross-series sum over one type's buckets
+    ("dsl_sum_nested",
+      dq("sumSeries(events.click.*)"),
+      Some(multiQ(
+        """SELECT 'sumSeries' AS name, t, sum(coalesce(value, 0.0)) AS value
+          | FROM series WHERE regexp_matches(name, '^events\.click\.[^.]*$')
+          | GROUP BY t""".stripMargin))),
+
+    // chain on a call result + string arg
+    ("dsl_alias_chain",
+      dq("sumSeries(events.purchase.*).alias('revenue')"),
+      Some(multiQ(
+        """SELECT 'revenue' AS name, t, sum(coalesce(value, 0.0)) AS value
+          | FROM series WHERE regexp_matches(name, '^events\.purchase\.[^.]*$')
+          | GROUP BY t""".stripMargin))),
+
+    // kwarg coercion: nonNegativeDerivative(..., maxValue=400)
+    ("dsl_kwarg_nnd",
+      dq("nonNegativeDerivative(events.error.u2, maxValue=400)"),
+      Some(multiQ(
+        s"""SELECT name, t,
+           |  CASE WHEN value - prev > 0 THEN value - prev
+           |       WHEN 400.0 > value THEN (400.0 - prev) + value + 1.0
+           |       ELSE NULL END AS value
+           | FROM (SELECT name, t, value, lag(value) OVER ($byNameT) AS prev
+           |       FROM series WHERE name = 'events.error.u2')""".stripMargin))),
+
+    // deep nesting: moving window over a cross-series combine
+    ("dsl_deep_nest",
+      dq("movingAverage(sumSeries(events.*.u0), 5)"),
+      Some(multiQ(
+        s"""SELECT name, t, CASE WHEN cnt < 5 THEN NULL ELSE sm / cnt END AS value
+           | FROM (SELECT name, t, value,
+           |         row_number() OVER ($byNameT) AS rn,
+           |         count(value) OVER ($byNameT ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cnt,
+           |         sum(value) OVER ($byNameT ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sm
+           |       FROM (SELECT 'sumSeries' AS name, t, sum(coalesce(value, 0.0)) AS value
+           |             FROM series WHERE regexp_matches(name, '^events\\.[^.]*\\.u0$$')
+           |             GROUP BY t))
+           | WHERE rn >= 5""".stripMargin))),
+
+    // var-arg series merge + top-k set filter
+    ("dsl_topk",
+      dq("highestMax(group(events.click.*, events.error.*), 2)"),
+      Some(multiQ(
+        """SELECT s.name, s.t, s.value
+          | FROM (SELECT * FROM series
+          |        WHERE regexp_matches(name, '^events\.(click|error)\.[^.]*$')) s
+          | JOIN (SELECT name FROM (
+          |         SELECT name, row_number() OVER (ORDER BY smax DESC, name) AS r
+          |         FROM (SELECT name, max(value) AS smax
+          |               FROM series
+          |               WHERE regexp_matches(name, '^events\.(click|error)\.[^.]*$')
+          |               GROUP BY name))
+          |       WHERE r <= 2) k USING (name)""".stripMargin))),
+
+    // percentile arg is 0-100 at the DSL layer (dsl/funcs.go:1439)
+    ("dsl_percentile",
+      dq("nPercentile(events.view.u1, 90)"),
+      Some(multiQ(
+        s"""SELECT s.name, s.t, q.q AS value
+           | FROM series s JOIN (
+           |   SELECT name, ${O.refQuantileSql("list(value ORDER BY value)", 0.9)} AS q
+           |   FROM series WHERE name = 'events.view.u1' GROUP BY name) q USING (name)
+           | WHERE s.name = 'events.view.u1'""".stripMargin))),
+
+    // duration-string arg + re-bucketing through the parser
+    ("dsl_summarize_1d",
+      dq("summarize(events.signup.*, '1d', 'sum')"),
+      Some(multiQ(
+        """SELECT name, (t // 86400) * 86400 AS t, sum(value) AS value
+          | FROM series WHERE regexp_matches(name, '^events\.signup\.[^.]*$')
+          | GROUP BY 1, 2""".stripMargin))),
+
+    // name rewriting: aliasByNode picks dotted segments
+    ("dsl_alias_by_node",
+      dq("aliasByNode(events.*.*, 1, 2)"),
+      Some(multiQ(
+        """SELECT split_part(name, '.', 2) || '.' || split_part(name, '.', 3) AS name,
+          |  t, value FROM series""".stripMargin)))
+  )
+
+  def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+  def oracles: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

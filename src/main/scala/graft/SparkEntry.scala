@@ -18,9 +18,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelQueries.queries ++ TsQueries.queries ++ PipelineQueries.queries ++
-      RrdQueries.queries
+      RrdQueries.queries ++ DslQueries.queries
 
   def oracleSql: Map[String, String] =
     RelQueries.oracles ++ TsQueries.oracles ++ PipelineQueries.oracles ++
-      RrdQueries.oracles
+      RrdQueries.oracles ++ DslQueries.oracles
 }

@@ -1,0 +1,250 @@
+package graft.dsl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ts.{Durations, SeriesOps => O}
+
+/** DSL evaluator: walks a parsed [[Dsl.Node]] and folds it into a
+  * DataFrame plan over the canonical series frame `(name, t, value)`.
+  *
+  * This is the Spark counterpart of the reference's `funcVisitor` +
+  * `seriesFromFunction` (`dsl/dsl.go:159-264`, `dsl/funcs.go:347-500`):
+  * where the reference wires lazy Go iterators, this builds a Catalyst
+  * logical plan — the optimizer then owns execution order, pushdown and
+  * parallelism. Nothing here runs an action; evaluation is plan
+  * construction only, so a 100 TB store costs the same to *plan* as a
+  * 100 MB one.
+  *
+  * Functions are registered in a name → binder map exactly like the
+  * reference's `preprocessArgFuncs` (`dsl/funcs.go:64-345`); adding a
+  * function is adding a map entry.
+  */
+object Eval {
+
+  sealed trait Val
+  /** A set of series — the reference's `SeriesMap`. */
+  final case class SeriesV(df: DataFrame) extends Val
+  final case class NumV(v: Double) extends Val
+  final case class StrV(s: String) extends Val
+
+  /** Evaluation context: the store is the catalog-resolved canonical
+    * frame; from/to bound generator functions (`constantLine`,
+    * `sinusoid`, `timeStack` re-fetches). */
+  final case class Ctx(spark: SparkSession, store: DataFrame,
+      stepSec: Long, fromSec: Long, toSec: Long, maxPoints: Int = 512) {
+    /** Pattern → series: glob over the name catalog
+      * (`dsl/named_ds.go:91-96`). The filter is a Catalyst predicate on
+      * the store scan — at scale it prunes via catalog/row-group stats
+      * rather than listing names on the driver. */
+    def fetch(pattern: String): DataFrame =
+      store.filter(col("name").rlike(Dsl.globToRegex(pattern)))
+  }
+
+  def evalExpr(ctx: Ctx, expr: String): DataFrame =
+    eval(ctx, Dsl.parse(expr)) match {
+      case SeriesV(df) => df
+      case other => throw new IllegalArgumentException(
+        s"expression yields $other, not a series set: $expr")
+    }
+
+  def eval(ctx: Ctx, node: Dsl.Node): Val = node match {
+    case Dsl.Num(v)     => NumV(v)
+    case Dsl.Str(s)     => StrV(s)
+    case Dsl.Pattern(p) => SeriesV(ctx.fetch(p))
+    case Dsl.Call(fn, args, kwargs) =>
+      val f = registry.getOrElse(fn, throw new IllegalArgumentException(
+        s"unknown function: $fn"))
+      f(ctx, args.map(eval(ctx, _)), kwargs.map { case (k, n) => k -> eval(ctx, n) })
+  }
+
+  // ---- arg binders (the reference's coercion, `dsl/funcs.go:347-500`) ----
+
+  /** A string in series position is a quoted pattern — the reference's
+    * ident-quoting makes every dotted path a string before parse
+    * (`http/graphite.go:227-257`). */
+  private def asSeries(ctx: Ctx, v: Val): DataFrame = v match {
+    case SeriesV(df) => df
+    case StrV(p)     => ctx.fetch(p)
+    case other => throw new IllegalArgumentException(s"not a series: $other")
+  }
+  private def num(v: Val): Double = v match {
+    case NumV(d) => d
+    case StrV(s) => s.toDouble
+    case other   => throw new IllegalArgumentException(s"not a number: $other")
+  }
+  private def str(v: Val): String = v match {
+    case StrV(s) => s
+    case NumV(d) => if (d == d.toLong) d.toLong.toString else d.toString
+    case other   => throw new IllegalArgumentException(s"not a string: $other")
+  }
+  /** Graphite duration ("1h", "-7d") or bare seconds. */
+  private def durSec(v: Val): Long = v match {
+    case NumV(d) => d.toLong
+    case StrV(s) => Durations.parseSeconds(s)
+    case other   => throw new IllegalArgumentException(s"not a duration: $other")
+  }
+
+  type Impl = (Ctx, Seq[Val], Map[String, Val]) => Val
+
+  /** fn over the merged leading series set + trailing scalars. All
+    * leading series args merge into one set — the reference's var-arg
+    * `SeriesMap` merge + Align (`dsl/funcs.go:472-487`). Every frame in
+    * one evaluation shares the store's step, so the LCM-align is the
+    * identity here; mixed-step inputs go through [[O.align]]. */
+  private def onSeries(f: (Ctx, DataFrame, Seq[Val], Map[String, Val]) => DataFrame): Impl =
+    (ctx, args, kw) => {
+      val (sets, rest) = args.span(_.isInstanceOf[SeriesV])
+      require(sets.nonEmpty, "expected a series argument")
+      val df = sets.map(asSeries(ctx, _)).reduce(_.unionByName(_))
+      SeriesV(f(ctx, df, rest, kw))
+    }
+
+  val registry: Map[String, Impl] = {
+    val b = Map.newBuilder[String, Impl]
+    def add(names: Seq[String])(impl: Impl): Unit = names.foreach(n => b += n -> impl)
+
+    // ----- cross-series combines (series/seriesslice.go reducers) -----
+    add(Seq("sumSeries", "sum"))(onSeries((_, df, _, _) => O.sumSeries(df)))
+    add(Seq("averageSeries", "avg"))(onSeries((_, df, _, _) => O.averageSeries(df)))
+    add(Seq("maxSeries", "max"))(onSeries((_, df, _, _) => O.maxSeries(df)))
+    add(Seq("minSeries", "min"))(onSeries((_, df, _, _) => O.minSeries(df)))
+    add(Seq("multiplySeries"))(onSeries((_, df, _, _) => O.multiplySeries(df)))
+    add(Seq("rangeOfSeries"))(onSeries((_, df, _, _) => O.rangeOfSeries(df)))
+    add(Seq("isNonNull"))(onSeries((_, df, _, _) => O.isNonNull(df)))
+    add(Seq("countSeries"))(onSeries((_, df, _, _) => O.countSeries(df)))
+    add(Seq("diffSeries"))(onSeries((_, df, _, _) => O.diffSeries(df)))
+    add(Seq("percentileOfSeries"))(onSeries((_, df, rest, _) =>
+      O.percentileOfSeries(df, num(rest.head) / 100)))
+    add(Seq("group"))(onSeries((_, df, _, _) => df))
+    add(Seq("divideSeries")) { (ctx, args, _) =>
+      require(args.size == 2, "divideSeries(num, den)")
+      SeriesV(O.divideSeries(asSeries(ctx, args(0)), asSeries(ctx, args(1))))
+    }
+    add(Seq("weightedAverage")) { (ctx, args, _) =>
+      SeriesV(O.weightedAverage(asSeries(ctx, args(0)),
+        asSeries(ctx, args(1)), num(args(2)).toInt))
+    }
+
+    // ----- per-point scalar transforms -----
+    add(Seq("scale"))(onSeries((_, df, rest, _) => O.scale(df, num(rest.head))))
+    add(Seq("absolute"))(onSeries((_, df, _, _) => O.absolute(df)))
+    add(Seq("offset"))(onSeries((_, df, rest, _) => O.offset(df, num(rest.head))))
+    add(Seq("offsetToZero"))(onSeries((_, df, _, _) => O.offsetToZero(df)))
+    add(Seq("logarithm", "log"))(onSeries((_, df, rest, kw) =>
+      O.logarithm(df, (rest.headOption orElse kw.get("base")).map(num).getOrElse(10.0))))
+    add(Seq("transformNull"))(onSeries((_, df, rest, kw) =>
+      O.transformNull(df, (rest.headOption orElse kw.get("default")).map(num).getOrElse(0.0))))
+    add(Seq("scaleToSeconds"))(onSeries((_, df, rest, _) =>
+      O.scaleToSeconds(df, num(rest.head))))
+    add(Seq("hitcount"))(onSeries((_, df, rest, _) =>
+      O.hitcount(df, durSec(rest.head))))
+    add(Seq("timeShift"))(onSeries((_, df, rest, _) =>
+      O.timeShift(df, durSec(rest.head))))
+    add(Seq("removeAboveValue"))(onSeries((_, df, rest, _) =>
+      O.removeAboveValue(df, num(rest.head))))
+    add(Seq("removeBelowValue"))(onSeries((_, df, rest, _) =>
+      O.removeBelowValue(df, num(rest.head))))
+    add(Seq("removeAbovePercentile"))(onSeries((_, df, rest, _) =>
+      O.removeAbovePercentile(df, num(rest.head) / 100)))
+    add(Seq("removeBelowPercentile"))(onSeries((_, df, rest, _) =>
+      O.removeBelowPercentile(df, num(rest.head) / 100)))
+    add(Seq("nPercentile"))(onSeries((_, df, rest, _) =>
+      O.nPercentile(df, num(rest.head) / 100)))
+    add(Seq("keepLastValue"))(onSeries((_, df, rest, _) =>
+      O.keepLastValue(df, rest.headOption.map(num(_).toInt).getOrElse(0))))
+    add(Seq("changed"))(onSeries((_, df, _, _) => O.changed(df)))
+    add(Seq("derivative"))(onSeries((_, df, _, _) => O.derivative(df)))
+    add(Seq("nonNegativeDerivative"))(onSeries((_, df, rest, kw) =>
+      O.nonNegativeDerivative(df,
+        (rest.headOption orElse kw.get("maxValue")).map(num))))
+    add(Seq("integral"))(onSeries((_, df, _, _) => O.integral(df)))
+    add(Seq("summarize"))(onSeries((_, df, rest, _) =>
+      O.summarize(df, durSec(rest.head),
+        rest.drop(1).headOption.map(str).getOrElse("avg") match {
+          case "average" => "avg"; case cf => cf
+        })))
+    add(Seq("consolidateBy"))(onSeries((ctx, df, rest, _) =>
+      O.consolidateBy(df, ctx.stepSec, str(rest.head))))
+
+    // ----- moving window -----
+    add(Seq("movingAverage"))(onSeries((_, df, rest, _) =>
+      O.movingAverage(df, num(rest.head).toInt)))
+    add(Seq("movingMedian"))(onSeries((_, df, rest, _) =>
+      O.movingMedian(df, num(rest.head).toInt)))
+    add(Seq("stdev"))(onSeries((_, df, rest, _) =>
+      O.stdev(df, num(rest.head).toInt)))
+
+    // ----- series-set filters / top-k -----
+    add(Seq("highestCurrent"))(onSeries((_, df, rest, _) =>
+      O.highestCurrent(df, num(rest.head).toInt)))
+    add(Seq("highestMax"))(onSeries((_, df, rest, _) =>
+      O.highestMax(df, num(rest.head).toInt)))
+    add(Seq("lowestAverage"))(onSeries((_, df, rest, _) =>
+      O.lowestAverage(df, num(rest.head).toInt)))
+    add(Seq("lowestCurrent"))(onSeries((_, df, rest, _) =>
+      O.lowestCurrent(df, num(rest.head).toInt)))
+    add(Seq("mostDeviant"))(onSeries((_, df, rest, _) =>
+      O.mostDeviant(df, num(rest.head).toInt)))
+    add(Seq("maximumAbove"))(onSeries((_, df, rest, _) =>
+      O.maximumAbove(df, num(rest.head))))
+    add(Seq("maximumBelow"))(onSeries((_, df, rest, _) =>
+      O.maximumBelow(df, num(rest.head))))
+    add(Seq("minimumAbove"))(onSeries((_, df, rest, _) =>
+      O.minimumAbove(df, num(rest.head))))
+    add(Seq("minimumBelow"))(onSeries((_, df, rest, _) =>
+      O.minimumBelow(df, num(rest.head))))
+    add(Seq("useSeriesAbove"))(onSeries((_, df, rest, _) =>
+      O.useSeriesAbove(df, num(rest(0)), str(rest(1)), str(rest(2)))))
+    add(Seq("limit"))(onSeries((_, df, rest, _) =>
+      O.limitSeries(df, num(rest.head).toInt)))
+    add(Seq("exclude"))(onSeries((_, df, rest, _) =>
+      O.exclude(df, str(rest.head))))
+
+    // ----- aliasing -----
+    add(Seq("alias"))(onSeries((_, df, rest, _) => O.aliasAll(df, str(rest.head))))
+    add(Seq("aliasByMetric"))(onSeries((_, df, _, _) => O.aliasByMetric(df)))
+    add(Seq("aliasByNode"))(onSeries((_, df, rest, _) =>
+      O.aliasByNode(df, rest.map(num(_).toInt))))
+    add(Seq("aliasSub"))(onSeries((_, df, rest, _) =>
+      O.aliasSub(df, str(rest(0)),
+        // Graphite replacement groups are \1..\9; Java wants $1
+        str(rest(1)).replaceAll("""\\(\d)""", """\$$1"""))))
+    add(Seq("color"))(onSeries((_, df, _, _) => df)) // no-op, dsl/funcs.go:939-943
+
+    // ----- name-node combines -----
+    add(Seq("sumSeriesWithWildcards"))(onSeries((_, df, rest, _) =>
+      O.seriesWithWildcards(df, rest.map(num(_).toInt), "sum")))
+    add(Seq("averageSeriesWithWildcards"))(onSeries((_, df, rest, _) =>
+      O.seriesWithWildcards(df, rest.map(num(_).toInt), "avg")))
+    add(Seq("groupByNode"))(onSeries((_, df, rest, _) =>
+      O.groupByNode(df, num(rest(0)).toInt, str(rest(1)) match {
+        case "average" => "avg"; case cf => cf
+      })))
+
+    // ----- generators (need ctx from/to) -----
+    add(Seq("constantLine")) { (ctx, args, _) =>
+      SeriesV(O.constantLine(ctx.spark, num(args.head), ctx.fromSec, ctx.toSec))
+    }
+    add(Seq("timeStack")) { (ctx, args, _) =>
+      // fetch the same pattern at N period-shifted windows
+      // (`dsl/funcs.go:2326-2393`); one union branch per shift — the
+      // scan is shared (same store), shifts differ only in the filter+map
+      val pattern = args(0) match {
+        case StrV(p) => p
+        case other => throw new IllegalArgumentException(
+          s"timeStack needs a quoted pattern, got $other")
+      }
+      val period = durSec(args(1))
+      val begin = num(args(2)).toInt
+      val end = num(args(3)).toInt
+      val shifts = (begin to end).map { i =>
+        O.timeShift(ctx.fetch(pattern), -period * i)
+          .withColumn("name", concat(lit(s"timeShift("), col("name"),
+            lit(s",-${period * i})")))
+      }
+      SeriesV(shifts.reduce(_.unionByName(_)))
+    }
+
+    b.result()
+  }
+}
