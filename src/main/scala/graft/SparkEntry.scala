@@ -18,7 +18,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelQueries.queries ++ TsQueries.queries ++ PipelineQueries.queries ++
-      RrdQueries.queries ++ DslQueries.queries
+      RrdQueries.queries ++ DslQueries.queries ++ HwQueries.queries
 
   def oracleSql: Map[String, String] =
     RelQueries.oracles ++ TsQueries.oracles ++ PipelineQueries.oracles ++

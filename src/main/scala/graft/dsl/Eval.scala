@@ -221,6 +221,34 @@ object Eval {
         case "average" => "avg"; case cf => cf
       })))
 
+    // ----- forecasting (dsl/funcs.go:2395-2622) -----
+    // seasonLimit is accepted-and-unused here: the ctx store is already
+    // the full viewport (no archive re-fetch layer to widen). Forecast
+    // length derives from ctx.toSec when it extends past the data.
+    def hw(show: String, devScaleDefault: Double): Impl =
+      onSeries { (ctx, df, rest, kw) =>
+        def arg(i: Int, name: String, dflt: Double): Double =
+          rest.drop(i).headOption.orElse(kw.get(name)).map(num).getOrElse(dflt)
+        val slenSec = rest.headOption.orElse(kw.get("seasonLen")).map(durSec)
+          .getOrElse(Durations.parseSeconds("1d"))
+        val a = arg(2, "alpha", 0.0)
+        val bb = arg(3, "beta", 0.0)
+        val g = arg(4, "gamma", 0.0)
+        val abg = if (a == 0 && bb == 0 && g == 0) None else Some((a, bb, g))
+        graft.ts.HwOps.holtWintersForecast(ctx.spark, df,
+          (slenSec / ctx.stepSec).toInt, 0, abg,
+          arg(5, "devScale", devScaleDefault),
+          rest.drop(6).headOption.orElse(kw.get("show")).map(str).getOrElse(show),
+          ctx.stepSec)
+      }
+    b += "holtWintersForecast" -> hw("smooth", 10.0)
+    b += "holtWintersConfidenceBands" -> (
+      (ctx, args, kw) => hw("conf", 3.0)(ctx, args.take(1),
+        kw ++ args.drop(1).headOption.map("devScale" -> _)))
+    b += "holtWintersAberration" -> (
+      (ctx, args, kw) => hw("aberr", 3.0)(ctx, args.take(1),
+        kw ++ args.drop(1).headOption.map("devScale" -> _)))
+
     // ----- generators (need ctx from/to) -----
     add(Seq("constantLine")) { (ctx, args, _) =>
       SeriesV(O.constantLine(ctx.spark, num(args.head), ctx.fromSec, ctx.toSec))
