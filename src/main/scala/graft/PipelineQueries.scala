@@ -36,6 +36,54 @@ object PipelineQueries {
              |  FROM documents) WHERE rn = 1
              |ORDER BY doc_id""".stripMargin)),
 
+    // MinHash+LSH near-dup: shingle → 16-hash signature → 4 bands →
+    // bucket join → exact-Jaccard verification at 0.8
+    ("dd_minhash_pairs",
+      ((s, d) => pipeline.NearDup.minhashPairs(Tables.documents(s, d), 0.8)
+        .select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"),
+          ts.Round6.r6(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")): Q,
+      Some(pipeline.NearDup.minhashPairsSql(0.8) +
+        s""" SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           |   ${ts.Round6.r6Sql("jaccard")} AS jaccard
+           | FROM out ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // exact n-gram Jaccard via df-capped inverted shingle index
+    ("dd_ngram_jaccard",
+      ((s, d) => pipeline.NearDup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
+        .select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"),
+          ts.Round6.r6(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")): Q,
+      Some(pipeline.NearDup.ngramPairsSql(0.5) +
+        s""" SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           |   ${ts.Round6.r6Sql("jaccard")} AS jaccard
+           | FROM out ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // 32-bit SimHash signature per document
+    ("dd_simhash_sigs",
+      ((s, d) => pipeline.NearDup.simhashSigs(Tables.documents(s, d))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("simhash").cast("long").as("simhash"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""WITH ${pipeline.NearDup.shinglesSql}, ${pipeline.NearDup.simhashSigsSql}
+           | SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           | CAST(simhash AS BIGINT) AS simhash FROM sigs2 ORDER BY doc_id""".stripMargin)),
+
+    // SimHash near-dup pairs: byte-band candidates, Hamming ≤ 3
+    ("dd_simhash_pairs",
+      ((s, d) => pipeline.NearDup.simhashPairs(Tables.documents(s, d), 3)
+        .select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")): Q,
+      Some(pipeline.NearDup.simhashPairsSql(3) +
+        """ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+          |   CAST(hamming AS BIGINT) AS hamming
+          | FROM out ORDER BY doc_a, doc_b""".stripMargin)),
+
     // whitespace token count + char classes (text quality features)
     ("tx_token_count",
       ((s, d) =>

@@ -1,0 +1,263 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora: MinHash+LSH, SimHash,
+  * and exact n-gram Jaccard via an inverted index.
+  *
+  * Design for 100 TB:
+  *   - Nothing compares all pairs. MinHash candidates come from LSH
+  *     band-bucket self-joins (shuffle keyed on band hash — uniform by
+  *     construction); SimHash candidates from byte-band joins; exact
+  *     Jaccard from an inverted shingle index with a document-frequency
+  *     cap ([[DfCap]]) that drops degenerate hot shingles — the skew
+  *     guard that keeps the bucket join from producing quadratic blowup
+  *     on boilerplate n-grams.
+  *   - All hashing is md5-prefix arithmetic, portable bit-for-bit to the
+  *     DuckDB oracle (builders below share the constants), and all
+  *     expressions are Catalyst built-ins — whole-stage codegen, no UDFs.
+  */
+object NearDup {
+
+  /** 31-bit hash domain: products a·x + b stay < 2^62, so the modular
+    * hash family never overflows int64 in either engine (DuckDB raises
+    * on BIGINT overflow; Spark wraps silently — neither is acceptable). */
+  val P: Long = 2147483647L // 2^31 − 1
+  private val X: Long = 2147483648L // 2^31
+
+  /** Deterministic MinHash family (a_k, b_k), k = 0..15: splitmix-style
+    * LCG from a fixed seed, frozen here so Spark and oracle agree. */
+  val NumHashes = 16
+  val BandRows = 4
+  val NumBands: Int = NumHashes / BandRows
+  val hashParams: Seq[(Long, Long)] = {
+    var s = 42L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % (P - 2)) + 1
+    }
+    Seq.fill(NumHashes)((next(), next()))
+  }
+
+  /** Shingles appearing in more than this many documents are dropped
+    * from the inverted index (both engines). */
+  val DfCap = 50
+
+  /** Word n-gram size for shingling. */
+  val ShingleN = 3
+
+  // ---- Spark side ----
+
+  /** md5-prefix 60-bit hash of a string column. */
+  def h64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct (doc_id, xh) word-3-gram shingle hashes, xh < 2^31.
+    * Documents shorter than n words contribute their whole text. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val tokens = split(trim(lower(col("text"))), "\\s+")
+    val idx = sequence(lit(0), greatest(size(tokens) - ShingleN, lit(0)))
+    val sh = transform(idx, i => concat_ws(" ", slice(tokens, i + 1, lit(ShingleN))))
+    docs.select(col("doc_id"), explode(sh).as("sh"))
+      .select(col("doc_id"), pmod(h64(col("sh")), lit(X)).as("xh"))
+      .distinct()
+  }
+
+  /** 16-hash MinHash signature per document: one map-side-combinable
+    * aggregate over the exploded shingles. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val mins = hashParams.zipWithIndex.map { case ((a, b), k) =>
+      min((col("xh") * a + b) % P).as(s"h$k")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band keys: [[NumBands]] rows per doc, key = the band's hash
+    * concat. Equal key in any band ⇒ candidate pair. */
+  def bands(sigs: DataFrame): DataFrame = {
+    val keys = (0 until NumBands).map { j =>
+      concat_ws(":", (0 until BandRows).map(r => col(s"h${j * BandRows + r}")): _*)
+    }
+    sigs.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "key")))
+  }
+
+  /** Candidate pairs (doc_a < doc_b) sharing any LSH band bucket. */
+  def candidates(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = bandsDf.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard over shingle-hash sets for a candidate-pair frame;
+    * keeps pairs with jaccard ≥ `minJ`. */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("xh"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("xh"))
+    val inter = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "xh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join
+    * → exact-Jaccard verify. */
+  def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
+    val sh = shingles(docs)
+    verifyJaccard(candidates(bands(minhashSignatures(sh))), sh, minJ)
+  }
+
+  /** Exact n-gram Jaccard via the inverted shingle index (df-capped). */
+  def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
+    val sh = shingles(docs)
+    val rare = sh.groupBy(col("xh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("xh")
+    val shR = sh.join(rare, "xh")
+    val a = shR.select(col("xh"), col("doc_id").as("doc_a"))
+    val b = shR.select(col("xh"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, "xh").filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // verification runs on the UNCAPPED sets: the cap bounds candidate
+    // generation, not the reported similarity
+    verifyJaccard(cand, sh, minJ)
+  }
+
+  /** 32-bit SimHash per document over distinct shingle hashes (shingles,
+    * not unigrams: a corpus with a small shared vocabulary makes every
+    * unigram set near-identical and the signature degenerate): bit i of
+    * the signature = sign of Σ(±1) over shingle-hash bit i. */
+  def simhashSigs(docs: DataFrame): DataFrame = {
+    shingles(docs)
+      .groupBy(col("doc_id")).agg(collect_set(col("xh")).as("hs"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc +
+          |  IF(aggregate(hs, CAST(0 AS BIGINT),
+          |       (a2, x) -> a2 + IF((shiftright(x, i) & 1) = 1,
+          |                          CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+          |     shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: byte-band candidates (equal byte j of the
+    * signature for any j) verified by Hamming distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = simhashSigs(docs)
+    val bytes = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("bix", "byte")))
+    val a = bytes.select(col("bix"), col("byte"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = bytes.select(col("bix"), col("byte"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("bix", "byte")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- DuckDB oracle builders (formula-identical, same constants) ----
+
+  private def h64Sql(e: String) =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** CTE `sh(doc_id, xh)` — distinct shingle hashes. */
+  def shinglesSql: String =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    ${h64Sql(s"array_to_string(ts[i + 1 : i + $ShingleN], ' ')")} % $X AS xh
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(generate_series(0, greatest(len(ts) - $ShingleN, 0))) AS i
+       |        FROM tok)
+       |)""".stripMargin
+
+  /** CTE `sigs(doc_id, h0..h15)`. */
+  def minhashSigsSql: String = {
+    val mins = hashParams.zipWithIndex.map { case ((a, b), k) =>
+      s"min((xh * $a + $b) % $P) AS h$k"
+    }.mkString(", ")
+    s"sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  /** CTEs `bands` + `cand` from `sigs`. */
+  def candSql: String = {
+    val keys = (0 until NumBands).map { j =>
+      val parts = (0 until BandRows)
+        .map(r => s"CAST(h${j * BandRows + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $j AS band, $parts AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""bands AS ($keys),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  /** CTE `out(doc_a, doc_b, jaccard)` verifying `cand` at `minJ`. */
+  def verifySql(minJ: Double): String =
+    s"""szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.xh = sa.xh
+       |  GROUP BY c.doc_a, c.doc_b
+       |), out AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |         CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) AS jaccard
+       |  FROM inter i
+       |  JOIN szs za ON za.doc_id = i.doc_a
+       |  JOIN szs zb ON zb.doc_id = i.doc_b
+       |  WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= $minJ
+       |)""".stripMargin
+
+  def minhashPairsSql(minJ: Double): String =
+    s"WITH $shinglesSql, $minhashSigsSql, $candSql, ${verifySql(minJ)}"
+
+  def ngramPairsSql(minJ: Double): String =
+    s"""WITH $shinglesSql,
+       |rare AS (SELECT xh FROM sh GROUP BY xh HAVING count(*) <= $DfCap),
+       |shr AS (SELECT s.* FROM sh s JOIN rare USING (xh)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM shr a JOIN shr b ON a.xh = b.xh WHERE a.doc_id < b.doc_id
+       |), ${verifySql(minJ)}""".stripMargin
+
+  /** CTE `sigs2(doc_id, simhash)` (requires [[shinglesSql]]'s `sh`). */
+  def simhashSigsSql: String =
+    s"""hsets AS (SELECT doc_id, list(xh) AS hs FROM sh GROUP BY doc_id),
+       |sigs2 AS (
+       |  SELECT doc_id, list_sum([
+       |    CASE WHEN list_sum([
+       |      CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END for x in hs
+       |    ]) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+       |    for i in generate_series(0, 31)]) AS simhash
+       |  FROM hsets
+       |)""".stripMargin
+
+  def simhashPairsSql(maxHamming: Int): String =
+    s"""WITH $shinglesSql, $simhashSigsSql,
+       |bytes AS (
+       |  SELECT doc_id, simhash, j AS bix, (simhash >> (j * 8)) & 255 AS byte
+       |  FROM sigs2, (SELECT unnest(generate_series(0, 3)) AS j)
+       |), out AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM bytes a JOIN bytes b ON a.bix = b.bix AND a.byte = b.byte
+       |  WHERE a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |)""".stripMargin
+}
