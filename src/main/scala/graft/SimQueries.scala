@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Similarity
+import graft.ts.Round6
+
+/** Driver-checked queries for similarity search over the embeddings
+  * table (brute-force baseline + LSH scale path — see
+  * [[graft.pipeline.Similarity]]). */
+object SimQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 10
+  private val MinCos = 0.35
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // brute-force cosine top-10 for 5 query vectors (broadcast side)
+    ("sim_topk_exact",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.topKExact(e, e.filter(col("vec_id") < 5), K)
+          .select(col("qid").cast("long").as("qid"), col("rank"),
+            col("vec_id").cast("long").as("vec_id"),
+            Round6.r6(col("cos")).as("cos"))
+          .orderBy("qid", "rank")
+      }): Q,
+      Some(
+        s"""WITH q AS (
+           |  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5
+           |), scored AS (
+           |  SELECT q.qid, e.vec_id,
+           |         ${Similarity.cosineSql("q.qemb", "e.embedding")} AS cos
+           |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+           |), ranked AS (
+           |  SELECT qid, vec_id, cos,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("cos")} AS cos
+           |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
+
+    // brute-force threshold pairs — the exact near-dup baseline
+    ("sim_pairs_exact",
+      ((s, d) => Similarity.pairsExact(Tables.embeddings(s, d), MinCos)
+        .select(col("vec_a").cast("long").as("vec_a"),
+          col("vec_b").cast("long").as("vec_b"),
+          Round6.r6(col("cos")).as("cos"))
+        .orderBy("vec_a", "vec_b")): Q,
+      Some(
+        s"""SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+           |       ${Round6.r6Sql(Similarity.cosineSql("a.embedding", "b.embedding"))} AS cos
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= $MinCos
+           |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // LSH-bucketed pairs: random-hyperplane bands, exact verification
+    ("sim_pairs_lsh",
+      ((s, d) => Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)
+        .select(col("vec_a").cast("long").as("vec_a"),
+          col("vec_b").cast("long").as("vec_b"),
+          Round6.r6(col("cos")).as("cos"))
+        .orderBy("vec_a", "vec_b")): Q,
+      Some(
+        s"""WITH ${Similarity.lshSigSql},
+           |bands AS (
+           |  SELECT vec_id, embedding, j AS bix,
+           |         (sig >> (j * ${Similarity.BandBits})) & ${(1L << Similarity.BandBits) - 1} AS bkey
+           |  FROM sigs, (SELECT unnest(generate_series(0, ${Similarity.NumBands - 1})) AS j)
+           |), out AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |         ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cos
+           |  FROM bands a JOIN bands b ON a.bix = b.bix AND a.bkey = b.bkey
+           |  WHERE a.vec_id < b.vec_id
+           |)
+           |SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+           |       ${Round6.r6Sql("cos")} AS cos
+           |FROM out WHERE cos >= $MinCos ORDER BY vec_a, vec_b""".stripMargin))
+  )
+
+  def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+  def oracles: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}
