@@ -84,6 +84,51 @@ object PipelineQueries {
           |   CAST(hamming AS BIGINT) AS hamming
           | FROM out ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // quality scoring: punct/digit/upper/stopword ratios + composite
+    ("tx_quality",
+      ((s, d) => {
+        val q = pipeline.TextAnalysis.qualityScore(Tables.documents(s, d))
+        q.select((col("doc_id").cast("long").as("doc_id") +:
+            col("n_tokens") +:
+            Seq("punct_ratio", "digit_ratio", "upper_ratio", "mean_tok_len",
+              "stopword_ratio", "quality").map(c => ts.Round6.r6(col(c)).as(c))): _*)
+          .orderBy("doc_id")
+      }): Q,
+      Some {
+        val r6cols = Seq("punct_ratio", "digit_ratio", "upper_ratio",
+          "mean_tok_len", "stopword_ratio", "quality")
+          .map(c => s"${ts.Round6.r6Sql(s"CAST($c AS DOUBLE)")} AS $c").mkString(", ")
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           | $r6cols FROM (${pipeline.TextAnalysis.qualityScoreSql})
+           | ORDER BY doc_id""".stripMargin
+      }),
+
+    // language-ID heuristic: stopword profiles + CJK ratio, argmax
+    ("tx_lang_id",
+      ((s, d) => pipeline.TextAnalysis.languageId(Tables.documents(s, d))
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang_pred"),
+          ts.Round6.r6(col("lang_score")).as("lang_score"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang_pred,
+           | ${ts.Round6.r6Sql("CAST(lang_score AS DOUBLE)")} AS lang_score
+           | FROM (${pipeline.TextAnalysis.languageIdSql})
+           | ORDER BY doc_id""".stripMargin)),
+
+    // document fingerprints: rolling hash + min 5-gram sketch
+    ("tx_fingerprint",
+      ((s, d) => pipeline.TextAnalysis.fingerprints(Tables.documents(s, d))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("fp_rolling").cast("long").as("fp_rolling"),
+          col("fp_min5gram").cast("long").as("fp_min5gram"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           | CAST(fp_rolling AS BIGINT) AS fp_rolling,
+           | CAST(fp_min5gram AS BIGINT) AS fp_min5gram
+           | FROM (${pipeline.TextAnalysis.fingerprintsSql})
+           | ORDER BY doc_id""".stripMargin)),
+
     // whitespace token count + char classes (text quality features)
     ("tx_token_count",
       ((s, d) =>

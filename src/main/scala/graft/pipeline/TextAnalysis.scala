@@ -1,10 +1,14 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators: token counting, quality scoring, language ID,
-  * fingerprinting. All pure column expressions (codegen'd, no UDFs). */
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs) —
+  * at 100 TB each is a single map-side projection over the corpus scan,
+  * no shuffle at all. The paired SQL builders keep the DuckDB oracle
+  * formula-identical.
+  */
 object TextAnalysis {
 
   /** Whitespace token count and density features. */
@@ -17,4 +21,146 @@ object TextAnalysis {
       round(toks.cast("double") / greatest(length(col("text")), lit(1)), 6)
         .as("tokens_per_char"))
   }
+
+  // ---- quality scoring ----
+
+  /** English stopwords used by the quality heuristic (tiny fixed list —
+    * the scoring signal, not a linguistic claim). */
+  val StopEn: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "this", "was", "are", "be")
+
+  private def tokens = split(trim(lower(col("text"))), "\\s+")
+
+  private def hitRatio(stop: Seq[String]): Column = {
+    val stopArr = array(stop.map(lit): _*)
+    aggregate(tokens, lit(0L),
+      (acc, t) => acc + when(array_contains(stopArr, t), 1L).otherwise(0L))
+      .cast("double") / greatest(size(tokens), lit(1)).cast("double")
+  }
+
+  /** Length/punctuation/stopword quality features + a composite score —
+    * the standard pre-training corpus filters (length bounds, symbol
+    * ratios, stopword presence), deterministic and clamped to [0,1]. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val len = greatest(length(col("text")), lit(1)).cast("double")
+    val nTok = greatest(size(tokens), lit(1)).cast("double")
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") / len
+    val digit = regexp_count(col("text"), lit("[0-9]")).cast("double") / len
+    val upper = regexp_count(col("text"), lit("[A-Z]")).cast("double") / len
+    val meanTokLen =
+      length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok
+    val stopR = hitRatio(StopEn)
+    val lengthOk = when(size(tokens).between(5, 10000), lit(1.0)).otherwise(lit(0.0))
+    val quality = least(lit(1.0), greatest(lit(0.0),
+      lit(0.3) * lengthOk +
+        lit(0.4) * least(stopR * 4, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - least(punct * 10 + digit * 5 + upper * 5, lit(1.0)))))
+    docs.select(col("doc_id"),
+      size(tokens).cast("long").as("n_tokens"),
+      punct.as("punct_ratio"), digit.as("digit_ratio"),
+      upper.as("upper_ratio"), meanTokLen.as("mean_tok_len"),
+      stopR.as("stopword_ratio"), quality.as("quality"))
+  }
+
+  def qualityScoreSql: String = {
+    val stopList = StopEn.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  punct AS punct_ratio, digit AS digit_ratio,
+       |  upper AS upper_ratio, mean_tok_len, stop_r AS stopword_ratio,
+       |  least(1.0, greatest(0.0,
+       |    0.3 * (CASE WHEN len(toks) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END)
+       |    + 0.4 * least(stop_r * 4, 1.0)
+       |    + 0.3 * (1.0 - least(punct * 10 + digit * 5 + upper * 5, 1.0)))) AS quality
+       |FROM (
+       |  SELECT doc_id, toks,
+       |    len(regexp_extract_all(text, '[.,!?;:]')) / glen AS punct,
+       |    len(regexp_extract_all(text, '[0-9]')) / glen AS digit,
+       |    len(regexp_extract_all(text, '[A-Z]')) / glen AS upper,
+       |    len(regexp_replace(text, '\\s', '', 'g')) / greatest(len(toks), 1) AS mean_tok_len,
+       |    list_sum([CASE WHEN list_contains($stopList, t) THEN 1 ELSE 0 END
+       |              for t in toks]) / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_r
+       |  FROM (SELECT doc_id, text,
+       |          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+       |          CAST(greatest(len(text), 1) AS DOUBLE) AS glen
+       |        FROM documents))""".stripMargin
+  }
+
+  // ---- language ID ----
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> StopEn,
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un",
+      "una", "es", "por", "con", "para", "del"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "mit", "von", "zu", "den", "im", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une",
+      "du", "dans", "pour", "que", "qui", "sur"))
+
+  /** Language-ID heuristic: stopword hit ratio per profile + CJK char
+    * ratio for zh; argmax wins (first in profile order on ties), 'und'
+    * (undetermined) when every score is 0. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val scores = LangProfiles.map { case (l, stop) => l -> hitRatio(stop) }
+    val zh = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
+      .cast("double") / greatest(length(col("text")), lit(1)).cast("double")
+    val all = scores :+ ("zh" -> zh)
+    val best = all.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = all.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+    // first-match-wins needs left-to-right: foldRight builds
+    // when(en)...when(zh).otherwise(und) in profile order — correct.
+    docs.select(col("doc_id"), pick.as("lang_pred"), best.as("lang_score"))
+  }
+
+  def languageIdSql: String = {
+    val scoreExprs = LangProfiles.map { case (l, stop) =>
+      val lst = stop.map(s => s"'$s'").mkString("[", ", ", "]")
+      l -> (s"list_sum([CASE WHEN list_contains($lst, t) THEN 1 ELSE 0 END " +
+        s"for t in toks]) / CAST(greatest(len(toks), 1) AS DOUBLE)")
+    } :+ ("zh" ->
+      ("len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) " +
+        "/ CAST(greatest(len(text), 1) AS DOUBLE)"))
+    val cols = scoreExprs.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+    val best = scoreExprs.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    val pick = scoreExprs.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id, $pick AS lang_pred, best AS lang_score
+       |FROM (
+       |  SELECT doc_id, $best AS best, * FROM (
+       |    SELECT doc_id, text,
+       |           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+       |           $cols
+       |    FROM documents))""".stripMargin
+  }
+
+  // ---- fingerprinting ----
+
+  /** Rolling polynomial hash (h·31 + code, mod 2³¹−1) over the full
+    * lowercased text, plus the min md5-hash of char 5-grams (a 1-value
+    * winnowing-style sketch). Identical fold order in both engines. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val t = trim(lower(col("text")))
+    val chars = split(t, "")
+    val rolling = aggregate(chars, lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % NearDup.P)
+    val grams = expr(
+      "transform(sequence(1, greatest(length(trim(lower(text))) - 4, 1)), " +
+        "i -> substring(trim(lower(text)), i, 5))")
+    val minGram = array_min(transform(grams,
+      g => pmod(NearDup.h64(g), lit(2147483648L))))
+    docs.select(col("doc_id"), rolling.as("fp_rolling"), minGram.as("fp_min5gram"))
+  }
+
+  def fingerprintsSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t, '')],
+       |              (acc, x) -> (acc * 31 + x) % ${NearDup.P}) AS fp_rolling,
+       |  list_min([CAST('0x' || substr(md5(substr(t, i, 5)), 1, 15) AS BIGINT) % 2147483648
+       |            for i in generate_series(1, greatest(len(t) - 4, 1))]) AS fp_min5gram
+       |FROM (SELECT doc_id, trim(lower(text)) AS t FROM documents)""".stripMargin
 }
