@@ -19,10 +19,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelQueries.queries ++ TsQueries.queries ++ PipelineQueries.queries ++
       RrdQueries.queries ++ DslQueries.queries ++ HwQueries.queries ++
-      StatsdQueries.queries ++ SimQueries.queries ++ MultimodalQueries.queries
+      StatsdQueries.queries ++ SimQueries.queries ++ MultimodalQueries.queries ++
+      IngestQueries.queries
 
   def oracleSql: Map[String, String] =
     RelQueries.oracles ++ TsQueries.oracles ++ PipelineQueries.oracles ++
       RrdQueries.oracles ++ DslQueries.oracles ++ StatsdQueries.oracles ++
-      SimQueries.oracles ++ MultimodalQueries.oracles
+      SimQueries.oracles ++ MultimodalQueries.oracles ++ IngestQueries.oracles
 }

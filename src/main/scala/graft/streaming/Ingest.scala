@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Ingest path: wire-format parsers + streaming consolidation
+  * (SURVEY §2.1, §3.3). Works identically on a batch frame of lines and
+  * on a `readStream` (socket/Kafka) frame — the parsers are pure column
+  * expressions, so the same code serves both; the reference's
+  * director/loader/worker goroutine pipeline dissolves into Structured
+  * Streaming's own micro-batch machinery.
+  */
+object Ingest {
+
+  /** `misc.SanitizeName` (`misc/misc.go:28-37`): whitespace→_, /→-,
+    * then strip everything outside [a-zA-Z_\-0-9.]. */
+  def sanitizeName(c: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, "\\s+", "_"), "/", "-"),
+      "[^a-zA-Z_\\-0-9\\.]", "")
+
+  /** Graphite plaintext `name value unix_ts` (Sscanf "%s %f %d",
+    * `daemon/graphite_text.go:215-234`). Malformed lines are dropped
+    * (the reference logs and skips); ts = −1 means "now".
+    * Input: a frame with a `line` string column.
+    * Output: (name, tsSec: Long, value: Double). */
+  def parseGraphite(lines: DataFrame, nowSec: Column): DataFrame = {
+    val parts = split(trim(col("line")), "\\s+")
+    // get() (0-based) not element_at, and try_cast not cast: malformed
+    // lines must become NULL (→ filtered), never a runtime error —
+    // regardless of the session's ANSI setting
+    val name = get(parts, lit(0))
+    val value = get(parts, lit(1)).try_cast("double")
+    val ts = get(parts, lit(2)).try_cast("long")
+    lines
+      .select(sanitizeName(name).as("name"), value.as("value"), ts.as("ts0"))
+      .filter(size(parts) === 3 && col("value").isNotNull && col("ts0").isNotNull)
+      .select(col("name"),
+        when(col("ts0") === -1, nowSec).otherwise(col("ts0")).as("tsSec"),
+        col("value"))
+  }
+
+  /** StatsD packet `name:value|type|@sample`
+    * (`statsd/statsd.go:72-118`). Bare `name` counts as `name:1|c`.
+    * Output: (name, value, metric ∈ {c,g,ms}, sample, delta).
+    * `delta` mirrors the reference LITERALLY, including its quirk: the
+    * flag is set when the value starts with '+' OR the metric-type
+    * token starts with '-' — the latter never fires, so "gauge:-10|g"
+    * parses as absolute −10, not a delta (`statsd/statsd.go:101-103`). */
+  def parseStatsd(lines: DataFrame): DataFrame = {
+    val colonSplit = split(col("line"), ":", 2)
+    val name = sanitizeName(get(colonSplit, lit(0)))
+    val rest = get(colonSplit, lit(1))
+    val barSplit = split(rest, "\\|")
+    val valueStr = get(barSplit, lit(0))
+    val metric = get(barSplit, lit(1))
+    val sampleTok = get(barSplit, lit(2))
+    val sample = when(sampleTok.isNotNull && sampleTok.startsWith("@"),
+      regexp_replace(sampleTok, "^@", "").try_cast("double"))
+    lines.select(name.as("name"), rest.as("rest"), valueStr.as("vs"),
+        metric.as("metric"), sample.as("sample0"),
+        coalesce(size(barSplit), lit(0)).as("nparts"))
+      .withColumn("value",
+        when(col("rest").isNull, lit(1.0)).otherwise(col("vs").try_cast("double")))
+      .withColumn("metric",
+        when(col("rest").isNull, lit("c")).otherwise(col("metric")))
+      .filter(col("value").isNotNull &&
+        col("metric").isin("c", "g", "ms") &&
+        (col("nparts") < 3 ||
+          (col("sample0").isNotNull && col("sample0").between(0.0, 1.0))))
+      .select(col("name"), col("value"), col("metric"),
+        coalesce(col("sample0"), lit(1.0)).as("sample"),
+        coalesce(col("vs").startsWith("+") || col("metric").startsWith("-"),
+          lit(false)).as("delta"))
+  }
+
+  /** Streaming whisper-mode consolidation: event-time tumbling window,
+    * late data bounded by the watermark (the reference's heartbeat
+    * analogue: points older than the allowed lateness are dropped,
+    * `rrd/ds.go:304-306` rejects out-of-order input outright). Works on
+    * a streaming frame (readStream → this → writeStream). */
+  def streamWhisper(points: DataFrame, stepSec: Long,
+      lateness: String): DataFrame =
+    points
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", lateness)
+      .groupBy(col("name"), window(col("ts"), s"$stepSec seconds"))
+      .agg(avg(col("value")).as("value"))
+      .select(col("name"),
+        unix_timestamp(col("window.start")).as("t"), col("value"))
+
+  /** Per-series PDP state for the exact weighted-mean path. */
+  final case class PdpState(lastTs: Long, lastVal: Double)
+  /** A completed interval piece: `value` spread over [begin, end). */
+  final case class Piece(name: String, begin: Long, end: Long, value: Double)
+
+  /** Exact PDP semantics on a stream (`rrd/ds.go:230-335`): each event
+    * closes the interval [lastUpdate, ts) carrying the NEW value; the
+    * piece stream is then slot-aggregated (time-weighted mean) by
+    * [[piecesToSlots]] — in production inside `foreachBatch` merging
+    * into the archive table. State is one (ts, value) pair per series —
+    * bounded, watermark-evictable. Intervals longer than `heartbeatSec`
+    * are unknown and emit nothing (`rrd/ds.go:320-330`). */
+  def pdpPieces(spark: SparkSession,
+      points: Dataset[(String, Long, Double)],
+      heartbeatSec: Long): Dataset[Piece] = {
+    import spark.implicits._
+    points.groupByKey(_._1)
+      .flatMapGroupsWithState[PdpState, Piece](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (name: String, events: Iterator[(String, Long, Double)],
+         state: GroupState[PdpState]) =>
+          // sort within batch — the reference sorts its buffered points
+          // the same way (`receiver/dscache.go:217-230`)
+          val sorted = events.toArray.sortBy(_._2)
+          val out = Vector.newBuilder[Piece]
+          var st = state.getOption
+          sorted.foreach { case (_, ts, v) =>
+            st match {
+              case Some(PdpState(lastTs, _)) if ts > lastTs =>
+                if (ts - lastTs <= heartbeatSec)
+                  out += Piece(name, lastTs, ts, v)
+                st = Some(PdpState(ts, v))
+              case Some(_) => // out-of-order: dropped (rrd/ds.go:304-306)
+              case None => st = Some(PdpState(ts, v))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Slot aggregation of interval pieces — identical math to
+    * [[graft.rrd.Consolidate.consolidate]]'s explode+weighted-mean. */
+  def piecesToSlots(pieces: DataFrame, stepSec: Long, xff: Double): DataFrame = {
+    val slotLo = floor(col("begin").cast("double") / stepSec).cast("long")
+    val slotHi = floor((col("end") - 1).cast("double") / stepSec).cast("long")
+    pieces
+      .withColumn("__slot", explode(sequence(slotLo, slotHi)))
+      .withColumn("t", col("__slot") * stepSec)
+      .withColumn("overlap",
+        (least(col("end"), col("t") + stepSec) -
+          greatest(col("begin"), col("t"))).cast("double"))
+      .filter(col("overlap") > 0)
+      .groupBy(col("name"), col("t"))
+      .agg((sum(col("value") * col("overlap")) / sum(col("overlap"))).as("value"),
+        sum(col("overlap")).as("dur"))
+      .filter(col("dur") >= lit(xff * stepSec))
+      .select(col("name"), col("t"), col("value"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.streaming.Ingest
+import graft.rrd.Consolidate
+
+/** Ingest-path tests: wire parsers (incl. malformed input), streaming
+  * windowed consolidation through a real MemoryStream micro-batch run,
+  * and the stateful PDP path checked for equivalence against the batch
+  * consolidation engine on the same data. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  private def linesDf(ls: String*) = {
+    val s = spark; import s.implicits._
+    ls.toDF("line")
+  }
+
+  test("graphite parser: happy path, ts=-1, sanitize, malformed dropped") {
+    val out = Ingest.parseGraphite(linesDf(
+      "a.b.c 1.5 100",
+      "x/y$z 2 -1",            // name sanitized: x-yz (slash, stripped $)
+      "only.two 3.0",          // malformed: 2 fields
+      "bad notanumber 5",      // malformed: value
+      "n 1 notatime"           // malformed: ts
+    ), nowSec = lit(999L)).collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSet == Set(("a.b.c", 100L, 1.5), ("x-yz", 999L, 2.0)))
+  }
+
+  test("statsd parser: kinds, sample rate, delta quirk, bare name") {
+    val rows = Ingest.parseStatsd(linesDf(
+      "gorets:1|c",
+      "glork:320|ms|@0.1",
+      "gauge:+10|g",
+      "gauge:-10|g",        // reference quirk: NOT a delta
+      "justname",           // counts as name:1|c
+      "bad:x|c",            // dropped: value
+      "bad:1|q",            // dropped: metric type
+      "bad:1|c|@7"          // dropped: sample out of range
+    )).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getString(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.toSet == Set(
+      ("gorets", 1.0, "c", 1.0, false),
+      ("glork", 320.0, "ms", 0.1, false),
+      ("gauge", 10.0, "g", 1.0, true),
+      ("gauge", -10.0, "g", 1.0, false),
+      ("justname", 1.0, "c", 1.0, false)))
+  }
+
+  test("streaming whisper consolidation matches batch on the same data") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val points = mem.toDF().toDF("name", "tsSec", "value")
+
+    val q = Ingest.streamWhisper(points, stepSec = 10, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("slots").outputMode("complete")
+      .start()
+    mem.addData(("a", 5L, 1.0), ("a", 7L, 3.0), ("a", 15L, 5.0), ("b", 21L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("slots").as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("a", 0L, 2.0), ("a", 10L, 5.0), ("b", 20L, 7.0)))
+  }
+
+  test("stateful PDP stream equals batch Consolidate across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // same update stream, fed in two micro-batches split mid-series
+    val batch1 = Seq(("s", 0L, 1.0), ("s", 10L, 2.0), ("s", 25L, 4.0))
+    val batch2 = Seq(("s", 40L, 8.0), ("s", 30L, 9.9) /* late: dropped */,
+      ("t", 5L, 1.0), ("t", 95L, 2.0) /* gap 90 > hb: unknown */)
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val pieces = Ingest.pdpPieces(spark, mem.toDS(), heartbeatSec = 60)
+    val q = pieces.writeStream.format("memory").queryName("pieces")
+      .outputMode("append").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = Ingest.piecesToSlots(
+      spark.table("pieces"), stepSec = 10, xff = 0.0)
+      .as[(String, Long, Double)].collect().toSet
+
+    val batchDf = (batch1 ++ batch2).toDF("name", "ts", "value")
+    val expected = Consolidate.consolidate(
+        batchDf, stepSec = 10, cf = "wmean", xff = 0.0, heartbeatSec = 60)
+      .as[(String, Long, Double)].collect().toSet
+
+    // the batch engine also excludes the incomplete last slot; the
+    // streaming side leaves that to the archive-merge stage, so compare
+    // on the slots batch emits
+    val streamedOnBatchSlots = streamed.filter { case (n, t, _) =>
+      expected.exists(e => e._1 == n && e._2 == t) || !expected.exists(_._1 == n)
+    }
+    assert(expected.subsetOf(streamed),
+      s"batch slots missing from stream: ${expected.diff(streamed)}")
+    // and nothing in the stream contradicts batch values where both exist
+    streamed.foreach { case (n, t, v) =>
+      expected.find(e => e._1 == n && e._2 == t).foreach { e =>
+        assert(math.abs(e._3 - v) < 1e-12)
+      }
+    }
+  }
+}
