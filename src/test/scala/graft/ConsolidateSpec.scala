@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.rrd.{Archives, Consolidate, RraSpec}
+import graft.ts.Durations
+import graft.dsl.Eval
+
+/** Consolidation-engine and planner tests with hand-computed vectors
+  * (the style of `rrd/ds_test.go` / `rrd/pdp_test.go`), plus a DSL
+  * end-to-end evaluation over an in-memory store. */
+class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]")
+      .appName("consolidate-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  test("weighted-mean slot consolidation with interval splitting") {
+    val s = spark; import s.implicits._
+    // intervals: [0,10)→2, [10,25)→4, [25,40)→8  (value rides the LATER point)
+    val updates = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 25L, 4.0),
+      ("a", 40L, 8.0)).toDF("name", "ts", "value")
+    val byT = Consolidate.consolidate(updates, 10, "wmean", 0.0, 60)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(byT == Map(0L -> 2.0, 10L -> 4.0, 20L -> 6.0, 30L -> 8.0))
+  }
+
+  test("heartbeat gap drops the interval; xff drops thin slots") {
+    val s = spark; import s.implicits._
+    // gap 100 > hb 60 between 10 and 110: nothing lands in 10..110
+    val updates = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 110L, 3.0),
+      ("a", 125L, 4.0)).toDF("name", "ts", "value")
+    val noXff = Consolidate.consolidate(updates, 10, "wmean", 0.0, 60)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(noXff == Map(0L -> 2.0, 110L -> 4.0))
+    // slot 110 has 10/10 coverage; slot 120 only 5/10 — xff .6 kills 120
+    // (but 120+10 > lastUpdate 125 means it was already incomplete)
+    val xff = Consolidate.consolidate(updates, 10, "wmean", 0.6, 60)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(xff == Map(0L -> 2.0, 110L -> 4.0))
+  }
+
+  test("max/min/last consolidation functions") {
+    val s = spark; import s.implicits._
+    val updates = Seq(("a", 0L, 5.0), ("a", 4L, 1.0), ("a", 8L, 9.0),
+      ("a", 20L, 2.0)).toDF("name", "ts", "value")
+    def run(cf: String) = Consolidate.consolidate(updates, 10, cf, 0.0, 60)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(run("max") == Map(0L -> 9.0, 10L -> 2.0))
+    assert(run("min") == Map(0L -> 1.0, 10L -> 2.0))
+    // "last" = value of the chronologically last write covering the slot:
+    // the [8,20)→2.0 interval covers [8,10), so slot 0 ends at 2.0
+    assert(run("last") == Map(0L -> 2.0, 10L -> 2.0))
+  }
+
+  test("whisper (HB-0) mode: own slot only, last wins") {
+    val s = spark; import s.implicits._
+    val updates = Seq(("a", 3L, 1.0), ("a", 7L, 2.0), ("a", 25L, 5.0))
+      .toDF("name", "ts", "value")
+    val out = Consolidate.whisperMode(updates, 10)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(out == Map(0L -> 2.0, 20L -> 5.0))
+  }
+
+  test("BestRRA selection — rrd/ds_test.go:70-156 vectors") {
+    val ten = RraSpec(10, 100, 10000)   // covers (9000, 10000]
+    val twenty = RraSpec(20, 100, 10000) // covers (8000, 10000]
+
+    // only candidate in range
+    assert(Archives.bestRra(Seq(ten), 9500, 9600, 10).map(_.stepSec) == Some(10L))
+    // none include → longest
+    assert(Archives.bestRra(Seq(ten, twenty), 5500, 5600, 10).map(_.stepSec) == Some(20L))
+    // both include → nearest step to (end-start)/points = 10
+    assert(Archives.bestRra(Seq(ten, twenty), 9500, 9600, 10).map(_.stepSec) == Some(10L))
+    // start past latest still includes
+    assert(Archives.bestRra(Seq(ten, twenty), 10100, 10200, 10).map(_.stepSec) == Some(10L))
+    // fewer points → bigger step wins
+    assert(Archives.bestRra(Seq(ten, twenty), 9500, 9600, 3).map(_.stepSec) == Some(20L))
+    // no points → highest resolution, regardless of rra order
+    assert(Archives.bestRra(Seq(twenty, ten), 9500, 9600, 0).map(_.stepSec) == Some(10L))
+    // empty → none
+    assert(Archives.bestRra(Nil, 9500, 9600, 10).isEmpty)
+  }
+
+  test("duration parsing — misc/misc.go:39-77 suffixes") {
+    assert(Durations.parseSeconds("10") == 10L)
+    assert(Durations.parseSeconds("5min") == 300L)
+    assert(Durations.parseSeconds("-7d") == -7L * 86400)
+    assert(Durations.parseSeconds("1mon") == 30L * 86400)
+    assert(Durations.parseSeconds("2y") == 2L * 365 * 86400)
+    assert(Durations.parseMs("250ms") == 250L)
+    assertThrows[IllegalArgumentException](Durations.parseSeconds("junk"))
+  }
+
+  test("DSL end-to-end: parse → eval → result over an in-memory store") {
+    val s = spark; import s.implicits._
+    val store = Seq(
+      ("a.x", 0L, 1.0), ("a.x", 10L, 2.0),
+      ("a.y", 0L, 3.0), ("a.y", 10L, 5.0),
+      ("b.z", 0L, 100.0)).toDF("name", "t", "value")
+    val ctx = Eval.Ctx(s, store, stepSec = 10, fromSec = 0, toSec = 10)
+
+    val sum2 = Eval.evalExpr(ctx, "scale(sumSeries(a.*), 2)")
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(sum2 == Map(0L -> 8.0, 10L -> 14.0))
+
+    val chained = Eval.evalExpr(ctx, "a.x.derivative()")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(chained == Map(0L -> None, 10L -> Some(1.0)))
+
+    val aliased = Eval.evalExpr(ctx, "alias(maxSeries(a.*, b.*), 'top')")
+      .as[(String, Long, Double)].collect().map(r => (r._1, r._2, r._3)).toSet
+    assert(aliased == Set(("top", 0L, 100.0), ("top", 10L, 5.0)))
+  }
+}
