@@ -17,7 +17,8 @@ object Bench {
     "q06_running_supplier",
     "ts_series_dense", "ts_sum_series", "ts_moving_average",
     "ts_highest_max", "ts_summarize_sum",
-    "dd_exact_dedup", "tx_token_count")
+    "rrd_wmean", "dsl_deep_nest", "hw_forecast", "sd_timers",
+    "dd_exact_dedup", "dd_minhash_pairs", "sim_topk_exact", "tx_token_count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

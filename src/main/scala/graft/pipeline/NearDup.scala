@@ -108,15 +108,17 @@ object NearDup {
   }
 
   /** MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join
-    * → exact-Jaccard verify. */
+    * → exact-Jaccard verify. The shingle frame feeds three plan branches
+    * (signatures, intersection, sizes) — persist it so the md5 hashing
+    * and explode run once, not per branch. */
   def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val sh = shingles(docs)
+    val sh = shingles(docs).persist()
     verifyJaccard(candidates(bands(minhashSignatures(sh))), sh, minJ)
   }
 
   /** Exact n-gram Jaccard via the inverted shingle index (df-capped). */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val sh = shingles(docs)
+    val sh = shingles(docs).persist()
     val rare = sh.groupBy(col("xh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("xh")
     val shR = sh.join(rare, "xh")

@@ -345,10 +345,10 @@ object SeriesOps {
 
   private def keepTop(df: DataFrame, metric: Column, n: Int, asc: Boolean): DataFrame = {
     val ord = if (asc) Seq(metric.asc, col("name").asc) else Seq(metric.desc, col("name").asc)
-    val ranked = summaries(df)
-      .withColumn("__r", row_number().over(Window.orderBy(ord: _*)))
-      .filter(col("__r") <= n).select("name")
-    // series count is small — broadcast the kept-names semi-join
+    // orderBy+limit, NOT row_number over an unpartitioned window: Spark
+    // plans this as a distributed TakeOrdered (per-partition top-n +
+    // driver merge) instead of shuffling every summary row into one task
+    val ranked = summaries(df).orderBy(ord: _*).limit(n).select("name")
     df.join(broadcast(ranked), Seq("name"), "left_semi")
   }
 
@@ -376,11 +376,10 @@ object SeriesOps {
   def useSeriesAbove(df: DataFrame, x: Double, search: String, replace: String): DataFrame =
     aliasSub(keepWhere(df, col("smax") > x), search, replace)
 
-  /** limit(n) — first n by sorted name (`dsl/funcs.go:1518-1531`) */
+  /** limit(n) — first n by sorted name (`dsl/funcs.go:1518-1531`).
+    * orderBy+limit → distributed TakeOrdered, no single-partition window. */
   def limitSeries(df: DataFrame, n: Int): DataFrame = {
-    val kept = df.select("name").distinct()
-      .withColumn("__r", row_number().over(Window.orderBy(col("name"))))
-      .filter(col("__r") <= n).select("name")
+    val kept = df.select("name").distinct().orderBy(col("name")).limit(n)
     df.join(broadcast(kept), Seq("name"), "left_semi")
   }
 
