@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Graphite `/render` JSON formatting (`http/graphite.go:142-181`):
+  * `[{"target": <name>, "datapoints": [[value|null, ts], ...]}, ...]`.
+  *
+  * This is the one place the engine collects: the HTTP boundary, where
+  * the result is already ≤ series × maxPoints rows (the fetch path
+  * re-bucketed upstream) — the same place the reference drives its
+  * iterators into the response writer. */
+object Render {
+
+  def toGraphiteJson(df: DataFrame): String = {
+    val rows = df.select("name", "t", "value")
+      .orderBy("name", "t")
+      .collect()
+    val sb = new StringBuilder("[")
+    var curName: String = null
+    var firstSeries = true
+    var firstPoint = true
+    def closeSeries(): Unit = if (curName != null) sb.append("]}")
+    rows.foreach { r =>
+      val name = r.getString(0)
+      if (name != curName) {
+        closeSeries()
+        if (!firstSeries) sb.append(",")
+        firstSeries = false
+        sb.append("{\"target\":\"").append(escape(name)).append("\",\"datapoints\":[")
+        curName = name
+        firstPoint = true
+      }
+      if (!firstPoint) sb.append(",")
+      firstPoint = false
+      val v = if (r.isNullAt(2)) "null" else {
+        val d = r.getDouble(2)
+        if (d.isNaN || d.isInfinite) "null" else formatNum(d)
+      }
+      sb.append("[").append(v).append(",").append(r.getLong(1)).append("]")
+    }
+    closeSeries()
+    sb.append("]").toString
+  }
+
+  private def formatNum(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+}

@@ -20,10 +20,11 @@ object SparkEntry {
     RelQueries.queries ++ TsQueries.queries ++ PipelineQueries.queries ++
       RrdQueries.queries ++ DslQueries.queries ++ HwQueries.queries ++
       StatsdQueries.queries ++ SimQueries.queries ++ MultimodalQueries.queries ++
-      IngestQueries.queries
+      IngestQueries.queries ++ FetchQueries.queries
 
   def oracleSql: Map[String, String] =
     RelQueries.oracles ++ TsQueries.oracles ++ PipelineQueries.oracles ++
       RrdQueries.oracles ++ DslQueries.oracles ++ StatsdQueries.oracles ++
-      SimQueries.oracles ++ MultimodalQueries.oracles ++ IngestQueries.oracles
+      SimQueries.oracles ++ MultimodalQueries.oracles ++ IngestQueries.oracles ++
+      FetchQueries.oracles
 }

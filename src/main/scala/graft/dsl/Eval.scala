@@ -253,6 +253,15 @@ object Eval {
     add(Seq("constantLine")) { (ctx, args, _) =>
       SeriesV(O.constantLine(ctx.spark, num(args.head), ctx.fromSec, ctx.toSec))
     }
+    add(Seq("sinusoid")) { (ctx, _, _) =>
+      // maxPoints-long sine over the ctx range (`dsl/funcs.go:1152-1178`)
+      val n = math.max(ctx.maxPoints, 2)
+      val step = math.max((ctx.toSec - ctx.fromSec) / (n - 1), 1L)
+      SeriesV(ctx.spark.range(n).select(
+        lit("sinusoid").as("name"),
+        (lit(ctx.fromSec) + col("id") * step).as("t"),
+        sin(col("id").cast("double") * (2.0 * math.Pi / 10.0)).as("value")))
+    }
     add(Seq("timeStack")) { (ctx, args, _) =>
       // fetch the same pattern at N period-shifted windows
       // (`dsl/funcs.go:2326-2393`); one union branch per shift — the

@@ -103,6 +103,27 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalArgumentException](Durations.parseSeconds("junk"))
   }
 
+  test("groupByStep: resolution-pushdown bucket sizing") {
+    import graft.rrd.Fetch
+    // span/points below the archive step → native step
+    assert(Fetch.groupByStep(0, 259200, 1000, 3600) == 3600L)
+    // span/points above → rounded UP to a step multiple
+    assert(Fetch.groupByStep(0, 2592000, 50, 21600) == 64800L)
+    // no maxPoints → native step
+    assert(Fetch.groupByStep(0, 2592000, 0, 3600) == 3600L)
+  }
+
+  test("render JSON: Graphite datapoints shape, nulls, escaping") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a\"b", 10L, Some(1.5)), ("a\"b", 20L, None),
+      ("c", 10L, Some(3.0))).toDF("name", "t", "value")
+    val json = Render.toGraphiteJson(df)
+    assert(json ==
+      """[{"target":"a\"b","datapoints":[[1.5,10],[null,20]]},""" +
+      """{"target":"c","datapoints":[[3,10]]}]""")
+  }
+
   test("DSL end-to-end: parse → eval → result over an in-memory store") {
     val s = spark; import s.implicits._
     val store = Seq(
