@@ -66,6 +66,19 @@ object RrdQueries {
       cons("last", 3600, 0.25, 7200),
       Some(consQ(3600, "last", 0.25, 7200))),
 
+    // the multi-resolution cascade as partial→final re-aggregation:
+    // 1h slots-with-duration recombined into the 6h archive, checked
+    // against DIRECT 6h consolidation from raw — the algebraic identity
+    // that lets a 10s→1m→10m→1d chain scan raw data once
+    ("rrd_cascade_6h",
+      ((s, d) => {
+        val u = Consolidate.updates(points(s, d))
+        fin(Consolidate.cascade(
+          Consolidate.consolidateWithDur(u, 3600, 7200),
+          Consolidate.lastUpdateOf(u), 21600, 0.5))
+      }): Q,
+      Some(consQ(21600, "wmean", 0.5, 7200))),
+
     // heartbeat-0 Whisper mode: value lands in its own slot, last wins
     ("rrd_whisper",
       ((s, d) => fin(Consolidate.whisperMode(

@@ -94,6 +94,53 @@ object Consolidate {
       .select(col("name"), col("t"), col("value"))
   }
 
+  /** Like [[consolidate]] (WMEAN only) but keeps the per-slot known
+    * duration — the partial-aggregate form that [[cascade]] re-combines
+    * into coarser archives. */
+  def consolidateWithDur(updateStream: DataFrame, stepSec: Long,
+      heartbeatSec: Long): DataFrame = {
+    val byName = Window.partitionBy("name").orderBy("ts")
+    val iv = updateStream
+      .withColumn("begin", lag(col("ts"), 1).over(byName))
+      .filter(col("begin").isNotNull && col("ts") > col("begin") &&
+        (col("ts") - col("begin")) <= heartbeatSec)
+      .select(col("name"), col("begin"), col("ts").as("end"), col("value").as("v"))
+    val slotLo = floor(col("begin").cast("double") / stepSec).cast("long")
+    val slotHi = floor((col("end") - 1).cast("double") / stepSec).cast("long")
+    iv.withColumn("__slot", explode(sequence(slotLo, slotHi)))
+      .withColumn("t", col("__slot") * stepSec)
+      .withColumn("overlap",
+        (least(col("end"), col("t") + stepSec) -
+          greatest(col("begin"), col("t"))).cast("double"))
+      .filter(col("overlap") > 0)
+      .groupBy(col("name"), col("t"))
+      .agg((sum(col("v") * col("overlap")) / sum(col("overlap"))).as("value"),
+        sum(col("overlap")).as("dur"))
+  }
+
+  /** Multi-resolution cascade (`rrd/rra.go:179-253`'s DS-PDP → RRA
+    * trickle, batch form): re-consolidate fine slots-with-duration into
+    * a coarser archive WITHOUT touching raw data — the partial/final
+    * aggregation split that makes a 10s→1m→10m→1d archive chain one
+    * scan of the raw stream plus slot-cardinality re-aggregations.
+    * Σ(value·dur)/Σ(dur) over complete target slots ≡ direct
+    * consolidation at the target step (weighted means re-associate). */
+  def cascade(slotsWithDur: DataFrame, lastUpdate: DataFrame,
+      toStepSec: Long, xff: Double): DataFrame = {
+    val bucket = (floor(col("t").cast("double") / toStepSec).cast("long") * toStepSec).as("t")
+    slotsWithDur.groupBy(col("name"), bucket)
+      .agg((sum(col("value") * col("dur")) / sum(col("dur"))).as("value"),
+        sum(col("dur")).as("dur"))
+      .join(broadcast(lastUpdate), Seq("name"))
+      .filter(col("t") + toStepSec <= col("__last"))
+      .filter(col("dur") >= lit(xff * toStepSec))
+      .select(col("name"), col("t"), col("value"))
+  }
+
+  /** Per-series last update frame `(name, __last)` for cascade cutoff. */
+  def lastUpdateOf(updateStream: DataFrame): DataFrame =
+    updateStream.groupBy(col("name")).agg(max(col("ts")).as("__last"))
+
   /** Heartbeat-0 "Whisper mode" (`rrd/ds.go:86-104`, `rrd/ds.go:308-319`):
     * a point's value is assigned to its own slot only, no back-fill, a
     * later point in the same slot overwrites. Batch: last value per slot,

@@ -132,6 +132,21 @@ object Ingest {
       }
   }
 
+  /** Live query view — the reference's "watch" semantics
+    * (`receiver/dscache.go:159-190`, `dsl/ds_lru.go:183-295`): queries
+    * against a hot series see points that have not yet been flushed to
+    * the archive. Here: the flushed archive frame unioned with slots
+    * derived from the in-flight piece table (what `foreachBatch` has
+    * not yet merged), archive winning on collision — so a query is
+    * never behind the stream by more than the current micro-batch. */
+  def liveSeries(archive: DataFrame, pendingPieces: DataFrame,
+      stepSec: Long): DataFrame = {
+    val arch = archive.select(col("name"), col("t"), col("value"))
+    val pending = piecesToSlots(pendingPieces, stepSec, xff = 0.0)
+      .join(arch.select("name", "t"), Seq("name", "t"), "left_anti")
+    arch.unionByName(pending)
+  }
+
   /** Slot aggregation of interval pieces — identical math to
     * [[graft.rrd.Consolidate.consolidate]]'s explode+weighted-mean. */
   def piecesToSlots(pieces: DataFrame, stepSec: Long, xff: Double): DataFrame = {

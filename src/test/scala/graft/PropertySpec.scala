@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ts.{SeriesOps => O}
+import graft.dsl.Dsl
+
+/** Property tests (SURVEY §5): algebraic laws the operators must
+  * satisfy on arbitrary series, plus parser/glob invariants. Spark
+  * round-trips are capped to small generated frames — the law, not the
+  * volume, is the subject. */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  /** Deterministic stand-in for scalatest's forAll (the scalatestplus
+    * bridge is not on the offline classpath): N seeded samples. */
+  private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 5)
+      (body: (A, B) => Unit): Unit =
+    (1 to n).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default, Seed(i.toLong + 100))
+      } body(a, b)
+    }
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]").appName("property-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  private val seriesGen: Gen[List[(String, Long, Double)]] = for {
+    nSeries <- Gen.choose(1, 3)
+    nPts <- Gen.choose(2, 8)
+    vals <- Gen.listOfN(nSeries * nPts,
+      Gen.choose(-100.0, 100.0).map(v => math.rint(v * 64) / 64))
+  } yield (for {
+    s <- 0 until nSeries
+    i <- 0 until nPts
+  } yield (s"s$s", i * 10L, vals(s * nPts + i))).toList
+
+  private def df(pts: List[(String, Long, Double)]) = {
+    val s = spark; import s.implicits._
+    pts.toDF("name", "t", "value")
+  }
+  private def byT(d: org.apache.spark.sql.DataFrame): Map[Long, Double] = {
+    val s = spark; import s.implicits._
+    d.select("t", "value").as[(Long, Option[Double])].collect()
+      .collect { case (t, Some(v)) => t -> v }.toMap
+  }
+
+  test("sumSeries(scale(x, k)) == scale(sumSeries(x), k)") {
+    forAll2(seriesGen, Gen.oneOf(0.5, 2.0, -1.0)) { (pts, k) =>
+      val a = byT(O.sumSeries(O.scale(df(pts), k)))
+      val b = byT(O.scale(O.sumSeries(df(pts)), k))
+      assert(a.keySet == b.keySet)
+      a.foreach { case (t, v) => assert(math.abs(v - b(t)) < 1e-9) }
+    }
+  }
+
+  test("integral ∘ derivative recovers the series up to the anchor") {
+    // derivative then exclusive-prefix-sum: value(t_i) − value(t_0)
+    forAll(seriesGen.map(_.filter(_._1 == "s0"))) { pts =>
+      if (pts.size >= 2) {
+        val orig = pts.map(p => p._2 -> p._3).toMap
+        val v0 = orig.min._2
+        // integral is exclusive (0 at first point), so integrate the
+        // derivative and add it to each point's predecessor chain
+        val got = byT(O.integral(O.derivative(df(pts))))
+        // derivative's first point is NULL; integral skips NULLs, so
+        // got(t_i) == value(t_{i-1}) − value(t_0); check the final sum
+        val ts = orig.keys.toList.sorted
+        ts.drop(2).foreach { t =>
+          val prev = ts(ts.indexOf(t) - 1)
+          assert(math.abs(got(t) - (orig(prev) - v0)) < 1e-9)
+        }
+      }
+    }
+  }
+
+  test("align at the same step is the identity") {
+    forAll(seriesGen) { pts =>
+      val (aligned, step) = O.align(Seq((df(pts), 10L), (df(pts).limit(0), 10L)))
+      assert(step == 10L)
+      val got = aligned.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == pts.toSet)
+    }
+  }
+
+  test("refQuantile is bounded by min and max") {
+    forAll2(Gen.nonEmptyListOf(Gen.choose(-50.0, 50.0)),
+        Gen.choose(0.0, 1.0)) { (vs, p) =>
+      val s = spark; import s.implicits._
+      val q = Seq(vs).toDF("vs")
+        .select(O.refQuantile(sort_array(col("vs")), p).as("q"))
+        .as[Double].head()
+      assert(q >= vs.min - 1e-12 && q <= vs.max + 1e-12)
+    }
+  }
+
+  test("maxSeries ≥ minSeries pointwise; rangeOfSeries = difference") {
+    forAll(seriesGen) { pts =>
+      val mx = byT(O.maxSeries(df(pts)))
+      val mn = byT(O.minSeries(df(pts)))
+      val rg = byT(O.rangeOfSeries(df(pts)))
+      mx.foreach { case (t, v) =>
+        assert(v >= mn(t))
+        assert(math.abs(rg(t) - (v - mn(t))) < 1e-12)
+      }
+    }
+  }
+
+  test("glob→regex: every generated name matches its own literal glob") {
+    val segGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    forAll(Gen.nonEmptyListOf(segGen)) { segs =>
+      val name = segs.mkString(".")
+      assert(name.matches(Dsl.globToRegex(name)))
+      // a '*' in any single segment still matches
+      val starred = (segs.head :: segs.tail).zipWithIndex
+        .map { case (s, i) => if (i == 0) "*" else s }.mkString(".")
+      assert(name.matches(Dsl.globToRegex(starred)))
+    }
+  }
+
+  test("parser round-trip: rendering an AST reparses to itself") {
+    import Dsl._
+    def render(n: Node): String = n match {
+      case Num(v) => if (v == v.toLong) v.toLong.toString else v.toString
+      case Str(s) => s"'$s'"
+      case Pattern(p) => p
+      case Call(f, args, kw) =>
+        (args.map(render) ++ kw.map { case (k, v) => s"$k=${render(v)}" })
+          .mkString(s"$f(", ", ", ")")
+    }
+    val leafGen: Gen[Node] = Gen.oneOf(
+      Gen.choose(-100, 100).map(n => Num(n.toDouble)),
+      Gen.identifier.map(Str(_)),
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(cs => Pattern(cs.mkString)))
+    def callGen(depth: Int): Gen[Node] =
+      if (depth == 0) leafGen
+      else for {
+        f <- Gen.identifier.suchThat(_.headOption.exists(_.isLetter))
+        n <- Gen.choose(1, 3)
+        args <- Gen.listOfN(n, Gen.frequency(3 -> leafGen, 1 -> callGen(depth - 1)))
+      } yield Call(f, args, Map.empty)
+    forAll(callGen(2)) { ast =>
+      assert(Dsl.parse(render(ast)) == ast)
+    }
+  }
+}

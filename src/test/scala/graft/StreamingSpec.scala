@@ -81,6 +81,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("a", 0L, 2.0), ("a", 10L, 5.0), ("b", 20L, 7.0)))
   }
 
+  test("live view: archive ∪ unflushed stream state, archive wins collisions") {
+    val s = spark; import s.implicits._
+    // flushed archive: slots 0 and 10
+    val archive = Seq(("a", 0L, 2.0), ("a", 10L, 4.0)).toDF("name", "t", "value")
+    // unflushed pieces: one refining slot 10 (stale — archive must win),
+    // one extending into slot 20
+    val pending = Seq(
+      Ingest.Piece("a", 10L, 20L, 99.0),
+      Ingest.Piece("a", 20L, 30L, 8.0)).toDF()
+    val live = Ingest.liveSeries(archive, pending, stepSec = 10)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(live == Map(0L -> 2.0, 10L -> 4.0, 20L -> 8.0))
+  }
+
   test("stateful PDP stream equals batch Consolidate across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
