@@ -130,6 +130,35 @@ object DslQueries {
           | FROM series WHERE regexp_matches(name, '^events\.signup\.[^.]*$')
           | GROUP BY 1, 2""".stripMargin))),
 
+    // viewport range pushdown: ctx from/until bounds every fetch
+    ("dsl_range_fetch",
+      ((s, d) => {
+        val ctx = Eval.Ctx(s, M.multi(s, d), M.StepSeconds,
+          fromSec = 1704499200L, toSec = 1704585600L) // 1 day mid-range
+        fin(Eval.evalExpr(ctx, "group(events.*.u2)"))
+      }): Q,
+      Some(multiQ(
+        """SELECT name, t, value FROM series
+          | WHERE regexp_matches(name, '^events\.[^.]*\.u2$')
+          |   AND t >= 1704499200 AND t <= 1704585600""".stripMargin))),
+
+    // maxDataPoints re-bucketing as the final render stage
+    ("dsl_render_maxpoints",
+      ((s, d) => {
+        val ctx = Eval.Ctx(s, M.multi(s, d), M.StepSeconds,
+          fromSec = 1704067200L, toSec = 1706659200L, maxPoints = 100)
+        fin(Eval.render(ctx, "sumSeries(events.click.*)"))
+      }): Q,
+      Some(multiQ(
+        // span 2592000 / 100 pts = 25920 → bucket ceil to 28800 (8 h)
+        """SELECT name, (t // 28800) * 28800 AS t, avg(value) AS value
+          | FROM (SELECT 'sumSeries' AS name, t, sum(coalesce(value, 0.0)) AS value
+          |       FROM series
+          |       WHERE regexp_matches(name, '^events\.click\.[^.]*$')
+          |         AND t >= 1704067200 AND t <= 1706659200
+          |       GROUP BY t)
+          | GROUP BY 1, 2""".stripMargin))),
+
     // name rewriting: aliasByNode picks dotted segments
     ("dsl_alias_by_node",
       dq("aliasByNode(events.*.*, 1, 2)"),

@@ -33,11 +33,32 @@ object Eval {
   final case class Ctx(spark: SparkSession, store: DataFrame,
       stepSec: Long, fromSec: Long, toSec: Long, maxPoints: Int = 512) {
     /** Pattern → series: glob over the name catalog
-      * (`dsl/named_ds.go:91-96`). The filter is a Catalyst predicate on
-      * the store scan — at scale it prunes via catalog/row-group stats
-      * rather than listing names on the driver. */
-    def fetch(pattern: String): DataFrame =
-      store.filter(col("name").rlike(Dsl.globToRegex(pattern)))
+      * (`dsl/named_ds.go:91-96`) plus the viewport time-range predicate
+      * (`http/graphite.go:197-221` from/until → `serde/dbseries.go`
+      * `t >= $ AND t <= $`). Both are Catalyst predicates on the store
+      * scan — at scale they prune via partition/row-group stats rather
+      * than listing names on the driver. A zero range (from == to)
+      * means unbounded, matching the test contexts. */
+    def fetch(pattern: String): DataFrame = {
+      val named = store.filter(col("name").rlike(Dsl.globToRegex(pattern)))
+      if (fromSec < toSec)
+        named.filter(col("t") >= fromSec && col("t") <= toSec)
+      else named
+    }
+  }
+
+  /** The full render pipeline for one target (`SURVEY §3.1`): evaluate
+    * the expression, then consolidate down to ≤ maxPoints per series by
+    * average — the reference's maxDataPoints re-bucketing
+    * (`serde/dbseries.go:104-127`), applied as the final plan stage. */
+  def render(ctx: Ctx, expr: String): DataFrame = {
+    val df = evalExpr(ctx, expr)
+    val bucket = graft.rrd.Fetch.groupByStep(
+      ctx.fromSec, ctx.toSec, ctx.maxPoints.toLong, ctx.stepSec)
+    if (bucket <= ctx.stepSec) df
+    else df.groupBy(col("name"),
+        (floor(col("t").cast("double") / bucket).cast("long") * bucket).as("t"))
+      .agg(avg(col("value")).as("value"))
   }
 
   def evalExpr(ctx: Ctx, expr: String): DataFrame =
