@@ -132,6 +132,52 @@ object Ingest {
       }
   }
 
+  /** The archive sink (`foreachBatch` body): merge a micro-batch of
+    * interval pieces into a parquet slot store. Pieces re-aggregate
+    * with existing slot partials by summing (value·dur, dur) — the
+    * weighted mean stays exact when a slot's pieces arrive across
+    * micro-batches. At scale the store is partitioned by time and the
+    * rewrite touches only partitions the batch's slots land in (here:
+    * whole-store rewrite, the semantics are what's under test).
+    * Mirrors the reference's vcache flush (`receiver/vcache.go:186-361`)
+    * minus the round-robin versioning parquet doesn't need. */
+  def mergePiecesIntoArchive(spark: SparkSession, pieces: DataFrame,
+      archiveDir: String, stepSec: Long): Unit = {
+    val slotLo = floor(col("begin").cast("double") / stepSec).cast("long")
+    val slotHi = floor((col("end") - 1).cast("double") / stepSec).cast("long")
+    val newPartials = pieces
+      .withColumn("__slot", explode(sequence(slotLo, slotHi)))
+      .withColumn("t", col("__slot") * stepSec)
+      .withColumn("overlap",
+        (least(col("end"), col("t") + stepSec) -
+          greatest(col("begin"), col("t"))).cast("double"))
+      .filter(col("overlap") > 0)
+      .groupBy(col("name"), col("t"))
+      .agg(sum(col("value") * col("overlap")).as("vw"), sum(col("overlap")).as("dur"))
+    val existing =
+      try spark.read.parquet(archiveDir)
+      catch { case _: Exception =>
+        spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("t"),
+          lit(0.0).as("vw"), lit(0.0).as("dur")).limit(0)
+      }
+    val merged = existing.unionByName(newPartials)
+      .groupBy(col("name"), col("t"))
+      .agg(sum(col("vw")).as("vw"), sum(col("dur")).as("dur"))
+    val tmp = archiveDir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (a real lake would MERGE per time-partition)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(archiveDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Read the archive slot store as a series frame. */
+  def readArchive(spark: SparkSession, archiveDir: String): DataFrame =
+    spark.read.parquet(archiveDir)
+      .select(col("name"), col("t"), (col("vw") / col("dur")).as("value"))
+
   /** Live query view — the reference's "watch" semantics
     * (`receiver/dscache.go:159-190`, `dsl/ds_lru.go:183-295`): queries
     * against a hot series see points that have not yet been flushed to

@@ -95,6 +95,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == Map(0L -> 2.0, 10L -> 4.0, 20L -> 8.0))
   }
 
+  test("foreachBatch archive merge: slots stay exact across batch splits") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-arch").toString + "/slots"
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val pieces = Ingest.pdpPieces(s, mem.toDS(), heartbeatSec = 60)
+    val q = pieces.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Ingest.Piece], _: Long) =>
+        Ingest.mergePiecesIntoArchive(s, batch.toDF(), dir, stepSec = 10)
+      }
+      .outputMode("append").start()
+    // slot [10,20) is split across the two micro-batches: piece [10,15)
+    // arrives in batch 1, piece [15,20) in batch 2 — the merged slot
+    // must still be the exact weighted mean 2*0.5 + 6*0.5 = 4
+    mem.addData(("a", 0L, 9.0), ("a", 10L, 1.0), ("a", 15L, 2.0))
+    q.processAllAvailable()
+    mem.addData(("a", 20L, 6.0), ("a", 30L, 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val slots = Ingest.readArchive(s, dir)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(slots == Map(0L -> 1.0, 10L -> 4.0, 20L -> 8.0))
+  }
+
   test("stateful PDP stream equals batch Consolidate across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
