@@ -114,11 +114,15 @@ object RelQueries {
         val c = t(s, d, "customer")
         val rev = o.groupBy(col("o_custkey"))
           .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
-        rev.join(broadcast(c), rev("o_custkey") === c("c_custkey"))
-          .select(col("c_custkey"), col("c_name"), col("revenue"))
+        // top-10 BEFORE the name join: TakeOrdered on the aggregate
+        // (distributed top-n), then broadcast the 10 winners against
+        // customer — never a global-sort window, and the big customer
+        // table is the probe side, not a broadcast
+        val top = rev.orderBy(col("revenue").desc, col("o_custkey").asc)
+          .limit(10)
           .withColumn("rnk", row_number().over(
-            Window.orderBy(col("revenue").desc, col("c_custkey").asc)))
-          .filter(col("rnk") <= 10)
+            Window.orderBy(col("revenue").desc, col("o_custkey").asc)))
+        broadcast(top).join(c, top("o_custkey") === c("c_custkey"))
           .select("c_custkey", "c_name", "revenue", "rnk")
           .orderBy("rnk")
       }): Q,

@@ -42,6 +42,19 @@ object Render {
     sb.append("]").toString
   }
 
+  /** `/metrics/find` JSON (`http/graphite.go:39-75`): one node object
+    * per row of a [[graft.streaming.Find.findNodes]] frame, with the
+    * last name segment as `text`. */
+  def toFindJson(df: DataFrame): String = {
+    val rows = df.select("node", "leaf", "expandable").orderBy("node").collect()
+    rows.map { r =>
+      val node = r.getString(0)
+      val text = node.substring(node.lastIndexOf('.') + 1)
+      s"""{"text":"${escape(text)}","id":"${escape(node)}",""" +
+        s""""leaf":${r.getBoolean(1)},"expandable":${r.getBoolean(2)}}"""
+    }.mkString("[", ",", "]")
+  }
+
   private def formatNum(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
     else d.toString

@@ -124,6 +124,15 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"target":"c","datapoints":[[3,10]]}]""")
   }
 
+  test("find JSON: /metrics/find node shape") {
+    val s = spark; import s.implicits._
+    val nodes = Seq(("events.click", true, false), ("events.u", false, true))
+      .toDF("node", "leaf", "expandable")
+    assert(Render.toFindJson(nodes) ==
+      """[{"text":"click","id":"events.click","leaf":true,"expandable":false},""" +
+      """{"text":"u","id":"events.u","leaf":false,"expandable":true}]""")
+  }
+
   test("DSL end-to-end: parse → eval → result over an in-memory store") {
     val s = spark; import s.implicits._
     val store = Seq(
