@@ -114,7 +114,17 @@ object Eval {
     * identity here; mixed-step inputs go through [[O.align]]. */
   private def onSeries(f: (Ctx, DataFrame, Seq[Val], Map[String, Val]) => DataFrame): Impl =
     (ctx, args, kw) => {
-      val (sets, rest) = args.span(_.isInstanceOf[SeriesV])
+      // leading SeriesV args merge; a STRING in first position is a
+      // quoted pattern (the reference's quoteIdentifiers pre-pass wraps
+      // every dotted path in quotes, `http/graphite.go:227-257`) —
+      // later strings are scalar args, since every registry function
+      // takes its seriesList first
+      val (sets, rest) = args match {
+        case (s: StrV) +: more =>
+          val (extra, r) = more.span(_.isInstanceOf[SeriesV])
+          ((s +: extra), r)
+        case _ => args.span(_.isInstanceOf[SeriesV])
+      }
       require(sets.nonEmpty, "expected a series argument")
       val df = sets.map(asSeries(ctx, _)).reduce(_.unionByName(_))
       SeriesV(f(ctx, df, rest, kw))
@@ -136,7 +146,11 @@ object Eval {
     add(Seq("diffSeries"))(onSeries((_, df, _, _) => O.diffSeries(df)))
     add(Seq("percentileOfSeries"))(onSeries((_, df, rest, _) =>
       O.percentileOfSeries(df, num(rest.head) / 100)))
-    add(Seq("group"))(onSeries((_, df, _, _) => df))
+    // group: every arg is a series (quoted or not) — var-arg merge
+    add(Seq("group")) { (ctx, args, _) =>
+      require(args.nonEmpty, "group() needs arguments")
+      SeriesV(args.map(asSeries(ctx, _)).reduce(_.unionByName(_)))
+    }
     add(Seq("divideSeries")) { (ctx, args, _) =>
       require(args.size == 2, "divideSeries(num, den)")
       SeriesV(O.divideSeries(asSeries(ctx, args(0)), asSeries(ctx, args(1))))

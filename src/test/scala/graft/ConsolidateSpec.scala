@@ -153,5 +153,30 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val aliased = Eval.evalExpr(ctx, "alias(maxSeries(a.*, b.*), 'top')")
       .as[(String, Long, Double)].collect().map(r => (r._1, r._2, r._3)).toSet
     assert(aliased == Set(("top", 0L, 100.0), ("top", 10L, 5.0)))
+
+    // quoted patterns (the reference's quoteIdentifiers form) work in
+    // series position, and later strings stay scalar args
+    val quoted = Eval.evalExpr(ctx, "alias(sumSeries('a.*'), 'tot')")
+      .as[(String, Long, Double)].collect().map(r => (r._1, r._2, r._3)).toSet
+    assert(quoted == Set(("tot", 0L, 4.0), ("tot", 10L, 7.0)))
+    val grouped = Eval.evalExpr(ctx, "group('a.x', 'b.*')")
+      .as[(String, Long, Double)].collect().map(_._1).toSet
+    assert(grouped == Set("a.x", "b.z"))
+  }
+
+  test("DSL Holt-Winters through the registry binds positional args") {
+    val s = spark; import s.implicits._
+    // two exact seasons of 4 points at step 10 → seasonLen '40s'
+    val data = Seq(10.0, 20, 30, 40, 12, 22, 32, 42).zipWithIndex
+      .map { case (v, i) => ("hw.s", i * 10L, v) }
+    val store = data.toDF("name", "t", "value")
+    val ctx = Eval.Ctx(s, store, stepSec = 10, fromSec = 0, toSec = 70)
+    val out = Eval.evalExpr(ctx,
+      "holtWintersForecast(hw.s, '40s', 7, 0.5, 0.4, 0.6)")
+      .as[(String, Long, Double)].collect()
+    assert(out.length == 8) // smooth only, no forecast (toSec = data end)
+    assert(out.forall(_._1 == "holtWintersForecast(hw.s)"))
+    // first smoothed value equals the first data point (HW recursion)
+    assert(out.minBy(_._2)._3 == 10.0)
   }
 }
