@@ -316,6 +316,21 @@ object TsQueries {
           | FROM (SELECT t, value FROM series WHERE name = 'click') n
           | JOIN (SELECT t, value FROM series WHERE name = 'error') e USING (t)""".stripMargin))),
 
+    // asPercent: share of the per-timestamp set total (NaN-as-0 sum)
+    ("ts_as_percent",
+      ((s, d) => fin(O.asPercent(M.dense(s, d)))): Q,
+      Some(denseQ(
+        """SELECT name, t,
+          |  CASE WHEN tot = 0.0 THEN NULL ELSE value / tot * 100.0 END AS value
+          | FROM (SELECT name, t, value,
+          |         sum(coalesce(value, 0.0)) OVER (PARTITION BY t) AS tot
+          |       FROM series)""".stripMargin))),
+
+    // asPercent of a fixed scalar total
+    ("ts_as_percent_total",
+      ((s, d) => fin(O.asPercent(M.sparse(s, d), Some(500.0)))): Q,
+      Some(sparseQ("SELECT name, t, value / 500.0 * 100.0 AS value FROM series"))),
+
     ("ts_group",
       ((s, d) => {
         val sp = M.sparse(s, d)

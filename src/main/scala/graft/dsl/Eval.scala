@@ -155,6 +155,15 @@ object Eval {
       require(args.size == 2, "divideSeries(num, den)")
       SeriesV(O.divideSeries(asSeries(ctx, args(0)), asSeries(ctx, args(1))))
     }
+    add(Seq("asPercent")) { (ctx, args, _) =>
+      val series = asSeries(ctx, args.head)
+      args.drop(1).headOption match {
+        case Some(NumV(x))     => SeriesV(O.asPercent(series, Some(x)))
+        case Some(sv: SeriesV) => SeriesV(O.asPercent(series, None, Some(sv.df)))
+        case Some(StrV(p))     => SeriesV(O.asPercent(series, None, Some(ctx.fetch(p))))
+        case None              => SeriesV(O.asPercent(series))
+      }
+    }
     add(Seq("weightedAverage")) { (ctx, args, _) =>
       SeriesV(O.weightedAverage(asSeries(ctx, args(0)),
         asSeries(ctx, args(1)), num(args(2)).toInt))

@@ -265,6 +265,31 @@ object SeriesOps {
   /** group(...) — merge series sets (`dsl/funcs.go:933-937`) */
   def group(dfs: DataFrame*): DataFrame = dfs.reduce(_.unionByName(_))
 
+  /** asPercent(total?) — each series as a percentage of: a scalar
+    * `total`; a total series set's per-timestamp sum; or (default) the
+    * per-timestamp sum of the input set itself — NaN counted as 0 in
+    * the denominator, matching `SeriesSlice.Sum`
+    * (`dsl/funcs.go:1020-1083`, `series/seriesslice.go:176-183`).
+    * Zero denominators → NULL (the engine's ±Inf stand-in, as in
+    * [[divideSeries]]). */
+  def asPercent(df: DataFrame, totalNum: Option[Double] = None,
+      totalSet: Option[DataFrame] = None): DataFrame = (totalNum, totalSet) match {
+    case (Some(x), _) =>
+      df.withColumn("value",
+        if (x == 0.0) lit(null) else v / x * 100.0)
+    case (None, Some(ts)) =>
+      val tot = ts.groupBy(col("t"))
+        .agg(sum(coalesce(v, lit(0.0))).as("__tot"))
+      df.join(tot, Seq("t"), "left")
+        .withColumn("value",
+          when(col("__tot") === 0.0, lit(null)).otherwise(v / col("__tot") * 100.0))
+        .drop("__tot")
+    case (None, None) =>
+      val tot = sum(coalesce(v, lit(0.0))).over(Window.partitionBy(col("t")))
+      df.withColumn("value",
+        when(tot === 0.0, lit(null)).otherwise(v / tot * 100.0))
+  }
+
   // ===== name-node family (dotted names) =====
 
   private def nameParts = split(col("name"), "\\.")
