@@ -57,7 +57,12 @@ object StatsdQueries {
 
     ("sd_timers",
       ((s, d) => fin(StatsdAgg.timers(samples(s, d), W))): Q,
-      Some(q(StatsdAgg.timersSql(W))))
+      Some(q(StatsdAgg.timersSql(W)))),
+
+    // multiple percentile thresholds (statsd `percentThreshold` config)
+    ("sd_timers_multi",
+      ((s, d) => fin(StatsdAgg.timers(samples(s, d), W, Seq(50, 90, 99)))): Q,
+      Some(q(StatsdAgg.timersSql(W, Seq(50, 90, 99)))))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -124,6 +124,23 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"target":"c","datapoints":[[3,10]]}]""")
   }
 
+  test("salted join is row-identical to the plain join") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.Skew
+    // one hot key (k0 × 50) + tail
+    val big = ((1 to 50).map(i => ("k0", i)) ++ Seq(("k1", 99), ("k2", 7)))
+      .toDF("k", "v")
+    val small = Seq(("k0", "a"), ("k1", "b"), ("k3", "c")).toDF("k", "tag")
+    val plain = big.join(small, "k").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted
+    val salted = Skew.saltedJoin(big, small, "k", nSalts = 8).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    // histogram surfaces the hot key first
+    val hist = Skew.keyHistogram(big, "k").collect()
+    assert(hist.head.getString(0) == "k0" && hist.head.getLong(1) == 50L)
+  }
+
   test("find JSON: /metrics/find node shape") {
     val s = spark; import s.implicits._
     val nodes = Seq(("events.click", true, false), ("events.u", false, true))
