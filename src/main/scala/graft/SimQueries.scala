@@ -57,6 +57,22 @@ object SimQueries {
            |WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= $MinCos
            |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // IVF ANN: nearest-centroid buckets, nProbe probing, exact rank
+    ("sim_topk_ivf",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.topKIvf(e, e.filter(col("vec_id") < 5), K)
+          .select(col("qid").cast("long").as("qid"), col("rank"),
+            col("vec_id").cast("long").as("vec_id"),
+            Round6.r6(col("cos")).as("cos"))
+          .orderBy("qid", "rank")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.ivfSql(K)}
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("cos")} AS cos
+           |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
+
     // LSH-bucketed pairs: random-hyperplane bands, exact verification
     ("sim_pairs_lsh",
       ((s, d) => Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)

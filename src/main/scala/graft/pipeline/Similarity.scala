@@ -112,7 +112,89 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** IVF (inverted-file) ANN: assign every vector to its nearest
+    * centroid once (the "index build" — one broadcast pass over the
+    * corpus), then answer queries by probing only the `nProbe` nearest
+    * centroid buckets. At 100 TB: centroids are always broadcastable
+    * (K ≪ corpus), the assignment is a map-side pass, queries touch
+    * ~nProbe/K of the data. Centroid choice here is a deterministic
+    * sample (first K vec_ids) so the oracle can replay it — a
+    * production build would k-means those seeds; the partitioning,
+    * probing, and ranking machinery is identical either way. */
+  val IvfK = 16
+  val IvfProbe = 4
+
+  /** (vec_id, embedding, cid) — nearest-centroid assignment. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col("vec_id").as("cid"), emb.as("cemb")))
+    val scored = corpus.select(col("vec_id"), emb).crossJoin(cents)
+      .select(col("vec_id"), emb, col("cid"),
+        cosine(emb, col("cemb")).as("ccos"))
+    scored.withColumn("__r", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("__r") === 1)
+      .select(col("vec_id"), emb, col("cid"))
+  }
+
+  /** IVF top-k: probe the query's nearest nProbe buckets, exact cosine
+    * rank within them. */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < IvfK)
+    val assigned = ivfAssign(corpus, centroids)
+    val cents = broadcast(centroids.select(
+      col("vec_id").as("cid"), emb.as("cemb")))
+    // per query: nProbe nearest centroid ids
+    val q = queries.select(col("vec_id").as("qid"), emb.as("qemb"))
+    val probes = q.crossJoin(cents)
+      .select(col("qid"), col("qemb"), col("cid"),
+        cosine(col("qemb"), col("cemb")).as("ccos"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("__r") <= IvfProbe)
+      .select(col("qid"), col("qemb"), col("cid"))
+    // candidates: corpus vectors in probed buckets; rank exact
+    probes.join(assigned.withColumnRenamed("vec_id", "cand"), Seq("cid"))
+      .filter(col("cand") =!= col("qid"))
+      .select(col("qid"), col("cand").as("vec_id"),
+        cosine(col("qemb"), emb).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
   // ---- DuckDB oracle builders ----
+
+  /** CTEs `assigned(vec_id, embedding, cid)` + `probes(qid, qemb, cid)`
+    * replaying [[ivfAssign]]/probe selection for queries `vec_id < 5`. */
+  def ivfSql(k: Int): String =
+    s"""cents AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $IvfK
+       |), assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cid) AS r
+       |    FROM embeddings e, cents c)
+       |  WHERE r = 1
+       |), probes AS (
+       |  SELECT qid, qemb, cid FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS qemb, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosineSql("q.embedding", "c.cemb")} DESC, c.cid) AS r
+       |    FROM embeddings q, cents c WHERE q.vec_id < 5)
+       |  WHERE r <= $IvfProbe
+       |), ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT p.qid, a.vec_id, ${cosineSql("p.qemb", "a.embedding")} AS cos
+       |    FROM probes p JOIN assigned a USING (cid)
+       |    WHERE a.vec_id <> p.qid)
+       |)""".stripMargin
 
   /** Double cosine between list columns `a` and `b` (dim [[Dim]]). */
   def cosineSql(a: String, b: String): String = {
