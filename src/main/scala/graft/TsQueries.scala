@@ -523,19 +523,26 @@ object TsQueries {
           |  FROM grid
           |)""".stripMargin + tail())),
 
+    // reference semantics (`dsl/funcs.go:2366-2390`): copy i = the
+    // window [to−(i+1)·p, to−i·p] shifted FORWARD i·p to overlay the
+    // most recent period
     ("ts_time_stack",
       ((s, d) => {
         val base = M.sparse(s, d).filter(col("name") === "click")
-        val shifted = (0 until 3).map { i =>
-          O.timeShift(base, -86400L * i)
-            .withColumn("name", lit(s"timeShift(click,-${86400 * i})"))
+        val to = 1706659200L
+        val p = 86400L
+        val shifted = (0 to 2).map { i =>
+          base.filter(col("t") >= to - p * (i + 1) && col("t") <= to - p * i)
+            .withColumn("t", col("t") + p * i)
+            .withColumn("name", lit(s"timeShift(click, -1d, $i)"))
         }
         fin(shifted.reduce(_.unionByName(_)))
       }): Q,
       Some(sparseQ(
-        (0 until 3).map { i =>
-          s"""SELECT 'timeShift(click,-${86400 * i})' AS name, t - ${86400L * i} AS t, value
-             | FROM series WHERE name = 'click'""".stripMargin
+        (0 to 2).map { i =>
+          val (lo, hi) = (1706659200L - 86400L * (i + 1), 1706659200L - 86400L * i)
+          s"""SELECT 'timeShift(click, -1d, $i)' AS name, t + ${86400L * i} AS t, value
+             | FROM series WHERE name = 'click' AND t >= $lo AND t <= $hi""".stripMargin
         }.mkString(" UNION ALL "))))
   )
 

@@ -315,13 +315,23 @@ object Eval {
         case other => throw new IllegalArgumentException(
           s"timeStack needs a quoted pattern, got $other")
       }
+      val ispec = args(1) match { case StrV(x) => x; case v => durSec(v).toString }
       val period = durSec(args(1))
       val begin = num(args(2)).toInt
-      val end = num(args(3)).toInt
-      val shifts = (begin to end).map { i =>
-        O.timeShift(ctx.fetch(pattern), -period * i)
-          .withColumn("name", concat(lit(s"timeShift("), col("name"),
-            lit(s",-${period * i})")))
+      val endN = num(args(3)).toInt
+      // reference semantics (`dsl/funcs.go:2366-2390`): copy i fetches
+      // the window [to−(i+1)·p, to−i·p] and shifts it FORWARD by i·p so
+      // past periods overlay the most recent one; names follow the
+      // reference's "timeShift(%s, -%s, %d)" format
+      require(ctx.toSec > 0, "timeStack needs a bounded viewport (to)")
+      val to = ctx.toSec
+      val unbounded = ctx.copy(fromSec = 0L, toSec = 0L)
+      val shifts = (begin to endN).map { i =>
+        unbounded.fetch(pattern)
+          .filter(col("t") >= to - period * (i + 1) && col("t") <= to - period * i)
+          .withColumn("t", col("t") + period * i)
+          .withColumn("name", concat(lit("timeShift("), col("name"),
+            lit(s", -$ispec, $i)")))
       }
       SeriesV(shifts.reduce(_.unionByName(_)))
     }

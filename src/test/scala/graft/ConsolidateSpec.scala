@@ -181,6 +181,23 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grouped == Set("a.x", "b.z"))
   }
 
+  test("timeStack fetches shifted history beyond a bounded viewport") {
+    val s = spark; import s.implicits._
+    val store = (0 to 5).map(i => ("m", i * 10L, i.toDouble))
+      .toDF("name", "t", "value")
+    // to = 50, period 20: copy 0 = window [30,50] as-is; copy 1 =
+    // window [10,30] shifted forward 20 — past data overlays the most
+    // recent period, which a viewport-clipped fetch could never show
+    val ctx = Eval.Ctx(s, store, stepSec = 10, fromSec = 30, toSec = 50)
+    val out = Eval.evalExpr(ctx, "timeStack('m', '20s', 0, 1)")
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("timeShift(m, -20s, 0)", 30L, 3.0), ("timeShift(m, -20s, 0)", 40L, 4.0),
+      ("timeShift(m, -20s, 0)", 50L, 5.0),
+      ("timeShift(m, -20s, 1)", 30L, 1.0), ("timeShift(m, -20s, 1)", 40L, 2.0),
+      ("timeShift(m, -20s, 1)", 50L, 3.0)))
+  }
+
   test("DSL Holt-Winters through the registry binds positional args") {
     val s = spark; import s.implicits._
     // two exact seasons of 4 points at step 10 → seasonLen '40s'
