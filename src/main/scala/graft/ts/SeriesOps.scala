@@ -324,7 +324,10 @@ object SeriesOps {
   }
 
   /** weightedAverage(avgSet, weightSet, node) — pair the two sets by name
-    * node, Σ(a·w)/Σ(w) per timestamp (`dsl/funcs.go:1993-2062`) */
+    * node, Σ(a·w)/Σ(w) per timestamp (`dsl/funcs.go:1993-2062`).
+    * NOTE on gaps: the reference's Go sums propagate NaN, so one unknown
+    * pair poisons the whole timestamp; here SQL sums skip NULL pairs —
+    * the weighted mean of the known pairs (deliberate, NaN≡NULL model). */
   def weightedAverage(avgS: DataFrame, weightS: DataFrame, node: Int,
       outName: String = "weightedAverage"): DataFrame = {
     val key = element_at(nameParts, node + 1)
@@ -359,7 +362,16 @@ object SeriesOps {
   // ===== series-set filters / top-k (rank by whole-series summary —
   // ===== series/summaryseries.go reducers) =====
 
-  /** Per-series summary frame: (name, savg, smax, smin, sstd, slast). */
+  /** Per-series summary frame: (name, savg, smax, smin, sstd, slast).
+    *
+    * Max/Min match the reference exactly (non-NaN extremes,
+    * `series/summaryseries.go:29-52`). DELIBERATE DIVERGENCE for gappy
+    * series: the reference's Avg/StdDev accumulate raw NaNs
+    * (`summaryseries.go:55-76`) and Last keeps a trailing NaN
+    * (`summaryseries.go:79-85`), so one gap poisons the summary and the
+    * subsequent top-k ranking compares NaNs — ill-defined order. Here
+    * summaries skip unknowns (avg/stddev over known points, last known
+    * value), which keeps ranking total and deterministic. */
   def summaries(df: DataFrame): DataFrame =
     df.groupBy(col("name")).agg(
       avg(v).as("savg"),
