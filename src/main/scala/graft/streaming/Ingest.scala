@@ -75,6 +75,25 @@ object Ingest {
           lit(false)).as("delta"))
   }
 
+  /** Parsed stat → aggregator command (`statsd/statsd.go:33-57`):
+    * counter values scale by 1/sample (a 0.1-sampled counter stands for
+    * 10× the hits), names gain the `stats.` / `stats.gauges.` /
+    * `stats.timers.` prefixes, and gauges route on the delta flag.
+    * Output: (name, cmd ∈ {add, addgauge, setgauge, append}, value). */
+  def statsdToCommands(parsed: DataFrame): DataFrame = {
+    val m = col("metric")
+    parsed.select(
+      when(m === "c", concat(lit("stats."), col("name")))
+        .when(m === "g", concat(lit("stats.gauges."), col("name")))
+        .otherwise(concat(lit("stats.timers."), col("name"))).as("name"),
+      when(m === "c", lit("add"))
+        .when(m === "g" && col("delta"), lit("addgauge"))
+        .when(m === "g", lit("setgauge"))
+        .otherwise(lit("append")).as("cmd"),
+      when(m === "c", col("value") * (lit(1.0) / col("sample")))
+        .otherwise(col("value")).as("value"))
+  }
+
   /** Streaming whisper-mode consolidation: event-time tumbling window,
     * late data bounded by the watermark (the reference's heartbeat
     * analogue: points older than the allowed lateness are dropped,

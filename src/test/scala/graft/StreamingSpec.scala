@@ -64,6 +64,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("justname", 1.0, "c", 1.0, false)))
   }
 
+  test("statsd stat → aggregator command: prefixes, sample scaling, routing") {
+    val rows = Ingest.statsdToCommands(Ingest.parseStatsd(linesDf(
+      "hits:2|c|@0.1",      // counter at 10% sampling → 20 effective
+      "temp:42|g",          // absolute gauge
+      "adjust:+5|g",        // delta gauge
+      "lat:320|ms"          // timer
+    ))).collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set(
+      ("stats.hits", "add", 20.0),
+      ("stats.gauges.temp", "setgauge", 42.0),
+      ("stats.gauges.adjust", "addgauge", 5.0),
+      ("stats.timers.lat", "append", 320.0)))
+  }
+
   test("streaming whisper consolidation matches batch on the same data") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
