@@ -198,6 +198,28 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("timeShift(m, -20s, 1)", 50L, 3.0)))
   }
 
+  test("HwOps nanless handling: leading gaps skipped, interior recycled") {
+    val s = spark; import s.implicits._
+    // dsl/funcs.go:2409-2434: series starts at first known point;
+    // interior unknowns recycle the last value. Two clean seasons of 2
+    // after the gap handling: [5,6,5,6] starting at t=20.
+    val gappy = Seq[(String, Long, Option[Double])](
+      ("g", 0L, None), ("g", 10L, None),
+      ("g", 20L, Some(5.0)), ("g", 30L, Some(6.0)),
+      ("g", 40L, Some(5.0)), ("g", 50L, None) // recycles 5.0 → 5
+    ).toDF("name", "t", "value")
+    val out = graft.ts.HwOps.holtWintersForecast(
+        s, gappy, slenPoints = 2, nPred = 0,
+        abg = Some((0.5, 0.5, 0.5)), devScale = 10.0,
+        show = "smooth", stepSec = 10)
+      .as[(String, Long, Double)].collect().sortBy(_._2)
+    // leading gaps skipped: output starts at t=20, 4 points
+    assert(out.map(_._2).toSeq == Seq(20L, 30L, 40L, 50L))
+    // first smoothed value = first known data point
+    assert(out.head._3 == 5.0)
+    assert(out.forall(_._1 == "holtWintersForecast(g)"))
+  }
+
   test("DSL Holt-Winters through the registry binds positional args") {
     val s = spark; import s.implicits._
     // two exact seasons of 4 points at step 10 → seasonLen '40s'
