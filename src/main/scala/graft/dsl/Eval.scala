@@ -143,7 +143,15 @@ object Eval {
     add(Seq("rangeOfSeries"))(onSeries((_, df, _, _) => O.rangeOfSeries(df)))
     add(Seq("isNonNull"))(onSeries((_, df, _, _) => O.isNonNull(df)))
     add(Seq("countSeries"))(onSeries((_, df, _, _) => O.countSeries(df)))
-    add(Seq("diffSeries"))(onSeries((_, df, _, _) => O.diffSeries(df)))
+    // diffSeries: explicit args subtract in ARGUMENT order; a single
+    // merged set falls back to name order (= the reference's sorted-map
+    // iteration for one pattern)
+    add(Seq("diffSeries")) { (ctx, args, _) =>
+      if (args.size >= 2)
+        SeriesV(O.diffSeriesOrdered(asSeries(ctx, args.head),
+          args.tail.map(asSeries(ctx, _)).reduce(_.unionByName(_))))
+      else SeriesV(O.diffSeries(asSeries(ctx, args.head)))
+    }
     add(Seq("percentileOfSeries"))(onSeries((_, df, rest, _) =>
       O.percentileOfSeries(df, num(rest.head) / 100)))
     // group: every arg is a series (quoted or not) — var-arg merge

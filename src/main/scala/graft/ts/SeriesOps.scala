@@ -247,6 +247,22 @@ object SeriesOps {
       when(count(v) < count(lit(1)), lit(null))
         .otherwise(lit(2.0) * min_by(v, col("name")) - sum(v)))
 
+  /** diffSeries with an explicit minuend — the reference preserves
+    * ARGUMENT order via `_args_` (`dsl/funcs.go:614-647`), so
+    * `diffSeries(a, b, c)` is a − (b+c) regardless of name sort; the
+    * merged-frame [[diffSeries]] (name-order first) covers the
+    * single-pattern form whose iteration order IS name order. NaN
+    * propagates: an unknown on either side yields unknown. */
+  def diffSeriesOrdered(first: DataFrame, rest: DataFrame,
+      outName: String = "diffSeries"): DataFrame = {
+    val f = first.select(col("t"), v.as("fv"))
+    val r = rest.groupBy(col("t")).agg(
+      when(count(v) < count(lit(1)), lit(null)).otherwise(sum(v)).as("rv"))
+    f.join(r, Seq("t"), "inner")
+      .select(lit(outName).as("name"), col("t"),
+        (col("fv") - col("rv")).as("value"))
+  }
+
   /** divideSeries(num, den) — series[0] / series[1], same shape as
     * `dsl/funcs.go:649-682`. DELIBERATE DIVERGENCE on zero denominators:
     * the reference does raw Go float division (x/0 = ±Inf, 0/0 = NaN);

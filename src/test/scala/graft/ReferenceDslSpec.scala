@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.dsl.Eval
+
+/** Port of the reference's DSL test corpus style
+  * (`dsl/funcs_test.go:64-1024`): constant fixtures evaluated through
+  * the full parse→eval path, asserting `checkEveryValueIs` — every
+  * emitted non-null value equals the expectation and at least one row
+  * exists. One table entry per reference `Test_dsl_*` case that maps to
+  * a constant result. */
+class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]").appName("reference-dsl-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  /** Store: foo.bar1.baz ≡ 10, foo.bar2.baz ≡ 20 on a 10-point grid —
+    * the fixture of `Test_dsl_multiseriesStuff` and the set-filter
+    * tests. constantLine() fixtures come from the generator itself. */
+  private lazy val ctx: Eval.Ctx = {
+    val s = spark; import s.implicits._
+    val pts = for {
+      (name, v) <- Seq("foo.bar1.baz" -> 10.0, "foo.bar2.baz" -> 20.0)
+      i <- 0 until 10
+    } yield (name, i * 10L, v)
+    Eval.Ctx(s, pts.toDF("name", "t", "value"), stepSec = 10,
+      fromSec = 0, toSec = 90)
+  }
+
+  /** (expression, expected constant) — reference test name in comment. */
+  private val cases: Seq[(String, Double)] = Seq(
+    // Test_dsl_averageSeries (both names)
+    "averageSeries(constantLine(10), constantLine(20), constantLine(30))" -> 20,
+    "avg(constantLine(10), constantLine(20), constantLine(30))" -> 20,
+    // Test_dsl_sumSeries
+    "sumSeries(constantLine(10), constantLine(20), constantLine(30))" -> 60,
+    "sum(constantLine(10), constantLine(20), constantLine(30))" -> 60,
+    // Test_dsl_maxSeries / minSeries
+    "maxSeries(constantLine(10), constantLine(20), constantLine(30))" -> 30,
+    "minSeries(constantLine(10), constantLine(20), constantLine(30))" -> 10,
+    // Test_dsl_multiplySeries
+    "multiplySeries(constantLine(10), constantLine(20))" -> 200,
+    // Test_dsl_rangeOfSeries
+    "rangeOfSeries(constantLine(10), constantLine(20), constantLine(30))" -> 20,
+    // Test_dsl_isNonNull
+    "isNonNull(constantLine(10), constantLine(20), constantLine(30))" -> 3,
+    // Test_dsl_percentileOfSeries (p = 50 → middle of 3 constants)
+    "percentileOfSeries(group(constantLine(10), constantLine(20), constantLine(30)), 50)" -> 20,
+    // Test_dsl_group (identity merge of equal constants)
+    "group(constantLine(5), constantLine(5))" -> 5,
+    // Test_dsl_absolute
+    "absolute(constantLine(-10))" -> 10,
+    // Test_dsl_offset
+    "offset(constantLine(10), 5)" -> 15,
+    // Test_dsl_offsetToZero
+    "offsetToZero(constantLine(10))" -> 0,
+    // Test_dsl_scale
+    "scale(constantLine(10), 2.5)" -> 25,
+    // Test_dsl_logarithm
+    "logarithm(constantLine(100))" -> 2,
+    "log(constantLine(8), 2)" -> 3,
+    // Test_dsl_transformNull (no nulls → passthrough)
+    "transformNull(constantLine(10), 0)" -> 10,
+    // Test_dsl_asPercent (scalar total)
+    "asPercent(constantLine(10), 20)" -> 50,
+    // Test_dsl_diffSeries
+    "diffSeries(constantLine(30), constantLine(10))" -> 20,
+    // Test_dsl_divideSeries
+    "divideSeries(constantLine(10), constantLine(5))" -> 2,
+    // Test_dsl_nPercentile
+    "nPercentile(constantLine(10), 50)" -> 10,
+    // Test_dsl_integral (constant zero stays zero)
+    "integral(constantLine(0))" -> 0,
+    // Test_dsl_countSeries
+    "countSeries(constantLine(7), constantLine(8))" -> 2,
+    // Test_dsl_scaleToSeconds
+    "scaleToSeconds(constantLine(10), 2)" -> 20,
+    // Test_dsl_hitcount (interval '20s' → ×20)
+    "hitcount(constantLine(10), '20s')" -> 200,
+    // Test_dsl_summarize
+    "summarize(constantLine(10), '20s', 'avg')" -> 10,
+    // Test_dsl_movingAverage / movingMedian / stdev over constants
+    "movingAverage(constantLine(10), 2)" -> 10,
+    "movingMedian(constantLine(10), 2)" -> 10,
+    "stdev(constantLine(10), 2)" -> 0,
+    // Test_dsl_sumSeriesWithWildcards / averageSeriesWithWildcards
+    "sumSeriesWithWildcards('foo.*.baz', 1)" -> 30,
+    "averageSeriesWithWildcards('foo.*.baz', 1)" -> 15,
+    // Test_dsl_groupByNode (node 2 = 'baz', sum)
+    "groupByNode('foo.*.baz', 2, 'sum')" -> 30,
+    // Test_dsl_highestCurrent / highestMax / lowestAverage / lowestCurrent
+    "highestCurrent('foo.*.baz', 1)" -> 20,
+    "highestMax('foo.*.baz', 1)" -> 20,
+    "lowestAverage('foo.*.baz', 1)" -> 10,
+    "lowestCurrent('foo.*.baz', 1)" -> 10,
+    // Test_dsl_maximumAbove / maximumBelow / minimumAbove / minimumBelow
+    "maximumAbove('foo.*.baz', 15)" -> 20,
+    "maximumBelow('foo.*.baz', 15)" -> 10,
+    "minimumAbove('foo.*.baz', 15)" -> 20,
+    "minimumBelow('foo.*.baz', 15)" -> 10,
+    // Test_dsl_limit (first by sorted name = bar1)
+    "limit('foo.*.baz', 1)" -> 10,
+    // Test_dsl_exclude
+    "exclude('foo.*.baz', 'bar1')" -> 20,
+    // Test_dsl_alias keeps values
+    "alias('foo.bar1.baz', 'renamed')" -> 10,
+    // Test_dsl_keepLastValue (no gaps → passthrough)
+    "keepLastValue('foo.bar1.baz', 5)" -> 10,
+    // Test_dsl_changed (constant → 0 after the first point)
+    // first point counts as changed (NaN prev) — assert separately below
+    // Test_dsl_timeshift keeps values
+    "timeShift('foo.bar1.baz', '-20s')" -> 10
+  )
+
+  private def everyValueIs(expr: String, expected: Double): Unit = {
+    val s = spark; import s.implicits._
+    val vals = Eval.evalExpr(ctx, expr)
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    if (vals.isEmpty) fail(s"no values for: $expr")
+    val bad = vals.filter(v => math.abs(v - expected) > 1e-9)
+    if (bad.nonEmpty) fail(s"$expr: expected $expected, got ${bad.head}")
+  }
+
+  cases.foreach { case (expr, expected) =>
+    test(s"reference corpus: $expr == $expected") {
+      everyValueIs(expr, expected)
+    }
+  }
+
+  test("reference corpus: changed() on a constant is 0 after the first point") {
+    val s = spark; import s.implicits._
+    val rows = Eval.evalExpr(ctx, "changed('foo.bar1.baz')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(rows.head._3.contains(1.0)) // NaN prev ⇒ changed
+    assert(rows.tail.forall(_._3.contains(0.0)))
+  }
+
+  test("reference corpus: derivative() of a constant is 0 past the first point") {
+    val s = spark; import s.implicits._
+    val rows = Eval.evalExpr(ctx, "derivative('foo.bar1.baz')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(rows.head._3.isEmpty)
+    assert(rows.tail.forall(_._3.contains(0.0)))
+  }
+}
