@@ -139,6 +139,85 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Gappy store: g.gappy = 10 for slots 0-4, unknown for 5-9 —
+    * the fixture of Test_dsl_transformNull / Test_dsl_keepLastValue. */
+  private lazy val gappyCtx: Eval.Ctx = {
+    val s = spark; import s.implicits._
+    val pts = (0 until 10).map(i =>
+      ("g.gappy", i * 10L, if (i < 5) Some(10.0) else None))
+    Eval.Ctx(s, pts.toDF("name", "t", "value"), stepSec = 10,
+      fromSec = 0, toSec = 90)
+  }
+
+  test("reference corpus: transformNull fills the gaps — Test_dsl_transformNull") {
+    val s = spark; import s.implicits._
+    val vals = Eval.evalExpr(gappyCtx, "transformNull('g.gappy', 123)")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(vals.length == 10)
+    assert(vals.count(_ == 10.0) == 5)
+    assert(vals.count(_ == 123.0) == 5)
+  }
+
+  test("reference corpus: keepLastValue fills up to the limit — Test_dsl_keepLastValue") {
+    val s = spark; import s.implicits._
+    val vals = Eval.evalExpr(gappyCtx, "keepLastValue('g.gappy', 3)")
+      .as[(String, Long, Option[Double])].collect().map(_._3)
+    // 5 original + 3 filled tens, 2 gaps beyond the limit stay unknown
+    assert(vals.count(_.contains(10.0)) == 8)
+    assert(vals.count(_.isEmpty) == 2)
+  }
+
+  test("reference corpus: weightedAverage pairs by node — Test_dsl_weightedAverage") {
+    val s = spark; import s.implicits._
+    val pts = for {
+      (name, v) <- Seq("a.bar1.baz" -> 10.0, "w.bar1.baz" -> 20.0)
+      i <- 0 until 10
+    } yield (name, i * 10L, v)
+    val c = Eval.Ctx(s, pts.toDF("name", "t", "value"), 10, 0, 90)
+    val vals = Eval.evalExpr(c, "weightedAverage('a.bar1.baz', 'w.bar1.baz', 1)")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(vals.nonEmpty && vals.forall(_ == 10.0)) // Σ(10·20)/Σ20
+  }
+
+  test("reference corpus: aliasing family rewrites names — Test_dsl_alias*") {
+    val s = spark; import s.implicits._
+    def names(expr: String): Set[String] =
+      Eval.evalExpr(ctx, expr)
+        .as[(String, Long, Option[Double])].collect().map(_._1).toSet
+    assert(names("alias('foo.bar1.baz', 'the alias')") == Set("the alias"))
+    assert(names("aliasByMetric('foo.bar1.baz')") == Set("baz"))
+    assert(names("aliasByNode('foo.bar1.baz', 1)") == Set("bar1"))
+    assert(names("aliasByNode('foo.*.baz', 0, 2)") == Set("foo.baz"))
+    assert(names("aliasSub('foo.bar1.baz', 'bar', 'BAR')") == Set("foo.BAR1.baz"))
+  }
+
+  test("reference corpus: mostDeviant keeps the high-variance series — Test_dsl_mostDeviant") {
+    val s = spark; import s.implicits._
+    val pts = (0 until 10).flatMap(i => Seq(
+      ("m.flat", i * 10L, 10.0),
+      ("m.wild", i * 10L, if (i % 2 == 0) 0.0 else 100.0)))
+    val c = Eval.Ctx(s, pts.toDF("name", "t", "value"), 10, 0, 90)
+    val names = Eval.evalExpr(c, "mostDeviant('m.*', 1)")
+      .as[(String, Long, Option[Double])].collect().map(_._1).toSet
+    assert(names == Set("m.wild"))
+  }
+
+  test("reference corpus: removeAboveValue clamps to unknown — Test_dsl_removeAboveValue") {
+    val s = spark; import s.implicits._
+    val rows = Eval.evalExpr(ctx, "removeAboveValue('foo.*.baz', 15)")
+      .as[(String, Long, Option[Double])].collect()
+    assert(rows.count(_._3.isEmpty) == 10)          // the 20-series clamped
+    assert(rows.flatMap(_._3).forall(_ == 10.0))    // the 10-series intact
+  }
+
+  test("reference corpus: useSeriesAbove filters and renames — Test_dsl_useSeriesAbove") {
+    val s = spark; import s.implicits._
+    val rows = Eval.evalExpr(ctx, "useSeriesAbove('foo.*.baz', 15, 'baz', 'qux')")
+      .as[(String, Long, Option[Double])].collect()
+    assert(rows.map(_._1).toSet == Set("foo.bar2.qux"))
+    assert(rows.flatMap(_._3).forall(_ == 20.0))
+  }
+
   test("reference corpus: changed() on a constant is 0 after the first point") {
     val s = spark; import s.implicits._
     val rows = Eval.evalExpr(ctx, "changed('foo.bar1.baz')")
