@@ -219,12 +219,20 @@ object Eval {
       O.consolidateBy(df, ctx.stepSec, str(rest.head))))
 
     // ----- moving window -----
-    add(Seq("movingAverage"))(onSeries((_, df, rest, _) =>
-      O.movingAverage(df, num(rest.head).toInt)))
-    add(Seq("movingMedian"))(onSeries((_, df, rest, _) =>
-      O.movingMedian(df, num(rest.head).toInt)))
-    add(Seq("stdev"))(onSeries((_, df, rest, _) =>
-      O.stdev(df, num(rest.head).toInt)))
+    // window arg: point count, or a duration string → duration/step
+    // points (`dsl/funcs.go:1653-1660` — the grid is dense, so time
+    // windows and row windows coincide)
+    def windowPoints(ctx: Ctx, v: Val): Int = v match {
+      case NumV(n) => n.toInt
+      case StrV(s) => (Durations.parseSeconds(s) / (ctx.stepSec + 1) + 1).toInt
+      case other   => throw new IllegalArgumentException(s"bad window: $other")
+    }
+    add(Seq("movingAverage"))(onSeries((ctx, df, rest, _) =>
+      O.movingAverage(df, windowPoints(ctx, rest.head))))
+    add(Seq("movingMedian"))(onSeries((ctx, df, rest, _) =>
+      O.movingMedian(df, windowPoints(ctx, rest.head))))
+    add(Seq("stdev"))(onSeries((ctx, df, rest, _) =>
+      O.stdev(df, windowPoints(ctx, rest.head))))
 
     // ----- series-set filters / top-k -----
     add(Seq("highestCurrent"))(onSeries((_, df, rest, _) =>

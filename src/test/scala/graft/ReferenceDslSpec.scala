@@ -93,6 +93,9 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     "summarize(constantLine(10), '20s', 'avg')" -> 10,
     // Test_dsl_movingAverage / movingMedian / stdev over constants
     "movingAverage(constantLine(10), 2)" -> 10,
+    // duration-string window: 30s / (10+1) + 1 = 3 points over the
+    // 10-point grid (`dsl/funcs.go:1658-1659` +1 formula)
+    "movingAverage('foo.bar1.baz', '30s')" -> 10,
     "movingMedian(constantLine(10), 2)" -> 10,
     "stdev(constantLine(10), 2)" -> 0,
     // Test_dsl_sumSeriesWithWildcards / averageSeriesWithWildcards
