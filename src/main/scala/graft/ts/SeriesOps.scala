@@ -297,9 +297,9 @@ object SeriesOps {
       val tot = ts.groupBy(col("t"))
         .agg(sum(coalesce(v, lit(0.0))).as("__tot"))
       df.join(tot, Seq("t"), "left")
-        .withColumn("value",
-          when(col("__tot") === 0.0, lit(null)).otherwise(v / col("__tot") * 100.0))
-        .drop("__tot")
+        .select(col("name"), col("t"), // canonical column order
+          when(col("__tot") === 0.0, lit(null))
+            .otherwise(v / col("__tot") * 100.0).as("value"))
     case (None, None) =>
       val tot = sum(coalesce(v, lit(0.0))).over(Window.partitionBy(col("t")))
       df.withColumn("value",

@@ -93,6 +93,26 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Archives.bestRra(Nil, 9500, 9600, 10).isEmpty)
   }
 
+  test("DsFinder: first-matching rule wins, default otherwise") {
+    import graft.rrd.DsFinder
+    import graft.rrd.DsFinder.{ArchiveSpec, DsSpec}
+    val s = spark; import s.implicits._
+    val fast = DsSpec(1L, 300L, Seq(ArchiveSpec("wmean", 1L, 3600L)))
+    val slow = DsSpec(60L, 7200L, Seq(ArchiveSpec("wmean", 60L, 86400L)))
+    val rules = Seq("^stats\\.timers\\." -> fast, "^stats\\." -> slow)
+
+    assert(DsFinder.findSpec(rules, "stats.timers.lat") == fast)
+    assert(DsFinder.findSpec(rules, "stats.gauges.x") == slow)
+    assert(DsFinder.findSpec(rules, "other.series") == DsFinder.Default)
+
+    val annotated = DsFinder.annotate(
+      Seq("stats.timers.lat", "stats.gauges.x", "other.series").toDF("name"),
+      rules).collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(annotated("stats.timers.lat") == (0, 1L))
+    assert(annotated("stats.gauges.x") == (1, 60L))
+    assert(annotated("other.series") == (-1, 10L))
+  }
+
   test("duration parsing — misc/misc.go:39-77 suffixes") {
     assert(Durations.parseSeconds("10") == 10L)
     assert(Durations.parseSeconds("5min") == 300L)

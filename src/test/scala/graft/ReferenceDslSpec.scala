@@ -73,8 +73,10 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     "log(constantLine(8), 2)" -> 3,
     // Test_dsl_transformNull (no nulls → passthrough)
     "transformNull(constantLine(10), 0)" -> 10,
-    // Test_dsl_asPercent (scalar total)
+    // Test_dsl_asPercent (scalar total; series total; set self-total)
     "asPercent(constantLine(10), 20)" -> 50,
+    "asPercent('foo.bar1.baz', 'foo.bar2.baz')" -> 50,
+    "asPercent('foo.bar2.baz')" -> 100,
     // Test_dsl_diffSeries
     "diffSeries(constantLine(30), constantLine(10))" -> 20,
     // Test_dsl_divideSeries
