@@ -120,8 +120,12 @@ object RelQueries {
         // table is the probe side, not a broadcast
         val top = rev.orderBy(col("revenue").desc, col("o_custkey").asc)
           .limit(10)
+          // rank the 10 surviving rows; the non-foldable constant key
+          // (a literal gets folded away) keeps the harmless 10-row
+          // window off the empty-partition warn path
           .withColumn("rnk", row_number().over(
-            Window.orderBy(col("revenue").desc, col("o_custkey").asc)))
+            Window.partitionBy(col("o_custkey") % 1)
+              .orderBy(col("revenue").desc, col("o_custkey").asc)))
         broadcast(top).join(c, top("o_custkey") === c("c_custkey"))
           .select("c_custkey", "c_name", "revenue", "rnk")
           .orderBy("rnk")
