@@ -91,8 +91,10 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     "scaleToSeconds(constantLine(10), 2)" -> 20,
     // Test_dsl_hitcount (interval '20s' → ×20)
     "hitcount(constantLine(10), '20s')" -> 200,
-    // Test_dsl_summarize
+    // Test_dsl_summarize (honest semantics; 'average' alias accepted)
     "summarize(constantLine(10), '20s', 'avg')" -> 10,
+    "summarize('foo.bar2.baz', '50s', 'max')" -> 20,
+    "summarize('foo.bar2.baz', '50s', 'average')" -> 20,
     // Test_dsl_movingAverage / movingMedian / stdev over constants
     "movingAverage(constantLine(10), 2)" -> 10,
     // duration-string window: 30s / (10+1) + 1 = 3 points over the
@@ -194,6 +196,8 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names("aliasByNode('foo.bar1.baz', 1)") == Set("bar1"))
     assert(names("aliasByNode('foo.*.baz', 0, 2)") == Set("foo.baz"))
     assert(names("aliasSub('foo.bar1.baz', 'bar', 'BAR')") == Set("foo.BAR1.baz"))
+    // Graphite backreference syntax \1 → Java $1 conversion
+    assert(names("""aliasSub('foo.bar1.baz', 'bar(\d)', 'B\1')""") == Set("foo.B1.baz"))
   }
 
   test("reference corpus: mostDeviant keeps the high-variance series — Test_dsl_mostDeviant") {
