@@ -61,6 +61,31 @@ object PipelineQueries {
            |   ${ts.Round6.r6Sql("jaccard")} AS jaccard
            | FROM out ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // connected components over the near-dup graph (min-label clusters)
+    ("dd_clusters",
+      ((s, d) => pipeline.NearDup.clusters(
+        pipeline.NearDup.minhashPairs(Tables.documents(s, d), 0.8))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("cluster").cast("long").as("cluster"))
+        .orderBy("doc_id")): Q,
+      Some(pipeline.NearDup.minhashPairsSql(0.8)
+        .replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        s", ${pipeline.NearDup.clustersSql}" +
+        """ SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |   CAST(cluster AS BIGINT) AS cluster
+          | FROM comp ORDER BY doc_id""".stripMargin)),
+
+    // end-to-end near-dup dedup: one keeper per cluster + all singletons
+    ("dd_dedup_keep",
+      ((s, d) => pipeline.NearDup.dedupKeep(Tables.documents(s, d), 0.8)
+        .orderBy("doc_id")): Q,
+      Some(pipeline.NearDup.minhashPairsSql(0.8)
+        .replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        s", ${pipeline.NearDup.clustersSql}" +
+        """ SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+          | WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster)
+          | ORDER BY doc_id""".stripMargin)),
+
     // 32-bit SimHash signature per document
     ("dd_simhash_sigs",
       ((s, d) => pipeline.NearDup.simhashSigs(Tables.documents(s, d))

@@ -166,6 +166,51 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair graph: iterative min-label
+    * propagation (each node adopts the smallest doc_id reachable), the
+    * Pregel-style loop bounded by component diameter — near-dup clusters
+    * are shallow (pairs/triples), so convergence is 2-3 rounds. Each
+    * round is one join + aggregate; the driver only checks the
+    * convergence counter, never the data. Returns (doc_id, cluster). */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // checkpoint: each round re-reads the graph and the prior labels
+      // as fresh scans — truncated lineage keeps the iterative plan from
+      // compounding and sidesteps self-join ambiguity
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 20) {
+      val prop = sym.join(labels, sym("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels.withColumnRenamed("cluster", "prev")
+        .join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("prev"), coalesce(col("nbr"), col("prev"))).as("cluster"))
+        .localCheckpoint()
+      converged = next.withColumnRenamed("cluster", "c2")
+        .join(labels, "doc_id")
+        .filter(col("c2") =!= col("cluster")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup dedup: keep the lowest doc_id of every MinHash
+    * cluster plus every unpaired document. */
+  def dedupKeep(docs: DataFrame, minJ: Double): DataFrame = {
+    val cl = clusters(minhashPairs(docs, minJ))
+    val losers = cl.filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // ---- DuckDB oracle builders (formula-identical, same constants) ----
 
   private def h64Sql(e: String) =
@@ -228,6 +273,21 @@ object NearDup {
 
   def minhashPairsSql(minJ: Double): String =
     s"WITH $shinglesSql, $minhashSigsSql, $candSql, ${verifySql(minJ)}"
+
+  /** Recursive-CTE connected components over the `out(doc_a, doc_b)`
+    * pair CTE; UNION dedup bounds the recursion. Defines
+    * `comp(doc_id, cluster)`. */
+  val clustersSql: String =
+    """sym AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM out
+      |  UNION SELECT doc_b, doc_a FROM out
+      |), reach AS (
+      |  SELECT src, dst FROM sym UNION SELECT src, src FROM sym
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+      |), comp AS (
+      |  SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src
+      |)""".stripMargin
 
   def ngramPairsSql(minJ: Double): String =
     s"""WITH $shinglesSql,
