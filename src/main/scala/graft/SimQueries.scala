@@ -73,6 +73,29 @@ object SimQueries {
            |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("cos")} AS cos
            |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
 
+    // embedding near-dup clusters: components over the LSH pair graph
+    ("sim_clusters",
+      ((s, d) => pipeline.NearDup.clusters(
+        Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").cast("long").as("vec_id"),
+          col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")): Q,
+      Some(
+        s"""WITH RECURSIVE ${Similarity.lshSigSql},
+           |bands AS (
+           |  SELECT vec_id, embedding, j AS bix,
+           |         (sig >> (j * ${Similarity.BandBits})) & ${(1L << Similarity.BandBits) - 1} AS bkey
+           |  FROM sigs, (SELECT unnest(generate_series(0, ${Similarity.NumBands - 1})) AS j)
+           |), out AS (
+           |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.bix = b.bix AND a.bkey = b.bkey
+           |  WHERE a.vec_id < b.vec_id
+           |    AND ${Similarity.cosineSql("a.embedding", "b.embedding")} >= $MinCos
+           |), ${pipeline.NearDup.clustersSql}
+           |SELECT CAST(doc_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster
+           |FROM comp ORDER BY vec_id""".stripMargin)),
+
     // LSH-bucketed pairs: random-hyperplane bands, exact verification
     ("sim_pairs_lsh",
       ((s, d) => Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)

@@ -201,6 +201,28 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grouped == Set("a.x", "b.z"))
   }
 
+  test("DSL holtWintersConfidenceBands wrapper maps delta to devScale") {
+    val s = spark; import s.implicits._
+    val data = Seq(10.0, 20, 30, 40, 12, 22, 32, 42).zipWithIndex
+      .map { case (v, i) => ("hw.s", i * 10L, v) }
+    val ctx = Eval.Ctx(s, data.toDF("name", "t", "value"),
+      stepSec = 10, fromSec = 0, toSec = 70)
+    // seasonLen '40s' → 4 points; conf bands only (no smooth series)
+    val out = Eval.evalExpr(ctx,
+      "holtWintersConfidenceBands('hw.s', 2, seasonLen='40s', alpha=0.5, beta=0.4, gamma=0.6)")
+      .as[(String, Long, Double)].collect()
+    val names = out.map(_._1).toSet
+    assert(names == Set("holtWintersConfidenceUpper(hw.s)",
+      "holtWintersConfidenceLower(hw.s)"))
+    // upper ≥ lower pointwise; band width reflects devScale=2
+    val byT = out.groupBy(_._2)
+    byT.foreach { case (_, rows) =>
+      val up = rows.find(_._1.contains("Upper")).get._3
+      val lo = rows.find(_._1.contains("Lower")).get._3
+      assert(up >= lo)
+    }
+  }
+
   test("timeStack fetches shifted history beyond a bounded viewport") {
     val s = spark; import s.implicits._
     val store = (0 to 5).map(i => ("m", i * 10L, i.toDouble))
