@@ -14,6 +14,12 @@ Test / fork := true
 // stop it out from under each other
 Test / parallelExecution := false
 run / fork := true
+// The driver parses Bench's one-line JSON from stdout; sbt's default
+// LoggedOutput prefixes every forked line with [info]/[error], which
+// breaks that parse. StdoutOutput passes the child's stdout through
+// verbatim (Spark's log4j console appender targets stderr, so WARN
+// noise stays off stdout).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,7 +45,11 @@ object Bench {
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 1000) / 1000
-    println(s"""{"metric":"headline_total_warm","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"headline_total_warm","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces for the driver's stdout parse: also persist the line.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

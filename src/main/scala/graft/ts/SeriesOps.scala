@@ -196,9 +196,20 @@ object SeriesOps {
   // ===== cross-series combines (vertical aggregation on the aligned
   // ===== grid) — reference reducers in series/seriesslice.go =====
 
+  /** Constant output-series name that survives as a Window partition key.
+    * A bare `lit(outName)` gets constant-folded by Catalyst, so any
+    * windowed function downstream of a combine (movingAverage, stdev,
+    * derivative, …) would see an empty partition spec — `WindowExec: No
+    * Partition Defined` — and serialize ALL combined series onto one
+    * task. Tying the literal to `t` keeps the expression non-foldable,
+    * so the hash partitioning on `name` still distributes distinct
+    * combined series. (`t` is never NULL in the canonical frame.) */
+  private def constName(outName: String): Column =
+    when(col("t").isNotNull, lit(outName))
+
   private def combine(df: DataFrame, outName: String, aggV: Column): DataFrame =
     df.groupBy(col("t")).agg(aggV.as("value"))
-      .select(lit(outName).as("name"), col("t"), col("value"))
+      .select(constName(outName).as("name"), col("t"), col("value"))
 
   /** sumSeries — NaN treated as 0 (`series/seriesslice.go:176-183`) */
   def sumSeries(df: DataFrame, outName: String = "sumSeries"): DataFrame =
@@ -259,7 +270,7 @@ object SeriesOps {
     val r = rest.groupBy(col("t")).agg(
       when(count(v) < count(lit(1)), lit(null)).otherwise(sum(v)).as("rv"))
     f.join(r, Seq("t"), "inner")
-      .select(lit(outName).as("name"), col("t"),
+      .select(constName(outName).as("name"), col("t"),
         (col("fv") - col("rv")).as("value"))
   }
 
@@ -273,7 +284,7 @@ object SeriesOps {
     val n = num.select(col("t"), v.as("num"))
     val d = den.select(col("t"), v.as("den"))
     n.join(d, Seq("t"), "inner")
-      .select(lit(outName).as("name"), col("t"),
+      .select(constName(outName).as("name"), col("t"),
         when(col("den") === 0.0, lit(null))
           .otherwise(col("num") / col("den")).as("value"))
   }
@@ -352,7 +363,7 @@ object SeriesOps {
     a.join(ww, Seq("k", "t"), "inner")
       .groupBy(col("t"))
       .agg((sum(col("a") * col("w")) / sum(col("w"))).as("value"))
-      .select(lit(outName).as("name"), col("t"), col("value"))
+      .select(constName(outName).as("name"), col("t"), col("value"))
   }
 
   // ===== aliasing (metadata-only) =====
