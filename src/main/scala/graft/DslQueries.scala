@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.dsl.{Dsl, Eval}
+import graft.dsl.{Dsl, Eval, Viewport}
 import graft.ts.{SeriesModel => M, SeriesOps => O, Round6}
 
 /** Driver-checked queries exercising the FULL query path of the
@@ -135,6 +135,33 @@ object DslQueries {
       ((s, d) => {
         val ctx = Eval.Ctx(s, M.multi(s, d), M.StepSeconds,
           fromSec = 1704499200L, toSec = 1704585600L) // 1 day mid-range
+        fin(Eval.evalExpr(ctx, "group(events.*.u2)"))
+      }): Q,
+      Some(multiQ(
+        """SELECT name, t, value FROM series
+          | WHERE regexp_matches(name, '^events\.[^.]*\.u2$')
+          |   AND t >= 1704499200 AND t <= 1704585600""".stripMargin))),
+
+    // relative-time viewport: from="-1d"&until="now" through the
+    // parseTime grammar (http/graphite.go:197-221), clock anchored at
+    // 2024-01-07T00:00Z → same window as dsl_range_fetch
+    ("dsl_relative_range",
+      ((s, d) => {
+        val ctx = Viewport.ctx(s, M.multi(s, d), M.StepSeconds,
+          from = "-1d", until = "now", nowSec = 1704585600L)
+        fin(Eval.evalExpr(ctx, "group(events.*.u2)"))
+      }): Q,
+      Some(multiQ(
+        """SELECT name, t, value FROM series
+          | WHERE regexp_matches(name, '^events\.[^.]*\.u2$')
+          |   AND t >= 1704499200 AND t <= 1704585600""".stripMargin))),
+
+    // mixed viewport forms: absolute epoch string + long-form relative
+    // until ("-6days", BetterParseDuration synonyms), now=2024-01-13T00:00Z
+    ("dsl_viewport_mixed",
+      ((s, d) => {
+        val ctx = Viewport.ctx(s, M.multi(s, d), M.StepSeconds,
+          from = "1704499200", until = "-6days", nowSec = 1705104000L)
         fin(Eval.evalExpr(ctx, "group(events.*.u2)"))
       }): Q,
       Some(multiQ(

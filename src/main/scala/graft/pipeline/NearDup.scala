@@ -107,13 +107,55 @@ object NearDup {
       .filter(col("jaccard") >= minJ)
   }
 
-  /** MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join
-    * → exact-Jaccard verify. The shingle frame feeds three plan branches
-    * (signatures, intersection, sizes) — persist it so the md5 hashing
-    * and explode run once, not per branch. */
+  /** Exact-duplicate collapse ahead of any LSH stage. Byte-identical
+    * texts share EVERY band, so a bucket of N identical documents
+    * (ubiquitous in a real crawl) makes the band self-join quadratic —
+    * the one skew case the band-hash key cannot spread. Collapsing to
+    * one representative (min doc_id) per distinct text bounds every
+    * bucket by the number of *distinct* texts; [[expandExactDups]]
+    * restores the full pair set afterward, so the operator's output is
+    * unchanged. Returns (members: (doc_id, rep), reps: (doc_id, text)).
+    */
+  def collapseExact(docs: DataFrame): (DataFrame, DataFrame) = {
+    val fp = docs.select(col("doc_id"), col("text"), md5(col("text")).as("__fp"))
+    val repByFp = fp.groupBy(col("__fp")).agg(min(col("doc_id")).as("rep"))
+    val joined = fp.join(repByFp, "__fp")
+    val members = joined.select(col("doc_id"), col("rep")).persist()
+    val reps = joined.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("text"))
+    (members, reps)
+  }
+
+  /** Inverse of [[collapseExact]] for a representative-level pair frame
+    * `(doc_a, doc_b, <valueCol>)`: cross-group pairs inherit the reps'
+    * value (identical texts ⇒ identical signatures/sets), within-group
+    * pairs get `selfValue` (Jaccard 1.0 / Hamming 0). Linear in the size
+    * of the final answer — no quadratic intermediate. */
+  private def expandExactDups(pairs: DataFrame, members: DataFrame,
+      valueCol: String, selfValue: Column): DataFrame = {
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("xa"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("xb"))
+    val cross = pairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"), col(valueCol))
+    val within = members.select(col("rep"), col("doc_id").as("xa"))
+      .join(members.select(col("rep"), col("doc_id").as("xb")), "rep")
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("doc_a"), col("xb").as("doc_b"),
+        selfValue.as(valueCol))
+    cross.unionByName(within)
+  }
+
+  /** MinHash+LSH near-dup pipeline: exact-dup collapse → shingle → sign
+    * → band → bucket-join → exact-Jaccard verify → dup re-expansion.
+    * The shingle frame feeds three plan branches (signatures,
+    * intersection, sizes) — persist it so the md5 hashing and explode
+    * run once, not per branch. */
   def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val sh = shingles(docs).persist()
-    verifyJaccard(candidates(bands(minhashSignatures(sh))), sh, minJ)
+    val (members, reps) = collapseExact(docs)
+    val sh = shingles(reps).persist()
+    val repPairs = verifyJaccard(candidates(bands(minhashSignatures(sh))), sh, minJ)
+    expandExactDups(repPairs, members, "jaccard", lit(1.0))
   }
 
   /** Exact n-gram Jaccard via the inverted shingle index (df-capped). */
@@ -148,8 +190,17 @@ object NearDup {
   }
 
   /** SimHash near-dup pairs: byte-band candidates (equal byte j of the
-    * signature for any j) verified by Hamming distance ≤ maxHamming. */
+    * signature for any j) verified by Hamming distance ≤ maxHamming.
+    * Same exact-dup collapse/expand guard as [[minhashPairs]] — identical
+    * texts have identical signatures and would flood the byte-band
+    * buckets. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val (members, reps) = collapseExact(docs)
+    val repPairs = simhashPairsRaw(reps, maxHamming)
+    expandExactDups(repPairs, members, "hamming", lit(0L))
+  }
+
+  private def simhashPairsRaw(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sigs = simhashSigs(docs)
     val bytes = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>

@@ -95,20 +95,27 @@ object Similarity {
   }
 
   /** LSH-bucketed threshold pairs: candidates share ≥1 signature band,
-    * then exact cosine verification. */
+    * then exact cosine verification. The band self-join carries ONLY
+    * (band, vec_id) — at 100 TB shipping the embedding ×NumBands through
+    * that exchange would dominate the shuffle, so the distinct candidate
+    * id pairs are generated first and the embeddings joined back once
+    * for verification. */
   def pairsLsh(corpus: DataFrame, minCos: Double): DataFrame = {
-    val sigs = corpus.select(col("vec_id"), emb, lshSig(emb).as("sig"))
-    val bands = sigs.select(col("vec_id"), emb,
-      posexplode(array((0 until NumBands).map(j =>
-        shiftright(col("sig"), j * BandBits)
-          .bitwiseAND(lit((1L << BandBits) - 1))): _*)).as(Seq("bix", "bkey")))
-    val a = bands.select(col("bix"), col("bkey"),
-      col("vec_id").as("vec_a"), emb.as("ea"))
-    val b = bands.select(col("bix"), col("bkey"),
-      col("vec_id").as("vec_b"), emb.as("eb"))
-    a.join(b, Seq("bix", "bkey")).filter(col("vec_a") < col("vec_b"))
+    val vecs = corpus.select(col("vec_id"), emb)
+    val bands = corpus.select(col("vec_id"),
+        lshSig(emb).as("sig"))
+      .select(col("vec_id"),
+        posexplode(array((0 until NumBands).map(j =>
+          shiftright(col("sig"), j * BandBits)
+            .bitwiseAND(lit((1L << BandBits) - 1))): _*)).as(Seq("bix", "bkey")))
+    val a = bands.select(col("bix"), col("bkey"), col("vec_id").as("vec_a"))
+    val b = bands.select(col("bix"), col("bkey"), col("vec_id").as("vec_b"))
+    val cand = a.join(b, Seq("bix", "bkey")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), emb.as("ea")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), emb.as("eb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
-      .distinct()
       .filter(col("cos") >= minCos)
   }
 

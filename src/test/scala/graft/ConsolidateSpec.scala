@@ -161,6 +161,32 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist.head.getString(0) == "k0" && hist.head.getLong(1) == 50L)
   }
 
+  test("LSH bucket guard: 1k identical docs stay linear, pairs complete") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.NearDup
+    // 1000 byte-identical documents + 2 distinct near-dup texts: without
+    // the exact-dup collapse the band self-join would enumerate ~500k
+    // candidate rows through the verify stage; with it, candidate
+    // generation sees ONE representative for the identical block.
+    val same = (1L to 1000L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val docs = (same ++ Seq(
+      (2001L, "completely different text about spark catalyst optimizers and shuffles"),
+      (2002L, "completely different text about spark catalyst optimizers and planners")))
+      .toDF("doc_id", "text")
+    val (members, reps) = NearDup.collapseExact(docs)
+    assert(reps.count() == 3) // 1 rep for the block + 2 distinct
+    assert(members.count() == 1002)
+    // candidate stage operates on reps only: O(distinct texts), not O(N²)
+    val repCand = NearDup.candidates(NearDup.bands(
+      NearDup.minhashSignatures(NearDup.shingles(reps))))
+    assert(repCand.count() <= 3)
+    // the full operator still reports every pair in the identical block
+    val pairs = NearDup.minhashPairs(docs, 0.8)
+    val within = pairs.filter($"doc_a" <= 1000 && $"doc_b" <= 1000)
+    assert(within.count() == 1000L * 999 / 2)
+    assert(within.filter($"jaccard" =!= 1.0).isEmpty)
+  }
+
   test("find JSON: /metrics/find node shape") {
     val s = spark; import s.implicits._
     val nodes = Seq(("events.click", true, false), ("events.u", false, true))

@@ -87,4 +87,30 @@ class DslParserSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Dsl.parse("f(a))"))
     assertThrows[IllegalArgumentException](Dsl.parse("'unterminated"))
   }
+
+  // viewport parseTime grammar (http/graphite.go:197-221)
+  test("viewport: relative, now, absolute, empty, junk") {
+    import graft.dsl.Viewport
+    val now = 1704585600L
+    assert(Viewport.parseTimeSec("-1h", now) == Some(now - 3600))
+    assert(Viewport.parseTimeSec("-1d", now) == Some(now - 86400))
+    assert(Viewport.parseTimeSec("-2weeks", now) == Some(now - 2 * 7 * 86400))
+    assert(Viewport.parseTimeSec("-30minutes", now) == Some(now - 1800))
+    assert(Viewport.parseTimeSec("-5m", now) == Some(now - 300)) // Go bare m
+    assert(Viewport.parseTimeSec("now", now) == Some(now))
+    assert(Viewport.parseTimeSec("1704499200", now) == Some(1704499200L))
+    assert(Viewport.parseTimeSec("", now) == None)
+    assert(Viewport.parseTimeSec("  ", now) == None)
+    assertThrows[IllegalArgumentException](Viewport.parseTimeSec("tomorrow", now))
+    assertThrows[IllegalArgumentException](Viewport.parseTimeSec("-1parsec", now))
+  }
+
+  test("viewport: ctx defaults until to now, requires from") {
+    import graft.dsl.Viewport
+    // ctx construction needs no live session/store for the range math:
+    // parseTimeSec is the surface under test; ctx wiring is exercised
+    // end-to-end by dsl_relative_range / dsl_viewport_mixed.
+    val now = 1705104000L
+    assert(Viewport.parseTimeSec("-6days", now) == Some(1704585600L))
+  }
 }
