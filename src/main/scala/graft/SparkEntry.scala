@@ -26,5 +26,5 @@ object SparkEntry {
     RelQueries.oracles ++ TsQueries.oracles ++ PipelineQueries.oracles ++
       RrdQueries.oracles ++ DslQueries.oracles ++ StatsdQueries.oracles ++
       SimQueries.oracles ++ MultimodalQueries.oracles ++ IngestQueries.oracles ++
-      FetchQueries.oracles
+      FetchQueries.oracles ++ HwQueries.oracles
 }
