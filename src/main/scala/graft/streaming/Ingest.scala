@@ -118,37 +118,78 @@ object Ingest {
     * closes the interval [lastUpdate, ts) carrying the NEW value; the
     * piece stream is then slot-aggregated (time-weighted mean) by
     * [[piecesToSlots]] — in production inside `foreachBatch` merging
-    * into the archive table. State is one (ts, value) pair per series —
-    * bounded, watermark-evictable. Intervals longer than `heartbeatSec`
-    * are unknown and emit nothing (`rrd/ds.go:320-330`). */
+    * into the archive table. Per-key state is one (ts, value) pair, and
+    * key count is kept bounded by *evicting idle series*: a watermark
+    * (delay = heartbeat) is attached to the event time, each series arms
+    * an `EventTimeTimeout` at `lastTs + heartbeat`, and a series that
+    * stays silent past its heartbeat is dropped from the store — the
+    * reference evicts the same series from its DS LRU
+    * (`dsl/ds_lru.go:29-295`). Eviction is observably free: the next
+    * point after a > heartbeat gap emits nothing whether state was kept
+    * (gap rejected, `rrd/ds.go:320-330`) or evicted (series restarts
+    * clean), so the timeout changes memory, not output. On a batch frame
+    * (no watermark possible) the state lives only for the single
+    * invocation and timeouts are moot — NoTimeout path. */
   def pdpPieces(spark: SparkSession,
       points: Dataset[(String, Long, Double)],
       heartbeatSec: Long): Dataset[Piece] = {
     import spark.implicits._
-    points.groupByKey(_._1)
-      .flatMapGroupsWithState[PdpState, Piece](
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (name: String, events: Iterator[(String, Long, Double)],
-         state: GroupState[PdpState]) =>
-          // sort within batch — the reference sorts its buffered points
-          // the same way (`receiver/dscache.go:217-230`)
-          val sorted = events.toArray.sortBy(_._2)
-          val out = Vector.newBuilder[Piece]
-          var st = state.getOption
-          sorted.foreach { case (_, ts, v) =>
-            st match {
-              case Some(PdpState(lastTs, _)) if ts > lastTs =>
-                if (ts - lastTs <= heartbeatSec)
-                  out += Piece(name, lastTs, ts, v)
-                st = Some(PdpState(ts, v))
-              case Some(_) => // out-of-order: dropped (rrd/ds.go:304-306)
-              case None => st = Some(PdpState(ts, v))
-            }
+    // capture on the driver — the handler closure must not touch the
+    // Dataset (its logical plan is not serialized to executors)
+    val streaming = points.isStreaming
+    def handle(name: String, events: Iterator[(Long, Double)],
+        state: GroupState[PdpState]): Iterator[Piece] =
+      if (state.hasTimedOut) {
+        // idle past heartbeat: forget the series (restarts clean later)
+        state.remove()
+        Iterator.empty
+      } else {
+        // sort within batch — the reference sorts its buffered points
+        // the same way (`receiver/dscache.go:217-230`)
+        val sorted = events.toArray.sortBy(_._1)
+        val out = Vector.newBuilder[Piece]
+        var st = state.getOption
+        sorted.foreach { case (ts, v) =>
+          st match {
+            case Some(PdpState(lastTs, _)) if ts > lastTs =>
+              if (ts - lastTs <= heartbeatSec)
+                out += Piece(name, lastTs, ts, v)
+              st = Some(PdpState(ts, v))
+            case Some(_) => // out-of-order: dropped (rrd/ds.go:304-306)
+            case None => st = Some(PdpState(ts, v))
           }
-          st.foreach(state.update)
-          out.result().iterator
+        }
+        st.foreach { s =>
+          state.update(s)
+          if (streaming) {
+            // arm eviction at the heartbeat horizon; the timestamp must
+            // sit past the current watermark or Spark rejects it
+            val horizon = (s.lastTs + heartbeatSec) * 1000L
+            state.setTimeoutTimestamp(
+              math.max(horizon, state.getCurrentWatermarkMs + 1))
+          }
+        }
+        out.result().iterator
       }
+    if (!points.isStreaming)
+      points.groupByKey(_._1)
+        .flatMapGroupsWithState[PdpState, Piece](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          (n, it, st) => handle(n, it.map(e => (e._2, e._3)), st))
+    else
+      // the watermarked event-time column must stay in the operator's
+      // input (Spark checks the child output for it before allowing
+      // setTimeoutTimestamp), so the grouped rows keep all 4 fields
+      points.toDF("name", "tsSec", "value")
+        .withColumn("__et", timestamp_seconds(col("tsSec")))
+        .withWatermark("__et", s"$heartbeatSec seconds")
+        .as[(String, Long, Double, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[PdpState, Piece](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+          (n, it, st) => handle(n, it.map(e => (e._2, e._3)), st))
   }
 
   /** The archive sink (`foreachBatch` body): merge a micro-batch of

@@ -123,16 +123,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .outputMode("append").start()
     // slot [10,20) is split across the two micro-batches: piece [10,15)
     // arrives in batch 1, piece [15,20) in batch 2 — the merged slot
-    // must still be the exact weighted mean 2*0.5 + 6*0.5 = 4
-    mem.addData(("a", 0L, 9.0), ("a", 10L, 1.0), ("a", 15L, 2.0))
+    // must still be the exact weighted mean 2*0.5 + 6*0.5 = 4.
+    // B keeps event times above the initial watermark (0): rows at
+    // event-time ≤ watermark are dropped as late, like any real stream.
+    val B = 100000L
+    mem.addData(("a", B + 0L, 9.0), ("a", B + 10L, 1.0), ("a", B + 15L, 2.0))
     q.processAllAvailable()
-    mem.addData(("a", 20L, 6.0), ("a", 30L, 8.0))
+    mem.addData(("a", B + 20L, 6.0), ("a", B + 30L, 8.0))
     q.processAllAvailable()
     q.stop()
 
     val slots = Ingest.readArchive(s, dir)
-      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+      .as[(String, Long, Double)].collect().map(r => r._2 - B -> r._3).toMap
     assert(slots == Map(0L -> 1.0, 10L -> 4.0, 20L -> 8.0))
+  }
+
+  test("idle series state is evicted once the watermark passes its heartbeat") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val pieces = Ingest.pdpPieces(spark, mem.toDS(), heartbeatSec = 60)
+    val q = pieces.writeStream.format("memory").queryName("evict")
+      .outputMode("append").start()
+
+    val B = 100000L
+    mem.addData(("idle", B, 1.0), ("busy", B, 1.0))
+    q.processAllAvailable()              // state: {idle, busy}
+    mem.addData(("busy", B + 200L, 2.0)) // batch end → watermark B+140
+    q.processAllAvailable()
+    mem.addData(("busy", B + 210L, 3.0)) // idle's horizon (B+60) < B+140 → timeout
+    q.processAllAvailable()
+
+    val states = q.recentProgress.flatMap(_.stateOperators.headOption)
+      .map(_.numRowsTotal)
+    q.stop()
+    assert(states.contains(2L),
+      s"expected both series in state at some point, got ${states.toSeq}")
+    assert(states.last == 1,
+      s"expected the idle series evicted, got ${states.toSeq}")
   }
 
   test("stateful PDP stream equals batch Consolidate across micro-batches") {
@@ -140,9 +168,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = s.sqlContext
 
     // same update stream, fed in two micro-batches split mid-series
-    val batch1 = Seq(("s", 0L, 1.0), ("s", 10L, 2.0), ("s", 25L, 4.0))
-    val batch2 = Seq(("s", 40L, 8.0), ("s", 30L, 9.9) /* late: dropped */,
-      ("t", 5L, 1.0), ("t", 95L, 2.0) /* gap 90 > hb: unknown */)
+    // (B: keep event times above the initial watermark — see merge test)
+    val B = 100000L
+    val batch1 = Seq(("s", B + 0L, 1.0), ("s", B + 10L, 2.0), ("s", B + 25L, 4.0))
+    val batch2 = Seq(("s", B + 40L, 8.0), ("s", B + 30L, 9.9) /* late: dropped */,
+      ("t", B + 5L, 1.0), ("t", B + 95L, 2.0) /* gap 90 > hb: unknown */)
 
     val mem = MemoryStream[(String, Long, Double)]
     val pieces = Ingest.pdpPieces(spark, mem.toDS(), heartbeatSec = 60)
