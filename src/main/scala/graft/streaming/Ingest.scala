@@ -196,13 +196,20 @@ object Ingest {
     * interval pieces into a parquet slot store. Pieces re-aggregate
     * with existing slot partials by summing (value·dur, dur) — the
     * weighted mean stays exact when a slot's pieces arrive across
-    * micro-batches. At scale the store is partitioned by time and the
-    * rewrite touches only partitions the batch's slots land in (here:
-    * whole-store rewrite, the semantics are what's under test).
-    * Mirrors the reference's vcache flush (`receiver/vcache.go:186-361`)
-    * minus the round-robin versioning parquet doesn't need. */
+    * micro-batches.
+    *
+    * The store is hive-partitioned on `pt = floor(t / (stepSec ·
+    * partitionSlots))` and the merge is *partition-scoped*: it reads
+    * back only the partitions the batch's slots land in (static
+    * partition pruning on the collected key list — a handful of longs,
+    * bounded by the batch's wall-time span) and rewrites only those via
+    * dynamic partition overwrite. A batch against a year of history
+    * touches the current partition, not the store. Mirrors the
+    * reference's vcache flush (`receiver/vcache.go:186-361`) minus the
+    * round-robin versioning parquet doesn't need. */
   def mergePiecesIntoArchive(spark: SparkSession, pieces: DataFrame,
-      archiveDir: String, stepSec: Long): Unit = {
+      archiveDir: String, stepSec: Long, partitionSlots: Long = 8640): Unit = {
+    val partSec = stepSec * partitionSlots
     val slotLo = floor(col("begin").cast("double") / stepSec).cast("long")
     val slotHi = floor((col("end") - 1).cast("double") / stepSec).cast("long")
     val newPartials = pieces
@@ -214,8 +221,16 @@ object Ingest {
       .filter(col("overlap") > 0)
       .groupBy(col("name"), col("t"))
       .agg(sum(col("value") * col("overlap")).as("vw"), sum(col("overlap")).as("dur"))
+    // the partition keys this batch touches: tiny driver-side list
+    // (one per partSec of batch time span) used for static pruning
+    val touched = newPartials
+      .select(floor(col("t").cast("double") / partSec).cast("long").as("pt"))
+      .distinct().collect().map(_.getLong(0))
+    if (touched.isEmpty) return
     val existing =
       try spark.read.parquet(archiveDir)
+        .filter(col("pt").isin(touched.map(Long.box): _*))
+        .select(col("name"), col("t"), col("vw"), col("dur"))
       catch { case _: Exception =>
         spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("t"),
           lit(0.0).as("vw"), lit(0.0).as("dur")).limit(0)
@@ -223,14 +238,11 @@ object Ingest {
     val merged = existing.unionByName(newPartials)
       .groupBy(col("name"), col("t"))
       .agg(sum(col("vw")).as("vw"), sum(col("dur")).as("dur"))
-    val tmp = archiveDir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap (a real lake would MERGE per time-partition)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(archiveDir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      .withColumn("pt", floor(col("t").cast("double") / partSec).cast("long"))
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pt")
+      .parquet(archiveDir)
   }
 
   /** Read the archive slot store as a series frame. */

@@ -138,6 +138,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(slots == Map(0L -> 1.0, 10L -> 4.0, 20L -> 8.0))
   }
 
+  test("archive merge touches only the time partitions the batch lands in") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/slots"
+
+    def files(pt: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/pt=$pt")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+
+    // stepSec=10, partitionSlots=2 → 20-second partitions
+    // batch 1: slots 0,10 (pt=0) and 20 (pt=1)
+    Ingest.mergePiecesIntoArchive(s, Seq(
+      Ingest.Piece("a", 0L, 20L, 2.0),
+      Ingest.Piece("a", 20L, 30L, 4.0)).toDF(), dir, stepSec = 10, partitionSlots = 2)
+    val pt0Before = files(0)
+    assert(pt0Before.nonEmpty && files(1).nonEmpty)
+
+    // batch 2: refines slot 20 (pt=1) and adds slot 40 (pt=2) — pt=0
+    // must not be rewritten (same file names, same mtimes)
+    Ingest.mergePiecesIntoArchive(s, Seq(
+      Ingest.Piece("a", 25L, 30L, 8.0),
+      Ingest.Piece("a", 40L, 50L, 6.0)).toDF(), dir, stepSec = 10, partitionSlots = 2)
+    assert(files(0) == pt0Before,
+      s"pt=0 was rewritten: ${files(0)} vs $pt0Before")
+    assert(files(2).nonEmpty)
+
+    // row identity: slot 20 = (4*10 + 8*5)/15, others plain
+    val slots = Ingest.readArchive(s, dir)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(slots == Map(0L -> 2.0, 10L -> 2.0, 20L -> (4.0 * 10 + 8.0 * 5) / 15, 40L -> 6.0))
+  }
+
   test("idle series state is evicted once the watermark passes its heartbeat") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
