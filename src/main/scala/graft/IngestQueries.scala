@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.streaming.{Find, Ingest}
+import graft.streaming.{Find, Ingest, Pickle}
 import graft.ts.{SeriesModel => M, Round6}
 
 /** Driver-checked queries for the ingest parsers and metadata finders.
@@ -90,6 +90,38 @@ object IngestQueries {
            |       ${Round6.r6Sql("sum(value) / 100.0")} AS sum_value,
            |       ${Round6.r6Sql("avg(sample)")} AS avg_sample
            |FROM parsed GROUP BY 1, 2 ORDER BY name, metric""".stripMargin)),
+
+    // carbon pickle wire → frame per partition chunk (encoded on the
+    // executors) → decode → hourly re-aggregation. Integer-cent values
+    // ride BINFLOAT exactly; names are NOT sanitized — the pickle path
+    // queues them raw (daemon/graphite_pickle.go:186), unlike text
+    ("ig_pickle_parse",
+      ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val pts = Tables.events(s, d).select(
+            concat(lit("pk."), col("event_type")).as("name"),
+            unix_timestamp(col("ts")).as("tsSec"),
+            round(col("value") * 100).cast("double").as("value"))
+          .as[(String, Long, Double)]
+        val frames = pts.mapPartitions(_.grouped(100).map(chunk =>
+          Pickle.encodeFrame(chunk.map(p => Pickle.Point(p._1, p._2, p._3)))))
+        val decoded = frames.flatMap(Pickle.decodeFrames(_)).toDF()
+        fin(decoded
+          .groupBy(col("name"),
+            (floor(col("tsSec").cast("double") / 3600).cast("long") * 3600).as("t"))
+          .agg((sum(col("value")) / 100.0 / count(lit(1))).as("value")))
+      }): Q,
+      Some(
+        s"""WITH pts AS (
+           |  SELECT 'pk.' || event_type AS name,
+           |         CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+           |         CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS value
+           |  FROM events
+           |), out AS (
+           |  SELECT name, CAST(floor(tsec / 3600) AS BIGINT) * 3600 AS t,
+           |         sum(value) / 100.0 / count(*) AS value
+           |  FROM pts GROUP BY 1, 2
+           |)""".stripMargin + tail)),
 
     // /metrics/find glob tree walk over the multi-node catalog
     ("fd_find_nodes",
