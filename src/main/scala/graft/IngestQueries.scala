@@ -123,6 +123,146 @@ object IngestQueries {
            |  FROM pts GROUP BY 1, 2
            |)""".stripMargin + tail)),
 
+    // whisper backfill import: per-series two-archive .wsp images built
+    // from events on the executors (fine hourly ring of 168 slots,
+    // coarse daily ring of 60, empty slots zero-padded), then decoded by
+    // the import path. The oracle replays the extraction arithmetic
+    // (process.go:355-400): +step slot-end shift, newest-fine-point
+    // drop, and the coarse archive clipped to pre-fine history
+    ("ig_whisper_import",
+      ((s: SparkSession, d: String) => {
+        import s.implicits._
+        import graft.sources.Whisper
+        val base = Tables.events(s, d).select(
+          col("event_type").as("name"),
+          unix_timestamp(col("ts")).as("tsec"),
+          round(col("value") * 100).cast("double").as("cents"))
+        def slots(stepSec: Long, aix: Int) = base
+          .groupBy(col("name"),
+            (floor(col("tsec").cast("double") / stepSec).cast("long") * stepSec).as("t0"))
+          .agg((sum(col("cents")) / 100.0 / count(lit(1))).as("v"))
+          .select(col("name"), lit(aix).as("aix"), col("t0"), col("v"))
+        val rings = Seq((3600L, 168), (86400L, 60))
+        val rows = slots(3600L, 0).unionByName(slots(86400L, 1))
+          .as[(String, Int, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroups { (name, it) =>
+            val pts = it.toArray
+            val archives = rings.zipWithIndex.map { case ((step, size), aix) =>
+              val sel = pts.filter(_._2 == aix).map(p => Whisper.Point(p._3, p._4))
+              val mx = sel.map(_.tsSec).max
+              val kept = sel.filter(_.tsSec > mx - size * step) // ring keeps last `size`
+              step -> (kept ++ Array.fill(size - kept.length)(Whisper.Point(0L, 0.0))).toSeq
+            }
+            Whisper.extractPoints(Whisper.encode(1, 0.5f, archives))
+              .map(p => (name, p.tsSec, p.value))
+          }
+        fin(rows.toDF("name", "t", "value"))
+      }): Q,
+      Some(
+        s"""WITH base AS (
+           |  SELECT event_type AS name, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+           |         CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS cents
+           |  FROM events
+           |), hourly AS (
+           |  SELECT name, CAST(floor(tsec / 3600) AS BIGINT) * 3600 AS t0,
+           |         sum(cents) / 100.0 / count(*) AS v
+           |  FROM base GROUP BY 1, 2
+           |), daily AS (
+           |  SELECT name, CAST(floor(tsec / 86400) AS BIGINT) * 86400 AS t0,
+           |         sum(cents) / 100.0 / count(*) AS v
+           |  FROM base GROUP BY 1, 2
+           |), hmax AS (SELECT name, max(t0) AS hm FROM hourly GROUP BY name),
+           |dmax AS (SELECT name, max(t0) AS dm FROM daily GROUP BY name),
+           |fine_out AS (
+           |  SELECT h.name, h.t0 + 3600 AS t, h.v AS value
+           |  FROM hourly h JOIN hmax m USING (name)
+           |  WHERE h.t0 > m.hm - ${168 * 3600} AND h.t0 < m.hm
+           |), coarse_out AS (
+           |  SELECT dy.name, dy.t0 + 86400 AS t, dy.v AS value
+           |  FROM daily dy JOIN dmax m USING (name) JOIN hmax hm2 USING (name)
+           |  WHERE dy.t0 > m.dm - ${60 * 86400}
+           |    AND dy.t0 + 86400 < hm2.hm + 3600 - ${168 * 3600}
+           |), out AS (
+           |  SELECT * FROM fine_out UNION ALL SELECT * FROM coarse_out
+           |)""".stripMargin + tail)),
+
+    // pixel endpoints: both engines synthesize the SAME request URLs
+    // (integer-only value/ts text), then parse them independently —
+    // Spark via Pixel.parseRequests column expressions, DuckDB via its
+    // own split/regexp restatement of the Sscanf grammar
+    ("ig_pixel_parse",
+      ((s: SparkSession, d: String) => {
+        import graft.streaming.Pixel
+        val ev = Tables.events(s, d)
+        val cents = round(col("value") * 100).cast("long").cast("string")
+        val tsec = unix_timestamp(col("ts")).cast("string")
+        val base = concat(lit("px/"), col("event_type"), lit("$z="), cents)
+        val m4 = col("event_id") % 4
+        val url =
+          when(m4 === 0, concat(lit("/pixel?"), base, lit("@"), tsec,
+            when(col("event_id") % 20 === 0, lit("&extra.m=5e-1@100"))
+              .otherwise(lit(""))))
+          .when(m4 === 1, concat(lit("/pixel?"), base,
+            when(col("event_id") % 7 === 0, lit("&bad=@9")).otherwise(lit(""))))
+          .when(m4 === 2, concat(lit("/pixel/add?"), base))
+          .otherwise(concat(lit("/pixel/append?"), base))
+        Pixel.parseRequests(ev.select(url.as("url")), lit(1700000000L))
+          .groupBy(col("kind"), col("name"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            Round6.r6(sum(col("value"))).as("sum_value"),
+            sum(coalesce(col("tsSec"), lit(0L))).cast("long").as("sum_t"))
+          .orderBy("kind", "name")
+      }): Q,
+      Some {
+        val f = graft.streaming.Pixel.floatReSql
+        s"""WITH ev AS (
+           |  SELECT event_id, event_type,
+           |         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS cents,
+           |         CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS tsec
+           |  FROM events
+           |), urls AS (
+           |  SELECT CASE
+           |    WHEN event_id % 4 = 0 THEN '/pixel?px/' || event_type || '$$z=' || cents || '@' || tsec
+           |      || CASE WHEN event_id % 20 = 0 THEN '&extra.m=5e-1@100' ELSE '' END
+           |    WHEN event_id % 4 = 1 THEN '/pixel?px/' || event_type || '$$z=' || cents
+           |      || CASE WHEN event_id % 7 = 0 THEN '&bad=@9' ELSE '' END
+           |    WHEN event_id % 4 = 2 THEN '/pixel/add?px/' || event_type || '$$z=' || cents
+           |    ELSE '/pixel/append?px/' || event_type || '$$z=' || cents
+           |  END AS url FROM ev
+           |), pairs AS (
+           |  SELECT CASE split_part(url, '?', 1)
+           |           WHEN '/pixel' THEN 'dp' WHEN '/pixel/add' THEN 'add'
+           |           WHEN '/pixel/addgauge' THEN 'addgauge'
+           |           WHEN '/pixel/setgauge' THEN 'setgauge'
+           |           WHEN '/pixel/append' THEN 'append' END AS kind,
+           |         unnest(string_split(split_part(url, '?', 2), '&')) AS pair
+           |  FROM urls
+           |), scanned AS (
+           |  SELECT kind,
+           |         regexp_replace(regexp_replace(regexp_replace(
+           |           split_part(pair, '=', 1),
+           |           '\\s+', '_', 'g'), '/', '-', 'g'),
+           |           '[^a-zA-Z_\\-0-9\\.]', '', 'g') AS name,
+           |         try_cast(regexp_extract(split_part(pair, '=', 2),
+           |           '^\\s*($f)', 1) AS DOUBLE) AS value,
+           |         try_cast(regexp_extract(split_part(pair, '=', 2),
+           |           '^\\s*$f@\\s*($f)', 1) AS DOUBLE) AS ut
+           |  FROM pairs WHERE kind IS NOT NULL AND pair <> ''
+           |), rows_ AS (
+           |  SELECT kind, name, value,
+           |         CASE WHEN kind = 'dp' THEN
+           |           CASE WHEN coalesce(ut, 0) = 0 THEN 1700000000
+           |                ELSE CAST(floor(ut) AS BIGINT) END
+           |         END AS ts
+           |  FROM scanned WHERE value IS NOT NULL
+           |)
+           |SELECT kind, name, CAST(count(*) AS BIGINT) AS n,
+           |       ${Round6.r6Sql("sum(value)")} AS sum_value,
+           |       CAST(sum(coalesce(ts, 0)) AS BIGINT) AS sum_t
+           |FROM rows_ GROUP BY 1, 2 ORDER BY kind, name""".stripMargin
+      }),
+
     // /metrics/find glob tree walk over the multi-node catalog
     ("fd_find_nodes",
       ((s, d) => Find.findNodes(
