@@ -96,6 +96,58 @@ object SimQueries {
            |SELECT CAST(doc_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster
            |FROM comp ORDER BY vec_id""".stripMargin)),
 
+    // IVF probing seeded by the k-means centroids — the production
+    // index build, end-to-end oracle-replayed (kmeans CTEs + probe)
+    ("sim_topk_ivf_km",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.topKIvfKmeans(e, e.filter(col("vec_id") < 5), K)
+          .select(col("qid").cast("long").as("qid"), col("rank"),
+            col("vec_id").cast("long").as("vec_id"),
+            Round6.r6(col("cos")).as("cos"))
+          .orderBy("qid", "rank")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.kmeansSql()},
+           |assignedk AS (
+           |  SELECT vec_id, embedding, cid FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${Similarity.cosineSql("e.embedding", "c.cent")} DESC, c.cid) AS r
+           |    FROM embeddings e, c${Similarity.KmIters} c)
+           |  WHERE r = 1
+           |), probesk AS (
+           |  SELECT qid, qemb, cid FROM (
+           |    SELECT q.vec_id AS qid, q.embedding AS qemb, c.cid,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY ${Similarity.cosineSql("q.embedding", "c.cent")} DESC, c.cid) AS r
+           |    FROM embeddings q, c${Similarity.KmIters} c WHERE q.vec_id < 5)
+           |  WHERE r <= ${Similarity.IvfProbe}
+           |), rankedk AS (
+           |  SELECT qid, vec_id, cos,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+           |  FROM (
+           |    SELECT p.qid, a.vec_id, ${Similarity.cosineSql("p.qemb", "a.embedding")} AS cos
+           |    FROM probesk p JOIN assignedk a USING (cid)
+           |    WHERE a.vec_id <> p.qid)
+           |)
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("cos")} AS cos
+           |FROM rankedk WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
+
+    // k-means corpus clustering (3 unrolled Lloyd rounds, first-K seeds)
+    ("sim_kmeans",
+      ((s, d) => Similarity.kmeans(Tables.embeddings(s, d))
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cid").cast("long").as("cid"),
+          Round6.r6(col("cos")).as("cos"))
+        .orderBy("vec_id")): Q,
+      Some(
+        s"""WITH ${Similarity.kmeansSql()}
+           |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cid,
+           |       ${Round6.r6Sql("cos")} AS cos
+           |FROM outk ORDER BY vec_id""".stripMargin)),
+
     // LSH-bucketed pairs: random-hyperplane bands, exact verification
     ("sim_pairs_lsh",
       ((s, d) => Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)

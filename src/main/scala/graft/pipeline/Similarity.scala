@@ -145,18 +145,37 @@ object Similarity {
       .select(col("vec_id"), emb, col("cid"))
   }
 
-  /** IVF top-k: probe the query's nearest nProbe buckets, exact cosine
-    * rank within them. */
-  def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") < IvfK)
-    val assigned = ivfAssign(corpus, centroids)
-    val cents = broadcast(centroids.select(
-      col("vec_id").as("cid"), emb.as("cemb")))
+  /** IVF top-k with first-K-ids centroid seeds (oracle-replayable). */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topKIvfWith(corpus,
+      corpus.filter(col("vec_id") < IvfK)
+        .select(col("vec_id").cast("long").as("cid"), emb.as("cent")),
+      queries, k)
+
+  /** IVF top-k seeded by [[kmeansCentroids]] — the production index
+    * build: k-means buckets are tighter than arbitrary seeds, so the
+    * same nProbe recalls more. Still fully oracle-replayable since the
+    * k-means itself is. */
+  def topKIvfKmeans(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topKIvfWith(corpus, kmeansCentroids(corpus), queries, k)
+
+  /** IVF top-k against an arbitrary centroid frame (cid, cent): assign
+    * every corpus vector to its nearest centroid once, answer queries
+    * by probing the nProbe nearest buckets, exact cosine rank within. */
+  def topKIvfWith(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val cents = broadcast(centroids.select(col("cid"), col("cent")))
+    val assigned = corpus.select(col("vec_id"), emb).crossJoin(cents)
+      .select(col("vec_id"), emb, col("cid"), cosine(emb, col("cent")).as("ccos"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("__r") === 1)
+      .select(col("vec_id"), emb, col("cid"))
     // per query: nProbe nearest centroid ids
     val q = queries.select(col("vec_id").as("qid"), emb.as("qemb"))
     val probes = q.crossJoin(cents)
       .select(col("qid"), col("qemb"), col("cid"),
-        cosine(col("qemb"), col("cemb")).as("ccos"))
+        cosine(col("qemb"), col("cent")).as("ccos"))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
       .filter(col("__r") <= IvfProbe)
@@ -173,7 +192,121 @@ object Similarity {
         col("vec_id"), col("cos"))
   }
 
+  /** Lloyd's k-means over the embedding column — the clustering
+    * primitive a training-data pipeline needs for corpus curation
+    * (cluster-balanced sampling, semantic cohorts) and the production
+    * seeding path for [[topKIvf]] centroids (whose deterministic
+    * first-K seeding the oracle replays; this IS the k-means those
+    * seeds feed at 100 TB).
+    *
+    * Cross-engine determinism: vectors are integer-quantized
+    * (floor(x·10⁴+0.5), as [[lshSig]]), so per-cluster element sums are
+    * exact integers; the only floats — centroid means (exact-int ÷
+    * count) and cosines (index-order folds) — are computed by the
+    * identical expression in both engines. Assignment ranks by
+    * (cos desc, cid) so ties break deterministically; the iteration
+    * count is FIXED (no convergence test) so the DuckDB oracle unrolls
+    * the loop as CTEs.
+    *
+    * Scale shape: centroids are K×dim — always broadcast; assignment is
+    * a map-side pass over the corpus; the update shuffles only K·dim
+    * map-side-combined (cid, element) partial sums, independent of
+    * corpus size; centroids round-trip through the driver between
+    * rounds (K×dim doubles — the same "driver touches only tiny state"
+    * rule as [[NearDup.clusters]]). */
+  val KmK = 8
+  val KmIters = 3
+
+  /** Nearest-centroid assignment of quantized vectors:
+    * (vec_id, qv, cid, cos). */
+  private def kmeansAssign(qv: DataFrame, cents: DataFrame): DataFrame =
+    qv.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        cosine(col("qv"), col("cent")).as("cos"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
+      .filter(col("__r") === 1)
+      .select(col("vec_id"), col("qv"), col("cid"), col("cos"))
+
+  /** Centroid frame (cid, cent: array<double>) after `iters` Lloyd
+    * rounds from first-K seeds. */
+  def kmeansCentroids(corpus: DataFrame, k: Int = KmK,
+      iters: Int = KmIters): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qv = corpus.select(col("vec_id"), qvec(emb).as("qv"))
+    var cents = qv.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"),
+        transform(col("qv"), x => x.cast("double")).as("cent"))
+    (1 to iters).foreach { _ =>
+      val updated = kmeansAssign(qv, cents)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("i"), (col("sx") / col("n")).as("v")))),
+          s => s.getField("v")).as("cent"))
+        // K×dim doubles through the driver: truncates the iterative
+        // lineage and is the natural broadcast source for the next round
+        .as[(Long, Seq[Double])].collect().toSeq
+      cents = updated.toDF("cid", "cent")
+    }
+    cents
+  }
+
+  /** (vec_id, cid, cos) assignment after `iters` Lloyd rounds. */
+  def kmeans(corpus: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame =
+    kmeansAssign(corpus.select(col("vec_id"), qvec(emb).as("qv")),
+      kmeansCentroids(corpus, k, iters))
+      .select(col("vec_id"), col("cid"), col("cos"))
+
   // ---- DuckDB oracle builders ----
+
+  /** Unrolled-CTE DuckDB restatement of [[kmeans]]: `qvecs`, `c0`
+    * seeds, then aN/cN per round; defines `outk(vec_id, cid, cos)`. */
+  def kmeansSql(k: Int = KmK, iters: Int = KmIters): String = {
+    def dot(x: String, y: String) =
+      s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in generate_series(1, $Dim)])"
+    def cos(q: String, c: String) =
+      s"(${dot(q, c)} / (sqrt(${dot(q, q)}) * sqrt(${dot(c, c)})))"
+    def assign(name: String, cents: String, last: Boolean) = {
+      val keep = if (last) s"${cos("q.qv", "c.cent")} AS cos" else "q.qv"
+      s"""$name AS (
+         |  SELECT vec_id, cid${if (last) ", cos" else ", qv"} FROM (
+         |    SELECT q.vec_id, c.cid, $keep,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cos("q.qv", "c.cent")} DESC, c.cid) AS r
+         |    FROM qvecs q, $cents c)
+         |  WHERE r = 1
+         |)""".stripMargin
+    }
+    def update(name: String, assigned: String) =
+      s"""$name AS (
+         |  SELECT cid, list(sx / n ORDER BY i) AS cent FROM (
+         |    SELECT a.cid, t.i, sum(a.qv[t.i]) AS sx, count(*) AS n
+         |    FROM $assigned a
+         |    CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) t
+         |    GROUP BY a.cid, t.i)
+         |  GROUP BY cid
+         |)""".stripMargin
+    val rounds = (1 to iters).map(r =>
+      assign(s"a$r", s"c${r - 1}", last = false) + ",\n" +
+        update(s"c$r", s"a$r")).mkString(",\n")
+    s"""qvecs AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |     for e in embedding] AS qv
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS cid,
+       |         [CAST(x AS DOUBLE) for x in qv] AS cent
+       |  FROM qvecs WHERE vec_id < $k
+       |),
+       |$rounds,
+       |${assign("outk", s"c$iters", last = true)}""".stripMargin
+  }
+
 
   /** CTEs `assigned(vec_id, embedding, cid)` + `probes(qid, qemb, cid)`
     * replaying [[ivfAssign]]/probe selection for queries `vec_id < 5`. */
