@@ -64,6 +64,12 @@ object NearDup {
       .distinct()
   }
 
+  /** Per-document shingle-hash set: the one shuffle the MinHash/SimHash
+    * paths pay — everything downstream (signatures, verification) is
+    * map-side work over the compact per-doc array. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy(col("doc_id")).agg(collect_set(col("xh")).as("hs"))
+
   /** 16-hash MinHash signature per document: one map-side-combinable
     * aggregate over the exploded shingles. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
@@ -71,6 +77,16 @@ object NearDup {
       min((col("xh") * a + b) % P).as(s"h$k")
     }
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** The same signatures computed by an in-place array fold over
+    * [[shingleSets]] — zero shuffle (the set frame already paid it). */
+  def signaturesFromSets(sets: DataFrame): DataFrame = {
+    val mins = hashParams.zipWithIndex.map { case ((a, b), k) =>
+      aggregate(col("hs"), lit(Long.MaxValue),
+        (acc, x) => least(acc, (x * a + b) % P)).as(s"h$k")
+    }
+    sets.select(col("doc_id") +: mins: _*)
   }
 
   /** LSH band keys: [[NumBands]] rows per doc, key = the band's hash
@@ -91,21 +107,24 @@ object NearDup {
   }
 
   /** Exact Jaccard over shingle-hash sets for a candidate-pair frame;
-    * keeps pairs with jaccard ≥ `minJ`. */
-  def verifyJaccard(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val sa = sh.select(col("doc_id").as("doc_a"), col("xh"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("xh"))
-    val inter = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "xh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+    * keeps pairs with jaccard ≥ `minJ`. Computed by joining each side's
+    * per-doc shingle-hash SET (one map-side-combined aggregate) onto the
+    * candidate pairs and intersecting arrays in place — versus exploding
+    * candidates × shingles through two shuffle joins and re-aggregating
+    * at pair grain, this moves set-sized payloads only for actual
+    * candidates. Per-doc sets are bounded by document length, so the
+    * array payload stays small at any corpus scale; the jaccard itself
+    * is an exact integer ratio (no float-order hazard). */
+  def verifyJaccard(cand: DataFrame, sets: DataFrame, minJ: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          (size(col("ha")) + size(col("hb")) -
+            size(array_intersect(col("ha"), col("hb")))).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= minJ)
-  }
 
   /** Exact-duplicate collapse ahead of any LSH stage. Byte-identical
     * texts share EVERY band, so a bucket of N identical documents
@@ -146,15 +165,16 @@ object NearDup {
     cross.unionByName(within)
   }
 
-  /** MinHash+LSH near-dup pipeline: exact-dup collapse → shingle → sign
-    * → band → bucket-join → exact-Jaccard verify → dup re-expansion.
-    * The shingle frame feeds three plan branches (signatures,
-    * intersection, sizes) — persist it so the md5 hashing and explode
-    * run once, not per branch. */
+  /** MinHash+LSH near-dup pipeline: exact-dup collapse → shingle-set →
+    * sign → band → bucket-join → exact-Jaccard verify → dup
+    * re-expansion. The persisted per-doc SET frame feeds both the
+    * signature fold (map-only) and the verification joins, so the whole
+    * pipeline pays exactly one corpus-wide shuffle (building the sets)
+    * plus the candidate-sized band join. */
   def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
     val (members, reps) = collapseExact(docs)
-    val sh = shingles(reps).persist()
-    val repPairs = verifyJaccard(candidates(bands(minhashSignatures(sh))), sh, minJ)
+    val sets = shingleSets(reps).persist()
+    val repPairs = verifyJaccard(candidates(bands(signaturesFromSets(sets))), sets, minJ)
     expandExactDups(repPairs, members, "jaccard", lit(1.0))
   }
 
@@ -170,7 +190,8 @@ object NearDup {
       .select("doc_a", "doc_b").distinct()
     // verification runs on the UNCAPPED sets: the cap bounds candidate
     // generation, not the reported similarity
-    verifyJaccard(cand, sh, minJ)
+    verifyJaccard(cand,
+      sh.groupBy(col("doc_id")).agg(collect_set(col("xh")).as("hs")), minJ)
   }
 
   /** 32-bit SimHash per document over distinct shingle hashes (shingles,
@@ -178,8 +199,7 @@ object NearDup {
     * unigram set near-identical and the signature degenerate): bit i of
     * the signature = sign of Σ(±1) over shingle-hash bit i. */
   def simhashSigs(docs: DataFrame): DataFrame = {
-    shingles(docs)
-      .groupBy(col("doc_id")).agg(collect_set(col("xh")).as("hs"))
+    shingleSets(docs)
       .select(col("doc_id"), expr(
         """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc +
           |  IF(aggregate(hs, CAST(0 AS BIGINT),
