@@ -164,7 +164,88 @@ object PipelineQueries {
              |  CAST(len(text) AS BIGINT) AS n_chars_actual,
              |  round(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
              |        / greatest(len(text), 1), 6) AS tokens_per_char
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // PII scrub over text with synthesized emails/URLs/IPs (both
+    // engines build the identical dirty text, then redact independently)
+    ("tx_scrub",
+      ((s, d) => {
+        val dirty = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com via "),
+            lit("https://site"), pmod(col("doc_id"), lit(7)), lit(".com/a_b "),
+            lit("from 10.0."), pmod(col("doc_id"), lit(256)), lit(".25")).as("text"))
+        pipeline.TextAnalysis.scrub(dirty)
+          .select(col("doc_id").cast("long").as("doc_id"), col("n_email"),
+            col("n_url"), col("n_ip"), col("clean"))
+          .orderBy("doc_id")
+      }): Q,
+      Some(
+        s"""WITH docs AS (
+           |  SELECT doc_id,
+           |         text || ' contact user' || doc_id || '@example.com via ' ||
+           |         'https://site' || (doc_id % 7) || '.com/a_b ' ||
+           |         'from 10.0.' || (doc_id % 256) || '.25' AS text
+           |  FROM documents
+           |)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_email, n_url, n_ip, clean
+           |FROM (${pipeline.TextAnalysis.scrubSql})
+           |ORDER BY doc_id""".stripMargin)),
+
+    // deterministic uniform hash-sample at 20% on doc_id
+    ("sp_hash_sample",
+      ((s, d) => pipeline.Sampling.hashSample(
+          Tables.documents(s, d), col("doc_id"), 0.2)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          pipeline.Sampling.bucket(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       ${pipeline.Sampling.bucketSql("doc_id")} AS bucket
+           |FROM documents
+           |WHERE ${pipeline.Sampling.bucketSql("doc_id")} < 2000
+           |ORDER BY doc_id""".stripMargin)),
+
+    // stratified sample: per-source rates, default for the rest
+    ("sp_stratified",
+      ((s, d) => {
+        val sess = s; import sess.implicits._
+        val rates = Seq(("src0", 0.5), ("src1", 0.25)).toDF("stratum", "rate")
+        pipeline.Sampling.stratifiedSample(
+            Tables.documents(s, d), col("source"), col("doc_id"), rates, 0.1)
+          .select(col("source"), col("doc_id").cast("long").as("doc_id"))
+          .orderBy("source", "doc_id")
+      }): Q,
+      Some(
+        s"""WITH rated AS (
+           |  SELECT source, doc_id,
+           |         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+           |              ELSE 0.1 END AS rate
+           |  FROM documents
+           |)
+           |SELECT source, CAST(doc_id AS BIGINT) AS doc_id
+           |FROM rated
+           |WHERE ${pipeline.Sampling.bucketSql("doc_id")} < CAST(round(rate * 10000) AS BIGINT)
+           |ORDER BY source, doc_id""".stripMargin)),
+
+    // deterministic training-order shuffle: block-major (block, rank)
+    ("sp_shuffle_rank",
+      ((s, d) => pipeline.Sampling.shuffleRank(
+          Tables.documents(s, d).select("doc_id"), col("doc_id"), "epoch1")
+        .select(col("block"), col("rank").cast("long").as("rank"),
+          col("doc_id").cast("long").as("doc_id"))
+        .orderBy("block", "rank")): Q,
+      Some(
+        s"""WITH h AS (
+           |  SELECT doc_id, md5('epoch1' || CAST(doc_id AS VARCHAR)) AS hx
+           |  FROM documents
+           |)
+           |SELECT CAST(('0x' || substr(hx, 1, 2))::BIGINT % 256 AS BIGINT) AS block,
+           |       CAST(row_number() OVER (
+           |         PARTITION BY ('0x' || substr(hx, 1, 2))::BIGINT % 256
+           |         ORDER BY hx, CAST(doc_id AS VARCHAR)) AS BIGINT) AS rank,
+           |       CAST(doc_id AS BIGINT) AS doc_id
+           |FROM h ORDER BY block, rank""".stripMargin))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -22,6 +22,40 @@ object TextAnalysis {
         .as("tokens_per_char"))
   }
 
+  // ---- PII scrubbing ----
+
+  /** Redaction patterns, written to the RE2 ∩ Java-regex common subset
+    * so the DuckDB oracle matches byte-for-byte: emails, http(s) URLs
+    * (conservative charset — no \S, whose semantics differ), and
+    * dotted-quad IPs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[A-Za-z0-9./_%-]+"
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Per-document PII counts + redacted text — the scrub every
+    * training corpus runs before anything else. Email redaction runs
+    * first (an email never contains `://`, a URL never `@`, so the
+    * order is only about determinism, which both engines share). Map-
+    * side projection; zero shuffle. */
+  def scrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_url"),
+      regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ip"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<EMAIL>"), UrlRe, "<URL>"), IpRe, "<IP>").as("clean"))
+
+  /** DuckDB twin of [[scrub]] over a CTE/table named `docs`. */
+  def scrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_url,
+       |  CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_ip,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'),
+       |    '$IpRe', '<IP>', 'g') AS clean
+       |FROM docs""".stripMargin
+
   // ---- quality scoring ----
 
   /** English stopwords used by the quality heuristic (tiny fixed list —

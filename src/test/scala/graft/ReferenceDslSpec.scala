@@ -242,4 +242,24 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head._3.isEmpty)
     assert(rows.tail.forall(_._3.contains(0.0)))
   }
+
+  test("edge: color() is a data no-op wrapper — dsl/funcs.go:939-943") {
+    val s = spark; import s.implicits._
+    val plain = Eval.evalExpr(ctx, "sumSeries('foo.*.baz')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    val colored = Eval.evalExpr(ctx, "color(sumSeries('foo.*.baz'), 'red')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(colored === plain) // color only matters to a renderer
+  }
+
+  test("edge: timeShift ignores the resetEnd argument — dsl/funcs.go:1337-1339") {
+    val s = spark; import s.implicits._
+    // the reference declares resetEnd (funcs.go:124-126) but its own
+    // comment says it is not implemented; a passed value changes nothing
+    val base = Eval.evalExpr(ctx, "timeShift('foo.bar1.baz', '-20s')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    val withArg = Eval.evalExpr(ctx, "timeShift('foo.bar1.baz', '-20s', 'false')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(withArg === base)
+  }
 }
