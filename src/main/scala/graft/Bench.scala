@@ -18,7 +18,9 @@ object Bench {
     "ts_series_dense", "ts_sum_series", "ts_moving_average",
     "ts_highest_max", "ts_summarize_sum",
     "rrd_wmean", "dsl_deep_nest", "hw_forecast", "sd_timers",
-    "dd_exact_dedup", "dd_minhash_pairs", "sim_topk_exact", "tx_token_count")
+    "dd_exact_dedup", "dd_minhash_pairs", "sim_topk_exact", "tx_token_count",
+    // round-4 additions: wire decode, whisper import, clustering, sampling
+    "ig_pickle_parse", "ig_whisper_import", "sim_kmeans", "sp_shuffle_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -166,6 +166,15 @@ object PipelineQueries {
              |        / greatest(len(text), 1), 6) AS tokens_per_char
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // BM25 lexical retrieval: per-term top-10 documents
+    ("tx_bm25",
+      ((s, d) => pipeline.TextAnalysis.bm25(Tables.documents(s, d),
+          Seq("spark", "window", "hash"), 10)
+        .select(col("term"), col("rank"),
+          col("doc_id").cast("long").as("doc_id"), col("score"))
+        .orderBy("term", "rank")): Q,
+      Some(pipeline.TextAnalysis.bm25Sql(Seq("spark", "window", "hash"), 10))),
+
     // PII scrub over text with synthesized emails/URLs/IPs (both
     // engines build the identical dirty text, then redact independently)
     ("tx_scrub",

@@ -33,6 +33,26 @@ object ScaleProbe {
       (label, math.rint((System.nanoTime() - t0) / 1e6) / 1e3, n)
     }
 
+    // ---- pipeline-scale corpora (deterministic, generated in-plan) ----
+    // documents: odd ids are near-dups of the preceding even id (one
+    // positional word differs) — ~nDocs/2 planted near-dup pairs
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "200000").toLong
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(39)), j =>
+        when(j === pmod(col("id"), lit(40)) && col("id") % 2 === 1,
+          substring(md5(col("id").cast("string")), 1, 6))
+          .otherwise(substring(md5(concat_ws("_",
+            (col("id") - pmod(col("id"), lit(2))).cast("string"), j.cast("string"))), 1, 6))))
+        .as("text"))
+    // embeddings: 64-dim deterministic noise (xxhash64 — probe-only)
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_PROBE_VECS", "1000000").toLong
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (pmod(xxhash64(col("id"), j), lit(2001)) - 1000).cast("double") / 1000.0)
+        .as("embedding"))
+    val nKeys = sys.env.getOrElse("SPARK_GRAFT_PROBE_KEYS", "10000000").toLong
+    val keys = spark.range(nKeys).select(col("id").as("doc_id"))
+
     val results = Seq(
       time("gen_scan")(pts.count()),
       time("consolidate_1m") {
@@ -46,6 +66,28 @@ object ScaleProbe {
       },
       time("moving_avg") {
         O.movingAverage(Consolidate.whisperMode(pts, 600), 10).count()
+      },
+      time("minhash_neardup") { // full collapse→sets→LSH→verify pipeline
+        pipeline.NearDup.minhashPairs(docs, 0.6).count()
+      },
+      time("kmeans_1m") { // 3 Lloyd rounds + final assignment
+        pipeline.Similarity.kmeans(vecs).count()
+      },
+      time("pickle_roundtrip_2m") { // wire encode+decode, 100-point frames
+        import spark.implicits._
+        spark.range(2000000).as[Long]
+          .mapPartitions(_.grouped(100).map(chunk =>
+            graft.streaming.Pickle.encodeFrame(
+              chunk.map(i => graft.streaming.Pickle.Point(s"m$i", i, i * 0.5)))))
+          .flatMap(graft.streaming.Pickle.decodeFrames(_)).count()
+      },
+      time("hash_sample_10m") { // map-side deterministic sample
+        pipeline.Sampling.hashSample(keys, col("doc_id"), 0.1).count()
+      },
+      time("shuffle_rank_10m") { // block-partitioned global permutation;
+        // consume rank so the window cannot be pruned from the plan
+        pipeline.Sampling.shuffleRank(keys, col("doc_id"), "epoch1")
+          .filter(col("rank") <= 5).count()
       })
 
     val json = results.map { case (l, sec, n) =>

@@ -22,6 +22,75 @@ object TextAnalysis {
         .as("tokens_per_char"))
   }
 
+  // ---- BM25 retrieval scoring ----
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 score per (query term, document) with per-term top-k — the
+    * standard lexical-retrieval primitive for corpus search and
+    * train-set construction. Shape at scale: the term list and the
+    * per-term document frequencies broadcast; term frequencies are one
+    * map-side-combined aggregate over the token explode (only matching
+    * tokens survive the filter, so the explode never shuffles the full
+    * corpus); corpus stats (N, avgdl) are a broadcast single row.
+    * Ranking uses the ROUNDED score (both engines) so a 1-ulp `ln`
+    * divergence can never flip an order. */
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = docs.select(col("doc_id"), size(tokens).cast("double").as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl")))
+    val tf = docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val score = idf * (col("tf") * (Bm25K1 + 1)) /
+      (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfq), "tok").join(dl, "doc_id").crossJoin(stats)
+      .select(col("tok").as("term"), col("doc_id"),
+        graft.ts.Round6.r6(score).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("term"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+  }
+
+  /** DuckDB twin of [[bm25]] over the documents table. */
+  def bm25Sql(terms: Seq[String], topK: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE tok IN ($termList) GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+       |), scored AS (
+       |  SELECT t.tok AS term, t.doc_id,
+       |         ${graft.ts.Round6.r6Sql(
+      s"""(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1) *
+         |          (t.tf * ${Bm25K1 + 1}) /
+         |          (t.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * d.dl / s.avgdl)))""".stripMargin)} AS score
+       |  FROM tf t JOIN dfq q USING (tok) JOIN dl d USING (doc_id), stats s
+       |), ranked AS (
+       |  SELECT term, doc_id, score,
+       |         row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT term, CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id, score
+       |FROM ranked WHERE rank <= $topK ORDER BY term, rank""".stripMargin
+  }
+
   // ---- PII scrubbing ----
 
   /** Redaction patterns, written to the RE2 ∩ Java-regex common subset
