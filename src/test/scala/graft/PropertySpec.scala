@@ -161,4 +161,84 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Dsl.parse(render(ast)) == ast)
     }
   }
+
+  test("pickle: encode/decode round-trips arbitrary point batches") {
+    import graft.streaming.Pickle
+    val pointGen = for {
+      name <- Gen.nonEmptyListOf(Gen.frequency(
+        8 -> Gen.alphaNumChar, 1 -> Gen.const('.'), 1 -> Gen.const('_')))
+        .map(_.mkString.take(60))
+      ts <- Gen.choose(0L, Int.MaxValue.toLong)
+      v <- Gen.oneOf(Gen.choose(-1e12, 1e12),
+        Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, 1e-300, math.Pi))
+    } yield Pickle.Point(name, ts, v)
+    forAll(Gen.listOfN(40, pointGen), n = 8) { pts =>
+      assert(Pickle.decodeFrames(Pickle.encodeFrame(pts)) === pts)
+      // frame concatenation: stream of frames decodes in order
+      val half = pts.length / 2
+      val stream = Pickle.encodeFrame(pts.take(half)) ++
+        Pickle.encodeFrame(pts.drop(half))
+      assert(Pickle.decodeFrames(stream) === pts)
+    }
+  }
+
+  test("whisper: single-archive extraction = all-but-newest, +step shift") {
+    import graft.sources.Whisper
+    val step = 60L
+    val slotsGen = for {
+      n <- Gen.choose(2, 50)
+      start <- Gen.choose(10000L, 1000000L)
+      vals <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+    } yield vals.zipWithIndex.map { case (v, i) =>
+      Whisper.Point((start / step + i) * step, v)
+    }
+    forAll(slotsGen, n = 8) { slots =>
+      val blob = Whisper.encode(1, 0.5f, Seq(step -> slots))
+      val got = Whisper.extractPoints(blob)
+      // a full ring: every slot is in [last-span, last); only the
+      // newest is dropped (end == last); timestamps shift to slot ends
+      val want = slots.dropRight(1).map(p => Whisper.Point(p.tsSec + step, p.value))
+      assert(got === want)
+    }
+  }
+
+  test("whisper: two-archive emission ranges never overlap") {
+    import graft.sources.Whisper
+    val gen = for {
+      nF <- Gen.choose(2, 20)
+      nC <- Gen.choose(2, 20)
+      base <- Gen.choose(100L, 5000L)
+    } yield (nF, nC, base * 300L)
+    forAll(gen, n = 8) { case (nF, nC, base) =>
+      val fine = (0 until nF).map(i => Whisper.Point(base + i * 60L, i.toDouble))
+      val coarse = (0 until nC).map(i =>
+        Whisper.Point((base / 300) * 300 - (nC - i) * 300L, 100.0 + i))
+      val blob = Whisper.encode(1, 0.5f, Seq(60L -> fine, 300L -> coarse))
+      val got = Whisper.extractPoints(blob)
+      assert(got.map(_.tsSec).distinct.length === got.length) // no dup ts
+      assert(got === got.sortBy(_.tsSec)) // ascending
+      // fine points all come from the fine archive's value domain,
+      // coarse contributions sit strictly before the fine range start
+      val fineStart = fine.last.tsSec + 60L - nF * 60L
+      got.filter(_.value >= 100.0).foreach(p => assert(p.tsSec < fineStart))
+    }
+  }
+
+  test("sampling: hash-sample is a stable subset with stable buckets") {
+    import graft.pipeline.Sampling
+    val s = spark; import s.implicits._
+    forAll(Gen.listOfN(60, Gen.choose(0L, 100000L)).map(_.distinct), n = 3) { ids =>
+      val docs = ids.toDF("doc_id")
+      val a = Sampling.hashSample(docs, col("doc_id"), 0.3)
+        .as[Long].collect().sorted
+      val b = Sampling.hashSample(docs, col("doc_id"), 0.3)
+        .as[Long].collect().sorted
+      assert(a === b) // deterministic run-to-run
+      assert(a.toSet.subsetOf(ids.toSet))
+      // rate monotonicity: a larger rate keeps a superset
+      val c = Sampling.hashSample(docs, col("doc_id"), 0.7)
+        .as[Long].collect().toSet
+      assert(a.toSet.subsetOf(c))
+    }
+  }
 }
