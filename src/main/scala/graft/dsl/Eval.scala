@@ -215,8 +215,20 @@ object Eval {
         rest.drop(1).headOption.map(str).getOrElse("avg") match {
           case "average" => "avg"; case cf => cf
         })))
-    add(Seq("consolidateBy"))(onSeries((ctx, df, rest, _) =>
-      O.consolidateBy(df, ctx.stepSec, str(rest.head))))
+    add(Seq("consolidateBy"))(onSeries((ctx, df, rest, _) => {
+      // the reference's consolidateBy is self-describedly "fake"
+      // (`dsl/funcs.go:2255-2286`): for cf=sum it scales every value by
+      // seconds-per-point (span / maxPoints) — emulating how a
+      // sum-consolidated graphite render reads — and is a no-op for any
+      // other cf. Mirrored literally here; the HONEST re-bucketing
+      // consolidation lives in `SeriesOps.consolidateBy` / `summarize`
+      // (ts_consolidate_by_* queries), per the SURVEY directive.
+      val factor =
+        if (str(rest.head) == "sum" && ctx.maxPoints > 0)
+          (ctx.toSec - ctx.fromSec).toDouble / ctx.maxPoints
+        else 1.0
+      df.withColumn("value", col("value") * factor)
+    }))
 
     // ----- moving window -----
     // window arg: point count, or a duration string → duration/step

@@ -243,6 +243,56 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.tail.forall(_._3.contains(0.0)))
   }
 
+  test("reference corpus: nonNegativeDerivative of sinusoid — Test_dsl_nonNegativeDerivative") {
+    val s = spark; import s.implicits._
+    val rows = Eval.evalExpr(ctx, "nonNegativeDerivative(sinusoid())")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    val c = 2.0 * math.Pi / 10.0
+    def gen(i: Long): Double = math.sin(i * c)
+    assert(rows.nonEmpty && rows.head._3.isEmpty) // first point: no prev
+    var positives = 0
+    rows.tail.foreach { case (_, t, v) =>
+      val expect = gen(t) - gen(t - 1) // sinusoid step is 1s in this ctx
+      // funcs.go:1263-1264: strictly positive diffs pass, else NaN —
+      // diff == 0 (exact sin repeats on this denser grid) is NaN too
+      if (expect > 0) { assert(v.contains(expect), s"t=$t"); positives += 1 }
+      else assert(v.isEmpty, s"t=$t")
+    }
+    assert(positives > 10) // the rising half of every cycle survived
+  }
+
+  test("reference corpus: removeAbove/BelowPercentile(sinusoid, 50) — Test_dsl_removeAbovePercentile/Below") {
+    val s = spark; import s.implicits._
+    // "50% of a sinusoid is > 0": kept values after removeAbove are ≤ ~0
+    val above = Eval.evalExpr(ctx, "removeAbovePercentile(sinusoid(), 50)")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(above.nonEmpty && above.forall(_ <= 1e-9))
+    val below = Eval.evalExpr(ctx, "removeBelowPercentile(sinusoid(), 50)")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(below.nonEmpty && below.forall(_ >= -1e-9))
+  }
+
+  test("reference corpus: removeBelowValue(sinusoid, 0) — Test_dsl_removeBelowValue") {
+    val s = spark; import s.implicits._
+    val kept = Eval.evalExpr(ctx, "removeBelowValue(sinusoid(), 0)")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(kept.nonEmpty && kept.forall(_ >= 0))
+  }
+
+  test("reference corpus: consolidateBy sum scales by seconds-per-point — Test_dsl_consolidateBy") {
+    val s = spark; import s.implicits._
+    // reference fixture: 1h span, maxPoints 100 → factor 36; the
+    // function is the reference's admitted fake (dsl/funcs.go:2255-2286)
+    val ctx2 = ctx.copy(fromSec = 0, toSec = 3600, maxPoints = 100)
+    val vals = Eval.evalExpr(ctx2, "consolidateBy(constantLine(10), 'sum')")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(vals.nonEmpty && vals.forall(_ == 360.0))
+    // any non-sum cf: factor 1
+    val id = Eval.evalExpr(ctx2, "consolidateBy(constantLine(10), 'max')")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(id.nonEmpty && id.forall(_ == 10.0))
+  }
+
   test("edge: color() is a data no-op wrapper — dsl/funcs.go:939-943") {
     val s = spark; import s.implicits._
     val plain = Eval.evalExpr(ctx, "sumSeries('foo.*.baz')")
