@@ -142,6 +142,22 @@ object DslQueries {
           | WHERE regexp_matches(name, '^events\.[^.]*\.u2$')
           |   AND t >= 1704499200 AND t <= 1704585600""".stripMargin))),
 
+    // consolidateBy through the DSL: the reference's seconds-per-point
+    // scaling for cf=sum (dsl/funcs.go:2255-2286 — "this is fake"),
+    // factor = (to-from)/maxPoints = 86400/240 = 360
+    ("dsl_consolidate_by",
+      ((s, d) => {
+        val ctx = Eval.Ctx(s, M.multi(s, d), M.StepSeconds,
+          fromSec = 1704499200L, toSec = 1704585600L, maxPoints = 240)
+        fin(Eval.evalExpr(ctx, "consolidateBy(sumSeries(events.*.u1), 'sum')"))
+      }): Q,
+      Some(multiQ(
+        """SELECT 'sumSeries' AS name, t,
+          |        sum(coalesce(value, 0.0)) * 360.0 AS value
+          | FROM series WHERE regexp_matches(name, '^events\.[^.]*\.u1$')
+          |   AND t >= 1704499200 AND t <= 1704585600
+          | GROUP BY t""".stripMargin))),
+
     // relative-time viewport: from="-1d"&until="now" through the
     // parseTime grammar (http/graphite.go:197-221), clock anchored at
     // 2024-01-07T00:00Z → same window as dsl_range_fetch
