@@ -159,10 +159,11 @@ object PipelineQueries {
       ((s, d) =>
         pipeline.TextAnalysis.tokenStats(Tables.documents(s, d))
           .orderBy("doc_id")): Q,
-      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      Some(s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text, '${pipeline.TextAnalysis.BpeTokenRe}')) AS BIGINT) AS n_tokens_bpe,
              |  CAST(len(text) AS BIGINT) AS n_chars_actual,
-             |  round(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+             |  round(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
              |        / greatest(len(text), 1), 6) AS tokens_per_char
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

@@ -11,12 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count and density features. */
+  /** BPE-style pre-tokenizer pattern (GPT-2-family shape, restricted to
+    * the RE2 ∩ Java common subset): letter runs, digit runs, and
+    * non-alphanumeric symbol runs each form one pre-token — the unit a
+    * byte-pair encoder would then split. Counting these approximates
+    * model token counts far better than whitespace words do (ASCII
+    * punctuation and numbers tokenize separately). */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** Whitespace + BPE-ish token counts and density features. */
   def tokenStats(docs: DataFrame): DataFrame = {
     val toks = size(split(trim(col("text")), "\\s+"))
     docs.select(
       col("doc_id"),
       toks.cast("long").as("n_tokens"),
+      regexp_count(col("text"), lit(BpeTokenRe)).cast("long").as("n_tokens_bpe"),
       length(col("text")).cast("long").as("n_chars_actual"),
       round(toks.cast("double") / greatest(length(col("text")), lit(1)), 6)
         .as("tokens_per_char"))
