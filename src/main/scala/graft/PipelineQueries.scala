@@ -49,6 +49,37 @@ object PipelineQueries {
            |   ${ts.Round6.r6Sql("jaccard")} AS jaccard
            | FROM out ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // incremental near-dup: even doc_ids form the pre-existing store,
+    // odd doc_ids arrive as the new batch — reported pairs are exactly
+    // the full-corpus LSH pairs touching at least one new doc, which
+    // the oracle states directly as a parity filter on the candidates
+    ("dd_incremental",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val storeSets = pipeline.NearDup.shingleSets(
+          docs.filter(col("doc_id") % 2 === 0))
+        val storeBands = pipeline.NearDup.bands(
+          pipeline.NearDup.signaturesFromSets(storeSets))
+        val (pairs, _, _) = pipeline.NearDup.minhashIncrement(
+          docs.filter(col("doc_id") % 2 === 1), storeSets, storeBands, 0.8)
+        pairs.select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"),
+          ts.Round6.r6(col("jaccard")).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      }): Q,
+      Some {
+        val verify = pipeline.NearDup.verifySql(0.8)
+          .replace("FROM cand c", "FROM candp c")
+        s"""WITH ${pipeline.NearDup.shinglesSql}, ${pipeline.NearDup.minhashSigsSql},
+           |${pipeline.NearDup.candSql},
+           |candp AS (
+           |  SELECT * FROM cand WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+           |), $verify
+           | SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           |   ${ts.Round6.r6Sql("jaccard")} AS jaccard
+           | FROM out ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // exact n-gram Jaccard via df-capped inverted shingle index
     ("dd_ngram_jaccard",
       ((s, d) => pipeline.NearDup.ngramJaccardPairs(Tables.documents(s, d), 0.5)

@@ -178,6 +178,35 @@ object NearDup {
     expandExactDups(repPairs, members, "jaccard", lit(1.0))
   }
 
+  /** Incremental near-dup for an append-only corpus — the form a
+    * production pipeline actually runs: documents arrive in batches and
+    * each batch must dedup against everything already ingested without
+    * rescanning it. The persisted state is exactly the two frames this
+    * pipeline already computes per batch: the per-doc shingle-set store
+    * and the LSH band index. A new batch touches only the band buckets
+    * it lands in (join keyed on (band, key) — bucket-local work), and
+    * fetches stored shingle sets only for actual candidates. Returns
+    * (pairs, batchSets, batchBands); callers append the latter two to
+    * their stores — the `foreachBatch` shape, same as
+    * [[graft.streaming.Ingest.mergePiecesIntoArchive]]'s partition-
+    * scoped merge. Run [[Dedup]]'s exact collapse upstream for crawl
+    * corpora, as [[minhashPairs]] does. */
+  def minhashIncrement(newDocs: DataFrame, setsStore: DataFrame,
+      bandStore: DataFrame, minJ: Double): (DataFrame, DataFrame, DataFrame) = {
+    val newSets = shingleSets(newDocs).persist()
+    val newBands = bands(signaturesFromSets(newSets))
+    val candNew = candidates(newBands)
+    val a = bandStore.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = newBands.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    val candCross = a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val cand = candNew.unionByName(candCross).distinct()
+    val pairs = verifyJaccard(cand, setsStore.unionByName(newSets), minJ)
+    (pairs, newSets, newBands)
+  }
+
   /** Exact n-gram Jaccard via the inverted shingle index (df-capped). */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
     val sh = shingles(docs).persist()
