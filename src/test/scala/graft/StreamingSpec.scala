@@ -119,6 +119,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("a", 0L, 2.0), ("a", 10L, 5.0), ("b", 20L, 7.0)))
   }
 
+  test("incremental near-dup across micro-batches via foreachBatch stores") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.pipeline.NearDup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val mem = MemoryStream[(Long, String)]
+    // parquet-backed stores, appended per batch — the production shape
+    val dir = java.nio.file.Files.createTempDirectory("inc").toString
+    val setsDir = s"$dir/sets"; val bandsDir = s"$dir/bands"
+    // seed empty stores with the right schemas
+    NearDup.shingleSets(Seq((-1L, "seed")).toDF("doc_id", "text"))
+      .limit(0).write.parquet(setsDir)
+    NearDup.bands(NearDup.signaturesFromSets(
+        NearDup.shingleSets(Seq((-1L, "seed")).toDF("doc_id", "text"))))
+      .limit(0).write.parquet(bandsDir)
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (pairs, newSets, newBands) = NearDup.minhashIncrement(
+          batch, s.read.parquet(setsDir), s.read.parquet(bandsDir), 0.5)
+        found ++= pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+        newSets.write.mode("append").parquet(setsDir)
+        newBands.write.mode("append").parquet(bandsDir)
+        ()
+      }
+      .start()
+    mem.addData((1L, base), (2L, "totally unrelated words only here"))
+    q.processAllAvailable()
+    assert(found.isEmpty) // batch 1: no dups yet
+    // batch 2: doc 3 near-dups doc 1 (one word differs) — found against
+    // the STORE, not within its own batch
+    mem.addData((3L, base.replace("kappa", "lambda")))
+    q.processAllAvailable()
+    q.stop()
+    assert(found.toSet === Set((1L, 3L)))
+  }
+
   test("live view: archive ∪ unflushed stream state, archive wins collisions") {
     val s = spark; import s.implicits._
     // flushed archive: slots 0 and 10
