@@ -42,6 +42,15 @@ object Render {
     sb.append("]").toString
   }
 
+  /** Full `/render` request with several `target=` params
+    * (`http/graphite.go:142-181` loops `r.Form["target"]`): every
+    * target evaluates to its own plan, the union collects ONCE at the
+    * boundary — one Spark job for the whole response, not one per
+    * target. */
+  def renderTargets(ctx: graft.dsl.Eval.Ctx, targets: Seq[String]): String =
+    toGraphiteJson(targets.map(t => graft.dsl.Eval.render(ctx, t))
+      .reduce(_.unionByName(_)))
+
   /** `/metrics/find` JSON (`http/graphite.go:39-75`): one node object
     * per row of a [[graft.streaming.Find.findNodes]] frame, with the
     * last name segment as `text`. */

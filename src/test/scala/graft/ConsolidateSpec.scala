@@ -144,6 +144,22 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"target":"c","datapoints":[[3,10]]}]""")
   }
 
+  test("render: multiple targets evaluate into one JSON response") {
+    val s = spark; import s.implicits._
+    import graft.dsl.Eval
+    val pts = (0 until 4).flatMap(i => Seq(
+      ("m.one", i * 10L, 1.0), ("m.two", i * 10L, 2.0)))
+      .toDF("name", "t", "value")
+    val ctx = Eval.Ctx(s, pts, stepSec = 10, fromSec = 0, toSec = 30)
+    val json = Render.renderTargets(ctx,
+      Seq("sumSeries(m.*)", "scale(m.two, 10)"))
+    // both targets' series land in the single response array
+    assert(json.contains("\"target\":\"sumSeries\""))
+    assert(json.contains("\"target\":\"m.two\""))
+    assert(json.contains("[20,")) // scale(2, 10)
+    assert(json.contains("[3,"))  // sum of 1+2
+  }
+
   test("salted join is row-identical to the plain join") {
     val s = spark; import s.implicits._
     import graft.pipeline.Skew
