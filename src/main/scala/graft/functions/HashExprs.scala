@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot sketching loops of the
+  * near-dup pipeline ([[graft.pipeline.NearDup]]).
+  *
+  * Why these exist: Spark's higher-order functions (`aggregate`,
+  * `transform`) are `CodegenFallback` — every element step allocates a
+  * lambda frame and boxes the accumulator, and computing a 16-hash
+  * MinHash signature that way makes 16 interpreted passes over each
+  * document's shingle array. At 100 TB the signature fold is the
+  * single hottest loop in dedup, so it gets the tier-(c) treatment the
+  * design calls for: a real `Expression` with `doGenCode`, one fused
+  * pass per document, primitive `long` arithmetic, no boxing, inlined
+  * into whole-stage codegen alongside the surrounding projection.
+  *
+  * Both expressions are bit-compatible with the higher-order-function
+  * formulations they replace (asserted by PropertySpec), which keeps
+  * the DuckDB oracle SQL unchanged.
+  */
+object HashExprs {
+
+  /** All 16 MinHash minima in one pass: `sig[k] = min over x of
+    * (x·a_k + b_k) mod p`, empty/all-null input ⇒ Long.MaxValue per
+    * slot (the fold's initial accumulator). */
+  def minhashSig(c: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    GraftBridge.column(MinHashSigExpr(GraftBridge.expression(c), as, bs, p))
+
+  /** 32-bit SimHash in one pass: bit i of the result = sign of
+    * Σ(±1 per element's bit i). */
+  def simhashSig(c: Column): Column =
+    GraftBridge.column(SimHashSigExpr(GraftBridge.expression(c)))
+
+  private[functions] def checkLongArray(name: String, dt: DataType): TypeCheckResult =
+    dt match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<bigint> input, got ${other.catalogString}")
+    }
+}
+
+/** One-pass k-way MinHash over an `array<long>` of shingle hashes.
+  * Inputs are 31-bit hashes and (a, b) < p = 2^31−1, so every product
+  * stays below 2^62 — no overflow, same domain contract as
+  * [[graft.pipeline.NearDup.P]]. Null elements are skipped, matching
+  * `least(acc, null) = acc` in the fold it replaces. */
+case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression {
+
+  private val n = as.length
+  require(bs.length == n && n > 0, "a/b parameter vectors must match and be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkLongArray(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  @transient private lazy val aArr: Array[Long] = as.toArray
+  @transient private lazy val bArr: Array[Long] = bs.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        var k = 0
+        while (k < n) {
+          val h = (x * aArr(k) + bArr(k)) % p
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val len = ctx.freshName("len")
+      val x = ctx.freshName("x")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $mins = new long[$n];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $len = $arr.numElements();
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $x = $arr.getLong($i);
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      long $h = ($x * $aRef[$k] + $bRef[$k]) % ${p}L;
+         |      if ($h < $mins[$k]) $mins[$k] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** One-pass 32-bit SimHash over an `array<long>` of shingle hashes:
+  * counter c_i accumulates +1/−1 per element's bit i; result bit i is
+  * set iff c_i > 0. Replaces a nested 32×|hs| interpreted fold with a
+  * single |hs|-length loop. Null elements are skipped. */
+case class SimHashSigExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkLongArray(prettyName, child.dataType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counters = new Array[Long](32)
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        var b = 0
+        while (b < 32) {
+          if (((x >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (counters(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counters = ctx.freshName("counters")
+      val i = ctx.freshName("i")
+      val len = ctx.freshName("len")
+      val x = ctx.freshName("x")
+      val b = ctx.freshName("b")
+      val sig = ctx.freshName("sig")
+      s"""
+         |long[] $counters = new long[32];
+         |int $len = $arr.numElements();
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $x = $arr.getLong($i);
+         |    for (int $b = 0; $b < 32; $b++) {
+         |      if ((($x >> $b) & 1L) == 1L) $counters[$b]++; else $counters[$b]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 32; $b++) {
+         |  if ($counters[$b] > 0) $sig |= 1L << $b;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSigExpr =
+    copy(child = newChild)
+}

@@ -79,9 +79,22 @@ object NearDup {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** The same signatures computed by an in-place array fold over
-    * [[shingleSets]] — zero shuffle (the set frame already paid it). */
+  /** The same signatures computed over [[shingleSets]] — zero shuffle
+    * (the set frame already paid it) — via the native one-pass
+    * [[graft.functions.MinHashSigExpr]]: all 16 minima in a single
+    * codegen'd loop instead of 16 interpreted `aggregate` folds. */
   def signaturesFromSets(sets: DataFrame): DataFrame = {
+    val sig = graft.functions.HashExprs.minhashSig(
+      col("hs"), hashParams.map(_._1), hashParams.map(_._2), P)
+    val withSig = sets.select(col("doc_id"), sig.as("__sig"))
+    val cols = (0 until NumHashes).map(k => col("__sig").getItem(k).as(s"h$k"))
+    withSig.select(col("doc_id") +: cols: _*)
+  }
+
+  /** Higher-order-function formulation of [[signaturesFromSets]], kept
+    * as the reference implementation the native expression is
+    * property-tested against (PropertySpec). */
+  def signaturesFromSetsHof(sets: DataFrame): DataFrame = {
     val mins = hashParams.zipWithIndex.map { case ((a, b), k) =>
       aggregate(col("hs"), lit(Long.MaxValue),
         (acc, x) => least(acc, (x * a + b) % P)).as(s"h$k")
@@ -227,16 +240,21 @@ object NearDup {
     * not unigrams: a corpus with a small shared vocabulary makes every
     * unigram set near-identical and the signature degenerate): bit i of
     * the signature = sign of Σ(±1) over shingle-hash bit i. */
-  def simhashSigs(docs: DataFrame): DataFrame = {
-    shingleSets(docs)
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc +
-          |  IF(aggregate(hs, CAST(0 AS BIGINT),
-          |       (a2, x) -> a2 + IF((shiftright(x, i) & 1) = 1,
-          |                          CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
-          |     shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
-        .as("simhash"))
-  }
+  def simhashSigs(docs: DataFrame): DataFrame =
+    shingleSets(docs).select(col("doc_id"),
+      graft.functions.HashExprs.simhashSig(col("hs")).as("simhash"))
+
+  /** Higher-order-function formulation of the SimHash fold, kept as
+    * the reference implementation the native expression is
+    * property-tested against (PropertySpec). */
+  def simhashFromSetsHof(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), expr(
+      """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc +
+        |  IF(aggregate(hs, CAST(0 AS BIGINT),
+        |       (a2, x) -> a2 + IF((shiftright(x, i) & 1) = 1,
+        |                          CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+        |     shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+      .as("simhash"))
 
   /** SimHash near-dup pairs: byte-band candidates (equal byte j of the
     * signature for any j) verified by Hamming distance ≤ maxHamming.

@@ -241,4 +241,37 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a.toSet.subsetOf(c))
     }
   }
+
+  test("native MinHash/SimHash expressions ≡ higher-order-function folds") {
+    import graft.pipeline.NearDup
+    val s = spark; import s.implicits._
+    val setGen: Gen[List[(Long, Seq[Long])]] = for {
+      nDocs <- Gen.choose(1, 6)
+      sets <- Gen.listOfN(nDocs,
+        Gen.nonEmptyListOf(Gen.choose(0L, NearDup.P - 1)).map(_.distinct.toSeq))
+    } yield sets.zipWithIndex.map { case (hs, i) => (i.toLong, hs) }
+    forAll(setGen, n = 4) { rows =>
+      val sets = rows.toDF("doc_id", "hs")
+      val native = NearDup.signaturesFromSets(sets)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val hof = NearDup.signaturesFromSetsHof(sets)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(native === hof)
+      val nSim = sets.select(col("doc_id"),
+          graft.functions.HashExprs.simhashSig(col("hs")).as("simhash"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val hSim = NearDup.simhashFromSetsHof(sets)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(nSim === hSim)
+    }
+    // empty set: native must reproduce the fold's initial accumulator
+    val empty = Seq((0L, Seq.empty[Long])).toDF("doc_id", "hs")
+    val nat = NearDup.signaturesFromSets(empty).collect().head.toSeq.drop(1)
+    assert(nat.forall(_ == Long.MaxValue))
+    assert(sql_eval(empty) == 0L)
+  }
+
+  private def sql_eval(empty: org.apache.spark.sql.DataFrame): Long =
+    empty.select(graft.functions.HashExprs.simhashSig(col("hs")))
+      .collect().head.getLong(0)
 }
