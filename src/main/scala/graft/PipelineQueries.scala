@@ -269,6 +269,70 @@ object PipelineQueries {
            |WHERE ${pipeline.Sampling.bucketSql("doc_id")} < CAST(round(rate * 10000) AS BIGINT)
            |ORDER BY source, doc_id""".stripMargin)),
 
+    // benchmark contamination: corpus-doc 3-gram overlap vs an eval
+    // set (doc_id ≡ 0 mod 17 plays the benchmark; the rest the corpus)
+    ("cu_contamination",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        pipeline.Curation.contamination(
+            docs.filter(col("doc_id") % 17 =!= 0),
+            docs.filter(col("doc_id") % 17 === 0))
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("n_grams"), col("n_hit"),
+            ts.Round6.r6(col("contaminated_frac")).as("contaminated_frac"))
+          .orderBy("doc_id")
+      }): Q,
+      Some(
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+           |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+           |${pipeline.Curation.contaminationSql}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(n_grams AS BIGINT) AS n_grams, CAST(n_hit AS BIGINT) AS n_hit,
+           |  ${ts.Round6.r6Sql("contaminated_frac")} AS contaminated_frac
+           |FROM conta ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition signals: dup-token / dup-3-gram / top-2-gram
+    ("cu_repetition",
+      ((s, d) => pipeline.Curation.repetitionStats(Tables.documents(s, d))
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_tokens"),
+          ts.Round6.r6(col("dup_token_frac")).as("dup_token_frac"),
+          ts.Round6.r6(col("dup_3gram_frac")).as("dup_3gram_frac"),
+          ts.Round6.r6(col("top_2gram_frac")).as("top_2gram_frac"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""WITH ${pipeline.Curation.repetitionSql}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+           |  ${ts.Round6.r6Sql("dup_token_frac")} AS dup_token_frac,
+           |  ${ts.Round6.r6Sql("dup_3gram_frac")} AS dup_3gram_frac,
+           |  ${ts.Round6.r6Sql("top_2gram_frac")} AS top_2gram_frac
+           |FROM rep ORDER BY doc_id""".stripMargin)),
+
+    // token-budget sequence packing: concat-then-chunk at 256 tokens,
+    // global offsets via the two-level distributed prefix sum
+    ("cu_pack_sequences",
+      ((s, d) => pipeline.Curation.packSequences(Tables.documents(s, d), 256)
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_tok"),
+          col("tok_start"), col("seq_id"), col("seq_pos"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""WITH ${pipeline.Curation.packSequencesSql(256)}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tok, tok_start,
+           |  CAST(floor(tok_start / 256) AS BIGINT) AS seq_id,
+           |  CAST(tok_start % 256 AS BIGINT) AS seq_pos
+           |FROM packed ORDER BY doc_id""".stripMargin)),
+
+    // per-source cap: keep ≤ 15 docs per source by salted-hash rank
+    ("cu_source_cap",
+      ((s, d) => pipeline.Curation.sourceCap(Tables.documents(s, d), 15, "mix1")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""WITH ${pipeline.Curation.sourceCapSql(15, "mix1")}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           |  CAST(rn AS BIGINT) AS rn
+           |FROM capped ORDER BY doc_id""".stripMargin)),
+
     // deterministic training-order shuffle: block-major (block, rank)
     ("sp_shuffle_rank",
       ((s, d) => pipeline.Sampling.shuffleRank(

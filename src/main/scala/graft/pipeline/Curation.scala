@@ -1,0 +1,230 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and tokenization: benchmark-contamination checking,
+  * intra-document repetition metrics (the Gopher-style quality
+  * signals), fixed-token-budget sequence packing, and per-source
+  * document caps.
+  *
+  * Scale notes:
+  *   - Contamination joins the corpus's n-gram stream against the
+  *     BENCHMARK set's grams — eval suites are tiny by definition, so
+  *     the gram set is broadcast and the pass stays map-side at any
+  *     corpus size.
+  *   - Repetition metrics are per-document aggregates keyed on
+  *     (doc_id, gram): map-side combinable, uniformly keyed — no skew,
+  *     no driver involvement.
+  *   - Sequence packing needs a GLOBAL running token offset — the one
+  *     inherently sequential quantity here. It is computed as a
+  *     two-level prefix sum: intra-block window (distributed, one
+  *     partition per block) + a block-offset table that is tiny (one
+  *     row per block) and broadcast back. No single-partition window
+  *     ever touches row-grain data.
+  *   - Source caps use one window partitioned by source, ordered by a
+  *     salted hash — deterministic "keep N per source" without any
+  *     global sort.
+  */
+object Curation {
+
+  // ---- benchmark contamination ----
+
+  /** Per-document contamination against a benchmark/eval corpus:
+    * the fraction of the document's distinct word-3-gram hashes that
+    * also appear anywhere in the benchmark. Reuses [[NearDup.shingles]]
+    * (same gram definition, same md5-prefix hash domain) so the same
+    * gram stream can feed dedup and decontamination in one pass. */
+  def contamination(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val cg = NearDup.shingles(corpus)
+    val bg = NearDup.shingles(bench).select(col("xh")).distinct()
+    cg.join(broadcast(bg.withColumn("__hit", lit(1L))), Seq("xh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("contaminated_frac",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** DuckDB twin of [[contamination]]: CTEs expect `corpus(doc_id,
+    * text)` and `bench(doc_id, text)` to be defined upstream. */
+  def contaminationSql: String = {
+    val h = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2147483648"
+    def grams(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT DISTINCT doc_id, $h AS xh FROM (
+         |    SELECT doc_id,
+         |      array_to_string(ts[i + 1 : i + ${NearDup.ShingleN}], ' ') AS g
+         |    FROM (SELECT doc_id,
+         |            regexp_split_to_array(trim(lower(text)), '\\s+') AS ts,
+         |            unnest(generate_series(0,
+         |              greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |                - ${NearDup.ShingleN}, 0))) AS i
+         |          FROM $src))
+         |)""".stripMargin
+    s"""${grams("corpus", "cg")}, ${grams("bench", "bgd")},
+       |bg AS (SELECT DISTINCT xh FROM bgd),
+       |conta AS (
+       |  SELECT cg.doc_id, count(*) AS n_grams,
+       |         count(bg.xh) AS n_hit,
+       |         CAST(count(bg.xh) AS DOUBLE) / count(*) AS contaminated_frac
+       |  FROM cg LEFT JOIN bg USING (xh)
+       |  GROUP BY cg.doc_id
+       |)""".stripMargin
+  }
+
+  // ---- intra-document repetition (Gopher-style quality signals) ----
+
+  private def tokens = split(trim(lower(col("text"))), "\\s+")
+
+  private def gramArray(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document repetition metrics: duplicate-token fraction (1 −
+    * type/token ratio), duplicate-3-gram fraction, and the fraction of
+    * 2-gram occurrences taken by the single most frequent 2-gram — the
+    * Gopher repetition filters restated over whitespace tokens (the
+    * corpus has no line structure). Token/gram distinctness is
+    * computed map-side over per-row arrays; only the top-2-gram count
+    * needs a (doc_id, gram)-keyed aggregate. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens.as("ts"))
+      .select(col("doc_id"), col("ts"),
+        gramArray(col("ts"), 2).as("g2"), gramArray(col("ts"), 3).as("g3"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ts"))).cast("long").as("n_distinct_tokens"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        size(col("g3")).cast("long").as("n_3grams"),
+        size(array_distinct(col("g3"))).cast("long").as("n_distinct_3grams"),
+        col("g2"))
+    val top2 = base.select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_2gram_count"))
+    base.drop("g2")
+      .join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct_tokens").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("dup_token_frac"),
+        when(col("n_3grams") === 0, lit(0.0))
+          .otherwise((col("n_3grams") - col("n_distinct_3grams")).cast("double") /
+            col("n_3grams").cast("double")).as("dup_3gram_frac"),
+        when(col("n_2grams") === 0, lit(0.0))
+          .otherwise(coalesce(col("top_2gram_count"), lit(0L)).cast("double") /
+            col("n_2grams").cast("double")).as("top_2gram_frac"))
+  }
+
+  /** DuckDB twin of [[repetitionStats]] over the `documents` table;
+    * defines CTE `rep`. */
+  def repetitionSql: String =
+    s"""tokr AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents
+       |), g2 AS (
+       |  SELECT doc_id, array_to_string(ts[i + 1 : i + 2], ' ') AS g
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 2)) AS i
+       |        FROM tokr WHERE len(ts) >= 2)
+       |), g3 AS (
+       |  SELECT doc_id, array_to_string(ts[i + 1 : i + 3], ' ') AS g
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 3)) AS i
+       |        FROM tokr WHERE len(ts) >= 3)
+       |), t2 AS (
+       |  SELECT doc_id, max(c) AS top_2gram_count, sum(c) AS n_2grams
+       |  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+       |  GROUP BY doc_id
+       |), t3 AS (
+       |  SELECT doc_id, count(*) AS n_3grams, count(DISTINCT g) AS nd_3grams
+       |  FROM g3 GROUP BY doc_id
+       |), rep AS (
+       |  SELECT tokr.doc_id,
+       |    CAST(len(ts) AS BIGINT) AS n_tokens,
+       |    1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)
+       |        / greatest(len(ts), 1) AS dup_token_frac,
+       |    CASE WHEN coalesce(n_3grams, 0) = 0 THEN 0.0
+       |         ELSE CAST(n_3grams - nd_3grams AS DOUBLE) / n_3grams
+       |    END AS dup_3gram_frac,
+       |    CASE WHEN coalesce(n_2grams, 0) = 0 THEN 0.0
+       |         ELSE CAST(coalesce(top_2gram_count, 0) AS DOUBLE) / n_2grams
+       |    END AS top_2gram_frac
+       |  FROM tokr LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+       |)""".stripMargin
+
+  // ---- token-budget sequence packing ----
+
+  /** Concat-then-chunk sequence packing: documents are laid out in
+    * doc_id order into one token stream and cut into fixed `budget`
+    * sequences; each document reports its global token offset and the
+    * sequence its first token lands in. The global prefix sum is
+    * two-level — intra-block window over `block = doc_id / blockDocs`
+    * (contiguous ranges, so block-major order IS doc_id order) plus a
+    * one-row-per-block offset table joined back broadcast — so no
+    * row-grain data ever funnels through one partition. */
+  def packSequences(docs: DataFrame, budget: Int, blockDocs: Int = 4096): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(tokens).cast("long").as("n_tok"),
+      floor(col("doc_id").cast("long") / blockDocs).as("__blk"))
+    val local = toks.withColumn("__local_end",
+      sum(col("n_tok")).over(Window.partitionBy(col("__blk"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val blkTotals = toks.groupBy(col("__blk"))
+      .agg(sum(col("n_tok")).as("__blk_tot"))
+    // one row per block — a deliberately single-partition window over a
+    // tiny frame; the non-foldable constant key keeps it off the
+    // empty-partition warn path (same idiom as RelQueries.q05)
+    val blkOffsets = blkTotals.withColumn("__blk_off",
+      coalesce(sum(col("__blk_tot")).over(
+        Window.partitionBy(col("__blk") % 1).orderBy(col("__blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__blk"), col("__blk_off"))
+    local.join(broadcast(blkOffsets), "__blk")
+      .select(col("doc_id"), col("n_tok"),
+        (col("__blk_off") + col("__local_end") - col("n_tok")).as("tok_start"))
+      .withColumn("seq_id", floor(col("tok_start") / budget).cast("long"))
+      .withColumn("seq_pos", (col("tok_start") % budget).cast("long"))
+  }
+
+  /** DuckDB twin of [[packSequences]]; defines CTE `packed`. */
+  def packSequencesSql(budget: Int): String =
+    s"""ptoks AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), packed AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |  FROM ptoks
+       |)""".stripMargin
+
+  // ---- per-source caps ----
+
+  /** Deterministic per-source document cap: keep at most `cap`
+    * documents per source, chosen by salted-hash rank (so the kept set
+    * is a stable uniform sample per source, not a doc_id-ordered
+    * prefix). One window per source partition — sources are the
+    * natural unit of parallelism in corpus mixing. */
+  def sourceCap(docs: DataFrame, cap: Int, salt: String): DataFrame = {
+    val h = md5(concat(lit(salt), col("doc_id").cast("string")))
+    docs.select(col("doc_id"), col("source"),
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(h, col("doc_id"))).as("rn"))
+      .filter(col("rn") <= cap)
+  }
+
+  /** DuckDB twin of [[sourceCap]]; defines CTE `capped`. */
+  def sourceCapSql(cap: Int, salt: String): String =
+    s"""capped AS (
+       |  SELECT doc_id, source, rn FROM (
+       |    SELECT doc_id, source, row_number() OVER (
+       |      PARTITION BY source
+       |      ORDER BY md5('$salt' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |    FROM documents)
+       |  WHERE rn <= $cap
+       |)""".stripMargin
+}
