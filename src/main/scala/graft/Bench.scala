@@ -20,7 +20,9 @@ object Bench {
     "rrd_wmean", "dsl_deep_nest", "hw_forecast", "sd_timers",
     "dd_exact_dedup", "dd_minhash_pairs", "sim_topk_exact", "tx_token_count",
     // round-4 additions: wire decode, whisper import, clustering, sampling
-    "ig_pickle_parse", "ig_whisper_import", "sim_kmeans", "sp_shuffle_rank")
+    "ig_pickle_parse", "ig_whisper_import", "sim_kmeans", "sp_shuffle_rank",
+    // curation stages (keep the JSON line < ~1 KB — driver tail-capture)
+    "cu_repetition", "cu_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

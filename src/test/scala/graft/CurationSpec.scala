@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pipeline.Curation
+
+/** Invariants of the corpus-curation operators beyond what the DuckDB
+  * oracle pins: the two-level prefix sum in sequence packing must be
+  * independent of its block size, contamination fractions must be
+  * bounded and exact on planted overlaps, and source caps must be
+  * stable samples. */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]").appName("curation-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("packSequences: offsets form the exact running sum in doc_id order") {
+    // sparse, shuffled-input doc_ids — order must come from the ids
+    val d = docs(Seq(7L -> "a b c", 2L -> "x y", 1000L -> "p q r s", 3L -> "z"))
+    val out = Curation.packSequences(d, budget = 4, blockDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+      r.getAs[Long]("tok_start"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_pos"))).toSeq ===
+      Seq((2L, 2L, 0L, 0L, 0L), (3L, 1L, 2L, 0L, 2L),
+        (7L, 3L, 3L, 0L, 3L), (1000L, 4L, 6L, 1L, 2L)))
+  }
+
+  test("packSequences: output is invariant to the block size") {
+    val s = spark; import s.implicits._
+    val d = docs((0L until 97L).map(i =>
+      i -> Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+    val base = Curation.packSequences(d, budget = 16, blockDocs = 4096)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    for (blk <- Seq(1, 3, 10, 97)) {
+      val alt = Curation.packSequences(d, budget = 16, blockDocs = blk)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(alt === base, s"blockDocs=$blk diverged")
+    }
+  }
+
+  test("contamination: planted overlap is measured exactly and bounded") {
+    // bench holds exactly one of the corpus doc's 3-grams
+    val corpus = docs(Seq(1L -> "a b c d e")) // grams: "a b c","b c d","c d e"
+    val bench = docs(Seq(100L -> "b c d"))
+    val out = Curation.contamination(corpus, bench).collect().head
+    assert(out.getAs[Long]("n_grams") === 3L)
+    assert(out.getAs[Long]("n_hit") === 1L)
+    assert(math.abs(out.getAs[Double]("contaminated_frac") - 1.0 / 3) < 1e-12)
+    // disjoint corpus → zero; identical doc → one
+    val none = Curation.contamination(docs(Seq(2L -> "q r s t")), bench)
+      .collect().head
+    assert(none.getAs[Long]("n_hit") === 0L)
+    val full = Curation.contamination(docs(Seq(3L -> "b c d")), bench)
+      .collect().head
+    assert(full.getAs[Double]("contaminated_frac") === 1.0)
+  }
+
+  test("sourceCap: caps bind per source, are deterministic, and nest") {
+    val s = spark; import s.implicits._
+    val d = (0L until 60L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val kept5 = Curation.sourceCap(d, 5, "mix1").collect()
+    assert(kept5.length === 15)
+    assert(kept5.groupBy(_.getAs[String]("source")).forall(_._2.length == 5))
+    // same salt → same picks; smaller cap → prefix of the larger pick set
+    val again = Curation.sourceCap(d, 5, "mix1").collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(again === kept5.map(_.getAs[Long]("doc_id")).sorted)
+    val kept3 = Curation.sourceCap(d, 3, "mix1").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept3.subsetOf(kept5.map(_.getAs[Long]("doc_id")).toSet))
+  }
+
+  test("repetitionStats: hand-computed fractions on a crafted doc") {
+    // "a a a b": tokens 4, distinct 2 → dup_token 0.5
+    // 3-grams: "a a a","a a b" → distinct 2 of 2 → dup_3gram 0
+    // 2-grams: "a a","a a","a b" → top "a a" 2 of 3
+    val out = Curation.repetitionStats(docs(Seq(1L -> "a a a b")))
+      .collect().head
+    assert(out.getAs[Long]("n_tokens") === 4L)
+    assert(math.abs(out.getAs[Double]("dup_token_frac") - 0.5) < 1e-12)
+    assert(out.getAs[Double]("dup_3gram_frac") === 0.0)
+    assert(math.abs(out.getAs[Double]("top_2gram_frac") - 2.0 / 3) < 1e-12)
+    // single-token doc: no grams → both gram fractions 0, no NaN/null
+    val one = Curation.repetitionStats(docs(Seq(2L -> "only"))).collect().head
+    assert(one.getAs[Double]("dup_3gram_frac") === 0.0)
+    assert(one.getAs[Double]("top_2gram_frac") === 0.0)
+  }
+}
