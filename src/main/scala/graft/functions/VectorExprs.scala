@@ -1,0 +1,215 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the embedding-similarity hot loops
+  * ([[graft.pipeline.Similarity]]): a fused double dot product and a
+  * fused 16-plane LSH signature.
+  *
+  * The composed formulation — `aggregate(zip_with(x, y, _*_), 0, _+_)`
+  * — materializes the zipped product array and folds it interpreted
+  * (higher-order functions are CodegenFallback). k-means assignment
+  * computes N·K of these per Lloyd round, brute-force top-k N·Q; both
+  * are the multiplicative hot path of the ANN stack at 100 TB.
+  *
+  * Bit-compatibility contract (PropertySpec asserts it): products and
+  * additions run in IEEE double in the same element order as the fold,
+  * so cos values are bit-identical to both the HOF formulation and the
+  * DuckDB oracle's sequential list fold. Null/length semantics mirror
+  * `zip_with` + `aggregate`: mismatched lengths or any null element ⇒
+  * null result (zip_with pads with null, the fold then absorbs it). */
+object VectorExprs {
+
+  /** Σ double(x_i)·double(y_i) in index order; null on length mismatch
+    * or any null element. Element types may be any numeric; each is
+    * widened to double exactly as `cast("double")` does. */
+  def dot(x: Column, y: Column): Column =
+    GraftBridge.column(DotProductExpr(GraftBridge.expression(x), GraftBridge.expression(y)))
+
+  /** Double-precision cosine from three fused dots — the same formula
+    * (and the same doubles) as [[graft.pipeline.Similarity.cosine]]. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** All-plane LSH signature: bit k of the result = (⟨x, plane_k⟩ ≥ 0),
+    * integer arithmetic, one pass over the vector. */
+  def lshSign(x: Column, planes: Seq[Seq[Long]]): Column =
+    GraftBridge.column(LshSignExpr(GraftBridge.expression(x), planes))
+
+  private[functions] def numericElem(name: String, dt: DataType): TypeCheckResult =
+    dt match {
+      case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<numeric> input, got ${other.catalogString}")
+    }
+
+  /** Java source for `(double) <arr>.get<T>(<i>)` per element type. */
+  private[functions] def getAsDouble(arr: String, i: String, dt: DataType): String =
+    dt match {
+      case ByteType => s"(double) $arr.getByte($i)"
+      case ShortType => s"(double) $arr.getShort($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType => s"(double) $arr.getLong($i)"
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case other => throw new IllegalStateException(s"non-numeric element $other")
+    }
+
+  private[functions] def evalAsDouble(arr: ArrayData, i: Int, dt: DataType): Double =
+    dt match {
+      case ByteType => arr.getByte(i).toDouble
+      case ShortType => arr.getShort(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case other => throw new IllegalStateException(s"non-numeric element $other")
+    }
+}
+
+/** Fused sequential-order double dot product over two numeric arrays. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorExprs.numericElem(prettyName, left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VectorExprs.numericElem(prettyName, right.dataType)
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val ya = b.asInstanceOf[ArrayData]
+    val n = xa.numElements()
+    if (ya.numElements() != n) return null
+    val (lt, rt) = (elemType(left), elemType(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xa.isNullAt(i) || ya.isNullAt(i)) return null
+      acc += VectorExprs.evalAsDouble(xa, i, lt) * VectorExprs.evalAsDouble(ya, i, rt)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val lx = VectorExprs.getAsDouble(xa, i, elemType(left))
+      val ry = VectorExprs.getAsDouble(ya, i, elemType(right))
+      s"""
+         |int $n = $xa.numElements();
+         |boolean $bad = ($ya.numElements() != $n);
+         |double $acc = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($xa.isNullAt($i) || $ya.isNullAt($i)) { $bad = true; break; }
+         |    $acc += $lx * $ry;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused LSH signature: for each plane k (±1 entries, fixed matrix),
+  * bit k = (Σ x_i·plane_k_i ≥ 0), all planes accumulated in one pass
+  * over the (long-quantized) vector. Inputs are expected to be exactly
+  * plane-width (the quantized-embedding contract); null elements ⇒
+  * null, matching the per-plane zip_with fold it replaces. */
+case class LshSignExpr(child: Expression, planes: Seq[Seq[Long]])
+    extends UnaryExpression {
+
+  private val nPlanes = planes.length
+  private val dim = planes.headOption.map(_.length).getOrElse(0)
+  require(nPlanes > 0 && planes.forall(_.length == dim),
+    "planes must be a non-empty rectangular matrix")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkLongArray(prettyName, child.dataType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lsh_sign"
+
+  // flattened row-major so codegen indexes one long[]
+  @transient private lazy val flat: Array[Long] = planes.flatten.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val sums = new Array[Long](nPlanes)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val x = arr.getLong(i)
+      var k = 0
+      while (k < nPlanes) {
+        sums(k) += x * flat(k * dim + i)
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < nPlanes) {
+      if (sums(k) >= 0) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val pRef = ctx.addReferenceObj("lshPlanes", flat, "long[]")
+      val sums = ctx.freshName("sums")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val x = ctx.freshName("x")
+      val sig = ctx.freshName("sig")
+      val bad = ctx.freshName("bad")
+      s"""
+         |long[] $sums = new long[$nPlanes];
+         |int $n = java.lang.Math.min($arr.numElements(), $dim);
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) { $bad = true; break; }
+         |  long $x = $arr.getLong($i);
+         |  for (int $k = 0; $k < $nPlanes; $k++) {
+         |    $sums[$k] += $x * $pRef[$k * $dim + $i];
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  long $sig = 0L;
+         |  for (int $k = 0; $k < $nPlanes; $k++) {
+         |    if ($sums[$k] >= 0L) $sig |= 1L << $k;
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignExpr =
+    copy(child = newChild)
+}

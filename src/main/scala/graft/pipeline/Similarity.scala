@@ -47,8 +47,15 @@ object Similarity {
   private val emb = col("embedding")
 
   /** Double-precision cosine between two embedding array columns,
-    * sequential fold in element order. */
-  def cosine(a: Column, b: Column): Column = {
+    * sequential element order — computed by the fused native
+    * [[graft.functions.DotProductExpr]] (bit-identical to the
+    * `aggregate∘zip_with` fold it replaces; PropertySpec asserts it). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine(a, b)
+
+  /** The HOF fold formulation, kept as the reference implementation
+    * the native expression is property-tested against. */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) = aggregate(
       zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -59,8 +66,16 @@ object Similarity {
   private def qvec(c: Column): Column =
     transform(c, e => floor(e.cast("double") * 10000d + 0.5d).cast("long"))
 
-  /** LSH signature: bit k = sign of ⟨quantized vec, plane_k⟩. */
-  def lshSig(c: Column): Column = {
+  /** LSH signature: bit k = sign of ⟨quantized vec, plane_k⟩ — all 16
+    * plane dots fused into one native pass over the vector
+    * ([[graft.functions.LshSignExpr]]; integer arithmetic, bit-exact). */
+  def lshSig(c: Column): Column =
+    graft.functions.VectorExprs.lshSign(qvec(c),
+      planes.map(_.map(_.toLong)))
+
+  /** Per-plane HOF formulation of [[lshSig]], kept for the
+    * PropertySpec equivalence check. */
+  def lshSigHof(c: Column): Column = {
     val q = qvec(c)
     val bits = planes.zipWithIndex.map { case (p, k) =>
       val planeLit = array(p.map(v => lit(v.toLong)): _*)
@@ -164,9 +179,7 @@ object Similarity {
     * by probing the nProbe nearest buckets, exact cosine rank within. */
   def topKIvfWith(corpus: DataFrame, centroids: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column) = graft.functions.VectorExprs.dot(x, y)
     val cents = broadcast(centroids.select(col("cid"), col("cent"),
       sqrt(dot(col("cent"), col("cent"))).as("__cn")))
     // corpus-side self-norm once per vector, not once per (vector ×
@@ -231,9 +244,7 @@ object Similarity {
     * same double whether cached or recomputed, so the cos values (and
     * the oracle's) are bit-identical while the fold work drops 3×. */
   private def kmeansAssign(qv: DataFrame, cents: DataFrame): DataFrame = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column) = graft.functions.VectorExprs.dot(x, y)
     val qn = qv.withColumn("__qn", sqrt(dot(col("qv"), col("qv"))))
     val cn = cents.withColumn("__cn", sqrt(dot(col("cent"), col("cent"))))
     qn.crossJoin(broadcast(cn))

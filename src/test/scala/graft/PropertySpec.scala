@@ -274,4 +274,41 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def sql_eval(empty: org.apache.spark.sql.DataFrame): Long =
     empty.select(graft.functions.HashExprs.simhashSig(col("hs")))
       .collect().head.getLong(0)
+
+  test("native dot/cosine/lshSign ≡ higher-order-function folds, bit-exact") {
+    import graft.pipeline.Similarity
+    val s = spark; import s.implicits._
+    val vecGen: Gen[List[(Long, Seq[Float])]] = for {
+      n <- Gen.choose(2, 5)
+      vs <- Gen.listOfN(n, Gen.listOfN(Similarity.Dim,
+        Gen.choose(-1.0, 1.0).map(_.toFloat)).map(_.toSeq))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    forAll(vecGen, n = 4) { rows =>
+      val vecs = rows.toDF("vec_id", "embedding")
+      val pairs = vecs.select(col("vec_id").as("va"), col("embedding").as("ea"))
+        .crossJoin(vecs.select(col("vec_id").as("vb"), col("embedding").as("eb")))
+      // java.lang.Double.compare-style exact equality, including sign of zero
+      val both = pairs.select(
+        Similarity.cosine(col("ea"), col("eb")).as("native"),
+        Similarity.cosineHof(col("ea"), col("eb")).as("hof")).collect()
+      both.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+      val sigs = vecs.select(
+        Similarity.lshSig(col("embedding")).as("native"),
+        Similarity.lshSigHof(col("embedding")).as("hof")).collect()
+      sigs.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    }
+    // null element and length mismatch both yield null, like zip_with
+    val odd = spark.sql(
+      """SELECT array(1.0D, 2.0D, 3.0D) AS a,
+        |       array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS b,
+        |       array(1.0D, 2.0D) AS short""".stripMargin)
+    val d = odd.select(
+      graft.functions.VectorExprs.dot(col("a"), col("b")).as("withNull"),
+      graft.functions.VectorExprs.dot(col("a"), col("short")).as("mismatch"))
+      .collect().head
+    assert(d.isNullAt(0) && d.isNullAt(1))
+  }
 }
