@@ -333,6 +333,19 @@ object PipelineQueries {
            |  CAST(rn AS BIGINT) AS rn
            |FROM capped ORDER BY doc_id""".stripMargin)),
 
+    // end-to-end curation capstone: near-dup dedup → quality floor →
+    // decontamination → source cap → sequence packing, one composed
+    // pipeline against one composed oracle
+    ("cu_pipeline",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        pipeline.Curation.curate(docs, docs.filter(col("doc_id") % 17 === 0),
+            minJ = 0.8, minQuality = 0.65, maxContamination = 0.10,
+            cap = 15, salt = "mix1", budget = 512)
+          .orderBy("doc_id")
+      }): Q,
+      Some(pipeline.Curation.curateSql(0.8, 0.65, 0.10, 15, "mix1", 512, 17))),
+
     // deterministic training-order shuffle: block-major (block, rank)
     ("sp_shuffle_rank",
       ((s, d) => pipeline.Sampling.shuffleRank(

@@ -88,6 +88,14 @@ object ScaleProbe {
         // consume rank so the window cannot be pruned from the plan
         pipeline.Sampling.shuffleRank(keys, col("doc_id"), "epoch1")
           .filter(col("rank") <= 5).count()
+      },
+      time("contamination_200k") { // corpus grams vs broadcast bench grams
+        pipeline.Curation.contamination(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0)).count()
+      },
+      time("pack_sequences_200k") { // two-level prefix sum + chunk
+        pipeline.Curation.packSequences(docs, 2048).count()
       })
 
     val json = results.map { case (l, sec, n) =>

@@ -189,12 +189,13 @@ object Curation {
       .withColumn("seq_pos", (col("tok_start") % budget).cast("long"))
   }
 
-  /** DuckDB twin of [[packSequences]]; defines CTE `packed`. */
-  def packSequencesSql(budget: Int): String =
+  /** DuckDB twin of [[packSequences]]; defines CTE `packed` over any
+    * relation with (doc_id, text). */
+  def packSequencesSql(budget: Int, from: String = "documents"): String =
     s"""ptoks AS (
        |  SELECT doc_id,
        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tok
-       |  FROM documents
+       |  FROM $from
        |), packed AS (
        |  SELECT doc_id, n_tok,
        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
@@ -217,14 +218,79 @@ object Curation {
       .filter(col("rn") <= cap)
   }
 
-  /** DuckDB twin of [[sourceCap]]; defines CTE `capped`. */
-  def sourceCapSql(cap: Int, salt: String): String =
+  /** DuckDB twin of [[sourceCap]]; defines CTE `capped` over any
+    * relation with (doc_id, source). */
+  def sourceCapSql(cap: Int, salt: String, from: String = "documents"): String =
     s"""capped AS (
        |  SELECT doc_id, source, rn FROM (
        |    SELECT doc_id, source, row_number() OVER (
        |      PARTITION BY source
        |      ORDER BY md5('$salt' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
-       |    FROM documents)
+       |    FROM $from)
        |  WHERE rn <= $cap
        |)""".stripMargin
+
+  // ---- end-to-end curation capstone ----
+
+  /** The full curation pipeline a pre-training corpus runs, composed
+    * from the operators above: near-dup dedup (MinHash keeper set) →
+    * quality-score floor → benchmark decontamination → per-source cap →
+    * token-budget sequence packing over the survivors. `bench` may be a
+    * subset of `docs` — benchmark members are fully self-contaminated
+    * and fall to the contamination floor.
+    *
+    * Every stage keys on doc_id, so the survivor intersection is three
+    * co-partitioned joins; the stages' own scale properties (broadcast
+    * bench grams, banded LSH, per-source windows, two-level prefix sum)
+    * carry over unchanged. Returns
+    * (doc_id, source, rn, n_tok, tok_start, seq_id, seq_pos). */
+  def curate(docs: DataFrame, bench: DataFrame, minJ: Double,
+      minQuality: Double, maxContamination: Double,
+      cap: Int, salt: String, budget: Int): DataFrame = {
+    val keep = NearDup.dedupKeep(docs, minJ)
+    val q = TextAnalysis.qualityScore(docs)
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val clean = contamination(docs, bench)
+      .filter(col("contaminated_frac") <= maxContamination)
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val survivors = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("source"), col("text"))
+      .join(keep, "doc_id").join(q, "doc_id").join(clean, "doc_id")
+    val capped = sourceCap(survivors, cap, salt)
+    packSequences(survivors.join(capped.select("doc_id"), "doc_id"), budget)
+      .join(capped, "doc_id")
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"),
+        col("n_tok"), col("tok_start"), col("seq_id"), col("seq_pos"))
+  }
+
+  /** DuckDB restatement of [[curate]] with `bench` = documents whose
+    * doc_id ≡ 0 (mod `benchMod`). A complete SELECT. */
+  def curateSql(minJ: Double, minQuality: Double, maxContamination: Double,
+      cap: Int, salt: String, budget: Int, benchMod: Int): String =
+    s"""${NearDup.minhashPairsSql(minJ).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |${NearDup.clustersSql},
+       |keepers AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster)
+       |), q AS (
+       |  SELECT doc_id FROM (${TextAnalysis.qualityScoreSql})
+       |  WHERE quality >= $minQuality
+       |), corpus AS (SELECT doc_id, text FROM documents),
+       |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % $benchMod = 0),
+       |$contaminationSql,
+       |clean AS (SELECT doc_id FROM conta WHERE contaminated_frac <= $maxContamination),
+       |survivors AS (
+       |  SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN keepers USING (doc_id) JOIN q USING (doc_id) JOIN clean USING (doc_id)
+       |), ${sourceCapSql(cap, salt, "survivors")},
+       |kept AS (
+       |  SELECT s.doc_id, s.text FROM survivors s JOIN capped USING (doc_id)
+       |), ${packSequencesSql(budget, "kept")}
+       |SELECT CAST(p.doc_id AS BIGINT) AS doc_id, c.source,
+       |  CAST(c.rn AS BIGINT) AS rn, p.n_tok, p.tok_start,
+       |  CAST(floor(p.tok_start / $budget) AS BIGINT) AS seq_id,
+       |  CAST(p.tok_start % $budget AS BIGINT) AS seq_pos
+       |FROM packed p JOIN capped c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }
