@@ -201,8 +201,13 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
       .filter(col("__r") <= IvfProbe)
       .select(col("qid"), col("qemb"), col("cid"))
-    // candidates: corpus vectors in probed buckets; rank exact
-    probes.join(assigned.withColumnRenamed("vec_id", "cand"), Seq("cid"))
+    // candidates: corpus vectors in probed buckets; rank exact.
+    // probes is |queries|·nProbe rows — ALWAYS broadcastable — but sits
+    // behind window+crossJoin lineage the planner can't size, so left
+    // alone this becomes a SortMergeJoin that shuffles the whole
+    // assigned corpus on cid (skew-prone: bucket sizes are uneven).
+    // Broadcasting keeps the corpus-side pass map-side at any scale.
+    broadcast(probes).join(assigned.withColumnRenamed("vec_id", "cand"), Seq("cid"))
       .filter(col("cand") =!= col("qid"))
       .select(col("qid"), col("cand").as("vec_id"),
         cosine(col("qemb"), emb).as("cos"))
