@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` injection point: registers the native
+  * expressions as SQL functions, so `spark.sql` text can call them
+  * directly — `graft_minhash_sig(hs)`, `graft_simhash(hs)`,
+  * `graft_dot(a, b)`, `graft_lsh_sign(v)`. The parameterized families
+  * bind the library's frozen constants ([[graft.pipeline.NearDup]]'s
+  * hash family, [[graft.pipeline.Similarity]]'s hyperplanes) — the same
+  * constants the DuckDB oracles replay.
+  *
+  * Wire up with either
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private def one(name: String)(f: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(c) => f(c)
+    case other => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${other.length}")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(array<bigint>) - 16-way MinHash signature (library hash family)"),
+      one("graft_minhash_sig")(c => MinHashSigExpr(c,
+        graft.pipeline.NearDup.hashParams.map(_._1),
+        graft.pipeline.NearDup.hashParams.map(_._2),
+        graft.pipeline.NearDup.P))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(array<bigint>) - 32-bit SimHash of a hash set"),
+      one("graft_simhash")(SimHashSigExpr)))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot",
+        "graft_dot(array<numeric>, array<numeric>) - sequential-order double dot product"),
+      {
+        case Seq(a, b) => DotProductExpr(a, b)
+        case other => throw new IllegalArgumentException(
+          s"graft_dot expects 2 arguments, got ${other.length}")
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_sign"),
+      info("graft_lsh_sign",
+        "graft_lsh_sign(array<bigint>) - 16-plane LSH sign signature (library hyperplanes)"),
+      one("graft_lsh_sign")(c => LshSignExpr(c,
+        graft.pipeline.Similarity.planes.map(_.map(_.toLong))))))
+  }
+}

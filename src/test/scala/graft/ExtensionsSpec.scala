@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.GraftExtensions
+
+/** The SparkSessionExtensions injection: every native expression must
+  * be callable from SQL text and agree with its Column-API form. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]").appName("extensions-spec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  test("SQL-registered functions match the Column API bit-for-bit") {
+    val s = spark; import s.implicits._
+    Seq((1L, Seq(5L, 99L, 12345L)), (2L, Seq(0L, 2147483646L)))
+      .toDF("doc_id", "hs").createOrReplaceTempView("hsets")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_minhash_sig(hs) AS sig, graft_simhash(hs) AS sim
+        |FROM hsets ORDER BY doc_id""".stripMargin).collect()
+    val viaCol = spark.table("hsets").select(col("doc_id"),
+        graft.functions.HashExprs.minhashSig(col("hs"),
+          pipeline.NearDup.hashParams.map(_._1),
+          pipeline.NearDup.hashParams.map(_._2), pipeline.NearDup.P).as("sig"),
+        graft.functions.HashExprs.simhashSig(col("hs")).as("sim"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toSeq).toSeq === viaCol.map(_.toSeq).toSeq)
+
+    val dims = (0 until pipeline.Similarity.Dim)
+    Seq((1L, dims.map(i => (i % 7).toLong)))
+      .toDF("vec_id", "qv").createOrReplaceTempView("qvecs")
+    val dotSql = spark.sql(
+      "SELECT graft_dot(qv, qv) AS d, graft_lsh_sign(qv) AS sig FROM qvecs")
+      .collect().head
+    val dotCol = spark.table("qvecs").select(
+        graft.functions.VectorExprs.dot(col("qv"), col("qv")).as("d"),
+        graft.functions.VectorExprs.lshSign(col("qv"),
+          pipeline.Similarity.planes.map(_.map(_.toLong))).as("sig"))
+      .collect().head
+    assert(dotSql.getDouble(0) === dotCol.getDouble(0))
+    assert(dotSql.getLong(1) === dotCol.getLong(1))
+  }
+
+  test("arity errors surface as analysis-time failures") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("graft_dot"))
+  }
+}
