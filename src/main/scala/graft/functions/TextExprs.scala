@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expression for the text-quality hot loop: per-profile
+  * stopword occurrence counts, all profiles in ONE pass over the token
+  * array. The HOF formulation ([[graft.pipeline.TextAnalysis]]'s
+  * `aggregate` + `array_contains` fold) is interpreted and runs once
+  * per profile — language ID over P profiles walks every document's
+  * tokens P times. At 100 TB of text this loop IS the quality/lang-ID
+  * stage, so it gets the same treatment as the sketch loops: fused
+  * pass, hash-set membership, whole-stage codegen. */
+object TextExprs {
+
+  /** counts[p] = number of token occurrences contained in profile p
+    * (token nulls contribute 0, as the fold's `otherwise(0)` does). */
+  def profileHits(tokens: Column, profiles: Seq[Seq[String]]): Column =
+    GraftBridge.column(ProfileHitsExpr(GraftBridge.expression(tokens), profiles))
+}
+
+case class ProfileHitsExpr(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  private val nProfiles = profiles.length
+  require(nProfiles > 0, "at least one profile")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_profile_hits"
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    profiles.map { p =>
+      val s = new java.util.HashSet[UTF8String](p.size * 2)
+      p.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](nProfiles)
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var p = 0
+        while (p < nProfiles) {
+          if (sets(p).contains(t)) counts(p) += 1
+          p += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val setsRef = ctx.addReferenceObj("profileSets", sets, "java.util.HashSet[]")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val len = ctx.freshName("len")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      s"""
+         |long[] $counts = new long[$nProfiles];
+         |int $len = $arr.numElements();
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String($i);
+         |    for (int $p = 0; $p < $nProfiles; $p++) {
+         |      if ($setsRef[$p].contains($t)) $counts[$p]++;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($counts);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ProfileHitsExpr =
+    copy(child = newChild)
+}

@@ -144,7 +144,13 @@ object TextAnalysis {
 
   private def tokens = split(trim(lower(col("text"))), "\\s+")
 
-  private def hitRatio(stop: Seq[String]): Column = {
+  private def hitRatio(stop: Seq[String]): Column =
+    graft.functions.TextExprs.profileHits(tokens, Seq(stop)).getItem(0)
+      .cast("double") / greatest(size(tokens), lit(1)).cast("double")
+
+  /** Interpreted-fold formulation of [[hitRatio]], kept for the
+    * PropertySpec equivalence check against the native expression. */
+  private[pipeline] def hitRatioHof(stop: Seq[String]): Column = {
     val stopArr = array(stop.map(lit): _*)
     aggregate(tokens, lit(0L),
       (acc, t) => acc + when(array_contains(stopArr, t), 1L).otherwise(0L))
@@ -215,7 +221,14 @@ object TextAnalysis {
     * ratio for zh; argmax wins (first in profile order on ties), 'und'
     * (undetermined) when every score is 0. */
   def languageId(docs: DataFrame): DataFrame = {
-    val scores = LangProfiles.map { case (l, stop) => l -> hitRatio(stop) }
+    // one fused native pass over the tokens for ALL profiles (the
+    // per-profile HOF fold would walk every document P times)
+    val hits = graft.functions.TextExprs.profileHits(
+      tokens, LangProfiles.map(_._2))
+    val nTok = greatest(size(tokens), lit(1)).cast("double")
+    val scores = LangProfiles.zipWithIndex.map { case ((l, _), i) =>
+      l -> (hits.getItem(i).cast("double") / nTok)
+    }
     val zh = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
       .cast("double") / greatest(length(col("text")), lit(1)).cast("double")
     val all = scores :+ ("zh" -> zh)

@@ -275,6 +275,31 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     empty.select(graft.functions.HashExprs.simhashSig(col("hs")))
       .collect().head.getLong(0)
 
+  test("native profileHits ≡ per-profile array_contains folds") {
+    import graft.pipeline.TextAnalysis
+    val s = spark; import s.implicits._
+    val vocab = Gen.oneOf("the", "cat", "la", "der", "und", "le", "xyz", "a")
+    val textGen = Gen.listOf(vocab).map(_.mkString(" "))
+    forAll(Gen.listOfN(6, textGen), n = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val profiles = TextAnalysis.LangProfiles.map(_._2)
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val native = docs.select(col("doc_id"),
+        graft.functions.TextExprs.profileHits(toks, profiles).as("h"))
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq
+      val hof = docs.select(col("doc_id") +: profiles.zipWithIndex.map {
+          case (p, i) =>
+            val stopArr = array(p.map(lit): _*)
+            aggregate(toks, lit(0L), (acc, t) =>
+              acc + when(array_contains(stopArr, t), 1L).otherwise(0L)).as(s"h$i")
+        }: _*)
+        .orderBy("doc_id").collect()
+        .map(r => profiles.indices.map(i => r.getLong(i + 1))).toSeq
+      assert(native === hof)
+    }
+  }
+
   test("native dot/cosine/lshSign ≡ higher-order-function folds, bit-exact") {
     import graft.pipeline.Similarity
     val s = spark; import s.implicits._
