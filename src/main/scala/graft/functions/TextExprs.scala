@@ -22,6 +22,60 @@ object TextExprs {
     * (token nulls contribute 0, as the fold's `otherwise(0)` does). */
   def profileHits(tokens: Column, profiles: Seq[Seq[String]]): Column =
     GraftBridge.column(ProfileHitsExpr(GraftBridge.expression(tokens), profiles))
+
+  /** (…((0·m + c₀) mod p)·m + c₁ …) mod p over the string's UTF-16
+    * code units — one native pass instead of a per-character split. */
+  def rollingHash(s: Column, mult: Long, mod: Long): Column =
+    GraftBridge.column(RollingHashExpr(GraftBridge.expression(s), mult, mod))
+}
+
+/** Rolling polynomial hash over a string column: acc = (acc·mult +
+  * codeUnit) mod m, in UTF-16 code-unit order — the same sequence the
+  * `split(s, "") → aggregate(…, ascii(c))` fold it replaces produces
+  * (Spark's per-character split yields one code unit per element;
+  * PropertySpec pins the equivalence over non-ASCII inputs too). The
+  * fold materializes a per-CHARACTER string array and folds it
+  * interpreted; this walks the string once. */
+case class RollingHashExpr(child: Expression, mult: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * mult + s.charAt(i)) % mod
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |java.lang.String $s = $in.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($acc * ${mult}L + (long) $s.charAt($i)) % ${mod}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
 }
 
 case class ProfileHitsExpr(child: Expression, profiles: Seq[Seq[String]])

@@ -270,9 +270,7 @@ object TextAnalysis {
     * winnowing-style sketch). Identical fold order in both engines. */
   def fingerprints(docs: DataFrame): DataFrame = {
     val t = trim(lower(col("text")))
-    val chars = split(t, "")
-    val rolling = aggregate(chars, lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % NearDup.P)
+    val rolling = graft.functions.TextExprs.rollingHash(t, 31L, NearDup.P)
     val grams = expr(
       "transform(sequence(1, greatest(length(trim(lower(text))) - 4, 1)), " +
         "i -> substring(trim(lower(text)), i, 5))")

@@ -300,6 +300,23 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native rollingHash ≡ split+ascii fold, including non-ASCII") {
+    val s = spark; import s.implicits._
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '.', ','),
+      2 -> Gen.oneOf('é', 'ü', 'ñ', '中', '文', 'д', 'ß'))
+    forAll(Gen.listOf(charGen).map(_.mkString), n = 8) { text =>
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      val native = docs.select(graft.functions.TextExprs.rollingHash(
+        col("text"), 31L, graft.pipeline.NearDup.P)).collect().head.getLong(0)
+      val hof = docs.select(aggregate(split(col("text"), ""), lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % graft.pipeline.NearDup.P))
+        .collect().head.getLong(0)
+      assert(native === hof, s"text=${text.take(40)}")
+    }
+  }
+
   test("native dot/cosine/lshSign ≡ higher-order-function folds, bit-exact") {
     import graft.pipeline.Similarity
     val s = spark; import s.implicits._
