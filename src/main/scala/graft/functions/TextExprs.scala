@@ -27,6 +27,53 @@ object TextExprs {
     * code units — one native pass instead of a per-character split. */
   def rollingHash(s: Column, mult: Long, mod: Long): Column =
     GraftBridge.column(RollingHashExpr(GraftBridge.expression(s), mult, mod))
+
+  /** First 60 bits of md5 as a non-negative long — the engine's
+    * portable hash primitive, identical in value to
+    * `conv(substring(md5(s), 1, 15), 16, 10)` but computed straight
+    * from the digest bytes (no 32-char hex string materialized and
+    * re-parsed per shingle). */
+  def md5Prefix60(s: Column): Column =
+    GraftBridge.column(Md5Prefix60Expr(GraftBridge.expression(s)))
+}
+
+/** Digest helper shared by interpreted eval and generated code; MD5
+  * instances are thread-local (tasks run one row batch per thread). */
+object Md5Prefix60 {
+  private val tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  def hash(s: UTF8String): Long = {
+    val md = tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val first8 =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    first8 >>> 4 // 15 hex nibbles = first 60 bits
+  }
+}
+
+case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_prefix60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix60.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.Md5Prefix60.hash($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60Expr =
+    copy(child = newChild)
 }
 
 /** Rolling polynomial hash over a string column: acc = (acc·mult +

@@ -49,8 +49,17 @@ object NearDup {
 
   // ---- Spark side ----
 
-  /** md5-prefix 60-bit hash of a string column. */
+  /** md5-prefix 60-bit hash of a string column — computed natively
+    * from the digest bytes ([[graft.functions.Md5Prefix60Expr]]);
+    * value-identical to `conv(substring(md5(c), 1, 15), 16, 10)`,
+    * which the DuckDB oracles still state (PropertySpec pins the
+    * equivalence). */
   def h64(c: Column): Column =
+    graft.functions.TextExprs.md5Prefix60(c)
+
+  /** The hex-string formulation of [[h64]], kept for the PropertySpec
+    * equivalence check. */
+  def h64Hex(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Distinct (doc_id, xh) word-3-gram shingle hashes, xh < 2^31.

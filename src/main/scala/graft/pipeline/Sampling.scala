@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Stable uniform bucket in [0, 10000): md5-prefix hash of the key,
-    * 31-bit domain (same portability rules as [[NearDup.h64]]). */
+    * 31-bit domain (same portability rules as [[NearDup.h64]]; native
+    * digest path, value-identical to the hex-string form). */
   def bucket(key: Column): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+    pmod(graft.functions.TextExprs.md5Prefix60(key.cast("string")),
       lit(10000L))
 
   /** SQL twin of [[bucket]] for DuckDB oracles. */

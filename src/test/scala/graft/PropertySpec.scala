@@ -300,6 +300,20 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native md5Prefix60 ≡ conv(substring(md5)) hex parse") {
+    val s = spark; import s.implicits._
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.oneOf(' ', 'é', '中'))).map(_.mkString)
+    forAll(Gen.listOfN(8, strGen), n = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val both = docs.select(
+        graft.functions.TextExprs.md5Prefix60(col("text")).as("native"),
+        graft.pipeline.NearDup.h64Hex(col("text")).as("hex")).collect()
+      both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    }
+  }
+
   test("native rollingHash ≡ split+ascii fold, including non-ASCII") {
     val s = spark; import s.implicits._
     val charGen = Gen.frequency(
