@@ -43,6 +43,15 @@ object VectorExprs {
   def lshSign(x: Column, planes: Seq[Seq[Long]]): Column =
     GraftBridge.column(LshSignExpr(GraftBridge.expression(x), planes))
 
+  /** struct(cid, cos) of the nearest centroid by cosine — ONE map-side
+    * pass per vector against the (always tiny, driver-held) centroid
+    * set, replacing the crossJoin→window pattern that materializes and
+    * sorts N·K rows. Tie-break (cos desc, cid asc) and NaN-first
+    * ordering match `row_number over (order by cos desc, cid)`. */
+  def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    GraftBridge.column(NearestCentroidExpr(GraftBridge.expression(vec),
+      cents.map(_._1), cents.map(_._2)))
+
   private[functions] def numericElem(name: String, dt: DataType): TypeCheckResult =
     dt match {
       case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
@@ -131,6 +140,130 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Nearest centroid by double-precision cosine, centroids fixed at
+  * plan time (k-means rounds re-plan with fresh centroids — the same
+  * driver round-trip the update step already makes). Per vector:
+  * the self-norm once, then one dot per centroid in cid-ascending
+  * order; a candidate replaces the best only when strictly better, so
+  * ties keep the lowest cid. NaN cosines (zero-norm vectors) rank
+  * ABOVE numbers, mirroring Spark's descending sort where NaN is
+  * greatest. All products/sums are IEEE doubles in index order —
+  * bit-identical to the dot/cosine fold formulation and the oracle. */
+case class NearestCentroidExpr(child: Expression,
+    cids: Seq[Long], cents: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  private val k = cids.length
+  private val dim = cents.headOption.map(_.length).getOrElse(0)
+  require(k > 0 && cents.length == k && cents.forall(_.length == dim),
+    "centroid matrix must be non-empty and rectangular")
+  require(cids.zip(cids.drop(1)).forall(p => p._1 < p._2),
+    "centroids must be sorted by cid (tie-break contract)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.numericElem(prettyName, child.dataType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  /** row-major K×dim centroid matrix */
+  @transient private lazy val flat: Array[Double] = cents.flatten.toArray
+  /** per-centroid self-norms, same sequential fold as sqrt(dot(c,c)) */
+  @transient private lazy val norms: Array[Double] = cents.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }.toArray
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val et = elemType
+    var qacc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VectorExprs.evalAsDouble(arr, i, et)
+      qacc += x * x
+      i += 1
+    }
+    val qn = math.sqrt(qacc)
+    var bestCid = 0L
+    var bestCos = 0.0
+    var c = 0
+    while (c < k) {
+      var dacc = 0.0
+      i = 0
+      while (i < n) {
+        dacc += VectorExprs.evalAsDouble(arr, i, et) * flat(c * dim + i)
+        i += 1
+      }
+      val cos = dacc / (qn * norms(c))
+      val better =
+        if (c == 0) true
+        else if (cos.isNaN != bestCos.isNaN) cos.isNaN
+        else cos > bestCos
+      if (better) { bestCid = cidArr(c); bestCos = cos }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCid, bestCos))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cRef = ctx.addReferenceObj("ncCents", flat, "double[]")
+      val nRef = ctx.addReferenceObj("ncNorms", norms, "double[]")
+      val idRef = ctx.addReferenceObj("ncCids", cidArr, "long[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val qacc = ctx.freshName("qacc")
+      val qn = ctx.freshName("qn")
+      val dacc = ctx.freshName("dacc")
+      val cos = ctx.freshName("cos")
+      val bestCid = ctx.freshName("bestCid")
+      val bestCos = ctx.freshName("bestCos")
+      val better = ctx.freshName("better")
+      val x = ctx.freshName("x")
+      val get = VectorExprs.getAsDouble(arr, i, elemType)
+      s"""
+         |int $n = java.lang.Math.min($arr.numElements(), $dim);
+         |double $qacc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $get;
+         |  $qacc += $x * $x;
+         |}
+         |double $qn = java.lang.Math.sqrt($qacc);
+         |long $bestCid = 0L;
+         |double $bestCos = 0.0;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $dacc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dacc += $get * $cRef[$c * $dim + $i];
+         |  }
+         |  double $cos = $dacc / ($qn * $nRef[$c]);
+         |  boolean $better;
+         |  if ($c == 0) { $better = true; }
+         |  else if (Double.isNaN($cos) != Double.isNaN($bestCos)) {
+         |    $better = Double.isNaN($cos);
+         |  } else { $better = $cos > $bestCos; }
+         |  if ($better) { $bestCid = $idRef[$c]; $bestCos = $cos; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$bestCid, $bestCos});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
 }
 
 /** Fused LSH signature: for each plane k (±1 entries, fixed matrix),

@@ -180,17 +180,20 @@ object Similarity {
   def topKIvfWith(corpus: DataFrame, centroids: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     def dot(x: Column, y: Column) = graft.functions.VectorExprs.dot(x, y)
+    // centroids are K×dim — collect once; they feed (a) the corpus
+    // assignment as plan-time constants of the native expression (one
+    // map-side pass, no N·K row materialization) and (b) the tiny
+    // query-probe cross join below
+    val centSeq: Seq[(Long, Seq[Double])] = centroids
+      .select(col("cid").cast("long"),
+        transform(col("cent"), _.cast("double")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
     val cents = broadcast(centroids.select(col("cid"), col("cent"),
       sqrt(dot(col("cent"), col("cent"))).as("__cn")))
-    // corpus-side self-norm once per vector, not once per (vector ×
-    // centroid) — identical doubles, 3× less fold work on the big pass
     val assigned = corpus.select(col("vec_id"), emb,
-        sqrt(dot(emb, emb)).as("__en")).crossJoin(cents)
-      .select(col("vec_id"), emb, col("cid"),
-        (dot(emb, col("cent")) / (col("__en") * col("__cn"))).as("ccos"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-      .filter(col("__r") === 1)
+        graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
+          .getField("cid").as("cid"))
       .select(col("vec_id"), emb, col("cid"))
     // per query: nProbe nearest centroid ids
     val q = queries.select(col("vec_id").as("qid"), emb.as("qemb"))
@@ -244,21 +247,47 @@ object Similarity {
   val KmIters = 3
 
   /** Nearest-centroid assignment of quantized vectors:
-    * (vec_id, qv, cid, cos). Self-norms are computed ONCE per vector
-    * and once per centroid rather than per pair — sqrt(dot(x,x)) is the
-    * same double whether cached or recomputed, so the cos values (and
-    * the oracle's) are bit-identical while the fold work drops 3×. */
-  private def kmeansAssign(qv: DataFrame, cents: DataFrame): DataFrame = {
-    def dot(x: Column, y: Column) = graft.functions.VectorExprs.dot(x, y)
-    val qn = qv.withColumn("__qn", sqrt(dot(col("qv"), col("qv"))))
-    val cn = cents.withColumn("__cn", sqrt(dot(col("cent"), col("cent"))))
-    qn.crossJoin(broadcast(cn))
-      .select(col("vec_id"), col("qv"), col("cid"),
-        (dot(col("qv"), col("cent")) / (col("__qn") * col("__cn"))).as("cos"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
-      .filter(col("__r") === 1)
-      .select(col("vec_id"), col("qv"), col("cid"), col("cos"))
+    * (vec_id, qv, cid, cos) — one map-side pass per vector via
+    * [[graft.functions.NearestCentroidExpr]] (centroids are K×dim,
+    * always driver-held between Lloyd rounds anyway). The expression
+    * computes the self-norm once per vector and each dot in index
+    * order, so cos values (and the oracle's) are bit-identical to the
+    * crossJoin→window formulation it replaces — which it also beats by
+    * never materializing or sort-ranking the N·K pair rows. */
+  private def kmeansAssign(qv: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val nc = graft.functions.VectorExprs.nearestCentroid(
+      col("qv"), cents.sortBy(_._1))
+    qv.select(col("vec_id"), col("qv"), nc.as("__nc"))
+      .select(col("vec_id"), col("qv"),
+        col("__nc").getField("cid").as("cid"),
+        col("__nc").getField("cos").as("cos"))
+  }
+
+  /** Driver-side centroid list (cid, cent) after `iters` Lloyd rounds
+    * from first-K seeds — K×dim doubles, the state the rounds bounce
+    * through the driver regardless. */
+  def kmeansCentroidsSeq(corpus: DataFrame, k: Int = KmK,
+      iters: Int = KmIters): Seq[(Long, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qv = corpus.select(col("vec_id"), qvec(emb).as("qv"))
+    var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"),
+        transform(col("qv"), x => x.cast("double")).as("cent"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    (1 to iters).foreach { _ =>
+      // element-wise sums as Dim parallel column aggregates — one
+      // map-side-combined hash agg over the corpus, no row explosion
+      val sums = (0 until Dim).map(i => sum(col("qv").getItem(i)).as(s"s$i"))
+      cents = kmeansAssign(qv, cents)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cid"), array((0 until Dim).map(i =>
+          col(s"s$i").cast("double") / col("n")): _*).as("cent"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    }
+    cents
   }
 
   /** Centroid frame (cid, cent: array<double>) after `iters` Lloyd
@@ -267,31 +296,13 @@ object Similarity {
       iters: Int = KmIters): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qv = corpus.select(col("vec_id"), qvec(emb).as("qv"))
-    var cents = qv.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("long").as("cid"),
-        transform(col("qv"), x => x.cast("double")).as("cent"))
-    (1 to iters).foreach { _ =>
-      // element-wise sums as Dim parallel column aggregates — one
-      // map-side-combined hash agg over the corpus, no row explosion
-      val sums = (0 until Dim).map(i => sum(col("qv").getItem(i)).as(s"s$i"))
-      val updated = kmeansAssign(qv, cents)
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .select(col("cid"), array((0 until Dim).map(i =>
-          col(s"s$i").cast("double") / col("n")): _*).as("cent"))
-        // K×dim doubles through the driver: truncates the iterative
-        // lineage and is the natural broadcast source for the next round
-        .as[(Long, Seq[Double])].collect().toSeq
-      cents = updated.toDF("cid", "cent")
-    }
-    cents
+    kmeansCentroidsSeq(corpus, k, iters).toDF("cid", "cent")
   }
 
   /** (vec_id, cid, cos) assignment after `iters` Lloyd rounds. */
   def kmeans(corpus: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame =
     kmeansAssign(corpus.select(col("vec_id"), qvec(emb).as("qv")),
-      kmeansCentroids(corpus, k, iters))
+      kmeansCentroidsSeq(corpus, k, iters))
       .select(col("vec_id"), col("cid"), col("cos"))
 
   // ---- DuckDB oracle builders ----

@@ -300,6 +300,51 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native nearestCentroid ≡ crossJoin+window argmax, bit-exact") {
+    val s = spark; import s.implicits._
+    val dim = 8
+    val vecGen = Gen.listOfN(dim, Gen.choose(-5L, 5L)).map(_.toSeq)
+    val genCase = for {
+      nv <- Gen.choose(1, 6)
+      nc <- Gen.choose(1, 4)
+      vs <- Gen.listOfN(nv, vecGen)
+      cs <- Gen.listOfN(nc, Gen.listOfN(dim, Gen.choose(-3.0, 3.0)).map(_.toSeq))
+    } yield (vs.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      cs.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+    forAll(genCase, n = 6) { case (vrows, crows) =>
+      val qv = vrows.toDF("vec_id", "qv")
+      val native = qv.select(col("vec_id"),
+          graft.functions.VectorExprs.nearestCentroid(col("qv"), crows).as("nc"))
+        .select(col("vec_id"), col("nc.cid"), col("nc.cos"))
+        .orderBy("vec_id").collect()
+      val cents = crows.toDF("cid", "cent")
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        graft.functions.VectorExprs.dot(x, y)
+      val ref = qv.withColumn("__qn", sqrt(dot(col("qv"), col("qv"))))
+        .crossJoin(cents.withColumn("__cn", sqrt(dot(col("cent"), col("cent")))))
+        .select(col("vec_id"), col("cid"),
+          (dot(col("qv"), col("cent")) / (col("__qn") * col("__cn"))).as("cos"))
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("cid"))))
+        .filter(col("__r") === 1)
+        .select(col("vec_id"), col("cid"), col("cos"))
+        .orderBy("vec_id").collect()
+      native.zip(ref).foreach { case (n, r) =>
+        assert(n.getLong(1) === r.getLong(1))
+        assert(java.lang.Double.doubleToLongBits(n.getDouble(2)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          s"vec ${n.getLong(0)}")
+      }
+    }
+    // zero vector: all cosines NaN → lowest cid, NaN cos (desc sorts NaN first)
+    val z = Seq((0L, Seq.fill(dim)(0L))).toDF("vec_id", "qv")
+    val out = z.select(graft.functions.VectorExprs.nearestCentroid(col("qv"),
+      Seq((3L, Seq.fill(dim)(1.0)), (7L, Seq.fill(dim)(2.0)))).as("nc"))
+      .select(col("nc.cid"), col("nc.cos")).collect().head
+    assert(out.getLong(0) === 3L && out.getDouble(1).isNaN)
+  }
+
   test("native md5Prefix60 ≡ conv(substring(md5)) hex parse") {
     val s = spark; import s.implicits._
     val strGen = Gen.listOf(Gen.frequency(
