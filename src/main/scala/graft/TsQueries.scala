@@ -543,7 +543,47 @@ object TsQueries {
           val (lo, hi) = (1706659200L - 86400L * (i + 1), 1706659200L - 86400L * i)
           s"""SELECT 'timeShift(click, -1d, $i)' AS name, t + ${86400L * i} AS t, value
              | FROM series WHERE name = 'click' AND t >= $lo AND t <= $hi""".stripMargin
-        }.mkString(" UNION ALL "))))
+        }.mkString(" UNION ALL ")))),
+
+    // as-of join (operator Spark lacks, §custom-operators): every
+    // purchase event picks up the user's most recent prior view value.
+    // Spark side is the one-shuffle union+window form (ts/Asof.scala);
+    // the oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — two independent
+    // formulations of the same operator.
+    ("ts_asof_join",
+      ((s, d) => {
+        val ev = Tables.events(s, d)
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val vw = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("vval"))
+        graft.ts.Asof.join(pur, vw, Seq("user_id"), "ts", Seq("vval"))
+          .select(col("event_id").cast("long").as("event_id"),
+            col("user_id").cast("long").as("user_id"),
+            unix_micros(col("ts")).as("t_us"),
+            ts.Round6.r6(col("value")).as("value"),
+            ts.Round6.r6(col("asof_vval")).as("asof_vval"),
+            unix_micros(col("asof_ts")).as("asof_t_us"))
+          .orderBy("event_id")
+      }): Q,
+      Some(
+        s"""WITH pur AS (
+           |  SELECT event_id, user_id, ts, value FROM events
+           |  WHERE event_type = 'purchase'
+           |), vw AS (
+           |  SELECT user_id, ts, max(value) AS vval FROM events
+           |  WHERE event_type = 'view' GROUP BY 1, 2
+           |)
+           |SELECT CAST(p.event_id AS BIGINT) AS event_id,
+           |  CAST(p.user_id AS BIGINT) AS user_id,
+           |  epoch_us(p.ts) AS t_us,
+           |  ${ts.Round6.r6Sql("p.value")} AS value,
+           |  ${ts.Round6.r6Sql("v.vval")} AS asof_vval,
+           |  epoch_us(v.ts) AS asof_t_us
+           |FROM pur p ASOF LEFT JOIN vw v
+           |  ON p.user_id = v.user_id AND p.ts >= v.ts
+           |ORDER BY event_id""".stripMargin))
   )
 
   /** sparse prefix + caller-supplied CTE chain that must define `out`. */

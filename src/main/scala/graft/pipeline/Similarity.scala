@@ -146,18 +146,18 @@ object Similarity {
   val IvfK = 16
   val IvfProbe = 4
 
-  /** (vec_id, embedding, cid) — nearest-centroid assignment. */
+  /** (vec_id, embedding, cid) — nearest-centroid assignment, one
+    * map-side pass per vector (same native expression as the k-means
+    * rounds; `centroids` is collected — it is K×dim by contract). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids.select(
-      col("vec_id").as("cid"), emb.as("cemb")))
-    val scored = corpus.select(col("vec_id"), emb).crossJoin(cents)
-      .select(col("vec_id"), emb, col("cid"),
-        cosine(emb, col("cemb")).as("ccos"))
-    scored.withColumn("__r", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cid"))))
-      .filter(col("__r") === 1)
-      .select(col("vec_id"), emb, col("cid"))
+    val centSeq = centroids
+      .select(col("vec_id").cast("long"),
+        transform(emb, _.cast("double")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    corpus.select(col("vec_id"), emb,
+      graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
+        .getField("cid").as("cid"))
   }
 
   /** IVF top-k with first-K-ids centroid seeds (oracle-replayable). */

@@ -300,6 +300,32 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asof join: inclusive at equal ts, null before first match, tolerance") {
+    import graft.ts.Asof
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 20L), (2L, 7L))
+      .toDF("k", "ts")
+    val right = Seq((1L, 5L, 50.0), (1L, 12L, 120.0), (3L, 1L, 99.0))
+      .toDF("k", "ts", "v")
+    val out = Asof.join(left, right, Seq("k"), "ts", Seq("v"))
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      (1L, 5L, Some(50.0), Some(5L)),   // equal ts matches (inclusive)
+      (1L, 10L, Some(50.0), Some(5L)),  // latest at-or-before
+      (1L, 20L, Some(120.0), Some(12L)),
+      (2L, 7L, None, None)))            // key with no right rows
+    // tolerance: staleness > 4 ticks nulls the match out
+    // (ts=10 matched rt=5 → 5 stale; ts=20 matched rt=12 → 8 stale)
+    val tol = Asof.join(left, right, Seq("k"), "ts", Seq("v"),
+        toleranceMicros = Some(lit(4L)))
+      .orderBy("k", "ts").collect()
+      .map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(tol.toSeq === Seq(Some(50.0), None, None, None))
+  }
+
   test("native nearestCentroid ≡ crossJoin+window argmax, bit-exact") {
     val s = spark; import s.implicits._
     val dim = 8
