@@ -62,22 +62,31 @@ object NearDup {
   def h64Hex(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Distinct (doc_id, xh) word-3-gram shingle hashes, xh < 2^31.
-    * Documents shorter than n words contribute their whole text. */
-  def shingles(docs: DataFrame): DataFrame = {
+  /** Raw (doc_id, xh) shingle-hash stream — one row per 3-gram
+    * OCCURRENCE. Callers that need set semantics either `.distinct()`
+    * ([[shingles]]) or aggregate with `collect_set` ([[shingleSets]]),
+    * which dedupes map-side inside its own shuffle. */
+  private def shingleHashes(docs: DataFrame): DataFrame = {
     val tokens = split(trim(lower(col("text"))), "\\s+")
     val idx = sequence(lit(0), greatest(size(tokens) - ShingleN, lit(0)))
     val sh = transform(idx, i => concat_ws(" ", slice(tokens, i + 1, lit(ShingleN))))
     docs.select(col("doc_id"), explode(sh).as("sh"))
       .select(col("doc_id"), pmod(h64(col("sh")), lit(X)).as("xh"))
-      .distinct()
   }
+
+  /** Distinct (doc_id, xh) word-3-gram shingle hashes, xh < 2^31.
+    * Documents shorter than n words contribute their whole text. */
+  def shingles(docs: DataFrame): DataFrame =
+    shingleHashes(docs).distinct()
 
   /** Per-document shingle-hash set: the one shuffle the MinHash/SimHash
     * paths pay — everything downstream (signatures, verification) is
-    * map-side work over the compact per-doc array. */
+    * map-side work over the compact per-doc array. Aggregates the RAW
+    * occurrence stream: `collect_set` dedupes during map-side partial
+    * aggregation, so this is ONE shuffle where `distinct → collect_set`
+    * would be two back-to-back shuffles of the same exploded volume. */
   def shingleSets(docs: DataFrame): DataFrame =
-    shingles(docs).groupBy(col("doc_id")).agg(collect_set(col("xh")).as("hs"))
+    shingleHashes(docs).groupBy(col("doc_id")).agg(collect_set(col("xh")).as("hs"))
 
   /** 16-hash MinHash signature per document: one map-side-combinable
     * aggregate over the exploded shingles. */
