@@ -51,6 +51,37 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(xff == Map(0L -> 2.0, 110L -> 4.0))
   }
 
+  test("updateRange multi-RRA cascade — rrd/ds_test.go:177-250 vectors") {
+    val s = spark; import s.implicits._
+    // One interval [103, 156)@100 across four resolutions. The
+    // reference keys slots by ring index = (endTime/step) mod size and
+    // commits only COMPLETED slots (the tail stays in the PDP); our
+    // slots are keyed by start time, so idx k ↔ start (k·step − step).
+    // Filtering to slots whose end ≤ lastUpdate reproduces exactly the
+    // committed sets the reference asserts.
+    val pts = Seq(("ds", 103L, 0.0), ("ds", 156L, 100.0))
+      .toDF("name", "ts", "value")
+    def slots(step: Long): Map[Long, Double] =
+      Consolidate.consolidate(pts, step, "wmean", 0.0, 3600)
+        .filter(org.apache.spark.sql.functions.col("t") + step <= 156)
+        .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    // rra[0] step 10: idx {1..5} = ends 110..150 = starts 100..140
+    assert(slots(10) === (0 to 4).map(i => (100L + i * 10) -> 100.0).toMap)
+    // rra[1] step 20: idx {6,7} = ends {120,140} = starts {100,120}
+    assert(slots(20) === Map(100L -> 100.0, 120L -> 100.0))
+    // rra[2] step 50: idx {3} = end 150 = start 100
+    assert(slots(50) === Map(100L -> 100.0))
+    // rra[3] step 100: nothing completed before 156
+    assert(slots(100) === Map.empty[Long, Double])
+    // aligned-end variant [104, 160): step 20 commits idx {6,7,8}
+    val pts2 = Seq(("ds", 104L, 0.0), ("ds", 160L, 100.0))
+      .toDF("name", "ts", "value")
+    val aligned = Consolidate.consolidate(pts2, 20, "wmean", 0.0, 3600)
+      .filter(org.apache.spark.sql.functions.col("t") + 20 <= 160)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(aligned === Map(100L -> 100.0, 120L -> 100.0, 140L -> 100.0))
+  }
+
   test("max/min/last consolidation functions") {
     val s = spark; import s.implicits._
     val updates = Seq(("a", 0L, 5.0), ("a", 4L, 1.0), ("a", 8L, 9.0),
