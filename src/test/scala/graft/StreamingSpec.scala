@@ -156,6 +156,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found.toSet === Set((1L, 3L)))
   }
 
+  test("streaming curation: per-batch quality+decontamination == batch run") {
+    // quality and contamination are per-document against a STATIC
+    // benchmark, so filtering each micro-batch independently must give
+    // exactly the batch-run answer regardless of how the corpus splits
+    // — the foreachBatch form a streaming ingest pipeline runs.
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.pipeline.{Curation, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the fast data table join with the sort and the filter plan"),
+      (2L, "el la los de que y en un una es"), // no 'the'-profile stopwords
+      (3L, "the quick brown fox is on the hill by the river with a map"),
+      (4L, "short text"),
+      (5L, "the fast data table join with a sort and a filter plan now"))
+    val bench = Seq((100L, "fast data table join with the sort"))
+      .toDF("doc_id", "text")
+    def filterBatch(b: org.apache.spark.sql.DataFrame) = {
+      val q = TextAnalysis.qualityScore(b).filter(col("quality") >= 0.5)
+        .select(col("doc_id"))
+      Curation.contamination(b, bench)
+        .filter(col("contaminated_frac") <= 0.5).select(col("doc_id"))
+        .join(q, "doc_id")
+    }
+    val batchAnswer = filterBatch(docs.toDF("doc_id", "text"))
+      .as[Long].collect().toSet
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= filterBatch(batch).as[Long].collect()
+        ()
+      }
+      .start()
+    mem.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(kept.toSet === batchAnswer)
+    assert(kept.nonEmpty && kept.size < docs.size) // both filters bind
+  }
+
   test("live view: archive ∪ unflushed stream state, archive wins collisions") {
     val s = spark; import s.implicits._
     // flushed archive: slots 0 and 10
