@@ -333,6 +333,18 @@ object PipelineQueries {
            |  CAST(rn AS BIGINT) AS rn
            |FROM capped ORDER BY doc_id""".stripMargin)),
 
+    // overlapping token-window chunking (embedding/retrieval prep):
+    // 32-token chunks every 24 tokens, final partial kept
+    ("cu_chunks",
+      ((s, d) => pipeline.Curation.chunk(Tables.documents(s, d), 32, 24)
+        .orderBy("doc_id", "chunk_ix")): Q,
+      Some(
+        s"""WITH ${pipeline.Curation.chunkSql(32, 24)}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(chunk_ix AS BIGINT) AS chunk_ix,
+           |  CAST(tok_start AS BIGINT) AS tok_start, chunk_text
+           |FROM chunks ORDER BY doc_id, chunk_ix""".stripMargin)),
+
     // end-to-end curation capstone: near-dup dedup → quality floor →
     // decontamination → source cap → sequence packing, one composed
     // pipeline against one composed oracle

@@ -203,6 +203,42 @@ object Curation {
        |  FROM ptoks
        |)""".stripMargin
 
+  // ---- overlapping token-window chunking ----
+
+  /** Split every document into overlapping token windows — the
+    * chunking step an embedding/retrieval pipeline runs before
+    * vectorization: a chunk of `window` tokens starts every `stride`
+    * tokens (stride < window ⇒ overlap), and the final partial chunk
+    * is kept. Pure map-side explode: no shuffle, output cardinality
+    * ≈ n_tokens/stride per document. Returns
+    * (doc_id, chunk_ix, tok_start, chunk_text). */
+  def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = tokens
+    val lastStart = floor((size(toks) - 1).cast("double") / stride).cast("long") * stride
+    val starts = sequence(lit(0L), greatest(lastStart, lit(0L)), lit(stride.toLong))
+    docs.select(col("doc_id"), posexplode(transform(starts, st =>
+        struct(st.as("start"),
+          concat_ws(" ", slice(toks, (st + 1).cast("int"), lit(window))).as("text"))))
+        .as(Seq("chunk_ix", "c")))
+      .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
+        col("c.start").as("tok_start"), col("c.text").as("chunk_text"))
+  }
+
+  /** DuckDB twin of [[chunk]]; defines CTE `chunks`. */
+  def chunkSql(window: Int, stride: Int): String =
+    s"""ctoks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents
+       |), chunks AS (
+       |  SELECT doc_id, i AS chunk_ix, i * $stride AS tok_start,
+       |    array_to_string(ts[i * $stride + 1 : i * $stride + $window], ' ') AS chunk_text
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(generate_series(0,
+       |            greatest(CAST(floor((len(ts) - 1) / $stride) AS BIGINT), 0))) AS i
+       |        FROM ctoks)
+       |)""".stripMargin
+
   // ---- per-source caps ----
 
   /** Deterministic per-source document cap: keep at most `cap`
