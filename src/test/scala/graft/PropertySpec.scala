@@ -300,6 +300,42 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native expressions: interpreted eval path ≡ codegen path") {
+    // production falls back to nullSafeEval when codegen is disabled
+    // or compilation fails — pin that path against the codegen'd one
+    // for every native expression
+    val s = spark; import s.implicits._
+    import graft.functions.{HashExprs, TextExprs, VectorExprs}
+    import graft.pipeline.{NearDup, Similarity}
+    val hs = Seq((1L, Seq(5L, 12345L, 2147483646L), Seq("the", "la", "und", "xyz"),
+      "rolling hash input", Seq.fill(Similarity.Dim)(3L)))
+      .toDF("id", "hs", "toks", "txt", "qv")
+    def run(): Seq[Seq[Any]] = hs.select(
+        HashExprs.minhashSig(col("hs"), NearDup.hashParams.map(_._1),
+          NearDup.hashParams.map(_._2), NearDup.P),
+        HashExprs.simhashSig(col("hs")),
+        VectorExprs.dot(col("qv"), col("qv")),
+        VectorExprs.lshSign(col("qv"), Similarity.planes.map(_.map(_.toLong))),
+        VectorExprs.nearestCentroid(col("qv"),
+          Seq((0L, Seq.fill(Similarity.Dim)(1.0)), (1L, Seq.fill(Similarity.Dim)(-1.0)))),
+        TextExprs.profileHits(col("toks"), Seq(Seq("the", "und"), Seq("la"))),
+        TextExprs.rollingHash(col("txt"), 31L, NearDup.P),
+        TextExprs.md5Prefix60(col("txt")))
+      .collect().map(_.toSeq).toSeq
+    val codegen = run()
+    val conf = spark.conf
+    val (ws0, fm0) = (conf.get("spark.sql.codegen.wholeStage"),
+      conf.get("spark.sql.codegen.factoryMode"))
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() === codegen)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", ws0)
+      conf.set("spark.sql.codegen.factoryMode", fm0)
+    }
+  }
+
   test("asof join: inclusive at equal ts, null before first match, tolerance") {
     import graft.ts.Asof
     val s = spark; import s.implicits._
