@@ -545,6 +545,30 @@ object TsQueries {
              | FROM series WHERE name = 'click' AND t >= $lo AND t <= $hi""".stripMargin
         }.mkString(" UNION ALL ")))),
 
+    // series-similarity search: series ranked by correlation with
+    // 'click' over common slots (explicit-sum Pearson both engines)
+    ("ts_most_similar",
+      ((s, d) => O.mostSimilar(M.sparse(s, d), "click", 3)
+        .select(col("name"), ts.Round6.r6(col("corr")).as("corr"))
+        .orderBy(col("corr").desc, col("name"))): Q,
+      Some(M.sparseSql() +
+        s""", tgt AS (SELECT t, value AS tv FROM series WHERE name = 'click'),
+           |js AS (
+           |  SELECT s.name, s.value AS x, tgt.tv AS y
+           |  FROM series s JOIN tgt USING (t) WHERE s.name <> 'click'
+           |), ag AS (
+           |  SELECT name, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+           |         sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+           |         sum(y * y) AS syy
+           |  FROM js GROUP BY name
+           |), co AS (
+           |  SELECT name, (n * sxy - sx * sy)
+           |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+           |  FROM ag ORDER BY corr DESC, name LIMIT 3
+           |)
+           |SELECT name, ${ts.Round6.r6Sql("corr")} AS corr FROM co
+           |ORDER BY ${ts.Round6.r6Sql("corr")} DESC, name""".stripMargin)),
+
     // as-of join (operator Spark lacks, §custom-operators): every
     // purchase event picks up the user's most recent prior view value.
     // Spark side is the one-shuffle union+window form (ts/Asof.scala);

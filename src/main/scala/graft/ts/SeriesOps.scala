@@ -451,6 +451,35 @@ object SeriesOps {
   def exclude(df: DataFrame, pattern: String): DataFrame =
     df.filter(!col("name").rlike(pattern))
 
+  /** Series-similarity search: rank series by Pearson correlation with
+    * `target` over their common timestamps — "find series shaped like
+    * X" (beyond the reference; the time-series similarity-search
+    * extension). The target side is ONE series (viewport-bounded) and
+    * broadcasts; the corpus side is a map-side-combinable per-name
+    * aggregate followed by a distributed TakeOrdered — no all-pairs
+    * stage anywhere. Correlation uses the explicit-sum formula so the
+    * oracle states the identical arithmetic (built-in corr()
+    * accumulation differs between engines). Returns (name, corr),
+    * best first. */
+  def mostSimilar(df: DataFrame, target: String, k: Int): DataFrame = {
+    val t = broadcast(df.filter(col("name") === target)
+      .select(col("t"), col("value").as("__tv")))
+    df.filter(col("name") =!= target)
+      .join(t, "t")
+      .groupBy(col("name"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("value")).as("sx"), sum(col("__tv")).as("sy"),
+        sum(col("value") * col("__tv")).as("sxy"),
+        sum(col("value") * col("value")).as("sxx"),
+        sum(col("__tv") * col("__tv")).as("syy"))
+      .select(col("name"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      .orderBy(col("corr").desc_nulls_last, col("name"))
+      .limit(k)
+  }
+
   // ===== alignment (SeriesSlice.Align — LCM of member steps,
   // ===== re-consolidate by average: series/seriesslice.go:138-172) =====
 
