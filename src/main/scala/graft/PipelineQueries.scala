@@ -358,6 +358,34 @@ object PipelineQueries {
       }): Q,
       Some(pipeline.Curation.curateSql(0.8, 0.65, 0.10, 15, "mix1", 512, 17))),
 
+    // joint sampling consistency: documents and embeddings sampled
+    // INDEPENDENTLY by the same key hash stay aligned — the property
+    // that makes hash sampling usable across derived tables (sampling
+    // then joining == joining then sampling)
+    ("sp_joint_sample",
+      ((s, d) => {
+        val docs = pipeline.Sampling.hashSample(
+            Tables.documents(s, d), col("doc_id"), 0.2)
+          .select(col("doc_id").cast("long").as("doc_id"))
+        val embs = pipeline.Sampling.hashSample(
+            Tables.embeddings(s, d), col("vec_id"), 0.2)
+          .select(col("vec_id").cast("long").as("doc_id"),
+            ts.Round6.r6(graft.functions.VectorExprs.dot(
+              col("embedding"), col("embedding"))).as("norm2"))
+        docs.join(embs, "doc_id").orderBy("doc_id")
+      }): Q,
+      Some {
+        val dotSelf =
+          s"list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) " +
+            s"for i in generate_series(1, ${pipeline.Similarity.Dim})])"
+        s"""SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           |  ${ts.Round6.r6Sql(dotSelf)} AS norm2
+           |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           |WHERE ${pipeline.Sampling.bucketSql("d.doc_id")} < 2000
+           |  AND ${pipeline.Sampling.bucketSql("e.vec_id")} < 2000
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // deterministic training-order shuffle: block-major (block, rank)
     ("sp_shuffle_rank",
       ((s, d) => pipeline.Sampling.shuffleRank(

@@ -96,6 +96,14 @@ object ScaleProbe {
       },
       time("pack_sequences_200k") { // two-level prefix sum + chunk
         pipeline.Curation.packSequences(docs, 2048).count()
+      },
+      time("asof_join_10m") { // union+window as-of: 10M left, 1M right
+        val l = keys.select(pmod(col("doc_id"), lit(1000)).as("k"),
+          col("doc_id").as("ts"))
+        val r = pipeline.Sampling.hashSample(keys, col("doc_id"), 0.1)
+          .select(pmod(col("doc_id"), lit(1000)).as("k"),
+            col("doc_id").as("ts"), (col("doc_id") * 2).as("v"))
+        graft.ts.Asof.join(l, r, Seq("k"), "ts", Seq("v")).count()
       })
 
     val json = results.map { case (l, sec, n) =>

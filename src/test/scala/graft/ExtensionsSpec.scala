@@ -60,4 +60,28 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("graft_dot"))
   }
+
+  test("spark.sql.extensions config string loads the class reflectively") {
+    // the cluster deploy path: --conf spark.sql.extensions=<class>; the
+    // class must be public with a zero-arg constructor and register on
+    // a session built from config alone
+    spark.stop()
+    val s2 = SparkSession.builder()
+      .master("local[2]").appName("extensions-conf-spec")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val got = s2.sql("SELECT graft_simhash(array(CAST(5 AS BIGINT)))")
+        .collect().head.getLong(0)
+      assert(got === 5L) // single element: sig bits == its low bits
+    } finally {
+      s2.stop()
+      spark0 = SparkSession.builder()
+        .master("local[4]").appName("extensions-spec")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false").getOrCreate()
+    }
+  }
 }
