@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer: fuse interpreted aggregate∘zip_with dot folds into
+    // DotProductExpr (see FuseDotRule)
+    ext.injectOptimizerRule(_ => new FuseDotRule)
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig",
         "graft_minhash_sig(array<bigint>) - 16-way MinHash signature (library hash family)"),

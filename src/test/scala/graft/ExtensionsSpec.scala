@@ -61,6 +61,36 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("graft_dot"))
   }
 
+  test("FuseDotRule rewrites HOF dot folds to the native expression") {
+    val s = spark; import s.implicits._
+    // spark.range keeps a real plan — a Seq-based frame constant-folds
+    // to a LocalRelation before the rule's effect is observable
+    val df = s.range(1, 4).select(
+      transform(sequence(lit(1), lit(3)),
+        i => (i * col("id")).cast("float")).as("x"),
+      transform(sequence(lit(1), lit(3)),
+        i => (i * col("id") * 2).cast("double")).as("y"))
+    val hof = df.selectExpr(
+      "aggregate(zip_with(x, y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d")
+    // the optimizer must have replaced the fold with graft_dot
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), optimized)
+    assert(!optimized.contains("aggregate("), optimized)
+    val expect = df.select(
+      graft.functions.VectorExprs.dot(col("x"), col("y")).as("d"))
+    assert(hof.collect().map(_.getDouble(0)).toSeq ===
+      expect.collect().map(_.getDouble(0)).toSeq)
+    // a fold that is NOT a dot product must survive untouched
+    val other = df.selectExpr(
+      "aggregate(zip_with(x, y, (p, q) -> CAST(p AS DOUBLE) + CAST(q AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d")
+    assert(other.queryExecution.optimizedPlan.toString.contains("aggregate("))
+    // sum-of-sums, not a dot: Σ(p+q) per row with x=i·id, y=2i·id
+    assert(other.collect().map(_.getDouble(0)).toSeq ===
+      Seq(18.0, 36.0, 54.0))
+  }
+
   test("spark.sql.extensions config string loads the class reflectively") {
     // the cluster deploy path: --conf spark.sql.extensions=<class>; the
     // class must be public with a zero-arg constructor and register on
