@@ -89,8 +89,8 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")): Q,
       Some(pipeline.NearDup.ngramPairsSql(0.5) +
         s""" SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-           |   ${ts.Round6.r6Sql("jaccard")} AS jaccard
-           | FROM out ORDER BY doc_a, doc_b""".stripMargin)),
+           |   ${ts.Round6.r6Sql("CAST(jaccard AS DOUBLE)")} AS jaccard
+           | FROM outx ORDER BY doc_a, doc_b""".stripMargin)),
 
     // connected components over the near-dup graph (min-label clusters)
     ("dd_clusters",

@@ -238,9 +238,16 @@ object NearDup {
     (pairs, newSets, newBands)
   }
 
-  /** Exact n-gram Jaccard via the inverted shingle index (df-capped). */
+  /** Exact n-gram Jaccard via the inverted shingle index (df-capped).
+    * Exact duplicates are collapsed first, as in [[minhashPairs]]: a
+    * mass-duplicated document would otherwise (a) go quadratic in the
+    * index join and (b) push its shingles' document frequency past
+    * [[DfCap]], dropping them from the index entirely and silently
+    * LOSING the duplicate pairs. Collapse bounds df at the number of
+    * distinct texts and restores the full pair set afterward. */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val sh = shingles(docs).persist()
+    val (members, reps) = collapseExact(docs)
+    val sh = shingles(reps).persist()
     val rare = sh.groupBy(col("xh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("xh")
     val shR = sh.join(rare, "xh")
@@ -250,8 +257,9 @@ object NearDup {
       .select("doc_a", "doc_b").distinct()
     // verification runs on the UNCAPPED sets: the cap bounds candidate
     // generation, not the reported similarity
-    verifyJaccard(cand,
+    val repPairs = verifyJaccard(cand,
       sh.groupBy(col("doc_id")).agg(collect_set(col("xh")).as("hs")), minJ)
+    expandExactDups(repPairs, members, "jaccard", lit(1.0))
   }
 
   /** 32-bit SimHash per document over distinct shingle hashes (shingles,
@@ -352,11 +360,14 @@ object NearDup {
   private def h64Sql(e: String) =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
-  /** CTE `sh(doc_id, xh)` — distinct shingle hashes. */
-  def shinglesSql: String =
+  /** CTE `sh(doc_id, xh)` — distinct shingle hashes over any relation
+    * with (doc_id, text). */
+  def shinglesSql: String = shinglesSqlFrom("documents")
+
+  def shinglesSqlFrom(from: String): String =
     s"""tok AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
-       |  FROM documents
+       |  FROM $from
        |), sh AS (
        |  SELECT DISTINCT doc_id,
        |    ${h64Sql(s"array_to_string(ts[i + 1 : i + $ShingleN], ' ')")} % $X AS xh
@@ -425,14 +436,32 @@ object NearDup {
       |  SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src
       |)""".stripMargin
 
+  /** Restates [[ngramJaccardPairs]] incl. the exact-dup collapse:
+    * pairs computed over representatives, then expanded back — cross
+    * pairs inherit the reps' jaccard, within-group pairs are 1.0. The
+    * final pair CTE is `outx(doc_a, doc_b, jaccard)`. */
   def ngramPairsSql(minJ: Double): String =
-    s"""WITH $shinglesSql,
+    s"""WITH fp AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+       |repby AS (SELECT h, min(doc_id) AS rep FROM fp GROUP BY h),
+       |mem AS (SELECT f.doc_id, r.rep FROM fp f JOIN repby r USING (h)),
+       |reps AS (SELECT doc_id, text FROM fp WHERE doc_id IN (SELECT rep FROM repby)),
+       |${shinglesSqlFrom("reps")},
        |rare AS (SELECT xh FROM sh GROUP BY xh HAVING count(*) <= $DfCap),
        |shr AS (SELECT s.* FROM sh s JOIN rare USING (xh)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM shr a JOIN shr b ON a.xh = b.xh WHERE a.doc_id < b.doc_id
-       |), ${verifySql(minJ)}""".stripMargin
+       |), ${verifySql(minJ)},
+       |outx AS (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |         greatest(ma.doc_id, mb.doc_id) AS doc_b, o.jaccard
+       |  FROM out o
+       |  JOIN mem ma ON ma.rep = o.doc_a
+       |  JOIN mem mb ON mb.rep = o.doc_b
+       |  UNION ALL
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard
+       |  FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+       |)""".stripMargin
 
   /** CTE `sigs2(doc_id, simhash)` (requires [[shinglesSql]]'s `sh`). */
   def simhashSigsSql: String =

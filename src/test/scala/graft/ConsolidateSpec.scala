@@ -232,6 +232,14 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val within = pairs.filter($"doc_a" <= 1000 && $"doc_b" <= 1000)
     assert(within.count() == 1000L * 999 / 2)
     assert(within.filter($"jaccard" =!= 1.0).isEmpty)
+    // the n-gram inverted-index path has the same guard: without the
+    // collapse, 1000 copies push every shared shingle's df past DfCap
+    // (=50), dropping them from the index and silently LOSING the
+    // duplicate pairs — with it, the block still reports all pairs
+    val ngram = NearDup.ngramJaccardPairs(docs, 0.5)
+    val ngWithin = ngram.filter($"doc_a" <= 1000 && $"doc_b" <= 1000)
+    assert(ngWithin.count() == 1000L * 999 / 2)
+    assert(ngWithin.filter($"jaccard" =!= 1.0).isEmpty)
   }
 
   test("find JSON: /metrics/find node shape") {
