@@ -332,15 +332,18 @@ object NearDup {
       val prop = sym.join(labels, sym("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
         .withColumnRenamed("src", "doc_id")
+      // carry the changed flag inside the checkpointed frame: the
+      // convergence test is then a scan of the already-materialized
+      // blocks, not a second join job per round
       val next = labels.withColumnRenamed("cluster", "prev")
         .join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("prev"), coalesce(col("nbr"), col("prev"))).as("cluster"))
+          least(col("prev"), coalesce(col("nbr"), col("prev"))).as("cluster"),
+          (least(col("prev"), coalesce(col("nbr"), col("prev"))) =!= col("prev"))
+            .as("__chg"))
         .localCheckpoint()
-      converged = next.withColumnRenamed("cluster", "c2")
-        .join(labels, "doc_id")
-        .filter(col("c2") =!= col("cluster")).isEmpty
-      labels = next
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.select(col("doc_id"), col("cluster"))
       iter += 1
     }
     labels
