@@ -283,16 +283,38 @@ object Curation {
   def curate(docs: DataFrame, bench: DataFrame, minJ: Double,
       minQuality: Double, maxContamination: Double,
       cap: Int, salt: String, budget: Int): DataFrame = {
-    val keep = NearDup.dedupKeep(docs, minJ)
-    val q = TextAnalysis.qualityScore(docs)
+    // Every per-TEXT stage (shingling, near-dup signatures, quality,
+    // contamination) runs once per DISTINCT text: collapse exact
+    // duplicates first, share one persisted shingle-set frame between
+    // dedup and decontamination, score quality on representatives, and
+    // re-attach copies through the membership map at the end. On a
+    // crawl corpus (30-50% exact dups) this roughly halves the text
+    // work versus running each stage over the raw corpus — with
+    // identical output, since identical texts get identical scores.
+    val (members, reps) = NearDup.collapseExact(docs)
+    val sets = NearDup.shingleSets(reps).persist()
+    val repPairs = NearDup.verifyJaccard(
+      NearDup.candidates(NearDup.bands(NearDup.signaturesFromSets(sets))),
+      sets, minJ)
+    val pairs = NearDup.expandExactDups(repPairs, members, "jaccard", lit(1.0))
+    val losers = NearDup.clusters(pairs)
+      .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    val qOk = TextAnalysis.qualityScore(reps)
       .filter(col("quality") >= minQuality)
-      .select(col("doc_id").cast("long").as("doc_id"))
-    val clean = contamination(docs, bench)
-      .filter(col("contaminated_frac") <= maxContamination)
-      .select(col("doc_id").cast("long").as("doc_id"))
+      .select(col("doc_id").cast("long").as("rep"))
+    val bg = NearDup.shingles(bench).select(col("xh")).distinct()
+    val cOk = sets.select(col("doc_id"), explode(col("hs")).as("xh"))
+      .join(broadcast(bg.withColumn("__hit", lit(1L))), Seq("xh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("__hit")), lit(0L)).as("nh"))
+      .filter(col("nh").cast("double") / col("n").cast("double") <= maxContamination)
+      .select(col("doc_id").cast("long").as("rep"))
     val survivors = docs.select(col("doc_id").cast("long").as("doc_id"),
         col("source"), col("text"))
-      .join(keep, "doc_id").join(q, "doc_id").join(clean, "doc_id")
+      .join(members.select(col("doc_id"), col("rep")), "doc_id")
+      .join(qOk.join(cOk, "rep"), "rep")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("text"))
     val capped = sourceCap(survivors, cap, salt)
     packSequences(survivors.join(capped.select("doc_id"), "doc_id"), budget)
       .join(capped, "doc_id")

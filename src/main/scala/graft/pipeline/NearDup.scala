@@ -181,7 +181,7 @@ object NearDup {
     * value (identical texts ⇒ identical signatures/sets), within-group
     * pairs get `selfValue` (Jaccard 1.0 / Hamming 0). Linear in the size
     * of the final answer — no quadratic intermediate. */
-  private def expandExactDups(pairs: DataFrame, members: DataFrame,
+  private[pipeline] def expandExactDups(pairs: DataFrame, members: DataFrame,
       valueCol: String, selfValue: Column): DataFrame = {
     val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("xa"))
     val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("xb"))
