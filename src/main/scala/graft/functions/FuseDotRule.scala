@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types
 import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
 
 /** Optimizer rule: recognize the interpreted higher-order-function dot
@@ -39,7 +40,11 @@ class FuseDotRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Primitive numeric arrays only: DotProductExpr reads elements with
+    * primitive getters, so a decimal-array fold (valid as a HOF) must
+    * NOT be rewritten. */
   private def numericArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_: types.DecimalType, _) => false
     case ArrayType(_: NumericType, _) => true
     case _ => false
   }

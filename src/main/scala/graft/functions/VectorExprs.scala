@@ -52,8 +52,14 @@ object VectorExprs {
     GraftBridge.column(NearestCentroidExpr(GraftBridge.expression(vec),
       cents.map(_._1), cents.map(_._2)))
 
+  /** Accepts primitive numeric element types only — DecimalType is
+    * rejected at ANALYSIS time because the fused loops read elements
+    * with primitive getters (a decimal array would otherwise crash at
+    * runtime). */
   private[functions] def numericElem(name: String, dt: DataType): TypeCheckResult =
     dt match {
+      case ArrayType(_: DecimalType, _) => TypeCheckResult.TypeCheckFailure(
+        s"$name does not support array<decimal> input; cast to double first")
       case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"$name requires array<numeric> input, got ${other.catalogString}")
@@ -150,7 +156,10 @@ case class DotProductExpr(left: Expression, right: Expression)
   * ties keep the lowest cid. NaN cosines (zero-norm vectors) rank
   * ABOVE numbers, mirroring Spark's descending sort where NaN is
   * greatest. All products/sums are IEEE doubles in index order —
-  * bit-identical to the dot/cosine fold formulation and the oracle. */
+  * bit-identical to the dot/cosine fold formulation and the oracle.
+  * A vector containing a null element yields a NULL result (malformed
+  * input — quantized embeddings are never null-holed; the window
+  * formulation would emit the lowest cid with a null cos instead). */
 case class NearestCentroidExpr(child: Expression,
     cids: Seq[Long], cents: Seq[Seq[Double]])
     extends UnaryExpression {
@@ -190,6 +199,7 @@ case class NearestCentroidExpr(child: Expression,
     var qacc = 0.0
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null // malformed vector: no assignment
       val x = VectorExprs.evalAsDouble(arr, i, et)
       qacc += x * x
       i += 1
@@ -234,31 +244,36 @@ case class NearestCentroidExpr(child: Expression,
       val better = ctx.freshName("better")
       val x = ctx.freshName("x")
       val get = VectorExprs.getAsDouble(arr, i, elemType)
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = java.lang.Math.min($arr.numElements(), $dim);
+         |boolean $bad = false;
          |double $qacc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) { $bad = true; break; }
          |  double $x = $get;
          |  $qacc += $x * $x;
          |}
-         |double $qn = java.lang.Math.sqrt($qacc);
-         |long $bestCid = 0L;
-         |double $bestCos = 0.0;
-         |for (int $c = 0; $c < $k; $c++) {
-         |  double $dacc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dacc += $get * $cRef[$c * $dim + $i];
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  double $qn = java.lang.Math.sqrt($qacc);
+         |  long $bestCid = 0L;
+         |  double $bestCos = 0.0;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $dacc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dacc += $get * $cRef[$c * $dim + $i];
+         |    }
+         |    double $cos = $dacc / ($qn * $nRef[$c]);
+         |    boolean $better;
+         |    if ($c == 0) { $better = true; }
+         |    else if (Double.isNaN($cos) != Double.isNaN($bestCos)) {
+         |      $better = Double.isNaN($cos);
+         |    } else { $better = $cos > $bestCos; }
+         |    if ($better) { $bestCid = $idRef[$c]; $bestCos = $cos; }
          |  }
-         |  double $cos = $dacc / ($qn * $nRef[$c]);
-         |  boolean $better;
-         |  if ($c == 0) { $better = true; }
-         |  else if (Double.isNaN($cos) != Double.isNaN($bestCos)) {
-         |    $better = Double.isNaN($cos);
-         |  } else { $better = $cos > $bestCos; }
-         |  if ($better) { $bestCid = $idRef[$c]; $bestCos = $cos; }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{$bestCid, $bestCos});
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{$bestCid, $bestCos});
        """.stripMargin
     })
 

@@ -256,15 +256,17 @@ object Curation {
 
   /** DuckDB twin of [[sourceCap]]; defines CTE `capped` over any
     * relation with (doc_id, source). */
-  def sourceCapSql(cap: Int, salt: String, from: String = "documents"): String =
+  def sourceCapSql(cap: Int, salt: String, from: String = "documents"): String = {
+    val saltSql = salt.replace("'", "''") // SQL-literal escape
     s"""capped AS (
        |  SELECT doc_id, source, rn FROM (
        |    SELECT doc_id, source, row_number() OVER (
        |      PARTITION BY source
-       |      ORDER BY md5('$salt' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |      ORDER BY md5('$saltSql' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
        |    FROM $from)
        |  WHERE rn <= $cap
        |)""".stripMargin
+  }
 
   // ---- end-to-end curation capstone ----
 

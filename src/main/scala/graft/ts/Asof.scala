@@ -36,12 +36,16 @@ object Asof {
     * @param right     right frame; must contain `keys`, `ts`, `rightVals`
     * @param keys      equi-join key columns (both sides)
     * @param ts        ordering column name (both sides, any orderable type)
-    * @param rightVals right payload columns, emitted as `asof_<name>`
-    * @param toleranceMicros optional max staleness: matches older than
-    *        this (in the ts column's own units) are nulled out, plus an
-    *        `asof_ts` column with the matched right timestamp */
+    * @param rightVals right payload columns, emitted as `asof_<name>`;
+    *        an `asof_ts` column with the matched right timestamp is
+    *        ALWAYS emitted too (rename it upstream before chaining a
+    *        second as-of join over the output)
+    * @param tolerance optional max staleness: matches older than this
+    *        are nulled out. Units: MICROSECONDS when `ts` is a
+    *        timestamp column, else the integer value of the ts column
+    *        itself (numeric ts compares as `cast(ts as long)`). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
-      rightVals: Seq[String], toleranceMicros: Option[Column] = None): DataFrame = {
+      rightVals: Seq[String], tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__side", lit(1))
     val r = right.select((keys :+ ts).map(col) ++
@@ -54,8 +58,15 @@ object Asof {
     val filled = (rightVals.map(c => s"__r_$c") :+ "__r_ts")
       .foldLeft(u)((df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
-    val stale: Column = toleranceMicros match {
-      case Some(tol) => col(ts).cast("long") - col("__r_ts").cast("long") > tol
+    // type-aware tick extraction: cast("long") on a TimestampType
+    // column yields epoch SECONDS in Spark — use unix_micros there so
+    // the tolerance really is microseconds
+    def ticks(c: Column): Column = left.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val stale: Column = tolerance match {
+      case Some(tol) => ticks(col(ts)) - ticks(col("__r_ts")) > tol
       case None => lit(false)
     }
     filled.select(leftCols.map(col) ++

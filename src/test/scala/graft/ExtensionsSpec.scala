@@ -89,6 +89,21 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sum-of-sums, not a dot: Σ(p+q) per row with x=i·id, y=2i·id
     assert(other.collect().map(_.getDouble(0)).toSeq ===
       Seq(18.0, 36.0, 54.0))
+    // decimal arrays: a valid HOF fold that the native expression
+    // cannot evaluate — the rule must leave it alone, and the result
+    // must still be correct
+    val dec = s.range(1, 3).selectExpr(
+      "transform(sequence(1, 3), i -> CAST(i * id AS DECIMAL(10, 2))) AS x")
+    val decFold = dec.selectExpr(
+      "aggregate(zip_with(x, x, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d")
+    assert(decFold.queryExecution.optimizedPlan.toString.contains("aggregate("))
+    assert(decFold.collect().map(_.getDouble(0)).toSeq === Seq(14.0, 56.0))
+    // and calling graft_dot on decimals directly fails at analysis time
+    val e2 = intercept[Exception] {
+      dec.select(graft.functions.VectorExprs.dot(col("x"), col("x"))).collect()
+    }
+    assert(e2.getMessage.contains("decimal"))
   }
 
   test("spark.sql.extensions config string loads the class reflectively") {

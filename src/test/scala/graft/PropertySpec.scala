@@ -356,7 +356,7 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // tolerance: staleness > 4 ticks nulls the match out
     // (ts=10 matched rt=5 → 5 stale; ts=20 matched rt=12 → 8 stale)
     val tol = Asof.join(left, right, Seq("k"), "ts", Seq("v"),
-        toleranceMicros = Some(lit(4L)))
+        tolerance = Some(lit(4L)))
       .orderBy("k", "ts").collect()
       .map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
     assert(tol.toSeq === Seq(Some(50.0), None, None, None))
@@ -405,6 +405,12 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((3L, Seq.fill(dim)(1.0)), (7L, Seq.fill(dim)(2.0)))).as("nc"))
       .select(col("nc.cid"), col("nc.cos")).collect().head
     assert(out.getLong(0) === 3L && out.getDouble(1).isNaN)
+    // a null element ⇒ null assignment (malformed vector, documented)
+    val holed = spark.sql(
+      s"SELECT array(${(1 to dim).map(i => if (i == 3) "CAST(NULL AS BIGINT)" else s"CAST($i AS BIGINT)").mkString(", ")}) AS qv")
+    val nres = holed.select(graft.functions.VectorExprs.nearestCentroid(
+      col("qv"), Seq((0L, Seq.fill(dim)(1.0)))).as("nc")).collect().head
+    assert(nres.isNullAt(0))
   }
 
   test("native md5Prefix60 ≡ conv(substring(md5)) hex parse") {
