@@ -398,9 +398,9 @@ object PipelineQueries {
            |  SELECT doc_id, md5('epoch1' || CAST(doc_id AS VARCHAR)) AS hx
            |  FROM documents
            |)
-           |SELECT CAST(('0x' || substr(hx, 1, 2))::BIGINT % 256 AS BIGINT) AS block,
+           |SELECT CAST(('0x' || substr(hx, 1, 6))::BIGINT % 256 AS BIGINT) AS block,
            |       CAST(row_number() OVER (
-           |         PARTITION BY ('0x' || substr(hx, 1, 2))::BIGINT % 256
+           |         PARTITION BY ('0x' || substr(hx, 1, 6))::BIGINT % 256
            |         ORDER BY hx, CAST(doc_id AS VARCHAR)) AS BIGINT) AS rank,
            |       CAST(doc_id AS BIGINT) AS doc_id
            |FROM h ORDER BY block, rank""".stripMargin))

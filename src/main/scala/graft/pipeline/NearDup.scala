@@ -221,7 +221,12 @@ object NearDup {
     * their stores — the `foreachBatch` shape, same as
     * [[graft.streaming.Ingest.mergePiecesIntoArchive]]'s partition-
     * scoped merge. Run [[Dedup]]'s exact collapse upstream for crawl
-    * corpora, as [[minhashPairs]] does. */
+    * corpora, as [[minhashPairs]] does.
+    *
+    * Cache lifetime: the returned `batchSets` frame is persisted (it
+    * feeds both the band index and verification); a long-running
+    * foreachBatch caller must `unpersist()` it after appending to its
+    * stores, or cached partitions accumulate across micro-batches. */
   def minhashIncrement(newDocs: DataFrame, setsStore: DataFrame,
       bandStore: DataFrame, minJ: Double): (DataFrame, DataFrame, DataFrame) = {
     val newSets = shingleSets(newDocs).persist()
@@ -317,7 +322,6 @@ object NearDup {
     * round is one join + aggregate; the driver only checks the
     * convergence counter, never the data. Returns (doc_id, cluster). */
   def clusters(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       // checkpoint: each round re-reads the graph and the prior labels

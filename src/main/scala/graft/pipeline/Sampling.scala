@@ -52,12 +52,15 @@ object Sampling {
     * block-major. Ranking partitions BY BLOCK — never a global
     * single-partition window — so the sort distributes across however
     * many blocks the corpus warrants. Changing the salt re-deals the
-    * permutation. */
+    * permutation. The block comes from the first SIX hex digits (2²⁴
+    * values), so block counts up to ~16M stay supported and the
+    * pmod non-uniformity is ≤ blocks/2²⁴ — a 2-digit prefix would
+    * silently cap blocks at 256 and skew any non-divisor count. */
   def shuffleRank(df: DataFrame, key: Column, salt: String,
       blocks: Int = 256): DataFrame =
     df.withColumn("__h", md5(concat(lit(salt), key.cast("string"))))
       .withColumn("block",
-        pmod(conv(substring(col("__h"), 1, 2), 16, 10).cast("long"), lit(blocks)))
+        pmod(conv(substring(col("__h"), 1, 6), 16, 10).cast("long"), lit(blocks)))
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("block")).orderBy(col("__h"), key.cast("string"))))

@@ -146,15 +146,22 @@ object Similarity {
   val IvfK = 16
   val IvfProbe = 4
 
-  /** (vec_id, embedding, cid) — nearest-centroid assignment, one
-    * map-side pass per vector (same native expression as the k-means
-    * rounds; `centroids` is collected — it is K×dim by contract). */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val centSeq = centroids
-      .select(col("vec_id").cast("long"),
-        transform(emb, _.cast("double")))
+  /** Collect a K×dim centroid frame to the driver-side (cid, cent)
+    * list the native assignment expression takes — centroids are
+    * always tiny by contract, and the k-means rounds bounce them
+    * through the driver anyway. */
+  private def collectCentroidSeq(centroids: DataFrame, idCol: String,
+      vecCol: String): Seq[(Long, Seq[Double])] =
+    centroids.select(col(idCol).cast("long"),
+        transform(col(vecCol), _.cast("double")))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
       .sortBy(_._1)
+
+  /** (vec_id, embedding, cid) — nearest-centroid assignment, one
+    * map-side pass per vector (same native expression as the k-means
+    * rounds). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val centSeq = collectCentroidSeq(centroids, "vec_id", "embedding")
     corpus.select(col("vec_id"), emb,
       graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
         .getField("cid").as("cid"))
@@ -179,22 +186,15 @@ object Similarity {
     * by probing the nProbe nearest buckets, exact cosine rank within. */
   def topKIvfWith(corpus: DataFrame, centroids: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
-    def dot(x: Column, y: Column) = graft.functions.VectorExprs.dot(x, y)
     // centroids are K×dim — collect once; they feed (a) the corpus
     // assignment as plan-time constants of the native expression (one
     // map-side pass, no N·K row materialization) and (b) the tiny
     // query-probe cross join below
-    val centSeq: Seq[(Long, Seq[Double])] = centroids
-      .select(col("cid").cast("long"),
-        transform(col("cent"), _.cast("double")))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      .sortBy(_._1)
-    val cents = broadcast(centroids.select(col("cid"), col("cent"),
-      sqrt(dot(col("cent"), col("cent"))).as("__cn")))
+    val centSeq = collectCentroidSeq(centroids, "cid", "cent")
+    val cents = broadcast(centroids.select(col("cid"), col("cent")))
     val assigned = corpus.select(col("vec_id"), emb,
-        graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
-          .getField("cid").as("cid"))
-      .select(col("vec_id"), emb, col("cid"))
+      graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
+        .getField("cid").as("cid"))
     // per query: nProbe nearest centroid ids
     val q = queries.select(col("vec_id").as("qid"), emb.as("qemb"))
     val probes = q.crossJoin(cents)

@@ -70,7 +70,8 @@ object TextAnalysis {
 
   /** DuckDB twin of [[bm25]] over the documents table. */
   def bm25Sql(terms: Seq[String], topK: Int): String = {
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    // SQL-literal escape: the Spark side (isin) takes any string
+    val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH dl AS (
        |  SELECT doc_id,
        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS dl

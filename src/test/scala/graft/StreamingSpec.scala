@@ -142,6 +142,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         found ++= pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
         newSets.write.mode("append").parquet(setsDir)
         newBands.write.mode("append").parquet(bandsDir)
+        // per the operator contract: release the batch's persisted
+        // shingle frame so cached blocks don't accumulate across batches
+        newSets.unpersist()
         ()
       }
       .start()
