@@ -61,17 +61,7 @@ object Consolidate {
         (col("ts") - col("begin")) <= heartbeatSec)
       .select(col("name"), col("begin"), col("ts").as("end"), col("value").as("v"))
 
-    // Split across slot boundaries: slot indices floor(begin/step) ..
-    // floor((end-1)/step); overlap = clamped intersection length.
-    val slotLo = floor(col("begin").cast("double") / stepSec).cast("long")
-    val slotHi = floor((col("end") - 1).cast("double") / stepSec).cast("long")
-    val pieces = iv
-      .withColumn("__slot", explode(sequence(slotLo, slotHi)))
-      .withColumn("t", col("__slot") * stepSec)
-      .withColumn("overlap",
-        (least(col("end"), col("t") + stepSec) -
-         greatest(col("begin"), col("t"))).cast("double"))
-      .filter(col("overlap") > 0)
+    val pieces = explodeOverlap(iv, stepSec)
 
     val cfValue: Column = cf match {
       case "wmean" => sum(col("v") * col("overlap")) / sum(col("overlap"))
@@ -105,6 +95,22 @@ object Consolidate {
       .filter(col("begin").isNotNull && col("ts") > col("begin") &&
         (col("ts") - col("begin")) <= heartbeatSec)
       .select(col("name"), col("begin"), col("ts").as("end"), col("value").as("v"))
+    explodeOverlap(iv, stepSec)
+      .groupBy(col("name"), col("t"))
+      .agg((sum(col("v") * col("overlap")) / sum(col("overlap"))).as("value"),
+        sum(col("overlap")).as("dur"))
+  }
+
+  /** Split interval rows `(…, begin, end, …)` across slot boundaries at
+    * `stepSec`: adds `t` (slot start) and `overlap` (clamped
+    * intersection length), drops empty intersections. The
+    * weighted-overlap kernel shared by batch consolidation (above) and
+    * the streaming slot/merge paths
+    * ([[graft.streaming.Ingest.piecesToSlots]],
+    * [[graft.streaming.Ingest.mergePiecesIntoArchive]]) — ONE
+    * implementation so the `end − 1` slot bound and the clamp can never
+    * drift between copies. */
+  def explodeOverlap(iv: DataFrame, stepSec: Long): DataFrame = {
     val slotLo = floor(col("begin").cast("double") / stepSec).cast("long")
     val slotHi = floor((col("end") - 1).cast("double") / stepSec).cast("long")
     iv.withColumn("__slot", explode(sequence(slotLo, slotHi)))
@@ -113,9 +119,6 @@ object Consolidate {
         (least(col("end"), col("t") + stepSec) -
           greatest(col("begin"), col("t"))).cast("double"))
       .filter(col("overlap") > 0)
-      .groupBy(col("name"), col("t"))
-      .agg((sum(col("v") * col("overlap")) / sum(col("overlap"))).as("value"),
-        sum(col("overlap")).as("dur"))
   }
 
   /** Multi-resolution cascade (`rrd/rra.go:179-253`'s DS-PDP → RRA

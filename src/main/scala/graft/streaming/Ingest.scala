@@ -210,39 +210,42 @@ object Ingest {
   def mergePiecesIntoArchive(spark: SparkSession, pieces: DataFrame,
       archiveDir: String, stepSec: Long, partitionSlots: Long = 8640): Unit = {
     val partSec = stepSec * partitionSlots
-    val slotLo = floor(col("begin").cast("double") / stepSec).cast("long")
-    val slotHi = floor((col("end") - 1).cast("double") / stepSec).cast("long")
-    val newPartials = pieces
-      .withColumn("__slot", explode(sequence(slotLo, slotHi)))
-      .withColumn("t", col("__slot") * stepSec)
-      .withColumn("overlap",
-        (least(col("end"), col("t") + stepSec) -
-          greatest(col("begin"), col("t"))).cast("double"))
-      .filter(col("overlap") > 0)
+    // persisted: both the driver-side touched-partition collect and the
+    // merge write consume it — without the cache the batch's
+    // explode+aggregate would run twice per micro-batch
+    val newPartials = graft.rrd.Consolidate.explodeOverlap(pieces, stepSec)
       .groupBy(col("name"), col("t"))
       .agg(sum(col("value") * col("overlap")).as("vw"), sum(col("overlap")).as("dur"))
-    // the partition keys this batch touches: tiny driver-side list
-    // (one per partSec of batch time span) used for static pruning
-    val touched = newPartials
-      .select(floor(col("t").cast("double") / partSec).cast("long").as("pt"))
-      .distinct().collect().map(_.getLong(0))
-    if (touched.isEmpty) return
-    val existing =
-      try spark.read.parquet(archiveDir)
-        .filter(col("pt").isin(touched.map(Long.box): _*))
-        .select(col("name"), col("t"), col("vw"), col("dur"))
-      catch { case _: Exception =>
-        spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("t"),
-          lit(0.0).as("vw"), lit(0.0).as("dur")).limit(0)
-      }
-    val merged = existing.unionByName(newPartials)
-      .groupBy(col("name"), col("t"))
-      .agg(sum(col("vw")).as("vw"), sum(col("dur")).as("dur"))
-      .withColumn("pt", floor(col("t").cast("double") / partSec).cast("long"))
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pt")
-      .parquet(archiveDir)
+      .persist()
+    try {
+      // the partition keys this batch touches: tiny driver-side list
+      // (one per partSec of batch time span) used for static pruning
+      val touched = newPartials
+        .select(floor(col("t").cast("double") / partSec).cast("long").as("pt"))
+        .distinct().collect().map(_.getLong(0))
+      if (touched.isEmpty) return
+      // explicit first-write probe: a transient read error must FAIL the
+      // batch, not silently discard the touched partitions' history (a
+      // swallowed read + dynamic overwrite would rewrite them from the
+      // batch alone)
+      val archivePath = new org.apache.hadoop.fs.Path(archiveDir)
+      val fs = archivePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val existing =
+        if (!fs.exists(archivePath))
+          spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("t"),
+            lit(0.0).as("vw"), lit(0.0).as("dur")).limit(0)
+        else spark.read.parquet(archiveDir)
+          .filter(col("pt").isin(touched.map(Long.box): _*))
+          .select(col("name"), col("t"), col("vw"), col("dur"))
+      val merged = existing.unionByName(newPartials)
+        .groupBy(col("name"), col("t"))
+        .agg(sum(col("vw")).as("vw"), sum(col("dur")).as("dur"))
+        .withColumn("pt", floor(col("t").cast("double") / partSec).cast("long"))
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pt")
+        .parquet(archiveDir)
+    } finally newPartials.unpersist()
   }
 
   /** Read the archive slot store as a series frame. */
@@ -267,20 +270,11 @@ object Ingest {
 
   /** Slot aggregation of interval pieces — identical math to
     * [[graft.rrd.Consolidate.consolidate]]'s explode+weighted-mean. */
-  def piecesToSlots(pieces: DataFrame, stepSec: Long, xff: Double): DataFrame = {
-    val slotLo = floor(col("begin").cast("double") / stepSec).cast("long")
-    val slotHi = floor((col("end") - 1).cast("double") / stepSec).cast("long")
-    pieces
-      .withColumn("__slot", explode(sequence(slotLo, slotHi)))
-      .withColumn("t", col("__slot") * stepSec)
-      .withColumn("overlap",
-        (least(col("end"), col("t") + stepSec) -
-          greatest(col("begin"), col("t"))).cast("double"))
-      .filter(col("overlap") > 0)
+  def piecesToSlots(pieces: DataFrame, stepSec: Long, xff: Double): DataFrame =
+    graft.rrd.Consolidate.explodeOverlap(pieces, stepSec)
       .groupBy(col("name"), col("t"))
       .agg((sum(col("value") * col("overlap")) / sum(col("overlap"))).as("value"),
         sum(col("overlap")).as("dur"))
       .filter(col("dur") >= lit(xff * stepSec))
       .select(col("name"), col("t"), col("value"))
-  }
 }

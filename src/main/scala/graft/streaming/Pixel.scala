@@ -47,14 +47,18 @@ object Pixel {
     urls
       .select(kind.as("kind"), explode(split(qs, "&")).as("pair"))
       .filter(col("kind").isNotNull && col("pair") =!= "")
+      // try_url_decode: malformed percent-encoding yields NULL (and the
+      // pair drops through the filters below) — plain url_decode would
+      // throw and kill the whole batch on one bad request
       .select(col("kind"),
-        Ingest.sanitizeName(url_decode(get(kv, lit(0)))).as("name"),
-        url_decode(coalesce(get(kv, lit(1)), lit(""))).as("vs"))
+        Ingest.sanitizeName(try_url_decode(get(kv, lit(0)))).as("name"),
+        try_url_decode(coalesce(get(kv, lit(1)), lit(""))).as("vs"))
       // Sscanf %f skips leading whitespace — which is how a form-encoded
       // "+2" (decoded " 2") still parses as 2 in the reference
       .withColumn("value",
         regexp_extract(col("vs"), s"^\\s*($F)", 1).try_cast("double"))
-      .filter(col("value").isNotNull) // Sscanf n < 1: pair dropped
+      // Sscanf n < 1 OR undecodable name: pair dropped
+      .filter(col("value").isNotNull && col("name").isNotNull)
       .withColumn("ut",
         regexp_extract(col("vs"), s"^\\s*$F@\\s*($F)", 1).try_cast("double"))
       .select(col("kind"), col("name"),

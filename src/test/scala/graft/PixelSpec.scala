@@ -66,5 +66,9 @@ class PixelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // multi-pair form: every valid pair yields a point (pixel.go:59-63)
     assert(parse("/pixel?a=1@10&b=2@20") ===
       Set(("dp", "a", Some(10L), 1.0), ("dp", "b", Some(20L), 2.0)))
+    // malformed percent-encoding drops the PAIR, not the batch
+    // (try_url_decode → NULL → filtered; url_decode would throw)
+    assert(parse("/pixel?cpu%=50&ok=1@5") === Set(("dp", "ok", Some(5L), 1.0)))
+    assert(parse("/pixel?ok=50%") === Set.empty)
   }
 }
