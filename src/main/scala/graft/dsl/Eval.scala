@@ -135,14 +135,23 @@ object Eval {
     def add(names: Seq[String])(impl: Impl): Unit = names.foreach(n => b += n -> impl)
 
     // ----- cross-series combines (series/seriesslice.go reducers) -----
-    add(Seq("sumSeries", "sum"))(onSeries((_, df, _, _) => O.sumSeries(df)))
-    add(Seq("averageSeries", "avg"))(onSeries((_, df, _, _) => O.averageSeries(df)))
-    add(Seq("maxSeries", "max"))(onSeries((_, df, _, _) => O.maxSeries(df)))
-    add(Seq("minSeries", "min"))(onSeries((_, df, _, _) => O.minSeries(df)))
-    add(Seq("multiplySeries"))(onSeries((_, df, _, _) => O.multiplySeries(df)))
-    add(Seq("rangeOfSeries"))(onSeries((_, df, _, _) => O.rangeOfSeries(df)))
+    // The reference registers these varArg (`dsl/funcs.go:71-97`): EVERY
+    // positional arg — quoted pattern or series — resolves and merges
+    // into one set, so sumSeries("a.*", "b.*") unions both patterns
+    // (processArgs' combined-map merge, `dsl/funcs.go:470-487`).
+    def onAllSeries(f: DataFrame => DataFrame): Impl =
+      (ctx, args, _) => {
+        require(args.nonEmpty, "expected a series argument")
+        SeriesV(f(args.map(asSeries(ctx, _)).reduce(_.unionByName(_))))
+      }
+    add(Seq("sumSeries", "sum"))(onAllSeries(df => O.sumSeries(df)))
+    add(Seq("averageSeries", "avg"))(onAllSeries(df => O.averageSeries(df)))
+    add(Seq("maxSeries", "max"))(onAllSeries(df => O.maxSeries(df)))
+    add(Seq("minSeries", "min"))(onAllSeries(df => O.minSeries(df)))
+    add(Seq("multiplySeries"))(onAllSeries(df => O.multiplySeries(df)))
+    add(Seq("rangeOfSeries"))(onAllSeries(df => O.rangeOfSeries(df)))
     add(Seq("isNonNull"))(onSeries((_, df, _, _) => O.isNonNull(df)))
-    add(Seq("countSeries"))(onSeries((_, df, _, _) => O.countSeries(df)))
+    add(Seq("countSeries"))(onAllSeries(df => O.countSeries(df)))
     // diffSeries: explicit args subtract in ARGUMENT order; a single
     // merged set falls back to name order (= the reference's sorted-map
     // iteration for one pattern)
@@ -223,17 +232,21 @@ object Eval {
       // other cf. Mirrored literally here; the HONEST re-bucketing
       // consolidation lives in `SeriesOps.consolidateBy` / `summarize`
       // (ts_consolidate_by_* queries), per the SURVEY directive.
+      // guard the unbounded-viewport sentinel (fromSec == toSec): a
+      // zero span would zero the whole series instead of scaling it
       val factor =
-        if (str(rest.head) == "sum" && ctx.maxPoints > 0)
+        if (str(rest.head) == "sum" && ctx.maxPoints > 0 &&
+            ctx.toSec > ctx.fromSec)
           (ctx.toSec - ctx.fromSec).toDouble / ctx.maxPoints
         else 1.0
       df.withColumn("value", col("value") * factor)
     }))
 
     // ----- moving window -----
-    // window arg: point count, or a duration string → duration/step
-    // points (`dsl/funcs.go:1653-1660` — the grid is dense, so time
-    // windows and row windows coincide)
+    // window arg: point count, or a duration string → the REFERENCE'S
+    // formula `int(dur/(GroupBy()+1)) + 1` (`dsl/funcs.go:1658`, its
+    // "+1 to avoid div by 0") — deliberately mirrored including the
+    // off-by-one it introduces for fine steps; do not "fix" the +1
     def windowPoints(ctx: Ctx, v: Val): Int = v match {
       case NumV(n) => n.toInt
       case StrV(s) => (Durations.parseSeconds(s) / (ctx.stepSec + 1) + 1).toInt
@@ -311,7 +324,10 @@ object Eval {
           (slenSec / ctx.stepSec).toInt, 0, abg,
           arg(5, "devScale", devScaleDefault),
           rest.drop(6).headOption.orElse(kw.get("show")).map(str).getOrElse(show),
-          ctx.stepSec)
+          ctx.stepSec,
+          // per-series forecast extension to the viewport end — the
+          // reference's nPreds = (to − Latest()) / GroupBy()
+          predUntilSec = Some(ctx.toSec))
       }
     b += "holtWintersForecast" -> hw("smooth", 10.0)
     b += "holtWintersConfidenceBands" -> (

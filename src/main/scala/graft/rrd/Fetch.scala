@@ -30,9 +30,19 @@ object Fetch {
     (math.ceil(raw / archStep) * archStep).toLong
   }
 
-  /** Fetch: archive selection + range scan + dense grid + re-bucket. */
+  /** Fetch: archive selection + range scan + dense grid + re-bucket.
+    *
+    * @param keepGaps when true, empty buckets stay as NULL-valued grid
+    *        rows — the reference's exact shape (its LEFT JOIN emits a
+    *        row per grid slot and the iterator reads NaN,
+    *        `serde/dbseries.go:199-213`), which downstream gap-aware
+    *        functions (transformNull, keepLastValue, …) need to see.
+    *        The default drops them — the engine's sparse canonical
+    *        convention (gap = absent row), which every operator also
+    *        supports and the fetch oracles pin. */
   def fetchSeries(spark: SparkSession, archives: Seq[Archive],
-      fromSec: Long, toSec: Long, maxPoints: Long): DataFrame = {
+      fromSec: Long, toSec: Long, maxPoints: Long,
+      keepGaps: Boolean = false): DataFrame = {
     val arch = Archives.bestRra(archives.map(_.spec), fromSec, toSec, maxPoints)
       .getOrElse(throw new IllegalArgumentException("no archives"))
     val loader = archives.find(_.spec == arch).get
@@ -52,10 +62,10 @@ object Fetch {
       .join(scan, Seq("name", "t"), "left")
 
     // re-bucket to ≤ maxPoints by average (NULL slots don't contribute)
-    dense.groupBy(col("name"),
+    val bucketed = dense.groupBy(col("name"),
         (floor(col("t").cast("double") / bucket).cast("long") * bucket).as("t"))
       .agg(avg(col("value")).as("value"))
-      .filter(col("value").isNotNull)
+    if (keepGaps) bucketed else bucketed.filter(col("value").isNotNull)
   }
 
   /** SQL mirror: fetch from a CTE `arch(name, t, value)` (the chosen

@@ -27,13 +27,16 @@ object HwOps {
     *
     * @param slenPoints season length in points (seasonLen / step)
     * @param nPred      number of slots to forecast past the data end
+    *                   (0 with `predUntilSec` set derives it per series
+    *                   from the viewport end, as the reference does)
     * @param abg        Some((α,β,γ)) fixed, or None → Nelder-Mead SSE fit
     *                   (the reference's α=β=γ=0 convention)
     * @param show       any of "smooth", "conf", "aberr" (comma-combined)
     */
   def holtWintersForecast(spark: SparkSession, df: DataFrame,
       slenPoints: Int, nPred: Int, abg: Option[(Double, Double, Double)],
-      devScale: Double, show: String, stepSec: Long): DataFrame = {
+      devScale: Double, show: String, stepSec: Long,
+      predUntilSec: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val showSmooth = show.contains("smooth")
     val showConf = show.contains("conf")
@@ -50,28 +53,43 @@ object HwOps {
         else {
           val known = pts.drop(fromIdx)
           val start = known.head._2
-          val data = new Array[Double](known.length)
+          val endT = known.last._2
+          // walk the STEP GRID, not the input rows: an interior slot
+          // that is absent entirely (the sparse-frame gap convention)
+          // recycles like an explicit null, and — crucially — does not
+          // shift every later point's reconstructed timestamp
+          // (reference nanlessData reads the dense db grid,
+          // `dsl/funcs.go:2409-2434`)
+          val byT = known.iterator.map(p => p._2 -> p._3).toMap
+          val nGrid = (((endT - start) / stepSec) + 1).toInt
+          val data = new Array[Double](nGrid)
           var last = 0.0
           var i = 0
-          while (i < known.length) {
-            known(i)._3 match {
+          while (i < nGrid) {
+            byT.getOrElse(start + i * stepSec, None) match {
               case Some(v) => last = v
-              case None    => // recycle previous value
+              case None    => // absent or null: recycle previous value
             }
             data(i) = last
             i += 1
           }
+          // forecast extension past the data end, per series — the
+          // reference's nPreds = (to − Latest()) / GroupBy()
+          // (`dsl/funcs.go:2506-2510`); an explicit nPred wins
+          val effPred = predUntilSec
+            .map(u => math.max(0L, (u - endT) / stepSec).toInt)
+            .filter(_ => nPred == 0).getOrElse(nPred)
 
           val trend = HoltWinters.initialTrend(data, slenPoints)
           val seasonal = HoltWinters.initialSeasonal(data, slenPoints)
           val (sm, dev) = abg match {
             case Some((a, b, g)) =>
               val (s, d, _) = HoltWinters.smooth(
-                data, slenPoints, trend, seasonal, nPred, a, b, g)
+                data, slenPoints, trend, seasonal, effPred, a, b, g)
               (s, d)
             case None =>
               val (s, d, _, _, _) = HoltWinters.minimizeSse(
-                data, slenPoints, trend, seasonal, nPred)
+                data, slenPoints, trend, seasonal, effPred)
               (s, d)
           }
 

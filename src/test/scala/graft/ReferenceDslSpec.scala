@@ -312,4 +312,58 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long, Option[Double])].collect().sortBy(_._2)
     assert(withArg === base)
   }
+
+  test("combines merge MULTIPLE quoted patterns — varArg seriesList, funcs.go:470-487") {
+    val s = spark; import s.implicits._
+    // sumSeries("p1", "p2") must union both patterns, not silently drop
+    // the second quoted arg
+    val both = Eval.evalExpr(ctx, "sumSeries('foo.bar1.baz', 'foo.bar2.baz')")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(both.length == 10 && both.forall(_ == 30.0))
+    val viaGlob = Eval.evalExpr(ctx, "sumSeries('foo.*.baz')")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(both.sorted === viaGlob.sorted)
+    val mx = Eval.evalExpr(ctx, "maxSeries('foo.bar1.baz', 'foo.bar2.baz')")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(mx.forall(_ == 20.0))
+  }
+
+  test("holtWintersForecast extends to the viewport end — funcs.go:2506-2510") {
+    val s = spark; import s.implicits._
+    // two full seasons of a 5-point cycle on a 10s step, viewport
+    // extending one season past the data: the registry path must emit
+    // forecast points up to toSec (the reference's nPreds derivation)
+    val pts = (0 until 10).map(i => ("hw.s", i * 10L, 100.0 + (i % 5)))
+    val hwCtx = Eval.Ctx(s, pts.toDF("name", "t", "value"), stepSec = 10,
+      fromSec = 0, toSec = 140)
+    val out = Eval.evalExpr(hwCtx,
+      "holtWintersForecast('hw.s', '50s', 7, 0.5, 0.4, 0.6)")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(out.last._2 === 140L) // 5 predicted slots past t=90
+    assert(out.length === 15)
+    // the predicted values are the smoothing recursion's own forecast
+    val data = (0 until 10).map(i => 100.0 + (i % 5)).toArray
+    val trend = graft.ts.HoltWinters.initialTrend(data, 5)
+    val seasonal = graft.ts.HoltWinters.initialSeasonal(data, 5)
+    val (sm, _, _) = graft.ts.HoltWinters.smooth(
+      data, 5, trend, seasonal, 5, 0.5, 0.4, 0.6)
+    assert(out.flatMap(_._3).toSeq === sm.toSeq)
+  }
+
+  test("HW timestamps stay grid-aligned across ABSENT interior rows") {
+    val s = spark; import s.implicits._
+    // same series, once dense-with-null and once with the gap rows
+    // absent entirely (the sparse convention): identical output,
+    // timestamps included
+    val dense = (0 until 10).map(i =>
+      ("hw.g", i * 10L, if (i == 4 || i == 5) None else Some(100.0 + i)))
+    val sparse = dense.filter(_._3.isDefined)
+    def run(rows: Seq[(String, Long, Option[Double])]) =
+      graft.ts.HwOps.holtWintersForecast(s, rows.toDF("name", "t", "value"),
+          slenPoints = 2, nPred = 0, abg = Some((0.5, 0.4, 0.6)),
+          devScale = 10.0, show = "smooth", stepSec = 10)
+        .as[(String, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(run(sparse) === run(dense))
+    assert(run(sparse).map(_._2) === (0 until 10).map(_ * 10L))
+  }
 }
