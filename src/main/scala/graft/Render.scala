@@ -15,19 +15,25 @@ object Render {
     val rows = df.select("name", "t", "value")
       .orderBy("name", "t")
       .collect()
+    renderRows(rows.map(r => (r.getString(0), r)))
+  }
+
+  /** Shared series-run renderer: emits one response object per distinct
+    * consecutive `key` (key = name, or (target ordinal, name)). */
+  private def renderRows(rows: Array[(Any, org.apache.spark.sql.Row)]): String = {
     val sb = new StringBuilder("[")
-    var curName: String = null
+    var curKey: Any = null
     var firstSeries = true
     var firstPoint = true
-    def closeSeries(): Unit = if (curName != null) sb.append("]}")
-    rows.foreach { r =>
-      val name = r.getString(0)
-      if (name != curName) {
+    def closeSeries(): Unit = if (curKey != null) sb.append("]}")
+    rows.foreach { case (key, r) =>
+      if (key != curKey) {
         closeSeries()
         if (!firstSeries) sb.append(",")
         firstSeries = false
-        sb.append("{\"target\":\"").append(escape(name)).append("\",\"datapoints\":[")
-        curName = name
+        sb.append("{\"target\":\"").append(escape(r.getString(0)))
+          .append("\",\"datapoints\":[")
+        curKey = key
         firstPoint = true
       }
       if (!firstPoint) sb.append(",")
@@ -46,10 +52,22 @@ object Render {
     * (`http/graphite.go:142-181` loops `r.Form["target"]`): every
     * target evaluates to its own plan, the union collects ONCE at the
     * boundary — one Spark job for the whole response, not one per
-    * target. */
+    * target. Series are grouped per (target, name), so two targets
+    * that yield the same series name produce two response objects (as
+    * the reference's per-target loop does), never one merged
+    * datapoints array with doubled timestamps. */
   def renderTargets(ctx: graft.dsl.Eval.Ctx, targets: Seq[String]): String =
-    toGraphiteJson(targets.map(t => graft.dsl.Eval.render(ctx, t))
-      .reduce(_.unionByName(_)))
+    if (targets.isEmpty) "[]"
+    else {
+      import org.apache.spark.sql.functions.lit
+      val tagged = targets.zipWithIndex.map { case (t, i) =>
+        graft.dsl.Eval.render(ctx, t).withColumn("__tgt", lit(i))
+      }.reduce(_.unionByName(_))
+      val rows = tagged.select("name", "t", "value", "__tgt")
+        .orderBy("__tgt", "name", "t")
+        .collect()
+      renderRows(rows.map(r => ((r.getInt(3), r.getString(0)), r)))
+    }
 
   /** `/metrics/find` JSON (`http/graphite.go:39-75`): one node object
     * per row of a [[graft.streaming.Find.findNodes]] frame, with the

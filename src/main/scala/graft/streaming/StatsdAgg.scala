@@ -61,14 +61,22 @@ object StatsdAgg {
         count(lit(1)).as("n"))
 
     val thresholdCols: Seq[Column] = thresholds.flatMap { th =>
-      // idx = round(th/100 * n) - 1, reference's floor(x+0.5) rounding
+      // idx = round(th/100 * n) - 1, reference's floor(x+0.5) rounding.
+      // A low threshold over a tiny window gives idx < 0 — the
+      // reference would panic on list[-1] (`aggregator.go:199-203`);
+      // etsy-statsd SKIPS the threshold for that flush
+      // (numInThreshold == 0 → continue), which is what both engines
+      // do here: the guard yields NULL (when() short-circuits, so
+      // element_at(ls, 0) is never evaluated) and the post-explode
+      // filter drops the row.
       val idx = (floor(lit(th / 100.0) * col("n") + lit(0.5)) - 1).cast("int")
       val prefix = slice(col("ls"), lit(1), idx + 1)
       val sumTh = aggregate(prefix, lit(0.0), (acc, x) => acc + x)
+      def guarded(c: Column): Column = when(idx >= 0, c)
       Seq(
-        map(lit(f".sum_$th%02d"), sumTh),
-        map(lit(f".mean_$th%02d"), sumTh / (idx + 1).cast("double")),
-        map(lit(f".upper_$th%02d"), element_at(col("ls"), idx + 1)))
+        map(lit(f".sum_$th%02d"), guarded(sumTh)),
+        map(lit(f".mean_$th%02d"), guarded(sumTh / (idx + 1).cast("double"))),
+        map(lit(f".upper_$th%02d"), guarded(element_at(col("ls"), idx + 1))))
     }
 
     val metrics: Column = map_concat(
@@ -81,6 +89,7 @@ object StatsdAgg {
       ) ++ thresholdCols): _*)
 
     base.select(col("name"), col("t"), explode(metrics).as(Seq("suffix", "value")))
+      .filter(col("value").isNotNull) // skipped sub-50 thresholds
       .select(concat(col("name"), col("suffix")).as("name"), col("t"), col("value"))
   }
 
@@ -115,10 +124,11 @@ object StatsdAgg {
   def timersSql(w: Long, thresholds: Seq[Int] = Seq(90)): String = {
     val thSql = thresholds.flatMap { th =>
       val idx = s"(CAST(floor(${th / 100.0} * n + 0.5) AS INT) - 1)"
+      // WHERE idx >= 0: skipped sub-50 thresholds, as the Spark side
       Seq(
-        f"SELECT name, t, '.sum_$th%02d' AS suffix, list_sum(ls[1:$idx + 1]) AS value FROM agged",
-        f"SELECT name, t, '.mean_$th%02d' AS suffix, list_sum(ls[1:$idx + 1]) / ($idx + 1) AS value FROM agged",
-        f"SELECT name, t, '.upper_$th%02d' AS suffix, ls[$idx + 1] AS value FROM agged")
+        f"SELECT name, t, '.sum_$th%02d' AS suffix, list_sum(ls[1:$idx + 1]) AS value FROM agged WHERE $idx >= 0",
+        f"SELECT name, t, '.mean_$th%02d' AS suffix, list_sum(ls[1:$idx + 1]) / ($idx + 1) AS value FROM agged WHERE $idx >= 0",
+        f"SELECT name, t, '.upper_$th%02d' AS suffix, ls[$idx + 1] AS value FROM agged WHERE $idx >= 0")
     }.mkString(" UNION ALL ")
     s"""agged AS (
        |  SELECT name, ${winSql(w)} AS t, list(value ORDER BY value) AS ls,

@@ -189,6 +189,13 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(json.contains("\"target\":\"m.two\""))
     assert(json.contains("[20,")) // scale(2, 10)
     assert(json.contains("[3,"))  // sum of 1+2
+    // two targets yielding the SAME series name → two response objects
+    // (the reference loops per target), never one merged datapoints
+    // array with doubled timestamps
+    val dup = Render.renderTargets(ctx, Seq("m.one", "scale(m.one, 1)"))
+    assert(dup.split("\"target\":\"m.one\"").length - 1 === 2)
+    // and an empty target list is an empty response, not an exception
+    assert(Render.renderTargets(ctx, Seq.empty) === "[]")
   }
 
   test("salted join is row-identical to the plain join") {

@@ -159,6 +159,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found.toSet === Set((1L, 3L)))
   }
 
+  test("timers: sub-50 threshold on a 1-sample window skips, not crashes") {
+    val s = spark; import s.implicits._
+    import graft.streaming.StatsdAgg
+    // one sample → idx = round(0.25·1)−1 = −1: the reference would
+    // panic on list[-1]; we adopt etsy-statsd's skip
+    val one = Seq(("lat", 0L, 7.0, 0L)).toDF("name", "tsSec", "value", "seq")
+    val out = StatsdAgg.timers(one, 10, Seq(25, 90))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(!out.keys.exists(_.contains("_25"))) // 25th skipped entirely
+    assert(out("lat.upper_90") === 7.0)         // 90th present (idx 0)
+    assert(out("lat.count") === 1.0)
+  }
+
   test("streaming curation: per-batch quality+decontamination == batch run") {
     // quality and contamination are per-document against a STATIC
     // benchmark, so filtering each micro-batch independently must give
