@@ -47,7 +47,7 @@ object MultimodalQueries {
       Some(
         s"""WITH ${Multimodal.mediaSql}
            |SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_idx
-           |FROM media WHERE media_type = 'video'
+           |FROM media WHERE media_type = 'video' AND n_frames > 0
            |ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // resize plan: metadata-only halving with a floor

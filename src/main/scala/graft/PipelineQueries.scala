@@ -22,7 +22,8 @@ object PipelineQueries {
       Some("""SELECT md5(text) AS content_hash,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(min(doc_id) AS BIGINT) AS keeper
-             |FROM documents GROUP BY 1 HAVING count(*) > 1
+             |FROM documents WHERE text IS NOT NULL
+             |GROUP BY 1 HAVING count(*) > 1
              |ORDER BY content_hash""".stripMargin)),
 
     // exact dedup: keep lowest doc_id per hash
@@ -33,7 +34,9 @@ object PipelineQueries {
       Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
              |  SELECT doc_id, row_number() OVER (
              |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
-             |  FROM documents) WHERE rn = 1
+             |  FROM documents WHERE text IS NOT NULL) WHERE rn = 1
+             |UNION ALL
+             |SELECT CAST(doc_id AS BIGINT) FROM documents WHERE text IS NULL
              |ORDER BY doc_id""".stripMargin)),
 
     // MinHash+LSH near-dup: shingle → 16-hash signature → 4 bands →

@@ -82,12 +82,16 @@ object Multimodal {
       .withColumn("out_height", greatest(expr("height div 2"), lit(minSide)))
 
   /** Frame sampling for video rows: every `stride`-th frame index,
-    * exploded to one row per sampled frame. */
-  def frameSample(media: DataFrame, stride: Int): DataFrame =
-    media.filter(col("media_type") === "video")
+    * exploded to one row per sampled frame. A corrupt/empty video
+    * (n_frames ≤ 0) yields zero frames rather than an illegal-sequence
+    * error killing the job. */
+  def frameSample(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    media.filter(col("media_type") === "video" && col("n_frames") > 0)
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
+  }
 
   // ---- DuckDB oracle builders: recompute the feature math from the
   // ---- hex construction (no blob indexing needed — same bytes) ----

@@ -100,14 +100,8 @@ object HoltWinters {
   def minimizeSse(data: Array[Double], slen: Int, trend: Double,
       seasonal: Array[Double], nPred: Int)
       : (Array[Double], Array[Double], Double, Double, Double) = {
-    var bestSmooth: Array[Double] = Array.empty
-    var bestDev: Array[Double] = Array.empty
-    val f = (x: Array[Double]) => {
-      val (s, d, sse) = smooth(data, slen, trend, seasonal.clone(), nPred,
-        x(0), x(1), x(2))
-      bestSmooth = s; bestDev = d
-      sse
-    }
+    val f = (x: Array[Double]) =>
+      smooth(data, slen, trend, seasonal.clone(), nPred, x(0), x(1), x(2))._3
     val start = Array(
       Array(0.1, 0.01, 0.9), Array(0.9, 0.1, 0.1),
       Array(0.5, 0.2, 0.5), Array(0.1, 0.9, 0.1))

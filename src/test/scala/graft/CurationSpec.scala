@@ -87,6 +87,29 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept3.subsetOf(kept5.map(_.getAs[Long]("doc_id")).toSet))
   }
 
+  test("exactDedup: NULL-text rows all survive, never merged as one group") {
+    import graft.pipeline.Dedup
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "same"), (2L, "same"),
+      (3L, null: String), (4L, null: String)).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(docs).select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L)) // dup text deduped; nulls kept
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length === 1) // only the real text group, not the nulls
+  }
+
+  test("frameSample: zero-frame video yields no rows, not a job failure") {
+    import graft.pipeline.Multimodal
+    val s = spark; import s.implicits._
+    val media = Seq((1L, "video", 0), (2L, "video", 5), (3L, "image", 9))
+      .toDF("doc_id", "media_type", "n_frames")
+    val out = Multimodal.frameSample(media, 2)
+      .select("doc_id", "frame_idx").as[(Long, Int)].collect().sorted
+    assert(out.toSeq === Seq((2L, 0), (2L, 2), (2L, 4)))
+    intercept[IllegalArgumentException](Multimodal.frameSample(media, 0))
+  }
+
   test("repetitionStats: hand-computed fractions on a crafted doc") {
     // "a a a b": tokens 4, distinct 2 → dup_token 0.5
     // 3-grams: "a a a","a a b" → distinct 2 of 2 → dup_3gram 0
