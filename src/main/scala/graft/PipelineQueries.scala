@@ -336,6 +336,12 @@ object PipelineQueries {
            |  CAST(rn AS BIGINT) AS rn
            |FROM capped ORDER BY doc_id""".stripMargin)),
 
+    // corpus vocabulary: top-50 tokens by term frequency with doc freq
+    ("cu_vocab",
+      ((s, d) => pipeline.Curation.vocabStats(Tables.documents(s, d), 50)
+        .select(col("tok"), col("tf"), col("df"))): Q,
+      Some(pipeline.Curation.vocabStatsSql(50))),
+
     // overlapping token-window chunking (embedding/retrieval prep):
     // 32-token chunks every 24 tokens, final partial kept
     ("cu_chunks",

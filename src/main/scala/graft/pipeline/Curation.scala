@@ -203,6 +203,31 @@ object Curation {
        |  FROM ptoks
        |)""".stripMargin
 
+  // ---- corpus vocabulary statistics ----
+
+  /** Corpus vocabulary: term frequency + document frequency per token,
+    * top-K by (tf desc, token) — the input to vocabulary/BPE
+    * construction and corpus-drift monitoring. One uniformly-keyed
+    * aggregate over the exploded token stream (map-side combinable;
+    * the shuffle carries at most |vocab| rows per partition), then a
+    * distributed TakeOrdered — no global sort. */
+  def vocabStats(docs: DataFrame, topK: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok")).limit(topK)
+
+  /** DuckDB twin of [[vocabStats]]; a complete SELECT. */
+  def vocabStatsSql(topK: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents
+       |)
+       |SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |FROM toks GROUP BY tok
+       |ORDER BY tf DESC, tok LIMIT $topK""".stripMargin
+
   // ---- overlapping token-window chunking ----
 
   /** Split every document into overlapping token windows — the
