@@ -202,6 +202,29 @@ object DslQueries {
           |       GROUP BY t)
           | GROUP BY 1, 2""".stripMargin))),
 
+    // overlapping var-arg patterns count each series ONCE — the
+    // reference's processArgs merges into a name-keyed SeriesMap
+    // (`combined[n] = s`, dsl/funcs.go:470-487), so the u0 series
+    // matched by both patterns contributes a single term to the sum
+    ("dsl_overlap_sum",
+      dq("sumSeries(events.click.*, events.click.u0)"),
+      Some(multiQ(
+        """SELECT 'sumSeries' AS name, t, sum(coalesce(value, 0.0)) AS value
+          | FROM series WHERE regexp_matches(name, '^events\.click\.[^.]*$')
+          | GROUP BY t""".stripMargin))),
+
+    // same once-per-name rule through countSeries + group over
+    // overlapping globs: distinct names, not pattern matches
+    ("dsl_overlap_count",
+      dq("countSeries(events.*.u1, events.view.*)"),
+      Some(multiQ(
+        """SELECT 'countSeries' AS name, t,
+          |        CAST(count(DISTINCT name) AS DOUBLE) AS value
+          | FROM series
+          | WHERE regexp_matches(name, '^events\.[^.]*\.u1$')
+          |    OR regexp_matches(name, '^events\.view\.[^.]*$')
+          | GROUP BY t""".stripMargin))),
+
     // name rewriting: aliasByNode picks dotted segments
     ("dsl_alias_by_node",
       dq("aliasByNode(events.*.*, 1, 2)"),

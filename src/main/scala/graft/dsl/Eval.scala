@@ -107,6 +107,16 @@ object Eval {
 
   type Impl = (Ctx, Seq[Val], Map[String, Val]) => Val
 
+  /** Merge resolved series frames the way the reference's `processArgs`
+    * merges into a name-keyed SeriesMap (`dsl/funcs.go:470-487`,
+    * `combined[n] = s`): a series matched by two overlapping patterns
+    * counts ONCE. Frames are one row per (name, t), so dedup on that key
+    * is the map-merge. Single-arg calls skip it — one fetch can't
+    * self-duplicate, and the common path stays shuffle-free. */
+  private def mergeSets(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.sizeIs == 1) dfs.head
+    else dfs.reduce(_.unionByName(_)).dropDuplicates("name", "t")
+
   /** fn over the merged leading series set + trailing scalars. All
     * leading series args merge into one set — the reference's var-arg
     * `SeriesMap` merge + Align (`dsl/funcs.go:472-487`). Every frame in
@@ -126,7 +136,7 @@ object Eval {
         case _ => args.span(_.isInstanceOf[SeriesV])
       }
       require(sets.nonEmpty, "expected a series argument")
-      val df = sets.map(asSeries(ctx, _)).reduce(_.unionByName(_))
+      val df = mergeSets(sets.map(asSeries(ctx, _)))
       SeriesV(f(ctx, df, rest, kw))
     }
 
@@ -142,7 +152,7 @@ object Eval {
     def onAllSeries(f: DataFrame => DataFrame): Impl =
       (ctx, args, _) => {
         require(args.nonEmpty, "expected a series argument")
-        SeriesV(f(args.map(asSeries(ctx, _)).reduce(_.unionByName(_))))
+        SeriesV(f(mergeSets(args.map(asSeries(ctx, _)))))
       }
     add(Seq("sumSeries", "sum"))(onAllSeries(df => O.sumSeries(df)))
     add(Seq("averageSeries", "avg"))(onAllSeries(df => O.averageSeries(df)))
@@ -158,7 +168,7 @@ object Eval {
     add(Seq("diffSeries")) { (ctx, args, _) =>
       if (args.size >= 2)
         SeriesV(O.diffSeriesOrdered(asSeries(ctx, args.head),
-          args.tail.map(asSeries(ctx, _)).reduce(_.unionByName(_))))
+          mergeSets(args.tail.map(asSeries(ctx, _)))))
       else SeriesV(O.diffSeries(asSeries(ctx, args.head)))
     }
     add(Seq("percentileOfSeries"))(onSeries((_, df, rest, _) =>
@@ -166,7 +176,7 @@ object Eval {
     // group: every arg is a series (quoted or not) — var-arg merge
     add(Seq("group")) { (ctx, args, _) =>
       require(args.nonEmpty, "group() needs arguments")
-      SeriesV(args.map(asSeries(ctx, _)).reduce(_.unionByName(_)))
+      SeriesV(mergeSets(args.map(asSeries(ctx, _))))
     }
     add(Seq("divideSeries")) { (ctx, args, _) =>
       require(args.size == 2, "divideSeries(num, den)")

@@ -60,6 +60,11 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     "percentileOfSeries(group(constantLine(10), constantLine(20), constantLine(30)), 50)" -> 20,
     // Test_dsl_group (identity merge of equal constants)
     "group(constantLine(5), constantLine(5))" -> 5,
+    // processArgs merges var-args into a name-keyed SeriesMap
+    // (dsl/funcs.go:470-487): foo.bar1.baz matches BOTH patterns but
+    // counts once — 10+20, not 10+20+10
+    "sumSeries('foo.*.baz', 'foo.bar1.baz')" -> 30,
+    "countSeries('foo.*.baz', 'foo.bar2.baz')" -> 2,
     // Test_dsl_absolute
     "absolute(constantLine(-10))" -> 10,
     // Test_dsl_offset
