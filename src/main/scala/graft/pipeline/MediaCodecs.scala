@@ -1,0 +1,205 @@
+package graft.pipeline
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** Real JDK media codecs for the multimodal pipeline: 8-bit grayscale
+  * PNG via `javax.imageio`, 16-bit mono PCM WAV via
+  * `javax.sound.sampled`, and a trivial length-prefixed frame container
+  * for "video" payloads. All are headless and dependency-free — the
+  * codecs every stock JVM executor ships.
+  *
+  * Content determinism: [[byteStream]] is the shared pseudo-content
+  * generator — the same 64-bit LCG is implemented in
+  * `tools/mm_oracle.py`, so a Python oracle can predict the decoded
+  * content of every synthetic payload without sharing any code with the
+  * JVM side. A feature mismatch therefore catches real codec bugs
+  * (wrong color space, channel order, sample packing), not just
+  * plumbing bugs.
+  */
+object MediaCodecs {
+
+  // no temp-file ImageIO cache on executors — pure in-memory streams
+  ImageIO.setUseCache(false)
+
+  /** Deterministic byte stream (values 0..255): Knuth MMIX LCG, upper
+    * bits. Mirrored byte-for-byte by `byte_stream` in
+    * `tools/mm_oracle.py`. */
+  def byteStream(seed: Long, n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var x = seed
+    var i = 0
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out(i) = ((x >>> 33) & 0xffL).toInt
+      i += 1
+    }
+    out
+  }
+
+  // ======================= PNG (grayscale 8-bit) =======================
+
+  def encodePng(width: Int, height: Int, px: Array[Int]): Array[Byte] = {
+    require(px.length == width * height,
+      s"pixel count ${px.length} != ${width}x$height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, px(i)); i += 1; x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported image (PNG/BMP/GIF/JPEG) to
+    * `(width, height, luminance 0..255)`. Single-band images read
+    * their band directly; RGB reduces via integer BT.601 luminance. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](w * h)
+    val raster = img.getRaster
+    if (raster.getNumBands == 1) {
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(i) = raster.getSample(x, y, 0); i += 1; x += 1 }
+        y += 1
+      }
+    } else {
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          out(i) = (299 * r + 587 * g + 114 * b) / 1000
+          i += 1; x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, out)
+  }
+
+  /** One 2x2 box-filter halving (floor average). Even dimensions only —
+    * the exact inverse-scale case; callers gate on that. */
+  def resizeHalf(w: Int, h: Int, px: Array[Int]): (Int, Int, Array[Int]) = {
+    require(w % 2 == 0 && h % 2 == 0, s"resizeHalf needs even dims, got ${w}x$h")
+    val ow = w / 2
+    val oh = h / 2
+    val out = new Array[Int](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val r0 = 2 * y * w + 2 * x
+        val r1 = r0 + w
+        out(y * ow + x) = (px(r0) + px(r0 + 1) + px(r1) + px(r1 + 1)) / 4
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
+  // ==================== WAV (16-bit mono PCM, LE) =====================
+
+  def encodeWav(sampleRate: Int, pcm: Array[Short]): Array[Byte] = {
+    val bytes = new Array[Byte](pcm.length * 2)
+    var i = 0
+    while (i < pcm.length) {
+      bytes(2 * i) = (pcm(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload to `(sampleRate, 16-bit samples)`. Accepts
+    * only the 16-bit mono little-endian PCM profile the pipeline
+    * writes; anything else fails loudly rather than mis-sampling. */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian && fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+        s"unsupported WAV profile: $fmt")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, out)
+    } finally ais.close()
+  }
+
+  // ============ frame container ("video": concatenated PNGs) ==========
+  // Layout: magic "GFV1" | int32 frameCount | frameCount x (int32 len |
+  // PNG bytes). Length prefixes make SELECTIVE decode possible: frame
+  // sampling skips unwanted frames without inflating them.
+
+  private val VideoMagic = Array[Byte]('G', 'F', 'V', '1')
+
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(VideoMagic)
+    out.writeInt(frames.size)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def videoFrameCount(bytes: Array[Byte]): Int = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(magic.sameElements(VideoMagic), "not a GFV1 video payload")
+    in.readInt()
+  }
+
+  /** Decode only the frames whose index satisfies `wanted`; others are
+    * skipped by their length prefix (no decompression). Returns
+    * `(frameIdx, width, height, pixels)` in index order. */
+  def decodeVideoFrames(bytes: Array[Byte],
+      wanted: Int => Boolean): Seq[(Int, Int, Int, Array[Int])] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(magic.sameElements(VideoMagic), "not a GFV1 video payload")
+    val n = in.readInt()
+    (0 until n).flatMap { i =>
+      val len = in.readInt()
+      if (wanted(i)) {
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        val (w, h, px) = decodeImage(buf)
+        Some((i, w, h, px))
+      } else {
+        in.skipNBytes(len.toLong)
+        None
+      }
+    }
+  }
+}
