@@ -5,68 +5,69 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.Multimodal
 import graft.ts.Round6
 
-/** Driver-checked queries for the multimodal plumbing
-  * ([[graft.pipeline.Multimodal]]). The decode stage is a marked stub
-  * (no codecs in this environment); the oracle recomputes the feature
-  * math from the same deterministic payload construction, so the whole
-  * binary → mapPartitions → features path is still value-checked. */
+/** Driver-checked queries for the multimodal pipeline
+  * ([[graft.pipeline.Multimodal]]): real PNG/WAV/video decode through
+  * `javax.imageio` / `javax.sound.sampled`.
+  *
+  * Oracle: `tools/mm_oracle.py` — a JVM-free Python mirror of the
+  * seeded-LCG payload content and the integer feature math (PNG and PCM
+  * WAV are lossless, so decoded content is exactly predictable). It
+  * emits pinned parquet the driver hash-compares, in the
+  * `tools/hw_oracle.py` mold; regenerate with
+  * `python3 tools/mm_oracle.py /root/testdata/sf0.01 tools/mm_oracle_out/sf0.01`.
+  * The same script cross-checks the codecs themselves: it decodes
+  * JVM-encoded fixtures with its own pure-Python PNG/WAV readers
+  * (`tools/mm_fixtures/`, regenerate via `graft.pipeline.MediaFixtures`),
+  * and MediaCodecsSpec decodes the oracle's Python-encoded fixtures. */
 object MultimodalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private def pinned(q: String): String =
+    s"SELECT * FROM read_parquet('/root/repo/tools/mm_oracle_out/sf0.01/$q.parquet') " +
+      "ORDER BY doc_id" + (if (q == "mm_frame_sample") ", frame_idx" else "")
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
-    // binary payload → per-partition decode (stub) → histogram features
+    // binary payload → per-partition REAL decode → histogram features
     ("mm_features",
       ((s: SparkSession, d: String) => {
         val feats = Multimodal.extractFeatures(s,
-          Multimodal.syntheticMedia(Tables.documents(s, d))).toDF()
+          Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
         feats.select(col("doc_id"), col("media_type"),
-          col("n_bytes").cast("long").as("n_bytes"),
+          col("n_values").cast("long").as("n_values"),
           Round6.r6(col("brightness")).as("brightness"),
           Round6.r6(element_at(col("histogram"), 1)).as("h0"),
           Round6.r6(element_at(col("histogram"), 6)).as("h5"),
           Round6.r6(element_at(col("histogram"), 16)).as("h15"))
           .orderBy("doc_id")
       }): Q,
-      Some(
-        s"""WITH ${Multimodal.mediaSql}, ${Multimodal.featuresSql}
-           |SELECT doc_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
-           |  ${Round6.r6Sql("brightness")} AS brightness,
-           |  ${Round6.r6Sql("histogram[1]")} AS h0,
-           |  ${Round6.r6Sql("histogram[6]")} AS h5,
-           |  ${Round6.r6Sql("histogram[16]")} AS h15
-           |FROM feats ORDER BY doc_id""".stripMargin)),
+      Some(pinned("mm_features"))),
 
-    // frame sampling: every 4th frame of each video row
+    // selective frame decode: every 4th frame of each video payload
     ("mm_frame_sample",
-      ((s, d) => Multimodal.frameSample(
-        Multimodal.syntheticMedia(Tables.documents(s, d)), 4)
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+      ((s, d) => Multimodal.sampleFrames(s,
+        Multimodal.syntheticMedia(s, Tables.documents(s, d)), 4).toDF()
+        .select(col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          Round6.r6(col("brightness")).as("brightness"))
         .orderBy("doc_id", "frame_idx")): Q,
-      Some(
-        s"""WITH ${Multimodal.mediaSql}
-           |SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_idx
-           |FROM media WHERE media_type = 'video' AND n_frames > 0
-           |ORDER BY doc_id, frame_idx""".stripMargin)),
+      Some(pinned("mm_frame_sample"))),
 
-    // resize plan: metadata-only halving with a floor
+    // real 2x2 box-filter downscale of the image rows
     ("mm_resize",
-      ((s, d) => Multimodal.resizePlan(
-        Multimodal.syntheticMedia(Tables.documents(s, d)), 48)
+      ((s, d) => Multimodal.resizeImages(s,
+        Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
         .select(col("doc_id"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("out_width").cast("long").as("out_width"),
-          col("out_height").cast("long").as("out_height"))
+          col("out_height").cast("long").as("out_height"),
+          Round6.r6(col("out_brightness")).as("out_brightness"))
         .orderBy("doc_id")): Q,
-      Some(
-        s"""WITH ${Multimodal.mediaSql}
-           |SELECT doc_id, CAST(width AS BIGINT) AS width,
-           |  CAST(height AS BIGINT) AS height,
-           |  CAST(greatest(width // 2, 48) AS BIGINT) AS out_width,
-           |  CAST(greatest(height // 2, 48) AS BIGINT) AS out_height
-           |FROM media ORDER BY doc_id""".stripMargin))
+      Some(pinned("mm_resize")))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -1,125 +1,178 @@
 package graft.pipeline
 
+import scala.util.{Success, Try}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+/** Multimodal-column pipeline: image/audio/video as opaque `binary`
   * payloads + typed metadata, with decode / feature-extract / resize /
-  * frame-sample stages.
+  * frame-sample stages running REAL codecs ([[MediaCodecs]]: PNG via
+  * `javax.imageio`, 16-bit PCM WAV via `javax.sound.sampled`, a
+  * length-prefixed frame container for video).
   *
-  * The Spark-side machinery is real — binary columns, metadata structs,
-  * per-partition batched processing through typed `mapPartitions` (the
-  * Scala analogue of `mapInPandas`: one iterator per partition, so a
-  * decoder amortizes model/codec setup across the batch and the corpus
-  * scan streams without collecting). The DECODER ITSELF IS A STUB
-  * ([[decodeStub]]): no image/audio codecs exist in this environment, so
-  * it derives deterministic pseudo-pixels from the payload bytes; swap
-  * the marked function for a real codec in production. Everything
-  * downstream of the stub (schema, batching, partitioning, feature
-  * math) is production-shaped and oracle-checked.
+  * Execution shape is the `mapInPandas` analogue: typed `mapPartitions`
+  * so the decoder sees one iterator per partition — codec setup is
+  * amortized across the batch and the corpus scan streams without
+  * collecting. All stages are map-side: no decode stage introduces a
+  * shuffle, so at 100 TB the cost is one pass over the blob column with
+  * whatever parallelism the scan has.
+  *
+  * Correctness is cross-engine: payload CONTENT is a seeded LCG
+  * ([[MediaCodecs.byteStream]]) mirrored byte-for-byte by
+  * `tools/mm_oracle.py`, which predicts every decoded pixel/sample in
+  * pure Python (PNG and PCM WAV are lossless). The oracle also encodes
+  * fixtures with its own zlib/wave writers that [[MediaCodecs]] must
+  * decode back to the same content (MediaCodecsSpec), so a channel-order
+  * or sample-packing bug in either engine breaks the match.
+  *
+  * Reference scope: tgres has no media pipeline; this implements the
+  * survey's training-data-curation extension (SURVEY.md §2, multimodal
+  * columns).
   */
 object Multimodal {
 
-  /** One media row: payload is the opaque blob, metadata is typed. */
+  /** One media row: payload is the opaque encoded blob, the rest is
+    * typed metadata (as a real blob lake would carry alongside). */
   final case class MediaRow(doc_id: Long, media_type: String,
       payload: Array[Byte], width: Int, height: Int, n_frames: Int,
-      sample_rate: Int)
+      sample_rate: Int, n_samples: Int)
 
   final case class MediaFeatures(doc_id: Long, media_type: String,
-      n_bytes: Int, brightness: Double, histogram: Array[Double])
+      n_values: Int, brightness: Double, histogram: Array[Double])
 
-  /** Deterministic synthetic media over the documents table: payload =
-    * unhex(md5(doc_id) · 4) (64 bytes), media type and dimensions derived
-    * from doc_id. Stands in for a parquet lake with real blob columns —
-    * the plumbing downstream is identical. */
-  def syntheticMedia(docs: DataFrame): DataFrame = {
-    val h = md5(col("doc_id").cast("string"))
-    docs.select(
-      col("doc_id").cast("long").as("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      unhex(concat(h, h, h, h)).as("payload"),
-      (lit(64) + pmod(col("doc_id"), lit(4)).cast("int") * 32).as("width"),
-      (lit(64) + pmod(col("doc_id"), lit(3)).cast("int") * 32).as("height"),
-      (lit(8) + pmod(col("doc_id"), lit(5)).cast("int") * 4).as("n_frames"),
-      lit(16000).as("sample_rate"))
+  final case class FrameRow(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, brightness: Double)
+
+  final case class ResizeRow(doc_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int, out_brightness: Double)
+
+  /** Video frames are seeded per (doc, frame) so the oracle can predict
+    * each frame independently; 100003 is prime so streams don't alias. */
+  def frameSeed(docId: Long, frame: Int): Long =
+    docId * 100003L + frame
+
+  private val VideoSide = 32
+
+  /** Deterministic synthetic media over the documents table, ENCODED
+    * with the real codecs: doc_id % 3 picks image (grayscale PNG) /
+    * audio (16-bit mono WAV) / video (GFV1 frame container of PNGs);
+    * dimensions derive from doc_id; content is the seeded LCG stream.
+    * Map-side generation — stands in for scanning a parquet lake with a
+    * real blob column, which is what every downstream stage sees. */
+  def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      (id % 3) match {
+        case 1 => // audio
+          val n = 2048 + (id % 7).toInt * 512
+          val pcm = MediaCodecs.byteStream(id, n)
+            .map(b => ((b - 128) * 256).toShort)
+          MediaRow(id, "audio", MediaCodecs.encodeWav(16000, pcm),
+            0, 0, 0, 16000, n)
+        case 2 => // video
+          val nf = 8 + (id % 5).toInt * 4
+          val frames = (0 until nf).map { f =>
+            MediaCodecs.encodePng(VideoSide, VideoSide,
+              MediaCodecs.byteStream(frameSeed(id, f), VideoSide * VideoSide))
+          }
+          MediaRow(id, "video", MediaCodecs.encodeVideo(frames),
+            VideoSide, VideoSide, nf, 0, 0)
+        case _ => // image
+          val w = 64 + (id % 4).toInt * 32
+          val h = 64 + (id % 3).toInt * 32
+          MediaRow(id, "image", MediaCodecs.encodePng(w, h,
+            MediaCodecs.byteStream(id, w * h)), w, h, 0, 0, 0)
+      }
+    }
   }
 
-  /** ======= STUB — replace with a real codec in production =======
-    * "Decodes" a payload by treating its bytes as pixels: deterministic,
-    * fast, and shape-compatible with a real decoder's output. */
-  def decodeStub(payload: Array[Byte]): Array[Int] =
-    payload.map(b => b & 0xff)
-  // ======= end STUB =======
+  /** Normalize decoded content to 0..255 intensities: pixels directly;
+    * audio via arithmetic-shift requantization (floor semantics match
+    * Python's `>>`, so the oracle mirrors it exactly). */
+  private def intensities(r: MediaRow): Array[Int] = r.media_type match {
+    case "audio" =>
+      MediaCodecs.decodeWav(r.payload)._2.map(s => (s >> 8) + 128)
+    case "video" =>
+      MediaCodecs.decodeVideoFrames(r.payload, _ => true)
+        .flatMap(_._4).toArray
+    case _ =>
+      MediaCodecs.decodeImage(r.payload)._3
+  }
 
-  /** Feature extraction over the media frame: per-partition batched
-    * decode → 16-bin intensity histogram (L1-normalized) + mean
-    * brightness. This is the `mapInPandas` shape: the lambda sees the
-    * whole partition iterator, not row-at-a-time. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  /** Feature extraction: per-partition batched REAL decode → 16-bin
+    * intensity histogram (L1-normalized) + mean brightness. Undecodable
+    * payloads are dropped (a poisoned blob must not kill a 100 TB job);
+    * count them as `input - output` if a quarantine stream is needed. */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.select("doc_id", "media_type", "payload", "width", "height",
-        "n_frames", "sample_rate")
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        // per-partition setup would open the codec once, here: nothing
-        rows.map { r =>
-          val px = decodeStub(r.payload)
-          val hist = new Array[Double](16)
-          var sum = 0L
-          px.foreach { v => hist(v >> 4) += 1.0; sum += v }
-          val n = math.max(px.length, 1)
-          MediaFeatures(r.doc_id, r.media_type, r.payload.length,
-            sum.toDouble / (255.0 * n), hist.map(_ / n))
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Try(intensities(r)) match {
+          case Success(px) =>
+            val hist = new Array[Double](16)
+            var sum = 0L
+            px.foreach { v => hist(v >> 4) += 1.0; sum += v }
+            val n = math.max(px.length, 1)
+            Some(MediaFeatures(r.doc_id, r.media_type, px.length,
+              sum.toDouble / (255.0 * n), hist.map(_ / n)))
+          case _ => None
         }
       }
+    }
   }
 
-  /** Resize plan: metadata-only transform (the real pixel work happens
-    * in the decode stage); halves dimensions, floors at `minSide`. */
-  def resizePlan(media: DataFrame, minSide: Int): DataFrame =
-    media.withColumn("out_width", greatest(expr("width div 2"), lit(minSide)))
-      .withColumn("out_height", greatest(expr("height div 2"), lit(minSide)))
+  /** Frame sampling with SELECTIVE decode: every `stride`-th frame is
+    * inflated, the rest are skipped by their length prefix — the I/O
+    * analogue of predicate pushdown into the container format. A
+    * corrupt/empty video yields zero rows rather than a job failure. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+      stride: Int): Dataset[FrameRow] = {
+    require(stride > 0, "stride must be positive")
+    import spark.implicits._
+    media.filter(_.media_type == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Try(MediaCodecs.decodeVideoFrames(r.payload, _ % stride == 0))
+          .getOrElse(Seq.empty)
+          .map { case (idx, w, h, px) =>
+            FrameRow(r.doc_id, idx, w, h,
+              px.map(_.toLong).sum.toDouble / (255.0 * math.max(px.length, 1)))
+          }
+      }
+    }
+  }
 
-  /** Frame sampling for video rows: every `stride`-th frame index,
-    * exploded to one row per sampled frame. A corrupt/empty video
-    * (n_frames ≤ 0) yields zero frames rather than an illegal-sequence
-    * error killing the job. */
-  def frameSample(media: DataFrame, stride: Int): DataFrame = {
+  /** Real 2x2 box-filter downscale of image rows (all synthetic image
+    * dims are even; odd-dim images are passed through unchanged rather
+    * than resampled wrong). Emits the resized brightness so correctness
+    * of the pixel math is observable, not just the metadata. */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRow]): Dataset[ResizeRow] = {
+    import spark.implicits._
+    media.filter(_.media_type == "image").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Try {
+          val (w, h, px) = MediaCodecs.decodeImage(r.payload)
+          if (w % 2 == 0 && h % 2 == 0) {
+            val (ow, oh, out) = MediaCodecs.resizeHalf(w, h, px)
+            ResizeRow(r.doc_id, w, h, ow, oh,
+              out.map(_.toLong).sum.toDouble / (255.0 * math.max(out.length, 1)))
+          } else {
+            ResizeRow(r.doc_id, w, h, w, h,
+              px.map(_.toLong).sum.toDouble / (255.0 * math.max(px.length, 1)))
+          }
+        }.toOption
+      }
+    }
+  }
+
+  /** Metadata-only frame-index plan (no payload touched): which frames
+    * WOULD be sampled. Useful for cost estimation / pushdown planning
+    * before paying for any decode; `sampleFrames` is the decode stage. */
+  def frameIndexPlan(media: DataFrame, stride: Int): DataFrame = {
     require(stride > 0, "stride must be positive")
     media.filter(col("media_type") === "video" && col("n_frames") > 0)
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
   }
-
-  // ---- DuckDB oracle builders: recompute the feature math from the
-  // ---- hex construction (no blob indexing needed — same bytes) ----
-
-  /** CTE `media(doc_id, media_type, hex, n_bytes, width, height,
-    * n_frames)` mirroring [[syntheticMedia]]. */
-  def mediaSql: String =
-    """media AS (
-      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-      |    repeat(md5(CAST(doc_id AS VARCHAR)), 4) AS hex,
-      |    64 AS n_bytes,
-      |    64 + CAST(doc_id % 4 AS INT) * 32 AS width,
-      |    64 + CAST(doc_id % 3 AS INT) * 32 AS height,
-      |    8 + CAST(doc_id % 5 AS INT) * 4 AS n_frames
-      |  FROM documents
-      |)""".stripMargin
-
-  /** `bytes` = payload byte values decoded from the hex string. */
-  private val bytesExpr =
-    "[CAST('0x' || substr(hex, 2 * i - 1, 2) AS INT) for i in generate_series(1, len(hex) // 2)]"
-
-  def featuresSql: String =
-    s"""feats AS (
-       |  SELECT doc_id, media_type, n_bytes,
-       |    list_sum([CAST(b AS DOUBLE) for b in bs]) / (255.0 * len(bs)) AS brightness,
-       |    [CAST(len(list_filter(bs, b -> (b // 16) = k)) AS DOUBLE) / len(bs)
-       |     for k in generate_series(0, 15)] AS histogram
-       |  FROM (SELECT doc_id, media_type, n_bytes, $bytesExpr AS bs FROM media)
-       |)""".stripMargin
 }

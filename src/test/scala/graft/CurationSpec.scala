@@ -104,10 +104,10 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark; import s.implicits._
     val media = Seq((1L, "video", 0), (2L, "video", 5), (3L, "image", 9))
       .toDF("doc_id", "media_type", "n_frames")
-    val out = Multimodal.frameSample(media, 2)
+    val out = Multimodal.frameIndexPlan(media, 2)
       .select("doc_id", "frame_idx").as[(Long, Int)].collect().sorted
     assert(out.toSeq === Seq((2L, 0), (2L, 2), (2L, 4)))
-    intercept[IllegalArgumentException](Multimodal.frameSample(media, 0))
+    intercept[IllegalArgumentException](Multimodal.frameIndexPlan(media, 0))
   }
 
   test("repetitionStats: hand-computed fractions on a crafted doc") {
