@@ -97,6 +97,14 @@ object ScaleProbe {
       time("pack_sequences_200k") { // two-level prefix sum + chunk
         pipeline.Curation.packSequences(docs, 2048).count()
       },
+      time("source_cap_skew_10m") { // ONE source holds 90% of 10M rows;
+        // the two-level rank must stay block-parallel, not one sort task
+        val skewed = keys.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) < 9, lit("crawl"))
+            .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(7))))
+            .as("source"))
+        pipeline.Curation.sourceCap(skewed, 1000, "probe").count()
+      },
       time("asof_join_10m") { // union+window as-of: 10M left, 1M right
         val l = keys.select(pmod(col("doc_id"), lit(1000)).as("k"),
           col("doc_id").as("ts"))

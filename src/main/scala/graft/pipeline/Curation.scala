@@ -269,13 +269,36 @@ object Curation {
   /** Deterministic per-source document cap: keep at most `cap`
     * documents per source, chosen by salted-hash rank (so the kept set
     * is a stable uniform sample per source, not a doc_id-ordered
-    * prefix). One window per source partition — sources are the
-    * natural unit of parallelism in corpus mixing. */
+    * prefix).
+    *
+    * The rank is two-level, like [[packSequences]], so one giant source
+    * (a single crawl holding 80% of a 100 TB corpus) never funnels
+    * through one sort task: rows are bucketed by the first two hex
+    * chars of their salted hash (a PREFIX of the ORDER BY key, so
+    * block-local ranks compose into the exact global rank), counted
+    * per (source, block), and blocks whose running offset is already
+    * ≥ `cap` are dropped BEFORE any row-level sort — only ~cap rows
+    * per source ever enter a window, regardless of source size. The
+    * per-source offset table is one row per surviving (source, block),
+    * broadcast back. Output rn is identical to a single
+    * `row_number() OVER (PARTITION BY source ORDER BY hash)`. */
   def sourceCap(docs: DataFrame, cap: Int, salt: String): DataFrame = {
     val h = md5(concat(lit(salt), col("doc_id").cast("string")))
-    docs.select(col("doc_id"), col("source"),
-        row_number().over(Window.partitionBy(col("source"))
-          .orderBy(h, col("doc_id"))).as("rn"))
+    val rows = docs.select(col("doc_id"), col("source"), h.as("__h"),
+      conv(substring(h, 1, 2), 16, 10).cast("int").as("__blk"))
+    val counts = rows.groupBy(col("source"), col("__blk"))
+      .agg(count(lit(1)).as("__c"))
+    val offs = counts.withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.partitionBy(col("source")).orderBy(col("__blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__off") < cap) // later blocks cannot reach rn <= cap
+      .select(col("source"), col("__blk"), col("__off"))
+    rows.join(broadcast(offs), Seq("source", "__blk"))
+      .select(col("doc_id"), col("source"),
+        (col("__off") + row_number().over(
+          Window.partitionBy(col("source"), col("__blk"))
+            .orderBy(col("__h"), col("doc_id")))).cast("int").as("rn"))
       .filter(col("rn") <= cap)
   }
 
