@@ -59,12 +59,9 @@ object PipelineQueries {
     ("dd_incremental",
       ((s, d) => {
         val docs = Tables.documents(s, d)
-        val storeSets = pipeline.NearDup.shingleSets(
-          docs.filter(col("doc_id") % 2 === 0))
-        val storeBands = pipeline.NearDup.bands(
-          pipeline.NearDup.signaturesFromSets(storeSets))
-        val (pairs, _, _) = pipeline.NearDup.minhashIncrement(
-          docs.filter(col("doc_id") % 2 === 1), storeSets, storeBands, 0.8)
+        val st = pipeline.NearDup.indexCorpus(docs.filter(col("doc_id") % 2 === 0))
+        val (pairs, _) = pipeline.NearDup.minhashIncrement(
+          docs.filter(col("doc_id") % 2 === 1), st, 0.8)
         pairs.select(col("doc_a").cast("long").as("doc_a"),
           col("doc_b").cast("long").as("doc_b"),
           ts.Round6.r6(col("jaccard")).as("jaccard"))

@@ -209,38 +209,120 @@ object NearDup {
     expandExactDups(repPairs, members, "jaccard", lit(1.0))
   }
 
+  /** Append-only near-dup state: the four frames a production stream
+    * persists (e.g. parquet dirs appended per micro-batch).
+    *  - `fps`     (fp, rep): one row per distinct text fingerprint
+    *  - `sets`    (doc_id, hs): shingle set per REPRESENTATIVE only
+    *  - `bands`   (band, key, doc_id): LSH index over representatives
+    *  - `members` (doc_id, rep): every ingested doc → its representative
+    */
+  final case class NearDupState(fps: DataFrame, sets: DataFrame,
+      bands: DataFrame, members: DataFrame) {
+    /** Append another state's frames (batch appends → running state). */
+    def union(o: NearDupState): NearDupState = NearDupState(
+      fps.unionByName(o.fps), sets.unionByName(o.sets),
+      bands.unionByName(o.bands), members.unionByName(o.members))
+  }
+
+  /** Build [[NearDupState]] from an initial corpus — the batch-0 shape
+    * of [[minhashIncrement]]'s appends. NULL texts are excluded: they
+    * cannot near-dup anything (mirrors [[Dedup.exactDedup]], which
+    * keeps them all). */
+  def indexCorpus(docs: DataFrame): NearDupState = {
+    val fp = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+    val repByFp = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val withRep = fp.join(repByFp, "fp")
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("text"))
+    val sets = shingleSets(reps)
+    NearDupState(repByFp, sets, bands(signaturesFromSets(sets)),
+      withRep.select(col("doc_id"), col("rep")))
+  }
+
   /** Incremental near-dup for an append-only corpus — the form a
     * production pipeline actually runs: documents arrive in batches and
     * each batch must dedup against everything already ingested without
-    * rescanning it. The persisted state is exactly the two frames this
-    * pipeline already computes per batch: the per-doc shingle-set store
-    * and the LSH band index. A new batch touches only the band buckets
-    * it lands in (join keyed on (band, key) — bucket-local work), and
-    * fetches stored shingle sets only for actual candidates. Returns
-    * (pairs, batchSets, batchBands); callers append the latter two to
-    * their stores — the `foreachBatch` shape, same as
-    * [[graft.streaming.Ingest.mergePiecesIntoArchive]]'s partition-
-    * scoped merge. Run [[Dedup]]'s exact collapse upstream for crawl
-    * corpora, as [[minhashPairs]] does.
+    * rescanning it.
     *
-    * Cache lifetime: the returned `batchSets` frame is persisted (it
-    * feeds both the band index and verification); a long-running
-    * foreachBatch caller must `unpersist()` it after appending to its
-    * stores, or cached partitions accumulate across micro-batches. */
-  def minhashIncrement(newDocs: DataFrame, setsStore: DataFrame,
-      bandStore: DataFrame, minJ: Double): (DataFrame, DataFrame, DataFrame) = {
-    val newSets = shingleSets(newDocs).persist()
+    * Exact-duplicate collapse is STRUCTURAL here, not a caller
+    * convention: the stores only ever index one representative per
+    * distinct text (fingerprint map `fps`), so a crawl batch of 1 000
+    * byte-identical documents adds ONE shingle set and ONE row per band
+    * bucket — the degenerate-bucket blowup cannot occur no matter how
+    * the operator is called. A batch doc whose fingerprint matches a
+    * stored rep creates no new index entries at all; it inherits the
+    * rep's pairs (identical text ⇒ identical similarity) through the
+    * membership expansion, which is linear in the reported answer.
+    *
+    * Work per batch: one fingerprint join against `fps`, band-bucket
+    * joins keyed on (band, key) touching only the batch's buckets, and
+    * set fetches for actual candidates — nothing rescans the corpus.
+    * Returns (pairs involving ≥1 batch doc, appends); callers
+    * `state.union(appends)` or append each frame to its parquet dir —
+    * the `foreachBatch` shape, same as
+    * [[graft.streaming.Ingest.mergePiecesIntoArchive]]'s merge.
+    *
+    * Cache lifetime: the returned `appends.sets` frame is persisted (it
+    * feeds the band index and verification); a long-running caller must
+    * `unpersist()` it after appending to its stores, or cached
+    * partitions accumulate across micro-batches. */
+  def minhashIncrement(newDocs: DataFrame, st: NearDupState,
+      minJ: Double): (DataFrame, NearDupState) = {
+    val fpB = newDocs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+    val hit = fpB.join(st.fps.withColumnRenamed("rep", "orep"), Seq("fp"), "left")
+    val newFpRep = hit.filter(col("orep").isNull)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("nrep"))
+    val assigned = hit.join(newFpRep, Seq("fp"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("orep"), col("nrep")).as("rep"),
+        col("orep").isNotNull.as("dupOfStored"))
+    val memberAppend = assigned.select(col("doc_id"), col("rep"))
+    val newReps = assigned.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("text"))
+    val newSets = shingleSets(newReps).persist()
     val newBands = bands(signaturesFromSets(newSets))
-    val candNew = candidates(newBands)
-    val a = bandStore.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-    val b = newBands.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-    val candCross = a.join(b, Seq("band", "key"))
+
+    // rep-level candidates: new×new, stored×new, and stored×touched-
+    // stored (a pure exact-dup arrival re-activates its stored rep's
+    // band buckets, so the new copy's pairs to OTHER stored docs are
+    // re-derived without rescanning anything else)
+    val touched = assigned.filter(col("dupOfStored"))
+      .select(col("rep").as("doc_id")).distinct()
+    val a = st.bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val bNew = newBands.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    val bTouch = st.bands.join(touched, "doc_id")
+      .select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    val candCross = a.join(bNew.unionByName(bTouch), Seq("band", "key"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-    val cand = candNew.unionByName(candCross).distinct()
-    val pairs = verifyJaccard(cand, setsStore.unionByName(newSets), minJ)
-    (pairs, newSets, newBands)
+    val cand = candidates(newBands).unionByName(candCross).distinct()
+    val repPairs = verifyJaccard(cand, st.sets.unionByName(newSets), minJ)
+
+    // expand rep pairs through membership, keeping only pairs that
+    // involve this batch (older pairs were reported by older batches)
+    val all = st.members.withColumn("nw", lit(false))
+      .unionByName(memberAppend.withColumn("nw", lit(true)))
+    val cross = repPairs
+      .join(all.select(col("rep").as("doc_a"), col("doc_id").as("xa"),
+        col("nw").as("na")), "doc_a")
+      .join(all.select(col("rep").as("doc_b"), col("doc_id").as("xb"),
+        col("nw").as("nb")), "doc_b")
+      .filter(col("na") || col("nb"))
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"), col("jaccard"))
+    val within = memberAppend.select(col("rep"), col("doc_id").as("xa"))
+      .join(all.select(col("rep"), col("doc_id").as("xb")), "rep")
+      .filter(col("xa") =!= col("xb"))
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"),
+        lit(1.0).as("jaccard"))
+      .distinct()
+    (cross.unionByName(within),
+      NearDupState(newFpRep.select(col("fp"), col("nrep").as("rep")),
+        newSets, newBands, memberAppend))
   }
 
   /** Exact n-gram Jaccard via the inverted shingle index (df-capped).

@@ -127,24 +127,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mem = MemoryStream[(Long, String)]
     // parquet-backed stores, appended per batch — the production shape
     val dir = java.nio.file.Files.createTempDirectory("inc").toString
-    val setsDir = s"$dir/sets"; val bandsDir = s"$dir/bands"
+    val dirs = Map("fps" -> s"$dir/fps", "sets" -> s"$dir/sets",
+      "bands" -> s"$dir/bands", "members" -> s"$dir/members")
     // seed empty stores with the right schemas
-    NearDup.shingleSets(Seq((-1L, "seed")).toDF("doc_id", "text"))
-      .limit(0).write.parquet(setsDir)
-    NearDup.bands(NearDup.signaturesFromSets(
-        NearDup.shingleSets(Seq((-1L, "seed")).toDF("doc_id", "text"))))
-      .limit(0).write.parquet(bandsDir)
+    val seed = NearDup.indexCorpus(Seq((-1L, "seed")).toDF("doc_id", "text"))
+    seed.fps.limit(0).write.parquet(dirs("fps"))
+    seed.sets.limit(0).write.parquet(dirs("sets"))
+    seed.bands.limit(0).write.parquet(dirs("bands"))
+    seed.members.limit(0).write.parquet(dirs("members"))
+    def store = NearDup.NearDupState(
+      s.read.parquet(dirs("fps")), s.read.parquet(dirs("sets")),
+      s.read.parquet(dirs("bands")), s.read.parquet(dirs("members")))
     val found = scala.collection.mutable.Set.empty[(Long, Long)]
     val q = mem.toDS().toDF("doc_id", "text").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val (pairs, newSets, newBands) = NearDup.minhashIncrement(
-          batch, s.read.parquet(setsDir), s.read.parquet(bandsDir), 0.5)
+        val (pairs, app) = NearDup.minhashIncrement(batch, store, 0.5)
         found ++= pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
-        newSets.write.mode("append").parquet(setsDir)
-        newBands.write.mode("append").parquet(bandsDir)
+        app.fps.write.mode("append").parquet(dirs("fps"))
+        app.sets.write.mode("append").parquet(dirs("sets"))
+        app.bands.write.mode("append").parquet(dirs("bands"))
+        app.members.write.mode("append").parquet(dirs("members"))
         // per the operator contract: release the batch's persisted
         // shingle frame so cached blocks don't accumulate across batches
-        newSets.unpersist()
+        app.sets.unpersist()
         ()
       }
       .start()
@@ -157,6 +162,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     q.stop()
     assert(found.toSet === Set((1L, 3L)))
+  }
+
+  test("incremental near-dup: 1k byte-identical docs add ZERO index rows") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.NearDup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val st = NearDup.indexCorpus(Seq(
+      (1L, base), (2L, "totally unrelated words only here"))
+      .toDF("doc_id", "text"))
+    // crawl pathology: a micro-batch of 1 000 byte-identical copies of
+    // a STORED text — the case that used to re-degenerate the buckets
+    val copies = (100L until 1100L).map(i => (i, base))
+    val (pairs, app) = NearDup.minhashIncrement(
+      copies.toDF("doc_id", "text"), st, 0.5)
+    // structural guard: fp-matched copies create no reps, sets, bands
+    assert(app.sets.count() === 0L)
+    assert(app.bands.count() === 0L)
+    assert(app.fps.count() === 0L)
+    assert(app.members.count() === 1000L)
+    // output is still the full answer: 1001 identical docs pair up
+    assert(pairs.count() === 1001L * 1000L / 2)
+    // batch of 1 000 identical copies of an UNSEEN text: exactly one
+    // rep enters the index — one set row, one row per band bucket
+    val fresh = (2000L until 3000L).map(i => (i, base.replace("alpha", "omega")))
+    val (pairs2, app2) = NearDup.minhashIncrement(
+      fresh.toDF("doc_id", "text"), st, 0.5)
+    assert(app2.sets.count() === 1L)
+    assert(app2.fps.count() === 1L)
+    val bandsPerDoc = st.bands.filter(col("doc_id") === 1L).count()
+    assert(app2.bands.count() === bandsPerDoc)
+    // 1000 identical copies pair with each other, plus near-dup pairs
+    // to stored rep 1 (one word differs) expanded to every copy
+    val within2 = 1000L * 999L / 2
+    val cross2 = pairs2.filter(col("doc_a") === 1L).count()
+    assert(pairs2.count() === within2 + cross2)
+    assert(cross2 === 1000L) // rep-level pair (1, 2000) × 1000 members
+    app.sets.unpersist(); app2.sets.unpersist()
   }
 
   test("timers: sub-50 threshold on a 1-sample window skips, not crashes") {
