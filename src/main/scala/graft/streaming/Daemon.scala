@@ -135,11 +135,18 @@ object Daemon {
       .option("host", "127.0.0.1").option("port", feedPort).load()
       .toDF("line")
     val cmds = Ingest.statsdToCommands(Ingest.parseStatsd(lines))
-      .withColumn("tsSec", unix_timestamp(current_timestamp()))
-      .withColumn("seq", monotonically_increasing_id())
     cmds.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (raw: DataFrame, _: Long) =>
+        // tsSec/seq are assigned HERE, where the micro-batch is a static
+        // DataFrame: monotonically_increasing_id() is illegal in a
+        // streaming plan (UnsupportedOperationChecker rejects it at
+        // start()). seq only feeds StatsdAgg.gaugeLast's (tsSec, seq)
+        // last-wins tiebreak, a within-batch total order — batch-local
+        // ids preserve the socket arrival order exactly as well.
+        val batch = raw
+          .withColumn("tsSec", unix_timestamp(current_timestamp()))
+          .withColumn("seq", monotonically_increasing_id())
         val slots = StatsdAgg.counterRate(
             batch.filter(col("cmd") === "add"), flushSec)
           .unionByName(StatsdAgg.gaugeSum(
