@@ -1,9 +1,10 @@
 package graft.streaming
 
-import java.io.{BufferedReader, InputStreamReader, PrintWriter}
-import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.io.{BufferedInputStream, BufferedReader, DataInputStream, IOException, InputStreamReader, PrintWriter}
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
+import java.util.Base64
 import java.util.concurrent.LinkedBlockingQueue
 import java.util.concurrent.atomic.AtomicBoolean
 
@@ -21,12 +22,13 @@ import graft.dsl.Viewport
 /** Process frontends — the reference's daemon shell (routes
   * `daemon/http.go:47-51`, graphite listener
   * `daemon/graphite_text.go:179-234`, service lifecycle
-  * `daemon/services.go`) re-expressed as: a TCP line gateway feeding a
-  * Structured Streaming ingest lifecycle, plus a JDK `HttpServer` query
-  * surface over the same archive. With this shell the engine is a
-  * runnable metrics daemon: senders open plain TCP connections and
-  * write graphite/statsd lines, Grafana-style clients GET `/render`
-  * and `/metrics/find`.
+  * `daemon/services.go`) re-expressed as: TCP/UDP line gateways (plus a
+  * framed-TCP pickle gateway) feeding Structured Streaming ingest
+  * lifecycles, plus a JDK `HttpServer` query-and-pixel surface over the
+  * same archives. With this shell the engine is a runnable metrics
+  * daemon: senders write graphite/statsd lines over TCP or UDP, carbon
+  * clients send pickle frames, trackers GET `/pixel*`, and
+  * Grafana-style clients GET `/render` and `/metrics/find`.
   *
   * Scale shape: the gateway is a thin accept-loop (the reference's
   * per-connection goroutines, `daemon/services.go`); ALL heavy work —
@@ -41,60 +43,127 @@ object Daemon {
   // ------------------------- line gateway ---------------------------
 
   /** Accepts MANY sender connections on `listenPort` (the reference's
-    * graphite/statsd listener socket) and relays their lines, in
+    * graphite/statsd listener socket) — TCP connections AND UDP
+    * datagrams on the same port number, as the reference serves both
+    * (`daemon/graphite_text.go:75-111`, `daemon/statsd_text.go`; real
+    * statsd emitters default to UDP) — and relays their lines, in
     * arrival order, to the single connection Spark's socket source
     * opens against `feedPort`. Lines arriving while Spark is
     * (re)connecting are buffered, bounded by `capacity` — beyond it the
     * oldest lines drop, matching the reference's bounded ingest
-    * channels (it too sheds load rather than OOM). */
+    * channels (it too sheds load rather than OOM).
+    *
+    * `framed = true` switches the TCP side to the pickle wire format
+    * (`daemon/graphite_pickle.go:145-168`: uint32 BE length + blob);
+    * each frame relays as ONE base64 line so the Spark socket source
+    * can carry it — decode happens on the executors
+    * ([[Daemon.startPickleIngest]]). Framed mode is TCP-only, like the
+    * reference's pickle listener. */
   final class LineGateway(val listenPort: Int, val feedPort: Int,
-      capacity: Int = 1 << 20) {
+      capacity: Int = 1 << 20, framed: Boolean = false) {
     private val queue = new LinkedBlockingQueue[String](capacity)
     private val running = new AtomicBoolean(true)
     private val listenSock = new ServerSocket()
     private val feedSock = new ServerSocket()
     listenSock.bind(new InetSocketAddress("127.0.0.1", listenPort))
     feedSock.bind(new InetSocketAddress("127.0.0.1", feedPort))
+    private val udpSock: Option[DatagramSocket] =
+      if (framed) None
+      else Some(new DatagramSocket(
+        new InetSocketAddress("127.0.0.1", listenSock.getLocalPort)))
 
     /** Ports actually bound (pass 0 above for ephemeral). */
     def boundListenPort: Int = listenSock.getLocalPort
     def boundFeedPort: Int = feedSock.getLocalPort
+
+    /** Enqueue one line, shedding the oldest beyond `capacity`. Public:
+      * the pixel HTTP handler and the pixel→graphite re-injection feed
+      * the gateway directly, without a socket. */
+    def offer(line: String): Unit =
+      if (!queue.offer(line)) { queue.poll(); queue.offer(line); () }
 
     private def daemonThread(name: String)(body: => Unit): Thread = {
       val t = new Thread(() => try body catch { case _: Throwable if !running.get => () }, name)
       t.setDaemon(true); t.start(); t
     }
 
+    private def relayLines(client: Socket): Unit = {
+      val in = new BufferedReader(new InputStreamReader(
+        client.getInputStream, StandardCharsets.UTF_8))
+      Iterator.continually(in.readLine()).takeWhile(_ != null).foreach(offer)
+    }
+
+    private def relayFrames(client: Socket): Unit = {
+      val in = new DataInputStream(
+        new BufferedInputStream(client.getInputStream))
+      while (true) {
+        val len = in.readInt() // EOFException (an IOException) ends the conn
+        // 64 MiB cap: a garbage length must not allocate unbounded
+        if (len < 0 || len > (1 << 26))
+          throw new IOException(s"bad frame length $len")
+        val buf = new Array[Byte](4 + len)
+        buf(0) = ((len >> 24) & 0xff).toByte; buf(1) = ((len >> 16) & 0xff).toByte
+        buf(2) = ((len >> 8) & 0xff).toByte; buf(3) = (len & 0xff).toByte
+        in.readFully(buf, 4, len)
+        offer(Base64.getEncoder.encodeToString(buf))
+      }
+    }
+
     daemonThread("gateway-accept") {
       while (running.get) {
-        val client = listenSock.accept()
-        daemonThread(s"gateway-conn-${client.getPort}") {
-          val in = new BufferedReader(new InputStreamReader(
-            client.getInputStream, StandardCharsets.UTF_8))
-          try Iterator.continually(in.readLine()).takeWhile(_ != null)
-            .foreach { line =>
-              if (!queue.offer(line)) { queue.poll(); queue.offer(line); () }
-            }
-          finally client.close()
+        try {
+          val client = listenSock.accept()
+          daemonThread(s"gateway-conn-${client.getPort}") {
+            // a sender dying mid-line/mid-frame must not take anything
+            // down but its own connection thread
+            try { if (framed) relayFrames(client) else relayLines(client) }
+            catch { case _: IOException => () }
+            finally { Try(client.close()); () }
+          }
+          ()
+        } catch {
+          // transient accept() failure: keep accepting. Shutdown closes
+          // the socket with running=false, exiting via the while guard.
+          case _: IOException if running.get => ()
         }
-        ()
+      }
+    }
+
+    udpSock.foreach { sock =>
+      daemonThread("gateway-udp") {
+        val buf = new Array[Byte](65536)
+        while (running.get) {
+          try {
+            val pkt = new DatagramPacket(buf, buf.length)
+            sock.receive(pkt)
+            // one datagram may carry several newline-separated lines
+            // (multi-metric statsd packets)
+            new String(pkt.getData, pkt.getOffset, pkt.getLength,
+                StandardCharsets.UTF_8)
+              .split("\n").iterator.map(_.stripSuffix("\r"))
+              .filter(_.nonEmpty).foreach(offer)
+          } catch { case _: IOException if running.get => () }
+        }
       }
     }
 
     daemonThread("gateway-feed") {
       while (running.get) {
-        val spark = feedSock.accept() // Spark's socket source connects
-        val out = new PrintWriter(spark.getOutputStream, true)
-        try while (running.get && !out.checkError()) {
-          val line = queue.take()
-          out.println(line)
-        } finally spark.close()
+        try {
+          val spark = feedSock.accept() // Spark's socket source connects
+          val out = new PrintWriter(spark.getOutputStream, true)
+          try while (running.get && !out.checkError()) {
+            val line = queue.take()
+            out.println(line)
+          } finally { Try(spark.close()); () }
+        } catch { case _: IOException if running.get => () }
       }
     }
 
     def close(): Unit = {
       running.set(false)
       Try(listenSock.close()); Try(feedSock.close())
+      udpSock.foreach(s => Try(s.close()))
       ()
     }
   }
@@ -123,11 +192,37 @@ object Daemon {
       .start()
   }
 
+  /** Per-flush-window aggregation of aggregator commands
+    * `(name, cmd, value)` into whole-window archive pieces — the body
+    * shared by the statsd and pixel-command lifecycles.
+    *
+    * tsSec/seq are assigned HERE, where the micro-batch is a static
+    * DataFrame: monotonically_increasing_id() is illegal in a
+    * streaming plan (UnsupportedOperationChecker rejects it at
+    * start()). seq only feeds StatsdAgg.gaugeLast's (tsSec, seq)
+    * last-wins tiebreak, a within-batch total order — batch-local
+    * ids preserve the socket arrival order exactly as well. */
+  private def commandWindowPieces(raw: DataFrame, flushSec: Long): DataFrame = {
+    val batch = raw
+      .withColumn("tsSec", unix_timestamp(current_timestamp()))
+      .withColumn("seq", monotonically_increasing_id())
+    val slots = StatsdAgg.counterRate(
+        batch.filter(col("cmd") === "add"), flushSec)
+      .unionByName(StatsdAgg.gaugeSum(
+        batch.filter(col("cmd") === "addgauge"), flushSec))
+      .unionByName(StatsdAgg.gaugeLast(
+        batch.filter(col("cmd") === "setgauge"), flushSec))
+      .unionByName(StatsdAgg.timers(
+        batch.filter(col("cmd") === "append"), flushSec))
+    slots.select(col("name"), col("t").as("begin"),
+      (col("t") + flushSec).as("end"), col("value"))
+  }
+
   /** StatsD lifecycle: socket stream → [[Ingest.parseStatsd]] →
     * [[Ingest.statsdToCommands]] → per-flush-window aggregation
     * ([[StatsdAgg]]) merged into the archive as whole-window pieces.
-    * (TCP lines; the reference listens on UDP and TCP — the wire
-    * grammar is identical.) */
+    * The gateway feeds this from TCP and UDP alike — the wire grammar
+    * is identical (`daemon/statsd_text.go:175-206`). */
   def startStatsdIngest(spark: SparkSession, feedPort: Int,
       archiveDir: String, flushSec: Long,
       checkpointDir: String): StreamingQuery = {
@@ -138,39 +233,142 @@ object Daemon {
     cmds.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (raw: DataFrame, _: Long) =>
-        // tsSec/seq are assigned HERE, where the micro-batch is a static
-        // DataFrame: monotonically_increasing_id() is illegal in a
-        // streaming plan (UnsupportedOperationChecker rejects it at
-        // start()). seq only feeds StatsdAgg.gaugeLast's (tsSec, seq)
-        // last-wins tiebreak, a within-batch total order — batch-local
-        // ids preserve the socket arrival order exactly as well.
-        val batch = raw
-          .withColumn("tsSec", unix_timestamp(current_timestamp()))
-          .withColumn("seq", monotonically_increasing_id())
-        val slots = StatsdAgg.counterRate(
-            batch.filter(col("cmd") === "add"), flushSec)
-          .unionByName(StatsdAgg.gaugeSum(
-            batch.filter(col("cmd") === "addgauge"), flushSec))
-          .unionByName(StatsdAgg.gaugeLast(
-            batch.filter(col("cmd") === "setgauge"), flushSec))
-          .unionByName(StatsdAgg.timers(
-            batch.filter(col("cmd") === "append"), flushSec))
-        val pieces = slots.select(col("name"), col("t").as("begin"),
-          (col("t") + flushSec).as("end"), col("value"))
-        Ingest.mergePiecesIntoArchive(spark, pieces, archiveDir, flushSec)
+        Ingest.mergePiecesIntoArchive(spark,
+          commandWindowPieces(raw, flushSec), archiveDir, flushSec)
+      }
+      .start()
+  }
+
+  /** Pickle lifecycle: a framed [[LineGateway]] relays each
+    * length-prefixed pickle frame as one base64 line; executors decode
+    * ([[Pickle.decodeFrames]]) and the points flow through the same
+    * PDP state machine and archive merge as graphite text. Names queue
+    * RAW — the reference's pickle path does not sanitize
+    * (`daemon/graphite_pickle.go:186`), unlike text. */
+  def startPickleIngest(spark: SparkSession, feedPort: Int,
+      archiveDir: String, stepSec: Long, heartbeatSec: Long,
+      checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val lines = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", feedPort).load()
+      .toDF("line")
+    val pts = lines.as[String]
+      .flatMap(b64 => Pickle.decodeFrames(Base64.getDecoder.decode(b64)))
+      .map(p => (p.name, p.tsSec, p.value))
+    Ingest.pdpPieces(spark, pts, heartbeatSec).toDF()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec)
+      }
+      .start()
+  }
+
+  /** The daemon's combined point receiver: graphite text and pickle
+    * frames union into ONE stateful PDP stream with ONE archive writer —
+    * the reference funnels every point protocol into a single receiver
+    * (`receiver/receiver.go`), and two concurrent streaming queries
+    * merging the same parquet directory would race on the
+    * dynamic-partition overwrite, so the union is structural, not
+    * cosmetic. Per-series PDP state is shared across protocols exactly
+    * as the reference's DS cache is. */
+  def startReceiver(spark: SparkSession, graphiteFeedPort: Int,
+      pickleFeedPort: Int, archiveDir: String, stepSec: Long,
+      heartbeatSec: Long, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    def socketLines(port: Int): DataFrame = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", port).load()
+      .toDF("line")
+    val gPts = Ingest.parseGraphite(socketLines(graphiteFeedPort),
+        nowSec = unix_timestamp(current_timestamp()))
+      .as[(String, Long, Double)]
+    val pkPts = socketLines(pickleFeedPort).as[String]
+      .flatMap(b64 => Pickle.decodeFrames(Base64.getDecoder.decode(b64)))
+      .map(p => (p.name, p.tsSec, p.value))
+    Ingest.pdpPieces(spark, gPts.union(pkPts), heartbeatSec).toDF()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec)
+      }
+      .start()
+  }
+
+  /** Pixel lifecycle: the HTTP pixel handlers ([[startHttp]]) offer
+    * each request's `path?query` line into a gateway; this stream
+    * parses them with the oracle-checked [[Pixel.parseRequests]] and
+    * routes exactly as the reference's handlers do (`http/pixel.go`):
+    *
+    *   - data points (`/pixel?name=VAL@TS`) re-encode as graphite lines
+    *     into the graphite gateway — the shared "receiver"
+    *     (`http/pixel.go:83` QueueDataPoint), so they run the same
+    *     cross-batch PDP state machine as wire graphite. The per-batch
+    *     collect is bounded by the HTTP request rate per micro-batch —
+    *     frontend-sized, not data-sized.
+    *   - aggregator commands (`/pixel/add|addgauge|setgauge|append`)
+    *     flush-window aggregate into whole-window pieces. Names stay
+    *     UNprefixed — pixel commands bypass the statsd router
+    *     (`http/pixel.go:140` NewCommand, no `stats.` prefixes). */
+  def startPixelIngest(spark: SparkSession, feedPort: Int,
+      graphiteOffer: String => Unit, archiveDir: String, flushSec: Long,
+      checkpointDir: String): StreamingQuery = {
+    val urls = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", feedPort).load()
+      .toDF("url")
+    urls.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = Pixel.parseRequests(batch,
+          nowSec = unix_timestamp(current_timestamp())).persist()
+        try {
+          parsed.filter(col("kind") === "dp")
+            .select(format_string("%s %s %d", col("name"),
+              col("value").cast("string"), col("tsSec")).as("line"))
+            .collect().foreach(r => graphiteOffer(r.getString(0)))
+          val cmds = parsed.filter(col("kind") =!= "dp")
+            .select(col("name"), col("kind").as("cmd"), col("value"))
+          Ingest.mergePiecesIntoArchive(spark,
+            commandWindowPieces(cmds, flushSec), archiveDir, flushSec)
+        } finally { parsed.unpersist(); () }
       }
       .start()
   }
 
   // ------------------------- HTTP surface ---------------------------
 
+  /** JSON string-escape for error bodies: quotes, backslashes and
+    * control chars would otherwise yield invalid JSON to the
+    * Grafana-shaped client. */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** The 1×1 transparent GIF every pixel endpoint answers with
+    * (`http/pixel.go:30-41`). */
+  private val pixelGif: Array[Byte] =
+    "GIF89a".getBytes(StandardCharsets.ISO_8859_1) ++
+      Array[Int](0x01, 0x00, 0x01, 0x00, 0x00, 0x00, 0x00, 0x2c,
+        0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+        0x02, 0x00, 0x3b).map(_.toByte)
+
   /** `/render` + `/metrics/find` over the archive store — the
     * reference's two query routes (`daemon/http.go:47-51`,
-    * `http/graphite.go:77-181`). `now` is injectable for tests;
-    * production defaults to the wall clock. */
-  def startHttp(spark: SparkSession, port: Int, archiveDir: String,
+    * `http/graphite.go:77-181`) — plus, when `pixelOffer` is given, the
+    * five `/pixel*` ingest routes (`daemon/http.go:47-51`): each request
+    * answers the 1×1 GIF immediately and its `path?query` line is
+    * offered to the pixel gateway for [[startPixelIngest]]. `now` is
+    * injectable for tests; production defaults to the wall clock. */
+  def startHttp(spark: SparkSession, port: Int, archiveDirs: Seq[String],
       stepSec: Long, maxPointsDefault: Int = 512,
-      now: () => Long = () => System.currentTimeMillis() / 1000L): HttpServer = {
+      now: () => Long = () => System.currentTimeMillis() / 1000L,
+      pixelOffer: Option[String => Unit] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     def params(ex: HttpExchange): Map[String, Seq[String]] = {
@@ -187,11 +385,13 @@ object Daemon {
     }
 
     def respond(ex: HttpExchange)(body: => String): Unit = {
+      def err(e: Throwable) = jsonEscape(
+        Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
       val (code, payload) =
         try (200, body)
         catch {
-          case e: IllegalArgumentException => (400, s"""{"error":"${e.getMessage}"}""")
-          case e: Exception => (500, s"""{"error":"${e.getMessage}"}""")
+          case e: IllegalArgumentException => (400, s"""{"error":"${err(e)}"}""")
+          case e: Exception => (500, s"""{"error":"${err(e)}"}""")
         }
       val bytes = payload.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -207,7 +407,7 @@ object Daemon {
       val until = p.get("until").flatMap(_.headOption).getOrElse("")
       val maxDp = p.get("maxDataPoints").flatMap(_.headOption)
         .map(_.toInt).getOrElse(maxPointsDefault)
-      val ctx = Viewport.ctx(spark, Ingest.readArchive(spark, archiveDir),
+      val ctx = Viewport.ctx(spark, Ingest.readArchives(spark, archiveDirs),
         stepSec, from, until, now(), maxDp)
       Render.renderTargets(ctx, targets)
     })
@@ -216,9 +416,26 @@ object Daemon {
       val p = params(ex)
       val pattern = p.get("query").flatMap(_.headOption).getOrElse("*")
       Render.toFindJson(Find.findNodes(
-        Ingest.readArchive(spark, archiveDir).select("name").distinct(),
+        Ingest.readArchives(spark, archiveDirs).select("name").distinct(),
         pattern))
     })
+
+    // /pixel + /pixel/add|addgauge|setgauge|append: answer the GIF,
+    // queue the request line. JDK context matching is by path prefix,
+    // so one "/pixel" context serves all five routes; parseRequests
+    // drops paths outside the exact set.
+    pixelOffer.foreach { offer =>
+      server.createContext("/pixel", (ex: HttpExchange) => {
+        val uri = ex.getRequestURI
+        offer(uri.getPath +
+          Option(uri.getRawQuery).map("?" + _).getOrElse(""))
+        ex.getResponseHeaders.set("Content-Type", "image/gif")
+        ex.sendResponseHeaders(200, pixelGif.length.toLong)
+        ex.getResponseBody.write(pixelGif)
+        ex.close()
+      })
+      ()
+    }
 
     server.start()
     server
@@ -226,14 +443,18 @@ object Daemon {
 
   // ----------------------------- main --------------------------------
 
-  /** Runnable daemon: graphite on GRAFT_GRAPHITE_PORT (default 2003),
-    * statsd lines on GRAFT_STATSD_PORT (8125), HTTP on GRAFT_HTTP_PORT
-    * (8080), archives under GRAFT_DATA_DIR. Blocks until killed. */
+  /** Runnable daemon: graphite text on GRAFT_GRAPHITE_PORT (default
+    * 2003, TCP+UDP), graphite pickle on GRAFT_PICKLE_PORT (2004, TCP),
+    * statsd lines on GRAFT_STATSD_PORT (8125, TCP+UDP), HTTP render +
+    * find + pixel routes on GRAFT_HTTP_PORT (8080), archives under
+    * GRAFT_DATA_DIR. Blocks until killed. */
   def main(args: Array[String]): Unit = {
     def env(k: String, d: String) = sys.env.getOrElse(k, d)
     val dataDir = env("GRAFT_DATA_DIR",
       Files.createTempDirectory("graft-daemon").toString)
     val stepSec = env("GRAFT_STEP_SEC", "10").toLong
+    val heartbeatSec = env("GRAFT_HEARTBEAT_SEC", "300").toLong
+    val flushSec = env("GRAFT_FLUSH_SEC", "10").toLong
     val spark = SparkSession.builder()
       .master(env("GRAFT_MASTER", "local[4]"))
       .appName("graft-daemon")
@@ -245,17 +466,26 @@ object Daemon {
 
     val gGw = new LineGateway(env("GRAFT_GRAPHITE_PORT", "2003").toInt, 0)
     val sGw = new LineGateway(env("GRAFT_STATSD_PORT", "8125").toInt, 0)
-    startGraphiteIngest(spark, gGw.boundFeedPort, s"$dataDir/graphite",
-      stepSec, heartbeatSec = env("GRAFT_HEARTBEAT_SEC", "300").toLong,
-      checkpointDir = s"$dataDir/ckpt-graphite")
+    val pkGw = new LineGateway(env("GRAFT_PICKLE_PORT", "2004").toInt, 0,
+      framed = true)
+    val pxGw = new LineGateway(0, 0) // fed by the HTTP handler, not a socket
+    // one archive store per writer: points (graphite+pickle+pixel dps,
+    // via the shared receiver), statsd commands, pixel commands — the
+    // HTTP surface reads their union
+    startReceiver(spark, gGw.boundFeedPort, pkGw.boundFeedPort,
+      s"$dataDir/points", stepSec, heartbeatSec,
+      checkpointDir = s"$dataDir/ckpt-points")
     startStatsdIngest(spark, sGw.boundFeedPort, s"$dataDir/statsd",
-      flushSec = env("GRAFT_FLUSH_SEC", "10").toLong,
-      checkpointDir = s"$dataDir/ckpt-statsd")
+      flushSec, checkpointDir = s"$dataDir/ckpt-statsd")
+    startPixelIngest(spark, pxGw.boundFeedPort, gGw.offer,
+      s"$dataDir/pixel", flushSec, checkpointDir = s"$dataDir/ckpt-pixel")
     val http = startHttp(spark,
-      env("GRAFT_HTTP_PORT", "8080").toInt, s"$dataDir/graphite", stepSec)
+      env("GRAFT_HTTP_PORT", "8080").toInt,
+      Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel"),
+      stepSec, pixelOffer = Some(pxGw.offer))
     println(s"graft daemon: graphite=${gGw.boundListenPort} " +
-      s"statsd=${sGw.boundListenPort} http=${http.getAddress.getPort} " +
-      s"data=$dataDir")
+      s"pickle=${pkGw.boundListenPort} statsd=${sGw.boundListenPort} " +
+      s"http=${http.getAddress.getPort} data=$dataDir")
     spark.streams.awaitAnyTermination()
   }
 }

@@ -253,6 +253,32 @@ object Ingest {
     spark.read.parquet(archiveDir)
       .select(col("name"), col("t"), (col("vw") / col("dur")).as("value"))
 
+  /** Read SEVERAL archive stores as one series frame — the daemon keeps
+    * one store per writer (point receiver / statsd / pixel commands, so
+    * no two streaming queries ever race a dynamic-partition overwrite on
+    * the same directory) and the query surface merges them at read
+    * time. A slot present in more than one store weighted-merges on its
+    * (vw, dur) partials, the same math the single-store merge uses.
+    * Not-yet-written stores (no data received on that protocol) read as
+    * empty. */
+  def readArchives(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val present = dirs.filter { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hadoopConf).exists(p)
+    }
+    if (present.isEmpty)
+      spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("t"),
+        lit(0.0).as("value")).limit(0)
+    else if (present.size == 1) readArchive(spark, present.head)
+    else present
+      .map(d => spark.read.parquet(d).select(col("name"), col("t"),
+        col("vw"), col("dur")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("name"), col("t"))
+      .agg((sum(col("vw")) / sum(col("dur"))).as("value"))
+  }
+
   /** Live query view — the reference's "watch" semantics
     * (`receiver/dscache.go:159-190`, `dsl/ds_lru.go:183-295`): queries
     * against a hot series see points that have not yet been flushed to

@@ -1,7 +1,7 @@
 package graft
 
 import java.io.PrintWriter
-import java.net.{HttpURLConnection, Socket, URI}
+import java.net.{DatagramPacket, DatagramSocket, HttpURLConnection, InetAddress, Socket, URI}
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
@@ -10,7 +10,7 @@ import scala.util.Try
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.streaming.{Daemon, Find, Ingest}
+import graft.streaming.{Daemon, Find, Ingest, Pickle}
 import graft.dsl.Viewport
 
 /** End-to-end process-frontend test: real TCP sockets in, real HTTP
@@ -58,7 +58,7 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     val base = 1000000L
     val q = Daemon.startGraphiteIngest(s, gw.boundFeedPort, archiveDir,
       stepSec = 10, heartbeatSec = 3600, checkpointDir = s"$dir/ckpt")
-    val http = Daemon.startHttp(s, 0, archiveDir, stepSec = 10,
+    val http = Daemon.startHttp(s, 0, Seq(archiveDir), stepSec = 10,
       now = () => base + 90L)
     try {
       // a sender opens a plain TCP connection, as it would to the
@@ -108,6 +108,134 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bc === 400 && berr.contains("error"))
     } finally {
       Try(q.stop()); http.stop(0); gw.close()
+    }
+  }
+
+  test("UDP datagrams → same gateway → streaming ingest → archive") {
+    val s = spark
+    val dir = Files.createTempDirectory("daemon-udp").toString
+    val archiveDir = s"$dir/archive"
+    val gw = new Daemon.LineGateway(0, 0)
+    val base = 1000000L
+    val q = Daemon.startGraphiteIngest(s, gw.boundFeedPort, archiveDir,
+      stepSec = 10, heartbeatSec = 3600, checkpointDir = s"$dir/ckpt")
+    val udp = new DatagramSocket()
+    try {
+      // a statsd/graphite emitter's default transport: datagrams to the
+      // same port number the TCP listener serves; one packet may carry
+      // several newline-separated lines
+      val addr = InetAddress.getByName("127.0.0.1")
+      (0 to 90 by 30).foreach { t =>
+        val payload = (t until (t + 30) by 10)
+          .filter(_ <= 90)
+          .map(tt => s"udp.req 3 ${base + tt}").mkString("\n")
+        val bytes = payload.getBytes(StandardCharsets.UTF_8)
+        udp.send(new DatagramPacket(bytes, bytes.length, addr,
+          gw.boundListenPort))
+      }
+      val deadline = System.currentTimeMillis() + 60000
+      def slots(): Long = Try(
+        Ingest.readArchive(s, archiveDir).count()).getOrElse(0L)
+      while (slots() < 9 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+      }
+      assert(slots() === 9, "archive never reached the expected slots")
+      val got = Ingest.readArchive(s, archiveDir).collect()
+      assert(got.forall(r => r.getString(0) == "udp.req" &&
+        r.getDouble(2) == 3.0))
+    } finally {
+      Try(q.stop()); udp.close(); gw.close()
+    }
+  }
+
+  test("pickle frames → framed gateway → decode on executors → archive") {
+    val s = spark
+    val dir = Files.createTempDirectory("daemon-pk").toString
+    val archiveDir = s"$dir/archive"
+    val gw = new Daemon.LineGateway(0, 0, framed = true)
+    val base = 1000000L
+    val q = Daemon.startPickleIngest(s, gw.boundFeedPort, archiveDir,
+      stepSec = 10, heartbeatSec = 3600, checkpointDir = s"$dir/ckpt")
+    try {
+      // a carbon client sends length-prefixed pickle frames over TCP;
+      // names ride raw (the pickle path does not sanitize)
+      val sender = new Socket("127.0.0.1", gw.boundListenPort)
+      val out = sender.getOutputStream
+      (0 to 90 by 10).foreach { t =>
+        out.write(Pickle.encodeFrame(Seq(
+          Pickle.Point("pk.web", base + t, 2.0),
+          Pickle.Point("pk.db", base + t, 4.0))))
+      }
+      out.flush()
+      val deadline = System.currentTimeMillis() + 60000
+      def slots(): Long = Try(
+        Ingest.readArchive(s, archiveDir).count()).getOrElse(0L)
+      while (slots() < 18 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+      }
+      assert(slots() === 18, "archive never reached the expected slots")
+      sender.close()
+      val byName = Ingest.readArchive(s, archiveDir).collect()
+        .groupBy(_.getString(0))
+      assert(byName("pk.web").forall(_.getDouble(2) == 2.0))
+      assert(byName("pk.db").forall(_.getDouble(2) == 4.0))
+    } finally {
+      Try(q.stop()); gw.close()
+    }
+  }
+
+  test("pixel GETs → dp into the point receiver, commands into flush windows") {
+    val s = spark
+    val dir = Files.createTempDirectory("daemon-px").toString
+    val pointsDir = s"$dir/points"
+    val pixelDir = s"$dir/pixel"
+    val base = 1000000L
+    val gGw = new Daemon.LineGateway(0, 0)
+    val pxGw = new Daemon.LineGateway(0, 0)
+    val recv = Daemon.startGraphiteIngest(s, gGw.boundFeedPort, pointsDir,
+      stepSec = 10, heartbeatSec = 3600, checkpointDir = s"$dir/ckpt-g")
+    val pxq = Daemon.startPixelIngest(s, pxGw.boundFeedPort, gGw.offer,
+      pixelDir, flushSec = 10, checkpointDir = s"$dir/ckpt-px")
+    val http = Daemon.startHttp(s, 0, Seq(pointsDir, pixelDir),
+      stepSec = 10, now = () => base + 90L, pixelOffer = Some(pxGw.offer))
+    try {
+      val port = http.getAddress.getPort
+      // data points: /pixel?name=VAL@TS — each must answer the 1×1 GIF
+      (0 to 90 by 10).foreach { t =>
+        val (code, body) = httpGet(
+          s"http://127.0.0.1:$port/pixel?px.req=6@${base + t}")
+        assert(code === 200 && body.startsWith("GIF89a"))
+      }
+      // aggregator commands: /pixel/add?name=VAL, names stay UNprefixed
+      (1 to 20).foreach { _ =>
+        val (code, _) = httpGet(s"http://127.0.0.1:$port/pixel/add?cnt=7")
+        assert(code === 200)
+      }
+      val deadline = System.currentTimeMillis() + 60000
+      def pointSlots(): Long = Try(
+        Ingest.readArchive(s, pointsDir).count()).getOrElse(0L)
+      def cmdSum(): Double = Try(
+        Ingest.readArchive(s, pixelDir).collect()
+          .filter(_.getString(0) == "cnt").map(_.getDouble(2) * 10).sum)
+        .getOrElse(0.0)
+      // /pixel dps re-inject as graphite lines (two stream hops)
+      while ((pointSlots() < 9 || cmdSum() < 140.0) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        pxq.processAllAvailable()
+        recv.processAllAvailable()
+      }
+      assert(pointSlots() === 9, "point archive never filled")
+      val pts = Ingest.readArchive(s, pointsDir).collect()
+      assert(pts.forall(r => r.getString(0) == "px.req" &&
+        r.getDouble(2) == 6.0))
+      // 20 × 7 over 10-second flush windows: rates must total 140/10
+      assert(math.abs(cmdSum() - 140.0) < 1e-9)
+    } finally {
+      Try(pxq.stop()); Try(recv.stop()); http.stop(0)
+      pxGw.close(); gGw.close()
     }
   }
 
