@@ -23,15 +23,36 @@ object MultimodalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The one scale factor with pinned oracle parquet checked in. */
+  private val PinnedSf = "sf0.01"
+
+  /** Resolved against the working directory (the repo root under the
+    * driver and sbt), not a hardcoded checkout path. */
+  private def pinnedDir: String =
+    new java.io.File(s"tools/mm_oracle_out/$PinnedSf").getCanonicalPath
+
   private def pinned(q: String): String =
-    s"SELECT * FROM read_parquet('/root/repo/tools/mm_oracle_out/sf0.01/$q.parquet') " +
+    s"SELECT * FROM read_parquet('$pinnedDir/$q.parquet') " +
       "ORDER BY doc_id" + (if (q == "mm_frame_sample") ", frame_idx" else "")
+
+  /** Fail FAST on a dataset the pin does not cover — a different scale
+    * factor would otherwise run fine on the Spark side and then
+    * hash-mismatch against the wrong pinned parquet. */
+  private def requirePinned(d: String): Unit = {
+    val sf = new java.io.File(d).getName
+    require(sf == PinnedSf,
+      s"mm_* queries compare against pinned $PinnedSf oracle parquet " +
+        s"($pinnedDir); got dataset '$sf'. Generate a pin with " +
+        s"`python3 tools/mm_oracle.py $d tools/mm_oracle_out/$sf` and " +
+        "update MultimodalQueries.PinnedSf.")
+  }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // binary payload → per-partition REAL decode → histogram features
     ("mm_features",
       ((s: SparkSession, d: String) => {
+        requirePinned(d)
         val feats = Multimodal.extractFeatures(s,
           Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
         feats.select(col("doc_id"), col("media_type"),
@@ -46,19 +67,19 @@ object MultimodalQueries {
 
     // selective frame decode: every 4th frame of each video payload
     ("mm_frame_sample",
-      ((s, d) => Multimodal.sampleFrames(s,
+      ((s, d) => { requirePinned(d); Multimodal.sampleFrames(s,
         Multimodal.syntheticMedia(s, Tables.documents(s, d)), 4).toDF()
         .select(col("doc_id"),
           col("frame_idx").cast("long").as("frame_idx"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           Round6.r6(col("brightness")).as("brightness"))
-        .orderBy("doc_id", "frame_idx")): Q,
+        .orderBy("doc_id", "frame_idx") }): Q,
       Some(pinned("mm_frame_sample"))),
 
     // real 2x2 box-filter downscale of the image rows
     ("mm_resize",
-      ((s, d) => Multimodal.resizeImages(s,
+      ((s, d) => { requirePinned(d); Multimodal.resizeImages(s,
         Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
         .select(col("doc_id"),
           col("width").cast("long").as("width"),
@@ -66,7 +87,7 @@ object MultimodalQueries {
           col("out_width").cast("long").as("out_width"),
           col("out_height").cast("long").as("out_height"),
           Round6.r6(col("out_brightness")).as("out_brightness"))
-        .orderBy("doc_id")): Q,
+        .orderBy("doc_id") }): Q,
       Some(pinned("mm_resize")))
   )
 

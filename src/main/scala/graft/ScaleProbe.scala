@@ -105,6 +105,26 @@ object ScaleProbe {
             .as("source"))
         pipeline.Curation.sourceCap(skewed, 1000, "probe").count()
       },
+      time("watch_union_10m") { // live view: 10M-slot archive ∪ in-flight
+        // state. The archive side must stay scan→union (no shuffle);
+        // only the micro-batch-sized pending side aggregates, and the
+        // collision probe is t-window-pruned + broadcast.
+        val dir = java.nio.file.Files.createTempDirectory("probe-arch")
+          .toString + "/slots"
+        keys.select(concat(lit("m"), pmod(col("doc_id"), lit(1000))).as("name"),
+            (col("doc_id") * 10).as("t"),
+            col("doc_id").cast("double").as("vw"), lit(1.0).as("dur"))
+          .withColumn("pt", floor(col("t").cast("double") / 86400).cast("long"))
+          .write.partitionBy("pt").parquet(dir)
+        val archive = streaming.Ingest.readArchive(spark, dir)
+        val maxT = nKeys * 10
+        val pending = spark.range(1000).select(
+          concat(lit("m"), pmod(col("id"), lit(1000))).as("name"),
+          (lit(maxT) + col("id") * 10).as("begin"),
+          (lit(maxT) + col("id") * 10 + 10).as("end"),
+          col("id").cast("double").as("value"))
+        streaming.Ingest.liveSeries(archive, pending, stepSec = 10).count()
+      },
       time("asof_join_10m") { // union+window as-of: 10M left, 1M right
         val l = keys.select(pmod(col("doc_id"), lit(1000)).as("k"),
           col("doc_id").as("ts"))

@@ -34,10 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig",
         "graft_minhash_sig(array<bigint>) - 16-way MinHash signature (library hash family)"),
+      // normalize = true: SQL text feeds arbitrary bigints; fold them
+      // into the hash family's [0, P) domain so an out-of-domain element
+      // can't overflow x·a into a silently wrong signature
       one("graft_minhash_sig")(c => MinHashSigExpr(c,
         graft.pipeline.NearDup.hashParams.map(_._1),
         graft.pipeline.NearDup.hashParams.map(_._2),
-        graft.pipeline.NearDup.P))))
+        graft.pipeline.NearDup.P, normalize = true))))
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(array<bigint>) - 32-bit SimHash of a hash set"),

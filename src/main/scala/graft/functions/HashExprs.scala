@@ -49,8 +49,17 @@ object HashExprs {
   * Inputs are 31-bit hashes and (a, b) < p = 2^31−1, so every product
   * stays below 2^62 — no overflow, same domain contract as
   * [[graft.pipeline.NearDup.P]]. Null elements are skipped, matching
-  * `least(acc, null) = acc` in the fold it replaces. */
-case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+  * `least(acc, null) = acc` in the fold it replaces.
+  *
+  * `normalize = true` folds each element into [0, p) first
+  * (`((x % p) + p) % p`, two extra ops per element×hash) — the
+  * SQL-registered form uses it because arbitrary user input has no
+  * 31-bit guarantee and an out-of-domain element would otherwise
+  * overflow `x·a` SILENTLY into a wrong signature. The library's
+  * internal pipelines produce in-domain hashes by construction and
+  * skip it. */
+case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long,
+    normalize: Boolean = false)
     extends UnaryExpression {
 
   private val n = as.length
@@ -71,7 +80,8 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long], p: Lo
     val len = arr.numElements()
     while (i < len) {
       if (!arr.isNullAt(i)) {
-        val x = arr.getLong(i)
+        val x0 = arr.getLong(i)
+        val x = if (normalize) ((x0 % p) + p) % p else x0
         var k = 0
         while (k < n) {
           val h = (x * aArr(k) + bArr(k)) % p
@@ -101,6 +111,7 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long], p: Lo
          |for (int $i = 0; $i < $len; $i++) {
          |  if (!$arr.isNullAt($i)) {
          |    long $x = $arr.getLong($i);
+         |    ${if (normalize) s"$x = (($x % ${p}L) + ${p}L) % ${p}L;" else ""}
          |    for (int $k = 0; $k < $n; $k++) {
          |      long $h = ($x * $aRef[$k] + $bRef[$k]) % ${p}L;
          |      if ($h < $mins[$k]) $mins[$k] = $h;

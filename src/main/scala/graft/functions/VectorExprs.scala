@@ -157,9 +157,11 @@ case class DotProductExpr(left: Expression, right: Expression)
   * ABOVE numbers, mirroring Spark's descending sort where NaN is
   * greatest. All products/sums are IEEE doubles in index order —
   * bit-identical to the dot/cosine fold formulation and the oracle.
-  * A vector containing a null element yields a NULL result (malformed
-  * input — quantized embeddings are never null-holed; the window
-  * formulation would emit the lowest cid with a null cos instead). */
+  * A vector containing a null element OR whose length differs from the
+  * centroid dim yields a NULL result (malformed input — the dot-fold
+  * formulations this replaces return null on length mismatch, because
+  * `zip_with` pads with null and the fold absorbs it; truncating would
+  * silently assign a wrong-dimension vector). */
 case class NearestCentroidExpr(child: Expression,
     cids: Seq[Long], cents: Seq[Seq[Double]])
     extends UnaryExpression {
@@ -194,7 +196,8 @@ case class NearestCentroidExpr(child: Expression,
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), dim)
+    if (arr.numElements() != dim) return null // wrong-dim vector
+    val n = dim
     val et = elemType
     var qacc = 0.0
     var i = 0
@@ -246,13 +249,15 @@ case class NearestCentroidExpr(child: Expression,
       val get = VectorExprs.getAsDouble(arr, i, elemType)
       val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($arr.numElements(), $dim);
-         |boolean $bad = false;
+         |int $n = $dim;
+         |boolean $bad = ($arr.numElements() != $dim);
          |double $qacc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($arr.isNullAt($i)) { $bad = true; break; }
-         |  double $x = $get;
-         |  $qacc += $x * $x;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($arr.isNullAt($i)) { $bad = true; break; }
+         |    double $x = $get;
+         |    $qacc += $x * $x;
+         |  }
          |}
          |if ($bad) { ${ev.isNull} = true; } else {
          |  double $qn = java.lang.Math.sqrt($qacc);
@@ -283,9 +288,10 @@ case class NearestCentroidExpr(child: Expression,
 
 /** Fused LSH signature: for each plane k (±1 entries, fixed matrix),
   * bit k = (Σ x_i·plane_k_i ≥ 0), all planes accumulated in one pass
-  * over the (long-quantized) vector. Inputs are expected to be exactly
-  * plane-width (the quantized-embedding contract); null elements ⇒
-  * null, matching the per-plane zip_with fold it replaces. */
+  * over the (long-quantized) vector. Null elements OR a length other
+  * than the plane width ⇒ null, matching the per-plane zip_with fold
+  * it replaces (`zip_with` pads a mismatched pair with null and the
+  * fold absorbs it — truncating would sign a wrong-dim vector). */
 case class LshSignExpr(child: Expression, planes: Seq[Seq[Long]])
     extends UnaryExpression {
 
@@ -305,7 +311,8 @@ case class LshSignExpr(child: Expression, planes: Seq[Seq[Long]])
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), dim)
+    if (arr.numElements() != dim) return null // wrong-dim vector
+    val n = dim
     val sums = new Array[Long](nPlanes)
     var i = 0
     while (i < n) {
@@ -339,13 +346,15 @@ case class LshSignExpr(child: Expression, planes: Seq[Seq[Long]])
       val bad = ctx.freshName("bad")
       s"""
          |long[] $sums = new long[$nPlanes];
-         |int $n = java.lang.Math.min($arr.numElements(), $dim);
-         |boolean $bad = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($arr.isNullAt($i)) { $bad = true; break; }
-         |  long $x = $arr.getLong($i);
-         |  for (int $k = 0; $k < $nPlanes; $k++) {
-         |    $sums[$k] += $x * $pRef[$k * $dim + $i];
+         |int $n = $dim;
+         |boolean $bad = ($arr.numElements() != $dim);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($arr.isNullAt($i)) { $bad = true; break; }
+         |    long $x = $arr.getLong($i);
+         |    for (int $k = 0; $k < $nPlanes; $k++) {
+         |      $sums[$k] += $x * $pRef[$k * $dim + $i];
+         |    }
          |  }
          |}
          |if ($bad) { ${ev.isNull} = true; } else {

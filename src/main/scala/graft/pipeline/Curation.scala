@@ -273,19 +273,25 @@ object Curation {
     *
     * The rank is two-level, like [[packSequences]], so one giant source
     * (a single crawl holding 80% of a 100 TB corpus) never funnels
-    * through one sort task: rows are bucketed by the first two hex
+    * through one sort task: rows are bucketed by the first FOUR hex
     * chars of their salted hash (a PREFIX of the ORDER BY key, so
-    * block-local ranks compose into the exact global rank), counted
+    * block-local ranks compose into the exact global rank — 65 536
+    * blocks, bounding the one cap-straddling block's sort task at
+    * ~N_source/65 536 rows even for a 10¹¹-doc source), counted
     * per (source, block), and blocks whose running offset is already
     * ≥ `cap` are dropped BEFORE any row-level sort — only ~cap rows
     * per source ever enter a window, regardless of source size. The
-    * per-source offset table is one row per surviving (source, block),
-    * broadcast back. Output rn is identical to a single
+    * per-source offset table is one row per surviving (source, block) —
+    * when the cap binds that is ≈ 65 536·cap/N_source + 1 rows per
+    * source, broadcast-sized — and joins back NULL-SAFELY: a NULL
+    * source is its own capped group, exactly as the window
+    * formulation's partitionBy (and the SQL oracle) treats it. Output
+    * rn is identical to a single
     * `row_number() OVER (PARTITION BY source ORDER BY hash)`. */
   def sourceCap(docs: DataFrame, cap: Int, salt: String): DataFrame = {
     val h = md5(concat(lit(salt), col("doc_id").cast("string")))
     val rows = docs.select(col("doc_id"), col("source"), h.as("__h"),
-      conv(substring(h, 1, 2), 16, 10).cast("int").as("__blk"))
+      conv(substring(h, 1, 4), 16, 10).cast("int").as("__blk"))
     val counts = rows.groupBy(col("source"), col("__blk"))
       .agg(count(lit(1)).as("__c"))
     val offs = counts.withColumn("__off",
@@ -293,8 +299,10 @@ object Curation {
           Window.partitionBy(col("source")).orderBy(col("__blk"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col("__off") < cap) // later blocks cannot reach rn <= cap
-      .select(col("source"), col("__blk"), col("__off"))
-    rows.join(broadcast(offs), Seq("source", "__blk"))
+      .select(col("source").as("__osrc"), col("__blk").as("__oblk"),
+        col("__off"))
+    rows.join(broadcast(offs),
+        col("source") <=> col("__osrc") && col("__blk") === col("__oblk"))
       .select(col("doc_id"), col("source"),
         (col("__off") + row_number().over(
           Window.partitionBy(col("source"), col("__blk"))
@@ -332,7 +340,18 @@ object Curation {
     * (doc_id, source, rn, n_tok, tok_start, seq_id, seq_pos). */
   def curate(docs: DataFrame, bench: DataFrame, minJ: Double,
       minQuality: Double, maxContamination: Double,
-      cap: Int, salt: String, budget: Int): DataFrame = {
+      cap: Int, salt: String, budget: Int): DataFrame =
+    curateScoped(docs, bench, minJ, minQuality, maxContamination,
+      cap, salt, budget)._1
+
+  /** [[curate]] plus a release handle that unpersists the shared
+    * shingle-set and membership caches; call it after the final action
+    * that consumes the curated frame. Callers that run one curation per
+    * session can use [[curate]] and let the session drop the caches
+    * (same contract as [[NearDup.minhashPairs]]). */
+  def curateScoped(docs: DataFrame, bench: DataFrame, minJ: Double,
+      minQuality: Double, maxContamination: Double,
+      cap: Int, salt: String, budget: Int): (DataFrame, () => Unit) = {
     // Every per-TEXT stage (shingling, near-dup signatures, quality,
     // contamination) runs once per DISTINCT text: collapse exact
     // duplicates first, share one persisted shingle-set frame between
@@ -366,10 +385,11 @@ object Curation {
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"))
     val capped = sourceCap(survivors, cap, salt)
-    packSequences(survivors.join(capped.select("doc_id"), "doc_id"), budget)
+    val out = packSequences(survivors.join(capped.select("doc_id"), "doc_id"), budget)
       .join(capped, "doc_id")
       .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"),
         col("n_tok"), col("tok_start"), col("seq_id"), col("seq_pos"))
+    (out, () => { sets.unpersist(); members.unpersist(); () })
   }
 
   /** DuckDB restatement of [[curate]] with `bench` = documents whose

@@ -201,12 +201,25 @@ object NearDup {
     * re-expansion. The persisted per-doc SET frame feeds both the
     * signature fold (map-only) and the verification joins, so the whole
     * pipeline pays exactly one corpus-wide shuffle (building the sets)
-    * plus the candidate-sized band join. */
-  def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
+    * plus the candidate-sized band join.
+    *
+    * Cache lifetime: the shared set/membership caches live until the
+    * session drops them — a long-running caller that runs MANY of these
+    * in one session should use [[minhashPairsScoped]] and release after
+    * consuming the pairs, or cached partitions accumulate (same
+    * contract as [[minhashIncrement]]'s returned `sets`). */
+  def minhashPairs(docs: DataFrame, minJ: Double): DataFrame =
+    minhashPairsScoped(docs, minJ)._1
+
+  /** [[minhashPairs]] plus a release handle that unpersists the shared
+    * shingle-set and membership caches; call it after the final action
+    * that consumes the returned pairs. */
+  def minhashPairsScoped(docs: DataFrame, minJ: Double): (DataFrame, () => Unit) = {
     val (members, reps) = collapseExact(docs)
     val sets = shingleSets(reps).persist()
     val repPairs = verifyJaccard(candidates(bands(signaturesFromSets(sets))), sets, minJ)
-    expandExactDups(repPairs, members, "jaccard", lit(1.0))
+    val pairs = expandExactDups(repPairs, members, "jaccard", lit(1.0))
+    (pairs, () => { sets.unpersist(); members.unpersist(); () })
   }
 
   /** Append-only near-dup state: the four frames a production stream
@@ -402,16 +415,32 @@ object NearDup {
     * Pregel-style loop bounded by component diameter — near-dup clusters
     * are shallow (pairs/triples), so convergence is 2-3 rounds. Each
     * round is one join + aggregate; the driver only checks the
-    * convergence counter, never the data. Returns (doc_id, cluster). */
+    * convergence counter, never the data. Returns (doc_id, cluster).
+    *
+    * Checkpoint hygiene: each round's localCheckpoint supersedes the
+    * previous round's — the superseded blocks (and the graph's, at
+    * return) are unpersisted deterministically instead of waiting on
+    * the ContextCleaner, so a long propagation never holds more than
+    * two rounds of labels in storage. Only the FINAL labels' blocks
+    * stay alive: they back the returned frame. */
   def clusters(pairs: DataFrame): DataFrame = {
+    // unpersist the blocks behind a localCheckpoint()'d frame: its plan
+    // is a LogicalRDD over the materialized blocks, which
+    // DataFrame.unpersist (CacheManager entries only) never touches
+    def releaseCkpt(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       // checkpoint: each round re-reads the graph and the prior labels
       // as fresh scans — truncated lineage keeps the iterative plan from
       // compounding and sidesteps self-join ambiguity
       .localCheckpoint()
-    var labels = sym.select(col("src").as("doc_id")).distinct()
+    var ckpt = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).localCheckpoint()
+    var labels = ckpt
     var iter = 0
     var converged = false
     while (!converged && iter < 20) {
@@ -427,11 +456,14 @@ object NearDup {
           least(col("prev"), coalesce(col("nbr"), col("prev"))).as("cluster"),
           (least(col("prev"), coalesce(col("nbr"), col("prev"))) =!= col("prev"))
             .as("__chg"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old round goes
       converged = next.filter(col("__chg")).isEmpty
+      releaseCkpt(ckpt)
+      ckpt = next
       labels = next.select(col("doc_id"), col("cluster"))
       iter += 1
     }
+    releaseCkpt(sym)
     labels
   }
 

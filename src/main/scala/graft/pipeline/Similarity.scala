@@ -100,8 +100,23 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
   }
 
-  /** Brute-force threshold pairs (embedding near-dup baseline). */
-  def pairsExact(corpus: DataFrame, minCos: Double): DataFrame = {
+  /** Threshold pairs — the production entry point. Delegates to the
+    * LSH-bucketed tier ([[pairsLsh]]); the O(N²) [[pairsExact]] tier is
+    * the oracle baseline and refuses corpora it cannot survive. */
+  def pairs(corpus: DataFrame, minCos: Double): DataFrame =
+    pairsLsh(corpus, minCos)
+
+  /** Brute-force threshold pairs — the ORACLE/BASELINE tier, O(N²) in
+    * the corpus. Guarded: refuses a corpus past `maxRows` (the count is
+    * one cheap action against quadratic work it prevents) so the
+    * all-pairs join cannot be reached from a production path by
+    * accident — at scale use [[pairsLsh]] (the [[pairs]] default). */
+  def pairsExact(corpus: DataFrame, minCos: Double,
+      maxRows: Long = 1L << 16): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"pairsExact is the O(N^2) oracle tier: corpus has $n rows " +
+        s"(max $maxRows). Use pairsLsh/pairs for production corpora.")
     val a = corpus.select(col("vec_id").as("vec_a"), emb.as("ea"))
     val b = corpus.select(col("vec_id").as("vec_b"), emb.as("eb"))
     a.join(b, col("vec_a") < col("vec_b"))

@@ -285,12 +285,29 @@ object Ingest {
     * the archive. Here: the flushed archive frame unioned with slots
     * derived from the in-flight piece table (what `foreachBatch` has
     * not yet merged), archive winning on collision — so a query is
-    * never behind the stream by more than the current micro-batch. */
+    * never behind the stream by more than the current micro-batch.
+    *
+    * Scale shape: the collision check is an anti-join whose big side is
+    * the archive (years of history) — joined wholesale it would
+    * sort-merge and SHUFFLE the entire store under a micro-batch-sized
+    * probe. Instead the archive probe is first cut to the pending
+    * batch's [min t, max t] window (one tiny driver agg over the
+    * micro-batch): parquet min/max statistics — and hive `pt`
+    * partition pruning when the raw store frame is passed — skip
+    * everything outside the window, and the pruned probe broadcasts.
+    * The archive branch of the union then carries NO shuffle exchange
+    * (StreamingSpec asserts it; ScaleProbe times it at 10M slots). */
   def liveSeries(archive: DataFrame, pendingPieces: DataFrame,
       stepSec: Long): DataFrame = {
     val arch = archive.select(col("name"), col("t"), col("value"))
-    val pending = piecesToSlots(pendingPieces, stepSec, xff = 0.0)
-      .join(arch.select("name", "t"), Seq("name", "t"), "left_anti")
+    val pend = piecesToSlots(pendingPieces, stepSec, xff = 0.0)
+    val bounds = pend.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .collect().head
+    if (bounds.isNullAt(0)) return arch // no pending slots
+    val probe = arch
+      .filter(col("t").between(bounds.getLong(0), bounds.getLong(1)))
+      .select(col("name"), col("t"))
+    val pending = pend.join(broadcast(probe), Seq("name", "t"), "left_anti")
     arch.unionByName(pending)
   }
 

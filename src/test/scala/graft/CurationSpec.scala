@@ -87,6 +87,62 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept3.subsetOf(kept5.map(_.getAs[Long]("doc_id")).toSet))
   }
 
+  test("sourceCap: NULL source is its own capped group, never dropped") {
+    val s = spark; import s.implicits._
+    val d = (0L until 30L)
+      .map(i => (i, if (i % 3 == 0) null else s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val kept = Curation.sourceCap(d, 4, "mix1").collect()
+    // 3 groups of 10 (src1, src2, NULL), each capped at 4
+    assert(kept.length === 12)
+    val nullKept = kept.filter(_.isNullAt(1))
+    assert(nullKept.length === 4, "null-source docs must form their own group")
+    assert(nullKept.map(_.getAs[Int]("rn")).sorted === Array(1, 2, 3, 4))
+  }
+
+  test("scoped curate/minhashPairs release their internal caches") {
+    val s = spark; import s.implicits._
+    val d = (0L until 40L).map(i =>
+        (i, s"src${i % 2}", s"the quick brown fox ${i % 7} jumps over dog $i"))
+      .toDF("doc_id", "source", "text")
+    def cachedRdds = s.sparkContext.getPersistentRDDs.size
+    val before = cachedRdds
+    val (pairs, release) = graft.pipeline.NearDup.minhashPairsScoped(
+      d.select("doc_id", "text"), 0.5)
+    pairs.count() // materialize: the shared set/member caches fill
+    assert(cachedRdds > before, "expected the internal caches to register")
+    release()
+    assert(cachedRdds === before, "release() must unpersist every cache")
+    val (curated, release2) = Curation.curateScoped(d,
+      d.filter(col("doc_id") % 13 === 0), 0.5, -1.0, 0.9, 10, "salt", 64)
+    curated.count()
+    assert(cachedRdds > before)
+    release2()
+    // every persist()-ed cache is gone (CacheManager empty); the only
+    // storage left is the label-propagation result's OWN localCheckpoint
+    // blocks, which back the returned frame until the caller drops it
+    assert(s.sharedState.cacheManager.isEmpty,
+      "release() must clear every CacheManager entry")
+    val leftovers = s.sparkContext.getPersistentRDDs.values.toSeq
+    assert(leftovers.forall(_.toString.contains("localCheckpoint")),
+      s"non-checkpoint cache leaked: $leftovers")
+    assert(leftovers.size <= 1,
+      "superseded propagation rounds must be unpersisted deterministically")
+  }
+
+  test("pairsExact refuses a corpus past its guard (O(N^2) oracle tier)") {
+    val s = spark; import s.implicits._
+    val vecs = (0L until 10L)
+      .map(i => (i, (0 until 4).map(j => (i + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Similarity.pairsExact(vecs, 0.9, maxRows = 5)
+    }
+    assert(e.getMessage.contains("pairsLsh"))
+    // under the guard it still answers
+    assert(graft.pipeline.Similarity.pairsExact(vecs, -1.0).count() === 45L)
+  }
+
   test("exactDedup: NULL-text rows all survive, never merged as one group") {
     import graft.pipeline.Dedup
     val s = spark; import s.implicits._

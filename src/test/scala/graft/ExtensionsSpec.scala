@@ -54,6 +54,24 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dotSql.getLong(1) === dotCol.getLong(1))
   }
 
+  test("graft_minhash_sig normalizes arbitrary SQL input into [0, P)") {
+    val s = spark; import s.implicits._
+    val p = pipeline.NearDup.P
+    // out-of-domain elements: negative, > P, and Long extremes — the
+    // SQL boundary must fold each into [0, P) instead of silently
+    // overflowing x·a in the signature fold
+    val raw = Seq(-5L, p + 3L, Long.MaxValue, Long.MinValue, 12345L)
+    val folded = raw.map(x => ((x % p) + p) % p)
+    Seq((raw, folded)).toDF("raw", "folded")
+      .createOrReplaceTempView("oob")
+    val got = spark.sql(
+      "SELECT graft_minhash_sig(raw) AS a, graft_minhash_sig(folded) AS b FROM oob")
+      .collect().head
+    assert(got.getSeq[Long](0) === got.getSeq[Long](1))
+    // and every signature slot is a legal hash value, inside [0, P)
+    assert(got.getSeq[Long](0).forall(v => v >= 0 && v < p))
+  }
+
   test("arity errors surface as analysis-time failures") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_dot(array(1.0D))").collect()

@@ -411,6 +411,19 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val nres = holed.select(graft.functions.VectorExprs.nearestCentroid(
       col("qv"), Seq((0L, Seq.fill(dim)(1.0)))).as("nc")).collect().head
     assert(nres.isNullAt(0))
+    // a wrong-length vector ⇒ null too, for nearestCentroid AND lshSign
+    // (the zip_with folds they replace pad with null and absorb it —
+    // truncation would silently score a wrong-dimension vector)
+    val short = Seq((1L, (1 to (dim - 2)).map(_.toLong).toList),
+        (2L, (1 to (dim + 2)).map(_.toLong).toList))
+      .toDF("vec_id", "qv")
+    val wrong = short.select(
+      graft.functions.VectorExprs.nearestCentroid(col("qv"),
+        Seq((0L, Seq.fill(dim)(1.0)))).as("nc"),
+      graft.functions.VectorExprs.lshSign(col("qv"),
+        graft.pipeline.Similarity.planes.map(_.map(_.toLong))).as("sig"))
+      .collect()
+    assert(wrong.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
   test("native md5Prefix60 ≡ conv(substring(md5)) hex parse") {

@@ -271,6 +271,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == Map(0L -> 2.0, 10L -> 4.0, 20L -> 8.0))
   }
 
+  test("live view: the archive branch of the union never shuffles") {
+    val s = spark; import s.implicits._
+    // a REAL parquet store, as in production — the archive side of the
+    // watch view must reach the union as a plain scan; only the
+    // micro-batch-sized pending side may exchange (its slot aggregation
+    // and the broadcast of the t-pruned collision probe)
+    val dir = java.nio.file.Files.createTempDirectory("graft-live").toString + "/slots"
+    s.range(1000).select(concat(lit("m"), pmod(col("id"), lit(10))).as("name"),
+        (col("id") * 10).as("t"), col("id").cast("double").as("vw"),
+        lit(1.0).as("dur"))
+      .withColumn("pt", floor(col("t").cast("double") / 86400).cast("long"))
+      .write.partitionBy("pt").parquet(dir)
+    val archive = Ingest.readArchive(s, dir)
+    val pending = Seq(
+      Ingest.Piece("m1", 10000L, 10010L, 5.0),
+      Ingest.Piece("m2", 10010L, 10020L, 7.0)).toDF()
+    val live = Ingest.liveSeries(archive, pending, stepSec = 10)
+
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.UnionExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def findUnion(p: SparkPlan): Option[UnionExec] = p match {
+      case a: AdaptiveSparkPlanExec => findUnion(a.executedPlan)
+      case u: UnionExec => Some(u)
+      case other => other.children.view.flatMap(findUnion).headOption
+    }
+    val union = findUnion(live.queryExecution.executedPlan)
+      .getOrElse(fail("expected a UnionExec in the live-view plan"))
+    val archBranch = union.children.head
+    val shuffles = archBranch.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"archive branch must be shuffle-free, found:\n$archBranch")
+    // and the result is still right: archive wins its slots, pending adds
+    val out = live.as[(String, Long, Double)].collect()
+    assert(out.count(_._2 >= 10000L) === 2)
+    assert(out.length === 1002)
+  }
+
   test("foreachBatch archive merge: slots stay exact across batch splits") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
