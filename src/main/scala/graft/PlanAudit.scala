@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
   * Usage: `sbt "runMain graft.PlanAudit [sfDir]"`. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // sf0.01: the one scale with pinned mm_* oracle parquet (plans are
+    // built, not executed, so the larger fixture costs nothing here)
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
