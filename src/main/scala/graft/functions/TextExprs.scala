@@ -35,6 +35,78 @@ object TextExprs {
     * re-parsed per shingle). */
   def md5Prefix60(s: Column): Column =
     GraftBridge.column(Md5Prefix60Expr(GraftBridge.expression(s)))
+
+  /** Per-document shingle-hash SET in one fused pass: lower → trim →
+    * whitespace split → word n-grams → md5-prefix60 mod x →
+    * first-occurrence dedup. See [[ShingleSetExpr]]. */
+  def shingleSet(text: Column, n: Int, x: Long): Column =
+    GraftBridge.column(ShingleSetExpr(GraftBridge.expression(text), n, x))
+}
+
+/** Shared eval body for [[ShingleSetExpr]] (interpreted + codegen). */
+object ShingleSet {
+  def hashSet(input: UTF8String, n: Int, x: Long): ArrayData = {
+    // UTF8String.toLowerCase/trim: the SAME methods Spark's
+    // lower()/trim() expressions call, so semantics (including
+    // non-ASCII lowercasing) are identical by construction; the regex
+    // split matches StringSplit's Java-Pattern behavior
+    val toks = input.toLowerCase.trim.toString.split("\\s+", -1)
+    val count = math.max(toks.length - n, 0) + 1
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var m = 0
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      val end = math.min(i + n, toks.length)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val h = Math.floorMod(
+        Md5Prefix60.hash(UTF8String.fromString(sb.toString)), x)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+}
+
+/** Fused per-document shingle-hash set — the hottest loop of the dedup
+  * stack (every near-dup path starts by shingling the corpus). The
+  * declarative form is three interpreted higher-order passes (n-gram
+  * `transform` with `slice`+`concat_ws` per element, a hash `transform`,
+  * `array_distinct`), each materializing intermediate arrays; this walks
+  * the token array once per document. Value-identical to
+  * `array_distinct(transform(grams(split(trim(lower(text)), "\\s+")),
+  * g -> pmod(md5_prefix60(g), x)))` — first-occurrence order included —
+  * which PropertySpec pins (non-ASCII, whitespace runs, empty, short). */
+case class ShingleSetExpr(child: Expression, n: Int, x: Long)
+    extends UnaryExpression {
+
+  require(n > 0 && x > 0, "shingle width and modulus must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleSet.hashSet(input.asInstanceOf[UTF8String], n, x)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.ShingleSet.hashSet($in, $n, ${x}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr =
+    copy(child = newChild)
 }
 
 /** Digest helper shared by interpreted eval and generated code; MD5

@@ -62,31 +62,41 @@ object NearDup {
   def h64Hex(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Raw (doc_id, xh) shingle-hash stream — one row per 3-gram
-    * OCCURRENCE. Callers that need set semantics either `.distinct()`
-    * ([[shingles]]) or aggregate with `collect_set` ([[shingleSets]]),
-    * which dedupes map-side inside its own shuffle. */
-  private def shingleHashes(docs: DataFrame): DataFrame = {
+  /** Distinct (doc_id, xh) word-3-gram shingle hashes, xh < 2^31.
+    * Documents shorter than n words contribute their whole text.
+    * Derived by exploding the per-doc SET — already distinct, so no
+    * `.distinct()` shuffle; like [[shingleSets]] this is map-side. */
+  def shingles(docs: DataFrame): DataFrame =
+    shingleSets(docs).select(col("doc_id"), explode(col("hs")).as("xh"))
+
+  /** Per-document shingle-hash set, built MAP-SIDE in one fused native
+    * pass ([[graft.functions.ShingleSetExpr]]): each input row IS one
+    * document, so the set is a per-row array computation and the
+    * MinHash/SimHash paths pay ZERO shuffles up to the band join
+    * (signatures and verification are map-side over the compact per-doc
+    * array). The former explode→`collect_set` formulation shuffled the
+    * whole exploded occurrence stream only to reassemble rows that were
+    * never apart. Element order is first occurrence; every consumer is
+    * order-free (min fold, `array_intersect`, explode). Null-text docs
+    * contribute no set row, as before (their exploded stream was
+    * empty). */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.shingleSet(col("text"), ShingleN, X).as("hs"))
+
+  /** Declarative (higher-order-function) formulation of [[shingleSets]],
+    * kept as the reference the native expression is property-tested
+    * against (PropertySpec): three interpreted passes — n-gram
+    * transform, hash transform, array_distinct. */
+  def shingleSetsHof(docs: DataFrame): DataFrame = {
     val tokens = split(trim(lower(col("text"))), "\\s+")
     val idx = sequence(lit(0), greatest(size(tokens) - ShingleN, lit(0)))
     val sh = transform(idx, i => concat_ws(" ", slice(tokens, i + 1, lit(ShingleN))))
-    docs.select(col("doc_id"), explode(sh).as("sh"))
-      .select(col("doc_id"), pmod(h64(col("sh")), lit(X)).as("xh"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_distinct(transform(sh, g => pmod(h64(g), lit(X)))).as("hs"))
   }
-
-  /** Distinct (doc_id, xh) word-3-gram shingle hashes, xh < 2^31.
-    * Documents shorter than n words contribute their whole text. */
-  def shingles(docs: DataFrame): DataFrame =
-    shingleHashes(docs).distinct()
-
-  /** Per-document shingle-hash set: the one shuffle the MinHash/SimHash
-    * paths pay — everything downstream (signatures, verification) is
-    * map-side work over the compact per-doc array. Aggregates the RAW
-    * occurrence stream: `collect_set` dedupes during map-side partial
-    * aggregation, so this is ONE shuffle where `distinct → collect_set`
-    * would be two back-to-back shuffles of the same exploded volume. */
-  def shingleSets(docs: DataFrame): DataFrame =
-    shingleHashes(docs).groupBy(col("doc_id")).agg(collect_set(col("xh")).as("hs"))
 
   /** 16-hash MinHash signature per document: one map-side-combinable
     * aggregate over the exploded shingles. */

@@ -457,6 +457,32 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native shingleSet ≡ HOF transform∘distinct, order included") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.NearDup
+    // adversarial text shapes: whitespace runs/tabs/newlines at ends and
+    // inside, non-ASCII words (case-folding), short docs (< n words),
+    // empty and single-token docs, repeated grams (dedup order)
+    val word = Gen.oneOf("alpha", "Beta", "ÄØß", "Σίσυφος", "x", "d-g",
+      "alpha") // repeat raises dup-gram probability
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = for {
+      nw <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(nw, word)
+      ss <- Gen.listOfN(nw + 1, sep)
+    } yield (ss.head +: ws.zip(ss.tail).flatMap { case (w, p) => Seq(w, p) })
+      .mkString("")
+    forAll(Gen.listOfN(8, textGen), n = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = NearDup.shingleSets(docs)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val hof = NearDup.shingleSetsHof(docs)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      assert(native.toSeq === hof.toSeq)
+    }
+  }
+
   test("native dot/cosine/lshSign ≡ higher-order-function folds, bit-exact") {
     import graft.pipeline.Similarity
     val s = spark; import s.implicits._
