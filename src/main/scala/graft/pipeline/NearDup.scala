@@ -357,7 +357,10 @@ object NearDup {
     * distinct texts and restores the full pair set afterward. */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
     val (members, reps) = collapseExact(docs)
-    val sh = shingles(reps).persist()
+    // one map-side set build feeds BOTH the inverted index (exploded)
+    // and verification — no re-collect shuffle of the exploded stream
+    val sets = shingleSets(reps).persist()
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("xh"))
     val rare = sh.groupBy(col("xh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("xh")
     val shR = sh.join(rare, "xh")
@@ -367,8 +370,7 @@ object NearDup {
       .select("doc_a", "doc_b").distinct()
     // verification runs on the UNCAPPED sets: the cap bounds candidate
     // generation, not the reported similarity
-    val repPairs = verifyJaccard(cand,
-      sh.groupBy(col("doc_id")).agg(collect_set(col("xh")).as("hs")), minJ)
+    val repPairs = verifyJaccard(cand, sets, minJ)
     expandExactDups(repPairs, members, "jaccard", lit(1.0))
   }
 
