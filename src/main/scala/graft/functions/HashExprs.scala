@@ -37,6 +37,13 @@ object HashExprs {
   def simhashSig(c: Column): Column =
     GraftBridge.column(SimHashSigExpr(GraftBridge.expression(c)))
 
+  /** Count of the array's elements contained in the broadcast sorted
+    * set — one binary-search probe per element ([[CountInSetExpr]]).
+    * Sort with `java.util.Arrays.sort` before broadcasting. */
+  def countInSet(c: Column,
+      sortedSet: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftBridge.column(CountInSetExpr(GraftBridge.expression(c), sortedSet))
+
   private[functions] def checkLongArray(name: String, dt: DataType): TypeCheckResult =
     dt match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -191,5 +198,71 @@ case class SimHashSigExpr(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Count of array<long> elements contained in a fixed long set — the
+  * decontamination membership probe
+  * ([[graft.pipeline.Curation.contamination]]), fused: one hash-set
+  * lookup per element against a set built ONCE per plan from the
+  * benchmark grams. The formulation it replaces exploded every corpus
+  * document's grams, broadcast-joined them against the benchmark, and
+  * re-aggregated by doc_id — a full shuffle of the exploded corpus just
+  * to count matches that are computable row-local. (`array_intersect`
+  * with a literal would also work but rebuilds the probe set per row.)
+  * The set is bounded by contract: benchmarks are eval suites, orders
+  * of magnitude smaller than the corpus — same bound the broadcast
+  * join relied on. It ships as a real torrent BROADCAST of a sorted
+  * primitive long[] (8 bytes per gram, probed by binary search): the
+  * serialized expression carries only the broadcast handle, so the
+  * many copies Catalyst makes of an expression during optimization
+  * never replicate the payload into task binaries, and executors fetch
+  * the blocks once — exactly the distribution path the broadcast join
+  * used. Null elements never match (they never equal a set member),
+  * matching the left join's null-key behavior. */
+case class CountInSetExpr(child: Expression,
+    sortedSet: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkLongArray(prettyName, child.dataType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_count_in_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val probe = sortedSet.value
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    var n = 0L
+    var i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i) &&
+        java.util.Arrays.binarySearch(probe, arr.getLong(i)) >= 0) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val bcRef = ctx.addReferenceObj("countInSetBc", sortedSet,
+        "org.apache.spark.broadcast.Broadcast")
+      val pRef = ctx.freshName("probe")
+      val i = ctx.freshName("i")
+      val len = ctx.freshName("len")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $pRef = (long[]) $bcRef.value();
+         |int $len = $arr.numElements();
+         |long $n = 0L;
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if (!$arr.isNullAt($i) &&
+         |      java.util.Arrays.binarySearch($pRef, $arr.getLong($i)) >= 0) $n++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSetExpr =
     copy(child = newChild)
 }

@@ -34,18 +34,34 @@ object Curation {
 
   /** Per-document contamination against a benchmark/eval corpus:
     * the fraction of the document's distinct word-3-gram hashes that
-    * also appear anywhere in the benchmark. Reuses [[NearDup.shingles]]
-    * (same gram definition, same md5-prefix hash domain) so the same
-    * gram stream can feed dedup and decontamination in one pass. */
+    * also appear anywhere in the benchmark. Same gram definition and
+    * md5-prefix hash domain as [[NearDup.shingleSets]].
+    *
+    * Scale shape: entirely MAP-SIDE over the corpus. The benchmark's
+    * distinct gram set is collected once (benchmarks are eval suites,
+    * orders of magnitude smaller than the corpus — the same bound the
+    * former broadcast join relied on) and probed per document by the
+    * fused [[graft.functions.CountInSetExpr]]. The formulation this
+    * replaces exploded every corpus document's grams and re-aggregated
+    * them by doc_id — a full corpus-gram shuffle for a row-local
+    * count. */
   def contamination(corpus: DataFrame, bench: DataFrame): DataFrame = {
-    val cg = NearDup.shingles(corpus)
-    val bg = NearDup.shingles(bench).select(col("xh")).distinct()
-    cg.join(broadcast(bg.withColumn("__hit", lit(1L))), Seq("xh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+    val bg = benchGrams(bench)
+    NearDup.shingleSets(corpus).select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        graft.functions.HashExprs.countInSet(col("hs"), bg).as("n_hit"))
       .withColumn("contaminated_frac",
         col("n_hit").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** The benchmark's distinct gram hashes, collected once (eval-suite
+    * bounded), sorted, and broadcast for [[CountInSetExpr]]'s probe. */
+  private def benchGrams(
+      bench: DataFrame): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val a = NearDup.shingles(bench).select(col("xh")).distinct()
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(a)
+    bench.sparkSession.sparkContext.broadcast(a)
   }
 
   /** DuckDB twin of [[contamination]]: CTEs expect `corpus(doc_id,
@@ -371,11 +387,12 @@ object Curation {
     val qOk = TextAnalysis.qualityScore(reps)
       .filter(col("quality") >= minQuality)
       .select(col("doc_id").cast("long").as("rep"))
-    val bg = NearDup.shingles(bench).select(col("xh")).distinct()
-    val cOk = sets.select(col("doc_id"), explode(col("hs")).as("xh"))
-      .join(broadcast(bg.withColumn("__hit", lit(1L))), Seq("xh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("__hit")), lit(0L)).as("nh"))
+    // decontamination: map-side membership count over the SAME persisted
+    // set frame dedup uses — no exploded-gram shuffle (see contamination)
+    val bg = benchGrams(bench)
+    val cOk = sets.select(col("doc_id"),
+        size(col("hs")).cast("long").as("n"),
+        graft.functions.HashExprs.countInSet(col("hs"), bg).as("nh"))
       .filter(col("nh").cast("double") / col("n").cast("double") <= maxContamination)
       .select(col("doc_id").cast("long").as("rep"))
     val survivors = docs.select(col("doc_id").cast("long").as("doc_id"),

@@ -457,6 +457,33 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native countInSet ≡ explode∘broadcast-join∘re-agg membership count") {
+    val s = spark; import s.implicits._
+    val elemGen = Gen.choose(0L, 50L)
+    val rowGen = Gen.listOfN(12, elemGen)
+    val setGen = Gen.listOfN(8, elemGen).map(_.distinct)
+    forAll2(Gen.listOfN(6, rowGen), setGen, n = 6) { (rows, set) =>
+      val df = rows.zipWithIndex.map { case (hs, i) => (i.toLong, hs) }
+        .toDF("doc_id", "hs")
+      val sorted = set.toArray
+      java.util.Arrays.sort(sorted)
+      val bc = s.sparkContext.broadcast(sorted)
+      val native = df.select(col("doc_id"),
+          graft.functions.HashExprs.countInSet(col("hs"), bc).as("n"))
+        .orderBy("doc_id").collect().map(_.getLong(1))
+      // the formulation it replaced, on distinct-per-doc grams
+      val expected = rows.map(_.distinct.count(set.contains)).toArray
+      val distinctDf = df.select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+      val nativeDistinct = distinctDf.select(col("doc_id"),
+          graft.functions.HashExprs.countInSet(col("hs"), bc).as("n"))
+        .orderBy("doc_id").collect().map(_.getLong(1))
+      assert(nativeDistinct.toSeq === expected.toSeq)
+      // occurrence semantics: each occurrence counts once
+      assert(native.toSeq === rows.map(_.count(set.contains)).toSeq)
+      bc.destroy()
+    }
+  }
+
   test("native shingleSet ≡ HOF transform∘distinct, order included") {
     val s = spark; import s.implicits._
     import graft.pipeline.NearDup
