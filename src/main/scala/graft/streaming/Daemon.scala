@@ -186,10 +186,22 @@ object Daemon {
     Ingest.pdpPieces(spark, pts, heartbeatSec).toDF()
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec,
+          writer = Some((writerToken(checkpointDir), bid)))
       }
       .start()
+  }
+
+  /** Stable writer identity for the exactly-once archive merge: a
+    * replayed batch must carry the SAME tag across process restarts,
+    * and the checkpoint directory IS the streaming query's durable
+    * identity — so the token derives from it (not from a per-start
+    * UUID, which would defeat replay detection after a restart). */
+  private def writerToken(checkpointDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(checkpointDir.getBytes(StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
   }
 
   /** Per-flush-window aggregation of aggregator commands
@@ -232,9 +244,10 @@ object Daemon {
     val cmds = Ingest.statsdToCommands(Ingest.parseStatsd(lines))
     cmds.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (raw: DataFrame, _: Long) =>
+      .foreachBatch { (raw: DataFrame, bid: Long) =>
         Ingest.mergePiecesIntoArchive(spark,
-          commandWindowPieces(raw, flushSec), archiveDir, flushSec)
+          commandWindowPieces(raw, flushSec), archiveDir, flushSec,
+          writer = Some((writerToken(checkpointDir), bid)))
       }
       .start()
   }
@@ -258,8 +271,9 @@ object Daemon {
     Ingest.pdpPieces(spark, pts, heartbeatSec).toDF()
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec,
+          writer = Some((writerToken(checkpointDir), bid)))
       }
       .start()
   }
@@ -288,8 +302,9 @@ object Daemon {
     Ingest.pdpPieces(spark, gPts.union(pkPts), heartbeatSec).toDF()
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec,
+          writer = Some((writerToken(checkpointDir), bid)))
       }
       .start()
   }
@@ -317,7 +332,7 @@ object Daemon {
       .toDF("url")
     urls.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val parsed = Pixel.parseRequests(batch,
           nowSec = unix_timestamp(current_timestamp())).persist()
         try {
@@ -328,7 +343,8 @@ object Daemon {
           val cmds = parsed.filter(col("kind") =!= "dp")
             .select(col("name"), col("kind").as("cmd"), col("value"))
           Ingest.mergePiecesIntoArchive(spark,
-            commandWindowPieces(cmds, flushSec), archiveDir, flushSec)
+            commandWindowPieces(cmds, flushSec), archiveDir, flushSec,
+            writer = Some((writerToken(checkpointDir), bid)))
         } finally { parsed.unpersist(); () }
       }
       .start()

@@ -206,9 +206,24 @@ object Ingest {
     * dynamic partition overwrite. A batch against a year of history
     * touches the current partition, not the store. Mirrors the
     * reference's vcache flush (`receiver/vcache.go:186-361`) minus the
-    * round-robin versioning parquet doesn't need. */
+    * round-robin versioning parquet doesn't need.
+    *
+    * EXACTLY-ONCE under batch replay: `foreachBatch` is at-least-once —
+    * after a crash, a replayable source (Kafka) re-delivers the last
+    * uncommitted batch with the SAME batchId, and an additive merge
+    * would double-count it. Pass `writer = Some((token, batchId))`
+    * (token stable across restarts — derive it from the checkpoint
+    * dir) and the merge becomes idempotent at partition grain: every
+    * rewritten partition is stamped with the writer tag (a whole-
+    * partition rewrite makes the stamp uniform), so a replay skips the
+    * partitions its previous attempt already committed and re-merges
+    * only the rest from the same re-delivered inputs. A crash between
+    * partition commits is covered: committed partitions carry the tag,
+    * uncommitted ones still carry the previous writer's. `None`
+    * preserves plain additive semantics (ad-hoc backfills, tests). */
   def mergePiecesIntoArchive(spark: SparkSession, pieces: DataFrame,
-      archiveDir: String, stepSec: Long, partitionSlots: Long = 8640): Unit = {
+      archiveDir: String, stepSec: Long, partitionSlots: Long = 8640,
+      writer: Option[(String, Long)] = None): Unit = {
     val partSec = stepSec * partitionSlots
     // persisted: both the driver-side touched-partition collect and the
     // merge write consume it — without the cache the batch's
@@ -216,36 +231,61 @@ object Ingest {
     val newPartials = graft.rrd.Consolidate.explodeOverlap(pieces, stepSec)
       .groupBy(col("name"), col("t"))
       .agg(sum(col("value") * col("overlap")).as("vw"), sum(col("overlap")).as("dur"))
+      .withColumn("pt", floor(col("t").cast("double") / partSec).cast("long"))
       .persist()
     try {
       // the partition keys this batch touches: tiny driver-side list
       // (one per partSec of batch time span) used for static pruning
-      val touched = newPartials
-        .select(floor(col("t").cast("double") / partSec).cast("long").as("pt"))
-        .distinct().collect().map(_.getLong(0))
+      val touched = newPartials.select(col("pt")).distinct()
+        .collect().map(_.getLong(0))
       if (touched.isEmpty) return
+      val bidTag = writer.map { case (tok, b) => s"$tok/$b" }.getOrElse("")
       // explicit first-write probe: a transient read error must FAIL the
       // batch, not silently discard the touched partitions' history (a
       // swallowed read + dynamic overwrite would rewrite them from the
       // batch alone)
       val archivePath = new org.apache.hadoop.fs.Path(archiveDir)
       val fs = archivePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val existing =
+      val existingAll =
         if (!fs.exists(archivePath))
           spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("t"),
-            lit(0.0).as("vw"), lit(0.0).as("dur")).limit(0)
-        else spark.read.parquet(archiveDir)
-          .filter(col("pt").isin(touched.map(Long.box): _*))
-          .select(col("name"), col("t"), col("vw"), col("dur"))
-      val merged = existing.unionByName(newPartials)
+            lit(0.0).as("vw"), lit(0.0).as("dur"), lit(0L).as("pt"),
+            lit("").as("bid")).limit(0)
+        else {
+          val raw = spark.read.parquet(archiveDir)
+            .filter(col("pt").isin(touched.map(Long.box): _*))
+          // stores written before the stamp existed read as never-stamped
+          val withBid = if (raw.columns.contains("bid")) raw
+            else raw.withColumn("bid", lit(""))
+          withBid.select(col("name"), col("t"), col("vw"), col("dur"),
+            col("pt"), col("bid"))
+        }
+      // partitions this (token, batch) already rewrote in a previous
+      // attempt: complete and correct — leave them untouched
+      val donePts: Set[Long] =
+        if (writer.isEmpty) Set.empty
+        else existingAll.filter(col("bid") === bidTag)
+          // hive partition discovery may infer pt as int — normalize
+          .select(col("pt").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+      val redo = touched.filterNot(donePts.contains)
+      if (redo.isEmpty) return
+      val redoBoxed = redo.map(Long.box)
+      val existing = existingAll
+        .filter(col("pt").isin(redoBoxed: _*))
+        .select(col("name"), col("t"), col("vw"), col("dur"))
+      val merged = existing
+        .unionByName(newPartials.filter(col("pt").isin(redoBoxed: _*))
+          .select(col("name"), col("t"), col("vw"), col("dur")))
         .groupBy(col("name"), col("t"))
         .agg(sum(col("vw")).as("vw"), sum(col("dur")).as("dur"))
+        .withColumn("bid", lit(bidTag))
         .withColumn("pt", floor(col("t").cast("double") / partSec).cast("long"))
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pt")
         .parquet(archiveDir)
-    } finally newPartials.unpersist()
+    } finally { newPartials.unpersist(); () }
   }
 
   /** Read the archive slot store as a series frame. */

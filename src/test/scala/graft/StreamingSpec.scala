@@ -310,6 +310,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length === 1002)
   }
 
+  test("archive merge: batch replay is idempotent, restarts don't double-count") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-eo").toString + "/slots"
+    def snap() = Ingest.readArchive(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val b0 = Seq(Ingest.Piece("a", 0L, 20L, 2.0)).toDF()
+    val b1 = Seq(Ingest.Piece("a", 20L, 40L, 6.0)).toDF()
+    // batch 0 commits, then REPLAYS (crash after commit, source
+    // re-delivers with the same batchId): the store must not change
+    Ingest.mergePiecesIntoArchive(s, b0, dir, stepSec = 10,
+      writer = Some(("tokA", 0L)))
+    val after0 = snap()
+    Ingest.mergePiecesIntoArchive(s, b0, dir, stepSec = 10,
+      writer = Some(("tokA", 0L)))
+    assert(snap() === after0, "replayed batch must be a no-op")
+    // next batch applies once, then replays — still once
+    Ingest.mergePiecesIntoArchive(s, b1, dir, stepSec = 10,
+      writer = Some(("tokA", 1L)))
+    val after1 = snap()
+    assert(after1 === Map(("a", 0L) -> 2.0, ("a", 10L) -> 2.0,
+      ("a", 20L) -> 6.0, ("a", 30L) -> 6.0))
+    Ingest.mergePiecesIntoArchive(s, b1, dir, stepSec = 10,
+      writer = Some(("tokA", 1L)))
+    assert(snap() === after1, "replayed batch must be a no-op")
+    // a DIFFERENT writer reusing batchId 0 (fresh checkpoint dir, new
+    // token) must NOT be mistaken for a replay — it adds
+    Ingest.mergePiecesIntoArchive(s, b0, dir, stepSec = 10,
+      writer = Some(("tokB", 0L)))
+    assert(snap()(("a", 0L)) === 2.0) // same value: weighted mean of 2&2
+    assert(Ingest.readArchive(s, dir).count() === 4)
+    // and plain additive mode (no writer) still adds on every call
+    Ingest.mergePiecesIntoArchive(s, b0, dir, stepSec = 10)
+    assert(snap()(("a", 0L)) === 2.0)
+  }
+
   test("foreachBatch archive merge: slots stay exact across batch splits") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
