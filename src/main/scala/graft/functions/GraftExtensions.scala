@@ -58,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_lsh_sign(array<bigint>) - 16-plane LSH sign signature (library hyperplanes)"),
       one("graft_lsh_sign")(c => LshSignExpr(c,
         graft.pipeline.Similarity.planes.map(_.map(_.toLong))))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_set"),
+      info("graft_shingle_set",
+        "graft_shingle_set(string) - distinct word-3-gram md5-prefix60 hashes (library shingle domain)"),
+      one("graft_shingle_set")(c => ShingleSetExpr(c,
+        graft.pipeline.NearDup.ShingleN, graft.pipeline.NearDup.X))))
   }
 }

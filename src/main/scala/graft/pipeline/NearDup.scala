@@ -24,7 +24,8 @@ object NearDup {
     * hash family never overflows int64 in either engine (DuckDB raises
     * on BIGINT overflow; Spark wraps silently — neither is acceptable). */
   val P: Long = 2147483647L // 2^31 − 1
-  private val X: Long = 2147483648L // 2^31
+  val X: Long = 2147483648L // 2^31 — shingle-hash domain (public: the
+  // SQL registration binds it, like P and the hash family)
 
   /** Deterministic MinHash family (a_k, b_k), k = 0..15: splitmix-style
     * LCG from a fixed seed, frozen here so Spark and oracle agree. */

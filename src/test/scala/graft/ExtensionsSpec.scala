@@ -52,6 +52,15 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head
     assert(dotSql.getDouble(0) === dotCol.getDouble(0))
     assert(dotSql.getLong(1) === dotCol.getLong(1))
+
+    Seq((1L, "the quick brown fox jumps"), (2L, "a b"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sdocs")
+    val shSql = spark.sql(
+      "SELECT doc_id, graft_shingle_set(text) AS hs FROM sdocs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val shCol = pipeline.NearDup.shingleSets(spark.table("sdocs"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(shSql.toSeq === shCol.toSeq)
   }
 
   test("graft_minhash_sig normalizes arbitrary SQL input into [0, P)") {

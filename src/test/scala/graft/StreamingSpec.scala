@@ -271,6 +271,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == Map(0L -> 2.0, 10L -> 4.0, 20L -> 8.0))
   }
 
+  test("readArchives: multi-store slot collisions weighted-merge on partials") {
+    val s = spark; import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-multi").toString
+    // store A: slot ("a", 0) from 10s at value 2; store B: SAME slot
+    // from 30s at value 6 — the union must weighted-mean: (2·10+6·30)/40
+    Seq(("a", 0L, 20.0, 10.0)).toDF("name", "t", "vw", "dur")
+      .write.parquet(s"$base/p1")
+    Seq(("a", 0L, 180.0, 30.0), ("b", 10L, 5.0, 5.0))
+      .toDF("name", "t", "vw", "dur").write.parquet(s"$base/p2")
+    val got = Ingest.readArchives(s, Seq(s"$base/p1", s"$base/p2",
+        s"$base/absent")) // not-yet-written store reads as empty
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(("a", 0L) -> 5.0, ("b", 10L) -> 1.0))
+    // single present store: plain read, no merge layer
+    val one = Ingest.readArchives(s, Seq(s"$base/p1", s"$base/absent"))
+      .collect().map(r => r.getDouble(2))
+    assert(one.toSeq === Seq(2.0))
+    // nothing present: empty frame with the series schema
+    assert(Ingest.readArchives(s, Seq(s"$base/absent")).isEmpty)
+  }
+
   test("live view: the archive branch of the union never shuffles") {
     val s = spark; import s.implicits._
     // a REAL parquet store, as in production — the archive side of the
