@@ -502,6 +502,16 @@ object Daemon {
     println(s"graft daemon: graphite=${gGw.boundListenPort} " +
       s"pickle=${pkGw.boundListenPort} statsd=${sGw.boundListenPort} " +
       s"http=${http.getAddress.getPort} data=$dataDir")
+    // graceful shutdown (the reference's graceful package): stop taking
+    // new input, let in-flight micro-batches commit, then stop Spark —
+    // the exactly-once merge makes an interrupted batch safe either way
+    sys.addShutdownHook {
+      Seq(gGw, sGw, pkGw, pxGw).foreach(gw => Try(gw.close()))
+      Try(http.stop(0))
+      spark.streams.active.foreach(q => Try(q.stop()))
+      Try(spark.stop())
+      ()
+    }
     spark.streams.awaitAnyTermination()
   }
 }
