@@ -395,18 +395,22 @@ object Curation {
         graft.functions.HashExprs.countInSet(col("hs"), bg).as("nh"))
       .filter(col("nh").cast("double") / col("n").cast("double") <= maxContamination)
       .select(col("doc_id").cast("long").as("rep"))
+    // persisted: the survivor set feeds sourceCap (itself a two-pass
+    // rank) AND the packing input — without the cache the whole
+    // dedup+quality+decontamination join pipeline re-evaluates 3-4×
     val survivors = docs.select(col("doc_id").cast("long").as("doc_id"),
         col("source"), col("text"))
       .join(members.select(col("doc_id"), col("rep")), "doc_id")
       .join(qOk.join(cOk, "rep"), "rep")
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"))
+      .persist()
     val capped = sourceCap(survivors, cap, salt)
     val out = packSequences(survivors.join(capped.select("doc_id"), "doc_id"), budget)
       .join(capped, "doc_id")
       .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"),
         col("n_tok"), col("tok_start"), col("seq_id"), col("seq_pos"))
-    (out, () => { sets.unpersist(); members.unpersist(); () })
+    (out, () => { sets.unpersist(); members.unpersist(); survivors.unpersist(); () })
   }
 
   /** DuckDB restatement of [[curate]] with `bench` = documents whose

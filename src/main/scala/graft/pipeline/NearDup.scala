@@ -445,8 +445,13 @@ object NearDup {
         l.rdd.unpersist(blocking = false); ()
       case _ => ()
     }
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // symmetrize in ONE pass: a union of two selects over the same
+    // `pairs` plan would evaluate the whole upstream pipeline (band
+    // join + verify) twice inside the checkpoint job
+    val sym = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       // checkpoint: each round re-reads the graph and the prior labels
       // as fresh scans — truncated lineage keeps the iterative plan from
       // compounding and sidesteps self-join ambiguity
