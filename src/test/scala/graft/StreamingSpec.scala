@@ -331,6 +331,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length === 1002)
   }
 
+  test("checkpoint restart: PDP state and archive survive, nothing lost or doubled") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-rs").toString
+    val archiveDir = s"$dir/slots"
+    val ckpt = s"$dir/ckpt"
+    val B = 1000000L
+    // the daemon lifecycle's exact pipeline shape: stateful PDP pieces →
+    // exactly-once merge, on a REPLAYABLE source (what Kafka provides in
+    // production — the socket dev source cannot resume offsets)
+    val mem = MemoryStream[(String, Long, Double)]
+    def start() = Ingest.pdpPieces(s, mem.toDS(), heartbeatSec = 3600).toDF()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        Ingest.mergePiecesIntoArchive(s, batch, archiveDir, stepSec = 10,
+          writer = Some(("rs-tok", bid)))
+      }
+      .start()
+    val q1 = start()
+    (0 to 50 by 10).foreach(t => mem.addData(("rs.m", B + t, 2.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(Ingest.readArchive(s, archiveDir).count() === 5) // slots 0..40
+    // process restart: same checkpoint, same stores — the per-series
+    // state (lastTs = B+50) must be RESTORED so the interval spanning
+    // the restart, [50, 60), still becomes a slot
+    val q2 = start()
+    (60 to 90 by 10).foreach(t => mem.addData(("rs.m", B + t, 2.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = Ingest.readArchive(s, archiveDir).collect()
+      .map(r => (r.getLong(1) - B, r.getDouble(2))).toMap
+    assert(got === (0L to 80L by 10).map(_ -> 2.0).toMap,
+      "every slot exactly once, including the one spanning the restart")
+  }
+
   test("archive merge: batch replay is idempotent, restarts don't double-count") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-eo").toString + "/slots"
