@@ -175,7 +175,7 @@ object Daemon {
     * archive merge per micro-batch. */
   def startGraphiteIngest(spark: SparkSession, feedPort: Int,
       archiveDir: String, stepSec: Long, heartbeatSec: Long,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, retainSec: Option[Long] = None): StreamingQuery = {
     import spark.implicits._
     val lines = spark.readStream.format("socket")
       .option("host", "127.0.0.1").option("port", feedPort).load()
@@ -189,6 +189,8 @@ object Daemon {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec,
           writer = Some((writerToken(checkpointDir), bid)))
+        retainSec.foreach(rs => Ingest.enforceRetention(spark, archiveDir,
+          stepSec, rs, nowSec = System.currentTimeMillis() / 1000L))
       }
       .start()
   }
@@ -237,7 +239,7 @@ object Daemon {
     * is identical (`daemon/statsd_text.go:175-206`). */
   def startStatsdIngest(spark: SparkSession, feedPort: Int,
       archiveDir: String, flushSec: Long,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, retainSec: Option[Long] = None): StreamingQuery = {
     val lines = spark.readStream.format("socket")
       .option("host", "127.0.0.1").option("port", feedPort).load()
       .toDF("line")
@@ -248,6 +250,8 @@ object Daemon {
         Ingest.mergePiecesIntoArchive(spark,
           commandWindowPieces(raw, flushSec), archiveDir, flushSec,
           writer = Some((writerToken(checkpointDir), bid)))
+        retainSec.foreach(rs => Ingest.enforceRetention(spark, archiveDir,
+          flushSec, rs, nowSec = System.currentTimeMillis() / 1000L))
       }
       .start()
   }
@@ -260,7 +264,7 @@ object Daemon {
     * (`daemon/graphite_pickle.go:186`), unlike text. */
   def startPickleIngest(spark: SparkSession, feedPort: Int,
       archiveDir: String, stepSec: Long, heartbeatSec: Long,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, retainSec: Option[Long] = None): StreamingQuery = {
     import spark.implicits._
     val lines = spark.readStream.format("socket")
       .option("host", "127.0.0.1").option("port", feedPort).load()
@@ -274,6 +278,8 @@ object Daemon {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec,
           writer = Some((writerToken(checkpointDir), bid)))
+        retainSec.foreach(rs => Ingest.enforceRetention(spark, archiveDir,
+          stepSec, rs, nowSec = System.currentTimeMillis() / 1000L))
       }
       .start()
   }
@@ -288,7 +294,8 @@ object Daemon {
     * as the reference's DS cache is. */
   def startReceiver(spark: SparkSession, graphiteFeedPort: Int,
       pickleFeedPort: Int, archiveDir: String, stepSec: Long,
-      heartbeatSec: Long, checkpointDir: String): StreamingQuery = {
+      heartbeatSec: Long, checkpointDir: String,
+      retainSec: Option[Long] = None): StreamingQuery = {
     import spark.implicits._
     def socketLines(port: Int): DataFrame = spark.readStream.format("socket")
       .option("host", "127.0.0.1").option("port", port).load()
@@ -305,6 +312,8 @@ object Daemon {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec,
           writer = Some((writerToken(checkpointDir), bid)))
+        retainSec.foreach(rs => Ingest.enforceRetention(spark, archiveDir,
+          stepSec, rs, nowSec = System.currentTimeMillis() / 1000L))
       }
       .start()
   }
@@ -326,7 +335,7 @@ object Daemon {
     *     (`http/pixel.go:140` NewCommand, no `stats.` prefixes). */
   def startPixelIngest(spark: SparkSession, feedPort: Int,
       graphiteOffer: String => Unit, archiveDir: String, flushSec: Long,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, retainSec: Option[Long] = None): StreamingQuery = {
     val urls = spark.readStream.format("socket")
       .option("host", "127.0.0.1").option("port", feedPort).load()
       .toDF("url")
@@ -345,6 +354,8 @@ object Daemon {
           Ingest.mergePiecesIntoArchive(spark,
             commandWindowPieces(cmds, flushSec), archiveDir, flushSec,
             writer = Some((writerToken(checkpointDir), bid)))
+          retainSec.foreach(rs => Ingest.enforceRetention(spark, archiveDir,
+            flushSec, rs, nowSec = System.currentTimeMillis() / 1000L))
         } finally { parsed.unpersist(); () }
       }
       .start()
@@ -471,6 +482,8 @@ object Daemon {
     val stepSec = env("GRAFT_STEP_SEC", "10").toLong
     val heartbeatSec = env("GRAFT_HEARTBEAT_SEC", "300").toLong
     val flushSec = env("GRAFT_FLUSH_SEC", "10").toLong
+    // bounded retention (the reference's RRA span): 0 keeps everything
+    val retainSec = Option(env("GRAFT_RETAIN_SEC", "0").toLong).filter(_ > 0)
     val spark = SparkSession.builder()
       .master(env("GRAFT_MASTER", "local[4]"))
       .appName("graft-daemon")
@@ -490,11 +503,13 @@ object Daemon {
     // HTTP surface reads their union
     startReceiver(spark, gGw.boundFeedPort, pkGw.boundFeedPort,
       s"$dataDir/points", stepSec, heartbeatSec,
-      checkpointDir = s"$dataDir/ckpt-points")
+      checkpointDir = s"$dataDir/ckpt-points", retainSec = retainSec)
     startStatsdIngest(spark, sGw.boundFeedPort, s"$dataDir/statsd",
-      flushSec, checkpointDir = s"$dataDir/ckpt-statsd")
+      flushSec, checkpointDir = s"$dataDir/ckpt-statsd",
+      retainSec = retainSec)
     startPixelIngest(spark, pxGw.boundFeedPort, gGw.offer,
-      s"$dataDir/pixel", flushSec, checkpointDir = s"$dataDir/ckpt-pixel")
+      s"$dataDir/pixel", flushSec, checkpointDir = s"$dataDir/ckpt-pixel",
+      retainSec = retainSec)
     val http = startHttp(spark,
       env("GRAFT_HTTP_PORT", "8080").toInt,
       Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel"),

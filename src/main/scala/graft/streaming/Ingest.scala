@@ -288,6 +288,39 @@ object Ingest {
     } finally { newPartials.unpersist(); () }
   }
 
+  /** Bounded retention — the round-robin semantics of the reference's
+    * RRAs (span = step·size, `rrd/rra.go:33-74`; old slots are
+    * overwritten in place there, aged out here): drop archive
+    * partitions that lie entirely before `nowSec − spanSec`. Pure
+    * partition-directory deletes on the driver (one `pt=` dir per
+    * `stepSec·partitionSlots` of history — a handful of fs ops, no data
+    * scan, no job), safe to run from the merge cadence. A partition
+    * STRADDLING the horizon stays whole until it ages out completely —
+    * retention is enforced at partition grain, slots inside a kept
+    * partition are all readable (the reference keeps whole slots the
+    * same way; only the span boundary differs by < one partition). */
+  def enforceRetention(spark: SparkSession, archiveDir: String,
+      stepSec: Long, spanSec: Long, nowSec: Long,
+      partitionSlots: Long = 8640): Seq[Long] = {
+    val partSec = stepSec * partitionSlots
+    val horizonPt = math.floor((nowSec - spanSec).toDouble / partSec).toLong
+    val archivePath = new org.apache.hadoop.fs.Path(archiveDir)
+    val fs = archivePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(archivePath)) return Seq.empty
+    val dropped = fs.listStatus(archivePath).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("pt=")) None
+        else scala.util.Try(name.stripPrefix("pt=").toLong).toOption
+          // pt holds slots [pt·partSec, (pt+1)·partSec) — drop only if
+          // the WHOLE range is past the horizon
+          .filter(_ < horizonPt)
+          .map { pt => fs.delete(st.getPath, true); pt }
+      }
+    dropped.sorted
+  }
+
   /** Read the archive slot store as a series frame. */
   def readArchive(spark: SparkSession, archiveDir: String): DataFrame =
     spark.read.parquet(archiveDir)

@@ -271,6 +271,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == Map(0L -> 2.0, 10L -> 4.0, 20L -> 8.0))
   }
 
+  test("retention: whole partitions past the span age out, straddlers stay") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString + "/slots"
+    // tiny partitions: 10 slots × 10s = 100s per pt dir
+    val slots = 10L
+    val pieces = (0L until 40L).map(i =>
+      Ingest.Piece("a", i * 10, i * 10 + 10, 1.0))
+    Ingest.mergePiecesIntoArchive(s, pieces.toDF(), dir, stepSec = 10,
+      partitionSlots = slots)
+    assert(Ingest.readArchive(s, dir).count() === 40) // pt 0..3
+    // now = 400, span = 150: horizon 250 → pt 0 ([0,100)) and pt 1
+    // ([100,200)) fully aged; pt 2 ([200,300)) straddles → kept whole
+    val dropped = Ingest.enforceRetention(s, dir, stepSec = 10,
+      spanSec = 150, nowSec = 400, partitionSlots = slots)
+    assert(dropped === Seq(0L, 1L))
+    val left = Ingest.readArchive(s, dir).collect().map(_.getLong(1))
+    assert(left.length === 20 && left.forall(_ >= 200L))
+    // idempotent: nothing more to drop at the same horizon
+    assert(Ingest.enforceRetention(s, dir, 10, 150, 400, slots).isEmpty)
+    // absent store: no-op
+    assert(Ingest.enforceRetention(s, dir + "-absent", 10, 150, 400, slots).isEmpty)
+  }
+
   test("readArchives: multi-store slot collisions weighted-merge on partials") {
     val s = spark; import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-multi").toString
