@@ -284,6 +284,23 @@ object Daemon {
       .start()
   }
 
+  /** One resolution of a daemon RRA chain: slots of `stepSec` retained
+    * for `spanSec` — the reference's `10s:6h,1m:24h,10m:93d,1d:5y`
+    * shape (`etc/tgres.conf.sample`, `receiver/dsfinder.go:34-55`).
+    * Store directory: a SIBLING of the base store (`<base>-rra-<step>s`
+    * — nesting under it would pollute the base's hive partition
+    * discovery). The chain is per STORE here (uniform), not per
+    * series — the Spark-idiomatic simplification of the reference's
+    * per-DS spec matching. */
+  final case class Rra(stepSec: Long, spanSec: Long) {
+    def dir(base: String): String = s"$base-rra-${stepSec}s"
+  }
+
+  /** The reference's sample-config chain. */
+  val DefaultRras: Seq[Rra] = Seq(
+    Rra(10L, 6L * 3600), Rra(60L, 24L * 3600),
+    Rra(600L, 93L * 86400), Rra(86400L, 5L * 365 * 86400))
+
   /** The daemon's combined point receiver: graphite text and pickle
     * frames union into ONE stateful PDP stream with ONE archive writer —
     * the reference funnels every point protocol into a single receiver
@@ -291,11 +308,21 @@ object Daemon {
     * merging the same parquet directory would race on the
     * dynamic-partition overwrite, so the union is structural, not
     * cosmetic. Per-series PDP state is shared across protocols exactly
-    * as the reference's DS cache is. */
+    * as the reference's DS cache is.
+    *
+    * `rras` (optional) maintains a LIVE multi-resolution chain alongside
+    * the base store, as the reference's receiver trickles each PDP into
+    * every RRA (`rrd/rra.go:179-253`): the same micro-batch pieces merge
+    * into one store per resolution — piece-merge at a coarser step is
+    * exactly the cascade re-consolidation (weighted means re-associate,
+    * see `Consolidate.cascade`) — and each store ages out at its own
+    * span. All writers live in THIS query, so single-writer-per-
+    * directory still holds. */
   def startReceiver(spark: SparkSession, graphiteFeedPort: Int,
       pickleFeedPort: Int, archiveDir: String, stepSec: Long,
       heartbeatSec: Long, checkpointDir: String,
-      retainSec: Option[Long] = None): StreamingQuery = {
+      retainSec: Option[Long] = None,
+      rras: Seq[Rra] = Seq.empty): StreamingQuery = {
     import spark.implicits._
     def socketLines(port: Int): DataFrame = spark.readStream.format("socket")
       .option("host", "127.0.0.1").option("port", port).load()
@@ -310,10 +337,19 @@ object Daemon {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val tok = writerToken(checkpointDir)
+        val nowSec = System.currentTimeMillis() / 1000L
         Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec,
-          writer = Some((writerToken(checkpointDir), bid)))
+          writer = Some((tok, bid)))
         retainSec.foreach(rs => Ingest.enforceRetention(spark, archiveDir,
-          stepSec, rs, nowSec = System.currentTimeMillis() / 1000L))
+          stepSec, rs, nowSec))
+        rras.foreach { r =>
+          val d = r.dir(archiveDir)
+          Ingest.mergePiecesIntoArchive(spark, batch, d, r.stepSec,
+            writer = Some((s"$tok-${r.stepSec}", bid)))
+          Ingest.enforceRetention(spark, d, r.stepSec, r.spanSec, nowSec)
+          ()
+        }
       }
       .start()
   }
@@ -484,6 +520,15 @@ object Daemon {
     val flushSec = env("GRAFT_FLUSH_SEC", "10").toLong
     // bounded retention (the reference's RRA span): 0 keeps everything
     val retainSec = Option(env("GRAFT_RETAIN_SEC", "0").toLong).filter(_ > 0)
+    // live RRA chain, "step:span" pairs with graphite duration suffixes
+    // (e.g. "1min:24h,10min:93d,1d:5y" — the reference's sample config);
+    // empty = base store only
+    val rras = env("GRAFT_RRAS", "").split(",").map(_.trim).filter(_.nonEmpty)
+      .toSeq.map { spec =>
+        val Array(st, sp) = spec.split(":", 2)
+        Rra(graft.ts.Durations.parseSeconds(st),
+          graft.ts.Durations.parseSeconds(sp))
+      }
     val spark = SparkSession.builder()
       .master(env("GRAFT_MASTER", "local[4]"))
       .appName("graft-daemon")
@@ -503,7 +548,8 @@ object Daemon {
     // HTTP surface reads their union
     startReceiver(spark, gGw.boundFeedPort, pkGw.boundFeedPort,
       s"$dataDir/points", stepSec, heartbeatSec,
-      checkpointDir = s"$dataDir/ckpt-points", retainSec = retainSec)
+      checkpointDir = s"$dataDir/ckpt-points", retainSec = retainSec,
+      rras = rras)
     startStatsdIngest(spark, sGw.boundFeedPort, s"$dataDir/statsd",
       flushSec, checkpointDir = s"$dataDir/ckpt-statsd",
       retainSec = retainSec)

@@ -239,6 +239,50 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("live RRA chain: coarse stores equal re-consolidation of the base") {
+    val s = spark
+    val dir = Files.createTempDirectory("daemon-rra").toString
+    // near-now timestamps, 40s-aligned: chain retention runs against the
+    // wall clock, so an ancient toy epoch would age out instantly
+    val base = (System.currentTimeMillis() / 1000L - 400) / 40 * 40
+    val gGw = new Daemon.LineGateway(0, 0)
+    val pkGw = new Daemon.LineGateway(0, 0, framed = true)
+    // base step 10s plus a 40s RRA (span long enough that nothing ages)
+    val q = Daemon.startReceiver(s, gGw.boundFeedPort, pkGw.boundFeedPort,
+      s"$dir/points", stepSec = 10, heartbeatSec = 3600,
+      checkpointDir = s"$dir/ckpt",
+      rras = Seq(Daemon.Rra(40L, 365L * 86400)))
+    try {
+      val sender = new Socket("127.0.0.1", gGw.boundListenPort)
+      val out = new PrintWriter(sender.getOutputStream, true)
+      // varying values so the coarse weighted mean is non-trivial
+      (0 to 160 by 10).foreach(t => out.println(s"ch.m ${t / 10 % 5} ${base + t}"))
+      out.flush()
+      val deadline = System.currentTimeMillis() + 60000
+      def baseSlots(): Long = Try(
+        Ingest.readArchive(s, s"$dir/points").count()).getOrElse(0L)
+      while (baseSlots() < 16 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+      }
+      assert(baseSlots() === 16)
+      sender.close()
+      // the live 40s store must equal re-consolidating the base store
+      // (weighted means re-associate — the cascade contract)
+      val coarse = Ingest.readArchive(s, Daemon.Rra(40L, 0L).dir(s"$dir/points"))
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      val expect = s.read.parquet(s"$dir/points")
+        .groupBy(org.apache.spark.sql.functions.expr("name"),
+          org.apache.spark.sql.functions.expr("CAST(floor(t / 40) AS BIGINT) * 40 AS ct"))
+        .agg(org.apache.spark.sql.functions.expr("sum(vw) / sum(dur) AS v"))
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(coarse === expect)
+      assert(coarse.size === 4) // [0,160) at 40s
+    } finally {
+      Try(q.stop()); pkGw.close(); gGw.close()
+    }
+  }
+
   test("statsd lines → flush-window aggregation → archive") {
     val s = spark
     val dir = Files.createTempDirectory("daemon-sd").toString
