@@ -407,13 +407,42 @@ object SeriesOps {
       stddev_samp(v).as("sstd"),
       max_by(v, when(v.isNotNull, col("t"))).as("slast"))
 
+  /** [[summaries]] plus the series rows themselves, packed as a
+    * `(t, value)` struct array — ONE aggregation pass, so the
+    * rank/filter-by-summary functions below consume their (possibly
+    * expensive — a live consolidation chain) input exactly once. The
+    * previous summarize-then-semi-join-back form evaluated the input
+    * twice: Spark pushes the LeftSemi below the consolidation's
+    * aggregates (PushDownLeftSemiAntiJoin), which also makes the two
+    * subtrees non-identical, defeating exchange reuse — measured 2×
+    * the one-pass cost on a 100M-point Blaster corpus.
+    *
+    * Memory contract: per-series array ≈ the series' slot count. These
+    * are render-path functions — input is viewport-bounded (the
+    * reference likewise materializes each whole series in memory,
+    * `series/summaryseries.go`), so the pack is bounded per executor. */
+  private def packedSummaries(df: DataFrame): DataFrame =
+    df.groupBy(col("name")).agg(
+      avg(v).as("savg"),
+      max(v).as("smax"),
+      min(v).as("smin"),
+      stddev_samp(v).as("sstd"),
+      max_by(v, when(v.isNotNull, col("t"))).as("slast"),
+      collect_list(struct(col("t"), v.as("value"))).as("__pts"))
+
+  /** Re-explode a [[packedSummaries]] selection back to series rows.
+    * collect_list keeps `struct(t, null)` elements (the struct itself
+    * is non-null), so unknown points survive the round-trip. */
+  private def unpack(packed: DataFrame): DataFrame =
+    packed.select(col("name"), explode(col("__pts")).as("__p"))
+      .select(col("name"), col("__p.t").as("t"), col("__p.value").as("value"))
+
   private def keepTop(df: DataFrame, metric: Column, n: Int, asc: Boolean): DataFrame = {
     val ord = if (asc) Seq(metric.asc, col("name").asc) else Seq(metric.desc, col("name").asc)
     // orderBy+limit, NOT row_number over an unpartitioned window: Spark
     // plans this as a distributed TakeOrdered (per-partition top-n +
     // driver merge) instead of shuffling every summary row into one task
-    val ranked = summaries(df).orderBy(ord: _*).limit(n).select("name")
-    df.join(broadcast(ranked), Seq("name"), "left_semi")
+    unpack(packedSummaries(df).orderBy(ord: _*).limit(n))
   }
 
   /** highestCurrent(n) — `dsl/funcs.go:1480-1497` */
@@ -428,7 +457,7 @@ object SeriesOps {
   def mostDeviant(df: DataFrame, n: Int): DataFrame = keepTop(df, col("sstd"), n, asc = false)
 
   private def keepWhere(df: DataFrame, pred: Column): DataFrame =
-    df.join(broadcast(summaries(df).filter(pred).select("name")), Seq("name"), "left_semi")
+    unpack(packedSummaries(df).filter(pred))
 
   /** maximumAbove/Below, minimumAbove/Below — `dsl/funcs.go:1569-1623` */
   def maximumAbove(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("smax") > x)
@@ -441,11 +470,10 @@ object SeriesOps {
     aliasSub(keepWhere(df, col("smax") > x), search, replace)
 
   /** limit(n) — first n by sorted name (`dsl/funcs.go:1518-1531`).
-    * orderBy+limit → distributed TakeOrdered, no single-partition window. */
-  def limitSeries(df: DataFrame, n: Int): DataFrame = {
-    val kept = df.select("name").distinct().orderBy(col("name")).limit(n)
-    df.join(broadcast(kept), Seq("name"), "left_semi")
-  }
+    * orderBy+limit → distributed TakeOrdered, no single-partition
+    * window; one packed pass over the input (see [[packedSummaries]]). */
+  def limitSeries(df: DataFrame, n: Int): DataFrame =
+    unpack(packedSummaries(df).orderBy(col("name")).limit(n))
 
   /** exclude(regex) — `dsl/funcs.go:2197-2211` */
   def exclude(df: DataFrame, pattern: String): DataFrame =
