@@ -546,4 +546,38 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head
     assert(d.isNullAt(0) && d.isNullAt(1))
   }
+
+  test("packed rank/filter round-trip preserves rows, null slots included") {
+    val s = spark; import s.implicits._
+    // series with unknown (null) slots — the packed collect_list form
+    // must carry them through struct elements, not drop them
+    val gen: Gen[List[(String, Long, Option[Double])]] = for {
+      nSeries <- Gen.choose(1, 4)
+      nPts <- Gen.choose(2, 8)
+      vals <- Gen.listOfN(nSeries * nPts,
+        Gen.option(Gen.choose(-100.0, 100.0).map(v => math.rint(v * 64) / 64)))
+    } yield (for {
+      sI <- 0 until nSeries
+      i <- 0 until nPts
+    } yield (s"s$sI", i * 10L, vals(sI * nPts + i))).toList
+    def rows(x: org.apache.spark.sql.DataFrame) =
+      x.select("name", "t", "value").as[(String, Long, Option[Double])]
+        .collect().sortBy(r => (r._1, r._2))
+    forAll(gen, n = 6) { pts =>
+      val d = pts.toDF("name", "t", "value")
+      val all = rows(d)
+      // limit over-capacity keeps every series and every row verbatim
+      assert(rows(O.limitSeries(d, 10)) === all)
+      // rank keeps exactly the series the two-pass summaries form ranks
+      val ref = O.summaries(d)
+        .orderBy(col("smax").desc, col("name").asc).limit(2)
+        .select("name").as[String].collect().toSet
+      assert(rows(O.highestMax(d, 2)) === all.filter(r => ref(r._1)))
+      // filter form agrees with a driver-side recomputation of smax
+      val keep = pts.groupBy(_._1).collect {
+        case (n2, rs) if rs.flatMap(_._3).nonEmpty && rs.flatMap(_._3).max > 0.0 => n2
+      }.toSet
+      assert(rows(O.maximumAbove(d, 0.0)) === all.filter(r => keep(r._1)))
+    }
+  }
 }
