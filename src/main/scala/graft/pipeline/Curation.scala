@@ -405,12 +405,17 @@ object Curation {
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"))
       .persist()
-    val capped = sourceCap(survivors, cap, salt)
+    // persisted: the capped set feeds BOTH the packing input filter and
+    // the final (source, rn) attach — without the cache the two-pass
+    // rank evaluates twice per action. Size is bounded by construction:
+    // ≤ cap rows per source, i.e. exactly the kept output set.
+    val capped = sourceCap(survivors, cap, salt).persist()
     val out = packSequences(survivors.join(capped.select("doc_id"), "doc_id"), budget)
       .join(capped, "doc_id")
       .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"),
         col("n_tok"), col("tok_start"), col("seq_id"), col("seq_pos"))
-    (out, () => { sets.unpersist(); members.unpersist(); survivors.unpersist(); () })
+    (out, () => { sets.unpersist(); members.unpersist(); survivors.unpersist()
+      capped.unpersist(); () })
   }
 
   /** DuckDB restatement of [[curate]] with `bench` = documents whose
