@@ -140,6 +140,20 @@ object PipelineQueries {
           |   CAST(hamming AS BIGINT) AS hamming
           | FROM out ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // shared-substring pairs: 8-token window fingerprints, df-capped
+    // inverted index, exact shared-window count ≥ 3 verified on the
+    // uncapped per-doc window sets
+    ("dd_window_fp",
+      ((s, d) => pipeline.NearDup.windowFpPairs(Tables.documents(s, d),
+          window = 8, minShared = 3)
+        .select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"), col("n_shared"))
+        .orderBy("doc_a", "doc_b")): Q,
+      Some(pipeline.NearDup.windowFpPairsSql(8, 3) +
+        """ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+          |   n_shared
+          | FROM outw ORDER BY doc_a, doc_b""".stripMargin)),
+
     // quality scoring: punct/digit/upper/stopword ratios + composite
     ("tx_quality",
       ((s, d) => {

@@ -70,6 +70,12 @@ object ScaleProbe {
       time("minhash_neardup") { // full collapse→sets→LSH→verify pipeline
         pipeline.NearDup.minhashPairs(docs, 0.6).count()
       },
+      time("window_fp_200k") { // substring-level pairs: df-capped
+        // inverted window-hash index join + uncapped set verify. The
+        // planted near-dup pairs differ in ONE positional word, so they
+        // share most of their 8-token windows and all surface.
+        pipeline.NearDup.windowFpPairs(docs, 8, 3).count()
+      },
       time("kmeans_1m") { // 3 Lloyd rounds + final assignment
         pipeline.Similarity.kmeans(vecs).count()
       },

@@ -375,6 +375,114 @@ object NearDup {
     expandExactDups(repPairs, members, "jaccard", lit(1.0))
   }
 
+  /** Shared-substring (windowed-fingerprint) pairs — the substring-level
+    * duplication signal whole-document dedup misses: two documents
+    * sharing one long boilerplate passage can sit far below any
+    * document Jaccard threshold yet still leak the passage into
+    * training data many times over. Every `window`-token span starting
+    * at each token position (stride 1; a coarser `stride` trades
+    * recall of offset-misaligned repeats for index size) is hashed,
+    * and pairs sharing at least `minShared` DISTINCT window hashes are
+    * reported with the exact shared count — documents shorter than
+    * `window` tokens contribute nothing (whole-document dedup owns
+    * them).
+    *
+    * Scale shape is [[ngramJaccardPairs]]'s, unchanged: exact-dup
+    * collapse bounds the bucket join, the window-hash inverted index
+    * is df-capped ([[DfCap]] — hot boilerplate windows are precisely
+    * the degenerate keys), candidates come from the capped index
+    * self-join, and the reported count is verified on the UNCAPPED
+    * per-doc window sets (one `array_intersect` per candidate pair,
+    * map-side). The window stream is ~n_tokens hashes per document —
+    * the same cardinality as the shingle stream every other dedup path
+    * already pays. */
+  def windowFpPairs(docs: DataFrame, window: Int, minShared: Int,
+      stride: Int = 1): DataFrame = {
+    require(window > 0 && stride > 0 && minShared > 0,
+      "window, stride, minShared must be positive")
+    val (members, reps) = collapseExact(docs)
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val starts = sequence(lit(0L), (size(toks) - window).cast("long"),
+      lit(stride.toLong))
+    val ws = array_distinct(transform(starts, st => pmod(
+      h64(concat_ws(" ", slice(toks, (st + 1).cast("int"), lit(window)))),
+      lit(X))))
+    val wsets = reps.filter(col("text").isNotNull && size(toks) >= window)
+      .select(col("doc_id"), ws.as("ws")).persist()
+    val wh = wsets.select(col("doc_id"), explode(col("ws")).as("wh"))
+    val rare = wh.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("wh")
+    val whr = wh.join(rare, "wh")
+    val cand = whr.select(col("wh"), col("doc_id").as("doc_a"))
+      .join(whr.select(col("wh"), col("doc_id").as("doc_b")), "wh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val repPairs = cand
+      .join(wsets.select(col("doc_id").as("doc_a"), col("ws").as("wsa")), "doc_a")
+      .join(wsets.select(col("doc_id").as("doc_b"), col("ws").as("wsb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("wsa"), col("wsb"))).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    // expand: [[expandExactDups]] carries a constant self value, but a
+    // within-group pair here shares the rep's WHOLE window set — so the
+    // expansion is inlined with the rep's set size as the count
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("xa"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("xb"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"), col("n_shared"))
+    val within = members.select(col("rep"), col("doc_id").as("xa"))
+      .join(members.select(col("rep"), col("doc_id").as("xb")), "rep")
+      .filter(col("xa") < col("xb"))
+      .join(wsets.select(col("doc_id").as("rep"),
+        size(col("ws")).cast("long").as("n_shared")), "rep")
+      .filter(col("n_shared") >= minShared)
+      .select(col("xa").as("doc_a"), col("xb").as("doc_b"), col("n_shared"))
+    cross.unionByName(within)
+  }
+
+  /** DuckDB twin of [[windowFpPairs]] incl. the exact-dup collapse;
+    * the final pair CTE is `outw(doc_a, doc_b, n_shared)`. */
+  def windowFpPairsSql(window: Int, minShared: Int, stride: Int = 1): String =
+    s"""WITH fp AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+       |repby AS (SELECT h, min(doc_id) AS rep FROM fp GROUP BY h),
+       |mem AS (SELECT f.doc_id, r.rep FROM fp f JOIN repby r USING (h)),
+       |reps AS (SELECT doc_id, text FROM fp WHERE doc_id IN (SELECT rep FROM repby)),
+       |tokw AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM reps WHERE text IS NOT NULL
+       |), wins AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(array_to_string(
+       |      ts[i*$stride+1 : i*$stride+$window], ' ')), 1, 15) AS BIGINT) % $X AS wh
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(generate_series(0,
+       |            CAST(floor((len(ts) - $window) / $stride) AS BIGINT))) AS i
+       |        FROM tokw WHERE len(ts) >= $window)
+       |), wsets AS (SELECT doc_id, list(DISTINCT wh) AS ws FROM wins GROUP BY doc_id),
+       |dw AS (SELECT DISTINCT doc_id, wh FROM wins),
+       |rare AS (SELECT wh FROM dw GROUP BY wh HAVING count(*) <= $DfCap),
+       |dwr AS (SELECT d.* FROM dw d JOIN rare USING (wh)),
+       |candw AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM dwr a JOIN dwr b ON a.wh = b.wh WHERE a.doc_id < b.doc_id
+       |), verw AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT) AS n_shared
+       |  FROM candw c JOIN wsets wa ON wa.doc_id = c.doc_a
+       |               JOIN wsets wb ON wb.doc_id = c.doc_b
+       |  WHERE len(list_intersect(wa.ws, wb.ws)) >= $minShared
+       |), outw AS (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |         greatest(ma.doc_id, mb.doc_id) AS doc_b, v.n_shared
+       |  FROM verw v JOIN mem ma ON ma.rep = v.doc_a JOIN mem mb ON mb.rep = v.doc_b
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id, CAST(len(w.ws) AS BIGINT) AS n_shared
+       |  FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+       |  JOIN wsets w ON w.doc_id = a.rep
+       |  WHERE len(w.ws) >= $minShared
+       |)""".stripMargin
+
   /** 32-bit SimHash per document over distinct shingle hashes (shingles,
     * not unigrams: a corpus with a small shared vocabulary makes every
     * unigram set near-identical and the signature degenerate): bit i of

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pipeline.NearDup
+
+/** Invariants of the shared-substring (windowed-fingerprint) detector
+  * beyond the DuckDB oracle: planted passages are found with the exact
+  * shared-window count, offset-shifted copies still align at stride 1,
+  * exact duplicates expand through the collapse with the full set
+  * count, and sub-window documents stay silent. */
+class WindowFpSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]").appName("windowfp-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def pairs(d: org.apache.spark.sql.DataFrame, w: Int, m: Int) =
+    NearDup.windowFpPairs(d, w, m).orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared"))).toSeq
+
+  test("planted passage at different offsets is found with the exact count") {
+    // 10-token passage shared by docs 1 and 2 at DIFFERENT token
+    // offsets; 8-token windows fully inside it: starts s1..s3 → 3
+    // distinct shared windows. Doc 3 is unrelated filler.
+    val passage = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = docs(Seq(
+      1L -> s"a1 a2 $passage",
+      2L -> s"$passage b1 b2",
+      3L -> (1 to 12).map(i => s"c$i").mkString(" ")))
+    assert(pairs(d, w = 8, m = 3) === Seq((1L, 2L, 3L)))
+    // raising the floor past the true count silences the pair
+    assert(pairs(d, w = 8, m = 4) === Seq.empty)
+  }
+
+  test("exact duplicates expand with the rep's full window-set count") {
+    // two byte-identical 10-token docs: 3 distinct windows each, so the
+    // within-group pair carries n_shared = 3 (the whole set)
+    val t = (1 to 10).map(i => s"t$i").mkString(" ")
+    val other = (1 to 10).map(i => s"u$i").mkString(" ")
+    val d = docs(Seq(5L -> t, 9L -> t, 11L -> other))
+    assert(pairs(d, w = 8, m = 3) === Seq((5L, 9L, 3L)))
+  }
+
+  test("documents shorter than the window contribute nothing") {
+    // identical 5-token docs: no full 8-token window exists, so the
+    // detector stays silent even though they are exact duplicates —
+    // whole-document dedup owns that case
+    val d = docs(Seq(1L -> "a b c d e", 2L -> "a b c d e"))
+    assert(pairs(d, w = 8, m = 1) === Seq.empty)
+  }
+}
