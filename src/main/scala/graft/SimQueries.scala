@@ -148,6 +148,19 @@ object SimQueries {
            |       ${Round6.r6Sql("cos")} AS cos
            |FROM outk ORDER BY vec_id""".stripMargin)),
 
+    // int8 scalar quantization: per-dim symmetric scales, exact integer
+    // qnorm2 invariant + per-vector dequantization mse
+    ("sim_quantize",
+      ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id").cast("long").as("vec_id"), col("qnorm2"),
+          Round6.r6(col("mse")).as("mse"))
+        .orderBy("vec_id")): Q,
+      Some(
+        s"""WITH ${Similarity.quantizeInt8Sql}
+           |SELECT CAST(vec_id AS BIGINT) AS vec_id, qnorm2,
+           |       ${Round6.r6Sql("mse")} AS mse
+           |FROM outq ORDER BY vec_id""".stripMargin)),
+
     // LSH-bucketed pairs: random-hyperplane bands, exact verification
     ("sim_pairs_lsh",
       ((s, d) => Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)

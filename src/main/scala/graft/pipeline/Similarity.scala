@@ -320,7 +320,62 @@ object Similarity {
       kmeansCentroidsSeq(corpus, k, iters))
       .select(col("vec_id"), col("cid"), col("cos"))
 
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * memory step a serving-scale ANN index runs before anything else
+    * (4× smaller vectors, integer dot products). Per-dimension scale =
+    * max|x|/127 over the corpus (symmetric, zero-point-free; an
+    * all-zero dimension scales by 1 so it quantizes to 0), computed by
+    * ONE dim-bounded aggregate — posexplode → groupBy(dim) partial-
+    * aggregates map-side and the shuffle carries ≤ dim rows per
+    * partition — then bounced through the driver as a literal, the
+    * same contract-bounded K×dim bounce k-means uses. Rounding is
+    * `floor(x/s + 0.5)` clamped to [−127, 127] — the cross-engine-
+    * deterministic idiom ([[graft.ts.Round6]]), exact in both engines.
+    *
+    * Returns (vec_id, q, qnorm2, mse): `q` the int8-domain array,
+    * `qnorm2 = Σq²` an exact integer invariant of the whole vector,
+    * `mse` the per-vector dequantization error (array-order fold). */
+  def quantizeInt8(vecs: DataFrame): DataFrame = {
+    val maxabs = vecs
+      .select(posexplode(emb.cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(max(abs(col("x"))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    val scales = maxabs.map(m => if (m == 0.0) 1.0 else m / 127.0)
+    val sc = typedlit(scales.toSeq)
+    def qElem(x: Column, s: Column): Column =
+      greatest(lit(-127L), least(lit(127L),
+        floor(x.cast("double") / s + 0.5d).cast("long")))
+    val q = zip_with(emb, sc, qElem)
+    val err = zip_with(emb, sc,
+      (x, s) => pow(x.cast("double") - qElem(x, s) * s, 2))
+    vecs.select(col("vec_id"), q.as("q"),
+      aggregate(q, lit(0L), (acc, v) => acc + v * v).as("qnorm2"),
+      (aggregate(err, lit(0.0), (acc, v) => acc + v) /
+        size(emb).cast("double")).as("mse"))
+  }
+
   // ---- DuckDB oracle builders ----
+
+  /** DuckDB twin of [[quantizeInt8]]; defines
+    * `outq(vec_id, qnorm2, mse)` (the q array itself is pinned through
+    * qnorm2 — an exact integer functional of every element). */
+  def quantizeInt8Sql: String =
+    s"""ex AS (
+       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+       |), dims AS (
+       |  SELECT i, CASE WHEN max(abs(x)) = 0 THEN 1.0
+       |                 ELSE max(abs(x)) / 127.0 END AS s
+       |  FROM ex GROUP BY i
+       |), qe AS (
+       |  SELECT vec_id, x, s,
+       |    greatest(-127, least(127, CAST(floor(x / s + 0.5) AS BIGINT))) AS qv
+       |  FROM ex JOIN dims USING (i)
+       |), outq AS (
+       |  SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS qnorm2,
+       |    sum((x - qv * s) * (x - qv * s)) / count(*) AS mse
+       |  FROM qe GROUP BY vec_id
+       |)""".stripMargin
 
   /** Unrolled-CTE DuckDB restatement of [[kmeans]]: `qvecs`, `c0`
     * seeds, then aN/cN per round; defines `outk(vec_id, cid, cos)`. */

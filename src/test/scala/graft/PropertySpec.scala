@@ -580,4 +580,48 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows(O.maximumAbove(d, 0.0)) === all.filter(r => keep(r._1)))
     }
   }
+
+  test("int8 quantization: per-element error ≤ s/2, range and invariants") {
+    val s = spark; import s.implicits._
+    val gen: Gen[List[List[Float]]] = for {
+      n <- Gen.choose(2, 6)
+      dim <- Gen.choose(1, 8)
+      vals <- Gen.listOfN(n * dim, Gen.choose(-8.0f, 8.0f))
+    } yield vals.grouped(dim).toList
+    forAll(gen, n = 5) { vecs =>
+      val d = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val out = pipeline.Similarity.quantizeInt8(d)
+        .select("vec_id", "q", "qnorm2", "mse").collect()
+      val dim = vecs.head.size
+      // driver-side recomputation of the per-dim scales
+      val scales = (0 until dim).map { j =>
+        val m = vecs.map(v => math.abs(v(j).toDouble)).max
+        if (m == 0.0) 1.0 else m / 127.0
+      }
+      out.foreach { r =>
+        val v = vecs(r.getLong(0).toInt)
+        val q = r.getSeq[Long](1)
+        assert(q.forall(x => x >= -127 && x <= 127))
+        assert(r.getLong(2) === q.map(x => x * x).sum)
+        // in-range elements round to within half a scale step
+        q.indices.foreach { j =>
+          assert(math.abs(v(j) - q(j) * scales(j)) <= scales(j) / 2 + 1e-9)
+        }
+        val mse = q.indices.map(j =>
+          math.pow(v(j) - q(j) * scales(j), 2)).sum / dim
+        assert(math.abs(r.getDouble(3) - mse) < 1e-12)
+      }
+    }
+  }
+
+  test("int8 quantization: all-zero dimension quantizes to 0 via unit scale") {
+    val s = spark; import s.implicits._
+    val d = List((0L, List(0.0f, 1.0f)), (1L, List(0.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val q = pipeline.Similarity.quantizeInt8(d).orderBy("vec_id")
+      .select("q").as[Seq[Long]].collect()
+    assert(q(0)(0) === 0L && q(1)(0) === 0L)
+    assert(q(0)(1) === 64L && q(1)(1) === -127L) // scale = 2/127
+  }
 }
