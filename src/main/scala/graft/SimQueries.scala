@@ -161,6 +161,22 @@ object SimQueries {
            |       ${Round6.r6Sql("mse")} AS mse
            |FROM outq ORDER BY vec_id""".stripMargin)),
 
+    // quantized-tier top-10: exact integer int8×int8 dot ranking
+    ("sim_topk_q8",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.topKQuantized(e, e.filter(col("vec_id") < 5), K)
+          .select(col("qid").cast("long").as("qid"), col("rank"),
+            col("vec_id").cast("long").as("vec_id"), col("qdot"))
+          .orderBy("qid", "rank")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.quantizeInt8Sql},
+           |${Similarity.topKQuantizedSql("vec_id < 5")}
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           |       CAST(vec_id AS BIGINT) AS vec_id, qdot
+           |FROM rankedq WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
+
     // LSH-bucketed pairs: random-hyperplane bands, exact verification
     ("sim_pairs_lsh",
       ((s, d) => Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)

@@ -354,7 +354,60 @@ object Similarity {
         size(emb).cast("double")).as("mse"))
   }
 
+  /** Top-k over the QUANTIZED tier: rank by the symmetric int8×int8
+    * dot product — what a serving index actually scans (4× less
+    * memory traffic than float32, and the score is an exact integer,
+    * so ranking is bit-deterministic on any engine with no float
+    * tie-break hazards). Scales come from the CORPUS (the index-build
+    * invariant); queries quantize against them at probe time. Same
+    * plan shape as [[topKExact]]: the query side broadcasts, the
+    * corpus streams map-side, `TakeOrdered` per query — no shuffle of
+    * the big side. Returns (qid, rank, vec_id, qdot). */
+  def topKQuantized(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val maxabs = corpus
+      .select(posexplode(emb.cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(max(abs(col("x"))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    val sc = typedlit(maxabs.map(m => if (m == 0.0) 1.0 else m / 127.0).toSeq)
+    def q8(c: Column): Column = zip_with(c, sc, (x, s) =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(x.cast("double") / s + 0.5d).cast("long"))))
+    val q = broadcast(queries.select(col("vec_id").as("qid"), q8(emb).as("qq")))
+    val scored = corpus.select(col("vec_id"), q8(emb).as("cq")).crossJoin(q)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("qdot"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("qdot"))
+  }
+
   // ---- DuckDB oracle builders ----
+
+  /** DuckDB twin of [[topKQuantized]] (requires [[quantizeInt8Sql]]'s
+    * `dims`); defines `rankedq(qid, rank, vec_id, qdot)`. */
+  def topKQuantizedSql(queryPred: String): String =
+    s"""q8 AS (
+       |  SELECT vec_id, list(
+       |    greatest(-127, least(127,
+       |      CAST(floor(CAST(embedding[d.i] AS DOUBLE) / d.s + 0.5) AS BIGINT)))
+       |    ORDER BY d.i) AS qv
+       |  FROM embeddings, dims d GROUP BY vec_id
+       |), scoredq AS (
+       |  SELECT q.vec_id AS qid, e.vec_id,
+       |    CAST(list_sum([q.qv[i] * e.qv[i]
+       |      for i in generate_series(1, len(q.qv))]) AS BIGINT) AS qdot
+       |  FROM q8 e, (SELECT * FROM q8 WHERE $queryPred) q
+       |  WHERE e.vec_id <> q.vec_id
+       |), rankedq AS (
+       |  SELECT qid, vec_id, qdot,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY qdot DESC, vec_id) AS rank
+       |  FROM scoredq
+       |)""".stripMargin
 
   /** DuckDB twin of [[quantizeInt8]]; defines
     * `outq(vec_id, qnorm2, mse)` (the q array itself is pinned through

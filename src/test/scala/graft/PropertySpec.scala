@@ -615,6 +615,39 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantized top-k ≡ driver-side int8 MIPS recomputation") {
+    val s = spark; import s.implicits._
+    val gen: Gen[List[List[Float]]] = for {
+      n <- Gen.choose(4, 8)
+      dim <- Gen.choose(2, 6)
+      vals <- Gen.listOfN(n * dim, Gen.choose(-4.0f, 4.0f))
+    } yield vals.grouped(dim).toList
+    forAll(gen, n = 5) { vecs =>
+      val d = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val k = 3
+      val got = pipeline.Similarity
+        .topKQuantized(d, d.filter(col("vec_id") === 0), k)
+        .orderBy("rank")
+        .select("vec_id", "qdot").as[(Long, Long)].collect().toSeq
+      // driver-side: corpus scales, quantize, integer dots, same order
+      val dim = vecs.head.size
+      val scales = (0 until dim).map { j =>
+        val m = vecs.map(v => math.abs(v(j).toDouble)).max
+        if (m == 0.0) 1.0 else m / 127.0
+      }
+      def q8(v: List[Float]): Seq[Long] = v.indices.map(j =>
+        math.max(-127L, math.min(127L,
+          math.floor(v(j).toDouble / scales(j) + 0.5).toLong)))
+      val qq = q8(vecs.head)
+      val want = vecs.zipWithIndex.drop(1)
+        .map { case (v, i) =>
+          (i.toLong, q8(v).zip(qq).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, dot) => (-dot, id) }.take(k)
+      assert(got === want)
+    }
+  }
+
   test("int8 quantization: all-zero dimension quantizes to 0 via unit scale") {
     val s = spark; import s.implicits._
     val d = List((0L, List(0.0f, 1.0f)), (1L, List(0.0f, -2.0f)))
