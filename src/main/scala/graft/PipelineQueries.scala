@@ -283,6 +283,32 @@ object PipelineQueries {
            |WHERE ${pipeline.Sampling.bucketSql("doc_id")} < CAST(round(rate * 10000) AS BIGINT)
            |ORDER BY source, doc_id""".stripMargin)),
 
+    // mixture re-weighting: per-source epoch weights (floor copies +
+    // hash-decided fractional copy), explicit weights for two sources,
+    // a fractional default for the rest
+    ("sp_mixture",
+      ((s, d) => {
+        val sess = s; import sess.implicits._
+        val w = Seq(("src0", 2.5), ("src1", 0.25)).toDF("stratum", "weight")
+        pipeline.Sampling.mixtureSample(
+            Tables.documents(s, d), col("source"), col("doc_id"), w, 1.0)
+          .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+            col("copy"))
+          .orderBy("source", "doc_id", "copy")
+      }): Q,
+      Some {
+        val wt = "CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25 ELSE 1.0 END"
+        s"""WITH wdocs AS (
+           |  SELECT source, doc_id,
+           |         ${pipeline.Sampling.mixtureCopiesSql(wt, "doc_id")} AS n
+           |  FROM documents
+           |)
+           |SELECT source, CAST(doc_id AS BIGINT) AS doc_id, t.copy
+           |FROM wdocs, unnest(generate_series(0, n - 1)) AS t(copy)
+           |WHERE n > 0
+           |ORDER BY source, doc_id, copy""".stripMargin
+      }),
+
     // benchmark contamination: corpus-doc 3-gram overlap vs an eval
     // set (doc_id ≡ 0 mod 17 plays the benchmark; the rest the corpus)
     ("cu_contamination",

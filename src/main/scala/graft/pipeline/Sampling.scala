@@ -46,6 +46,43 @@ object Sampling {
       .drop("__s", "__r")
   }
 
+  /** Deterministic mixture (re-)weighting — the data-mixing step a
+    * pre-training corpus runs to hit a target source distribution:
+    * weight w per stratum means every document yields floor(w) copies
+    * plus one more with probability frac(w), decided by the same
+    * stable hash family as [[hashSample]] (so the fractional keep-set
+    * is a uniform, reproducible, engine-portable subset — and w ≤ 1
+    * degenerates to exactly [[stratifiedSample]]'s keep rule). Copies
+    * carry a `copy` index (0-based) so a downstream [[shuffleRank]]
+    * with `copy` folded into the key spreads epochs apart instead of
+    * emitting byte-identical neighbors.
+    *
+    * Scale shape: the weight table is broadcast and the pass is pure
+    * map-side explode — output grows by exactly the mixture factor,
+    * there is no shuffle, and a 100 TB corpus re-weights in one scan.
+    * Strata absent from the table keep `defaultWeight`. */
+  def mixtureSample(df: DataFrame, stratum: Column, key: Column,
+      weights: DataFrame, defaultWeight: Double): DataFrame = {
+    val w = broadcast(weights.select(col("stratum").as("__s"),
+      col("weight").as("__w")))
+    val eff = coalesce(col("__w"), lit(defaultWeight))
+    val frac = eff - floor(eff)
+    val copies = (floor(eff).cast("long") +
+      when(bucket(key) < round(frac * 10000).cast("long"), 1L).otherwise(0L))
+      .as("__n")
+    df.join(w, stratum === col("__s"), "left")
+      .withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__s", "__w", "__n")
+  }
+
+  /** SQL twin of [[mixtureSample]]'s copy count for a weight
+    * expression `w` and key expression `k`. */
+  def mixtureCopiesSql(w: String, k: String): String =
+    s"(CAST(floor($w) AS BIGINT) + CASE WHEN ${bucketSql(k)} < " +
+      s"CAST(round(($w - floor($w)) * 10000) AS BIGINT) THEN 1 ELSE 0 END)"
+
   /** Deterministic global shuffle for training-order randomization:
     * each row gets (block, rank) = (hash-prefix bucket, position within
     * the block in md5(salt ∥ key) order); the global shuffled order is

@@ -615,6 +615,31 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mixtureSample: integer weights replicate, w ≤ 1 ≡ stratified keep") {
+    val s = spark; import s.implicits._
+    val d = (0L until 60L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val w = Seq(("src0", 2.0), ("src1", 0.4)).toDF("stratum", "weight")
+    val out = pipeline.Sampling.mixtureSample(
+        d, col("source"), col("doc_id"), w, 1.0)
+      .select("doc_id", "source", "copy").as[(Long, String, Long)]
+      .collect().toSeq.sorted
+    // integer weight 2.0: every src0 doc exactly twice, copies 0 and 1
+    val src0 = out.filter(_._2 == "src0")
+    assert(src0.map(_._1).distinct.size === 20 && src0.size === 40)
+    assert(src0.groupBy(_._1).values.forall(_.map(_._3).sorted == Seq(0L, 1L)))
+    // w = 0.4 < 1: same keep set as the stratified sampler, single copy
+    val rates = Seq(("src1", 0.4)).toDF("stratum", "rate")
+    val keep = pipeline.Sampling.stratifiedSample(
+        d.filter(col("source") === "src1"), col("source"), col("doc_id"),
+        rates, 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    val src1 = out.filter(_._2 == "src1")
+    assert(src1.map(_._1).toSet === keep && src1.forall(_._3 == 0L))
+    // default weight 1.0: every src2 doc exactly once
+    val src2 = out.filter(_._2 == "src2")
+    assert(src2.map(_._1).distinct.size === 20 && src2.size === 20)
+  }
+
   test("quantized top-k ≡ driver-side int8 MIPS recomputation") {
     val s = spark; import s.implicits._
     val gen: Gen[List[List[Float]]] = for {
