@@ -379,6 +379,19 @@ object PipelineQueries {
         .select(col("tok"), col("tf"), col("df"))): Q,
       Some(pipeline.Curation.vocabStatsSql(50))),
 
+    // per-source token-distribution drift: JS divergence vs the corpus
+    // over the top-100 vocabulary
+    ("cu_drift",
+      ((s, d) => pipeline.Curation.sourceDrift(Tables.documents(s, d), 100)
+        .select(col("source"), col("n_vocab_tokens"),
+          ts.Round6.r6(col("js_div")).as("js_div"))
+        .orderBy("source")): Q,
+      Some(
+        s"""WITH ${pipeline.Curation.sourceDriftSql(100)}
+           |SELECT source, n_vocab_tokens,
+           |  ${ts.Round6.r6Sql("js_div")} AS js_div
+           |FROM outd ORDER BY source""".stripMargin)),
+
     // overlapping token-window chunking (embedding/retrieval prep):
     // 32-token chunks every 24 tokens, final partial kept
     ("cu_chunks",

@@ -244,6 +244,75 @@ object Curation {
        |FROM toks GROUP BY tok
        |ORDER BY tf DESC, tok LIMIT $topK""".stripMargin
 
+  // ---- per-source distribution drift ----
+
+  /** Per-source token-distribution drift: the Jensen-Shannon
+    * divergence of each source's token distribution against the whole
+    * corpus, restricted to the corpus top-K vocabulary — the
+    * corpus-composition monitor a pipeline runs per ingest batch (a
+    * source whose crawl changed character jumps out as a js_div
+    * outlier). Restricting to top-K makes the comparison state
+    * K-bounded: the vocab is a K-row frame (broadcast everywhere it
+    * joins), per-source counts are ≤ sources×K rows, and the token
+    * stream itself is touched exactly once, map-side. Top-K ties
+    * break by token for cross-engine determinism; a top-K token
+    * absent from a source contributes only its corpus half (p=0 term
+    * is 0). Sources must be non-null (group semantics as
+    * [[sourceCap]]'s SQL twin). Returns
+    * (source, n_vocab_tokens, js_div). */
+  def sourceDrift(docs: DataFrame, topK: Int): DataFrame = {
+    val toks = docs.select(col("source"), explode(tokens).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cn"))
+      .orderBy(col("cn").desc, col("tok")).limit(topK)
+    val grid = docs.select(col("source")).distinct().crossJoin(broadcast(vocab))
+    val sc = toks.join(broadcast(vocab.select("tok")), "tok")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("sn"))
+    val st = sc.groupBy(col("source")).agg(sum(col("sn")).as("stot"))
+    val ctot = broadcast(vocab.agg(sum(col("cn")).as("ctot")))
+    val m = (col("p") + col("q")) / 2
+    grid.join(sc, Seq("source", "tok"), "left")
+      .join(st, "source").crossJoin(ctot)
+      .select(col("source"), col("stot"),
+        (coalesce(col("sn"), lit(0L)).cast("double") /
+          col("stot").cast("double")).as("p"),
+        (col("cn").cast("double") / col("ctot").cast("double")).as("q"))
+      .groupBy(col("source"))
+      .agg(min(col("stot")).as("n_vocab_tokens"),
+        sum(when(col("p") > 0,
+            lit(0.5) * col("p") * log(col("p") / m)).otherwise(lit(0.0))
+          + lit(0.5) * col("q") * log(col("q") / m)).as("js_div"))
+  }
+
+  /** DuckDB twin of [[sourceDrift]]; defines CTE
+    * `outd(source, n_vocab_tokens, js_div)`. */
+  def sourceDriftSql(topK: Int): String =
+    s"""toksd AS (
+       |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cn
+       |  FROM toksd GROUP BY tok ORDER BY cn DESC, tok LIMIT $topK
+       |), ctv AS (SELECT sum(cn) AS ctot FROM vocab),
+       |gridd AS (SELECT s.source, v.tok, v.cn
+       |          FROM (SELECT DISTINCT source FROM documents) s, vocab v),
+       |scd AS (
+       |  SELECT t.source, t.tok, count(*) AS sn
+       |  FROM toksd t JOIN vocab v USING (tok) GROUP BY t.source, t.tok
+       |), std AS (SELECT source, sum(sn) AS stot FROM scd GROUP BY source),
+       |termsd AS (
+       |  SELECT g.source, std.stot,
+       |    CAST(coalesce(scd.sn, 0) AS DOUBLE) / std.stot AS p,
+       |    CAST(g.cn AS DOUBLE) / ctv.ctot AS q
+       |  FROM gridd g
+       |  LEFT JOIN scd ON scd.source = g.source AND scd.tok = g.tok
+       |  JOIN std ON std.source = g.source, ctv
+       |), outd AS (
+       |  SELECT source, CAST(min(stot) AS BIGINT) AS n_vocab_tokens,
+       |    sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+       |      + 0.5 * q * ln(q / ((p + q) / 2))) AS js_div
+       |  FROM termsd GROUP BY source
+       |)""".stripMargin
+
   // ---- overlapping token-window chunking ----
 
   /** Split every document into overlapping token windows — the

@@ -55,6 +55,25 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sourceDrift: identical sources score 0, divergent ones stay in (0, ln 2]") {
+    val s = spark; import s.implicits._
+    // two sources with IDENTICAL token distributions: each equals the
+    // corpus distribution, so JS divergence is exactly 0
+    val same = Seq((1L, "a", "x y z"), (2L, "b", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val d0 = Curation.sourceDrift(same, 10).collect()
+    assert(d0.length === 2 && d0.forall(r => math.abs(r.getDouble(2)) < 1e-12))
+    // disjoint vocabularies: maximal separation from the corpus mix,
+    // but never past the JS bound ln 2
+    val disj = Seq((1L, "a", "x x x"), (2L, "b", "y"))
+      .toDF("doc_id", "source", "text")
+    val dd = Curation.sourceDrift(disj, 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(dd.values.forall(v => v > 0 && v <= math.log(2) + 1e-12))
+    // the 1-token source diverges more from the 3:1 corpus mix
+    assert(dd("b") > dd("a"))
+  }
+
   test("contamination: planted overlap is measured exactly and bounded") {
     // bench holds exactly one of the corpus doc's 3-grams
     val corpus = docs(Seq(1L -> "a b c d e")) // grams: "a b c","b c d","c d e"
