@@ -24,7 +24,10 @@ object Bench {
     // round-4 additions: wire decode, whisper import, clustering, sampling
     "ig_pickle_parse", "ig_whisper_import", "sim_kmeans", "sp_shuffle_rank",
     // curation stages (keep the JSON line < ~1 KB — driver tail-capture)
-    "cu_repetition", "cu_pack_sequences", "cu_pipeline", "ts_asof_join")
+    "cu_repetition", "cu_pack_sequences", "cu_pipeline", "ts_asof_join",
+    // round-6 additions: substring-level dedup, quantized MIPS tier,
+    // per-source drift
+    "dd_window_fp", "sim_topk_q8", "cu_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
