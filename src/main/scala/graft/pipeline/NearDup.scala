@@ -397,7 +397,15 @@ object NearDup {
     * the same cardinality as the shingle stream every other dedup path
     * already pays. */
   def windowFpPairs(docs: DataFrame, window: Int, minShared: Int,
-      stride: Int = 1): DataFrame = {
+      stride: Int = 1): DataFrame =
+    windowFpPairsScoped(docs, window, minShared, stride)._1
+
+  /** [[windowFpPairs]] plus a release handle that unpersists the shared
+    * window-set and membership caches; call it after the final action
+    * that consumes the pairs (same contract as
+    * [[minhashPairsScoped]]). */
+  def windowFpPairsScoped(docs: DataFrame, window: Int, minShared: Int,
+      stride: Int = 1): (DataFrame, () => Unit) = {
     require(window > 0 && stride > 0 && minShared > 0,
       "window, stride, minShared must be positive")
     val (members, reps) = collapseExact(docs)
@@ -438,7 +446,8 @@ object NearDup {
         size(col("ws")).cast("long").as("n_shared")), "rep")
       .filter(col("n_shared") >= minShared)
       .select(col("xa").as("doc_a"), col("xb").as("doc_b"), col("n_shared"))
-    cross.unionByName(within)
+    (cross.unionByName(within),
+      () => { wsets.unpersist(); members.unpersist(); () })
   }
 
   /** DuckDB twin of [[windowFpPairs]] incl. the exact-dup collapse;

@@ -57,6 +57,19 @@ class WindowFpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(d, w = 8, m = 3) === Seq((5L, 9L, 3L)))
   }
 
+  test("scoped variant releases the window-set and membership caches") {
+    val s = spark
+    def cachedRdds = s.sparkContext.getPersistentRDDs.size
+    val before = cachedRdds
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val d = docs(Seq(1L -> s"a $passage", 2L -> s"$passage b"))
+    val (pairs, release) = NearDup.windowFpPairsScoped(d, 8, 3)
+    pairs.count()
+    assert(cachedRdds > before, "expected the internal caches to register")
+    release()
+    assert(cachedRdds === before, "release() must unpersist every cache")
+  }
+
   test("documents shorter than the window contribute nothing") {
     // identical 5-token docs: no full 8-token window exists, so the
     // detector stays silent even though they are exact duplicates —
