@@ -79,6 +79,17 @@ object ScaleProbe {
       time("kmeans_1m") { // 3 Lloyd rounds + final assignment
         pipeline.Similarity.kmeans(vecs).count()
       },
+      time("topk_q8_1m") { // quantized MIPS serving scan: corpus-scale
+        // int8 build + 5-query broadcast top-10, exact integer ranking
+        pipeline.Similarity.topKQuantized(vecs,
+          vecs.filter(col("vec_id") < 5), 10).count()
+      },
+      time("source_drift_200k") { // K-bounded JS drift, 20 synthetic
+        // sources over the 200k-doc corpus, top-1000 vocab
+        pipeline.Curation.sourceDrift(
+          docs.withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(20)))), 1000).count()
+      },
       time("pickle_roundtrip_2m") { // wire encode+decode, 100-point frames
         import spark.implicits._
         spark.range(2000000).as[Long]

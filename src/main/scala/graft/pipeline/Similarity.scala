@@ -335,13 +335,19 @@ object Similarity {
     * Returns (vec_id, q, qnorm2, mse): `q` the int8-domain array,
     * `qnorm2 = Σq²` an exact integer invariant of the whole vector,
     * `mse` the per-vector dequantization error (array-order fold). */
-  def quantizeInt8(vecs: DataFrame): DataFrame = {
-    val maxabs = vecs
-      .select(posexplode(emb.cast("array<double>")).as(Seq("i", "x")))
+  /** Per-dimension int8 scales over a corpus: max|x|/127, unit scale
+    * for all-zero dimensions. One dim-bounded aggregate + driver
+    * bounce — shared by [[quantizeInt8]] and [[topKQuantized]] so an
+    * index build that quantizes AND serves pays it once. */
+  def int8Scales(vecs: DataFrame): Seq[Double] =
+    vecs.select(posexplode(emb.cast("array<double>")).as(Seq("i", "x")))
       .groupBy(col("i")).agg(max(abs(col("x"))).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
-    val scales = maxabs.map(m => if (m == 0.0) 1.0 else m / 127.0)
-    val sc = typedlit(scales.toSeq)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+      .map { case (_, m) => if (m == 0.0) 1.0 else m / 127.0 }.toSeq
+
+  def quantizeInt8(vecs: DataFrame,
+      scales: Option[Seq[Double]] = None): DataFrame = {
+    val sc = typedlit(scales.getOrElse(int8Scales(vecs)))
     def qElem(x: Column, s: Column): Column =
       greatest(lit(-127L), least(lit(127L),
         floor(x.cast("double") / s + 0.5d).cast("long")))
@@ -363,12 +369,9 @@ object Similarity {
     * plan shape as [[topKExact]]: the query side broadcasts, the
     * corpus streams map-side, `TakeOrdered` per query — no shuffle of
     * the big side. Returns (qid, rank, vec_id, qdot). */
-  def topKQuantized(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val maxabs = corpus
-      .select(posexplode(emb.cast("array<double>")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(max(abs(col("x"))).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
-    val sc = typedlit(maxabs.map(m => if (m == 0.0) 1.0 else m / 127.0).toSeq)
+  def topKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+      scales: Option[Seq[Double]] = None): DataFrame = {
+    val sc = typedlit(scales.getOrElse(int8Scales(corpus)))
     def q8(c: Column): Column = zip_with(c, sc, (x, s) =>
       greatest(lit(-127L), least(lit(127L),
         floor(x.cast("double") / s + 0.5d).cast("long"))))
