@@ -177,6 +177,24 @@ object SimQueries {
            |       CAST(vec_id AS BIGINT) AS vec_id, qdot
            |FROM rankedq WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
 
+    // IVF over the quantized tier (the production serving shape):
+    // first-K centroid buckets, nProbe probing, exact int8 dot ranking
+    ("sim_topk_ivf_q8",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.topKIvfQ8(e, e.filter(col("vec_id") < 5), K)
+          .select(col("qid").cast("long").as("qid"), col("rank"),
+            col("vec_id").cast("long").as("vec_id"), col("qdot"))
+          .orderBy("qid", "rank")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.quantizeInt8Sql},
+           |${Similarity.topKQuantizedSql("vec_id < 5")},
+           |${Similarity.topKIvfQ8Sql("q.vec_id < 5")}
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           |       CAST(vec_id AS BIGINT) AS vec_id, qdot
+           |FROM rankedivq WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
+
     // LSH-bucketed pairs: random-hyperplane bands, exact verification
     ("sim_pairs_lsh",
       ((s, d) => Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)

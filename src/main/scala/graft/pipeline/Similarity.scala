@@ -369,19 +369,65 @@ object Similarity {
     * plan shape as [[topKExact]]: the query side broadcasts, the
     * corpus streams map-side, `TakeOrdered` per query — no shuffle of
     * the big side. Returns (qid, rank, vec_id, qdot). */
+  /** Clamped int8 quantization of an embedding column against a
+    * per-dimension scales literal ([[int8Scales]]). */
+  private def q8Arr(c: Column, sc: Column): Column =
+    zip_with(c, sc, (x, s) => greatest(lit(-127L), least(lit(127L),
+      floor(x.cast("double") / s + 0.5d).cast("long"))))
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def q8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   def topKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
       scales: Option[Seq[Double]] = None): DataFrame = {
     val sc = typedlit(scales.getOrElse(int8Scales(corpus)))
-    def q8(c: Column): Column = zip_with(c, sc, (x, s) =>
-      greatest(lit(-127L), least(lit(127L),
-        floor(x.cast("double") / s + 0.5d).cast("long"))))
+    def q8(c: Column): Column = q8Arr(c, sc)
     val q = broadcast(queries.select(col("vec_id").as("qid"), q8(emb).as("qq")))
     val scored = corpus.select(col("vec_id"), q8(emb).as("cq")).crossJoin(q)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
-          lit(0L), (acc, v) => acc + v).as("qdot"))
+        q8Dot(col("qq"), col("cq")).as("qdot"))
     scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("qdot"))
+  }
+
+  /** IVF over the QUANTIZED tier — the production serving configuration
+    * (FAISS's IVF+SQ8 shape): the index build assigns every vector to
+    * its nearest centroid AND stores it int8-quantized; queries probe
+    * the nProbe nearest buckets (float centroid cosine — index
+    * metadata, K-bounded) and scan only those buckets with the exact
+    * integer int8×int8 dot. Composes [[topKIvfWith]]'s bucket
+    * machinery with [[topKQuantized]]'s scan: per-query work drops to
+    * ~nProbe/K of the corpus AND each scanned vector is 4× cheaper,
+    * with bit-deterministic ranking. First-K centroid seeds, like
+    * [[topKIvf]], so the oracle replays the whole index build.
+    * Returns (qid, rank, vec_id, qdot). */
+  def topKIvfQ8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("long").as("cid"), emb.as("cent"))
+    val centSeq = collectCentroidSeq(centroids, "cid", "cent")
+    val cents = broadcast(centroids)
+    val sc = typedlit(int8Scales(corpus))
+    val assigned = corpus.select(col("vec_id"), q8Arr(emb, sc).as("cq"),
+      graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
+        .getField("cid").as("cid"))
+    val probes = queries.select(col("vec_id").as("qid"), emb.as("qemb"))
+      .crossJoin(cents)
+      .select(col("qid"), col("qemb"), col("cid"),
+        cosine(col("qemb"), col("cent")).as("ccos"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("__r") <= IvfProbe)
+      .select(col("qid"), q8Arr(col("qemb"), sc).as("qq"), col("cid"))
+    broadcast(probes).join(assigned.withColumnRenamed("vec_id", "cand"), Seq("cid"))
+      .filter(col("cand") =!= col("qid"))
+      .select(col("qid"), col("cand").as("vec_id"),
+        q8Dot(col("qq"), col("cq")).as("qdot"))
+      .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("vec_id"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"),
@@ -410,6 +456,41 @@ object Similarity {
        |         row_number() OVER (PARTITION BY qid
        |           ORDER BY qdot DESC, vec_id) AS rank
        |  FROM scoredq
+       |)""".stripMargin
+
+  /** DuckDB twin of [[topKIvfQ8]] (requires [[quantizeInt8Sql]]'s
+    * `dims` and [[topKQuantizedSql]]'s `q8`); defines
+    * `rankedivq(qid, rank, vec_id, qdot)`. */
+  def topKIvfQ8Sql(queryPred: String): String =
+    s"""centsq AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $IvfK
+       |), assignedq AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cid) AS r
+       |    FROM embeddings e, centsq c)
+       |  WHERE r = 1
+       |), probesq AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosineSql("q.embedding", "c.cemb")} DESC, c.cid) AS r
+       |    FROM embeddings q, centsq c WHERE $queryPred)
+       |  WHERE r <= $IvfProbe
+       |), rankedivq AS (
+       |  SELECT qid, vec_id, qdot,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY qdot DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT p.qid, a.vec_id,
+       |      CAST(list_sum([qv.qv[i] * cv.qv[i]
+       |        for i in generate_series(1, len(qv.qv))]) AS BIGINT) AS qdot
+       |    FROM probesq p
+       |    JOIN assignedq a USING (cid)
+       |    JOIN q8 qv ON qv.vec_id = p.qid
+       |    JOIN q8 cv ON cv.vec_id = a.vec_id
+       |    WHERE a.vec_id <> p.qid)
        |)""".stripMargin
 
   /** DuckDB twin of [[quantizeInt8]]; defines

@@ -673,6 +673,43 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantized IVF: scores are exact int8 dots, ranking consistent") {
+    val s = spark; import s.implicits._
+    val gen: Gen[List[List[Float]]] = for {
+      n <- Gen.choose(18, 24) // > IvfK=16 so buckets hold multiple vectors
+      dim <- Gen.choose(2, 5)
+      vals <- Gen.listOfN(n * dim, Gen.choose(-4.0f, 4.0f))
+    } yield vals.grouped(dim).toList
+    forAll(gen, n = 3) { vecs =>
+      val d = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val out = pipeline.Similarity
+        .topKIvfQ8(d, d.filter(col("vec_id") < 2), 5)
+        .select("qid", "rank", "vec_id", "qdot")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val dim = vecs.head.size
+      val scales = (0 until dim).map { j =>
+        val m = vecs.map(v => math.abs(v(j).toDouble)).max
+        if (m == 0.0) 1.0 else m / 127.0
+      }
+      def q8(v: List[Float]): Seq[Long] = v.indices.map(j =>
+        math.max(-127L, math.min(127L,
+          math.floor(v(j).toDouble / scales(j) + 0.5).toLong)))
+      out.groupBy(_._1).foreach { case (qid, rows) =>
+        // every reported score is the exact int8 dot of its pair
+        rows.foreach { case (_, _, vid, qdot) =>
+          val expect = q8(vecs(vid.toInt)).zip(q8(vecs(qid.toInt)))
+            .map { case (a, b) => a * b }.sum
+          assert(qdot === expect, s"q$qid vs $vid")
+        }
+        // ranks are 1..n, strictly ordered by (qdot desc, vec_id)
+        val sorted = rows.sortBy(_._2)
+        assert(sorted.map(_._2) === (1L to sorted.size).toSeq)
+        assert(sorted === sorted.sortBy(r => (-r._4, r._3)))
+      }
+    }
+  }
+
   test("int8 quantization: all-zero dimension quantizes to 0 via unit scale") {
     val s = spark; import s.implicits._
     val d = List((0L, List(0.0f, 1.0f)), (1L, List(0.0f, -2.0f)))
