@@ -379,6 +379,17 @@ object PipelineQueries {
         .select(col("tok"), col("tf"), col("df"))): Q,
       Some(pipeline.Curation.vocabStatsSql(50))),
 
+    // BPE merge training: 6 rounds of most-frequent-pair fusion over
+    // the frequency-weighted word vocabulary
+    ("cu_bpe",
+      ((s, d) => pipeline.Curation.bpeMerges(Tables.documents(s, d), 6)
+        .select(col("round"), col("pair"), col("n"))
+        .orderBy("round")): Q,
+      Some(
+        s"""WITH ${pipeline.Curation.bpeMergesSql(6)}
+           |SELECT round, pr AS pair, CAST(n AS BIGINT) AS n
+           |FROM outb ORDER BY round""".stripMargin)),
+
     // per-source token-distribution drift: JS divergence vs the corpus
     // over the top-100 vocabulary
     ("cu_drift",

@@ -244,6 +244,99 @@ object Curation {
        |FROM toks GROUP BY tok
        |ORDER BY tf DESC, tok LIMIT $topK""".stripMargin
 
+  // ---- BPE merge training ----
+
+  /** Distributed BPE merge training — the vocabulary-construction step
+    * [[vocabStats]] feeds: `rounds` byte-pair merges learned over the
+    * corpus, each round picking the most frequent adjacent symbol pair
+    * (weighted by word frequency) and fusing it everywhere.
+    *
+    * Scale shape: everything beyond the first token count runs over
+    * the WORD VOCABULARY, not the corpus — the one `(word, cnt)`
+    * aggregate is corpus-wide (map-side combinable, vocab-bounded
+    * shuffle), after which each round is a vocab-sized pass: pair
+    * counting explodes ~word-length pairs per vocab entry, the argmax
+    * is one tiny TakeOrdered, and the winning merge bounces through
+    * the driver as a literal (the k-means centroid idiom — each
+    * round's plan re-derives symbol state from the persisted vocab
+    * through a constant-depth chain of `replace`s, so lineage never
+    * snowballs). Symbol sequences are space-joined strings, so merge
+    * application is one leftmost-non-overlapping string `replace` —
+    * semantics identical in Spark and DuckDB, which lets the oracle
+    * unroll the whole loop as CTEs.
+    *
+    * Ties break by (count desc, pair asc); rounds after the pair
+    * supply is exhausted emit nothing. Returns (round, pair, n) —
+    * the merge table, in learned order. */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val wc = docs.select(explode(tokens).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt")).persist()
+    val s0: Column = expr(
+      "concat(array_join(transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1)), ' '), ' </w>')")
+    var sCol: Column = s0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      // NB sequence(1, 0) is DESCENDING [1, 0] in Spark (DuckDB's
+      // generate_series(1, 0) is empty) — fully-fused single-symbol
+      // words must be guarded out explicitly
+      val top = wc.select(col("cnt"), split(sCol, " ").as("sy"))
+        .filter(size(col("sy")) > 1)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pr"))
+        .groupBy(col("pr")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pr")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pr, n) = (top(0).getString(0), top(0).getLong(1))
+        merges += ((r.toLong, pr, n))
+        sCol = trim(replace(concat(lit(" "), sCol, lit(" ")),
+          lit(" " + pr + " "), lit(" " + pr.replace(" ", "") + " ")))
+      }
+    }
+    wc.unpersist()
+    merges.toSeq.toDF("round", "pair", "n")
+  }
+
+  /** DuckDB twin of [[bpeMerges]]: the loop unrolled as w0→(pN,mN,wN)
+    * CTE rounds (the [[graft.pipeline.Similarity.kmeansSql]] idiom);
+    * defines `outb(round, pair, n)`. */
+  def bpeMergesSql(rounds: Int): String = {
+    def round(r: Int) =
+      s"""p$r AS (
+         |  SELECT pr, sum(cnt) AS n FROM (
+         |    SELECT w.cnt, sy[i] || ' ' || sy[i+1] AS pr
+         |    FROM (SELECT cnt, string_split(s, ' ') AS sy FROM w${r - 1}) w,
+         |         unnest(generate_series(1, len(sy) - 1)) AS t(i))
+         |  GROUP BY pr
+         |), m$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round, pr, n
+         |  FROM p$r ORDER BY n DESC, pr LIMIT 1
+         |), w$r AS (
+         |  SELECT w.cnt,
+         |    trim(replace(' ' || w.s || ' ', ' ' || m.pr || ' ',
+         |         ' ' || replace(m.pr, ' ', '') || ' ')) AS s
+         |  FROM w${r - 1} w, m$r m
+         |)""".stripMargin
+    s"""wcb AS (
+       |  SELECT tok AS word, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |    FROM documents) WHERE tok <> '' GROUP BY tok
+       |), w0 AS (
+       |  SELECT cnt, array_to_string([substr(word, i, 1)
+       |    for i in generate_series(1, len(word))], ' ') || ' </w>' AS s
+       |  FROM wcb
+       |), ${(1 to rounds).map(round).mkString(",\n")},
+       |outb AS (
+       |  ${(1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")}
+       |)""".stripMargin
+  }
+
   // ---- per-source distribution drift ----
 
   /** Per-source token-distribution drift: the Jensen-Shannon

@@ -55,6 +55,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpeMerges: hand-traced merges, tie-break order, pair exhaustion") {
+    // corpus "aa aa ab": vocab aa(2), ab(1); w0 = "a a </w>"(2), "a b </w>"(1)
+    // r1: counts {a a:2, a </w>:2, a b:1, b </w>:1} — tie broken by pair
+    //     asc ("a </w>" < "a a" since '<' < 'a') → merge "a </w>"
+    // r2: "a a</w>":2 wins; r3: "a b":1 ("a b" < "b </w>"); r4 fuses
+    //     ("ab","</w>") → "ab</w>"; r5/r6 find NO pairs → 4 rows, not 6
+    val d = docs(Seq(1L -> "aa aa", 2L -> "ab"))
+    val out = Curation.bpeMerges(d, 6).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq(
+      (1L, "a </w>", 2L), (2L, "a a</w>", 2L), (3L, "a b", 1L),
+      (4L, "ab </w>", 1L)))
+  }
+
   test("sourceDrift: identical sources score 0, divergent ones stay in (0, ln 2]") {
     val s = spark; import s.implicits._
     // two sources with IDENTICAL token distributions: each equals the
