@@ -26,8 +26,8 @@ object Bench {
     // curation stages (keep the JSON line < ~1 KB — driver tail-capture)
     "cu_repetition", "cu_pack_sequences", "cu_pipeline", "ts_asof_join",
     // round-6 additions: substring-level dedup, quantized MIPS tier,
-    // per-source drift
-    "dd_window_fp", "sim_topk_q8", "cu_drift")
+    // per-source drift, BPE merge training
+    "dd_window_fp", "sim_topk_q8", "cu_drift", "cu_bpe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

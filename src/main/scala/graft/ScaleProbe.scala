@@ -90,6 +90,16 @@ object ScaleProbe {
           docs.withColumn("source",
             concat(lit("s"), pmod(col("doc_id"), lit(20)))), 1000).count()
       },
+      time("topk_ivf_q8_1m") { // IVF-SQ8 serving: bucket probe + int8
+        // scan — per-query work ~nProbe/K of the flat q8 scan above
+        pipeline.Similarity.topKIvfQ8(vecs,
+          vecs.filter(col("vec_id") < 5), 10).count()
+      },
+      time("bpe_200k_3r") { // BPE on an adversarial vocab: the probe
+        // corpus's words are ~unique hex 6-grams (millions of distinct
+        // words), so every round stresses the vocab-bounded path
+        pipeline.Curation.bpeMerges(docs, 3).count()
+      },
       time("pickle_roundtrip_2m") { // wire encode+decode, 100-point frames
         import spark.implicits._
         spark.range(2000000).as[Long]

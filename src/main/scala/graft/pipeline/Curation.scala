@@ -280,26 +280,27 @@ object Curation {
     var sCol: Column = s0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var exhausted = false
-    for (r <- 1 to rounds if !exhausted) {
-      // NB sequence(1, 0) is DESCENDING [1, 0] in Spark (DuckDB's
-      // generate_series(1, 0) is empty) — fully-fused single-symbol
-      // words must be guarded out explicitly
-      val top = wc.select(col("cnt"), split(sCol, " ").as("sy"))
-        .filter(size(col("sy")) > 1)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(sy) - 1), " +
-            "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pr"))
-        .groupBy(col("pr")).agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("pr")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (pr, n) = (top(0).getString(0), top(0).getLong(1))
-        merges += ((r.toLong, pr, n))
-        sCol = trim(replace(concat(lit(" "), sCol, lit(" ")),
-          lit(" " + pr + " "), lit(" " + pr.replace(" ", "") + " ")))
+    try {
+      for (r <- 1 to rounds if !exhausted) {
+        // NB sequence(1, 0) is DESCENDING [1, 0] in Spark (DuckDB's
+        // generate_series(1, 0) is empty) — fully-fused single-symbol
+        // words must be guarded out explicitly
+        val top = wc.select(col("cnt"), split(sCol, " ").as("sy"))
+          .filter(size(col("sy")) > 1)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(sy) - 1), " +
+              "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pr"))
+          .groupBy(col("pr")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pr")).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (pr, n) = (top(0).getString(0), top(0).getLong(1))
+          merges += ((r.toLong, pr, n))
+          sCol = trim(replace(concat(lit(" "), sCol, lit(" ")),
+            lit(" " + pr + " "), lit(" " + pr.replace(" ", "") + " ")))
+        }
       }
-    }
-    wc.unpersist()
+    } finally { wc.unpersist(); () }
     merges.toSeq.toDF("round", "pair", "n")
   }
 
@@ -354,21 +355,29 @@ object Curation {
     * [[sourceCap]]'s SQL twin). Returns
     * (source, n_vocab_tokens, js_div). */
   def sourceDrift(docs: DataFrame, topK: Int): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
     val toks = docs.select(col("source"), explode(tokens).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cn"))
+    // the top-K vocabulary is K-bounded by contract — bounce it through
+    // the driver once (the k-means centroid idiom) so its THREE
+    // consumers (grid, membership probe, corpus total) share one
+    // computation instead of re-scanning the corpus each
+    val vocabRows = toks.groupBy(col("tok")).agg(count(lit(1)).as("cn"))
       .orderBy(col("cn").desc, col("tok")).limit(topK)
-    val grid = docs.select(col("source")).distinct().crossJoin(broadcast(vocab))
-    val sc = toks.join(broadcast(vocab.select("tok")), "tok")
+      .as[(String, Long)].collect().toSeq
+    val vocab = broadcast(vocabRows.toDF("tok", "cn"))
+    val ctotV = vocabRows.map(_._2).sum.toDouble
+    val grid = docs.select(col("source")).distinct().crossJoin(vocab)
+    val sc = toks.join(vocab.select("tok"), "tok")
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("sn"))
     val st = sc.groupBy(col("source")).agg(sum(col("sn")).as("stot"))
-    val ctot = broadcast(vocab.agg(sum(col("cn")).as("ctot")))
     val m = (col("p") + col("q")) / 2
     grid.join(sc, Seq("source", "tok"), "left")
-      .join(st, "source").crossJoin(ctot)
+      .join(st, "source")
       .select(col("source"), col("stot"),
         (coalesce(col("sn"), lit(0L)).cast("double") /
           col("stot").cast("double")).as("p"),
-        (col("cn").cast("double") / col("ctot").cast("double")).as("q"))
+        (col("cn").cast("double") / lit(ctotV)).as("q"))
       .groupBy(col("source"))
       .agg(min(col("stot")).as("n_vocab_tokens"),
         sum(when(col("p") > 0,

@@ -334,7 +334,11 @@ object Similarity {
     *
     * Returns (vec_id, q, qnorm2, mse): `q` the int8-domain array,
     * `qnorm2 = Σq²` an exact integer invariant of the whole vector,
-    * `mse` the per-vector dequantization error (array-order fold). */
+    * `mse` the per-vector dequantization error (array-order fold).
+    * A vector whose length differs from the corpus dimensionality
+    * yields null elements/invariants (`zip_with` null-pads) rather
+    * than silently truncating — the same null-on-mismatch convention
+    * as [[graft.functions.NearestCentroidExpr]]. */
   /** Per-dimension int8 scales over a corpus: max|x|/127, unit scale
     * for all-zero dimensions. One dim-bounded aggregate + driver
     * bounce — shared by [[quantizeInt8]] and [[topKQuantized]] so an
