@@ -247,6 +247,32 @@ object PipelineQueries {
            |FROM (${pipeline.TextAnalysis.scrubSql})
            |ORDER BY doc_id""".stripMargin)),
 
+    // Unicode normalization: NFC + zero-width strip + whitespace
+    // collapse + trim. The corpus text is clean ASCII, so a second
+    // column runs the chain over a CONSTRUCTED mixed string (combining
+    // acute, ZWSP, NBSP, tab, pad spaces) — real non-ASCII coverage in
+    // both engines, not just an identity pass
+    ("tx_normalize",
+      ((s, d) => {
+        val norm = graft.functions.TextExprs.nfcClean(col("text"))
+        val mixed = concat(lit("  "), substring(col("text"), 1, 16),
+          lit("\te\u0301\u200Bx\u00A0"))
+        Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            norm.as("text_norm"), (norm =!= col("text")).as("changed"),
+            graft.functions.TextExprs.nfcClean(mixed).as("mixed_norm"))
+          .orderBy("doc_id")
+      }): Q,
+      Some {
+        val mixedSql = "'  ' || substr(text, 1, 16) || chr(9) || 'e' || " +
+          "chr(769) || chr(8203) || 'x' || chr(160)"
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  ${pipeline.TextAnalysis.normalizeSql("text")} AS text_norm,
+           |  (${pipeline.TextAnalysis.normalizeSql("text")} <> text) AS changed,
+           |  ${pipeline.TextAnalysis.normalizeSql(mixedSql)} AS mixed_norm
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     // deterministic uniform hash-sample at 20% on doc_id
     ("sp_hash_sample",
       ((s, d) => pipeline.Sampling.hashSample(

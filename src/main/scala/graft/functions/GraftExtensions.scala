@@ -63,5 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_shingle_set(string) - distinct word-3-gram md5-prefix60 hashes (library shingle domain)"),
       one("graft_shingle_set")(c => ShingleSetExpr(c,
         graft.pipeline.NearDup.ShingleN, graft.pipeline.NearDup.X))))
+    ext.injectFunction((FunctionIdentifier("graft_nfc_clean"),
+      info("graft_nfc_clean",
+        "graft_nfc_clean(string) - NFC + zero-width strip + whitespace collapse + trim"),
+      one("graft_nfc_clean")(NfcCleanExpr)))
   }
 }

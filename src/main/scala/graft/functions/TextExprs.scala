@@ -41,6 +41,86 @@ object TextExprs {
     * first-occurrence dedup. See [[ShingleSetExpr]]. */
   def shingleSet(text: Column, n: Int, x: Long): Column =
     GraftBridge.column(ShingleSetExpr(GraftBridge.expression(text), n, x))
+
+  /** Unicode text cleanup in one native pass: NFC → zero-width strip →
+    * whitespace/control run collapse → trim. See [[NfcCleanExpr]]. */
+  def nfcClean(s: Column): Column =
+    GraftBridge.column(NfcCleanExpr(GraftBridge.expression(s)))
+}
+
+/** Shared eval body for [[NfcCleanExpr]] (interpreted + codegen).
+  *
+  * The collapse class is ENUMERATED, not delegated to
+  * `Character.isWhitespace` (which excludes NBSP and figure/narrow
+  * spaces) or a regex engine — the exact same code-point set is stated
+  * as an RE2 class in the DuckDB oracle, so both engines agree by
+  * construction: C0 controls + space (≤ 0x20), DEL + C1 (0x7F–0x9F),
+  * NBSP, OGHAM, the 0x2000–0x200A space block, LS/PS, NNBSP, MMSP,
+  * IDEOGRAPHIC SPACE. Zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) are
+  * dropped entirely BEFORE collapsing, so they never create a space
+  * inside a word. */
+object NfcClean {
+  private def isCollapse(c: Char): Boolean =
+    c <= ' ' || (c >= '\u007F' && c <= '\u009F') || c == '\u00A0' ||
+      c == '\u1680' || (c >= '\u2000' && c <= '\u200A') ||
+      c == '\u2028' || c == '\u2029' || c == '\u202F' ||
+      c == '\u205F' || c == '\u3000'
+  private def isZeroWidth(c: Char): Boolean =
+    (c >= '\u200B' && c <= '\u200D') || c == '\uFEFF'
+
+  def clean(input: UTF8String): UTF8String = {
+    val n = java.text.Normalizer.normalize(
+      input.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(n.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (isZeroWidth(c)) ()
+      else if (isCollapse(c)) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** The identical code-point set as an RE2 character class, for the
+    * DuckDB oracle's `regexp_replace`. */
+  val CollapseClassRe2: String =
+    "[\\x00-\\x20\\x{7F}-\\x{9F}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}" +
+      "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
+  val ZeroWidthClassRe2: String = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+}
+
+/** NFC normalization + cleanup as one codegen'd pass — the text
+  * canonicalization every hash-keyed stage (exact dedup, shingles,
+  * fingerprints) wants upstream, since NFC-divergent byte encodings of
+  * the same text otherwise hash apart. Spark has no normalization
+  * builtin; the JDK normalizer does the heavy step and the
+  * strip/collapse runs in the same pass. */
+case class NfcCleanExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc_clean"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcClean.clean(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.NfcClean.clean($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcCleanExpr =
+    copy(child = newChild)
 }
 
 /** Shared eval body for [[ShingleSetExpr]] (interpreted + codegen). */

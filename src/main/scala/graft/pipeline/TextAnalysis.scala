@@ -135,6 +135,30 @@ object TextAnalysis {
        |    '$IpRe', '<IP>', 'g') AS clean
        |FROM docs""".stripMargin
 
+  // ---- unicode normalization ----
+
+  /** Canonical Unicode cleanup — the normalization every hash-keyed
+    * stage (exact dedup, shingles, fingerprints) wants upstream, since
+    * NFC-divergent encodings of the same text otherwise hash apart:
+    * NFC compose → drop zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) → collapse
+    * whitespace/control runs (an ENUMERATED code-point class, stated
+    * identically as an RE2 class in the oracle) to single spaces →
+    * trim. One codegen'd native pass
+    * ([[graft.functions.NfcCleanExpr]]); map-side, zero shuffle.
+    * Returns (doc_id, text_norm, changed). */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = graft.functions.TextExprs.nfcClean(col("text"))
+    docs.select(col("doc_id"), norm.as("text_norm"),
+      (norm =!= col("text")).as("changed"))
+  }
+
+  /** DuckDB twin of [[normalize]]'s cleanup chain for a string
+    * expression `e`. */
+  def normalizeSql(e: String): String =
+    "trim(regexp_replace(regexp_replace(nfc_normalize(" + e + "), " +
+      s"'${graft.functions.NfcClean.ZeroWidthClassRe2}', '', 'g'), " +
+      s"'${graft.functions.NfcClean.CollapseClassRe2}', ' ', 'g'))"
+
   // ---- quality scoring ----
 
   /** English stopwords used by the quality heuristic (tiny fixed list —

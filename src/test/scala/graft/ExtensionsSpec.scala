@@ -61,6 +61,17 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shCol = pipeline.NearDup.shingleSets(spark.table("sdocs"))
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
     assert(shSql.toSeq === shCol.toSeq)
+
+    val nfSql = spark.sql(
+      "SELECT graft_nfc_clean(concat(text, '\te\u0301\u200B!')) AS n " +
+        "FROM sdocs ORDER BY doc_id")
+      .collect().map(_.getString(0))
+    val nfCol = spark.table("sdocs").orderBy("doc_id")
+      .select(graft.functions.TextExprs.nfcClean(
+        concat(col("text"), lit("\te\u0301\u200B!"))).as("n"))
+      .collect().map(_.getString(0))
+    assert(nfSql.toSeq === nfCol.toSeq)
+    assert(nfSql.head.endsWith(" \u00E9!")) // composed, tab collapsed, ZWSP gone
   }
 
   test("graft_minhash_sig normalizes arbitrary SQL input into [0, P)") {

@@ -320,7 +320,8 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
           Seq((0L, Seq.fill(Similarity.Dim)(1.0)), (1L, Seq.fill(Similarity.Dim)(-1.0)))),
         TextExprs.profileHits(col("toks"), Seq(Seq("the", "und"), Seq("la"))),
         TextExprs.rollingHash(col("txt"), 31L, NearDup.P),
-        TextExprs.md5Prefix60(col("txt")))
+        TextExprs.md5Prefix60(col("txt")),
+        TextExprs.nfcClean(concat(col("txt"), lit("\te\u0301\u200Bx\u00A0"))))
       .collect().map(_.toSeq).toSeq
     val codegen = run()
     val conf = spark.conf
@@ -334,6 +335,21 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       conf.set("spark.sql.codegen.wholeStage", ws0)
       conf.set("spark.sql.codegen.factoryMode", fm0)
     }
+  }
+
+  test("nfcClean: composition, zero-width strip, collapse class, trim vectors") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      ("e\u0301", "\u00E9"),              // NFC composes e + combining acute
+      ("a\u200Bb", "ab"),                 // ZWSP dropped, no space injected
+      ("a\u00A0\u2003b", "a b"),          // NBSP + em-space collapse to ONE
+      ("  a\t\r\n b  ", "a b"),           // runs collapse; boundary trim
+      (" \u200B \u3000 ", ""),            // whitespace-only collapses away
+      ("j\u00E1 est\u00E1", "j\u00E1 est\u00E1")) // already NFC: identity
+    val out = cases.map(_._1).toDF("s")
+      .select(graft.functions.TextExprs.nfcClean(col("s"))).as[String]
+      .collect().toSeq
+    assert(out === cases.map(_._2))
   }
 
   test("asof join: inclusive at equal ts, null before first match, tolerance") {
