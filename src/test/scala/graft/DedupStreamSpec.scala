@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.pipeline.NearDup
+import graft.streaming.DedupStream
+
+/** The streaming near-dup lifecycle: batch-sliced increments must
+  * reproduce the whole-corpus batch answer exactly, a replayed batch
+  * must be a no-op (bid-partitioned rewrites + bid-filtered state
+  * reads), and the MemoryStream wiring must run end-to-end. */
+class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]").appName("dedupstream-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  /** Corpus with planted structure: docs (2k, 2k+1) are near-dups (one
+    * positional word differs), docs 100+k are exact copies of doc 2k. */
+  private def corpus: Seq[(Long, String)] = {
+    def base(k: Int, flip: Boolean) = (0 until 12).map { j =>
+      if (flip && j == k % 12) s"x$k" else s"w${k}_$j"
+    }.mkString(" ")
+    (0 until 8).flatMap { k =>
+      Seq((2L * k, base(k, flip = false)), (2L * k + 1, base(k, flip = true)))
+    } ++ (0 until 4).map(k => (100L + k, base(k, flip = false)))
+  }
+
+  private def norm(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Long, Double)] =
+    rows.map(r => (r.getLong(0), r.getLong(1),
+      math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq.sorted
+
+  test("batch-sliced stream reproduces the whole-corpus batch pairs") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("dedupstream").toString
+    val (stateDir, pairsDir) = (s"$dir/state", s"$dir/pairs")
+    // three uneven slices, arrival ordered by doc_id
+    val slices = Seq(corpus.filter(_._1 < 6), corpus.filter(d => d._1 >= 6 && d._1 < 13),
+      corpus.filter(_._1 >= 13))
+    slices.zipWithIndex.foreach { case (sl, bid) =>
+      DedupStream.processBatch(spark, sl.toDF("doc_id", "text"), bid.toLong,
+        stateDir, pairsDir, 0.5)
+    }
+    val streamed = norm(DedupStream.pairs(spark, pairsDir).collect())
+    val batch = norm(NearDup.minhashPairs(
+      corpus.toDF("doc_id", "text"), 0.5).collect())
+    assert(streamed.nonEmpty && streamed === batch)
+    // distinct across batches: a pair is emitted exactly once
+    assert(streamed.size === streamed.distinct.size)
+  }
+
+  test("replaying a batch rewrites its partitions — no duplicates, same state") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("dedupstream-rp").toString
+    val (stateDir, pairsDir) = (s"$dir/state", s"$dir/pairs")
+    val slices = Seq(corpus.filter(_._1 < 9), corpus.filter(_._1 >= 9))
+    slices.zipWithIndex.foreach { case (sl, bid) =>
+      DedupStream.processBatch(spark, sl.toDF("doc_id", "text"), bid.toLong,
+        stateDir, pairsDir, 0.5)
+    }
+    val before = norm(DedupStream.pairs(spark, pairsDir).collect())
+    val stateBefore = DedupStream.readState(spark, stateDir, Long.MaxValue)
+    val countsBefore = Seq(stateBefore.fps, stateBefore.sets,
+      stateBefore.bands, stateBefore.members).map(_.count())
+    // a crash after batch 1's writes triggers a replay of batch 1
+    DedupStream.processBatch(spark, slices(1).toDF("doc_id", "text"), 1L,
+      stateDir, pairsDir, 0.5)
+    assert(norm(DedupStream.pairs(spark, pairsDir).collect()) === before)
+    val stateAfter = DedupStream.readState(spark, stateDir, Long.MaxValue)
+    assert(Seq(stateAfter.fps, stateAfter.sets, stateAfter.bands,
+      stateAfter.members).map(_.count()) === countsBefore)
+  }
+
+  test("MemoryStream wiring runs the lifecycle end-to-end") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("dedupstream-mem").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = DedupStream.start(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/state", s"$dir/pairs", 0.5, s"$dir/ckpt")
+    try {
+      mem.addData(corpus.filter(_._1 < 9): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.filter(_._1 >= 9): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = norm(DedupStream.pairs(spark, s"$dir/pairs").collect())
+    val batch = norm(NearDup.minhashPairs(
+      corpus.toDF("doc_id", "text"), 0.5).collect())
+    assert(streamed === batch)
+  }
+}
