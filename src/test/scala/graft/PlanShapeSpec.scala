@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-shape regression guards for the scale-critical operators added
+  * in round 6 — the argued shapes (broadcast-only corpus-side joins, no
+  * all-pairs degeneration) asserted in the suite, not just observed in
+  * the one-off `PlanAudit` sweep. AQE is disabled so the static
+  * executed plan is inspected deterministically; the assertions target
+  * join STRATEGY, which AQE would only ever improve (SMJ→BHJ), never
+  * worsen. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]").appName("planshape-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("dd_window_fp: inverted-index joins never degenerate to a cartesian") {
+    val p = plan("dd_window_fp")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quantized tiers: corpus side never shuffles for a join") {
+    // flat q8 scan: broadcast query crossJoin (BNLJ over the tiny
+    // side); IVF-SQ8: broadcast probe join into the assigned corpus.
+    // A SortMergeJoin in either means the corpus got shuffled for a
+    // frame that is broadcastable by contract.
+    Seq("sim_topk_q8", "sim_topk_ivf_q8").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("sp_mixture: the weight table joins broadcast, pass stays map-side") {
+    val p = plan("sp_mixture")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("cu_drift: the K-bounded vocab probes broadcast into the token stream") {
+    // the corpus-token membership probe against the driver-bounced
+    // vocab must be a broadcast join — an SMJ here would shuffle the
+    // full exploded token stream against a 100-row frame
+    val p = plan("cu_drift")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
