@@ -654,6 +654,18 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // default weight 1.0: every src2 doc exactly once
     val src2 = out.filter(_._2 == "src2")
     assert(src2.map(_._1).distinct.size === 20 && src2.size === 20)
+    // weight 0 removes the stratum entirely; 1.5 gives every doc one
+    // copy and a hash-chosen half a second one
+    val w2 = Seq(("src0", 0.0), ("src1", 1.5)).toDF("stratum", "weight")
+    val out2 = pipeline.Sampling.mixtureSample(
+        d, col("source"), col("doc_id"), w2, 1.0)
+      .select("doc_id", "source", "copy").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(!out2.exists(_._2 == "src0"))
+    val s1 = out2.filter(_._2 == "src1")
+    val perDoc = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perDoc.values.forall(n => n == 1 || n == 2))
+    assert(perDoc.size === 20 && perDoc.values.exists(_ == 2))
   }
 
   test("quantized top-k ≡ driver-side int8 MIPS recomputation") {

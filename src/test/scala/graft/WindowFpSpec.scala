@@ -57,6 +57,21 @@ class WindowFpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(d, w = 8, m = 3) === Seq((5L, 9L, 3L)))
   }
 
+  test("stride > 1 keeps only aligned windows — fewer, never spurious") {
+    // same 10-token shared passage at stride-aligned offsets: stride 2
+    // halves the window set; the pair survives with the REDUCED count,
+    // and a stride too coarse to align any window silences it
+    val passage = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = docs(Seq(1L -> s"a1 a2 $passage", 2L -> s"b1 b2 $passage"))
+    val full = pairs(d, w = 8, m = 1)
+    val coarse = NearDup.windowFpPairs(d, 8, 1, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared"))).toSeq
+    assert(full === Seq((1L, 2L, 3L)))
+    // both docs place the passage at token offset 2, so stride-2 windows
+    // align: starts 3 and 5 (1-based) fall inside the passage → 2 shared
+    assert(coarse === Seq((1L, 2L, 2L)))
+  }
+
   test("scoped variant releases the window-set and membership caches") {
     val s = spark
     def cachedRdds = s.sparkContext.getPersistentRDDs.size
