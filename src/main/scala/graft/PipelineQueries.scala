@@ -154,6 +154,15 @@ object PipelineQueries {
           |   n_shared
           | FROM outw ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // corpus-frequent windows: the boilerplate signal complementing
+    // dd_window_fp — spans carried by ≥ 3 distinct texts, linear output
+    ("dd_hot_windows",
+      ((s, d) => pipeline.NearDup.hotWindows(Tables.documents(s, d),
+          window = 8, minDf = 3)
+        .select(col("wh"), col("df")).orderBy("wh")): Q,
+      Some(pipeline.NearDup.hotWindowsSql(8, 3) +
+        " SELECT wh, df FROM hotw ORDER BY wh")),
+
     // quality scoring: punct/digit/upper/stopword ratios + composite
     ("tx_quality",
       ((s, d) => {

@@ -296,8 +296,22 @@ object Curation {
         else {
           val (pr, n) = (top(0).getString(0), top(0).getLong(1))
           merges += ((r.toLong, pr, n))
-          sCol = trim(replace(concat(lit(" "), sCol, lit(" ")),
-            lit(" " + pr + " "), lit(" " + pr.replace(" ", "") + " ")))
+          // Merge application must fuse EVERY symbol-adjacent (a, b)
+          // occurrence, exactly like canonical BPE's leftmost
+          // non-overlapping scan. A plain `replace(" a b ", " ab ")`
+          // misses adjacent repeats ("a b a b"): the scanner consumes
+          // the shared middle space, so the second occurrence lacks its
+          // leading delimiter. DOUBLING every space first gives each
+          // boundary two spaces; the pattern takes ONE from each side,
+          // leaving the neighbor's delimiter intact — every boundary
+          // ends the pass with exactly two spaces, which then halve
+          // back. (Same chain, same scan semantics, in the SQL twin.)
+          val Array(pa, pb) = pr.split(" ", 2)
+          val doubled = replace(concat(lit(" "), sCol, lit(" ")),
+            lit(" "), lit("  "))
+          val fused = replace(doubled,
+            lit(" " + pa + "  " + pb + " "), lit(" " + pa + pb + " "))
+          sCol = trim(replace(fused, lit("  "), lit(" ")))
         }
       }
     } finally { wc.unpersist(); () }
@@ -320,8 +334,11 @@ object Curation {
          |  FROM p$r ORDER BY n DESC, pr LIMIT 1
          |), w$r AS (
          |  SELECT w.cnt,
-         |    trim(replace(' ' || w.s || ' ', ' ' || m.pr || ' ',
-         |         ' ' || replace(m.pr, ' ', '') || ' ')) AS s
+         |    trim(replace(replace(
+         |      replace(' ' || w.s || ' ', ' ', '  '),
+         |      ' ' || replace(m.pr, ' ', '  ') || ' ',
+         |      ' ' || replace(m.pr, ' ', '') || ' '),
+         |      '  ', ' ')) AS s
          |  FROM w${r - 1} w, m$r m
          |)""".stripMargin
     s"""wcb AS (
@@ -358,6 +375,7 @@ object Curation {
     val sess = docs.sparkSession
     import sess.implicits._
     val toks = docs.select(col("source"), explode(tokens).as("tok"))
+      .filter(length(col("tok")) > 0) // empty texts tokenize to [""]
     // the top-K vocabulary is K-bounded by contract — bounce it through
     // the driver once (the k-means centroid idiom) so its THREE
     // consumers (grid, membership probe, corpus total) share one
@@ -372,14 +390,20 @@ object Curation {
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("sn"))
     val st = sc.groupBy(col("source")).agg(sum(col("sn")).as("stot"))
     val m = (col("p") + col("q")) / 2
+    // LEFT join on the per-source totals: a source with ZERO top-K
+    // vocab mass — precisely the most-drifted kind — must surface as a
+    // row (n_vocab_tokens 0, js_div null: its restricted distribution
+    // is undefined), not silently vanish. The null stot propagates
+    // through p → m → every term → the sum, so the null output needs
+    // no special casing (same algebra in the SQL twin).
     grid.join(sc, Seq("source", "tok"), "left")
-      .join(st, "source")
+      .join(st, Seq("source"), "left")
       .select(col("source"), col("stot"),
         (coalesce(col("sn"), lit(0L)).cast("double") /
           col("stot").cast("double")).as("p"),
         (col("cn").cast("double") / lit(ctotV)).as("q"))
       .groupBy(col("source"))
-      .agg(min(col("stot")).as("n_vocab_tokens"),
+      .agg(coalesce(min(col("stot")), lit(0L)).as("n_vocab_tokens"),
         sum(when(col("p") > 0,
             lit(0.5) * col("p") * log(col("p") / m)).otherwise(lit(0.0))
           + lit(0.5) * col("q") * log(col("q") / m)).as("js_div"))
@@ -389,8 +413,9 @@ object Curation {
     * `outd(source, n_vocab_tokens, js_div)`. */
   def sourceDriftSql(topK: Int): String =
     s"""toksd AS (
-       |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-       |  FROM documents
+       |  SELECT source, tok FROM (
+       |    SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |    FROM documents) WHERE tok <> ''
        |), vocab AS (
        |  SELECT tok, CAST(count(*) AS BIGINT) AS cn
        |  FROM toksd GROUP BY tok ORDER BY cn DESC, tok LIMIT $topK
@@ -407,9 +432,10 @@ object Curation {
        |    CAST(g.cn AS DOUBLE) / ctv.ctot AS q
        |  FROM gridd g
        |  LEFT JOIN scd ON scd.source = g.source AND scd.tok = g.tok
-       |  JOIN std ON std.source = g.source, ctv
+       |  LEFT JOIN std ON std.source = g.source, ctv
        |), outd AS (
-       |  SELECT source, CAST(min(stot) AS BIGINT) AS n_vocab_tokens,
+       |  SELECT source,
+       |    CAST(coalesce(min(stot), 0) AS BIGINT) AS n_vocab_tokens,
        |    sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
        |      + 0.5 * q * ln(q / ((p + q) / 2))) AS js_div
        |  FROM termsd GROUP BY source

@@ -395,28 +395,84 @@ object NearDup {
     * per-doc window sets (one `array_intersect` per candidate pair,
     * map-side). The window stream is ~n_tokens hashes per document —
     * the same cardinality as the shingle stream every other dedup path
-    * already pays. */
+    * already pays.
+    *
+    * SCOPE: the cap means this operator enumerates pairs only among
+    * passages carried by ≤ [[DfCap]] distinct texts. A passage pasted
+    * into MORE carriers than that is a frequency phenomenon, not a
+    * pair phenomenon — its pair set alone is quadratic in the carrier
+    * count — and is surfaced by [[hotWindows]] (linear output), which
+    * is exactly the set of windows this operator's index drops. */
   def windowFpPairs(docs: DataFrame, window: Int, minShared: Int,
       stride: Int = 1): DataFrame =
     windowFpPairsScoped(docs, window, minShared, stride)._1
+
+  /** Corpus-frequent windows — the boilerplate detector complementing
+    * [[windowFpPairs]]: every `window`-token span carried by at least
+    * `minDf` DISTINCT texts, with its carrier count. Linear output
+    * (one row per hot window, not per carrier pair); run with
+    * `minDf = DfCap` to see precisely what the pair path's index
+    * dropped. Map-side window hashing over collapsed representatives,
+    * one uniformly-keyed count — no joins at all. */
+  def hotWindows(docs: DataFrame, window: Int, minDf: Int,
+      stride: Int = 1): DataFrame = {
+    require(window > 0 && stride > 0 && minDf > 0,
+      "window, stride, minDf must be positive")
+    val (members, reps) = collapseExact(docs)
+    val wh = windowSets(reps, window, stride)
+      .select(explode(col("ws")).as("wh"))
+    val out = wh.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    members.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[hotWindows]]; defines CTE `hotw(wh, df)`. */
+  def hotWindowsSql(window: Int, minDf: Int, stride: Int = 1): String =
+    s"""WITH fph AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+       |repsh AS (
+       |  SELECT doc_id, text FROM fph
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM fph GROUP BY h)
+       |), tokh AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM repsh WHERE text IS NOT NULL
+       |), winh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST('0x' || substr(md5(array_to_string(
+       |      ts[i*$stride+1 : i*$stride+$window], ' ')), 1, 15) AS BIGINT) % $X AS wh
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(generate_series(0,
+       |            CAST(floor((len(ts) - $window) / $stride) AS BIGINT))) AS i
+       |        FROM tokh WHERE len(ts) >= $window)
+       |), hotw AS (
+       |  SELECT wh, CAST(count(*) AS BIGINT) AS df
+       |  FROM winh GROUP BY wh HAVING count(*) >= $minDf
+       |)""".stripMargin
 
   /** [[windowFpPairs]] plus a release handle that unpersists the shared
     * window-set and membership caches; call it after the final action
     * that consumes the pairs (same contract as
     * [[minhashPairsScoped]]). */
-  def windowFpPairsScoped(docs: DataFrame, window: Int, minShared: Int,
-      stride: Int = 1): (DataFrame, () => Unit) = {
-    require(window > 0 && stride > 0 && minShared > 0,
-      "window, stride, minShared must be positive")
-    val (members, reps) = collapseExact(docs)
+  /** Per-representative DISTINCT window-hash set, map-side (the
+    * windowed analogue of [[shingleSets]]). */
+  private def windowSets(reps: DataFrame, window: Int,
+      stride: Int): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
     val starts = sequence(lit(0L), (size(toks) - window).cast("long"),
       lit(stride.toLong))
     val ws = array_distinct(transform(starts, st => pmod(
       h64(concat_ws(" ", slice(toks, (st + 1).cast("int"), lit(window)))),
       lit(X))))
-    val wsets = reps.filter(col("text").isNotNull && size(toks) >= window)
-      .select(col("doc_id"), ws.as("ws")).persist()
+    reps.filter(col("text").isNotNull && size(toks) >= window)
+      .select(col("doc_id"), ws.as("ws"))
+  }
+
+  def windowFpPairsScoped(docs: DataFrame, window: Int, minShared: Int,
+      stride: Int = 1): (DataFrame, () => Unit) = {
+    require(window > 0 && stride > 0 && minShared > 0,
+      "window, stride, minShared must be positive")
+    val (members, reps) = collapseExact(docs)
+    val wsets = windowSets(reps, window, stride).persist()
     val wh = wsets.select(col("doc_id"), explode(col("ws")).as("wh"))
     val rare = wh.groupBy(col("wh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("wh")

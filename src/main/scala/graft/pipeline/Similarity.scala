@@ -320,44 +320,60 @@ object Similarity {
       kmeansCentroidsSeq(corpus, k, iters))
       .select(col("vec_id"), col("cid"), col("cos"))
 
-  /** Symmetric int8 scalar quantization of the embedding column — the
-    * memory step a serving-scale ANN index runs before anything else
-    * (4× smaller vectors, integer dot products). Per-dimension scale =
-    * max|x|/127 over the corpus (symmetric, zero-point-free; an
-    * all-zero dimension scales by 1 so it quantizes to 0), computed by
-    * ONE dim-bounded aggregate — posexplode → groupBy(dim) partial-
-    * aggregates map-side and the shuffle carries ≤ dim rows per
-    * partition — then bounced through the driver as a literal, the
-    * same contract-bounded K×dim bounce k-means uses. Rounding is
-    * `floor(x/s + 0.5)` clamped to [−127, 127] — the cross-engine-
-    * deterministic idiom ([[graft.ts.Round6]]), exact in both engines.
-    *
-    * Returns (vec_id, q, qnorm2, mse): `q` the int8-domain array,
-    * `qnorm2 = Σq²` an exact integer invariant of the whole vector,
-    * `mse` the per-vector dequantization error (array-order fold).
-    * A vector whose length differs from the corpus dimensionality
-    * yields null elements/invariants (`zip_with` null-pads) rather
-    * than silently truncating — the same null-on-mismatch convention
-    * as [[graft.functions.NearestCentroidExpr]]. */
   /** Per-dimension int8 scales over a corpus: max|x|/127, unit scale
-    * for all-zero dimensions. One dim-bounded aggregate + driver
-    * bounce — shared by [[quantizeInt8]] and [[topKQuantized]] so an
-    * index build that quantizes AND serves pays it once. */
+    * for all-zero dimensions. One dim-bounded aggregate (posexplode →
+    * groupBy(dim) partial-aggregates map-side; the shuffle carries
+    * ≤ dim rows per partition) + driver bounce, the contract-bounded
+    * K×dim pattern k-means uses — shared by [[quantizeInt8]],
+    * [[topKQuantized]] and [[topKIvfQ8]] via their `scales` parameter,
+    * so an index build that quantizes AND serves pays it once. */
   def int8Scales(vecs: DataFrame): Seq[Double] =
     vecs.select(posexplode(emb.cast("array<double>")).as(Seq("i", "x")))
       .groupBy(col("i")).agg(max(abs(col("x"))).as("m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
       .map { case (_, m) => if (m == 0.0) 1.0 else m / 127.0 }.toSeq
 
+  /** One quantized element: `floor(x/s + 0.5)` (the cross-engine-
+    * deterministic rounding idiom, [[graft.ts.Round6]]) clamped to
+    * [−127, 127]. NULL-STRICT: a null x or s (zip_with's padding when
+    * a vector's length mismatches the corpus dimensionality) yields
+    * null, not a clamped 127 — Spark's least/greatest SKIP nulls, so
+    * the naive clamp would fabricate max-magnitude elements for
+    * missing dimensions. */
+  private def q8Elem(x: Column, s: Column): Column =
+    when(x.isNotNull && s.isNotNull,
+      greatest(lit(-127L), least(lit(127L),
+        floor(x.cast("double") / s + 0.5d).cast("long"))))
+
+  /** Clamped int8 quantization of an embedding column against a
+    * per-dimension scales literal ([[int8Scales]]). */
+  private def q8Arr(c: Column, sc: Column): Column =
+    zip_with(c, sc, q8Elem)
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def q8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * memory step a serving-scale ANN index runs before anything else
+    * (4× smaller vectors, integer dot products). Scales per
+    * [[int8Scales]] (or pass precomputed ones); rounding per
+    * [[q8Elem]], exact in both engines.
+    *
+    * Returns (vec_id, q, qnorm2, mse): `q` the int8-domain array,
+    * `qnorm2 = Σq²` an exact integer invariant of the whole vector,
+    * `mse` the per-vector dequantization error (array-order fold).
+    * A vector whose length differs from the corpus dimensionality
+    * yields null elements AND null invariants (zip_with null-pads and
+    * [[q8Elem]] is null-strict) rather than silently truncating — the
+    * same null-on-mismatch convention as
+    * [[graft.functions.NearestCentroidExpr]]. */
   def quantizeInt8(vecs: DataFrame,
       scales: Option[Seq[Double]] = None): DataFrame = {
     val sc = typedlit(scales.getOrElse(int8Scales(vecs)))
-    def qElem(x: Column, s: Column): Column =
-      greatest(lit(-127L), least(lit(127L),
-        floor(x.cast("double") / s + 0.5d).cast("long")))
-    val q = zip_with(emb, sc, qElem)
+    val q = q8Arr(emb, sc)
     val err = zip_with(emb, sc,
-      (x, s) => pow(x.cast("double") - qElem(x, s) * s, 2))
+      (x, s) => pow(x.cast("double") - q8Elem(x, s) * s, 2))
     vecs.select(col("vec_id"), q.as("q"),
       aggregate(q, lit(0L), (acc, v) => acc + v * v).as("qnorm2"),
       (aggregate(err, lit(0.0), (acc, v) => acc + v) /
@@ -373,16 +389,6 @@ object Similarity {
     * plan shape as [[topKExact]]: the query side broadcasts, the
     * corpus streams map-side, `TakeOrdered` per query — no shuffle of
     * the big side. Returns (qid, rank, vec_id, qdot). */
-  /** Clamped int8 quantization of an embedding column against a
-    * per-dimension scales literal ([[int8Scales]]). */
-  private def q8Arr(c: Column, sc: Column): Column =
-    zip_with(c, sc, (x, s) => greatest(lit(-127L), least(lit(127L),
-      floor(x.cast("double") / s + 0.5d).cast("long"))))
-
-  /** Exact integer dot product of two quantized vectors. */
-  private def q8Dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-
   def topKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
       scales: Option[Seq[Double]] = None): DataFrame = {
     val sc = typedlit(scales.getOrElse(int8Scales(corpus)))
@@ -410,12 +416,13 @@ object Similarity {
     * with bit-deterministic ranking. First-K centroid seeds, like
     * [[topKIvf]], so the oracle replays the whole index build.
     * Returns (qid, rank, vec_id, qdot). */
-  def topKIvfQ8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def topKIvfQ8(corpus: DataFrame, queries: DataFrame, k: Int,
+      scales: Option[Seq[Double]] = None): DataFrame = {
     val centroids = corpus.filter(col("vec_id") < IvfK)
       .select(col("vec_id").cast("long").as("cid"), emb.as("cent"))
     val centSeq = collectCentroidSeq(centroids, "cid", "cent")
     val cents = broadcast(centroids)
-    val sc = typedlit(int8Scales(corpus))
+    val sc = typedlit(scales.getOrElse(int8Scales(corpus)))
     val assigned = corpus.select(col("vec_id"), q8Arr(emb, sc).as("cq"),
       graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
         .getField("cid").as("cid"))

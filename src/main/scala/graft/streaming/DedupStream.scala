@@ -51,9 +51,13 @@ object DedupStream {
     if (!fs.exists(p))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read.parquet(dir)
-        // hive partition discovery may infer bid as int — normalize
-        .filter(col("bid").cast("long") < ltBid)
+      // explicit schema (incl. bid as long): a COMMITTED-BUT-EMPTY
+      // directory (_SUCCESS, zero partition dirs — e.g. a batch whose
+      // frame had no rows) has nothing to infer from and would throw;
+      // it also pins the partition column's type against int inference
+      spark.read.schema(schema.add(StructField("bid", LongType)))
+        .parquet(dir)
+        .filter(col("bid") < ltBid)
         .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -104,15 +108,20 @@ object DedupStream {
       .start()
   }
 
+  private val pairsSchema = StructType(Seq(StructField("doc_a", LongType),
+    StructField("doc_b", LongType), StructField("jaccard", DoubleType)))
+
   /** All pairs emitted so far (distinct across batches — a pair is
     * emitted once, by the batch that completed it). */
   def pairs(spark: SparkSession, pairsDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(pairsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("doc_a", LongType),
-          StructField("doc_b", LongType), StructField("jaccard", DoubleType))))
-    else spark.read.parquet(pairsDir).select("doc_a", "doc_b", "jaccard")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pairsSchema)
+    else
+      // explicit schema: a pairs-free stream so far leaves the dir
+      // committed but empty (see readFrame)
+      spark.read.schema(pairsSchema.add(StructField("bid", LongType)))
+        .parquet(pairsDir).select("doc_a", "doc_b", "jaccard")
   }
 }

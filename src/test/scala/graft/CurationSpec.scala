@@ -69,6 +69,40 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "ab </w>", 1L)))
   }
 
+  test("bpeMerges: adjacent repeated pairs all fuse (canonical leftmost scan)") {
+    val s = spark; import s.implicits._
+    // "abab": w0 = "a b a b </w>". A naive single-space replace misses
+    // the second "a b" (the scanner consumes the shared middle space)
+    // and would re-emit the same pair next round; the delimiter-doubling
+    // application fuses BOTH occurrences in round 1, like canonical BPE
+    val d = docs(Seq(1L -> "abab"))
+    val out = Curation.bpeMerges(d, 4).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq(
+      (1L, "a b", 2L), (2L, "ab </w>", 1L), (3L, "ab ab</w>", 1L)))
+    // run of the same letter: the pair count sees BOTH overlapping
+    // occurrences per word (2 × word-count 2 = 4), but application is
+    // leftmost non-overlapping: "a a a </w>" → "aa a </w>"
+    val d2 = docs(Seq(1L -> "aaa aaa"))
+    val out2 = Curation.bpeMerges(d2, 2).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out2 === Seq((1L, "a a", 4L), (2L, "a </w>", 2L)))
+  }
+
+  test("sourceDrift: a zero-vocab-mass source surfaces as a null-drift row") {
+    val s = spark; import s.implicits._
+    // top-1 vocab is "x" (3 occurrences); source b's tokens never hit
+    // the vocabulary — it must appear with n_vocab_tokens 0 and null
+    // js_div, not silently vanish (it is the MOST drifted source)
+    val d = Seq((1L, "a", "x x x"), (2L, "b", "zzz yyy"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.sourceDrift(d, 1).orderBy("source").collect()
+    assert(out.length === 2)
+    assert(out(1).getString(0) === "b" && out(1).getLong(1) === 0L
+      && out(1).isNullAt(2))
+    assert(out(0).getString(0) === "a" && !out(0).isNullAt(2))
+  }
+
   test("sourceDrift: identical sources score 0, divergent ones stay in (0, ln 2]") {
     val s = spark; import s.implicits._
     // two sources with IDENTICAL token distributions: each equals the

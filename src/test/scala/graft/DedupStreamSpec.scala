@@ -86,6 +86,28 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       stateAfter.members).map(_.count()) === countsBefore)
   }
 
+  test("a pair-free first batch leaves readable (empty) stores, stream continues") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("dedupstream-empty").toString
+    val (stateDir, pairsDir) = (s"$dir/state", s"$dir/pairs")
+    // batch 0: all-unique docs → zero pairs → pairsDir is committed but
+    // holds no partition dirs; schema-less reads would fail to infer
+    val unique = (0 until 4).map(k =>
+      (500L + k, (0 until 12).map(j => s"u${k}_$j").mkString(" ")))
+    DedupStream.processBatch(spark, unique.toDF("doc_id", "text"), 0L,
+      stateDir, pairsDir, 0.5)
+    assert(DedupStream.pairs(spark, pairsDir).count() === 0L)
+    // batch 1 exactly duplicates a batch-0 doc — the deterministic
+    // fingerprint path; the lifecycle must run against the empty-but-
+    // committed stores and report the pair
+    val nd = Seq((600L, unique.head._2))
+    DedupStream.processBatch(spark, nd.toDF("doc_id", "text"), 1L,
+      stateDir, pairsDir, 0.5)
+    val got = DedupStream.pairs(spark, pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((500L, 600L)))
+  }
+
   test("MemoryStream wiring runs the lifecycle end-to-end") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

@@ -738,6 +738,26 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("int8 quantization: ragged vector yields null elements, not clamped 127s") {
+    val s = spark; import s.implicits._
+    // a vector SHORTER than the corpus dimensionality: zip_with pads
+    // with nulls — least/greatest skip nulls, so a non-strict clamp
+    // would fabricate 127 for every missing dimension and inflate
+    // qnorm2 by 16129 each; the null-strict element keeps the
+    // documented null-on-mismatch contract
+    val d = Seq((0L, List(1.0f, 2.0f, 3.0f)), (1L, List(1.0f)))
+      .toDF("vec_id", "embedding")
+    val scales = pipeline.Similarity.int8Scales(d.filter(col("vec_id") === 0))
+    val out = pipeline.Similarity.quantizeInt8(d, Some(scales))
+      .orderBy("vec_id").collect()
+    assert(!out(0).isNullAt(2)) // full-length vector: exact invariant
+    val ragged = out(1)
+    assert(ragged.getSeq[Any](1).drop(1).forall(_ == null),
+      "missing dimensions must quantize to null")
+    assert(ragged.isNullAt(2) && ragged.isNullAt(3),
+      "invariants of a ragged vector must be null")
+  }
+
   test("int8 quantization: all-zero dimension quantizes to 0 via unit scale") {
     val s = spark; import s.implicits._
     val d = List((0L, List(0.0f, 1.0f)), (1L, List(0.0f, -2.0f)))

@@ -85,6 +85,18 @@ class WindowFpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cachedRdds === before, "release() must unpersist every cache")
   }
 
+  test("hotWindows surfaces passages with df ≥ threshold, linear output") {
+    // one 10-token passage in THREE distinct docs: its 3 windows reach
+    // df = 3; per-doc unique windows stay below any threshold ≥ 2
+    val passage = (1 to 10).map(i => s"h$i").mkString(" ")
+    val d = docs(Seq(1L -> s"a1 a2 $passage", 2L -> s"$passage b1 b2",
+      3L -> s"c1 $passage c2"))
+    val hot = NearDup.hotWindows(d, window = 8, minDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hot.length === 3 && hot.forall(_._2 === 3L))
+    assert(NearDup.hotWindows(d, window = 8, minDf = 4).count() === 0L)
+  }
+
   test("documents shorter than the window contribute nothing") {
     // identical 5-token docs: no full 8-token window exists, so the
     // detector stays silent even though they are exact duplicates —
