@@ -108,6 +108,45 @@ object DedupStream {
       .start()
   }
 
+  /** Start the lifecycle over a parquet LANDING DIRECTORY — the
+    * deployment shape for continuous corpus ingest: upstream drops
+    * `(doc_id, text)` parquet files into `landingDir`, Spark's file
+    * source picks each up as a micro-batch, and pairs/state accumulate
+    * under `outDir`. `maxFilesPerTrigger` bounds batch size so one
+    * giant drop cannot blow a single increment. */
+  def startFromDir(spark: SparkSession, landingDir: String, outDir: String,
+      minJ: Double, maxFilesPerTrigger: Int = 8): StreamingQuery = {
+    val docs = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+    start(docs, s"$outDir/state", s"$outDir/pairs", minJ, s"$outDir/ckpt")
+  }
+
+  /** Runnable continuous-dedup daemon: GRAFT_DEDUP_IN (landing dir),
+    * GRAFT_DEDUP_OUT (state + pairs + checkpoint), GRAFT_DEDUP_MINJ
+    * (default 0.8). Blocks until killed. */
+  def main(args: Array[String]): Unit = {
+    def env(k: String, d: String) = sys.env.getOrElse(k, d)
+    val in = env("GRAFT_DEDUP_IN",
+      sys.error("GRAFT_DEDUP_IN (parquet landing dir) is required"))
+    val out = env("GRAFT_DEDUP_OUT",
+      java.nio.file.Files.createTempDirectory("graft-dedup").toString)
+    val spark = SparkSession.builder()
+      .master(env("GRAFT_MASTER", "local[4]"))
+      .appName("graft-dedup-stream")
+      .config("spark.sql.shuffle.partitions",
+        env("GRAFT_SHUFFLE_PARTITIONS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = startFromDir(spark, in, out,
+      env("GRAFT_DEDUP_MINJ", "0.8").toDouble)
+    println(s"graft dedup stream: in=$in out=$out")
+    q.awaitTermination()
+  }
+
   private val pairsSchema = StructType(Seq(StructField("doc_a", LongType),
     StructField("doc_b", LongType), StructField("jaccard", DoubleType)))
 

@@ -108,6 +108,27 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Seq((500L, 600L)))
   }
 
+  test("file-source landing dir: dropped parquet batches dedup continuously") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("dedupstream-land").toString
+    val (landing, out) = (s"$dir/landing", s"$dir/out")
+    new java.io.File(landing).mkdirs()
+    // drop batch files one at a time — each becomes a micro-batch
+    corpus.filter(_._1 < 9).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$landing/b0")
+    val q = DedupStream.startFromDir(spark, s"$landing/*", out, 0.5)
+    try {
+      q.processAllAvailable()
+      corpus.filter(_._1 >= 9).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$landing/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = norm(DedupStream.pairs(spark, s"$out/pairs").collect())
+    val batch = norm(NearDup.minhashPairs(
+      corpus.toDF("doc_id", "text"), 0.5).collect())
+    assert(streamed === batch)
+  }
+
   test("MemoryStream wiring runs the lifecycle end-to-end") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
