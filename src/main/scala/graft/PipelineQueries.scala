@@ -425,6 +425,18 @@ object PipelineQueries {
            |SELECT round, pr AS pair, CAST(n AS BIGINT) AS n
            |FROM outb ORDER BY round""".stripMargin)),
 
+    // apply the learned merges back to the corpus: per-doc BPE token
+    // sequences (</w>-terminated), the train→apply loop closed
+    ("cu_bpe_tokenize",
+      ((s, d) => pipeline.Curation.bpeTokenize(Tables.documents(s, d), 6)
+        .select(col("doc_id").cast("long").as("doc_id"), col("bpe"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""WITH ${pipeline.Curation.bpeMergesSql(6)},
+           |${pipeline.Curation.bpeTokenizeSql(6)}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, bpe
+           |FROM tokzd ORDER BY doc_id""".stripMargin)),
+
     // per-source token-distribution drift: JS divergence vs the corpus
     // over the top-100 vocabulary
     ("cu_drift",

@@ -271,9 +271,20 @@ object Curation {
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val sess = docs.sparkSession
     import sess.implicits._
-    val wc = docs.select(explode(tokens).as("word"))
+    bpeCore(docs, rounds)._1.toDF("round", "pair", "n")
+  }
+
+  /** Shared training loop: returns (merge table, word-frequency frame,
+    * the expression mapping `word` to its POST-merge symbol string).
+    * The returned frame/expression re-derive the (unpersisted) vocab
+    * lazily — consumers pay one extra token-count aggregate at action
+    * time, the price of not leaking a cache. */
+  private def bpeCore(docs: DataFrame, rounds: Int)
+      : (Seq[(Long, String, Long)], DataFrame, Column) = {
+    val wcPlan = docs.select(explode(tokens).as("word"))
       .filter(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt")).persist()
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val wc = wcPlan.persist()
     val s0: Column = expr(
       "concat(array_join(transform(sequence(1, length(word)), " +
         "i -> substring(word, i, 1)), ' '), ' </w>')")
@@ -315,7 +326,33 @@ object Curation {
         }
       }
     } finally { wc.unpersist(); () }
-    merges.toSeq.toDF("round", "pair", "n")
+    (merges.toSeq, wcPlan, sCol)
+  }
+
+  /** Tokenize the corpus with the merges [[bpeMerges]] learns on it —
+    * the APPLY half of the train→apply loop: each document's words map
+    * through the post-merge vocabulary (the per-word symbol strings the
+    * final training round produced) and the word-major symbol stream is
+    * the document's BPE token sequence (`</w>`-terminated tokens, as
+    * trained).
+    *
+    * Scale shape: the word→symbols map is one vocab-sized frame; the
+    * corpus explodes to word grain, joins it on the word key (uniform —
+    * hot words are FREQUENT, not skewed per key beyond what the vocab
+    * count already bounds... the join key distribution IS the corpus
+    * word distribution, and Spark's hash join handles repeated probe
+    * keys without skew on the build side), and re-assembles per
+    * document — the one corpus-grain shuffle any materialized
+    * tokenization pays. Returns (doc_id, bpe: array<string>). */
+  def bpeTokenize(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, wc, sCol) = bpeCore(docs, rounds)
+    val wmap = wc.select(col("word"), split(sCol, " ").as("syms"))
+    docs.select(col("doc_id"), posexplode(tokens).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(wmap, "word")
+      .groupBy(col("doc_id"))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("syms"))))
+        .getField("syms")).as("bpe"))
   }
 
   /** DuckDB twin of [[bpeMerges]]: the loop unrolled as w0→(pN,mN,wN)
@@ -333,7 +370,7 @@ object Curation {
          |  SELECT CAST($r AS BIGINT) AS round, pr, n
          |  FROM p$r ORDER BY n DESC, pr LIMIT 1
          |), w$r AS (
-         |  SELECT w.cnt,
+         |  SELECT w.word, w.cnt,
          |    trim(replace(replace(
          |      replace(' ' || w.s || ' ', ' ', '  '),
          |      ' ' || replace(m.pr, ' ', '  ') || ' ',
@@ -346,7 +383,7 @@ object Curation {
        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
        |    FROM documents) WHERE tok <> '' GROUP BY tok
        |), w0 AS (
-       |  SELECT cnt, array_to_string([substr(word, i, 1)
+       |  SELECT word, cnt, array_to_string([substr(word, i, 1)
        |    for i in generate_series(1, len(word))], ' ') || ' </w>' AS s
        |  FROM wcb
        |), ${(1 to rounds).map(round).mkString(",\n")},
@@ -354,6 +391,23 @@ object Curation {
        |  ${(1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")}
        |)""".stripMargin
   }
+
+  /** DuckDB twin of [[bpeTokenize]] (requires [[bpeMergesSql]]'s
+    * `w<rounds>` vocab state); defines `tokzd(doc_id, bpe)`. */
+  def bpeTokenizeSql(rounds: Int): String =
+    s"""dtoksb AS (
+       |  SELECT doc_id, i, ts[i] AS tok
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |        FROM documents),
+       |       unnest(generate_series(1, len(ts))) AS t(i)
+       |  WHERE ts[i] <> ''
+       |), tokzd AS (
+       |  SELECT d.doc_id,
+       |    flatten(list(string_split(w.s, ' ') ORDER BY d.i)) AS bpe
+       |  FROM dtoksb d JOIN w$rounds w ON w.word = d.tok
+       |  GROUP BY d.doc_id
+       |)""".stripMargin
 
   // ---- per-source distribution drift ----
 

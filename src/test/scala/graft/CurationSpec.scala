@@ -69,6 +69,22 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "ab </w>", 1L)))
   }
 
+  test("bpeTokenize: learned merges map every word to its fused symbols") {
+    val s = spark; import s.implicits._
+    // after the 4 learnable merges (see the bpeMerges trace below):
+    // "aa" fuses fully to one token, "ab" likewise; token order is
+    // document word order
+    val d = docs(Seq(1L -> "aa aa", 2L -> "ab aa"))
+    val out = Curation.bpeTokenize(d, 6).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    assert(out === Seq(
+      (1L, List("aa</w>", "aa</w>")), (2L, List("ab</w>", "aa</w>"))))
+    // zero merges: pure character symbols with the end-of-word marker
+    val out0 = Curation.bpeTokenize(d, 0).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    assert(out0.head === ((1L, List("a", "a", "</w>", "a", "a", "</w>"))))
+  }
+
   test("bpeMerges: adjacent repeated pairs all fuse (canonical leftmost scan)") {
     val s = spark; import s.implicits._
     // "abab": w0 = "a b a b </w>". A naive single-space replace misses
