@@ -129,7 +129,9 @@ object DedupStream {
     * (default 0.8). Blocks until killed. */
   def main(args: Array[String]): Unit = {
     def env(k: String, d: String) = sys.env.getOrElse(k, d)
-    val in = env("GRAFT_DEDUP_IN",
+    // getOrElse's default is by-name — a strict helper parameter would
+    // evaluate the error unconditionally
+    val in = sys.env.getOrElse("GRAFT_DEDUP_IN",
       sys.error("GRAFT_DEDUP_IN (parquet landing dir) is required"))
     val out = env("GRAFT_DEDUP_OUT",
       java.nio.file.Files.createTempDirectory("graft-dedup").toString)
