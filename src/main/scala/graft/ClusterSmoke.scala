@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, NearDup, Similarity}
+
+/** Multi-JVM smoke (dev main, like [[ScaleProbe]]/`PlanAudit`): the
+  * same operators on `local-cluster[2,1,1024]` — two REAL executor
+  * processes — must agree with in-process local mode. `local[N]` never
+  * serializes anything across a process boundary; this is where task
+  * binaries, the native Catalyst expressions (ShingleSet/MinHashSig/
+  * LSH/dot), broadcasts, and the typedlit scale arrays actually cross
+  * JVMs the way they would on a 1000-executor cluster. The chosen
+  * operators are deliberately closure-free (the library's zero-UDF
+  * design), so only the library classes ship — exactly like
+  * production. Run:
+  * `SPARK_SCALA_VERSION=2.13 sbt "runMain graft.ClusterSmoke"`
+  * (needs SPARK_HOME pointing at a dist; prints one OK/FAIL line per
+  * check). Kept out of `sbt test`: a broken executor-fork environment
+  * hangs scheduling rather than failing fast, which must not gate the
+  * suite. */
+object ClusterSmoke {
+  def main(args: Array[String]): Unit = {
+    val home = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,1,1024]")
+      .appName("cluster-smoke")
+      .config("spark.home", home)
+      .config("spark.executor.extraClassPath",
+        "/root/repo/target/scala-2.13/classes")
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def check(name: String)(body: => Boolean): Unit =
+      println(s"${if (body) "OK  " else "FAIL"} $name")
+
+    val docs = (0 until 10).flatMap { k =>
+      val base = (0 until 12).map(j => s"w${k}_$j")
+      Seq((2L * k, base.mkString(" ")),
+        (2L * k + 1, base.updated(k % 12, s"x$k").mkString(" ")))
+    }.toDF("doc_id", "text")
+    val vecs = (0L until 20L).map(i => (i, (0 until 8).map(j =>
+      ((i * 7 + j * 3) % 11).toFloat - 5f).toList)).toDF("vec_id", "embedding")
+
+    check("native-expr dedup pipeline across executor JVMs") {
+      val pairs = NearDup.minhashPairs(docs, 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      pairs.nonEmpty && pairs.forall { case (a, b) => b == a + 1 && a % 2 == 0 }
+    }
+    check("quantized MIPS scan: typedlit scales ship intact") {
+      val out = Similarity.topKQuantized(vecs, vecs.filter(col("vec_id") < 2), 3)
+        .collect()
+      out.length == 6 && out.forall { r =>
+        val rank = r.getLong(1); rank >= 1 && rank <= 3
+      }
+    }
+    check("two-level prefix sum under distributed executors") {
+      val d = (0L until 50L).map(i =>
+        (i, Seq.fill((i % 5 + 1).toInt)("t").mkString(" "))).toDF("doc_id", "text")
+      val out = Curation.packSequences(d, budget = 16, blockDocs = 7)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start")))
+      var acc = 0L
+      (0L until 50L).zip(out).forall { case (i, (id, start)) =>
+        val ok = id == i && start == acc; acc += i % 5 + 1; ok
+      }
+    }
+    check("executors are separate JVMs") {
+      val driverPid = ProcessHandle.current().pid()
+      val execPids = spark.range(2).repartition(2)
+        .mapPartitions(_ => Iterator(ProcessHandle.current().pid()))
+        .collect().toSet
+      !execPids.contains(driverPid) && execPids.nonEmpty
+    }
+    spark.stop()
+  }
+}
