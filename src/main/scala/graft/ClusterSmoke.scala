@@ -36,8 +36,11 @@ object ClusterSmoke {
       .master("local-cluster[2,1,1024]")
       .appName("cluster-smoke")
       .config("spark.home", home)
+      // executors need the library classes: derive the path from THIS
+      // class's code source so the tool works from any checkout
       .config("spark.executor.extraClassPath",
-        "/root/repo/target/scala-2.13/classes")
+        new java.io.File(getClass.getProtectionDomain.getCodeSource
+          .getLocation.toURI).getAbsolutePath)
       .config("spark.executor.extraJavaOptions", addOpens)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
@@ -75,7 +78,9 @@ object ClusterSmoke {
         .orderBy("doc_id").collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start")))
       var acc = 0L
-      (0L until 50L).zip(out).forall { case (i, (id, start)) =>
+      // length FIRST: zip truncates, and an empty cross-JVM result must
+      // not pass vacuously
+      out.length == 50 && (0L until 50L).zip(out).forall { case (i, (id, start)) =>
         val ok = id == i && start == acc; acc += i % 5 + 1; ok
       }
     }

@@ -343,16 +343,23 @@ object Curation {
     * word distribution, and Spark's hash join handles repeated probe
     * keys without skew on the build side), and re-assembles per
     * document — the one corpus-grain shuffle any materialized
-    * tokenization pays. Returns (doc_id, bpe: array<string>). */
+    * tokenization pays. Every input document surfaces: a null/empty/
+    * whitespace-only text yields an EMPTY token array, not a dropped
+    * row (the silently-vanish class [[sourceDrift]]'s fix names).
+    * Returns (doc_id, bpe: array<string>). */
   def bpeTokenize(docs: DataFrame, rounds: Int): DataFrame = {
     val (_, wc, sCol) = bpeCore(docs, rounds)
     val wmap = wc.select(col("word"), split(sCol, " ").as("syms"))
-    docs.select(col("doc_id"), posexplode(tokens).as(Seq("pos", "word")))
+    val tokenized = docs
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
       .join(wmap, "word")
       .groupBy(col("doc_id"))
       .agg(flatten(array_sort(collect_list(struct(col("pos"), col("syms"))))
         .getField("syms")).as("bpe"))
+    docs.select(col("doc_id")).join(tokenized, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bpe"), array().cast("array<string>")).as("bpe"))
   }
 
   /** DuckDB twin of [[bpeMerges]]: the loop unrolled as w0→(pN,mN,wN)
@@ -402,11 +409,15 @@ object Curation {
        |        FROM documents),
        |       unnest(generate_series(1, len(ts))) AS t(i)
        |  WHERE ts[i] <> ''
-       |), tokzd AS (
+       |), tokzd0 AS (
        |  SELECT d.doc_id,
        |    flatten(list(string_split(w.s, ' ') ORDER BY d.i)) AS bpe
        |  FROM dtoksb d JOIN w$rounds w ON w.word = d.tok
        |  GROUP BY d.doc_id
+       |), tokzd AS (
+       |  SELECT doc.doc_id, coalesce(t.bpe, CAST([] AS VARCHAR[])) AS bpe
+       |  FROM (SELECT doc_id FROM documents) doc
+       |  LEFT JOIN tokzd0 t ON t.doc_id = doc.doc_id
        |)""".stripMargin
 
   // ---- per-source distribution drift ----

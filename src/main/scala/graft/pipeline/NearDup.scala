@@ -410,43 +410,30 @@ object NearDup {
   /** Corpus-frequent windows — the boilerplate detector complementing
     * [[windowFpPairs]]: every `window`-token span carried by at least
     * `minDf` DISTINCT texts, with its carrier count. Linear output
-    * (one row per hot window, not per carrier pair); run with
-    * `minDf = DfCap` to see precisely what the pair path's index
-    * dropped. Map-side window hashing over collapsed representatives,
-    * one uniformly-keyed count — no joins at all. */
+    * (one row per hot window, not per carrier pair); `minDf = DfCap+1`
+    * is exactly the set the pair path's index dropped (the pair index
+    * KEEPS df ≤ DfCap). One representative per distinct text (no
+    * membership map needed — the count is over distinct texts), then
+    * map-side window hashing and one uniformly-keyed count. */
   def hotWindows(docs: DataFrame, window: Int, minDf: Int,
       stride: Int = 1): DataFrame = {
     require(window > 0 && stride > 0 && minDf > 0,
       "window, stride, minDf must be positive")
-    val (members, reps) = collapseExact(docs)
+    val reps = docs.filter(col("text").isNotNull)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
     val wh = windowSets(reps, window, stride)
       .select(explode(col("ws")).as("wh"))
-    val out = wh.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    wh.groupBy(col("wh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    members.unpersist()
-    out
   }
 
-  /** DuckDB twin of [[hotWindows]]; defines CTE `hotw(wh, df)`. */
+  /** DuckDB twin of [[hotWindows]] — reuses [[windowFpPairsSql]]'s
+    * exact CTE prefix; defines CTE `hotw(wh, df)`. */
   def hotWindowsSql(window: Int, minDf: Int, stride: Int = 1): String =
-    s"""WITH fph AS (SELECT doc_id, text, md5(text) AS h FROM documents),
-       |repsh AS (
-       |  SELECT doc_id, text FROM fph
-       |  WHERE doc_id IN (SELECT min(doc_id) FROM fph GROUP BY h)
-       |), tokh AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
-       |  FROM repsh WHERE text IS NOT NULL
-       |), winh AS (
-       |  SELECT DISTINCT doc_id,
-       |    CAST('0x' || substr(md5(array_to_string(
-       |      ts[i*$stride+1 : i*$stride+$window], ' ')), 1, 15) AS BIGINT) % $X AS wh
-       |  FROM (SELECT doc_id, ts,
-       |          unnest(generate_series(0,
-       |            CAST(floor((len(ts) - $window) / $stride) AS BIGINT))) AS i
-       |        FROM tokh WHERE len(ts) >= $window)
-       |), hotw AS (
+    s"""WITH ${windowCtePrefix(window, stride)},
+       |hotw AS (
        |  SELECT wh, CAST(count(*) AS BIGINT) AS df
-       |  FROM winh GROUP BY wh HAVING count(*) >= $minDf
+       |  FROM dw GROUP BY wh HAVING count(*) >= $minDf
        |)""".stripMargin
 
   /** [[windowFpPairs]] plus a release handle that unpersists the shared
@@ -508,8 +495,13 @@ object NearDup {
 
   /** DuckDB twin of [[windowFpPairs]] incl. the exact-dup collapse;
     * the final pair CTE is `outw(doc_a, doc_b, n_shared)`. */
-  def windowFpPairsSql(window: Int, minShared: Int, stride: Int = 1): String =
-    s"""WITH fp AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+  /** Shared CTE prefix for the window-fingerprint twins: exact-dup
+    * collapse (fp/repby/mem/reps), tokenization, window hashing, and
+    * the distinct (doc_id, wh) frame `dw` — ONE statement of the
+    * collapse + hashing idiom so [[windowFpPairsSql]] and
+    * [[hotWindowsSql]] cannot drift apart. */
+  private def windowCtePrefix(window: Int, stride: Int): String =
+    s"""fp AS (SELECT doc_id, text, md5(text) AS h FROM documents),
        |repby AS (SELECT h, min(doc_id) AS rep FROM fp GROUP BY h),
        |mem AS (SELECT f.doc_id, r.rep FROM fp f JOIN repby r USING (h)),
        |reps AS (SELECT doc_id, text FROM fp WHERE doc_id IN (SELECT rep FROM repby)),
@@ -524,8 +516,11 @@ object NearDup {
        |          unnest(generate_series(0,
        |            CAST(floor((len(ts) - $window) / $stride) AS BIGINT))) AS i
        |        FROM tokw WHERE len(ts) >= $window)
-       |), wsets AS (SELECT doc_id, list(DISTINCT wh) AS ws FROM wins GROUP BY doc_id),
-       |dw AS (SELECT DISTINCT doc_id, wh FROM wins),
+       |), dw AS (SELECT DISTINCT doc_id, wh FROM wins)""".stripMargin
+
+  def windowFpPairsSql(window: Int, minShared: Int, stride: Int = 1): String =
+    s"""WITH ${windowCtePrefix(window, stride)},
+       |wsets AS (SELECT doc_id, list(DISTINCT wh) AS ws FROM wins GROUP BY doc_id),
        |rare AS (SELECT wh FROM dw GROUP BY wh HAVING count(*) <= $DfCap),
        |dwr AS (SELECT d.* FROM dw d JOIN rare USING (wh)),
        |candw AS (

@@ -339,7 +339,10 @@ object Similarity {
     * a vector's length mismatches the corpus dimensionality) yields
     * null, not a clamped 127 — Spark's least/greatest SKIP nulls, so
     * the naive clamp would fabricate max-magnitude elements for
-    * missing dimensions. */
+    * missing dimensions. The null-on-mismatch convention is a LIBRARY
+    * contract pinned by PropertySpec; the DuckDB twins assume the
+    * embeddings table's uniform dimensionality (their per-vector
+    * generate_series never pads), which the fixtures guarantee. */
   private def q8Elem(x: Column, s: Column): Column =
     when(x.isNotNull && s.isNotNull,
       greatest(lit(-127L), least(lit(127L),

@@ -129,11 +129,13 @@ object DedupStream {
     * (default 0.8). Blocks until killed. */
   def main(args: Array[String]): Unit = {
     def env(k: String, d: String) = sys.env.getOrElse(k, d)
-    // getOrElse's default is by-name — a strict helper parameter would
-    // evaluate the error unconditionally
+    // getOrElse directly for the defaults with side effects: its
+    // by-name default defers them, where a strict helper parameter
+    // would evaluate unconditionally (error thrown / temp dir created
+    // even when the variable is set)
     val in = sys.env.getOrElse("GRAFT_DEDUP_IN",
       sys.error("GRAFT_DEDUP_IN (parquet landing dir) is required"))
-    val out = env("GRAFT_DEDUP_OUT",
+    val out = sys.env.getOrElse("GRAFT_DEDUP_OUT",
       java.nio.file.Files.createTempDirectory("graft-dedup").toString)
     val spark = SparkSession.builder()
       .master(env("GRAFT_MASTER", "local[4]"))

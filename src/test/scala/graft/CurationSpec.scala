@@ -83,6 +83,11 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out0 = Curation.bpeTokenize(d, 0).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
     assert(out0.head === ((1L, List("a", "a", "</w>", "a", "a", "</w>"))))
+    // token-less documents surface with an EMPTY array, never dropped
+    val d2 = docs(Seq(1L -> "aa", 2L -> "", 3L -> "   "))
+    val out2 = Curation.bpeTokenize(d2, 1).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).size)).toSeq
+    assert(out2 === Seq((1L, 2), (2L, 0), (3L, 0)))
   }
 
   test("bpeMerges: adjacent repeated pairs all fuse (canonical leftmost scan)") {
