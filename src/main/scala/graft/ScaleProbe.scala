@@ -100,6 +100,10 @@ object ScaleProbe {
         // words), so every round stresses the vocab-bounded path
         pipeline.Curation.bpeMerges(docs, 3).count()
       },
+      time("bpe_tokenize_200k") { // apply 2 merges back to the corpus:
+        // the word-grain join + per-doc reassembly shuffle
+        pipeline.Curation.bpeTokenize(docs, 2).count()
+      },
       time("pickle_roundtrip_2m") { // wire encode+decode, 100-point frames
         import spark.implicits._
         spark.range(2000000).as[Long]
