@@ -461,8 +461,11 @@ object Curation {
     // is undefined), not silently vanish. The null stot propagates
     // through p → m → every term → the sum, so the null output needs
     // no special casing (same algebra in the SQL twin).
-    grid.join(sc, Seq("source", "tok"), "left")
-      .join(st, Seq("source"), "left")
+    // sc/st are (sources × K)- and sources-bounded by construction —
+    // broadcast them so the planner's unknown-size estimate cannot
+    // degrade these bounded-frame joins to corpus-style sort-merges
+    grid.join(broadcast(sc), Seq("source", "tok"), "left")
+      .join(broadcast(st), Seq("source"), "left")
       .select(col("source"), col("stot"),
         (coalesce(col("sn"), lit(0L)).cast("double") /
           col("stot").cast("double")).as("p"),

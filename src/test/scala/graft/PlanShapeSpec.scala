@@ -58,8 +58,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cu_drift: the K-bounded vocab probes broadcast into the token stream") {
     // the corpus-token membership probe against the driver-bounced
     // vocab must be a broadcast join — an SMJ here would shuffle the
-    // full exploded token stream against a 100-row frame
+    // full exploded token stream against a 100-row frame — and the
+    // (sources × K)-bounded grid/count/total joins are hinted
+    // broadcast, so NO join in this plan sort-merges
     val p = plan("cu_drift")
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 }
