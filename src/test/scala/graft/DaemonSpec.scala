@@ -47,6 +47,32 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     (code, body)
   }
 
+  test("gateway sheds the OLDEST lines past capacity, newest survive") {
+    // the reference's bounded ingest channels shed load rather than
+    // OOM; the gateway must do the same — offer 6 lines into a
+    // capacity-4 queue, the feed connection reads exactly the LAST 4
+    val gw = new Daemon.LineGateway(0, 0, capacity = 4)
+    try {
+      (1 to 6).foreach(i => gw.offer(s"line$i"))
+      val sock = new Socket("127.0.0.1", gw.boundFeedPort)
+      try {
+        sock.setSoTimeout(10000)
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          sock.getInputStream, StandardCharsets.UTF_8))
+        val got = (1 to 4).map(_ => in.readLine())
+        assert(got === Seq("line3", "line4", "line5", "line6"))
+      } finally sock.close()
+    } finally gw.close()
+  }
+
+  test("blaster corpus is deterministic and partitioning-independent") {
+    val a = graft.streaming.Blaster.generate(spark, 3, 100)
+      .collect().map(_.toSeq).toSet
+    val b = graft.streaming.Blaster.generate(spark, 3, 100)
+      .repartition(7).collect().map(_.toSeq).toSet
+    assert(a.size === 300 && a === b)
+  }
+
   test("socket lines → streaming ingest → archive → HTTP render/find") {
     val s = spark
     val dir = Files.createTempDirectory("daemon").toString
