@@ -277,7 +277,28 @@ object IngestQueries {
       Some(M.multiSql() +
         """ SELECT name, CAST(count(*) AS BIGINT) AS n_points
           | FROM series WHERE regexp_matches(name, '\.u[01]$')
-          | GROUP BY name ORDER BY name""".stripMargin))
+          | GROUP BY name ORDER BY name""".stripMargin)),
+
+    // tag-map ident search (serde/postgres.go:602-621): ident carries
+    // name + type/bucket tags parsed off the dotted name; the query is
+    // {tag -> regex}, key-presence AND case-insensitive value match
+    // (the UPPERCASE 'CLICK|ERROR' pattern only matches because of ~*
+    // semantics). Output idents render in Ident.String() form.
+    ("fd_search_tag",
+      ((s, d) => Find.searchTags(
+        Find.identify(M.multi(s, d),
+          "type" -> element_at(split(col("name"), "\\."), 2),
+          "bucket" -> element_at(split(col("name"), "\\."), 3)),
+        Map("type" -> "^(CLICK|ERROR)$", "bucket" -> "u[01]"))
+        .orderBy("ident")): Q,
+      Some(M.multiSql() +
+        """ SELECT '{"bucket": "' || ps[3] || '","name": "' || name
+          |   || '","type": "' || ps[2] || '"}' AS ident,
+          |   CAST(count(*) AS BIGINT) AS n_points
+          | FROM (SELECT name, string_split(name, '.') AS ps FROM series)
+          | WHERE regexp_matches(ps[2], '^(CLICK|ERROR)$', 'i')
+          |   AND regexp_matches(ps[3], 'u[01]', 'i')
+          | GROUP BY 1 ORDER BY ident""".stripMargin))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -426,15 +426,19 @@ object PipelineQueries {
            |FROM outb ORDER BY round""".stripMargin)),
 
     // apply the learned merges back to the corpus: per-doc BPE token
-    // sequences (</w>-terminated), the train→apply loop closed
+    // sequences (</w>-terminated), the train→apply loop closed.
+    // The array<string> is projected to a space-joined scalar on BOTH
+    // engines — the driver's pandas comparator can't hash array cells.
     ("cu_bpe_tokenize",
       ((s, d) => pipeline.Curation.bpeTokenize(Tables.documents(s, d), 6)
-        .select(col("doc_id").cast("long").as("doc_id"), col("bpe"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          concat_ws(" ", col("bpe")).as("bpe"))
         .orderBy("doc_id")): Q,
       Some(
         s"""WITH ${pipeline.Curation.bpeMergesSql(6)},
            |${pipeline.Curation.bpeTokenizeSql(6)}
-           |SELECT CAST(doc_id AS BIGINT) AS doc_id, bpe
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  array_to_string(bpe, ' ') AS bpe
            |FROM tokzd ORDER BY doc_id""".stripMargin)),
 
     // per-source token-distribution drift: JS divergence vs the corpus

@@ -378,12 +378,12 @@ object Curation {
          |  FROM p$r ORDER BY n DESC, pr LIMIT 1
          |), w$r AS (
          |  SELECT w.word, w.cnt,
-         |    trim(replace(replace(
+         |    CASE WHEN m.pr IS NULL THEN w.s ELSE trim(replace(replace(
          |      replace(' ' || w.s || ' ', ' ', '  '),
          |      ' ' || replace(m.pr, ' ', '  ') || ' ',
          |      ' ' || replace(m.pr, ' ', '') || ' '),
-         |      '  ', ' ')) AS s
-         |  FROM w${r - 1} w, m$r m
+         |      '  ', ' ')) END AS s
+         |  FROM w${r - 1} w LEFT JOIN m$r m ON TRUE
          |)""".stripMargin
     s"""wcb AS (
        |  SELECT tok AS word, count(*) AS cnt FROM (

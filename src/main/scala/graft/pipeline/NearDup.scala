@@ -402,7 +402,13 @@ object NearDup {
     * into MORE carriers than that is a frequency phenomenon, not a
     * pair phenomenon — its pair set alone is quadratic in the carrier
     * count — and is surfaced by [[hotWindows]] (linear output), which
-    * is exactly the set of windows this operator's index drops. */
+    * is exactly the set of windows this operator's index drops.
+    *
+    * Cache lifetime: the shared window-set and membership caches live
+    * until the session drops them — a long-running caller that runs
+    * MANY of these in one session should use [[windowFpPairsScoped]]
+    * and release after consuming the pairs, or cached partitions
+    * accumulate (same contract as [[minhashPairs]]). */
   def windowFpPairs(docs: DataFrame, window: Int, minShared: Int,
       stride: Int = 1): DataFrame =
     windowFpPairsScoped(docs, window, minShared, stride)._1
@@ -436,10 +442,6 @@ object NearDup {
        |  FROM dw GROUP BY wh HAVING count(*) >= $minDf
        |)""".stripMargin
 
-  /** [[windowFpPairs]] plus a release handle that unpersists the shared
-    * window-set and membership caches; call it after the final action
-    * that consumes the pairs (same contract as
-    * [[minhashPairsScoped]]). */
   /** Per-representative DISTINCT window-hash set, map-side (the
     * windowed analogue of [[shingleSets]]). */
   private def windowSets(reps: DataFrame, window: Int,
@@ -454,6 +456,10 @@ object NearDup {
       .select(col("doc_id"), ws.as("ws"))
   }
 
+  /** [[windowFpPairs]] plus a release handle that unpersists the shared
+    * window-set and membership caches; call it after the final action
+    * that consumes the pairs (same contract as
+    * [[minhashPairsScoped]]). */
   def windowFpPairsScoped(docs: DataFrame, window: Int, minShared: Int,
       stride: Int = 1): (DataFrame, () => Unit) = {
     require(window > 0 && stride > 0 && minShared > 0,
@@ -493,8 +499,6 @@ object NearDup {
       () => { wsets.unpersist(); members.unpersist(); () })
   }
 
-  /** DuckDB twin of [[windowFpPairs]] incl. the exact-dup collapse;
-    * the final pair CTE is `outw(doc_a, doc_b, n_shared)`. */
   /** Shared CTE prefix for the window-fingerprint twins: exact-dup
     * collapse (fp/repby/mem/reps), tokenization, window hashing, and
     * the distinct (doc_id, wh) frame `dw` — ONE statement of the
@@ -518,6 +522,8 @@ object NearDup {
        |        FROM tokw WHERE len(ts) >= $window)
        |), dw AS (SELECT DISTINCT doc_id, wh FROM wins)""".stripMargin
 
+  /** DuckDB twin of [[windowFpPairs]] incl. the exact-dup collapse;
+    * the final pair CTE is `outw(doc_a, doc_b, n_shared)`. */
   def windowFpPairsSql(window: Int, minShared: Int, stride: Int = 1): String =
     s"""WITH ${windowCtePrefix(window, stride)},
        |wsets AS (SELECT doc_id, list(DISTINCT wh) AS ws FROM wins GROUP BY doc_id),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.dsl.Dsl
 
@@ -51,4 +51,48 @@ object Find {
   def search(series: DataFrame, regex: String): DataFrame =
     series.filter(col("name").rlike(regex))
       .groupBy(col("name")).agg(count(lit(1)).as("n_points"))
+
+  /** Tag-map identity (`serde/serde.go:95`: `Ident map[string]string`):
+    * attach `ident: map<string,string>` to a `name`-keyed frame — the
+    * map always carries `name`, plus the caller's tag columns. A tag
+    * whose column evaluates to NULL is ABSENT from that row's map (the
+    * reference's idents simply lack keys other series carry), which is
+    * what gives [[searchTags]]'s key-presence check its meaning. */
+  def identify(series: DataFrame, tags: (String, Column)*): DataFrame = {
+    val entries = (("name" -> col("name")) +: tags)
+      .flatMap { case (k, c) => Seq(lit(k), c) }
+    series.withColumn("ident",
+      map_filter(map(entries: _*), (_, v) => v.isNotNull))
+  }
+
+  /** The reference's canonical ident rendering (`serde/serde.go:98-121`
+    * `Ident.String()`): keys sorted, `{"k": "v","k2": "v2"}` — comma
+    * with no space, exactly as `%q` prints. A deterministic scalar, so
+    * map identities survive groupBy and the oracle hash compare. */
+  def identString(ident: Column): Column =
+    concat(lit("{"), array_join(
+      transform(array_sort(map_keys(ident)),
+        k => concat(lit("\""), k, lit("\": \""), element_at(ident, k), lit("\""))),
+      ","), lit("}"))
+
+  /** Tag search with the reference's exact predicate shape
+    * (`serde/postgres.go:602-621` via `postgres_common.go:111-133`):
+    * for every (key, regex) in the query, the ident must CONTAIN the
+    * key (`ident ? $k` — the GIN-index guard) AND its value must match
+    * the regex case-insensitively (`ident ->> $k ~* $v`, an
+    * unanchored POSIX match). Conjunctive across query entries.
+    * Output: (ident, n_points) per matching series, ident in
+    * [[identString]] form.
+    *
+    * Scale: a catalog predicate — series-count grain, one
+    * map-side-combinable aggregate; never touches point payloads. */
+  def searchTags(series: DataFrame, query: Map[String, String]): DataFrame = {
+    val cond = query.toSeq.sortBy(_._1).map { case (k, v) =>
+      element_at(col("ident"), lit(k)).isNotNull &&
+        element_at(col("ident"), lit(k)).rlike("(?i)" + v)
+    }.reduce(_ && _)
+    series.filter(cond)
+      .groupBy(identString(col("ident")).as("ident"))
+      .agg(count(lit(1)).as("n_points"))
+  }
 }
