@@ -414,14 +414,15 @@ object PipelineQueries {
         .select(col("tok"), col("tf"), col("df"))): Q,
       Some(pipeline.Curation.vocabStatsSql(50))),
 
-    // BPE merge training: 6 rounds of most-frequent-pair fusion over
-    // the frequency-weighted word vocabulary
+    // BPE merge training: 10 rounds of most-frequent-pair fusion over
+    // the frequency-weighted word vocabulary (10 > the 8-round
+    // materialization epoch, so the oracle crosses that boundary)
     ("cu_bpe",
-      ((s, d) => pipeline.Curation.bpeMerges(Tables.documents(s, d), 6)
+      ((s, d) => pipeline.Curation.bpeMerges(Tables.documents(s, d), 10)
         .select(col("round"), col("pair"), col("n"))
         .orderBy("round")): Q,
       Some(
-        s"""WITH ${pipeline.Curation.bpeMergesSql(6)}
+        s"""WITH ${pipeline.Curation.bpeMergesSql(10)}
            |SELECT round, pr AS pair, CAST(n AS BIGINT) AS n
            |FROM outb ORDER BY round""".stripMargin)),
 
@@ -430,13 +431,13 @@ object PipelineQueries {
     // The array<string> is projected to a space-joined scalar on BOTH
     // engines — the driver's pandas comparator can't hash array cells.
     ("cu_bpe_tokenize",
-      ((s, d) => pipeline.Curation.bpeTokenize(Tables.documents(s, d), 6)
+      ((s, d) => pipeline.Curation.bpeTokenize(Tables.documents(s, d), 10)
         .select(col("doc_id").cast("long").as("doc_id"),
           concat_ws(" ", col("bpe")).as("bpe"))
         .orderBy("doc_id")): Q,
       Some(
-        s"""WITH ${pipeline.Curation.bpeMergesSql(6)},
-           |${pipeline.Curation.bpeTokenizeSql(6)}
+        s"""WITH ${pipeline.Curation.bpeMergesSql(10)},
+           |${pipeline.Curation.bpeTokenizeSql(10)}
            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
            |  array_to_string(bpe, ' ') AS bpe
            |FROM tokzd ORDER BY doc_id""".stripMargin)),

@@ -95,10 +95,17 @@ object ScaleProbe {
         pipeline.Similarity.topKIvfQ8(vecs,
           vecs.filter(col("vec_id") < 5), 10).count()
       },
-      time("bpe_200k_3r") { // BPE on an adversarial vocab: the probe
+      time("bpe_200k_8r") { // BPE on an adversarial vocab: the probe
         // corpus's words are ~unique hex 6-grams (millions of distinct
         // words), so every round stresses the vocab-bounded path
-        pipeline.Curation.bpeMerges(docs, 3).count()
+        pipeline.Curation.bpeMerges(docs, 8).count()
+      },
+      time("bpe_200k_24r") { // deep-round plateau: with the 8-round
+        // materialization epoch, rounds 9-24 must cost ~the same per
+        // round as 1-8 — (t24 - t8)/16 vs t8/8 is the plateau check;
+        // pre-materialization the replace chain grew with the round
+        // number and deep trainings were quadratic
+        pipeline.Curation.bpeMerges(docs, 24).count()
       },
       time("bpe_tokenize_200k") { // apply 2 merges back to the corpus:
         // the word-grain join + per-doc reassembly shuffle

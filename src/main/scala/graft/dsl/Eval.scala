@@ -26,6 +26,12 @@ object Eval {
   final case class SeriesV(df: DataFrame) extends Val
   final case class NumV(v: Double) extends Val
   final case class StrV(s: String) extends Val
+  /** An unquoted bareword — a metric-path glob in series position, raw
+    * text in string/duration position (the reference's Go-AST ident
+    * coercion, `dsl/dsl.go:159-264`: `useSeriesAbove(..., foo, bar)`
+    * passes bare idents as strings). Coercion happens at the arg
+    * binder, so the SAME word can be either. */
+  final case class PatternV(p: String) extends Val
 
   /** Evaluation context: the store is the catalog-resolved canonical
     * frame; from/to bound generator functions (`constantLine`,
@@ -71,7 +77,7 @@ object Eval {
   def eval(ctx: Ctx, node: Dsl.Node): Val = node match {
     case Dsl.Num(v)     => NumV(v)
     case Dsl.Str(s)     => StrV(s)
-    case Dsl.Pattern(p) => SeriesV(ctx.fetch(p))
+    case Dsl.Pattern(p) => PatternV(p)
     case Dsl.Call(fn, args, kwargs) =>
       val f = registry.getOrElse(fn, throw new IllegalArgumentException(
         s"unknown function: $fn"))
@@ -86,15 +92,18 @@ object Eval {
   private def asSeries(ctx: Ctx, v: Val): DataFrame = v match {
     case SeriesV(df) => df
     case StrV(p)     => ctx.fetch(p)
+    case PatternV(p) => ctx.fetch(p)
     case other => throw new IllegalArgumentException(s"not a series: $other")
   }
   private def num(v: Val): Double = v match {
     case NumV(d) => d
     case StrV(s) => s.toDouble
+    case PatternV(s) => s.toDouble
     case other   => throw new IllegalArgumentException(s"not a number: $other")
   }
   private def str(v: Val): String = v match {
     case StrV(s) => s
+    case PatternV(s) => s
     case NumV(d) => if (d == d.toLong) d.toLong.toString else d.toString
     case other   => throw new IllegalArgumentException(s"not a string: $other")
   }
@@ -102,6 +111,7 @@ object Eval {
   private def durSec(v: Val): Long = v match {
     case NumV(d) => d.toLong
     case StrV(s) => Durations.parseSeconds(s)
+    case PatternV(s) => Durations.parseSeconds(s)
     case other   => throw new IllegalArgumentException(s"not a duration: $other")
   }
 
@@ -130,7 +140,7 @@ object Eval {
       // later strings are scalar args, since every registry function
       // takes its seriesList first
       val (sets, rest) = args match {
-        case (s: StrV) +: more =>
+        case (s @ (_: StrV | _: PatternV)) +: more =>
           val (extra, r) = more.span(_.isInstanceOf[SeriesV])
           ((s +: extra), r)
         case _ => args.span(_.isInstanceOf[SeriesV])
@@ -188,6 +198,7 @@ object Eval {
         case Some(NumV(x))     => SeriesV(O.asPercent(series, Some(x)))
         case Some(sv: SeriesV) => SeriesV(O.asPercent(series, None, Some(sv.df)))
         case Some(StrV(p))     => SeriesV(O.asPercent(series, None, Some(ctx.fetch(p))))
+        case Some(PatternV(p)) => SeriesV(O.asPercent(series, None, Some(ctx.fetch(p))))
         case None              => SeriesV(O.asPercent(series))
       }
     }
@@ -260,6 +271,7 @@ object Eval {
     def windowPoints(ctx: Ctx, v: Val): Int = v match {
       case NumV(n) => n.toInt
       case StrV(s) => (Durations.parseSeconds(s) / (ctx.stepSec + 1) + 1).toInt
+      case PatternV(s) => (Durations.parseSeconds(s) / (ctx.stepSec + 1) + 1).toInt
       case other   => throw new IllegalArgumentException(s"bad window: $other")
     }
     add(Seq("movingAverage"))(onSeries((ctx, df, rest, _) =>
@@ -366,10 +378,12 @@ object Eval {
       // scan is shared (same store), shifts differ only in the filter+map
       val pattern = args(0) match {
         case StrV(p) => p
+        case PatternV(p) => p
         case other => throw new IllegalArgumentException(
           s"timeStack needs a quoted pattern, got $other")
       }
-      val ispec = args(1) match { case StrV(x) => x; case v => durSec(v).toString }
+      val ispec = args(1) match {
+        case StrV(x) => x; case PatternV(x) => x; case v => durSec(v).toString }
       val period = durSec(args(1))
       val begin = num(args(2)).toInt
       val endN = num(args(3)).toInt

@@ -257,10 +257,11 @@ object Curation {
     * shuffle), after which each round is a vocab-sized pass: pair
     * counting explodes ~word-length pairs per vocab entry, the argmax
     * is one tiny TakeOrdered, and the winning merge bounces through
-    * the driver as a literal (the k-means centroid idiom — each
-    * round's plan re-derives symbol state from the persisted vocab
-    * through a constant-depth chain of `replace`s, so lineage never
-    * snowballs). Symbol sequences are space-joined strings, so merge
+    * the driver as a literal (the k-means centroid idiom). Symbol
+    * state re-materializes every [[BpeMatEvery]] rounds, so the
+    * per-round `replace` chain has bounded depth and per-round cost
+    * PLATEAUS — deep trainings stay linear in rounds, not quadratic.
+    * Symbol sequences are space-joined strings, so merge
     * application is one leftmost-non-overlapping string `replace` —
     * semantics identical in Spark and DuckDB, which lets the oracle
     * unroll the whole loop as CTEs.
@@ -274,25 +275,39 @@ object Curation {
     bpeCore(docs, rounds)._1.toDF("round", "pair", "n")
   }
 
-  /** Shared training loop: returns (merge table, word-frequency frame,
-    * the expression mapping `word` to its POST-merge symbol string).
-    * The returned frame/expression re-derive the (unpersisted) vocab
-    * lazily — consumers pay one extra token-count aggregate at action
-    * time, the price of not leaking a cache. */
+  /** Symbol state re-materializes every this many merge rounds
+    * ([[bpeCore]]): the per-round replace chain is rebuilt from a
+    * persisted `(word, cnt, s)` frame instead of growing with the
+    * round number, so per-round cost PLATEAUS at chain depth ≤ 3·K —
+    * without it round r re-evaluates an O(r)-deep expression and a
+    * deep tokenizer training (thousands of merges) pays a quadratic
+    * total. K trades plan depth against cache count. */
+  private val BpeMatEvery = 8
+
+  /** Shared training loop: returns (merge table, vocab frame, the
+    * expression mapping that frame's rows to the POST-merge symbol
+    * string). The returned frame/expression re-derive the
+    * (unpersisted) vocab lazily — consumers pay one extra token-count
+    * aggregate at action time, the price of not leaking a cache. */
   private def bpeCore(docs: DataFrame, rounds: Int)
       : (Seq[(Long, String, Long)], DataFrame, Column) = {
     val wcPlan = docs.select(explode(tokens).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    val wc = wcPlan.persist()
     val s0: Column = expr(
       "concat(array_join(transform(sequence(1, length(word)), " +
         "i -> substring(word, i, 1)), ' '), ' </w>')")
+    // `cur` + `sCol` together denote the current symbol state; caches
+    // accumulate one persisted frame per materialization epoch and all
+    // release on exit (recompute stays correct, just uncached)
+    var cur: DataFrame = wcPlan.persist()
     var sCol: Column = s0
+    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var exhausted = false
     try {
       for (r <- 1 to rounds if !exhausted) {
+        val wc = cur
         // NB sequence(1, 0) is DESCENDING [1, 0] in Spark (DuckDB's
         // generate_series(1, 0) is empty) — fully-fused single-symbol
         // words must be guarded out explicitly
@@ -323,10 +338,17 @@ object Curation {
           val fused = replace(doubled,
             lit(" " + pa + "  " + pb + " "), lit(" " + pa + pb + " "))
           sCol = trim(replace(fused, lit("  "), lit(" ")))
+          if (r % BpeMatEvery == 0 && r < rounds) {
+            val mat = cur.select(col("word"), col("cnt"), sCol.as("s"))
+              .persist()
+            caches += mat
+            cur = mat
+            sCol = col("s")
+          }
         }
       }
-    } finally { wc.unpersist(); () }
-    (merges.toSeq, wcPlan, sCol)
+    } finally { caches.foreach(_.unpersist()); () }
+    (merges.toSeq, cur, sCol)
   }
 
   /** Tokenize the corpus with the merges [[bpeMerges]] learns on it —

@@ -77,8 +77,8 @@ object Daemon {
     def boundFeedPort: Int = feedSock.getLocalPort
 
     /** Enqueue one line, shedding the oldest beyond `capacity`. Public:
-      * the pixel HTTP handler and the pixel→graphite re-injection feed
-      * the gateway directly, without a socket. */
+      * the pixel HTTP handler feeds its gateways directly, without a
+      * socket ([[pixelRoute]]). */
     def offer(line: String): Unit =
       if (!queue.offer(line)) { queue.poll(); queue.offer(line); () }
 
@@ -148,14 +148,38 @@ object Daemon {
     }
 
     daemonThread("gateway-feed") {
+      // Restart-survival machinery (the reference's graceful package:
+      // no accepted line drops across a SIGHUP lifecycle bounce,
+      // graceful/graceful.go TcpWg + daemon/daemon.go:339-372):
+      //
+      //  - `pending`: a line taken from the queue but not delivered
+      //    (feed connection died mid-handoff) is HELD and re-offered
+      //    to the next feed connection.
+      //  - the read-watchdog closes a feed connection the moment its
+      //    query stops (orderly peer close → read() returns -1), so
+      //    the writer sees the error on the NEXT line instead of
+      //    silently burying one in a dead socket buffer.
+      //
+      // Offset continuity across the bounce is the FEED SOURCE's job:
+      // [[graft.sources.GatewaySourceProvider]] numbers a new
+      // connection's lines from the checkpoint's restored offset, so
+      // the relaunched query neither skips held lines nor commits
+      // backwards (the built-in socket source does both).
+      var pending: Option[String] = None
       while (running.get) {
         try {
-          val spark = feedSock.accept() // Spark's socket source connects
-          val out = new PrintWriter(spark.getOutputStream, true)
+          val client = feedSock.accept() // the streaming source connects
+          daemonThread(s"gateway-feed-watch-${client.getPort}") {
+            try { client.getInputStream.read(); () }
+            catch { case _: IOException => () }
+            finally { Try(client.close()); () }
+          }
+          val out = new PrintWriter(client.getOutputStream, true)
           try while (running.get && !out.checkError()) {
-            val line = queue.take()
+            val line = pending.getOrElse(queue.take())
             out.println(line)
-          } finally { Try(spark.close()); () }
+            pending = if (out.checkError()) Some(line) else None
+          } finally { Try(client.close()); () }
         } catch { case _: IOException if running.get => () }
       }
     }
@@ -170,6 +194,17 @@ object Daemon {
 
   // ---------------------- ingest lifecycles -------------------------
 
+  /** One streaming line frame from a gateway feed port, via the
+    * restart-safe [[graft.sources.GatewaySourceProvider]] (offset
+    * continuity across a checkpointed relaunch — the graceful-restart
+    * contract; the built-in socket source restarts offsets per
+    * connection and silently skips). Column: `value`. */
+  private def gatewayLines(spark: SparkSession, port: Int): DataFrame =
+    spark.readStream
+      .format(classOf[graft.sources.GatewaySourceProvider].getName)
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .load()
+
   /** Graphite plaintext lifecycle: socket stream → [[Ingest.parseGraphite]]
     * → exact PDP pieces (stateful, heartbeat-evicted) → partition-scoped
     * archive merge per micro-batch. */
@@ -177,8 +212,7 @@ object Daemon {
       archiveDir: String, stepSec: Long, heartbeatSec: Long,
       checkpointDir: String, retainSec: Option[Long] = None): StreamingQuery = {
     import spark.implicits._
-    val lines = spark.readStream.format("socket")
-      .option("host", "127.0.0.1").option("port", feedPort).load()
+    val lines = gatewayLines(spark, feedPort)
       .toDF("line")
     val pts = Ingest.parseGraphite(lines,
         nowSec = unix_timestamp(current_timestamp()))
@@ -239,11 +273,11 @@ object Daemon {
     * is identical (`daemon/statsd_text.go:175-206`). */
   def startStatsdIngest(spark: SparkSession, feedPort: Int,
       archiveDir: String, flushSec: Long,
-      checkpointDir: String, retainSec: Option[Long] = None): StreamingQuery = {
-    val lines = spark.readStream.format("socket")
-      .option("host", "127.0.0.1").option("port", feedPort).load()
+      checkpointDir: String, retainSec: Option[Long] = None,
+      statsPrefix: String = "stats"): StreamingQuery = {
+    val lines = gatewayLines(spark, feedPort)
       .toDF("line")
-    val cmds = Ingest.statsdToCommands(Ingest.parseStatsd(lines))
+    val cmds = Ingest.statsdToCommands(Ingest.parseStatsd(lines), statsPrefix)
     cmds.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (raw: DataFrame, bid: Long) =>
@@ -266,8 +300,7 @@ object Daemon {
       archiveDir: String, stepSec: Long, heartbeatSec: Long,
       checkpointDir: String, retainSec: Option[Long] = None): StreamingQuery = {
     import spark.implicits._
-    val lines = spark.readStream.format("socket")
-      .option("host", "127.0.0.1").option("port", feedPort).load()
+    val lines = gatewayLines(spark, feedPort)
       .toDF("line")
     val pts = lines.as[String]
       .flatMap(b64 => Pickle.decodeFrames(Base64.getDecoder.decode(b64)))
@@ -301,14 +334,21 @@ object Daemon {
     Rra(10L, 6L * 3600), Rra(60L, 24L * 3600),
     Rra(600L, 93L * 86400), Rra(86400L, 5L * 365 * 86400))
 
-  /** The daemon's combined point receiver: graphite text and pickle
-    * frames union into ONE stateful PDP stream with ONE archive writer —
-    * the reference funnels every point protocol into a single receiver
+  /** The daemon's combined point receiver: graphite text, pickle
+    * frames, and (optionally) `/pixel` data points union into ONE
+    * stateful PDP stream with ONE archive writer — the reference
+    * funnels every point protocol into a single receiver
     * (`receiver/receiver.go`), and two concurrent streaming queries
     * merging the same parquet directory would race on the
     * dynamic-partition overwrite, so the union is structural, not
     * cosmetic. Per-series PDP state is shared across protocols exactly
     * as the reference's DS cache is.
+    *
+    * `pixelDpFeedPort` carries raw `/pixel?name=VAL@TS` request lines
+    * ([[pixelRoute]]); they parse on the EXECUTORS
+    * ([[Pixel.parseRequests]]) and join the point union directly —
+    * the reference's `http/pixel.go:83` QueueDataPoint funnel with no
+    * driver-side re-encode/re-offer loop.
     *
     * `rras` (optional) maintains a LIVE multi-resolution chain alongside
     * the base store, as the reference's receiver trickles each PDP into
@@ -322,18 +362,26 @@ object Daemon {
       pickleFeedPort: Int, archiveDir: String, stepSec: Long,
       heartbeatSec: Long, checkpointDir: String,
       retainSec: Option[Long] = None,
-      rras: Seq[Rra] = Seq.empty): StreamingQuery = {
+      rras: Seq[Rra] = Seq.empty,
+      pixelDpFeedPort: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
-    def socketLines(port: Int): DataFrame = spark.readStream.format("socket")
-      .option("host", "127.0.0.1").option("port", port).load()
-      .toDF("line")
+    def socketLines(port: Int): DataFrame =
+      gatewayLines(spark, port).toDF("line")
     val gPts = Ingest.parseGraphite(socketLines(graphiteFeedPort),
         nowSec = unix_timestamp(current_timestamp()))
       .as[(String, Long, Double)]
     val pkPts = socketLines(pickleFeedPort).as[String]
       .flatMap(b64 => Pickle.decodeFrames(Base64.getDecoder.decode(b64)))
       .map(p => (p.name, p.tsSec, p.value))
-    Ingest.pdpPieces(spark, gPts.union(pkPts), heartbeatSec).toDF()
+    val pxPts = pixelDpFeedPort.map { port =>
+      Pixel.parseRequests(socketLines(port).toDF("url"),
+          nowSec = unix_timestamp(current_timestamp()))
+        .filter(col("kind") === "dp")
+        .select(col("name"), col("tsSec").cast("long"), col("value"))
+        .as[(String, Long, Double)]
+    }
+    val pts = pxPts.foldLeft(gPts.union(pkPts))(_ union _)
+    Ingest.pdpPieces(spark, pts, heartbeatSec).toDF()
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -354,45 +402,48 @@ object Daemon {
       .start()
   }
 
-  /** Pixel lifecycle: the HTTP pixel handlers ([[startHttp]]) offer
-    * each request's `path?query` line into a gateway; this stream
+  /** Route one pixel request line to the right lifecycle at the HTTP
+    * boundary, as the reference's per-route handlers do
+    * (`daemon/http.go:47-51`, `http/pixel.go`): bare `/pixel` data
+    * points feed the combined point receiver's pixel source
+    * ([[startReceiver]]'s `pixelDpFeedPort`) — NO driver-side
+    * re-injection loop anywhere downstream — while `/pixel/...`
+    * aggregator commands feed the pixel-command lifecycle
+    * ([[startPixelIngest]]). Routing is by path shape only; malformed
+    * requests drop inside [[Pixel.parseRequests]] on the executors. */
+  def pixelRoute(dpOffer: String => Unit,
+      cmdOffer: String => Unit): String => Unit =
+    line => if (line.startsWith("/pixel/")) cmdOffer(line) else dpOffer(line)
+
+  /** Pixel-command lifecycle: the HTTP pixel handlers ([[startHttp]])
+    * offer each `/pixel/add|addgauge|setgauge|append` request's
+    * `path?query` line into a gateway ([[pixelRoute]]); this stream
     * parses them with the oracle-checked [[Pixel.parseRequests]] and
-    * routes exactly as the reference's handlers do (`http/pixel.go`):
+    * flush-window aggregates into whole-window pieces. Names stay
+    * UNprefixed — pixel commands bypass the statsd router
+    * (`http/pixel.go:140` NewCommand, no `stats.` prefixes).
     *
-    *   - data points (`/pixel?name=VAL@TS`) re-encode as graphite lines
-    *     into the graphite gateway — the shared "receiver"
-    *     (`http/pixel.go:83` QueueDataPoint), so they run the same
-    *     cross-batch PDP state machine as wire graphite. The per-batch
-    *     collect is bounded by the HTTP request rate per micro-batch —
-    *     frontend-sized, not data-sized.
-    *   - aggregator commands (`/pixel/add|addgauge|setgauge|append`)
-    *     flush-window aggregate into whole-window pieces. Names stay
-    *     UNprefixed — pixel commands bypass the statsd router
-    *     (`http/pixel.go:140` NewCommand, no `stats.` prefixes). */
+    * Bare `/pixel` data points do NOT pass through here: they are the
+    * receiver's third source (`http/pixel.go:83` queues into the same
+    * shared receiver as wire graphite), so they run the cross-batch
+    * PDP state machine with no per-row driver loop. */
   def startPixelIngest(spark: SparkSession, feedPort: Int,
-      graphiteOffer: String => Unit, archiveDir: String, flushSec: Long,
+      archiveDir: String, flushSec: Long,
       checkpointDir: String, retainSec: Option[Long] = None): StreamingQuery = {
-    val urls = spark.readStream.format("socket")
-      .option("host", "127.0.0.1").option("port", feedPort).load()
+    val urls = gatewayLines(spark, feedPort)
       .toDF("url")
     urls.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val parsed = Pixel.parseRequests(batch,
-          nowSec = unix_timestamp(current_timestamp())).persist()
-        try {
-          parsed.filter(col("kind") === "dp")
-            .select(format_string("%s %s %d", col("name"),
-              col("value").cast("string"), col("tsSec")).as("line"))
-            .collect().foreach(r => graphiteOffer(r.getString(0)))
-          val cmds = parsed.filter(col("kind") =!= "dp")
-            .select(col("name"), col("kind").as("cmd"), col("value"))
-          Ingest.mergePiecesIntoArchive(spark,
-            commandWindowPieces(cmds, flushSec), archiveDir, flushSec,
-            writer = Some((writerToken(checkpointDir), bid)))
-          retainSec.foreach(rs => Ingest.enforceRetention(spark, archiveDir,
-            flushSec, rs, nowSec = System.currentTimeMillis() / 1000L))
-        } finally { parsed.unpersist(); () }
+        val cmds = Pixel.parseRequests(batch,
+            nowSec = unix_timestamp(current_timestamp()))
+          .filter(col("kind") =!= "dp")
+          .select(col("name"), col("kind").as("cmd"), col("value"))
+        Ingest.mergePiecesIntoArchive(spark,
+          commandWindowPieces(cmds, flushSec), archiveDir, flushSec,
+          writer = Some((writerToken(checkpointDir), bid)))
+        retainSec.foreach(rs => Ingest.enforceRetention(spark, archiveDir,
+          flushSec, rs, nowSec = System.currentTimeMillis() / 1000L))
       }
       .start()
   }
@@ -510,25 +561,61 @@ object Daemon {
     * 2003, TCP+UDP), graphite pickle on GRAFT_PICKLE_PORT (2004, TCP),
     * statsd lines on GRAFT_STATSD_PORT (8125, TCP+UDP), HTTP render +
     * find + pixel routes on GRAFT_HTTP_PORT (8080), archives under
-    * GRAFT_DATA_DIR. Blocks until killed. */
-  def main(args: Array[String]): Unit = {
-    def env(k: String, d: String) = sys.env.getOrElse(k, d)
-    val dataDir = env("GRAFT_DATA_DIR",
-      Files.createTempDirectory("graft-daemon").toString)
-    val stepSec = env("GRAFT_STEP_SEC", "10").toLong
-    val heartbeatSec = env("GRAFT_HEARTBEAT_SEC", "300").toLong
-    val flushSec = env("GRAFT_FLUSH_SEC", "10").toLong
+    * GRAFT_DATA_DIR. Blocks until killed.
+    *
+    * GRAFT_CONFIG (or argv[0]) names a `tgres.conf`-shaped file
+    * ([[Conf]], see `etc/graft.conf.sample`): its listen specs,
+    * stat-flush-interval, stats-name-prefix, and the first `[[ds]]`
+    * rule's step/heartbeat/RRA chain become the defaults; GRAFT_*
+    * environment variables still override per key. */
+  /** Per-boot (and per-SIGHUP) daemon settings: config-file defaults
+    * with GRAFT_* environment overrides. */
+  private final case class DaemonSettings(stepSec: Long, heartbeatSec: Long,
+      flushSec: Long, retainSec: Option[Long], rras: Seq[Rra],
+      statsPrefix: String)
+
+  private def loadSettings(confPath: Option[String]): (Option[Conf.Settings], DaemonSettings) = {
+    val conf = confPath.map(Conf.load)
+    val (cfStep, cfHb, cfRetain, cfRras) = conf match {
+      case Some(c) => Conf.storeSettings(c)
+      case None => (10L, 300L, None: Option[Long], Seq.empty[Rra])
+    }
+    val stepSec = sys.env.get("GRAFT_STEP_SEC").map(_.toLong)
+      .getOrElse(cfStep)
+    val heartbeatSec = sys.env.get("GRAFT_HEARTBEAT_SEC").map(_.toLong)
+      .getOrElse(cfHb)
+    val flushSec = sys.env.get("GRAFT_FLUSH_SEC").map(_.toLong)
+      .getOrElse(conf.map(_.statFlushSec).getOrElse(10L))
     // bounded retention (the reference's RRA span): 0 keeps everything
-    val retainSec = Option(env("GRAFT_RETAIN_SEC", "0").toLong).filter(_ > 0)
+    val retainSec = sys.env.get("GRAFT_RETAIN_SEC").map(_.toLong)
+      .filter(_ > 0).orElse(cfRetain)
     // live RRA chain, "step:span" pairs with graphite duration suffixes
     // (e.g. "1min:24h,10min:93d,1d:5y" — the reference's sample config);
     // empty = base store only
-    val rras = env("GRAFT_RRAS", "").split(",").map(_.trim).filter(_.nonEmpty)
-      .toSeq.map { spec =>
-        val Array(st, sp) = spec.split(":", 2)
-        Rra(graft.ts.Durations.parseSeconds(st),
-          graft.ts.Durations.parseSeconds(sp))
-      }
+    val rras = sys.env.get("GRAFT_RRAS") match {
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty)
+        .toSeq.map { spec =>
+          val Array(st, sp) = spec.split(":", 2)
+          Rra(graft.ts.Durations.parseSeconds(st),
+            graft.ts.Durations.parseSeconds(sp))
+        }
+      case None => cfRras
+    }
+    val statsPrefix = sys.env.getOrElse("GRAFT_STATS_PREFIX",
+      conf.map(_.statsNamePrefix).getOrElse("stats"))
+    (conf, DaemonSettings(stepSec, heartbeatSec, flushSec, retainSec,
+      rras, statsPrefix))
+  }
+
+  def main(args: Array[String]): Unit = {
+    def env(k: String, d: String) = sys.env.getOrElse(k, d)
+    val confPath = sys.env.get("GRAFT_CONFIG").orElse(args.headOption)
+    val (conf, boot) = loadSettings(confPath)
+    val dataDir = env("GRAFT_DATA_DIR",
+      Files.createTempDirectory("graft-daemon").toString)
+    def portOf(envKey: String, confPort: Option[Int], d: Int): Int =
+      sys.env.get(envKey).map(_.toInt)
+        .orElse(confPort).getOrElse(d)
     val spark = SparkSession.builder()
       .master(env("GRAFT_MASTER", "local[4]"))
       .appName("graft-daemon")
@@ -538,41 +625,77 @@ object Daemon {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val gGw = new LineGateway(env("GRAFT_GRAPHITE_PORT", "2003").toInt, 0)
-    val sGw = new LineGateway(env("GRAFT_STATSD_PORT", "8125").toInt, 0)
-    val pkGw = new LineGateway(env("GRAFT_PICKLE_PORT", "2004").toInt, 0,
+    val gGw = new LineGateway(
+      portOf("GRAFT_GRAPHITE_PORT", conf.flatMap(_.graphitePort), 2003), 0)
+    val sGw = new LineGateway(
+      portOf("GRAFT_STATSD_PORT", conf.flatMap(_.statsdPort), 8125), 0)
+    val pkGw = new LineGateway(
+      portOf("GRAFT_PICKLE_PORT", conf.flatMap(_.picklePort), 2004), 0,
       framed = true)
-    val pxGw = new LineGateway(0, 0) // fed by the HTTP handler, not a socket
+    // both fed by the HTTP handler (pixelRoute), not a listen socket:
+    // bare /pixel dp lines feed the receiver, /pixel/* commands their
+    // own lifecycle
+    val pxDpGw = new LineGateway(0, 0)
+    val pxGw = new LineGateway(0, 0)
     // one archive store per writer: points (graphite+pickle+pixel dps,
     // via the shared receiver), statsd commands, pixel commands — the
-    // HTTP surface reads their union
-    startReceiver(spark, gGw.boundFeedPort, pkGw.boundFeedPort,
-      s"$dataDir/points", stepSec, heartbeatSec,
-      checkpointDir = s"$dataDir/ckpt-points", retainSec = retainSec,
-      rras = rras)
-    startStatsdIngest(spark, sGw.boundFeedPort, s"$dataDir/statsd",
-      flushSec, checkpointDir = s"$dataDir/ckpt-statsd",
-      retainSec = retainSec)
-    startPixelIngest(spark, pxGw.boundFeedPort, gGw.offer,
-      s"$dataDir/pixel", flushSec, checkpointDir = s"$dataDir/ckpt-pixel",
-      retainSec = retainSec)
+    // HTTP surface reads their union. startAll re-reads the config so
+    // a SIGHUP restart picks up edited settings (ports stay boot-fixed:
+    // the gateways ARE the reference's inherited listener FDs).
+    def startAll(settings: DaemonSettings): Seq[StreamingQuery] = Seq(
+      startReceiver(spark, gGw.boundFeedPort, pkGw.boundFeedPort,
+        s"$dataDir/points", settings.stepSec, settings.heartbeatSec,
+        checkpointDir = s"$dataDir/ckpt-points",
+        retainSec = settings.retainSec,
+        rras = settings.rras, pixelDpFeedPort = Some(pxDpGw.boundFeedPort)),
+      startStatsdIngest(spark, sGw.boundFeedPort, s"$dataDir/statsd",
+        settings.flushSec, checkpointDir = s"$dataDir/ckpt-statsd",
+        retainSec = settings.retainSec, statsPrefix = settings.statsPrefix),
+      startPixelIngest(spark, pxGw.boundFeedPort,
+        s"$dataDir/pixel", settings.flushSec,
+        checkpointDir = s"$dataDir/ckpt-pixel",
+        retainSec = settings.retainSec))
+    @volatile var active = startAll(boot)
     val http = startHttp(spark,
-      env("GRAFT_HTTP_PORT", "8080").toInt,
+      portOf("GRAFT_HTTP_PORT", conf.flatMap(_.httpPort), 8080),
       Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel"),
-      stepSec, pixelOffer = Some(pxGw.offer))
+      boot.stepSec, pixelOffer = Some(pixelRoute(pxDpGw.offer, pxGw.offer)))
     println(s"graft daemon: graphite=${gGw.boundListenPort} " +
       s"pickle=${pkGw.boundListenPort} statsd=${sGw.boundListenPort} " +
       s"http=${http.getAddress.getPort} data=$dataDir")
+    // graceful RESTART (the reference's SIGHUP handoff,
+    // daemon/daemon.go:131-143 + graceful/): the gateways keep
+    // listening and buffering while every streaming lifecycle stops at
+    // a micro-batch boundary and relaunches with the re-read config —
+    // no listener closes, no accepted line drops (held by the feed
+    // thread), the checkpointed exactly-once merge de-dupes any replay.
+    val restartGen = new java.util.concurrent.atomic.AtomicLong(0)
+    Try {
+      sun.misc.Signal.handle(new sun.misc.Signal("HUP"),
+        (_: sun.misc.Signal) => {
+          restartGen.incrementAndGet()
+          active.foreach(q => Try(q.stop()))
+          active = startAll(loadSettings(confPath)._2)
+        })
+    }
     // graceful shutdown (the reference's graceful package): stop taking
     // new input, let in-flight micro-batches commit, then stop Spark —
     // the exactly-once merge makes an interrupted batch safe either way
     sys.addShutdownHook {
-      Seq(gGw, sGw, pkGw, pxGw).foreach(gw => Try(gw.close()))
+      Seq(gGw, sGw, pkGw, pxDpGw, pxGw).foreach(gw => Try(gw.close()))
       Try(http.stop(0))
       spark.streams.active.foreach(q => Try(q.stop()))
       Try(spark.stop())
       ()
     }
-    spark.streams.awaitAnyTermination()
+    // exit when a query dies on its own; SIGHUP-initiated terminations
+    // re-arm the wait instead
+    var exit = false
+    while (!exit) {
+      val gen = restartGen.get
+      spark.streams.awaitAnyTermination()
+      if (restartGen.get == gen) exit = true
+      else spark.streams.resetTerminated()
+    }
   }
 }

@@ -77,15 +77,18 @@ object Ingest {
 
   /** Parsed stat → aggregator command (`statsd/statsd.go:33-57`):
     * counter values scale by 1/sample (a 0.1-sampled counter stands for
-    * 10× the hits), names gain the `stats.` / `stats.gauges.` /
-    * `stats.timers.` prefixes, and gauges route on the delta flag.
+    * 10× the hits), names gain the `<prefix>.` / `<prefix>.gauges.` /
+    * `<prefix>.timers.` prefixes (prefix = the config's
+    * `stats-name-prefix`, default "stats", `daemon/config.go:260-267`),
+    * and gauges route on the delta flag.
     * Output: (name, cmd ∈ {add, addgauge, setgauge, append}, value). */
-  def statsdToCommands(parsed: DataFrame): DataFrame = {
+  def statsdToCommands(parsed: DataFrame,
+      prefix: String = "stats"): DataFrame = {
     val m = col("metric")
     parsed.select(
-      when(m === "c", concat(lit("stats."), col("name")))
-        .when(m === "g", concat(lit("stats.gauges."), col("name")))
-        .otherwise(concat(lit("stats.timers."), col("name"))).as("name"),
+      when(m === "c", concat(lit(prefix + "."), col("name")))
+        .when(m === "g", concat(lit(prefix + ".gauges."), col("name")))
+        .otherwise(concat(lit(prefix + ".timers."), col("name"))).as("name"),
       when(m === "c", lit("add"))
         .when(m === "g" && col("delta"), lit("addgauge"))
         .when(m === "g", lit("setgauge"))

@@ -90,6 +90,32 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2 === Seq((1L, 2), (2L, 0), (3L, 0)))
   }
 
+  test("bpeMerges: materialization epochs don't change the learned merges") {
+    val s = spark; import s.implicits._
+    // a corpus with enough pair supply for >8 rounds: the symbol state
+    // re-materializes at round 8 (BpeMatEvery), and the merges learned
+    // across that boundary must be the plain continuation — the first
+    // 8 of a 12-round run equal an 8-round run exactly, and tokenize
+    // agrees with the final vocab state
+    val d = docs(Seq(
+      1L -> "abcdef abcdef abcdef", 2L -> "abcxyz abcxyz",
+      3L -> "defxyz", 4L -> "abcdefxyz abcdef"))
+    val m12 = Curation.bpeMerges(d, 12).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val m8 = Curation.bpeMerges(d, 8).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(m12.take(8) === m8)
+    assert(m12.size > 8, "fixture exhausted before crossing the epoch")
+    // cross-boundary tokenize: every word still maps through the
+    // post-merge vocab (round-trip: joining tokens and stripping </w>
+    // reproduces each document's words)
+    val toks = Curation.bpeTokenize(d, 12).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).mkString("")))
+    val flat = toks.map { case (id, s0) => (id, s0.replace("</w>", " ").trim) }
+    assert(flat.toSeq === Seq(1L -> "abcdef abcdef abcdef",
+      2L -> "abcxyz abcxyz", 3L -> "defxyz", 4L -> "abcdefxyz abcdef"))
+  }
+
   test("bpeMerges: adjacent repeated pairs all fuse (canonical leftmost scan)") {
     val s = spark; import s.implicits._
     // "abab": w0 = "a b a b </w>". A naive single-space replace misses

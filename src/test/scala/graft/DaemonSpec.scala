@@ -219,13 +219,19 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pixelDir = s"$dir/pixel"
     val base = 1000000L
     val gGw = new Daemon.LineGateway(0, 0)
+    val pkGw = new Daemon.LineGateway(0, 0, framed = true)
+    val pxDpGw = new Daemon.LineGateway(0, 0)
     val pxGw = new Daemon.LineGateway(0, 0)
-    val recv = Daemon.startGraphiteIngest(s, gGw.boundFeedPort, pointsDir,
-      stepSec = 10, heartbeatSec = 3600, checkpointDir = s"$dir/ckpt-g")
-    val pxq = Daemon.startPixelIngest(s, pxGw.boundFeedPort, gGw.offer,
+    // dp lines are the receiver's third source — no driver re-injection
+    val recv = Daemon.startReceiver(s, gGw.boundFeedPort,
+      pkGw.boundFeedPort, pointsDir, stepSec = 10, heartbeatSec = 3600,
+      checkpointDir = s"$dir/ckpt-g",
+      pixelDpFeedPort = Some(pxDpGw.boundFeedPort))
+    val pxq = Daemon.startPixelIngest(s, pxGw.boundFeedPort,
       pixelDir, flushSec = 10, checkpointDir = s"$dir/ckpt-px")
     val http = Daemon.startHttp(s, 0, Seq(pointsDir, pixelDir),
-      stepSec = 10, now = () => base + 90L, pixelOffer = Some(pxGw.offer))
+      stepSec = 10, now = () => base + 90L,
+      pixelOffer = Some(Daemon.pixelRoute(pxDpGw.offer, pxGw.offer)))
     try {
       val port = http.getAddress.getPort
       // data points: /pixel?name=VAL@TS — each must answer the 1×1 GIF
@@ -246,7 +252,7 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
         Ingest.readArchive(s, pixelDir).collect()
           .filter(_.getString(0) == "cnt").map(_.getDouble(2) * 10).sum)
         .getOrElse(0.0)
-      // /pixel dps re-inject as graphite lines (two stream hops)
+      // /pixel dps flow through the receiver's pixel source directly
       while ((pointSlots() < 9 || cmdSum() < 140.0) &&
           System.currentTimeMillis() < deadline) {
         Thread.sleep(250)
@@ -261,7 +267,120 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(cmdSum() - 140.0) < 1e-9)
     } finally {
       Try(pxq.stop()); Try(recv.stop()); http.stop(0)
-      pxGw.close(); gGw.close()
+      pxGw.close(); pxDpGw.close(); pkGw.close(); gGw.close()
+    }
+  }
+
+  test("graceful restart: lines accepted during the bounce survive") {
+    // the reference's SIGHUP handoff (daemon/daemon.go:131-143,
+    // graceful/): listeners never close, accepted-but-unprocessed
+    // input survives into the next process. Here: the gateway keeps
+    // listening and buffering while the streaming lifecycle stops and
+    // relaunches on the SAME checkpoint/store — lines sent while no
+    // query is attached are held (pending slot + queue) and the
+    // offset padding realigns the restarted socket source with the
+    // checkpoint, so nothing drops and PDP state carries over.
+    val s = spark
+    val dir = Files.createTempDirectory("daemon-hup").toString
+    val base = 1000000L
+    val gw = new Daemon.LineGateway(0, 0)
+    def boot() = Daemon.startGraphiteIngest(s, gw.boundFeedPort,
+      s"$dir/points", stepSec = 10, heartbeatSec = 3600,
+      checkpointDir = s"$dir/ckpt")
+    val q1 = boot()
+    var q2: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val sender = new Socket("127.0.0.1", gw.boundListenPort)
+      val out = new PrintWriter(sender.getOutputStream, true)
+      (0 to 50 by 10).foreach(t => out.println(s"hup.m 1 ${base + t}"))
+      out.flush()
+      val deadline = System.currentTimeMillis() + 60000
+      def slots(): Long = Try(
+        Ingest.readArchive(s, s"$dir/points").count()).getOrElse(0L)
+      while (slots() < 5 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250); q1.processAllAvailable()
+      }
+      assert(slots() === 5, "pre-restart slots never materialized")
+      // the restart signal: stop the lifecycle mid-session. The
+      // gateway's watchdog notices the dead feed connection.
+      q1.stop()
+      Thread.sleep(300)
+      // in-flight lines: accepted while NO query is attached
+      (60 to 110 by 10).foreach(t => out.println(s"hup.m 1 ${base + t}"))
+      out.flush()
+      q2 = boot() // relaunch on the same checkpoint + store
+      while (slots() < 11 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250); q2.processAllAvailable()
+      }
+      assert(slots() === 11, "post-restart slots never materialized")
+      // every slot [base, base+110) exactly once, value intact — the
+      // cross-restart slot [base+50, base+60) proves PDP state carried
+      val rows = Ingest.readArchive(s, s"$dir/points").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      assert(rows === (0 to 100 by 10).map(t => (base + t, 1.0)))
+      sender.close()
+    } finally {
+      Try(q1.stop()); if (q2 != null) Try(q2.stop()); gw.close()
+    }
+  }
+
+  test("boot from the checked-in sample config: settings drive the lifecycles") {
+    // the reference is config-file-driven (etc/tgres.conf.sample,
+    // daemon/config.go); the daemon boots from the same shape. Fixed
+    // ports from the file can't bind in a test, so gateways stay
+    // ephemeral — every OTHER setting (step, heartbeat, flush, stats
+    // prefix, RRA chain) comes from the file, as main wires it.
+    val s = spark
+    val conf = graft.streaming.Conf.load("etc/graft.conf.sample")
+    val (stepSec, hbSec, retain, chain) = graft.streaming.Conf.storeSettings(conf)
+    assert(stepSec === 10L && hbSec === 7200L && retain === Some(21600L))
+    assert(chain.head === Daemon.Rra(60L, 86400L))
+    val dir = Files.createTempDirectory("daemon-conf").toString
+    val base = (System.currentTimeMillis() / 1000L - 400) / 60 * 60
+    val gGw = new Daemon.LineGateway(0, 0)
+    val pkGw = new Daemon.LineGateway(0, 0, framed = true)
+    val sGw = new Daemon.LineGateway(0, 0)
+    val recv = Daemon.startReceiver(s, gGw.boundFeedPort,
+      pkGw.boundFeedPort, s"$dir/points", stepSec, hbSec,
+      checkpointDir = s"$dir/ckpt-g",
+      // the sample's 1min:24h RRA only — the 10m/1d tiers would idle here
+      rras = chain.take(1))
+    val sdq = Daemon.startStatsdIngest(s, sGw.boundFeedPort,
+      s"$dir/statsd", conf.statFlushSec,
+      checkpointDir = s"$dir/ckpt-sd", statsPrefix = conf.statsNamePrefix)
+    try {
+      val gs = new Socket("127.0.0.1", gGw.boundListenPort)
+      val gOut = new PrintWriter(gs.getOutputStream, true)
+      (0 to 110 by 10).foreach(t => gOut.println(s"cf.m ${t / 10 % 3} ${base + t}"))
+      gOut.flush()
+      val ss = new Socket("127.0.0.1", sGw.boundListenPort)
+      val sOut = new PrintWriter(ss.getOutputStream, true)
+      (1 to 5).foreach(_ => sOut.println("hits:2|c"))
+      sOut.flush()
+      val deadline = System.currentTimeMillis() + 60000
+      def baseSlots(): Long = Try(
+        Ingest.readArchive(s, s"$dir/points").count()).getOrElse(0L)
+      def sdNames(): Set[String] = Try(
+        Ingest.readArchive(s, s"$dir/statsd").collect()
+          .map(_.getString(0)).toSet).getOrElse(Set.empty)
+      while ((baseSlots() < 11 || sdNames().isEmpty) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        recv.processAllAvailable()
+        sdq.processAllAvailable()
+      }
+      assert(baseSlots() === 11, "base store never filled at the config step")
+      // the file's stats-name-prefix routed the counter
+      assert(sdNames() === Set("stats.hits"))
+      // the 1min chain tier materialized at the config's coarse step
+      val coarse = Ingest.readArchive(s,
+        Daemon.Rra(60L, 0L).dir(s"$dir/points")).collect()
+      assert(coarse.nonEmpty &&
+        coarse.forall(_.getLong(1) % 60L == 0L))
+      gs.close(); ss.close()
+    } finally {
+      Try(sdq.stop()); Try(recv.stop())
+      sGw.close(); pkGw.close(); gGw.close()
     }
   }
 

@@ -49,6 +49,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantized tiers: per-query top-k plans with a rank limit, not a full sort") {
+    // row_number() <= k over per-query windows: Spark 4 inserts
+    // WindowGroupLimit, whose Partial mode is a MAP-SIDE per-partition
+    // top-k — each partition forwards at most k rows per query before
+    // the window shuffle. A regression to a plain Window (full
+    // per-query sort of every scored corpus row through the exchange)
+    // would be invisible in results and only show at corpus scale.
+    Seq("sim_topk_q8", "sim_topk_ivf_q8").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost its rank-limit:\n$p")
+    }
+  }
+
   test("sp_mixture: the weight table joins broadcast, pass stays map-side") {
     val p = plan("sp_mixture")
     assert(!p.contains("SortMergeJoin"), p)

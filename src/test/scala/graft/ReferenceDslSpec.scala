@@ -333,6 +333,124 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mx.forall(_ == 20.0))
   }
 
+  /** Gappy pair for the SeriesSlice NaN quirks
+    * (`series/seriesslice.go:176-228`): q.full = 10 everywhere,
+    * q.holey = 20 for slots 0-4 then unknown. */
+  private lazy val quirkCtx: Eval.Ctx = {
+    val s = spark; import s.implicits._
+    val pts = (0 until 10).flatMap(i => Seq(
+      ("q.full", i * 10L, Some(10.0)),
+      ("q.holey", i * 10L, if (i < 5) Some(20.0) else None)))
+    Eval.Ctx(s, pts.toDF("name", "t", "value"), stepSec = 10,
+      fromSec = 0, toSec = 90)
+  }
+
+  private def quirkVals(expr: String): Seq[Option[Double]] = {
+    val s = spark; import s.implicits._
+    Eval.evalExpr(quirkCtx, expr)
+      .as[(String, Long, Option[Double])].collect()
+      .sortBy(_._2).map(_._3).toSeq
+  }
+
+  test("NaN quirks: Sum() treats NaN as 0 — seriesslice.go:176-183") {
+    assert(quirkVals("sumSeries('q.*')") ===
+      Seq.fill(5)(Some(30.0)) ++ Seq.fill(5)(Some(10.0)))
+  }
+
+  test("NaN quirks: Avg() divides by len, NaNs in the denominator — seriesslice.go:200-202") {
+    // NOT sum/nonNullCount: the gap half averages 10/2 = 5, not 10
+    assert(quirkVals("averageSeries('q.*')") ===
+      Seq.fill(5)(Some(15.0)) ++ Seq.fill(5)(Some(5.0)))
+  }
+
+  test("NaN quirks: Max()/Min() skip NaN — seriesslice.go:206-228") {
+    assert(quirkVals("maxSeries('q.*')") ===
+      Seq.fill(5)(Some(20.0)) ++ Seq.fill(5)(Some(10.0)))
+    assert(quirkVals("minSeries('q.*')") === Seq.fill(10)(Some(10.0)))
+  }
+
+  test("NaN quirks: Prod() propagates NaN — seriesslice.go:187-196") {
+    assert(quirkVals("multiplySeries('q.*')") ===
+      Seq.fill(5)(Some(200.0)) ++ Seq.fill(5)(None))
+  }
+
+  test("NaN quirks: isNonNull counts present inputs — dsl/funcs.go:1085-1105") {
+    assert(quirkVals("isNonNull('q.*')") ===
+      Seq.fill(5)(Some(2.0)) ++ Seq.fill(5)(Some(1.0)))
+  }
+
+  test("reference corpus: groupByNode at node 0 — Test_dsl_multiseriesStuff") {
+    val s = spark; import s.implicits._
+    val rows = Eval.evalExpr(ctx, "groupByNode('foo.*.baz', 0, 'sum')")
+      .as[(String, Long, Option[Double])].collect()
+    assert(rows.map(_._1).toSet === Set("foo"))
+    assert(rows.flatMap(_._3).forall(_ == 30.0))
+  }
+
+  test("reference corpus: sum(exclude(...)) == 20 — Test_dsl_multiseriesStuff") {
+    val s = spark; import s.implicits._
+    val vals = Eval.evalExpr(ctx, "sum(exclude('foo.*.baz', 'bar1'))")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(vals.nonEmpty && vals.forall(_ == 20.0))
+  }
+
+  test("reference corpus: sum(timeStack(..., 0, 3)) == 4x — Test_dsl_multiseriesStuff") {
+    val s = spark; import s.implicits._
+    // 4 shifted copies (0..3 x 20s) of the constant-10 series, summed —
+    // the reference's 40 with its '10min' shift scaled to this grid.
+    // Shifts land outside the store for early slots, where the stacked
+    // copy is absent: assert the fully-covered tail of the viewport.
+    val rows = Eval.evalExpr(ctx, "sum(timeStack('foo.bar1.baz', '20s', 0, 3))")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    val tail = rows.filter(_._2 >= 60) // all 4 shifted copies present
+    assert(tail.nonEmpty && tail.forall(_._3.contains(40.0)))
+  }
+
+  test("reference corpus: useSeriesAbove with BARE identifier args — Test_dsl_useSeriesAbove") {
+    val s = spark; import s.implicits._
+    // the reference's exact call (funcs_test.go:991-1001): foo and bar
+    // are unquoted barewords coerced to strings by arg position
+    val rows = Eval.evalExpr(ctx,
+      "useSeriesAbove(group(constantLine(10), constantLine(20), constantLine(30)), 20, foo, bar)")
+      .as[(String, Long, Option[Double])].collect()
+    assert(rows.flatMap(_._3).toSet === Set(30.0))
+  }
+
+  test("reference corpus: derivative(sinusoid) == successive diffs — Test_dsl_derivative") {
+    val s = spark; import s.implicits._
+    val rows = Eval.evalExpr(ctx, "derivative(sinusoid())")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    val c = 2.0 * math.Pi / 10.0
+    def gen(i: Long): Double = math.sin(i * c)
+    assert(rows.head._3.isEmpty)
+    rows.tail.foreach { case (_, t, v) =>
+      assert(v.exists(x => math.abs(x - (gen(t) - gen(t - 1))) < 1e-9), s"t=$t")
+    }
+  }
+
+  test("reference corpus: integral(sinusoid) == exclusive running sum — Test_dsl_integral") {
+    val s = spark; import s.implicits._
+    val rows = Eval.evalExpr(ctx, "integral(sinusoid())")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    val c = 2.0 * math.Pi / 10.0
+    var sum = 0.0
+    rows.zipWithIndex.foreach { case ((_, t, v), i) =>
+      // funcs_test.go:295-317: point i carries the sum of generators
+      // BEFORE it (exclusive), first point = 0
+      if (i > 0) assert(v.exists(x => math.abs(x - sum) < 1e-9), s"t=$t")
+      sum += math.sin(t * c)
+    }
+  }
+
+  test("reference corpus: hitcount of a summed set — Test_dsl_hitcount") {
+    val s = spark; import s.implicits._
+    // reference: sum(10,20,30) over '1min' -> 3600; this grid: x '20s'
+    val vals = Eval.evalExpr(ctx,
+      "hitcount(sum(constantLine(10), constantLine(20), constantLine(30)), '20s')")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+    assert(vals.nonEmpty && vals.forall(_ == 1200.0))
+  }
+
   test("holtWintersForecast extends to the viewport end — funcs.go:2506-2510") {
     val s = spark; import s.implicits._
     // two full seasons of a 5-point cycle on a 10s step, viewport
