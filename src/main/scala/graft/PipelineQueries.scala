@@ -442,6 +442,31 @@ object PipelineQueries {
            |  array_to_string(bpe, ' ') AS bpe
            |FROM tokzd ORDER BY doc_id""".stripMargin)),
 
+    // BPE transfer: train the merge table on the EVEN half of the
+    // corpus, tokenize the ODD half with it — the deployment split
+    // (merges are a vocabulary-sized driver bounce; unseen words fuse
+    // only as far as the learned merges reach)
+    ("cu_bpe_transfer",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = pipeline.Curation
+          .bpeMerges(docs.filter(col("doc_id") % 2 === 0), 10)
+          .orderBy("round").collect().map(_.getString(1)).toSeq
+        pipeline.Curation
+          .bpeTokenizeWith(docs.filter(col("doc_id") % 2 === 1), merges)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            concat_ws(" ", col("bpe")).as("bpe"))
+          .orderBy("doc_id")
+      }): Q,
+      Some(
+        s"""WITH ${pipeline.Curation.bpeMergesSql(10,
+                "(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
+           |${pipeline.Curation.bpeTransferSql(10,
+                "(SELECT * FROM documents WHERE doc_id % 2 = 1)")}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  array_to_string(bpe, ' ') AS bpe
+           |FROM tokzt ORDER BY doc_id""".stripMargin)),
+
     // per-source token-distribution drift: JS divergence vs the corpus
     // over the top-100 vocabulary
     ("cu_drift",

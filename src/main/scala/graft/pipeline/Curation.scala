@@ -289,14 +289,36 @@ object Curation {
     * string). The returned frame/expression re-derive the
     * (unpersisted) vocab lazily — consumers pay one extra token-count
     * aggregate at action time, the price of not leaking a cache. */
+  /** Initial symbol state of a `word` column: space-joined characters
+    * plus the `</w>` end-of-word marker. */
+  private def charSplit: Column = expr(
+    "concat(array_join(transform(sequence(1, length(word)), " +
+      "i -> substring(word, i, 1)), ' '), ' </w>')")
+
+  /** Apply one learned merge to a symbol-string column — canonical
+    * BPE's leftmost non-overlapping scan. A plain
+    * `replace(" a b ", " ab ")` misses adjacent repeats ("a b a b"):
+    * the scanner consumes the shared middle space, so the second
+    * occurrence lacks its leading delimiter. DOUBLING every space
+    * first gives each boundary two spaces; the pattern takes ONE from
+    * each side, leaving the neighbor's delimiter intact — every
+    * boundary ends the pass with exactly two spaces, which then halve
+    * back. (Same chain, same scan semantics, in the SQL twins.) */
+  private def fusePair(sCol: Column, pr: String): Column = {
+    val Array(pa, pb) = pr.split(" ", 2)
+    val doubled = replace(concat(lit(" "), sCol, lit(" ")),
+      lit(" "), lit("  "))
+    val fused = replace(doubled,
+      lit(" " + pa + "  " + pb + " "), lit(" " + pa + pb + " "))
+    trim(replace(fused, lit("  "), lit(" ")))
+  }
+
   private def bpeCore(docs: DataFrame, rounds: Int)
       : (Seq[(Long, String, Long)], DataFrame, Column) = {
     val wcPlan = docs.select(explode(tokens).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    val s0: Column = expr(
-      "concat(array_join(transform(sequence(1, length(word)), " +
-        "i -> substring(word, i, 1)), ' '), ' </w>')")
+    val s0: Column = charSplit
     // `cur` + `sCol` together denote the current symbol state; caches
     // accumulate one persisted frame per materialization epoch and all
     // release on exit (recompute stays correct, just uncached)
@@ -322,22 +344,7 @@ object Curation {
         else {
           val (pr, n) = (top(0).getString(0), top(0).getLong(1))
           merges += ((r.toLong, pr, n))
-          // Merge application must fuse EVERY symbol-adjacent (a, b)
-          // occurrence, exactly like canonical BPE's leftmost
-          // non-overlapping scan. A plain `replace(" a b ", " ab ")`
-          // misses adjacent repeats ("a b a b"): the scanner consumes
-          // the shared middle space, so the second occurrence lacks its
-          // leading delimiter. DOUBLING every space first gives each
-          // boundary two spaces; the pattern takes ONE from each side,
-          // leaving the neighbor's delimiter intact — every boundary
-          // ends the pass with exactly two spaces, which then halve
-          // back. (Same chain, same scan semantics, in the SQL twin.)
-          val Array(pa, pb) = pr.split(" ", 2)
-          val doubled = replace(concat(lit(" "), sCol, lit(" ")),
-            lit(" "), lit("  "))
-          val fused = replace(doubled,
-            lit(" " + pa + "  " + pb + " "), lit(" " + pa + pb + " "))
-          sCol = trim(replace(fused, lit("  "), lit(" ")))
+          sCol = fusePair(sCol, pr) // [[fusePair]]: leftmost non-overlap scan
           if (r % BpeMatEvery == 0 && r < rounds) {
             val mat = cur.select(col("word"), col("cnt"), sCol.as("s"))
               .persist()
@@ -371,7 +378,45 @@ object Curation {
     * Returns (doc_id, bpe: array<string>). */
   def bpeTokenize(docs: DataFrame, rounds: Int): DataFrame = {
     val (_, wc, sCol) = bpeCore(docs, rounds)
-    val wmap = wc.select(col("word"), split(sCol, " ").as("syms"))
+    tokenizeWithMap(docs, wc.select(col("word"), split(sCol, " ").as("syms")))
+  }
+
+  /** Tokenize `docs` with an EXISTING merge table — the TRANSFER half
+    * of real tokenizer deployment: [[bpeMerges]] trains on corpus A
+    * (its `pair` column, in round order), this applies those merges to
+    * corpus B, including words A never saw (they fuse as far as the
+    * learned merges reach and stay character-split beyond). The merge
+    * list is vocabulary-sized state (a 32k-merge tokenizer is a 32k
+    * driver-side list — the k-means-centroid bounce class), while B is
+    * only touched at word grain: merges fold over B's DISTINCT word
+    * set with the same bounded-depth re-materialization as training
+    * ([[BpeMatEvery]]), then one word-grain join reassembles
+    * documents. Returns (doc_id, bpe: array<string>). */
+  def bpeTokenizeWith(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    var cur = docs.select(explode(tokens).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+    var sCol: Column = charSplit
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      merges.zipWithIndex.foreach { case (pr, i) =>
+        sCol = fusePair(sCol, pr)
+        if ((i + 1) % BpeMatEvery == 0 && i + 1 < merges.size) {
+          val mat = cur.select(col("word"), sCol.as("s")).persist()
+          caches += mat
+          cur = mat
+          sCol = col("s")
+        }
+      }
+      tokenizeWithMap(docs,
+        cur.select(col("word"), split(sCol, " ").as("syms")))
+    } finally { caches.foreach(_.unpersist()); () }
+  }
+
+  /** Word-major document reassembly shared by the apply paths: join
+    * the word→symbols map, order by word position, flatten. Every
+    * input document surfaces — a null/empty/whitespace-only text
+    * yields an EMPTY token array, not a dropped row. */
+  private def tokenizeWithMap(docs: DataFrame, wmap: DataFrame): DataFrame = {
     val tokenized = docs
       .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
@@ -386,8 +431,9 @@ object Curation {
 
   /** DuckDB twin of [[bpeMerges]]: the loop unrolled as w0→(pN,mN,wN)
     * CTE rounds (the [[graft.pipeline.Similarity.kmeansSql]] idiom);
-    * defines `outb(round, pair, n)`. */
-  def bpeMergesSql(rounds: Int): String = {
+    * defines `outb(round, pair, n)`. `src` is the training corpus
+    * (any FROM-able expression with a `text` column). */
+  def bpeMergesSql(rounds: Int, src: String = "documents"): String = {
     def round(r: Int) =
       s"""p$r AS (
          |  SELECT pr, sum(cnt) AS n FROM (
@@ -410,7 +456,7 @@ object Curation {
     s"""wcb AS (
        |  SELECT tok AS word, count(*) AS cnt FROM (
        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-       |    FROM documents) WHERE tok <> '' GROUP BY tok
+       |    FROM $src) WHERE tok <> '' GROUP BY tok
        |), w0 AS (
        |  SELECT word, cnt, array_to_string([substr(word, i, 1)
        |    for i in generate_series(1, len(word))], ' ') || ' </w>' AS s
@@ -441,6 +487,49 @@ object Curation {
        |  FROM (SELECT doc_id FROM documents) doc
        |  LEFT JOIN tokzd0 t ON t.doc_id = doc.doc_id
        |)""".stripMargin
+
+  /** DuckDB twin of [[bpeTokenizeWith]] where the merge table is
+    * [[bpeMergesSql]]'s m1..mN CTEs (trained on THAT call's `src`):
+    * the merges fold, in round order, over the APPLY corpus's own
+    * distinct-word vocabulary (`bw` chain — same empty-merge freeze
+    * and leftmost-scan replace as training), then the word-grain join
+    * reassembles documents. Defines `tokzt(doc_id, bpe)`. */
+  def bpeTransferSql(rounds: Int, applySrc: String): String = {
+    def round(r: Int) =
+      s"""bw$r AS (
+         |  SELECT w.word,
+         |    CASE WHEN m.pr IS NULL THEN w.s ELSE trim(replace(replace(
+         |      replace(' ' || w.s || ' ', ' ', '  '),
+         |      ' ' || replace(m.pr, ' ', '  ') || ' ',
+         |      ' ' || replace(m.pr, ' ', '') || ' '),
+         |      '  ', ' ')) END AS s
+         |  FROM bw${r - 1} w LEFT JOIN m$r m ON TRUE
+         |)""".stripMargin
+    s"""bw0 AS (
+       |  SELECT word, array_to_string([substr(word, i, 1)
+       |    for i in generate_series(1, len(word))], ' ') || ' </w>' AS s
+       |  FROM (SELECT DISTINCT tok AS word FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |    FROM $applySrc) WHERE tok <> '')
+       |), ${(1 to rounds).map(round).mkString(",\n")},
+       |ttoksb AS (
+       |  SELECT doc_id, i, ts[i] AS tok
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |        FROM $applySrc),
+       |       unnest(generate_series(1, len(ts))) AS t(i)
+       |  WHERE ts[i] <> ''
+       |), tokzt0 AS (
+       |  SELECT d.doc_id,
+       |    flatten(list(string_split(w.s, ' ') ORDER BY d.i)) AS bpe
+       |  FROM ttoksb d JOIN bw$rounds w ON w.word = d.tok
+       |  GROUP BY d.doc_id
+       |), tokzt AS (
+       |  SELECT doc.doc_id, coalesce(t.bpe, CAST([] AS VARCHAR[])) AS bpe
+       |  FROM (SELECT doc_id FROM $applySrc) doc
+       |  LEFT JOIN tokzt0 t ON t.doc_id = doc.doc_id
+       |)""".stripMargin
+  }
 
   // ---- per-source distribution drift ----
 

@@ -116,6 +116,34 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       2L -> "abcxyz abcxyz", 3L -> "defxyz", 4L -> "abcdefxyz abcdef"))
   }
 
+  test("bpeTokenizeWith: transfer applies trained merges to unseen words") {
+    val s = spark; import s.implicits._
+    val trainDocs = docs(Seq(1L -> "aa aa", 2L -> "ab"))
+    val merges = Curation.bpeMerges(trainDocs, 6).orderBy("round")
+      .collect().map(_.getString(1)).toSeq // the 4 learnable merges
+    // same corpus: transfer == train-side tokenize exactly
+    val direct = Curation.bpeTokenize(trainDocs, 6).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    val viaMerges = Curation.bpeTokenizeWith(trainDocs, merges)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    assert(viaMerges === direct)
+    // unseen corpus: "aab" was never trained on; merges reach as far
+    // as they apply ("a </w>" and "a b" don't match inside "a a b":
+    // after r1 no-op, "a a</w>" no-op... the learned pairs fuse only
+    // where trained contexts recur) — and "zz" (no trained symbols)
+    // stays character-split
+    val apply = docs(Seq(7L -> "aa zz", 8L -> ""))
+    val out = Curation.bpeTokenizeWith(apply, merges).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    assert(out === Seq(
+      (7L, List("aa</w>", "z", "z", "</w>")), (8L, Nil)))
+    // empty merge table: pure character symbols
+    val out0 = Curation.bpeTokenizeWith(apply, Nil).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    assert(out0.head === ((7L, List("a", "a", "</w>", "z", "z", "</w>"))))
+  }
+
   test("bpeMerges: adjacent repeated pairs all fuse (canonical leftmost scan)") {
     val s = spark; import s.implicits._
     // "abab": w0 = "a b a b </w>". A naive single-space replace misses
