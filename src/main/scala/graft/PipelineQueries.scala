@@ -282,6 +282,20 @@ object PipelineQueries {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // bigram-LM perplexity: Laplace-smoothed model trained on the
+    // even-doc half, every document scored (the CCNet filter shape)
+    ("tx_perplexity",
+      ((s, d) => pipeline.TextAnalysis.perplexity(Tables.documents(s, d))
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_bigrams"),
+          ts.Round6.r6(col("ppl")).as("ppl"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""WITH ${pipeline.TextAnalysis.perplexitySql}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           |  ${ts.Round6.r6Sql("ppl")} AS ppl
+           |FROM ppx ORDER BY doc_id""".stripMargin)),
+
     // deterministic uniform hash-sample at 20% on doc_id
     ("sp_hash_sample",
       ((s, d) => pipeline.Sampling.hashSample(
@@ -479,6 +493,19 @@ object PipelineQueries {
            |SELECT source, n_vocab_tokens,
            |  ${ts.Round6.r6Sql("js_div")} AS js_div
            |FROM outd ORDER BY source""".stripMargin)),
+
+    // DSIR importance weights: hashed-unigram log-likelihood ratio of
+    // the target (even-doc) vs raw (odd-doc) bucket distributions
+    ("cu_dsir",
+      ((s, d) => pipeline.Curation.dsirWeights(Tables.documents(s, d))
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_tokens"),
+          ts.Round6.r6(col("logw")).as("logw"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""WITH ${pipeline.Curation.dsirWeightsSql}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+           |  ${ts.Round6.r6Sql("logw")} AS logw
+           |FROM dsw ORDER BY doc_id""".stripMargin)),
 
     // overlapping token-window chunking (embedding/retrieval prep):
     // 32-token chunks every 24 tokens, final partial kept

@@ -195,6 +195,19 @@ object SimQueries {
            |       CAST(vec_id AS BIGINT) AS vec_id, qdot
            |FROM rankedivq WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
 
+    // SemDeDup: k-means buckets, drop within-cluster epsilon-neighbors
+    // of a more-senior vector, keep one representative per ball
+    ("sim_semdedup",
+      ((s, d) => Similarity.semDedup(Tables.embeddings(s, d), 0.4)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cid").cast("long").as("cid"))
+        .orderBy("vec_id")): Q,
+      Some(
+        s"""WITH ${Similarity.kmeansSql()},
+           |${Similarity.semDedupSql(0.4)}
+           |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cid
+           |FROM sdkeep ORDER BY vec_id""".stripMargin)),
+
     // LSH-bucketed pairs: random-hyperplane bands, exact verification
     ("sim_pairs_lsh",
       ((s, d) => Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)

@@ -620,6 +620,83 @@ object Curation {
        |  FROM termsd GROUP BY source
        |)""".stripMargin
 
+  // ---- DSIR importance weights ----
+
+  /** Hashed n-gram importance weights for data selection — the DSIR
+    * estimator (Xie et al. 2023, arXiv:2302.03169): unigrams hash into
+    * [[DsirBuckets]] buckets, the target (even doc_ids) and raw (odd
+    * doc_ids) halves each induce a Laplace-smoothed bucket
+    * distribution, and every document scores
+    * log w = Σ_tokens ln(p_target(bucket)/p_raw(bucket)) — documents
+    * that look like the target domain get positive weights and are
+    * favored by importance resampling (pair with
+    * [[Sampling.hashSample]] on a weight-thresholded frame).
+    *
+    * Scale shape: the bucket table is B rows BY CONSTRUCTION — it
+    * broadcasts at any corpus size, so scoring is one map-side pass
+    * over the token stream plus one per-doc aggregate; the two
+    * distributions come from a single shared map-side-combined count.
+    * The hash is the portable md5-prefix ([[NearDup.h64]]), so the
+    * oracle replays bucketing bit-for-bit. Returns
+    * (doc_id, n_tokens, logw) with n_tokens = 0, logw null for
+    * token-less docs. */
+  val DsirBuckets = 64
+
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val b = lit(DsirBuckets.toLong)
+    val bucketed = docs
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), pmod(NearDup.h64(col("tok")), b).as("bk"))
+    // one pass induces BOTH halves' bucket counts
+    val dist = bucketed
+      .groupBy(col("bk"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cr"))
+    val tot = dist.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val w = broadcast(dist.crossJoin(broadcast(tot))
+      .select(col("bk"),
+        log(((col("ct") + 1.0) / (col("tt") + lit(DsirBuckets.toDouble))) /
+          ((col("cr") + 1.0) / (col("tr") + lit(DsirBuckets.toDouble))))
+          .as("lw")))
+    docs.select(col("doc_id"))
+      .join(bucketed.join(w, Seq("bk"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum(col("lw")).as("logw")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("logw"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]]; defines
+    * `dsw(doc_id, n_tokens, logw)`. */
+  def dsirWeightsSql: String = {
+    val b = DsirBuckets
+    s"""dsb AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $b AS bk
+       |  FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |    FROM documents) WHERE tok <> ''
+       |), dsd AS (
+       |  SELECT bk,
+       |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ct,
+       |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cr
+       |  FROM dsb GROUP BY bk
+       |), dst AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM dsd),
+       |dsw0 AS (
+       |  SELECT bk, ln(((ct + 1.0) / (tt + $b.0)) / ((cr + 1.0) / (tr + $b.0))) AS lw
+       |  FROM dsd, dst
+       |), dsw AS (
+       |  SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens, s.logw
+       |  FROM documents d LEFT JOIN (
+       |    SELECT b.doc_id, count(*) AS n, sum(w.lw) AS logw
+       |    FROM dsb b JOIN dsw0 w USING (bk) GROUP BY b.doc_id) s
+       |  USING (doc_id)
+       |)""".stripMargin
+  }
+
   // ---- overlapping token-window chunking ----
 
   /** Split every document into overlapping token windows — the

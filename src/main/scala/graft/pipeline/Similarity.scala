@@ -601,6 +601,54 @@ object Similarity {
        |    WHERE a.vec_id <> p.qid)
        |)""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    * embedding space, then within each cluster drop every vector that
+    * has a more-senior (lower vec_id) epsilon-neighbor — cosine ≥
+    * `eps` — keeping one representative per semantic-duplicate ball.
+    * Returns the survivors (vec_id, cid).
+    *
+    * Scale shape: the pair search is CONFINED to k-means buckets —
+    * the paper's own trick for avoiding N² (cluster count grows with
+    * the corpus so Σ|cluster|² stays ≪ N²; they use 11 k clusters for
+    * LAION). Here the assignment is the one map-side
+    * nearest-centroid pass the IVF tier uses (centroids are K×dim
+    * driver state regardless), and the within-cluster self-join
+    * shuffles on cid once — both sides co-partitioned, no global
+    * pairing. The min-id keeper rule matches [[Dedup]]'s exact-dup
+    * semantics, so exact dups collapse to the same keeper either way. */
+  def semDedup(corpus: DataFrame, eps: Double, k: Int = KmK,
+      iters: Int = KmIters): DataFrame = {
+    val cents = kmeansCentroidsSeq(corpus, k, iters)
+    val nc = graft.functions.VectorExprs.nearestCentroid(
+      col("qv"), cents.sortBy(_._1))
+    val assigned = corpus.select(col("vec_id"), emb, qvec(emb).as("qv"))
+      .select(col("vec_id"), emb, nc.getField("cid").as("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"), emb.as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"), emb.as("eb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b") &&
+        cosine(col("ea"), col("eb")) >= eps)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  /** DuckDB twin of [[semDedup]]: [[kmeansSql]]'s final `outk`
+    * assignment joined back to the embeddings, within-cluster senior
+    * neighbors dropped. Defines `sdkeep(vec_id, cid)`. */
+  def semDedupSql(eps: Double): String =
+    s"""sdass AS (
+       |  SELECT o.vec_id, o.cid, e.embedding
+       |  FROM outk o JOIN embeddings e USING (vec_id)
+       |), sddrop AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM sdass a JOIN sdass b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= $eps
+       |), sdkeep AS (
+       |  SELECT vec_id, cid FROM sdass
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM sddrop)
+       |)""".stripMargin
+
   /** Double cosine between list columns `a` and `b` (dim [[Dim]]). */
   def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =

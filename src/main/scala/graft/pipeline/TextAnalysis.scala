@@ -304,6 +304,95 @@ object TextAnalysis {
     docs.select(col("doc_id"), rolling.as("fp_rolling"), minGram.as("fp_min5gram"))
   }
 
+  // ---- LM perplexity scoring ----
+
+  /** Bigram-LM perplexity — the CCNet-shape LM quality filter (Wenzek
+    * et al. 2020 score with a 5-gram KenLM; the distributed plan is
+    * the same at any order): a Laplace-smoothed bigram model is
+    * trained on the even-doc_id half of the corpus, then EVERY
+    * document is scored against it. p(b|a) = (c(a,b)+1)/(c(a)+V) with
+    * V the train vocabulary size; ppl = exp(−Σ ln p / n) over a doc's
+    * n bigrams. Unseen words degrade gracefully (c = 0 keeps the
+    * smoothed floor); docs with fewer than two tokens — null/empty
+    * text included — surface with n_bigrams = 0 and null ppl.
+    *
+    * Scale shape: the count tables are two map-side-combined
+    * aggregates over the train half. Scoring joins each doc bigram
+    * against them on their own keys — at 100 TB the bigram table does
+    * NOT broadcast, and the shuffle join on (a,b)/(a) is the right
+    * shape: the build side is one row per key even for Zipf-hot
+    * tokens, so AQE's skew split on the probe side is sufficient. V is
+    * the one scalar driver-free broadcast. */
+  def perplexity(docs: DataFrame): DataFrame = {
+    val t = filter(tokens, x => length(x) > 0)
+    // adjacent pairs without element_at (ANSI-safe, empty-safe):
+    // zip tokens 1..n-1 with tokens 2..n
+    def bigrams(tc: Column): Column = {
+      val n = greatest(size(tc) - 1, lit(0))
+      zip_with(slice(tc, lit(1), n), slice(tc, lit(2), n),
+        (x, y) => struct(x.as("a"), y.as("b")))
+    }
+    val toks = docs.select(col("doc_id"), t.as("tk"))
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val uni = train.select(explode(col("tk")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca"))
+    val bi = train.select(explode(bigrams(col("tk"))).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val v = broadcast(uni.agg(count(lit(1)).cast("double").as("v")))
+    val logp = log((coalesce(col("cab"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("ca"), lit(0L)) + col("v")))
+    toks.select(col("doc_id"), explode_outer(bigrams(col("tk"))).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+      .join(bi, Seq("a", "b"), "left")
+      .join(uni, Seq("a"), "left")
+      .crossJoin(v)
+      .groupBy(col("doc_id"))
+      .agg(count(col("a")).cast("long").as("n_bigrams"),
+        sum(when(col("a").isNotNull, logp)).as("__lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") > 0, exp(-col("__lp") / col("n_bigrams")))
+          .as("ppl"))
+  }
+
+  /** DuckDB twin of [[perplexity]]; defines `ppx(doc_id, n_bigrams,
+    * ppl)`. */
+  def perplexitySql: String =
+    s"""ptoks AS (
+       |  SELECT doc_id, coalesce(list_filter(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    t -> t <> ''), []) AS tk
+       |  FROM documents
+       |), pbg AS (
+       |  SELECT doc_id, list_zip(tk[1:greatest(len(tk) - 1, 0)],
+       |                          tk[2:len(tk)]) AS bg
+       |  FROM ptoks
+       |), puni AS (
+       |  SELECT t AS a, count(*) AS ca
+       |  FROM (SELECT unnest(tk) AS t FROM ptoks WHERE doc_id % 2 = 0)
+       |  GROUP BY 1
+       |), pbi AS (
+       |  SELECT g[1] AS a, g[2] AS b, count(*) AS cab
+       |  FROM (SELECT unnest(bg) AS g FROM pbg WHERE doc_id % 2 = 0)
+       |  GROUP BY 1, 2
+       |), pv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM puni),
+       |pex AS (
+       |  SELECT doc_id, g[1] AS a, g[2] AS b
+       |  FROM (SELECT doc_id, unnest(bg) AS g FROM pbg)
+       |), psc AS (
+       |  SELECT e.doc_id, count(*) AS n,
+       |    sum(ln((coalesce(cb.cab, 0) + 1.0) / (coalesce(cu.ca, 0) + pv.v))) AS lp
+       |  FROM pex e
+       |  LEFT JOIN pbi cb ON cb.a = e.a AND cb.b = e.b
+       |  LEFT JOIN puni cu ON cu.a = e.a
+       |  CROSS JOIN pv
+       |  GROUP BY e.doc_id
+       |), ppx AS (
+       |  SELECT d.doc_id, coalesce(p.n, 0) AS n_bigrams,
+       |    CASE WHEN p.n > 0 THEN exp(-p.lp / p.n) END AS ppl
+       |  FROM documents d LEFT JOIN psc p USING (doc_id)
+       |)""".stripMargin
+
   def fingerprintsSql: String =
     s"""SELECT doc_id,
        |  list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t, '')],

@@ -242,6 +242,66 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullKept.map(_.getAs[Int]("rn")).sorted === Array(1, 2, 3, 4))
   }
 
+  test("dsirWeights: identical target/raw halves weigh every doc exactly 0") {
+    // ct == cr per bucket and tt == tr ⇒ every ratio is 1, so logw is
+    // EXACTLY 0.0 regardless of how tokens hash — the estimator's
+    // calibration invariant
+    val d = docs(Seq(0L -> "aa bb cc", 1L -> "aa bb cc",
+      2L -> "dd dd", 3L -> "dd dd"))
+    val out = Curation.dsirWeights(d).orderBy("doc_id").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Double]("logw") == 0.0))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq === Seq(3L, 3L, 2L, 2L))
+  }
+
+  test("dsirWeights: target-domain docs weigh positive, raw-domain negative; empty docs surface") {
+    // even (target) half is all "aa", odd (raw) half all "bb" — tokens
+    // hash to distinct buckets (aa→39, bb→16 of 64, md5 is stable), so
+    // an "aa" doc must score positive and a "bb" doc negative; the
+    // null/empty docs surface with n_tokens 0 and null logw
+    val d = docs(Seq(0L -> "aa aa aa", 2L -> "aa aa", 1L -> "bb bb",
+      3L -> "bb", 4L -> "", 6L -> null))
+    val out = Curation.dsirWeights(d).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), Option(r.getAs[Any]("logw")))).toMap
+    assert(out(0L)._1 == 3L && out(0L)._2.exists(_.asInstanceOf[Double] > 0))
+    assert(out(1L)._1 == 2L && out(1L)._2.exists(_.asInstanceOf[Double] < 0))
+    assert(out(4L) == (0L, None) && out(6L) == (0L, None))
+  }
+
+  test("perplexity: hand-computed Laplace bigram scores; short docs get null ppl") {
+    import graft.pipeline.TextAnalysis
+    // train half = doc 0 only: unigrams a,b (V=2); bigram (a,b) once.
+    // doc 0 scores p(b|a) = (1+1)/(1+2) = 2/3 → ppl = 3/2.
+    // doc 1's (a,c) is unseen: p = (0+1)/(1+2) = 1/3 → ppl = 3.
+    // doc 3 has one token, doc 5 null text: n_bigrams 0, null ppl.
+    val d = docs(Seq(0L -> "a b", 1L -> "a c", 3L -> "solo", 5L -> null))
+    val out = TextAnalysis.perplexity(d).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), Option(r.getAs[Any]("ppl")))).toMap
+    assert(out(0L)._1 == 1L)
+    assert(math.abs(out(0L)._2.get.asInstanceOf[Double] - 1.5) < 1e-12)
+    assert(math.abs(out(1L)._2.get.asInstanceOf[Double] - 3.0) < 1e-12)
+    assert(out(3L) == (0L, None) && out(5L) == (0L, None))
+  }
+
+  test("semDedup: within-cluster epsilon-neighbors collapse to the senior id") {
+    val s = spark; import s.implicits._
+    // two tight direction groups in R^64: ids 0,2,5 along e0 (pairwise
+    // cos 1.0), ids 1,3 along e1, id 7 along e2 (alone past eps).
+    // k=2/iters=1 clustering from first-2 seeds separates e0 from the
+    // rest; within clusters, eps=0.9 drops 2,5 (senior 0) and 3
+    // (senior 1); 7's cosine to 1/3 is 0 so it survives.
+    def vec(axis: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == axis) scale else 0.0f)
+    val e = Seq(0L -> vec(0, 1f), 2L -> vec(0, 2f), 5L -> vec(0, 0.5f),
+      1L -> vec(1, 1f), 3L -> vec(1, 3f), 7L -> vec(2, 1f))
+      .toDF("vec_id", "embedding")
+    val out = pipeline.Similarity.semDedup(e, eps = 0.9, k = 2, iters = 1)
+      .orderBy("vec_id").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(out === Seq(0L, 1L, 7L))
+  }
+
   test("scoped curate/minhashPairs release their internal caches") {
     val s = spark; import s.implicits._
     val d = (0L until 40L).map(i =>

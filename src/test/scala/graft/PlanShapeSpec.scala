@@ -68,6 +68,35 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("cu_dsir: the B-row bucket-weight table broadcasts into the token stream") {
+    // the per-token weight lookup joins a table that is DsirBuckets
+    // rows by construction — if the explicit broadcast hint were ever
+    // dropped, the exploded token stream would shuffle against a
+    // 64-row frame. The final docs⋈per-doc-aggregate join legitimately
+    // shuffles (both sides are corpus-sized), so only the broadcast's
+    // presence is pinned, not a global no-SMJ.
+    val p = plan("cu_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_semdedup: pair search stays confined to cluster buckets") {
+    // the epsilon-neighbor self-join is keyed on cid — a cartesian
+    // here would mean the SemDeDup bucket confinement degenerated to
+    // the all-pairs scan the clustering exists to avoid
+    val p = plan("sim_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tx_perplexity: count-table joins are equi-joins, V broadcasts") {
+    // bigram/unigram lookups join on their own keys (SMJ is the RIGHT
+    // shape at corpus scale — one row per key on the build side); the
+    // scalar V must broadcast; nothing may degenerate to a cartesian
+    val p = plan("tx_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("cu_drift: the K-bounded vocab probes broadcast into the token stream") {
     // the corpus-token membership probe against the driver-bounced
     // vocab must be a broadcast join — an SMJ here would shuffle the
