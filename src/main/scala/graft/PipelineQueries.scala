@@ -296,6 +296,66 @@ object PipelineQueries {
            |  ${ts.Round6.r6Sql("ppl")} AS ppl
            |FROM ppx ORDER BY doc_id""".stripMargin)),
 
+    // character-entropy gibberish score (nats per char distribution)
+    ("tx_entropy",
+      ((s, d) => pipeline.TextAnalysis.charEntropy(Tables.documents(s, d))
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_chars"),
+          ts.Round6.r6(col("entropy")).as("entropy"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""WITH ${pipeline.TextAnalysis.charEntropySql}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(n_chars AS BIGINT) AS n_chars,
+           |  ${ts.Round6.r6Sql("entropy")} AS entropy
+           |FROM ent ORDER BY doc_id""".stripMargin)),
+
+    // UniMax budget allocation: water-fill 1.35x the corpus's tokens
+    // across sources at <= 1.5 epochs each, then realize the mixture —
+    // small sources cap at 1.5 epochs, large ones share the level
+    ("sp_unimax",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val ntok = size(filter(split(trim(lower(col("text"))), "\\s+"),
+          t => length(t) > 0))
+        val cnt = docs.groupBy(col("source").as("stratum"))
+          .agg(sum(coalesce(ntok, lit(0))).cast("long").as("c"))
+        // budget from the S-row counts frame: bounded driver bounce,
+        // same contract as the k-means centroid round-trip
+        val total = cnt.agg(sum(col("c"))).first().getLong(0)
+        val alloc = pipeline.Sampling.unimaxAlloc(cnt, 1.35 * total, 1.5)
+        val sampled = pipeline.Sampling.mixtureSample(
+          docs, col("source"), col("doc_id"),
+          alloc.select(col("stratum"), col("weight")), 0.0)
+        sampled.groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_copies"))
+          .join(alloc.select(col("stratum").as("source"), col("c"),
+            col("weight")), Seq("source"))
+          .select(col("source"), col("c"), ts.Round6.r6(col("weight")).as("weight"),
+            col("n_docs"), col("n_copies"))
+          .orderBy("source")
+      }): Q,
+      Some {
+        val ntokSql = "len(list_filter(regexp_split_to_array(trim(lower(text)), " +
+          "'\\s+'), t -> t <> ''))"
+        s"""WITH cnt AS (
+           |  SELECT source AS stratum, CAST(sum(coalesce($ntokSql, 0)) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1
+           |), ${pipeline.Sampling.unimaxAllocSql("1.35 * (SELECT sum(c) FROM cnt)", 1.5)},
+           |wdocs AS (
+           |  SELECT d.source, d.doc_id,
+           |         ${pipeline.Sampling.mixtureCopiesSql("u.weight", "d.doc_id")} AS n
+           |  FROM documents d JOIN uma u ON d.source = u.stratum
+           |)
+           |SELECT w.source, u.c, ${ts.Round6.r6Sql("u.weight")} AS weight,
+           |  CAST(sum(CASE WHEN w.n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           |  CAST(sum(w.n) AS BIGINT) AS n_copies
+           |FROM wdocs w JOIN uma u ON w.source = u.stratum
+           |GROUP BY w.source, u.c, u.weight
+           |HAVING sum(w.n) > 0
+           |ORDER BY w.source""".stripMargin
+      }),
+
     // deterministic uniform hash-sample at 20% on doc_id
     ("sp_hash_sample",
       ((s, d) => pipeline.Sampling.hashSample(

@@ -195,6 +195,23 @@ object SimQueries {
            |       CAST(vec_id AS BIGINT) AS vec_id, qdot
            |FROM rankedivq WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
 
+    // ANN quality gauge: per-query recall@10 of the IVF tier vs the
+    // exact top-10 (the number FAISS-style deployments watch)
+    ("sim_recall_ivf",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfRecall(e, e.filter(col("vec_id") < 5), K)
+          .select(col("qid").cast("long").as("qid"), col("n_hits"),
+            Round6.r6(col("recall")).as("recall"))
+          .orderBy("qid")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.ivfSql(K)},
+           |${Similarity.ivfRecallSql(K)}
+           |SELECT CAST(qid AS BIGINT) AS qid, n_hits,
+           |       ${Round6.r6Sql("recall")} AS recall
+           |FROM rec ORDER BY qid""".stripMargin)),
+
     // SemDeDup: k-means buckets, drop within-cluster epsilon-neighbors
     // of a more-senior vector, keep one representative per ball
     ("sim_semdedup",

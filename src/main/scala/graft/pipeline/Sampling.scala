@@ -83,6 +83,77 @@ object Sampling {
     s"(CAST(floor($w) AS BIGINT) + CASE WHEN ${bucketSql(k)} < " +
       s"CAST(round(($w - floor($w)) * 10000) AS BIGINT) THEN 1 ELSE 0 END)"
 
+  /** Per-stratum budget allocation by water-filling — the UniMax
+    * sampling rule (Chung et al. 2023, arXiv:2304.09151): spread a
+    * total token budget as uniformly as possible across strata, but
+    * never draw more than `maxEpochs` passes over any stratum's own
+    * tokens. `counts` is one row per stratum: (stratum, c) with c the
+    * stratum's token count. Returns (stratum, c, cap, alloc, weight)
+    * where cap = c·maxEpochs, Σ alloc = min(budget, Σ cap), and
+    * weight = alloc/c is the epoch multiplier a [[mixtureSample]] run
+    * with this frame realizes in expectation.
+    *
+    * The water level has a closed form over the cap-sorted strata —
+    * the first position j (caps ascending) whose uniform share
+    * (budget − Σ caps before j) / (strata from j on) fits under its
+    * own cap is the level; every smaller stratum is capped, every
+    * larger one gets the level. Shares at feasible positions only
+    * decrease (proof in the test), so "first feasible" ≡ max feasible
+    * share — one window pass + one aggregate, no iteration.
+    *
+    * Scale shape: every operation here runs on the S-row counts frame
+    * — strata are metadata-scale (sources/languages, not documents),
+    * the same bounded-state contract as k-means centroids, so the
+    * single-partition window is S rows by construction. The corpus
+    * itself is touched only by the [[mixtureSample]] this frame feeds,
+    * which stays one map-side scan. */
+  def unimaxAlloc(counts: DataFrame, budget: Double,
+      maxEpochs: Double): DataFrame = {
+    require(budget >= 0 && maxEpochs > 0, "budget >= 0, maxEpochs > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap"), col("stratum"))
+    val capped = counts.select(col("stratum"), col("c"),
+      (col("c").cast("double") * maxEpochs).as("cap"))
+    val shared = capped
+      .withColumn("__p", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Long.MinValue, -1)), lit(0.0)))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__s", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .withColumn("__share",
+        (lit(budget) - col("__p")) / (col("__s") - col("__rn") + 1))
+    val level = broadcast(shared.agg(
+      max(when(col("__share") <= col("cap"), col("__share"))).as("__lvl")))
+    shared.crossJoin(level)
+      .select(col("stratum"), col("c"), col("cap"),
+        when(col("__lvl").isNull, col("cap"))
+          .otherwise(least(col("cap"), col("__lvl"))).as("alloc"))
+      .withColumn("weight",
+        col("alloc") / greatest(col("c").cast("double"), lit(1.0)))
+  }
+
+  /** SQL twin of [[unimaxAlloc]] over a CTE `cnt(stratum, c)`;
+    * defines `uma(stratum, c, cap, alloc, weight)`. */
+  def unimaxAllocSql(budget: String, maxEpochs: Double): String =
+    s"""ucap AS (
+       |  SELECT stratum, c, c * $maxEpochs AS cap FROM cnt
+       |), ushare AS (
+       |  SELECT stratum, c, cap,
+       |    ($budget - coalesce(sum(cap) OVER (ORDER BY cap, stratum
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+       |      / (count(*) OVER () - row_number() OVER (ORDER BY cap, stratum) + 1)
+       |      AS share
+       |  FROM ucap
+       |), ulvl AS (
+       |  SELECT max(CASE WHEN share <= cap THEN share END) AS lvl FROM ushare
+       |), uma AS (
+       |  SELECT stratum, c, cap,
+       |    CASE WHEN lvl IS NULL THEN cap ELSE least(cap, lvl) END AS alloc,
+       |    CASE WHEN lvl IS NULL THEN cap ELSE least(cap, lvl) END
+       |      / greatest(CAST(c AS DOUBLE), 1.0) AS weight
+       |  FROM ushare, ulvl
+       |)""".stripMargin
+
   /** Deterministic global shuffle for training-order randomization:
     * each row gets (block, rank) = (hash-prefix bucket, position within
     * the block in md5(salt ∥ key) order); the global shuffled order is

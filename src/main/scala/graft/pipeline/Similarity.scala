@@ -649,6 +649,51 @@ object Similarity {
        |  WHERE vec_id NOT IN (SELECT vec_id FROM sddrop)
        |)""".stripMargin
 
+  /** Recall@k of the IVF tier against the exact top-k — the
+    * index-quality gauge every ANN deployment watches (FAISS reports
+    * the same number): per query, the fraction of the true top-k the
+    * probed buckets recovered. Returns (qid, n_hits, recall).
+    *
+    * Scale shape: both tiers already confine their per-query work
+    * (queries broadcast; IVF scans ~nProbe/K of the corpus), and the
+    * comparison itself joins two |Q|·k frames — evaluation-set-sized,
+    * never corpus-sized. The exact tier is the [[topKExact]] baseline,
+    * so measuring recall costs one brute pass over the corpus per
+    * evaluation batch; run it on a sampled query set, not per-query in
+    * production. */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val exact = topKExact(corpus, queries, k).select(col("qid"), col("vec_id"))
+    val approx = topKIvf(corpus, queries, k)
+      .select(col("qid"), col("vec_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / col("__n")).as("recall"))
+  }
+
+  /** DuckDB twin of [[ivfRecall]] for queries `vec_id < 5`; composes
+    * after [[ivfSql]] (which defines the IVF `ranked`) and defines
+    * `rec(qid, n_hits, recall)`. */
+  def ivfRecallSql(k: Int): String =
+    s"""xq AS (
+       |  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5
+       |), xrk AS (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT q.qid, e.vec_id, ${cosineSql("q.qemb", "e.embedding")} AS cos
+       |    FROM embeddings e, xq q WHERE e.vec_id <> q.qid)
+       |), rec AS (
+       |  SELECT x.qid, CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |    sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS recall
+       |  FROM (SELECT qid, vec_id FROM xrk WHERE rank <= $k) x
+       |  LEFT JOIN (SELECT qid, vec_id FROM ranked WHERE rank <= $k) i
+       |    ON x.qid = i.qid AND x.vec_id = i.vec_id
+       |  GROUP BY x.qid
+       |)""".stripMargin
+
   /** Double cosine between list columns `a` and `b` (dim [[Dim]]). */
   def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =

@@ -393,6 +393,52 @@ object TextAnalysis {
        |  FROM documents d LEFT JOIN psc p USING (doc_id)
        |)""".stripMargin
 
+  // ---- character entropy ----
+
+  /** Shannon entropy of the character distribution, in nats — the
+    * gibberish/degenerate-text detector (keyboard mash, base64 blobs,
+    * and single-char runs all sit far from natural text's ~3 nats):
+    * H = ln n − (Σ_c c·ln c)/n over per-doc char counts c. Null/empty
+    * text surfaces as n_chars = 0 with null entropy.
+    *
+    * Scale shape: the per-char explode feeds a map-side-combined
+    * (doc_id, char) count — the shuffle carries one row per DISTINCT
+    * char per document (≤ alphabet size, ~10² rows/doc), not one per
+    * character, so the exchange is corpus-metadata-sized. The log-sum
+    * identity keeps the whole reduction one aggregate instead of a
+    * normalize-then-dot second pass over the counts. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val perChar = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val perDoc = perChar.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * log(col("c"))).as("clc"))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        (log(col("n")) - col("clc") / col("n")).as("entropy"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"), col("entropy"))
+  }
+
+  /** DuckDB twin of [[charEntropy]]; defines `ent(doc_id, n_chars,
+    * entropy)`. */
+  def charEntropySql: String =
+    s"""echr AS (
+       |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+       |        FROM documents) WHERE ch <> ''
+       |  GROUP BY doc_id, ch
+       |), edoc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+       |    ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy
+       |  FROM echr GROUP BY doc_id
+       |), ent AS (
+       |  SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars, e.entropy
+       |  FROM documents d LEFT JOIN edoc e USING (doc_id)
+       |)""".stripMargin
+
   def fingerprintsSql: String =
     s"""SELECT doc_id,
        |  list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t, '')],

@@ -97,6 +97,31 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sp_unimax: the S-row allocation broadcasts into the mixture pass") {
+    // the water-filling runs entirely on the per-source counts frame
+    // (metadata-scale); the corpus is touched only by the mixture
+    // explode, whose weight lookup must stay a broadcast join
+    val p = plan("sp_unimax")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tx_entropy: a pure two-level aggregate, no cartesian anywhere") {
+    // char explode → map-side-combined (doc, char) count → per-doc
+    // fold; the only join is the corpus-sized doc_id left join
+    val p = plan("tx_entropy")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_recall_ivf: both tiers keep their query-broadcast shape") {
+    // exact tier broadcast-crossjoins the 5 queries, IVF broadcasts
+    // probes into the assigned corpus — a cartesian would mean either
+    // tier lost its broadcast
+    val p = plan("sim_recall_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("cu_drift: the K-bounded vocab probes broadcast into the token stream") {
     // the corpus-token membership probe against the driver-bounced
     // vocab must be a broadcast join — an SMJ here would shuffle the

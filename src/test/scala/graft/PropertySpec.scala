@@ -668,6 +668,73 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perDoc.size === 20 && perDoc.values.exists(_ == 2))
   }
 
+  test("unimaxAlloc: hand-computed water level, conservation, cap/level split") {
+    val s = spark; import s.implicits._
+    // caps (E=1) ascending: 2, 4, 9; budget 9. share_1 = 9/3 = 3 > 2 →
+    // capped; share_2 = (9-2)/2 = 3.5 ≤ 4 → the level. allocs (2, 3.5,
+    // 3.5) conserve the budget exactly.
+    val cnt = Seq(("a", 2L), ("b", 4L), ("c", 9L)).toDF("stratum", "c")
+    val out = pipeline.Sampling.unimaxAlloc(cnt, 9.0, 1.0)
+      .orderBy("stratum")
+      .select("stratum", "alloc", "weight")
+      .as[(String, Double, Double)].collect()
+    assert(out.map(_._2).toSeq === Seq(2.0, 3.5, 3.5))
+    assert(math.abs(out.map(_._2).sum - 9.0) < 1e-12)
+    assert(math.abs(out(0)._3 - 1.0) < 1e-12)    // capped at 1 epoch
+    assert(math.abs(out(2)._3 - 3.5 / 9) < 1e-12)
+    // budget beyond total capacity: every stratum caps at maxEpochs
+    val over = pipeline.Sampling.unimaxAlloc(cnt, 1000.0, 2.0)
+      .select("stratum", "alloc", "weight")
+      .as[(String, Double, Double)].collect()
+    assert(over.forall(r => math.abs(r._3 - 2.0) < 1e-12))
+    assert(math.abs(over.map(_._2).sum - 30.0) < 1e-12)
+    // uniform fit: budget small enough that nobody caps — equal shares
+    val uni = pipeline.Sampling.unimaxAlloc(cnt, 3.0, 1.0)
+      .select("alloc").as[Double].collect()
+    assert(uni.forall(a => math.abs(a - 1.0) < 1e-12))
+  }
+
+  test("charEntropy: constant text is 0, uniform text is ln k, empties null") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      0L -> "aaaa",            // one symbol → H = 0
+      1L -> "abab",            // two equiprobable → ln 2
+      2L -> "abcd",            // four equiprobable → ln 4
+      3L -> "aab",             // H = ln 3 − (2 ln 2)/3
+      4L -> "",
+      5L -> null.asInstanceOf[String])
+      .toDF("doc_id", "text")
+    val out = pipeline.TextAnalysis.charEntropy(d).orderBy("doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars"), Option(r.getAs[Any]("entropy")))).toMap
+    def h(i: Long) = out(i)._2.get.asInstanceOf[Double]
+    assert(out(0L)._1 == 4L && math.abs(h(0L)) < 1e-12)
+    assert(math.abs(h(1L) - math.log(2)) < 1e-12)
+    assert(math.abs(h(2L) - math.log(4)) < 1e-12)
+    assert(math.abs(h(3L) - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12)
+    assert(out(4L) == (0L, None) && out(5L) == (0L, None))
+  }
+
+  test("ivfRecall: recall is exactly 1 when every corpus vector is a probed centroid") {
+    val s = spark; import s.implicits._
+    // 12 vectors, all ids < IvfK (16): each is its own bucket's seed
+    // and assigns to itself (cos with itself = 1). Probe ranking by
+    // centroid cosine IS exact-neighbor ranking, so the 4 probed
+    // buckets hold the 4 true nearest — recall@3 must be 1.0 for
+    // every query.
+    val dim = graft.pipeline.Similarity.Dim
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j =>
+        (math.sin(i * 37 + j) * 0.5 + 0.6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = pipeline.Similarity.ivfRecall(
+        vecs, vecs.filter(col("vec_id") < 3), 3)
+      .select("qid", "n_hits", "recall").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(out.length == 3)
+    assert(out.forall(r => r._2 == 3L && math.abs(r._3 - 1.0) < 1e-12))
+  }
+
   test("quantized top-k ≡ driver-side int8 MIPS recomputation") {
     val s = spark; import s.implicits._
     val gen: Gen[List[List[Float]]] = for {
