@@ -567,6 +567,19 @@ object PipelineQueries {
            |  ${ts.Round6.r6Sql("logw")} AS logw
            |FROM dsw ORDER BY doc_id""".stripMargin)),
 
+    // end-to-end data selection: perplexity + entropy + DSIR gates,
+    // survivors UniMax-sampled to 80% of their tokens at <= 2 epochs
+    ("cu_select",
+      ((s, d) => pipeline.Curation.selectTraining(
+          Tables.documents(s, d), 31.0, 2.7, 0.8, 2.0)
+        .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+          col("copy"))
+        .orderBy("source", "doc_id", "copy")): Q,
+      Some(
+        s"""WITH ${pipeline.Curation.selectTrainingSql(31.0, 2.7, 0.8, 2.0)}
+           |SELECT source, CAST(doc_id AS BIGINT) AS doc_id, copy
+           |FROM sel ORDER BY source, doc_id, copy""".stripMargin)),
+
     // overlapping token-window chunking (embedding/retrieval prep):
     // 32-token chunks every 24 tokens, final partial kept
     ("cu_chunks",

@@ -697,6 +697,93 @@ object Curation {
        |)""".stripMargin
   }
 
+  // ---- end-to-end training-data selection ----
+
+  /** End-to-end model-based data selection — the scoring-side
+    * complement of [[curate]] (which gates on surface signals: dedup,
+    * quality ratios, contamination). Three model scores gate each
+    * document: bigram-LM perplexity ≤ `maxPpl`
+    * ([[TextAnalysis.perplexity]], the CCNet filter), character
+    * entropy ≥ `minEntropy` ([[TextAnalysis.charEntropy]], the
+    * gibberish gate), and DSIR importance weight > 0 ([[dsirWeights]],
+    * target-domain likelihood). Survivors are then UniMax-sampled:
+    * `budgetFrac` of their surviving tokens water-filled across
+    * sources at ≤ `maxEpochs` passes each
+    * ([[Sampling.unimaxAlloc]] → [[Sampling.mixtureSample]]). Returns
+    * the sampled corpus (source, doc_id, copy).
+    *
+    * Scale shape: each score is its own one-pass aggregate joined back
+    * on doc_id (co-partitioned joins; at 100 TB you'd materialize the
+    * score columns once and filter on the stored table — the plan here
+    * IS that materialization, minus the write). The survivor frame is
+    * persisted because the allocation's token total (a bounded driver
+    * bounce, like the k-means centroids) and the mixture pass both
+    * consume it; the allocation itself runs on the S-row per-source
+    * counts frame. */
+  def selectTraining(docs: DataFrame, maxPpl: Double, minEntropy: Double,
+      budgetFrac: Double, maxEpochs: Double): DataFrame =
+    selectTrainingScoped(docs, maxPpl, minEntropy, budgetFrac, maxEpochs)._1
+
+  /** [[selectTraining]] plus a release handle for the survivor cache;
+    * call it after the final action that consumes the sample (same
+    * contract as [[curateScoped]]). */
+  def selectTrainingScoped(docs: DataFrame, maxPpl: Double,
+      minEntropy: Double, budgetFrac: Double, maxEpochs: Double)
+      : (DataFrame, () => Unit) = {
+    require(budgetFrac > 0 && maxEpochs > 0, "budgetFrac, maxEpochs > 0")
+    val surv = docs.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.perplexity(docs)
+        .filter(col("ppl").isNotNull && col("ppl") <= maxPpl)
+        .select(col("doc_id")), Seq("doc_id"))
+      .join(TextAnalysis.charEntropy(docs)
+        .filter(col("entropy").isNotNull && col("entropy") >= minEntropy)
+        .select(col("doc_id")), Seq("doc_id"))
+      .join(dsirWeights(docs).filter(col("logw") > 0)
+        .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .persist()
+    val cnt = surv.groupBy(col("source").as("stratum"))
+      .agg(sum(col("n_tokens")).cast("long").as("c"))
+    val total = cnt.agg(sum(col("c"))).first().getLong(0)
+    val alloc = Sampling.unimaxAlloc(cnt, budgetFrac * total, maxEpochs)
+    val out = Sampling.mixtureSample(surv, col("source"), col("doc_id"),
+        alloc.select(col("stratum"), col("weight")), 0.0)
+      .select(col("source"), col("doc_id"), col("copy"))
+    (out, () => { surv.unpersist(); () })
+  }
+
+  /** DuckDB restatement of [[selectTraining]]: composes
+    * [[TextAnalysis.perplexitySql]] (`ppx`),
+    * [[TextAnalysis.charEntropySql]] (`ent`), [[dsirWeightsSql]]
+    * (`dsw`) and [[Sampling.unimaxAllocSql]] (`uma`); defines
+    * `sel(source, doc_id, copy)`. */
+  def selectTrainingSql(maxPpl: Double, minEntropy: Double,
+      budgetFrac: Double, maxEpochs: Double): String =
+    s"""${TextAnalysis.perplexitySql},
+       |${TextAnalysis.charEntropySql},
+       |$dsirWeightsSql,
+       |surv AS (
+       |  SELECT d.doc_id, d.source, w.n_tokens
+       |  FROM documents d
+       |  JOIN ppx p USING (doc_id)
+       |  JOIN ent e USING (doc_id)
+       |  JOIN dsw w USING (doc_id)
+       |  WHERE p.ppl IS NOT NULL AND p.ppl <= $maxPpl
+       |    AND e.entropy IS NOT NULL AND e.entropy >= $minEntropy
+       |    AND w.logw > 0
+       |), cnt AS (
+       |  SELECT source AS stratum, CAST(sum(n_tokens) AS BIGINT) AS c
+       |  FROM surv GROUP BY 1
+       |), ${Sampling.unimaxAllocSql(s"$budgetFrac * (SELECT sum(c) FROM cnt)", maxEpochs)},
+       |seld AS (
+       |  SELECT s.source, s.doc_id,
+       |         ${Sampling.mixtureCopiesSql("u.weight", "s.doc_id")} AS n
+       |  FROM surv s JOIN uma u ON s.source = u.stratum
+       |), sel AS (
+       |  SELECT source, doc_id, t.copy
+       |  FROM seld, unnest(generate_series(0, n - 1)) AS t(copy)
+       |  WHERE n > 0
+       |)""".stripMargin
+
   // ---- overlapping token-window chunking ----
 
   /** Split every document into overlapping token windows — the

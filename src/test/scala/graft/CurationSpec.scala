@@ -302,6 +302,36 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Seq(0L, 1L, 7L))
   }
 
+  test("selectTraining: sample is gate-consistent, epoch-bounded, deterministic") {
+    val s = spark; import s.implicits._
+    // 8 docs over 2 sources; loose gates so a non-trivial set survives
+    val d = docs((0L until 8L).map(i =>
+        i -> s"tok${i % 3} tok${(i * 2) % 5} tok$i common word run ${i}"))
+      .withColumn("source", concat(lit("s"), col("doc_id") % 2))
+    val (out, release) = Curation.selectTrainingScoped(
+      d, maxPpl = 1e9, minEntropy = 0.0, budgetFrac = 0.9, maxEpochs = 2.0)
+    val rows = out.select("doc_id", "copy").as[(Long, Long)].collect()
+    release()
+    // every sampled doc passed all three gates (recomputed independently)
+    val pplOk = pipeline.TextAnalysis.perplexity(d)
+      .filter(col("ppl").isNotNull).select("doc_id").as[Long].collect().toSet
+    val dsirOk = Curation.dsirWeights(d)
+      .filter(col("logw") > 0).select("doc_id").as[Long].collect().toSet
+    val sampledIds = rows.map(_._1).toSet
+    assert(sampledIds.nonEmpty)
+    assert(sampledIds.subsetOf(pplOk & dsirOk))
+    // epoch cap bounds per-doc copies: weight <= 2 -> at most 3 copies
+    // (floor(2) + fractional), and copy indexes are dense from 0
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(perDoc.values.forall(cs => cs == (0L until cs.size.toLong)))
+    assert(perDoc.values.forall(_.size <= 3))
+    // deterministic: a second run returns the identical multiset
+    val (out2, release2) = Curation.selectTrainingScoped(d, 1e9, 0.0, 0.9, 2.0)
+    val again = out2.select("doc_id", "copy").as[(Long, Long)].collect()
+    release2()
+    assert(rows.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("scoped curate/minhashPairs release their internal caches") {
     val s = spark; import s.implicits._
     val d = (0L until 40L).map(i =>

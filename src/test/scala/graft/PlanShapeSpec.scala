@@ -122,6 +122,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("cu_select: score joins stay keyed, allocation broadcasts, no cartesian") {
+    // three score frames join the corpus on doc_id (co-partitioned);
+    // the DSIR bucket table and the S-row allocation broadcast
+    val p = plan("cu_select")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("cu_drift: the K-bounded vocab probes broadcast into the token stream") {
     // the corpus-token membership probe against the driver-bounced
     // vocab must be a broadcast join — an SMJ here would shuffle the
