@@ -27,7 +27,10 @@ object Bench {
     "cu_repetition", "cu_pack_sequences", "cu_pipeline", "ts_asof_join",
     // round-6 additions: substring-level dedup, quantized MIPS tier,
     // per-source drift, BPE merge training
-    "dd_window_fp", "sim_topk_q8", "cu_drift", "cu_bpe")
+    "dd_window_fp", "sim_topk_q8", "cu_drift", "cu_bpe",
+    // round-7 additions: LM-perplexity scoring, cluster-confined
+    // semantic dedup, end-to-end gated selection
+    "tx_perplexity", "sim_semdedup", "cu_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

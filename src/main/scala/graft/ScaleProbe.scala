@@ -174,6 +174,52 @@ object ScaleProbe {
           .select(pmod(col("doc_id"), lit(1000)).as("k"),
             col("doc_id").as("ts"), (col("doc_id") * 2).as("v"))
         graft.ts.Asof.join(l, r, Seq("k"), "ts", Seq("v")).count()
+      },
+      // the three score stages filter on a COMPUTED column: under a
+      // bare count() Catalyst correctly prunes their final unique-key
+      // left join (and the aggregates feeding it), which would time an
+      // empty plan instead of the score
+      time("perplexity_200k") { // adversarial for the LM: hex words make
+        // ~every scored bigram unseen, so the count tables are
+        // corpus-sized and the score joins carry full weight
+        pipeline.TextAnalysis.perplexity(docs)
+          .filter(col("ppl").isNotNull).count()
+      },
+      time("entropy_200k") { // per-char explode collapses map-side to
+        // ~17 distinct hex chars per doc before the shuffle
+        pipeline.TextAnalysis.charEntropy(docs)
+          .filter(col("entropy").isNotNull).count()
+      },
+      time("dsir_200k") { // hashed-unigram LLR: one shared count pass,
+        // 64-row weight broadcast, per-doc re-aggregate
+        pipeline.Curation.dsirWeights(docs)
+          .filter(col("logw").isNotNull).count()
+      },
+      time("semdedup_200k") { // cluster-confined epsilon dedup: K=512
+        // buckets over 200k vectors — Σ|cluster|² ≈ N²/K pair cosines,
+        // the paper's own escape from the all-pairs scan
+        pipeline.Similarity.semDedup(
+          vecs.filter(col("vec_id") < 200000), 0.9, k = 512, iters = 1).count()
+      },
+      time("unimax_mixture_10m") { // 1000-strata water-fill (S-row
+        // window) + map-side mixture realization over 10M keys
+        val strat = keys.select(col("doc_id"),
+          concat(lit("s"), pmod(col("doc_id"), lit(1000))).as("source"))
+        val cnt = strat.groupBy(col("source").as("stratum"))
+          .agg(count(lit(1)).as("c"))
+        val alloc = pipeline.Sampling.unimaxAlloc(cnt, 8000000.0, 2.0)
+        pipeline.Sampling.mixtureSample(strat, col("source"), col("doc_id"),
+          alloc.select(col("stratum"), col("weight")), 0.0).count()
+      },
+      {
+        val srcDocs = docs.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(20))))
+        time("select_200k") { // the full cu_select composition: three
+          // score passes + water-fill + mixture at probe scale
+          val (out, release) = pipeline.Curation.selectTrainingScoped(
+            srcDocs, 1e18, 0.0, 0.8, 2.0)
+          val n = out.count(); release(); n
+        }
       })
 
     val json = results.map { case (l, sec, n) =>
