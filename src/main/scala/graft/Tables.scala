@@ -24,16 +24,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * nanosecond LongType under `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in Verify/Bench/test sessions). Normalize to TimestampType
-    * (microsecond floor) here so every operator sees a plain timestamp. */
+  /** `events.ts` varies by generator vintage: TIMESTAMP(NANOS) reads as
+    * a nanosecond LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    * Verify/Bench/test sessions); TIMESTAMP(MICROS, isAdjustedToUTC =
+    * false) reads as TimestampNTZType. Normalize both to TimestampType
+    * so every operator sees one timestamp type. Sessions pin
+    * `spark.sql.session.timeZone=UTC`, so the NTZ wall-clock → instant
+    * cast is exactly DuckDB's naive-as-UTC `epoch_us` semantics. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -70,6 +70,12 @@ object Eval {
   def evalExpr(ctx: Ctx, expr: String): DataFrame =
     eval(ctx, Dsl.parse(expr)) match {
       case SeriesV(df) => df
+      // A whole-expression bare path (`target=m.one`) is a fetch — the
+      // reference quotes it into a pattern before parse
+      // (`http/graphite.go:227-257`); series coercion here matches
+      // [[asSeries]] for the top-level position.
+      case PatternV(p) => ctx.fetch(p)
+      case StrV(p)     => ctx.fetch(p)
       case other => throw new IllegalArgumentException(
         s"expression yields $other, not a series set: $expr")
     }
