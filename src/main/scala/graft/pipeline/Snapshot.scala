@@ -1,0 +1,208 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** Versioned atomic parquet snapshots — the write side of the curation
+  * pipeline. A 100 TB curate/select job cannot hand its output to a
+  * trainer as a bare directory of part files: a crashed writer leaves a
+  * half-written corpus indistinguishable from a finished one, a rerun
+  * doubles documents, and a reader racing the writer sees a torn mix of
+  * old and new files. The classic lakehouse answer (what Delta/Iceberg
+  * do under the hood, reduced to its dependency-free core) is
+  * version-directory snapshots behind an atomically-renamed pointer:
+  *
+  * {{{
+  * dir/
+  *   v=1/part-*.parquet      immutable, never rewritten
+  *   v=2/part-*.parquet
+  *   _latest                 "2" — readers resolve through this only
+  * }}}
+  *
+  * - [[publish]] stages to a hidden tmp dir, renames it to the next
+  *   `v=N` (rename-if-absent is the writer mutex: two racing publishers
+  *   cannot both win the same N), then swings `_latest` via
+  *   write-tmp + atomic rename. A crash at ANY point leaves either the
+  *   old snapshot live or the new one — never a torn read, never a
+  *   visible partial write.
+  * - [[read]] resolves the pointer once; the version directory is
+  *   immutable, so a long scan is consistent even while later versions
+  *   publish (MVCC for free).
+  * - [[compact]] rewrites the small-files tail of an incremental
+  *   pipeline into ~`targetBytes` files as a NEW version — readers of
+  *   the old version are untouched.
+  * - [[publishClustered]] range-partitions on a key and sorts within
+  *   partitions, so every file covers a disjoint key range and parquet
+  *   footer min/max stats prune file scans for key-range queries.
+  * - [[vacuum]] removes superseded versions and crash debris, keeping a
+  *   reader grace window.
+  *
+  * All fs mutation goes through the Hadoop [[FileSystem]] API: on HDFS
+  * and POSIX file systems `rename` is atomic, which is the only
+  * primitive the protocol needs. (On S3-like stores you'd swap the
+  * pointer swing for a conditional PUT; the protocol is unchanged.)
+  */
+object Snapshot {
+
+  private val Pointer = "_latest"
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("v=")) n.drop(2).toLongOption else None
+  }
+
+  /** Latest committed version per the pointer, or None for an empty /
+    * never-published dir. Uncommitted `v=` dirs (crash debris, racing
+    * writers) are invisible: only the pointer commits. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val ptr = new Path(dir, Pointer)
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8)
+          .trim.toLongOption
+      } finally in.close()
+    }
+  }
+
+  /** Highest version DIRECTORY present, committed or not — the basis
+    * for the next publish attempt (a crashed publisher's orphan dir
+    * must not be reused: rename-if-absent would fail forever). */
+  private def maxVersionDir(f: FileSystem, dir: String): Long = {
+    val base = new Path(dir)
+    if (!f.exists(base)) 0L
+    else f.listStatus(base).flatMap(s => versionOf(s.getPath)).foldLeft(0L)(math.max)
+  }
+
+  /** Atomically publish `df` as the next snapshot version; returns the
+    * committed version number. Safe against concurrent publishers (the
+    * loser of a `v=N` rename race retries at N+1) and against crashes
+    * (an unrenamed tmp dir or an unpointed version dir is invisible to
+    * readers and reclaimed by [[vacuum]]). */
+  def publish(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    val tmp = new Path(dir, s".tmp-${UUID.randomUUID().toString}")
+    df.write.parquet(tmp.toString)
+    var v = maxVersionDir(f, dir) + 1
+    var committed = false
+    // rename-if-absent: the fs-level writer mutex. The existence
+    // pre-check matters on LocalFileSystem, whose rename falls back to
+    // move-INTO when the destination dir exists (HDFS just returns
+    // false); should the tiny check-to-rename race still lose, the
+    // stray ends up as a dot-prefixed subdir Spark's scan ignores, and
+    // the publish retries at the next version.
+    while (!committed) {
+      val dest = new Path(dir, s"v=$v")
+      if (!f.exists(dest) && f.rename(tmp, dest)) committed = true
+      else {
+        require(f.exists(tmp), s"staged snapshot vanished: $tmp")
+        v += 1
+      }
+    }
+    commitPointer(f, dir, v)
+    v
+  }
+
+  /** Swing `_latest` to `v` via write-tmp + atomic rename-over. */
+  private def commitPointer(f: FileSystem, dir: String, v: Long): Unit = {
+    val tmp = new Path(dir, s".$Pointer-${UUID.randomUUID().toString}")
+    val out = f.create(tmp, true)
+    try out.write(s"$v\n".getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // Hadoop rename refuses to clobber; delete-then-rename is the
+    // standard pointer swing (FileContext's rename-OVERWRITE where
+    // available). A crash between the two leaves no pointer — readers
+    // fall back to "no snapshot" rather than a torn one, and the next
+    // publish restores it.
+    f.delete(new Path(dir, Pointer), false)
+    require(f.rename(tmp, new Path(dir, Pointer)), s"pointer swing failed: $dir")
+  }
+
+  /** Read the latest committed snapshot (or a pinned `version`). */
+  def read(spark: SparkSession, dir: String, version: Option[Long] = None)
+      : DataFrame = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    spark.read.parquet(s"$dir/v=$v")
+  }
+
+  /** Publish with a range-clustered layout: `nFiles` files, each
+    * covering a disjoint `key` range, rows sorted by `key` within each
+    * file — parquet footer min/max stats then prune whole files for
+    * key-range predicates, and row-group stats prune within files. The
+    * layout survives to the 100 TB case: repartitionByRange samples the
+    * key (no driver materialization), and the per-file sort is an
+    * executor-local spillable sort. */
+  def publishClustered(df: DataFrame, dir: String, key: String,
+      nFiles: Int): Long = {
+    require(nFiles > 0)
+    publish(df.repartitionByRange(nFiles, col(key))
+      .sortWithinPartitions(col(key)), dir)
+  }
+
+  /** Compact the latest snapshot's small-files tail into
+    * ~`targetBytes` files as a new version; returns it, or None when
+    * the current layout already meets the target (no-op — no version
+    * churn). Readers of the old version are untouched; [[vacuum]]
+    * reclaims it after the grace window. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long)
+      : Option[Long] = {
+    require(targetBytes > 0)
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    val f = fs(spark, dir)
+    val files = f.listStatus(new Path(dir, s"v=$v"))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val total = files.map(_.getLen).sum
+    val want = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    if (files.length <= want) None
+    else Some(publish(read(spark, dir, Some(v)).coalesce(want), dir))
+  }
+
+  /** Delete crash debris (staged tmp dirs) and superseded version
+    * directories, keeping the latest `keepVersions` committed versions
+    * as a reader grace window. Never touches the live version.
+    * `reclaimOrphans` additionally removes version dirs PAST the
+    * pointer (a crashed publisher that renamed but never committed) —
+    * only safe when no publisher is running, so it is opt-in rather
+    * than part of the routine sweep. */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
+      reclaimOrphans: Boolean = false): Unit = {
+    require(keepVersions >= 1)
+    val f = fs(spark, dir)
+    val base = new Path(dir)
+    if (!f.exists(base)) return
+    val live = latestVersion(spark, dir).getOrElse(Long.MaxValue)
+    f.listStatus(base).foreach { s =>
+      val n = s.getPath.getName
+      val stale = n.startsWith(".tmp-") || n.startsWith(s".$Pointer-") ||
+        versionOf(s.getPath).exists(v =>
+          v <= live - keepVersions || (reclaimOrphans && v > live))
+      if (stale) f.delete(s.getPath, true)
+    }
+  }
+
+  /** Per-file key ranges of the latest snapshot — the layout
+    * diagnostic for [[publishClustered]]: one row per file with the
+    * key's min/max/rows (column-pruned scan: only the key column is
+    * read). Disjoint ranges here mean parquet footer stats will prune
+    * whole files for key-range predicates. */
+  def fileRanges(spark: SparkSession, dir: String, key: String): DataFrame =
+    read(spark, dir)
+      .select(input_file_name().as("file"), col(key))
+      .groupBy(col("file"))
+      .agg(min(col(key)).as("key_min"), max(col(key)).as("key_max"),
+        count(lit(1)).as("rows"))
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pipeline.Snapshot
+
+import java.nio.file.Files
+
+/** The snapshot sink's commit protocol: atomic publish, crash debris
+  * invisibility, rename-race retry, compaction row-preservation,
+  * clustered-layout disjointness, and vacuum's grace window. */
+class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]").appName("snapshot-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("snapspec").toString
+
+  private def corpus(n: Int, tag: String) = {
+    val s = spark; import s.implicits._
+    (0 until n).map(i => (i.toLong, s"$tag-$i")).toDF("doc_id", "text")
+  }
+
+  test("publish → read round-trip; versions increment; old version stays pinned") {
+    val dir = tmpDir()
+    assert(Snapshot.latestVersion(spark, dir).isEmpty)
+    val v1 = Snapshot.publish(corpus(100, "a"), dir)
+    assert(v1 === 1L)
+    assert(Snapshot.read(spark, dir).count() === 100)
+    val v2 = Snapshot.publish(corpus(50, "b"), dir)
+    assert(v2 === 2L)
+    assert(Snapshot.latestVersion(spark, dir) === Some(2L))
+    assert(Snapshot.read(spark, dir).count() === 50)
+    // MVCC: the superseded version is still readable when pinned
+    assert(Snapshot.read(spark, dir, Some(1L)).count() === 100)
+  }
+
+  test("crash debris is invisible: stray tmp dirs and unpointed versions don't surface") {
+    val dir = tmpDir()
+    Snapshot.publish(corpus(10, "live"), dir)
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a publisher that crashed mid-stage…
+    corpus(99, "crashed").write.parquet(s"$dir/.tmp-deadbeef")
+    // …and one that renamed its version dir but never swung the pointer
+    corpus(99, "orphan").write.parquet(s"$dir/v=5")
+    assert(Snapshot.latestVersion(spark, dir) === Some(1L))
+    assert(Snapshot.read(spark, dir).count() === 10)
+    // routine vacuum clears tmp debris but leaves the orphan (a live
+    // publisher could be mid-commit); opt-in reclaim removes it too
+    Snapshot.vacuum(spark, dir)
+    assert(!f.exists(new Path(dir, ".tmp-deadbeef")))
+    assert(f.exists(new Path(dir, "v=5")))
+    Snapshot.vacuum(spark, dir, reclaimOrphans = true)
+    assert(!f.exists(new Path(dir, "v=5")))
+    assert(Snapshot.read(spark, dir).count() === 10)
+  }
+
+  test("publish after an orphaned version dir never reuses its number") {
+    val dir = tmpDir()
+    Snapshot.publish(corpus(10, "a"), dir)
+    corpus(99, "orphan").write.parquet(s"$dir/v=7") // crashed publisher
+    val v = Snapshot.publish(corpus(20, "b"), dir)
+    assert(v === 8L) // rename-if-absent skipped the occupied slot
+    assert(Snapshot.read(spark, dir).count() === 20)
+  }
+
+  test("compact bin-packs the small-files tail and preserves every row") {
+    val dir = tmpDir()
+    // 16 part files of ~100 rows each
+    Snapshot.publish(corpus(1600, "x").repartition(16), dir)
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(v: Long) = f.listStatus(new Path(dir, s"v=$v"))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    assert(parts(1L) === 16)
+    val v2 = Snapshot.compact(spark, dir, targetBytes = 1L << 30)
+    assert(v2 === Some(2L))
+    assert(parts(2L) === 1) // everything fits one 1 GiB target file
+    val rows = Snapshot.read(spark, dir).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    assert(rows.length === 1600 && rows.distinct.length === 1600)
+    // already-compact layout: no version churn
+    assert(Snapshot.compact(spark, dir, targetBytes = 1L << 30).isEmpty)
+  }
+
+  test("publishClustered writes disjoint per-file key ranges") {
+    val dir = tmpDir()
+    Snapshot.publishClustered(corpus(1000, "k"), dir, "doc_id", nFiles = 4)
+    val ranges = Snapshot.fileRanges(spark, dir, "doc_id")
+      .orderBy("key_min")
+      .collect().map(r => (r.getAs[Long]("key_min"), r.getAs[Long]("key_max")))
+    assert(ranges.length === 4)
+    // ranges are disjoint and ordered: every file's min exceeds the
+    // previous file's max, so footer stats prune whole files
+    ranges.sliding(2).foreach { case Array((_, prevMax), (curMin, _)) =>
+      assert(curMin > prevMax)
+    }
+    assert(ranges.map { case (lo, hi) => hi - lo + 1 }.sum >= 1000)
+  }
+
+  test("vacuum keeps the grace window and the live version") {
+    val dir = tmpDir()
+    (1 to 4).foreach(i => Snapshot.publish(corpus(i * 10, s"v$i"), dir))
+    Snapshot.vacuum(spark, dir, keepVersions = 2)
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new Path(dir, "v=1")))
+    assert(!f.exists(new Path(dir, "v=2")))
+    assert(f.exists(new Path(dir, "v=3"))) // grace window for live readers
+    assert(Snapshot.read(spark, dir).count() === 40)
+  }
+}
