@@ -488,6 +488,23 @@ object PipelineQueries {
         .select(col("tok"), col("tf"), col("df"))): Q,
       Some(pipeline.Curation.vocabStatsSql(50))),
 
+    // Misra-Gries heavy hitters over the token stream: k=1024 exceeds
+    // the fixture vocabulary, so the sketch runs in its exact regime
+    // and the oracle is the plain count — the approximate regime's
+    // bound guarantees live in SketchSpec
+    ("cu_heavy_hitters",
+      ((s, d) => pipeline.Curation
+        .heavyHitters(Tables.documents(s, d), 1024)
+        .orderBy(col("tf").desc, col("tok"))): Q,
+      Some(
+        """WITH toks AS (
+          |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          |  FROM documents
+          |)
+          |SELECT tok, CAST(count(*) AS BIGINT) AS tf
+          |FROM toks GROUP BY tok
+          |ORDER BY tf DESC, tok""".stripMargin)),
+
     // BPE merge training: 10 rounds of most-frequent-pair fusion over
     // the frequency-weighted word vocabulary (10 > the 8-round
     // materialization epoch, so the oracle crosses that boundary)

@@ -67,5 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_nfc_clean",
         "graft_nfc_clean(string) - NFC + zero-width strip + whitespace collapse + trim"),
       one("graft_nfc_clean")(NfcCleanExpr)))
+    ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters",
+        "graft_heavy_hitters(string, k) - Misra-Gries top-k counter sketch (aggregate; counts short by at most N/(k+1))"),
+      {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k, _)) =>
+          MisraGriesAgg(c, k.toString.toInt).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"graft_heavy_hitters expects (column, int literal), got ${other.length} args")
+      }))
   }
 }

@@ -233,6 +233,21 @@ object Curation {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("tok")).limit(topK)
 
+  /** Sketch form of [[vocabStats]]'s tf ranking: Misra–Gries top-`k`
+    * over the token stream ([[graft.functions.SketchExprs]]). Where
+    * the exact aggregate shuffles one row per distinct token — fine
+    * for word vocabularies, ruinous for n-gram or URL domains with
+    * billions of distinct keys — the sketch's shuffle state is
+    * k-bounded per partition regardless of cardinality. Counts are
+    * exact when the true cardinality is ≤ k, otherwise lower bounds
+    * short by at most N/(k+1). Returns (tok, tf) sorted by the
+    * sketch's (count desc, token) order. */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens).as("tok"))
+      .agg(graft.functions.SketchExprs.heavyHitters(col("tok"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("tok"), col("e.count").as("tf"))
+
   /** DuckDB twin of [[vocabStats]]; a complete SELECT. */
   def vocabStatsSql(topK: Int): String =
     s"""WITH toks AS (
