@@ -220,6 +220,45 @@ object ScaleProbe {
             srcDocs, 1e18, 0.0, 0.8, 2.0)
           val n = out.count(); release(); n
         }
+      },
+      {
+        // 30% one hot token, the rest ~7M-distinct tail: the regime
+        // where exact counting must shuffle the whole tail
+        val toks = keys.select(
+          when(pmod(col("doc_id"), lit(10)) < 3, lit("hot"))
+            .otherwise(concat(lit("t"), col("doc_id"))).as("tok"))
+        time("heavy_hitters_10m") { // k=64 sketch: shuffle state is
+          // 64 counters per partition no matter the cardinality
+          val hh = toks
+            .agg(graft.functions.SketchExprs.heavyHitters(col("tok"), 64)
+              .as("hh"))
+            .select(explode(col("hh")).as("e"))
+            .select(col("e.token").as("tok"), col("e.count").as("cnt"))
+            .collect()
+          require(hh.exists(r => r.getString(0) == "hot" &&
+            r.getLong(1) >= 3000000L - (10000000L / 65)),
+            "guaranteed hitter missing or past the MG bound")
+          hh.length.toLong
+        }
+      },
+      time("exact_vocab_10m") { // the contrast: exact counts shuffle
+        // one row per distinct token (~7M here)
+        keys.select(
+          when(pmod(col("doc_id"), lit(10)) < 3, lit("hot"))
+            .otherwise(concat(lit("t"), col("doc_id"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n")).count()
+      },
+      {
+        val dir = java.nio.file.Files.createTempDirectory("snapprobe").toString
+        val r = time("snapshot_publish_compact_10m") { // atomic publish
+          // of a 32-part corpus + bin-pack compaction to 4 files
+          pipeline.Snapshot.publish(keys.repartition(32), dir)
+          pipeline.Snapshot.compact(spark, dir,
+            targetBytes = (10000000L * 8) / 4)
+          pipeline.Snapshot.read(spark, dir).count()
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        r
       })
 
     val json = results.map { case (l, sec, n) =>
