@@ -140,4 +140,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("cu_heavy_hitters: the sketch plans as a hash aggregate with map-side partials") {
+    // the Misra-Gries TypedImperativeAggregate must run as
+    // ObjectHashAggregate (partial sketches merged across the
+    // exchange). A SortAggregate fallback would sort the full token
+    // stream before aggregating — exactly the corpus-wide work the
+    // sketch exists to avoid.
+    val p = plan("cu_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
