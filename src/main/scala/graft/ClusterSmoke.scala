@@ -84,6 +84,19 @@ object ClusterSmoke {
         val ok = id == i && start == acc; acc += i % 5 + 1; ok
       }
     }
+    check("Misra-Gries sketch buffers serialize across executor JVMs") {
+      // the TypedImperativeAggregate's serialize/deserialize is the
+      // only custom byte format in the library; partial sketches here
+      // genuinely cross process boundaries through the shuffle
+      val toks = (0 until 500).map(i =>
+        if (i % 5 == 0) "hot" else s"t${i % 37}").toDF("tok").repartition(8)
+      val hh = toks.agg(graft.functions.SketchExprs
+          .heavyHitters(col("tok"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.token"), col("e.count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      hh.get("hot").contains(100L) && hh.size == 38 // exact regime
+    }
     check("executors are separate JVMs") {
       val driverPid = ProcessHandle.current().pid()
       val execPids = spark.range(2).repartition(2)
