@@ -111,6 +111,31 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranges.map { case (lo, hi) => hi - lo + 1 }.sum >= 1000)
   }
 
+  test("concurrent publishers all commit distinct versions") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmpDir()
+    // 6 racing publishers: the rename-if-absent mutex must hand each a
+    // distinct version slot, and the final pointer must be readable
+    val versions = Await.result(
+      Future.sequence((1 to 6).map(i => Future {
+        Snapshot.publish(corpus(10 * i, s"w$i"), dir)
+      })), 120.seconds)
+    assert(versions.toSet.size === 6) // no slot won twice
+    assert(versions.toSet === (1L to 6L).toSet)
+    // the pointer lands on SOME committed version (last swing wins —
+    // publishes are atomic, ordering between racers is unspecified)
+    val live = Snapshot.latestVersion(spark, dir).get
+    assert(versions.contains(live))
+    assert(Snapshot.read(spark, dir).count() ===
+      10 * versions.indexOf(live) + 10)
+    // and every committed version remains pinnable
+    versions.foreach(v =>
+      assert(Snapshot.read(spark, dir, Some(v)).count() ===
+        10 * versions.indexOf(v) + 10))
+  }
+
   test("vacuum keeps the grace window and the live version") {
     val dir = tmpDir()
     (1 to 4).foreach(i => Snapshot.publish(corpus(i * 10, s"v$i"), dir))
