@@ -387,6 +387,23 @@ object Ingest {
     arch.unionByName(pending)
   }
 
+  /** Live top-talkers: which series are sending the most points RIGHT
+    * NOW — the ops question behind every ingest-storm incident. A
+    * Misra–Gries sketch ([[graft.functions.SketchExprs]]) over the
+    * point stream's names as a streaming global aggregate: the
+    * state-store entry is ONE k-bounded counter buffer no matter how
+    * many series exist (the exact per-name streaming count would grow
+    * state with series cardinality — unbounded under a
+    * random-names flood, which is precisely when you need this view).
+    * Counts are exact while distinct names ≤ k, lower bounds short by
+    * at most N/(k+1) beyond. Complete output mode; emits
+    * (name, n_points) in sketch order. */
+  def liveTopTalkers(points: DataFrame, k: Int): DataFrame =
+    points.groupBy()
+      .agg(graft.functions.SketchExprs.heavyHitters(col("name"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("name"), col("e.count").as("n_points"))
+
   /** Slot aggregation of interval pieces — identical math to
     * [[graft.rrd.Consolidate.consolidate]]'s explode+weighted-mean. */
   def piecesToSlots(pieces: DataFrame, stepSec: Long, xff: Double): DataFrame =

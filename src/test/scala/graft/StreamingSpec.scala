@@ -95,6 +95,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("a", 0L, 2.0), ("a", 10L, 5.0), ("b", 20L, 7.0)))
   }
 
+  test("live top-talkers: sketch state accumulates across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val points = mem.toDF().toDF("name", "tsSec", "value")
+    val q = Ingest.liveTopTalkers(points, k = 16)
+      .writeStream.format("memory").queryName("talkers")
+      .outputMode("complete").start()
+    mem.addData(("noisy", 1L, 1.0), ("noisy", 2L, 1.0), ("quiet", 3L, 1.0))
+    q.processAllAvailable()
+    // second batch merges into the SAME sketch buffer in the state
+    // store — counts accumulate, they don't reset per batch
+    mem.addData(("noisy", 4L, 1.0), ("noisy", 5L, 1.0), ("late", 6L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("talkers").as[(String, Long)].collect().toMap
+    assert(got === Map("noisy" -> 4L, "quiet" -> 1L, "late" -> 1L))
+  }
+
   test("pickle frames stream end-to-end: binary micro-batches → slots") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
