@@ -206,10 +206,18 @@ object Similarity {
     // map-side pass, no N·K row materialization) and (b) the tiny
     // query-probe cross join below
     val centSeq = collectCentroidSeq(centroids, "cid", "cent")
-    val cents = broadcast(centroids.select(col("cid"), col("cent")))
     val assigned = corpus.select(col("vec_id"), emb,
       graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
         .getField("cid").as("cid"))
+    probeAssigned(assigned, centroids, queries, k)
+  }
+
+  /** The serve half of IVF: probe a PRECOMPUTED (vec_id, embedding,
+    * cid) assignment with the centroid frame — the path a published
+    * index takes, where the build pass already paid for assignment. */
+  def probeAssigned(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val cents = broadcast(centroids.select(col("cid"), col("cent")))
     // per query: nProbe nearest centroid ids
     val q = queries.select(col("vec_id").as("qid"), emb.as("qemb"))
     val probes = q.crossJoin(cents)
@@ -235,6 +243,32 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("cos"))
   }
+
+  /** Build and atomically publish an IVF index: k-means centroids and
+    * the centroid-assigned corpus land as ONE [[Snapshot]] version
+    * (tables `centroids`, `assigned`), so a serving reader can never
+    * pair new centroids with an old assignment. This is the
+    * build-once/serve-many split every ANN deployment runs: the
+    * expensive passes (k-means rounds + corpus assignment) happen once
+    * per index build; [[topKIvfServe]] then pays only the ~nProbe/K
+    * probe per query batch. Returns the committed version. */
+  def publishIvfIndex(corpus: DataFrame, dir: String, k: Int = KmK,
+      iters: Int = KmIters): Long = {
+    val cents = kmeansCentroids(corpus, k, iters)
+    val centSeq = collectCentroidSeq(cents, "cid", "cent")
+    val assigned = corpus.select(col("vec_id"), emb,
+      graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
+        .getField("cid").as("cid"))
+    Snapshot.publishTables(Seq("centroids" -> cents, "assigned" -> assigned), dir)
+  }
+
+  /** Serve top-k queries from a published IVF index (latest version,
+    * or pinned). Result-identical to [[topKIvfKmeans]] over the corpus
+    * the index was built from — the spec pins that equality. */
+  def topKIvfServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, version: Option[Long] = None): DataFrame =
+    probeAssigned(Snapshot.readTable(spark, dir, "assigned", version),
+      Snapshot.readTable(spark, dir, "centroids", version), queries, k)
 
   /** Lloyd's k-means over the embedding column — the clustering
     * primitive a training-data pipeline needs for corpus curation

@@ -96,14 +96,50 @@ object Snapshot {
     f.mkdirs(new Path(dir))
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID().toString}")
     df.write.parquet(tmp.toString)
+    commitStaged(f, dir, tmp)
+  }
+
+  /** Atomically publish SEVERAL frames as one version — the
+    * multi-table transaction (an ANN index's centroids + assigned
+    * corpus, a corpus + its score table): every table stages under the
+    * same tmp dir, so the single rename commits them together and a
+    * reader can never observe one table's new version with another's
+    * old. Layout: `v=N/<table>/part-*.parquet`; read back with
+    * [[readTable]]. */
+  def publishTables(tables: Seq[(String, DataFrame)], dir: String): Long = {
+    require(tables.nonEmpty, "publishTables requires at least one table")
+    tables.foreach { case (name, _) =>
+      require(name.nonEmpty && !name.contains("/") && !name.startsWith("."),
+        s"bad table name: $name") }
+    val spark = tables.head._2.sparkSession
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    val tmp = new Path(dir, s".tmp-${UUID.randomUUID().toString}")
+    tables.foreach { case (name, df) =>
+      df.write.parquet(new Path(tmp, name).toString) }
+    commitStaged(f, dir, tmp)
+  }
+
+  /** Read one table of a multi-table snapshot version. */
+  def readTable(spark: SparkSession, dir: String, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    spark.read.parquet(s"$dir/v=$v/$table")
+  }
+
+  /** Rename the staged dir into the next free version slot and swing
+    * the pointer; returns the committed version.
+    *
+    * rename-if-absent is the fs-level writer mutex. The existence
+    * pre-check matters on LocalFileSystem, whose rename falls back to
+    * move-INTO when the destination dir exists (HDFS just returns
+    * false); should the tiny check-to-rename race still lose, the
+    * stray ends up as a dot-prefixed subdir Spark's scan ignores, and
+    * the publish retries at the next version. */
+  private def commitStaged(f: FileSystem, dir: String, tmp: Path): Long = {
     var v = maxVersionDir(f, dir) + 1
     var committed = false
-    // rename-if-absent: the fs-level writer mutex. The existence
-    // pre-check matters on LocalFileSystem, whose rename falls back to
-    // move-INTO when the destination dir exists (HDFS just returns
-    // false); should the tiny check-to-rename race still lose, the
-    // stray ends up as a dot-prefixed subdir Spark's scan ignores, and
-    // the publish retries at the next version.
     while (!committed) {
       val dest = new Path(dir, s"v=$v")
       if (!f.exists(dest) && f.rename(tmp, dest)) committed = true

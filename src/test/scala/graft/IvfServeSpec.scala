@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pipeline.{Similarity, Snapshot}
+
+import java.nio.file.Files
+
+/** The published-IVF serving tier: build-once/serve-many must be
+  * result-identical to the fused build+query path, multi-table
+  * versions must commit atomically, and serving must pin to a version
+  * while a rebuild publishes. */
+class IvfServeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]").appName("ivf-serve-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  private def vectors(n: Int, seed: Int) = {
+    val s = spark; import s.implicits._
+    (0 until n).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        (((i * 31 + j * 17 + seed) % 13) - 6).toFloat).toList)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("served top-k equals the fused build+query path") {
+    val dir = Files.createTempDirectory("ivfserve").toString
+    val corpus = vectors(200, 0)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val v = Similarity.publishIvfIndex(corpus, dir)
+    assert(v === 1L)
+    val served = rows(Similarity.topKIvfServe(spark, dir, queries, 5))
+    val direct = rows(Similarity.topKIvfKmeans(corpus, queries, 5))
+    assert(served === direct && served.nonEmpty)
+  }
+
+  test("multi-table version commits atomically and serves pinned while rebuilt") {
+    val dir = Files.createTempDirectory("ivfserve2").toString
+    val corpusA = vectors(200, 0)
+    val queries = corpusA.filter(col("vec_id") < 3)
+    Similarity.publishIvfIndex(corpusA, dir)
+    val v1Rows = rows(Similarity.topKIvfServe(spark, dir, queries, 5))
+    // rebuild over different data publishes v=2; both tables flip
+    // together and v=1 stays pinnable
+    val corpusB = vectors(200, 7)
+    val v2 = Similarity.publishIvfIndex(corpusB, dir)
+    assert(v2 === 2L)
+    assert(rows(Similarity.topKIvfServe(spark, dir, queries, 5,
+      version = Some(1L))) === v1Rows)
+    assert(rows(Similarity.topKIvfServe(spark, dir, queries, 5)) ===
+      rows(Similarity.topKIvfKmeans(corpusB, queries, 5)))
+    // the version dir carries both tables (single rename committed them)
+    assert(Snapshot.readTable(spark, dir, "centroids", Some(2L)).count() ===
+      Similarity.KmK.toLong)
+    assert(Snapshot.readTable(spark, dir, "assigned", Some(2L)).count() === 200L)
+  }
+
+  test("publishTables rejects unusable table names") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "x")).toDF("id", "t")
+    intercept[IllegalArgumentException] {
+      Snapshot.publishTables(Seq("a/b" -> df), "/tmp/unused")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.publishTables(Seq.empty, "/tmp/unused")
+    }
+  }
+}
