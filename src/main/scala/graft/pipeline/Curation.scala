@@ -915,6 +915,19 @@ object Curation {
     curateScoped(docs, bench, minJ, minQuality, maxContamination,
       cap, salt, budget)._1
 
+  /** [[curate]] straight into an atomic [[Snapshot]] version — the
+    * full write path: a crashed or racing curation run can never leave
+    * a torn corpus for the trainer, and reruns land as new versions
+    * instead of doubled documents. Releases the curation caches after
+    * the publish action and returns the committed version. */
+  def curateToSnapshot(docs: DataFrame, bench: DataFrame, minJ: Double,
+      minQuality: Double, maxContamination: Double,
+      cap: Int, salt: String, budget: Int, dir: String): Long = {
+    val (out, release) = curateScoped(docs, bench, minJ, minQuality,
+      maxContamination, cap, salt, budget)
+    try Snapshot.publish(out, dir) finally release()
+  }
+
   /** [[curate]] plus a release handle that unpersists the shared
     * shingle-set and membership caches; call it after the final action
     * that consumes the curated frame. Callers that run one curation per

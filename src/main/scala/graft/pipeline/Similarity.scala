@@ -270,6 +270,25 @@ object Similarity {
     probeAssigned(Snapshot.readTable(spark, dir, "assigned", version),
       Snapshot.readTable(spark, dir, "centroids", version), queries, k)
 
+  /** Incremental index update: assign `newVecs` with the PUBLISHED
+    * centroids and publish (old assignment ∪ new) as the next version.
+    * The standard IVF freshness trade — appends reuse the existing
+    * quantizer, so only the delta pays an assignment pass (the old
+    * corpus is not rescanned; its parquet is re-linked through the
+    * union scan), at the cost of centroid drift as the appended
+    * distribution diverges; rebuild with [[publishIvfIndex]] when the
+    * [[ivfRecall]] gauge says so. Serving sees old+new atomically. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, dir: String): Long = {
+    val cents = Snapshot.readTable(spark, dir, "centroids")
+    val centSeq = collectCentroidSeq(cents, "cid", "cent")
+    val fresh = newVecs.select(col("vec_id"), emb,
+      graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
+        .getField("cid").as("cid"))
+    val merged = Snapshot.readTable(spark, dir, "assigned").unionByName(fresh)
+    Snapshot.publishTables(Seq("centroids" -> cents, "assigned" -> merged), dir)
+  }
+
   /** Lloyd's k-means over the embedding column — the clustering
     * primitive a training-data pipeline needs for corpus curation
     * (cluster-balanced sampling, semantic cohorts) and the production

@@ -71,6 +71,26 @@ class IvfServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshot.readTable(spark, dir, "assigned", Some(2L)).count() === 200L)
   }
 
+  test("append assigns the delta with published centroids; serve sees old+new") {
+    val dir = Files.createTempDirectory("ivfserve3").toString
+    val base = vectors(150, 0)
+    Similarity.publishIvfIndex(base, dir)
+    val s = spark; import s.implicits._
+    val delta = vectors(200, 0).filter(col("vec_id") >= 150)
+    val v = Similarity.appendToIvfIndex(spark, delta, dir)
+    assert(v === 2L)
+    // appended index ≡ a fresh assignment of the FULL corpus with the
+    // SAME centroids (which the base build froze at k-means over base)
+    val queries = base.filter(col("vec_id") < 3)
+    val served = rows(Similarity.topKIvfServe(spark, dir, queries, 5))
+    val cents = Snapshot.readTable(spark, dir, "centroids", Some(1L))
+    val direct = rows(Similarity.topKIvfWith(vectors(200, 0), cents, queries, 5))
+    assert(served === direct && served.nonEmpty)
+    // and the delta really probes: some appended vector ranks somewhere
+    assert(rows(Similarity.topKIvfServe(spark, dir,
+      delta.filter(col("vec_id") < 153), 5)).nonEmpty)
+  }
+
   test("publishTables rejects unusable table names") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "x")).toDF("id", "t")

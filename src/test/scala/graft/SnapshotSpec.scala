@@ -136,6 +136,27 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
         10 * versions.indexOf(v) + 10))
   }
 
+  test("curateToSnapshot publishes the curated frame and releases its caches") {
+    val s = spark; import s.implicits._
+    val d = (0L until 40L).map(i =>
+        (i, s"src${i % 2}", s"the quick brown fox ${i % 7} jumps over dog $i"))
+      .toDF("doc_id", "source", "text")
+    val dir = tmpDir()
+    val v = graft.pipeline.Curation.curateToSnapshot(d,
+      d.filter(col("doc_id") % 13 === 0), 0.5, -1.0, 0.9, 10, "salt", 64, dir)
+    assert(v === 1L)
+    val direct = graft.pipeline.Curation.curateScoped(d,
+      d.filter(col("doc_id") % 13 === 0), 0.5, -1.0, 0.9, 10, "salt", 64)
+    try {
+      val want = direct._1.select("doc_id").collect().map(_.getLong(0)).sorted
+      val got = Snapshot.read(spark, dir).select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(got === want && got.nonEmpty)
+    } finally direct._2()
+    // the publish path released the curation caches too
+    assert(s.sharedState.cacheManager.isEmpty)
+  }
+
   test("vacuum keeps the grace window and the live version") {
     val dir = tmpDir()
     (1 to 4).foreach(i => Snapshot.publish(corpus(i * 10, s"v$i"), dir))
