@@ -26,7 +26,7 @@ object Skew {
       nSalts: Int): DataFrame = {
     require(nSalts > 0)
     val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(nSalts)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -169,7 +169,7 @@ object Ingest {
             // sit past the current watermark or Spark rejects it
             val horizon = (s.lastTs + heartbeatSec) * 1000L
             state.setTimeoutTimestamp(
-              math.max(horizon, state.getCurrentWatermarkMs + 1))
+              math.max(horizon, state.getCurrentWatermarkMs() + 1))
           }
         }
         out.result().iterator
@@ -256,7 +256,7 @@ object Ingest {
             lit("").as("bid")).limit(0)
         else {
           val raw = spark.read.parquet(archiveDir)
-            .filter(col("pt").isin(touched.map(Long.box): _*))
+            .filter(col("pt").isin(touched.map(Long.box).toIndexedSeq: _*))
           // stores written before the stamp existed read as never-stamped
           val withBid = if (raw.columns.contains("bid")) raw
             else raw.withColumn("bid", lit(""))
@@ -273,7 +273,7 @@ object Ingest {
           .collect().map(_.getLong(0)).toSet
       val redo = touched.filterNot(donePts.contains)
       if (redo.isEmpty) return
-      val redoBoxed = redo.map(Long.box)
+      val redoBoxed = redo.map(Long.box).toIndexedSeq
       val existing = existingAll
         .filter(col("pt").isin(redoBoxed: _*))
         .select(col("name"), col("t"), col("vw"), col("dur"))
