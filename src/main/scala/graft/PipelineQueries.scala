@@ -571,6 +571,38 @@ object PipelineQueries {
            |  ${ts.Round6.r6Sql("js_div")} AS js_div
            |FROM outd ORDER BY source""".stripMargin)),
 
+    // the materialized selection-score table: every model/surface
+    // signal joined on doc_id in one frame (what a 100 TB pipeline
+    // stores once and filters per experiment)
+    ("cu_scores",
+      ((s, d) => pipeline.Curation.scoreTable(Tables.documents(s, d))
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_tokens"), ts.Round6.r6(col("quality")).as("quality"),
+          col("lang_pred"), ts.Round6.r6(col("ppl")).as("ppl"),
+          ts.Round6.r6(col("entropy")).as("entropy"),
+          ts.Round6.r6(col("logw")).as("logw"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""WITH ${pipeline.TextAnalysis.perplexitySql},
+           |${pipeline.TextAnalysis.charEntropySql},
+           |${pipeline.Curation.dsirWeightsSql},
+           |qual AS (${pipeline.TextAnalysis.qualityScoreSql}),
+           |lang AS (${pipeline.TextAnalysis.languageIdSql})
+           |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+           |  CAST(q.n_tokens AS BIGINT) AS n_tokens,
+           |  ${ts.Round6.r6Sql("CAST(q.quality AS DOUBLE)")} AS quality,
+           |  l.lang_pred,
+           |  ${ts.Round6.r6Sql("p.ppl")} AS ppl,
+           |  ${ts.Round6.r6Sql("e.entropy")} AS entropy,
+           |  ${ts.Round6.r6Sql("w.logw")} AS logw
+           |FROM documents d
+           |LEFT JOIN qual q USING (doc_id)
+           |LEFT JOIN lang l USING (doc_id)
+           |LEFT JOIN ppx p USING (doc_id)
+           |LEFT JOIN ent e USING (doc_id)
+           |LEFT JOIN dsw w USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)),
+
     // DSIR importance weights: hashed-unigram log-likelihood ratio of
     // the target (even-doc) vs raw (odd-doc) bucket distributions
     ("cu_dsir",

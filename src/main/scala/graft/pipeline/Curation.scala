@@ -714,6 +714,36 @@ object Curation {
 
   // ---- end-to-end training-data selection ----
 
+  /** One row per document with every selection signal materialized:
+    * surface quality + language ID + bigram-LM perplexity + character
+    * entropy + DSIR weight, joined on doc_id. This is the score table
+    * [[selectTraining]]'s scaladoc points at for the 100 TB shape —
+    * compute each signal's one-pass aggregate ONCE, store the result,
+    * and let every downstream selection policy filter the stored
+    * columns instead of re-running model passes per experiment. All
+    * five joins are doc_id-keyed (co-partitioned under AQE); every
+    * score frame covers every document, so inner/left are equivalent —
+    * left keeps the contract explicit. */
+  def scoreTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("n_tokens"), col("quality")),
+        Seq("doc_id"), "left")
+      .join(TextAnalysis.languageId(docs)
+        .select(col("doc_id"), col("lang_pred"), col("lang_score")),
+        Seq("doc_id"), "left")
+      .join(TextAnalysis.perplexity(docs).select(col("doc_id"), col("ppl")),
+        Seq("doc_id"), "left")
+      .join(TextAnalysis.charEntropy(docs)
+        .select(col("doc_id"), col("entropy")), Seq("doc_id"), "left")
+      .join(dsirWeights(docs).select(col("doc_id"), col("logw")),
+        Seq("doc_id"), "left")
+
+  /** [[scoreTable]] published as an atomic [[Snapshot]] version —
+    * the materialization step itself. */
+  def scoreToSnapshot(docs: DataFrame, dir: String): Long =
+    Snapshot.publish(scoreTable(docs), dir)
+
   /** End-to-end model-based data selection — the scoring-side
     * complement of [[curate]] (which gates on surface signals: dedup,
     * quality ratios, contamination). Three model scores gate each
