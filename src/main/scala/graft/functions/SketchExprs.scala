@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -56,6 +57,11 @@ case class MisraGriesAgg(
 
   require(k > 0, "heavyHitters requires k > 0")
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_heavy_hitters requires a string column, got ${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("token", StringType, nullable = false),
     StructField("count", LongType, nullable = false))), containsNull = false)
