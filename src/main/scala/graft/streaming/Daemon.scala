@@ -534,6 +534,28 @@ object Daemon {
         pattern))
     })
 
+    // /toptalkers?k=10&window=3600 — which series wrote the most slots
+    // in the last `window` seconds (the ingest-storm diagnostic). The
+    // Misra–Gries sketch keeps the aggregation k-bounded however many
+    // series the store holds; counts are exact while distinct names in
+    // the window ≤ k (the common case for an ops glance), MG lower
+    // bounds beyond.
+    server.createContext("/toptalkers", (ex: HttpExchange) => respond(ex) {
+      val p = params(ex)
+      val k = p.get("k").flatMap(_.headOption).map(_.toInt).getOrElse(10)
+      require(k > 0, "k must be > 0")
+      val windowSec = p.get("window").flatMap(_.headOption)
+        .map(_.toLong).getOrElse(3600L)
+      Ingest.readArchives(spark, archiveDirs)
+        .filter(col("t") >= now() - windowSec)
+        .agg(graft.functions.SketchExprs.heavyHitters(col("name"), k).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.token"), col("e.count"))
+        .collect()
+        .map(r => s"""{"name":"${jsonEscape(r.getString(0))}","n_points":${r.getLong(1)}}""")
+        .mkString("[", ",", "]")
+    })
+
     // /pixel + /pixel/add|addgauge|setgauge|append: answer the GIF,
     // queue the request line. JDK context matching is by path prefix,
     // so one "/pixel" context serves all five routes; parseRequests

@@ -132,6 +132,21 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (bc, berr) = httpGet(s"http://127.0.0.1:${http.getAddress.getPort}" +
         "/render?target=sumSeries(*.req)&from=tomorrowish")
       assert(bc === 400 && berr.contains("error"))
+
+      // /toptalkers: both series wrote 9 slots within the window; an
+      // exact-regime sketch (2 names ≤ k) reports them exactly
+      val (tc, talkers) = httpGet(
+        s"http://127.0.0.1:${http.getAddress.getPort}/toptalkers?k=10&window=600")
+      assert(tc === 200)
+      assert(talkers.contains("""{"name":"web.req","n_points":9}"""))
+      assert(talkers.contains("""{"name":"db.req","n_points":9}"""))
+      // and a window in the past excludes everything
+      val (ec, empty) = httpGet(
+        s"http://127.0.0.1:${http.getAddress.getPort}/toptalkers?window=0")
+      assert(ec === 200 && empty === "[]")
+      val (kc, kerr) = httpGet(
+        s"http://127.0.0.1:${http.getAddress.getPort}/toptalkers?k=0")
+      assert(kc === 400 && kerr.contains("error"))
     } finally {
       Try(q.stop()); http.stop(0); gw.close()
     }
