@@ -128,26 +128,39 @@ object Snapshot {
     spark.read.parquet(s"$dir/v=$v/$table")
   }
 
+  /** Atomically claim exclusive ownership of version slot `v` by
+    * creating its `.lock-v=N` file with create-if-absent. Plain
+    * rename-if-absent cannot be the mutex: POSIX `rename(2)` (and
+    * Hadoop's LocalFileSystem fallback) moves the source INTO an
+    * existing destination directory, so two racers can both "succeed"
+    * on the same slot — one of them silently losing its data (the
+    * SnapshotSpec race case catches exactly this). O_EXCL file
+    * creation is atomic on POSIX (`Files.createFile`) and on HDFS
+    * (namenode-arbitrated `create(overwrite = false)`). */
+  private def claimSlot(f: FileSystem, dir: String, v: Long): Boolean = {
+    val lock = new Path(dir, s".lock-v=$v")
+    try {
+      if (f.getScheme == "file") {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(new Path(dir).toUri.getPath, s".lock-v=$v"))
+      } else f.create(lock, false).close()
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+  }
+
   /** Rename the staged dir into the next free version slot and swing
-    * the pointer; returns the committed version.
-    *
-    * rename-if-absent is the fs-level writer mutex. The existence
-    * pre-check matters on LocalFileSystem, whose rename falls back to
-    * move-INTO when the destination dir exists (HDFS just returns
-    * false); should the tiny check-to-rename race still lose, the
-    * stray ends up as a dot-prefixed subdir Spark's scan ignores, and
-    * the publish retries at the next version. */
+    * the pointer; returns the committed version. The slot is taken via
+    * [[claimSlot]]'s atomic lock-file create; once claimed, the dest
+    * dir cannot exist (claims are exclusive and version dirs are only
+    * ever created by claim holders), so the rename must succeed. */
   private def commitStaged(f: FileSystem, dir: String, tmp: Path): Long = {
     var v = maxVersionDir(f, dir) + 1
-    var committed = false
-    while (!committed) {
-      val dest = new Path(dir, s"v=$v")
-      if (!f.exists(dest) && f.rename(tmp, dest)) committed = true
-      else {
-        require(f.exists(tmp), s"staged snapshot vanished: $tmp")
-        v += 1
-      }
-    }
+    while (f.exists(new Path(dir, s"v=$v")) || !claimSlot(f, dir, v)) v += 1
+    val dest = new Path(dir, s"v=$v")
+    require(f.rename(tmp, dest), s"rename of claimed slot failed: $tmp -> $dest")
     commitPointer(f, dir, v)
     v
   }
@@ -221,11 +234,14 @@ object Snapshot {
     val base = new Path(dir)
     if (!f.exists(base)) return
     val live = latestVersion(spark, dir).getOrElse(Long.MaxValue)
+    def staleV(v: Long): Boolean =
+      v <= live - keepVersions || (reclaimOrphans && v > live)
     f.listStatus(base).foreach { s =>
       val n = s.getPath.getName
       val stale = n.startsWith(".tmp-") || n.startsWith(s".$Pointer-") ||
-        versionOf(s.getPath).exists(v =>
-          v <= live - keepVersions || (reclaimOrphans && v > live))
+        versionOf(s.getPath).exists(staleV) ||
+        (n.startsWith(".lock-v=") && // a lock follows its version dir
+          n.drop(".lock-v=".length).toLongOption.exists(staleV))
       if (stale) f.delete(s.getPath, true)
     }
   }
