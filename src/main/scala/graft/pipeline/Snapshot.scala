@@ -19,16 +19,18 @@ import java.util.UUID
   * {{{
   * dir/
   *   v=1/part-*.parquet      immutable, never rewritten
-  *   v=2/part-*.parquet
+  *   v=2/table/part-*.parquet   (multi-table versions: publishTables)
+  *   .lock-v=1 .lock-v=2     slot-claim markers (one per version)
   *   _latest                 "2" — readers resolve through this only
   * }}}
   *
-  * - [[publish]] stages to a hidden tmp dir, renames it to the next
-  *   `v=N` (rename-if-absent is the writer mutex: two racing publishers
-  *   cannot both win the same N), then swings `_latest` via
-  *   write-tmp + atomic rename. A crash at ANY point leaves either the
-  *   old snapshot live or the new one — never a torn read, never a
-  *   visible partial write.
+  * - [[publish]] stages to a hidden tmp dir, claims the next `v=N`
+  *   slot via an atomic O_EXCL lock-file create (the writer mutex —
+  *   see [[claimSlot]] for why rename alone cannot be one), renames
+  *   the staged dir in, then swings `_latest` via write-tmp + atomic
+  *   rename. A crash at ANY point leaves either the old snapshot live
+  *   or the new one — never a torn read, never a visible partial
+  *   write.
   * - [[read]] resolves the pointer once; the version directory is
   *   immutable, so a long scan is consistent even while later versions
   *   publish (MVCC for free).
