@@ -834,4 +834,37 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q(0)(0) === 0L && q(1)(0) === 0L)
     assert(q(0)(1) === 64L && q(1)(1) === -127L) // scale = 2/127
   }
+
+  test("Misra-Gries law: for ANY corpus, partitioning and k — bounds hold") {
+    val s = spark; import s.implicits._
+    // arbitrary zipf-ish token streams, arbitrary sketch capacity,
+    // arbitrary partition count: counts never exceed the truth, never
+    // undershoot it by more than N/(k+1), size stays ≤ k, and every
+    // token with true count > N/(k+1) is present
+    val gCorpus = for {
+      vocab <- Gen.choose(1, 60)
+      n <- Gen.choose(1, 800)
+      toks <- Gen.listOfN(n, Gen.choose(0, vocab - 1)
+        .map(i => s"w${i * i % vocab}")) // quadratic residues skew the mass
+    } yield toks
+    val gK = Gen.choose(1, 24)
+    forAll2(gCorpus, gK, n = 6) { (toks, k) =>
+      val exact = toks.groupBy(identity).map { case (t, l) => t -> l.size.toLong }
+      val nTot = toks.size.toLong
+      val parts = 1 + (toks.size % 7)
+      val got = toks.toDF("tok").repartition(parts)
+        .agg(graft.functions.SketchExprs.heavyHitters(col("tok"), k).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.token"), col("e.count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val slack = nTot.toDouble / (k + 1)
+      assert(got.size <= k)
+      got.foreach { case (t, c) =>
+        assert(c <= exact(t), s"overcount of $t: $c > ${exact(t)} (k=$k)")
+        assert(c >= exact(t) - slack, s"bound breach on $t (k=$k, n=$nTot)")
+      }
+      exact.filter(_._2 > slack).keys.foreach(t =>
+        assert(got.contains(t), s"guaranteed hitter $t missing (k=$k)"))
+    }
+  }
 }
