@@ -29,8 +29,9 @@ object Bench {
     // per-source drift, BPE merge training
     "dd_window_fp", "sim_topk_q8", "cu_drift", "cu_bpe",
     // round-7 additions: LM-perplexity scoring, cluster-confined
-    // semantic dedup, end-to-end gated selection
-    "tx_perplexity", "sim_semdedup", "cu_select")
+    // semantic dedup, end-to-end gated selection, bloom-prefiltered
+    // large-reference decontamination
+    "tx_perplexity", "sim_semdedup", "cu_select", "cu_contamination_xl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -440,6 +440,30 @@ object PipelineQueries {
            |  ${ts.Round6.r6Sql("contaminated_frac")} AS contaminated_frac
            |FROM conta ORDER BY doc_id""".stripMargin)),
 
+    // cross-corpus contamination, large-reference path: Bloom-prefilter
+    // (bits broadcast, reference grams stay distributed) + exact
+    // verification join — output is EXACT, so the oracle is the same
+    // overlap join as cu_contamination over the corpus/reference split
+    ("cu_contamination_xl",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        pipeline.Curation.contaminationXl(
+            docs.filter(col("doc_id") % 3 =!= 0),
+            docs.filter(col("doc_id") % 3 === 0))
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("n_grams"), col("n_hit"),
+            ts.Round6.r6(col("contaminated_frac")).as("contaminated_frac"))
+          .orderBy("doc_id")
+      }): Q,
+      Some(
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+           |refc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+           |${pipeline.Curation.contaminationXlSql}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(n_grams AS BIGINT) AS n_grams, CAST(n_hit AS BIGINT) AS n_hit,
+           |  ${ts.Round6.r6Sql("contaminated_frac")} AS contaminated_frac
+           |FROM contx ORDER BY doc_id""".stripMargin)),
+
     // Gopher-style repetition signals: dup-token / dup-3-gram / top-2-gram
     ("cu_repetition",
       ((s, d) => pipeline.Curation.repetitionStats(Tables.documents(s, d))
@@ -504,6 +528,38 @@ object PipelineQueries {
           |SELECT tok, CAST(count(*) AS BIGINT) AS tf
           |FROM toks GROUP BY tok
           |ORDER BY tf DESC, tok""".stripMargin)),
+
+    // mergeable distinct-count tier: per-source HLL sketches built on
+    // two disjoint increments, union-merged, estimated — checked
+    // against BOTH engines' exact distinct counts (est_ok encodes the
+    // ±5% tolerance; lgK=12 gives ~±1%, so a sketch regression trips
+    // it). The exact column doubles as the hash-compared ground truth.
+    ("cu_distinct_hll",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val sketches = pipeline.Curation.tokenSketches(
+            docs.filter(col("doc_id") % 2 === 0))
+          .union(pipeline.Curation.tokenSketches(
+            docs.filter(col("doc_id") % 2 === 1)))
+        val est = pipeline.Curation.sketchDistinct(sketches)
+        val exact = docs
+          .select(col("source"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+          .groupBy("source")
+          .agg(countDistinct(col("tok")).as("n_distinct"))
+        exact.join(est, "source")
+          .select(col("source"), col("n_distinct"),
+            (abs(col("est_distinct") - col("n_distinct")) <=
+              col("n_distinct") * 0.05).as("est_ok"))
+          .orderBy("source")
+      }): Q,
+      Some(
+        """SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+          |  TRUE AS est_ok
+          |FROM (SELECT source,
+          |        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          |      FROM documents)
+          |GROUP BY source ORDER BY source""".stripMargin)),
 
     // BPE merge training: 10 rounds of most-frequent-pair fusion over
     // the frequency-weighted word vocabulary (10 > the 8-round

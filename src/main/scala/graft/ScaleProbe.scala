@@ -132,6 +132,16 @@ object ScaleProbe {
           docs.filter(col("doc_id") % 17 =!= 0),
           docs.filter(col("doc_id") % 17 === 0)).count()
       },
+      time("contamination_xl_200k") { // large-REFERENCE path: ref is half
+        // the corpus (~3M distinct grams — corpus-sized, not eval-sized);
+        // bloom bits broadcast, exact verify join pays only the pruned
+        // stream. Every even doc's near-dup twin sits in the reference,
+        // so true hits are dense — the worst case for the prune.
+        val (df, release) = pipeline.Curation.contaminationXlScoped(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+        val n = df.count(); release(); n
+      },
       time("pack_sequences_200k") { // two-level prefix sum + chunk
         pipeline.Curation.packSequences(docs, 2048).count()
       },
@@ -247,6 +257,18 @@ object ScaleProbe {
           when(pmod(col("doc_id"), lit(10)) < 3, lit("hot"))
             .otherwise(concat(lit("t"), col("doc_id"))).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("n")).count()
+      },
+      time("hll_distinct_10m") { // mergeable distinct tier at the same
+        // cardinality: per-source sketches shuffle one 4KiB register
+        // buffer per (source, partition) vs ~7M distinct rows exact
+        val toks10 = keys.select(
+          concat(lit("s"), pmod(col("doc_id"), lit(8))).as("source"),
+          when(pmod(col("doc_id"), lit(10)) < 3, lit("hot"))
+            .otherwise(concat(lit("t"), col("doc_id"))).as("tok"))
+        toks10.groupBy(col("source"))
+          .agg(hll_sketch_agg(col("tok"), 12).as("hll"))
+          .groupBy(col("source")).agg(hll_union_agg(col("hll")).as("hll"))
+          .select(hll_sketch_estimate(col("hll"))).count()
       },
       {
         val dir = java.nio.file.Files.createTempDirectory("snapprobe").toString

@@ -44,6 +44,17 @@ object HashExprs {
       sortedSet: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftBridge.column(CountInSetExpr(GraftBridge.expression(c), sortedSet))
 
+  /** The subset of the array's elements the broadcast Bloom filter
+    * might contain ([[BloomKeepExpr]]) — the map-side prefilter of the
+    * two-phase cross-corpus contamination check
+    * ([[graft.pipeline.Curation.contaminationXl]]). No false
+    * negatives by the filter's contract, so downstream exact
+    * verification sees every true hit. */
+  def bloomKeep(c: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    GraftBridge.column(BloomKeepExpr(GraftBridge.expression(c), bloom))
+
   private[functions] def checkLongArray(name: String, dt: DataType): TypeCheckResult =
     dt match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -264,5 +275,73 @@ case class CountInSetExpr(child: Expression,
     })
 
   override protected def withNewChildInternal(newChild: Expression): CountInSetExpr =
+    copy(child = newChild)
+}
+
+/** Keep the elements of an `array<long>` that a broadcast Bloom filter
+  * might contain. This is the map-side phase of the two-phase
+  * cross-corpus overlap check: where [[CountInSetExpr]] broadcasts the
+  * reference set ITSELF (eval suites — small by definition), this
+  * broadcasts only the filter's bit array, so the reference side can be
+  * another full-size corpus. Bloom filters admit false positives but
+  * never false negatives, so the output is a superset of the true
+  * matches; an exact join downstream removes the false positives while
+  * paying shuffle only for this pruned stream. Null elements are
+  * dropped (a null gram hash cannot match anything). */
+case class BloomKeepExpr(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkLongArray(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bloom_keep"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val f = bloom.value
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val out = new Array[Long](len)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getLong(i)
+        if (f.mightContainLong(v)) { out(m) = v; m += 1 }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val bcRef = ctx.addReferenceObj("bloomKeepBc", bloom,
+        "org.apache.spark.broadcast.Broadcast")
+      val f = ctx.freshName("bf")
+      val i = ctx.freshName("i")
+      val len = ctx.freshName("len")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      s"""
+         |org.apache.spark.util.sketch.BloomFilter $f =
+         |  (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();
+         |int $len = $arr.numElements();
+         |long[] $out = new long[$len];
+         |int $m = 0;
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $v = $arr.getLong($i);
+         |    if ($f.mightContainLong($v)) { $out[$m] = $v; $m++; }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($out, $m));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BloomKeepExpr =
     copy(child = newChild)
 }

@@ -64,9 +64,82 @@ object Curation {
     bench.sparkSession.sparkContext.broadcast(a)
   }
 
+  /** Cross-corpus contamination where the reference side is ITSELF a
+    * large corpus — decontaminating a new crawl against an existing
+    * training set, where [[contamination]]'s collected-set broadcast
+    * (sized to an eval suite) no longer fits. Same output contract:
+    * one row per corpus document with `n_grams`, `n_hit` (EXACT), and
+    * `contaminated_frac`.
+    *
+    * Scale shape — two phases, neither of which materializes the
+    * reference set on any single node as data:
+    *   1. Bloom prefilter: the reference's distinct gram hashes stay
+    *      DISTRIBUTED; only a Bloom filter over them (bits, sized by
+    *      `fpp`) is built (`DataFrameStatFunctions.bloomFilter`'s
+    *      per-partition build + merge) and broadcast. The corpus pass
+    *      is map-side: each document's gram set is pruned to the
+    *      bloom-positive subset by the codegen'd
+    *      [[graft.functions.BloomKeepExpr]] in the SAME scan that
+    *      computes `n_grams` — non-matching grams (the overwhelming
+    *      majority when corpora are mostly clean) never reach a
+    *      shuffle.
+    *   2. Exact verification: the pruned gram stream joins the
+    *      distributed reference grams on the gram hash, which removes
+    *      Bloom false positives — the filter admits no false
+    *      negatives, so the join sees every true hit and the final
+    *      counts are exact, independent of `fpp`. `fpp` tunes only
+    *      how much clean traffic leaks into the shuffle.
+    *
+    * `explode_outer` keeps zero-candidate documents (null gram after
+    * pruning), so every corpus document with text appears in the
+    * output, matching [[contamination]] exactly. */
+  def contaminationXl(corpus: DataFrame, ref: DataFrame,
+      fpp: Double = 0.01): DataFrame =
+    contaminationXlScoped(corpus, ref, fpp)._1
+    // cache lifetime: the reference-gram cache backing the result stays
+    // persisted for the session; callers running MANY of these should
+    // use [[contaminationXlScoped]] and release after consuming.
+
+  /** [[contaminationXl]] plus a release handle that unpersists the
+    * shared reference-gram cache once the result has been consumed. */
+  def contaminationXlScoped(corpus: DataFrame, ref: DataFrame,
+      fpp: Double = 0.01): (DataFrame, () => Unit) = {
+    val spark = corpus.sparkSession
+    val refGrams = NearDup.shingles(ref).select(col("xh")).distinct()
+      .persist()
+    val n = math.max(refGrams.count(), 1L)
+    val bloom = refGrams.stat.bloomFilter("xh", n, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val pruned = NearDup.shingleSets(corpus).select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        explode_outer(graft.functions.HashExprs.bloomKeep(col("hs"), bc))
+          .as("xh"))
+    val out = pruned
+      .join(refGrams.withColumn("hit", lit(1L)), Seq("xh"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(col("hit")).as("n_hit"))
+      .withColumn("contaminated_frac",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+      .select("doc_id", "n_grams", "n_hit", "contaminated_frac")
+    (out, () => { refGrams.unpersist(); () })
+  }
+
+  /** DuckDB twin of [[contaminationXl]]: the two-phase execution is an
+    * exact-overlap computation semantically, so the oracle is the same
+    * join as [[contaminationSql]] restated over `corpus(doc_id, text)`
+    * and `refc(doc_id, text)` CTEs; result CTE is `contx`. */
+  def contaminationXlSql: String = overlapSql("refc", "rg", "contx")
+
   /** DuckDB twin of [[contamination]]: CTEs expect `corpus(doc_id,
     * text)` and `bench(doc_id, text)` to be defined upstream. */
-  def contaminationSql: String = {
+  def contaminationSql: String = overlapSql("bench", "bg", "conta")
+
+  /** Shared exact gram-overlap oracle body: per-`corpus`-document
+    * distinct-3-gram counts joined against `refTable`'s distinct gram
+    * set (`refCte`), emitted as `outCte`. */
+  private def overlapSql(refTable: String, refCte: String,
+      outCte: String): String = {
     val h = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2147483648"
     def grams(src: String, out: String) =
       s"""$out AS (
@@ -80,13 +153,13 @@ object Curation {
          |                - ${NearDup.ShingleN}, 0))) AS i
          |          FROM $src))
          |)""".stripMargin
-    s"""${grams("corpus", "cg")}, ${grams("bench", "bgd")},
-       |bg AS (SELECT DISTINCT xh FROM bgd),
-       |conta AS (
+    s"""${grams("corpus", "cg")}, ${grams(refTable, refCte + "d")},
+       |$refCte AS (SELECT DISTINCT xh FROM ${refCte}d),
+       |$outCte AS (
        |  SELECT cg.doc_id, count(*) AS n_grams,
-       |         count(bg.xh) AS n_hit,
-       |         CAST(count(bg.xh) AS DOUBLE) / count(*) AS contaminated_frac
-       |  FROM cg LEFT JOIN bg USING (xh)
+       |         count($refCte.xh) AS n_hit,
+       |         CAST(count($refCte.xh) AS DOUBLE) / count(*) AS contaminated_frac
+       |  FROM cg LEFT JOIN $refCte USING (xh)
        |  GROUP BY cg.doc_id
        |)""".stripMargin
   }
@@ -247,6 +320,38 @@ object Curation {
       .agg(graft.functions.SketchExprs.heavyHitters(col("tok"), k).as("hh"))
       .select(explode(col("hh")).as("e"))
       .select(col("e.token").as("tok"), col("e.count").as("tf"))
+
+  /** Per-group distinct-token HLL sketches — the mergeable
+    * DISTINCT-COUNT twin of [[heavyHitters]]'s frequency sketch,
+    * built on Spark's native DataSketches HllSketch aggregate (no
+    * custom code: the built-in is codegen-adjacent, mergeable, and
+    * its binary form is stable on disk).
+    *
+    * Why a sketch column and not `count(distinct)`: the sketch is a
+    * STORED, MERGEABLE summary. Persist one row per (group,
+    * increment) — e.g. a snapshot table appended per ingest batch —
+    * and any later question ("distinct tokens in sources A∪B over
+    * increments 1..k") is a union of k·|groups| small binaries via
+    * [[sketchDistinct]], never a rescan of corpus text. HLL registers
+    * merge by max, so union-of-parts ≡ sketch-of-whole exactly, at
+    * any partitioning (asserted in SketchSpec, incl. through a
+    * parquet round-trip).
+    *
+    * Exact-side cost for comparison: `count(distinct tok)` shuffles
+    * the full distinct token stream; the sketch shuffles one
+    * 2^lgK-register buffer per group per partition. lgK = 12 ⇒
+    * ~±1 % relative error, 4 KiB dense. */
+  def tokenSketches(docs: DataFrame, by: String = "source",
+      lgK: Int = 12): DataFrame =
+    docs.select(col(by), explode(tokens).as("tok"))
+      .groupBy(by).agg(hll_sketch_agg(col("tok"), lgK).as("hll"))
+
+  /** Union per-increment sketch rows group-wise and estimate the
+    * distinct count — the read side of [[tokenSketches]]'s tier. */
+  def sketchDistinct(sketches: DataFrame, by: String = "source"): DataFrame =
+    sketches.groupBy(by).agg(hll_union_agg(col("hll")).as("hll"))
+      .select(col(by),
+        hll_sketch_estimate(col("hll")).cast("long").as("est_distinct"))
 
   /** DuckDB twin of [[vocabStats]]; a complete SELECT. */
   def vocabStatsSql(topK: Int): String =

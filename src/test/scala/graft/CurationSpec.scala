@@ -214,6 +214,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.getAs[Double]("contaminated_frac") === 1.0)
   }
 
+  test("contaminationXl: Bloom two-phase result is identical to the exact broadcast path") {
+    // Planted overlaps + clean docs; a deliberately loose fpp so the
+    // Bloom phase admits false positives — the verification join must
+    // remove every one (exactness is independent of fpp). Zero-hit
+    // documents must still appear with frac 0 (explode_outer path).
+    val corpus = docs(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely unrelated clean text nothing shared here at all",
+      3L -> "the quick brown fox went home early today",
+      4L -> "alpha beta gamma delta epsilon zeta eta theta"))
+    val ref = docs(Seq(
+      100L -> "someone saw the quick brown fox jumps high",
+      101L -> "unrelated reference material with its own words"))
+    val exact = Curation.contamination(corpus, ref)
+      .orderBy("doc_id").collect().toSeq
+    val (xlDf, release) = Curation.contaminationXlScoped(corpus, ref, fpp = 0.25)
+    val xl = xlDf.orderBy("doc_id").collect().toSeq
+    release()
+    assert(xl === exact)
+    val byId = xl.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
+    assert(byId(1L) > 0, "planted overlap must be detected")
+    assert(byId(2L) === 0 && byId(4L) === 0, "clean docs report zero hits")
+  }
+
   test("sourceCap: caps bind per source, are deterministic, and nest") {
     val s = spark; import s.implicits._
     val d = (0L until 60L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")

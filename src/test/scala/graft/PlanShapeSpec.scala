@@ -62,6 +62,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cu_contamination_xl: bloom prune is map-side, before any exchange") {
+    // The corpus scan must carry the codegen'd graft_bloom_keep prune
+    // (non-matching grams dropped before the verification shuffle) and
+    // nothing may degenerate to a cartesian. A shuffle join against the
+    // DISTRIBUTED reference grams is the intended shape here — the
+    // whole point is that the reference set is never collected.
+    val p = plan("cu_contamination_xl")
+    assert(p.contains("graft_bloom_keep"), s"bloom prune missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sp_mixture: the weight table joins broadcast, pass stays map-side") {
     val p = plan("sp_mixture")
     assert(!p.contains("SortMergeJoin"), p)
