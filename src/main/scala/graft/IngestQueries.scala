@@ -298,7 +298,65 @@ object IngestQueries {
           | FROM (SELECT name, string_split(name, '.') AS ps FROM series)
           | WHERE regexp_matches(ps[2], '^(CLICK|ERROR)$', 'i')
           |   AND regexp_matches(ps[3], 'u[01]', 'i')
-          | GROUP BY 1 ORDER BY ident""".stripMargin))
+          | GROUP BY 1 ORDER BY ident""".stripMargin)),
+
+    // tag-KEY autocomplete (`/tags/autoComplete/tags` contract): the
+    // planted `err` tag exists only on ERROR-type series, so presence
+    // is data-dependent, not schema-determined
+    ("fd_tag_keys",
+      ((s, d) => Find.tagKeys(
+        Find.identify(M.multi(s, d),
+          "type" -> element_at(split(col("name"), "\\."), 2),
+          "bucket" -> element_at(split(col("name"), "\\."), 3),
+          "err" -> when(element_at(split(col("name"), "\\."), 2) === "error",
+            lit("1"))))): Q,
+      Some(M.multiSql() +
+        """ SELECT tag FROM (
+          |   SELECT DISTINCT unnest(['bucket', 'name', 'type']) AS tag
+          |   FROM series
+          |   UNION
+          |   SELECT DISTINCT 'err' AS tag FROM series
+          |   WHERE string_split(name, '.')[2] = 'error'
+          | ) ORDER BY tag LIMIT 100""".stripMargin)),
+
+    // tag-VALUE autocomplete (`/tags/autoComplete/values`): distinct
+    // `type` values under a prefix, sorted and capped
+    ("fd_tag_values",
+      ((s, d) => Find.tagValues(
+        Find.identify(M.multi(s, d),
+          "type" -> element_at(split(col("name"), "\\."), 2),
+          "bucket" -> element_at(split(col("name"), "\\."), 3)),
+        "type", prefix = "c")): Q,
+      Some(M.multiSql() +
+        """ SELECT DISTINCT string_split(name, '.')[2] AS value
+          | FROM series
+          | WHERE starts_with(string_split(name, '.')[2], 'c')
+          | ORDER BY value LIMIT 100""".stripMargin)),
+
+    // graphite 1.1 tagged paths end-to-end: wire lines carry tags in
+    // NON-canonical order with a char sanitize must rewrite (`u/N`),
+    // parseGraphite canonicalizes (`;dc=u-N;env=prod`), identFromName
+    // recovers the tag map, searchTags answers a tag-regex query — the
+    // oracle replays the whole chain as string construction
+    ("fd_tagged_parse",
+      ((s, d) => {
+        val lines = Tables.events(s, d).select(concat(
+          lit("ev."), col("event_type"), lit(";env=prod;dc=u/"),
+          pmod(col("user_id"), lit(3)).cast("string"), lit(" "),
+          round(col("value") * 100).cast("long").cast("string"), lit(" "),
+          unix_timestamp(col("ts")).cast("string")).as("line"))
+        val pts = Ingest.parseGraphite(lines, lit(0L))
+        Find.searchTags(
+          pts.withColumn("ident", Find.identFromName(col("name"))),
+          Map("dc" -> "^u-[01]$"))
+          .orderBy("ident")
+      }): Q,
+      Some(
+        """SELECT '{"dc": "u-' || CAST(user_id % 3 AS VARCHAR)
+          |    || '","env": "prod","name": "ev.' || event_type || '"}' AS ident,
+          |  CAST(count(*) AS BIGINT) AS n_points
+          |FROM events WHERE user_id % 3 IN (0, 1)
+          |GROUP BY 1 ORDER BY ident""".stripMargin))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -534,6 +534,41 @@ object Daemon {
         pattern))
     })
 
+    // /tags/autoComplete/tags?tagPrefix=&limit= and
+    // /tags/autoComplete/values?tag=&valuePrefix=&limit= — the graphite
+    // tag API's autocomplete pair, served over idents DERIVED from the
+    // stored canonical names ([[Find.identFromName]]): the store stays
+    // a flat name catalog, tags need no second table. JSON array of
+    // strings, as graphite-web answers.
+    server.createContext("/tags/autoComplete/tags", (ex: HttpExchange) =>
+      respond(ex) {
+        val p = params(ex)
+        val prefix = p.get("tagPrefix").flatMap(_.headOption).getOrElse("")
+        val limit = p.get("limit").flatMap(_.headOption).map(_.toInt)
+          .getOrElse(100)
+        val cat = Ingest.readArchives(spark, archiveDirs)
+          .select("name").distinct()
+          .withColumn("ident", Find.identFromName(col("name")))
+        Find.tagKeys(cat, prefix, limit).collect()
+          .map(r => s""""${jsonEscape(r.getString(0))}"""")
+          .mkString("[", ",", "]")
+      })
+    server.createContext("/tags/autoComplete/values", (ex: HttpExchange) =>
+      respond(ex) {
+        val p = params(ex)
+        val tag = p.get("tag").flatMap(_.headOption)
+          .getOrElse(throw new IllegalArgumentException("tag is required"))
+        val prefix = p.get("valuePrefix").flatMap(_.headOption).getOrElse("")
+        val limit = p.get("limit").flatMap(_.headOption).map(_.toInt)
+          .getOrElse(100)
+        val cat = Ingest.readArchives(spark, archiveDirs)
+          .select("name").distinct()
+          .withColumn("ident", Find.identFromName(col("name")))
+        Find.tagValues(cat, tag, prefix, limit).collect()
+          .map(r => s""""${jsonEscape(r.getString(0))}"""")
+          .mkString("[", ",", "]")
+      })
+
     // /toptalkers?k=10&window=3600 — which series wrote the most slots
     // in the last `window` seconds (the ingest-storm diagnostic). The
     // Misra–Gries sketch keeps the aggregation k-bounded however many

@@ -95,4 +95,51 @@ object Find {
       .groupBy(identString(col("ident")).as("ident"))
       .agg(count(lit(1)).as("n_points"))
   }
+
+  /** Ident map of a CANONICAL graphite tagged path
+    * ([[Ingest.sanitizeTagged]]'s output: `base;k=v;…`, keys unique
+    * and sorted): `{"name" -> base}` plus one entry per tag. The
+    * stored catalog stays a flat name string — this derives the
+    * reference's `Ident map[string]string` view from it at query
+    * time, which is what lets [[searchTags]]/[[tagKeys]]/[[tagValues]]
+    * serve tagged series without a second catalog table. A tag
+    * literally named `name` is dropped rather than allowed to shadow
+    * the base name. Untagged names yield `{"name" -> name}`. */
+  def identFromName(name: Column): Column = {
+    val parts = split(name, ";")
+    val base = get(parts, lit(0))
+    val tags = filter(
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+      t => instr(t, "=") > 0 && substring_index(t, "=", 1) =!= "name")
+    val entries = transform(tags, t => struct(
+      substring_index(t, "=", 1).as("key"),
+      regexp_replace(t, "^[^=]*=", "").as("value")))
+    map_concat(map(lit("name"), base), map_from_entries(entries))
+  }
+
+  /** Tag-KEY autocomplete over an [[identify]]-shaped catalog (the
+    * Graphite tag API's `/tags/autoComplete/tags` contract: distinct
+    * keys with an optional prefix filter, sorted, limited). Catalog
+    * grain — one distinct over exploded map keys; `limit` caps the
+    * driver-bound result the way autocomplete uses it. */
+  def tagKeys(series: DataFrame, prefix: String = "",
+      limitN: Int = 100): DataFrame = {
+    val keys = series.select(explode(map_keys(col("ident"))).as("tag"))
+    (if (prefix.isEmpty) keys
+     else keys.filter(col("tag").startsWith(prefix)))
+      .distinct().orderBy(col("tag")).limit(limitN)
+  }
+
+  /** Tag-VALUE autocomplete for one key
+    * (`/tags/autoComplete/values`): distinct values of `key` across
+    * idents that carry it, optional prefix, sorted, limited. */
+  def tagValues(series: DataFrame, key: String, prefix: String = "",
+      limitN: Int = 100): DataFrame = {
+    val vals = series
+      .select(element_at(col("ident"), lit(key)).as("value"))
+      .filter(col("value").isNotNull)
+    (if (prefix.isEmpty) vals
+     else vals.filter(col("value").startsWith(prefix)))
+      .distinct().orderBy(col("value")).limit(limitN)
+  }
 }

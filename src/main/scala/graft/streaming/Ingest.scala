@@ -20,9 +20,41 @@ object Ingest {
       regexp_replace(regexp_replace(c, "\\s+", "_"), "/", "-"),
       "[^a-zA-Z_\\-0-9\\.]", "")
 
+  /** Graphite 1.1 tagged-path sanitization: `base;k=v;k2=v2` keeps its
+    * tag structure (`;`/`=` separators survive), while base, keys, and
+    * values are each [[sanitizeName]]-cleaned. The result is CANONICAL:
+    * entries without `=` drop, duplicate keys keep the LAST occurrence
+    * (carbon's behavior for repeated tags), and entries sort by key —
+    * so two spellings of the same tagged series collapse to one stored
+    * identity. Untagged names (no `;`) pass through exactly as
+    * [[sanitizeName]], which keeps the plain-text path
+    * reference-faithful. Extension beyond the reference: tgres idents
+    * come from its relational serde, not the graphite line
+    * (`serde/serde.go:95`); the wire syntax here is the graphite
+    * project's tagged-carbon contract. */
+  def sanitizeTagged(c: Column): Column = {
+    val parts = split(c, ";")
+    val base = sanitizeName(get(parts, lit(0)))
+    val raw = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
+    val ents = transform(
+      filter(raw, t => instr(t, "=") > 0),
+      t => concat(sanitizeName(substring_index(t, "=", 1)), lit("="),
+        sanitizeName(regexp_replace(t, "^[^=]*=", ""))))
+    // last-wins dedup: drop an entry iff a LATER entry shares its key
+    val deduped = filter(ents, (t, i) =>
+      !exists(slice(ents, i + lit(2), size(ents) - i - 1),
+        u => substring_index(u, "=", 1) === substring_index(t, "=", 1)))
+    concat(base,
+      when(size(deduped) > 0,
+        concat(lit(";"), array_join(array_sort(deduped), ";")))
+        .otherwise(lit("")))
+  }
+
   /** Graphite plaintext `name value unix_ts` (Sscanf "%s %f %d",
     * `daemon/graphite_text.go:215-234`). Malformed lines are dropped
-    * (the reference logs and skips); ts = −1 means "now".
+    * (the reference logs and skips); ts = −1 means "now". Tagged paths
+    * (`base;k=v;…`) canonicalize via [[sanitizeTagged]]; plain names
+    * behave exactly as the reference's sanitize.
     * Input: a frame with a `line` string column.
     * Output: (name, tsSec: Long, value: Double). */
   def parseGraphite(lines: DataFrame, nowSec: Column): DataFrame = {
@@ -34,7 +66,7 @@ object Ingest {
     val value = get(parts, lit(1)).try_cast("double")
     val ts = get(parts, lit(2)).try_cast("long")
     lines
-      .select(sanitizeName(name).as("name"), value.as("value"), ts.as("ts0"))
+      .select(sanitizeTagged(name).as("name"), value.as("value"), ts.as("ts0"))
       .filter(size(parts) === 3 && col("value").isNotNull && col("ts0").isNotNull)
       .select(col("name"),
         when(col("ts0") === -1, nowSec).otherwise(col("ts0")).as("tsSec"),

@@ -8,6 +8,7 @@ import java.nio.file.Files
 import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import graft.streaming.{Daemon, Find, Ingest, Pickle}
@@ -147,6 +148,42 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (kc, kerr) = httpGet(
         s"http://127.0.0.1:${http.getAddress.getPort}/toptalkers?k=0")
       assert(kc === 400 && kerr.contains("error"))
+
+      // graphite 1.1 tagged path: the wire carries tags in non-canonical
+      // order with a value sanitize must rewrite; the store holds the
+      // canonical name and the tag routes answer over derived idents
+      val sender2 = new Socket("127.0.0.1", gw.boundListenPort)
+      val out2 = new PrintWriter(sender2.getOutputStream, true)
+      (0 to 40 by 10).foreach { t =>
+        out2.println(s"api.req;env=prod;dc=us/west 1 ${base + t}")
+      }
+      out2.flush()
+      // 5 points close 4 PDP intervals (each point finalizes the
+      // PREVIOUS step), so the archive grows 18 → 22 slots
+      while (slots() < 22 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+      }
+      assert(slots() === 22, "tagged slots never landed")
+      sender2.close()
+      assert(Ingest.readArchive(s, archiveDir)
+        .filter(col("name") === "api.req;dc=us-west;env=prod").count() === 4L)
+      val port = http.getAddress.getPort
+      val (kc2, keys) = httpGet(
+        s"http://127.0.0.1:$port/tags/autoComplete/tags")
+      assert(kc2 === 200 && keys === """["dc","env","name"]""")
+      val (kp, keysD) = httpGet(
+        s"http://127.0.0.1:$port/tags/autoComplete/tags?tagPrefix=d")
+      assert(kp === 200 && keysD === """["dc"]""")
+      val (vc, vals) = httpGet(
+        s"http://127.0.0.1:$port/tags/autoComplete/values?tag=dc")
+      assert(vc === 200 && vals === """["us-west"]""")
+      val (vpc, valsP) = httpGet(
+        s"http://127.0.0.1:$port/tags/autoComplete/values?tag=name&valuePrefix=api")
+      assert(vpc === 200 && valsP === """["api.req"]""")
+      val (ve, verr) = httpGet(
+        s"http://127.0.0.1:$port/tags/autoComplete/values")
+      assert(ve === 400 && verr.contains("error"))
     } finally {
       Try(q.stop()); http.stop(0); gw.close()
     }
