@@ -230,8 +230,62 @@ object DslQueries {
       dq("aliasByNode(events.*.*, 1, 2)"),
       Some(multiQ(
         """SELECT split_part(name, '.', 2) || '.' || split_part(name, '.', 3) AS name,
-          |  t, value FROM series""".stripMargin)))
+          |  t, value FROM series""".stripMargin))),
+
+    // graphite 1.1 seriesByTag over a CANONICAL tagged store (exact +
+    // anchored-regex predicates conjoin); the oracle re-parses the tag
+    // values out of the stored names
+    ("dsl_series_by_tag",
+      ((s, d) => {
+        val ctx = Eval.Ctx(s, taggedStore(s, d), M.StepSeconds, 0L, 0L)
+        fin(Eval.evalExpr(ctx, "seriesByTag('dc=u1', 'type=~cl.*')"))
+      }): Q,
+      Some(taggedStoreSql +
+        s""", out AS (
+           |  SELECT name, t, value FROM series2
+           |  WHERE regexp_extract(name, ';dc=([^;]*)', 1) = 'u1'
+           |    AND regexp_matches(regexp_extract(name, ';type=([^;]*)', 1), '^cl')
+           |)""".stripMargin + tail())),
+
+    // negated seriesByTag: `!=~` must ALSO match series carrying no
+    // such tag at all (the untagged plain.req row proves it)
+    ("dsl_series_by_tag_neg",
+      ((s, d) => {
+        val ctx = Eval.Ctx(s, taggedStore(s, d), M.StepSeconds, 0L, 0L)
+        fin(Eval.evalExpr(ctx, "seriesByTag('type!=~(click|view)')"))
+      }): Q,
+      Some(taggedStoreSql +
+        s""", out AS (
+           |  SELECT name, t, value FROM series2
+           |  WHERE NOT regexp_matches(
+           |    regexp_extract(name, ';type=([^;]*)', 1), '^(click|view)')
+           |)""".stripMargin + tail()))
   )
+
+  /** Canonical tagged twin of the multi store (`ev.req;dc=uN;type=T`)
+    * plus one UNTAGGED series, for the seriesByTag queries. */
+  private def taggedStore(s: SparkSession, d: String): DataFrame = {
+    val base = M.multi(s, d)
+    val parts = split(col("name"), "\\.")
+    base.select(
+        concat(lit("ev.req;dc="), element_at(parts, 3),
+          lit(";type="), element_at(parts, 2)).as("name"),
+        col("t"), col("value"))
+      .unionByName(base.filter(col("name") === "events.click.u0")
+        .select(lit("plain.req").as("name"), col("t"), col("value")))
+  }
+
+  /** DuckDB twin of [[taggedStore]]: emits `series` (the multi store)
+    * and `series2` (its tagged re-labeling + the untagged row). */
+  private def taggedStoreSql: String =
+    M.multiSql() +
+      """, series2 AS (
+        |  SELECT 'ev.req;dc=' || ps[3] || ';type=' || ps[2] AS name, t, value
+        |  FROM (SELECT string_split(name, '.') AS ps, t, value FROM series)
+        |  UNION ALL
+        |  SELECT 'plain.req' AS name, t, value FROM series
+        |  WHERE name = 'events.click.u0'
+        |)""".stripMargin
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
   def oracles: Map[String, String] =

@@ -45,8 +45,14 @@ object Eval {
       * scan — at scale they prune via partition/row-group stats rather
       * than listing names on the driver. A zero range (from == to)
       * means unbounded, matching the test contexts. */
-    def fetch(pattern: String): DataFrame = {
-      val named = store.filter(col("name").rlike(Dsl.globToRegex(pattern)))
+    def fetch(pattern: String): DataFrame =
+      fetchWhere(col("name").rlike(Dsl.globToRegex(pattern)))
+
+    /** Store slice under an arbitrary name-catalog predicate plus the
+      * viewport time range — [[fetch]]'s body, exposed for selectors
+      * that are not name globs (`seriesByTag`). */
+    def fetchWhere(cond: org.apache.spark.sql.Column): DataFrame = {
+      val named = store.filter(cond)
       if (fromSec < toSec)
         named.filter(col("t") >= fromSec && col("t") <= toSec)
       else named
@@ -364,6 +370,41 @@ object Eval {
     b += "holtWintersAberration" -> (
       (ctx, args, kw) => hw("aberr", 3.0)(ctx, args.take(1),
         kw ++ args.drop(1).headOption.map("devScale" -> _)))
+
+    // ----- tagged-series selector (graphite 1.1 `seriesByTag`) -----
+    // seriesByTag('k=v', 'k=~re', 'k!=v', 'k!=~re'): conjunctive tag
+    // predicates over idents DERIVED from the stored canonical names
+    // ([[graft.streaming.Find.identFromName]]) — the graphite tag
+    // API's selector, wired into the render path so a Grafana target
+    // can select tagged series directly. Semantics per graphite-web:
+    // `=` exact (empty value matches series WITHOUT the tag), `=~`
+    // regex anchored at the start and requires the tag present, and
+    // the two negations are their exact complements (so `!=~` matches
+    // tag-less series). Extension: the reference has no tagged render
+    // selector; its idents never reach the DSL (`serde/serde.go:95`).
+    add(Seq("seriesByTag")) { (ctx, args, _) =>
+      require(args.nonEmpty, "seriesByTag needs at least one expression")
+      val ident = graft.streaming.Find.identFromName(col("name"))
+      val conds = args.map(str).map { e =>
+        def cut(op: String) = {
+          val i = e.indexOf(op)
+          (e.substring(0, i), e.substring(i + op.length))
+        }
+        def tagval(k: String) = element_at(ident, lit(k))
+        def eqCond(k: String, v: String) =
+          coalesce(tagval(k), lit("")) === v
+        def reCond(k: String, v: String) =
+          tagval(k).isNotNull && tagval(k).rlike("^" + v)
+        if (e.contains("!=~")) { val (k, v) = cut("!=~")
+          coalesce(!reCond(k, v), lit(true)) }
+        else if (e.contains("=~")) { val (k, v) = cut("=~"); reCond(k, v) }
+        else if (e.contains("!=")) { val (k, v) = cut("!="); !eqCond(k, v) }
+        else if (e.contains("=")) { val (k, v) = cut("="); eqCond(k, v) }
+        else throw new IllegalArgumentException(
+          s"seriesByTag expression needs an operator (=, !=, =~, !=~): $e")
+      }
+      SeriesV(ctx.fetchWhere(conds.reduce(_ && _)))
+    }
 
     // ----- generators (need ctx from/to) -----
     add(Seq("constantLine")) { (ctx, args, _) =>

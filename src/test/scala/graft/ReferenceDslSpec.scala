@@ -451,6 +451,33 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals.nonEmpty && vals.forall(_ == 1200.0))
   }
 
+  test("seriesByTag: operators, regex anchoring, and missing-tag semantics") {
+    val s = spark; import s.implicits._
+    val pts = for {
+      name <- Seq("cpu;dc=west;env=prod", "cpu;dc=east;env=prod",
+        "disk;env=dev", "plain")
+      i <- 0 until 3
+    } yield (name, i * 10L, 1.0)
+    val ctx2 = Eval.Ctx(s, pts.toDF("name", "t", "value"), stepSec = 10,
+      fromSec = 0, toSec = 20)
+    def names(e: String) = Eval.evalExpr(ctx2, e)
+      .select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(names("seriesByTag('dc=west')") === Set("cpu;dc=west;env=prod"))
+    assert(names("seriesByTag('env=~pro')") ===
+      Set("cpu;dc=west;env=prod", "cpu;dc=east;env=prod"))
+    // =~ anchors at the start (graphite-web): 'rod' must not hit 'prod'
+    assert(names("seriesByTag('env=~rod')") === Set.empty[String])
+    // '=' with an empty value selects series WITHOUT the tag
+    assert(names("seriesByTag('dc=')") === Set("disk;env=dev", "plain"))
+    // negations include tag-less series
+    assert(names("seriesByTag('env!=prod')") === Set("disk;env=dev", "plain"))
+    assert(names("seriesByTag('dc!=~we.*')") ===
+      Set("cpu;dc=east;env=prod", "disk;env=dev", "plain"))
+    // the base name is itself the `name` tag; predicates conjoin
+    assert(names("seriesByTag('name=cpu', 'dc=west')") ===
+      Set("cpu;dc=west;env=prod"))
+  }
+
   test("holtWintersForecast extends to the viewport end — funcs.go:2506-2510") {
     val s = spark; import s.implicits._
     // two full seasons of a 5-point cycle on a 10s step, viewport
