@@ -384,26 +384,9 @@ object Eval {
     // selector; its idents never reach the DSL (`serde/serde.go:95`).
     add(Seq("seriesByTag")) { (ctx, args, _) =>
       require(args.nonEmpty, "seriesByTag needs at least one expression")
-      val ident = graft.streaming.Find.identFromName(col("name"))
-      val conds = args.map(str).map { e =>
-        def cut(op: String) = {
-          val i = e.indexOf(op)
-          (e.substring(0, i), e.substring(i + op.length))
-        }
-        def tagval(k: String) = element_at(ident, lit(k))
-        def eqCond(k: String, v: String) =
-          coalesce(tagval(k), lit("")) === v
-        def reCond(k: String, v: String) =
-          tagval(k).isNotNull && tagval(k).rlike("^" + v)
-        if (e.contains("!=~")) { val (k, v) = cut("!=~")
-          coalesce(!reCond(k, v), lit(true)) }
-        else if (e.contains("=~")) { val (k, v) = cut("=~"); reCond(k, v) }
-        else if (e.contains("!=")) { val (k, v) = cut("!="); !eqCond(k, v) }
-        else if (e.contains("=")) { val (k, v) = cut("="); eqCond(k, v) }
-        else throw new IllegalArgumentException(
-          s"seriesByTag expression needs an operator (=, !=, =~, !=~): $e")
-      }
-      SeriesV(ctx.fetchWhere(conds.reduce(_ && _)))
+      SeriesV(ctx.fetchWhere(graft.streaming.Find.tagExprCond(
+        args.map(str),
+        graft.streaming.Find.identFromName(col("name")))))
     }
 
     // ----- generators (need ctx from/to) -----

@@ -16,6 +16,56 @@ object Blaster {
   /** @param nSeries  number of series (`blaster.n`)
     * @param nPoints  points per series
     * @param stepSec  spacing; timestamps start at `t0` */
+  /** Live rate-controlled load generator — the reference's in-daemon
+    * blaster (`blaster/blaster.go:34-146`): a background thread feeds
+    * graphite lines into the ingest gateway at `rate` points/sec over
+    * `nSeries` sinusoid series, both settable at runtime via the
+    * `/blaster/set` HTTP route (`http/blaster.go:26-67`). Rate 0 (the
+    * boot state) emits nothing, exactly like the reference's
+    * zero-limit limiter. Names follow the reference's
+    * `<prefix>.test.aNN.bNN.cNN.dNN` scheme and values its
+    * span-periodic sinusoid of CURRENT time with the per-series
+    * offset (`blaster/blaster.go:93-117`); the series pick is a
+    * seeded PRNG so test runs are reproducible. */
+  final class LiveBlaster(offer: String => Unit,
+      prefix: String = "tgres.blaster", spanSec: Long = 600L,
+      seed: Long = 42L) extends AutoCloseable {
+    private val rate = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val nSer = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile private var running = true
+    def setRate(r: Int): Unit = rate.set(r)
+    def setNSeries(n: Int): Unit = nSer.set(n)
+
+    private val t = new Thread(() => {
+      val rnd = new java.util.Random(seed)
+      while (running) {
+        val r = rate.get(); val n = nSer.get()
+        if (r <= 0 || n <= 0) Thread.sleep(100L)
+        else {
+          // ~100 ms batches paced to `rate` points/sec
+          val batch = math.max(r / 10, 1)
+          val nowSec = System.currentTimeMillis() / 1000L
+          var i = 0
+          while (i < batch && running) {
+            val s = rnd.nextInt(n)
+            val shifted = nowSec + s * 10L
+            val y = math.sin(
+              2.0 * math.Pi * ((shifted % spanSec).toDouble / spanSec)) * 100.0
+            val name = f"$prefix.test.a${(s % 10000000) / 100000}%02d" +
+              f".b${(s % 100000) / 1000}%02d.c${(s % 1000) / 10}%02d.d${s % 10}%02d"
+            offer(s"$name $y $nowSec")
+            i += 1
+          }
+          Thread.sleep(100L)
+        }
+      }
+    }, "graft-blaster")
+    t.setDaemon(true)
+    t.start()
+
+    override def close(): Unit = { running = false }
+  }
+
   def generate(spark: SparkSession, nSeries: Int, nPoints: Long,
       stepSec: Long = 10L, t0: Long = 1704067200L): DataFrame = {
     val rows = spark.range(nSeries.toLong * nPoints)

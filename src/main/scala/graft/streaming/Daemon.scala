@@ -482,7 +482,8 @@ object Daemon {
   def startHttp(spark: SparkSession, port: Int, archiveDirs: Seq[String],
       stepSec: Long, maxPointsDefault: Int = 512,
       now: () => Long = () => System.currentTimeMillis() / 1000L,
-      pixelOffer: Option[String => Unit] = None): HttpServer = {
+      pixelOffer: Option[String => Unit] = None,
+      blaster: Option[Blaster.LiveBlaster] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     def params(ex: HttpExchange): Map[String, Seq[String]] = {
@@ -512,6 +513,46 @@ object Daemon {
       ex.sendResponseHeaders(code, bytes.length.toLong)
       ex.getResponseBody.write(bytes)
       ex.close()
+    }
+
+    def respondText(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    // health + annotations, byte-for-byte the reference's replies:
+    // /ping answers "OK\n" (`daemon/http.go:45`); /events/get_data is
+    // Grafana's annotations endpoint, which the reference serves as a
+    // permanent empty list ("Annotations not implemented",
+    // `http/graphite.go:188-195`)
+    server.createContext("/ping",
+      (ex: HttpExchange) => respondText(ex, 200, "OK\n"))
+    server.createContext("/events/get_data",
+      (ex: HttpExchange) => respondText(ex, 200, "[]\n"))
+
+    // /blaster/set?rate=N&n=M — runtime control of the in-daemon load
+    // generator (`http/blaster.go:26-67`): each recognized form value
+    // applies immediately and echoes its confirmation line; an
+    // unparseable value answers 500 "Error\n" as the reference does
+    blaster.foreach { b =>
+      server.createContext("/blaster/set", (ex: HttpExchange) => {
+        val p = params(ex)
+        val sb = new StringBuilder
+        var bad = false
+        p.getOrElse("rate", Seq.empty).foreach(v => v.toIntOption match {
+          case Some(r) => b.setRate(r); sb ++= s"New rate: $r\n"
+          case None => bad = true
+        })
+        if (!bad) p.getOrElse("n", Seq.empty).foreach(v => v.toIntOption match {
+          case Some(n) => b.setNSeries(n); sb ++= s"New nSeries: $n\n"
+          case None => bad = true
+        })
+        if (bad) respondText(ex, 500, "Error\n")
+        else respondText(ex, 200, sb.toString)
+      })
+      ()
     }
 
     server.createContext("/render", (ex: HttpExchange) => respond(ex) {
@@ -550,6 +591,21 @@ object Daemon {
           .select("name").distinct()
           .withColumn("ident", Find.identFromName(col("name")))
         Find.tagKeys(cat, prefix, limit).collect()
+          .map(r => s""""${jsonEscape(r.getString(0))}"""")
+          .mkString("[", ",", "]")
+      })
+    // /tags/findSeries?expr=k=v&expr=k2=~re — the tag API's series
+    // lookup: conjunctive tag expressions over derived idents, JSON
+    // array of matching canonical names (graphite-web's contract)
+    server.createContext("/tags/findSeries", (ex: HttpExchange) =>
+      respond(ex) {
+        val exprs = params(ex).getOrElse("expr", Seq.empty)
+        require(exprs.nonEmpty, "at least one expr is required")
+        Ingest.readArchives(spark, archiveDirs)
+          .select("name").distinct()
+          .filter(Find.tagExprCond(exprs,
+            Find.identFromName(col("name"))))
+          .orderBy("name").collect()
           .map(r => s""""${jsonEscape(r.getString(0))}"""")
           .mkString("[", ",", "]")
       })
@@ -713,10 +769,15 @@ object Daemon {
         checkpointDir = s"$dataDir/ckpt-pixel",
         retainSec = settings.retainSec))
     @volatile var active = startAll(boot)
+    // in-daemon load generator, inert until /blaster/set raises its
+    // rate (the reference's zero-limit boot state); its lines feed the
+    // graphite gateway exactly like an external sender's would
+    val blaster = new Blaster.LiveBlaster(gGw.offer)
     val http = startHttp(spark,
       portOf("GRAFT_HTTP_PORT", conf.flatMap(_.httpPort), 8080),
       Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel"),
-      boot.stepSec, pixelOffer = Some(pixelRoute(pxDpGw.offer, pxGw.offer)))
+      boot.stepSec, pixelOffer = Some(pixelRoute(pxDpGw.offer, pxGw.offer)),
+      blaster = Some(blaster))
     println(s"graft daemon: graphite=${gGw.boundListenPort} " +
       s"pickle=${pkGw.boundListenPort} statsd=${sGw.boundListenPort} " +
       s"http=${http.getAddress.getPort} data=$dataDir")
@@ -739,6 +800,7 @@ object Daemon {
     // new input, let in-flight micro-batches commit, then stop Spark —
     // the exactly-once merge makes an interrupted batch safe either way
     sys.addShutdownHook {
+      Try(blaster.close())
       Seq(gGw, sGw, pkGw, pxDpGw, pxGw).foreach(gw => Try(gw.close()))
       Try(http.stop(0))
       spark.streams.active.foreach(q => Try(q.stop()))

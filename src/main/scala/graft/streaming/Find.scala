@@ -117,6 +117,35 @@ object Find {
     map_concat(map(lit("name"), base), map_from_entries(entries))
   }
 
+  /** One catalog predicate for a conjunction of graphite tag
+    * expressions (`k=v`, `k!=v`, `k=~re`, `k!=~re`) over `ident` —
+    * the shared core of the DSL's `seriesByTag` and the daemon's
+    * `/tags/findSeries`. graphite-web semantics: `=` is exact and an
+    * EMPTY value matches series without the tag; `=~` anchors at the
+    * start and requires the tag present; each negation is the exact
+    * complement (so `!=~` matches tag-less series). */
+  def tagExprCond(exprs: Seq[String], ident: Column): Column = {
+    require(exprs.nonEmpty, "at least one tag expression is required")
+    exprs.map { e =>
+      def cut(op: String) = {
+        val i = e.indexOf(op)
+        (e.substring(0, i), e.substring(i + op.length))
+      }
+      def tagval(k: String) = element_at(ident, lit(k))
+      def eqCond(k: String, v: String) =
+        coalesce(tagval(k), lit("")) === v
+      def reCond(k: String, v: String) =
+        tagval(k).isNotNull && tagval(k).rlike("^" + v)
+      if (e.contains("!=~")) { val (k, v) = cut("!=~")
+        coalesce(!reCond(k, v), lit(true)) }
+      else if (e.contains("=~")) { val (k, v) = cut("=~"); reCond(k, v) }
+      else if (e.contains("!=")) { val (k, v) = cut("!="); !eqCond(k, v) }
+      else if (e.contains("=")) { val (k, v) = cut("="); eqCond(k, v) }
+      else throw new IllegalArgumentException(
+        s"tag expression needs an operator (=, !=, =~, !=~): $e")
+    }.reduce(_ && _)
+  }
+
   /** Tag-KEY autocomplete over an [[identify]]-shaped catalog (the
     * Graphite tag API's `/tags/autoComplete/tags` contract: distinct
     * keys with an optional prefix filter, sorted, limited). Catalog

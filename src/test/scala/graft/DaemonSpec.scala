@@ -184,8 +184,59 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (ve, verr) = httpGet(
         s"http://127.0.0.1:$port/tags/autoComplete/values")
       assert(ve === 400 && verr.contains("error"))
+      // findSeries: conjunctive tag exprs → canonical names
+      val (fsc, fs) = httpGet(s"http://127.0.0.1:$port" +
+        "/tags/findSeries?expr=dc=us-west&expr=env=~pro")
+      assert(fsc === 200 && fs === """["api.req;dc=us-west;env=prod"]""")
+      val (fne, fnone) = httpGet(s"http://127.0.0.1:$port" +
+        "/tags/findSeries?expr=dc=nowhere")
+      assert(fne === 200 && fnone === "[]")
+      val (fse, fserr) = httpGet(s"http://127.0.0.1:$port/tags/findSeries")
+      assert(fse === 400 && fserr.contains("error"))
     } finally {
       Try(q.stop()); http.stop(0); gw.close()
+    }
+  }
+
+  test("blaster: /blaster/set drives load at runtime; /ping + annotations answer") {
+    import graft.streaming.Blaster
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val b = new Blaster.LiveBlaster(line => { got.add(line); () }, seed = 1L)
+    val http = Daemon.startHttp(spark, 0, Seq.empty, stepSec = 10,
+      blaster = Some(b))
+    try {
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      assert(httpGet(s"$base/ping") === ((200, "OK\n")))
+      // annotations: the reference's permanent empty list
+      assert(httpGet(s"$base/events/get_data") === ((200, "[]\n")))
+      // boot state is rate 0 — inert, like the zero-limit limiter
+      Thread.sleep(300)
+      assert(got.isEmpty, "blaster emitted at rate 0")
+      val (c1, r1) = httpGet(s"$base/blaster/set?rate=100&n=5")
+      assert(c1 === 200 && r1 === "New rate: 100\nNew nSeries: 5\n")
+      val deadline = System.currentTimeMillis() + 10000
+      while (got.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(!got.isEmpty, "no load after rate was raised")
+      // emitted lines are valid graphite plaintext under the
+      // reference's naming scheme, and parse through the real parser
+      val s0 = spark; import s0.implicits._
+      val line = got.peek()
+      assert(line.matches(
+        """tgres\.blaster\.test\.a\d\d\.b\d\d\.c\d\d\.d\d\d -?[0-9.E-]+ \d+"""),
+        line)
+      val parsed = graft.streaming.Ingest.parseGraphite(
+        Seq(line).toDF("line"), org.apache.spark.sql.functions.lit(0L))
+      assert(parsed.count() === 1L)
+      // rate back to 0 stops the flow (within a batch beat)
+      val (c2, r2) = httpGet(s"$base/blaster/set?rate=0")
+      assert(c2 === 200 && r2 === "New rate: 0\n")
+      Thread.sleep(400); got.clear(); Thread.sleep(400)
+      assert(got.isEmpty, "blaster kept emitting after rate 0")
+      // unparseable value answers the reference's 500 "Error\n"
+      assert(httpGet(s"$base/blaster/set?rate=abc") === ((500, "Error\n")))
+    } finally {
+      http.stop(0); b.close()
     }
   }
 
