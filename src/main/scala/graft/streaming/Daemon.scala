@@ -290,21 +290,36 @@ object Daemon {
       .start()
   }
 
+  /** Canonicalize graphite 1.1 tagged names in a pickle point frame:
+    * the reference's pickle path queues names RAW
+    * (`daemon/graphite_pickle.go:186`) and `;`-less names stay
+    * untouched here, preserving that contract — but a TAGGED path
+    * (the tag extension's wire syntax) must canonicalize on every
+    * protocol, or the same series ingested over text and pickle would
+    * land under two stored identities. */
+  private def canonTagged(pts: DataFrame): DataFrame =
+    pts.select(
+      when(instr(col("name"), ";") > 0, Ingest.sanitizeTagged(col("name")))
+        .otherwise(col("name")).as("name"),
+      col("tsSec"), col("value"))
+
   /** Pickle lifecycle: a framed [[LineGateway]] relays each
     * length-prefixed pickle frame as one base64 line; executors decode
     * ([[Pickle.decodeFrames]]) and the points flow through the same
     * PDP state machine and archive merge as graphite text. Names queue
     * RAW — the reference's pickle path does not sanitize
-    * (`daemon/graphite_pickle.go:186`), unlike text. */
+    * (`daemon/graphite_pickle.go:186`), unlike text — except tagged
+    * paths, which canonicalize ([[canonTagged]]). */
   def startPickleIngest(spark: SparkSession, feedPort: Int,
       archiveDir: String, stepSec: Long, heartbeatSec: Long,
       checkpointDir: String, retainSec: Option[Long] = None): StreamingQuery = {
     import spark.implicits._
     val lines = gatewayLines(spark, feedPort)
       .toDF("line")
-    val pts = lines.as[String]
+    val pts = canonTagged(lines.as[String]
       .flatMap(b64 => Pickle.decodeFrames(Base64.getDecoder.decode(b64)))
       .map(p => (p.name, p.tsSec, p.value))
+      .toDF("name", "tsSec", "value")).as[(String, Long, Double)]
     Ingest.pdpPieces(spark, pts, heartbeatSec).toDF()
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -370,9 +385,10 @@ object Daemon {
     val gPts = Ingest.parseGraphite(socketLines(graphiteFeedPort),
         nowSec = unix_timestamp(current_timestamp()))
       .as[(String, Long, Double)]
-    val pkPts = socketLines(pickleFeedPort).as[String]
+    val pkPts = canonTagged(socketLines(pickleFeedPort).as[String]
       .flatMap(b64 => Pickle.decodeFrames(Base64.getDecoder.decode(b64)))
       .map(p => (p.name, p.tsSec, p.value))
+      .toDF("name", "tsSec", "value")).as[(String, Long, Double)]
     val pxPts = pixelDpFeedPort.map { port =>
       Pixel.parseRequests(socketLines(port).toDF("url"),
           nowSec = unix_timestamp(current_timestamp()))

@@ -294,22 +294,27 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 to 90 by 10).foreach { t =>
         out.write(Pickle.encodeFrame(Seq(
           Pickle.Point("pk.web", base + t, 2.0),
-          Pickle.Point("pk.db", base + t, 4.0))))
+          Pickle.Point("pk.db", base + t, 4.0),
+          // tagged path in NON-canonical order: unlike plain names, it
+          // must canonicalize so text- and pickle-ingested spellings of
+          // one tagged series share a stored identity
+          Pickle.Point("pk.api;env=prod;dc=west", base + t, 6.0))))
       }
       out.flush()
       val deadline = System.currentTimeMillis() + 60000
       def slots(): Long = Try(
         Ingest.readArchive(s, archiveDir).count()).getOrElse(0L)
-      while (slots() < 18 && System.currentTimeMillis() < deadline) {
+      while (slots() < 27 && System.currentTimeMillis() < deadline) {
         Thread.sleep(250)
         q.processAllAvailable()
       }
-      assert(slots() === 18, "archive never reached the expected slots")
+      assert(slots() === 27, "archive never reached the expected slots")
       sender.close()
       val byName = Ingest.readArchive(s, archiveDir).collect()
         .groupBy(_.getString(0))
       assert(byName("pk.web").forall(_.getDouble(2) == 2.0))
       assert(byName("pk.db").forall(_.getDouble(2) == 4.0))
+      assert(byName("pk.api;dc=west;env=prod").forall(_.getDouble(2) == 6.0))
     } finally {
       Try(q.stop()); gw.close()
     }
