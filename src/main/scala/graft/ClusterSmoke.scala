@@ -97,6 +97,21 @@ object ClusterSmoke {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       hh.get("hot").contains(100L) && hh.size == 38 // exact regime
     }
+    check("broadcast BloomFilter probes inside codegen across JVMs") {
+      // contaminationXl's prune: the spark-sketch BloomFilter rides a
+      // broadcast into BloomKeepExpr's generated code on REAL executor
+      // processes — Java serialization of the filter plus the
+      // addReferenceObj plumbing both cross the boundary here. Exact
+      // equality with the collected-set path is the invariant.
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val ref = docs.filter(col("doc_id") % 2 === 1)
+      val exact = Curation.contamination(corpus, ref)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val (xlDf, release) = Curation.contaminationXlScoped(corpus, ref)
+      val xl = xlDf.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      release()
+      exact.nonEmpty && xl == exact
+    }
     check("executors are separate JVMs") {
       val driverPid = ProcessHandle.current().pid()
       val execPids = spark.range(2).repartition(2)
