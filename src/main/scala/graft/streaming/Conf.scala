@@ -47,6 +47,10 @@ object Conf {
     def statFlushSec: Long = durationSec("stat-flush-interval", 10L)
     def statsNamePrefix: String = string("stats-name-prefix", "stats")
     def minStepSec: Long = durationSec("min-step", 1L)
+    /** `http-allow-origin` (`daemon/config.go:50`): CORS header value
+      * for the Grafana-facing routes; absent/empty → no header. */
+    def httpAllowOrigin: Option[String] =
+      scalars.get("http-allow-origin").filter(_.nonEmpty)
 
     /** Rules in [[DsFinder]]'s shape (first match wins). */
     def dsRules: Seq[(String, DsFinder.DsSpec)] =

@@ -499,7 +499,8 @@ object Daemon {
       stepSec: Long, maxPointsDefault: Int = 512,
       now: () => Long = () => System.currentTimeMillis() / 1000L,
       pixelOffer: Option[String => Unit] = None,
-      blaster: Option[Blaster.LiveBlaster] = None): HttpServer = {
+      blaster: Option[Blaster.LiveBlaster] = None,
+      allowOrigin: Option[String] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     def params(ex: HttpExchange): Map[String, Seq[String]] = {
@@ -515,7 +516,14 @@ object Daemon {
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
     }
 
-    def respond(ex: HttpExchange)(body: => String): Unit = {
+    // `origin`: the reference's setOriginHdr wrapper
+    // (`daemon/http.go:128-135`) — Access-Control-Allow-Origin on the
+    // Grafana-facing routes only, and only when configured. `gzipOk`:
+    // the reference gzips the render payload when the client accepts
+    // it (`http/graphite.go:309-331` makeGzipHandler, wrapped around
+    // the render handler alone).
+    def respond(ex: HttpExchange, origin: Boolean = false,
+        gzipOk: Boolean = false)(body: => String): Unit = {
       def err(e: Throwable) = jsonEscape(
         Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
       val (code, payload) =
@@ -524,7 +532,19 @@ object Daemon {
           case e: IllegalArgumentException => (400, s"""{"error":"${err(e)}"}""")
           case e: Exception => (500, s"""{"error":"${err(e)}"}""")
         }
-      val bytes = payload.getBytes(StandardCharsets.UTF_8)
+      if (origin) allowOrigin.foreach(o =>
+        ex.getResponseHeaders.set("Access-Control-Allow-Origin", o))
+      val raw = payload.getBytes(StandardCharsets.UTF_8)
+      val acceptsGzip = Option(
+        ex.getRequestHeaders.getFirst("Accept-Encoding"))
+        .exists(_.contains("gzip"))
+      val bytes = if (gzipOk && acceptsGzip && code == 200) {
+        ex.getResponseHeaders.set("Content-Encoding", "gzip")
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(raw); gz.close()
+        bos.toByteArray
+      } else raw
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length.toLong)
       ex.getResponseBody.write(bytes)
@@ -545,8 +565,11 @@ object Daemon {
     // `http/graphite.go:188-195`)
     server.createContext("/ping",
       (ex: HttpExchange) => respondText(ex, 200, "OK\n"))
-    server.createContext("/events/get_data",
-      (ex: HttpExchange) => respondText(ex, 200, "[]\n"))
+    server.createContext("/events/get_data", (ex: HttpExchange) => {
+      allowOrigin.foreach(o =>
+        ex.getResponseHeaders.set("Access-Control-Allow-Origin", o))
+      respondText(ex, 200, "[]\n")
+    })
 
     // /blaster/set?rate=N&n=M — runtime control of the in-daemon load
     // generator (`http/blaster.go:26-67`): each recognized form value
@@ -571,7 +594,8 @@ object Daemon {
       ()
     }
 
-    server.createContext("/render", (ex: HttpExchange) => respond(ex) {
+    server.createContext("/render",
+      (ex: HttpExchange) => respond(ex, origin = true, gzipOk = true) {
       val p = params(ex)
       val targets = p.getOrElse("target", Seq.empty)
       val from = p.get("from").flatMap(_.headOption).getOrElse("")
@@ -583,7 +607,8 @@ object Daemon {
       Render.renderTargets(ctx, targets)
     })
 
-    server.createContext("/metrics/find", (ex: HttpExchange) => respond(ex) {
+    server.createContext("/metrics/find",
+      (ex: HttpExchange) => respond(ex, origin = true) {
       val p = params(ex)
       val pattern = p.get("query").flatMap(_.headOption).getOrElse("*")
       Render.toFindJson(Find.findNodes(
@@ -793,7 +818,8 @@ object Daemon {
       portOf("GRAFT_HTTP_PORT", conf.flatMap(_.httpPort), 8080),
       Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel"),
       boot.stepSec, pixelOffer = Some(pixelRoute(pxDpGw.offer, pxGw.offer)),
-      blaster = Some(blaster))
+      blaster = Some(blaster),
+      allowOrigin = conf.flatMap(_.httpAllowOrigin))
     println(s"graft daemon: graphite=${gGw.boundListenPort} " +
       s"pickle=${pkGw.boundListenPort} statsd=${sGw.boundListenPort} " +
       s"http=${http.getAddress.getPort} data=$dataDir")

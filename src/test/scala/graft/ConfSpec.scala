@@ -102,4 +102,11 @@ class ConfSpec extends AnyFunSuite {
     assert(c.statsNamePrefix === "st#ats")
     assert(c.scalars.get("some").isEmpty)
   }
+
+  test("http-allow-origin: absent/empty → no CORS header, set → its value") {
+    assert(Conf.parse("workers = 1\n").httpAllowOrigin === None)
+    assert(Conf.parse("http-allow-origin = \"\"\n").httpAllowOrigin === None)
+    assert(Conf.parse("http-allow-origin = \"*\"\n")
+      .httpAllowOrigin === Some("*"))
+  }
 }

@@ -86,7 +86,7 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = Daemon.startGraphiteIngest(s, gw.boundFeedPort, archiveDir,
       stepSec = 10, heartbeatSec = 3600, checkpointDir = s"$dir/ckpt")
     val http = Daemon.startHttp(s, 0, Seq(archiveDir), stepSec = 10,
-      now = () => base + 90L)
+      now = () => base + 90L, allowOrigin = Some("*"))
     try {
       // a sender opens a plain TCP connection, as it would to the
       // reference's graphite listener, and writes 1 series pair
@@ -120,6 +120,22 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rc === 200)
       assert(render === wantRender)
       assert(render.contains("6")) // 2 + 4 summed per slot
+
+      // configured http-allow-origin reaches the Grafana routes, and a
+      // gzip-accepting client gets a gzipped render payload that
+      // decompresses to the identical body (the reference's
+      // makeGzipHandler wraps render alone)
+      val gzConn = new URI(s"http://127.0.0.1:${http.getAddress.getPort}" +
+        s"/render?target=sumSeries(*.req)&from=$base&until=now").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      gzConn.setRequestProperty("Accept-Encoding", "gzip")
+      assert(gzConn.getResponseCode === 200)
+      assert(gzConn.getHeaderField("Access-Control-Allow-Origin") === "*")
+      assert(gzConn.getHeaderField("Content-Encoding") === "gzip")
+      val unz = new String(new java.util.zip.GZIPInputStream(
+        gzConn.getInputStream).readAllBytes(), StandardCharsets.UTF_8)
+      assert(unz === wantRender)
+      gzConn.disconnect()
 
       val wantFind = Render.toFindJson(Find.findNodes(
         store.select("name").distinct(), "*"))
