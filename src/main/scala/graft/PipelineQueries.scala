@@ -230,6 +230,21 @@ object PipelineQueries {
         .orderBy("term", "rank")): Q,
       Some(pipeline.TextAnalysis.bm25Sql(Seq("spark", "window", "hash"), 10))),
 
+    // blocklist filtering: broadcast Aho–Corasick pass vs a per-phrase
+    // positional scan in the oracle — multi-word and overlapping-
+    // capable phrases, threshold gate
+    ("tx_blocklist",
+      ((s, d) => pipeline.TextAnalysis.blocklist(Tables.documents(s, d),
+          Seq("slow fast", "value table", "spark"), maxHits = 1L)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_blocked"), col("blocked"))
+        .orderBy("doc_id")): Q,
+      Some(
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, n_blocked, blocked
+           |FROM (${pipeline.TextAnalysis.blocklistSql(
+                     Seq("slow fast", "value table", "spark"), maxHits = 1L)})
+           |ORDER BY doc_id""".stripMargin)),
+
     // PII scrub over text with synthesized emails/URLs/IPs (both
     // engines build the identical dirty text, then redact independently)
     ("tx_scrub",

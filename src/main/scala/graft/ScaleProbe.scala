@@ -132,6 +132,19 @@ object ScaleProbe {
           docs.filter(col("doc_id") % 17 =!= 0),
           docs.filter(col("doc_id") % 17 === 0)).count()
       },
+      time("blocklist_200k") { // 500-phrase Aho–Corasick blocklist over
+        // the 200k-doc corpus: ONE automaton pass per document whatever
+        // the phrase count. Phrases are real corpus words (the docs'
+        // md5-derived 6-hex tokens), so matches actually fire.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val phrases = (0 until 500).map { k =>
+          md.reset()
+          md.digest(s"${2 * k}_${k % 40}".getBytes("UTF-8"))
+            .take(3).map(b => f"$b%02x").mkString
+        }
+        pipeline.TextAnalysis.blocklist(docs, phrases)
+          .filter(col("blocked")).count()
+      },
       time("contamination_xl_200k") { // large-REFERENCE path: ref is half
         // the corpus (~3M distinct grams — corpus-sized, not eval-sized);
         // bloom bits broadcast, exact verify join pays only the pruned

@@ -28,6 +28,15 @@ object TextExprs {
   def rollingHash(s: Column, mult: Long, mod: Long): Column =
     GraftBridge.column(RollingHashExpr(GraftBridge.expression(s), mult, mod))
 
+  /** Total occurrences of every blocklist phrase in the string (all
+    * end positions, overlapping included), via one broadcast
+    * Aho–Corasick automaton pass — O(|text|) regardless of the
+    * blocklist's size, where a per-phrase scan is O(|text|·|phrases|)
+    * ([[AhoCountExpr]]). */
+  def acCount(s: Column,
+      ac: org.apache.spark.broadcast.Broadcast[AhoCorasick]): Column =
+    GraftBridge.column(AhoCountExpr(GraftBridge.expression(s), ac))
+
   /** First 60 bits of md5 as a non-negative long — the engine's
     * portable hash primitive, identical in value to
     * `conv(substring(md5(s), 1, 15), 16, 10)` but computed straight
@@ -342,5 +351,119 @@ case class ProfileHitsExpr(child: Expression, profiles: Seq[Seq[String]])
     })
 
   override protected def withNewChildInternal(newChild: Expression): ProfileHitsExpr =
+    copy(child = newChild)
+}
+
+/** Aho–Corasick string-matching automaton, built once on the driver
+  * and broadcast ([[TextExprs.acCount]]). Flattened to primitive
+  * arrays: per-node sorted transition chars + targets (binary-search
+  * step), BFS failure links, and `outCount` pre-summed along the
+  * failure chain so matching never walks it — the standard
+  * construction (Aho & Corasick 1975, public algorithm). Counts EVERY
+  * match end position, so phrases that overlap or nest (`"aa"` in
+  * `"aaa"` → 2) all register; callers wanting leftmost-non-overlap
+  * semantics should de-overlap the phrase list instead. */
+final class AhoCorasick private (
+    chars: Array[Array[Char]], next: Array[Array[Int]],
+    fail: Array[Int], outCount: Array[Long]) extends Serializable {
+
+  def countMatches(s: UTF8String): Long =
+    if (s == null) 0L else countMatches(s.toString)
+
+  def countMatches(s: String): Long = {
+    var st = 0
+    var n = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      var cur = st
+      var nxt = -1
+      while (nxt == -1) {
+        val idx = java.util.Arrays.binarySearch(chars(cur), c)
+        if (idx >= 0) nxt = next(cur)(idx)
+        else if (cur == 0) nxt = 0
+        else cur = fail(cur)
+      }
+      st = nxt
+      n += outCount(st)
+      i += 1
+    }
+    n
+  }
+}
+
+object AhoCorasick {
+  /** Build from a phrase list; empty phrases are dropped (an empty
+    * needle would "match" at every position). */
+  def apply(patterns: Seq[String]): AhoCorasick = {
+    import scala.collection.mutable
+    val kids = mutable.ArrayBuffer(mutable.SortedMap.empty[Char, Int])
+    val ends = mutable.ArrayBuffer(0L)
+    patterns.filter(_.nonEmpty).foreach { p =>
+      var node = 0
+      p.foreach { c =>
+        node = kids(node).getOrElseUpdate(c, {
+          kids += mutable.SortedMap.empty[Char, Int]
+          ends += 0L
+          kids.length - 1
+        })
+      }
+      ends(node) += 1L
+    }
+    val n = kids.length
+    val fail = new Array[Int](n)
+    val out = ends.toArray
+    val queue = mutable.Queue.empty[Int]
+    kids(0).values.foreach { v => fail(v) = 0; queue += v }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      out(u) += out(fail(u)) // pre-sum the failure chain
+      kids(u).foreach { case (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !kids(f).contains(c)) f = fail(f)
+        fail(v) = kids(f).get(c).filter(_ != v).getOrElse(0)
+        queue += v
+      }
+    }
+    new AhoCorasick(
+      kids.map(_.keys.toArray).toArray,
+      kids.map(_.values.toArray).toArray,
+      fail, out)
+  }
+}
+
+/** Blocklist-phrase occurrence count over a string column via a
+  * broadcast [[AhoCorasick]] automaton — the scale path for
+  * C4/RefinedWeb-style blocklist filtering, where the phrase list is
+  * large and a per-phrase scan would multiply the text pass. Null
+  * input yields null (UnaryExpression's default). */
+case class AhoCountExpr(child: Expression,
+    ac: org.apache.spark.broadcast.Broadcast[AhoCorasick])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ac_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ac.value.countMatches(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bcRef = ctx.addReferenceObj("acBc", ac,
+        "org.apache.spark.broadcast.Broadcast")
+      s"""
+         |${ev.value} = ((graft.functions.AhoCorasick) $bcRef.value())
+         |  .countMatches($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AhoCountExpr =
     copy(child = newChild)
 }

@@ -135,6 +135,43 @@ object TextAnalysis {
        |    '$IpRe', '<IP>', 'g') AS clean
        |FROM docs""".stripMargin
 
+  // ---- blocklist filtering ----
+
+  /** C4/RefinedWeb-style blocklist filtering: total occurrences of any
+    * blocklist phrase in the (lowercased) text, and a `blocked` gate
+    * past `maxHits`. One broadcast Aho–Corasick automaton pass per
+    * document ([[graft.functions.AhoCountExpr]]) — O(|text|) whatever
+    * the blocklist size, where the naive per-phrase scan multiplies
+    * the text pass by |phrases| (real blocklists run to thousands of
+    * entries). Map-side, zero shuffle; counts include overlapping and
+    * nested matches (each match END counts once). */
+  def blocklist(docs: DataFrame, phrases: Seq[String],
+      maxHits: Long = 0L): DataFrame = {
+    val ac = docs.sparkSession.sparkContext.broadcast(
+      graft.functions.AhoCorasick(phrases.map(_.toLowerCase)))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.acCount(lower(col("text")), ac)
+          .as("n_blocked"))
+      .withColumn("blocked", col("n_blocked") > maxHits)
+  }
+
+  /** DuckDB twin of [[blocklist]] over `documents`: per phrase, every
+    * start position whose substring equals the phrase (so overlaps
+    * count, matching the automaton's every-end-position semantics),
+    * summed. A complete SELECT. */
+  def blocklistSql(phrases: Seq[String], maxHits: Long = 0L): String = {
+    val counts = phrases.map(_.toLowerCase.replace("'", "''")).map { p =>
+      val L = p.length
+      s"len([i FOR i IN range(1, greatest(len(t) - $L + 2, 1))" +
+        s" IF substr(t, i, $L) = '$p'])"
+    }.mkString("(", " + ", ")")
+    s"""SELECT doc_id, CAST($counts AS BIGINT) AS n_blocked,
+       |  $counts > $maxHits AS blocked
+       |FROM (SELECT doc_id, lower(text) AS t FROM documents
+       |      WHERE text IS NOT NULL)""".stripMargin
+  }
+
   // ---- unicode normalization ----
 
   /** Canonical Unicode cleanup — the normalization every hash-keyed

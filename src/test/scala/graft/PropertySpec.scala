@@ -867,4 +867,29 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(got.contains(t), s"guaranteed hitter $t missing (k=$k)"))
     }
   }
+
+  test("Aho-Corasick count == brute-force positional count, incl. overlaps") {
+    import graft.functions.AhoCorasick
+    // small alphabet forces dense overlaps and nested patterns
+    val gText = Gen.listOfN(60, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val gPats = Gen.listOfN(6,
+      Gen.choose(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    def brute(text: String, pats: Seq[String]): Long =
+      pats.map { p =>
+        (0 to text.length - p.length)
+          .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+      }.sum
+    forAll2(gText, gPats, n = 25) { (text, pats) =>
+      val ac = AhoCorasick(pats)
+      // duplicate phrases count twice; nested/overlapping all register
+      assert(ac.countMatches(text) === brute(text, pats), s"$text vs $pats")
+    }
+    // pinned nesting/overlap cases
+    assert(AhoCorasick(Seq("aa")).countMatches("aaaa") === 3L)
+    assert(AhoCorasick(Seq("a", "aa", "b")).countMatches("aab") === 4L)
+    assert(AhoCorasick(Seq("ab", "b")).countMatches("abab") === 4L)
+    assert(AhoCorasick(Seq("x")).countMatches("aaa") === 0L)
+    assert(AhoCorasick(Seq.empty).countMatches("abc") === 0L)
+  }
 }
