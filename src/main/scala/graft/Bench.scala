@@ -31,7 +31,9 @@ object Bench {
     // round-7 additions: LM-perplexity scoring, cluster-confined
     // semantic dedup, end-to-end gated selection, bloom-prefiltered
     // large-reference decontamination
-    "tx_perplexity", "sim_semdedup", "cu_select", "cu_contamination_xl")
+    "tx_perplexity", "sim_semdedup", "cu_select", "cu_contamination_xl",
+    // sketch-tier distinct counts, automaton blocklist
+    "cu_distinct_hll", "tx_blocklist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

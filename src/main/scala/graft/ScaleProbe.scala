@@ -294,6 +294,28 @@ object ScaleProbe {
         }
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
         r
+      },
+      {
+        val dir = java.nio.file.Files.createTempDirectory("zorderprobe").toString
+        val r = time("zorder_publish_10m") { // quantile-bucketed Morton
+          // layout over two independent dims, 64 files; the returned
+          // count is how many files a 5%-wide d2 slice touches — the
+          // pruning a single-key layout cannot give (all 64 span d2)
+          val d = keys.select(col("doc_id"),
+            (pmod(xxhash64(col("doc_id")), lit(1000)).cast("double") / 1000.0)
+              .as("d1"),
+            (pmod(xxhash64(col("doc_id"), lit(7)), lit(1000)).cast("double") / 1000.0)
+              .as("d2"))
+          pipeline.Snapshot.publishZOrdered(d, dir, Seq("d1", "d2"), 64)
+          val n = pipeline.Snapshot.read(spark, dir)
+            .select(input_file_name().as("f"), col("d2"))
+            .groupBy("f").agg(min(col("d2")).as("lo"), max(col("d2")).as("hi"))
+            .filter(!(col("hi") < 0.40 || col("lo") > 0.45)).count()
+          require(n <= 16, s"z-order envelopes too loose: $n of 64 files")
+          n
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        r
       })
 
     val json = results.map { case (l, sec, n) =>

@@ -203,6 +203,64 @@ object Snapshot {
       .sortWithinPartitions(col(key)), dir)
   }
 
+  /** Publish with a Z-ORDER layout over several numeric columns — the
+    * multi-dimensional extension of [[publishClustered]]. One
+    * range-clustered key prunes files for predicates on THAT key only;
+    * interleaving the bits of per-column quantile buckets
+    * (Morton/Z-order, the standard lakehouse clustering trick) gives
+    * every file a tight min/max envelope in EVERY listed column, so
+    * parquet footer stats prune file scans for predicates on any of
+    * them, including multi-column boxes.
+    *
+    * Scale shape: per-column cut points come from `approxQuantile`
+    * (one pass, driver-bounded at `bits`-per-dim cuts — 256 values per
+    * column here, the k-means-centroid bounce idiom); bucket
+    * assignment is MLlib's `Bucketizer` (binary-search per row, no
+    * per-row driver work); the z-value is pure bit arithmetic inside
+    * codegen; the final layout pays the SAME single range shuffle +
+    * local sort as [[publishClustered]]. Quantile (not uniform)
+    * buckets keep the envelope tight under skew. NULLs sort into
+    * bucket 0. */
+  def publishZOrdered(df: DataFrame, dir: String, keys: Seq[String],
+      nFiles: Int, bits: Int = 8): Long = {
+    require(keys.size >= 2, "z-order needs at least two columns")
+    require(nFiles > 0 && bits >= 1 && bits <= 16)
+    val nBuckets = 1 << bits
+    val bucketCols = keys.zipWithIndex.map { case (k, i) =>
+      val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val cuts = df.na.fill(0.0, Seq(k))
+        .stat.approxQuantile(k, probes, 0.001)
+      val splits = (Double.NegativeInfinity +: cuts.distinct.sorted
+        :+ Double.PositiveInfinity)
+      val b = new org.apache.spark.ml.feature.Bucketizer()
+        .setInputCol(s"__zin$i").setOutputCol(s"__zb$i")
+        .setSplits(splits).setHandleInvalid("keep")
+      (b, k, i)
+    }
+    val withIn = bucketCols.foldLeft(df) { case (d, (_, k, i)) =>
+      d.withColumn(s"__zin$i", coalesce(col(k).cast("double"), lit(0.0)))
+    }
+    val bucketed = bucketCols.foldLeft(withIn) { case (d, (b, _, _)) =>
+      b.transform(d)
+    }
+    // interleave: bit j of dim i lands at position j*dims + i
+    val dims = keys.size
+    val z = (0 until bits).flatMap { j =>
+      (0 until dims).map { i =>
+        shiftleft(
+          shiftright(col(s"__zb$i").cast("long").bitwiseAND(lit(1L << j)), j),
+          j * dims + i)
+      }
+    }.reduce(_ + _)
+    val helpers = "__z" +: keys.indices.flatMap(i =>
+      Seq(s"__zin$i", s"__zb$i"))
+    val cleaned = bucketed.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop(helpers: _*)
+    publish(cleaned, dir)
+  }
+
   /** Compact the latest snapshot's small-files tail into
     * ~`targetBytes` files as a new version; returns it, or None when
     * the current layout already meets the target (no-op — no version

@@ -503,9 +503,19 @@ object Daemon {
       allowOrigin: Option[String] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+    // query string PLUS a form-encoded POST body — Grafana's graphite
+    // datasource POSTs its render requests (the reference reads both
+    // via Go's r.Form/FormValue)
     def params(ex: HttpExchange): Map[String, Seq[String]] = {
       val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      q.split("&").filter(_.nonEmpty).toSeq
+      val body =
+        if (ex.getRequestMethod == "POST" &&
+          Option(ex.getRequestHeaders.getFirst("Content-Type"))
+            .exists(_.startsWith("application/x-www-form-urlencoded")))
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        else ""
+      Seq(q, body).filter(_.nonEmpty).mkString("&")
+        .split("&").filter(_.nonEmpty).toSeq
         .map { kv =>
           val i = kv.indexOf('=')
           val k = if (i < 0) kv else kv.substring(0, i)

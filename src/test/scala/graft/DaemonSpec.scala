@@ -137,6 +137,21 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(unz === wantRender)
       gzConn.disconnect()
 
+      // Grafana POSTs render requests as a form body — must answer
+      // identically to the GET
+      val postConn = new URI(s"http://127.0.0.1:${http.getAddress.getPort}/render")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      postConn.setRequestMethod("POST"); postConn.setDoOutput(true)
+      postConn.setRequestProperty("Content-Type",
+        "application/x-www-form-urlencoded")
+      postConn.getOutputStream.write(
+        s"target=sumSeries(*.req)&from=$base&until=now"
+          .getBytes(StandardCharsets.UTF_8))
+      assert(postConn.getResponseCode === 200)
+      assert(new String(postConn.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8) === wantRender)
+      postConn.disconnect()
+
       val wantFind = Render.toFindJson(Find.findNodes(
         store.select("name").distinct(), "*"))
       val (fc, find) = httpGet(s"http://127.0.0.1:${http.getAddress.getPort}" +

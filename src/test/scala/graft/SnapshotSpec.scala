@@ -111,6 +111,31 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranges.map { case (lo, hi) => hi - lo + 1 }.sum >= 1000)
   }
 
+  test("z-order: rows preserved; every listed column prunes, not just the cluster key") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(4096).select(col("id"),
+      (pmod(xxhash64(col("id")), lit(1000)).cast("double") / 1000.0).as("d1"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(1000)).cast("double") / 1000.0).as("d2"))
+    val dirZ = tmpDir(); val dirL = tmpDir()
+    Snapshot.publishZOrdered(df, dirZ, Seq("d1", "d2"), nFiles = 16, bits = 4)
+    Snapshot.publishClustered(df, dirL, "d1", nFiles = 16)
+    // a layout op must not change content
+    assert(Snapshot.read(spark, dirZ).orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+    // per-file envelopes: files whose [min,max] box intersects
+    // d2 ∈ [0.40, 0.45] — the dimension the single-key layout CANNOT
+    // prune (its files all span d2 fully), while the z-order envelope
+    // stays tight in both dimensions
+    def d2Files(dir: String): Long =
+      Snapshot.read(spark, dir)
+        .select(input_file_name().as("f"), col("d2"))
+        .groupBy("f").agg(min("d2").as("lo"), max("d2").as("hi"))
+        .filter(!(col("hi") < 0.40 || col("lo") > 0.45)).count()
+    val (zf, lf) = (d2Files(dirZ), d2Files(dirL))
+    assert(lf === 16L, s"single-key layout should span d2 in every file, got $lf")
+    assert(zf <= 8L, s"z-order failed to bound d2 envelopes: $zf of 16 files")
+  }
+
   test("concurrent publishers all commit distinct versions") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
