@@ -259,6 +259,37 @@ object DslQueries {
            |  SELECT name, t, value FROM series2
            |  WHERE NOT regexp_matches(
            |    regexp_extract(name, ';type=([^;]*)', 1), '^(click|view)')
+           |)""".stripMargin + tail())),
+
+    // aliasByTags: rename to '.'-joined tag VALUES; the untagged
+    // plain.req collapses to a lone empty-segment name ('.'-joined
+    // empties), proving missing-tag arity is preserved
+    ("dsl_alias_by_tags",
+      ((s, d) => {
+        val ctx = Eval.Ctx(s, taggedStore(s, d), M.StepSeconds, 0L, 0L)
+        fin(Eval.evalExpr(ctx, "aliasByTags(seriesByTag('name=~ev'), 'dc', 'type')"))
+      }): Q,
+      Some(taggedStoreSql +
+        s""", out AS (
+           |  SELECT regexp_extract(name, ';dc=([^;]*)', 1) || '.' ||
+           |         regexp_extract(name, ';type=([^;]*)', 1) AS name,
+           |         t, value
+           |  FROM series2 WHERE regexp_matches(name, '^ev')
+           |)""".stripMargin + tail())),
+
+    // groupByTags: sum across dc per (type, t); output names stay
+    // canonical tagged paths (base = the aggregator)
+    ("dsl_group_by_tags",
+      ((s, d) => {
+        val ctx = Eval.Ctx(s, taggedStore(s, d), M.StepSeconds, 0L, 0L)
+        fin(Eval.evalExpr(ctx, "groupByTags(seriesByTag('name=~ev'), 'sum', 'type')"))
+      }): Q,
+      Some(taggedStoreSql +
+        s""", out AS (
+           |  SELECT 'sum;type=' || regexp_extract(name, ';type=([^;]*)', 1) AS name,
+           |         t, sum(coalesce(value, 0)) AS value
+           |  FROM series2 WHERE regexp_matches(name, '^ev')
+           |  GROUP BY 1, 2
            |)""".stripMargin + tail()))
   )
 

@@ -339,6 +339,14 @@ object Eval {
       O.groupByNode(df, num(rest(0)).toInt, str(rest(1)) match {
         case "average" => "avg"; case cf => cf
       })))
+    // tag twins of the node functions (graphite-web's tagged-path
+    // pair; extension beyond the reference's DSL)
+    add(Seq("aliasByTags"))(onSeries((_, df, rest, _) =>
+      O.aliasByTags(df, rest.map(str))))
+    add(Seq("groupByTags"))(onSeries((_, df, rest, _) =>
+      O.groupByTags(df, str(rest(0)) match {
+        case "average" => "avg"; case cf => cf
+      }, rest.drop(1).map(str))))
 
     // ----- forecasting (dsl/funcs.go:2395-2622) -----
     // seasonLimit is accepted-and-unused here: the ctx store is already

@@ -386,6 +386,40 @@ object SeriesOps {
   def aliasSub(df: DataFrame, search: String, replace: String): DataFrame =
     df.withColumn("name", regexp_replace(col("name"), search, replace))
 
+  /** aliasByTags(tag...) — the tag twin of [[aliasByNode]]
+    * (graphite-web's function over tagged paths; extension — the
+    * reference's DSL never sees idents): rename each series to the
+    * '.'-joined VALUES of the listed tags, read from the canonical
+    * tagged name via [[graft.streaming.Find.identFromName]]. A tag a
+    * series lacks contributes an empty segment (kept, so arity stays
+    * fixed across the set). */
+  def aliasByTags(df: DataFrame, tags: Seq[String]): DataFrame = {
+    val ident = graft.streaming.Find.identFromName(col("name"))
+    df.withColumn("name", concat_ws(".",
+      tags.map(t => coalesce(element_at(ident, lit(t)), lit(""))): _*))
+  }
+
+  /** groupByTags(cf, tag...) — the tag twin of [[groupByNode]]:
+    * aggregate all series sharing the listed tags' values, per
+    * timestamp. Output names render canonically as
+    * `cf;tag1=v1;...` (base = the aggregator, tags sorted by the
+    * caller's list order here since the keys are fixed), so results
+    * remain valid tagged paths. Missing tags group under the empty
+    * value. */
+  def groupByTags(df: DataFrame, cf: String, tags: Seq[String]): DataFrame = {
+    val ident = graft.streaming.Find.identFromName(col("name"))
+    val aggV = cf match {
+      case "sum" => sum(coalesce(v, lit(0.0)))
+      case "avg" => sum(coalesce(v, lit(0.0))) / count(lit(1))
+      case "max" => max(v)
+      case "min" => min(v)
+    }
+    val name = concat(lit(cf), concat_ws("", tags.map(t =>
+      concat(lit(";" + t + "="),
+        coalesce(element_at(ident, lit(t)), lit("")))): _*))
+    df.groupBy(name.as("name"), col("t")).agg(aggV.as("value"))
+  }
+
   // ===== series-set filters / top-k (rank by whole-series summary —
   // ===== series/summaryseries.go reducers) =====
 
