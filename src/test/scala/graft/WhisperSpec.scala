@@ -120,4 +120,36 @@ class WhisperSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("a", 720L, 3.0),  // past whisper's latest: protected
       ("b", 600L, 7.0))) // new series entirely
   }
+
+  test("WhisperImport.run: tree walk, stale-series drop, idempotent rerun") {
+    import java.nio.file.{Files, Paths}
+    val wdir = Files.createTempDirectory("wsp-import").toString
+    val adir = Files.createTempDirectory("wsp-archive").toString + "/points"
+    Files.createDirectories(Paths.get(s"$wdir/sys/cpu"))
+    // live series: slots near nowSec (extract emits 199860, 199920)
+    Files.write(Paths.get(s"$wdir/sys/cpu/load.wsp"),
+      Whisper.encode(1, 0.5f, Seq(60L ->
+        Seq(Point(199800, 1.0), Point(199860, 2.0), Point(199920, 3.0)))))
+    // stale series: newest point far in the past relative to nowSec
+    Files.write(Paths.get(s"$wdir/sys/old.wsp"),
+      Whisper.encode(1, 0.5f, Seq(60L ->
+        Seq(Point(60, 9.0), Point(120, 9.0), Point(180, 9.0)))))
+    val nowSec = 200000L // old.wsp's newest slot is ~199880s stale
+    val (nSeries, nSlots) = WhisperImport.run(spark, wdir, wdir, adir,
+      prefix = "imp", staleDays = 2, stepSec = 60L, nowSec = nowSec)
+    assert(nSeries === 1L && nSlots === 2L)
+    val got = graft.streaming.Ingest.readArchive(spark, adir)
+      .orderBy("t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq(
+      ("imp.sys.cpu.load", 199860L, 1.0), ("imp.sys.cpu.load", 199920L, 2.0)))
+    // rerun REPLACES its own contribution (fixed writer identity):
+    // no double-counted weight, byte-identical store contents
+    WhisperImport.run(spark, wdir, wdir, adir,
+      prefix = "imp", staleDays = 2, stepSec = 60L, nowSec = nowSec)
+    val again = graft.streaming.Ingest.readArchive(spark, adir)
+      .orderBy("t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(again === got)
+  }
 }
