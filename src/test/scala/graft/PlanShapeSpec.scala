@@ -73,6 +73,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cu_distinct_hll: sketch tier plans as an object hash aggregate") {
+    // the HLL typed aggregate must keep its partial/merge shape (one
+    // register buffer per group per partition through the shuffle) and
+    // the exact-vs-estimate comparison join must not degenerate
+    val p = plan("cu_distinct_hll")
+    assert(p.contains("ObjectHashAggregate"), s"hll agg shape lost:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tx_blocklist: one automaton pass, no join anywhere") {
+    val p = plan("tx_blocklist")
+    assert(p.contains("graft_ac_count"), s"automaton prune missing:\n$p")
+    assert(!p.contains("Join"), s"blocklist must be join-free:\n$p")
+  }
+
   test("sp_mixture: the weight table joins broadcast, pass stays map-side") {
     val p = plan("sp_mixture")
     assert(!p.contains("SortMergeJoin"), p)
