@@ -38,12 +38,17 @@ object Blaster {
 
     private val t = new Thread(() => {
       val rnd = new java.util.Random(seed)
+      var carry = 0.0 // fractional-point credit, so rate < 10/s paces
+      // correctly instead of rounding every 100 ms tick up to 1
       while (running) {
         val r = rate.get(); val n = nSer.get()
-        if (r <= 0 || n <= 0) Thread.sleep(100L)
+        if (r <= 0 || n <= 0) { carry = 0.0; Thread.sleep(100L) }
         else {
-          // ~100 ms batches paced to `rate` points/sec
-          val batch = math.max(r / 10, 1)
+          // ~100 ms batches paced to `rate` points/sec (the reference's
+          // token limiter, `blaster/blaster.go:37` rate.Limiter)
+          val allow = r * 0.1 + carry
+          val batch = allow.toInt
+          carry = allow - batch
           val nowSec = System.currentTimeMillis() / 1000L
           var i = 0
           while (i < batch && running) {
