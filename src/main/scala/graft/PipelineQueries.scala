@@ -163,6 +163,19 @@ object PipelineQueries {
       Some(pipeline.NearDup.hotWindowsSql(8, 3) +
         " SELECT wh, df FROM hotw ORDER BY wh")),
 
+    // boilerplate removal: strike every token covered by a window the
+    // detector above calls hot (same df rule), reassemble the
+    // survivors — the action step of exact-substring dedup
+    ("dd_strip_boilerplate",
+      ((s, d) => pipeline.NearDup.stripBoilerplate(Tables.documents(s, d),
+          window = 8, minDf = 3)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("clean_text"), col("n_removed"))
+        .orderBy("doc_id")): Q,
+      Some(pipeline.NearDup.stripBoilerplateSql(8, 3) +
+        """ SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text, n_removed
+          | FROM stripw ORDER BY doc_id""".stripMargin)),
+
     // quality scoring: punct/digit/upper/stopword ratios + composite
     ("tx_quality",
       ((s, d) => {
@@ -576,6 +589,65 @@ object PipelineQueries {
           |      FROM documents)
           |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // mergeable quantile tier: per-source doc-length sketches built on
+    // two disjoint increments, union-merged, read at four ranks —
+    // k=8192 exceeds any per-source doc count at verify scale, so the
+    // sketch runs in its exact regime and the oracle is the discrete
+    // lower quantile (smallest value with cumulative rank >= ceil(q*n));
+    // the compacted regime's error bounds live in SketchSpec
+    ("cu_quantile_sketch",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val sketches = pipeline.Curation.valueSketches(
+            docs.filter(col("doc_id") % 2 === 0), "source", col("n_chars"))
+          .union(pipeline.Curation.valueSketches(
+            docs.filter(col("doc_id") % 2 === 1), "source", col("n_chars")))
+        pipeline.Curation.sketchValueQuantiles(
+            sketches, "source", Seq(0.25, 0.5, 0.9, 0.99))
+          .orderBy("source")
+      }): Q,
+      Some(
+        """WITH r AS (
+          |  SELECT source, CAST(n_chars AS DOUBLE) AS v,
+          |         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+          |         count(*) OVER (PARTITION BY source) AS n
+          |  FROM documents
+          |)
+          |SELECT source,
+          |  min(CASE WHEN rn >= greatest(1, CAST(ceil(0.25*n) AS BIGINT)) THEN v END) AS p25,
+          |  min(CASE WHEN rn >= greatest(1, CAST(ceil(0.5*n) AS BIGINT)) THEN v END) AS p50,
+          |  min(CASE WHEN rn >= greatest(1, CAST(ceil(0.9*n) AS BIGINT)) THEN v END) AS p90,
+          |  min(CASE WHEN rn >= greatest(1, CAST(ceil(0.99*n) AS BIGINT)) THEN v END) AS p99
+          |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // one-shot quantile read over the event stream: per-type value
+    // quantiles through the same sketch (aggregate + scalar read in
+    // one expression tree), k sized to stay exact at verify scale
+    ("cu_value_quantiles",
+      ((s, d) => {
+        val qs = Seq(0.5, 0.9, 0.99)
+        val q = graft.functions.SketchExprs.quantiles(
+          col("value").cast("double"), 32768, qs)
+        Tables.events(s, d).groupBy("event_type").agg(q.as("q"))
+          .select(col("event_type"),
+            col("q").getItem(0).as("p50"),
+            col("q").getItem(1).as("p90"),
+            col("q").getItem(2).as("p99"))
+          .orderBy("event_type")
+      }): Q,
+      Some(
+        """WITH r AS (
+          |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE)) AS rn,
+          |         count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM events
+          |)
+          |SELECT event_type,
+          |  min(CASE WHEN rn >= greatest(1, CAST(ceil(0.5*n) AS BIGINT)) THEN v END) AS p50,
+          |  min(CASE WHEN rn >= greatest(1, CAST(ceil(0.9*n) AS BIGINT)) THEN v END) AS p90,
+          |  min(CASE WHEN rn >= greatest(1, CAST(ceil(0.99*n) AS BIGINT)) THEN v END) AS p99
+          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // BPE merge training: 10 rounds of most-frequent-pair fusion over
     // the frequency-weighted word vocabulary (10 > the 8-round
     // materialization epoch, so the oracle crosses that boundary)
@@ -628,6 +700,20 @@ object PipelineQueries {
            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
            |  array_to_string(bpe, ' ') AS bpe
            |FROM tokzt ORDER BY doc_id""".stripMargin)),
+
+    // tokenizer quality metrics: per-source fertility (BPE tokens per
+    // word) and chars-per-token compression over the learned merges —
+    // the numbers a tokenizer run is judged by
+    ("cu_bpe_fertility",
+      ((s, d) => pipeline.Curation.bpeFertility(Tables.documents(s, d), 10)
+        .orderBy("source")): Q,
+      Some(
+        s"""WITH ${pipeline.Curation.bpeMergesSql(10)},
+           |${pipeline.Curation.bpeTokenizeSql(10)},
+           |${pipeline.Curation.bpeFertilitySql}
+           |SELECT source, n_docs, n_words, n_bpe_tokens, fertility,
+           |  chars_per_token
+           |FROM fert ORDER BY source""".stripMargin)),
 
     // per-source token-distribution drift: JS divergence vs the corpus
     // over the top-100 vocabulary

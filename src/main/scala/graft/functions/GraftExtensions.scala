@@ -76,5 +76,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_heavy_hitters expects (column, int literal), got ${other.length} args")
       }))
+    ext.injectFunction((FunctionIdentifier("graft_quantile_sketch"),
+      info("graft_quantile_sketch",
+        "graft_quantile_sketch(double, k) - mergeable quantile sketch binary (aggregate; exact while the group holds <= k values)"),
+      {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k, _)) =>
+          QuantileSketchAgg(c, k.toString.toInt).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"graft_quantile_sketch expects (column, int literal), got ${other.length} args")
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_quantile_merge"),
+      info("graft_quantile_merge",
+        "graft_quantile_merge(binary) - union stored quantile-sketch binaries (aggregate)"),
+      one("graft_quantile_merge")(c =>
+        QuantileMergeAgg(c).toAggregateExpression())))
+    ext.injectFunction((FunctionIdentifier("graft_sketch_quantiles"),
+      info("graft_sketch_quantiles",
+        "graft_sketch_quantiles(binary, array<double>) - read quantiles out of a sketch binary"),
+      {
+        case Seq(s, qs) => SketchQuantilesExpr(s, qs)
+        case other => throw new IllegalArgumentException(
+          s"graft_sketch_quantiles expects 2 arguments, got ${other.length}")
+      }))
   }
 }

@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -37,6 +38,304 @@ object SketchExprs {
   def heavyHitters(c: Column, k: Int): Column =
     GraftBridge.column(
       MisraGriesAgg(GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** Mergeable quantile sketch over a double column → binary state
+    * ([[QuantileSketch]]'s compactor stack). Store one row per
+    * (group, increment); answer later with [[quantileMerge]] +
+    * [[sketchQuantiles]] — the quantile twin of the HLL distinct tier.
+    * Exact while the group holds ≤ k values (no compaction fires);
+    * past that, rank error grows with the compaction depth, bounded
+    * and empirically pinned in SketchSpec. */
+  def quantileSketch(c: Column, k: Int): Column =
+    GraftBridge.column(
+      QuantileSketchAgg(GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** Union previously-stored sketch binaries group-wise (aggregate).
+    * All inputs must share one `k`. */
+  def quantileMerge(c: Column): Column =
+    GraftBridge.column(
+      QuantileMergeAgg(GraftBridge.expression(c)).toAggregateExpression())
+
+  /** Read quantiles out of a sketch binary: returns `array<double>`,
+    * one entry per requested rank fraction — each is an ACTUAL stored
+    * value, the smallest whose cumulative weight reaches ⌈q·N⌉ (the
+    * discrete lower-quantile rule the DuckDB oracles replay). */
+  def sketchQuantiles(c: Column, qs: Seq[Double]): Column =
+    GraftBridge.column(SketchQuantilesExpr(
+      GraftBridge.expression(c),
+      GraftBridge.expression(
+        org.apache.spark.sql.functions.typedlit(qs))))
+
+  /** One-shot aggregate-then-read convenience:
+    * `sketchQuantiles(quantileSketch(c, k), qs)`. */
+  def quantiles(c: Column, k: Int, qs: Seq[Double]): Column =
+    sketchQuantiles(quantileSketch(c, k), qs)
+}
+
+/** Mergeable quantile summary: a stack of fixed-capacity compactors
+  * (the KLL/MRL shape — Karnin–Lang–Liberty, FOCS'16; Manku et al.,
+  * SIGMOD'98). Level `i` holds values of weight 2^i; a full level
+  * sorts and promotes every other element to level i+1, the surviving
+  * offset alternating per level (DETERMINISTIC, where KLL flips a
+  * coin — reproducible runs and a cross-engine-checkable exact regime
+  * matter more here than KLL's tighter constant). State is
+  * O(k · log(N/k)) values regardless of input size — the shuffle
+  * carries compactor stacks, never the value stream, which is the
+  * 100 TB contrast with exact `percentile_disc`'s full per-group sort.
+  * While N ≤ k nothing compacts and the sketch IS the value multiset:
+  * quantiles are exact, which is what the DuckDB oracle pins.
+  */
+final class QuantileSketch(val k: Int) extends Serializable {
+  import mutable.ArrayBuffer
+  require(k > 0, "quantile sketch requires k > 0")
+
+  /** levels(i): values of weight 2^i, unsorted between compactions. */
+  val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty)
+  /** per-level alternating survivor offset (flips each compaction). */
+  val phases: ArrayBuffer[Boolean] = ArrayBuffer(false)
+
+  def totalWeight: Long = {
+    var n = 0L; var i = 0
+    while (i < levels.size) { n += levels(i).size.toLong << i; i += 1 }
+    n
+  }
+
+  def update(v: Double): Unit = {
+    levels(0) += v
+    if (levels(0).size > k) compact(0)
+  }
+
+  private def compact(i: Int): Unit = {
+    val arr = levels(i).toArray
+    java.util.Arrays.sort(arr)
+    val off = if (phases(i)) 1 else 0
+    phases(i) = !phases(i)
+    if (i + 1 == levels.size) { levels += ArrayBuffer.empty; phases += false }
+    val up = levels(i + 1)
+    var j = off
+    while (j < arr.length) { up += arr(j); j += 2 }
+    levels(i).clear()
+    if (up.size > k) compact(i + 1)
+  }
+
+  /** Summary-combination: concatenate level-wise, then re-compact any
+    * level the union overflowed (bottom-up, so promotions cascade).
+    * Both operands must share `k` — enforced at the aggregate layer. */
+  def merge(other: QuantileSketch): Unit = {
+    var i = 0
+    while (i < other.levels.size) {
+      if (i == levels.size) { levels += ArrayBuffer.empty; phases += false }
+      levels(i) ++= other.levels(i)
+      i += 1
+    }
+    i = 0
+    while (i < levels.size) { // compact() may append levels; size re-reads
+      if (levels(i).size > k) compact(i)
+      i += 1
+    }
+  }
+
+  /** For each rank fraction q: the smallest stored value whose
+    * cumulative weight reaches max(1, ⌈q·N⌉); NaN on an empty sketch. */
+  def quantiles(qs: Seq[Double]): Array[Double] = {
+    val items = mutable.ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < levels.size) {
+      val w = 1L << i
+      levels(i).foreach(v => items += ((v, w)))
+      i += 1
+    }
+    if (items.isEmpty) return qs.map(_ => Double.NaN).toArray
+    val sorted = items.sortBy(_._1)
+    val n = totalWeight
+    qs.map { q =>
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L; var idx = 0; var res = sorted.last._1; var done = false
+      while (idx < sorted.length && !done) {
+        cum += sorted(idx)._2
+        if (cum >= target) { res = sorted(idx)._1; done = true }
+        idx += 1
+      }
+      res
+    }.toArray
+  }
+
+  def serializeBytes(): Array[Byte] = {
+    var n = 4 + 4
+    levels.foreach(l => n += 1 + 4 + 8 * l.size)
+    val bb = ByteBuffer.allocate(n)
+    bb.putInt(k); bb.putInt(levels.size)
+    var i = 0
+    while (i < levels.size) {
+      bb.put(if (phases(i)) 1.toByte else 0.toByte)
+      bb.putInt(levels(i).size)
+      levels(i).foreach(bb.putDouble)
+      i += 1
+    }
+    bb.array()
+  }
+}
+
+object QuantileSketch {
+  def deserialize(bytes: Array[Byte]): QuantileSketch = {
+    val bb = ByteBuffer.wrap(bytes)
+    val k = bb.getInt
+    val s = new QuantileSketch(k)
+    val nLevels = bb.getInt
+    var i = 0
+    while (i < nLevels) {
+      if (i == s.levels.size) {
+        s.levels += mutable.ArrayBuffer.empty; s.phases += false
+      }
+      s.phases(i) = bb.get() == 1.toByte
+      val sz = bb.getInt
+      var j = 0
+      while (j < sz) { s.levels(i) += bb.getDouble; j += 1 }
+      i += 1
+    }
+    s
+  }
+}
+
+/** [[QuantileSketch]] as an aggregate over a double column; emits the
+  * serialized sketch (`binary`) — the WRITE side of the stored tier.
+  * Merges anywhere in the plan (partial aggregation, AQE re-orders)
+  * go through the summary-combination rule, so the state crossing any
+  * shuffle is one compactor stack per group per partition. */
+case class QuantileSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketch]
+  with UnaryLike[Expression] {
+
+  require(k > 0, "graft_quantile_sketch requires k > 0")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantile_sketch requires a double column, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_quantile_sketch"
+
+  override def createAggregationBuffer(): QuantileSketch = new QuantileSketch(k)
+
+  override def update(buf: QuantileSketch, input: InternalRow): QuantileSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+  override def merge(buf: QuantileSketch, other: QuantileSketch): QuantileSketch = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: QuantileSketch): Any = buf.serializeBytes()
+  override def serialize(buf: QuantileSketch): Array[Byte] = buf.serializeBytes()
+  override def deserialize(bytes: Array[Byte]): QuantileSketch =
+    QuantileSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileSketchAgg =
+    copy(child = newChild)
+}
+
+/** Group-wise union of STORED sketch binaries — the READ side of the
+  * tier ([[graft.pipeline.Curation.sketchDistinct]]'s HLL shape, for
+  * quantiles). The buffer starts as an "adopt" sentinel (null holder)
+  * because `k` lives in the incoming binaries; all inputs of one group
+  * must share a `k`, enforced here. */
+case class QuantileMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileMergeAgg.Holder]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantile_merge requires a binary sketch column, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quantile_merge"
+
+  override def createAggregationBuffer(): QuantileMergeAgg.Holder =
+    new QuantileMergeAgg.Holder(null)
+
+  private def mergeInto(h: QuantileMergeAgg.Holder, s: QuantileSketch): Unit =
+    if (h.s == null) h.s = s
+    else {
+      require(h.s.k == s.k,
+        s"graft_quantile_merge: mixed sketch k (${h.s.k} vs ${s.k})")
+      h.s.merge(s)
+    }
+
+  override def update(h: QuantileMergeAgg.Holder, input: InternalRow)
+      : QuantileMergeAgg.Holder = {
+    val v = child.eval(input)
+    if (v != null)
+      mergeInto(h, QuantileSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    h
+  }
+  override def merge(h: QuantileMergeAgg.Holder, other: QuantileMergeAgg.Holder)
+      : QuantileMergeAgg.Holder = {
+    if (other.s != null) mergeInto(h, other.s)
+    h
+  }
+  override def eval(h: QuantileMergeAgg.Holder): Any =
+    if (h.s == null) null else h.s.serializeBytes()
+  override def serialize(h: QuantileMergeAgg.Holder): Array[Byte] =
+    if (h.s == null) Array.emptyByteArray else h.s.serializeBytes()
+  override def deserialize(bytes: Array[Byte]): QuantileMergeAgg.Holder =
+    if (bytes.isEmpty) new QuantileMergeAgg.Holder(null)
+    else new QuantileMergeAgg.Holder(QuantileSketch.deserialize(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileMergeAgg =
+    copy(child = newChild)
+}
+
+object QuantileMergeAgg {
+  /** Mutable adopt-on-first-input buffer (k is carried by the data). */
+  final class Holder(var s: QuantileSketch)
+}
+
+/** Scalar read of a sketch binary: quantiles at the given rank
+  * fractions, each an actual stored value (smallest with cumulative
+  * weight ≥ ⌈q·N⌉). Runs once per GROUP row — K-bounded, never on the
+  * value stream — so `CodegenFallback` costs nothing measurable here
+  * (the hot path is the aggregate, which is imperative by design). */
+case class SketchQuantilesExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sketch_quantiles requires (binary, array<double>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_sketch_quantiles"
+
+  override def nullSafeEval(sketch: Any, qs: Any): Any = {
+    val s = QuantileSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+    val fracs = qs.asInstanceOf[ArrayData].toDoubleArray()
+    new GenericArrayData(s.quantiles(fracs.toIndexedSeq))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SketchQuantilesExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Misra–Gries summary as a [[TypedImperativeAggregate]]: the buffer is

@@ -353,6 +353,35 @@ object Curation {
       .select(col(by),
         hll_sketch_estimate(col("hll")).cast("long").as("est_distinct"))
 
+  /** QUANTILE member of the stored-sketch family ([[tokenSketches]] =
+    * distinct counts, [[heavyHitters]] = frequencies): one mergeable
+    * [[graft.functions.QuantileSketch]] binary per (group, increment)
+    * over any numeric column — doc lengths, event latencies, score
+    * distributions. Persist the rows; any later "p99 of sources A∪B
+    * across increments 1..k" is a union of small binaries via
+    * [[sketchValueQuantiles]], never a rescan or a full per-group
+    * sort. The shuffle carries O(k·log(N/k))-value compactor stacks
+    * where exact `percentile_disc` shuffles the value stream itself.
+    * Exact while a group's count stays ≤ `k` (nothing compacts). */
+  def valueSketches(df: DataFrame, by: String, value: Column,
+      k: Int = 8192): DataFrame =
+    df.groupBy(by).agg(graft.functions.SketchExprs
+      .quantileSketch(value.cast("double"), k).as("qsk"))
+
+  /** Read side of [[valueSketches]]'s tier: union the stored binaries
+    * group-wise, emit one double column per requested rank fraction
+    * (`p50`, `p90`, … — scalar columns, each an actual data value). */
+  def sketchValueQuantiles(sketches: DataFrame, by: String,
+      qs: Seq[Double]): DataFrame = {
+    val merged = sketches.groupBy(by)
+      .agg(graft.functions.SketchExprs.quantileMerge(col("qsk")).as("qsk"))
+      .select(col(by), graft.functions.SketchExprs
+        .sketchQuantiles(col("qsk"), qs).as("q"))
+    qs.zipWithIndex.foldLeft(merged) { case (df, (q, i)) =>
+      df.withColumn(s"p${math.round(q * 100)}", col("q").getItem(i))
+    }.drop("q")
+  }
+
   /** DuckDB twin of [[vocabStats]]; a complete SELECT. */
   def vocabStatsSql(topK: Int): String =
     s"""WITH toks AS (
@@ -650,6 +679,60 @@ object Curation {
        |  LEFT JOIN tokzt0 t ON t.doc_id = doc.doc_id
        |)""".stripMargin
   }
+
+  /** Tokenizer QUALITY metrics over [[bpeTokenize]]'s output — the
+    * numbers a tokenizer-training run is judged by, per source:
+    * fertility (BPE tokens per word — 1.0 means every word fused to a
+    * single token; the </w> termination makes word count recoverable
+    * but we count from the text directly) and characters per token
+    * (compression — how much raw text one token carries). A source
+    * whose fertility is an outlier is one the merge table under-serves
+    * (vocabulary transfer gap), the per-source view [[sourceDrift]]'s
+    * composition monitor pairs with.
+    *
+    * Scale shape: one word-grain tokenize (the cost [[bpeTokenize]]
+    * already pays), then a doc-grain map and a sources-sized agg.
+    * Returns (source, n_docs, n_words, n_bpe_tokens, fertility,
+    * chars_per_token), fertility/chars_per_token 6-round-trip
+    * doubles. */
+  def bpeFertility(docs: DataFrame, rounds: Int): DataFrame = {
+    val toks = bpeTokenize(docs, rounds)
+    docs.join(toks, "doc_id")
+      .select(col("source"),
+        size(filter(tokens, w => length(w) > 0)).cast("long").as("n_w"),
+        size(col("bpe")).cast("long").as("n_b"),
+        length(col("text")).cast("long").as("n_chars_t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_w").as("n_words"),
+        sum("n_b").as("n_bpe_tokens"), sum("n_chars_t").as("chars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        graft.ts.Round6.r6(col("n_bpe_tokens").cast("double") /
+          col("n_words")).as("fertility"),
+        graft.ts.Round6.r6(col("chars").cast("double") /
+          col("n_bpe_tokens")).as("chars_per_token"))
+  }
+
+  /** DuckDB twin of [[bpeFertility]] (requires [[bpeMergesSql]] +
+    * [[bpeTokenizeSql]]'s `tokzd`); defines `fert(source, n_docs,
+    * n_words, n_bpe_tokens, fertility, chars_per_token)`. */
+  def bpeFertilitySql: String =
+    s"""fert AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_w) AS BIGINT) AS n_words,
+       |    CAST(sum(n_b) AS BIGINT) AS n_bpe_tokens,
+       |    ${graft.ts.Round6.r6Sql("sum(n_b)::DOUBLE / sum(n_w)")} AS fertility,
+       |    ${graft.ts.Round6.r6Sql("sum(n_chars_t)::DOUBLE / sum(n_b)")} AS chars_per_token
+       |  FROM (
+       |    SELECT d.source,
+       |      len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\\s+'),
+       |        x -> x <> '')) AS n_w,
+       |      len(t.bpe) AS n_b,
+       |      len(d.text) AS n_chars_t
+       |    FROM documents d JOIN tokzd t ON t.doc_id = d.doc_id)
+       |  GROUP BY source
+       |)""".stripMargin
 
   // ---- per-source distribution drift ----
 

@@ -442,6 +442,108 @@ object NearDup {
        |  FROM dw GROUP BY wh HAVING count(*) >= $minDf
        |)""".stripMargin
 
+  /** Boilerplate REMOVAL — the action step [[hotWindows]] detects for:
+    * every token covered by a corpus-frequent window (df ≥ `minDf`
+    * distinct texts, same hashing/df rule as the detector) is struck
+    * from its document and the survivors re-join into the cleaned
+    * text. This is the span-removal half of exact-substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 §4 — theirs via suffix arrays; here
+    * windows are the span alphabet, which bounds spans to `window`
+    * tokens but keeps every step a uniform-key DataFrame op).
+    *
+    * Scale shape: work is per DISTINCT text (exact-dup members reuse
+    * their representative's cleaning); the window stream is ~n_tokens
+    * rows per doc (the cardinality every dedup path already pays);
+    * `hot` is an aggregate on the uniform window-hash key; only HOT
+    * matches explode into covered positions (window-factor bounded);
+    * one doc_id shuffle reassembles. No collected state, no skewed
+    * key: boilerplate with millions of carriers is one `wh` group and
+    * its per-doc expansion lands on the carriers' own partitions.
+    *
+    * Output: (doc_id, clean_text, n_removed) for EVERY input doc —
+    * cleaned text is the lowercased token stream re-joined with single
+    * spaces (the pipeline's token normalization, cross-engine stable);
+    * null text stays null, fully-boilerplate docs come back empty. */
+  def stripBoilerplate(docs: DataFrame, window: Int, minDf: Int,
+      stride: Int = 1): DataFrame = {
+    require(window > 0 && stride > 0 && minDf > 0,
+      "window, stride, minDf must be positive")
+    val toksCol = split(trim(lower(col("text"))), "\\s+")
+    val reps = docs.filter(col("text").isNotNull)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
+    val base = reps.select(col("rep"), toksCol.as("ts"))
+    val wins = base.filter(size(col("ts")) >= window)
+      .select(col("rep"), col("ts"), explode(sequence(lit(0L),
+        (size(col("ts")) - window).cast("long"),
+        lit(stride.toLong))).as("st"))
+      .select(col("rep"), col("st"), pmod(h64(concat_ws(" ",
+        slice(col("ts"), (col("st") + 1).cast("int"), lit(window)))),
+        lit(X)).as("wh"))
+    val hot = wins.select(col("rep"), col("wh")).distinct()
+      .groupBy("wh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("wh")
+    val covered = wins.join(hot, "wh")
+      .select(col("rep"),
+        explode(sequence(col("st"), col("st") + (window - 1))).as("p"))
+      .distinct()
+    val tokRows = base.select(col("rep"),
+      posexplode(col("ts")).as(Seq("p", "tok")))
+    val cleaned = tokRows
+      .join(covered, Seq("rep", "p"), "left_anti")
+      .groupBy("rep")
+      .agg(concat_ws(" ",
+        array_sort(collect_list(struct(col("p"), col("tok"))))
+          .getField("tok")).as("clean_text"))
+    val removed = covered.groupBy("rep")
+      .agg(count(lit(1)).as("n_removed"))
+    val repMap = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).join(reps, "text")
+      .select(col("doc_id"), col("rep"))
+    docs.select(col("doc_id"), col("text"))
+      .join(repMap, Seq("doc_id"), "left")
+      .join(cleaned, Seq("rep"), "left")
+      .join(removed, Seq("rep"), "left")
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** DuckDB twin of [[stripBoilerplate]] — reuses the shared window
+    * CTE prefix (its `wins` carries the 0-based window index `i`);
+    * defines CTE `stripw(doc_id, clean_text, n_removed)`. */
+  def stripBoilerplateSql(window: Int, minDf: Int, stride: Int = 1): String =
+    s"""WITH ${windowCtePrefix(window, stride)},
+       |hotws AS (SELECT wh FROM dw GROUP BY wh HAVING count(*) >= $minDf),
+       |covp AS (
+       |  SELECT DISTINCT w.doc_id, ip AS p
+       |  FROM wins w JOIN hotws USING (wh),
+       |       unnest(generate_series(w.i*$stride, w.i*$stride + $window - 1)) AS t(ip)
+       |), tokp AS (
+       |  SELECT doc_id, i - 1 AS p, ts[i] AS tok
+       |  FROM tokw, unnest(generate_series(1, len(ts))) AS t(i)
+       |), keptw AS (
+       |  SELECT t.doc_id, t.p, t.tok FROM tokp t
+       |  LEFT JOIN covp c ON c.doc_id = t.doc_id AND c.p = t.p
+       |  WHERE c.p IS NULL
+       |), cleanw AS (
+       |  SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+       |  FROM keptw GROUP BY doc_id
+       |), remw AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+       |  FROM covp GROUP BY doc_id
+       |), stripw AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.text IS NULL THEN NULL
+       |         ELSE coalesce(c.clean_text, '') END AS clean_text,
+       |    coalesce(r.n_removed, CAST(0 AS BIGINT)) AS n_removed
+       |  FROM documents d
+       |  LEFT JOIN mem m ON m.doc_id = d.doc_id
+       |  LEFT JOIN cleanw c ON c.doc_id = m.rep
+       |  LEFT JOIN remw r ON r.doc_id = m.rep
+       |)""".stripMargin
+
   /** Per-representative DISTINCT window-hash set, map-side (the
     * windowed analogue of [[shingleSets]]). */
   private def windowSets(reps: DataFrame, window: Int,
@@ -513,7 +615,7 @@ object NearDup {
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
        |  FROM reps WHERE text IS NOT NULL
        |), wins AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, i,
        |    CAST('0x' || substr(md5(array_to_string(
        |      ts[i*$stride+1 : i*$stride+$window], ' ')), 1, 15) AS BIGINT) % $X AS wh
        |  FROM (SELECT doc_id, ts,

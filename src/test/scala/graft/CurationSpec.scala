@@ -437,4 +437,25 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.getAs[Double]("dup_3gram_frac") === 0.0)
     assert(one.getAs[Double]("top_2gram_frac") === 0.0)
   }
+
+  test("bpeFertility: hand-computed at zero merges; merges drive fertility toward 1") {
+    val s = spark; import s.implicits._
+    // zero rounds = character-split (+ </w>):
+    //   s1 "ab a": 2 words, tokens (a b </w>)+(a </w>) = 5, 4 chars
+    //   s2 "abc": 1 word, 4 tokens, 3 chars
+    val d = Seq((1L, "ab a", "s1"), (2L, "abc", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.bpeFertility(d, rounds = 0).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      ("s1", 2L, 5L, 2.5, 0.8), ("s2", 1L, 4L, 4.0, 0.75)))
+    // a fully repetitive corpus fuses to whole-word tokens: two merges
+    // take "xy xy xy" from 3 tokens/word to exactly 1
+    val rep = Seq((1L, "xy xy xy", "s")).toDF("doc_id", "text", "source")
+    def fert(rounds: Int) = Curation.bpeFertility(rep, rounds)
+      .collect().head.getAs[Double]("fertility")
+    assert(fert(0) === 3.0)
+    assert(fert(2) === 1.0)
+  }
 }

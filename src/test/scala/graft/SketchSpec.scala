@@ -159,4 +159,109 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stored === live)
   }
+
+  // ---- the quantile-sketch tier (compactor stacks) ----
+
+  /** The discrete lower quantile the sketch's exact regime must hit:
+    * smallest value with cumulative rank ≥ ⌈q·n⌉. */
+  private def truthQuantile(vals: Seq[Double], q: Double): Double = {
+    val sorted = vals.sorted
+    sorted(math.max(1, math.ceil(q * sorted.size).toLong).toInt - 1)
+  }
+
+  test("quantile sketch: exact regime reproduces discrete quantiles across partitioned merges") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(7)
+    val groups = Map("a" -> 900, "b" -> 40, "c" -> 1)
+    val rows = groups.toSeq.flatMap { case (g, n) =>
+      (0 until n).map(_ => (g, rng.nextDouble() * 1000)) }
+    val df = scala.util.Random.shuffle(rows).toDF("g", "v").repartition(8)
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val got = df.groupBy("g")
+      .agg(SketchExprs.quantiles(col("v"), 1024, qs).as("q"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1)).toMap
+    for ((g, n) <- groups; (q, i) <- qs.zipWithIndex) {
+      val vals = rows.filter(_._1 == g).map(_._2)
+      assert(got(g)(i) === truthQuantile(vals, q),
+        s"group $g q=$q (n=$n)")
+    }
+  }
+
+  test("quantile sketch: stored increments union to the whole (exact regime)") {
+    import graft.pipeline.Curation
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 600).map(i => (i.toLong, s"s${i % 3}", rng.nextGaussian()))
+    val df = rows.toDF("id", "source", "v").repartition(8)
+    val qs = Seq(0.5, 0.95)
+    val dir = java.nio.file.Files.createTempDirectory("qsk_store").toString
+    // three disjoint increments written as stored sketch rows, read
+    // back and merged — binary fidelity + merge in one assertion
+    (0 until 3).foreach(p => Curation.valueSketches(
+        df.filter(col("id") % 3 === p), "source", col("v"), k = 1024)
+      .write.mode("append").parquet(dir))
+    val got = Curation.sketchValueQuantiles(
+        spark.read.parquet(dir), "source", qs)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (src <- Seq("s0", "s1", "s2")) {
+      val vals = rows.filter(_._2 == src).map(_._3)
+      assert(got(src)._1 === truthQuantile(vals, 0.5), s"$src p50")
+      assert(got(src)._2 === truthQuantile(vals, 0.95), s"$src p95")
+    }
+  }
+
+  test("quantile sketch: compacted regime's rank error stays bounded") {
+    val s = spark; import s.implicits._
+    val n = 100000
+    val k = 256
+    // adversarial-ish: sorted-input runs interleaved with reverse runs,
+    // spread over 8 partitions — compaction fires hundreds of times
+    val vals = (0 until n).map(i =>
+      if (i % 2 == 0) i.toDouble else (n - i).toDouble)
+    val df = vals.toDF("v").repartition(8)
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val got = df.agg(SketchExprs.quantiles(col("v"), k, qs).as("q"))
+      .collect()(0).getSeq[Double](0)
+    val sorted = vals.sorted
+    qs.zipWithIndex.foreach { case (q, i) =>
+      // the reported value's true rank must sit within eps·n of the
+      // target rank; for a k=256 stack over 100k values the alternating
+      // compactor's observed error is well under 2%, asserted with
+      // headroom at 5% so co-compaction drift can't flake the suite
+      val trueRank = sorted.count(_ <= got(i))
+      val target = math.ceil(q * n)
+      assert(math.abs(trueRank - target) <= 0.05 * n,
+        s"q=$q: value ${got(i)} has rank $trueRank, target $target")
+    }
+  }
+
+  test("quantile sketch: nulls skipped; SQL surface matches the Column API") {
+    val s = spark; import s.implicits._
+    val df = Seq(Some(3.0), None, Some(1.0), Some(2.0), None).toDF("v")
+    val viaCol = df.agg(SketchExprs.quantiles(col("v"), 64, Seq(0.5)))
+      .collect()(0).getSeq[Double](0)
+    assert(viaCol === Seq(2.0)) // 3 non-null values, median = 2
+    df.createOrReplaceTempView("qsk_vals")
+    val viaSql = spark.sql(
+      """SELECT graft_sketch_quantiles(
+        |  graft_quantile_merge(qsk), array(0.5D, 0.9D)) AS q
+        |FROM (SELECT graft_quantile_sketch(v, 64) AS qsk
+        |      FROM qsk_vals)""".stripMargin)
+      .collect()(0).getSeq[Double](0)
+    assert(viaSql === Seq(2.0, 3.0))
+  }
+
+  test("quantile sketch: mixed-k merge is rejected") {
+    val s = spark; import s.implicits._
+    val a = Seq(1.0).toDF("v").agg(SketchExprs.quantileSketch(col("v"), 64).as("qsk"))
+    val b = Seq(2.0).toDF("v").agg(SketchExprs.quantileSketch(col("v"), 128).as("qsk"))
+    val ex = intercept[Exception] {
+      a.union(b).agg(SketchExprs.quantileMerge(col("qsk"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => Option(c.getMessage).exists(_.contains("mixed sketch k"))))
+  }
 }

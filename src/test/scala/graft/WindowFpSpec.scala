@@ -104,4 +104,56 @@ class WindowFpSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = docs(Seq(1L -> "a b c d e", 2L -> "a b c d e"))
     assert(pairs(d, w = 8, m = 1) === Seq.empty)
   }
+
+  private def strip(d: org.apache.spark.sql.DataFrame, w: Int, m: Int) =
+    NearDup.stripBoilerplate(d, w, m).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("stripBoilerplate removes exactly the hot banner, tails survive") {
+    // an 8-token banner carried by three docs (df = 3); each doc keeps
+    // its unique tail and loses exactly the 8 banner tokens. Doc 4's
+    // tokens never reach df 3 and come back untouched (lowercased —
+    // the pipeline's token normalization).
+    val banner = (1 to 8).map(i => s"n$i").mkString(" ")
+    val d = docs(Seq(
+      1L -> s"$banner x1 x2 x3",
+      2L -> s"y1 $banner y2",
+      3L -> s"z1 z2 $banner",
+      4L -> "Q1 q2 q3 q4 q5 q6 q7 q8 q9"))
+    assert(strip(d, w = 8, m = 3) === Seq(
+      (1L, "x1 x2 x3", 8L),
+      (2L, "y1 y2", 8L),
+      (3L, "z1 z2", 8L),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8 q9", 0L)))
+  }
+
+  test("stripBoilerplate: overlapping hot windows union their coverage") {
+    // a 10-token shared passage: hot windows at starts 0,1,2 overlap;
+    // covered positions are the UNION (all 10), not 3×8 double counts
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val d = docs(Seq(
+      1L -> s"$passage t1",
+      2L -> s"$passage t2",
+      3L -> s"$passage t3"))
+    assert(strip(d, w = 8, m = 3) === Seq(
+      (1L, "t1", 10L), (2L, "t2", 10L), (3L, "t3", 10L)))
+  }
+
+  test("stripBoilerplate: fully-boilerplate docs come back empty, dup members share the rep's cleaning") {
+    val t = (1 to 8).map(i => s"b$i").mkString(" ")
+    val d = docs(Seq(1L -> t, 2L -> t, 3L -> t, 4L -> s"$t extra"))
+    // the 8-token window is carried by two DISTINCT texts (t and
+    // t+extra) — below minDf 3 nothing strips; at 2 everything does
+    assert(strip(d, w = 8, m = 3).forall(_._3 === 0L))
+    assert(strip(d, w = 8, m = 2) === Seq(
+      (1L, "", 8L), (2L, "", 8L), (3L, "", 8L), (4L, "extra", 8L)))
+  }
+
+  test("stripBoilerplate: sub-window and null docs pass through") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, Some("a b c")), (2L, Some("a b c")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    assert(strip(d, w = 8, m = 2) === Seq(
+      (1L, "a b c", 0L), (2L, "a b c", 0L), (3L, null, 0L)))
+  }
 }
