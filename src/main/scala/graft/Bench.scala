@@ -33,7 +33,9 @@ object Bench {
     // large-reference decontamination
     "tx_perplexity", "sim_semdedup", "cu_select", "cu_contamination_xl",
     // sketch-tier distinct counts, automaton blocklist
-    "cu_distinct_hll", "tx_blocklist")
+    "cu_distinct_hll", "tx_blocklist",
+    // quantile-sketch tier, boilerplate-span removal
+    "cu_quantile_sketch", "dd_strip_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -32,8 +32,11 @@ object MultimodalQueries {
     new java.io.File(s"tools/mm_oracle_out/$PinnedSf").getCanonicalPath
 
   private def pinned(q: String): String =
-    s"SELECT * FROM read_parquet('$pinnedDir/$q.parquet') " +
-      "ORDER BY doc_id" + (if (q == "mm_frame_sample") ", frame_idx" else "")
+    s"SELECT * FROM read_parquet('$pinnedDir/$q.parquet') " + (q match {
+      case "mm_frame_sample" => "ORDER BY doc_id, frame_idx"
+      case "mm_phash_pairs" => "ORDER BY doc_a, doc_b"
+      case _ => "ORDER BY doc_id"
+    })
 
   /** Fail FAST on a dataset the pin does not cover — a different scale
     * factor would otherwise run fine on the Spark side and then
@@ -88,7 +91,31 @@ object MultimodalQueries {
           col("out_height").cast("long").as("out_height"),
           Round6.r6(col("out_brightness")).as("out_brightness"))
         .orderBy("doc_id") }): Q,
-      Some(pinned("mm_resize")))
+      Some(pinned("mm_resize"))),
+
+    // perceptual image hashes: decode → integer-exact 8×8 aHash over
+    // the corpus images PLUS their planted perturbed twins (4 pixels
+    // +16 each, re-encoded, id + 10^9) — the hash math itself pinned
+    ("mm_phash",
+      ((s, d) => { requirePinned(d)
+        val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
+        val twins = Multimodal.perturbImages(s, media, 4, 16, 1000000000L)
+        Multimodal.imageHashes(s, media.union(twins)).toDF()
+          .select(col("doc_id"), col("ahash")).orderBy("doc_id") }): Q,
+      Some(pinned("mm_phash"))),
+
+    // image near-dup pairs: byte-band candidates + bit_count verify at
+    // Hamming ≤ 7 (exact recall by pigeonhole) — each image must pair
+    // with its perturbed twin and nothing else (noise images sit ~32
+    // bits apart)
+    ("mm_phash_pairs",
+      ((s, d) => { requirePinned(d)
+        val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
+        val twins = Multimodal.perturbImages(s, media, 4, 16, 1000000000L)
+        Multimodal.imageHashPairs(
+            Multimodal.imageHashes(s, media.union(twins)).toDF(), 7)
+          .orderBy("doc_a", "doc_b") }): Q,
+      Some(pinned("mm_phash_pairs")))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

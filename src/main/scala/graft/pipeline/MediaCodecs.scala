@@ -114,6 +114,43 @@ object MediaCodecs {
     (ow, oh, out)
   }
 
+  /** 64-bit average-hash (aHash) of a grayscale image: the 8×8 grid of
+    * cell means, each bit set iff its cell's mean ≥ the global mean.
+    * ALL-INTEGER comparison (`cell_sum · w·h ≥ total · cell_px`), so a
+    * pure-Python oracle reproduces every bit exactly; cell boundaries
+    * are the floor partition `c·dim/8`, any dimensions ≥ 8. Bit i =
+    * row-major cell `(i/8, i%8)`. The standard perceptual-dedup
+    * primitive: near-identical images differ in a few borderline bits,
+    * unrelated images land ~32 apart. */
+  def aHash64(w: Int, h: Int, px: Array[Int]): Long = {
+    require(w >= 8 && h >= 8, s"aHash64 needs dims >= 8, got ${w}x$h")
+    var total = 0L
+    var i = 0
+    while (i < px.length) { total += px(i); i += 1 }
+    val wh = w.toLong * h
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += px(y * w + x); x += 1 }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        if (s * wh >= total * n) hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
   // ==================== WAV (16-bit mono PCM, LE) =====================
 
   def encodeWav(sampleRate: Int, pcm: Array[Short]): Array[Byte] = {

@@ -175,4 +175,75 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
   }
+
+  final case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual image hashes: per-partition REAL decode → 64-bit aHash
+    * ([[MediaCodecs.aHash64]] — integer-exact, oracle-mirrorable).
+    * Map-side like every decode stage; undecodable payloads drop. */
+  def imageHashes(spark: SparkSession, media: Dataset[MediaRow])
+      : Dataset[ImageHash] = {
+    import spark.implicits._
+    media.filter(_.media_type == "image").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Try {
+          val (w, h, px) = MediaCodecs.decodeImage(r.payload)
+          ImageHash(r.doc_id, MediaCodecs.aHash64(w, h, px))
+        }.toOption
+      }
+    }
+  }
+
+  /** IMAGE near-dup pairs over [[imageHashes]] output — the visual twin
+    * of text SimHash dedup, same plan shape as
+    * [[NearDup.simhashPairs]]: 8 one-byte bands generate candidates
+    * (equal byte j of the hash for any j), `bit_count` verifies
+    * Hamming ≤ `maxDist`. For `maxDist ≤ 7` recall is EXACT by
+    * pigeonhole (≤ 7 flipped bits cannot dirty all 8 bands), which is
+    * what lets the oracle state the output as a plain brute-force
+    * Hamming filter; larger `maxDist` keeps precision but may miss
+    * pairs whose flips spread across every band. Corpus never
+    * all-pairs: candidates are band-bucket joins on a near-uniform key
+    * (noise images collide per band at ~2^-8). */
+  def imageHashPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val bytes = hashes.select(col("doc_id"), col("ahash"),
+      posexplode(array((0 until 8).map(j =>
+        shiftright(col("ahash"), j * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("bix", "byte")))
+    val a = bytes.select(col("bix"), col("byte"),
+      col("doc_id").as("doc_a"), col("ahash").as("hash_a"))
+    val b = bytes.select(col("bix"), col("byte"),
+      col("doc_id").as("doc_b"), col("ahash").as("hash_b"))
+    a.join(b, Seq("bix", "byte")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(hash_a ^ hash_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Deterministic NEAR-duplicate image twins: decode, bump the first
+    * `nPixels` intensities by `delta` (mod 256), re-encode, re-id at
+    * `doc_id + idOffset`. The planted-positive generator for
+    * [[imageHashPairs]]' correctness row — a handful of changed pixels
+    * moves only borderline aHash bits, exactly the perturbation a
+    * re-encoded/watermarked web image shows. Map-side. */
+  def perturbImages(spark: SparkSession, media: Dataset[MediaRow],
+      nPixels: Int, delta: Int, idOffset: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.filter(_.media_type == "image").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Try {
+          val (w, h, px) = MediaCodecs.decodeImage(r.payload)
+          val out = px.clone()
+          var i = 0
+          while (i < math.min(nPixels, out.length)) {
+            out(i) = (out(i) + delta) & 0xff; i += 1
+          }
+          r.copy(doc_id = r.doc_id + idOffset,
+            payload = MediaCodecs.encodePng(w, h, out))
+        }.toOption
+      }
+    }
+  }
 }

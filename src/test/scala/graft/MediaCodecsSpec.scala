@@ -119,4 +119,40 @@ class MediaCodecsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r0 = rs.find(_.doc_id == 0L).get
     assert((r0.width, r0.height, r0.out_width, r0.out_height) === (64, 64, 32, 32))
   }
+
+  test("aHash64: hand-computed split image, ties set, locality under perturbation") {
+    // left half 0, right half 255: each row's cells 4..7 set → 0xF0 per
+    // row byte
+    val split = Array.tabulate(64 * 64)(i => if (i % 64 < 32) 0 else 255)
+    assert(MediaCodecs.aHash64(64, 64, split) === 0xF0F0F0F0F0F0F0F0L)
+    // uniform image: every cell mean EQUALS the global mean, ties set →
+    // all 64 bits
+    assert(MediaCodecs.aHash64(64, 64, Array.fill(64 * 64)(7)) === -1L)
+    // perturbing a few pixels of a noise image moves only borderline
+    // bits: Hamming distance stays far under the unrelated ~32
+    val noise = MediaCodecs.byteStream(99L, 96 * 64)
+    val tweaked = noise.clone(); (0 until 4).foreach(i =>
+      tweaked(i) = (tweaked(i) + 16) & 0xff)
+    val d = java.lang.Long.bitCount(
+      MediaCodecs.aHash64(96, 64, noise) ^ MediaCodecs.aHash64(96, 64, tweaked))
+    assert(d <= 7, s"perturbation moved $d bits")
+    // unrelated noise images really do sit far apart
+    val other = MediaCodecs.byteStream(100L, 96 * 64)
+    val far = java.lang.Long.bitCount(
+      MediaCodecs.aHash64(96, 64, noise) ^ MediaCodecs.aHash64(96, 64, other))
+    assert(far > 7, s"unrelated images only $far bits apart")
+  }
+
+  test("imageHashPairs: planted twins pair up, banded recall exact at maxDist 7") {
+    val s = spark
+    val media = Multimodal.syntheticMedia(spark,
+      s.range(0, 30).toDF().withColumnRenamed("id", "doc_id"))
+    val twins = Multimodal.perturbImages(spark, media, 4, 16, 1000L)
+    val hashes = Multimodal.imageHashes(spark, media.union(twins)).toDF()
+    val pairs = Multimodal.imageHashPairs(hashes, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // image docs are 0,3,..,27: every one must meet exactly its twin
+    val want = (0L until 30L by 3).map(i => (i, i + 1000L)).toSet
+    assert(pairs === want)
+  }
 }

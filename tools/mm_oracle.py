@@ -17,7 +17,8 @@ It also cross-checks the codecs themselves, in both directions:
     MediaCodecsSpec decodes on the JVM — catches JVM DECODE bugs.
 
 Usage: mm_oracle.py <sfDir> <outDir>
-Emits <outDir>/{mm_features,mm_frame_sample,mm_resize}.parquet.
+Emits <outDir>/{mm_features,mm_frame_sample,mm_resize,mm_phash,
+mm_phash_pairs}.parquet.
 """
 import math
 import os
@@ -190,6 +191,65 @@ def frame_rows(doc_id, stride=4):
     return rows
 
 
+def ahash64(w, h, px):
+    """Mirror of MediaCodecs.aHash64: 8x8 cell means vs global mean,
+    all-integer comparison, floor cell boundaries, row-major bits."""
+    total = sum(px)
+    wh = w * h
+    hv = 0
+    for cy in range(8):
+        y0, y1 = cy * h // 8, (cy + 1) * h // 8
+        for cx in range(8):
+            x0, x1 = cx * w // 8, (cx + 1) * w // 8
+            s = sum(px[y * w + x] for y in range(y0, y1)
+                    for x in range(x0, x1))
+            n = (y1 - y0) * (x1 - x0)
+            if s * wh >= total * n:
+                hv |= 1 << (cy * 8 + cx)
+    return hv
+
+
+PHASH_TWIN_OFFSET = 1000000000
+PHASH_PERTURB_N, PHASH_PERTURB_DELTA = 4, 16
+PHASH_MAX_DIST = 7
+
+
+def phash_rows(ids):
+    """(doc_id, unsigned ahash) for every image doc AND its perturbed
+    twin — mirrors syntheticMedia + perturbImages + imageHashes."""
+    rows = []
+    for i in ids:
+        if i % 3 != 0:
+            continue
+        w = 64 + (i % 4) * 32
+        h = 64 + (i % 3) * 32
+        px = byte_stream(i, w * h)
+        rows.append((i, ahash64(w, h, px)))
+        tw = list(px)
+        for j in range(min(PHASH_PERTURB_N, len(tw))):
+            tw[j] = (tw[j] + PHASH_PERTURB_DELTA) & 0xFF
+        rows.append((i + PHASH_TWIN_OFFSET, ahash64(w, h, tw)))
+    return sorted(rows)
+
+
+def phash_pairs(rows):
+    """Brute-force Hamming <= PHASH_MAX_DIST — EXACTLY the banded
+    Spark output, because <= 7 flipped bits always leave one of the 8
+    one-byte bands clean (pigeonhole)."""
+    out = []
+    for ai in range(len(rows)):
+        for bi in range(ai + 1, len(rows)):
+            (da, ha), (db, hb) = rows[ai], rows[bi]
+            d = bin(ha ^ hb).count("1")
+            if d <= PHASH_MAX_DIST:
+                out.append((min(da, db), max(da, db), d))
+    return sorted(out)
+
+
+def signed64(v):
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def resize_row(doc_id):
     if doc_id % 3 != 0:
         return None
@@ -282,8 +342,22 @@ def main(sf_dir, out_dir):
         "out_brightness": pa.array([r[5] for r in resz], pa.float64()),
     }), os.path.join(out_dir, "mm_resize.parquet"))
 
+    ph = phash_rows(ids)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in ph], pa.int64()),
+        "ahash": pa.array([signed64(r[1]) for r in ph], pa.int64()),
+    }), os.path.join(out_dir, "mm_phash.parquet"))
+
+    pairs = phash_pairs(ph)
+    pq.write_table(pa.table({
+        "doc_a": pa.array([r[0] for r in pairs], pa.int64()),
+        "doc_b": pa.array([r[1] for r in pairs], pa.int64()),
+        "hamming": pa.array([r[2] for r in pairs], pa.int64()),
+    }), os.path.join(out_dir, "mm_phash_pairs.parquet"))
+
     print(f"wrote {len(feats)} features / {len(frames)} frames / "
-          f"{len(resz)} resizes to {out_dir}")
+          f"{len(resz)} resizes / {len(ph)} phashes / {len(pairs)} "
+          f"phash pairs to {out_dir}")
 
     fix_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "mm_fixtures")
