@@ -698,6 +698,33 @@ object Daemon {
         .mkString("[", ",", "]")
     })
 
+    // /quantiles?name=a.b.c&q=0.5,0.99&window=3600 — value quantiles of
+    // one series over the window (the "what's its p99 right now" ops
+    // glance), read through the quantile compactor stack so the
+    // aggregation state is O(k·log n)-bounded however many slots the
+    // window holds; each answer is an actual stored value. Exact while
+    // the window holds ≤ 8192 slots.
+    server.createContext("/quantiles", (ex: HttpExchange) => respond(ex) {
+      val p = params(ex)
+      val name = p.get("name").flatMap(_.headOption)
+        .getOrElse(throw new IllegalArgumentException("name is required"))
+      val qs = p.get("q").flatMap(_.headOption).getOrElse("0.5,0.9,0.99")
+        .split(',').map(_.trim.toDouble).toSeq
+      require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+        "q fractions must be in [0, 1]")
+      val windowSec = p.get("window").flatMap(_.headOption)
+        .map(_.toLong).getOrElse(3600L)
+      val rows = Ingest.readArchives(spark, archiveDirs)
+        .filter(col("name") === name && col("t") >= now() - windowSec)
+        .agg(graft.functions.SketchExprs
+          .quantiles(col("value").cast("double"), 8192, qs).as("qv"))
+        .collect()
+      val vals = rows.headOption.map(_.getSeq[Double](0)).getOrElse(Seq.empty)
+      if (vals.isEmpty || vals.forall(_.isNaN)) "[]"
+      else qs.zip(vals).map { case (q, v) =>
+        s"""{"q":$q,"value":$v}""" }.mkString("[", ",", "]")
+    })
+
     // /pixel + /pixel/add|addgauge|setgauge|append: answer the GIF,
     // queue the request line. JDK context matching is by path prefix,
     // so one "/pixel" context serves all five routes; parseRequests

@@ -436,6 +436,23 @@ object Ingest {
       .select(explode(col("hh")).as("e"))
       .select(col("e.token").as("name"), col("e.count").as("n_points"))
 
+  /** Live per-series value quantiles: "what is metric X's p99 RIGHT
+    * NOW" as a streaming aggregate — [[liveTopTalkers]]'s companion,
+    * with the quantile compactor stack
+    * ([[graft.functions.QuantileSketch]]) as the state-store entry:
+    * one O(k·log(N/k))-value stack per series regardless of how many
+    * points have streamed through it (the exact form would hold every
+    * value ever seen). Exact while a series has ≤ k points; complete
+    * output mode; emits (name, p<q>… one double column per fraction,
+    * each an actual observed value). */
+  def liveValueQuantiles(points: DataFrame, k: Int,
+      qs: Seq[Double]): DataFrame =
+    points.groupBy(col("name"))
+      .agg(graft.functions.SketchExprs
+        .quantiles(col("value").cast("double"), k, qs).as("q"))
+      .select(col("name") +: qs.zipWithIndex.map { case (q, i) =>
+        col("q").getItem(i).as(s"p${math.round(q * 100)}") }: _*)
+
   /** Slot aggregation of interval pieces — identical math to
     * [[graft.rrd.Consolidate.consolidate]]'s explode+weighted-mean. */
   def piecesToSlots(pieces: DataFrame, stepSec: Long, xff: Double): DataFrame =

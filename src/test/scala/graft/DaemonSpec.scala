@@ -180,6 +180,26 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"http://127.0.0.1:${http.getAddress.getPort}/toptalkers?k=0")
       assert(kc === 400 && kerr.contains("error"))
 
+      // /quantiles: the p50 answer is an actual stored slot value —
+      // checked against the archive's own discrete lower quantile
+      val archVals = Ingest.readArchive(s, archiveDir)
+        .filter(col("name") === "web.req").select("value")
+        .collect().map(_.getDouble(0)).sorted
+      val p50 = archVals(
+        math.max(1, math.ceil(0.5 * archVals.length).toLong).toInt - 1)
+      val (qc2, qjson) = httpGet(s"http://127.0.0.1:${http.getAddress.getPort}" +
+        "/quantiles?name=web.req&q=0.5&window=600")
+      assert(qc2 === 200 && qjson === s"""[{"q":0.5,"value":$p50}]""")
+      val (qe, qempty) = httpGet(s"http://127.0.0.1:${http.getAddress.getPort}" +
+        "/quantiles?name=web.req&window=0")
+      assert(qe === 200 && qempty === "[]")
+      val (qb, qberr) = httpGet(s"http://127.0.0.1:${http.getAddress.getPort}" +
+        "/quantiles?name=web.req&q=1.5")
+      assert(qb === 400 && qberr.contains("error"))
+      val (qn, qnerr) = httpGet(s"http://127.0.0.1:${http.getAddress.getPort}" +
+        "/quantiles?q=0.5")
+      assert(qn === 400 && qnerr.contains("error"))
+
       // graphite 1.1 tagged path: the wire carries tags in non-canonical
       // order with a value sanitize must rewrite; the store holds the
       // canonical name and the tag routes answer over derived idents

@@ -114,6 +114,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map("noisy" -> 4L, "quiet" -> 1L, "late" -> 1L))
   }
 
+  test("live value quantiles: sketch state accumulates across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val points = mem.toDF().toDF("name", "tsSec", "value")
+    val q = Ingest.liveValueQuantiles(points, k = 64, qs = Seq(0.5, 1.0))
+      .writeStream.format("memory").queryName("liveq")
+      .outputMode("complete").start()
+    mem.addData(("lat", 1L, 10.0), ("lat", 2L, 30.0), ("other", 3L, 5.0))
+    q.processAllAvailable()
+    // the second batch merges into the SAME compactor stack: the
+    // median is over ALL FIVE lat points (10 20 30 40 50 → 30), not
+    // the last batch's
+    mem.addData(("lat", 4L, 20.0), ("lat", 5L, 40.0), ("lat", 6L, 50.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("liveq").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("lat" -> ((30.0, 50.0)), "other" -> ((5.0, 5.0))))
+  }
+
   test("pickle frames stream end-to-end: binary micro-batches → slots") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
