@@ -158,6 +158,25 @@ object ScaleProbe {
       time("pack_sequences_200k") { // two-level prefix sum + chunk
         pipeline.Curation.packSequences(docs, 2048).count()
       },
+      {
+        // perceptual image dedup at media scale: 20k real PNG images
+        // (64-160 px) + their perturbed twins — encode, decode, hash,
+        // band-join, verify; every planted twin must pair up
+        val s2 = spark
+        val imgDocs = s2.range(0, 60000)
+          .toDF().withColumnRenamed("id", "doc_id")
+        time("phash_dedup_20k_images") {
+          val media = pipeline.Multimodal.syntheticMedia(s2, imgDocs)
+          val twins = pipeline.Multimodal
+            .perturbImages(s2, media, 4, 16, 10000000L)
+          val pairs = pipeline.Multimodal.imageHashPairs(
+            pipeline.Multimodal.imageHashes(
+              s2, media.union(twins)).toDF(), 7)
+          val n = pairs.count()
+          require(n >= 20000, s"planted image twins missing: $n")
+          n
+        }
+      },
       time("source_cap_skew_10m") { // ONE source holds 90% of 10M rows;
         // the two-level rank must stay block-parallel, not one sort task
         val skewed = keys.select(col("doc_id"),

@@ -178,4 +178,39 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("SortAggregate"), p)
   }
+
+  test("cu_quantile_sketch: compactor stacks cross the exchange as partials, values never sort") {
+    // same contract as the heavy-hitters guard, for the quantile tier:
+    // ObjectHashAggregate partials (one stack per group-partition
+    // crosses the shuffle), never a SortAggregate over the value
+    // stream — the full per-group sort is exactly what the sketch
+    // replaces.
+    Seq("cu_quantile_sketch", "cu_value_quantiles").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"), s"$q:\n$p")
+      assert(!p.contains("SortAggregate"), s"$q:\n$p")
+    }
+  }
+
+  test("dd_strip_boilerplate: hot-window and reassembly joins stay keyed") {
+    // the hot join is on the uniform window-hash key, membership joins
+    // on doc/text keys — a cartesian anywhere means the coverage
+    // explode leaked into an unkeyed join
+    val p = plan("dd_strip_boilerplate")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("imageHashPairs: band-bucket joins, no all-pairs degeneration") {
+    // built from the operators directly (the mm_* query names pin the
+    // sf0.01 oracle dataset; the plan shape is dataset-independent)
+    import graft.pipeline.Multimodal
+    val s = spark
+    val media = Multimodal.syntheticMedia(s,
+      s.range(0, 30).toDF().withColumnRenamed("id", "doc_id"))
+    val p = Multimodal.imageHashPairs(
+        Multimodal.imageHashes(s, media).toDF(), 7)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
