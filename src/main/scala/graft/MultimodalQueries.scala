@@ -34,7 +34,7 @@ object MultimodalQueries {
   private def pinned(q: String): String =
     s"SELECT * FROM read_parquet('$pinnedDir/$q.parquet') " + (q match {
       case "mm_frame_sample" => "ORDER BY doc_id, frame_idx"
-      case "mm_phash_pairs" => "ORDER BY doc_a, doc_b"
+      case q2 if q2.endsWith("_pairs") => "ORDER BY doc_a, doc_b"
       case _ => "ORDER BY doc_id"
     })
 
@@ -115,7 +115,38 @@ object MultimodalQueries {
         Multimodal.imageHashPairs(
             Multimodal.imageHashes(s, media.union(twins)).toDF(), 7)
           .orderBy("doc_a", "doc_b") }): Q,
-      Some(pinned("mm_phash_pairs")))
+      Some(pinned("mm_phash_pairs"))),
+
+    // audio envelope fingerprints over the corpus WAVs + perturbed
+    // twins (first 4 intensities +16, re-encoded PCM)
+    ("mm_afp",
+      ((s, d) => { requirePinned(d)
+        val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
+        val twins = Multimodal.perturbAudio(s, media, 4, 16, 1000000000L)
+        Multimodal.audioFingerprints(s, media.union(twins)).toDF()
+          .select(col("doc_id"), col("afp")).orderBy("doc_id") }): Q,
+      Some(pinned("mm_afp"))),
+
+    // audio near-dup pairs: banded Hamming ≤ 7 over the envelope hash
+    ("mm_afp_pairs",
+      ((s, d) => { requirePinned(d)
+        val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
+        val twins = Multimodal.perturbAudio(s, media, 4, 16, 1000000000L)
+        Multimodal.audioFpPairs(
+            Multimodal.audioFingerprints(s, media.union(twins)).toDF(), 7)
+          .orderBy("doc_a", "doc_b") }): Q,
+      Some(pinned("mm_afp_pairs"))),
+
+    // video near-dup pairs: ≥ 7 shared frame aHashes (frames are the
+    // windows) — twins differ only in a perturbed frame 0
+    ("mm_video_pairs",
+      ((s, d) => { requirePinned(d)
+        val media = Multimodal.syntheticMedia(s, Tables.documents(s, d))
+        val twins = Multimodal.perturbVideos(s, media, 4, 16, 1000000000L)
+        Multimodal.videoPairs(
+            Multimodal.videoFrameHashes(s, media.union(twins)).toDF(), 7)
+          .orderBy("doc_a", "doc_b") }): Q,
+      Some(pinned("mm_video_pairs")))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -151,6 +151,29 @@ object MediaCodecs {
     hash
   }
 
+  /** 64-bit ENVELOPE hash of a 1-D intensity stream — [[aHash64]]'s
+    * audio sibling: 64 floor-partition windows, bit i set iff window
+    * i's mean ≥ the global mean (all-integer comparison, ties set).
+    * Needs ≥ 64 values. */
+  def eHash64(vals: Array[Int]): Long = {
+    val n = vals.length
+    require(n >= 64, s"eHash64 needs >= 64 values, got $n")
+    var total = 0L
+    var i = 0
+    while (i < n) { total += vals(i); i += 1 }
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      val i0 = w * n / 64; val i1 = (w + 1) * n / 64
+      var s = 0L
+      var j = i0
+      while (j < i1) { s += vals(j); j += 1 }
+      if (s * n >= total * (i1 - i0)) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
   // ==================== WAV (16-bit mono PCM, LE) =====================
 
   def encodeWav(sampleRate: Int, pcm: Array[Short]): Array[Byte] = {

@@ -205,21 +205,136 @@ object Multimodal {
     * pairs whose flips spread across every band. Corpus never
     * all-pairs: candidates are band-bucket joins on a near-uniform key
     * (noise images collide per band at ~2^-8). */
-  def imageHashPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+  def imageHashPairs(hashes: DataFrame, maxDist: Int): DataFrame =
+    hammingPairs64(hashes, "ahash", maxDist)
+
+  /** Shared band-join core of the 64-bit fingerprint dedups (image
+    * aHash, audio envelope hash): 8 one-byte bands generate
+    * candidates, `bit_count` verifies. See [[imageHashPairs]] for the
+    * maxDist ≤ 7 exact-recall argument. */
+  private def hammingPairs64(hashes: DataFrame, hashCol: String,
+      maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
-    val bytes = hashes.select(col("doc_id"), col("ahash"),
+    val bytes = hashes.select(col("doc_id"), col(hashCol),
       posexplode(array((0 until 8).map(j =>
-        shiftright(col("ahash"), j * 8).bitwiseAND(lit(255L))): _*))
+        shiftright(col(hashCol), j * 8).bitwiseAND(lit(255L))): _*))
         .as(Seq("bix", "byte")))
     val a = bytes.select(col("bix"), col("byte"),
-      col("doc_id").as("doc_a"), col("ahash").as("hash_a"))
+      col("doc_id").as("doc_a"), col(hashCol).as("hash_a"))
     val b = bytes.select(col("bix"), col("byte"),
-      col("doc_id").as("doc_b"), col("ahash").as("hash_b"))
+      col("doc_id").as("doc_b"), col(hashCol).as("hash_b"))
     a.join(b, Seq("bix", "byte")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(hash_a ^ hash_b)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  final case class AudioFp(doc_id: Long, afp: Long)
+
+  /** Audio fingerprints: decode WAV → the 0..255 intensity stream
+    * ([[intensities]]' requantization, oracle-exact) → 64-window
+    * envelope hash ([[MediaCodecs.eHash64]]). Map-side. */
+  def audioFingerprints(spark: SparkSession, media: Dataset[MediaRow])
+      : Dataset[AudioFp] = {
+    import spark.implicits._
+    media.filter(_.media_type == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Try(AudioFp(r.doc_id, MediaCodecs.eHash64(intensities(r)))).toOption
+      }
+    }
+  }
+
+  /** AUDIO near-dup pairs — same banded shape as [[imageHashPairs]],
+    * over the envelope hash. */
+  def audioFpPairs(fps: DataFrame, maxDist: Int): DataFrame =
+    hammingPairs64(fps, "afp", maxDist)
+
+  /** Deterministic near-duplicate audio twins: bump the first
+    * `nSamples` INTENSITIES by `delta` (mod 256) and re-encode the
+    * PCM — the audio analogue of [[perturbImages]], lossless and
+    * oracle-mirrorable because the intensity map is. */
+  def perturbAudio(spark: SparkSession, media: Dataset[MediaRow],
+      nSamples: Int, delta: Int, idOffset: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.filter(_.media_type == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Try {
+          val (rate, pcm) = MediaCodecs.decodeWav(r.payload)
+          val out = pcm.clone()
+          var i = 0
+          while (i < math.min(nSamples, out.length)) {
+            val v = (((out(i) >> 8) + 128 + delta) & 0xff) - 128
+            out(i) = (v * 256).toShort
+            i += 1
+          }
+          r.copy(doc_id = r.doc_id + idOffset,
+            payload = MediaCodecs.encodeWav(rate, out))
+        }.toOption
+      }
+    }
+  }
+
+  final case class FrameHash(doc_id: Long, frame_idx: Int, fhash: Long)
+
+  /** Per-frame perceptual hashes of every video: the video's
+    * fingerprint is its SET of frame aHashes. Map-side full decode. */
+  def videoFrameHashes(spark: SparkSession, media: Dataset[MediaRow])
+      : Dataset[FrameHash] = {
+    import spark.implicits._
+    media.filter(_.media_type == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Try(MediaCodecs.decodeVideoFrames(r.payload, _ => true))
+          .getOrElse(Seq.empty)
+          .map { case (idx, w, h, px) =>
+            FrameHash(r.doc_id, idx, MediaCodecs.aHash64(w, h, px)) }
+      }
+    }
+  }
+
+  /** VIDEO near-dup pairs: videos sharing ≥ `minShared` DISTINCT frame
+    * hashes — the frame-grain analogue of
+    * [[NearDup.windowFpPairs]]' shared-window rule (frames are the
+    * windows). An edited/re-cut copy keeps most frames bit-identical
+    * under aHash; unrelated noise videos share none. Inverted-index
+    * join on the frame-hash key, count-distinct verification. */
+  def videoPairs(frameHashes: DataFrame, minShared: Int): DataFrame = {
+    require(minShared > 0, "minShared must be > 0")
+    val fh = frameHashes.select(col("doc_id"), col("fhash")).distinct()
+    fh.select(col("fhash"), col("doc_id").as("doc_a"))
+      .join(fh.select(col("fhash"), col("doc_id").as("doc_b")), "fhash")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Deterministic near-duplicate video twins: perturb the first
+    * `nPixels` of FRAME 0 by `delta`, re-encode every frame — one
+    * changed frame out of nf, the re-encoded-clip shape. */
+  def perturbVideos(spark: SparkSession, media: Dataset[MediaRow],
+      nPixels: Int, delta: Int, idOffset: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.filter(_.media_type == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Try {
+          val frames = MediaCodecs.decodeVideoFrames(r.payload, _ => true)
+          val encoded = frames.map { case (idx, w, h, px) =>
+            val out = if (idx == 0) {
+              val c = px.clone()
+              var i = 0
+              while (i < math.min(nPixels, c.length)) {
+                c(i) = (c(i) + delta) & 0xff; i += 1
+              }
+              c
+            } else px
+            MediaCodecs.encodePng(w, h, out)
+          }
+          r.copy(doc_id = r.doc_id + idOffset,
+            payload = MediaCodecs.encodeVideo(encoded))
+        }.toOption
+      }
+    }
   }
 
   /** Deterministic NEAR-duplicate image twins: decode, bump the first

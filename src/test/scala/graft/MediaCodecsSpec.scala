@@ -155,4 +155,27 @@ class MediaCodecsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = (0L until 30L by 3).map(i => (i, i + 1000L)).toSet
     assert(pairs === want)
   }
+
+  test("eHash64: hand-computed ramp; audio twins pair; video twins share frames") {
+    // ramp 0..63 with 64 windows of one value each: bits set exactly
+    // where value >= mean 31.5, i.e. the top 32 windows
+    val ramp = Array.tabulate(64)(identity)
+    assert(MediaCodecs.eHash64(ramp) === 0xFFFFFFFF00000000L)
+    val s = spark
+    val media = Multimodal.syntheticMedia(spark,
+      s.range(0, 30).toDF().withColumnRenamed("id", "doc_id"))
+    // audio docs are 1,4,..,28: each pairs with exactly its twin
+    val aTwins = Multimodal.perturbAudio(spark, media, 4, 16, 1000L)
+    val aPairs = Multimodal.audioFpPairs(
+        Multimodal.audioFingerprints(spark, media.union(aTwins)).toDF(), 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aPairs === (1L until 30L by 3).map(i => (i, i + 1000L)).toSet)
+    // video docs are 2,5,..,29 (nf >= 8): a twin differs only in frame
+    // 0, so every pair shares >= nf-1 >= 7 frame hashes
+    val vTwins = Multimodal.perturbVideos(spark, media, 4, 16, 1000L)
+    val vPairs = Multimodal.videoPairs(
+        Multimodal.videoFrameHashes(spark, media.union(vTwins)).toDF(), 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(vPairs === (2L until 30L by 3).map(i => (i, i + 1000L)).toSet)
+  }
 }

@@ -250,6 +250,70 @@ def signed64(v):
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def ehash64(vals):
+    """Mirror of MediaCodecs.eHash64: 64 floor windows over a 1-D
+    intensity stream, window mean vs global mean, ties set."""
+    n = len(vals)
+    total = sum(vals)
+    hv = 0
+    for w in range(64):
+        i0, i1 = w * n // 64, (w + 1) * n // 64
+        s = sum(vals[i0:i1])
+        if s * n >= total * (i1 - i0):
+            hv |= 1 << w
+    return hv
+
+
+def afp_rows(ids):
+    """(doc_id, unsigned envelope hash) for audio docs + perturbed
+    twins — audio intensities ARE the LCG bytes, and the perturbation
+    maps to (b + delta) & 0xFF on them exactly."""
+    rows = []
+    for i in ids:
+        if i % 3 != 1:
+            continue
+        n = 2048 + (i % 7) * 512
+        b = byte_stream(i, n)
+        rows.append((i, ehash64(b)))
+        tw = list(b)
+        for j in range(min(PHASH_PERTURB_N, len(tw))):
+            tw[j] = (tw[j] + PHASH_PERTURB_DELTA) & 0xFF
+        rows.append((i + PHASH_TWIN_OFFSET, ehash64(tw)))
+    return sorted(rows)
+
+
+VIDEO_MIN_SHARED = 7
+
+
+def video_pair_rows(ids):
+    """(doc_a, doc_b, n_shared) pairs of videos sharing >=
+    VIDEO_MIN_SHARED distinct frame aHashes; twins perturb frame 0."""
+    fsets = []
+    for i in ids:
+        if i % 3 != 2:
+            continue
+        nf = 8 + (i % 5) * 4
+        hashes = []
+        for f in range(nf):
+            px = byte_stream(frame_seed(i, f), 32 * 32)
+            hashes.append(ahash64(32, 32, px))
+            if f == 0:
+                tw = list(px)
+                for j in range(min(PHASH_PERTURB_N, len(tw))):
+                    tw[j] = (tw[j] + PHASH_PERTURB_DELTA) & 0xFF
+                tw0 = ahash64(32, 32, tw)
+        fsets.append((i, set(hashes)))
+        fsets.append((i + PHASH_TWIN_OFFSET, {tw0} | set(hashes[1:])))
+    out = []
+    for ai in range(len(fsets)):
+        for bi in range(ai + 1, len(fsets)):
+            (da, sa), (db, sb) = fsets[ai], fsets[bi]
+            n = len(sa & sb)
+            if n >= VIDEO_MIN_SHARED:
+                out.append((min(da, db), max(da, db), n))
+    return sorted(out)
+
+
 def resize_row(doc_id):
     if doc_id % 3 != 0:
         return None
@@ -355,9 +419,30 @@ def main(sf_dir, out_dir):
         "hamming": pa.array([r[2] for r in pairs], pa.int64()),
     }), os.path.join(out_dir, "mm_phash_pairs.parquet"))
 
+    afp = afp_rows(ids)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in afp], pa.int64()),
+        "afp": pa.array([signed64(r[1]) for r in afp], pa.int64()),
+    }), os.path.join(out_dir, "mm_afp.parquet"))
+
+    apairs = phash_pairs(afp)
+    pq.write_table(pa.table({
+        "doc_a": pa.array([r[0] for r in apairs], pa.int64()),
+        "doc_b": pa.array([r[1] for r in apairs], pa.int64()),
+        "hamming": pa.array([r[2] for r in apairs], pa.int64()),
+    }), os.path.join(out_dir, "mm_afp_pairs.parquet"))
+
+    vpairs = video_pair_rows(ids)
+    pq.write_table(pa.table({
+        "doc_a": pa.array([r[0] for r in vpairs], pa.int64()),
+        "doc_b": pa.array([r[1] for r in vpairs], pa.int64()),
+        "n_shared": pa.array([r[2] for r in vpairs], pa.int64()),
+    }), os.path.join(out_dir, "mm_video_pairs.parquet"))
+
     print(f"wrote {len(feats)} features / {len(frames)} frames / "
           f"{len(resz)} resizes / {len(ph)} phashes / {len(pairs)} "
-          f"phash pairs to {out_dir}")
+          f"phash pairs / {len(afp)} afps / {len(apairs)} afp pairs / "
+          f"{len(vpairs)} video pairs to {out_dir}")
 
     fix_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "mm_fixtures")
