@@ -701,6 +701,37 @@ object PipelineQueries {
            |  array_to_string(bpe, ' ') AS bpe
            |FROM tokzt ORDER BY doc_id""".stripMargin)),
 
+    // snapshot version diff: publish two constructed corpus versions
+    // (drop %7s, then drop %5s and edit %3s), row-level change capture
+    // between them — the oracle states the parity rules directly, no
+    // filesystem needed on its side (a NULL text "edit" is a no-op on
+    // both engines: concat(NULL, ..) stays NULL, hashes equal)
+    ("cu_snapshot_diff",
+      ((s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+        val dir = java.nio.file.Files.createTempDirectory("snapdiff").toString
+        val v1 = pipeline.Snapshot.publish(
+          docs.filter(col("doc_id") % 7 =!= 0), dir)
+        val v2 = pipeline.Snapshot.publish(
+          docs.filter(col("doc_id") % 5 =!= 0)
+            .withColumn("text", when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" edited"))).otherwise(col("text"))),
+          dir)
+        pipeline.Snapshot.diff(s, dir, Seq("doc_id"), v1, v2)
+          .orderBy("doc_id")
+      }): Q,
+      Some(
+        """SELECT * FROM (
+          |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |    CASE WHEN doc_id % 7 = 0 AND doc_id % 5 <> 0 THEN 'added'
+          |         WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0 THEN 'removed'
+          |         WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+          |              AND doc_id % 3 = 0 AND text IS NOT NULL THEN 'changed'
+          |    END AS change
+          |  FROM documents)
+          |WHERE change IS NOT NULL ORDER BY doc_id""".stripMargin)),
+
     // tokenizer quality metrics: per-source fertility (BPE tokens per
     // word) and chars-per-token compression over the learned merges —
     // the numbers a tokenizer run is judged by

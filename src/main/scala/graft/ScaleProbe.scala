@@ -304,31 +304,33 @@ object ScaleProbe {
       },
       {
         // quantile tier at the same point: per-source p50/p99 over 10M
-        // skewed values via k=512 compactor stacks (the shuffle carries
-        // O(k·log(N/k)) values per (source, partition)); the rank-error
-        // gate asserts in-stage so a sketch regression fails the probe
+        // values, EVERY ONE DISTINCT (the regime where exact
+        // percentile's value→count state grows with the stream while
+        // the k=512 compactor stacks stay O(k·log(N/k)) per
+        // (source, partition)); the rank-error gate asserts in-stage
+        // so a sketch regression fails the probe
         val qvals = keys.select(
           concat(lit("s"), pmod(col("doc_id"), lit(8))).as("source"),
-          (col("doc_id") % 1000000).cast("double").as("v"))
+          col("doc_id").cast("double").as("v"))
         time("quantile_sketch_10m") {
           val out = graft.pipeline.Curation.sketchValueQuantiles(
             graft.pipeline.Curation.valueSketches(
               qvals, "source", col("v"), k = 512),
             "source", Seq(0.5, 0.99)).collect()
-          // v is uniform over [0, 1M) within every source: true p50 =
-          // ~500k, p99 = ~990k; 5% rank tolerance = 50k value slack
+          // per-source v is uniform over [0, 10M): true p50 ~5M,
+          // p99 ~9.9M; 5% rank tolerance = 500k value slack
           require(out.length == 8 && out.forall { r =>
-            math.abs(r.getDouble(1) - 500000) < 50000 &&
-              math.abs(r.getDouble(2) - 990000) < 50000
+            math.abs(r.getDouble(1) - 5000000) < 500000 &&
+              math.abs(r.getDouble(2) - 9900000) < 500000
           }, "quantile sketch past its rank-error bound")
           out.length.toLong
         }
       },
-      time("exact_quantiles_10m") { // the contrast: percentile_disc
-        // sorts the full value stream per source
+      time("exact_quantiles_10m") { // the contrast: exact percentile
+        // carries a value→count map that here holds every row
         keys.select(
             concat(lit("s"), pmod(col("doc_id"), lit(8))).as("source"),
-            (col("doc_id") % 1000000).cast("double").as("v"))
+            col("doc_id").cast("double").as("v"))
           .groupBy("source")
           .agg(expr("percentile(v, array(0.5, 0.99))").as("q")).count()
       },

@@ -317,4 +317,41 @@ object Snapshot {
       .groupBy(col("file"))
       .agg(min(col(key)).as("key_min"), max(col(key)).as("key_max"),
         count(lit(1)).as("rows"))
+
+  /** Row-level change capture between two published versions — the
+    * "what did this curation rerun actually do" question a dataset
+    * consumer asks before retraining on a new snapshot. Emits one row
+    * per changed key: `change` ∈ added (key only in `vNew`), removed
+    * (only in `vOld`), changed (in both, any non-key column differs —
+    * decided by a 64-bit content hash over the non-key columns in
+    * deterministic column order).
+    *
+    * Scale shape: both sides reduce to (key, hash) BEFORE the one
+    * key-partitioned full-outer join — the join carries 16 bytes per
+    * row, not document text, and prunes to the changed set map-side
+    * after. Versions are immutable, so the diff is stable under
+    * concurrent publishes (MVCC). Keys must be unique per version
+    * (the doc-id contract every curation output here satisfies);
+    * duplicate keys would cross-multiply through the join. */
+  def diff(spark: SparkSession, dir: String, keys: Seq[String],
+      vOld: Long, vNew: Long): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    val o = read(spark, dir, Some(vOld))
+    val n = read(spark, dir, Some(vNew))
+    require(o.columns.sorted.sameElements(n.columns.sorted),
+      s"schema drift between v=$vOld and v=$vNew: " +
+        s"${o.columns.mkString(",")} vs ${n.columns.mkString(",")}")
+    val valCols = o.columns.filterNot(keys.contains).sorted
+    def hashed(df: DataFrame, h: String) =
+      if (valCols.isEmpty) df.select(keys.map(col) :+ lit(0L).as(h): _*)
+      else df.select(keys.map(col) :+
+        xxhash64(valCols.map(col): _*).as(h): _*)
+    hashed(o, "h_old").join(hashed(n, "h_new"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .as("change"): _*)
+      .filter(col("change").isNotNull)
+  }
 }

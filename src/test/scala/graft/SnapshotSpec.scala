@@ -182,6 +182,30 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.sharedState.cacheManager.isEmpty)
   }
 
+  test("diff: hand-planted add/remove/change; schema drift refused") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    val v1 = Snapshot.publish(Seq(
+      (1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+      .toDF("doc_id", "text", "source"), dir)
+    val v2 = Snapshot.publish(Seq(
+      (1L, "one", "a"),            // untouched → absent from the diff
+      (2L, "two EDITED", "a"),     // changed
+      (4L, "four", "b"))           // added; 3 removed
+      .toDF("doc_id", "text", "source"), dir)
+    val got = Snapshot.diff(spark, dir, Seq("doc_id"), v1, v2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // identical versions diff to nothing
+    assert(Snapshot.diff(spark, dir, Seq("doc_id"), v1, v1).count() === 0L)
+    // a column rename between versions must refuse, not silently diff
+    val v3 = Snapshot.publish(Seq((1L, "one"))
+      .toDF("doc_id", "body"), dir)
+    val ex = intercept[IllegalArgumentException](
+      Snapshot.diff(spark, dir, Seq("doc_id"), v2, v3))
+    assert(ex.getMessage.contains("schema drift"))
+  }
+
   test("vacuum keeps the grace window and the live version") {
     val dir = tmpDir()
     (1 to 4).foreach(i => Snapshot.publish(corpus(i * 10, s"v$i"), dir))
