@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Events
+
+/** Driver-checked queries for the event-stream analytics family
+  * ([[graft.pipeline.Events]]): gap sessionization, ordered funnels,
+  * semi-structured props extraction — all in integer microsecond time
+  * so the DuckDB oracles compare exactly. */
+object EvQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One "session day": events gap-split at 24 h. */
+  private val GapUs = 86400L * 1000000L
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // gap-based sessionization: per-user 24h-gap sessions with start,
+    // size, and exact microsecond duration
+    ("ev_sessions",
+      ((s: SparkSession, d: String) =>
+        Events.sessionize(Tables.events(s, d), GapUs)
+          .select(col("user_id").cast("long").as("user_id"),
+            col("session_start"), col("n_events"), col("duration_us"))
+          .orderBy("user_id", "session_start")): Q,
+      Some(
+        s"""WITH ${Events.sessionizeSql(GapUs)}
+           |SELECT CAST(user_id AS BIGINT) AS user_id, session_start,
+           |  n_events, duration_us
+           |FROM sessions ORDER BY user_id, session_start""".stripMargin)),
+
+    // ordered conversion funnel: first view, then a click after it,
+    // then a purchase after that — per-stage user counts
+    ("ev_funnel",
+      ((s, d) => Events.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"))): Q,
+      Some(
+        s"""WITH ${Events.funnelSql("view", "click", "purchase")}
+           |SELECT n_view, n_click, n_purchase FROM funl""".stripMargin)),
+
+    // semi-structured props: anchored-regex integer extraction (no
+    // JSON engine dependency), aggregated per event type
+    ("ev_props_sum",
+      ((s, d) => Events.propsInt(Tables.events(s, d), "k")
+        .groupBy("event_type")
+        .agg(sum(col("k_val")).as("k_sum"),
+          count(col("k_val")).as("n_with_k"))
+        .orderBy("event_type")): Q,
+      Some(
+        s"""SELECT event_type,
+           |  CAST(sum(kv) AS BIGINT) AS k_sum,
+           |  CAST(count(kv) AS BIGINT) AS n_with_k
+           |FROM (SELECT event_type, ${Events.propsIntSql("k")} AS kv
+           |      FROM events)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+
+  def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+  def oracles: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -20,11 +20,11 @@ object SparkEntry {
     RelQueries.queries ++ TsQueries.queries ++ PipelineQueries.queries ++
       RrdQueries.queries ++ DslQueries.queries ++ HwQueries.queries ++
       StatsdQueries.queries ++ SimQueries.queries ++ MultimodalQueries.queries ++
-      IngestQueries.queries ++ FetchQueries.queries
+      IngestQueries.queries ++ FetchQueries.queries ++ EvQueries.queries
 
   def oracleSql: Map[String, String] =
     RelQueries.oracles ++ TsQueries.oracles ++ PipelineQueries.oracles ++
       RrdQueries.oracles ++ DslQueries.oracles ++ StatsdQueries.oracles ++
       SimQueries.oracles ++ MultimodalQueries.oracles ++ IngestQueries.oracles ++
-      FetchQueries.oracles ++ HwQueries.oracles
+      FetchQueries.oracles ++ HwQueries.oracles ++ EvQueries.oracles
 }

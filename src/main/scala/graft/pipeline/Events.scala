@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table — the interaction
+  * half of a training-data platform (session traces and funnels are
+  * themselves training corpora for agent/recommendation models, and
+  * the same gap-sessionization prepares "user trajectory" documents).
+  *
+  * Everything is micro-second integer time (`unix_micros` ↔ DuckDB
+  * `epoch_us`) so the oracles compare exactly, with one shuffle by
+  * `user_id` per operator — the partitioning a 100 TB event log is
+  * already bucketed by.
+  *
+  * Reference scope: tgres has no event-log surface; this implements
+  * the survey's pipeline extension (SURVEY.md §2 extension table).
+  */
+object Events {
+
+  /** Gap-based sessionization: a new session starts when a user's gap
+    * since their previous event exceeds `gapUs`. The classic
+    * two-window form (break flag via `lag`, session id via running
+    * sum) — both windows share ONE (user_id, t) sort in one shuffle,
+    * Catalyst collapses them into a single Window node. Returns
+    * (user_id, session_start, n_events, duration_us). */
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    require(gapUs > 0, "gapUs must be positive")
+    val w = Window.partitionBy("user_id").orderBy("t")
+    events.select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("brk",
+        when(col("t") - lag(col("t"), 1).over(w) > gapUs || lag(col("t"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (max(col("t")) - min(col("t"))).as("duration_us"))
+      .select("user_id", "session_start", "n_events", "duration_us")
+  }
+
+  /** DuckDB twin of [[sessionize]]; defines `sessions(user_id,
+    * session_start, n_events, duration_us)`. */
+  def sessionizeSql(gapUs: Long): String =
+    s"""evt AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+       |brks AS (
+       |  SELECT user_id, t,
+       |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > $gapUs
+       |         OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM evt
+       |), sids AS (
+       |  SELECT user_id, t,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS sid
+       |  FROM brks
+       |), sessions AS (
+       |  SELECT user_id, min(t) AS session_start,
+       |    CAST(count(*) AS BIGINT) AS n_events,
+       |    max(t) - min(t) AS duration_us
+       |  FROM sids GROUP BY user_id, sid
+       |)""".stripMargin
+
+  /** Ordered conversion funnel: users whose first `stages(i+1)` event
+    * happens strictly AFTER their qualifying `stages(i)` event. One
+    * tiny per-stage aggregate each (users-sized frames, broadcastable
+    * joins); the event log is scanned once per stage with a pushed
+    * `event_type` filter. Returns one row of per-stage user counts
+    * (`n_<stage>`). */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "funnel needs at least 2 stages")
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t"))
+    // reached(i): per-user timestamp of the FIRST stage-i event that
+    // follows their stage-(i-1) qualifying time
+    var reached = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("t")).as("tq"))
+    var out: DataFrame = reached.agg(
+      count(lit(1)).as(s"n_${stages.head}"))
+    stages.tail.foreach { st =>
+      reached = e.filter(col("event_type") === st)
+        .join(reached, "user_id")
+        .filter(col("t") > col("tq"))
+        .groupBy("user_id").agg(min(col("t")).as("tq"))
+      out = out.crossJoin(reached.agg(count(lit(1)).as(s"n_$st")))
+    }
+    out
+  }
+
+  /** DuckDB twin of [[funnel]] for exactly three stages; defines
+    * `funl(n_<a>, n_<b>, n_<c>)`. */
+  def funnelSql(a: String, b: String, c: String): String =
+    s"""evt3 AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       |s1 AS (SELECT user_id, min(t) AS tq FROM evt3
+       |       WHERE event_type = '$a' GROUP BY user_id),
+       |s2 AS (SELECT e.user_id, min(e.t) AS tq FROM evt3 e
+       |       JOIN s1 ON s1.user_id = e.user_id
+       |       WHERE e.event_type = '$b' AND e.t > s1.tq GROUP BY e.user_id),
+       |s3 AS (SELECT e.user_id, min(e.t) AS tq FROM evt3 e
+       |       JOIN s2 ON s2.user_id = e.user_id
+       |       WHERE e.event_type = '$c' AND e.t > s2.tq GROUP BY e.user_id),
+       |funl AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_$a,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_$b,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_$c
+       |)""".stripMargin
+
+  /** Semi-structured props extraction WITHOUT a JSON engine
+    * dependency: pull integer key `key` out of the one-level JSON
+    * `props` string by anchored regex — identical semantics on both
+    * engines, codegen'd on Spark. Returns the input plus `<key>_val`
+    * (null when absent/non-integer). */
+  def propsInt(events: DataFrame, key: String): DataFrame =
+    events.withColumn(s"${key}_val",
+      nullif(regexp_extract(col("props"),
+        "\"" + key + "\": (-?\\d+)", 1), lit("")).cast("long"))
+
+  /** The matching DuckDB expression for [[propsInt]]'s column. */
+  def propsIntSql(key: String): String =
+    s"""CAST(nullif(regexp_extract(props, '"$key": (-?\\d+)', 1), '') AS BIGINT)"""
+
+  /** Streaming gap-sessionization: Spark's native `session_window`
+    * over event time — sessions close `gap` after their last event
+    * once the watermark passes, so state is bounded by OPEN sessions
+    * only (the streaming twin of [[sessionize]]'s batch windows).
+    * Append mode emits each session exactly once, on close. */
+  def sessionizeStream(events: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("session_start"),
+        col("n_events"))
+}

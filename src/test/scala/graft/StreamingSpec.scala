@@ -135,6 +135,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map("lat" -> ((30.0, 50.0)), "other" -> ((5.0, 5.0))))
   }
 
+  test("streaming sessionization: session_window closes sessions past the watermark") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = graft.pipeline.Events.sessionizeStream(events, "10 seconds", "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // two events 5s apart merge into one session window [0, 15)
+    mem.addData((1L, ts(0)), (1L, ts(5)))
+    q.processAllAvailable()
+    // an event far past the gap advances the watermark beyond the
+    // first session's close; the next batch flushes it (append mode
+    // emits each closed session exactly once)
+    mem.addData((1L, ts(100)))
+    q.processAllAvailable()
+    mem.addData((2L, ts(200)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess").as[(Long, Long, Long)].collect().toSet
+    // the closed session: user 1, start t=0 (µs), both events merged
+    assert(got.contains((1L, 0L, 2L)), s"got $got")
+    // the open sessions (user 1 @100s, user 2 @200s) must NOT have
+    // been emitted yet
+    assert(!got.exists(r => r._2 == 200000000L))
+  }
+
   test("pickle frames stream end-to-end: binary micro-batches → slots") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
