@@ -732,6 +732,54 @@ object PipelineQueries {
           |  FROM documents)
           |WHERE change IS NOT NULL ORDER BY doc_id""".stripMargin)),
 
+    // incremental re-scoring across the same version bump: score ONLY
+    // the diff's added/changed docs, keep the rest of the v1 score
+    // table — the result must equal a full re-score of v2, which is
+    // what the oracle computes (per-doc scores over the shadowed v2
+    // corpus CTE; main.documents is the base table underneath)
+    ("cu_incremental_scores",
+      ((s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+        val dir = java.nio.file.Files.createTempDirectory("incsc").toString
+        val v1 = pipeline.Snapshot.publish(
+          docs.filter(col("doc_id") % 7 =!= 0), dir)
+        val v2 = pipeline.Snapshot.publish(
+          docs.filter(col("doc_id") % 5 =!= 0)
+            .withColumn("text", when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" edited"))).otherwise(col("text"))),
+          dir)
+        val oldScores = pipeline.Curation.docScores(
+          pipeline.Snapshot.read(s, dir, Some(v1)))
+        pipeline.Curation.incrementalDocScores(s, dir, v1, v2, oldScores)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            ts.Round6.r6(col("quality")).as("quality"), col("lang_pred"),
+            ts.Round6.r6(col("entropy")).as("entropy"))
+          .orderBy("doc_id")
+      }): Q,
+      Some(
+        s"""WITH documents AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN text || ' edited'
+           |         ELSE text END AS text,
+           |    lang, source, n_chars
+           |  FROM main.documents WHERE doc_id % 5 <> 0
+           |),
+           |${pipeline.TextAnalysis.charEntropySql},
+           |qual AS (${pipeline.TextAnalysis.qualityScoreSql}),
+           |lang AS (${pipeline.TextAnalysis.languageIdSql})
+           |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+           |  CAST(q.n_tokens AS BIGINT) AS n_tokens,
+           |  ${ts.Round6.r6Sql("CAST(q.quality AS DOUBLE)")} AS quality,
+           |  l.lang_pred,
+           |  ${ts.Round6.r6Sql("e.entropy")} AS entropy
+           |FROM documents d
+           |LEFT JOIN qual q USING (doc_id)
+           |LEFT JOIN lang l USING (doc_id)
+           |LEFT JOIN ent e USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)),
+
     // tokenizer quality metrics: per-source fertility (BPE tokens per
     // word) and chars-per-token compression over the learned merges —
     // the numbers a tokenizer run is judged by

@@ -932,6 +932,48 @@ object Curation {
   def scoreToSnapshot(docs: DataFrame, dir: String): Long =
     Snapshot.publish(scoreTable(docs), dir)
 
+  /** The DOC-LOCAL subset of [[scoreTable]]: quality, language id,
+    * character entropy — every column a pure function of the one
+    * document, which is what makes [[incrementalDocScores]] exact.
+    * (Corpus-relative scores — perplexity's LM, DSIR's bucket
+    * distributions — are trained ON the corpus and go stale when it
+    * changes; [[scoreTable]] recomputes those.) */
+  def docScores(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("n_tokens"), col("quality")),
+        Seq("doc_id"), "left")
+      .join(TextAnalysis.languageId(docs)
+        .select(col("doc_id"), col("lang_pred"), col("lang_score")),
+        Seq("doc_id"), "left")
+      .join(TextAnalysis.charEntropy(docs)
+        .select(col("doc_id"), col("entropy")), Seq("doc_id"), "left")
+
+  /** Incremental refresh of a stored [[docScores]] table across a
+    * corpus version bump — the "only re-score what changed" path a
+    * 100 TB corpus demands (a full rescore re-reads every byte;
+    * this touches the diff). [[Snapshot.diff]] names the changed
+    * keys; only added/changed docs are scored, removed/changed rows
+    * drop from the old table, and the union EQUALS
+    * `docScores(read(vNew))` exactly because every column is
+    * doc-local. Scale shape: the diff is a (key, hash) join; scoring
+    * touches |added ∪ changed| docs; the old table is pruned by one
+    * broadcast-able anti-join on the diff keys. */
+  def incrementalDocScores(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, vOld: Long, vNew: Long,
+      oldScores: DataFrame): DataFrame = {
+    // the diff is consumed by two branches of one plan; it stays
+    // uncached deliberately — it re-derives from immutable version
+    // dirs (cheap (key, hash) scans), and a persist here would outlive
+    // the call (the cache-lifetime trap minhashPairsScoped documents)
+    val d = Snapshot.diff(spark, corpusDir, Seq("doc_id"), vOld, vNew)
+    val toScore = Snapshot.read(spark, corpusDir, Some(vNew))
+      .join(d.filter(col("change").isin("added", "changed"))
+        .select("doc_id"), "doc_id")
+    val kept = oldScores.join(d.select("doc_id"), Seq("doc_id"), "left_anti")
+    kept.unionByName(docScores(toScore))
+  }
+
   /** End-to-end model-based data selection — the scoring-side
     * complement of [[curate]] (which gates on surface signals: dedup,
     * quality ratios, contamination). Three model scores gate each

@@ -438,6 +438,29 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.getAs[Double]("top_2gram_frac") === 0.0)
   }
 
+  test("incrementalDocScores ≡ full re-score of the new version") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incspec").toString
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "source")
+    import graft.pipeline.{Curation, Snapshot}
+    val v1 = Snapshot.publish(mk(Seq(
+      (1L, "stable words here", "a"),
+      (2L, "will change soon", "a"),
+      (3L, "doomed to removal", "b"))), dir)
+    val v2 = Snapshot.publish(mk(Seq(
+      (1L, "stable words here", "a"),    // kept: must come from the OLD table
+      (2L, "changed entirely now", "a"), // changed: re-scored
+      (4L, "fresh arrival", "b"))), dir) // added: scored
+    val old = Curation.docScores(Snapshot.read(s, dir, Some(v1)))
+    val inc = Curation.incrementalDocScores(s, dir, v1, v2, old)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val full = Curation.docScores(Snapshot.read(s, dir, Some(v2)))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(inc === full)
+    assert(inc.map(_.head) === Seq(1L, 2L, 4L)) // 3 removed
+  }
+
   test("bpeFertility: hand-computed at zero merges; merges drive fertility toward 1") {
     val s = spark; import s.implicits._
     // zero rounds = character-split (+ </w>):
