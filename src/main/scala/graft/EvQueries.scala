@@ -40,6 +40,17 @@ object EvQueries {
         s"""WITH ${Events.funnelSql("view", "click", "purchase")}
            |SELECT n_view, n_click, n_purchase FROM funl""".stripMargin)),
 
+    // retention cohorts: users by first active week × later-activity
+    // week offset — the retention triangle
+    ("ev_cohorts",
+      ((s, d) => Events.cohorts(Tables.events(s, d))
+        .select(col("cohort_wk"), col("week_offset"), col("n_users"))
+        .orderBy("cohort_wk", "week_offset")): Q,
+      Some(
+        s"""WITH ${Events.cohortsSql}
+           |SELECT cohort_wk, week_offset, n_users
+           |FROM coh ORDER BY cohort_wk, week_offset""".stripMargin)),
+
     // semi-structured props: anchored-regex integer extraction (no
     // JSON engine dependency), aggregated per event type
     ("ev_props_sum",

@@ -780,6 +780,45 @@ object PipelineQueries {
            |LEFT JOIN ent e USING (doc_id)
            |ORDER BY doc_id""".stripMargin)),
 
+    // curriculum ordering: stage thresholds from the quantile sketch
+    // (exact regime at verify scale — the oracle restates them with
+    // the discrete-lower-quantile rank formula over non-null
+    // qualities), then block-shuffled rank within each stage
+    ("cu_curriculum",
+      ((s, d) => pipeline.Curation.curriculumOrder(
+          Tables.documents(s, d), 3, "cur1")
+        .select(col("stage"), col("block"), col("rank"),
+          col("doc_id").cast("long").as("doc_id"))
+        .orderBy("stage", "block", "rank")): Q,
+      Some {
+        val blockOf = "('0x' || substr(hx, 1, 6))::BIGINT % 256"
+        s"""WITH qual AS (${pipeline.TextAnalysis.qualityScoreSql}),
+           |q6 AS (SELECT doc_id,
+           |         ${ts.Round6.r6Sql("CAST(quality AS DOUBLE)")} AS q
+           |       FROM qual),
+           |rk AS (SELECT q, row_number() OVER (ORDER BY q) AS rn,
+           |         count(*) OVER () AS n
+           |       FROM q6 WHERE q IS NOT NULL),
+           |thr AS (SELECT
+           |  min(CASE WHEN rn >= greatest(1,
+           |    CAST(ceil((CAST(1 AS DOUBLE)/3)*n) AS BIGINT)) THEN q END) AS t0,
+           |  min(CASE WHEN rn >= greatest(1,
+           |    CAST(ceil((CAST(2 AS DOUBLE)/3)*n) AS BIGINT)) THEN q END) AS t1
+           |  FROM rk),
+           |st AS (SELECT doc_id,
+           |         CASE WHEN q <= t0 THEN 0 WHEN q <= t1 THEN 1 ELSE 2 END AS stage
+           |       FROM q6, thr),
+           |h AS (SELECT doc_id, stage,
+           |        md5('cur1' || CAST(doc_id AS VARCHAR)) AS hx
+           |      FROM st)
+           |SELECT CAST(stage AS BIGINT) AS stage,
+           |  CAST($blockOf AS BIGINT) AS block,
+           |  CAST(row_number() OVER (PARTITION BY stage, $blockOf
+           |    ORDER BY hx, CAST(doc_id AS VARCHAR)) AS BIGINT) AS rank,
+           |  CAST(doc_id AS BIGINT) AS doc_id
+           |FROM h ORDER BY stage, block, rank""".stripMargin
+      }),
+
     // tokenizer quality metrics: per-source fertility (BPE tokens per
     // word) and chars-per-token compression over the learned merges —
     // the numbers a tokenizer run is judged by

@@ -949,6 +949,44 @@ object Curation {
       .join(TextAnalysis.charEntropy(docs)
         .select(col("doc_id"), col("entropy")), Seq("doc_id"), "left")
 
+  /** Curriculum ordering WITHOUT a global sort: stage boundaries come
+    * from the quantile sketch over the (6-round-trip-rounded) quality
+    * score — a K-bounded driver bounce, the k-means-centroid class —
+    * then every doc is assigned its stage map-side by value
+    * comparison and shuffle-ranked WITHIN (stage, block) exactly like
+    * [[Sampling.shuffleRank]]'s training-order shuffle. The classic
+    * curriculum alternative (`ntile` over the whole corpus) is a
+    * single-partition global sort — the shape this exists to avoid.
+    * Stages ascend by quality: stage 0 holds the lowest-quality
+    * third (… 1/nStages), stage nStages-1 the highest. Exact while
+    * the corpus holds ≤ 8192 docs (the sketch's exact regime — what
+    * the oracle pins); past that, stage boundaries are approximate
+    * with the sketch's rank-error bound while assignment stays
+    * deterministic. Returns (stage, block, rank, doc_id). */
+  def curriculumOrder(docs: DataFrame, nStages: Int, salt: String,
+      blocks: Int = 256): DataFrame = {
+    require(nStages >= 2, "curriculum needs >= 2 stages")
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), graft.ts.Round6.r6(col("quality")).as("q"))
+    val qs = (1 until nStages).map(_.toDouble / nStages)
+    val thr = scored.agg(graft.functions.SketchExprs
+      .quantiles(col("q"), 8192, qs).as("t"))
+      .collect()(0).getSeq[Double](0)
+    val stage = thr.zipWithIndex.foldRight(lit(nStages - 1): Column) {
+      case ((t, i), acc) => when(col("q") <= t, lit(i)).otherwise(acc)
+    }
+    scored.withColumn("stage", stage.cast("long"))
+      .withColumn("__h", md5(concat(lit(salt), col("doc_id").cast("string"))))
+      .withColumn("block",
+        pmod(conv(substring(col("__h"), 1, 6), 16, 10).cast("long"),
+          lit(blocks)))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stage"), col("block"))
+          .orderBy(col("__h"), col("doc_id").cast("string"))).cast("long"))
+      .select(col("stage"), col("block"), col("rank"), col("doc_id"))
+  }
+
   /** Incremental refresh of a stored [[docScores]] table across a
     * corpus version bump — the "only re-score what changed" path a
     * 100 TB corpus demands (a full rescore re-reads every byte;

@@ -119,6 +119,39 @@ object Events {
   def propsIntSql(key: String): String =
     s"""CAST(nullif(regexp_extract(props, '"$key": (-?\\d+)', 1), '') AS BIGINT)"""
 
+  /** Microseconds per week — the cohort grain. */
+  val WeekUs: Long = 7L * 86400L * 1000000L
+
+  /** Retention cohorts: users grouped by their FIRST active week,
+    * counted per (cohort week, week offset) of later activity — the
+    * retention triangle. Two aggregates over the distinct
+    * (user, week) frame (its cardinality is bounded by users×weeks,
+    * far under the event count), first-week joined back user-keyed.
+    * Integer floor-div week indexing (`div` ↔ DuckDB `//`), exact
+    * cross-engine. */
+  def cohorts(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+      expr(s"unix_micros(ts) div $WeekUs").as("wk")).distinct()
+    val first = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** DuckDB twin of [[cohorts]]; defines `coh(cohort_wk, week_offset,
+    * n_users)`. */
+  def cohortsSql: String =
+    s"""uw AS (SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS wk
+       |       FROM events),
+       |fw AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id),
+       |coh AS (
+       |  SELECT cohort_wk, wk - cohort_wk AS week_offset,
+       |    CAST(count(*) AS BIGINT) AS n_users
+       |  FROM uw JOIN fw USING (user_id)
+       |  GROUP BY cohort_wk, wk - cohort_wk
+       |)""".stripMargin
+
   /** Streaming gap-sessionization: Spark's native `session_window`
     * over event time — sessions close `gap` after their last event
     * once the watermark passes, so state is bounded by OPEN sessions

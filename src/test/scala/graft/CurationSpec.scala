@@ -461,6 +461,34 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc.map(_.head) === Seq(1L, 2L, 4L)) // 3 removed
   }
 
+  test("curriculumOrder: sketch-thresholded stages ascend by quality, thirds exact") {
+    val s = spark; import s.implicits._
+    // 9 docs with strictly distinct quality scores (growing clean-word
+    // share): thresholds land on the 3rd and 6th ordered values →
+    // exactly 3 docs per stage, stages ordered by quality
+    val docs = (0 until 9).map { i =>
+      val clean = Seq.fill(i + 1)("steady prose words").mkString(" ")
+      val noisy = Seq.fill(9 - i)("#$%! 42").mkString(" ")
+      (i.toLong, s"$clean $noisy", "src")
+    }.toDF("doc_id", "text", "source")
+    val out = Curation.curriculumOrder(docs, 3, "t").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(out.groupBy(_._1).view.mapValues(_.size).toMap ===
+      Map(0L -> 3, 1L -> 3, 2L -> 3))
+    val q = graft.pipeline.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byStage = out.groupBy(_._1).view
+      .mapValues(_.map(p => q(p._2)).max).toMap
+    assert(byStage(0L) < byStage(1L) && byStage(1L) < byStage(2L))
+    // determinism: same salt, same order
+    val again = Curation.curriculumOrder(docs, 3, "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val first = Curation.curriculumOrder(docs, 3, "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again === first)
+  }
+
   test("bpeFertility: hand-computed at zero merges; merges drive fertility toward 1") {
     val s = spark; import s.implicits._
     // zero rounds = character-split (+ </w>):
