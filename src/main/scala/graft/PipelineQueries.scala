@@ -974,7 +974,32 @@ object PipelineQueries {
            |         PARTITION BY ('0x' || substr(hx, 1, 6))::BIGINT % 256
            |         ORDER BY hx, CAST(doc_id AS VARCHAR)) AS BIGINT) AS rank,
            |       CAST(doc_id AS BIGINT) AS doc_id
-           |FROM h ORDER BY block, rank""".stripMargin))
+           |FROM h ORDER BY block, rank""".stripMargin)),
+
+    // mergeable uniform-sample tier: per-source bottom-5 sketches over
+    // two disjoint increments, union re-selected — bottom-k is
+    // monotone, so the merge EQUALS the direct whole-corpus bottom-k
+    // the oracle states
+    ("sp_sample_sketch",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val sketches = pipeline.Sampling.sampleSketch(
+            docs.filter(col("doc_id") % 2 === 0), "source", col("doc_id"),
+            5, "smp1")
+          .union(pipeline.Sampling.sampleSketch(
+            docs.filter(col("doc_id") % 2 === 1), "source", col("doc_id"),
+            5, "smp1"))
+        pipeline.Sampling.mergeSampleSketches(sketches, "source", 5)
+          .orderBy("source", "key")
+      }): Q,
+      Some(
+        """SELECT source, key FROM (
+          |  SELECT source, CAST(doc_id AS VARCHAR) AS key,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5('smp1' || CAST(doc_id AS VARCHAR)),
+          |               CAST(doc_id AS VARCHAR)) AS rn
+          |  FROM documents)
+          |WHERE rn <= 5 ORDER BY source, key""".stripMargin))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

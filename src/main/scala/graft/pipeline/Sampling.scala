@@ -173,4 +173,44 @@ object Sampling {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("block")).orderBy(col("__h"), key.cast("string"))))
       .drop("__h")
+
+  /** SAMPLE member of the stored-sketch family (HLL = distinct, MG =
+    * frequency, compactor stacks = quantiles; this = a uniform
+    * specimen set): per (group, increment) keep the `k` keys with the
+    * smallest salted hash, as one array row. Bottom-k is a MONOTONE
+    * selection, so the union of per-increment sketches re-bottom-k'd
+    * ([[mergeSampleSketches]]) EQUALS the direct bottom-k of the whole
+    * corpus — exactly, not approximately — at any increment split.
+    * Plan shape: the rank filter is Spark 4's `WindowGroupLimit`
+    * (map-side per-partition top-k before the one group shuffle);
+    * state is k keys per group per increment. Deterministic and
+    * engine-portable (md5 order, ties by key). */
+  def sampleSketch(df: DataFrame, by: String, key: Column, k: Int,
+      salt: String): DataFrame = {
+    require(k > 0, "sampleSketch requires k > 0")
+    df.select(col(by), key.cast("string").as("key"),
+        md5(concat(lit(salt), key.cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(by)).orderBy(col("h"), col("key"))))
+      .filter(col("rn") <= k)
+      .groupBy(col(by))
+      .agg(sort_array(collect_list(struct(col("h"), col("key"))))
+        .as("smp"))
+  }
+
+  /** Read side of [[sampleSketch]]'s tier: union stored sketch rows
+    * group-wise and re-select the bottom `k` — one (group, key) row
+    * per surviving specimen. Distinct first, so re-stored overlapping
+    * increments stay idempotent. */
+  def mergeSampleSketches(sketches: DataFrame, by: String,
+      k: Int): DataFrame =
+    sketches.select(col(by), explode(col("smp")).as("e"))
+      .select(col(by), col("e.h").as("h"), col("e.key").as("key"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(by)).orderBy(col("h"), col("key"))))
+      .filter(col("rn") <= k)
+      .select(col(by), col("key"))
 }

@@ -868,6 +868,64 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantile-sketch law: exact regime == sorted truth for ANY input, chunking, merge order") {
+    import graft.functions.QuantileSketch
+    val gVals = Gen.choose(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1e6, 1e6).map(v => math.rint(v * 16) / 16)))
+    val gChunks = Gen.choose(1, 7)
+    def truth(vals: Seq[Double], q: Double): Double = {
+      val s = vals.sorted
+      s(math.max(1, math.ceil(q * s.size).toLong).toInt - 1)
+    }
+    forAll2(gVals, gChunks, n = 20) { (vals, nChunks) =>
+      val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+      // arbitrary chunking, REVERSED merge order, and a serde
+      // round-trip per chunk: k=256 >= |vals| keeps it exact
+      val chunks = vals.grouped(
+        math.max(1, vals.size / nChunks)).toSeq.reverse
+      val merged = new QuantileSketch(256)
+      chunks.foreach { c =>
+        val sk = new QuantileSketch(256)
+        c.foreach(sk.update)
+        merged.merge(QuantileSketch.deserialize(sk.serializeBytes()))
+      }
+      assert(merged.totalWeight === vals.size.toLong)
+      val got = merged.quantiles(qs)
+      qs.zipWithIndex.foreach { case (q, i) =>
+        assert(got(i) === truth(vals, q), s"q=$q over ${vals.size} vals")
+      }
+    }
+    // compacted regime is deterministic for a fixed build order, and
+    // a serde round-trip preserves the EXACT state mid-stream
+    val big = (0 until 5000).map(i => ((i * 2654435761L) % 4099).toDouble)
+    val a = new QuantileSketch(64)
+    big.foreach(a.update)
+    val b = QuantileSketch.deserialize(a.serializeBytes())
+    assert(a.quantiles(Seq(0.1, 0.5, 0.9)).toSeq ===
+      b.quantiles(Seq(0.1, 0.5, 0.9)).toSeq)
+    assert(b.totalWeight === 5000L)
+  }
+
+  test("sample-sketch law: ANY increment split re-merges to the direct bottom-k") {
+    import graft.pipeline.Sampling
+    val s = spark; import s.implicits._
+    val gN = Gen.choose(1, 60)
+    val gParts = Gen.choose(1, 5)
+    forAll2(gN, gParts, n = 6) { (n, parts) =>
+      val df = (0 until n).map(i => (i.toLong, s"g${i % 3}"))
+        .toDF("doc_id", "source")
+      val direct = Sampling.mergeSampleSketches(
+        Sampling.sampleSketch(df, "source", col("doc_id"), 4, "law"),
+        "source", 4).collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val incs = (0 until parts).map(p =>
+        Sampling.sampleSketch(df.filter(col("doc_id") % parts === p),
+          "source", col("doc_id"), 4, "law")).reduce(_ union _)
+      val merged = Sampling.mergeSampleSketches(incs, "source", 4)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(merged === direct, s"n=$n parts=$parts")
+    }
+  }
+
   test("Aho-Corasick count == brute-force positional count, incl. overlaps") {
     import graft.functions.AhoCorasick
     // small alphabet forces dense overlaps and nested patterns
