@@ -97,6 +97,20 @@ object ClusterSmoke {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       hh.get("hot").contains(100L) && hh.size == 38 // exact regime
     }
+    check("quantile compactor stacks serialize across executor JVMs") {
+      // the second custom TypedImperativeAggregate byte format:
+      // partial compactor stacks cross the shuffle between REAL
+      // processes, and the exact regime (500 ≤ k) must survive it
+      val s2 = spark; import s2.implicits._
+      val vals = (0 until 500).map(i => ((i * 7919) % 500).toDouble)
+      val got = vals.toDF("v").repartition(8)
+        .agg(graft.functions.SketchExprs
+          .quantiles(col("v"), 1024, Seq(0.5, 0.99)).as("q"))
+        .collect()(0).getSeq[Double](0)
+      // (i*7919)%500 permutes 0..499; value v has rank v+1, so the
+      // discrete lower quantile at q is value ceil(q*500)-1
+      got == Seq(249.0, 494.0)
+    }
     check("broadcast BloomFilter probes inside codegen across JVMs") {
       // contaminationXl's prune: the spark-sketch BloomFilter rides a
       // broadcast into BloomKeepExpr's generated code on REAL executor
