@@ -34,8 +34,8 @@ object Bench {
     "tx_perplexity", "sim_semdedup", "cu_select", "cu_contamination_xl",
     // sketch-tier distinct counts, automaton blocklist
     "cu_distinct_hll", "tx_blocklist",
-    // quantile-sketch tier, boilerplate-span removal
-    "cu_quantile_sketch", "dd_strip_boilerplate")
+    // quantile-sketch tier, boilerplate-span removal, sessionization
+    "cu_quantile_sketch", "dd_strip_boilerplate", "ev_sessions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -780,6 +780,14 @@ object PipelineQueries {
            |LEFT JOIN ent e USING (doc_id)
            |ORDER BY doc_id""".stripMargin)),
 
+    // Zipf-fit diagnostic: per-source ln(tf) ~ ln(rank) slope over the
+    // top-100 vocabulary — the synthetic-content alarm next to
+    // cu_drift's JS monitor
+    ("cu_zipf",
+      ((s, d) => pipeline.Curation.zipfFit(Tables.documents(s, d), 100)
+        .orderBy("source")): Q,
+      Some(pipeline.Curation.zipfFitSql(100))),
+
     // curriculum ordering: stage thresholds from the quantile sketch
     // (exact regime at verify scale — the oracle restates them with
     // the discrete-lower-quantile rank formula over non-null

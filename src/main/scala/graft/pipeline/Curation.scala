@@ -949,6 +949,56 @@ object Curation {
       .join(TextAnalysis.charEntropy(docs)
         .select(col("doc_id"), col("entropy")), Seq("doc_id"), "left")
 
+  /** Zipf-fit diagnostic: per source, the least-squares slope of
+    * ln(tf) against ln(rank) over the top-`topK` vocabulary — natural
+    * text sits near α ≈ 1 (slope −1); generated/templated corpora
+    * drift off it, which makes α a cheap synthetic-content alarm next
+    * to [[sourceDrift]]'s JS monitor. One token pass, rank-limited
+    * per-source top-K (`WindowGroupLimit` map-side), then a K-bounded
+    * closed-form regression (covar_pop/var_pop — the same formula
+    * DuckDB's regr_slope computes, so the oracle is the built-in).
+    * Returns (source, n_top, alpha) with α = −slope, 6-round-trip. */
+  def zipfFit(docs: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 2, "zipfFit needs topK >= 2")
+    val counts = docs
+      .filter(col("source").isNotNull)
+      .select(col("source"), explode(tokens).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val ranked = counts.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("tf").desc, col("tok"))))
+      .filter(col("rank") <= topK)
+      .select(col("source"), log(col("rank").cast("double")).as("x"),
+        log(col("tf").cast("double")).as("y"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_top"),
+        (covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("slope"))
+      .select(col("source"), col("n_top"),
+        graft.ts.Round6.r6(-col("slope")).as("alpha"))
+  }
+
+  /** DuckDB twin of [[zipfFit]]; a complete SELECT. */
+  def zipfFitSql(topK: Int): String =
+    s"""WITH zc AS (
+       |  SELECT source, tok, count(*) AS tf
+       |  FROM (SELECT source,
+       |          unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |        FROM documents WHERE source IS NOT NULL)
+       |  WHERE tok <> '' GROUP BY source, tok
+       |), zr AS (
+       |  SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y
+       |  FROM (SELECT source, tf,
+       |          row_number() OVER (PARTITION BY source
+       |            ORDER BY tf DESC, tok) AS rank
+       |        FROM zc)
+       |  WHERE rank <= $topK
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+       |  ${graft.ts.Round6.r6Sql("-regr_slope(y, x)")} AS alpha
+       |FROM zr GROUP BY source ORDER BY source""".stripMargin
+
   /** Curriculum ordering WITHOUT a global sort: stage boundaries come
     * from the quantile sketch over the (6-round-trip-rounded) quality
     * score — a K-bounded driver bounce, the k-means-centroid class —

@@ -461,6 +461,22 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc.map(_.head) === Seq(1L, 2L, 4L)) // 3 removed
   }
 
+  test("zipfFit: a perfectly Zipfian corpus scores alpha exactly 1") {
+    val s = spark; import s.implicits._
+    // tf(rank i) = 60/i: ln(tf) = ln 60 − 1·ln(rank), colinear points →
+    // least-squares slope is exactly −1 whatever the accumulation order
+    val text = (1 to 6).flatMap(i => Seq.fill(60 / i)(s"t$i")).mkString(" ")
+    val docs = Seq((1L, text, "z")).toDF("doc_id", "text", "source")
+    val out = Curation.zipfFit(docs, 6).collect().head
+    assert(out.getString(0) === "z")
+    assert(out.getLong(1) === 6L)
+    assert(out.getDouble(2) === 1.0)
+    // a flat (uniform-frequency) corpus scores alpha 0
+    val flat = Seq((1L, (1 to 6).map(i => s"u$i u$i").mkString(" "), "f"))
+      .toDF("doc_id", "text", "source")
+    assert(Curation.zipfFit(flat, 6).collect().head.getDouble(2) === 0.0)
+  }
+
   test("curriculumOrder: sketch-thresholded stages ascend by quality, thirds exact") {
     val s = spark; import s.implicits._
     // 9 docs with strictly distinct quality scores (growing clean-word
