@@ -40,6 +40,20 @@ object EvQueries {
         s"""WITH ${Events.funnelSql("view", "click", "purchase")}
            |SELECT n_view, n_click, n_purchase FROM funl""".stripMargin)),
 
+    // session trajectories: each 24h-gap session as its ordered
+    // event-type token string — the event-log → document-pipeline
+    // bridge (the output feeds every documents-shaped operator)
+    ("ev_trajectories",
+      ((s, d) => Events.trajectories(Tables.events(s, d), GapUs)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("session_start"), col("n_events"), col("trajectory"))
+        .orderBy("user_id", "session_start")): Q,
+      Some(
+        s"""WITH ${Events.trajectoriesSql(GapUs)}
+           |SELECT CAST(user_id AS BIGINT) AS user_id, session_start,
+           |  n_events, trajectory
+           |FROM traj ORDER BY user_id, session_start""".stripMargin)),
+
     // retention cohorts: users by first active week × later-activity
     // week offset — the retention triangle
     ("ev_cohorts",

@@ -119,6 +119,55 @@ object Events {
   def propsIntSql(key: String): String =
     s"""CAST(nullif(regexp_extract(props, '"$key": (-?\\d+)', 1), '') AS BIGINT)"""
 
+  /** Session TRAJECTORIES: each gap-session rendered as its ordered
+    * event-type token string — the bridge from the event log to the
+    * document pipeline (interaction traces ARE training corpora for
+    * agent/recommendation models, and the output feeds every
+    * `documents`-shaped operator: dedup, quality, packing). Same
+    * two-window sessionization as [[sessionize]], then one
+    * reassembly aggregate; ties at equal timestamps break by
+    * event_id, so the text is deterministic cross-engine. Returns
+    * (user_id, session_start, n_events, trajectory). */
+  def trajectories(events: DataFrame, gapUs: Long): DataFrame = {
+    require(gapUs > 0, "gapUs must be positive")
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("brk",
+        when(col("t") - lag(col("t"), 1).over(w) > gapUs ||
+          lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        concat_ws(" ", array_sort(collect_list(
+          struct(col("t"), col("event_id"), col("event_type"))))
+          .getField("event_type")).as("trajectory"))
+      .select("user_id", "session_start", "n_events", "trajectory")
+  }
+
+  /** DuckDB twin of [[trajectories]]; defines `traj(user_id,
+    * session_start, n_events, trajectory)`. */
+  def trajectoriesSql(gapUs: Long): String =
+    s"""evtt AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+       |         FROM events),
+       |brkt AS (
+       |  SELECT user_id, event_id, event_type, t,
+       |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > $gapUs
+       |         OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM evtt
+       |), sidt AS (
+       |  SELECT user_id, event_id, event_type, t,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id) AS sid
+       |  FROM brkt
+       |), traj AS (
+       |  SELECT user_id, min(t) AS session_start,
+       |    CAST(count(*) AS BIGINT) AS n_events,
+       |    string_agg(event_type, ' ' ORDER BY t, event_id) AS trajectory
+       |  FROM sidt GROUP BY user_id, sid
+       |)""".stripMargin
+
   /** Microseconds per week — the cohort grain. */
   val WeekUs: Long = 7L * 86400L * 1000000L
 
