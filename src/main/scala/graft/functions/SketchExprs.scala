@@ -108,13 +108,20 @@ final class QuantileSketch(val k: Int) extends Serializable {
   private def compact(i: Int): Unit = {
     val arr = levels(i).toArray
     java.util.Arrays.sort(arr)
-    val off = if (phases(i)) 1 else 0
+    levels(i).clear()
+    // weight conservation: an odd buffer leaves its smallest element
+    // BEHIND at this level's weight — promoting every other element of
+    // an odd count would add or drop one 2^(i+1) weight unit, and
+    // totalWeight must equal the observation count EXACTLY
+    // (PropertySpec pins it)
+    var start = 0
+    if (arr.length % 2 == 1) { levels(i) += arr(0); start = 1 }
+    val off = start + (if (phases(i)) 1 else 0)
     phases(i) = !phases(i)
     if (i + 1 == levels.size) { levels += ArrayBuffer.empty; phases += false }
     val up = levels(i + 1)
     var j = off
     while (j < arr.length) { up += arr(j); j += 2 }
-    levels(i).clear()
     if (up.size > k) compact(i + 1)
   }
 
