@@ -177,6 +177,19 @@ object ScaleProbe {
           n
         }
       },
+      {
+        // event-log sessionization at the design point: 10M events /
+        // 100k users spread over 30 days, 1h-gap sessions — ONE
+        // user_id shuffle carries both windows and the reassembly
+        val evs = keys.select(
+          pmod(col("doc_id"), lit(100000L)).as("user_id"),
+          lit("e").as("event_type"), col("doc_id").as("event_id"),
+          expr("timestamp_micros(abs(xxhash64(doc_id)) % 2592000000000)")
+            .as("ts"))
+        time("sessionize_10m") {
+          graft.pipeline.Events.sessionize(evs, 3600L * 1000000L).count()
+        }
+      },
       time("source_cap_skew_10m") { // ONE source holds 90% of 10M rows;
         // the two-level rank must stay block-parallel, not one sort task
         val skewed = keys.select(col("doc_id"),
