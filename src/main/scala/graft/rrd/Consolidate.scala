@@ -55,10 +55,15 @@ object Consolidate {
     // Interval per consecutive update pair; value rides on the LATER point
     // (`rrd/ds.go:330`: updateRange(ds.lastUpdate, ts, value)); heartbeat
     // exceedance → NaN → dropped (contributes nothing, see scaladoc).
+    // A NaN-VALUED update is a boundary that contributes nothing
+    // (`rrd/pdp.go:97-99`: AddValue no-ops on NaN, but ds.lastUpdate
+    // still advances) — the row participates in the lag pairing above
+    // and its own interval drops here, value and duration both.
     val iv = updateStream
       .withColumn("begin", lag(col("ts"), 1).over(byName))
       .filter(col("begin").isNotNull && col("ts") > col("begin") &&
         (col("ts") - col("begin")) <= heartbeatSec)
+      .filter(!isnan(col("value")))
       .select(col("name"), col("begin"), col("ts").as("end"), col("value").as("v"))
 
     val pieces = explodeOverlap(iv, stepSec)
@@ -94,6 +99,7 @@ object Consolidate {
       .withColumn("begin", lag(col("ts"), 1).over(byName))
       .filter(col("begin").isNotNull && col("ts") > col("begin") &&
         (col("ts") - col("begin")) <= heartbeatSec)
+      .filter(!isnan(col("value"))) // NaN boundary: rrd/pdp.go:97-99
       .select(col("name"), col("begin"), col("ts").as("end"), col("value").as("v"))
     explodeOverlap(iv, stepSec)
       .groupBy(col("name"), col("t"))
@@ -150,6 +156,7 @@ object Consolidate {
     * sparse (skipped slots are simply absent ≡ deleted NaN). */
   def whisperMode(updateStream: DataFrame, stepSec: Long): DataFrame =
     updateStream
+      .filter(!isnan(col("value"))) // AddValue no-ops NaN: pdp.go:97-99
       .groupBy(col("name"),
         (floor(col("ts").cast("double") / stepSec).cast("long") * stepSec).as("t"))
       .agg(max_by(col("value"), col("ts")).as("value"))

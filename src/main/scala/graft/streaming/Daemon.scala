@@ -318,6 +318,7 @@ object Daemon {
       .toDF("line")
     val pts = canonTagged(lines.as[String]
       .flatMap(b64 => Pickle.decodeFrames(Base64.getDecoder.decode(b64)))
+      .filter(p => !p.value.isInfinite) // rejected at ingest: ds.go:300-302
       .map(p => (p.name, p.tsSec, p.value))
       .toDF("name", "tsSec", "value")).as[(String, Long, Double)]
     Ingest.pdpPieces(spark, pts, heartbeatSec).toDF()
@@ -387,6 +388,7 @@ object Daemon {
       .as[(String, Long, Double)]
     val pkPts = canonTagged(socketLines(pickleFeedPort).as[String]
       .flatMap(b64 => Pickle.decodeFrames(Base64.getDecoder.decode(b64)))
+      .filter(p => !p.value.isInfinite) // rejected at ingest: ds.go:300-302
       .map(p => (p.name, p.tsSec, p.value))
       .toDF("name", "tsSec", "value")).as[(String, Long, Double)]
     val pxPts = pixelDpFeedPort.map { port =>

@@ -63,11 +63,23 @@ object Ingest {
     // lines must become NULL (→ filtered), never a runtime error —
     // regardless of the session's ANSI setting
     val name = get(parts, lit(0))
-    val value = get(parts, lit(1)).try_cast("double")
+    // Go's ParseFloat accepts nan/inf tokens case-insensitively where
+    // Java wants exactly "NaN"/"Infinity" — normalize the special
+    // tokens first so the wire dialect matches. Then the reference's
+    // ingest policy (`rrd/ds.go:300-302` + `rrd/pdp.go:97-99`):
+    // ±Inf points are REJECTED outright (they never even advance
+    // lastUpdate — the line drops here), while NaN points SURVIVE the
+    // parse: a NaN update advances the series boundary and its spanned
+    // interval contributes nothing (filtered at interval grain in
+    // Consolidate/pdpPieces, never here).
+    val rawVal = get(parts, lit(1))
+    val value = when(lower(rawVal) === "nan", lit(Double.NaN))
+      .otherwise(rawVal.try_cast("double"))
     val ts = get(parts, lit(2)).try_cast("long")
     lines
       .select(sanitizeTagged(name).as("name"), value.as("value"), ts.as("ts0"))
       .filter(size(parts) === 3 && col("value").isNotNull && col("ts0").isNotNull)
+      .filter(abs(col("value")) =!= lit(Double.PositiveInfinity))
       .select(col("name"),
         when(col("ts0") === -1, nowSec).otherwise(col("ts0")).as("tsSec"),
         col("value"))
@@ -187,7 +199,10 @@ object Ingest {
         sorted.foreach { case (ts, v) =>
           st match {
             case Some(PdpState(lastTs, _)) if ts > lastTs =>
-              if (ts - lastTs <= heartbeatSec)
+              // NaN update: the boundary advances but no piece emits
+              // (rrd/pdp.go:97-99 — AddValue no-ops NaN; ds.lastUpdate
+              // still moves, ds.go:332)
+              if (ts - lastTs <= heartbeatSec && !v.isNaN)
                 out += Piece(name, lastTs, ts, v)
               st = Some(PdpState(ts, v))
             case Some(_) => // out-of-order: dropped (rrd/ds.go:304-306)

@@ -36,6 +36,39 @@ class ConsolidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byT == Map(0L -> 2.0, 10L -> 4.0, 20L -> 6.0, 30L -> 8.0))
   }
 
+  test("NaN update is a boundary that contributes nothing — rrd/pdp_test.go:61-105 semantics") {
+    val s = spark; import s.implicits._
+    // (t=0, 10), (t=10, NaN), (t=20, 30): the NaN point's interval
+    // [0,10) contributes NOTHING (value or duration), but the NEXT
+    // interval starts at the NaN point — [10,20)→30. Had the NaN line
+    // been dropped at parse, [0,20)→30 would smear 30 into slot 0.
+    val updates = Seq(("a", 0L, 10.0), ("a", 10L, Double.NaN),
+      ("a", 20L, 30.0)).toDF("name", "ts", "value")
+    val byT = Consolidate.consolidate(updates, 10, "wmean", 0.0, 100)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(byT == Map(10L -> 30.0))
+    // ... and the non-contribution includes XFF duration: with xff 0.5
+    // the empty slot stays absent either way, and a HALF-NaN slot
+    // (NaN at t=5 inside [0,10)) keeps only its real half
+    val half = Seq(("a", 0L, 10.0), ("a", 5L, Double.NaN),
+      ("a", 10L, 40.0), ("a", 20L, 40.0)).toDF("name", "ts", "value")
+    val h = Consolidate.consolidate(half, 10, "wmean", 0.6, 100)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    // slot 0 covered 5s of 10 by the [5,10)→40 interval: xff .6 kills it
+    assert(h == Map(10L -> 40.0))
+    // max/min/last skip NaN the same way (AddValueMax/Min/Last gates)
+    for (cf <- Seq("max", "min", "last")) {
+      val m = Consolidate.consolidate(updates, 10, cf, 0.0, 100)
+        .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+      assert(m == Map(10L -> 30.0), cf)
+    }
+    // whisper (HB-0) mode: a NaN point cannot overwrite a real value
+    val w = Consolidate.whisperMode(Seq(("a", 3L, 7.0), ("a", 8L, Double.NaN))
+        .toDF("name", "ts", "value"), 10)
+      .as[(String, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(w == Map(0L -> 7.0))
+  }
+
   test("heartbeat gap drops the interval; xff drops thin slots") {
     val s = spark; import s.implicits._
     // gap 100 > hb 60 between 10 and 110: nothing lands in 10..110

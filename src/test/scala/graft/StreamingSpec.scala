@@ -44,6 +44,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == Set(("a.b.c", 100L, 1.5), ("x-yz", 999L, 2.0)))
   }
 
+  test("graphite parser: NaN survives as a boundary point, ±Inf lines drop — ds.go:300, pdp.go:97") {
+    val out = Ingest.parseGraphite(linesDf(
+      "g.n nan 100",        // Go-style lowercase nan → NaN point kept
+      "g.n NaN 110",        // Java-style spelling too
+      "g.i inf 100",        // Go inf token: rejected at ingest
+      "g.i Infinity 100",   // Java spelling: rejected
+      "g.i -Infinity 100",  // negative too
+      "g.i 1e999 100",      // overflow → ±Inf → rejected (Go: ErrRange)
+      "g.v 5 120"
+    ), nowSec = lit(999L)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.count(r => r._1 == "g.n" && r._3.isNaN) === 2)
+    assert(!out.exists(_._1 == "g.i"))
+    assert(out.count(_._1 == "g.v") === 1)
+  }
+
   test("statsd parser: kinds, sample rate, delta quirk, bare name") {
     val rows = Ingest.parseStatsd(linesDf(
       "gorets:1|c",
@@ -589,6 +605,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val B = 100000L
     val batch1 = Seq(("s", B + 0L, 1.0), ("s", B + 10L, 2.0), ("s", B + 25L, 4.0))
     val batch2 = Seq(("s", B + 40L, 8.0), ("s", B + 30L, 9.9) /* late: dropped */,
+      ("s", B + 50L, Double.NaN) /* NaN boundary: contributes nothing */,
+      ("s", B + 60L, 6.0) /* interval starts AT the NaN point */,
       ("t", B + 5L, 1.0), ("t", B + 95L, 2.0) /* gap 90 > hb: unknown */)
 
     val mem = MemoryStream[(String, Long, Double)]
