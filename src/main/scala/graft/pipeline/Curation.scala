@@ -1014,10 +1014,21 @@ object Curation {
     * with the sketch's rank-error bound while assignment stays
     * deterministic. Returns (stage, block, rank, doc_id). */
   def curriculumOrder(docs: DataFrame, nStages: Int, salt: String,
-      blocks: Int = 256): DataFrame = {
+      blocks: Int = 256): DataFrame =
+    curriculumOrderScoped(docs, nStages, salt, blocks)._1
+
+  /** [[curriculumOrder]] plus a release handle for the cached quality
+    * pass (consumed twice: the threshold bounce and the stage
+    * assignment — uncached, the corpus would be quality-scored
+    * twice); call it after the final action over the ordering (the
+    * [[graft.pipeline.NearDup.windowFpPairsScoped]] contract; the
+    * no-handle form above leaves the cache to the session). */
+  def curriculumOrderScoped(docs: DataFrame, nStages: Int, salt: String,
+      blocks: Int = 256): (DataFrame, () => Unit) = {
     require(nStages >= 2, "curriculum needs >= 2 stages")
     val scored = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), graft.ts.Round6.r6(col("quality")).as("q"))
+      .persist()
     val qs = (1 until nStages).map(_.toDouble / nStages)
     val thr = scored.agg(graft.functions.SketchExprs
       .quantiles(col("q"), 8192, qs).as("t"))
@@ -1025,7 +1036,7 @@ object Curation {
     val stage = thr.zipWithIndex.foldRight(lit(nStages - 1): Column) {
       case ((t, i), acc) => when(col("q") <= t, lit(i)).otherwise(acc)
     }
-    scored.withColumn("stage", stage.cast("long"))
+    val out = scored.withColumn("stage", stage.cast("long"))
       .withColumn("__h", md5(concat(lit(salt), col("doc_id").cast("string"))))
       .withColumn("block",
         pmod(conv(substring(col("__h"), 1, 6), 16, 10).cast("long"),
@@ -1035,6 +1046,7 @@ object Curation {
           .partitionBy(col("stage"), col("block"))
           .orderBy(col("__h"), col("doc_id").cast("string"))).cast("long"))
       .select(col("stage"), col("block"), col("rank"), col("doc_id"))
+    (out, () => { scored.unpersist(); () })
   }
 
   /** Incremental refresh of a stored [[docScores]] table across a

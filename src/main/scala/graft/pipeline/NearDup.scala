@@ -466,20 +466,31 @@ object NearDup {
     * spaces (the pipeline's token normalization, cross-engine stable);
     * null text stays null, fully-boilerplate docs come back empty. */
   def stripBoilerplate(docs: DataFrame, window: Int, minDf: Int,
-      stride: Int = 1): DataFrame = {
+      stride: Int = 1): DataFrame =
+    stripBoilerplateScoped(docs, window, minDf, stride)._1
+
+  /** [[stripBoilerplate]] plus a release handle for its shared caches
+    * (the token frame feeds two branches, the window stream three —
+    * uncached they would re-tokenize and re-hash the corpus per
+    * branch); call it after the final action that consumes the
+    * cleaned frame (same contract as [[windowFpPairsScoped]]; the
+    * no-handle form above leaves the caches to the session). */
+  def stripBoilerplateScoped(docs: DataFrame, window: Int, minDf: Int,
+      stride: Int = 1): (DataFrame, () => Unit) = {
     require(window > 0 && stride > 0 && minDf > 0,
       "window, stride, minDf must be positive")
     val toksCol = split(trim(lower(col("text"))), "\\s+")
     val reps = docs.filter(col("text").isNotNull)
       .groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
-    val base = reps.select(col("rep"), toksCol.as("ts"))
-    val wins = base.filter(size(col("ts")) >= window)
+    val base = reps.select(col("rep"), toksCol.as("ts")).persist()
+    val wins0 = base.filter(size(col("ts")) >= window)
       .select(col("rep"), col("ts"), explode(sequence(lit(0L),
         (size(col("ts")) - window).cast("long"),
         lit(stride.toLong))).as("st"))
       .select(col("rep"), col("st"), pmod(h64(concat_ws(" ",
         slice(col("ts"), (col("st") + 1).cast("int"), lit(window)))),
         lit(X)).as("wh"))
+    val wins = wins0.persist()
     val hot = wins.select(col("rep"), col("wh")).distinct()
       .groupBy("wh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("wh")
@@ -487,6 +498,7 @@ object NearDup {
       .select(col("rep"),
         explode(sequence(col("st"), col("st") + (window - 1))).as("p"))
       .distinct()
+      .persist() // feeds the anti-join AND the n_removed count
     val tokRows = base.select(col("rep"),
       posexplode(col("ts")).as(Seq("p", "tok")))
     val cleaned = tokRows
@@ -500,7 +512,7 @@ object NearDup {
     val repMap = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text")).join(reps, "text")
       .select(col("doc_id"), col("rep"))
-    docs.select(col("doc_id"), col("text"))
+    val out = docs.select(col("doc_id"), col("text"))
       .join(repMap, Seq("doc_id"), "left")
       .join(cleaned, Seq("rep"), "left")
       .join(removed, Seq("rep"), "left")
@@ -508,6 +520,7 @@ object NearDup {
         when(col("text").isNull, lit(null).cast("string"))
           .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    (out, () => { base.unpersist(); wins.unpersist(); covered.unpersist(); () })
   }
 
   /** DuckDB twin of [[stripBoilerplate]] — reuses the shared window
