@@ -70,6 +70,28 @@ object SketchExprs {
     * `sketchQuantiles(quantileSketch(c, k), qs)`. */
   def quantiles(c: Column, k: Int, qs: Seq[Double]): Column =
     sketchQuantiles(quantileSketch(c, k), qs)
+
+  /** Canonical output-column name for a rank fraction: `p50`, `p99`,
+    * and `p99_5` for non-integral percents (0.995). Rounding to the
+    * nearest percent alone would collide (0.995 and 1.0 both → p100,
+    * silently dropping a requested quantile via withColumn replace),
+    * so fractional percents keep their digits with `.`→`_`. */
+  def quantileColName(q: Double): String = {
+    val pct = q * 100.0
+    val r = math.rint(pct)
+    if (math.abs(pct - r) < 1e-9) s"p${r.toLong}"
+    else ("p" + BigDecimal(pct).underlying.stripTrailingZeros.toPlainString)
+      .replace('.', '_').replace("-", "neg")
+  }
+
+  /** Names for a fraction list, with the uniqueness every caller
+    * needs (duplicate names would shadow earlier columns). */
+  def quantileColNames(qs: Seq[Double]): Seq[String] = {
+    val names = qs.map(quantileColName)
+    require(names.distinct.size == names.size,
+      s"quantile fractions map to duplicate column names: $names")
+    names
+  }
 }
 
 /** Mergeable quantile summary: a stack of fixed-capacity compactors

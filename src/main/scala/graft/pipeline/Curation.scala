@@ -373,12 +373,13 @@ object Curation {
     * (`p50`, `p90`, … — scalar columns, each an actual data value). */
   def sketchValueQuantiles(sketches: DataFrame, by: String,
       qs: Seq[Double]): DataFrame = {
+    val names = graft.functions.SketchExprs.quantileColNames(qs)
     val merged = sketches.groupBy(by)
       .agg(graft.functions.SketchExprs.quantileMerge(col("qsk")).as("qsk"))
       .select(col(by), graft.functions.SketchExprs
         .sketchQuantiles(col("qsk"), qs).as("q"))
-    qs.zipWithIndex.foldLeft(merged) { case (df, (q, i)) =>
-      df.withColumn(s"p${math.round(q * 100)}", col("q").getItem(i))
+    names.zipWithIndex.foldLeft(merged) { case (df, (n, i)) =>
+      df.withColumn(n, col("q").getItem(i))
     }.drop("q")
   }
 

@@ -109,15 +109,28 @@ object Events {
     * dependency: pull integer key `key` out of the one-level JSON
     * `props` string by anchored regex — identical semantics on both
     * engines, codegen'd on Spark. Returns the input plus `<key>_val`
-    * (null when absent/non-integer). */
-  def propsInt(events: DataFrame, key: String): DataFrame =
+    * (null when absent/non-integer). Keys are restricted to
+    * `[A-Za-z0-9_]+`: the key is interpolated into a regex on both
+    * engines and a SQL string literal on one, so a metacharacter or
+    * quote would silently change match semantics — identifier-shaped
+    * keys need no escaping anywhere. */
+  def propsInt(events: DataFrame, key: String): DataFrame = {
+    requirePropsKey(key)
     events.withColumn(s"${key}_val",
       nullif(regexp_extract(col("props"),
         "\"" + key + "\": (-?\\d+)", 1), lit("")).cast("long"))
+  }
 
   /** The matching DuckDB expression for [[propsInt]]'s column. */
-  def propsIntSql(key: String): String =
+  def propsIntSql(key: String): String = {
+    requirePropsKey(key)
     s"""CAST(nullif(regexp_extract(props, '"$key": (-?\\d+)', 1), '') AS BIGINT)"""
+  }
+
+  private def requirePropsKey(key: String): Unit =
+    require(key.matches("[A-Za-z0-9_]+"),
+      s"props key must match [A-Za-z0-9_]+ (got '$key'): it is " +
+        "interpolated into regex and SQL literals verbatim")
 
   /** Session TRAJECTORIES: each gap-session rendered as its ordered
     * event-type token string — the bridge from the event log to the

@@ -190,6 +190,8 @@ object Sampling {
     require(k > 0, "sampleSketch requires k > 0")
     df.select(col(by), key.cast("string").as("key"),
         md5(concat(lit(salt), key.cast("string"))).as("h"))
+      .distinct() // dup (group, key) rows must occupy ONE bottom-k
+                  // slot, or merge ≠ direct whole-corpus bottom-k
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(by)).orderBy(col("h"), col("key"))))

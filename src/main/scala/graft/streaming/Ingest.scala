@@ -459,14 +459,21 @@ object Ingest {
     * points have streamed through it (the exact form would hold every
     * value ever seen). Exact while a series has ≤ k points; complete
     * output mode; emits (name, p<q>… one double column per fraction,
-    * each an actual observed value). */
+    * each an actual observed value). NaN boundary points (graphite
+    * `nan` lines survive parsing so downstream policy decides) are
+    * dropped HERE, matching the AddValue-no-op policy (`rrd/pdp.go:
+    * 97-99`) every other ingest surface applies — a NaN would inflate
+    * the sketch's total weight and sort last, skewing every rank. */
   def liveValueQuantiles(points: DataFrame, k: Int,
-      qs: Seq[Double]): DataFrame =
-    points.groupBy(col("name"))
+      qs: Seq[Double]): DataFrame = {
+    val names = graft.functions.SketchExprs.quantileColNames(qs)
+    points.filter(!isnan(col("value")))
+      .groupBy(col("name"))
       .agg(graft.functions.SketchExprs
         .quantiles(col("value").cast("double"), k, qs).as("q"))
-      .select(col("name") +: qs.zipWithIndex.map { case (q, i) =>
-        col("q").getItem(i).as(s"p${math.round(q * 100)}") }: _*)
+      .select(col("name") +: names.zipWithIndex.map { case (n, i) =>
+        col("q").getItem(i).as(n) }: _*)
+  }
 
   /** Slot aggregation of interval pieces — identical math to
     * [[graft.rrd.Consolidate.consolidate]]'s explode+weighted-mean. */

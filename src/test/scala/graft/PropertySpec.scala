@@ -912,8 +912,10 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val gN = Gen.choose(1, 60)
     val gParts = Gen.choose(1, 5)
     forAll2(gN, gParts, n = 6) { (n, parts) =>
-      val df = (0 until n).map(i => (i.toLong, s"g${i % 3}"))
-        .toDF("doc_id", "source")
+      // every key appears TWICE: duplicate (group, key) rows must
+      // occupy one bottom-k slot, not evict other distinct keys
+      val base = (0 until n).map(i => (i.toLong, s"g${i % 3}"))
+      val df = (base ++ base).toDF("doc_id", "source")
       val direct = Sampling.mergeSampleSketches(
         Sampling.sampleSketch(df, "source", col("doc_id"), 4, "law"),
         "source", 4).collect().map(r => (r.getString(0), r.getString(1))).toSet

@@ -211,6 +211,30 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantile column names: fractional percents stay distinct") {
+    import graft.functions.SketchExprs.{quantileColName, quantileColNames}
+    assert(quantileColName(0.5) === "p50")
+    assert(quantileColName(1.0) === "p100")
+    assert(quantileColName(0.995) === "p99_5")   // NOT p100
+    assert(quantileColName(0.251) === "p25_1")   // NOT p25
+    assert(quantileColNames(Seq(0.995, 1.0)) === Seq("p99_5", "p100"))
+    // a fraction pair that maps to the same name is rejected loudly
+    // instead of silently dropping a requested quantile
+    intercept[IllegalArgumentException] {
+      quantileColNames(Seq(0.5, 0.50))
+    }
+    // fractional names flow through the read side end-to-end
+    import graft.pipeline.Curation
+    val s = spark; import s.implicits._
+    val df = (1 to 200).map(i => ("g", i.toDouble)).toDF("source", "v")
+    val sk = Curation.valueSketches(df, "source", col("v"), k = 1024)
+    val out = Curation.sketchValueQuantiles(sk, "source", Seq(0.995, 1.0))
+    assert(out.columns.toSeq === Seq("source", "p99_5", "p100"))
+    val r = out.collect()(0)
+    assert(r.getDouble(1) === 199.0)
+    assert(r.getDouble(2) === 200.0)
+  }
+
   test("quantile sketch: compacted regime's rank error stays bounded") {
     val s = spark; import s.implicits._
     val n = 100000

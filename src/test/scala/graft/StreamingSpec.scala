@@ -138,7 +138,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = Ingest.liveValueQuantiles(points, k = 64, qs = Seq(0.5, 1.0))
       .writeStream.format("memory").queryName("liveq")
       .outputMode("complete").start()
-    mem.addData(("lat", 1L, 10.0), ("lat", 2L, 30.0), ("other", 3L, 5.0))
+    // the NaN boundary point must contribute NOTHING (rrd/pdp.go:
+    // 97-99 AddValue no-op policy): it would otherwise inflate total
+    // weight and return NaN for the upper quantile
+    mem.addData(("lat", 1L, 10.0), ("lat", 2L, 30.0), ("other", 3L, 5.0),
+      ("lat", 0L, Double.NaN))
     q.processAllAvailable()
     // the second batch merges into the SAME compactor stack: the
     // median is over ALL FIVE lat points (10 20 30 40 50 → 30), not
