@@ -256,6 +256,51 @@ object ScaleProbe {
         pipeline.Similarity.semDedup(
           vecs.filter(col("vec_id") < 200000), 0.9, k = 512, iters = 1).count()
       },
+      time("two_level_kmeans_1m_k8192") { // the K ≈ 10⁶-capable
+        // substrate at its probe design point: 128 coarse × 64 fine =
+        // 8192 clusters over 1M vectors. Coarse state is the only
+        // driver bounce (128×64 doubles); fine rounds are pure
+        // join+aggregate plans with a 64-wide per-row scan
+        val (assigned, release) = pipeline.Similarity.twoLevelAssignScoped(
+          vecs, coarseK = 128, fineK = 64, coarseIters = 1, fineIters = 1)
+        val census = assigned.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("k"), max(col("n")).as("mx")).collect().head
+        release()
+        require(census.getLong(0) >= 4096,
+          s"realized K collapsed: ${census.getLong(0)} of 8192")
+        census.getLong(0)
+      },
+      {
+        // degenerate SKEW at scale: 50% of the 1M vectors near-identical
+        // (flat SemDeDup's all-pairs death). The hash-cap must bound
+        // every dedup self-join cell ON THE OPERATOR'S OWN assignment,
+        // and the refinement levels must collapse the family — both
+        // asserted in-stage
+        time("semdedup_skew_1m") {
+          val skew = pipeline.Similarity.skewedCorpus(vecs)
+          val (assigned, relA) = pipeline.Similarity.twoLevelAssignScoped(
+            skew, coarseK = 128, fineK = 64, coarseIters = 1, fineIters = 1)
+          val cap = 256
+          val maxChunk = assigned
+            .join(broadcast(pipeline.Similarity.chunkCounts(assigned, cap)),
+              Seq("cid"))
+            .groupBy(col("cid"),
+              pipeline.Similarity.chunkOf(col("vec_id"), col("__nch")))
+            .agg(count(lit(1)).as("n"))
+            .agg(max(col("n"))).collect().head.getLong(0)
+          require(maxChunk <= 2L * cap,
+            s"chunk cap violated: $maxChunk > ${2 * cap}")
+          val (kept, relD) = pipeline.Similarity.semDedupChunkedScoped(
+            assigned, eps = 0.9, capTarget = cap, levels = 2)
+          val evenSurvivors = kept.filter(col("vec_id") % 2 === 0).count()
+          val n = kept.count()
+          relD(); relA()
+          require(evenSurvivors <= 50000,
+            s"near-identical family failed to collapse: $evenSurvivors")
+          n
+        }
+      },
       time("unimax_mixture_10m") { // 1000-strata water-fill (S-row
         // window) + map-side mixture realization over 10M keys
         val strat = keys.select(col("doc_id"),
@@ -291,7 +336,7 @@ object ScaleProbe {
             .select(col("e.token").as("tok"), col("e.count").as("cnt"))
             .collect()
           require(hh.exists(r => r.getString(0) == "hot" &&
-            r.getLong(1) >= 3000000L - (10000000L / 65)),
+            r.getLong(1) >= (nKeys * 3 / 10) - (nKeys / 65)),
             "guaranteed hitter missing or past the MG bound")
           hh.length.toLong
         }
@@ -330,11 +375,11 @@ object ScaleProbe {
             graft.pipeline.Curation.valueSketches(
               qvals, "source", col("v"), k = 512),
             "source", Seq(0.5, 0.99)).collect()
-          // per-source v is uniform over [0, 10M): true p50 ~5M,
-          // p99 ~9.9M; 5% rank tolerance = 500k value slack
+          // per-source v is uniform over [0, nKeys): true p50 ~.5n,
+          // p99 ~.99n; 5% rank tolerance
           require(out.length == 8 && out.forall { r =>
-            math.abs(r.getDouble(1) - 5000000) < 500000 &&
-              math.abs(r.getDouble(2) - 9900000) < 500000
+            math.abs(r.getDouble(1) - 0.50 * nKeys) < 0.05 * nKeys &&
+              math.abs(r.getDouble(2) - 0.99 * nKeys) < 0.05 * nKeys
           }, "quantile sketch past its rank-error bound")
           out.length.toLong
         }

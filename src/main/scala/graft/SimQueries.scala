@@ -225,6 +225,48 @@ object SimQueries {
            |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cid
            |FROM sdkeep ORDER BY vec_id""".stripMargin)),
 
+    // two-level (coarse → fine) k-means: the K ≈ 10⁶-capable
+    // clustering substrate — coarse driver-bounded, fine distributed
+    ("sim_two_level_kmeans",
+      ((s, d) => {
+        val (out, release) = Similarity.twoLevelAssignScoped(
+          Tables.embeddings(s, d), coarseK = 4, fineK = 4,
+          coarseIters = 2, fineIters = 1)
+        val res = out.select(col("vec_id").cast("long").as("vec_id"),
+          col("ccid").cast("long").as("ccid"),
+          col("cid").cast("long").as("cid"))
+          .orderBy("vec_id")
+        // the oracle dump is one action; release caches afterwards is
+        // safe because orderBy output is what gets written
+        res.cache(); res.count(); release()
+        res
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.twoLevelSql("embeddings", 4, 4, 2, 1)}
+           |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           |       CAST(ccid AS BIGINT) AS ccid, CAST(cid AS BIGINT) AS cid
+           |FROM tfin ORDER BY vec_id""".stripMargin)),
+
+    // SemDeDup with the degenerate-cluster guard: ~50% of vectors made
+    // near-identical (one giant cluster), hash-chunk cap bounds every
+    // self-join cell, refinement levels collapse the chunk keepers
+    ("sim_semdedup_skew",
+      ((s, d) => {
+        val skew = Similarity.skewedCorpus(Tables.embeddings(s, d))
+        val (out, release) = Similarity.semDedupScalableScoped(
+          skew, eps = 0.9, coarseK = 4, fineK = 4, coarseIters = 2,
+          fineIters = 1, capTarget = 16, levels = 2)
+        val res = out.select(col("vec_id").cast("long").as("vec_id"),
+          col("cid").cast("long").as("cid")).orderBy("vec_id")
+        res.cache(); res.count(); release()
+        res
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.skewedCorpusSql},
+           |${Similarity.semDedupScalableSql("skewsrc", 0.9, 4, 4, 2, 1, 16, 2)}
+           |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cid
+           |FROM sdskeep ORDER BY vec_id""".stripMargin)),
+
     // LSH-bucketed pairs: random-hyperplane bands, exact verification
     ("sim_pairs_lsh",
       ((s, d) => Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)

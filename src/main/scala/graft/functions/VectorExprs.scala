@@ -52,6 +52,13 @@ object VectorExprs {
     GraftBridge.column(NearestCentroidExpr(GraftBridge.expression(vec),
       cents.map(_._1), cents.map(_._2)))
 
+  /** struct(fcid, cos) of the nearest centroid in a RUNTIME cell
+    * column (`array<struct<fcid, cent>>`, fcid-ascending) — the
+    * two-level k-means assignment kernel; see [[NearestInCellExpr]]. */
+  def nearestInCell(vec: Column, cells: Column): Column =
+    GraftBridge.column(NearestInCellExpr(GraftBridge.expression(vec),
+      GraftBridge.expression(cells)))
+
   /** Accepts primitive numeric element types only — DecimalType is
     * rejected at ANALYSIS time because the fused loops read elements
     * with primitive getters (a decimal array would otherwise crash at
@@ -369,4 +376,168 @@ case class LshSignExpr(child: Expression, planes: Seq[Seq[Long]])
 
   override protected def withNewChildInternal(newChild: Expression): LshSignExpr =
     copy(child = newChild)
+}
+
+/** Nearest centroid by double-precision cosine where the centroid set
+  * arrives as a RUNTIME COLUMN — `array<struct<fcid: long, cent:
+  * array<double>>>` — instead of plan-time constants. This is the
+  * assignment kernel of the TWO-LEVEL k-means tier
+  * ([[graft.pipeline.Similarity.twoLevelAssign]]): at the K ≈ 10⁶
+  * centroids that 10⁹-vector SemDeDup needs, a flat
+  * [[NearestCentroidExpr]] would bounce ~GB of centroid state through
+  * the driver into every task AND linear-scan all K per row. Here each
+  * row carries only ITS coarse cell's fine centroids (joined in on the
+  * coarse cid), so the per-row scan is K/√K-bounded and the centroid
+  * state stays a distributed frame end to end.
+  *
+  * Contract (mirrors [[NearestCentroidExpr]] and the DuckDB window
+  * `row_number() OVER (ORDER BY cos DESC, fcid)` the oracle replays):
+  * IEEE doubles in element order, strictly-better replacement so ties
+  * keep the EARLIEST entry, NaN cosines rank above numbers. The cell
+  * array must be fcid-ascending (callers build it with `sort_array`
+  * over struct(fcid, cent), which sorts on the leading field) — the
+  * tie-break contract is positional. Null/malformed vector, empty cell
+  * array, or any malformed centroid entry ⇒ null result. */
+case class NearestInCellExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.numericElem(prettyName, left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess => right.dataType match {
+        case ArrayType(StructType(Array(
+            StructField(_, LongType, _, _),
+            StructField(_, ArrayType(DoubleType, _), _, _))), _) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<struct<fcid: bigint, cent: " +
+            s"array<double>>> cells, got ${other.catalogString}")
+      }
+      case fail => fail
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("fcid", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_in_cell"
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(vecAny: Any, cellsAny: Any): Any = {
+    val vec = vecAny.asInstanceOf[ArrayData]
+    val cells = cellsAny.asInstanceOf[ArrayData]
+    val k = cells.numElements()
+    if (k == 0) return null
+    val dim = vec.numElements()
+    val et = elemType
+    var qacc = 0.0
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      val x = VectorExprs.evalAsDouble(vec, i, et)
+      qacc += x * x
+      i += 1
+    }
+    val qn = math.sqrt(qacc)
+    var bestFcid = 0L
+    var bestCos = 0.0
+    var c = 0
+    while (c < k) {
+      if (cells.isNullAt(c)) return null
+      val cell = cells.getStruct(c, 2)
+      if (cell.isNullAt(1)) return null
+      val cent = cell.getArray(1)
+      if (cent.numElements() != dim) return null
+      var dacc = 0.0
+      var cacc = 0.0
+      i = 0
+      while (i < dim) {
+        if (cent.isNullAt(i)) return null
+        val y = cent.getDouble(i)
+        dacc += VectorExprs.evalAsDouble(vec, i, et) * y
+        cacc += y * y
+        i += 1
+      }
+      val cos = dacc / (qn * math.sqrt(cacc))
+      val better =
+        if (c == 0) true
+        else if (cos.isNaN != bestCos.isNaN) cos.isNaN
+        else cos > bestCos
+      if (better) { bestFcid = cell.getLong(0); bestCos = cos }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestFcid, bestCos))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, cells) => {
+      val k = ctx.freshName("k")
+      val dim = ctx.freshName("dim")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val qacc = ctx.freshName("qacc")
+      val qn = ctx.freshName("qn")
+      val dacc = ctx.freshName("dacc")
+      val cacc = ctx.freshName("cacc")
+      val cos = ctx.freshName("cos")
+      val bestFcid = ctx.freshName("bestFcid")
+      val bestCos = ctx.freshName("bestCos")
+      val better = ctx.freshName("better")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val cell = ctx.freshName("cell")
+      val cent = ctx.freshName("cent")
+      val bad = ctx.freshName("bad")
+      val get = VectorExprs.getAsDouble(vec, i, elemType)
+      s"""
+         |int $k = $cells.numElements();
+         |int $dim = $vec.numElements();
+         |boolean $bad = ($k == 0);
+         |double $qacc = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($vec.isNullAt($i)) { $bad = true; break; }
+         |    double $x = $get;
+         |    $qacc += $x * $x;
+         |  }
+         |}
+         |long $bestFcid = 0L;
+         |double $bestCos = 0.0;
+         |if (!$bad) {
+         |  double $qn = java.lang.Math.sqrt($qacc);
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    if ($cells.isNullAt($c)) { $bad = true; break; }
+         |    org.apache.spark.sql.catalyst.InternalRow $cell = $cells.getStruct($c, 2);
+         |    if ($cell.isNullAt(1)) { $bad = true; break; }
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cent = $cell.getArray(1);
+         |    if ($cent.numElements() != $dim) { $bad = true; break; }
+         |    double $dacc = 0.0;
+         |    double $cacc = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      if ($cent.isNullAt($i)) { $bad = true; break; }
+         |      double $y = $cent.getDouble($i);
+         |      $dacc += $get * $y;
+         |      $cacc += $y * $y;
+         |    }
+         |    if ($bad) break;
+         |    double $cos = $dacc / ($qn * java.lang.Math.sqrt($cacc));
+         |    boolean $better;
+         |    if ($c == 0) { $better = true; }
+         |    else if (Double.isNaN($cos) != Double.isNaN($bestCos)) {
+         |      $better = Double.isNaN($cos);
+         |    } else { $better = $cos > $bestCos; }
+         |    if ($better) { $bestFcid = $cell.getLong(0); $bestCos = $cos; }
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{$bestFcid, $bestCos});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestInCellExpr =
+    copy(left = newLeft, right = newRight)
 }

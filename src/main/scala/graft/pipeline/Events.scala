@@ -62,29 +62,45 @@ object Events {
        |)""".stripMargin
 
   /** Ordered conversion funnel: users whose first `stages(i+1)` event
-    * happens strictly AFTER their qualifying `stages(i)` event. One
-    * tiny per-stage aggregate each (users-sized frames, broadcastable
-    * joins); the event log is scanned once per stage with a pushed
-    * `event_type` filter. Returns one row of per-stage user counts
-    * (`n_<stage>`). */
+    * happens strictly AFTER their qualifying `stages(i)` event.
+    * Returns one row of per-stage user counts (`n_<stage>`).
+    *
+    * ONE event-log scan (an N-stage funnel over a 100 TB log must not
+    * pay N passes): the pushed `event_type IN stages` filter prunes
+    * the scan, one user_id shuffle aggregates each user's PER-STAGE
+    * sorted event-time arrays, and the qualification chain — "first
+    * stage-i time strictly after the stage-(i-1) qualifying time" —
+    * evaluates as array expressions over that users-sized frame.
+    * Sorted FULL per-stage time lists are required, not per-stage
+    * minima: a user with `b` before their first `a` and another `b`
+    * after it converts, which min(b) alone would miss. Per-user state
+    * is their own stage-event times — the same per-user bound
+    * sessionization already carries. */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.size >= 2, "funnel needs at least 2 stages")
-    val e = events.select(col("user_id"), col("event_type"),
-      unix_micros(col("ts")).as("t"))
-    // reached(i): per-user timestamp of the FIRST stage-i event that
-    // follows their stage-(i-1) qualifying time
-    var reached = e.filter(col("event_type") === stages.head)
-      .groupBy("user_id").agg(min(col("t")).as("tq"))
-    var out: DataFrame = reached.agg(
-      count(lit(1)).as(s"n_${stages.head}"))
-    stages.tail.foreach { st =>
-      reached = e.filter(col("event_type") === st)
-        .join(reached, "user_id")
-        .filter(col("t") > col("tq"))
-        .groupBy("user_id").agg(min(col("t")).as("tq"))
-      out = out.crossJoin(reached.agg(count(lit(1)).as(s"n_$st")))
-    }
-    out
+    val e = events.filter(col("event_type").isInCollection(stages))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    // collect_list skips the nulls the when() leaves for other stages
+    val perStage = stages.zipWithIndex.map { case (st, i) =>
+      sort_array(collect_list(when(col("event_type") === st, col("t"))))
+        .as(s"__ts$i") }
+    val users = e.groupBy("user_id").agg(perStage.head, perStage.tail: _*)
+    // qualifying-time chain: tq(0) = first stage-0 time; tq(i) = first
+    // stage-i time > tq(i-1). get() is null out-of-bounds, and a null
+    // tq(i-1) nulls the whole tail (x > null filters everything out)
+    val tqs = stages.indices.foldLeft(List.empty[Column]) { (acc, i) =>
+      val tq =
+        if (i == 0) get(col("__ts0"), lit(0))
+        else {
+          val prev = acc.head
+          get(filter(col(s"__ts$i"), x => x > prev), lit(0))
+        }
+      tq :: acc
+    }.reverse
+    val counts = stages.zipWithIndex.map { case (st, i) =>
+      count(tqs(i)).as(s"n_$st") }
+    users.agg(counts.head, counts.tail: _*)
   }
 
   /** DuckDB twin of [[funnel]] for exactly three stages; defines

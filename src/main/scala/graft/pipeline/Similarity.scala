@@ -702,6 +702,319 @@ object Similarity {
        |  WHERE vec_id NOT IN (SELECT vec_id FROM sddrop)
        |)""".stripMargin
 
+  // ---- Two-level (coarse → fine) k-means: the K ≈ 10⁶ substrate ----
+
+  /** Two-level k-means assignment — the clustering substrate that
+    * reaches the cluster counts 100-TB SemDeDup needs (10⁹ vectors ⇒
+    * K ≈ 10⁶ for the paper's Σ|cluster|² ≪ N² bound), which the flat
+    * [[kmeansCentroidsSeq]] cannot: flat K = 10⁶ means a ~GB centroid
+    * array bounced through the driver into every task and a 10⁶-wide
+    * linear scan per row. Here (the FAISS IVF coarse-quantizer shape):
+    *
+    *  1. COARSE: `coarseK ≈ √K` centroids via the existing
+    *     driver-bounded Lloyd rounds — coarse state is √K×dim, MBs at
+    *     any scale, so the driver bounce stays legitimate.
+    *  2. FINE, fully distributed: each coarse cell gets `fineK` seed
+    *     centroids (its lowest vec_ids — `WindowGroupLimit` keeps the
+    *     seed pick map-side); Lloyd rounds then run as plain
+    *     join + aggregate plans: vectors join their OWN cell's
+    *     centroid array on ccid ([[graft.functions.NearestInCellExpr]]
+    *     scans fineK, not K, per row — codegen'd, zero UDFs), and the
+    *     update is one map-side-combined per-(ccid, fcid, dim)
+    *     aggregate. No centroid state ever visits the driver; each
+    *     round materializes a √K-row cell frame (persisted, previous
+    *     round released), so lineage stays one round deep.
+    *
+    * The cells frame broadcasts while total centroid bytes fit
+    * comfortably (≤ 64 MB — deterministic plan choice, not a stats
+    * guess); past that the join degrades gracefully to a shuffle on
+    * ccid, which the corpus-side already keys. Global cluster id
+    * `cid = ccid·fineK + fcid`. Quantized-vector math and (cos desc,
+    * id asc, NaN-first) tie-breaks are exactly the flat tier's, so the
+    * DuckDB twin ([[twoLevelSql]]) replays bit-identically.
+    *
+    * Returns (vec_id, embedding, ccid, cid). Callers running more
+    * actions than one should use [[twoLevelAssignScoped]] and release
+    * the shared caches after the final consuming action. */
+  def twoLevelAssign(corpus: DataFrame, coarseK: Int, fineK: Int,
+      coarseIters: Int = KmIters, fineIters: Int = 1): DataFrame =
+    twoLevelAssignScoped(corpus, coarseK, fineK, coarseIters, fineIters)._1
+
+  /** [[twoLevelAssign]] plus a release handle for the assignment-side
+    * caches (the coarse-assigned corpus feeds every fine round). */
+  def twoLevelAssignScoped(corpus: DataFrame, coarseK: Int, fineK: Int,
+      coarseIters: Int = KmIters, fineIters: Int = 1)
+      : (DataFrame, () => Unit) = {
+    require(coarseK > 0 && fineK > 0 && coarseIters >= 0 && fineIters >= 0,
+      "coarseK, fineK must be positive; iteration counts non-negative")
+    val coarse = kmeansCentroidsSeq(corpus, coarseK, coarseIters)
+    val nc = graft.functions.VectorExprs.nearestCentroid(
+      col("qv"), coarse.sortBy(_._1))
+    val ac = corpus.select(col("vec_id"), emb, qvec(emb).as("qv"))
+      .select(col("vec_id"), emb, col("qv"), nc.getField("cid").as("ccid"))
+      .persist()
+    val seeds = ac
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("ccid")).orderBy(col("vec_id"))))
+      .filter(col("__rn") <= fineK)
+      .select(col("ccid"), (col("__rn") - 1).cast("long").as("fcid"),
+        transform(col("qv"), x => x.cast("double")).as("cent"))
+    def toCells(cents: DataFrame): DataFrame =
+      cents.groupBy(col("ccid"))
+        .agg(sort_array(collect_list(struct(col("fcid"), col("cent"))))
+          .as("cents"))
+    def assignF(cells: DataFrame): DataFrame = {
+      val rhs = // deterministic broadcast-vs-shuffle choice, see scaladoc
+        if (coarseK.toLong * fineK * Dim * 8 <= (64L << 20)) broadcast(cells)
+        else cells
+      ac.join(rhs, Seq("ccid"))
+        .select(col("vec_id"), emb, col("qv"), col("ccid"),
+          graft.functions.VectorExprs.nearestInCell(col("qv"), col("cents"))
+            .getField("fcid").as("fcid"))
+    }
+    var cells = toCells(seeds).persist()
+    cells.count() // materialize: truncates per-round lineage
+    var assigned = assignF(cells)
+    (1 to fineIters).foreach { _ =>
+      val sums = (0 until Dim).map(i => sum(col("qv").getItem(i)).as(s"s$i"))
+      val newCents = assigned.groupBy(col("ccid"), col("fcid"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("ccid"), col("fcid"), array((0 until Dim).map(i =>
+          col(s"s$i").cast("double") / col("n")): _*).as("cent"))
+      val nxt = toCells(newCents).persist()
+      nxt.count()
+      cells.unpersist()
+      cells = nxt
+      assigned = assignF(cells)
+    }
+    val cellsFinal = cells
+    val out = assigned.select(col("vec_id"), emb, col("ccid"),
+      (col("ccid") * fineK + col("fcid")).as("cid"))
+    (out, () => { ac.unpersist(); cellsFinal.unpersist(); () })
+  }
+
+  /** SemDeDup over the [[twoLevelAssign]] substrate with a HARD
+    * per-self-join-cell bound — the degenerate-corpus guard the flat
+    * [[semDedup]] lacks (an all-near-identical corpus puts ~N vectors
+    * in one cluster and its within-cluster join degrades to all-pairs).
+    *
+    * After assignment, each cluster is hash-partitioned into
+    * `ceil(|cluster| / capTarget)` chunks on a portable integer hash
+    * of vec_id — NO per-cluster rank window (a rank over a 50 %-of-
+    * corpus cluster would itself be the skew bottleneck); expected
+    * chunk size is capTarget with multinomial concentration, and the
+    * in-chunk ε-ball dedup runs exactly [[semDedup]]'s senior-keeper
+    * rule. Chunk boundaries lose cross-chunk pairs, so `levels`
+    * REFINEMENT passes re-chunk the SURVIVORS (dups collapse chunk
+    * populations, so each pass shrinks dup-heavy clusters
+    * geometrically — the degenerate cluster's chunk keepers meet each
+    * other at the next level and collapse further). Work per level is
+    * ≤ N·capTarget pairs; cluster-confinement semantics (cross-CLUSTER
+    * dups invisible, as published) are unchanged. Returns survivor
+    * (vec_id, cid). */
+  def semDedupScalable(corpus: DataFrame, eps: Double, coarseK: Int = 4,
+      fineK: Int = 4, coarseIters: Int = 2, fineIters: Int = 1,
+      capTarget: Int = 1024, levels: Int = 2): DataFrame =
+    semDedupScalableScoped(corpus, eps, coarseK, fineK, coarseIters,
+      fineIters, capTarget, levels)._1
+
+  /** [[semDedupScalable]] plus a release handle for the per-level
+    * survivor caches (each level's frame feeds both the next level's
+    * chunking and its anti-join). */
+  def semDedupScalableScoped(corpus: DataFrame, eps: Double,
+      coarseK: Int = 4, fineK: Int = 4, coarseIters: Int = 2,
+      fineIters: Int = 1, capTarget: Int = 1024, levels: Int = 2)
+      : (DataFrame, () => Unit) = {
+    val (assigned, releaseAssign) =
+      twoLevelAssignScoped(corpus, coarseK, fineK, coarseIters, fineIters)
+    val (out, releaseDedup) =
+      semDedupChunkedScoped(assigned, eps, capTarget, levels)
+    (out, () => { releaseAssign(); releaseDedup(); () })
+  }
+
+  /** Per-cluster chunk count for the CURRENT survivor census — the
+    * hash-cap law [[semDedupChunkedScoped]] applies each level;
+    * exposed so probes/specs can assert the realized chunk bound on
+    * the operator's own frames. Returns (cid, __nch). */
+  def chunkCounts(survivors: DataFrame, capTarget: Int): DataFrame =
+    survivors.groupBy(col("cid"))
+      .agg(ceil(count(lit(1)).cast("double") / capTarget)
+        .cast("long").as("__nch"))
+
+  /** Portable per-vector chunk id given the cluster's chunk count —
+    * `(vec_id · 2654435761) mod 1000003 mod nch` (exact in BIGINT for
+    * vec_id < 3.4·10⁹ on both engines). */
+  def chunkOf(vecId: Column, nch: Column): Column =
+    (vecId * lit(2654435761L)) % lit(1000003L) % nch
+
+  /** The dedup half of [[semDedupScalable]], over a PRECOMPUTED
+    * (vec_id, embedding, cid) assignment — the path a published
+    * cluster index takes, and the piece probes exercise with in-stage
+    * bound asserts. See [[semDedupScalable]] for the chunk-cap and
+    * refinement-level semantics. */
+  def semDedupChunkedScoped(assigned: DataFrame, eps: Double,
+      capTarget: Int, levels: Int): (DataFrame, () => Unit) = {
+    require(capTarget > 0 && levels >= 1, "capTarget > 0, levels >= 1")
+    val handles = scala.collection.mutable.ListBuffer[DataFrame]()
+    var survivors = assigned.select(col("vec_id"), emb, col("cid")).persist()
+    handles += survivors
+    (1 to levels).foreach { _ =>
+      // chunk count per cluster from the CURRENT survivor census —
+      // K-bounded rows of two longs, broadcast by construction
+      val chunked = survivors
+        .join(broadcast(chunkCounts(survivors, capTarget)), Seq("cid"))
+        .withColumn("chunk", chunkOf(col("vec_id"), col("__nch")))
+      val a = chunked.select(col("cid"), col("chunk"),
+        col("vec_id").as("vec_a"), emb.as("ea"))
+      val b = chunked.select(col("cid"), col("chunk"),
+        col("vec_id").as("vec_b"), emb.as("eb"))
+      val dropped = a.join(b, Seq("cid", "chunk"))
+        .filter(col("vec_a") < col("vec_b") &&
+          cosine(col("ea"), col("eb")) >= eps)
+        .select(col("vec_b").as("vec_id")).distinct()
+      survivors = survivors.join(dropped, Seq("vec_id"), "left_anti").persist()
+      handles += survivors
+    }
+    val out = survivors.select(col("vec_id"), col("cid"))
+    (out, () => { handles.foreach(_.unpersist()); () })
+  }
+
+  /** DuckDB twin of [[twoLevelAssign]] over source CTE/table `src`
+    * (vec_id, embedding): coarse Lloyd rounds unrolled (the
+    * [[kmeansSql]] pattern), per-cell fine seeds, fine rounds as
+    * join-on-ccid windows. Defines `tfin(vec_id, ccid, fcid, cid)`. */
+  def twoLevelSql(src: String, coarseK: Int, fineK: Int,
+      coarseIters: Int, fineIters: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in generate_series(1, $Dim)])"
+    def cos(q: String, c: String) =
+      s"(${dot(q, c)} / (sqrt(${dot(q, q)}) * sqrt(${dot(c, c)})))"
+    def cassign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid, qv FROM (
+         |    SELECT q.vec_id, c.cid, q.qv,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cos("q.qv", "c.cent")} DESC, c.cid) AS r
+         |    FROM tlq q, $cents c)
+         |  WHERE r = 1
+         |)""".stripMargin
+    def cupdate(name: String, assigned: String) =
+      s"""$name AS (
+         |  SELECT cid, list(sx / n ORDER BY i) AS cent FROM (
+         |    SELECT a.cid, t.i, sum(a.qv[t.i]) AS sx, count(*) AS n
+         |    FROM $assigned a
+         |    CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) t
+         |    GROUP BY a.cid, t.i)
+         |  GROUP BY cid
+         |)""".stripMargin
+    def fassign(name: String, cents: String, last: Boolean) =
+      s"""$name AS (
+         |  SELECT vec_id, ccid, fcid${if (last) s", ccid * $fineK + fcid AS cid" else ", qv"} FROM (
+         |    SELECT a.vec_id, a.ccid, c.fcid, a.qv,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${cos("a.qv", "c.cent")} DESC, c.fcid) AS r
+         |    FROM tca a JOIN $cents c USING (ccid))
+         |  WHERE r = 1
+         |)""".stripMargin
+    def fupdate(name: String, assigned: String) =
+      s"""$name AS (
+         |  SELECT ccid, fcid, list(sx / n ORDER BY i) AS cent FROM (
+         |    SELECT a.ccid, a.fcid, t.i, sum(a.qv[t.i]) AS sx, count(*) AS n
+         |    FROM $assigned a
+         |    CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) t
+         |    GROUP BY a.ccid, a.fcid, t.i)
+         |  GROUP BY ccid, fcid
+         |)""".stripMargin
+    val coarseRounds = (1 to coarseIters).map(r =>
+      cassign(s"ta$r", s"tc${r - 1}") + ",\n" +
+        cupdate(s"tc$r", s"ta$r")).mkString(",\n")
+    val fineRounds = (1 to fineIters).map(r =>
+      fassign(s"tfa$r", s"tg${r - 1}", last = false) + ",\n" +
+        fupdate(s"tg$r", s"tfa$r")).mkString(",\n")
+    s"""tlq AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |     for e in embedding] AS qv
+       |  FROM $src
+       |), tc0 AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS cid,
+       |         [CAST(x AS DOUBLE) for x in qv] AS cent
+       |  FROM tlq WHERE vec_id < $coarseK
+       |),
+       |$coarseRounds,
+       |${cassign("tcaq", s"tc$coarseIters")},
+       |tca AS (SELECT vec_id, cid AS ccid, qv FROM tcaq),
+       |tg0 AS (
+       |  SELECT ccid, CAST(rn - 1 AS BIGINT) AS fcid,
+       |         [CAST(x AS DOUBLE) for x in qv] AS cent
+       |  FROM (SELECT ccid, qv,
+       |          row_number() OVER (PARTITION BY ccid ORDER BY vec_id) AS rn
+       |        FROM tca)
+       |  WHERE rn <= $fineK
+       |),
+       |$fineRounds,
+       |${fassign("tfin", s"tg$fineIters", last = true)}""".stripMargin
+  }
+
+  /** DuckDB twin of [[semDedupScalable]]: [[twoLevelSql]] composed
+    * with `levels` chunked-dedup refinement passes. Defines
+    * `sdskeep(vec_id, cid)`. */
+  def semDedupScalableSql(src: String, eps: Double, coarseK: Int,
+      fineK: Int, coarseIters: Int, fineIters: Int, capTarget: Int,
+      levels: Int): String = {
+    val lvls = (1 to levels).map { l =>
+      s"""tn$l AS (
+         |  SELECT cid,
+         |    CAST(ceil(CAST(count(*) AS DOUBLE) / $capTarget) AS BIGINT) AS nch
+         |  FROM tv${l - 1} GROUP BY cid
+         |), tch$l AS (
+         |  SELECT s.vec_id, s.cid, s.embedding,
+         |         ((s.vec_id * 2654435761) % 1000003) % n.nch AS chunk
+         |  FROM tv${l - 1} s JOIN tn$l n USING (cid)
+         |), td$l AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM tch$l a JOIN tch$l b
+         |    ON a.cid = b.cid AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= $eps
+         |), tv$l AS (
+         |  SELECT vec_id, cid, embedding FROM tv${l - 1}
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM td$l)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${twoLevelSql(src, coarseK, fineK, coarseIters, fineIters)},
+       |tv0 AS (
+       |  SELECT f.vec_id, f.cid, s.embedding FROM tfin f JOIN $src s USING (vec_id)
+       |),
+       |$lvls,
+       |sdskeep AS (SELECT vec_id, cid FROM tv$levels)""".stripMargin
+  }
+
+  /** Deterministic SKEWED corpus — the degenerate-cluster stressor
+    * for [[semDedupScalable]]'s cap: every EVEN vec_id becomes a tiny
+    * perturbation of vec 0's embedding (base + 0.001·own), so ~50 % of
+    * the corpus is near-identical and k-means must shove it into one
+    * cluster family. Element-order double math both engines replay
+    * ([[skewedCorpusSql]]). */
+  def skewedCorpus(e: DataFrame): DataFrame = {
+    val base = broadcast(e.filter(col("vec_id") === 0)
+      .select(transform(emb, x => x.cast("double")).as("__base")))
+    e.crossJoin(base).select(col("vec_id"),
+      when(col("vec_id") % 2 === 0,
+        zip_with(col("__base"), emb, (b, x) => b + x.cast("double") * lit(0.001)))
+        .otherwise(transform(emb, x => x.cast("double"))).as("embedding"))
+  }
+
+  /** CTE `skewsrc(vec_id, embedding)` replaying [[skewedCorpus]]. */
+  def skewedCorpusSql: String =
+    s"""skewsrc AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN e.vec_id % 2 = 0
+       |      THEN [CAST(b.embedding[i] AS DOUBLE) + CAST(e.embedding[i] AS DOUBLE) * CAST(0.001 AS DOUBLE)
+       |            for i in generate_series(1, $Dim)]
+       |      ELSE [CAST(x AS DOUBLE) for x in e.embedding] END AS embedding
+       |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+       |)""".stripMargin
+
   /** Recall@k of the IVF tier against the exact top-k — the
     * index-quality gauge every ANN deployment watches (FAISS reports
     * the same number): per query, the fraction of the true top-k the

@@ -91,6 +91,65 @@ class IvfServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       delta.filter(col("vec_id") < 153), 5)).nonEmpty)
   }
 
+  test("two-level assignment with one coarse cell ≡ flat k-means") {
+    // coarseK=1 collapses the coarse layer (every vector in cell 0,
+    // fine seeds = the global first-fineK vec_ids), so the fine rounds
+    // ARE flat Lloyd with K=fineK: assignments must match exactly —
+    // same seeds, same quantized math, same tie-breaks
+    val corpus = vectors(120, 3)
+    val (two, release) = Similarity.twoLevelAssignScoped(
+      corpus, coarseK = 1, fineK = 6, coarseIters = 1, fineIters = 2)
+    val twoMap = two.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    release()
+    val flatMapped = Similarity.kmeans(corpus, k = 6, iters = 2)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoMap.size === 120)
+    assert(twoMap === flatMapped)
+  }
+
+  test("two-level assignment: total, unique, ids composed from (ccid, fcid)") {
+    val corpus = vectors(150, 9)
+    val out = Similarity.twoLevelAssign(corpus, coarseK = 4, fineK = 3,
+      coarseIters = 2, fineIters = 1).select("vec_id", "ccid", "cid").collect()
+    assert(out.length === 150)
+    assert(out.map(_.getLong(0)).distinct.length === 150)
+    out.foreach { r =>
+      val (ccid, cid) = (r.getLong(1), r.getLong(2))
+      assert(ccid >= 0 && ccid < 4)
+      assert(cid >= ccid * 3 && cid < ccid * 3 + 3, s"cid $cid of ccid $ccid")
+    }
+  }
+
+  test("scalable SemDeDup: degenerate corpus collapses, non-dup corpus untouched") {
+    val s = spark; import s.implicits._
+    // degenerate: every vector a tiny perturbation of one base — flat
+    // semDedup's worst case (one cluster, all-pairs). The cap chunks
+    // it; two refinement levels must collapse it to ~one keeper.
+    val n = 300
+    val degenerate = (0 until n).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        (10.0 + j + i * 1e-5).toFloat).toList)
+    }.toDF("vec_id", "embedding")
+    val (kept, release) = Similarity.semDedupScalableScoped(
+      degenerate, eps = 0.999, coarseK = 2, fineK = 2, coarseIters = 1,
+      fineIters = 1, capTarget = 16, levels = 2)
+    val survivors = kept.select("vec_id").collect().map(_.getLong(0)).sorted
+    release()
+    // vec 0 is the globally senior keeper and must survive; the chunk
+    // keepers of level 1 meet at level 2 and collapse further — the
+    // count must be far below the ~n/capTarget level-1 ceiling
+    assert(survivors.head === 0L)
+    assert(survivors.length <= 4,
+      s"degenerate corpus left ${survivors.length} survivors")
+    // eps above any attainable cosine ⇒ nothing dropped
+    val all = Similarity.semDedupScalable(vectors(80, 5), eps = 1.1,
+      coarseK = 2, fineK = 2, coarseIters = 1, fineIters = 1,
+      capTarget = 8, levels = 2)
+    assert(all.count() === 80L)
+  }
+
   test("publishTables rejects unusable table names") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "x")).toDF("id", "t")

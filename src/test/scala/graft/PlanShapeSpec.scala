@@ -213,4 +213,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("ev_funnel: ONE event-log scan for the whole stage chain") {
+    // an N-stage funnel must not pay N passes over a 100 TB log: the
+    // per-stage qualification chain evaluates over the users-sized
+    // aggregate, so exactly one pushed-filter scan may appear
+    val p = plan("ev_funnel")
+    val scans = "(?i)scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected 1 event-log scan, found $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -442,6 +442,51 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wrong.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("native nearestInCell ≡ plan-time nearestCentroid, bit-exact") {
+    val s = spark; import s.implicits._
+    val dim = 8
+    val vecGen = Gen.listOfN(dim, Gen.choose(-5L, 5L)).map(_.toSeq)
+    val genCase = for {
+      nv <- Gen.choose(1, 6)
+      nc <- Gen.choose(1, 4)
+      vs <- Gen.listOfN(nv, vecGen)
+      cs <- Gen.listOfN(nc, Gen.listOfN(dim, Gen.choose(-3.0, 3.0)).map(_.toSeq))
+    } yield (vs.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      cs.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+    forAll(genCase, n = 6) { case (vrows, crows) =>
+      val qv = vrows.toDF("vec_id", "qv")
+      // runtime cells column: every row carries the same centroid set
+      val cellsCol = array(crows.map { case (fc, cent) =>
+        struct(lit(fc).as("fcid"),
+          array(cent.map(lit(_)): _*).as("cent")) }: _*)
+      val runtime = qv.select(col("vec_id"),
+          graft.functions.VectorExprs.nearestInCell(col("qv"), cellsCol).as("nc"))
+        .select(col("vec_id"), col("nc.fcid"), col("nc.cos"))
+        .orderBy("vec_id").collect()
+      val planTime = qv.select(col("vec_id"),
+          graft.functions.VectorExprs.nearestCentroid(col("qv"), crows).as("nc"))
+        .select(col("vec_id"), col("nc.cid"), col("nc.cos"))
+        .orderBy("vec_id").collect()
+      runtime.zip(planTime).foreach { case (r, p) =>
+        assert(r.getLong(1) === p.getLong(1))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+          java.lang.Double.doubleToLongBits(p.getDouble(2)),
+          s"vec ${r.getLong(0)}")
+      }
+    }
+    // empty cell array / malformed vector / wrong-dim centroid ⇒ null
+    val one = Seq((0L, (1 to dim).map(_.toLong))).toDF("vec_id", "qv")
+    val emptyCells = one.select(graft.functions.VectorExprs.nearestInCell(
+      col("qv"), array().cast(
+        "array<struct<fcid: bigint, cent: array<double>>>")).as("nc"))
+      .collect().head
+    assert(emptyCells.isNullAt(0))
+    val wrongDim = one.select(graft.functions.VectorExprs.nearestInCell(
+      col("qv"), array(struct(lit(0L).as("fcid"),
+        array(lit(1.0), lit(2.0)).as("cent")))).as("nc")).collect().head
+    assert(wrongDim.isNullAt(0))
+  }
+
   test("native md5Prefix60 ≡ conv(substring(md5)) hex parse") {
     val s = spark; import s.implicits._
     val strGen = Gen.listOf(Gen.frequency(

@@ -647,4 +647,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("funnel: sequential qualification, not per-stage minima") {
+    val s = spark; import s.implicits._
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // u1: b BEFORE first a, then b again after it → converts through b
+    //     (a min-per-stage shortcut would see min(b) < min(a) and miss it),
+    //     then c after the qualifying b
+    // u2: full chain but c arrives BEFORE the qualifying b → stops at b
+    // u3: only a
+    // u4: b and c but never a → counts nowhere
+    val events = Seq(
+      (1L, "b", ts(10)), (1L, "a", ts(20)), (1L, "b", ts(30)), (1L, "c", ts(40)),
+      (2L, "a", ts(10)), (2L, "c", ts(20)), (2L, "b", ts(30)),
+      (3L, "a", ts(5)),
+      (4L, "b", ts(5)), (4L, "c", ts(6))
+    ).toDF("user_id", "event_type", "ts")
+    val row = graft.pipeline.Events.funnel(events, Seq("a", "b", "c"))
+      .collect().head
+    assert(row.getLong(row.fieldIndex("n_a")) === 3L)
+    assert(row.getLong(row.fieldIndex("n_b")) === 2L)
+    assert(row.getLong(row.fieldIndex("n_c")) === 1L)
+    // equal timestamps do NOT qualify (strictly-after contract)
+    val tie = Seq((7L, "a", ts(10)), (7L, "b", ts(10)))
+      .toDF("user_id", "event_type", "ts")
+    val trow = graft.pipeline.Events.funnel(tie, Seq("a", "b")).collect().head
+    assert(trow.getLong(trow.fieldIndex("n_a")) === 1L)
+    assert(trow.getLong(trow.fieldIndex("n_b")) === 0L)
+  }
 }
