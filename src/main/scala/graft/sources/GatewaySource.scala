@@ -46,6 +46,29 @@ object GatewaySource {
   val Schema: StructType = StructType(Seq(StructField("value", StringType)))
 }
 
+/** JVM-global drop counters for the gateway sources, keyed
+  * `host:port` — the receiver's `stats.dropped` counter
+  * (`receiver/director.go:287-299` increments it when the elastic
+  * queue exceeds `max-receiver-queue-size` and the point "goes to
+  * /dev/null"). Global because the streams are instantiated inside
+  * Spark's source machinery while the daemon's HTTP stats route needs
+  * to read them; the source is the single-JVM dev shim by contract,
+  * so a process-wide registry is the honest scope. */
+object GatewayStats {
+  private val drops =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private[sources] def counter(key: String): java.util.concurrent.atomic.AtomicLong =
+    drops.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong)
+  /** Lines dropped at `host:port` since JVM start. */
+  def dropped(key: String): Long =
+    Option(drops.get(key)).map(_.get).getOrElse(0L)
+  /** All non-zero counters, stable order. */
+  def all(): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    drops.asScala.toSeq.map { case (k, v) => (k, v.get) }.sortBy(_._1)
+  }
+}
+
 final case class GatewayOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
@@ -58,10 +81,12 @@ class GatewaySourceProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new GatewayTable(properties.get("host"),
-      Integer.parseInt(properties.get("port")))
+      Integer.parseInt(properties.get("port")),
+      Option(properties.get("maxQueue")).map(Integer.parseInt).getOrElse(0))
 }
 
-class GatewayTable(host: String, port: Int) extends Table with SupportsRead {
+class GatewayTable(host: String, port: Int, maxQueue: Int)
+    extends Table with SupportsRead {
   override def name(): String = s"gateway($host:$port)"
   override def schema(): StructType = GatewaySource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -71,11 +96,21 @@ class GatewayTable(host: String, port: Int) extends Table with SupportsRead {
       override def build(): Scan = this
       override def readSchema(): StructType = GatewaySource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GatewayMicroBatchStream(host, port)
+        new GatewayMicroBatchStream(host, port, maxQueue)
     }
 }
 
-class GatewayMicroBatchStream(host: String, port: Int)
+/** `maxQueue` > 0 bounds the uncommitted line buffer exactly as
+  * `max-receiver-queue-size` bounds the reference's elastic queue
+  * (`receiver/receiver.go:121-135`, `etc/tgres.conf.sample:7`): a
+  * line arriving while the buffer holds `maxQueue` uncommitted lines
+  * is DROPPED — it never gets an offset — and counted in
+  * [[GatewayStats]], mirroring `stats.dropped++` / "goes to
+  * /dev/null" (`receiver/director.go:299`). 0 = unbounded, the
+  * reference's own default. Shedding the NEWEST matches the director
+  * (the daemon's [[graft.streaming.Daemon.LineGateway]] relay keeps
+  * its own small bounded queue in front of this). */
+class GatewayMicroBatchStream(host: String, port: Int, maxQueue: Int = 0)
     extends MicroBatchStream with SupportsAdmissionControl
     with AcceptsLatestSeenOffset {
 
@@ -96,9 +131,13 @@ class GatewayMicroBatchStream(host: String, port: Int)
       sock = s
       val in = new BufferedReader(new InputStreamReader(
         s.getInputStream, StandardCharsets.UTF_8))
+      val dropCounter = GatewayStats.counter(s"$host:$port")
       var line = in.readLine()
       while (line != null) {
-        lock.synchronized { buf += line; received += 1 }
+        lock.synchronized {
+          if (maxQueue > 0 && buf.size >= maxQueue) dropCounter.incrementAndGet()
+          else { buf += line; received += 1 }
+        }
         line = in.readLine()
       }
     } catch { case _: Exception => () } // gateway gone: go quiet

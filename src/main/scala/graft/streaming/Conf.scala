@@ -45,6 +45,13 @@ object Conf {
     def statsdPort: Option[Int] = port("statsd-text-listen-spec")
       .orElse(port("statsd-udp-listen-spec"))
     def statFlushSec: Long = durationSec("stat-flush-interval", 10L)
+    /** `max-receiver-queue-size` (`etc/tgres.conf.sample:7`,
+      * `receiver/receiver.go:121-135`): uncommitted ingest lines a
+      * feed may buffer before newly arriving ones drop (counted, see
+      * the `/stats` route). 0/absent = unbounded, the reference's own
+      * default. */
+    def maxReceiverQueueSize: Int =
+      scalars.get("max-receiver-queue-size").map(_.trim.toInt).getOrElse(0)
     def statsNamePrefix: String = string("stats-name-prefix", "stats")
     def minStepSec: Long = durationSec("min-step", 1L)
     /** `http-allow-origin` (`daemon/config.go:50`): CORS header value

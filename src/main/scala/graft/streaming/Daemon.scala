@@ -199,10 +199,12 @@ object Daemon {
     * continuity across a checkpointed relaunch — the graceful-restart
     * contract; the built-in socket source restarts offsets per
     * connection and silently skips). Column: `value`. */
-  private def gatewayLines(spark: SparkSession, port: Int): DataFrame =
+  private def gatewayLines(spark: SparkSession, port: Int,
+      maxQueue: Int = 0): DataFrame =
     spark.readStream
       .format(classOf[graft.sources.GatewaySourceProvider].getName)
       .option("host", "127.0.0.1").option("port", port.toString)
+      .option("maxQueue", maxQueue.toString)
       .load()
 
   /** Graphite plaintext lifecycle: socket stream → [[Ingest.parseGraphite]]
@@ -379,10 +381,13 @@ object Daemon {
       heartbeatSec: Long, checkpointDir: String,
       retainSec: Option[Long] = None,
       rras: Seq[Rra] = Seq.empty,
-      pixelDpFeedPort: Option[Int] = None): StreamingQuery = {
+      pixelDpFeedPort: Option[Int] = None,
+      maxQueue: Int = 0): StreamingQuery = {
     import spark.implicits._
+    // maxQueue > 0 = the reference's `max-receiver-queue-size` drop
+    // bound, applied per feed (drops counted in GatewayStats, /stats)
     def socketLines(port: Int): DataFrame =
-      gatewayLines(spark, port).toDF("line")
+      gatewayLines(spark, port, maxQueue).toDF("line")
     val gPts = Ingest.parseGraphite(socketLines(graphiteFeedPort),
         nowSec = unix_timestamp(current_timestamp()))
       .as[(String, Long, Double)]
@@ -700,6 +705,20 @@ object Daemon {
         .mkString("[", ",", "]")
     })
 
+    // /stats — receiver self-counters, led by the drop counter the
+    // reference keeps as `stats.dropped` (`receiver/director.go:299`;
+    // it reports the same number through its internal self-metrics
+    // flush — this JSON route is the equivalent ops surface). A
+    // blaster flood past `max-receiver-queue-size` shows up here
+    // instead of as unbounded gateway memory.
+    server.createContext("/stats", (ex: HttpExchange) => respond(ex) {
+      val per = graft.sources.GatewayStats.all()
+      val total = per.map(_._2).sum
+      val gws = per.map { case (k, v) =>
+        s""""${jsonEscape(k)}":$v""" }.mkString("{", ",", "}")
+      s"""{"receiver.dropped":$total,"receiver.dropped.by_gateway":$gws}"""
+    })
+
     // /quantiles?name=a.b.c&q=0.5,0.99&window=3600 — value quantiles of
     // one series over the window (the "what's its p99 right now" ops
     // glance), read through the quantile compactor stack so the
@@ -765,7 +784,7 @@ object Daemon {
     * with GRAFT_* environment overrides. */
   private final case class DaemonSettings(stepSec: Long, heartbeatSec: Long,
       flushSec: Long, retainSec: Option[Long], rras: Seq[Rra],
-      statsPrefix: String)
+      statsPrefix: String, maxQueue: Int)
 
   private def loadSettings(confPath: Option[String]): (Option[Conf.Settings], DaemonSettings) = {
     val conf = confPath.map(Conf.load)
@@ -796,8 +815,11 @@ object Daemon {
     }
     val statsPrefix = sys.env.getOrElse("GRAFT_STATS_PREFIX",
       conf.map(_.statsNamePrefix).getOrElse("stats"))
+    // receiver backpressure bound (max-receiver-queue-size); 0 = off
+    val maxQueue = sys.env.get("GRAFT_MAX_QUEUE").map(_.toInt)
+      .getOrElse(conf.map(_.maxReceiverQueueSize).getOrElse(0))
     (conf, DaemonSettings(stepSec, heartbeatSec, flushSec, retainSec,
-      rras, statsPrefix))
+      rras, statsPrefix, maxQueue))
   }
 
   def main(args: Array[String]): Unit = {
@@ -840,7 +862,8 @@ object Daemon {
         s"$dataDir/points", settings.stepSec, settings.heartbeatSec,
         checkpointDir = s"$dataDir/ckpt-points",
         retainSec = settings.retainSec,
-        rras = settings.rras, pixelDpFeedPort = Some(pxDpGw.boundFeedPort)),
+        rras = settings.rras, pixelDpFeedPort = Some(pxDpGw.boundFeedPort),
+        maxQueue = settings.maxQueue),
       startStatsdIngest(spark, sGw.boundFeedPort, s"$dataDir/statsd",
         settings.flushSec, checkpointDir = s"$dataDir/ckpt-statsd",
         retainSec = settings.retainSec, statsPrefix = settings.statsPrefix),

@@ -103,6 +103,12 @@ class ConfSpec extends AnyFunSuite {
     assert(c.scalars.get("some").isEmpty)
   }
 
+  test("max-receiver-queue-size: absent → unbounded (0), set → its bound") {
+    assert(Conf.parse("workers = 1\n").maxReceiverQueueSize === 0)
+    assert(Conf.parse("max-receiver-queue-size = 1000000\n")
+      .maxReceiverQueueSize === 1000000)
+  }
+
   test("http-allow-origin: absent/empty → no CORS header, set → its value") {
     assert(Conf.parse("workers = 1\n").httpAllowOrigin === None)
     assert(Conf.parse("http-allow-origin = \"\"\n").httpAllowOrigin === None)

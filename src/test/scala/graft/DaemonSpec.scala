@@ -66,6 +66,44 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally gw.close()
   }
 
+  test("receiver backpressure: flood past max-receiver-queue-size drops, counts, stays bounded") {
+    // the reference's elastic-queue bound (receiver/receiver.go:121-135,
+    // director.go:287-299): points past max-receiver-queue-size go to
+    // /dev/null with stats.dropped++. Flood 1000 lines into a source
+    // capped at 50 uncommitted: exactly 50 get offsets, 950 drop, the
+    // counter surfaces on /stats
+    import graft.sources.{GatewayMicroBatchStream, GatewayOffset, GatewayStats}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val gw = new Daemon.LineGateway(0, 0)
+    val stream = new GatewayMicroBatchStream(
+      "127.0.0.1", gw.boundFeedPort, maxQueue = 50)
+    val http = Daemon.startHttp(spark, 0, Seq.empty, stepSec = 10)
+    try {
+      (1 to 1000).foreach(i => gw.offer(s"m.flood $i ${1000000 + i}"))
+      val key = s"127.0.0.1:${gw.boundFeedPort}"
+      def received: Long =
+        stream.latestOffset(GatewayOffset(-1L), ReadLimit.allAvailable())
+          .asInstanceOf[GatewayOffset].v + 1
+      val deadline = System.currentTimeMillis() + 15000
+      while (received + GatewayStats.dropped(key) < 1000 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(received === 50L, "buffer exceeded the configured bound")
+      assert(GatewayStats.dropped(key) === 950L)
+      // the planned batch carries exactly the bounded prefix
+      val parts = stream.planInputPartitions(
+        GatewayOffset(-1L), GatewayOffset(49L))
+      val lines = parts.flatMap(
+        _.asInstanceOf[graft.sources.GatewayPartition].lines)
+      assert(lines.length === 50 && lines.head === "m.flood 1 1000001")
+      // ops surface: the drop counter is visible on /stats
+      val (code, body) = httpGet(
+        s"http://127.0.0.1:${http.getAddress.getPort}/stats")
+      assert(code === 200)
+      assert(body.contains(s""""$key":950"""), body)
+    } finally { stream.stop(); gw.close(); http.stop(0) }
+  }
+
   test("blaster corpus is deterministic and partitioning-independent") {
     val a = graft.streaming.Blaster.generate(spark, 3, 100)
       .collect().map(_.toSeq).toSet
