@@ -192,6 +192,49 @@ object Daemon {
     }
   }
 
+  // ---------------------- render result cache -----------------------
+
+  /** Per-target render result LRU — the role of the reference's query
+    * cache (`dsl/ds_lru.go:29-295`, capped by `query-cache-size`,
+    * `etc/tgres.conf.sample:36`, with hit/miss/eviction counters like
+    * its `hits`/`misses`/`evictions`). The reference caches WATCHED
+    * DSes (per-series data kept live by the receiver); the Spark-side
+    * equivalent caches the rendered payload keyed on (targets,
+    * resolved from, resolved until, maxDataPoints) and invalidates
+    * through [[Ingest.StoreGen]] — every archive mutation (micro-batch
+    * merge, retention age-out) bumps its store's generation, so a
+    * Grafana dashboard refreshing the same panels pays the archive
+    * scan once per store MUTATION instead of once per refresh, and a
+    * mutated series can never serve a stale payload. `cap = 0`
+    * disables caching, as the reference's `0 cap == disable LRU`. */
+  final class RenderCache(val cap: Int) {
+    val hits = new java.util.concurrent.atomic.AtomicLong
+    val misses = new java.util.concurrent.atomic.AtomicLong
+    val evictions = new java.util.concurrent.atomic.AtomicLong
+    private val map =
+      new java.util.LinkedHashMap[String, (Seq[Long], String)](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Seq[Long], String)]): Boolean = {
+          val evict = size() > cap
+          if (evict) evictions.incrementAndGet()
+          evict
+        }
+      }
+    /** Cached payload if present at exactly `gens`; else compute,
+      * store, return. A stale entry (any store generation moved) is
+      * recomputed and replaced. */
+    def getOrCompute(key: String, gens: Seq[Long])(compute: => String): String =
+      if (cap == 0) compute
+      else map.synchronized(Option(map.get(key))).filter(_._1 == gens) match {
+        case Some((_, payload)) => hits.incrementAndGet(); payload
+        case None =>
+          val payload = compute // outside the lock: renders may be slow
+          misses.incrementAndGet()
+          map.synchronized { map.put(key, (gens, payload)); () }
+          payload
+      }
+  }
+
   // ---------------------- ingest lifecycles -------------------------
 
   /** One streaming line frame from a gateway feed port, via the
@@ -507,8 +550,10 @@ object Daemon {
       now: () => Long = () => System.currentTimeMillis() / 1000L,
       pixelOffer: Option[String => Unit] = None,
       blaster: Option[Blaster.LiveBlaster] = None,
-      allowOrigin: Option[String] = None): HttpServer = {
+      allowOrigin: Option[String] = None,
+      queryCacheSize: Int = 512): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val renderCache = new RenderCache(queryCacheSize)
 
     // query string PLUS a form-encoded POST body — Grafana's graphite
     // datasource POSTs its render requests (the reference reads both
@@ -619,9 +664,20 @@ object Daemon {
       val until = p.get("until").flatMap(_.headOption).getOrElse("")
       val maxDp = p.get("maxDataPoints").flatMap(_.headOption)
         .map(_.toInt).getOrElse(maxPointsDefault)
-      val ctx = Viewport.ctx(spark, Ingest.readArchives(spark, archiveDirs),
-        stepSec, from, until, now(), maxDp)
-      Render.renderTargets(ctx, targets)
+      // cache key on the RESOLVED viewport (relative specs like -1h
+      // re-resolve per request; two refreshes only alias while they
+      // quantize to the same bounds) — resolved cheaply here so a hit
+      // skips even the archive listing/schema read
+      val nowS = now()
+      val f = Viewport.parseTimeSec(from, nowS).getOrElse(
+        throw new IllegalArgumentException("viewport: 'from' is required"))
+      val u = Viewport.parseTimeSec(until, nowS).getOrElse(nowS)
+      val key = s"${targets.mkString(" ")}|$f|$u|$maxDp"
+      renderCache.getOrCompute(key, Ingest.StoreGen.gens(archiveDirs)) {
+        val ctx = Viewport.ctx(spark, Ingest.readArchives(spark, archiveDirs),
+          stepSec, from, until, nowS, maxDp)
+        Render.renderTargets(ctx, targets)
+      }
     })
 
     server.createContext("/metrics/find",
@@ -716,7 +772,10 @@ object Daemon {
       val total = per.map(_._2).sum
       val gws = per.map { case (k, v) =>
         s""""${jsonEscape(k)}":$v""" }.mkString("{", ",", "}")
-      s"""{"receiver.dropped":$total,"receiver.dropped.by_gateway":$gws}"""
+      s"""{"receiver.dropped":$total,"receiver.dropped.by_gateway":$gws,""" +
+        s""""query_cache.hits":${renderCache.hits.get},""" +
+        s""""query_cache.misses":${renderCache.misses.get},""" +
+        s""""query_cache.evictions":${renderCache.evictions.get}}"""
     })
 
     // /quantiles?name=a.b.c&q=0.5,0.99&window=3600 — value quantiles of
@@ -881,7 +940,9 @@ object Daemon {
       Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel"),
       boot.stepSec, pixelOffer = Some(pixelRoute(pxDpGw.offer, pxGw.offer)),
       blaster = Some(blaster),
-      allowOrigin = conf.flatMap(_.httpAllowOrigin))
+      allowOrigin = conf.flatMap(_.httpAllowOrigin),
+      queryCacheSize = sys.env.get("GRAFT_QUERY_CACHE_SIZE").map(_.toInt)
+        .getOrElse(conf.map(_.queryCacheSize).getOrElse(512)))
     println(s"graft daemon: graphite=${gGw.boundListenPort} " +
       s"pickle=${pkGw.boundListenPort} statsd=${sGw.boundListenPort} " +
       s"http=${http.getAddress.getPort} data=$dataDir")

@@ -271,6 +271,28 @@ object Ingest {
     * partition commits is covered: committed partitions carry the tag,
     * uncommitted ones still carry the previous writer's. `None`
     * preserves plain additive semantics (ad-hoc backfills, tests). */
+  /** JVM-global per-store mutation generations — the invalidation
+    * signal for the render result cache ([[Daemon.RenderCache]]): each
+    * archive write or retention delete bumps its directory's counter,
+    * so a cached render payload is valid exactly while every store it
+    * read is at the generation it was computed against. Global for the
+    * same reason as [[graft.sources.GatewayStats]]: the writers live
+    * in streaming lifecycles, the reader in the HTTP layer, and the
+    * daemon is single-JVM by contract (keyed on the exact dir string
+    * the daemon passes both sides). */
+  object StoreGen {
+    private val gens =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+    def bump(dir: String): Unit = {
+      gens.computeIfAbsent(dir,
+        _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+      ()
+    }
+    def gen(dir: String): Long =
+      Option(gens.get(dir)).map(_.get).getOrElse(0L)
+    def gens(dirs: Seq[String]): Seq[Long] = dirs.map(gen)
+  }
+
   def mergePiecesIntoArchive(spark: SparkSession, pieces: DataFrame,
       archiveDir: String, stepSec: Long, partitionSlots: Long = 8640,
       writer: Option[(String, Long)] = None): Unit = {
@@ -335,6 +357,7 @@ object Ingest {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pt")
         .parquet(archiveDir)
+      StoreGen.bump(archiveDir)
     } finally { newPartials.unpersist(); () }
   }
 
@@ -368,6 +391,7 @@ object Ingest {
           .filter(_ < horizonPt)
           .map { pt => fs.delete(st.getPath, true); pt }
       }
+    if (dropped.nonEmpty) StoreGen.bump(archiveDir)
     dropped.sorted
   }
 

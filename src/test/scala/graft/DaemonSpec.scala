@@ -104,6 +104,46 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { stream.stop(); gw.close(); http.stop(0) }
   }
 
+  test("render cache: identical render hits, archive mutation invalidates") {
+    // the reference's query LRU (dsl/ds_lru.go, query-cache-size):
+    // a dashboard re-requesting the same target must not re-scan the
+    // archive, and a mutated store must never serve a stale payload
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("rcache").toString + "/slots"
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("web.req", 1000000L, 1000020L, 2.0)).toDF(),
+      dir, stepSec = 10)
+    val http = Daemon.startHttp(s, 0, Seq(dir), stepSec = 10,
+      now = () => 1000100L)
+    try {
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      def stats(): String = httpGet(s"$base/stats")._2
+      def render(): String =
+        httpGet(s"$base/render?target=web.req&from=1000000&until=now")._2
+      val first = render()
+      assert(first.contains("web.req") && first.contains("[2,1000000]"), first)
+      val second = render()
+      assert(second === first)
+      assert(stats().contains("\"query_cache.hits\":1"), stats())
+      // mutate the store: the generation bump must invalidate — the
+      // third render recomputes and SEES the new slot
+      Ingest.mergePiecesIntoArchive(s,
+        Seq(Ingest.Piece("web.req", 1000040L, 1000060L, 8.0)).toDF(),
+        dir, stepSec = 10)
+      val third = render()
+      assert(third !== first, "stale payload served after store mutation")
+      assert(third.contains("[8,1000040]"), third)
+      val st = stats()
+      assert(st.contains("\"query_cache.hits\":1") &&
+        st.contains("\"query_cache.misses\":2"), st)
+      // a different viewport is its own entry, not a hit on the old one
+      val other = httpGet(
+        s"$base/render?target=web.req&from=1000020&until=now")._2
+      assert(other !== third)
+      assert(stats().contains("\"query_cache.misses\":3"), stats())
+    } finally http.stop(0)
+  }
+
   test("blaster corpus is deterministic and partitioning-independent") {
     val a = graft.streaming.Blaster.generate(spark, 3, 100)
       .collect().map(_.toSeq).toSet
