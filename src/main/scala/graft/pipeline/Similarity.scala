@@ -1027,16 +1027,59 @@ object Similarity {
     * so measuring recall costs one brute pass over the corpus per
     * evaluation batch; run it on a sampled query set, not per-query in
     * production. */
-  def ivfRecall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val exact = topKExact(corpus, queries, k).select(col("qid"), col("vec_id"))
-    val approx = topKIvf(corpus, queries, k)
-      .select(col("qid"), col("vec_id"), lit(1L).as("__hit"))
-    exact.join(approx, Seq("qid", "vec_id"), "left")
+  def ivfRecall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    recallJoin(topKExact(corpus, queries, k), topKIvf(corpus, queries, k))
+
+  /** (qid, n_hits, recall) from an exact and an approximate top-k
+    * frame — the comparison joins two |Q|·k frames, never
+    * corpus-sized. */
+  private def recallJoin(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id"), lit(1L).as("__hit")),
+        Seq("qid", "vec_id"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("__n"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
       .select(col("qid"), col("n_hits"),
         (col("n_hits").cast("double") / col("__n")).as("recall"))
+
+  /** Recall@k of a PUBLISHED index version against the exact top-k
+    * over the index's own corpus — [[ivfRecall]] for the serving tier.
+    * The exact side is one brute pass over the published corpus per
+    * probe batch: run it on a sampled probe set at a maintenance
+    * cadence, not per production query. */
+  def servedRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, version: Option[Long] = None): DataFrame = {
+    val corpus = Snapshot.readTable(spark, dir, "assigned", version)
+      .select(col("vec_id"), emb)
+    recallJoin(topKExact(corpus, queries, k),
+      topKIvfServe(spark, dir, queries, k, version))
+  }
+
+  /** The index HEALTH LOOP closing [[appendToIvfIndex]]'s freshness
+    * trade: appends reuse the published quantizer, so centroid drift
+    * accumulates until probed buckets stop covering the true
+    * neighbors. Measure recall@k on a probe query set; below
+    * `minRecall`, rebuild from the FULL published corpus
+    * ([[publishIvfIndex]] — fresh k-means + reassignment) and publish
+    * as the next version through the same atomic snapshot flip, so
+    * serving readers pin either the old or the new index, never a
+    * mix. Returns (measured mean recall, Some(newVersion) iff a
+    * rebuild was triggered). */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probeQueries: DataFrame, k: Int, minRecall: Double,
+      kCentroids: Int = KmK, iters: Int = KmIters): (Double, Option[Long]) = {
+    require(minRecall >= 0, "minRecall must be non-negative")
+    val mean = servedRecall(spark, dir, probeQueries, k)
+      .agg(avg(col("recall"))).collect().head match {
+        case r if r.isNullAt(0) => 1.0 // no probes: nothing measurable
+        case r => r.getDouble(0)
+      }
+    if (mean < minRecall) {
+      val corpus = Snapshot.readTable(spark, dir, "assigned")
+        .select(col("vec_id"), emb)
+      (mean, Some(publishIvfIndex(corpus, dir, kCentroids, iters)))
+    } else (mean, None)
   }
 
   /** DuckDB twin of [[ivfRecall]] for queries `vec_id < 5`; composes

@@ -91,6 +91,58 @@ class IvfServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       delta.filter(col("vec_id") < 153), 5)).nonEmpty)
   }
 
+  test("index health loop: append drift → recall dip → rebuild restores, atomically") {
+    val s = spark; import s.implicits._
+    val dim = Similarity.Dim
+    def vec(parts: (Int, Double)*): List[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      parts.foreach { case (i, v) => a(i) = v.toFloat }
+      a.toList
+    }
+    // old corpus: 8 tight clusters on axes e0..e7 (vec c of the first
+    // 8 seeds cluster c, so the k-means converges onto the axes)
+    val oldCorpus = (0 until 200).map { i =>
+      val c = i % 8
+      (i.toLong, vec(c -> 10.0, (8 + c) -> (i % 5).toDouble))
+    }.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("ivf-health").toString
+    val v0 = Similarity.publishIvfIndex(oldCorpus, dir)
+    // drift batch: a NEW cluster on e63, orthogonal to every published
+    // centroid — append-time assignment ties at cos 0 and dumps it all
+    // into bucket 0, the freshness trade's worst case
+    val drift = (200 until 268).map { i =>
+      (i.toLong, vec(63 -> 10.0, 62 -> (i % 7).toDouble))
+    }.toDF("vec_id", "embedding")
+    val v1 = Similarity.appendToIvfIndex(s, drift, dir)
+    assert(v1 > v0)
+    // probe queries: mass on five old axes (their buckets fill all
+    // nProbe=4 probe slots) plus a DOMINANT drift component — the true
+    // top-k is drift vectors, which sit in the unprobed bucket 0
+    val probes = (0 until 5).map { j =>
+      (1000L + j, vec(3 -> 10.0, 4 -> 10.0, 5 -> 10.0, 6 -> 10.0,
+        7 -> 10.0, 63 -> 30.0, 40 -> (j % 3).toDouble))
+    }.toDF("vec_id", "embedding")
+    val dipped = Similarity.servedRecall(s, dir, probes, k = 5)
+      .agg(avg(col("recall"))).collect().head.getDouble(0)
+    assert(dipped < 0.2, s"drift failed to dip recall: $dipped")
+    // the loop: measure → below threshold → rebuild through the
+    // published-snapshot flip
+    val (measured, rebuilt) =
+      Similarity.maintainIvfIndex(s, dir, probes, k = 5, minRecall = 0.8)
+    assert(measured === dipped)
+    assert(rebuilt.exists(_ > v1), "rebuild not triggered or not published")
+    val restored = Similarity.servedRecall(s, dir, probes, k = 5)
+      .agg(avg(col("recall"))).collect().head.getDouble(0)
+    assert(restored >= 0.8, s"rebuild failed to restore recall: $restored")
+    // old version still serves pinned (atomic flip, no torn state)
+    assert(rows(Similarity.topKIvfServe(s, dir, probes, 5,
+      version = Some(v1))).nonEmpty)
+    // healthy index: the loop measures and leaves the version alone
+    val (healthy, none) =
+      Similarity.maintainIvfIndex(s, dir, probes, k = 5, minRecall = 0.8)
+    assert(healthy >= 0.8 && none.isEmpty)
+  }
+
   test("two-level assignment with one coarse cell ≡ flat k-means") {
     // coarseK=1 collapses the coarse layer (every vector in cell 0,
     // fine seeds = the global first-fineK vec_ids), so the fine rounds
