@@ -35,7 +35,10 @@ object Bench {
     // sketch-tier distinct counts, automaton blocklist
     "cu_distinct_hll", "tx_blocklist",
     // quantile-sketch tier, boilerplate-span removal, sessionization
-    "cu_quantile_sketch", "dd_strip_boilerplate", "ev_sessions")
+    "cu_quantile_sketch", "dd_strip_boilerplate", "ev_sessions",
+    // round-8 additions: capped SemDeDup over the two-level k-means
+    // substrate (skew-constructed corpus), one-scan funnel
+    "sim_semdedup_skew", "ev_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

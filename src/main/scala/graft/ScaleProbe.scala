@@ -301,6 +301,27 @@ object ScaleProbe {
           n
         }
       },
+      {
+        // Holt-Winters at BREADTH: 10k series × 1k points, one series
+        // per flatMapGroups task — the design point never exercised
+        // many series concurrently. Fixed (α,β,γ) isolates the group
+        // fan-out mechanics (the Nelder-Mead fit path is probed by
+        // hw_autofit at viewport scale); per-task state is one series
+        // by construction, so this passing means no task skew and no
+        // driver pressure at 10k-way group parallelism
+        val nSer = 10000L
+        val ptsPer = 1000L
+        val hwPts = spark.range(nSer * ptsPer).select(
+          concat(lit("srv"), pmod(col("id"), lit(nSer))).as("name"),
+          (floor(col("id") / nSer) * 60).cast("long").as("t"),
+          (sin(col("id").cast("double") / 24.0) * 10.0 +
+            pmod(col("id"), lit(7)).cast("double")).as("value"))
+        time("hw_forecast_10k_series") {
+          graft.ts.HwOps.holtWintersForecast(spark, hwPts,
+            slenPoints = 24, nPred = 48, abg = Some((0.1, 0.01, 0.1)),
+            devScale = 3.0, show = "smooth,conf", stepSec = 60).count()
+        }
+      },
       time("unimax_mixture_10m") { // 1000-strata water-fill (S-row
         // window) + map-side mixture realization over 10M keys
         val strat = keys.select(col("doc_id"),
@@ -424,6 +445,71 @@ object ScaleProbe {
           n
         }
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        r
+      },
+      {
+        // LIVE-DAEMON SOAK: the full receiver + RRA chain under a
+        // sustained blaster load, then the archive oracle-checked
+        // against batch re-consolidation of the EXACT lines sent.
+        // In-stage asserts: zero drops below the queue cap, base store
+        // ≡ batch at 10s, 60s RRA store ≡ batch at 60s. `rows` = lines
+        // sent; sec ≈ soak + drain, so points/s = rows / soak-seconds.
+        val soakRate = sys.env.getOrElse("SPARK_GRAFT_SOAK_RATE", "10000").toInt
+        val soakSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_SEC", "60").toInt
+        val soakDir = java.nio.file.Files.createTempDirectory("soak").toString
+        val gw = new graft.streaming.Daemon.LineGateway(0, 0, capacity = 1 << 22)
+        val pkGw = new graft.streaming.Daemon.LineGateway(0, 0, framed = true)
+        val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val blaster = new Blaster.LiveBlaster(
+          line => { captured.add(line); gw.offer(line) })
+        val q = graft.streaming.Daemon.startReceiver(spark, gw.boundFeedPort,
+          pkGw.boundFeedPort, s"$soakDir/points", stepSec = 10,
+          heartbeatSec = 300, checkpointDir = s"$soakDir/ckpt",
+          rras = Seq(graft.streaming.Daemon.Rra(60, 864000L)),
+          maxQueue = 1 << 22)
+        val r = time("daemon_soak_rra") {
+          blaster.setNSeries(2000)
+          blaster.setRate(soakRate)
+          Thread.sleep(soakSec * 1000L)
+          blaster.setRate(0)
+          blaster.close()
+          val sent = captured.size.toLong
+          // drain: three consecutive empty micro-batches
+          var zeros = 0
+          val deadline = System.currentTimeMillis() + 180000L
+          while (zeros < 3 && System.currentTimeMillis() < deadline) {
+            Thread.sleep(1000L)
+            Option(q.lastProgress).foreach(p =>
+              zeros = if (p.numInputRows == 0) zeros + 1 else 0)
+          }
+          q.stop()
+          require(graft.sources.GatewayStats.dropped(
+            s"127.0.0.1:${gw.boundFeedPort}") == 0L,
+            "soak dropped lines below the cap")
+          import spark.implicits._
+          val lines = captured.toArray(new Array[String](0)).toSeq.toDF("line")
+          val pts = graft.streaming.Ingest.parseGraphite(lines, nowSec = lit(0L))
+            .select(col("name"), col("tsSec").as("ts"), col("value")).persist()
+          def diverged(dir: String, step: Long): Long = {
+            val expected = Consolidate.consolidate(pts, step, "wmean", 0.0, 300)
+              .withColumnRenamed("value", "exp")
+            expected.join(
+                graft.streaming.Ingest.readArchive(spark, dir),
+                Seq("name", "t"), "left")
+              .filter(col("value").isNull ||
+                abs(col("value") - col("exp")) > 1e-9)
+              .count()
+          }
+          val badBase = diverged(s"$soakDir/points", 10L)
+          require(badBase == 0, s"base archive diverged on $badBase slots")
+          val badRra = diverged(s"$soakDir/points-rra-60s", 60L)
+          require(badRra == 0, s"60s RRA store diverged on $badRra slots")
+          pts.unpersist()
+          sent
+        }
+        Seq(gw, pkGw).foreach(g => scala.util.Try(g.close()))
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(soakDir))
         r
       })
 
