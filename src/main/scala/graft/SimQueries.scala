@@ -247,6 +247,29 @@ object SimQueries {
            |       CAST(ccid AS BIGINT) AS ccid, CAST(cid AS BIGINT) AS cid
            |FROM tfin ORDER BY vec_id""".stripMargin)),
 
+    // two-level IVF serving: probe the coarse tier, descend into only
+    // the probed cells' fine centroids, exact-rank candidates — the
+    // probe side that survives K ≈ 10⁶ where flat probing cannot
+    ("sim_topk_two_level",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (out, release) = Similarity.topKIvfTwoLevelScoped(
+          e, e.filter(col("vec_id") < 5), K, coarseK = 4, fineK = 4,
+          coarseIters = 2, fineIters = 1, probeCoarse = 2, probeFine = 4)
+        val res = out.select(col("qid").cast("long").as("qid"), col("rank"),
+          col("vec_id").cast("long").as("vec_id"),
+          Round6.r6(col("cos")).as("cos"))
+          .orderBy("qid", "rank")
+        res.cache(); res.count(); release()
+        res
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.twoLevelSql("embeddings", 4, 4, 2, 1)},
+           |${Similarity.topKIvfTwoLevelSql(K, 4, 4, 2, 1, 2, 4)}
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("cos")} AS cos
+           |FROM tlranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
+
     // SemDeDup with the degenerate-cluster guard: ~50% of vectors made
     // near-identical (one giant cluster), hash-chunk cap bounds every
     // self-join cell, refinement levels collapse the chunk keepers

@@ -745,6 +745,20 @@ object Similarity {
   def twoLevelAssignScoped(corpus: DataFrame, coarseK: Int, fineK: Int,
       coarseIters: Int = KmIters, fineIters: Int = 1)
       : (DataFrame, () => Unit) = {
+    val ix = twoLevelIndex(corpus, coarseK, fineK, coarseIters, fineIters)
+    (ix.assigned, ix.release)
+  }
+
+  /** The full two-level build artifact: the assigned corpus, the
+    * distributed fine-centroid cell frame, and the driver-held coarse
+    * tier — everything [[topKIvfTwoLevel]] serving needs. */
+  final case class TwoLevelIndex(assigned: DataFrame, cells: DataFrame,
+      coarse: Seq[(Long, Seq[Double])], release: () => Unit)
+
+  /** Build the [[TwoLevelIndex]]; see [[twoLevelAssign]] for the
+    * algorithm and scale contract. */
+  def twoLevelIndex(corpus: DataFrame, coarseK: Int, fineK: Int,
+      coarseIters: Int = KmIters, fineIters: Int = 1): TwoLevelIndex = {
     require(coarseK > 0 && fineK > 0 && coarseIters >= 0 && fineIters >= 0,
       "coarseK, fineK must be positive; iteration counts non-negative")
     val coarse = kmeansCentroidsSeq(corpus, coarseK, coarseIters)
@@ -790,7 +804,8 @@ object Similarity {
     val cellsFinal = cells
     val out = assigned.select(col("vec_id"), emb, col("ccid"),
       (col("ccid") * fineK + col("fcid")).as("cid"))
-    (out, () => { ac.unpersist(); cellsFinal.unpersist(); () })
+    TwoLevelIndex(out, cellsFinal, coarse,
+      () => { ac.unpersist(); cellsFinal.unpersist(); () })
   }
 
   /** SemDeDup over the [[twoLevelAssign]] substrate with a HARD
@@ -954,6 +969,123 @@ object Similarity {
        |),
        |$fineRounds,
        |${fassign("tfin", s"tg$fineIters", last = true)}""".stripMargin
+  }
+
+  /** Two-level IVF top-k — the PROBE side at real K. The flat
+    * [[topKIvfWith]] cross-joins every query against ALL K centroids
+    * (collected to the driver), which is exactly what stops working at
+    * the K ≈ 10⁶ a 10⁹-vector index needs. Here probing mirrors the
+    * build's hierarchy: rank the √K coarse tier per query (driver
+    * state √K×dim — legitimate at any scale), descend into only the
+    * `probeCoarse` best cells' fine centroids (|Q|·probeCoarse·fineK
+    * rows — probe-batch-sized, never K-wide), keep the `probeFine`
+    * best fine cells ACROSS the probed coarse cells jointly, and
+    * exact-rank candidates from those cells only. Probe cosines run in
+    * the quantized space the centroids were trained in; the final
+    * candidate ranking is exact over the original embeddings.
+    * Deterministic ties (cos desc, ccid, fcid / vec_id), oracle-
+    * replayable ([[topKIvfTwoLevelSql]]). Probing everything
+    * (probeCoarse = coarseK, probeFine = coarseK·fineK) degenerates to
+    * the exact top-k — the spec's equivalence law. */
+  def topKIvfTwoLevel(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarseK: Int = 4, fineK: Int = 4, coarseIters: Int = 2,
+      fineIters: Int = 1, probeCoarse: Int = 2,
+      probeFine: Int = IvfProbe): DataFrame =
+    topKIvfTwoLevelScoped(corpus, queries, k, coarseK, fineK,
+      coarseIters, fineIters, probeCoarse, probeFine)._1
+
+  /** [[topKIvfTwoLevel]] plus the build-cache release handle. */
+  def topKIvfTwoLevelScoped(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarseK: Int = 4, fineK: Int = 4, coarseIters: Int = 2,
+      fineIters: Int = 1, probeCoarse: Int = 2,
+      probeFine: Int = IvfProbe): (DataFrame, () => Unit) = {
+    val ix = twoLevelIndex(corpus, coarseK, fineK, coarseIters, fineIters)
+    (probeTwoLevel(ix, queries, k, fineK, probeCoarse, probeFine), ix.release)
+  }
+
+  /** The serve half of [[topKIvfTwoLevel]] over a prebuilt
+    * [[TwoLevelIndex]] (the build-once/serve-many split). */
+  def probeTwoLevel(ix: TwoLevelIndex, queries: DataFrame, k: Int,
+      fineK: Int, probeCoarse: Int, probeFine: Int): DataFrame = {
+    require(probeCoarse > 0 && probeFine > 0, "probe widths must be positive")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("vec_id").as("qid"), emb.as("qemb"),
+      qvec(emb).as("qqv"))
+    val coarseDf = ix.coarse.toDF("ccid", "ccent")
+    val cprobe = q.crossJoin(broadcast(coarseDf))
+      .select(col("qid"), col("qemb"), col("qqv"), col("ccid"),
+        graft.functions.VectorExprs.cosine(col("qqv"), col("ccent")).as("ccos"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("ccid"))))
+      .filter(col("__r") <= probeCoarse)
+      .select(col("qid"), col("qemb"), col("qqv"), col("ccid"))
+    val fprobe = cprobe.join(broadcast(ix.cells), Seq("ccid"))
+      .select(col("qid"), col("qemb"), col("qqv"), col("ccid"),
+        explode(col("cents")).as("ce"))
+      .select(col("qid"), col("qemb"), col("ccid"), col("ce.fcid").as("fcid"),
+        graft.functions.VectorExprs.cosine(col("qqv"), col("ce.cent")).as("fcos"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("fcos").desc, col("ccid"), col("fcid"))))
+      .filter(col("__r") <= probeFine)
+      .select(col("qid"), col("qemb"),
+        (col("ccid") * fineK + col("fcid")).as("cid"))
+    // candidates: corpus vectors in probed fine cells; exact rank.
+    // fprobe is |Q|·probeFine rows — always broadcastable — so the
+    // corpus side stays a map-side pass (same rationale as
+    // [[probeAssigned]])
+    broadcast(fprobe)
+      .join(ix.assigned.select(col("vec_id").as("cand"), emb, col("cid")),
+        Seq("cid"))
+      .filter(col("cand") =!= col("qid"))
+      .select(col("qid"), col("cand").as("vec_id"),
+        cosine(col("qemb"), emb).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
+  /** DuckDB twin of [[topKIvfTwoLevel]] for queries `vec_id < 5`;
+    * composes after [[twoLevelSql]] and defines
+    * `tlranked(qid, rank, vec_id, cos)`. */
+  def topKIvfTwoLevelSql(k: Int, coarseK: Int, fineK: Int,
+      coarseIters: Int, fineIters: Int, probeCoarse: Int,
+      probeFine: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in generate_series(1, $Dim)])"
+    def cos(q: String, c: String) =
+      s"(${dot(q, c)} / (sqrt(${dot(q, q)}) * sqrt(${dot(c, c)})))"
+    s"""tq AS (
+       |  SELECT vec_id AS qid, embedding AS qemb,
+       |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |     for e in embedding] AS qqv
+       |  FROM embeddings WHERE vec_id < 5
+       |), tcp AS (
+       |  SELECT qid, qemb, qqv, ccid FROM (
+       |    SELECT q.qid, q.qemb, q.qqv, c.cid AS ccid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${cos("q.qqv", "c.cent")} DESC, c.cid) AS r
+       |    FROM tq q, tc$coarseIters c)
+       |  WHERE r <= $probeCoarse
+       |), tfp AS (
+       |  SELECT qid, qemb, ccid * $fineK + fcid AS cid FROM (
+       |    SELECT p.qid, p.qemb, g.ccid, g.fcid,
+       |           row_number() OVER (PARTITION BY p.qid
+       |             ORDER BY ${cos("p.qqv", "g.cent")} DESC, g.ccid, g.fcid) AS r
+       |    FROM tcp p JOIN tg$fineIters g USING (ccid))
+       |  WHERE r <= $probeFine
+       |), tlranked AS (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT p.qid, a.vec_id, ${cosineSql("p.qemb", "e.embedding")} AS cos
+       |    FROM tfp p JOIN tfin a USING (cid)
+       |    JOIN embeddings e ON e.vec_id = a.vec_id
+       |    WHERE a.vec_id <> p.qid)
+       |)""".stripMargin
   }
 
   /** DuckDB twin of [[semDedupScalable]]: [[twoLevelSql]] composed

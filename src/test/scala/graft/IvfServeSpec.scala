@@ -174,6 +174,30 @@ class IvfServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("two-level IVF serving: probing everything degenerates to exact top-k") {
+    // the equivalence law that pins the probe machinery: with
+    // probeCoarse = coarseK and probeFine = coarseK·fineK every
+    // candidate survives probing, so the result must equal the brute
+    // exact tier row for row
+    val corpus = vectors(150, 4)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val (all, release) = Similarity.topKIvfTwoLevelScoped(
+      corpus, queries, 8, coarseK = 3, fineK = 4, coarseIters = 1,
+      fineIters = 1, probeCoarse = 3, probeFine = 12)
+    val got = rows(all)
+    release()
+    assert(got === rows(Similarity.topKExact(corpus, queries, 8)))
+    assert(got.nonEmpty)
+    // narrow probing returns at most k per query and only real rows
+    val (narrow, rel2) = Similarity.topKIvfTwoLevelScoped(
+      corpus, queries, 8, coarseK = 3, fineK = 4, coarseIters = 1,
+      fineIters = 1, probeCoarse = 1, probeFine = 2)
+    val nr = rows(narrow)
+    rel2()
+    assert(nr.groupBy(_._1).forall(_._2.size <= 8))
+    assert(nr.forall(r => r._3 >= 0 && r._3 < 150))
+  }
+
   test("scalable SemDeDup: degenerate corpus collapses, non-dup corpus untouched") {
     val s = spark; import s.implicits._
     // degenerate: every vector a tiny perturbation of one base — flat
