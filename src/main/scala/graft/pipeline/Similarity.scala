@@ -1048,6 +1048,47 @@ object Similarity {
         col("vec_id"), col("cos"))
   }
 
+  /** Publish a [[TwoLevelIndex]] as ONE atomic snapshot version
+    * (tables `assigned`, `cells`, `coarse`, `meta`) — the
+    * build-once/serve-many split of [[publishIvfIndex]], at the K the
+    * two-level tier reaches. The fine-cell frame stays a TABLE (never
+    * driver-collected); only the √K coarse tier is collected at serve
+    * time. `meta` pins fineK so the serve side composes cid the same
+    * way the build did. Returns the committed version. */
+  def publishTwoLevelIndex(corpus: DataFrame, dir: String, coarseK: Int,
+      fineK: Int, coarseIters: Int = 2, fineIters: Int = 1): Long = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ix = twoLevelIndex(corpus, coarseK, fineK, coarseIters, fineIters)
+    val coarseDf = ix.coarse.toDF("ccid", "ccent")
+    val meta = Seq(("fineK", fineK.toLong)).toDF("key", "value")
+    val v = Snapshot.publishTables(Seq("assigned" -> ix.assigned,
+      "cells" -> ix.cells, "coarse" -> coarseDf, "meta" -> meta), dir)
+    ix.release()
+    v
+  }
+
+  /** Serve top-k from a published two-level index (latest version, or
+    * pinned) — result-identical to the fused [[topKIvfTwoLevel]] over
+    * the corpus the index was built from. */
+  def topKIvfTwoLevelServe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int, probeCoarse: Int = 2,
+      probeFine: Int = IvfProbe, version: Option[Long] = None): DataFrame = {
+    val coarse = Snapshot.readTable(spark, dir, "coarse", version)
+      .select(col("ccid").cast("long"),
+        transform(col("ccent"), _.cast("double")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    val fineK = Snapshot.readTable(spark, dir, "meta", version)
+      .filter(col("key") === "fineK")
+      .collect().head.getLong(1).toInt
+    val ix = TwoLevelIndex(
+      Snapshot.readTable(spark, dir, "assigned", version),
+      Snapshot.readTable(spark, dir, "cells", version),
+      coarse, () => ())
+    probeTwoLevel(ix, queries, k, fineK, probeCoarse, probeFine)
+  }
+
   /** DuckDB twin of [[topKIvfTwoLevel]] for queries `vec_id < 5`;
     * composes after [[twoLevelSql]] and defines
     * `tlranked(qid, rank, vec_id, cos)`. */

@@ -198,6 +198,28 @@ class IvfServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nr.forall(r => r._3 >= 0 && r._3 < 150))
   }
 
+  test("published two-level index: serve ≡ fused build+probe, version pinned") {
+    val corpus = vectors(160, 6)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val dir = Files.createTempDirectory("tl-index").toString
+    val v0 = Similarity.publishTwoLevelIndex(corpus, dir,
+      coarseK = 3, fineK = 4, coarseIters = 1, fineIters = 1)
+    val served = rows(Similarity.topKIvfTwoLevelServe(spark, dir,
+      queries, 6, probeCoarse = 2, probeFine = 4))
+    val (fused, release) = Similarity.topKIvfTwoLevelScoped(
+      corpus, queries, 6, coarseK = 3, fineK = 4, coarseIters = 1,
+      fineIters = 1, probeCoarse = 2, probeFine = 4)
+    val direct = rows(fused)
+    release()
+    assert(served === direct && served.nonEmpty)
+    // a rebuild publishes the next version; the old one still serves
+    val v1 = Similarity.publishTwoLevelIndex(corpus.filter(col("vec_id") < 100),
+      dir, coarseK = 3, fineK = 4, coarseIters = 1, fineIters = 1)
+    assert(v1 > v0)
+    assert(rows(Similarity.topKIvfTwoLevelServe(spark, dir, queries, 6,
+      probeCoarse = 2, probeFine = 4, version = Some(v0))) === direct)
+  }
+
   test("scalable SemDeDup: degenerate corpus collapses, non-dup corpus untouched") {
     val s = spark; import s.implicits._
     // degenerate: every vector a tiny perturbation of one base — flat
