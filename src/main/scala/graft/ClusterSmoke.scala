@@ -126,6 +126,23 @@ object ClusterSmoke {
       release()
       exact.nonEmpty && xl == exact
     }
+    check("two-level k-means assignment across executor JVMs") {
+      // the round-8 kernel: the per-cell centroid arrays ride a
+      // broadcast join into NearestInCellExpr's generated code on real
+      // executor processes; the coarseK=1 law (two-level ≡ flat) must
+      // survive the boundary. The k-means tier is Dim-fixed (64).
+      val vecs64 = (0L until 20L).map(i => (i, (0 until Similarity.Dim)
+        .map(j => ((i * 7 + j * 3) % 11).toFloat - 5f).toList))
+        .toDF("vec_id", "embedding")
+      val two = Similarity.twoLevelAssign(vecs64, coarseK = 1, fineK = 3,
+          coarseIters = 1, fineIters = 1)
+        .select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val flat = Similarity.kmeans(vecs64, k = 3, iters = 1)
+        .select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      two.size == 20 && two == flat
+    }
     check("executors are separate JVMs") {
       val driverPid = ProcessHandle.current().pid()
       val execPids = spark.range(2).repartition(2)

@@ -339,23 +339,32 @@ object Similarity {
       iters: Int = KmIters): Seq[(Long, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // every Lloyd round must rescan the corpus by nature; persisting
+    // the quantized projection for the rounds' duration means each
+    // rescan reads the cache instead of re-paying the upstream
+    // lineage (parquet scan + quantize — or worse, a constructed
+    // corpus's whole build) once per round. MEMORY_AND_DISK so an
+    // over-memory corpus spills instead of evicting to recompute.
     val qv = corpus.select(col("vec_id"), qvec(emb).as("qv"))
-    var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("long").as("cid"),
-        transform(col("qv"), x => x.cast("double")).as("cent"))
-      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-    (1 to iters).foreach { _ =>
-      // element-wise sums as Dim parallel column aggregates — one
-      // map-side-combined hash agg over the corpus, no row explosion
-      val sums = (0 until Dim).map(i => sum(col("qv").getItem(i)).as(s"s$i"))
-      cents = kmeansAssign(qv, cents)
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .select(col("cid"), array((0 until Dim).map(i =>
-          col(s"s$i").cast("double") / col("n")): _*).as("cent"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("long").as("cid"),
+          transform(col("qv"), x => x.cast("double")).as("cent"))
         .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-    }
-    cents
+      (1 to iters).foreach { _ =>
+        // element-wise sums as Dim parallel column aggregates — one
+        // map-side-combined hash agg over the corpus, no row explosion
+        val sums = (0 until Dim).map(i => sum(col("qv").getItem(i)).as(s"s$i"))
+        cents = kmeansAssign(qv, cents)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"), sums: _*)
+          .select(col("cid"), array((0 until Dim).map(i =>
+            col(s"s$i").cast("double") / col("n")): _*).as("cent"))
+          .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      }
+      cents
+    } finally { qv.unpersist(); () }
   }
 
   /** Centroid frame (cid, cent: array<double>) after `iters` Lloyd
