@@ -1098,6 +1098,77 @@ object Similarity {
     probeTwoLevel(ix, queries, k, fineK, probeCoarse, probeFine)
   }
 
+  /** Incremental update of a published two-level index: assign
+    * `newVecs` with the PUBLISHED coarse tier + fine cells (only the
+    * delta pays an assignment pass; the old corpus re-links through
+    * the union scan) and publish old ∪ new as the next version — the
+    * same freshness trade as [[appendToIvfIndex]], with the same
+    * answer to drift: rebuild when [[servedRecallTwoLevel]] says so
+    * ([[maintainTwoLevelIndex]]). */
+  def appendToTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, dir: String): Long = {
+    val coarseDf = Snapshot.readTable(spark, dir, "coarse")
+    val coarse = coarseDf
+      .select(col("ccid").cast("long"),
+        transform(col("ccent"), _.cast("double")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    val meta = Snapshot.readTable(spark, dir, "meta")
+    val fineK = meta.filter(col("key") === "fineK")
+      .collect().head.getLong(1).toInt
+    val cells = Snapshot.readTable(spark, dir, "cells")
+    val nc = graft.functions.VectorExprs.nearestCentroid(
+      col("qv"), coarse)
+    val ac = newVecs.select(col("vec_id"), emb, qvec(emb).as("qv"))
+      .select(col("vec_id"), emb, col("qv"), nc.getField("cid").as("ccid"))
+    val rhs = // same deterministic broadcast bound as the build side
+      if (coarse.size.toLong * fineK * Dim * 8 <= (64L << 20)) broadcast(cells)
+      else cells
+    val fresh = ac.join(rhs, Seq("ccid"))
+      .select(col("vec_id"), emb, col("ccid"),
+        (col("ccid") * fineK +
+          graft.functions.VectorExprs.nearestInCell(col("qv"), col("cents"))
+            .getField("fcid")).as("cid"))
+    val merged = Snapshot.readTable(spark, dir, "assigned").unionByName(fresh)
+    Snapshot.publishTables(Seq("assigned" -> merged, "cells" -> cells,
+      "coarse" -> coarseDf, "meta" -> meta), dir)
+  }
+
+  /** Recall@k of a published TWO-LEVEL index version against the
+    * exact top-k over its own corpus — [[servedRecall]] at real K. */
+  def servedRecallTwoLevel(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int, probeCoarse: Int = 2,
+      probeFine: Int = IvfProbe, version: Option[Long] = None): DataFrame = {
+    val corpus = Snapshot.readTable(spark, dir, "assigned", version)
+      .select(col("vec_id"), emb)
+    recallJoin(topKExact(corpus, queries, k),
+      topKIvfTwoLevelServe(spark, dir, queries, k, probeCoarse,
+        probeFine, version))
+  }
+
+  /** [[maintainIvfIndex]] for the two-level tier: measure recall@k on
+    * a probe set; below `minRecall`, rebuild the full two-level index
+    * from the published corpus and flip atomically. Returns
+    * (measured mean recall, Some(newVersion) iff rebuilt). */
+  def maintainTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probeQueries: DataFrame, k: Int, minRecall: Double,
+      coarseK: Int, fineK: Int, coarseIters: Int = 2, fineIters: Int = 1,
+      probeCoarse: Int = 2, probeFine: Int = IvfProbe): (Double, Option[Long]) = {
+    require(minRecall >= 0, "minRecall must be non-negative")
+    val mean = servedRecallTwoLevel(spark, dir, probeQueries, k,
+      probeCoarse, probeFine)
+      .agg(avg(col("recall"))).collect().head match {
+        case r if r.isNullAt(0) => 1.0
+        case r => r.getDouble(0)
+      }
+    if (mean < minRecall) {
+      val corpus = Snapshot.readTable(spark, dir, "assigned")
+        .select(col("vec_id"), emb)
+      (mean, Some(publishTwoLevelIndex(corpus, dir, coarseK, fineK,
+        coarseIters, fineIters)))
+    } else (mean, None)
+  }
+
   /** DuckDB twin of [[topKIvfTwoLevel]] for queries `vec_id < 5`;
     * composes after [[twoLevelSql]] and defines
     * `tlranked(qid, rank, vec_id, cos)`. */

@@ -220,6 +220,55 @@ class IvfServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       probeCoarse = 2, probeFine = 4, version = Some(v0))) === direct)
   }
 
+  test("two-level index lifecycle: append drift → recall dip → rebuild restores") {
+    val s = spark; import s.implicits._
+    val dim = Similarity.Dim
+    def vec(parts: (Int, Double)*): List[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      parts.foreach { case (i, v) => a(i) = v.toFloat }
+      a.toList
+    }
+    // same engineered geometry as the flat health-loop case, through
+    // the two-level publish/serve/append path (fineK=1 ⇒ fine cells
+    // mirror the coarse buckets, so the dip construction carries over)
+    val oldCorpus = (0 until 200).map { i =>
+      val c = i % 8
+      (i.toLong, vec(c -> 10.0, (8 + c) -> (i % 5).toDouble))
+    }.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("tl-health").toString
+    val v0 = Similarity.publishTwoLevelIndex(oldCorpus, dir,
+      coarseK = 8, fineK = 1, coarseIters = 2, fineIters = 1)
+    val drift = (200 until 268).map { i =>
+      (i.toLong, vec(63 -> 10.0, 62 -> (i % 7).toDouble))
+    }.toDF("vec_id", "embedding")
+    val v1 = Similarity.appendToTwoLevelIndex(s, drift, dir)
+    assert(v1 > v0)
+    // append used the published quantizer: the delta is served without
+    // a rebuild (old + new rows both reachable)
+    assert(Snapshot.readTable(s, dir, "assigned").count() === 268L)
+    val probes = (0 until 5).map { j =>
+      (1000L + j, vec(3 -> 10.0, 4 -> 10.0, 5 -> 10.0, 6 -> 10.0,
+        7 -> 10.0, 63 -> 30.0, 40 -> (j % 3).toDouble))
+    }.toDF("vec_id", "embedding")
+    def recall(): Double = Similarity.servedRecallTwoLevel(s, dir, probes,
+        k = 5, probeCoarse = 4, probeFine = 4)
+      .agg(avg(col("recall"))).collect().head.getDouble(0)
+    val dipped = recall()
+    assert(dipped < 0.2, s"drift failed to dip recall: $dipped")
+    val (measured, rebuilt) = Similarity.maintainTwoLevelIndex(s, dir,
+      probes, k = 5, minRecall = 0.8, coarseK = 8, fineK = 1,
+      coarseIters = 2, fineIters = 1, probeCoarse = 4, probeFine = 4)
+    assert(measured === dipped)
+    assert(rebuilt.exists(_ > v1))
+    val restored = recall()
+    assert(restored >= 0.8, s"rebuild failed to restore recall: $restored")
+    // healthy: measured and left alone
+    val (healthy, none) = Similarity.maintainTwoLevelIndex(s, dir,
+      probes, k = 5, minRecall = 0.8, coarseK = 8, fineK = 1,
+      coarseIters = 2, fineIters = 1, probeCoarse = 4, probeFine = 4)
+    assert(healthy >= 0.8 && none.isEmpty)
+  }
+
   test("scalable SemDeDup: degenerate corpus collapses, non-dup corpus untouched") {
     val s = spark; import s.implicits._
     // degenerate: every vector a tiny perturbation of one base — flat
