@@ -40,6 +40,15 @@ object EvQueries {
         s"""WITH ${Events.funnelSql("view", "click", "purchase")}
            |SELECT n_view, n_click, n_purchase FROM funl""".stripMargin)),
 
+    // four-stage chain through the SAME one-scan plan — pins the
+    // N-stage generalization (view → click → signup → purchase)
+    ("ev_funnel4",
+      ((s, d) => Events.funnel(Tables.events(s, d),
+        Seq("view", "click", "signup", "purchase"))): Q,
+      Some(
+        s"""WITH ${Events.funnelSqlN(Seq("view", "click", "signup", "purchase"))}
+           |SELECT n_view, n_click, n_signup, n_purchase FROM funl""".stripMargin)),
+
     // session trajectories: each 24h-gap session as its ordered
     // event-type token string — the event-log → document-pipeline
     // bridge (the output feeds every documents-shaped operator)

@@ -103,23 +103,38 @@ object Events {
     users.agg(counts.head, counts.tail: _*)
   }
 
-  /** DuckDB twin of [[funnel]] for exactly three stages; defines
-    * `funl(n_<a>, n_<b>, n_<c>)`. */
+  /** DuckDB twin of [[funnel]] for three stages. */
   def funnelSql(a: String, b: String, c: String): String =
-    s"""evt3 AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
-       |s1 AS (SELECT user_id, min(t) AS tq FROM evt3
-       |       WHERE event_type = '$a' GROUP BY user_id),
-       |s2 AS (SELECT e.user_id, min(e.t) AS tq FROM evt3 e
-       |       JOIN s1 ON s1.user_id = e.user_id
-       |       WHERE e.event_type = '$b' AND e.t > s1.tq GROUP BY e.user_id),
-       |s3 AS (SELECT e.user_id, min(e.t) AS tq FROM evt3 e
-       |       JOIN s2 ON s2.user_id = e.user_id
-       |       WHERE e.event_type = '$c' AND e.t > s2.tq GROUP BY e.user_id),
+    funnelSqlN(Seq(a, b, c))
+
+  /** DuckDB twin of [[funnel]] for ANY stage chain: the sequential
+    * per-stage qualification as a CTE chain (the Spark side collapses
+    * it to one scan; the oracle states the semantics, not the plan).
+    * Defines `funl(n_<stage>…)`. Stage names are validated like props
+    * keys — they are interpolated into SQL string literals. */
+  def funnelSqlN(stages: Seq[String]): String = {
+    require(stages.size >= 2, "funnel needs at least 2 stages")
+    stages.foreach(st => require(st.matches("[A-Za-z0-9_]+"),
+      s"funnel stage must match [A-Za-z0-9_]+ (got '$st')"))
+    val head =
+      s"""s1 AS (SELECT user_id, min(t) AS tq FROM evtN
+         |       WHERE event_type = '${stages.head}' GROUP BY user_id)""".stripMargin
+    val rest = stages.tail.zipWithIndex.map { case (st, i) =>
+      val p = i + 1
+      s"""s${p + 1} AS (SELECT e.user_id, min(e.t) AS tq FROM evtN e
+         |       JOIN s$p ON s$p.user_id = e.user_id
+         |       WHERE e.event_type = '$st' AND e.t > s$p.tq GROUP BY e.user_id)""".stripMargin
+    }
+    val counts = stages.zipWithIndex.map { case (st, i) =>
+      s"(SELECT CAST(count(*) AS BIGINT) FROM s${i + 1}) AS n_$st"
+    }.mkString(",\n         ")
+    s"""evtN AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       |$head,
+       |${rest.mkString(",\n")},
        |funl AS (
-       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_$a,
-       |         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_$b,
-       |         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_$c
+       |  SELECT $counts
        |)""".stripMargin
+  }
 
   /** Semi-structured props extraction WITHOUT a JSON engine
     * dependency: pull integer key `key` out of the one-level JSON
