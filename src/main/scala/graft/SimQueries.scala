@@ -290,6 +290,32 @@ object SimQueries {
            |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cid
            |FROM sdskeep ORDER BY vec_id""".stripMargin)),
 
+    // incremental SemDeDup: the odd half arrives as a batch and dedups
+    // against the even half's published cluster state — store rows
+    // senior, remainder chunk-capped among itself
+    ("sim_semdedup_inc",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (out, release) = Similarity.semDedupIncrementFromCorpusScoped(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+          eps = 0.4, coarseK = 4, fineK = 4, coarseIters = 1,
+          fineIters = 1, capTarget = 16, levels = 1)
+        val res = out.select(col("vec_id").cast("long").as("vec_id"),
+          col("cid").cast("long").as("cid")).orderBy("vec_id")
+        res.cache(); res.count(); release()
+        res
+      }): Q,
+      Some(
+        s"""WITH storesrc AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+           |), batchsrc AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+           |),
+           |${Similarity.twoLevelSql("storesrc", 4, 4, 1, 1)},
+           |${Similarity.semDedupIncrementSql(0.4, 4, 1, 1, 16, 1)}
+           |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cid
+           |FROM sdikeep ORDER BY vec_id""".stripMargin)),
+
     // LSH-bucketed pairs: random-hyperplane bands, exact verification
     ("sim_pairs_lsh",
       ((s, d) => Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)

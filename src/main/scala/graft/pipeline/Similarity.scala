@@ -1105,33 +1105,193 @@ object Similarity {
     * same freshness trade as [[appendToIvfIndex]], with the same
     * answer to drift: rebuild when [[servedRecallTwoLevel]] says so
     * ([[maintainTwoLevelIndex]]). */
-  def appendToTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
-      newVecs: DataFrame, dir: String): Long = {
-    val coarseDf = Snapshot.readTable(spark, dir, "coarse")
+  /** The published quantizer tables + driver-held coarse tier — what
+    * every delta-assignment path (append, incremental dedup) loads. */
+  private final case class PublishedQuantizer(coarseDf: DataFrame,
+      coarse: Seq[(Long, Seq[Double])], cells: DataFrame,
+      meta: DataFrame, fineK: Int)
+
+  private def loadQuantizer(spark: org.apache.spark.sql.SparkSession,
+      dir: String, version: Option[Long] = None): PublishedQuantizer = {
+    val coarseDf = Snapshot.readTable(spark, dir, "coarse", version)
     val coarse = coarseDf
       .select(col("ccid").cast("long"),
         transform(col("ccent"), _.cast("double")))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
       .sortBy(_._1)
-    val meta = Snapshot.readTable(spark, dir, "meta")
+    val meta = Snapshot.readTable(spark, dir, "meta", version)
     val fineK = meta.filter(col("key") === "fineK")
       .collect().head.getLong(1).toInt
-    val cells = Snapshot.readTable(spark, dir, "cells")
-    val nc = graft.functions.VectorExprs.nearestCentroid(
-      col("qv"), coarse)
-    val ac = newVecs.select(col("vec_id"), emb, qvec(emb).as("qv"))
+    PublishedQuantizer(coarseDf, coarse,
+      Snapshot.readTable(spark, dir, "cells", version), meta, fineK)
+  }
+
+  /** Assign `vecs` with an existing quantizer (driver-held coarse tier
+    * + distributed cells) — the delta pass every incremental path
+    * pays: map-side coarse assignment, one cells join (broadcast under
+    * the build-side bound), no state mutated. */
+  private def assignWithQuantizer(coarse: Seq[(Long, Seq[Double])],
+      cells: DataFrame, fineK: Int, vecs: DataFrame): DataFrame = {
+    val nc = graft.functions.VectorExprs.nearestCentroid(col("qv"), coarse)
+    val ac = vecs.select(col("vec_id"), emb, qvec(emb).as("qv"))
       .select(col("vec_id"), emb, col("qv"), nc.getField("cid").as("ccid"))
     val rhs = // same deterministic broadcast bound as the build side
-      if (coarse.size.toLong * fineK * Dim * 8 <= (64L << 20)) broadcast(cells)
+      if (coarse.size.toLong * fineK * Dim * 8 <= (64L << 20))
+        broadcast(cells)
       else cells
-    val fresh = ac.join(rhs, Seq("ccid"))
+    ac.join(rhs, Seq("ccid"))
       .select(col("vec_id"), emb, col("ccid"),
         (col("ccid") * fineK +
           graft.functions.VectorExprs.nearestInCell(col("qv"), col("cents"))
             .getField("fcid")).as("cid"))
+  }
+
+  private def assignWithQuantizer(q: PublishedQuantizer,
+      vecs: DataFrame): DataFrame =
+    assignWithQuantizer(q.coarse, q.cells, q.fineK, vecs)
+
+  def appendToTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, dir: String): Long = {
+    val q = loadQuantizer(spark, dir)
+    val fresh = assignWithQuantizer(q, newVecs)
     val merged = Snapshot.readTable(spark, dir, "assigned").unionByName(fresh)
-    Snapshot.publishTables(Seq("assigned" -> merged, "cells" -> cells,
-      "coarse" -> coarseDf, "meta" -> meta), dir)
+    Snapshot.publishTables(Seq("assigned" -> merged, "cells" -> q.cells,
+      "coarse" -> q.coarseDf, "meta" -> q.meta), dir)
+  }
+
+  /** INCREMENTAL SemDeDup against a published survivor index — the
+    * semantic sibling of [[NearDup.minhashIncrement]]: a new crawl
+    * increment dedups against the accumulated survivor set WITHOUT
+    * rescanning it. The batch pays one delta assignment
+    * ([[assignWithQuantizer]]); stored survivors are SENIOR
+    * unconditionally (the store is immutable — same contract as the
+    * MinHash increment), so a batch vector with a stored ε-neighbor in
+    * its cluster drops first, and the remainder dedups among itself
+    * with the chunk-capped [[semDedupChunkedScoped]] rule. The
+    * store-side join is cluster-confined and the stored survivors are
+    * an ε-packing by construction (pairwise dissimilar within chunks),
+    * which bounds per-cluster store density. Returns surviving batch
+    * rows (vec_id, cid); the read is version-pinned and mutates
+    * nothing — [[semDedupAppend]] closes the loop. */
+  def semDedupIncrementScoped(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, eps: Double, capTarget: Int,
+      levels: Int = 1, version: Option[Long] = None)
+      : (DataFrame, () => Unit) = {
+    val q = loadQuantizer(spark, dir, version)
+    val bAssigned = assignWithQuantizer(q, batch).persist()
+    val stored = Snapshot.readTable(spark, dir, "assigned", version)
+      .select(col("cid"), emb.as("se"))
+    val vsStore = bAssigned
+      .join(stored, Seq("cid"))
+      .filter(cosine(emb, col("se")) >= eps)
+      .select(col("vec_id")).distinct()
+    val fresh = bAssigned.join(vsStore, Seq("vec_id"), "left_anti")
+    val (kept, release) = semDedupChunkedScoped(fresh, eps, capTarget, levels)
+    (kept, () => { release(); bAssigned.unpersist(); () })
+  }
+
+  /** [[semDedupIncrementScoped]] without a published index: the
+    * quantizer and survivor set come from `store` directly (built
+    * in-session via [[twoLevelIndex]]) — the oracle-replayable form,
+    * and the shape a one-shot "dedupe increment B against corpus A"
+    * job takes when no index is published yet. Store rows are senior
+    * unconditionally; the surviving batch remainder dedups among
+    * itself chunk-capped. Returns surviving batch (vec_id, cid). */
+  def semDedupIncrementFromCorpusScoped(store: DataFrame, batch: DataFrame,
+      eps: Double, coarseK: Int = 4, fineK: Int = 4, coarseIters: Int = 1,
+      fineIters: Int = 1, capTarget: Int = 1024, levels: Int = 1)
+      : (DataFrame, () => Unit) = {
+    val ix = twoLevelIndex(store, coarseK, fineK, coarseIters, fineIters)
+    val bAssigned = assignWithQuantizer(ix.coarse, ix.cells, fineK, batch)
+      .persist()
+    val stored = ix.assigned.select(col("cid"), emb.as("se"))
+    val vsStore = bAssigned.join(stored, Seq("cid"))
+      .filter(cosine(emb, col("se")) >= eps)
+      .select(col("vec_id")).distinct()
+    val fresh = bAssigned.join(vsStore, Seq("vec_id"), "left_anti")
+    val (kept, release) = semDedupChunkedScoped(fresh, eps, capTarget, levels)
+    (kept, () => { release(); bAssigned.unpersist(); ix.release(); () })
+  }
+
+  /** DuckDB twin of [[semDedupIncrementFromCorpusScoped]]: composes
+    * after [[twoLevelSql]](`storesrc`, …) and a CTE `batchsrc(vec_id,
+    * embedding)`; defines `sdikeep(vec_id, cid)`. */
+  def semDedupIncrementSql(eps: Double, fineK: Int, coarseIters: Int,
+      fineIters: Int, capTarget: Int, levels: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in generate_series(1, $Dim)])"
+    def cos(q: String, c: String) =
+      s"(${dot(q, c)} / (sqrt(${dot(q, q)}) * sqrt(${dot(c, c)})))"
+    val lvls = (1 to levels).map { l =>
+      s"""bn$l AS (
+         |  SELECT cid,
+         |    CAST(ceil(CAST(count(*) AS DOUBLE) / $capTarget) AS BIGINT) AS nch
+         |  FROM bv${l - 1} GROUP BY cid
+         |), bch$l AS (
+         |  SELECT s.vec_id, s.cid, s.embedding,
+         |         ((s.vec_id * 2654435761) % 1000003) % n.nch AS chunk
+         |  FROM bv${l - 1} s JOIN bn$l n USING (cid)
+         |), bd$l AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM bch$l a JOIN bch$l b
+         |    ON a.cid = b.cid AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= $eps
+         |), bv$l AS (
+         |  SELECT vec_id, cid, embedding FROM bv${l - 1}
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM bd$l)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""tbq AS (
+       |  SELECT vec_id, embedding,
+       |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |     for e in embedding] AS qv
+       |  FROM batchsrc
+       |), tbc AS (
+       |  SELECT vec_id, embedding, qv, ccid FROM (
+       |    SELECT b.vec_id, b.embedding, b.qv, c.cid AS ccid,
+       |           row_number() OVER (PARTITION BY b.vec_id
+       |             ORDER BY ${cos("b.qv", "c.cent")} DESC, c.cid) AS r
+       |    FROM tbq b, tc$coarseIters c)
+       |  WHERE r = 1
+       |), tba AS (
+       |  SELECT vec_id, embedding, ccid * $fineK + fcid AS cid FROM (
+       |    SELECT a.vec_id, a.embedding, a.ccid, g.fcid,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${cos("a.qv", "g.cent")} DESC, g.fcid) AS r
+       |    FROM tbc a JOIN tg$fineIters g USING (ccid))
+       |  WHERE r = 1
+       |), tbd AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM tba b JOIN (
+       |    SELECT f.cid, s.embedding FROM tfin f JOIN storesrc s USING (vec_id)
+       |  ) st ON b.cid = st.cid
+       |  WHERE ${cosineSql("b.embedding", "st.embedding")} >= $eps
+       |), bv0 AS (
+       |  SELECT vec_id, cid, embedding FROM tba
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM tbd)
+       |),
+       |$lvls,
+       |sdikeep AS (SELECT vec_id, cid FROM bv$levels)""".stripMargin
+  }
+
+  /** [[semDedupIncrementScoped]] + publish: surviving batch rows join
+    * the stored survivor set as the next index version (same
+    * quantizer, atomic flip). Returns (survivor count, new version). */
+  def semDedupAppend(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, eps: Double, capTarget: Int,
+      levels: Int = 1): (Long, Long) = {
+    val (kept, release) = semDedupIncrementScoped(spark, dir, batch, eps,
+      capTarget, levels)
+    val q = loadQuantizer(spark, dir)
+    val keptRows = assignWithQuantizer(q, batch)
+      .join(kept.select(col("vec_id")), Seq("vec_id"))
+    val merged = Snapshot.readTable(spark, dir, "assigned")
+      .unionByName(keptRows)
+    val n = kept.count()
+    val v = Snapshot.publishTables(Seq("assigned" -> merged,
+      "cells" -> q.cells, "coarse" -> q.coarseDf, "meta" -> q.meta), dir)
+    release()
+    (n, v)
   }
 
   /** Recall@k of a published TWO-LEVEL index version against the

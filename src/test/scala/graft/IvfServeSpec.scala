@@ -297,6 +297,47 @@ class IvfServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() === 80L)
   }
 
+  test("incremental SemDeDup: batch dedups against the published survivors") {
+    val s = spark; import s.implicits._
+    // store: 40 well-separated vectors, published as the survivor index
+    val store = vectors(40, 2)
+    val dir = Files.createTempDirectory("sem-inc").toString
+    val v0 = Similarity.publishTwoLevelIndex(store, dir,
+      coarseK = 2, fineK = 2, coarseIters = 1, fineIters = 1)
+    // batch: 10 near-dups of stored vectors (scaled copies — identical
+    // direction, cosine 1), 2 within-batch near-dup twins of one NEW
+    // vector, and 5 genuinely new vectors
+    val storeRows = store.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val nearStored = (0 until 10).map(i =>
+      (1000L + i, storeRows(i.toLong * 3).map(x => x * 1.5f).toList))
+    val newDir = (0 until Similarity.Dim).map(j =>
+      if (j % 2 == 0) 7.0f else -3.0f).toList
+    val batchTwins = Seq((1100L, newDir), (1101L, newDir.map(_ * 2.0f)))
+    val genuinelyNew = (0 until 5).map(i =>
+      (1200L + i, (0 until Similarity.Dim).map(j =>
+        (((i * 13 + j * 29 + 7) % 17) - 8).toFloat).toList))
+    val batch = (nearStored ++ batchTwins ++ genuinelyNew)
+      .toDF("vec_id", "embedding")
+    val (kept, release) = Similarity.semDedupIncrementScoped(
+      s, dir, batch, eps = 0.999, capTarget = 16, levels = 1)
+    val surv = kept.select("vec_id").collect().map(_.getLong(0)).sorted
+    release()
+    // stored seniors kill the 10 copies; the twin pair keeps its
+    // senior; the 5 new vectors survive
+    assert(surv.toSeq === (Seq(1100L) ++ (0 until 5).map(1200L + _)))
+    // append publishes store ∪ survivors; re-running the SAME batch
+    // against the new version drops everything (now all near stored)
+    val (n, v1) = Similarity.semDedupAppend(s, dir, batch,
+      eps = 0.999, capTarget = 16, levels = 1)
+    assert(n === 6L && v1 > v0)
+    assert(Snapshot.readTable(s, dir, "assigned").count() === 46L)
+    val (again, rel2) = Similarity.semDedupIncrementScoped(
+      s, dir, batch, eps = 0.999, capTarget = 16, levels = 1)
+    assert(again.count() === 0L)
+    rel2()
+  }
+
   test("publishTables rejects unusable table names") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "x")).toDF("id", "t")
