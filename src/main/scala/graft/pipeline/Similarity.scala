@@ -1129,8 +1129,9 @@ object Similarity {
   /** Assign `vecs` with an existing quantizer (driver-held coarse tier
     * + distributed cells) — the delta pass every incremental path
     * pays: map-side coarse assignment, one cells join (broadcast under
-    * the build-side bound), no state mutated. */
-  private def assignWithQuantizer(coarse: Seq[(Long, Seq[Double])],
+    * the build-side bound), no state mutated. Package-visible for the
+    * streaming lifecycle ([[graft.streaming.SemDedupStream]]). */
+  private[graft] def assignWithQuantizer(coarse: Seq[(Long, Seq[Double])],
       cells: DataFrame, fineK: Int, vecs: DataFrame): DataFrame = {
     val nc = graft.functions.VectorExprs.nearestCentroid(col("qv"), coarse)
     val ac = vecs.select(col("vec_id"), emb, qvec(emb).as("qv"))

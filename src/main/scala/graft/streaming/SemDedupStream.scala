@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Similarity
+
+/** Streaming SEMANTIC dedup lifecycle — [[DedupStream]]'s sibling for
+  * the embedding column: a vector stream dedups continuously against
+  * the accumulated survivor set, without ever rescanning it.
+  * [[graft.pipeline.Similarity.semDedupIncrementScoped]]'s shape wired
+  * into `foreachBatch` with parquet-backed, batch-id-partitioned state.
+  *
+  * The quantizer (two-level k-means: √K coarse tier + per-cell fine
+  * centroids) is FROZEN at [[bootstrap]] — the streaming path pays only
+  * the delta assignment per batch, the same freshness trade as
+  * [[graft.pipeline.Similarity.appendToIvfIndex]]; re-bootstrap when a
+  * recall/drift gauge says the quantizer no longer fits the stream.
+  *
+  * Exactly-once under micro-batch replay, the [[DedupStream]] story:
+  * survivor appends and the kept-output frame write under `bid=<batch>`
+  * partitions via dynamic overwrite, so a replayed batch REWRITES its
+  * own partitions; state reads filter `bid < currentBid`, so a replay
+  * whose previous attempt died after a partial write still sees exactly
+  * the state the first attempt saw.
+  *
+  * Stream semantics: ARRIVAL order is seniority — stored survivors are
+  * immutable and kill matching newcomers regardless of vec_id (the
+  * store-senior contract of the incremental API); within one batch the
+  * min-vec_id keeper rule applies, chunk-capped.
+  */
+object SemDedupStream {
+
+  private val survivorSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(DoubleType)),
+    StructField("ccid", LongType),
+    StructField("cid", LongType)))
+
+  private def readFrame(spark: SparkSession, dir: String,
+      schema: StructType, ltBid: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema.add(StructField("bid", LongType)))
+        .parquet(dir)
+        .filter(col("bid") < ltBid)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  private def writePartition(df: DataFrame, bid: Long, dir: String): Unit =
+    df.withColumn("bid", lit(bid)).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(dir)
+
+  /** Freeze the quantizer from a seed corpus, dedup that corpus, and
+    * seed the survivor store (under `bid = -1`, before any streaming
+    * batch). Must run once before [[start]]. */
+  def bootstrap(spark: SparkSession, corpus: DataFrame, stateDir: String,
+      eps: Double, coarseK: Int, fineK: Int, coarseIters: Int = 1,
+      fineIters: Int = 1, capTarget: Int = 1024, levels: Int = 2): Unit = {
+    import spark.implicits._
+    val ix = Similarity.twoLevelIndex(corpus, coarseK, fineK,
+      coarseIters, fineIters)
+    try {
+      val (kept, release) =
+        Similarity.semDedupChunkedScoped(ix.assigned, eps, capTarget, levels)
+      try {
+        val survivors = ix.assigned
+          .join(kept.select(col("vec_id")), Seq("vec_id"))
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("embedding"),
+            col("ccid"), col("cid"))
+        writePartition(survivors, -1L, s"$stateDir/survivors")
+        ix.coarse.toDF("ccid", "ccent")
+          .write.mode("overwrite").parquet(s"$stateDir/coarse")
+        ix.cells.write.mode("overwrite").parquet(s"$stateDir/cells")
+        Seq(("fineK", fineK.toLong)).toDF("key", "value")
+          .write.mode("overwrite").parquet(s"$stateDir/meta")
+      } finally { release(); () }
+    } finally { ix.release(); () }
+  }
+
+  /** One micro-batch: read survivors (< bid), delta-assign, drop
+    * batch rows with a stored ε-neighbor in their cluster, dedup the
+    * remainder chunk-capped, append the batch's survivors. Package-
+    * visible so the spec can drive replays directly. */
+  private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
+      bid: Long, stateDir: String, keptDir: String, eps: Double,
+      capTarget: Int, levels: Int): Unit = {
+    val coarse = spark.read.parquet(s"$stateDir/coarse")
+      .select(col("ccid").cast("long"),
+        transform(col("ccent"), _.cast("double")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    val fineK = spark.read.parquet(s"$stateDir/meta")
+      .filter(col("key") === "fineK").collect().head.getLong(1).toInt
+    val cells = spark.read.parquet(s"$stateDir/cells")
+    val stored = readFrame(spark, s"$stateDir/survivors", survivorSchema, bid)
+    val bAssigned = Similarity.assignWithQuantizer(coarse, cells, fineK,
+      batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding")))
+      .persist()
+    try {
+      val vsStore = bAssigned
+        .join(stored.select(col("cid"), col("embedding").as("se")), Seq("cid"))
+        .filter(Similarity.cosine(col("embedding"), col("se")) >= eps)
+        .select(col("vec_id")).distinct()
+      val fresh = bAssigned.join(vsStore, Seq("vec_id"), "left_anti")
+      val (kept, release) =
+        Similarity.semDedupChunkedScoped(fresh, eps, capTarget, levels)
+      try {
+        val keptRows = fresh.join(kept.select(col("vec_id")), Seq("vec_id"))
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("embedding"),
+            col("ccid"), col("cid"))
+        writePartition(kept.select(col("vec_id"), col("cid")), bid, keptDir)
+        writePartition(keptRows, bid, s"$stateDir/survivors")
+      } finally { release(); () }
+    } finally { bAssigned.unpersist(); () }
+  }
+
+  /** Start the lifecycle over a streaming `(vec_id, embedding)` frame
+    * against a [[bootstrap]]ped state dir. `keptDir` accumulates the
+    * accepted (vec_id, cid) rows per batch. */
+  def start(vecs: DataFrame, stateDir: String, keptDir: String,
+      eps: Double, checkpointDir: String, capTarget: Int = 1024,
+      levels: Int = 1): StreamingQuery = {
+    val spark = vecs.sparkSession
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        processBatch(spark, batch, bid, stateDir, keptDir, eps,
+          capTarget, levels)
+      }
+      .start()
+  }
+
+  /** Start over a parquet LANDING DIRECTORY of `(vec_id, embedding)`
+    * files — the continuous-ingest deployment shape, as
+    * [[DedupStream.startFromDir]]. */
+  def startFromDir(spark: SparkSession, landingDir: String, outDir: String,
+      eps: Double, maxFilesPerTrigger: Int = 8, capTarget: Int = 1024,
+      levels: Int = 1): StreamingQuery = {
+    val vecs = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+    start(vecs, s"$outDir/state", s"$outDir/kept", eps, s"$outDir/ckpt",
+      capTarget, levels)
+  }
+
+  /** All accepted vectors so far (vec_id, cid). */
+  def kept(spark: SparkSession, keptDir: String): DataFrame =
+    readFrame(spark, keptDir, StructType(Seq(
+      StructField("vec_id", LongType), StructField("cid", LongType))),
+      Long.MaxValue)
+
+  /** The current survivor set (vec_id, cid), bootstrap seed included. */
+  def survivors(spark: SparkSession, stateDir: String): DataFrame =
+    readFrame(spark, s"$stateDir/survivors", survivorSchema, Long.MaxValue)
+      .select(col("vec_id"), col("cid"))
+}

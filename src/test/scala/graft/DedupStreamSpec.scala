@@ -147,4 +147,84 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       corpus.toDF("doc_id", "text"), 0.5).collect())
     assert(streamed === batch)
   }
+
+  // ---- semantic (embedding) streaming dedup ----
+
+  import graft.pipeline.Similarity
+  import graft.streaming.SemDedupStream
+
+  // the mod-13 tail alone repeats with period 13 in i AND aliases
+  // across seeds, so "distinct" fixtures could be near-parallel: a
+  // per-i leading coordinate breaks same-seed ties and a per-SEED
+  // orthogonal marker dimension keeps cross-seed cosines far from 1
+  private def svec(seed: Int, i: Long): List[Float] =
+    (0 until Similarity.Dim).map(j =>
+      if (j == 0) (i + 1).toFloat
+      else if (j == 2 + (seed % 10)) 40.0f
+      else (((i * 31 + j * 17 + seed) % 13) - 6).toFloat).toList
+
+  test("semantic stream: batches dedup against the accumulated survivors") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("semstream").toString
+    val stateDir = s"$dir/state"; val keptDir = s"$dir/kept"
+    // seed corpus: 30 well-separated vectors freeze the quantizer and
+    // seed the survivor store
+    val seedCorpus = (0L until 30L).map(i => (i, svec(2, i)))
+      .toDF("vec_id", "embedding")
+    SemDedupStream.bootstrap(spark, seedCorpus, stateDir, eps = 0.999,
+      coarseK = 2, fineK = 2, coarseIters = 1, fineIters = 1)
+    assert(SemDedupStream.survivors(spark, stateDir).count() === 30L)
+    // batch 0: 5 scaled copies of stored vectors (semantic dups — same
+    // direction) + 3 genuinely new
+    val b0 = ((0 until 5).map(i => (500L + i, svec(2, i.toLong * 5)
+        .map(_ * 1.5f))) ++
+      (0 until 3).map(i => (600L + i, svec(9, i.toLong))))
+      .toDF("vec_id", "embedding")
+    SemDedupStream.processBatch(spark, b0, 0L, stateDir, keptDir,
+      eps = 0.999, capTarget = 16, levels = 1)
+    val kept0 = SemDedupStream.kept(spark, keptDir)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept0.toSeq === (0 until 3).map(600L + _))
+    // batch 1: a copy of a batch-0 SURVIVOR (cross-batch dup — the
+    // store-senior contract) + one new
+    val b1 = Seq((700L, svec(9, 0L).map(_ * 2.0f)), (701L, svec(5, 40L)))
+      .toDF("vec_id", "embedding")
+    SemDedupStream.processBatch(spark, b1, 1L, stateDir, keptDir,
+      eps = 0.999, capTarget = 16, levels = 1)
+    val kept1 = SemDedupStream.kept(spark, keptDir)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept1.toSeq === (0 until 3).map(600L + _) ++ Seq(701L))
+    assert(SemDedupStream.survivors(spark, stateDir).count() === 34L)
+    // REPLAY batch 1 (crash-after-commit semantics): bid-partitioned
+    // rewrite + bid-filtered reads make it a no-op
+    SemDedupStream.processBatch(spark, b1, 1L, stateDir, keptDir,
+      eps = 0.999, capTarget = 16, levels = 1)
+    assert(SemDedupStream.kept(spark, keptDir).count() === 4L)
+    assert(SemDedupStream.survivors(spark, stateDir).count() === 34L)
+  }
+
+  test("semantic stream: MemoryStream wiring runs end-to-end") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("semstream-mem").toString
+    val seedCorpus = (0L until 20L).map(i => (i, svec(3, i)))
+      .toDF("vec_id", "embedding")
+    SemDedupStream.bootstrap(spark, seedCorpus, s"$dir/state", eps = 0.999,
+      coarseK = 2, fineK = 2, coarseIters = 1, fineIters = 1)
+    val mem = MemoryStream[(Long, List[Float])]
+    val q = SemDedupStream.start(mem.toDF().toDF("vec_id", "embedding"),
+      s"$dir/state", s"$dir/kept", eps = 0.999, s"$dir/ckpt",
+      capTarget = 16, levels = 1)
+    try {
+      // one stored copy (dies) + one new (lives)
+      mem.addData((900L, svec(3, 4L).map(_ * 3.0f)), (901L, svec(8, 2L)))
+      q.processAllAvailable()
+      // the new survivor now kills ITS copy in the next batch
+      mem.addData((902L, svec(8, 2L).map(_ * 1.25f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = SemDedupStream.kept(spark, s"$dir/kept")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(901L))
+  }
 }
