@@ -322,6 +322,46 @@ object ScaleProbe {
             devScale = 3.0, show = "smooth,conf", stepSec = 60).count()
         }
       },
+      {
+        // incremental semantic dedup at the design point: a 100k batch
+        // against 1M published survivors. The increment must pay ONLY
+        // the delta (assignment of 100k + cluster-confined store
+        // joins), never a corpus rescan — its wall time is the proof
+        // (compare semdedup_skew_1m's full pass above). Batch = 50k
+        // copies of stored vectors (must die) + 50k fresh (must live).
+        val store = vecs // 1M vectors, published quantizer K=8192
+        val batch = spark.range(1000000, 1100000).select(
+          col("id").as("vec_id"),
+          when(col("id") % 2 === 0,
+            transform(sequence(lit(0), lit(63)), j =>
+              (pmod(xxhash64(col("id") % 500000, j), lit(2001)) - 1000)
+                .cast("double") / 1000.0 * 1.5))
+          .otherwise(transform(sequence(lit(0), lit(63)), j =>
+            (pmod(xxhash64(col("id"), j, lit(99)), lit(2001)) - 1000)
+              .cast("double") / 1000.0)).as("embedding"))
+        // the 1M index build happens ONCE, outside the timed window —
+        // the stage times the published-path increment alone, which is
+        // the deployment cadence (build nightly, increment per drop)
+        val semDir = java.nio.file.Files
+          .createTempDirectory("sem-inc-probe").toString
+        pipeline.Similarity.publishTwoLevelIndex(store, semDir,
+          coarseK = 128, fineK = 64, coarseIters = 1, fineIters = 1)
+        val r = time("semdedup_increment_100k_vs_1m") {
+          val (kept, release) = pipeline.Similarity.semDedupIncrementScoped(
+            spark, semDir, batch, eps = 0.999, capTarget = 256, levels = 1)
+          val survivors = kept.count()
+          val copiesKept = kept.filter(col("vec_id") % 2 === 0).count()
+          release()
+          require(copiesKept == 0,
+            s"$copiesKept stored-copy batch rows survived the increment")
+          require(survivors >= 45000,
+            s"fresh batch rows over-deduped: $survivors")
+          survivors
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(semDir))
+        r
+      },
       time("unimax_mixture_10m") { // 1000-strata water-fill (S-row
         // window) + map-side mixture realization over 10M keys
         val strat = keys.select(col("doc_id"),
