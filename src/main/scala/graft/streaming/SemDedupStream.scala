@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
@@ -39,23 +39,41 @@ object SemDedupStream {
     StructField("ccid", LongType),
     StructField("cid", LongType)))
 
+  /** Coarse-bucket partition key for the survivor store: survivors lay
+    * out by (bid, pccid = ccid mod [[PccidBuckets]]), so a batch's
+    * state read PRUNES to the partition directories of its own coarse
+    * cells — without it, every micro-batch rescans the whole survivor
+    * store, a per-batch cost that grows with the corpus instead of
+    * the batch. 64 buckets caps directory fan-out per batch while
+    * keeping pruning ~batch-cell selective at any coarseK. */
+  private val PccidBuckets = 64L
+  private def pccidOf(ccid: Column): Column = pmod(ccid, lit(PccidBuckets))
+
   private def readFrame(spark: SparkSession, dir: String,
-      schema: StructType, ltBid: Long): DataFrame = {
+      schema: StructType, ltBid: Long,
+      partCols: Seq[StructField] = Seq(StructField("bid", LongType)),
+      extraFilter: Option[Column] = None): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      spark.read.schema(schema.add(StructField("bid", LongType)))
-        .parquet(dir)
+    else {
+      val full = partCols.foldLeft(schema)(_ add _)
+      val base = spark.read.schema(full).parquet(dir)
         .filter(col("bid") < ltBid)
+      extraFilter.fold(base)(base.filter)
         .select(schema.fieldNames.map(col).toSeq: _*)
+    }
   }
 
-  private def writePartition(df: DataFrame, bid: Long, dir: String): Unit =
+  private def writePartition(df: DataFrame, bid: Long, dir: String,
+      alsoBy: Seq[String] = Seq.empty): Unit =
     df.withColumn("bid", lit(bid)).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bid").parquet(dir)
+      .partitionBy("bid" +: alsoBy: _*).parquet(dir)
+
+  private val survivorParts = Seq(StructField("bid", LongType),
+    StructField("pccid", LongType))
 
   /** Freeze the quantizer from a seed corpus, dedup that corpus, and
     * seed the survivor store (under `bid = -1`, before any streaming
@@ -74,8 +92,9 @@ object SemDedupStream {
           .join(kept.select(col("vec_id")), Seq("vec_id"))
           .select(col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("embedding"),
-            col("ccid"), col("cid"))
-        writePartition(survivors, -1L, s"$stateDir/survivors")
+            col("ccid"), col("cid"), pccidOf(col("ccid")).as("pccid"))
+        writePartition(survivors, -1L, s"$stateDir/survivors",
+          alsoBy = Seq("pccid"))
         ix.coarse.toDF("ccid", "ccent")
           .write.mode("overwrite").parquet(s"$stateDir/coarse")
         ix.cells.write.mode("overwrite").parquet(s"$stateDir/cells")
@@ -100,11 +119,19 @@ object SemDedupStream {
     val fineK = spark.read.parquet(s"$stateDir/meta")
       .filter(col("key") === "fineK").collect().head.getLong(1).toInt
     val cells = spark.read.parquet(s"$stateDir/cells")
-    val stored = readFrame(spark, s"$stateDir/survivors", survivorSchema, bid)
     val bAssigned = Similarity.assignWithQuantizer(coarse, cells, fineK,
       batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding")))
       .persist()
     try {
+      // the batch's coarse buckets — ≤ PccidBuckets values, a bounded
+      // driver bounce — prune the survivor read to their partition
+      // dirs: the state scan costs ~the batch's cells, not the corpus
+      val batchPccids = bAssigned
+        .select(pccidOf(col("ccid")).as("pccid")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val stored = readFrame(spark, s"$stateDir/survivors", survivorSchema,
+        bid, survivorParts,
+        extraFilter = Some(col("pccid").isin(batchPccids.map(Long.box): _*)))
       val vsStore = bAssigned
         .join(stored.select(col("cid"), col("embedding").as("se")), Seq("cid"))
         .filter(Similarity.cosine(col("embedding"), col("se")) >= eps)
@@ -116,9 +143,10 @@ object SemDedupStream {
         val keptRows = fresh.join(kept.select(col("vec_id")), Seq("vec_id"))
           .select(col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("embedding"),
-            col("ccid"), col("cid"))
+            col("ccid"), col("cid"), pccidOf(col("ccid")).as("pccid"))
         writePartition(kept.select(col("vec_id"), col("cid")), bid, keptDir)
-        writePartition(keptRows, bid, s"$stateDir/survivors")
+        writePartition(keptRows, bid, s"$stateDir/survivors",
+          alsoBy = Seq("pccid"))
       } finally { release(); () }
     } finally { bAssigned.unpersist(); () }
   }
@@ -162,6 +190,7 @@ object SemDedupStream {
 
   /** The current survivor set (vec_id, cid), bootstrap seed included. */
   def survivors(spark: SparkSession, stateDir: String): DataFrame =
-    readFrame(spark, s"$stateDir/survivors", survivorSchema, Long.MaxValue)
+    readFrame(spark, s"$stateDir/survivors", survivorSchema, Long.MaxValue,
+      survivorParts)
       .select(col("vec_id"), col("cid"))
 }

@@ -201,6 +201,13 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       eps = 0.999, capTarget = 16, levels = 1)
     assert(SemDedupStream.kept(spark, keptDir).count() === 4L)
     assert(SemDedupStream.survivors(spark, stateDir).count() === 34L)
+    // the survivor store lays out by (bid, pccid): a batch's state
+    // read prunes to its own coarse buckets' directories instead of
+    // rescanning the whole store
+    val bootPart = new java.io.File(s"$stateDir/survivors/bid=-1")
+    val pccidDirs = bootPart.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("pccid="))
+    assert(pccidDirs.nonEmpty, bootPart.listFiles().map(_.getName).toSeq)
   }
 
   test("semantic stream: MemoryStream wiring runs end-to-end") {
