@@ -235,6 +235,38 @@ object Daemon {
       }
   }
 
+  /** Cached distinct-name catalog — the role of the reference's
+    * fsFindCache name trie (`dsl/fs_find_cache.go:31-63`, refreshed
+    * from the store): `/metrics/find` and every tag route derive from
+    * the same names-distinct scan, and Grafana's autocomplete fires it
+    * per keystroke. One persisted catalog frame per store-generation
+    * vector ([[Ingest.StoreGen]], same invalidation as
+    * [[RenderCache]]); a mutation unpersists and rebuilds, so the
+    * catalog can never serve a name the store no longer holds. The
+    * cached artifact is a DataFrame, not a driver trie — at 100 TB the
+    * catalog is series-cardinality-sized and belongs on executors. */
+  final class CatalogCache(spark: SparkSession, archiveDirs: Seq[String]) {
+    val hits = new java.util.concurrent.atomic.AtomicLong
+    val misses = new java.util.concurrent.atomic.AtomicLong
+    private var cached: Option[(Seq[Long], DataFrame)] = None
+    /** The distinct-name catalog, cache-consistent with the stores. */
+    def names(): DataFrame = synchronized {
+      val gens = Ingest.StoreGen.gens(archiveDirs)
+      cached match {
+        case Some((g, df)) if g == gens =>
+          hits.incrementAndGet(); df
+        case prev =>
+          prev.foreach(_._2.unpersist())
+          val df = Ingest.readArchives(spark, archiveDirs)
+            .select("name").distinct().persist()
+          df.count() // materialize: route hits must read cache, not plan
+          cached = Some((gens, df))
+          misses.incrementAndGet()
+          df
+      }
+    }
+  }
+
   // ---------------------- ingest lifecycles -------------------------
 
   /** One streaming line frame from a gateway feed port, via the
@@ -554,6 +586,7 @@ object Daemon {
       queryCacheSize: Int = 512): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val renderCache = new RenderCache(queryCacheSize)
+    val catalog = new CatalogCache(spark, archiveDirs)
 
     // query string PLUS a form-encoded POST body — Grafana's graphite
     // datasource POSTs its render requests (the reference reads both
@@ -684,9 +717,7 @@ object Daemon {
       (ex: HttpExchange) => respond(ex, origin = true) {
       val p = params(ex)
       val pattern = p.get("query").flatMap(_.headOption).getOrElse("*")
-      Render.toFindJson(Find.findNodes(
-        Ingest.readArchives(spark, archiveDirs).select("name").distinct(),
-        pattern))
+      Render.toFindJson(Find.findNodes(catalog.names(), pattern))
     })
 
     // /tags/autoComplete/tags?tagPrefix=&limit= and
@@ -701,8 +732,7 @@ object Daemon {
         val prefix = p.get("tagPrefix").flatMap(_.headOption).getOrElse("")
         val limit = p.get("limit").flatMap(_.headOption).map(_.toInt)
           .getOrElse(100)
-        val cat = Ingest.readArchives(spark, archiveDirs)
-          .select("name").distinct()
+        val cat = catalog.names()
           .withColumn("ident", Find.identFromName(col("name")))
         Find.tagKeys(cat, prefix, limit).collect()
           .map(r => s""""${jsonEscape(r.getString(0))}"""")
@@ -715,8 +745,7 @@ object Daemon {
       respond(ex) {
         val exprs = params(ex).getOrElse("expr", Seq.empty)
         require(exprs.nonEmpty, "at least one expr is required")
-        Ingest.readArchives(spark, archiveDirs)
-          .select("name").distinct()
+        catalog.names()
           .filter(Find.tagExprCond(exprs,
             Find.identFromName(col("name"))))
           .orderBy("name").collect()
@@ -731,8 +760,7 @@ object Daemon {
         val prefix = p.get("valuePrefix").flatMap(_.headOption).getOrElse("")
         val limit = p.get("limit").flatMap(_.headOption).map(_.toInt)
           .getOrElse(100)
-        val cat = Ingest.readArchives(spark, archiveDirs)
-          .select("name").distinct()
+        val cat = catalog.names()
           .withColumn("ident", Find.identFromName(col("name")))
         Find.tagValues(cat, tag, prefix, limit).collect()
           .map(r => s""""${jsonEscape(r.getString(0))}"""")
@@ -775,7 +803,9 @@ object Daemon {
       s"""{"receiver.dropped":$total,"receiver.dropped.by_gateway":$gws,""" +
         s""""query_cache.hits":${renderCache.hits.get},""" +
         s""""query_cache.misses":${renderCache.misses.get},""" +
-        s""""query_cache.evictions":${renderCache.evictions.get}}"""
+        s""""query_cache.evictions":${renderCache.evictions.get},""" +
+        s""""find_cache.hits":${catalog.hits.get},""" +
+        s""""find_cache.misses":${catalog.misses.get}}"""
     })
 
     // /quantiles?name=a.b.c&q=0.5,0.99&window=3600 — value quantiles of

@@ -144,6 +144,40 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally http.stop(0)
   }
 
+  test("find catalog cache: repeats hit, a new series invalidates") {
+    // the reference's fsFindCache role: /metrics/find and the tag
+    // routes share one cached name catalog per store generation —
+    // autocomplete traffic must not rescan the archive, and a newly
+    // ingested series must appear immediately after its merge
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("fcache").toString + "/slots"
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("web.req", 1000000L, 1000020L, 2.0)).toDF(),
+      dir, stepSec = 10)
+    val http = Daemon.startHttp(s, 0, Seq(dir), stepSec = 10,
+      now = () => 1000100L)
+    try {
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      def stats(): String = httpGet(s"$base/stats")._2
+      val f1 = httpGet(s"$base/metrics/find?query=*.*")._2
+      assert(f1.contains("web.req"), f1)
+      // tag autocomplete rides the same catalog → still ONE miss
+      httpGet(s"$base/tags/autoComplete/tags")
+      val f2 = httpGet(s"$base/metrics/find?query=*.*")._2
+      assert(f2 === f1)
+      assert(stats().contains("\"find_cache.misses\":1"), stats())
+      assert(stats().contains("\"find_cache.hits\":2"), stats())
+      // a new series merges → generation bump → catalog rebuilds and
+      // the new name is findable
+      Ingest.mergePiecesIntoArchive(s,
+        Seq(Ingest.Piece("db.req", 1000000L, 1000020L, 4.0)).toDF(),
+        dir, stepSec = 10)
+      val f3 = httpGet(s"$base/metrics/find?query=*.*")._2
+      assert(f3.contains("db.req") && f3.contains("web.req"), f3)
+      assert(stats().contains("\"find_cache.misses\":2"), stats())
+    } finally http.stop(0)
+  }
+
   test("blaster corpus is deterministic and partitioning-independent") {
     val a = graft.streaming.Blaster.generate(spark, 3, 100)
       .collect().map(_.toSeq).toSet
