@@ -53,10 +53,11 @@ object Conf {
     def maxReceiverQueueSize: Int =
       scalars.get("max-receiver-queue-size").map(_.trim.toInt).getOrElse(0)
     /** `query-cache-size` (`etc/tgres.conf.sample:36`,
-      * `daemon/config.go:51`): render result LRU capacity; 0 disables
-      * (the reference's `0 cap == disable LRU`). */
+      * `daemon/config.go:51`): render result LRU capacity; absent/0
+      * disables, the reference's own default ("Default is 0 == cache
+      * disabled", sample:35; `daemon/daemon.go:284` gates on > 0). */
     def queryCacheSize: Int =
-      scalars.get("query-cache-size").map(_.trim.toInt).getOrElse(512)
+      scalars.get("query-cache-size").map(_.trim.toInt).getOrElse(0)
     def statsNamePrefix: String = string("stats-name-prefix", "stats")
     def minStepSec: Long = durationSec("min-step", 1L)
     /** `http-allow-origin` (`daemon/config.go:50`): CORS header value

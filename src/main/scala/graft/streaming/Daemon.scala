@@ -971,8 +971,11 @@ object Daemon {
       boot.stepSec, pixelOffer = Some(pixelRoute(pxDpGw.offer, pxGw.offer)),
       blaster = Some(blaster),
       allowOrigin = conf.flatMap(_.httpAllowOrigin),
+      // reference default: cache disabled unless configured
+      // (sample:35 "Default is 0 == cache disabled"); the sample
+      // config sets 512
       queryCacheSize = sys.env.get("GRAFT_QUERY_CACHE_SIZE").map(_.toInt)
-        .getOrElse(conf.map(_.queryCacheSize).getOrElse(512)))
+        .getOrElse(conf.map(_.queryCacheSize).getOrElse(0)))
     println(s"graft daemon: graphite=${gGw.boundListenPort} " +
       s"pickle=${pkGw.boundListenPort} statsd=${sGw.boundListenPort} " +
       s"http=${http.getAddress.getPort} data=$dataDir")
