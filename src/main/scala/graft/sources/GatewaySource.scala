@@ -57,16 +57,29 @@ object GatewaySource {
 object GatewayStats {
   private val drops =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private val accepts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private def at(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+      key: String) =
+    m.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong)
   private[sources] def counter(key: String): java.util.concurrent.atomic.AtomicLong =
-    drops.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong)
+    at(drops, key)
+  private[sources] def acceptCounter(key: String): java.util.concurrent.atomic.AtomicLong =
+    at(accepts, key)
   /** Lines dropped at `host:port` since JVM start. */
   def dropped(key: String): Long =
     Option(drops.get(key)).map(_.get).getOrElse(0L)
-  /** All non-zero counters, stable order. */
-  def all(): Seq[(String, Long)] = {
-    import scala.jdk.CollectionConverters._
+  /** Lines accepted (offset-assigned) at `host:port` since JVM start. */
+  def accepted(key: String): Long =
+    Option(accepts.get(key)).map(_.get).getOrElse(0L)
+  import scala.jdk.CollectionConverters._
+  /** All drop counters, stable order. */
+  def all(): Seq[(String, Long)] =
     drops.asScala.toSeq.map { case (k, v) => (k, v.get) }.sortBy(_._1)
-  }
+  /** JVM-wide totals — the reference's `stats.total`/`stats.dropped`
+    * pair (`receiver/director.go:202,285-293`). */
+  def totalAccepted(): Long = accepts.asScala.valuesIterator.map(_.get).sum
+  def totalDropped(): Long = drops.asScala.valuesIterator.map(_.get).sum
 }
 
 final case class GatewayOffset(v: Long) extends Offset {
@@ -132,11 +145,12 @@ class GatewayMicroBatchStream(host: String, port: Int, maxQueue: Int = 0)
       val in = new BufferedReader(new InputStreamReader(
         s.getInputStream, StandardCharsets.UTF_8))
       val dropCounter = GatewayStats.counter(s"$host:$port")
+      val acceptCounter = GatewayStats.acceptCounter(s"$host:$port")
       var line = in.readLine()
       while (line != null) {
         lock.synchronized {
           if (maxQueue > 0 && buf.size >= maxQueue) dropCounter.incrementAndGet()
-          else { buf += line; received += 1 }
+          else { buf += line; received += 1; acceptCounter.incrementAndGet() }
         }
         line = in.readLine()
       }

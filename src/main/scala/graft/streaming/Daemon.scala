@@ -76,6 +76,10 @@ object Daemon {
     def boundListenPort: Int = listenSock.getLocalPort
     def boundFeedPort: Int = feedSock.getLocalPort
 
+    /** Lines buffered awaiting the feed connection — the queue_len
+      * gauge [[startSelfStats]] reports. */
+    def queueSize: Int = queue.size()
+
     /** Enqueue one line, shedding the oldest beyond `capacity`. Public:
       * the pixel HTTP handler feeds its gateways directly, without a
       * socket ([[pixelRoute]]). */
@@ -190,6 +194,42 @@ object Daemon {
       udpSock.foreach(s => Try(s.close()))
       ()
     }
+  }
+
+  // ------------------------- self stats -----------------------------
+
+  /** Internal stats reported AS STORED SERIES — the reference's
+    * `reportStatCount`/`reportStatGauge` path (`receiver/receiver.go:
+    * 251-262`: counters and gauges queue into the same receiver under
+    * `ReportStatsPrefix`, flushed on the stat cadence;
+    * `director.go:329-330` reports `receiver.datapoints.total` and
+    * `.dropped`, `director.go:150-155` the queue-length gauge). Here a
+    * reporter thread emits graphite lines into the point gateway every
+    * `flushSec`: counters as per-interval deltas (the paced-sum
+    * semantics), the queue length as a gauge point. Like the
+    * reference's, the report itself rides the normal ingest path —
+    * including its bounds ("this too might be dropped").
+    * Returns the started daemon thread. */
+  def startSelfStats(offer: String => Unit, queueSizes: () => Long,
+      flushSec: Long, prefix: String = "graft"): Thread = {
+    val t = new Thread(() => {
+      var lastTotal = 0L
+      var lastDropped = 0L
+      while (true) {
+        Thread.sleep(math.max(1L, flushSec) * 1000L)
+        val now = System.currentTimeMillis() / 1000L
+        val total = graft.sources.GatewayStats.totalAccepted()
+        val dropped = graft.sources.GatewayStats.totalDropped()
+        offer(s"$prefix.receiver.datapoints.total ${total - lastTotal} $now")
+        offer(s"$prefix.receiver.datapoints.dropped ${dropped - lastDropped} $now")
+        offer(s"$prefix.receiver.queue_len ${queueSizes()} $now")
+        lastTotal = total
+        lastDropped = dropped
+      }
+    }, "graft-self-stats")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   // ---------------------- render result cache -----------------------
@@ -965,6 +1005,11 @@ object Daemon {
     // rate (the reference's zero-limit boot state); its lines feed the
     // graphite gateway exactly like an external sender's would
     val blaster = new Blaster.LiveBlaster(gGw.offer)
+    // internal stats as stored series under graft.receiver.* (the
+    // reference's ReportStats path, always on: daemon/daemon.go:117)
+    startSelfStats(gGw.offer,
+      () => Seq(gGw, sGw, pkGw, pxDpGw, pxGw).map(_.queueSize.toLong).sum,
+      boot.flushSec)
     val http = startHttp(spark,
       portOf("GRAFT_HTTP_PORT", conf.flatMap(_.httpPort), 8080),
       Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel"),

@@ -144,6 +144,42 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally http.stop(0)
   }
 
+  test("self-stats reporter emits receiver counters as graphite lines") {
+    // the reference's reportStatCount/Gauge path: internal counters
+    // become stored series via the normal ingest route. Flood a capped
+    // source so both counters move, then the reporter's lines must be
+    // parseable graphite with the dropped delta visible
+    import graft.sources.{GatewayMicroBatchStream, GatewayStats}
+    val gw = new Daemon.LineGateway(0, 0)
+    val stream = new GatewayMicroBatchStream(
+      "127.0.0.1", gw.boundFeedPort, maxQueue = 10)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val key = s"127.0.0.1:${gw.boundFeedPort}"
+      (1 to 200).foreach(i => gw.offer(s"m $i ${1000000 + i}"))
+      val deadline = System.currentTimeMillis() + 15000
+      while (GatewayStats.accepted(key) + GatewayStats.dropped(key) < 200 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(GatewayStats.accepted(key) === 10L)
+      assert(GatewayStats.dropped(key) === 190L)
+      Daemon.startSelfStats(line => { got.add(line); () },
+        () => gw.queueSize.toLong, flushSec = 1L)
+      val d2 = System.currentTimeMillis() + 15000
+      while (got.size < 3 && System.currentTimeMillis() < d2)
+        Thread.sleep(100)
+      val lines = got.toArray(new Array[String](0)).toSeq
+      assert(lines.exists(_.startsWith("graft.receiver.datapoints.total ")))
+      assert(lines.exists(_.startsWith("graft.receiver.queue_len ")))
+      val droppedLine = lines
+        .find(_.startsWith("graft.receiver.datapoints.dropped ")).get
+      // parseable graphite: name value ts, with the JVM-wide dropped
+      // delta at least this gateway's 190
+      val parts = droppedLine.split(" ")
+      assert(parts.length === 3 && parts(1).toLong >= 190L)
+    } finally { stream.stop(); gw.close() }
+  }
+
   test("find catalog cache: repeats hit, a new series invalidates") {
     // the reference's fsFindCache role: /metrics/find and the tag
     // routes share one cached name catalog per store generation —
