@@ -95,10 +95,12 @@ class GatewaySourceProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new GatewayTable(properties.get("host"),
       Integer.parseInt(properties.get("port")),
-      Option(properties.get("maxQueue")).map(Integer.parseInt).getOrElse(0))
+      Option(properties.get("maxQueue")).map(Integer.parseInt).getOrElse(0),
+      Option(properties.get("maxMemory")).map(java.lang.Long.parseLong)
+        .getOrElse(0L))
 }
 
-class GatewayTable(host: String, port: Int, maxQueue: Int)
+class GatewayTable(host: String, port: Int, maxQueue: Int, maxMemory: Long)
     extends Table with SupportsRead {
   override def name(): String = s"gateway($host:$port)"
   override def schema(): StructType = GatewaySource.Schema
@@ -109,7 +111,7 @@ class GatewayTable(host: String, port: Int, maxQueue: Int)
       override def build(): Scan = this
       override def readSchema(): StructType = GatewaySource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GatewayMicroBatchStream(host, port, maxQueue)
+        new GatewayMicroBatchStream(host, port, maxQueue, maxMemory)
     }
 }
 
@@ -119,11 +121,16 @@ class GatewayTable(host: String, port: Int, maxQueue: Int)
   * line arriving while the buffer holds `maxQueue` uncommitted lines
   * is DROPPED — it never gets an offset — and counted in
   * [[GatewayStats]], mirroring `stats.dropped++` / "goes to
-  * /dev/null" (`receiver/director.go:299`). 0 = unbounded, the
-  * reference's own default. Shedding the NEWEST matches the director
-  * (the daemon's [[graft.streaming.Daemon.LineGateway]] relay keeps
-  * its own small bounded queue in front of this). */
-class GatewayMicroBatchStream(host: String, port: Int, maxQueue: Int = 0)
+  * /dev/null" (`receiver/director.go:299`). `maxMemory` > 0 is the
+  * memory half of the same bound (`max-memory-bytes`,
+  * `director.go:287-291`): lines drop while JVM used heap exceeds it,
+  * with the used-heap check cached ~100 ms like the reference's
+  * `memoryChecked`. 0 = unbounded for both, the reference's own
+  * defaults. Shedding the NEWEST matches the director (the daemon's
+  * [[graft.streaming.Daemon.LineGateway]] relay keeps its own small
+  * bounded queue in front of this). */
+class GatewayMicroBatchStream(host: String, port: Int, maxQueue: Int = 0,
+    maxMemory: Long = 0L)
     extends MicroBatchStream with SupportsAdmissionControl
     with AcceptsLatestSeenOffset {
 
@@ -146,10 +153,21 @@ class GatewayMicroBatchStream(host: String, port: Int, maxQueue: Int = 0)
         s.getInputStream, StandardCharsets.UTF_8))
       val dropCounter = GatewayStats.counter(s"$host:$port")
       val acceptCounter = GatewayStats.acceptCounter(s"$host:$port")
+      var memChecked = 0L
+      var memOver = false
       var line = in.readLine()
       while (line != null) {
+        if (maxMemory > 0) {
+          val now = System.currentTimeMillis()
+          if (now - memChecked >= 100L) { // reference's 100ms cache
+            val rt = Runtime.getRuntime
+            memOver = rt.totalMemory() - rt.freeMemory() > maxMemory
+            memChecked = now
+          }
+        }
         lock.synchronized {
-          if (maxQueue > 0 && buf.size >= maxQueue) dropCounter.incrementAndGet()
+          if ((maxQueue > 0 && buf.size >= maxQueue) || memOver)
+            dropCounter.incrementAndGet()
           else { buf += line; received += 1; acceptCounter.incrementAndGet() }
         }
         line = in.readLine()

@@ -52,6 +52,16 @@ object Conf {
       * default. */
     def maxReceiverQueueSize: Int =
       scalars.get("max-receiver-queue-size").map(_.trim.toInt).getOrElse(0)
+    /** `max-memory-bytes` (`etc/tgres.conf.sample:9`,
+      * `receiver/director.go:287-291`): the memory half of the drop
+      * bound — ingest lines drop while used heap exceeds it.
+      * 0/absent = unbounded. */
+    def maxMemoryBytes: Long =
+      scalars.get("max-memory-bytes").map(_.trim.toLong).getOrElse(0L)
+    /** `pid-file` (`daemon/config.go:36`, written at boot by
+      * `daemon/daemon.go` savePid): absent → no pid file. */
+    def pidFile: Option[String] =
+      scalars.get("pid-file").filter(_.nonEmpty)
     /** `query-cache-size` (`etc/tgres.conf.sample:36`,
       * `daemon/config.go:51`): render result LRU capacity; absent/0
       * disables, the reference's own default ("Default is 0 == cache

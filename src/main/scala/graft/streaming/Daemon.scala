@@ -315,11 +315,12 @@ object Daemon {
     * contract; the built-in socket source restarts offsets per
     * connection and silently skips). Column: `value`. */
   private def gatewayLines(spark: SparkSession, port: Int,
-      maxQueue: Int = 0): DataFrame =
+      maxQueue: Int = 0, maxMemory: Long = 0L): DataFrame =
     spark.readStream
       .format(classOf[graft.sources.GatewaySourceProvider].getName)
       .option("host", "127.0.0.1").option("port", port.toString)
       .option("maxQueue", maxQueue.toString)
+      .option("maxMemory", maxMemory.toString)
       .load()
 
   /** Graphite plaintext lifecycle: socket stream → [[Ingest.parseGraphite]]
@@ -497,12 +498,13 @@ object Daemon {
       retainSec: Option[Long] = None,
       rras: Seq[Rra] = Seq.empty,
       pixelDpFeedPort: Option[Int] = None,
-      maxQueue: Int = 0): StreamingQuery = {
+      maxQueue: Int = 0, maxMemory: Long = 0L): StreamingQuery = {
     import spark.implicits._
-    // maxQueue > 0 = the reference's `max-receiver-queue-size` drop
-    // bound, applied per feed (drops counted in GatewayStats, /stats)
+    // maxQueue/maxMemory > 0 = the reference's max-receiver-queue-size
+    // and max-memory-bytes drop bounds, applied per feed (drops
+    // counted in GatewayStats, /stats)
     def socketLines(port: Int): DataFrame =
-      gatewayLines(spark, port, maxQueue).toDF("line")
+      gatewayLines(spark, port, maxQueue, maxMemory).toDF("line")
     val gPts = Ingest.parseGraphite(socketLines(graphiteFeedPort),
         nowSec = unix_timestamp(current_timestamp()))
       .as[(String, Long, Double)]
@@ -913,7 +915,7 @@ object Daemon {
     * with GRAFT_* environment overrides. */
   private final case class DaemonSettings(stepSec: Long, heartbeatSec: Long,
       flushSec: Long, retainSec: Option[Long], rras: Seq[Rra],
-      statsPrefix: String, maxQueue: Int)
+      statsPrefix: String, maxQueue: Int, maxMemory: Long)
 
   private def loadSettings(confPath: Option[String]): (Option[Conf.Settings], DaemonSettings) = {
     val conf = confPath.map(Conf.load)
@@ -947,8 +949,10 @@ object Daemon {
     // receiver backpressure bound (max-receiver-queue-size); 0 = off
     val maxQueue = sys.env.get("GRAFT_MAX_QUEUE").map(_.toInt)
       .getOrElse(conf.map(_.maxReceiverQueueSize).getOrElse(0))
+    val maxMemory = sys.env.get("GRAFT_MAX_MEMORY").map(_.toLong)
+      .getOrElse(conf.map(_.maxMemoryBytes).getOrElse(0L))
     (conf, DaemonSettings(stepSec, heartbeatSec, flushSec, retainSec,
-      rras, statsPrefix, maxQueue))
+      rras, statsPrefix, maxQueue, maxMemory))
   }
 
   def main(args: Array[String]): Unit = {
@@ -992,7 +996,7 @@ object Daemon {
         checkpointDir = s"$dataDir/ckpt-points",
         retainSec = settings.retainSec,
         rras = settings.rras, pixelDpFeedPort = Some(pxDpGw.boundFeedPort),
-        maxQueue = settings.maxQueue),
+        maxQueue = settings.maxQueue, maxMemory = settings.maxMemory),
       startStatsdIngest(spark, sGw.boundFeedPort, s"$dataDir/statsd",
         settings.flushSec, checkpointDir = s"$dataDir/ckpt-statsd",
         retainSec = settings.retainSec, statsPrefix = settings.statsPrefix),
@@ -1021,6 +1025,16 @@ object Daemon {
       // config sets 512
       queryCacheSize = sys.env.get("GRAFT_QUERY_CACHE_SIZE").map(_.toInt)
         .getOrElse(conf.map(_.queryCacheSize).getOrElse(0)))
+    // pid-file (daemon/config.go:36; savePid at boot): written before
+    // the banner so supervisors can signal immediately
+    val pidFile = conf.flatMap(_.pidFile)
+      .orElse(sys.env.get("GRAFT_PID_FILE"))
+    pidFile.foreach { pf =>
+      Files.write(java.nio.file.Paths.get(pf),
+        (ProcessHandle.current().pid().toString + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
     println(s"graft daemon: graphite=${gGw.boundListenPort} " +
       s"pickle=${pkGw.boundListenPort} statsd=${sGw.boundListenPort} " +
       s"http=${http.getAddress.getPort} data=$dataDir")
@@ -1043,6 +1057,8 @@ object Daemon {
     // new input, let in-flight micro-batches commit, then stop Spark —
     // the exactly-once merge makes an interrupted batch safe either way
     sys.addShutdownHook {
+      pidFile.foreach(pf => Try(Files.deleteIfExists(
+        java.nio.file.Paths.get(pf))))
       Try(blaster.close())
       Seq(gGw, sGw, pkGw, pxDpGw, pxGw).foreach(gw => Try(gw.close()))
       Try(http.stop(0))

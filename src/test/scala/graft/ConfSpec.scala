@@ -109,6 +109,15 @@ class ConfSpec extends AnyFunSuite {
       .maxReceiverQueueSize === 1000000)
   }
 
+  test("max-memory-bytes and pid-file parse with reference defaults") {
+    val c = Conf.parse("workers = 1\n")
+    assert(c.maxMemoryBytes === 0L && c.pidFile === None)
+    val c2 = Conf.parse(
+      "max-memory-bytes = 8000000000\npid-file = \"graft.pid\"\n")
+    assert(c2.maxMemoryBytes === 8000000000L)
+    assert(c2.pidFile === Some("graft.pid"))
+  }
+
   test("http-allow-origin: absent/empty → no CORS header, set → its value") {
     assert(Conf.parse("workers = 1\n").httpAllowOrigin === None)
     assert(Conf.parse("http-allow-origin = \"\"\n").httpAllowOrigin === None)

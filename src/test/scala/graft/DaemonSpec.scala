@@ -104,6 +104,29 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { stream.stop(); gw.close(); http.stop(0) }
   }
 
+  test("memory bound: lines drop while used heap exceeds max-memory-bytes") {
+    // the memory half of the reference's drop gate
+    // (director.go:287-291): with a 1-byte bound the JVM is always
+    // over, so every line goes to /dev/null with the counter moving
+    import graft.sources.{GatewayMicroBatchStream, GatewayOffset, GatewayStats}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val gw = new Daemon.LineGateway(0, 0)
+    val stream = new GatewayMicroBatchStream(
+      "127.0.0.1", gw.boundFeedPort, maxQueue = 0, maxMemory = 1L)
+    try {
+      (1 to 100).foreach(i => gw.offer(s"m $i ${1000000 + i}"))
+      val key = s"127.0.0.1:${gw.boundFeedPort}"
+      val deadline = System.currentTimeMillis() + 15000
+      while (GatewayStats.dropped(key) < 100 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(GatewayStats.dropped(key) >= 100L)
+      val end = stream.latestOffset(GatewayOffset(-1L), ReadLimit.allAvailable())
+        .asInstanceOf[GatewayOffset].v
+      assert(end === -1L, "memory-dropped lines must not get offsets")
+    } finally { stream.stop(); gw.close() }
+  }
+
   test("render cache: identical render hits, archive mutation invalidates") {
     // the reference's query LRU (dsl/ds_lru.go, query-cache-size):
     // a dashboard re-requesting the same target must not re-scan the
