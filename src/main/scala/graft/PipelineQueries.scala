@@ -52,6 +52,21 @@ object PipelineQueries {
            |   ${ts.Round6.r6Sql("jaccard")} AS jaccard
            | FROM out ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // LSH recall gauge: banded candidates vs the uncapped-inverted-
+    // index exact baseline, at a threshold in the corpus's low-J mass
+    // where banding MEASURABLY misses (the planted 0.8+ pairs are all
+    // recovered at any threshold; the quality number every LSH
+    // deployment watches, as ivfRecall is for ANN)
+    ("dd_minhash_recall",
+      ((s, d) => pipeline.NearDup.minhashRecall(Tables.documents(s, d), 0.02)
+        .select(col("n_exact"), col("n_found"),
+          ts.Round6.r6(col("recall")).as("recall"))): Q,
+      Some(
+        s"""${pipeline.NearDup.minhashPairsSql(0.02)},
+           |${pipeline.NearDup.minhashRecallSql(0.02)}
+           |SELECT n_exact, n_found, ${ts.Round6.r6Sql("recall")} AS recall
+           |FROM rec""".stripMargin)),
+
     // incremental near-dup: even doc_ids form the pre-existing store,
     // odd doc_ids arrive as the new batch — reported pairs are exactly
     // the full-corpus LSH pairs touching at least one new doc, which

@@ -233,6 +233,70 @@ object NearDup {
     (pairs, () => { sets.unpersist(); members.unpersist(); () })
   }
 
+  /** LSH recall GAUGE — the dedup sibling of
+    * [[graft.pipeline.Similarity.ivfRecall]]: the fraction of the
+    * EXACT ≥ minJ pair set that the banded candidate generation
+    * recovers (verification is exact Jaccard on both tiers, so found ⊆
+    * exact and precision is 1 by construction; what banding costs is
+    * recall, 1−(1−J^r)^b per pair). The exact baseline enumerates
+    * candidates through an UNCAPPED inverted shingle index — complete
+    * for minJ > 0, since any overlapping pair shares a shingle — and
+    * is guarded by `maxRows`: run the gauge on a SAMPLE at a
+    * maintenance cadence, not on the corpus (a hot shingle makes the
+    * uncapped index quadratic, which is exactly why the production
+    * pair path df-caps). Returns one row (n_exact, n_found, recall). */
+  def minhashRecall(docs: DataFrame, minJ: Double,
+      maxRows: Long = 100000L): DataFrame = {
+    require(minJ > 0,
+      "recall gauge needs minJ > 0 (zero-overlap pairs share no shingle)")
+    val n = docs.count()
+    require(n <= maxRows,
+      s"exact baseline refuses $n docs > $maxRows — gauge a sample")
+    val sets = shingleSets(docs).persist()
+    try {
+      val sh = sets.select(col("doc_id"), explode(col("hs")).as("xh"))
+      val ecand = sh.select(col("xh"), col("doc_id").as("doc_a"))
+        .join(sh.select(col("xh"), col("doc_id").as("doc_b")), Seq("xh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val exact = verifyJaccard(ecand, sets, minJ)
+      val found = verifyJaccard(
+        candidates(bands(signaturesFromSets(sets))), sets, minJ)
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      val nf = found.agg(count(lit(1)).as("n_found"))
+      val out = ne.crossJoin(nf).select(col("n_exact"), col("n_found"),
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(col("n_found").cast("double") / col("n_exact"))
+          .as("recall"))
+      // 1-row result: materialize before releasing the shared sets
+      val row = out.collect().head
+      docs.sparkSession.createDataFrame(
+        java.util.List.of(row), out.schema)
+    } finally { sets.unpersist(); () }
+  }
+
+  /** DuckDB twin of [[minhashRecall]] over the `documents` table:
+    * composes after [[minhashPairsSql]]'s CTE chain (which defines
+    * `sh`, `szs`, and the banded `out`); defines
+    * `rec(n_exact, n_found, recall)`. */
+  def minhashRecallSql(minJ: Double): String =
+    s"""einter AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
+       |  FROM sh sa JOIN sh sb ON sb.xh = sa.xh AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2
+       |), eout AS (
+       |  SELECT i.doc_a, i.doc_b FROM einter i
+       |  JOIN szs za ON za.doc_id = i.doc_a
+       |  JOIN szs zb ON zb.doc_id = i.doc_b
+       |  WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= $minJ
+       |), rec AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM eout) AS n_exact,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM out) AS n_found,
+       |         CASE WHEN (SELECT count(*) FROM eout) = 0 THEN 1.0
+       |              ELSE (SELECT CAST(count(*) AS DOUBLE) FROM out)
+       |                   / (SELECT count(*) FROM eout) END AS recall
+       |)""".stripMargin
+
   /** Append-only near-dup state: the four frames a production stream
     * persists (e.g. parquet dirs appended per micro-batch).
     *  - `fps`     (fp, rep): one row per distinct text fingerprint
