@@ -231,6 +231,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-8 similarity tiers: no all-pairs degeneration, corpus never SMJ-shuffles") {
+    // two-level serving: cells and probe frames broadcast by contract;
+    // incremental dedup: cluster-keyed store join; recall gauge:
+    // inverted-index candidates, never a brute cross join
+    Seq("sim_topk_two_level", "sim_semdedup_inc", "dd_minhash_recall")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      }
+    val twoLevel = plan("sim_topk_two_level")
+    assert(!twoLevel.contains("SortMergeJoin"), twoLevel)
+  }
+
   test("ev_funnel: ONE event-log scan for the whole stage chain") {
     // an N-stage funnel must not pay N passes over a 100 TB log: the
     // per-stage qualification chain evaluates over the users-sized
