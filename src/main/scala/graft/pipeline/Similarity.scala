@@ -742,12 +742,21 @@ object Similarity {
     * id asc, NaN-first) tie-breaks are exactly the flat tier's, so the
     * DuckDB twin ([[twoLevelSql]]) replays bit-identically.
     *
-    * Returns (vec_id, embedding, ccid, cid). Callers running more
-    * actions than one should use [[twoLevelAssignScoped]] and release
-    * the shared caches after the final consuming action. */
+    * Returns (vec_id, embedding, ccid, cid). This convenience form is
+    * EAGER and leak-free: it materializes the result
+    * (`localCheckpoint`), releases the build caches immediately, and
+    * the checkpoint blocks are GC-reclaimed with the returned frame.
+    * The materialized copy is corpus-sized — scale callers that want
+    * a lazy plan use [[twoLevelAssignScoped]] and release after their
+    * final consuming action. */
   def twoLevelAssign(corpus: DataFrame, coarseK: Int, fineK: Int,
-      coarseIters: Int = KmIters, fineIters: Int = 1): DataFrame =
-    twoLevelAssignScoped(corpus, coarseK, fineK, coarseIters, fineIters)._1
+      coarseIters: Int = KmIters, fineIters: Int = 1): DataFrame = {
+    val (out, release) =
+      twoLevelAssignScoped(corpus, coarseK, fineK, coarseIters, fineIters)
+    val eager = out.localCheckpoint(true)
+    release()
+    eager
+  }
 
   /** [[twoLevelAssign]] plus a release handle for the assignment-side
     * caches (the coarse-assigned corpus feeds every fine round). */
@@ -838,9 +847,16 @@ object Similarity {
     * (vec_id, cid). */
   def semDedupScalable(corpus: DataFrame, eps: Double, coarseK: Int = 4,
       fineK: Int = 4, coarseIters: Int = 2, fineIters: Int = 1,
-      capTarget: Int = 1024, levels: Int = 2): DataFrame =
-    semDedupScalableScoped(corpus, eps, coarseK, fineK, coarseIters,
-      fineIters, capTarget, levels)._1
+      capTarget: Int = 1024, levels: Int = 2): DataFrame = {
+    // Eager + leak-free, like [[twoLevelAssign]]: the survivor frame
+    // is (vec_id, cid) — tiny relative to the corpus — so the
+    // materialize-then-release trade is clearly right here.
+    val (out, release) = semDedupScalableScoped(corpus, eps, coarseK,
+      fineK, coarseIters, fineIters, capTarget, levels)
+    val eager = out.localCheckpoint(true)
+    release()
+    eager
+  }
 
   /** [[semDedupScalable]] plus a release handle for the per-level
     * survivor caches (each level's frame feeds both the next level's
@@ -1029,7 +1045,16 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("ccid"))))
       .filter(col("__r") <= probeCoarse)
       .select(col("qid"), col("qemb"), col("qqv"), col("ccid"))
-    val fprobe = cprobe.join(broadcast(ix.cells), Seq("ccid"))
+    // Same deterministic bound as the build side (assignWithQuantizer):
+    // under 64 MB of total centroid bytes the cells frame broadcasts;
+    // past it (real K ≈ 10⁶) the SMALL side is the probe batch
+    // (|Q|·probeCoarse rows), so broadcast that and let cells stay
+    // distributed — the probe is never K-wide on any single JVM.
+    val cellsJoin =
+      if (ix.coarse.size.toLong * fineK * Dim * 8 <= (64L << 20))
+        cprobe.join(broadcast(ix.cells), Seq("ccid"))
+      else broadcast(cprobe).join(ix.cells, Seq("ccid"))
+    val fprobe = cellsJoin
       .select(col("qid"), col("qemb"), col("qqv"), col("ccid"),
         explode(col("cents")).as("ce"))
       .select(col("qid"), col("qemb"), col("ccid"), col("ce.fcid").as("fcid"),
@@ -1281,12 +1306,16 @@ object Similarity {
   def semDedupAppend(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, eps: Double, capTarget: Int,
       levels: Int = 1): (Long, Long) = {
+    // Resolve "latest" ONCE: a publish landing mid-call must not split
+    // this append across two versions (dedup against v, assign with
+    // v+1's quantizer). Every read below is pinned to v0.
+    val v0 = Snapshot.latestVersion(spark, dir)
     val (kept, release) = semDedupIncrementScoped(spark, dir, batch, eps,
-      capTarget, levels)
-    val q = loadQuantizer(spark, dir)
+      capTarget, levels, v0)
+    val q = loadQuantizer(spark, dir, v0)
     val keptRows = assignWithQuantizer(q, batch)
       .join(kept.select(col("vec_id")), Seq("vec_id"))
-    val merged = Snapshot.readTable(spark, dir, "assigned")
+    val merged = Snapshot.readTable(spark, dir, "assigned", v0)
       .unionByName(keptRows)
     val n = kept.count()
     val v = Snapshot.publishTables(Seq("assigned" -> merged,

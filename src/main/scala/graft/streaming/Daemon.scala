@@ -260,18 +260,44 @@ object Daemon {
           evict
         }
       }
+    private val inflight = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[(Seq[Long], String)]]()
     /** Cached payload if present at exactly `gens`; else compute,
       * store, return. A stale entry (any store generation moved) is
-      * recomputed and replaced. */
+      * recomputed and replaced. SINGLE-FLIGHT: N concurrent identical
+      * misses (a dashboard refresh fanning out panels) run ONE compute
+      * — the first caller renders outside the lock, the rest await its
+      * future and count as hits; a waiter whose `gens` differs from
+      * what the winner produced (store mutated mid-flight) re-enters
+      * and computes at its own generation. */
     def getOrCompute(key: String, gens: Seq[Long])(compute: => String): String =
       if (cap == 0) compute
       else map.synchronized(Option(map.get(key))).filter(_._1 == gens) match {
         case Some((_, payload)) => hits.incrementAndGet(); payload
         case None =>
-          val payload = compute // outside the lock: renders may be slow
-          misses.incrementAndGet()
-          map.synchronized { map.put(key, (gens, payload)); () }
-          payload
+          val fresh =
+            new java.util.concurrent.CompletableFuture[(Seq[Long], String)]()
+          val winner = inflight.putIfAbsent(key, fresh)
+          if (winner == null) {
+            try {
+              val payload = compute // outside the lock: renders may be slow
+              misses.incrementAndGet()
+              map.synchronized { map.put(key, (gens, payload)); () }
+              fresh.complete((gens, payload))
+              payload
+            } catch {
+              case e: Throwable => fresh.completeExceptionally(e); throw e
+            } finally { inflight.remove(key, fresh); () }
+          } else {
+            val (g, payload) =
+              try winner.join()
+              catch { // surface the winner's render failure as our own
+                case e: java.util.concurrent.CompletionException =>
+                  throw Option(e.getCause).getOrElse(e)
+              }
+            if (g == gens) { hits.incrementAndGet(); payload }
+            else getOrCompute(key, gens)(compute)
+          }
       }
   }
 
@@ -739,15 +765,22 @@ object Daemon {
       val until = p.get("until").flatMap(_.headOption).getOrElse("")
       val maxDp = p.get("maxDataPoints").flatMap(_.headOption)
         .map(_.toInt).getOrElse(maxPointsDefault)
-      // cache key on the RESOLVED viewport (relative specs like -1h
-      // re-resolve per request; two refreshes only alias while they
-      // quantize to the same bounds) — resolved cheaply here so a hit
-      // skips even the archive listing/schema read
-      val nowS = now()
+      // cache key on the RESOLVED viewport — resolved cheaply here so
+      // a hit skips even the archive listing/schema read. The
+      // resolution clock is QUANTIZED to the archive's finest step:
+      // a relative spec (-1h) re-resolves per request, so an
+      // unquantized clock mints a distinct key every second and a
+      // dashboard refresh never hits. Quantizing `now` (not just the
+      // key) keeps key ≡ computation inputs: every downstream bound
+      // derives from this same clock, archive slots are step-aligned
+      // (no slot can distinguish clocks within one step), and
+      // StoreGen guards mutation — so aliased requests are
+      // bit-identical, not merely close.
+      val nowS = math.floorDiv(now(), stepSec) * stepSec
       val f = Viewport.parseTimeSec(from, nowS).getOrElse(
         throw new IllegalArgumentException("viewport: 'from' is required"))
       val u = Viewport.parseTimeSec(until, nowS).getOrElse(nowS)
-      val key = s"${targets.mkString(" ")}|$f|$u|$maxDp"
+      val key = s"${targets.mkString("\u0000")}|$f|$u|$maxDp"
       renderCache.getOrCompute(key, Ingest.StoreGen.gens(archiveDirs)) {
         val ctx = Viewport.ctx(spark, Ingest.readArchives(spark, archiveDirs),
           stepSec, from, until, nowS, maxDp)
@@ -1026,9 +1059,10 @@ object Daemon {
       queryCacheSize = sys.env.get("GRAFT_QUERY_CACHE_SIZE").map(_.toInt)
         .getOrElse(conf.map(_.queryCacheSize).getOrElse(0)))
     // pid-file (daemon/config.go:36; savePid at boot): written before
-    // the banner so supervisors can signal immediately
-    val pidFile = conf.flatMap(_.pidFile)
-      .orElse(sys.env.get("GRAFT_PID_FILE"))
+    // the banner so supervisors can signal immediately. Env wins over
+    // conf, same precedence as every other GRAFT_* override.
+    val pidFile = sys.env.get("GRAFT_PID_FILE")
+      .orElse(conf.flatMap(_.pidFile))
     pidFile.foreach { pf =>
       Files.write(java.nio.file.Paths.get(pf),
         (ProcessHandle.current().pid().toString + "\n")

@@ -167,6 +167,72 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally http.stop(0)
   }
 
+  test("render cache: relative viewport hits across a moving clock") {
+    // the reason query-cache-size exists at all (tgres.conf.sample:36)
+    // is hot dashboard traffic, and dashboards ask for RELATIVE
+    // viewports (-1h) that re-resolve per request. The resolution
+    // clock quantizes to the archive's finest step, so two refreshes
+    // landing in different SECONDS of the same step window must alias
+    // to one cache entry — and the aliased payload must still be the
+    // exact archive content, because every rendered bound derives from
+    // the same quantized clock.
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("rcache2").toString + "/slots"
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("web.req", 1000000L, 1000020L, 2.0)).toDF(),
+      dir, stepSec = 10)
+    // a MOVING clock (not frozen): ticks 3 s per call, both requests
+    // inside the step-10 window [1000090, 1000100)
+    val clock = new java.util.concurrent.atomic.AtomicLong(1000091L)
+    val http = Daemon.startHttp(s, 0, Seq(dir), stepSec = 10,
+      now = () => clock.getAndAdd(3L))
+    try {
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      def stats(): String = httpGet(s"$base/stats")._2
+      def render(): String =
+        httpGet(s"$base/render?target=web.req&from=-1h&until=now")._2
+      val first = render()  // now=1000091 → quantized 1000090
+      val second = render() // now=1000094 → same window → HIT
+      assert(first.contains("[2,1000000]") && first.contains("[2,1000010]"),
+        first)
+      assert(second === first)
+      val st = stats()
+      assert(st.contains("\"query_cache.misses\":1") &&
+        st.contains("\"query_cache.hits\":1"), st)
+      // next step window (now=1000097 → last inside; 1000100 → next):
+      // a refresh crossing the boundary is a fresh viewport, not a hit
+      clock.set(1000103L)
+      render()
+      assert(stats().contains("\"query_cache.misses\":2"), stats())
+    } finally http.stop(0)
+  }
+
+  test("render cache single-flight: concurrent identical misses compute once") {
+    // a dashboard fans out N panels with the same target at once; the
+    // cache must not stampede N archive scans before the first put
+    val cache = new Daemon.RenderCache(8)
+    val computes = new java.util.concurrent.atomic.AtomicInteger
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val gens = Seq(1L)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        val r = cache.getOrCompute("k", gens) {
+          Thread.sleep(200)
+          s"payload-${computes.incrementAndGet()}"
+        }
+        results.add(r); ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(computes.get === 1, "stampede: compute ran more than once")
+    assert(results.toArray(new Array[String](0)).toSet === Set("payload-1"))
+    assert(cache.misses.get === 1L && cache.hits.get === 7L)
+    // and a waiter that raced a store mutation recomputes at ITS gens:
+    // a second generation must not be served the gen-1 payload
+    val r2 = cache.getOrCompute("k", Seq(2L))("gen2")
+    assert(r2 === "gen2" && cache.misses.get === 2L)
+  }
+
   test("self-stats reporter emits receiver counters as graphite lines") {
     // the reference's reportStatCount/Gauge path: internal counters
     // become stored series via the normal ingest route. Flood a capped
