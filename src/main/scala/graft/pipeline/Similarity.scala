@@ -314,6 +314,17 @@ object Similarity {
   val KmK = 8
   val KmIters = 3
 
+  /** Contract bound of the FLAT k-means/SemDeDup tier. The flat tier
+    * bounces K×dim doubles through the driver every Lloyd round and
+    * scans all K centroids per corpus row ([[kmeansCentroidsSeq]],
+    * [[kmeansAssign]]) — legitimate to ~tens of thousands of clusters
+    * (64 k × 64 dims ≈ 34 MB driver state, the same order as the
+    * broadcast gates here), and quietly catastrophic at the K ≈ 10⁶ a
+    * 10⁹-vector corpus needs. Flat entries `require` K ≤ this and
+    * point at the two-level tier; [[kmeansAuto]]/[[semDedupAuto]]
+    * dispatch on it so callers need not pick a tier at all. */
+  val FlatKMax = 65536
+
   /** Nearest-centroid assignment of quantized vectors:
     * (vec_id, qv, cid, cos) — one map-side pass per vector via
     * [[graft.functions.NearestCentroidExpr]] (centroids are K×dim,
@@ -337,6 +348,11 @@ object Similarity {
     * through the driver regardless. */
   def kmeansCentroidsSeq(corpus: DataFrame, k: Int = KmK,
       iters: Int = KmIters): Seq[(Long, Seq[Double])] = {
+    require(k <= FlatKMax,
+      s"flat k-means is contract-bounded at K <= $FlatKMax (K x dim driver " +
+        "state per Lloyd round, K-wide scan per row); at larger K use the " +
+        "two-level tier (twoLevelIndex / semDedupScalable) or the " +
+        "kmeansAuto / semDedupAuto dispatchers")
     val spark = corpus.sparkSession
     import spark.implicits._
     // every Lloyd round must rescan the corpus by nature; persisting
@@ -381,6 +397,45 @@ object Similarity {
     kmeansAssign(corpus.select(col("vec_id"), qvec(emb).as("qv")),
       kmeansCentroidsSeq(corpus, k, iters))
       .select(col("vec_id"), col("cid"), col("cos"))
+
+  /** √K factorization for the two-level tier: (coarseK, fineK) with
+    * coarseK·fineK ≥ k — cluster capacity, like flat K where some of
+    * the K clusters may end up empty. */
+  private def twoLevelFactor(k: Int): (Int, Int) = {
+    val coarseK = math.ceil(math.sqrt(k.toDouble)).toInt
+    (coarseK, math.ceil(k.toDouble / coarseK).toInt)
+  }
+
+  /** K-DISPATCHED clustering entry — callers that just want "cluster
+    * into ~k groups" without picking a tier. K ≤ [[FlatKMax]] runs the
+    * flat tier (one centroid list, exact K); past it the flat
+    * contract breaks (see [[FlatKMax]]) and the corpus routes to the
+    * two-level substrate at the √k factorization, whose cid space is
+    * a CAPACITY ≥ k (empty cells allowed, exactly as flat K allows
+    * empty clusters). Returns (vec_id, cid). */
+  def kmeansAuto(corpus: DataFrame, k: Int, iters: Int = KmIters): DataFrame =
+    if (k <= FlatKMax)
+      kmeans(corpus, k, iters).select(col("vec_id"), col("cid"))
+    else {
+      val (coarseK, fineK) = twoLevelFactor(k)
+      twoLevelAssign(corpus, coarseK, fineK, coarseIters = iters,
+        fineIters = math.max(1, iters - 1))
+        .select(col("vec_id"), col("cid"))
+    }
+
+  /** K-dispatched [[semDedup]]: flat at K ≤ [[FlatKMax]], the
+    * hash-capped two-level [[semDedupScalable]] past it — so "dedup
+    * this corpus at the K its size needs" never lands on the tier
+    * whose contract its K breaks. Returns survivors (vec_id, cid). */
+  def semDedupAuto(corpus: DataFrame, eps: Double, k: Int = KmK,
+      iters: Int = KmIters, capTarget: Int = 1024,
+      levels: Int = 2): DataFrame =
+    if (k <= FlatKMax) semDedup(corpus, eps, k, iters)
+    else {
+      val (coarseK, fineK) = twoLevelFactor(k)
+      semDedupScalable(corpus, eps, coarseK, fineK, coarseIters = iters,
+        fineIters = math.max(1, iters - 1), capTarget, levels)
+    }
 
   /** Per-dimension int8 scales over a corpus: max|x|/127, unit scale
     * for all-zero dimensions. One dim-bounded aggregate (posexplode →

@@ -297,6 +297,36 @@ class IvfServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() === 80L)
   }
 
+  test("K dispatch: flat tier refuses large K, auto entries route around it") {
+    val corpus = vectors(120, 7)
+    // the flat tier's contract bound is enforced loudly, with a
+    // pointer at the scalable sibling — not a silent driver bounce
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeans(corpus, k = Similarity.FlatKMax + 1, iters = 1)
+        .count()
+    }
+    assert(e.getMessage.contains("two-level"))
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(corpus, eps = 0.999,
+        k = Similarity.FlatKMax + 1).count()
+    }
+    // the auto entries succeed at the SAME K — which proves they took
+    // the two-level route, since the flat sibling throws there
+    val clustered = Similarity.kmeansAuto(corpus,
+      k = Similarity.FlatKMax + 1, iters = 1)
+    assert(clustered.count() === 120L)
+    assert(clustered.select("vec_id").distinct().count() === 120L)
+    val kept = Similarity.semDedupAuto(corpus, eps = 1.1,
+      k = Similarity.FlatKMax + 1, iters = 1, capTarget = 16)
+    assert(kept.count() === 120L) // eps above attainable cosine: no drops
+    // and below the bound auto ≡ flat exactly (same tier, same answer)
+    val autoSmall = Similarity.kmeansAuto(corpus, k = 6, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flatSmall = Similarity.kmeans(corpus, k = 6, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(autoSmall === flatSmall)
+  }
+
   test("incremental SemDeDup: batch dedups against the published survivors") {
     val s = spark; import s.implicits._
     // store: 40 well-separated vectors, published as the survivor index
