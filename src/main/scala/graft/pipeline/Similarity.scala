@@ -1531,7 +1531,7 @@ object Similarity {
   /** (qid, n_hits, recall) from an exact and an approximate top-k
     * frame — the comparison joins two |Q|·k frames, never
     * corpus-sized. */
-  private def recallJoin(exact: DataFrame, approx: DataFrame): DataFrame =
+  private[graft] def recallJoin(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("qid"), col("vec_id"))
       .join(approx.select(col("qid"), col("vec_id"), lit(1L).as("__hit")),
         Seq("qid", "vec_id"), "left")

@@ -182,6 +182,113 @@ object SemDedupStream {
       capTarget, levels)
   }
 
+  // ------------------- drift gauge + re-bootstrap -------------------
+
+  private def readQuantizer(spark: SparkSession, stateDir: String) = {
+    val coarse = spark.read.parquet(s"$stateDir/coarse")
+      .select(col("ccid").cast("long"),
+        transform(col("ccent"), _.cast("double")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    val fineK = spark.read.parquet(s"$stateDir/meta")
+      .filter(col("key") === "fineK").collect().head.getLong(1).toInt
+    (coarse, spark.read.parquet(s"$stateDir/cells"), fineK)
+  }
+
+  /** Survivor store WITH its partition columns — what a full rewrite
+    * ([[rebootstrap]]) must preserve (bid keeps replay idempotence). */
+  private def survivorsFull(spark: SparkSession, stateDir: String): DataFrame =
+    readFrame(spark, s"$stateDir/survivors",
+      survivorParts.foldLeft(survivorSchema)(_ add _), Long.MaxValue,
+      partCols = Seq.empty)
+
+  /** Cluster-confinement recall of the FROZEN quantizer over the
+    * current survivor set — the drift gauge the batch index family
+    * has ([[graft.pipeline.Similarity.servedRecallTwoLevel]]), for the
+    * stream. Dedup confines the pair search to ONE fine cell per
+    * vector, so the gauge defaults to `probeCoarse = probeFine = 1`:
+    * "searching only a probe's assigned cell, how much of its exact
+    * top-k over the survivors is in reach?" A drifted stream packs
+    * new arrivals into cells trained on the old distribution and the
+    * gauge drops — dups start landing across cell boundaries, which
+    * is exactly the miss mode freezing the quantizer buys. Returns
+    * (qid, n_hits, recall) per probe. */
+  def streamRecall(spark: SparkSession, stateDir: String,
+      probes: DataFrame, k: Int, probeCoarse: Int = 1,
+      probeFine: Int = 1): DataFrame = {
+    val (coarse, cells, fineK) = readQuantizer(spark, stateDir)
+    val surv = survivorsFull(spark, stateDir)
+      .select(col("vec_id"), col("embedding"), col("ccid"), col("cid"))
+    val ix = Similarity.TwoLevelIndex(surv, cells, coarse, () => ())
+    Similarity.recallJoin(
+      Similarity.topKExact(surv.select(col("vec_id"), col("embedding")),
+        probes, k),
+      Similarity.probeTwoLevel(ix, probes, k, fineK, probeCoarse, probeFine))
+  }
+
+  /** Re-fit the quantizer to the CURRENT survivor set and re-assign
+    * every survivor under it — the stream's answer to drift, sibling
+    * of [[graft.pipeline.Similarity.maintainTwoLevelIndex]]'s rebuild
+    * arm. Seniority is FROZEN: survivors stay survivors (no re-dedup
+    * of the store — the accepted set is immutable history, exactly as
+    * arrival-order seniority promises); only their cell assignments
+    * move. Each survivor keeps its original `bid` partition, so a
+    * replayed batch still reads exactly the pre-`bid` state and
+    * rewrites only its own partitions — replay idempotence survives
+    * the rebuild. Run BETWEEN micro-batches (stream stopped or
+    * quiescent); a crash mid-rewrite is repaired by re-running. */
+  def rebootstrap(spark: SparkSession, stateDir: String, coarseK: Int,
+      fineK: Int, coarseIters: Int = 1, fineIters: Int = 1): Unit = {
+    import spark.implicits._
+    val surv = survivorsFull(spark, stateDir).persist()
+    try {
+      surv.count() // pin pre-rewrite content: the overwrite below
+                   // must not re-read the directory it replaces
+      val ix = Similarity.twoLevelIndex(
+        surv.select(col("vec_id"), col("embedding")), coarseK, fineK,
+        coarseIters, fineIters)
+      try {
+        val reassigned = ix.assigned
+          .select(col("vec_id"), col("embedding"), col("ccid"), col("cid"))
+          .join(surv.select(col("vec_id"), col("bid")), Seq("vec_id"))
+          .withColumn("pccid", pccidOf(col("ccid")))
+          .persist()
+        reassigned.count() // materialize before touching state dirs
+        // quantizer first, then the survivor rewrite (STATIC overwrite:
+        // the whole store re-lays-out under the new cells)
+        ix.coarse.toDF("ccid", "ccent")
+          .write.mode("overwrite").parquet(s"$stateDir/coarse")
+        ix.cells.write.mode("overwrite").parquet(s"$stateDir/cells")
+        Seq(("fineK", fineK.toLong)).toDF("key", "value")
+          .write.mode("overwrite").parquet(s"$stateDir/meta")
+        reassigned.write.mode("overwrite")
+          .partitionBy("bid", "pccid").parquet(s"$stateDir/survivors")
+        reassigned.unpersist()
+        ()
+      } finally { ix.release(); () }
+    } finally { surv.unpersist(); () }
+  }
+
+  /** The maintenance loop: gauge cluster-confinement recall on
+    * `probes`; below `minRecall`, [[rebootstrap]]. Returns (measured
+    * mean recall, true iff rebuilt) — run it between batches at a
+    * maintenance cadence, the streaming sibling of
+    * [[graft.pipeline.Similarity.maintainTwoLevelIndex]]. */
+  def maintain(spark: SparkSession, stateDir: String, probes: DataFrame,
+      k: Int, minRecall: Double, coarseK: Int, fineK: Int,
+      coarseIters: Int = 1, fineIters: Int = 1): (Double, Boolean) = {
+    require(minRecall >= 0, "minRecall must be non-negative")
+    val mean = streamRecall(spark, stateDir, probes, k)
+      .agg(avg(col("recall"))).collect().head match {
+        case r if r.isNullAt(0) => 1.0
+        case r => r.getDouble(0)
+      }
+    if (mean < minRecall) {
+      rebootstrap(spark, stateDir, coarseK, fineK, coarseIters, fineIters)
+      (mean, true)
+    } else (mean, false)
+  }
+
   /** All accepted vectors so far (vec_id, cid). */
   def kept(spark: SparkSession, keptDir: String): DataFrame =
     readFrame(spark, keptDir, StructType(Seq(

@@ -234,4 +234,89 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).sorted
     assert(kept.toSeq === Seq(901L))
   }
+
+  test("drift loop: gauge drops on drift, rebootstrap restores confinement") {
+    // the stream's quantizer is frozen at bootstrap; this closes its
+    // drift loop (the sibling of Similarity.maintainTwoLevelIndex).
+    // Engineered drift: the seed corpus lives along e0/e16; the stream
+    // then delivers near-identical PAIRS in a region the quantizer
+    // never saw (huge e50 + a per-pair marker), each member tilted
+    // toward a different frozen cell — so pairs straddle cells, the
+    // dedup misses them, and confinement recall collapses. Re-fitting
+    // the quantizer to the current survivors pulls the whole drifted
+    // region into one cell (the 10:5 tilt imbalance breaks the Lloyd
+    // tie) and the gauge returns to 1 — with every pre-rebuild
+    // survivor still senior.
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("semdrift").toString
+    val stateDir = s"$dir/state"; val keptDir = s"$dir/kept"
+    def unit(entries: (Int, Double)*): List[Float] = {
+      val a = Array.fill(Similarity.Dim)(0.0f)
+      entries.foreach { case (i, v) => a(i) = v.toFloat }
+      a.toList
+    }
+    // two orthogonal seed groups; ids interleaved so the coarse seeds
+    // (vec_id 0, 1) land one per group
+    val seed = ((0 until 15).map(i => (2L * i, unit(0 -> 10.0, (1 + i) -> 1.0))) ++
+      (0 until 15).map(i => (2L * i + 1, unit(16 -> 10.0, (17 + i) -> 1.0))))
+      .toDF("vec_id", "embedding")
+    SemDedupStream.bootstrap(spark, seed, stateDir, eps = 0.997,
+      coarseK = 2, fineK = 1, coarseIters = 1, fineIters = 1)
+    assert(SemDedupStream.survivors(spark, stateDir).count() === 30L)
+    // drifted batch: 10 pairs at cos ≈ 0.99998 (>= eps). Pairs 0-4
+    // straddle the frozen cells (members tilt e0 vs e16); pairs 5-9
+    // are same-cell (identical members)
+    val b0 = (0 until 10).flatMap { p =>
+      val mk = 32 + p
+      Seq((100L + 2 * p, unit(50 -> 100.0, mk -> 50.0, 0 -> 0.5)),
+        (101L + 2 * p,
+          unit(50 -> 100.0, mk -> 50.0, (if (p < 5) 16 else 0) -> 0.5)))
+    }.toDF("vec_id", "embedding")
+    SemDedupStream.processBatch(spark, b0, 0L, stateDir, keptDir,
+      eps = 0.997, capTarget = 32, levels = 1)
+    val kept0 = SemDedupStream.kept(spark, keptDir)
+      .collect().map(_.getLong(0)).toSet
+    // the miss mode drift buys: straddling pairs BOTH survive;
+    // same-cell pairs collapse normally
+    val straddlers = (0 until 5).flatMap(p => Seq(100L + 2 * p, 101L + 2 * p))
+    assert(kept0 === straddlers.toSet ++ (5 until 10).map(p => 100L + 2 * p))
+    // gauge below threshold -> maintain refits the quantizer
+    val probes = b0.filter(col("vec_id")
+      .isin(kept0.toSeq.map(Long.box): _*))
+    val (r0, rebuilt0) = SemDedupStream.maintain(spark, stateDir, probes,
+      k = 1, minRecall = 0.9, coarseK = 2, fineK = 2,
+      coarseIters = 2, fineIters = 1)
+    assert(r0 < 0.5, s"drifted gauge should collapse, got $r0")
+    assert(rebuilt0)
+    // seniority frozen: every survivor is still a survivor
+    assert(SemDedupStream.survivors(spark, stateDir).count() === 45L)
+    val survIds = SemDedupStream.survivors(spark, stateDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept0.subsetOf(survIds))
+    // post-rebuild the drifted region shares a cell: gauge back to 1,
+    // and a second maintain leaves the quantizer alone
+    val (r1, rebuilt1) = SemDedupStream.maintain(spark, stateDir, probes,
+      k = 1, minRecall = 0.9, coarseK = 2, fineK = 2,
+      coarseIters = 2, fineIters = 1)
+    assert(r1 === 1.0, s"rebuilt gauge should recover, got $r1")
+    assert(!rebuilt1)
+    // planted dups ACROSS the rebuild: scaled copies of pre-rebuild
+    // survivors (one drifted, one seed-era) still collapse against
+    // the store; a genuinely new vector lives
+    val b1 = Seq(
+      (200L, unit(50 -> 150.0, 32 -> 75.0, 0 -> 0.75)), // 1.5x of vec 100
+      (201L, unit(0 -> 20.0, 1 -> 2.0)),                // 2x of vec 0
+      (202L, unit(60 -> 10.0)))
+      .toDF("vec_id", "embedding")
+    SemDedupStream.processBatch(spark, b1, 1L, stateDir, keptDir,
+      eps = 0.997, capTarget = 32, levels = 1)
+    val keptAll = SemDedupStream.kept(spark, keptDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptAll === kept0 + 202L)
+    // replay of the post-rebuild batch is a no-op
+    SemDedupStream.processBatch(spark, b1, 1L, stateDir, keptDir,
+      eps = 0.997, capTarget = 32, levels = 1)
+    assert(SemDedupStream.kept(spark, keptDir).count() === 16L)
+    assert(SemDedupStream.survivors(spark, stateDir).count() === 46L)
+  }
 }
