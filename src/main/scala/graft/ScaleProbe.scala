@@ -53,6 +53,15 @@ object ScaleProbe {
     val nKeys = sys.env.getOrElse("SPARK_GRAFT_PROBE_KEYS", "10000000").toLong
     val keys = spark.range(nKeys).select(col("id").as("doc_id"))
 
+    // published two-level index (nVecs vectors, K = 128·64 = 8192)
+    // shared by the increment and serve stages below; the build is
+    // deployment-cadence setup (nightly), not part of either timed
+    // window — the build itself is timed as two_level_kmeans_1m_k8192
+    val semDir = java.nio.file.Files
+      .createTempDirectory("sem-pub-probe").toString
+    pipeline.Similarity.publishTwoLevelIndex(vecs, semDir,
+      coarseK = 128, fineK = 64, coarseIters = 1, fineIters = 1)
+
     val results = Seq(
       time("gen_scan")(pts.count()),
       time("consolidate_1m") {
@@ -329,7 +338,6 @@ object ScaleProbe {
         // joins), never a corpus rescan — its wall time is the proof
         // (compare semdedup_skew_1m's full pass above). Batch = 50k
         // copies of stored vectors (must die) + 50k fresh (must live).
-        val store = vecs // 1M vectors, published quantizer K=8192
         val batch = spark.range(1000000, 1100000).select(
           col("id").as("vec_id"),
           when(col("id") % 2 === 0,
@@ -339,13 +347,9 @@ object ScaleProbe {
           .otherwise(transform(sequence(lit(0), lit(63)), j =>
             (pmod(xxhash64(col("id"), j, lit(99)), lit(2001)) - 1000)
               .cast("double") / 1000.0)).as("embedding"))
-        // the 1M index build happens ONCE, outside the timed window —
+        // the 1M index build happened ONCE (shared semDir above) —
         // the stage times the published-path increment alone, which is
         // the deployment cadence (build nightly, increment per drop)
-        val semDir = java.nio.file.Files
-          .createTempDirectory("sem-inc-probe").toString
-        pipeline.Similarity.publishTwoLevelIndex(store, semDir,
-          coarseK = 128, fineK = 64, coarseIters = 1, fineIters = 1)
         val r = time("semdedup_increment_100k_vs_1m") {
           val (kept, release) = pipeline.Similarity.semDedupIncrementScoped(
             spark, semDir, batch, eps = 0.999, capTarget = 256, levels = 1)
@@ -357,6 +361,38 @@ object ScaleProbe {
           require(survivors >= 45000,
             s"fresh batch rows over-deduped: $survivors")
           survivors
+        }
+        r
+      },
+      {
+        // TWO-LEVEL SERVING at the design point (1M vectors, K=8192,
+        // published index): a query descends √K coarse → probed cells
+        // only, never the K-wide centroid set. In-stage census: with k
+        // unbounded the probe's ranked output IS its candidate set,
+        // which must stay within the sum of the probeFine largest
+        // fine-cell populations — and sublinear in the corpus (the
+        // flat tier's probe-everything would scan all of it). The
+        // serve wall-clock is compared against the build stage after
+        // the run (serving must amortize the build).
+        val queries = vecs.filter(col("vec_id") < 50)
+        val pc = 8; val pf = 16
+        val topCellMass = pipeline.Snapshot
+          .readTable(spark, semDir, "assigned")
+          .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc).limit(pf)
+          .agg(sum(col("n"))).collect().head.getLong(0)
+        val maxCand = pipeline.Similarity.topKIvfTwoLevelServe(spark,
+            semDir, queries, k = Int.MaxValue, probeCoarse = pc,
+            probeFine = pf)
+          .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect().head.getLong(0)
+        require(maxCand <= topCellMass,
+          s"candidate set $maxCand exceeds the probed-cell bound $topCellMass")
+        require(maxCand <= nVecs / 10,
+          s"candidate set $maxCand not sublinear in the $nVecs corpus")
+        val r = time("two_level_serve_1m_k8192") {
+          pipeline.Similarity.topKIvfTwoLevelServe(spark, semDir,
+            queries, 10, probeCoarse = pc, probeFine = pf).count()
         }
         org.apache.commons.io.FileUtils.deleteDirectory(
           new java.io.File(semDir))
@@ -487,76 +523,260 @@ object ScaleProbe {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
         r
       },
-      {
-        // LIVE-DAEMON SOAK: the full receiver + RRA chain under a
-        // sustained blaster load, then the archive oracle-checked
-        // against batch re-consolidation of the EXACT lines sent.
-        // In-stage asserts: zero drops below the queue cap, base store
-        // ≡ batch at 10s, 60s RRA store ≡ batch at 60s. `rows` = lines
-        // sent; sec ≈ soak + drain, so points/s = rows / soak-seconds.
-        val soakRate = sys.env.getOrElse("SPARK_GRAFT_SOAK_RATE", "10000").toInt
-        val soakSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_SEC", "60").toInt
-        val soakDir = java.nio.file.Files.createTempDirectory("soak").toString
-        val gw = new graft.streaming.Daemon.LineGateway(0, 0, capacity = 1 << 22)
-        val pkGw = new graft.streaming.Daemon.LineGateway(0, 0, framed = true)
-        val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-        val blaster = new Blaster.LiveBlaster(
-          line => { captured.add(line); gw.offer(line) })
-        val q = graft.streaming.Daemon.startReceiver(spark, gw.boundFeedPort,
-          pkGw.boundFeedPort, s"$soakDir/points", stepSec = 10,
-          heartbeatSec = 300, checkpointDir = s"$soakDir/ckpt",
-          rras = Seq(graft.streaming.Daemon.Rra(60, 864000L)),
-          maxQueue = 1 << 22)
-        val r = time("daemon_soak_rra") {
-          blaster.setNSeries(2000)
-          blaster.setRate(soakRate)
-          Thread.sleep(soakSec * 1000L)
-          blaster.setRate(0)
-          blaster.close()
-          val sent = captured.size.toLong
-          // drain: three consecutive empty micro-batches
-          var zeros = 0
-          val deadline = System.currentTimeMillis() + 180000L
-          while (zeros < 3 && System.currentTimeMillis() < deadline) {
-            Thread.sleep(1000L)
-            Option(q.lastProgress).foreach(p =>
-              zeros = if (p.numInputRows == 0) zeros + 1 else 0)
-          }
-          q.stop()
-          require(graft.sources.GatewayStats.dropped(
-            s"127.0.0.1:${gw.boundFeedPort}") == 0L,
-            "soak dropped lines below the cap")
-          import spark.implicits._
-          val lines = captured.toArray(new Array[String](0)).toSeq.toDF("line")
-          val pts = graft.streaming.Ingest.parseGraphite(lines, nowSec = lit(0L))
-            .select(col("name"), col("tsSec").as("ts"), col("value")).persist()
-          def diverged(dir: String, step: Long): Long = {
-            val expected = Consolidate.consolidate(pts, step, "wmean", 0.0, 300)
-              .withColumnRenamed("value", "exp")
-            expected.join(
-                graft.streaming.Ingest.readArchive(spark, dir),
-                Seq("name", "t"), "left")
-              .filter(col("value").isNull ||
-                abs(col("value") - col("exp")) > 1e-9)
-              .count()
-          }
-          val badBase = diverged(s"$soakDir/points", 10L)
-          require(badBase == 0, s"base archive diverged on $badBase slots")
-          val badRra = diverged(s"$soakDir/points-rra-60s", 60L)
-          require(badRra == 0, s"60s RRA store diverged on $badRra slots")
-          pts.unpersist()
-          sent
-        }
-        Seq(gw, pkGw).foreach(g => scala.util.Try(g.close()))
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(soakDir))
-        r
-      })
+      )
 
-    val json = results.map { case (l, sec, n) =>
+    // ---- LIVE-DAEMON SOAK: all four ingest surfaces + query load ----
+    // Graphite (blaster), pickle frames and pixel data points union
+    // through the ONE receiver into the base + 60s-RRA stores; statsd
+    // runs its own lifecycle/store; concurrent /render +
+    // /metrics/find clients hammer the HTTP surface while StoreGen
+    // churns under them. In-stage asserts:
+    //  - zero drops below the queue cap;
+    //  - base and RRA stores ≡ batch re-consolidation of the UNION of
+    //    the exact lines sent on the three point protocols (zero
+    //    diverging slots);
+    //  - statsd counter MASS conserved per series (Σ vw ≡ Σ deltas
+    //    sent — window assignment is processing-time by statsd
+    //    semantics, so slots are not batch-replayable but mass is
+    //    exact);
+    //  - the query load is STALE-FREE: any two 200 payloads of the
+    //    same fixed-key request whose surrounding store-generation
+    //    reads agree must be byte-identical (StoreLock makes computes
+    //    swap-atomic, StoreGen makes cache entries generation-exact),
+    //    and the final served payload equals a fresh render.
+    var soakLoadJson = """{}"""
+    val soakRows: Seq[(String, Double, Long)] = {
+      import graft.streaming.{Daemon, Ingest, Pickle, Pixel}
+      val soakRate = sys.env.getOrElse("SPARK_GRAFT_SOAK_RATE", "10000").toInt
+      val soakSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_SEC", "60").toInt
+      val soakDir = java.nio.file.Files.createTempDirectory("soak").toString
+      val ptsDir = s"$soakDir/points"
+      val gw = new Daemon.LineGateway(0, 0, capacity = 1 << 22)
+      val pkGw = new Daemon.LineGateway(0, 0, framed = true)
+      val pxGw = new Daemon.LineGateway(0, 0)
+      val sdGw = new Daemon.LineGateway(0, 0)
+      val capG = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val capPk = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val capPx = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val sdSent = new java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.atomic.DoubleAdder]()
+      val blaster = new Blaster.LiveBlaster(
+        line => { capG.add(line); gw.offer(line) })
+      val q = Daemon.startReceiver(spark, gw.boundFeedPort,
+        pkGw.boundFeedPort, ptsDir, stepSec = 10,
+        heartbeatSec = 300, checkpointDir = s"$soakDir/ckpt",
+        rras = Seq(Daemon.Rra(60, 864000L)),
+        pixelDpFeedPort = Some(pxGw.boundFeedPort),
+        maxQueue = 1 << 22)
+      val qSd = Daemon.startStatsdIngest(spark, sdGw.boundFeedPort,
+        s"$soakDir/statsd", flushSec = 10,
+        checkpointDir = s"$soakDir/ckpt-sd")
+      val http = Daemon.startHttp(spark, 0, Seq(ptsDir), stepSec = 10,
+        queryCacheSize = 512)
+      // ---- side-surface generators: one line set per wall second ----
+      @volatile var genRunning = true
+      val genThread = new Thread(() => {
+        var last = 0L
+        while (genRunning) {
+          val now = System.currentTimeMillis() / 1000L
+          if (now > last) {
+            last = now
+            val pkPts = (0 until 100).map(n =>
+              Pickle.Point(s"pk.series_$n", now, ((now + n) % 600).toDouble))
+            val b64 = java.util.Base64.getEncoder
+              .encodeToString(Pickle.encodeFrame(pkPts))
+            capPk.add(b64); pkGw.offer(b64)
+            (0 until 50).foreach { n =>
+              val line = s"/pixel?px.s$n=${(n + now % 60).toDouble}@$now"
+              capPx.add(line); pxGw.offer(line)
+            }
+            (0 until 20).foreach { n =>
+              sdGw.offer(s"soakc.$n:2.5|c")
+              sdSent.computeIfAbsent(s"stats.soakc.$n",
+                _ => new java.util.concurrent.atomic.DoubleAdder).add(2.5)
+            }
+          }
+          Thread.sleep(100L)
+        }
+      }, "soak-side-gens")
+      genThread.setDaemon(true)
+      // ---- query-load clients over the churning store ----
+      def httpGet(url: String): (Int, String) = {
+        val c = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        c.setConnectTimeout(10000); c.setReadTimeout(120000)
+        val code = c.getResponseCode
+        val is = if (code == 200) c.getInputStream else c.getErrorStream
+        val body = if (is == null) ""
+          else new String(is.readAllBytes(), "UTF-8")
+        c.disconnect(); (code, body)
+      }
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      val t0 = System.currentTimeMillis() / 1000L
+      val absFrom = t0 - 10; val absUntil = t0 + soakSec + 120
+      val absUrl = s"$base/render?target=px.s1&from=$absFrom&until=$absUntil"
+      val relUrl = s"$base/render?target=pk.series_3&from=-1h&until=now"
+      val findUrl = s"$base/metrics/find?query=*"
+      final case class Sample(kind: String, gens: Seq[Long], code: Int,
+        body: String)
+      val samples = new java.util.concurrent.ConcurrentLinkedQueue[Sample]()
+      val errors = new java.util.concurrent.atomic.AtomicLong()
+      @volatile var clientsRunning = true
+      val clients = (0 until 3).map { ci =>
+        val t = new Thread(() => {
+          val urls = Seq("abs" -> absUrl, "rel" -> relUrl, "find" -> findUrl)
+          var j = ci
+          while (clientsRunning) {
+            val (kind, u) = urls(j % 3); j += 1
+            val g1 = Ingest.StoreGen.gens(Seq(ptsDir))
+            val (code, body) =
+              try httpGet(u)
+              catch { case _: Exception => (-1, "") }
+            val g2 = Ingest.StoreGen.gens(Seq(ptsDir))
+            if (code != 200) errors.incrementAndGet()
+            // only generation-stable samples are attributable to one
+            // store state; the rest are discarded, not judged
+            else if (g1 == g2) samples.add(Sample(kind, g1, code, body))
+            Thread.sleep(50L)
+          }
+        }, s"soak-client-$ci")
+        t.setDaemon(true); t
+      }
+      val rowMain = time("daemon_soak_rra") {
+        blaster.setNSeries(2000)
+        blaster.setRate(soakRate)
+        genThread.start()
+        clients.foreach(_.start())
+        Thread.sleep(soakSec * 1000L)
+        clientsRunning = false
+        genRunning = false
+        blaster.setRate(0)
+        blaster.close()
+        val sent = capG.size.toLong
+        // drain BOTH lifecycles: three consecutive empty micro-batches
+        var zeros = 0; var zerosSd = 0
+        val deadline = System.currentTimeMillis() + 180000L
+        while ((zeros < 3 || zerosSd < 3) &&
+            System.currentTimeMillis() < deadline) {
+          Thread.sleep(1000L)
+          Option(q.lastProgress).foreach(p =>
+            zeros = if (p.numInputRows == 0) zeros + 1 else 0)
+          Option(qSd.lastProgress).foreach(p =>
+            zerosSd = if (p.numInputRows == 0) zerosSd + 1 else 0)
+        }
+        q.stop(); qSd.stop()
+        Seq(gw, pkGw, pxGw, sdGw).foreach(g =>
+          require(graft.sources.GatewayStats.dropped(
+            s"127.0.0.1:${g.boundFeedPort}") == 0L,
+            "soak dropped lines below the cap"))
+        sent
+      }
+      // ---- cross-gateway union oracle ----
+      val rowUnion = time("soak_cross_gateway_union") {
+        import spark.implicits._
+        val gPts = Ingest.parseGraphite(
+            capG.toArray(new Array[String](0)).toSeq.toDF("line"),
+            nowSec = lit(0L))
+          .select(col("name"), col("tsSec").as("ts"), col("value"))
+        val pkPts = capPk.toArray(new Array[String](0)).toSeq.toDF("b64")
+          .as[String]
+          .flatMap(b64 => Pickle.decodeFrames(
+            java.util.Base64.getDecoder.decode(b64)))
+          .map(p => (p.name, p.tsSec, p.value))
+          .toDF("name", "ts", "value")
+        val pxPts = Pixel.parseRequests(
+            capPx.toArray(new Array[String](0)).toSeq.toDF("url"),
+            nowSec = lit(0L))
+          .filter(col("kind") === "dp")
+          .select(col("name"), col("tsSec").cast("long").as("ts"),
+            col("value"))
+        val pts = gPts.unionByName(pkPts).unionByName(pxPts).persist()
+        val total = pts.count() // lines across the three point surfaces
+        def diverged(dir: String, step: Long): Long = {
+          val expected = Consolidate.consolidate(pts, step, "wmean", 0.0, 300)
+            .withColumnRenamed("value", "exp")
+          expected.join(Ingest.readArchive(spark, dir),
+              Seq("name", "t"), "left")
+            .filter(col("value").isNull ||
+              abs(col("value") - col("exp")) > 1e-9)
+            .count()
+        }
+        val badBase = diverged(ptsDir, 10L)
+        require(badBase == 0, s"base archive diverged on $badBase slots")
+        val badRra = diverged(s"$ptsDir-rra-60s", 60L)
+        require(badRra == 0, s"60s RRA store diverged on $badRra slots")
+        pts.unpersist()
+        // statsd: mass conservation per series, exact modulo fp-sum order
+        val mass = spark.read.parquet(s"$soakDir/statsd")
+          .groupBy(col("name")).agg(sum(col("vw")).as("m"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        sdSent.forEach { (name, adder) =>
+          val sentMass = adder.sum()
+          val stored = mass.getOrElse(name,
+            sys.error(s"statsd series $name missing from its store"))
+          require(math.abs(stored - sentMass) <= 1e-6 * math.max(1.0, sentMass),
+            s"statsd mass diverged for $name: stored $stored, sent $sentMass")
+        }
+        total + sdSent.values().stream().mapToLong(a =>
+          (a.sum() / 2.5).toLong).sum()
+      }
+      // ---- query-load verdict: hit/miss split + zero stale ----
+      val rowLoad = time("soak_render_find_load") {
+        val all = samples.toArray(new Array[Sample](0)).toSeq
+        require(all.nonEmpty, "query load produced no generation-stable 200s")
+        // fixed-key kinds only (the relative viewport's key legitimately
+        // moves with the quantized clock): same (kind, gens) ⇒ same body
+        val staleGroups = all.filter(s => s.kind == "abs" || s.kind == "find")
+          .groupBy(s => (s.kind, s.gens))
+          .count { case (_, g) => g.map(_.body).distinct.size > 1 }
+        require(staleGroups == 0, s"$staleGroups stale (kind, gens) groups")
+        // the final served payload must equal a fresh locked render
+        val finalServed = httpGet(absUrl)
+        require(finalServed._1 == 200, s"final render: ${finalServed._1}")
+        val fresh = Ingest.StoreLock.read(Seq(ptsDir)) {
+          graft.Render.renderTargets(
+            graft.dsl.Viewport.ctx(spark,
+              Ingest.readArchives(spark, Seq(ptsDir)), 10,
+              absFrom.toString, absUntil.toString, nowSec = 0L,
+              maxPoints = 512), Seq("px.s1"))
+        }
+        require(finalServed._2 == fresh,
+          "final served payload diverges from a fresh render")
+        val stats = httpGet(s"$base/stats")._2
+        def stat(k: String): Long =
+          s""""$k":(\\d+)""".r.findFirstMatchIn(stats)
+            .map(_.group(1).toLong).getOrElse(-1L)
+        val (qcH, qcM) = (stat("query_cache.hits"), stat("query_cache.misses"))
+        val (fcH, fcM) = (stat("find_cache.hits"), stat("find_cache.misses"))
+        require(qcH > 0, "query cache never hit under load")
+        require(qcM >= 2, "store churn never invalidated the render cache")
+        require(fcH > 0 && fcM >= 2, s"find cache: hits=$fcH misses=$fcM")
+        soakLoadJson = s"""{"requests":${all.size + errors.get()},""" +
+          s""""ok":${all.size},"errors":${errors.get()},""" +
+          s""""query_cache":{"hits":$qcH,"misses":$qcM},""" +
+          s""""find_cache":{"hits":$fcH,"misses":$fcM},"stale":0}"""
+        all.size.toLong
+      }
+      http.stop(0)
+      Seq(gw, pkGw, pxGw, sdGw).foreach(g => scala.util.Try(g.close()))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(soakDir))
+      Seq(rowMain, rowUnion, rowLoad)
+    }
+
+    // serving a published two-level index must amortize the build: the
+    // serve stage (probe only) at or under the fused build stage
+    val secOf = results.map(r => r._1 -> r._2).toMap
+    require(secOf("two_level_serve_1m_k8192") <=
+        secOf("two_level_kmeans_1m_k8192"),
+      s"serve ${secOf("two_level_serve_1m_k8192")}s exceeds the fused " +
+        s"build ${secOf("two_level_kmeans_1m_k8192")}s")
+
+    val json = (results ++ soakRows).map { case (l, sec, n) =>
       s""""$l":{"sec":$sec,"rows":$n}"""
     }.mkString("{", ",", "}")
-    println(s"""{"probe_rows":$rows,"series":$nSeries,"stages":$json}""")
+    println(s"""{"probe_rows":$rows,"series":$nSeries,""" +
+      s""""soak_load":$soakLoadJson,"stages":$json}""")
     spark.stop()
   }
 }

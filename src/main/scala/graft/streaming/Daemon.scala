@@ -323,9 +323,14 @@ object Daemon {
           hits.incrementAndGet(); df
         case prev =>
           prev.foreach(_._2.unpersist())
-          val df = Ingest.readArchives(spark, archiveDirs)
-            .select("name").distinct().persist()
-          df.count() // materialize: route hits must read cache, not plan
+          // rebuild under the stores' read lock — same mid-swap
+          // isolation rationale as the render compute
+          val df = Ingest.StoreLock.read(archiveDirs) {
+            val d = Ingest.readArchives(spark, archiveDirs)
+              .select("name").distinct().persist()
+            d.count() // materialize: route hits must read cache, not plan
+            d
+          }
           cached = Some((gens, df))
           misses.incrementAndGet()
           df
@@ -782,9 +787,18 @@ object Daemon {
       val u = Viewport.parseTimeSec(until, nowS).getOrElse(nowS)
       val key = s"${targets.mkString("\u0000")}|$f|$u|$maxDp"
       renderCache.getOrCompute(key, Ingest.StoreGen.gens(archiveDirs)) {
-        val ctx = Viewport.ctx(spark, Ingest.readArchives(spark, archiveDirs),
-          stepSec, from, until, nowS, maxDp)
-        Render.renderTargets(ctx, targets)
+        // compute under the stores' READ lock ([[Ingest.StoreLock]]):
+        // a concurrent merge's dynamic overwrite can never hand this
+        // scan a mid-swap directory. If a merge slipped between the
+        // gens read above and this lock, the entry is stamped with a
+        // pre-bump vector no future request can observe (gens are
+        // monotone), so it is dead weight, never a stale serve.
+        Ingest.StoreLock.read(archiveDirs) {
+          val ctx = Viewport.ctx(spark,
+            Ingest.readArchives(spark, archiveDirs),
+            stepSec, from, until, nowS, maxDp)
+          Render.renderTargets(ctx, targets)
+        }
       }
     })
 

@@ -293,6 +293,36 @@ object Ingest {
     def gens(dirs: Seq[String]): Seq[Long] = dirs.map(gen)
   }
 
+  /** Per-store read/write lock — the serve/merge isolation the
+    * reference gets from its per-DS RWMutex (`rrd/ds.go`). A dynamic
+    * partition overwrite is NOT snapshot-isolated for concurrent
+    * readers: a render scanning the directory mid-swap reads torn
+    * state (or hits vanished files). Mutators ([[mergePiecesIntoArchive]],
+    * [[enforceRetention]]) hold their store's write lock across the
+    * rewrite AND the [[StoreGen]] bump; query-side computes
+    * ([[Daemon]] render + catalog rebuild) hold read locks — shared
+    * among themselves, excluded from swaps. FAIR locks so a merge
+    * cannot starve behind a continuous render stream. Lock ordering:
+    * multi-dir readers acquire in sorted order; writers are
+    * single-dir — no cycles. Daemon-scope (single JVM) by the same
+    * contract as [[StoreGen]]. */
+  object StoreLock {
+    private val locks = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.locks.ReentrantReadWriteLock]
+    private def of(dir: String) = locks.computeIfAbsent(dir,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock(true))
+    def read[T](dirs: Seq[String])(f: => T): T = {
+      val ls = dirs.distinct.sorted.map(of)
+      ls.foreach(_.readLock().lock())
+      try f finally ls.reverse.foreach(_.readLock().unlock())
+    }
+    def write[T](dir: String)(f: => T): T = {
+      val l = of(dir).writeLock()
+      l.lock()
+      try f finally l.unlock()
+    }
+  }
+
   def mergePiecesIntoArchive(spark: SparkSession, pieces: DataFrame,
       archiveDir: String, stepSec: Long, partitionSlots: Long = 8640,
       writer: Option[(String, Long)] = None): Unit = {
@@ -312,52 +342,60 @@ object Ingest {
         .collect().map(_.getLong(0))
       if (touched.isEmpty) return
       val bidTag = writer.map { case (tok, b) => s"$tok/$b" }.getOrElse("")
-      // explicit first-write probe: a transient read error must FAIL the
-      // batch, not silently discard the touched partitions' history (a
-      // swallowed read + dynamic overwrite would rewrite them from the
-      // batch alone)
-      val archivePath = new org.apache.hadoop.fs.Path(archiveDir)
-      val fs = archivePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val existingAll =
-        if (!fs.exists(archivePath))
-          spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("t"),
-            lit(0.0).as("vw"), lit(0.0).as("dur"), lit(0L).as("pt"),
-            lit("").as("bid")).limit(0)
-        else {
-          val raw = spark.read.parquet(archiveDir)
-            .filter(col("pt").isin(touched.map(Long.box).toIndexedSeq: _*))
-          // stores written before the stamp existed read as never-stamped
-          val withBid = if (raw.columns.contains("bid")) raw
-            else raw.withColumn("bid", lit(""))
-          withBid.select(col("name"), col("t"), col("vw"), col("dur"),
-            col("pt"), col("bid"))
+      // the swap (read-existing → dynamic overwrite → generation bump)
+      // runs under the store's WRITE lock: concurrent query-side reads
+      // ([[StoreLock]]) never see a mid-swap directory
+      StoreLock.write(archiveDir) {
+        // explicit first-write probe: a transient read error must FAIL
+        // the batch, not silently discard the touched partitions'
+        // history (a swallowed read + dynamic overwrite would rewrite
+        // them from the batch alone)
+        val archivePath = new org.apache.hadoop.fs.Path(archiveDir)
+        val fs = archivePath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val existingAll =
+          if (!fs.exists(archivePath))
+            spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("t"),
+              lit(0.0).as("vw"), lit(0.0).as("dur"), lit(0L).as("pt"),
+              lit("").as("bid")).limit(0)
+          else {
+            val raw = spark.read.parquet(archiveDir)
+              .filter(col("pt").isin(touched.map(Long.box).toIndexedSeq: _*))
+            // stores written before the stamp existed read as never-stamped
+            val withBid = if (raw.columns.contains("bid")) raw
+              else raw.withColumn("bid", lit(""))
+            withBid.select(col("name"), col("t"), col("vw"), col("dur"),
+              col("pt"), col("bid"))
+          }
+        // partitions this (token, batch) already rewrote in a previous
+        // attempt: complete and correct — leave them untouched
+        val donePts: Set[Long] =
+          if (writer.isEmpty) Set.empty
+          else existingAll.filter(col("bid") === bidTag)
+            // hive partition discovery may infer pt as int — normalize
+            .select(col("pt").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+        val redo = touched.filterNot(donePts.contains)
+        if (redo.nonEmpty) {
+          val redoBoxed = redo.map(Long.box).toIndexedSeq
+          val existing = existingAll
+            .filter(col("pt").isin(redoBoxed: _*))
+            .select(col("name"), col("t"), col("vw"), col("dur"))
+          val merged = existing
+            .unionByName(newPartials.filter(col("pt").isin(redoBoxed: _*))
+              .select(col("name"), col("t"), col("vw"), col("dur")))
+            .groupBy(col("name"), col("t"))
+            .agg(sum(col("vw")).as("vw"), sum(col("dur")).as("dur"))
+            .withColumn("bid", lit(bidTag))
+            .withColumn("pt",
+              floor(col("t").cast("double") / partSec).cast("long"))
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pt")
+            .parquet(archiveDir)
+          StoreGen.bump(archiveDir)
         }
-      // partitions this (token, batch) already rewrote in a previous
-      // attempt: complete and correct — leave them untouched
-      val donePts: Set[Long] =
-        if (writer.isEmpty) Set.empty
-        else existingAll.filter(col("bid") === bidTag)
-          // hive partition discovery may infer pt as int — normalize
-          .select(col("pt").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSet
-      val redo = touched.filterNot(donePts.contains)
-      if (redo.isEmpty) return
-      val redoBoxed = redo.map(Long.box).toIndexedSeq
-      val existing = existingAll
-        .filter(col("pt").isin(redoBoxed: _*))
-        .select(col("name"), col("t"), col("vw"), col("dur"))
-      val merged = existing
-        .unionByName(newPartials.filter(col("pt").isin(redoBoxed: _*))
-          .select(col("name"), col("t"), col("vw"), col("dur")))
-        .groupBy(col("name"), col("t"))
-        .agg(sum(col("vw")).as("vw"), sum(col("dur")).as("dur"))
-        .withColumn("bid", lit(bidTag))
-        .withColumn("pt", floor(col("t").cast("double") / partSec).cast("long"))
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("pt")
-        .parquet(archiveDir)
-      StoreGen.bump(archiveDir)
+      }
     } finally { newPartials.unpersist(); () }
   }
 
@@ -380,18 +418,21 @@ object Ingest {
     val archivePath = new org.apache.hadoop.fs.Path(archiveDir)
     val fs = archivePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(archivePath)) return Seq.empty
-    val dropped = fs.listStatus(archivePath).toSeq
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        val name = st.getPath.getName
-        if (!name.startsWith("pt=")) None
-        else scala.util.Try(name.stripPrefix("pt=").toLong).toOption
-          // pt holds slots [pt·partSec, (pt+1)·partSec) — drop only if
-          // the WHOLE range is past the horizon
-          .filter(_ < horizonPt)
-          .map { pt => fs.delete(st.getPath, true); pt }
-      }
-    if (dropped.nonEmpty) StoreGen.bump(archiveDir)
+    val dropped = StoreLock.write(archiveDir) {
+      val d = fs.listStatus(archivePath).toSeq
+        .filter(_.isDirectory)
+        .flatMap { st =>
+          val name = st.getPath.getName
+          if (!name.startsWith("pt=")) None
+          else scala.util.Try(name.stripPrefix("pt=").toLong).toOption
+            // pt holds slots [pt·partSec, (pt+1)·partSec) — drop only if
+            // the WHOLE range is past the horizon
+            .filter(_ < horizonPt)
+            .map { pt => fs.delete(st.getPath, true); pt }
+        }
+      if (d.nonEmpty) StoreGen.bump(archiveDir)
+      d
+    }
     dropped.sorted
   }
 
