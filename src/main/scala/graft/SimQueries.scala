@@ -316,6 +316,37 @@ object SimQueries {
            |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cid
            |FROM sdikeep ORDER BY vec_id""".stripMargin)),
 
+    // the K-dispatched entry at a K past the flat tier's contract
+    // bound: semDedupAuto(k = FlatKMax + 1) must route to the √k-
+    // factored two-level substrate (the flat sibling throws at this
+    // K). Corpus = embeddings ∪ exact copies (+10000 ids). At a
+    // 65 537-way capacity over 1 000 rows every row seeds its own
+    // fine cell, so only a QUANTIZED-IDENTICAL twin ties into its
+    // senior's cell (cos 1 to both seeds, fcid tie-break) — the
+    // planted copies must all collapse while everything else stays.
+    ("sim_semdedup_auto",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val doubled = e.unionByName(e.select(
+          (col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        val res = Similarity.semDedupAuto(doubled, eps = 0.999,
+            k = Similarity.FlatKMax + 1, iters = 1, capTarget = 16,
+            levels = 2)
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("cid").cast("long").as("cid")).orderBy("vec_id")
+        res.cache(); res.count()
+        res
+      }): Q,
+      Some(
+        s"""WITH dblsrc AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+           |),
+           |${Similarity.semDedupScalableSql("dblsrc", 0.999, 257, 256, 1, 1, 16, 2)}
+           |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cid
+           |FROM sdskeep ORDER BY vec_id""".stripMargin)),
+
     // LSH-bucketed pairs: random-hyperplane bands, exact verification
     ("sim_pairs_lsh",
       ((s, d) => Similarity.pairsLsh(Tables.embeddings(s, d), MinCos)
