@@ -167,6 +167,41 @@ object SemDedupStream {
       .start()
   }
 
+  /** [[start]] with the drift loop WIRED IN: every `maintainEvery`
+    * batches (after that batch commits its stores), gauge
+    * cluster-confinement recall on a deterministic sample of the
+    * batch's own rows — the most recent arrivals, exactly where drift
+    * shows first — and [[rebootstrap]] below `minRecall`. The check
+    * runs inside `foreachBatch`, i.e. between micro-batches from the
+    * state dir's point of view, which is the quiescence the rebuild
+    * needs; a replayed maintenance batch re-runs the gauge and at
+    * worst re-fits the same quantizer from the same survivors —
+    * idempotent like the batch itself. */
+  def startMaintained(vecs: DataFrame, stateDir: String, keptDir: String,
+      eps: Double, checkpointDir: String, coarseK: Int, fineK: Int,
+      capTarget: Int = 1024, levels: Int = 1, maintainEvery: Int = 8,
+      minRecall: Double = 0.7, recallK: Int = 1, probeRows: Int = 64,
+      coarseIters: Int = 1, fineIters: Int = 1): StreamingQuery = {
+    require(maintainEvery > 0, "maintainEvery must be positive")
+    val spark = vecs.sparkSession
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        processBatch(spark, batch, bid, stateDir, keptDir, eps,
+          capTarget, levels)
+        if (bid > 0 && bid % maintainEvery == 0) {
+          val probes = batch
+            .select(col("vec_id").cast("long").as("vec_id"),
+              col("embedding"))
+            .orderBy(col("vec_id")).limit(probeRows)
+          maintain(spark, stateDir, probes, recallK, minRecall,
+            coarseK, fineK, coarseIters, fineIters)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Start over a parquet LANDING DIRECTORY of `(vec_id, embedding)`
     * files — the continuous-ingest deployment shape, as
     * [[DedupStream.startFromDir]]. */

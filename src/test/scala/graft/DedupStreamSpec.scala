@@ -235,6 +235,72 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq === Seq(901L))
   }
 
+  test("startMaintained: the drift loop fires inside the stream itself") {
+    // the wired-in sibling of the manual maintain(): every
+    // maintainEvery batches the lifecycle gauges confinement on the
+    // batch's own rows and re-bootstraps under threshold — no operator
+    // intervention. Drift arrives in batch 0, the bid-2 maintenance
+    // tick sees batch 2's drifted probes gauge at 0.5 and refits; a
+    // post-rebuild batch then plants a copy of a batch-0 survivor,
+    // which must still collapse, and the final confinement gauge over
+    // the original straddlers must be 1.0 — proof the in-stream
+    // rebuild actually happened.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val dir = Files.createTempDirectory("semmaint").toString
+    def unit(entries: (Int, Double)*): List[Float] = {
+      val a = Array.fill(Similarity.Dim)(0.0f)
+      entries.foreach { case (i, v) => a(i) = v.toFloat }
+      a.toList
+    }
+    val seed = ((0 until 15).map(i => (2L * i, unit(0 -> 10.0, (1 + i) -> 1.0))) ++
+      (0 until 15).map(i => (2L * i + 1, unit(16 -> 10.0, (17 + i) -> 1.0))))
+      .toDF("vec_id", "embedding")
+    SemDedupStream.bootstrap(spark, seed, s"$dir/state", eps = 0.997,
+      coarseK = 2, fineK = 1, coarseIters = 1, fineIters = 1)
+    def driftPairs(baseId: Long, baseMarker: Int): Seq[(Long, List[Float])] =
+      (0 until 10).flatMap { p =>
+        val mk = baseMarker + p
+        Seq((baseId + 2 * p, unit(50 -> 100.0, mk -> 50.0, 0 -> 0.5)),
+          (baseId + 2 * p + 1,
+            unit(50 -> 100.0, mk -> 50.0, (if (p < 5) 16 else 0) -> 0.5)))
+      }
+    val mem = MemoryStream[(Long, List[Float])]
+    val q = SemDedupStream.startMaintained(
+      mem.toDF().toDF("vec_id", "embedding"), s"$dir/state", s"$dir/kept",
+      eps = 0.997, s"$dir/ckpt", coarseK = 2, fineK = 2, capTarget = 32,
+      levels = 1, maintainEvery = 2, minRecall = 0.9, recallK = 1,
+      coarseIters = 2, fineIters = 1)
+    try {
+      mem.addData(driftPairs(100L, 32): _*)          // bid 0: drift lands
+      q.processAllAvailable()
+      mem.addData((300L, unit(60 -> 10.0)))          // bid 1: benign
+      q.processAllAvailable()
+      mem.addData(driftPairs(400L, 42): _*)          // bid 2: maintenance
+      q.processAllAvailable()                        //   tick → rebuild
+      // post-rebuild: a 1.5x copy of batch-0 survivor 100 must die
+      // across the quantizer rebuild; a fresh vector lives
+      mem.addData((500L, unit(50 -> 150.0, 32 -> 75.0, 0 -> 0.75)),
+        (501L, unit(61 -> 10.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = SemDedupStream.kept(spark, s"$dir/kept")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(501L) && !kept.contains(500L),
+      s"cross-rebuild dup handling broke: $kept")
+    // the in-stream rebuild really fired: the original straddlers are
+    // now cluster-confined (frozen quantizer would gauge them at 0)
+    val probes = driftPairs(100L, 32).filter(_._1 < 110L)
+      .toDF("vec_id", "embedding")
+    val recall = SemDedupStream.streamRecall(spark, s"$dir/state",
+        probes, k = 1)
+      .agg(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.col("recall")))
+      .collect().head.getDouble(0)
+    assert(recall === 1.0, s"in-stream rebuild missing: gauge $recall")
+  }
+
   test("drift loop: gauge drops on drift, rebootstrap restores confinement") {
     // the stream's quantizer is frozen at bootstrap; this closes its
     // drift loop (the sibling of Similarity.maintainTwoLevelIndex).

@@ -244,6 +244,51 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!twoLevel.contains("SortMergeJoin"), twoLevel)
   }
 
+  test("probeTwoLevel past the 64MB gate broadcasts the probe batch, not cells") {
+    // the round-8 advisor's medium finding, CI-pinned: at real K the
+    // fine-cell frame is K-wide and must NOT be the broadcast side —
+    // the probe batch is. Indexes are constructed directly (no build)
+    // on either side of the deterministic coarseK·fineK·dim·8 ≤ 64MB
+    // gate; the plan is inspected for which side each
+    // BroadcastExchange carries (the cells frame is the only subtree
+    // outputting a `cents` attribute).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import graft.pipeline.Similarity
+    val s = spark
+    def syntheticIx(coarseK: Int, fineK: Int) = {
+      val cells = s.range(coarseK).select(col("id").as("ccid"),
+        transform(sequence(lit(0L), lit(fineK - 1L)), f =>
+          struct(f.cast("long").as("fcid"),
+            transform(sequence(lit(0), lit(Similarity.Dim - 1)),
+              d => (d + f + lit(1.0)).cast("double")).as("cent")))
+          .as("cents"))
+      val assigned = s.range(100).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(Similarity.Dim - 1)),
+          d => (d + col("id") + lit(1.0)).cast("float")).as("embedding"),
+        (col("id") % coarseK).as("ccid"),
+        (col("id") % (coarseK.toLong * fineK)).as("cid"))
+      val coarse = (0 until coarseK).map(c =>
+        (c.toLong, (0 until Similarity.Dim).map(d => (c + d + 1).toDouble)))
+      Similarity.TwoLevelIndex(assigned, cells, coarse, () => ())
+    }
+    val queries = s.range(2).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(Similarity.Dim - 1)),
+        d => (d + lit(1.0)).cast("float")).as("embedding"))
+    def cellsBroadcasts(coarseK: Int, fineK: Int): Int =
+      Similarity.probeTwoLevel(syntheticIx(coarseK, fineK), queries,
+          k = 5, fineK = fineK, probeCoarse = 2, probeFine = 4)
+        .queryExecution.executedPlan.collect {
+          case b: BroadcastExchangeExec
+            if b.output.exists(_.name == "cents") => b
+        }.size
+    // 4·64·64·8 = 128KB — under the gate: cells broadcast (control)
+    assert(cellsBroadcasts(4, 64) === 1, "small-K control must broadcast cells")
+    // 2080·64·64·8 ≈ 68MB — past it: cells must stay distributed
+    assert(cellsBroadcasts(2080, 64) === 0,
+      "K-wide cells frame broadcast past the 64MB gate")
+  }
+
   test("ev_funnel: ONE event-log scan for the whole stage chain") {
     // an N-stage funnel must not pay N passes over a 100 TB log: the
     // per-stage qualification chain evaluates over the users-sized
