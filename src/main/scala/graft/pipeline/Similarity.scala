@@ -345,7 +345,11 @@ object Similarity {
 
   /** Driver-side centroid list (cid, cent) after `iters` Lloyd rounds
     * from first-K seeds — K×dim doubles, the state the rounds bounce
-    * through the driver regardless. */
+    * through the driver regardless.
+    *
+    * FLAT TIER: contract-bounded at K ≤ [[FlatKMax]] (throws past it).
+    * For larger K use [[twoLevelIndex]], or let [[kmeansAuto]] /
+    * [[semDedupAuto]] dispatch the tier for you. */
   def kmeansCentroidsSeq(corpus: DataFrame, k: Int = KmK,
       iters: Int = KmIters): Seq[(Long, Seq[Double])] = {
     require(k <= FlatKMax,
@@ -384,7 +388,8 @@ object Similarity {
   }
 
   /** Centroid frame (cid, cent: array<double>) after `iters` Lloyd
-    * rounds from first-K seeds. */
+    * rounds from first-K seeds. FLAT TIER: K ≤ [[FlatKMax]] (throws
+    * past it) — see [[kmeansAuto]] for the K-dispatched entry. */
   def kmeansCentroids(corpus: DataFrame, k: Int = KmK,
       iters: Int = KmIters): DataFrame = {
     val spark = corpus.sparkSession
@@ -392,7 +397,10 @@ object Similarity {
     kmeansCentroidsSeq(corpus, k, iters).toDF("cid", "cent")
   }
 
-  /** (vec_id, cid, cos) assignment after `iters` Lloyd rounds. */
+  /** (vec_id, cid, cos) assignment after `iters` Lloyd rounds.
+    * FLAT TIER: K ≤ [[FlatKMax]] (throws past it) — callers that
+    * cannot bound K should use [[kmeansAuto]], which routes larger K
+    * to the √K two-level substrate. */
   def kmeans(corpus: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame =
     kmeansAssign(corpus.select(col("vec_id"), qvec(emb).as("qv")),
       kmeansCentroidsSeq(corpus, k, iters))
@@ -418,9 +426,18 @@ object Similarity {
       kmeans(corpus, k, iters).select(col("vec_id"), col("cid"))
     else {
       val (coarseK, fineK) = twoLevelFactor(k)
-      twoLevelAssign(corpus, coarseK, fineK, coarseIters = iters,
-        fineIters = math.max(1, iters - 1))
-        .select(col("vec_id"), col("cid"))
+      // Same eager/leak-free contract as [[twoLevelAssign]], but
+      // checkpoint only the NARROW (vec_id, cid) frame this entry
+      // returns: at the large-K regime this dispatcher exists for, the
+      // corpus is huge and pinning the full embedding matrix (~dim·8
+      // bytes/row, ~30× the needed width) in executor block storage
+      // just to drop the column immediately would be the real cost.
+      val (assigned, release) = twoLevelAssignScoped(corpus, coarseK,
+        fineK, coarseIters = iters, fineIters = math.max(1, iters - 1))
+      val eager = assigned.select(col("vec_id"), col("cid"))
+        .localCheckpoint(true)
+      release()
+      eager
     }
 
   /** K-dispatched [[semDedup]]: flat at K ≤ [[FlatKMax]], the
@@ -732,7 +749,11 @@ object Similarity {
     * driver state regardless), and the within-cluster self-join
     * shuffles on cid once — both sides co-partitioned, no global
     * pairing. The min-id keeper rule matches [[Dedup]]'s exact-dup
-    * semantics, so exact dups collapse to the same keeper either way. */
+    * semantics, so exact dups collapse to the same keeper either way.
+    *
+    * FLAT TIER: K ≤ [[FlatKMax]] (throws past it, via
+    * [[kmeansCentroidsSeq]]). At larger K use [[semDedupScalable]] or
+    * the K-dispatched [[semDedupAuto]]. */
   def semDedup(corpus: DataFrame, eps: Double, k: Int = KmK,
       iters: Int = KmIters): DataFrame = {
     val cents = kmeansCentroidsSeq(corpus, k, iters)

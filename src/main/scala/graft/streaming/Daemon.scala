@@ -656,8 +656,34 @@ object Daemon {
       pixelOffer: Option[String => Unit] = None,
       blaster: Option[Blaster.LiveBlaster] = None,
       allowOrigin: Option[String] = None,
-      queryCacheSize: Int = 512): HttpServer = {
+      queryCacheSize: Int = 512,
+      renderConcurrency: Int = 64): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // Concurrent request dispatch — the reference's Go HTTP server runs
+    // one goroutine per request and bounds only the render fan-out
+    // (`BATCH_LIMIT = 64`, `http/graphite.go:37`). Parity here: a cached
+    // pool (per-request thread, like per-request goroutine) so `/ping`,
+    // `/stats` and cache hits NEVER queue behind a cold render, plus a
+    // fair semaphore capping concurrent cold-render Spark jobs at
+    // `renderConcurrency`. Without an executor the JDK HttpServer
+    // serializes every request on its single dispatcher thread.
+    val threadNo = new java.util.concurrent.atomic.AtomicLong
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-http-${threadNo.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }))
+    val renderPermits =
+      new java.util.concurrent.Semaphore(math.max(1, renderConcurrency), true)
+    val httpInFlight = new java.util.concurrent.atomic.AtomicLong
+    val httpMaxInFlight = new java.util.concurrent.atomic.AtomicLong
+    val renderInFlight = new java.util.concurrent.atomic.AtomicLong
+    val renderMaxInFlight = new java.util.concurrent.atomic.AtomicLong
+    def raise(max: java.util.concurrent.atomic.AtomicLong, v: Long): Unit = {
+      var cur = max.get
+      while (v > cur && !max.compareAndSet(cur, v)) cur = max.get
+    }
     val renderCache = new RenderCache(queryCacheSize)
     val catalog = new CatalogCache(spark, archiveDirs)
 
@@ -694,12 +720,13 @@ object Daemon {
         gzipOk: Boolean = false)(body: => String): Unit = {
       def err(e: Throwable) = jsonEscape(
         Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+      raise(httpMaxInFlight, httpInFlight.incrementAndGet())
       val (code, payload) =
         try (200, body)
         catch {
           case e: IllegalArgumentException => (400, s"""{"error":"${err(e)}"}""")
           case e: Exception => (500, s"""{"error":"${err(e)}"}""")
-        }
+        } finally { httpInFlight.decrementAndGet(); () }
       if (origin) allowOrigin.foreach(o =>
         ex.getResponseHeaders.set("Access-Control-Allow-Origin", o))
       val raw = payload.getBytes(StandardCharsets.UTF_8)
@@ -785,20 +812,31 @@ object Daemon {
       val f = Viewport.parseTimeSec(from, nowS).getOrElse(
         throw new IllegalArgumentException("viewport: 'from' is required"))
       val u = Viewport.parseTimeSec(until, nowS).getOrElse(nowS)
-      val key = s"${targets.mkString("\u0000")}|$f|$u|$maxDp"
+      // NUL-separate EVERY key field, not just between targets: '|' is
+      // legal inside a target expression, so a '|'-joined suffix could
+      // alias a different (targets, from, until, maxDp) tuple and
+      // serve the wrong cached payload.
+      val key = (targets :+ f.toString :+ u.toString :+ maxDp.toString)
+        .mkString("\u0000")
       renderCache.getOrCompute(key, Ingest.StoreGen.gens(archiveDirs)) {
+        // Cold render only: bounded at `renderConcurrency` concurrent
+        // Spark jobs (BATCH_LIMIT parity). Cache hits and single-flight
+        // waiters never touch the semaphore, so hot keys are never
+        // throttled behind cold ones.
+        renderPermits.acquire()
+        raise(renderMaxInFlight, renderInFlight.incrementAndGet())
         // compute under the stores' READ lock ([[Ingest.StoreLock]]):
         // a concurrent merge's dynamic overwrite can never hand this
         // scan a mid-swap directory. If a merge slipped between the
         // gens read above and this lock, the entry is stamped with a
         // pre-bump vector no future request can observe (gens are
         // monotone), so it is dead weight, never a stale serve.
-        Ingest.StoreLock.read(archiveDirs) {
+        try Ingest.StoreLock.read(archiveDirs) {
           val ctx = Viewport.ctx(spark,
             Ingest.readArchives(spark, archiveDirs),
             stepSec, from, until, nowS, maxDp)
           Render.renderTargets(ctx, targets)
-        }
+        } finally { renderInFlight.decrementAndGet(); renderPermits.release() }
       }
     })
 
@@ -894,7 +932,12 @@ object Daemon {
         s""""query_cache.misses":${renderCache.misses.get},""" +
         s""""query_cache.evictions":${renderCache.evictions.get},""" +
         s""""find_cache.hits":${catalog.hits.get},""" +
-        s""""find_cache.misses":${catalog.misses.get}}"""
+        s""""find_cache.misses":${catalog.misses.get},""" +
+        s""""http.in_flight":${httpInFlight.get},""" +
+        s""""http.max_in_flight":${httpMaxInFlight.get},""" +
+        s""""render.in_flight":${renderInFlight.get},""" +
+        s""""render.max_in_flight":${renderMaxInFlight.get},""" +
+        s""""render.permits_available":${renderPermits.availablePermits}}"""
     })
 
     // /quantiles?name=a.b.c&q=0.5,0.99&window=3600 — value quantiles of

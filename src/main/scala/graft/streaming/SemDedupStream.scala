@@ -1,11 +1,13 @@
 package graft.streaming
 
+import java.util.UUID
+
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
-import graft.pipeline.Similarity
+import graft.pipeline.{Similarity, Snapshot}
 
 /** Streaming SEMANTIC dedup lifecycle — [[DedupStream]]'s sibling for
   * the embedding column: a vector stream dedups continuously against
@@ -75,9 +77,69 @@ object SemDedupStream {
   private val survivorParts = Seq(StructField("bid", LongType),
     StructField("pccid", LongType))
 
+  // ------------------------- state layout ----------------------------
+  //
+  //   $stateDir/q/v=N/{coarse,cells,meta}/   quantizer snapshot
+  //                                          ([[Snapshot.publishTables]]:
+  //                                          `_latest` pointer commits all
+  //                                          three tables atomically)
+  //   $stateDir/survivors-<uuid>/bid=*/pccid=*/
+  //                                          survivor store; WHICH uuid is
+  //                                          live is a `meta` row of the
+  //                                          committed quantizer version
+  //
+  // The survivor-dir name riding in the committed meta is what makes
+  // [[rebootstrap]] crash-safe: the rewrite stages the re-assigned
+  // survivors into a FRESH directory and the single pointer rename
+  // flips quantizer + survivor generation together — there is no
+  // window where the old store is deleted but the new one is not yet
+  // committed, and a crash at ANY point leaves the previous committed
+  // state fully intact (debris is reclaimed on the next publish).
+
+  private def qDir(stateDir: String) = s"$stateDir/q"
+
+  /** The committed state: (coarse centroids, cells frame, fineK,
+    * survivor-store path) — all read at ONE snapshot version, so a
+    * reader can never mix a new quantizer with an old survivor set. */
+  private def readState(spark: SparkSession, stateDir: String)
+      : (Seq[(Long, Seq[Double])], DataFrame, Int, String) = {
+    val v = Snapshot.latestVersion(spark, qDir(stateDir)).getOrElse(
+      throw new IllegalStateException(
+        s"no committed SemDedupStream state under $stateDir — bootstrap first"))
+    val meta = Snapshot.readTable(spark, qDir(stateDir), "meta", Some(v))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val coarse = Snapshot.readTable(spark, qDir(stateDir), "coarse", Some(v))
+      .select(col("ccid").cast("long"),
+        transform(col("ccent"), _.cast("double")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    (coarse, Snapshot.readTable(spark, qDir(stateDir), "cells", Some(v)),
+      meta("fineK").toInt, s"$stateDir/${meta("survivorsDir")}")
+  }
+
+  /** Publish quantizer tables + the live survivor-dir name as one
+    * atomic snapshot version. */
+  private def publishState(spark: SparkSession, stateDir: String,
+      coarse: DataFrame, cells: DataFrame, fineK: Int,
+      survName: String): Unit = {
+    import spark.implicits._
+    Snapshot.publishTables(Seq(
+      "coarse" -> coarse,
+      "cells" -> cells,
+      "meta" -> Seq("fineK" -> fineK.toString, "survivorsDir" -> survName)
+        .toDF("key", "value")), qDir(stateDir))
+    ()
+  }
+
+  /** The live survivor-store directory (spec + ops visibility). */
+  private[graft] def survivorsDir(spark: SparkSession,
+      stateDir: String): String = readState(spark, stateDir)._4
+
   /** Freeze the quantizer from a seed corpus, dedup that corpus, and
     * seed the survivor store (under `bid = -1`, before any streaming
-    * batch). Must run once before [[start]]. */
+    * batch). Must run once before [[start]]. The state only exists
+    * once the snapshot pointer commits — a crash mid-bootstrap leaves
+    * no committed state and a clean re-run. */
   def bootstrap(spark: SparkSession, corpus: DataFrame, stateDir: String,
       eps: Double, coarseK: Int, fineK: Int, coarseIters: Int = 1,
       fineIters: Int = 1, capTarget: Int = 1024, levels: Int = 2): Unit = {
@@ -93,13 +155,11 @@ object SemDedupStream {
           .select(col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("embedding"),
             col("ccid"), col("cid"), pccidOf(col("ccid")).as("pccid"))
-        writePartition(survivors, -1L, s"$stateDir/survivors",
+        val survName = s"survivors-${UUID.randomUUID()}"
+        writePartition(survivors, -1L, s"$stateDir/$survName",
           alsoBy = Seq("pccid"))
-        ix.coarse.toDF("ccid", "ccent")
-          .write.mode("overwrite").parquet(s"$stateDir/coarse")
-        ix.cells.write.mode("overwrite").parquet(s"$stateDir/cells")
-        Seq(("fineK", fineK.toLong)).toDF("key", "value")
-          .write.mode("overwrite").parquet(s"$stateDir/meta")
+        publishState(spark, stateDir, ix.coarse.toDF("ccid", "ccent"),
+          ix.cells, fineK, survName)
       } finally { release(); () }
     } finally { ix.release(); () }
   }
@@ -111,14 +171,7 @@ object SemDedupStream {
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       bid: Long, stateDir: String, keptDir: String, eps: Double,
       capTarget: Int, levels: Int): Unit = {
-    val coarse = spark.read.parquet(s"$stateDir/coarse")
-      .select(col("ccid").cast("long"),
-        transform(col("ccent"), _.cast("double")))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      .sortBy(_._1)
-    val fineK = spark.read.parquet(s"$stateDir/meta")
-      .filter(col("key") === "fineK").collect().head.getLong(1).toInt
-    val cells = spark.read.parquet(s"$stateDir/cells")
+    val (coarse, cells, fineK, survDir) = readState(spark, stateDir)
     val bAssigned = Similarity.assignWithQuantizer(coarse, cells, fineK,
       batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding")))
       .persist()
@@ -129,7 +182,7 @@ object SemDedupStream {
       val batchPccids = bAssigned
         .select(pccidOf(col("ccid")).as("pccid")).distinct()
         .collect().map(_.getLong(0)).toSeq
-      val stored = readFrame(spark, s"$stateDir/survivors", survivorSchema,
+      val stored = readFrame(spark, survDir, survivorSchema,
         bid, survivorParts,
         extraFilter = Some(col("pccid").isin(batchPccids.map(Long.box): _*)))
       val vsStore = bAssigned
@@ -145,8 +198,7 @@ object SemDedupStream {
             transform(col("embedding"), _.cast("double")).as("embedding"),
             col("ccid"), col("cid"), pccidOf(col("ccid")).as("pccid"))
         writePartition(kept.select(col("vec_id"), col("cid")), bid, keptDir)
-        writePartition(keptRows, bid, s"$stateDir/survivors",
-          alsoBy = Seq("pccid"))
+        writePartition(keptRows, bid, survDir, alsoBy = Seq("pccid"))
       } finally { release(); () }
     } finally { bAssigned.unpersist(); () }
   }
@@ -219,21 +271,10 @@ object SemDedupStream {
 
   // ------------------- drift gauge + re-bootstrap -------------------
 
-  private def readQuantizer(spark: SparkSession, stateDir: String) = {
-    val coarse = spark.read.parquet(s"$stateDir/coarse")
-      .select(col("ccid").cast("long"),
-        transform(col("ccent"), _.cast("double")))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      .sortBy(_._1)
-    val fineK = spark.read.parquet(s"$stateDir/meta")
-      .filter(col("key") === "fineK").collect().head.getLong(1).toInt
-    (coarse, spark.read.parquet(s"$stateDir/cells"), fineK)
-  }
-
   /** Survivor store WITH its partition columns — what a full rewrite
     * ([[rebootstrap]]) must preserve (bid keeps replay idempotence). */
-  private def survivorsFull(spark: SparkSession, stateDir: String): DataFrame =
-    readFrame(spark, s"$stateDir/survivors",
+  private def survivorsFull(spark: SparkSession, survDir: String): DataFrame =
+    readFrame(spark, survDir,
       survivorParts.foldLeft(survivorSchema)(_ add _), Long.MaxValue,
       partCols = Seq.empty)
 
@@ -251,8 +292,8 @@ object SemDedupStream {
   def streamRecall(spark: SparkSession, stateDir: String,
       probes: DataFrame, k: Int, probeCoarse: Int = 1,
       probeFine: Int = 1): DataFrame = {
-    val (coarse, cells, fineK) = readQuantizer(spark, stateDir)
-    val surv = survivorsFull(spark, stateDir)
+    val (coarse, cells, fineK, survDir) = readState(spark, stateDir)
+    val surv = survivorsFull(spark, survDir)
       .select(col("vec_id"), col("embedding"), col("ccid"), col("cid"))
     val ix = Similarity.TwoLevelIndex(surv, cells, coarse, () => ())
     Similarity.recallJoin(
@@ -271,14 +312,22 @@ object SemDedupStream {
     * replayed batch still reads exactly the pre-`bid` state and
     * rewrites only its own partitions — replay idempotence survives
     * the rebuild. Run BETWEEN micro-batches (stream stopped or
-    * quiescent); a crash mid-rewrite is repaired by re-running. */
+    * quiescent).
+    *
+    * Crash-safe by STAGING, not in-place overwrite: the re-assigned
+    * survivors write into a fresh `survivors-<uuid>` directory (the
+    * old store is never deleted, so a lost cache block or retried
+    * stage re-reads intact input), and the quantizer tables + the new
+    * directory's name commit together in ONE snapshot pointer rename
+    * ([[publishState]]). A crash anywhere mid-rewrite leaves the
+    * previous committed state untouched; the superseded store and any
+    * staged debris are reclaimed after the flip. */
   def rebootstrap(spark: SparkSession, stateDir: String, coarseK: Int,
       fineK: Int, coarseIters: Int = 1, fineIters: Int = 1): Unit = {
     import spark.implicits._
-    val surv = survivorsFull(spark, stateDir).persist()
+    val (_, _, _, oldSurvDir) = readState(spark, stateDir)
+    val surv = survivorsFull(spark, oldSurvDir).persist()
     try {
-      surv.count() // pin pre-rewrite content: the overwrite below
-                   // must not re-read the directory it replaces
       val ix = Similarity.twoLevelIndex(
         surv.select(col("vec_id"), col("embedding")), coarseK, fineK,
         coarseIters, fineIters)
@@ -287,18 +336,20 @@ object SemDedupStream {
           .select(col("vec_id"), col("embedding"), col("ccid"), col("cid"))
           .join(surv.select(col("vec_id"), col("bid")), Seq("vec_id"))
           .withColumn("pccid", pccidOf(col("ccid")))
-          .persist()
-        reassigned.count() // materialize before touching state dirs
-        // quantizer first, then the survivor rewrite (STATIC overwrite:
-        // the whole store re-lays-out under the new cells)
-        ix.coarse.toDF("ccid", "ccent")
-          .write.mode("overwrite").parquet(s"$stateDir/coarse")
-        ix.cells.write.mode("overwrite").parquet(s"$stateDir/cells")
-        Seq(("fineK", fineK.toLong)).toDF("key", "value")
-          .write.mode("overwrite").parquet(s"$stateDir/meta")
-        reassigned.write.mode("overwrite")
-          .partitionBy("bid", "pccid").parquet(s"$stateDir/survivors")
-        reassigned.unpersist()
+        // stage into a FRESH dir (plain write, no overwrite of live
+        // state), then flip quantizer + survivor generation atomically
+        val survName = s"survivors-${UUID.randomUUID()}"
+        reassigned.write.partitionBy("bid", "pccid")
+          .parquet(s"$stateDir/$survName")
+        publishState(spark, stateDir, ix.coarse.toDF("ccid", "ccent"),
+          ix.cells, fineK, survName)
+        // post-commit cleanup: the superseded survivor store (safe —
+        // the stream is quiescent and every reader resolves the dir
+        // through the committed meta) and old quantizer versions
+        val fs = new org.apache.hadoop.fs.Path(oldSurvDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(oldSurvDir), true)
+        Snapshot.vacuum(spark, qDir(stateDir), keepVersions = 1)
         ()
       } finally { ix.release(); () }
     } finally { surv.unpersist(); () }
@@ -332,7 +383,7 @@ object SemDedupStream {
 
   /** The current survivor set (vec_id, cid), bootstrap seed included. */
   def survivors(spark: SparkSession, stateDir: String): DataFrame =
-    readFrame(spark, s"$stateDir/survivors", survivorSchema, Long.MaxValue,
-      survivorParts)
+    readFrame(spark, readState(spark, stateDir)._4, survivorSchema,
+      Long.MaxValue, survivorParts)
       .select(col("vec_id"), col("cid"))
 }

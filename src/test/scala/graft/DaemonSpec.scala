@@ -233,6 +233,155 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 === "gen2" && cache.misses.get === 2L)
   }
 
+  /** Poll `/stats` until `field` reaches at least `want` (or deadline). */
+  private def awaitStat(base: String, field: String, want: Long,
+      timeoutMs: Long = 20000): Long = {
+    val re = ("\"" + java.util.regex.Pattern.quote(field) + "\":(\\d+)").r
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last = -1L
+    while (last < want && System.currentTimeMillis() < deadline) {
+      last = re.findFirstMatchIn(httpGet(s"$base/stats")._2)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      if (last < want) Thread.sleep(25)
+    }
+    last
+  }
+
+  test("HTTP concurrency: /ping and a distinct-key render proceed while " +
+      "a cold render is latched") {
+    // the reference serves 64 concurrent readers (BATCH_LIMIT,
+    // http/graphite.go:37); with no executor the JDK HttpServer would
+    // serialize everything on one dispatcher thread and this test
+    // would deadlock. Latch: hold the store WRITE lock so every cold
+    // render blocks inside its compute, exactly like a slow merge.
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("conc").toString + "/slots"
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("web.req", 1000000L, 1000020L, 2.0)).toDF(),
+      dir, stepSec = 10)
+    val http = Daemon.startHttp(s, 0, Seq(dir), stepSec = 10,
+      now = () => 1000100L)
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val locker = new Thread(() =>
+      Ingest.StoreLock.write(dir) { held.countDown(); release.await() })
+    locker.start(); held.await()
+    try {
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      def asyncRender(from: Long): Thread = {
+        val t = new Thread(() => {
+          val (code, body) =
+            httpGet(s"$base/render?target=web.req&from=$from&until=now")
+          assert(code === 200 && body.contains("web.req"), body)
+        })
+        t.start(); t
+      }
+      val r1 = asyncRender(1000000L)
+      // the cold render is latched inside its compute (permit held,
+      // blocked on the store lock) — and /stats itself answering here
+      // already proves the dispatcher is not head-of-line-blocked
+      assert(awaitStat(base, "render.in_flight", 1L) === 1L)
+      val (pc, pb) = httpGet(s"$base/ping")
+      assert(pc === 200 && pb === "OK\n")
+      // a DISTINCT-key render gets its own thread + permit and runs
+      // concurrently: two renders in flight at once
+      val r2 = asyncRender(1000010L)
+      assert(awaitStat(base, "render.in_flight", 2L) === 2L)
+      release.countDown(); locker.join()
+      r1.join(30000); r2.join(30000)
+      assert(!r1.isAlive && !r2.isAlive, "renders did not complete")
+      val st = httpGet(s"$base/stats")._2
+      assert(st.contains("\"render.in_flight\":0"), st)
+      assert(awaitStat(base, "http.max_in_flight", 2L) >= 2L, st)
+    } finally { release.countDown(); http.stop(0) }
+  }
+
+  test("e2e render stampede over HTTP: N identical cold requests " +
+      "compute once") {
+    // round-9 proved single-flight with direct RenderCache threads
+    // because the server serialized; now the same property must hold
+    // through real concurrent HTTP clients
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("stampede").toString + "/slots"
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("web.req", 1000000L, 1000020L, 2.0)).toDF(),
+      dir, stepSec = 10)
+    val http = Daemon.startHttp(s, 0, Seq(dir), stepSec = 10,
+      now = () => 1000100L)
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val locker = new Thread(() =>
+      Ingest.StoreLock.write(dir) { held.countDown(); release.await() })
+    locker.start(); held.await()
+    try {
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val url = s"$base/render?target=web.req&from=1000000&until=now"
+      val clients = (1 to 8).map { _ =>
+        val t = new Thread(() => { bodies.add(httpGet(url)._2); () })
+        t.start(); t
+      }
+      // all 8 clients in flight against the latched render: exactly ONE
+      // holds a permit and computes; 7 await its future as hits
+      assert(awaitStat(base, "http.in_flight", 9L) >= 9L) // 8 + this /stats
+      assert(awaitStat(base, "render.in_flight", 1L) === 1L)
+      release.countDown(); locker.join()
+      clients.foreach(_.join(30000))
+      assert(clients.forall(!_.isAlive), "clients did not complete")
+      assert(bodies.toArray(new Array[String](0)).toSet.size === 1,
+        "torn/differing payloads across identical requests")
+      val st = httpGet(s"$base/stats")._2
+      assert(st.contains("\"query_cache.misses\":1") &&
+        st.contains("\"query_cache.hits\":7"), st)
+      assert(st.contains("\"render.max_in_flight\":1"), st)
+    } finally { release.countDown(); http.stop(0) }
+  }
+
+  test("e2e distinct renders under a concurrent merge: N misses, " +
+      "no torn payloads") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("merge-race").toString + "/slots"
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("web.req", 1000000L, 1000020L, 2.0)).toDF(),
+      dir, stepSec = 10)
+    val http = Daemon.startHttp(s, 0, Seq(dir), stepSec = 10,
+      now = () => 1000100L)
+    try {
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      val merger = new Thread(() =>
+        Ingest.mergePiecesIntoArchive(s,
+          Seq(Ingest.Piece("web.req", 1000040L, 1000060L, 8.0)).toDF(),
+          dir, stepSec = 10))
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+      val clients = (0 until 6).map { i =>
+        new Thread(() => {
+          // distinct maxDataPoints → 6 distinct cache keys, all over a
+          // viewport that holds data on both sides of the merge
+          results.add(httpGet(
+            s"$base/render?target=web.req&from=1000000&until=now" +
+              s"&maxDataPoints=${100 + i}"))
+          ()
+        })
+      }
+      merger.start(); clients.foreach(_.start())
+      merger.join(60000); clients.foreach(_.join(60000))
+      assert(!merger.isAlive && clients.forall(!_.isAlive))
+      val all = results.toArray(new Array[(Int, String)](0)).toSeq
+      assert(all.size === 6)
+      all.foreach { case (code, body) =>
+        // every render — whichever side of the merge it landed on —
+        // is a complete consistent payload, never an error or a
+        // mid-swap partial scan
+        assert(code === 200, body)
+        assert(body.startsWith("[") && body.contains("web.req"), body)
+      }
+      // 6 distinct keys, each computed exactly once
+      val st = httpGet(s"$base/stats")._2
+      assert(st.contains("\"query_cache.misses\":6") &&
+        st.contains("\"query_cache.hits\":0"), st)
+    } finally http.stop(0)
+  }
+
   test("self-stats reporter emits receiver counters as graphite lines") {
     // the reference's reportStatCount/Gauge path: internal counters
     // become stored series via the normal ingest route. Flood a capped

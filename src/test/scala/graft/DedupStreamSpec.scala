@@ -204,7 +204,8 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the survivor store lays out by (bid, pccid): a batch's state
     // read prunes to its own coarse buckets' directories instead of
     // rescanning the whole store
-    val bootPart = new java.io.File(s"$stateDir/survivors/bid=-1")
+    val bootPart = new java.io.File(
+      s"${SemDedupStream.survivorsDir(spark, stateDir)}/bid=-1")
     val pccidDirs = bootPart.listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("pccid="))
     assert(pccidDirs.nonEmpty, bootPart.listFiles().map(_.getName).toSeq)
@@ -384,5 +385,47 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       eps = 0.997, capTarget = 32, levels = 1)
     assert(SemDedupStream.kept(spark, keptDir).count() === 16L)
     assert(SemDedupStream.survivors(spark, stateDir).count() === 46L)
+  }
+
+  test("rebootstrap staging: crash debris is invisible, the flip is atomic") {
+    // the rewrite stages into a fresh survivors-<uuid> dir and commits
+    // quantizer + survivor generation in ONE snapshot pointer rename —
+    // so a crash mid-rewrite (modeled here as its debris: a stray
+    // staged survivor dir and an unpointed q version dir) leaves the
+    // committed state fully readable, and a completed rebootstrap
+    // swaps wholesale with the superseded store reclaimed
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("semstage").toString
+    val stateDir = s"$dir/state"
+    val seed = (0L until 30L).map(i => (i, svec((i % 3).toInt, i)))
+      .toDF("vec_id", "embedding")
+    SemDedupStream.bootstrap(spark, seed, stateDir, eps = 0.999,
+      coarseK = 2, fineK = 2, coarseIters = 1, fineIters = 1)
+    val d0 = SemDedupStream.survivorsDir(spark, stateDir)
+    val ids0 = SemDedupStream.survivors(spark, stateDir)
+      .collect().map(_.getLong(0)).toSet
+    // plant crash debris: an abandoned staged survivor store and an
+    // uncommitted (never-pointed) quantizer version directory
+    new java.io.File(s"$stateDir/survivors-debris/bid=7").mkdirs()
+    new java.io.File(s"$stateDir/q/v=99/coarse").mkdirs()
+    // readers resolve through the committed pointer: both invisible
+    assert(SemDedupStream.survivorsDir(spark, stateDir) === d0)
+    assert(SemDedupStream.survivors(spark, stateDir)
+      .collect().map(_.getLong(0)).toSet === ids0)
+    // a completed rebootstrap commits a NEW generation atomically...
+    SemDedupStream.rebootstrap(spark, stateDir, coarseK = 3, fineK = 2)
+    val d1 = SemDedupStream.survivorsDir(spark, stateDir)
+    assert(d1 !== d0)
+    // ...preserving every survivor (seniority frozen), reclaiming the
+    // superseded store, and leapfrogging the debris version
+    assert(SemDedupStream.survivors(spark, stateDir)
+      .collect().map(_.getLong(0)).toSet === ids0)
+    assert(!new java.io.File(d0).exists(), s"superseded store $d0 not reclaimed")
+    // and the state still serves batches
+    val b0 = Seq((200L, svec(7, 1L))).toDF("vec_id", "embedding")
+    SemDedupStream.processBatch(spark, b0, 0L, stateDir, s"$dir/kept",
+      eps = 0.999, capTarget = 16, levels = 1)
+    assert(SemDedupStream.kept(spark, s"$dir/kept")
+      .collect().map(_.getLong(0)).toSeq === Seq(200L))
   }
 }
