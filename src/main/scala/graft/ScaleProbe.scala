@@ -628,11 +628,11 @@ object ScaleProbe {
           var j = ci
           while (clientsRunning) {
             val (kind, u) = urls(j % 3); j += 1
-            val g1 = Ingest.StoreGen.gens(Seq(ptsDir))
+            val g1 = Ingest.StoreGen.gens(spark, Seq(ptsDir))
             val (code, body) =
               try httpGet(u)
               catch { case _: Exception => (-1, "") }
-            val g2 = Ingest.StoreGen.gens(Seq(ptsDir))
+            val g2 = Ingest.StoreGen.gens(spark, Seq(ptsDir))
             if (code != 200) errors.incrementAndGet()
             // only generation-stable samples are attributable to one
             // store state; the rest are discarded, not judged
@@ -733,13 +733,11 @@ object ScaleProbe {
         // the final served payload must equal a fresh locked render
         val finalServed = httpGet(absUrl)
         require(finalServed._1 == 200, s"final render: ${finalServed._1}")
-        val fresh = Ingest.StoreLock.read(Seq(ptsDir)) {
-          graft.Render.renderTargets(
-            graft.dsl.Viewport.ctx(spark,
-              Ingest.readArchives(spark, Seq(ptsDir)), 10,
-              absFrom.toString, absUntil.toString, nowSec = 0L,
-              maxPoints = 512), Seq("px.s1"))
-        }
+        val fresh = graft.Render.renderTargets(
+          graft.dsl.Viewport.ctx(spark,
+            Ingest.readArchives(spark, Seq(ptsDir)), 10,
+            absFrom.toString, absUntil.toString, nowSec = 0L,
+            maxPoints = 512), Seq("px.s1"))
         require(finalServed._2 == fresh,
           "final served payload diverges from a fresh render")
         val stats = httpGet(s"$base/stats")._2

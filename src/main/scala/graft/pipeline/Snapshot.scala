@@ -52,7 +52,7 @@ object Snapshot {
 
   private val Pointer = "_latest"
 
-  private def fs(spark: SparkSession, dir: String): FileSystem =
+  private[graft] def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def versionOf(p: Path): Option[Long] = {
@@ -158,7 +158,7 @@ object Snapshot {
     * [[claimSlot]]'s atomic lock-file create; once claimed, the dest
     * dir cannot exist (claims are exclusive and version dirs are only
     * ever created by claim holders), so the rename must succeed. */
-  private def commitStaged(f: FileSystem, dir: String, tmp: Path): Long = {
+  private[graft] def commitStaged(f: FileSystem, dir: String, tmp: Path): Long = {
     var v = maxVersionDir(f, dir) + 1
     while (f.exists(new Path(dir, s"v=$v")) || !claimSlot(f, dir, v)) v += 1
     val dest = new Path(dir, s"v=$v")

@@ -317,23 +317,24 @@ object Daemon {
     private var cached: Option[(Seq[Long], DataFrame)] = None
     /** The distinct-name catalog, cache-consistent with the stores. */
     def names(): DataFrame = synchronized {
-      val gens = Ingest.StoreGen.gens(archiveDirs)
+      // pin the snapshot states ONCE: the generation vector and the
+      // rebuild below read the same committed versions, so a merge
+      // landing mid-rebuild cannot tear the catalog (it reads
+      // immutable files) — no lock needed, in- or cross-process
+      val states = archiveDirs.map(ArchiveStore.state(spark, _))
+      val gens = states.map(_.map(_.version).getOrElse(0L))
       cached match {
         case Some((g, df)) if g == gens =>
           hits.incrementAndGet(); df
         case prev =>
           prev.foreach(_._2.unpersist())
-          // rebuild under the stores' read lock — same mid-swap
-          // isolation rationale as the render compute
-          val df = Ingest.StoreLock.read(archiveDirs) {
-            val d = Ingest.readArchives(spark, archiveDirs)
-              .select("name").distinct().persist()
-            d.count() // materialize: route hits must read cache, not plan
-            d
-          }
-          cached = Some((gens, df))
+          val d = Ingest.readArchives(spark, archiveDirs,
+              pinned = Some(states))
+            .select("name").distinct().persist()
+          d.count() // materialize: route hits must read cache, not plan
+          cached = Some((gens, d))
           misses.incrementAndGet()
-          df
+          d
       }
     }
   }
@@ -818,22 +819,26 @@ object Daemon {
       // serve the wrong cached payload.
       val key = (targets :+ f.toString :+ u.toString :+ maxDp.toString)
         .mkString("\u0000")
-      renderCache.getOrCompute(key, Ingest.StoreGen.gens(archiveDirs)) {
+      // pin the stores' snapshot states ONCE: the cache-key generation
+      // vector and the compute below read the same committed versions
+      val states = archiveDirs.map(ArchiveStore.state(spark, _))
+      val gens = states.map(_.map(_.version).getOrElse(0L))
+      renderCache.getOrCompute(key, gens) {
         // Cold render only: bounded at `renderConcurrency` concurrent
         // Spark jobs (BATCH_LIMIT parity). Cache hits and single-flight
         // waiters never touch the semaphore, so hot keys are never
         // throttled behind cold ones.
         renderPermits.acquire()
         raise(renderMaxInFlight, renderInFlight.incrementAndGet())
-        // compute under the stores' READ lock ([[Ingest.StoreLock]]):
-        // a concurrent merge's dynamic overwrite can never hand this
-        // scan a mid-swap directory. If a merge slipped between the
-        // gens read above and this lock, the entry is stamped with a
-        // pre-bump vector no future request can observe (gens are
-        // monotone), so it is dead weight, never a stale serve.
-        try Ingest.StoreLock.read(archiveDirs) {
+        // the compute reads the PINNED versions' immutable files: a
+        // concurrent merge cannot tear this scan — from this JVM or
+        // any other — and the entry is stamped with exactly the
+        // versions it read. A merge landing mid-compute stamps the
+        // entry with a pre-commit vector no future request can observe
+        // (versions are monotone): dead weight, never a stale serve.
+        try {
           val ctx = Viewport.ctx(spark,
-            Ingest.readArchives(spark, archiveDirs),
+            Ingest.readArchives(spark, archiveDirs, pinned = Some(states)),
             stepSec, from, until, nowS, maxDp)
           Render.renderTargets(ctx, targets)
         } finally { renderInFlight.decrementAndGet(); renderPermits.release() }

@@ -271,46 +271,42 @@ object Ingest {
     * partition commits is covered: committed partitions carry the tag,
     * uncommitted ones still carry the previous writer's. `None`
     * preserves plain additive semantics (ad-hoc backfills, tests). */
-  /** JVM-global per-store mutation generations — the invalidation
-    * signal for the render result cache ([[Daemon.RenderCache]]): each
-    * archive write or retention delete bumps its directory's counter,
-    * so a cached render payload is valid exactly while every store it
-    * read is at the generation it was computed against. Global for the
-    * same reason as [[graft.sources.GatewayStats]]: the writers live
-    * in streaming lifecycles, the reader in the HTTP layer, and the
-    * daemon is single-JVM by contract (keyed on the exact dir string
-    * the daemon passes both sides). */
+  /** Per-store mutation generations — the invalidation signal for the
+    * render result cache ([[Daemon.RenderCache]]): each archive merge
+    * or retention edit commits a new [[ArchiveStore]] version, so a
+    * cached render payload is valid exactly while every store it read
+    * is at the version it was computed against. Since round 10 the
+    * generation IS the committed snapshot version — durable (cache
+    * coherence survives a daemon restart) and CROSS-PROCESS (an
+    * out-of-JVM writer's commit invalidates this JVM's caches), where
+    * the round-9 in-memory counter was single-JVM by contract. */
   object StoreGen {
-    private val gens =
-      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
-    def bump(dir: String): Unit = {
-      gens.computeIfAbsent(dir,
-        _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
-      ()
-    }
-    def gen(dir: String): Long =
-      Option(gens.get(dir)).map(_.get).getOrElse(0L)
-    def gens(dirs: Seq[String]): Seq[Long] = dirs.map(gen)
+    def gen(spark: SparkSession, dir: String): Long =
+      ArchiveStore.version(spark, dir)
+    def gens(spark: SparkSession, dirs: Seq[String]): Seq[Long] =
+      dirs.map(gen(spark, _))
   }
 
-  /** Per-store read/write lock — the serve/merge isolation the
-    * reference gets from its per-DS RWMutex (`rrd/ds.go`). A dynamic
-    * partition overwrite is NOT snapshot-isolated for concurrent
-    * readers: a render scanning the directory mid-swap reads torn
-    * state (or hits vanished files). Mutators ([[mergePiecesIntoArchive]],
-    * [[enforceRetention]]) hold their store's write lock across the
-    * rewrite AND the [[StoreGen]] bump; query-side computes
-    * ([[Daemon]] render + catalog rebuild) hold read locks — shared
-    * among themselves, excluded from swaps. FAIR locks so a merge
-    * cannot starve behind a continuous render stream. Lock ordering:
-    * multi-dir readers acquire in sorted order; writers are
-    * single-dir — no cycles. Daemon-scope (single JVM) by the same
-    * contract as [[StoreGen]]. */
+  /** Per-store WRITER mutex — serializes same-JVM mutators
+    * ([[mergePiecesIntoArchive]] vs [[enforceRetention]] on one store)
+    * so their read-manifest → write-data → commit-manifest cycles
+    * never interleave (a lost manifest update would silently drop the
+    * loser's partitions). This is the write half of the reference's
+    * per-DS RWMutex (`rrd/ds.go`); the READ half is gone since round
+    * 10 — queries pin an [[ArchiveStore]] snapshot version and read
+    * immutable files, so they need no lock, take no latency hit from
+    * an in-flight merge, and (unlike any JVM lock) stay isolated from
+    * writers in OTHER processes. Cross-process writers on one store
+    * are outside the contract (one writer per store directory — the
+    * daemon keeps one store per ingest lifecycle). */
   object StoreLock {
     private val locks = new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.locks.ReentrantReadWriteLock]
     private def of(dir: String) = locks.computeIfAbsent(dir,
       _ => new java.util.concurrent.locks.ReentrantReadWriteLock(true))
+    /** Retained for callers that want read-your-own-writes ordering
+      * against a same-JVM writer (waits out an in-flight mutation);
+      * NOT needed for consistency — reads are snapshot-pinned. */
     def read[T](dirs: Seq[String])(f: => T): T = {
       val ls = dirs.distinct.sorted.map(of)
       ls.foreach(_.readLock().lock())
@@ -342,37 +338,31 @@ object Ingest {
         .collect().map(_.getLong(0))
       if (touched.isEmpty) return
       val bidTag = writer.map { case (tok, b) => s"$tok/$b" }.getOrElse("")
-      // the swap (read-existing → dynamic overwrite → generation bump)
-      // runs under the store's WRITE lock: concurrent query-side reads
-      // ([[StoreLock]]) never see a mid-swap directory
+      // the whole read-manifest → stage-chunk → commit-manifest cycle
+      // runs under the store's WRITER mutex: a same-JVM retention edit
+      // cannot interleave and lose this merge's partitions. Readers
+      // take no lock — they pin the pre- or post-commit version.
       StoreLock.write(archiveDir) {
-        // explicit first-write probe: a transient read error must FAIL
-        // the batch, not silently discard the touched partitions'
-        // history (a swallowed read + dynamic overwrite would rewrite
-        // them from the batch alone)
-        val archivePath = new org.apache.hadoop.fs.Path(archiveDir)
-        val fs = archivePath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
+        val st = ArchiveStore.state(spark, archiveDir)
+        val manifest = st.map(_.manifest).getOrElse(Map.empty[Long, String])
+        val touchedSet = touched.toSet
+        // existing rows for the touched partitions, read through the
+        // pinned manifest (a transient read error FAILS the batch —
+        // never silently rewrites history from the batch alone)
+        val relevant = manifest.filter { case (pt, _) => touchedSet(pt) }
         val existingAll =
-          if (!fs.exists(archivePath))
+          if (relevant.isEmpty)
             spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("t"),
               lit(0.0).as("vw"), lit(0.0).as("dur"), lit(0L).as("pt"),
               lit("").as("bid")).limit(0)
-          else {
-            val raw = spark.read.parquet(archiveDir)
-              .filter(col("pt").isin(touched.map(Long.box).toIndexedSeq: _*))
-            // stores written before the stamp existed read as never-stamped
-            val withBid = if (raw.columns.contains("bid")) raw
-              else raw.withColumn("bid", lit(""))
-            withBid.select(col("name"), col("t"), col("vw"), col("dur"),
-              col("pt"), col("bid"))
-          }
+          else ArchiveStore.readRaw(spark, archiveDir,
+            ArchiveStore.State(st.get.version, relevant))
         // partitions this (token, batch) already rewrote in a previous
-        // attempt: complete and correct — leave them untouched
+        // attempt: complete, correct, and already committed — leave
+        // their manifest entries untouched
         val donePts: Set[Long] =
           if (writer.isEmpty) Set.empty
           else existingAll.filter(col("bid") === bidTag)
-            // hive partition discovery may infer pt as int — normalize
             .select(col("pt").cast("long")).distinct()
             .collect().map(_.getLong(0)).toSet
         val redo = touched.filterNot(donePts.contains)
@@ -389,11 +379,19 @@ object Ingest {
             .withColumn("bid", lit(bidTag))
             .withColumn("pt",
               floor(col("t").cast("double") / partSec).cast("long"))
-          merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("pt")
-            .parquet(archiveDir)
-          StoreGen.bump(archiveDir)
+          // stage the rewritten partitions as one fresh immutable
+          // chunk, then commit the manifest edit: same incremental
+          // write volume as the dynamic overwrite this replaces, but
+          // the pre-commit version stays fully readable from any
+          // process (a crash before commit leaves an orphan chunk for
+          // vacuum, never a torn store)
+          val dd = ArchiveStore.newDataDir()
+          merged.write.partitionBy("pt").parquet(s"$archiveDir/$dd")
+          ArchiveStore.commit(spark, archiveDir,
+            manifest ++ redo.map(_ -> dd))
+          // bounded version history: keep a reader grace window, drop
+          // chunks no retained version references
+          ArchiveStore.vacuum(spark, archiveDir, keepVersions = 8)
         }
       }
     } finally { newPartials.unpersist(); () }
@@ -412,56 +410,59 @@ object Ingest {
     * same way; only the span boundary differs by < one partition). */
   def enforceRetention(spark: SparkSession, archiveDir: String,
       stepSec: Long, spanSec: Long, nowSec: Long,
-      partitionSlots: Long = 8640): Seq[Long] = {
+      partitionSlots: Long = 8640, keepVersions: Int = 8): Seq[Long] = {
     val partSec = stepSec * partitionSlots
     val horizonPt = math.floor((nowSec - spanSec).toDouble / partSec).toLong
-    val archivePath = new org.apache.hadoop.fs.Path(archiveDir)
-    val fs = archivePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(archivePath)) return Seq.empty
-    val dropped = StoreLock.write(archiveDir) {
-      val d = fs.listStatus(archivePath).toSeq
-        .filter(_.isDirectory)
-        .flatMap { st =>
-          val name = st.getPath.getName
-          if (!name.startsWith("pt=")) None
-          else scala.util.Try(name.stripPrefix("pt=").toLong).toOption
-            // pt holds slots [pt·partSec, (pt+1)·partSec) — drop only if
-            // the WHOLE range is past the horizon
-            .filter(_ < horizonPt)
-            .map { pt => fs.delete(st.getPath, true); pt }
-        }
-      if (d.nonEmpty) StoreGen.bump(archiveDir)
-      d
+    StoreLock.write(archiveDir) {
+      ArchiveStore.state(spark, archiveDir) match {
+        case None => Seq.empty
+        case Some(st) =>
+          // retention is a pure MANIFEST edit: the aged partitions
+          // leave the visible version; their bytes outlive the reader
+          // grace window and die in vacuum — a reader pinned before
+          // this commit still sees every file its version lists
+          val dropped = st.manifest.keys.filter(_ < horizonPt).toSeq
+          if (dropped.nonEmpty) {
+            ArchiveStore.commit(spark, archiveDir,
+              st.manifest -- dropped)
+            ()
+          }
+          ArchiveStore.vacuum(spark, archiveDir, keepVersions)
+          dropped.sorted
+      }
     }
-    dropped.sorted
   }
 
-  /** Read the archive slot store as a series frame. */
+  /** Read the archive slot store (latest committed version) as a
+    * series frame. */
   def readArchive(spark: SparkSession, archiveDir: String): DataFrame =
-    spark.read.parquet(archiveDir)
+    ArchiveStore.readLatest(spark, archiveDir)
       .select(col("name"), col("t"), (col("vw") / col("dur")).as("value"))
 
   /** Read SEVERAL archive stores as one series frame — the daemon keeps
     * one store per writer (point receiver / statsd / pixel commands, so
-    * no two streaming queries ever race a dynamic-partition overwrite on
-    * the same directory) and the query surface merges them at read
-    * time. A slot present in more than one store weighted-merges on its
-    * (vw, dur) partials, the same math the single-store merge uses.
-    * Not-yet-written stores (no data received on that protocol) read as
-    * empty. */
-  def readArchives(spark: SparkSession, dirs: Seq[String]): DataFrame = {
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val present = dirs.filter { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      p.getFileSystem(hadoopConf).exists(p)
+    * no two streaming queries ever race a manifest commit on the same
+    * directory) and the query surface merges them at read time. A slot
+    * present in more than one store weighted-merges on its (vw, dur)
+    * partials, the same math the single-store merge uses. Not-yet-
+    * written stores (no data received on that protocol) read as empty.
+    * `pinned` reads EXACT versions (one per dir, [[ArchiveStore.state]])
+    * — the render path resolves its states once and computes against
+    * immutable files however many merges land meanwhile. */
+  def readArchives(spark: SparkSession, dirs: Seq[String],
+      pinned: Option[Seq[Option[ArchiveStore.State]]] = None): DataFrame = {
+    val states = pinned.getOrElse(dirs.map(ArchiveStore.state(spark, _)))
+    val frames = dirs.zip(states).collect { case (d, Some(st)) =>
+      ArchiveStore.readRaw(spark, d, st)
+        .select(col("name"), col("t"), col("vw"), col("dur"))
     }
-    if (present.isEmpty)
+    if (frames.isEmpty)
       spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("t"),
         lit(0.0).as("value")).limit(0)
-    else if (present.size == 1) readArchive(spark, present.head)
-    else present
-      .map(d => spark.read.parquet(d).select(col("name"), col("t"),
-        col("vw"), col("dur")))
+    else if (frames.size == 1)
+      frames.head.select(col("name"), col("t"),
+        (col("vw") / col("dur")).as("value"))
+    else frames
       .reduce(_.unionByName(_))
       .groupBy(col("name"), col("t"))
       .agg((sum(col("vw")) / sum(col("dur"))).as("value"))

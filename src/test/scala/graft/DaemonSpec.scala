@@ -252,47 +252,50 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the reference serves 64 concurrent readers (BATCH_LIMIT,
     // http/graphite.go:37); with no executor the JDK HttpServer would
     // serialize everything on one dispatcher thread and this test
-    // would deadlock. Latch: hold the store WRITE lock so every cold
-    // render blocks inside its compute, exactly like a slow merge.
+    // would deadlock. Latch: the injectable resolution clock blocks
+    // the FIRST render request on its handler thread (renders take no
+    // store lock since the MVCC port — they pin a snapshot — so the
+    // clock is the seam that models a slow in-flight request).
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("conc").toString + "/slots"
     Ingest.mergePiecesIntoArchive(s,
       Seq(Ingest.Piece("web.req", 1000000L, 1000020L, 2.0)).toDF(),
       dir, stepSec = 10)
-    val http = Daemon.startHttp(s, 0, Seq(dir), stepSec = 10,
-      now = () => 1000100L)
-    val held = new java.util.concurrent.CountDownLatch(1)
+    val firstLatched = new java.util.concurrent.atomic.AtomicBoolean(false)
     val release = new java.util.concurrent.CountDownLatch(1)
-    val locker = new Thread(() =>
-      Ingest.StoreLock.write(dir) { held.countDown(); release.await() })
-    locker.start(); held.await()
+    val http = Daemon.startHttp(s, 0, Seq(dir), stepSec = 10,
+      now = () => {
+        if (firstLatched.compareAndSet(false, true)) release.await()
+        1000100L
+      })
     try {
       val base = s"http://127.0.0.1:${http.getAddress.getPort}"
-      def asyncRender(from: Long): Thread = {
-        val t = new Thread(() => {
-          val (code, body) =
-            httpGet(s"$base/render?target=web.req&from=$from&until=now")
-          assert(code === 200 && body.contains("web.req"), body)
-        })
-        t.start(); t
-      }
-      val r1 = asyncRender(1000000L)
-      // the cold render is latched inside its compute (permit held,
-      // blocked on the store lock) — and /stats itself answering here
-      // already proves the dispatcher is not head-of-line-blocked
-      assert(awaitStat(base, "render.in_flight", 1L) === 1L)
+      val r1Body = new java.util.concurrent.atomic.AtomicReference[String]()
+      val r1 = new Thread(() => {
+        val (code, body) =
+          httpGet(s"$base/render?target=web.req&from=1000000&until=now")
+        assert(code === 200, body); r1Body.set(body)
+      })
+      r1.start()
+      // the first render is latched on its own handler thread; /stats
+      // answering at all already proves the dispatcher is not
+      // head-of-line-blocked (it counts the latched request in flight)
+      assert(awaitStat(base, "http.in_flight", 2L) >= 2L) // r1 + this /stats
       val (pc, pb) = httpGet(s"$base/ping")
       assert(pc === 200 && pb === "OK\n")
-      // a DISTINCT-key render gets its own thread + permit and runs
-      // concurrently: two renders in flight at once
-      val r2 = asyncRender(1000010L)
-      assert(awaitStat(base, "render.in_flight", 2L) === 2L)
-      release.countDown(); locker.join()
-      r1.join(30000); r2.join(30000)
-      assert(!r1.isAlive && !r2.isAlive, "renders did not complete")
+      // a DISTINCT-key render runs on its own thread and COMPLETES
+      // while the first is still latched — full request concurrency
+      val (c2, b2) =
+        httpGet(s"$base/render?target=web.req&from=1000010&until=now")
+      assert(c2 === 200 && b2.contains("web.req"), b2)
+      assert(r1.isAlive, "latched render finished early — latch broken")
       val st = httpGet(s"$base/stats")._2
-      assert(st.contains("\"render.in_flight\":0"), st)
-      assert(awaitStat(base, "http.max_in_flight", 2L) >= 2L, st)
+      assert(st.contains("\"query_cache.misses\":1"), st)
+      release.countDown()
+      r1.join(30000)
+      assert(!r1.isAlive, "latched render did not complete after release")
+      assert(r1Body.get.contains("web.req"), r1Body.get)
+      assert(awaitStat(base, "http.max_in_flight", 2L) >= 2L)
     } finally { release.countDown(); http.stop(0) }
   }
 
@@ -306,13 +309,12 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     Ingest.mergePiecesIntoArchive(s,
       Seq(Ingest.Piece("web.req", 1000000L, 1000020L, 2.0)).toDF(),
       dir, stepSec = 10)
+    // gate: every client's request blocks in the resolution clock
+    // until all 8 have arrived, then ALL race into the cache at once —
+    // the strongest possible stampede against single-flight
+    val arrived = new java.util.concurrent.CountDownLatch(8)
     val http = Daemon.startHttp(s, 0, Seq(dir), stepSec = 10,
-      now = () => 1000100L)
-    val held = new java.util.concurrent.CountDownLatch(1)
-    val release = new java.util.concurrent.CountDownLatch(1)
-    val locker = new Thread(() =>
-      Ingest.StoreLock.write(dir) { held.countDown(); release.await() })
-    locker.start(); held.await()
+      now = () => { arrived.countDown(); arrived.await(); 1000100L })
     try {
       val base = s"http://127.0.0.1:${http.getAddress.getPort}"
       val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -321,20 +323,19 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
         val t = new Thread(() => { bodies.add(httpGet(url)._2); () })
         t.start(); t
       }
-      // all 8 clients in flight against the latched render: exactly ONE
-      // holds a permit and computes; 7 await its future as hits
-      assert(awaitStat(base, "http.in_flight", 9L) >= 9L) // 8 + this /stats
-      assert(awaitStat(base, "render.in_flight", 1L) === 1L)
-      release.countDown(); locker.join()
       clients.foreach(_.join(30000))
       assert(clients.forall(!_.isAlive), "clients did not complete")
+      assert(bodies.size === 8)
       assert(bodies.toArray(new Array[String](0)).toSet.size === 1,
         "torn/differing payloads across identical requests")
+      // exactly ONE held a permit and computed; 7 were served as hits
+      // (single-flight waiters or cache hits, depending on arrival)
       val st = httpGet(s"$base/stats")._2
       assert(st.contains("\"query_cache.misses\":1") &&
         st.contains("\"query_cache.hits\":7"), st)
       assert(st.contains("\"render.max_in_flight\":1"), st)
-    } finally { release.countDown(); http.stop(0) }
+      assert(awaitStat(base, "http.max_in_flight", 8L) >= 8L, st)
+    } finally http.stop(0)
   }
 
   test("e2e distinct renders under a concurrent merge: N misses, " +
@@ -961,7 +962,7 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       // (weighted means re-associate — the cascade contract)
       val coarse = Ingest.readArchive(s, Daemon.Rra(40L, 0L).dir(s"$dir/points"))
         .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
-      val expect = s.read.parquet(s"$dir/points")
+      val expect = graft.streaming.ArchiveStore.readLatest(s, s"$dir/points")
         .groupBy(org.apache.spark.sql.functions.expr("name"),
           org.apache.spark.sql.functions.expr("CAST(floor(t / 40) AS BIGINT) * 40 AS ct"))
         .agg(org.apache.spark.sql.functions.expr("sum(vw) / sum(dur) AS v"))

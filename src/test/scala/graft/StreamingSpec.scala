@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.streaming.Ingest
+import graft.streaming.{ArchiveStore, Ingest}
 import graft.rrd.Consolidate
 
 /** Ingest-path tests: wire parsers (incl. malformed input), streaming
@@ -387,9 +387,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // store A: slot ("a", 0) from 10s at value 2; store B: SAME slot
     // from 30s at value 6 — the union must weighted-mean: (2·10+6·30)/40
     Seq(("a", 0L, 20.0, 10.0)).toDF("name", "t", "vw", "dur")
-      .write.parquet(s"$base/p1")
+      .withColumn("pt", lit(0L)).write.partitionBy("pt")
+      .parquet(s"$base/p1/data-a")
+    ArchiveStore.commit(s, s"$base/p1", Map(0L -> "data-a"))
     Seq(("a", 0L, 180.0, 30.0), ("b", 10L, 5.0, 5.0))
-      .toDF("name", "t", "vw", "dur").write.parquet(s"$base/p2")
+      .toDF("name", "t", "vw", "dur")
+      .withColumn("pt", lit(0L)).write.partitionBy("pt")
+      .parquet(s"$base/p2/data-b")
+    ArchiveStore.commit(s, s"$base/p2", Map(0L -> "data-b"))
     val got = Ingest.readArchives(s, Seq(s"$base/p1", s"$base/p2",
         s"$base/absent")) // not-yet-written store reads as empty
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -413,7 +418,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (col("id") * 10).as("t"), col("id").cast("double").as("vw"),
         lit(1.0).as("dur"))
       .withColumn("pt", floor(col("t").cast("double") / 86400).cast("long"))
-      .write.partitionBy("pt").parquet(dir)
+      .write.partitionBy("pt").parquet(s"$dir/data-a")
+    ArchiveStore.commit(s, dir, Map(0L -> "data-a"))
     val archive = Ingest.readArchive(s, dir)
     val pending = Seq(
       Ingest.Piece("m1", 10000L, 10010L, 5.0),
@@ -475,6 +481,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(1) - B, r.getDouble(2))).toMap
     assert(got === (0L to 80L by 10).map(_ -> 2.0).toMap,
       "every slot exactly once, including the one spanning the restart")
+  }
+
+  test("cross-process isolation: a reader pinned mid-merge in a separate " +
+      "process reads a consistent version") {
+    // THE case the MVCC port exists for: at scale, ingest and serving
+    // do not share a JVM, so no in-memory lock can isolate them. The
+    // writer here is a REAL second JVM (MergeTool → its own
+    // SparkSession → mergePiecesIntoArchive); this process pins a
+    // snapshot before the merge and must read exactly that content
+    // after it — and see the new version the instant it re-resolves.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-xproc").toString + "/slots"
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("xp.m", 0L, 20L, 2.0)).toDF(), dir, stepSec = 10)
+    val st1 = ArchiveStore.state(s, dir).get
+    def readPinned(st: ArchiveStore.State): Map[Long, Double] =
+      Ingest.readArchives(s, Seq(dir), pinned = Some(Seq(Some(st))))
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val c1 = readPinned(st1)
+    assert(c1 === Map(0L -> 2.0, 10L -> 2.0))
+    // out-of-process merge: same slots refined + a new one
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.streaming.MergeTool", dir, "10", "xp.m", "10", "40", "8.0"))
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val log = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor() === 0, s"MergeTool failed:\n${log.takeRight(2000)}")
+    // the child's commit is visible HERE through the filesystem alone
+    val st2 = ArchiveStore.state(s, dir).get
+    assert(st2.version > st1.version, "out-of-process commit not visible")
+    // piece [10,40) at 8.0: slot 10 refines to (2*10+8*10)/20, slots
+    // 20 and 30 are new
+    val c2 = readPinned(st2)
+    assert(c2 === Map(0L -> 2.0, 10L -> 5.0, 20L -> 8.0, 30L -> 8.0))
+    // the PINNED pre-merge read is bit-stable after the commit...
+    assert(readPinned(st1) === c1, "pinned version torn by concurrent merge")
+    // ...and survives retention + vacuum thanks to the reader grace
+    // window (keepVersions retains st1's manifest and its chunks)
+    Ingest.enforceRetention(s, dir, stepSec = 10, spanSec = 10L * 8640 * 4,
+      nowSec = 1000L, keepVersions = 8)
+    assert(readPinned(st1) === c1, "pinned version lost to vacuum grace")
+    // while a grace-less vacuum (keepVersions = 1) does reclaim it:
+    // the old chunks disappear once no retained manifest references
+    // them — storage is actually bounded, not leak-by-grace
+    ArchiveStore.vacuum(s, dir, keepVersions = 1, orphanGraceMs = 0L)
+    assert(ArchiveStore.state(s, dir, Some(st1.version)).isEmpty,
+      "vacuum(keep=1) left the superseded version")
+    assert(readPinned(st2) === c2, "latest version must survive vacuum")
   }
 
   test("archive merge: batch replay is idempotent, restarts don't double-count") {
@@ -545,12 +611,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/slots"
 
-    def files(pt: Long): Map[String, Long] = {
-      val d = new java.io.File(s"$dir/pt=$pt")
-      if (!d.exists()) Map.empty
-      else d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.lastModified()).toMap
-    }
+    // resolve a partition's files through the committed manifest: the
+    // incremental-merge property is now "an untouched pt keeps its
+    // manifest entry AND its chunk files" (nothing rewrites its bytes)
+    def files(pt: Long): Map[String, Long] =
+      ArchiveStore.state(s, dir).flatMap(_.manifest.get(pt)) match {
+        case None => Map.empty
+        case Some(dd) =>
+          val d = new java.io.File(s"$dir/$dd/pt=$pt")
+          if (!d.exists()) Map.empty
+          else d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => s"$dd/" + f.getName -> f.lastModified()).toMap
+      }
 
     // stepSec=10, partitionSlots=2 → 20-second partitions
     // batch 1: slots 0,10 (pt=0) and 20 (pt=1)
