@@ -62,6 +62,7 @@ object ScaleProbe {
     pipeline.Similarity.publishTwoLevelIndex(vecs, semDir,
       coarseK = 128, fineK = 64, coarseIters = 1, fineIters = 1)
 
+    var driftJson = """{}""" // filled by the semdedup_stream_drift stage
     val results = Seq(
       time("gen_scan")(pts.count()),
       time("consolidate_1m") {
@@ -523,6 +524,156 @@ object ScaleProbe {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
         r
       },
+      {
+        // STREAMING SEMANTIC-DEDUP DRIFT LOOP at the design point —
+        // DedupStreamSpec's engineered-drift construction scaled
+        // ~30000×: bootstrap freezes the quantizer on distribution A
+        // (mass in dims 0-31); the stream then delivers near-identical
+        // PAIRS in a region A never saw (marker mass in dims 32-63),
+        // each member tilted toward a different frozen cell — so pairs
+        // straddle cells, the confined dedup MISSES them, the
+        // confinement gauge collapses, the maintenance tick refits,
+        // and the very next drifted batch dedups correctly. Every
+        // assert scales with the env-provided sizes.
+        import graft.streaming.SemDedupStream
+        val nStream = sys.env
+          .getOrElse("SPARK_GRAFT_PROBE_STREAM_VECS", "1000000").toLong
+        val seedN = nStream / 2
+        val batchN = nStream / 20
+        val root = java.nio.file.Files
+          .createTempDirectory("semdrift-probe").toString
+        val stateDir = s"$root/state"; val keptDir = s"$root/kept"
+        val eps = 0.999; val cK = 2048; val fK = 1
+        def aVecs(from: Long, n: Long) = spark.range(from, from + n).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            when(j < 32, (pmod(xxhash64(col("id"), j), lit(2001)) - 1000)
+              .cast("double") / 1000.0).otherwise(lit(0.0)))
+            .as("embedding"))
+        // drifted pair batch: pair p carries a SHARED B-part — marker
+        // dim 32+(p%16)=100, secondary 48+((p/16)%16)=60, pair-keyed
+        // noise of magnitude ~50 (so distinct pairs sit at cos ≈ 0.34,
+        // far under eps, while twins sit at cos ≈ 1 − 3e-4 ≥ eps) —
+        // plus per-MEMBER unit A-noise in dims 0-31. The frozen
+        // A-trained centroids have mass ONLY in dims 0-31, so
+        // pre-rebuild assignment is decided by each member's private
+        // A-noise and the twins scatter independently (cell-straddled
+        // dups, the drift miss mode). Post-refit the cells are
+        // B-residual-driven while the twin difference lives in the
+        // near-orthogonal A dims, so twins co-locate — robust because
+        // the perturbation is orthogonal to the decision margins, not
+        // because of any Lloyd tie-break.
+        def pairVecs(from: Long, n: Long, salt: Long) =
+          spark.range(from, from + n).select(
+            col("id").as("vec_id"), {
+              val p = floor((col("id") - from) / 2).cast("long")
+              transform(sequence(lit(0), lit(63)), j =>
+                when(j === pmod(p, lit(16)) + 32, lit(100.0))
+                  .when(j === pmod(floor(p / 16), lit(16)) + 48, lit(60.0))
+                  .when(j >= 32,
+                    (pmod(xxhash64(p, j, lit(salt)), lit(101)) - 50)
+                      .cast("double"))
+                  .otherwise((pmod(xxhash64(col("id"), j, lit(salt)),
+                    lit(2001)) - 1000).cast("double") / 1000.0))
+            }.as("embedding"))
+        def batchStart(b: Int) = seedN + b.toLong * batchN
+        val r = time("semdedup_stream_drift_1m") {
+          SemDedupStream.bootstrap(spark, aVecs(0, seedN), stateDir, eps,
+            coarseK = cK, fineK = fK, coarseIters = 2, fineIters = 1,
+            capTarget = 256, levels = 1)
+          // batches 0-4: fresh A-distribution vectors — all unique, the
+          // frozen quantizer fits, everything survives
+          (0 to 4).foreach { b =>
+            SemDedupStream.processBatch(spark, aVecs(batchStart(b), batchN),
+              b.toLong, stateDir, keptDir, eps, capTarget = 256, levels = 1)
+          }
+          val survPre = SemDedupStream.survivors(spark, stateDir).count()
+          // batch 5: the SHIFT. Twin pairs straddle the A-trained cells,
+          // so the confined dedup misses ~every pair
+          val b5 = pairVecs(batchStart(5), batchN, salt = 5L)
+          SemDedupStream.processBatch(spark, b5, 5L, stateDir, keptDir,
+            eps, capTarget = 256, levels = 1)
+          val kept5 = SemDedupStream.kept(spark, keptDir)
+            .filter(col("vec_id") >= batchStart(5)).count()
+          require(kept5 >= (batchN * 9) / 10,
+            s"drifted twins collapsed PRE-rebuild ($kept5 of $batchN " +
+              "kept) — the drift construction no longer straddles cells")
+          // maintenance tick (the startMaintained cadence, driven
+          // explicitly so the gauge readings land in the probe JSON):
+          // probes are the drifted batch's own rows
+          val probes = b5.orderBy(col("vec_id")).limit(64)
+          val (pre, rebuilt) = SemDedupStream.maintain(spark, stateDir,
+            probes, k = 1, minRecall = 0.7, coarseK = cK, fineK = fK,
+            coarseIters = 2, fineIters = 1)
+          require(rebuilt && pre < 0.7,
+            s"drift gauge failed to trip: recall $pre, rebuilt=$rebuilt")
+          val post = SemDedupStream.streamRecall(spark, stateDir, probes, 1)
+            .agg(avg(col("recall"))).collect().head.getDouble(0)
+          require(post >= 0.7,
+            s"post-rebuild confinement recall $post < 0.7")
+          val survPost = SemDedupStream.survivors(spark, stateDir).count()
+          require(survPost == survPre + kept5,
+            s"rebuild changed survivor history: $survPost vs " +
+              s"${survPre + kept5} — seniority must be frozen")
+          // batch 6: same drift shape, new pairs — the refit quantizer
+          // now CO-LOCATES twins, so pair members die wherever their
+          // cell fits a chunk. REPORTED, not required: the chunk cap
+          // is an approximation by design (a twin pair can land in
+          // different hash chunks of a large cell), so the exact catch
+          // rate is distribution-dependent — the deterministic
+          // cross-rebuild catch is DedupStreamSpec's engineered case
+          SemDedupStream.processBatch(spark,
+            pairVecs(batchStart(6), batchN, salt = 6L), 6L, stateDir,
+            keptDir, eps, capTarget = 256, levels = 1)
+          val kept6 = SemDedupStream.kept(spark, keptDir)
+            .filter(col("vec_id") >= batchStart(6)).count()
+          require(kept6 <= kept5,
+            s"post-rebuild dedup caught NOTHING new: $kept6 vs $kept5")
+          // batch 7: ONE tight cluster (every row ≈ the same vector) —
+          // it lands in ~one coarse cell, so the batch's survivor-store
+          // read must prune to a FRACTION of the store's pccid
+          // partitions (the per-batch state read stays batch-sized,
+          // not corpus-sized, however large the survivor history)
+          val tight = spark.range(batchStart(7), batchStart(7) + batchN)
+            .select(col("id").as("vec_id"),
+              transform(sequence(lit(0), lit(63)), j =>
+                when(j === 33, lit(100.0)).when(j === 49, lit(60.0))
+                  .when(j === 40,
+                    pmod(col("id"), lit(1000)).cast("double") / 100000.0)
+                  .otherwise(lit(0.0))).as("embedding"))
+          SemDedupStream.processBatch(spark, tight, 7L, stateDir, keptDir,
+            eps, capTarget = 256, levels = 1)
+          val kept7 = SemDedupStream.kept(spark, keptDir)
+            .filter(col("vec_id") >= batchStart(7)).count()
+          require(kept7 <= batchN / 100,
+            s"tight cluster failed to collapse: $kept7 survivors")
+          val survDir = SemDedupStream.survivorsDir(spark, stateDir)
+          val survByPccid = spark.read.parquet(survDir)
+            .filter(col("bid") < 7)
+          // hive partition discovery may infer bid/pccid as int — cast
+          val batchPccids = spark.read.parquet(survDir)
+            .filter(col("bid") === 7)
+            .select(col("pccid").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          val total = survByPccid.count()
+          val pruned = survByPccid
+            .filter(col("pccid").isin(batchPccids.map(Long.box).toSeq: _*))
+            .count()
+          require(batchPccids.size <= 4 && pruned * 4 <= total,
+            s"state read not batch-pruned: ${batchPccids.size} pccids, " +
+              s"$pruned of $total store rows in reach")
+          driftJson = s"""{"gauge_pre":${math.rint(pre * 1000) / 1000},""" +
+            s""""gauge_post":${math.rint(post * 1000) / 1000},""" +
+            s""""kept_drifted_pre_rebuild":$kept5,""" +
+            s""""kept_drifted_post_rebuild":$kept6,""" +
+            s""""survivors":$survPost,"pccids_probed":${batchPccids.size},""" +
+            s""""state_rows_in_reach":$pruned,"state_rows_total":$total}"""
+          survPost
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(root))
+        r
+      },
       )
 
     // ---- LIVE-DAEMON SOAK: all four ingest surfaces + query load ----
@@ -707,7 +858,8 @@ object ScaleProbe {
         require(badRra == 0, s"60s RRA store diverged on $badRra slots")
         pts.unpersist()
         // statsd: mass conservation per series, exact modulo fp-sum order
-        val mass = spark.read.parquet(s"$soakDir/statsd")
+        val mass = graft.streaming.ArchiveStore
+          .readLatest(spark, s"$soakDir/statsd")
           .groupBy(col("name")).agg(sum(col("vw")).as("m"))
           .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
         sdSent.forEach { (name, adder) =>
@@ -782,6 +934,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     println(s"""{"probe_rows":$rows,"series":$nSeries,""" +
       s""""serve_vs_build":${math.rint(serveVsBuild * 1000) / 1000},""" +
+      s""""stream_drift":$driftJson,""" +
       s""""soak_load":$soakLoadJson,"stages":$json}""")
     spark.stop()
   }
