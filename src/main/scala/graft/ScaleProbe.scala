@@ -536,14 +536,20 @@ object ScaleProbe {
         // and the very next drifted batch dedups correctly. Every
         // assert scales with the env-provided sizes.
         import graft.streaming.SemDedupStream
+        // STREAM_VECS = vectors STREAMED (1M in 10 batches at the
+        // design point), on top of a STREAM_VECS/2 bootstrap seed
         val nStream = sys.env
           .getOrElse("SPARK_GRAFT_PROBE_STREAM_VECS", "1000000").toLong
         val seedN = nStream / 2
-        val batchN = nStream / 20
+        val batchN = nStream / 10
         val root = java.nio.file.Files
           .createTempDirectory("semdrift-probe").toString
         val stateDir = s"$root/state"; val keptDir = s"$root/kept"
-        val eps = 0.999; val cK = 2048; val fK = 1
+        // K=512 coarse cells over ~1.5M vectors (≈3k vectors/cell):
+        // the flat-coarse/fineK=1 shape isolates the DRIFT mechanics
+        // (the serve/census stages above probe the real two-level
+        // shape at K=8192)
+        val eps = 0.999; val cK = 512; val fK = 1
         def aVecs(from: Long, n: Long) = spark.range(from, from + n).select(
           col("id").as("vec_id"),
           transform(sequence(lit(0), lit(63)), j =>
