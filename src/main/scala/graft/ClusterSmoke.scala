@@ -143,6 +143,28 @@ object ClusterSmoke {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       two.size == 20 && two == flat
     }
+    check("MVCC archive store merge + pinned read across executor JVMs") {
+      // the round-10 store protocol on real executor processes: the
+      // merge's chunk write and the manifest-pinned multi-scan read
+      // both run on executors that share nothing with the driver but
+      // the filesystem — exactly the cross-process deployment shape
+      import graft.streaming.{ArchiveStore, Ingest}
+      val dir = java.nio.file.Files
+        .createTempDirectory("smoke-mvcc").toString + "/slots"
+      Ingest.mergePiecesIntoArchive(spark,
+        Seq(Ingest.Piece("cs.m", 0L, 20L, 2.0)).toDF(), dir, stepSec = 10)
+      val pinned = ArchiveStore.state(spark, dir).get
+      Ingest.mergePiecesIntoArchive(spark,
+        Seq(Ingest.Piece("cs.m", 10L, 40L, 8.0)).toDF(), dir, stepSec = 10)
+      val v1 = ArchiveStore.readRaw(spark, dir, pinned)
+        .select(col("t"), col("vw") / col("dur"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val v2 = Ingest.readArchive(spark, dir)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      v1 == Map(0L -> 2.0, 10L -> 2.0) &&
+        v2 == Map(0L -> 2.0, 10L -> 5.0, 20L -> 8.0, 30L -> 8.0) &&
+        ArchiveStore.state(spark, dir).get.version > pinned.version
+    }
     check("executors are separate JVMs") {
       val driverPid = ProcessHandle.current().pid()
       val execPids = spark.range(2).repartition(2)

@@ -151,6 +151,75 @@ object ArchiveStore {
         lit(0L).as("pt"), lit("").as("bid")).limit(0)
     }
 
+  /** SIZE-TIERED small-file compaction for a long-running merge
+    * cadence. Each merge leaves its touched partitions in a fresh
+    * chunk, so over time the manifest references up to one chunk per
+    * surviving batch epoch and a read unions that many scans.
+    *
+    * A full-store rewrite would fix that at O(store) write
+    * amplification per maintenance tick — years of settled history
+    * rewritten to fold a day of fresh batch debris. Instead, live
+    * chunks are bucketed into log₄ SIZE TIERS (everything under
+    * `tierBytes`, default 4 MB, is tier 0) and only a tier holding at
+    * least `fanout` chunks
+    * folds, each such tier into one fresh chunk. Folded bytes
+    * graduate upward until their tier has no `fanout` peers — a big
+    * consolidated chunk is never rewritten again until enough equally
+    * big siblings accumulate, so a byte is rewritten O(#tiers) times
+    * over the store's life, not O(ticks). `fanout = 2` with
+    * uniformly tiny chunks degenerates to full collapse (the test /
+    * small-store mode); production cadences want 4+.
+    *
+    * Per-pt files are preserved by the partitioned write (partition
+    * pruning unchanged) and the bid column rides the rewrite
+    * row-for-row (replay idempotence survives). Runs under the
+    * store's writer mutex, same single-writer contract as
+    * merge/retention; readers are unaffected — pinned versions keep
+    * their chunks until vacuum grace expires. Returns the committed
+    * version (None when no tier is foldable — nothing rewritten). */
+  def compact(spark: SparkSession, dir: String,
+      keepVersions: Int = 8, fanout: Int = 2,
+      tierBytes: Long = 4L * 1024 * 1024): Option[Long] = {
+    require(fanout >= 2, "fanout must be >= 2")
+    require(tierBytes >= 1, "tierBytes must be >= 1")
+    Ingest.StoreLock.write(dir) {
+      state(spark, dir).filter(_.manifest.nonEmpty).flatMap { st =>
+        val f = fsOf(spark, dir)
+        // live bytes per chunk: only the pts the manifest assigns it
+        // (a chunk may hold stale copies of pts rewritten elsewhere)
+        val sized = st.manifest.groupBy(_._2).toSeq.map {
+          case (dd, entries) =>
+            val pts = entries.keys.toSeq
+            val bytes = pts.map { pt =>
+              val p = new Path(s"$dir/$dd/pt=$pt")
+              if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+            }.sum
+            (dd, pts, bytes)
+        }
+        def tierOf(bytes: Long): Int =
+          (math.log(math.max(1.0, bytes.toDouble / tierBytes)) /
+            math.log(4.0)).toInt
+        val foldable = sized.groupBy { case (_, _, b) => tierOf(b) }
+          .filter(_._2.size >= fanout)
+        if (foldable.isEmpty) None
+        else {
+          // each foldable tier → one fresh chunk; single commit
+          val edits: Map[Long, String] = foldable.values.flatMap { tier =>
+            val dd = newDataDir()
+            val pts = tier.flatMap(_._2).toSet
+            readRaw(spark, dir, State(st.version,
+              st.manifest.filter(kv => pts(kv._1))))
+              .write.partitionBy("pt").parquet(s"$dir/$dd")
+            pts.map(_ -> dd)
+          }.toMap
+          val v = commit(spark, dir, st.manifest ++ edits)
+          vacuum(spark, dir, keepVersions)
+          Some(v)
+        }
+      }
+    }
+  }
+
   /** Reclaim storage: drop version dirs older than the newest
     * `keepVersions` (the reader grace window — a reader pinned at any
     * RETAINED version keeps every file its manifest lists), then drop

@@ -270,35 +270,51 @@ object Daemon {
       * future and count as hits; a waiter whose `gens` differs from
       * what the winner produced (store mutated mid-flight) re-enters
       * and computes at its own generation. */
-    def getOrCompute(key: String, gens: Seq[Long])(compute: => String): String =
-      if (cap == 0) compute
-      else map.synchronized(Option(map.get(key))).filter(_._1 == gens) match {
-        case Some((_, payload)) => hits.incrementAndGet(); payload
-        case None =>
-          val fresh =
-            new java.util.concurrent.CompletableFuture[(Seq[Long], String)]()
-          val winner = inflight.putIfAbsent(key, fresh)
-          if (winner == null) {
-            try {
-              val payload = compute // outside the lock: renders may be slow
-              misses.incrementAndGet()
-              map.synchronized { map.put(key, (gens, payload)); () }
-              fresh.complete((gens, payload))
-              payload
-            } catch {
-              case e: Throwable => fresh.completeExceptionally(e); throw e
-            } finally { inflight.remove(key, fresh); () }
-          } else {
-            val (g, payload) =
-              try winner.join()
-              catch { // surface the winner's render failure as our own
-                case e: java.util.concurrent.CompletionException =>
-                  throw Option(e.getCause).getOrElse(e)
-              }
-            if (g == gens) { hits.incrementAndGet(); payload }
-            else getOrCompute(key, gens)(compute)
-          }
+    def getOrCompute(key: String, gens: Seq[Long])(compute: => String): String = {
+      if (cap == 0) return compute
+      // BOUNDED retry (was self-recursion): a waiter whose gens race a
+      // store mutation re-enters; past the bound — a pathological
+      // mutation-per-request rate — it stops chasing single-flight
+      // winners and renders at its own generations directly, so churn
+      // can delay a request by at most `maxSpins` winner waits.
+      var spins = 0
+      val maxSpins = 16
+      while (true) {
+        map.synchronized(Option(map.get(key))).filter(_._1 == gens) match {
+          case Some((_, payload)) => hits.incrementAndGet(); return payload
+          case None if spins >= maxSpins =>
+            val payload = compute
+            misses.incrementAndGet()
+            map.synchronized { map.put(key, (gens, payload)); () }
+            return payload
+          case None =>
+            val fresh =
+              new java.util.concurrent.CompletableFuture[(Seq[Long], String)]()
+            val winner = inflight.putIfAbsent(key, fresh)
+            if (winner == null) {
+              try {
+                val payload = compute // outside the lock: renders may be slow
+                misses.incrementAndGet()
+                map.synchronized { map.put(key, (gens, payload)); () }
+                fresh.complete((gens, payload))
+                return payload
+              } catch {
+                case e: Throwable => fresh.completeExceptionally(e); throw e
+              } finally { inflight.remove(key, fresh); () }
+            } else {
+              val (g, payload) =
+                try winner.join()
+                catch { // surface the winner's render failure as our own
+                  case e: java.util.concurrent.CompletionException =>
+                    throw Option(e.getCause).getOrElse(e)
+                }
+              if (g == gens) { hits.incrementAndGet(); return payload }
+              spins += 1 // store mutated mid-flight: retry at our gens
+            }
+        }
       }
+      throw new IllegalStateException("unreachable")
+    }
   }
 
   /** Cached distinct-name catalog — the role of the reference's
@@ -530,7 +546,8 @@ object Daemon {
       retainSec: Option[Long] = None,
       rras: Seq[Rra] = Seq.empty,
       pixelDpFeedPort: Option[Int] = None,
-      maxQueue: Int = 0, maxMemory: Long = 0L): StreamingQuery = {
+      maxQueue: Int = 0, maxMemory: Long = 0L,
+      compactEvery: Int = 0, compactFanout: Int = 4): StreamingQuery = {
     import spark.implicits._
     // maxQueue/maxMemory > 0 = the reference's max-receiver-queue-size
     // and max-memory-bytes drop bounds, applied per feed (drops
@@ -568,6 +585,19 @@ object Daemon {
           Ingest.mergePiecesIntoArchive(spark, batch, d, r.stepSec,
             writer = Some((s"$tok-${r.stepSec}", bid)))
           Ingest.enforceRetention(spark, d, r.stepSec, r.spanSec, nowSec)
+          ()
+        }
+        // small-file maintenance: every `compactEvery` batches each
+        // store folds its size-tiered batch debris (0 = off; only
+        // tiers with >= compactFanout live chunks rewrite, so settled
+        // big chunks are never touched). Runs between this writer's
+        // own merges — the single-writer contract the compaction
+        // requires is structural here.
+        if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0) {
+          ArchiveStore.compact(spark, archiveDir, fanout = compactFanout)
+          rras.foreach(r =>
+            ArchiveStore.compact(spark, r.dir(archiveDir),
+              fanout = compactFanout))
           ()
         }
       }
@@ -905,20 +935,32 @@ object Daemon {
     // series the store holds; counts are exact while distinct names in
     // the window ≤ k (the common case for an ops glance), MG lower
     // bounds beyond.
+    // ops scans share the render permit pool: an ops dashboard
+    // polling /toptalkers//quantiles is archive-scanning Spark work
+    // too and must not bypass the BATCH_LIMIT bound
+    def withRenderPermit[T](f: => T): T = {
+      renderPermits.acquire()
+      raise(renderMaxInFlight, renderInFlight.incrementAndGet())
+      try f
+      finally { renderInFlight.decrementAndGet(); renderPermits.release() }
+    }
+
     server.createContext("/toptalkers", (ex: HttpExchange) => respond(ex) {
       val p = params(ex)
       val k = p.get("k").flatMap(_.headOption).map(_.toInt).getOrElse(10)
       require(k > 0, "k must be > 0")
       val windowSec = p.get("window").flatMap(_.headOption)
         .map(_.toLong).getOrElse(3600L)
-      Ingest.readArchives(spark, archiveDirs)
-        .filter(col("t") >= now() - windowSec)
-        .agg(graft.functions.SketchExprs.heavyHitters(col("name"), k).as("hh"))
-        .select(explode(col("hh")).as("e"))
-        .select(col("e.token"), col("e.count"))
-        .collect()
-        .map(r => s"""{"name":"${jsonEscape(r.getString(0))}","n_points":${r.getLong(1)}}""")
-        .mkString("[", ",", "]")
+      withRenderPermit {
+        Ingest.readArchives(spark, archiveDirs)
+          .filter(col("t") >= now() - windowSec)
+          .agg(graft.functions.SketchExprs.heavyHitters(col("name"), k).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.token"), col("e.count"))
+          .collect()
+          .map(r => s"""{"name":"${jsonEscape(r.getString(0))}","n_points":${r.getLong(1)}}""")
+          .mkString("[", ",", "]")
+      }
     })
 
     // /stats — receiver self-counters, led by the drop counter the
@@ -961,11 +1003,13 @@ object Daemon {
         "q fractions must be in [0, 1]")
       val windowSec = p.get("window").flatMap(_.headOption)
         .map(_.toLong).getOrElse(3600L)
-      val rows = Ingest.readArchives(spark, archiveDirs)
-        .filter(col("name") === name && col("t") >= now() - windowSec)
-        .agg(graft.functions.SketchExprs
-          .quantiles(col("value").cast("double"), 8192, qs).as("qv"))
-        .collect()
+      val rows = withRenderPermit {
+        Ingest.readArchives(spark, archiveDirs)
+          .filter(col("name") === name && col("t") >= now() - windowSec)
+          .agg(graft.functions.SketchExprs
+            .quantiles(col("value").cast("double"), 8192, qs).as("qv"))
+          .collect()
+      }
       val vals = rows.headOption.map(_.getSeq[Double](0)).getOrElse(Seq.empty)
       if (vals.isEmpty || vals.forall(_.isNaN)) "[]"
       else qs.zip(vals).map { case (q, v) =>
@@ -1091,7 +1135,14 @@ object Daemon {
         checkpointDir = s"$dataDir/ckpt-points",
         retainSec = settings.retainSec,
         rras = settings.rras, pixelDpFeedPort = Some(pxDpGw.boundFeedPort),
-        maxQueue = settings.maxQueue, maxMemory = settings.maxMemory),
+        maxQueue = settings.maxQueue, maxMemory = settings.maxMemory,
+        // small-file maintenance cadence (0 = off): a long-running
+        // daemon's merge-per-batch cadence fragments the store into
+        // one chunk per surviving batch epoch without it
+        compactEvery = sys.env.get("GRAFT_COMPACT_EVERY").map(_.toInt)
+          .getOrElse(0),
+        compactFanout = sys.env.get("GRAFT_COMPACT_FANOUT").map(_.toInt)
+          .getOrElse(4)),
       startStatsdIngest(spark, sGw.boundFeedPort, s"$dataDir/statsd",
         settings.flushSec, checkpointDir = s"$dataDir/ckpt-statsd",
         retainSec = settings.retainSec, statsPrefix = settings.statsPrefix),

@@ -939,10 +939,16 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gGw = new Daemon.LineGateway(0, 0)
     val pkGw = new Daemon.LineGateway(0, 0, framed = true)
     // base step 10s plus a 40s RRA (span long enough that nothing ages)
+    // compactEvery=1: every batch also folds each store's batch
+    // debris — the whole lifecycle (merge, RRA cascade, query) must
+    // be indistinguishable under the maintenance cadence. fanout=2
+    // with uniformly tiny chunks ≡ full collapse, so the final
+    // manifest is deterministic (one chunk).
     val q = Daemon.startReceiver(s, gGw.boundFeedPort, pkGw.boundFeedPort,
       s"$dir/points", stepSec = 10, heartbeatSec = 3600,
       checkpointDir = s"$dir/ckpt",
-      rras = Seq(Daemon.Rra(40L, 365L * 86400)))
+      rras = Seq(Daemon.Rra(40L, 365L * 86400)), compactEvery = 1,
+      compactFanout = 2)
     try {
       val sender = new Socket("127.0.0.1", gGw.boundListenPort)
       val out = new PrintWriter(sender.getOutputStream, true)
@@ -969,6 +975,14 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
       assert(coarse === expect)
       assert(coarse.size === 4) // [0,160) at 40s
+      // the compaction cadence actually ran: each store's live
+      // manifest references exactly one chunk
+      Seq(s"$dir/points", Daemon.Rra(40L, 0L).dir(s"$dir/points"))
+        .foreach { d =>
+          val chunks = graft.streaming.ArchiveStore.state(s, d)
+            .get.manifest.values.toSet
+          assert(chunks.size === 1, s"$d not compacted: $chunks")
+        }
     } finally {
       Try(q.stop()); pkGw.close(); gGw.close()
     }

@@ -543,6 +543,87 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readPinned(st2) === c2, "latest version must survive vacuum")
   }
 
+  test("archive compaction: live content collapses to one chunk, " +
+      "content and replay identity preserved") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString + "/slots"
+    // three merges → up to three live chunks in the manifest
+    Seq((0L, 2.0), (40L, 4.0), (80L, 6.0)).zipWithIndex.foreach {
+      case ((t0, v), i) =>
+        Ingest.mergePiecesIntoArchive(s,
+          Seq(Ingest.Piece("cp.m", t0, t0 + 20L, v)).toDF(),
+          dir, stepSec = 10, partitionSlots = 2,
+          writer = Some(("tok", i.toLong)))
+    }
+    val before = Ingest.readArchive(s, dir)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val chunksBefore = ArchiveStore.state(s, dir).get.manifest.values.toSet
+    assert(chunksBefore.size === 3, chunksBefore)
+    val v = ArchiveStore.compact(s, dir, keepVersions = 1)
+    assert(v.nonEmpty)
+    val st = ArchiveStore.state(s, dir).get
+    assert(st.manifest.values.toSet.size === 1, "compaction left >1 chunk")
+    assert(st.manifest.keySet ===
+      Set(0L, 2L, 4L)) // pts at 20s partitions: t 0-20, 40-60, 80-100
+    // content identical through the rewrite
+    val after = Ingest.readArchive(s, dir)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(after === before)
+    // replay identity survives: re-merging batch 2 with the same
+    // writer identity is a no-op (its bid stamp rode the compaction)
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("cp.m", 80L, 100L, 6.0)).toDF(),
+      dir, stepSec = 10, partitionSlots = 2,
+      writer = Some(("tok", 2L)))
+    assert(Ingest.readArchive(s, dir)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap === before)
+    // and a NEW merge on the compacted store still works
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("cp.m", 120L, 140L, 8.0)).toDF(),
+      dir, stepSec = 10, partitionSlots = 2, writer = Some(("tok", 3L)))
+    assert(Ingest.readArchive(s, dir).count() === before.size + 2L)
+  }
+
+  test("tiered compaction: settled big chunks never rewrite, " +
+      "same-tier debris folds, under-fanout tiers are left alone") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tiered").toString + "/slots"
+    // hand-build a store with one BIG settled chunk and two tiny
+    // batch-debris chunks (committed through the manifest protocol,
+    // never raw pt= dirs). The tiny chunks carry byte-identical files
+    // (pt lives in the directory name, not the file), so they land in
+    // the same size tier by construction; the big chunk's
+    // incompressible 20k rows put it tiers above them.
+    def writeChunk(pt: Long, rows: Int): String = {
+      val dd = ArchiveStore.newDataDir()
+      (0 until rows).map(i =>
+        ("tc.m", i.toLong, math.sin(i.toDouble), 10.0, pt, ""))
+        .toDF("name", "t", "vw", "dur", "pt", "bid")
+        .coalesce(1).write.partitionBy("pt").parquet(s"$dir/$dd")
+      dd
+    }
+    val big = writeChunk(0L, 20000)
+    val s1 = writeChunk(1L, 1)
+    val s2 = writeChunk(2L, 1)
+    ArchiveStore.commit(s, dir, Map(0L -> big, 1L -> s1, 2L -> s2))
+    val rowsBefore = ArchiveStore.readLatest(s, dir).count()
+    // fanout=3: no tier holds 3 chunks — compaction declines, nothing
+    // is rewritten, the manifest is untouched
+    assert(ArchiveStore.compact(s, dir, fanout = 3, tierBytes = 1).isEmpty)
+    assert(ArchiveStore.state(s, dir).get.manifest ===
+      Map(0L -> big, 1L -> s1, 2L -> s2))
+    // fanout=2: the tiny tier folds to one fresh chunk; the settled
+    // big chunk keeps its identity — zero bytes of history rewritten
+    assert(ArchiveStore.compact(s, dir, fanout = 2, tierBytes = 1).nonEmpty)
+    val m = ArchiveStore.state(s, dir).get.manifest
+    assert(m(0L) === big, "settled chunk was rewritten")
+    assert(m(1L) === m(2L), "tiny chunks should share the folded chunk")
+    assert((m(1L) !== s1) && (m(1L) !== s2))
+    assert(ArchiveStore.readLatest(s, dir).count() === rowsBefore)
+  }
+
   test("archive merge: batch replay is idempotent, restarts don't double-count") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-eo").toString + "/slots"
