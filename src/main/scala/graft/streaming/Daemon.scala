@@ -1138,9 +1138,10 @@ object Daemon {
         maxQueue = settings.maxQueue, maxMemory = settings.maxMemory,
         // small-file maintenance cadence (0 = off): a long-running
         // daemon's merge-per-batch cadence fragments the store into
-        // one chunk per surviving batch epoch without it
+        // one chunk per surviving batch epoch without it — ON by
+        // default, and cheap: only under-fanout size tiers rewrite
         compactEvery = sys.env.get("GRAFT_COMPACT_EVERY").map(_.toInt)
-          .getOrElse(0),
+          .getOrElse(16),
         compactFanout = sys.env.get("GRAFT_COMPACT_FANOUT").map(_.toInt)
           .getOrElse(4)),
       startStatsdIngest(spark, sGw.boundFeedPort, s"$dataDir/statsd",
