@@ -38,7 +38,9 @@ object Bench {
     "cu_quantile_sketch", "dd_strip_boilerplate", "ev_sessions",
     // round-8 additions: capped SemDeDup over the two-level k-means
     // substrate (skew-constructed corpus), one-scan funnel
-    "sim_semdedup_skew", "ev_funnel")
+    "sim_semdedup_skew", "ev_funnel",
+    // round-10 addition: PQ-ADC serving (codebook train + 4-byte scan)
+    "sim_topk_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

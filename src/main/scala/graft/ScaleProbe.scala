@@ -63,6 +63,7 @@ object ScaleProbe {
       coarseK = 128, fineK = 64, coarseIters = 1, fineIters = 1)
 
     var driftJson = """{}""" // filled by the semdedup_stream_drift stage
+    var compactJson = """{}""" // filled by merge_cadence_compaction
     val results = Seq(
       time("gen_scan")(pts.count()),
       time("consolidate_1m") {
@@ -104,6 +105,15 @@ object ScaleProbe {
         // scan — per-query work ~nProbe/K of the flat q8 scan above
         pipeline.Similarity.topKIvfQ8(vecs,
           vecs.filter(col("vec_id") < 5), 10).count()
+      },
+      time("topk_pq_1m") { // PQ-ADC serving: 8-subspace/16-codeword
+        // books trained on the full corpus (2 Lloyd rounds, one scan
+        // each), 4-BYTE codes — 64x under float32, the tier that keeps
+        // a 100 TB index memory-resident — then 5-query ADC top-10
+        // where each candidate costs 8 LUT lookups, no vector traffic
+        val books = pipeline.Similarity.pqCodebooks(vecs)
+        pipeline.Similarity.topKPqAdc(vecs,
+          vecs.filter(col("vec_id") < 5), 10, books).count()
       },
       time("bpe_200k_8r") { // BPE on an adversarial vocab: the probe
         // corpus's words are ~unique hex 6-grams (millions of distinct
@@ -680,6 +690,67 @@ object ScaleProbe {
           new java.io.File(root))
         r
       },
+      time("merge_cadence_compaction") {
+        // the long-running ingest shape: every merge leaves its
+        // touched partitions in a fresh chunk, so an uncompacted
+        // store's manifest grows one chunk per batch epoch and a read
+        // unions that many scans. The tiered fold must bound live
+        // chunks at a cadence-independent constant WITHOUT rewriting
+        // settled history each tick. Counterfactual store (same
+        // merges, no maintenance) quantifies the payoff.
+        import graft.streaming.{ArchiveStore, Ingest}
+        val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_MERGES", "48").toInt
+        val compactEvery = 8; val fanout = 4
+        val root = java.nio.file.Files
+          .createTempDirectory("cadence-probe").toString
+        val cDir = s"$root/compacted"; val nDir = s"$root/plain"
+        def batchPieces(b: Int) = spark.range(100L * 200L).select(
+          concat(lit("cmp.s"), pmod(col("id"), lit(100))).as("name"),
+          (lit(b * 2000L) + floor(col("id") / 100) * 10L).as("begin"),
+          (lit(b * 2000L) + floor(col("id") / 100) * 10L + 10L).as("end"),
+          (col("id") % 7).cast("double").as("value"))
+        var maxChunks = 0
+        (0 until m).foreach { b =>
+          val pieces = batchPieces(b)
+          Ingest.mergePiecesIntoArchive(spark, pieces, cDir, stepSec = 10,
+            partitionSlots = 200, writer = Some(("probe", b.toLong)))
+          Ingest.mergePiecesIntoArchive(spark, pieces, nDir, stepSec = 10,
+            partitionSlots = 200, writer = Some(("probe", b.toLong)))
+          if (b > 0 && b % compactEvery == 0)
+            ArchiveStore.compact(spark, cDir, fanout = fanout)
+          maxChunks = math.max(maxChunks,
+            ArchiveStore.state(spark, cDir).get.manifest.values.toSet.size)
+        }
+        val chunksC =
+          ArchiveStore.state(spark, cDir).get.manifest.values.toSet.size
+        val chunksN =
+          ArchiveStore.state(spark, nDir).get.manifest.values.toSet.size
+        require(chunksN == m, s"counterfactual should fragment 1/merge")
+        // structural bound, deterministic-by-construction: between
+        // folds at most compactEvery fresh chunks accumulate; after a
+        // fold each log4 tier holds < fanout chunks plus at most one
+        // newly graduated — tiers are O(log total/4MB), all tiny here
+        require(maxChunks <= compactEvery + fanout * 8,
+          s"compaction failed to bound live chunks: $maxChunks")
+        require(chunksC < m / 2,
+          s"compacted store ($chunksC chunks) ~as fragmented as the " +
+            s"counterfactual ($chunksN)")
+        def timedCount(dir: String): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = Ingest.readArchive(spark, dir).count()
+          (math.rint((System.nanoTime() - t0) / 1e6) / 1e3, n)
+        }
+        val (secN, rowsN) = timedCount(nDir)
+        val (secC, rowsC) = timedCount(cDir)
+        require(rowsC == rowsN && rowsC == m.toLong * 100 * 200,
+          s"content diverged through the cadence: $rowsC vs $rowsN")
+        compactJson = s"""{"merges":$m,"chunks_plain":$chunksN,""" +
+          s""""chunks_compacted":$chunksC,"max_chunks_live":$maxChunks,""" +
+          s""""read_sec_plain":$secN,"read_sec_compacted":$secC}"""
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(root))
+        rowsC
+      },
       )
 
     // ---- LIVE-DAEMON SOAK: all four ingest surfaces + query load ----
@@ -941,6 +1012,7 @@ object ScaleProbe {
     println(s"""{"probe_rows":$rows,"series":$nSeries,""" +
       s""""serve_vs_build":${math.rint(serveVsBuild * 1000) / 1000},""" +
       s""""stream_drift":$driftJson,""" +
+      s""""merge_cadence":$compactJson,""" +
       s""""soak_load":$soakLoadJson,"stages":$json}""")
     spark.stop()
   }

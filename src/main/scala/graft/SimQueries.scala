@@ -195,6 +195,63 @@ object SimQueries {
            |       CAST(vec_id AS BIGINT) AS vec_id, qdot
            |FROM rankedivq WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
 
+    // product quantization: per-subspace codebooks (2 Lloyd rounds,
+    // first-16 seeds), 4-byte codes — code_key pins every code element
+    // exactly; rerr is the reconstruction-quality gauge
+    ("sim_pq_encode",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.pqEncode(e, Similarity.pqCodebooks(e))
+          .select(col("vec_id").cast("long").as("vec_id"), col("code_key"),
+            Round6.r6(col("rerr")).as("rerr"))
+          .orderBy("vec_id")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.pqSql()},
+           |${Similarity.pqEncodeSql}
+           |SELECT CAST(vec_id AS BIGINT) AS vec_id, code_key,
+           |       ${Round6.r6Sql("rerr")} AS rerr
+           |FROM pqout ORDER BY vec_id""".stripMargin)),
+
+    // PQ asymmetric-distance top-10: per-query LUT of subvector-times-
+    // codeword dots, candidates scored by M table lookups on the code
+    ("sim_topk_pq",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.topKPqAdc(e, e.filter(col("vec_id") < 5), K,
+            Similarity.pqCodebooks(e))
+          .select(col("qid").cast("long").as("qid"), col("rank"),
+            col("vec_id").cast("long").as("vec_id"),
+            Round6.r6(col("adot")).as("adot"))
+          .orderBy("qid", "rank")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.pqSql()},
+           |${Similarity.topKPqSql("q.vec_id < 5")}
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("adot")} AS adot
+           |FROM pqranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
+
+    // IVF-PQ (the FAISS workhorse): coarse buckets bound candidate
+    // volume, 4-byte codes bound per-candidate cost
+    ("sim_topk_ivf_pq",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.topKIvfPq(e, e.filter(col("vec_id") < 5), K,
+            Similarity.pqCodebooks(e))
+          .select(col("qid").cast("long").as("qid"), col("rank"),
+            col("vec_id").cast("long").as("vec_id"),
+            Round6.r6(col("adot")).as("adot"))
+          .orderBy("qid", "rank")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.pqSql()},
+           |${Similarity.topKPqSql("q.vec_id < 5")},
+           |${Similarity.topKIvfPqSql("q.vec_id < 5")}
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("adot")} AS adot
+           |FROM pqivfranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
+
     // ANN quality gauge: per-query recall@10 of the IVF tier vs the
     // exact top-10 (the number FAISS-style deployments watch)
     ("sim_recall_ivf",

@@ -662,6 +662,350 @@ object Similarity {
        |  FROM qe GROUP BY vec_id
        |)""".stripMargin
 
+  // ---- Product quantization (PQ): the ANN memory tier past SQ8 ----
+  //
+  // SQ8 shrinks vectors 4x; a 100 TB corpus (10^9-10^10 vectors) wants
+  // the next step: PQ (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search") splits each vector into PqM subvectors
+  // and stores only each subvector's nearest-codeword id — PqM·log2
+  // (PqKsub) bits per vector (here 8 codes x 4 bits = 4 BYTES against
+  // Dim x 4 = 256 float bytes, a 64x reduction), which is what lets a
+  // serving tier hold the whole index in executor memory. Queries
+  // score candidates ASYMMETRICALLY (ADC): one M x Ksub lookup table
+  // of <query subvector, codeword> dots per query, then each
+  // candidate's score is M table lookups — no decode, no float vector
+  // traffic.
+
+  /** Subspace count (Dim/PqM dims each). */
+  val PqM = 8
+  /** Codewords per subspace (4-bit codes). */
+  val PqKsub = 16
+  /** Dims per subspace. */
+  val PqDsub: Int = Dim / PqM
+  /** Lloyd rounds per subspace codebook. */
+  val PqIters = 2
+
+  /** Squared L2 between an integer-quantized subvector and a double
+    * codeword — sequential element-order fold (cross-engine exact). */
+  private def pqL2(sv: Column, cent: Column): Column =
+    aggregate(zip_with(sv, cent,
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (a, v) => a + v)
+
+  /** Driver-held codebooks as one nested literal:
+    * books[sub] = array<struct<cid, cent>> (M·Ksub·Dsub doubles —
+    * exactly the K x dim driver-state contract k-means already has). */
+  private def pqBooksLit(books: Seq[Seq[(Long, Seq[Double])]]): Column =
+    array(books.map(sub => array(sub.map { case (cid, cent) =>
+      struct(lit(cid).as("cid"), typedlit(cent).as("cent")) }: _*)): _*)
+
+  /** Nearest codeword of one subspace: struct(d, cid) via `array_min`
+    * over (distance asc, cid asc) — the same deterministic tie-break
+    * as the k-means SQL twins' `ORDER BY d ASC, cid` window. */
+  private def pqNearestFull(sv: Column, cands: Column): Column =
+    array_min(transform(cands, c => struct(
+      pqL2(sv, c.getField("cent")).as("d"),
+      c.getField("cid").as("cid"))))
+
+  /** The PQ code array of one integer-quantized vector. */
+  private def pqCodeCol(qv: Column,
+      books: Seq[Seq[(Long, Seq[Double])]]): Column = {
+    val m = books.size; val dsub = Dim / m
+    val bl = pqBooksLit(books)
+    array((0 until m).map(s =>
+      pqNearestFull(slice(qv, s * dsub + 1, dsub),
+        element_at(bl, lit(s + 1))).getField("cid")): _*)
+  }
+
+  /** Train the PQ codebooks: per subspace, `ksub` codewords after
+    * `iters` Lloyd rounds (squared-L2 metric in the integer-quantized
+    * domain, first-ksub seeds, empty codewords dropped — exactly the
+    * flat k-means conventions, so [[pqSql]] replays bit-identically).
+    * One corpus scan per round covers ALL subspaces: the subvector
+    * explode is map-side, the update one map-side-combined
+    * (sub, code, dim) aggregate, and the driver bounce is
+    * M·Ksub·Dsub doubles — same contract as [[kmeansCentroidsSeq]]
+    * at a fraction of the width. Returns books(sub) = (cid, cent)
+    * sorted by cid. */
+  def pqCodebooks(corpus: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters): Seq[Seq[(Long, Seq[Double])]] = {
+    require(Dim % m == 0, s"PqM must divide Dim=$Dim")
+    val dsub = Dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def regroup(rows: Seq[(Int, Long, Seq[Double])]) =
+      rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
+    val subv = corpus.select(col("vec_id"), qvec(emb).as("qv"))
+      .select(col("vec_id"), posexplode(array((0 until m).map(s =>
+        slice(col("qv"), s * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var books = regroup(subv.filter(col("vec_id") < ksub)
+        .select(col("sub"), col("vec_id").cast("long").as("cid"),
+          transform(col("sv"), x => x.cast("double")).as("cent"))
+        .as[(Int, Long, Seq[Double])].collect().toSeq)
+      (1 to iters).foreach { _ =>
+        val bl = pqBooksLit(books)
+        val sums = (0 until dsub).map(i =>
+          sum(col("sv").getItem(i)).as(s"s$i"))
+        books = regroup(subv.select(col("sub"), col("sv"),
+            pqNearestFull(col("sv"), element_at(bl, col("sub") + 1))
+              .getField("cid").as("cid"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(count(lit(1)).as("n"), sums: _*)
+          .select(col("sub"), col("cid"), array((0 until dsub).map(i =>
+            col(s"s$i").cast("double") / col("n")): _*).as("cent"))
+          .as[(Int, Long, Seq[Double])].collect().toSeq)
+      }
+      books
+    } finally { subv.unpersist(); () }
+  }
+
+  /** PQ-encode the corpus: (vec_id, code array<long>, code_key, rerr).
+    * `code_key` packs the code array into one exact BIGINT
+    * (Σ code·Ksubˢ — the oracle-comparable functional of every code);
+    * `rerr` is the per-dim squared reconstruction error in the
+    * original embedding units (the PQ quality gauge — falls as
+    * M or Ksub rise). One map-side pass; nothing shuffles. */
+  def pqEncode(corpus: DataFrame,
+      books: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val m = books.size; val dsub = Dim / m
+    val ksub = lit(PqKsub.toDouble)
+    val bl = pqBooksLit(books)
+    val best = array((0 until m).map(s =>
+      pqNearestFull(slice(col("qv"), s * dsub + 1, dsub),
+        element_at(bl, lit(s + 1)))): _*)
+    corpus.select(col("vec_id"), qvec(emb).as("qv"))
+      .select(col("vec_id"), best.as("best"))
+      .select(col("vec_id"),
+        transform(col("best"), b => b.getField("cid")).as("code"),
+        aggregate(zip_with(
+            transform(col("best"), b => b.getField("cid")),
+            sequence(lit(0), lit(m - 1)),
+            (c, s) => c * pow(ksub, s.cast("double")).cast("long")),
+          lit(0L), (a, v) => a + v).as("code_key"),
+        (aggregate(transform(col("best"), b => b.getField("d")),
+          lit(0.0), (a, v) => a + v) / lit(Dim.toDouble) / lit(1e8))
+          .as("rerr"))
+  }
+
+  /** Per-query ADC lookup table: flat array of M·Ksub
+    * <query subvector, codeword> dots (dead codeword slots hold 0.0 —
+    * no live code ever indexes them). Computed on the (small,
+    * broadcast) query side only. */
+  private def pqLut(qq: Column,
+      books: Seq[Seq[(Long, Seq[Double])]], ksub: Int): Column = {
+    val m = books.size; val dsub = Dim / m
+    array((0 until m).flatMap { s =>
+      val live = books(s).toMap
+      (0 until ksub).map { c =>
+        live.get(c.toLong) match {
+          case Some(cent) =>
+            aggregate(zip_with(slice(qq, s * dsub + 1, dsub),
+              typedlit(cent), (x, y) => x.cast("double") * y),
+              lit(0.0), (a, v) => a + v)
+          case None => lit(0.0)
+        }
+      }
+    }: _*)
+  }
+
+  /** ADC score: M lookups into the query's table, folded in subspace
+    * order, rescaled out of the x10⁴-quantized domain. */
+  private def adcScore(code: Column, lut: Column, m: Int,
+      ksub: Int): Column =
+    aggregate(zip_with(code, sequence(lit(0), lit(m - 1)),
+      (c, s) => element_at(lut, (s * ksub + c + 1).cast("int"))),
+      lit(0.0), (a, v) => a + v) / lit(1e8)
+
+  /** Top-k over the PQ tier (asymmetric distance): queries broadcast
+    * their M x Ksub LUTs, the corpus's 4-byte codes stream map-side,
+    * each score is M array lookups, `WindowGroupLimit` keeps only k
+    * rows per (partition, query) ahead of the rank shuffle — the scan
+    * a memory-resident 100 TB serving tier actually runs. Returns
+    * (qid, rank, vec_id, adot); rank by (adot desc, vec_id). */
+  def topKPqAdc(corpus: DataFrame, queries: DataFrame, k: Int,
+      books: Seq[Seq[(Long, Seq[Double])]],
+      ksub: Int = PqKsub): DataFrame = {
+    val m = books.size
+    val codes = corpus.select(col("vec_id"), qvec(emb).as("qv"))
+      .select(col("vec_id"), pqCodeCol(col("qv"), books).as("code"))
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      pqLut(qvec(emb), books, ksub).as("lut")))
+    codes.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        adcScore(col("code"), col("lut"), m, ksub).as("adot"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adot").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adot"))
+  }
+
+  /** IVF-PQ — the FAISS workhorse configuration for corpora whose
+    * float vectors cannot be memory-resident: coarse IVF buckets
+    * bound per-query work to ~nProbe/K of the corpus AND each
+    * candidate costs M lookups on a 4-byte code. Index build = one
+    * pass producing (bucket, code); first-[[IvfK]] centroid seeds so
+    * the oracle replays the build. Returns (qid, rank, vec_id, adot). */
+  def topKIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      books: Seq[Seq[(Long, Seq[Double])]],
+      ksub: Int = PqKsub): DataFrame = {
+    val m = books.size
+    val centroids = corpus.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("long").as("cid"), emb.as("cent"))
+    val centSeq = collectCentroidSeq(centroids, "cid", "cent")
+    val cents = broadcast(centroids)
+    val assigned = corpus.select(col("vec_id"), emb, qvec(emb).as("qv"))
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
+          .getField("cid").as("bcid"),
+        pqCodeCol(col("qv"), books).as("code"))
+    val probes = queries.select(col("vec_id").as("qid"), emb.as("qemb"))
+      .crossJoin(cents)
+      .select(col("qid"), col("qemb"), col("cid"),
+        cosine(col("qemb"), col("cent")).as("ccos"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("__r") <= IvfProbe)
+      .select(col("qid"), pqLut(qvec(col("qemb")), books, ksub).as("lut"),
+        col("cid").as("bcid"))
+    broadcast(probes).join(assigned, Seq("bcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        adcScore(col("code"), col("lut"), m, ksub).as("adot"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adot").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adot"))
+  }
+
+  /** Unrolled-CTE DuckDB restatement of [[pqCodebooks]] + the final
+    * assignment: `pqvecs`/`pqsubv`, `pb0` seeds, paN/pbN per round,
+    * `pcode(vec_id, sub, cid, d)` the final per-subspace codes. */
+  def pqSql(m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters): String = {
+    val dsub = Dim / m
+    def l2(sv: String, cent: String) =
+      s"list_sum([(CAST($sv[i] AS DOUBLE) - $cent[i]) * " +
+        s"(CAST($sv[i] AS DOUBLE) - $cent[i]) " +
+        s"for i in generate_series(1, $dsub)])"
+    def assign(name: String, cents: String, last: Boolean) =
+      s"""$name AS (
+         |  SELECT vec_id, sub, ${if (last) "cid, d" else "sv, cid"} FROM (
+         |    SELECT v.vec_id, v.sub, v.sv, c.cid,
+         |           ${l2("v.sv", "c.cent")} AS d,
+         |           row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |             ORDER BY ${l2("v.sv", "c.cent")} ASC, c.cid) AS r
+         |    FROM pqsubv v JOIN $cents c USING (sub))
+         |  WHERE r = 1
+         |)""".stripMargin
+    def update(name: String, assigned: String) =
+      s"""$name AS (
+         |  SELECT sub, cid, list(sx / n ORDER BY i) AS cent FROM (
+         |    SELECT a.sub, a.cid, t.i, sum(a.sv[t.i]) AS sx, count(*) AS n
+         |    FROM $assigned a
+         |    CROSS JOIN (SELECT unnest(generate_series(1, $dsub)) AS i) t
+         |    GROUP BY a.sub, a.cid, t.i)
+         |  GROUP BY sub, cid
+         |)""".stripMargin
+    val rounds = (1 to iters).map(r =>
+      assign(s"pa$r", s"pb${r - 1}", last = false) + ",\n" +
+        update(s"pb$r", s"pa$r")).mkString(",\n")
+    s"""pqvecs AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |     for e in embedding] AS qv
+       |  FROM embeddings
+       |), pqsubv AS (
+       |  SELECT vec_id, s.sub,
+       |         list_slice(qv, s.sub * $dsub + 1, s.sub * $dsub + $dsub) AS sv
+       |  FROM pqvecs, (SELECT unnest(generate_series(0, ${m - 1})) AS sub) s
+       |), pb0 AS (
+       |  SELECT sub, CAST(vec_id AS BIGINT) AS cid,
+       |         [CAST(x AS DOUBLE) for x in sv] AS cent
+       |  FROM pqsubv WHERE vec_id < $ksub
+       |),
+       |$rounds,
+       |${assign("pcode", s"pb$iters", last = true)}""".stripMargin
+  }
+
+  /** DuckDB twin of [[pqEncode]]'s scalar outputs (requires [[pqSql]]);
+    * defines `pqout(vec_id, code_key, rerr)`. */
+  def pqEncodeSql: String =
+    s"""pqout AS (
+       |  SELECT vec_id,
+       |    CAST(sum(cid * CAST(power($PqKsub, sub) AS BIGINT)) AS BIGINT)
+       |      AS code_key,
+       |    list_sum(list(d ORDER BY sub)) / $Dim / 1e8 AS rerr
+       |  FROM pcode GROUP BY vec_id
+       |)""".stripMargin
+
+  /** DuckDB twin of [[topKPqAdc]] (requires [[pqSql]]); defines
+    * `pqlut(qid, sub, cid, dq)` and `pqranked(qid, rank, vec_id, adot)`.
+    * `queryPred` filters `q` over `pqvecs`. */
+  def topKPqSql(queryPred: String): String =
+    s"""pqlut AS (
+       |  SELECT q.vec_id AS qid, c.sub, c.cid,
+       |    list_sum([CAST(q.qv[c.sub * $PqDsub + i] AS DOUBLE) * c.cent[i]
+       |      for i in generate_series(1, $PqDsub)]) AS dq
+       |  FROM pqvecs q, pb$PqIters c WHERE $queryPred
+       |), pqadc AS (
+       |  SELECT qid, vec_id, list_sum(list(dq ORDER BY sub)) / 1e8 AS adot
+       |  FROM (
+       |    SELECT l.qid, p.vec_id, p.sub, l.dq
+       |    FROM pcode p JOIN pqlut l ON l.sub = p.sub AND l.cid = p.cid
+       |    WHERE p.vec_id <> l.qid)
+       |  GROUP BY qid, vec_id
+       |), pqranked AS (
+       |  SELECT qid, vec_id, adot,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY adot DESC, vec_id) AS rank
+       |  FROM pqadc
+       |)""".stripMargin
+
+  /** DuckDB twin of [[topKIvfPq]] (requires [[pqSql]] + [[topKPqSql]]'s
+    * `pqlut`); defines `pqivfranked(qid, rank, vec_id, adot)`.
+    * `queryPred` filters `q` over `embeddings` (probe side). */
+  def topKIvfPqSql(queryPred: String): String =
+    s"""pqcents AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |  WHERE vec_id < $IvfK
+       |), pqbuckets AS (
+       |  SELECT vec_id, cid AS bcid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cid) AS r
+       |    FROM embeddings e, pqcents c)
+       |  WHERE r = 1
+       |), pqprobes AS (
+       |  SELECT qid, cid AS bcid FROM (
+       |    SELECT q.vec_id AS qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosineSql("q.embedding", "c.cemb")} DESC, c.cid) AS r
+       |    FROM embeddings q, pqcents c WHERE $queryPred)
+       |  WHERE r <= $IvfProbe
+       |), pqivfadc AS (
+       |  SELECT qid, vec_id, list_sum(list(dq ORDER BY sub)) / 1e8 AS adot
+       |  FROM (
+       |    SELECT pr.qid, p.vec_id, p.sub, l.dq
+       |    FROM pqprobes pr
+       |    JOIN pqbuckets b ON b.bcid = pr.bcid
+       |    JOIN pcode p ON p.vec_id = b.vec_id
+       |    JOIN pqlut l ON l.qid = pr.qid AND l.sub = p.sub AND l.cid = p.cid
+       |    WHERE b.vec_id <> pr.qid)
+       |  GROUP BY qid, vec_id
+       |), pqivfranked AS (
+       |  SELECT qid, vec_id, adot,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY adot DESC, vec_id) AS rank
+       |  FROM pqivfadc
+       |)""".stripMargin
+
   /** Unrolled-CTE DuckDB restatement of [[kmeans]]: `qvecs`, `c0`
     * seeds, then aN/cN per round; defines `outk(vec_id, cid, cos)`. */
   def kmeansSql(k: Int = KmK, iters: Int = KmIters): String = {

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pipeline.Similarity
+
+/** Product quantization (PQ): codebook training, 4-byte encode, ADC
+  * and IVF-ADC serving — determinism, duplicate-collapse, and the
+  * cluster-structure retrieval property ADC exists for. */
+class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]").appName("pq-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  /** `groups` well-separated cluster centers (one-hot stripes of
+    * magnitude 5) with small deterministic jitter — retrieval
+    * structure is unambiguous by construction. */
+  private def clustered(n: Int, groups: Int) = {
+    val s = spark; import s.implicits._
+    (0 until n).map { i =>
+      val g = i % groups
+      (i.toLong, (0 until Similarity.Dim).map { j =>
+        val base = if (j % groups == g) 5f else 0f
+        base + (((i * 31 + j * 17) % 7) - 3) * 0.05f
+      }.toList)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("codebooks: one per subspace, <= Ksub codewords, deterministic") {
+    val corpus = clustered(120, 4)
+    val b1 = Similarity.pqCodebooks(corpus)
+    val b2 = Similarity.pqCodebooks(corpus)
+    assert(b1.size === Similarity.PqM)
+    b1.foreach { sub =>
+      assert(sub.nonEmpty && sub.size <= Similarity.PqKsub)
+      assert(sub.forall(_._2.size === Similarity.PqDsub))
+      assert(sub.map(_._1) === sub.map(_._1).sorted)
+    }
+    assert(b1 === b2)
+  }
+
+  test("exact duplicates encode to identical codes and code_key") {
+    val base = clustered(100, 4)
+    val twins = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(twins)
+    val books = Similarity.pqCodebooks(base)
+    val enc = Similarity.pqEncode(corpus, books)
+      .select("vec_id", "code_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { i =>
+      assert(enc(i) === enc(i + 1000), s"twin of $i diverged")
+    }
+    // code_key is a bijection of the code array: 8 codes x 4 bits
+    assert(enc.values.forall(k => k >= 0 && k < (1L << 32)))
+  }
+
+  test("ADC top-k retrieves the query's own cluster") {
+    val corpus = clustered(120, 4)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val books = Similarity.pqCodebooks(corpus)
+    val top = Similarity.topKPqAdc(corpus, queries, 5, books)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.length === 15)
+    top.foreach { case (qid, vid) =>
+      assert(vid % 4 === qid % 4,
+        s"ADC pulled $vid (group ${vid % 4}) for query $qid")
+    }
+  }
+
+  test("IVF-PQ agrees with flat ADC scores and probes only buckets") {
+    val corpus = clustered(120, 4)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val books = Similarity.pqCodebooks(corpus)
+    val flat = Similarity.topKPqAdc(corpus, queries, 10, books)
+      .select("qid", "vec_id", "adot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.topKIvfPq(corpus, queries, 10, books)
+      .select("qid", "vec_id", "adot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ivf.nonEmpty)
+    // every IVF-PQ (query, candidate) score is the flat ADC score —
+    // the bucket tier changes the candidate set, never the metric
+    ivf.foreach { case (k, adot) =>
+      flat.get(k).foreach(f => assert(f === adot, s"score diverged at $k"))
+    }
+    // probing bounds the candidate pool: the scan behind each query
+    // covers at most IvfProbe buckets of the corpus, so every result
+    // must come from the probed buckets (same-center corpus rows)
+    val buckets = Similarity.ivfAssign(corpus,
+        corpus.filter(col("vec_id") < Similarity.IvfK))
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = ivf.map { case ((_, vid), _) => buckets(vid) }.toSet
+    assert(probed.size <= Similarity.IvfK)
+  }
+}
