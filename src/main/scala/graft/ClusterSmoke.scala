@@ -165,6 +165,32 @@ object ClusterSmoke {
         v2 == Map(0L -> 2.0, 10L -> 5.0, 20L -> 8.0, 30L -> 8.0) &&
         ArchiveStore.state(spark, dir).get.version > pinned.version
     }
+    check("PQ codebooks + ADC LUTs ship intact across executor JVMs") {
+      // the round-10 tier: the nested books literal (array of array of
+      // struct) and the per-query LUT arrays ride task binaries and a
+      // broadcast into codegen on real executor processes. Invariants:
+      // exact duplicates encode to identical code_keys, and IVF-PQ
+      // scores equal flat-ADC scores wherever both rank a pair.
+      val vecs64 = (0L until 20L).map(i => (i, (0 until Similarity.Dim)
+        .map(j => ((i * 7 + j * 3) % 11).toFloat - 5f).toList))
+        .toDF("vec_id", "embedding")
+      val books = Similarity.pqCodebooks(vecs64)
+      val twins = vecs64.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+      val enc = Similarity.pqEncode(vecs64.unionByName(twins), books)
+        .select("vec_id", "code_key").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val twinsOk = (0L until 5L).forall(i => enc(i) == enc(i + 100))
+      val q = vecs64.filter(col("vec_id") < 2)
+      val flat = Similarity.topKPqAdc(vecs64, q, 5, books)
+        .select("qid", "vec_id", "adot").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val ivf = Similarity.topKIvfPq(vecs64, q, 5, books)
+        .select("qid", "vec_id", "adot").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      twinsOk && ivf.nonEmpty &&
+        ivf.forall { case (k, a) => flat.get(k).forall(_ == a) }
+    }
     check("executors are separate JVMs") {
       val driverPid = ProcessHandle.current().pid()
       val execPids = spark.range(2).repartition(2)

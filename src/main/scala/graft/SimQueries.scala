@@ -252,6 +252,26 @@ object SimQueries {
            |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("adot")} AS adot
            |FROM pqivfranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
 
+    // PQ quality gauge: recall@10 of the 64x-compressed ADC ranking
+    // vs the exact top-10 — what the memory reduction costs in
+    // ranking fidelity (the number that sizes M/Ksub)
+    ("sim_recall_pq",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.pqRecall(e, e.filter(col("vec_id") < 5), K,
+            Similarity.pqCodebooks(e))
+          .select(col("qid").cast("long").as("qid"), col("n_hits"),
+            Round6.r6(col("recall")).as("recall"))
+          .orderBy("qid")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.pqSql()},
+           |${Similarity.topKPqSql("q.vec_id < 5")},
+           |${Similarity.pqRecallSql(K)}
+           |SELECT CAST(qid AS BIGINT) AS qid, n_hits,
+           |       ${Round6.r6Sql("recall")} AS recall
+           |FROM prec ORDER BY qid""".stripMargin)),
+
     // ANN quality gauge: per-query recall@10 of the IVF tier vs the
     // exact top-10 (the number FAISS-style deployments watch)
     ("sim_recall_ivf",

@@ -764,14 +764,19 @@ object Similarity {
 
   /** PQ-encode the corpus: (vec_id, code array<long>, code_key, rerr).
     * `code_key` packs the code array into one exact BIGINT
-    * (Σ code·Ksubˢ — the oracle-comparable functional of every code);
+    * (Σ code·ksubˢ — the oracle-comparable functional of every code;
+    * `ksub` must be the codebook-training bound so the packing is a
+    * bijection, and ksub^(m-1) must stay inside double-exact range);
     * `rerr` is the per-dim squared reconstruction error in the
     * original embedding units (the PQ quality gauge — falls as
     * M or Ksub rise). One map-side pass; nothing shuffles. */
   def pqEncode(corpus: DataFrame,
-      books: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+      books: Seq[Seq[(Long, Seq[Double])]],
+      ksub: Int = PqKsub): DataFrame = {
     val m = books.size; val dsub = Dim / m
-    val ksub = lit(PqKsub.toDouble)
+    require(math.pow(ksub.toDouble, (m - 1).toDouble) <= 4.5e15,
+      s"code_key packing base $ksub^${m - 1} exceeds exact-integer range")
+    val base = lit(ksub.toDouble)
     val bl = pqBooksLit(books)
     val best = array((0 until m).map(s =>
       pqNearestFull(slice(col("qv"), s * dsub + 1, dsub),
@@ -783,7 +788,7 @@ object Similarity {
         aggregate(zip_with(
             transform(col("best"), b => b.getField("cid")),
             sequence(lit(0), lit(m - 1)),
-            (c, s) => c * pow(ksub, s.cast("double")).cast("long")),
+            (c, s) => c * pow(base, s.cast("double")).cast("long")),
           lit(0L), (a, v) => a + v).as("code_key"),
         (aggregate(transform(col("best"), b => b.getField("d")),
           lit(0.0), (a, v) => a + v) / lit(Dim.toDouble) / lit(1e8))
@@ -853,16 +858,27 @@ object Similarity {
   def topKIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
       books: Seq[Seq[(Long, Seq[Double])]],
       ksub: Int = PqKsub): DataFrame = {
-    val m = books.size
     val centroids = corpus.filter(col("vec_id") < IvfK)
       .select(col("vec_id").cast("long").as("cid"), emb.as("cent"))
     val centSeq = collectCentroidSeq(centroids, "cid", "cent")
-    val cents = broadcast(centroids)
-    val assigned = corpus.select(col("vec_id"), emb, qvec(emb).as("qv"))
+    val coded = corpus.select(col("vec_id"), emb, qvec(emb).as("qv"))
       .select(col("vec_id"),
         graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
           .getField("cid").as("bcid"),
         pqCodeCol(col("qv"), books).as("code"))
+    adcProbeCoded(coded, centroids, queries, k, books, ksub)
+  }
+
+  /** Probe + ADC-rank against an already-coded corpus — the shared
+    * serve kernel of [[topKIvfPq]] (fused build) and [[topKPqServe]]
+    * (published index). `coded` is (vec_id, bcid, code); `centroids`
+    * is the coarse (cid, cent) frame — both K-bounded/broadcastable
+    * on the probe side, corpus-side pass stays map-side. */
+  private def adcProbeCoded(coded: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, books: Seq[Seq[(Long, Seq[Double])]],
+      ksub: Int): DataFrame = {
+    val m = books.size
+    val cents = broadcast(centroids.select(col("cid"), col("cent")))
     val probes = queries.select(col("vec_id").as("qid"), emb.as("qemb"))
       .crossJoin(cents)
       .select(col("qid"), col("qemb"), col("cid"),
@@ -872,7 +888,7 @@ object Similarity {
       .filter(col("__r") <= IvfProbe)
       .select(col("qid"), pqLut(qvec(col("qemb")), books, ksub).as("lut"),
         col("cid").as("bcid"))
-    broadcast(probes).join(assigned, Seq("bcid"))
+    broadcast(probes).join(coded, Seq("bcid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         adcScore(col("code"), col("lut"), m, ksub).as("adot"))
@@ -883,6 +899,99 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("adot"))
   }
+
+  /** Build and atomically publish a PQ index: codebooks, coarse
+    * centroids, and the bucket-assigned CODE table land as ONE
+    * [[Snapshot]] version (tables `books`, `centroids`, `coded`,
+    * `meta`), so a serving reader can never pair new books with old
+    * codes. This is the deployment PQ exists for: the publish pays
+    * the train + encode passes once, and the serving tier then holds
+    * only 4-byte codes + K-bounded metadata — the float corpus never
+    * ships to the servers at all. Returns the committed version. */
+  def publishPqIndex(corpus: DataFrame, dir: String, m: Int = PqM,
+      ksub: Int = PqKsub, iters: Int = PqIters): Long = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(corpus, m, ksub, iters)
+    val booksDf = books.zipWithIndex.flatMap { case (sub, s) =>
+      sub.map { case (cid, cent) => (s, cid, cent) } }
+      .toDF("sub", "cid", "cent")
+    val centroids = corpus.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("long").as("cid"), emb.as("cent"))
+    val centSeq = collectCentroidSeq(centroids, "cid", "cent")
+    val coded = corpus.select(col("vec_id"), emb, qvec(emb).as("qv"))
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
+          .getField("cid").as("bcid"),
+        pqCodeCol(col("qv"), books).as("code"))
+    val meta = Seq((m, ksub)).toDF("m", "ksub")
+    Snapshot.publishTables(Seq("books" -> booksDf,
+      "centroids" -> centroids, "coded" -> coded, "meta" -> meta), dir)
+  }
+
+  /** A published version's driver-side codebooks + its declared ksub
+    * (the LUT/packing base — NOT derivable from the books, which may
+    * have dropped empty codewords). */
+  private def loadPqBooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String, version: Option[Long])
+      : (Seq[Seq[(Long, Seq[Double])]], Int) = {
+    val rows = Snapshot.readTable(spark, dir, "books", version)
+      .select(col("sub").cast("int"), col("cid").cast("long"),
+        transform(col("cent"), _.cast("double")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .toSeq
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
+    val ksub = Snapshot.readTable(spark, dir, "meta", version)
+      .select(col("ksub").cast("int")).collect().head.getInt(0)
+    (books, ksub)
+  }
+
+  /** Serve ADC top-k from a published PQ index (latest version, or
+    * pinned). Result-identical to [[topKIvfPq]] over the corpus the
+    * index was built from — the spec pins that equality. The serve
+    * reads ONLY codes + K-bounded metadata. */
+  def topKPqServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, version: Option[Long] = None): DataFrame = {
+    val (books, ksub) = loadPqBooks(spark, dir, version)
+    adcProbeCoded(Snapshot.readTable(spark, dir, "coded", version),
+      Snapshot.readTable(spark, dir, "centroids", version),
+      queries, k, books, ksub)
+  }
+
+  /** Incremental PQ index update: encode `newVecs` with the PUBLISHED
+    * books + coarse centroids and publish (old codes ∪ new) as the
+    * next version — the [[appendToIvfIndex]] freshness trade, PQ
+    * flavor: appends reuse the frozen quantizers, so reconstruction
+    * drift accumulates until [[pqRecall]] on a probe set says
+    * rebuild ([[publishPqIndex]] from the full corpus). Serving sees
+    * old+new atomically. */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, dir: String): Long = {
+    val (books, _) = loadPqBooks(spark, dir, None)
+    val centroids = Snapshot.readTable(spark, dir, "centroids")
+    val centSeq = collectCentroidSeq(centroids, "cid", "cent")
+    val fresh = newVecs.select(col("vec_id"), emb, qvec(emb).as("qv"))
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
+          .getField("cid").as("bcid"),
+        pqCodeCol(col("qv"), books).as("code"))
+    val merged = Snapshot.readTable(spark, dir, "coded").unionByName(fresh)
+    Snapshot.publishTables(Seq(
+      "books" -> Snapshot.readTable(spark, dir, "books"),
+      "centroids" -> centroids, "coded" -> merged,
+      "meta" -> Snapshot.readTable(spark, dir, "meta")), dir)
+  }
+
+  /** Recall@k of the flat ADC tier against the exact top-k — the PQ
+    * sibling of [[ivfRecall]] (compression quality, not probe
+    * coverage: what the 64x memory reduction costs in ranking
+    * fidelity; rises with M/Ksub). Exact tier is one brute pass per
+    * evaluation batch — run on a sampled probe set. */
+  def pqRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      books: Seq[Seq[(Long, Seq[Double])]]): DataFrame =
+    recallJoin(topKExact(corpus, queries, k),
+      topKPqAdc(corpus, queries, k, books))
 
   /** Unrolled-CTE DuckDB restatement of [[pqCodebooks]] + the final
     * assignment: `pqvecs`/`pqsubv`, `pb0` seeds, paN/pbN per round,
@@ -1004,6 +1113,27 @@ object Similarity {
        |         row_number() OVER (PARTITION BY qid
        |           ORDER BY adot DESC, vec_id) AS rank
        |  FROM pqivfadc
+       |)""".stripMargin
+
+  /** DuckDB twin of [[pqRecall]] for queries `vec_id < 5`; composes
+    * after [[topKPqSql]] (which defines `pqranked`) and defines
+    * `prec(qid, n_hits, recall)`. */
+  def pqRecallSql(k: Int): String =
+    s"""pxq AS (
+       |  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5
+       |), pxrk AS (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT q.qid, e.vec_id, ${cosineSql("q.qemb", "e.embedding")} AS cos
+       |    FROM embeddings e, pxq q WHERE e.vec_id <> q.qid)
+       |), prec AS (
+       |  SELECT x.qid, CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |    sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS recall
+       |  FROM (SELECT qid, vec_id FROM pxrk WHERE rank <= $k) x
+       |  LEFT JOIN (SELECT qid, vec_id FROM pqranked WHERE rank <= $k) i
+       |    ON x.qid = i.qid AND x.vec_id = i.vec_id
+       |  GROUP BY x.qid
        |)""".stripMargin
 
   /** Unrolled-CTE DuckDB restatement of [[kmeans]]: `qvecs`, `c0`

@@ -39,10 +39,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("quantized tiers: corpus side never shuffles for a join") {
     // flat q8 scan: broadcast query crossJoin (BNLJ over the tiny
-    // side); IVF-SQ8: broadcast probe join into the assigned corpus.
-    // A SortMergeJoin in either means the corpus got shuffled for a
+    // side); IVF-SQ8: broadcast probe join into the assigned corpus;
+    // the PQ tiers follow the same contract with LUT arrays riding
+    // the broadcast instead of quantized query vectors.
+    // A SortMergeJoin in any means the corpus got shuffled for a
     // frame that is broadcastable by contract.
-    Seq("sim_topk_q8", "sim_topk_ivf_q8").foreach { q =>
+    Seq("sim_topk_q8", "sim_topk_ivf_q8",
+        "sim_topk_pq", "sim_topk_ivf_pq").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
@@ -56,7 +59,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the window shuffle. A regression to a plain Window (full
     // per-query sort of every scored corpus row through the exchange)
     // would be invisible in results and only show at corpus scale.
-    Seq("sim_topk_q8", "sim_topk_ivf_q8").foreach { q =>
+    Seq("sim_topk_q8", "sim_topk_ivf_q8",
+        "sim_topk_pq", "sim_topk_ivf_pq").foreach { q =>
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"), s"$q lost its rank-limit:\n$p")
     }

@@ -6,6 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import graft.pipeline.Similarity
 
+import java.nio.file.Files
+
 /** Product quantization (PQ): codebook training, 4-byte encode, ADC
   * and IVF-ADC serving — determinism, duplicate-collapse, and the
   * cluster-structure retrieval property ADC exists for. */
@@ -106,5 +108,62 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val probed = ivf.map { case ((_, vid), _) => buckets(vid) }.toSet
     assert(probed.size <= Similarity.IvfK)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("published PQ index: serve equals the fused IVF-PQ path") {
+    val dir = Files.createTempDirectory("pqserve").toString
+    val corpus = clustered(120, 4)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val v = Similarity.publishPqIndex(corpus, dir)
+    assert(v === 1L)
+    val books = Similarity.pqCodebooks(corpus)
+    val served = rows(Similarity.topKPqServe(spark, dir, queries, 5))
+    val direct = rows(Similarity.topKIvfPq(corpus, queries, 5, books))
+    assert(served === direct && served.nonEmpty)
+  }
+
+  test("append encodes with pinned books; old version stays servable") {
+    val dir = Files.createTempDirectory("pqappend").toString
+    val base = clustered(120, 4)
+    Similarity.publishPqIndex(base, dir)
+    val extra = clustered(140, 4).filter(col("vec_id") >= 120)
+    val v2 = Similarity.appendToPqIndex(spark, extra, dir)
+    assert(v2 === 2L)
+    val queries = base.filter(col("vec_id") < 3)
+    val books = Similarity.pqCodebooks(base)
+    // serve(v2) ≡ fused path over the union WITH THE ORIGINAL BOOKS —
+    // holds only if the append reused the pinned quantizers
+    val served = rows(Similarity.topKPqServe(spark, dir, queries, 10))
+    val direct = rows(Similarity.topKIvfPq(
+      base.unionByName(extra), queries, 10, books))
+    assert(served === direct)
+    // the pre-append version still serves its own result when pinned
+    val v1 = rows(Similarity.topKPqServe(spark, dir, queries, 10, Some(1L)))
+    assert(v1 === rows(Similarity.topKIvfPq(base, queries, 10, books)))
+    // and the committed code table really carries old + new
+    assert(graft.pipeline.Snapshot.readTable(spark, dir, "coded")
+      .count() === 140L)
+  }
+
+  test("pqRecall is 1.0 when the corpus lies on codewords") {
+    // 8 distinct patterns (< Ksub), each with exactly Dim/8 high
+    // positions so ALL norms are equal: after training, every
+    // subvector IS a codeword, so ADC dot equals the exact dot, and
+    // equal norms make dot-ranking equal cosine-ranking — the gauge
+    // must read exactly 1.0 (and below it, compression loss shows)
+    val s = spark; import s.implicits._
+    val pats = (0 until 8).map(p => (0 until Similarity.Dim).map(j =>
+      if (j % 8 == p) 4f else 1f))
+    val corpus = (0L until 60L).map(i => (i, pats((i % 8).toInt).toList))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(corpus)
+    val rec = Similarity.pqRecall(corpus,
+        corpus.filter(col("vec_id") < 3), 5, books)
+      .select("recall").collect().map(_.getDouble(0))
+    assert(rec.length === 3 && rec.forall(_ === 1.0))
   }
 }
