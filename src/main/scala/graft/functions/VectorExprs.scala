@@ -59,6 +59,14 @@ object VectorExprs {
     GraftBridge.column(NearestInCellExpr(GraftBridge.expression(vec),
       GraftBridge.expression(cells)))
 
+  /** struct(code, d) — all M product-quantization subspace argmins in
+    * one pass over the vector; see [[PqEncodeExpr]]. `books(sub)` =
+    * cid-ascending (cid, codeword) pairs. */
+  def pqEncode(vec: Column,
+      books: Seq[Seq[(Long, Seq[Double])]]): Column =
+    GraftBridge.column(PqEncodeExpr(GraftBridge.expression(vec),
+      books.map(_.map(_._1)), books.map(_.map(_._2))))
+
   /** Accepts primitive numeric element types only — DecimalType is
     * rejected at ANALYSIS time because the fused loops read elements
     * with primitive getters (a decimal array would otherwise crash at
@@ -540,4 +548,161 @@ case class NearestInCellExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestInCellExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Fused product-quantization encoder: for each of the M subspaces of
+  * the (integer-quantized) input vector, the squared-L2-nearest
+  * codeword — ALL M argmins in one pass over the vector, against the
+  * driver-held codebooks (M·Ksub·Dsub doubles, plan-time constants).
+  *
+  * Replaces the per-subspace `array_min(transform(...))` HOF stack in
+  * [[graft.pipeline.Similarity]]'s PQ tier: higher-order functions are
+  * CodegenFallback and materialize a Ksub-struct array per subspace
+  * per row — the multiplicative hot path of codebook training (M·Ksub
+  * distances × N rows × Lloyd rounds) and corpus encode. Distances
+  * accumulate `(x−y)²` in IEEE double in index order, candidates scan
+  * cid-ascending with strict-improvement replacement — bit-identical
+  * to the HOF formulation and the DuckDB oracle's
+  * `ORDER BY d ASC, cid` window (PqSpec pins the equivalence).
+  *
+  * Returns struct(code: array<long>, d: array<double>) — per-subspace
+  * chosen cids and their squared distances. Null element or a length
+  * other than M·Dsub ⇒ null result (the malformed-input convention of
+  * [[NearestCentroidExpr]]). Subspace codebooks may hold differing
+  * (≤ Ksub) live codeword counts — empty codewords drop during
+  * training, exactly as flat k-means drops empty clusters. */
+case class PqEncodeExpr(child: Expression,
+    subCids: Seq[Seq[Long]], subCents: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  private val m = subCids.length
+  private val dsub = subCents.headOption.flatMap(_.headOption)
+    .map(_.length).getOrElse(0)
+  private val dim = m * dsub
+  require(m > 0 && subCents.length == m &&
+    subCids.zip(subCents).forall(p => p._1.length == p._2.length) &&
+    subCents.forall(_.forall(_.length == dsub)),
+    "codebooks must be non-empty and rectangular per subspace")
+  require(subCids.forall(s => s.zip(s.drop(1)).forall(p => p._1 < p._2)),
+    "codewords must be sorted by cid per subspace (tie-break contract)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.numericElem(prettyName, child.dataType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("code", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("d", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  /** candidate-count prefix offsets: sub s scans [off(s), off(s+1)) */
+  @transient private lazy val offs: Array[Int] =
+    subCids.scanLeft(0)(_ + _.length).toArray
+  @transient private lazy val cidArr: Array[Long] =
+    subCids.flatten.toArray
+  /** row-major (global candidate)×dsub codeword matrix */
+  @transient private lazy val flat: Array[Double] =
+    subCents.flatten.flatten.toArray
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    val et = elemType
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    val code = new Array[Long](m)
+    val dist = new Array[Double](m)
+    var s = 0
+    while (s < m) {
+      var bestCid = 0L
+      var bestD = 0.0
+      var first = true
+      var c = offs(s)
+      while (c < offs(s + 1)) {
+        var dacc = 0.0
+        i = 0
+        while (i < dsub) {
+          val x = VectorExprs.evalAsDouble(arr, s * dsub + i, et)
+          val diff = x - flat(c * dsub + i)
+          dacc += diff * diff
+          i += 1
+        }
+        if (first || dacc < bestD) { bestCid = cidArr(c); bestD = dacc }
+        first = false
+        c += 1
+      }
+      code(s) = bestCid
+      dist(s) = bestD
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(code),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(dist)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cRef = ctx.addReferenceObj("pqCents", flat, "double[]")
+      val idRef = ctx.addReferenceObj("pqCids", cidArr, "long[]")
+      val offRef = ctx.addReferenceObj("pqOffs", offs, "int[]")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val dacc = ctx.freshName("dacc")
+      val diff = ctx.freshName("diff")
+      val bestCid = ctx.freshName("bestCid")
+      val bestD = ctx.freshName("bestD")
+      val first = ctx.freshName("first")
+      val code = ctx.freshName("code")
+      val dist = ctx.freshName("dist")
+      val bad = ctx.freshName("bad")
+      val xi = ctx.freshName("xi")
+      val getAt = VectorExprs.getAsDouble(arr, xi, elemType)
+      s"""
+         |boolean $bad = ($arr.numElements() != $dim);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($arr.isNullAt($i)) { $bad = true; break; }
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  long[] $code = new long[$m];
+         |  double[] $dist = new double[$m];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    long $bestCid = 0L;
+         |    double $bestD = 0.0;
+         |    boolean $first = true;
+         |    for (int $c = $offRef[$s]; $c < $offRef[$s + 1]; $c++) {
+         |      double $dacc = 0.0;
+         |      for (int $i = 0; $i < $dsub; $i++) {
+         |        int $xi = $s * $dsub + $i;
+         |        double $diff = ($getAt) - $cRef[$c * $dsub + $i];
+         |        $dacc += $diff * $diff;
+         |      }
+         |      if ($first || $dacc < $bestD) {
+         |        $bestCid = $idRef[$c]; $bestD = $dacc;
+         |      }
+         |      $first = false;
+         |    }
+         |    $code[$s] = $bestCid;
+         |    $dist[$s] = $bestD;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($code),
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($dist)});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
 }

@@ -707,15 +707,27 @@ object Similarity {
       pqL2(sv, c.getField("cent")).as("d"),
       c.getField("cid").as("cid"))))
 
-  /** The PQ code array of one integer-quantized vector. */
-  private def pqCodeCol(qv: Column,
+  /** HOF reference formulation of the fused
+    * [[graft.functions.VectorExprs.pqEncode]] — array<struct<d, cid>>
+    * over the M subspaces. Kept (like [[cosineHof]]/[[lshSigHof]]) as
+    * the formulation the native expression is spec-tested
+    * bit-identical against; the production paths use the native
+    * expression (HOFs are CodegenFallback and materialize a
+    * Ksub-struct array per subspace per row). */
+  def pqBestHof(qv: Column,
       books: Seq[Seq[(Long, Seq[Double])]]): Column = {
     val m = books.size; val dsub = Dim / m
     val bl = pqBooksLit(books)
     array((0 until m).map(s =>
       pqNearestFull(slice(qv, s * dsub + 1, dsub),
-        element_at(bl, lit(s + 1))).getField("cid")): _*)
+        element_at(bl, lit(s + 1)))): _*)
   }
+
+  /** The PQ code array of one integer-quantized vector — one fused
+    * native pass over all M subspaces. */
+  private def pqCodeCol(qv: Column,
+      books: Seq[Seq[(Long, Seq[Double])]]): Column =
+    graft.functions.VectorExprs.pqEncode(qv, books).getField("code")
 
   /** Train the PQ codebooks: per subspace, `ksub` codewords after
     * `iters` Lloyd rounds (squared-L2 metric in the integer-quantized
@@ -736,22 +748,27 @@ object Similarity {
     def regroup(rows: Seq[(Int, Long, Seq[Double])]) =
       rows.groupBy(_._1).toSeq.sortBy(_._1)
         .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
-    val subv = corpus.select(col("vec_id"), qvec(emb).as("qv"))
-      .select(col("vec_id"), posexplode(array((0 until m).map(s =>
-        slice(col("qv"), s * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
+    // persist the NARROW quantized frame (N×Dim longs), not the ×M
+    // subvector explode: each round re-derives its view from cache
+    val qvf = corpus.select(col("vec_id"), qvec(emb).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var books = regroup(subv.filter(col("vec_id") < ksub)
+      var books = regroup(qvf.filter(col("vec_id") < ksub)
+        .select(col("vec_id"), posexplode(array((0 until m).map(s =>
+          slice(col("qv"), s * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
         .select(col("sub"), col("vec_id").cast("long").as("cid"),
           transform(col("sv"), x => x.cast("double")).as("cent"))
         .as[(Int, Long, Seq[Double])].collect().toSeq)
       (1 to iters).foreach { _ =>
-        val bl = pqBooksLit(books)
         val sums = (0 until dsub).map(i =>
           sum(col("sv").getItem(i)).as(s"s$i"))
-        books = regroup(subv.select(col("sub"), col("sv"),
-            pqNearestFull(col("sv"), element_at(bl, col("sub") + 1))
-              .getField("cid").as("cid"))
+        // assignment: ONE fused native pass computes all M codes per
+        // row; the explode that follows carries only (sub, cid) + the
+        // sliced subvector into the (sub, cid, dim)-bounded aggregate
+        books = regroup(qvf.select(col("qv"),
+            posexplode(pqCodeCol(col("qv"), books)).as(Seq("sub", "cid")))
+          .select(col("sub"), col("cid"),
+            slice(col("qv"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
           .groupBy(col("sub"), col("cid"))
           .agg(count(lit(1)).as("n"), sums: _*)
           .select(col("sub"), col("cid"), array((0 until dsub).map(i =>
@@ -759,7 +776,7 @@ object Similarity {
           .as[(Int, Long, Seq[Double])].collect().toSeq)
       }
       books
-    } finally { subv.unpersist(); () }
+    } finally { qvf.unpersist(); () }
   }
 
   /** PQ-encode the corpus: (vec_id, code array<long>, code_key, rerr).
@@ -773,24 +790,21 @@ object Similarity {
   def pqEncode(corpus: DataFrame,
       books: Seq[Seq[(Long, Seq[Double])]],
       ksub: Int = PqKsub): DataFrame = {
-    val m = books.size; val dsub = Dim / m
+    val m = books.size
     require(math.pow(ksub.toDouble, (m - 1).toDouble) <= 4.5e15,
       s"code_key packing base $ksub^${m - 1} exceeds exact-integer range")
     val base = lit(ksub.toDouble)
-    val bl = pqBooksLit(books)
-    val best = array((0 until m).map(s =>
-      pqNearestFull(slice(col("qv"), s * dsub + 1, dsub),
-        element_at(bl, lit(s + 1)))): _*)
+    val best = graft.functions.VectorExprs.pqEncode(col("qv"), books)
     corpus.select(col("vec_id"), qvec(emb).as("qv"))
       .select(col("vec_id"), best.as("best"))
       .select(col("vec_id"),
-        transform(col("best"), b => b.getField("cid")).as("code"),
+        col("best").getField("code").as("code"),
         aggregate(zip_with(
-            transform(col("best"), b => b.getField("cid")),
+            col("best").getField("code"),
             sequence(lit(0), lit(m - 1)),
             (c, s) => c * pow(base, s.cast("double")).cast("long")),
           lit(0L), (a, v) => a + v).as("code_key"),
-        (aggregate(transform(col("best"), b => b.getField("d")),
+        (aggregate(col("best").getField("d"),
           lit(0.0), (a, v) => a + v) / lit(Dim.toDouble) / lit(1e8))
           .as("rerr"))
   }

@@ -110,6 +110,31 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probed.size <= Similarity.IvfK)
   }
 
+  test("native PQ encode is bit-identical to the HOF formulation") {
+    val s = spark; import s.implicits._
+    val corpus = clustered(120, 4)
+    val books = Similarity.pqCodebooks(corpus)
+    def qv = transform(col("embedding"),
+      e => floor(e.cast("double") * 10000d + 0.5d).cast("long"))
+    val rows = corpus.select(
+        graft.functions.VectorExprs.pqEncode(qv, books).as("nat"),
+        Similarity.pqBestHof(qv, books).as("hof"))
+      .select(col("nat.code").as("ncode"), col("nat.d").as("nd"),
+        transform(col("hof"), b => b.getField("cid")).as("hcode"),
+        transform(col("hof"), b => b.getField("d")).as("hd"))
+      .collect()
+    assert(rows.length === 120)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](2))
+      assert(r.getSeq[Double](1) === r.getSeq[Double](3))
+    }
+    // malformed input (wrong dimensionality) nulls out, never truncates
+    val short = Seq((0L, Seq.fill(10)(1f))).toDF("vec_id", "embedding")
+    val out = short.select(
+      graft.functions.VectorExprs.pqEncode(qv, books).as("nat")).collect()
+    assert(out.length === 1 && out(0).isNullAt(0))
+  }
+
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.select("qid", "rank", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
