@@ -828,4 +828,82 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(trow.getLong(trow.fieldIndex("n_a")) === 1L)
     assert(trow.getLong(trow.fieldIndex("n_b")) === 0L)
   }
+
+  test("MVCC model run: random merge/compact/retention keeps content " +
+      "exact and pinned versions stable") {
+    // model-based check of the whole store protocol: a seeded random
+    // interleaving of merges (the only content mutator), size-tiered
+    // compaction (must be a pure maintenance no-op on content),
+    // retention (partition-grain manifest edit), and version pins
+    // (grace-window readers must stay byte-stable through later
+    // mutations). Values are integer-valued doubles so every vw/dur
+    // partial is order-independent-exact and the in-memory model
+    // compares with == (no epsilon hiding a real divergence).
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mvcc-model")
+      .toString + "/slots"
+    val step = 10L; val pslots = 8L; val partSec = step * pslots
+    val rnd = new scala.util.Random(7)
+    val names = (0 until 5).map(i => s"mdl.s$i")
+    val model =
+      scala.collection.mutable.Map[(String, Long), (Double, Double)]()
+    def modelValues: Map[(String, Long), Double] =
+      model.toMap.map { case (k, (vw, dur)) => k -> vw / dur }
+    def readAll(): Map[(String, Long), Double] =
+      Ingest.readArchive(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    var pinned: Option[(ArchiveStore.State,
+      Map[(String, Long), Double], Int)] = None
+    var maxT = 0L
+    (0 until 24).foreach { op =>
+      rnd.nextInt(10) match {
+        case r if r < 6 => // merge: the content mutator
+          val ps = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            val n = names(rnd.nextInt(names.size))
+            val slot = rnd.nextInt(40).toLong
+            val v = (1 + rnd.nextInt(9)).toDouble
+            maxT = math.max(maxT, slot * step)
+            Ingest.Piece(n, slot * step, (slot + 1) * step, v)
+          }
+          Ingest.mergePiecesIntoArchive(spark, ps.toDF(), dir,
+            stepSec = step, partitionSlots = pslots,
+            writer = Some(("model", op.toLong)))
+          ps.foreach { p =>
+            val k = (p.name, p.begin)
+            val (vw, dur) = model.getOrElse(k, (0.0, 0.0))
+            model(k) = (vw + p.value * step, dur + step)
+          }
+        case 6 | 7 => // compaction: content-invariant maintenance
+          ArchiveStore.compact(spark, dir, keepVersions = 8,
+            fanout = 2 + rnd.nextInt(3), tierBytes = 1L)
+          ()
+        case 8 => // retention: partition-grain manifest edit
+          val span = (1 + rnd.nextInt(3)).toLong * partSec
+          val now = maxT + step
+          val horizonPt =
+            math.floor((now - span).toDouble / partSec).toLong
+          Ingest.enforceRetention(spark, dir, step, span, now,
+            partitionSlots = pslots, keepVersions = 8)
+          model.keys.filter { case (_, t) =>
+            math.floor(t.toDouble / partSec).toLong < horizonPt }.toSeq
+            .foreach(model.remove)
+        case _ => // pin a snapshot to re-check under later mutations
+          ArchiveStore.state(spark, dir).foreach { st =>
+            pinned = Some((st, modelValues, op))
+          }
+      }
+      assert(readAll() == modelValues, s"content diverged after op $op")
+      pinned.foreach { case (st, want, at) =>
+        if (op - at <= 3) {
+          val got = ArchiveStore.readRaw(spark, dir, st)
+            .select(col("name"), col("t"),
+              (col("vw") / col("dur")).as("v"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+            .toMap
+          assert(got == want, s"pinned read diverged at op $op (pin $at)")
+        } else pinned = None
+      }
+    }
+  }
 }
