@@ -264,11 +264,16 @@ object Similarity {
 
   /** Serve top-k queries from a published IVF index (latest version,
     * or pinned). Result-identical to [[topKIvfKmeans]] over the corpus
-    * the index was built from — the spec pins that equality. */
+    * the index was built from — the spec pins that equality. The
+    * version resolves ONCE for both tables (per-read latest
+    * resolution could pair new centroids with an old assignment when
+    * a rebuild lands mid-serve). */
   def topKIvfServe(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queries: DataFrame, k: Int, version: Option[Long] = None): DataFrame =
-    probeAssigned(Snapshot.readTable(spark, dir, "assigned", version),
-      Snapshot.readTable(spark, dir, "centroids", version), queries, k)
+      queries: DataFrame, k: Int, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(Snapshot.latestVersion(spark, dir))
+    probeAssigned(Snapshot.readTable(spark, dir, "assigned", v),
+      Snapshot.readTable(spark, dir, "centroids", v), queries, k)
+  }
 
   /** Incremental index update: assign `newVecs` with the PUBLISHED
     * centroids and publish (old assignment ∪ new) as the next version.
@@ -280,12 +285,16 @@ object Similarity {
     * [[ivfRecall]] gauge says so. Serving sees old+new atomically. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       newVecs: DataFrame, dir: String): Long = {
-    val cents = Snapshot.readTable(spark, dir, "centroids")
+    // pin ONE version for both inputs — same torn-version guard as
+    // [[appendToPqIndex]]
+    val v = Snapshot.latestVersion(spark, dir)
+    val cents = Snapshot.readTable(spark, dir, "centroids", v)
     val centSeq = collectCentroidSeq(cents, "cid", "cent")
     val fresh = newVecs.select(col("vec_id"), emb,
       graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
         .getField("cid").as("cid"))
-    val merged = Snapshot.readTable(spark, dir, "assigned").unionByName(fresh)
+    val merged = Snapshot.readTable(spark, dir, "assigned", v)
+      .unionByName(fresh)
     Snapshot.publishTables(Seq("centroids" -> cents, "assigned" -> merged), dir)
   }
 
@@ -964,12 +973,16 @@ object Similarity {
   /** Serve ADC top-k from a published PQ index (latest version, or
     * pinned). Result-identical to [[topKIvfPq]] over the corpus the
     * index was built from — the spec pins that equality. The serve
-    * reads ONLY codes + K-bounded metadata. */
+    * reads ONLY codes + K-bounded metadata. The version is resolved
+    * ONCE and every table reads it: with per-read latest resolution a
+    * publish landing between the books load and the code scan would
+    * pair new books with old codes. */
   def topKPqServe(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, version: Option[Long] = None): DataFrame = {
-    val (books, ksub) = loadPqBooks(spark, dir, version)
-    adcProbeCoded(Snapshot.readTable(spark, dir, "coded", version),
-      Snapshot.readTable(spark, dir, "centroids", version),
+    val v = version.orElse(Snapshot.latestVersion(spark, dir))
+    val (books, ksub) = loadPqBooks(spark, dir, v)
+    adcProbeCoded(Snapshot.readTable(spark, dir, "coded", v),
+      Snapshot.readTable(spark, dir, "centroids", v),
       queries, k, books, ksub)
   }
 
@@ -982,19 +995,24 @@ object Similarity {
     * old+new atomically. */
   def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
       newVecs: DataFrame, dir: String): Long = {
-    val (books, _) = loadPqBooks(spark, dir, None)
-    val centroids = Snapshot.readTable(spark, dir, "centroids")
+    // pin ONE version for every input table — a publish racing this
+    // append must not mix quantizer generations (the semDedupAppend
+    // torn-version lesson)
+    val v = Snapshot.latestVersion(spark, dir)
+    val (books, _) = loadPqBooks(spark, dir, v)
+    val centroids = Snapshot.readTable(spark, dir, "centroids", v)
     val centSeq = collectCentroidSeq(centroids, "cid", "cent")
     val fresh = newVecs.select(col("vec_id"), emb, qvec(emb).as("qv"))
       .select(col("vec_id"),
         graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
           .getField("cid").as("bcid"),
         pqCodeCol(col("qv"), books).as("code"))
-    val merged = Snapshot.readTable(spark, dir, "coded").unionByName(fresh)
+    val merged = Snapshot.readTable(spark, dir, "coded", v)
+      .unionByName(fresh)
     Snapshot.publishTables(Seq(
-      "books" -> Snapshot.readTable(spark, dir, "books"),
+      "books" -> Snapshot.readTable(spark, dir, "books", v),
       "centroids" -> centroids, "coded" -> merged,
-      "meta" -> Snapshot.readTable(spark, dir, "meta")), dir)
+      "meta" -> Snapshot.readTable(spark, dir, "meta", v)), dir)
   }
 
   /** Recall@k of the flat ADC tier against the exact top-k — the PQ
@@ -2057,10 +2075,13 @@ object Similarity {
     * cadence, not per production query. */
   def servedRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, version: Option[Long] = None): DataFrame = {
-    val corpus = Snapshot.readTable(spark, dir, "assigned", version)
+    // one pinned version: the exact baseline and the served tier must
+    // gauge the SAME index generation
+    val v = version.orElse(Snapshot.latestVersion(spark, dir))
+    val corpus = Snapshot.readTable(spark, dir, "assigned", v)
       .select(col("vec_id"), emb)
     recallJoin(topKExact(corpus, queries, k),
-      topKIvfServe(spark, dir, queries, k, version))
+      topKIvfServe(spark, dir, queries, k, v))
   }
 
   /** The index HEALTH LOOP closing [[appendToIvfIndex]]'s freshness
