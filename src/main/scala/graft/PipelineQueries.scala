@@ -258,6 +258,42 @@ object PipelineQueries {
         .orderBy("term", "rank")): Q,
       Some(pipeline.TextAnalysis.bm25Sql(Seq("spark", "window", "hash"), 10))),
 
+    // Rocchio pseudo-relevance feedback: per-term centroid of the
+    // lexically-matching docs' embeddings, corpus ranked by cosine —
+    // the semantic arm of hybrid retrieval
+    ("tx_semantic_expand",
+      ((s, d) => pipeline.TextAnalysis.semanticExpand(
+          Tables.documents(s, d), Tables.embeddings(s, d),
+          Seq("spark", "window", "hash"), 10)
+        .orderBy("term", "rank")): Q,
+      Some(pipeline.TextAnalysis.semanticExpandSql(
+        Seq("spark", "window", "hash"), 10))),
+
+    // hybrid retrieval: BM25 lexical arm + Rocchio semantic arm fused
+    // by reciprocal rank (exact integer RRF mass)
+    ("tx_hybrid_rrf",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val vecs = Tables.embeddings(s, d)
+        val terms = Seq("spark", "window", "hash")
+        val lex = pipeline.TextAnalysis.bm25(docs, terms, 20)
+          .select(col("term").as("qid"),
+            col("doc_id").cast("long").as("doc_id"), col("rank"))
+        val sem = pipeline.TextAnalysis.semanticExpand(docs, vecs, terms, 20)
+          .select(col("term").as("qid"), col("vec_id").as("doc_id"), col("rank"))
+        pipeline.TextAnalysis.rrfFuse(Seq(lex, sem), 10)
+          .orderBy("qid", "rank")
+      }): Q,
+      Some({
+        val terms = Seq("spark", "window", "hash")
+        pipeline.TextAnalysis.rrfFuseSql(
+          s"SELECT term AS qid, doc_id, rank FROM (${
+            pipeline.TextAnalysis.bm25Sql(terms, 20)})",
+          s"SELECT term AS qid, vec_id AS doc_id, rank FROM (${
+            pipeline.TextAnalysis.semanticExpandSql(terms, 20)})",
+          10)
+      })),
+
     // blocklist filtering: broadcast Aho–Corasick pass vs a per-phrase
     // positional scan in the oracle — multi-word and overlapping-
     // capable phrases, threshold gate

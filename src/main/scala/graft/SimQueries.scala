@@ -43,6 +43,81 @@ object SimQueries {
            |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("cos")} AS cos
            |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
 
+    // hard-negative mining (exact tier): per query, nearest
+    // different-label vectors — the contrastive-training negative set
+    ("sim_hard_negatives",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.hardNegatives(e, e.filter(col("vec_id") < 5), K)
+          .select(col("qid").cast("long").as("qid"), col("rank"),
+            col("vec_id").cast("long").as("vec_id"),
+            Round6.r6(col("cos")).as("cos"))
+          .orderBy("qid", "rank")
+      }): Q,
+      Some(
+        s"""WITH q AS (
+           |  SELECT vec_id AS qid, embedding AS qemb, label AS qlabel
+           |  FROM embeddings WHERE vec_id < 5
+           |), scored AS (
+           |  SELECT q.qid, e.vec_id,
+           |         ${Similarity.cosineSql("q.qemb", "e.embedding")} AS cos
+           |  FROM embeddings e, q
+           |  WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+           |), ranked AS (
+           |  SELECT qid, vec_id, cos,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("cos")} AS cos
+           |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
+
+    // hard-negative mining (IVF scale tier): over-fetch 4K from the
+    // k-means index, drop same-label, keep the K nearest survivors
+    ("sim_hard_negatives_ivf",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.hardNegativesIvf(e, e.filter(col("vec_id") < 5), K)
+          .select(col("qid").cast("long").as("qid"), col("rank"),
+            col("vec_id").cast("long").as("vec_id"),
+            Round6.r6(col("cos")).as("cos"))
+          .orderBy("qid", "rank")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.kmeansSql()},
+           |assignedk AS (
+           |  SELECT vec_id, embedding, cid FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${Similarity.cosineSql("e.embedding", "c.cent")} DESC, c.cid) AS r
+           |    FROM embeddings e, c${Similarity.KmIters} c)
+           |  WHERE r = 1
+           |), probesk AS (
+           |  SELECT qid, qemb, cid FROM (
+           |    SELECT q.vec_id AS qid, q.embedding AS qemb, c.cid,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY ${Similarity.cosineSql("q.embedding", "c.cent")} DESC, c.cid) AS r
+           |    FROM embeddings q, c${Similarity.KmIters} c WHERE q.vec_id < 5)
+           |  WHERE r <= ${Similarity.IvfProbe}
+           |), rankedk AS (
+           |  SELECT qid, vec_id, cos,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+           |  FROM (
+           |    SELECT p.qid, a.vec_id, ${Similarity.cosineSql("p.qemb", "a.embedding")} AS cos
+           |    FROM probesk p JOIN assignedk a USING (cid)
+           |    WHERE a.vec_id <> p.qid)
+           |), neg AS (
+           |  SELECT r.qid, r.vec_id, r.cos,
+           |         row_number() OVER (PARTITION BY r.qid ORDER BY r.rank) AS nrank
+           |  FROM rankedk r
+           |  JOIN embeddings e ON r.vec_id = e.vec_id
+           |  JOIN embeddings q ON r.qid = q.vec_id
+           |  WHERE r.rank <= ${K * 4} AND e.label <> q.label
+           |)
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(nrank AS BIGINT) AS rank,
+           |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("cos")} AS cos
+           |FROM neg WHERE nrank <= $K ORDER BY qid, rank""".stripMargin)),
+
     // brute-force threshold pairs — the exact near-dup baseline
     ("sim_pairs_exact",
       ((s, d) => Similarity.pairsExact(Tables.embeddings(s, d), MinCos)

@@ -62,8 +62,13 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  /** Integer-quantized copy of an embedding (exact cross-engine). */
-  private def qvec(c: Column): Column =
+  /** Integer-quantized copy of an embedding (exact cross-engine) —
+    * public because every operator that must sum embeddings
+    * order-independently (k-means updates, the Rocchio centroid in
+    * [[TextAnalysis.semanticExpand]]) goes through this projection:
+    * long sums are exact, so the aggregation order Spark and DuckDB
+    * don't share can never show up in the result. */
+  def qvec(c: Column): Column =
     transform(c, e => floor(e.cast("double") * 10000d + 0.5d).cast("long"))
 
   /** LSH signature: bit k = sign of ⟨quantized vec, plane_k⟩ — all 16
@@ -98,6 +103,52 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Hard-negative mining for contrastive training — per query, the k
+    * highest-cosine corpus vectors with a DIFFERENT label: the
+    * nearest WRONG answers, which is exactly the negative set a
+    * contrastive or reranker training run wants (random negatives are
+    * too easy to teach a margin). Exact tier: same broadcast-query
+    * corpus scan as [[topKExact]] with the label-mismatch predicate
+    * fused into it — use [[hardNegativesIvf]] when the corpus is big
+    * enough to want an index. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), emb.as("qemb"),
+      col("label").as("qlabel")))
+    corpus.select(col("vec_id"), emb, col("label")).crossJoin(q)
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), cosine(col("qemb"), emb).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
+  /** Scale tier of [[hardNegatives]]: over-fetch `k·overFetch`
+    * candidates from the k-means IVF index, drop same-label rows,
+    * keep the k nearest survivors. Approximate on two axes a
+    * production miner accepts — IVF probing misses out-of-bucket
+    * candidates, and a label-dense neighborhood can eat the
+    * over-fetch — in exchange for the probe touching ~nProbe/K of the
+    * corpus instead of all of it. The label re-join broadcasts the
+    * (|queries|·k·overFetch)-row candidate list against the corpus
+    * label projection, so the scan stays map-side. */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      overFetch: Int = 4): DataFrame = {
+    val labels = corpus.select(col("vec_id"), col("label"))
+    val ql = broadcast(queries.select(col("vec_id").as("qid"),
+      col("label").as("qlabel")))
+    broadcast(topKIvfKmeans(corpus, queries, k * overFetch))
+      .join(labels, Seq("vec_id"))
+      .join(ql, Seq("qid"))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rank"))))
+      .filter(col("nrank") <= k)
+      .select(col("qid"), col("nrank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
   }
 
   /** Threshold pairs — the production entry point. Delegates to the

@@ -101,6 +101,145 @@ object TextAnalysis {
        |FROM ranked WHERE rank <= $topK ORDER BY term, rank""".stripMargin
   }
 
+  // ---- hybrid retrieval: semantic expansion + rank fusion ----
+
+  /** RRF dampening constant (the standard 60 from Cormack et al.). */
+  val RrfC = 60
+
+  /** Integer RRF mass unit: each arm contributes `RrfScale div
+    * (RrfC + rank)` — exact long arithmetic, so the fused score is
+    * independent of the order the arms' rows meet in the aggregate
+    * (a double `1/(c+rank)` sum is not, across ≥3 arms). */
+  val RrfScale = 1000000000000L
+
+  /** Rocchio-style pseudo-relevance-feedback retrieval — the semantic
+    * arm of hybrid search over a text corpus with an embedding column:
+    * for each query term, the centroid of the embeddings of the
+    * lexically-matching documents is the query vector, and the whole
+    * corpus ranks by cosine to it. Retrieves documents that never
+    * contain the term but live near the ones that do — the expansion
+    * step a training-corpus search runs beside [[bm25]].
+    *
+    * Scale shape: the matching set reduces through one map-side-
+    * combined per-dim aggregate (Dim parallel long-sum columns over
+    * the INT-QUANTIZED embeddings, so the centroid is exact whatever
+    * order partitions combine in — the k-means update idiom); the
+    * per-term centroid frame is tiny and broadcasts; the cosine scan
+    * is one map-side pass over the corpus. The final per-term rank
+    * partitions by term like [[Similarity.topKExact]] partitions by
+    * query — ad-hoc term counts are small; a standing many-thousand-
+    * term workload would serve the arm from the published IVF index
+    * instead ([[Similarity.topKIvfServe]] with the centroids as
+    * queries). */
+  def semanticExpand(docs: DataFrame, vecs: DataFrame, terms: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = Similarity.Dim
+    val matching = docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .select(col("tok").as("term"), col("doc_id")).distinct()
+    val qv = vecs.select(col("vec_id"), Similarity.qvec(col("embedding")).as("qv"))
+    val sums = (0 until dim).map(i => sum(col("qv").getItem(i)).as(s"s$i"))
+    val cents = broadcast(matching
+      .join(qv.select(col("vec_id").as("doc_id"), col("qv")), Seq("doc_id"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("term"), array((0 until dim).map(i =>
+        col(s"s$i").cast("double") / col("n")): _*).as("cent")))
+    qv.crossJoin(cents)
+      .select(col("term"), col("vec_id"),
+        Similarity.cosine(col("cent"),
+          transform(col("qv"), _.cast("double"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("rank").cast("long").as("rank"),
+        col("vec_id").cast("long").as("vec_id"),
+        graft.ts.Round6.r6(col("cos")).as("cos"))
+  }
+
+  /** DuckDB twin of [[semanticExpand]] over `documents`/`embeddings`.
+    * A complete SELECT. */
+  def semanticExpandSql(terms: Seq[String], k: Int): String = {
+    val dim = Similarity.Dim
+    val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT DISTINCT tok AS term, doc_id FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE tok IN ($termList)
+       |), qv AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |     for e in embedding] AS qv
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT term, list(sx / n ORDER BY i) AS cent FROM (
+       |    SELECT m.term, t.i, sum(q.qv[t.i]) AS sx, count(*) AS n
+       |    FROM m JOIN qv q ON m.doc_id = q.vec_id
+       |    CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) t
+       |    GROUP BY m.term, t.i)
+       |  GROUP BY term
+       |), scored AS (
+       |  SELECT c.term, q.vec_id,
+       |         ${Similarity.cosineSql("c.cent", "q.qv")} AS cos
+       |  FROM qv q, cents c
+       |), ranked AS (
+       |  SELECT term, vec_id, cos,
+       |         row_number() OVER (PARTITION BY term ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT term, CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+       |       ${graft.ts.Round6.r6Sql("cos")} AS cos
+       |FROM ranked WHERE rank <= $k ORDER BY term, rank""".stripMargin
+  }
+
+  /** Reciprocal-rank fusion over N ranked arms `(qid, doc_id, rank)` —
+    * the standard way hybrid retrieval combines a lexical and a
+    * semantic ranking without score calibration: fused mass =
+    * Σ_arms `RrfScale div (RrfC + rank)` (exact integer — see
+    * [[RrfScale]]), ranked per qid by (mass desc, doc_id). The
+    * reported `rrf` column is the conventional Σ 1/(c+rank) value.
+    *
+    * Scale shape: arm frames are top-k lists — |queries|·k rows, never
+    * corpus-sized — so the fusion is one map-side-combined groupBy
+    * plus a per-qid window over k·N rows. Nothing here touches the
+    * corpus; the arms already did. */
+  def rrfFuse(arms: Seq[DataFrame], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(arms.nonEmpty, "rrfFuse needs at least one ranked arm")
+    val union = arms.map(_.select(col("qid"), col("doc_id"),
+      col("rank").cast("long").as("rank"))).reduce(_.unionByName(_))
+    union
+      .select(col("qid"), col("doc_id"),
+        expr(s"$RrfScale div ($RrfC + rank)").as("mass"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("mass")).as("mass"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("mass").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("doc_id"),
+        graft.ts.Round6.r6(col("mass").cast("double") /
+          lit(RrfScale).cast("double")).as("rrf"))
+  }
+
+  /** DuckDB twin of [[rrfFuse]] over two arm subqueries (each already
+    * shaped `(qid, doc_id, rank)`). A complete SELECT. */
+  def rrfFuseSql(armA: String, armB: String, k: Int): String =
+    s"""WITH fused AS (
+       |  SELECT qid, doc_id, sum($RrfScale // ($RrfC + rank)) AS mass
+       |  FROM (SELECT * FROM ($armA) UNION ALL SELECT * FROM ($armB))
+       |  GROUP BY qid, doc_id
+       |), ranked AS (
+       |  SELECT qid, doc_id, mass,
+       |         row_number() OVER (PARTITION BY qid ORDER BY mass DESC, doc_id) AS rank
+       |  FROM fused
+       |)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       |       ${graft.ts.Round6.r6Sql(
+                  s"CAST(mass AS DOUBLE) / CAST($RrfScale AS DOUBLE)")} AS rrf
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   // ---- PII scrubbing ----
 
   /** Redaction patterns, written to the RE2 ∩ Java-regex common subset
