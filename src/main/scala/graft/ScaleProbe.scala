@@ -115,6 +115,39 @@ object ScaleProbe {
         pipeline.Similarity.topKPqAdc(vecs,
           vecs.filter(col("vec_id") < 5), 10, books).count()
       },
+      time("hybrid_rrf_200k") { // hybrid retrieval at the design point:
+        // BM25 over the 200k-doc corpus + Rocchio expansion cosine-
+        // scanning the 1M-vector corpus, fused by exact-integer RRF.
+        // Terms are real corpus words (each lives in one even/odd doc
+        // pair), so both arms fire; 5 terms × top-10 fused rows out.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val terms = (0 until 5).map { k =>
+          md.reset()
+          md.digest(s"${2 * k}_$k".getBytes("UTF-8"))
+            .take(3).map(b => f"$b%02x").mkString
+        }
+        val lex = pipeline.TextAnalysis.bm25(docs, terms, 20)
+          .select(col("term").as("qid"),
+            col("doc_id").cast("long").as("doc_id"), col("rank"))
+        val sem = pipeline.TextAnalysis
+          .semanticExpand(docs, vecs, terms, 20)
+          .select(col("term").as("qid"), col("vec_id").as("doc_id"),
+            col("rank"))
+        val n = pipeline.TextAnalysis.rrfFuse(Seq(lex, sem), 10).count()
+        require(n == 5L * 10, s"hybrid fusion expected 50 rows, got $n")
+        n
+      },
+      time("hard_negatives_1m") { // contrastive-mining scale tier:
+        // k-means IVF over-fetch + label filter against the 1M corpus
+        // — probe-bounded scan, never all-pairs. 10-label space: the
+        // 4x over-fetch survives the ~10% same-label thinning.
+        val labeled = vecs.withColumn("label",
+          pmod(col("vec_id"), lit(10)).cast("int"))
+        val n = pipeline.Similarity.hardNegativesIvf(labeled,
+          labeled.filter(col("vec_id") < 5), 10).count()
+        require(n == 5L * 10, s"hard negatives expected 50 rows, got $n")
+        n
+      },
       time("bpe_200k_8r") { // BPE on an adversarial vocab: the probe
         // corpus's words are ~unique hex 6-grams (millions of distinct
         // words), so every round stresses the vocab-bounded path

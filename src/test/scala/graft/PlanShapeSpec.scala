@@ -218,6 +218,31 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("hybrid retrieval: no cartesian; per-query ranks carry a group limit") {
+    // bm25's tf⋈dl doc_id join is legitimately shuffled (both sides
+    // corpus-wide), so SMJ is allowed in the fused plan — but nothing
+    // may degenerate to a cartesian, and every per-query rank must
+    // plan with the map-side WindowGroupLimit partial top-k
+    Seq("tx_semantic_expand", "tx_hybrid_rrf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"$q:\n$p")
+    }
+  }
+
+  test("hard negatives: query/label frames broadcast, corpus never shuffles for a join") {
+    // exact tier: broadcast-query BNLJ scan; IVF tier: broadcast
+    // candidate list into the label projection + broadcast probes —
+    // an SMJ in either means a corpus shuffle for a frame that is
+    // broadcastable by contract
+    Seq("sim_hard_negatives", "sim_hard_negatives_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"$q:\n$p")
+    }
+  }
+
   test("headline sweep: no query plans an unpartitioned unbounded window") {
     // every deliberately-global window in the repo is (a) argued
     // bounded (strata counts, block totals, post-TakeOrdered rows) and
