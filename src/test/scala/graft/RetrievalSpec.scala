@@ -72,6 +72,45 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Seq(4L, 9L))
   }
 
+  test("rrfFuse: random arms match the in-Scala reference model") {
+    var seed = 42L
+    def next(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % n).toInt
+    }
+    def model(arms: Seq[Seq[(String, Long, Long)]],
+        k: Int): Seq[(String, Long, Long)] = {
+      val mass = scala.collection.mutable.Map[(String, Long), Long]()
+      arms.flatten.foreach { case (q, d, r) =>
+        mass((q, d)) = mass.getOrElse((q, d), 0L) +
+          TextAnalysis.RrfScale / (TextAnalysis.RrfC + r)
+      }
+      mass.groupBy(_._1._1).toSeq.flatMap { case (q, m) =>
+        m.toSeq.map { case ((_, d), mm) => (d, mm) }
+          .sortBy { case (d, mm) => (-mm, d) }.take(k).zipWithIndex
+          .map { case ((d, _), i) => (q, (i + 1).toLong, d) }
+      }
+    }
+    for (_ <- 1 to 3) {
+      val nArms = 2 + next(3)
+      val armRows = (0 until nArms).map { _ =>
+        Seq("a", "b").flatMap { q =>
+          val m = 3 + next(5)
+          val docs = scala.collection.mutable.LinkedHashSet[Long]()
+          while (docs.size < m) docs += next(12).toLong
+          docs.toSeq.zipWithIndex.map { case (d, i) =>
+            (q, d, (i + 1).toLong)
+          }
+        }
+      }
+      val k = 1 + next(6)
+      val got = TextAnalysis.rrfFuse(armRows.map(arm), k)
+        .collect().map(r => (r.getAs[String]("qid"), r.getAs[Long]("rank"),
+          r.getAs[Long]("doc_id"))).toSet
+      assert(got === model(armRows, k).toSet)
+    }
+  }
+
   test("semanticExpand: centroid is the mean of matching docs; cosine ranks") {
     val s = spark; import s.implicits._
     val docs = Seq(
