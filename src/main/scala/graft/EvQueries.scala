@@ -31,6 +31,34 @@ object EvQueries {
            |  n_events, duration_us
            |FROM sessions ORDER BY user_id, session_start""".stripMargin)),
 
+    // bucketized interval join: every 997th event opens a 2h window;
+    // each event matches the windows containing it through the
+    // 1h-bucket equi-join (BETWEEN stated natively in the oracle)
+    ("ev_range_join",
+      ((s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val pts = ev.select(col("event_id").cast("long").as("pt_id"),
+          unix_micros(col("ts")).as("t"))
+        val ivs = ev.filter(col("event_id") % 997 === 0)
+          .select(col("event_id").cast("long").as("iv_id"),
+            unix_micros(col("ts")).as("t_start"),
+            (unix_micros(col("ts")) + 7200000000L).as("t_end"))
+        Events.rangeJoin(pts, ivs, widthUs = 3600000000L)
+          .orderBy("pt_id", "iv_id")
+      }): Q,
+      Some(
+        s"""WITH pts AS (
+           |  SELECT CAST(event_id AS BIGINT) AS pt_id, epoch_us(ts) AS t
+           |  FROM events
+           |), ivs AS (
+           |  SELECT CAST(event_id AS BIGINT) AS iv_id,
+           |         epoch_us(ts) AS t_start, epoch_us(ts) + 7200000000 AS t_end
+           |  FROM events WHERE event_id % 997 = 0
+           |)
+           |SELECT pt_id, iv_id, CAST(t AS BIGINT) AS t
+           |FROM (${Events.rangeJoinSql})
+           |ORDER BY pt_id, iv_id""".stripMargin)),
+
     // ordered conversion funnel: first view, then a click after it,
     // then a purchase after that — per-stage user counts
     ("ev_funnel",

@@ -243,6 +243,19 @@ object ScaleProbe {
           graft.pipeline.Events.sessionize(evs, 3600L * 1000000L).count()
         }
       },
+      time("range_join_10m") { // bucketized interval containment:
+        // 10M points × 1k 2h-windows through the 1h-bucket equi-join
+        // — the non-equi BETWEEN form would be a 10M×1k nested loop;
+        // here the interval side explodes ~3 buckets/window and both
+        // sides meet on the uniform bucket key, each matching pair
+        // exactly once by construction
+        val pts = keys.select(col("doc_id").as("pt_id"),
+          pmod(col("doc_id") * 7919L, lit(2592000000000L)).as("t"))
+        val ivs = spark.range(1000).select(col("id").as("iv_id"),
+          (col("id") * 2590000000L).as("t_start"),
+          (col("id") * 2590000000L + 7200000000L).as("t_end"))
+        pipeline.Events.rangeJoin(pts, ivs, 3600000000L).count()
+      },
       time("source_cap_skew_10m") { // ONE source holds 90% of 10M rows;
         // the two-level rank must stay block-parallel, not one sort task
         val skewed = keys.select(col("doc_id"),

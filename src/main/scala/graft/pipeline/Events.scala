@@ -245,6 +245,70 @@ object Events {
        |  GROUP BY cohort_wk, wk - cohort_wk
        |)""".stripMargin
 
+  // ---- interval (range) join ----
+
+  /** Exact bucket index for a non-negative integer time: `t div
+    * width` computed through pmod so the double division is of an
+    * exact multiple (exact for any epoch-micros value — both factors
+    * and the quotient sit under 2⁵³). */
+  private def bucketOf(t: Column, widthUs: Long): Column =
+    ((t - pmod(t, lit(widthUs))) / widthUs).cast("long")
+
+  /** Bucketized interval join — "which intervals contain each point"
+    * WITHOUT a non-equi join. Spark plans `t BETWEEN s AND e` as a
+    * BroadcastNestedLoopJoin (or a cartesian): every point is tested
+    * against every interval, O(N·M) however big the log. Bucketizing
+    * restores an equi-join: each interval explodes into the
+    * `widthUs`-sized time buckets it overlaps, each point maps to its
+    * ONE bucket, and the bucket equi-join + exact containment filter
+    * emits each matching (point, interval) pair exactly once — a
+    * point lives in one bucket and an interval covers that bucket at
+    * most once, so no dedup pass exists to pay for.
+    *
+    * Containment is INCLUSIVE on both ends (SQL `BETWEEN`). Time
+    * columns are non-negative integer micros ([[sessionize]]'s
+    * convention). Interval-side blowup is span/widthUs rows per
+    * interval — pick widthUs near the typical span so the explode
+    * stays ~2× and the join shuffle carries (bucket, ids) only; at
+    * 100 TB both sides shuffle once on the uniform bucket key
+    * (time-skew within a bucket is bounded by the width itself).
+    * For an interval table that fits a broadcast, skip the machinery:
+    * [[rangeJoinBroadcast]] is the better plan below ~10 MB.
+    * Returns (pt_id, iv_id, t). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      widthUs: Long): DataFrame = {
+    require(widthUs > 0, "bucket width must be positive")
+    val pts = points.select(col("pt_id"), col("t"),
+      bucketOf(col("t"), widthUs).as("bucket"))
+    val ivs = intervals.select(col("iv_id"), col("t_start"), col("t_end"),
+        explode(sequence(bucketOf(col("t_start"), widthUs),
+          bucketOf(col("t_end"), widthUs))).as("bucket"))
+    pts.join(ivs, Seq("bucket"))
+      .filter(col("t") >= col("t_start") && col("t") <= col("t_end"))
+      .select(col("pt_id"), col("iv_id"), col("t"))
+  }
+
+  /** Broadcast tier of [[rangeJoin]]: the plain non-equi containment
+    * join, explicitly broadcast — optimal when the interval table is
+    * small (each point tests M intervals in one map-side pass, no
+    * shuffle at all). Result-identical to the bucketized tier;
+    * EventsSpec pins the equivalence. */
+  def rangeJoinBroadcast(points: DataFrame,
+      intervals: DataFrame): DataFrame =
+    points.select(col("pt_id"), col("t"))
+      .join(broadcast(intervals.select(col("iv_id"), col("t_start"),
+          col("t_end"))),
+        col("t") >= col("t_start") && col("t") <= col("t_end"))
+      .select(col("pt_id"), col("iv_id"), col("t"))
+
+  /** DuckDB twin of [[rangeJoin]] over CTEs `pts(pt_id, t)` and
+    * `ivs(iv_id, t_start, t_end)` — the engine's native inequality
+    * join states the same containment. A complete SELECT without
+    * ordering. */
+  def rangeJoinSql: String =
+    s"""SELECT p.pt_id, i.iv_id, p.t
+       |FROM pts p JOIN ivs i ON p.t >= i.t_start AND p.t <= i.t_end""".stripMargin
+
   /** Streaming gap-sessionization: Spark's native `session_window`
     * over event time — sessions close `gap` after their last event
     * once the watermark passes, so state is bounded by OPEN sessions
