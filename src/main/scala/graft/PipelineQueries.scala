@@ -1016,6 +1016,20 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // Efraimidis–Spirakis weighted sampling without replacement:
+    // top-50 docs by ln(u)/n_chars — longer docs proportionally
+    // likelier, selection engine-portable via the rounded log key
+    ("sp_weighted",
+      ((s, d) => pipeline.Sampling.weightedSample(
+          Tables.documents(s, d), col("doc_id"),
+          greatest(col("n_chars"), lit(1)), 50)
+        .orderBy(col("es_key").desc, col("id"))): Q,
+      Some(
+        s"""SELECT CAST(doc_id AS BIGINT) AS id,
+           |  ${pipeline.Sampling.esKeySql("doc_id", "greatest(n_chars, 1)")} AS es_key
+           |FROM documents
+           |ORDER BY es_key DESC, id LIMIT 50""".stripMargin)),
+
     // deterministic training-order shuffle: block-major (block, rank)
     ("sp_shuffle_rank",
       ((s, d) => pipeline.Sampling.shuffleRank(

@@ -160,6 +160,45 @@ object Sampling {
        |  FROM ushare, ulvl
        |)""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    * row i keys on u_i^(1/w_i) with u_i a stable hash-uniform in
+    * (0,1); the k largest keys are a weight-proportional
+    * without-replacement sample (P(i drawn first) = w_i/Σw, then
+    * recurse on the rest). [[stratifiedSample]]/[[mixtureSample]]
+    * target a RATE per stratum; this targets a COUNT k under
+    * per-ROW weights (quality scores, token counts) — the "keep the
+    * n best-prioritized documents" selection a training mix runs
+    * after scoring.
+    *
+    * Deterministic and engine-portable: u comes from the same
+    * md5-prefix family as [[bucket]] (10⁶+3 grid, never 0), and the
+    * ordering key is the LOG-domain form ln(u)/w — order-equivalent
+    * to u^(1/w) but numerically spread where the power form crushes
+    * against 1.0 at large weights — ROUNDED before comparison (the
+    * bm25 rule: a 1-ulp `ln` divergence between engines cannot flip
+    * an order) with id tie-break. Scale: `orderBy.limit(k)` plans as
+    * TakeOrdered — per-partition heaps forward ≤ k rows each, no
+    * global sort, no corpus shuffle. Weights must be positive;
+    * magnitudes up to ~10⁵ keep the rounded key discriminating.
+    * Returns (id, es_key), the k winners. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "weightedSample requires k > 0")
+    val u = (pmod(graft.functions.TextExprs.md5Prefix60(key.cast("string")),
+      lit(1000003L)) + 1).cast("double") / 1000004.0
+    val es = graft.ts.Round6.r6(log(u) / weight.cast("double"))
+    df.select(key.cast("long").as("id"), es.as("es_key"))
+      .orderBy(col("es_key").desc, col("id")).limit(k)
+  }
+
+  /** SQL twin of [[weightedSample]]'s key for id expression `e` and
+    * weight expression `w`. */
+  def esKeySql(e: String, w: String): String =
+    graft.ts.Round6.r6Sql(
+      s"ln(((CAST('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 15) AS BIGINT)" +
+        s" % 1000003 + 1000003) % 1000003 + 1) / 1000004.0)" +
+        s" / CAST($w AS DOUBLE)")
+
   /** Deterministic global shuffle for training-order randomization:
     * each row gets (block, rank) = (hash-prefix bucket, position within
     * the block in md5(salt ∥ key) order); the global shuffled order is

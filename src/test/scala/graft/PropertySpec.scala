@@ -713,6 +713,33 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perDoc.size === 20 && perDoc.values.exists(_ == 2))
   }
 
+  test("weightedSample: exact model replay; huge weight dominates; k caps output") {
+    val s = spark; import s.implicits._
+    val rows = (0L until 200L).map(i => (i, 1.0 + (i % 7)))
+    val d = rows.toDF("doc_id", "w")
+    def uOf(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      ((h % 1000003L) + 1).toDouble / 1000004.0
+    }
+    def key(id: Long, w: Double): Double =
+      math.floor(math.log(uOf(id)) / w * 1e6 + 0.500137) / 1e6
+    val expect = rows.map { case (i, w) => (i, key(i, w)) }
+      .sortBy { case (i, k) => (-k, i) }.take(25)
+    val got = pipeline.Sampling.weightedSample(d, col("doc_id"), col("w"), 25)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("es_key"))).toSeq
+      .sortBy { case (i, k) => (-k, i) }
+    assert(got === expect)
+    // a dominating weight pushes its key to the top regardless of u
+    val d2 = d.withColumn("w",
+      when(col("doc_id") === 113L, lit(1e9)).otherwise(col("w")))
+    val top = pipeline.Sampling.weightedSample(d2, col("doc_id"), col("w"), 1)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(top === Seq(113L))
+  }
+
   test("unimaxAlloc: hand-computed water level, conservation, cap/level split") {
     val s = spark; import s.implicits._
     // caps (E=1) ascending: 2, 4, 9; budget 9. share_1 = 9/3 = 3 > 2 →
