@@ -111,6 +111,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("a", 0L, 2.0), ("a", 10L, 5.0), ("b", 20L, 7.0)))
   }
 
+  test("rangeJoin is streaming-capable: stream-static interval match ≡ batch") {
+    // the bucketized interval join is STATELESS per point row, so the
+    // same plan runs stream-static unchanged (append mode, no
+    // watermark needed) — points arriving across micro-batches match
+    // the static window table exactly as the batch operator does
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ivs = Seq((1L, 100L, 200L), (2L, 150L, 300L), (3L, 1000L, 1000L))
+      .toDF("iv_id", "t_start", "t_end")
+    val mem = MemoryStream[(Long, Long)]
+    val pts = mem.toDF().toDF("pt_id", "t")
+    val q = graft.pipeline.Events.rangeJoin(pts, ivs, widthUs = 64L)
+      .writeStream.format("memory").queryName("rj").outputMode("append")
+      .start()
+    mem.addData((10L, 99L), (11L, 100L), (12L, 175L))
+    q.processAllAvailable()
+    mem.addData((13L, 300L), (14L, 1000L), (15L, 999L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rj").as[(Long, Long, Long)].collect().toSet
+    val batch = graft.pipeline.Events.rangeJoin(
+        Seq((10L, 99L), (11L, 100L), (12L, 175L), (13L, 300L),
+          (14L, 1000L), (15L, 999L)).toDF("pt_id", "t"), ivs, 64L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === batch)
+    assert(got === Set((11L, 1L, 100L), (12L, 1L, 175L), (12L, 2L, 175L),
+      (13L, 2L, 300L), (14L, 3L, 1000L)))
+  }
+
   test("live top-talkers: sketch state accumulates across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
