@@ -115,6 +115,13 @@ object ScaleProbe {
         pipeline.Similarity.topKPqAdc(vecs,
           vecs.filter(col("vec_id") < 5), 10, books).count()
       },
+      time("topk_pq_res_1m") { // RESIDUAL IVF-PQ (IVFADC): bucket
+        // assignment + long-difference residuals + codebook train on
+        // them + ADC serve with exact bucket dots — the recall-per-
+        // byte winner runs end-to-end at the design point
+        pipeline.Similarity.topKIvfPqResidual(vecs,
+          vecs.filter(col("vec_id") < 5), 10).count()
+      },
       time("hybrid_rrf_200k") { // hybrid retrieval at the design point:
         // BM25 over the 200k-doc corpus + Rocchio expansion cosine-
         // scanning the 1M-vector corpus, fused by exact-integer RRF.

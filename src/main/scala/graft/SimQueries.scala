@@ -327,6 +327,24 @@ object SimQueries {
            |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("adot")} AS adot
            |FROM pqivfranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
 
+    // RESIDUAL IVF-PQ (FAISS IVFADC form): books train on x − c(x)
+    // long differences; candidates score (⟨q,c_b⟩ + ⟨q,r̃⟩)/1e8 with
+    // the exact integer bucket dot added before the one division
+    ("sim_topk_ivf_pq_res",
+      ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.topKIvfPqResidual(e, e.filter(col("vec_id") < 5), K)
+          .select(col("qid").cast("long").as("qid"), col("rank"),
+            col("vec_id").cast("long").as("vec_id"),
+            Round6.r6(col("adot")).as("adot"))
+          .orderBy("qid", "rank")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.residualPqSql("q.vec_id < 5")}
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           |       CAST(vec_id AS BIGINT) AS vec_id, ${Round6.r6Sql("adot")} AS adot
+           |FROM rranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
+
     // PQ quality gauge: recall@10 of the 64x-compressed ADC ranking
     // vs the exact top-10 — what the memory reduction costs in
     // ranking fidelity (the number that sizes M/Ksub)

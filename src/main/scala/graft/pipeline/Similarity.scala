@@ -800,17 +800,26 @@ object Similarity {
     * at a fraction of the width. Returns books(sub) = (cid, cent)
     * sorted by cid. */
   def pqCodebooks(corpus: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters): Seq[Seq[(Long, Seq[Double])]] =
+    pqCodebooksQv(corpus.select(col("vec_id"), qvec(emb).as("qv")),
+      m, ksub, iters)
+
+  /** [[pqCodebooks]] over an ALREADY-QUANTIZED (vec_id, qv) frame —
+    * the entry the residual tier trains through (its qv is a long
+    * DIFFERENCE, not a fresh quantization; the Lloyd machinery is
+    * domain-agnostic). */
+  def pqCodebooksQv(qvFrame: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
       iters: Int = PqIters): Seq[Seq[(Long, Seq[Double])]] = {
     require(Dim % m == 0, s"PqM must divide Dim=$Dim")
     val dsub = Dim / m
-    val spark = corpus.sparkSession
+    val spark = qvFrame.sparkSession
     import spark.implicits._
     def regroup(rows: Seq[(Int, Long, Seq[Double])]) =
       rows.groupBy(_._1).toSeq.sortBy(_._1)
         .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
     // persist the NARROW quantized frame (N×Dim longs), not the ×M
     // subvector explode: each round re-derives its view from cache
-    val qvf = corpus.select(col("vec_id"), qvec(emb).as("qv"))
+    val qvf = qvFrame.select(col("vec_id"), col("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var books = regroup(qvf.filter(col("vec_id") < ksub)
@@ -890,13 +899,21 @@ object Similarity {
     }: _*)
   }
 
-  /** ADC score: M lookups into the query's table, folded in subspace
-    * order, rescaled out of the x10⁴-quantized domain. */
-  private def adcScore(code: Column, lut: Column, m: Int,
+  /** Undivided ADC sum: M lookups into the query's table, folded in
+    * subspace order — still in the x10⁴·x10⁴ quantized domain, so a
+    * caller can add an exact bucket term BEFORE the one rescaling
+    * division (the residual tier's `(bdot + Σdq)/1e8` must be that
+    * exact expression to match the oracle bit-for-bit). */
+  private def adcSum(code: Column, lut: Column, m: Int,
       ksub: Int): Column =
     aggregate(zip_with(code, sequence(lit(0), lit(m - 1)),
       (c, s) => element_at(lut, (s * ksub + c + 1).cast("int"))),
-      lit(0.0), (a, v) => a + v) / lit(1e8)
+      lit(0.0), (a, v) => a + v)
+
+  /** ADC score: [[adcSum]] rescaled out of the quantized domain. */
+  private def adcScore(code: Column, lut: Column, m: Int,
+      ksub: Int): Column =
+    adcSum(code, lut, m, ksub) / lit(1e8)
 
   /** Top-k over the PQ tier (asymmetric distance): queries broadcast
     * their M x Ksub LUTs, the corpus's 4-byte codes stream map-side,
@@ -941,6 +958,78 @@ object Similarity {
           .getField("cid").as("bcid"),
         pqCodeCol(col("qv"), books).as("code"))
     adcProbeCoded(coded, centroids, queries, k, books, ksub)
+  }
+
+  /** RESIDUAL IVF-PQ build (the FAISS IVFADC form): codebooks train
+    * on `x − c(x)` — each vector minus its coarse centroid — instead
+    * of raw vectors. With any real clustering the residuals span only
+    * the WITHIN-bucket spread, so the same M×Ksub codebook budget
+    * resolves far finer structure than raw-vector PQ, whose codewords
+    * must cover the global spread (PqSpec demonstrates the recall
+    * gap on a clustered corpus). Everything stays in the exact
+    * integer domain: the residual is a LONG difference of the
+    * quantized vector and the quantized centroid, so training and
+    * codes replay bit-identically in the oracle. Coarse tier is the
+    * first-[[IvfK]]-seeds convention of [[topKIvfPq]]. Returns
+    * (coded(vec_id, bcid, code), books, centroids(cid, cent)). */
+  def residualPqBuild(corpus: DataFrame, m: Int = PqM,
+      ksub: Int = PqKsub, iters: Int = PqIters)
+      : (DataFrame, Seq[Seq[(Long, Seq[Double])]], DataFrame) = {
+    val centroids = corpus.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("long").as("cid"), emb.as("cent"))
+    val centSeq = collectCentroidSeq(centroids, "cid", "cent")
+    val qcents = broadcast(centroids.select(col("cid").as("bcid"),
+      qvec(col("cent")).as("qcent")))
+    def resid = corpus.select(col("vec_id"), emb, qvec(emb).as("qv"))
+      .select(col("vec_id"), col("qv"),
+        graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
+          .getField("cid").as("bcid"))
+      .join(qcents, Seq("bcid"))
+      .select(col("vec_id"), col("bcid"),
+        zip_with(col("qv"), col("qcent"), (a, b) => a - b).as("qv"))
+    val books = pqCodebooksQv(resid.select(col("vec_id"), col("qv")),
+      m, ksub, iters)
+    val coded = resid.select(col("vec_id"), col("bcid"),
+      pqCodeCol(col("qv"), books).as("code"))
+    (coded, books, centroids)
+  }
+
+  /** Residual IVF-PQ top-k: probe the coarse buckets, score each
+    * candidate as `(⟨q, c_b⟩ + ⟨q, r̃⟩) / 1e8` — the bucket term is an
+    * EXACT integer dot carried on the broadcast probe row (one per
+    * (query, probed bucket), K-bounded), the residual term is the
+    * same M-lookup ADC sum as [[topKIvfPq]], and the one division
+    * happens after the sum so the oracle's expression is
+    * bit-identical. Same serving shape as the raw tier: LUTs + bucket
+    * dots broadcast, 4-byte codes stream map-side. */
+  def topKIvfPqResidual(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters): DataFrame = {
+    val (coded, books, centroids) = residualPqBuild(corpus, m, ksub, iters)
+    val cents = broadcast(centroids.select(col("cid"), col("cent")))
+    val probes = queries.select(col("vec_id").as("qid"), emb.as("qemb"))
+      .crossJoin(cents)
+      .select(col("qid"), col("qemb"), col("cid"), col("cent"),
+        cosine(col("qemb"), col("cent")).as("ccos"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("__r") <= IvfProbe)
+      .select(col("qid"), col("cid").as("bcid"),
+        pqLut(qvec(col("qemb")), books, ksub).as("lut"),
+        aggregate(zip_with(qvec(col("qemb")), qvec(col("cent")),
+            (x, y) => x * y), lit(0L), (a, v) => a + v)
+          .cast("double").as("bdot"))
+    broadcast(probes).join(coded, Seq("bcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        ((col("bdot") + adcSum(col("code"), col("lut"), books.size, ksub))
+          / lit(1e8)).as("adot"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adot").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adot"))
   }
 
   /** Probe + ADC-rank against an already-coded corpus — the shared
@@ -1080,6 +1169,19 @@ object Similarity {
     * assignment: `pqvecs`/`pqsubv`, `pb0` seeds, paN/pbN per round,
     * `pcode(vec_id, sub, cid, d)` the final per-subspace codes. */
   def pqSql(m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters): String =
+    s"""pqvecs AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |     for e in embedding] AS qv
+       |  FROM embeddings
+       |), ${pqSqlOverQv("pqvecs", m, ksub, iters)}""".stripMargin
+
+  /** The codebook-train + encode CTE chain of [[pqSql]] over an
+    * arbitrary source CTE `srcQv(vec_id, qv)` — the residual tier
+    * trains through this with its long-difference qv. Defines
+    * `pqsubv`, `pb0..pb<iters>`, and `pcode(vec_id, sub, cid, d)`. */
+  def pqSqlOverQv(srcQv: String, m: Int = PqM, ksub: Int = PqKsub,
       iters: Int = PqIters): String = {
     val dsub = Dim / m
     def l2(sv: String, cent: String) =
@@ -1108,15 +1210,10 @@ object Similarity {
     val rounds = (1 to iters).map(r =>
       assign(s"pa$r", s"pb${r - 1}", last = false) + ",\n" +
         update(s"pb$r", s"pa$r")).mkString(",\n")
-    s"""pqvecs AS (
-       |  SELECT vec_id,
-       |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
-       |     for e in embedding] AS qv
-       |  FROM embeddings
-       |), pqsubv AS (
+    s"""pqsubv AS (
        |  SELECT vec_id, s.sub,
        |         list_slice(qv, s.sub * $dsub + 1, s.sub * $dsub + $dsub) AS sv
-       |  FROM pqvecs, (SELECT unnest(generate_series(0, ${m - 1})) AS sub) s
+       |  FROM $srcQv, (SELECT unnest(generate_series(0, ${m - 1})) AS sub) s
        |), pb0 AS (
        |  SELECT sub, CAST(vec_id AS BIGINT) AS cid,
        |         [CAST(x AS DOUBLE) for x in sv] AS cent
@@ -1197,6 +1294,72 @@ object Similarity {
        |           ORDER BY adot DESC, vec_id) AS rank
        |  FROM pqivfadc
        |)""".stripMargin
+
+  /** DuckDB twin of [[topKIvfPqResidual]] — self-contained CTE chain
+    * (bucket assignment, long-difference residuals, codebook train
+    * over them via [[pqSqlOverQv]], probe with exact bucket dots, ADC
+    * with the bucket term added BEFORE the one rescaling division).
+    * Defines `rranked(qid, rank, vec_id, adot)`. `queryPred` filters
+    * alias `q`. */
+  def residualPqSql(queryPred: String, m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters): String = {
+    val dsub = Dim / m
+    s"""rqvecs AS (
+       |  SELECT vec_id, embedding,
+       |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |     for e in embedding] AS qv
+       |  FROM embeddings
+       |), rcents AS (
+       |  SELECT vec_id AS cid, embedding AS cemb,
+       |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |     for e in embedding] AS qcent
+       |  FROM embeddings WHERE vec_id < $IvfK
+       |), rbuckets AS (
+       |  SELECT vec_id, cid AS bcid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cid) AS r
+       |    FROM embeddings e, rcents c)
+       |  WHERE r = 1
+       |), resvecs AS (
+       |  SELECT v.vec_id,
+       |         [v.qv[i] - c.qcent[i] for i in generate_series(1, $Dim)] AS qv
+       |  FROM rqvecs v JOIN rbuckets b USING (vec_id)
+       |  JOIN rcents c ON c.cid = b.bcid
+       |),
+       |${pqSqlOverQv("resvecs", m, ksub, iters)},
+       |rprobes AS (
+       |  SELECT qid, bcid, bdot FROM (
+       |    SELECT q.vec_id AS qid, c.cid AS bcid,
+       |      list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(c.qcent[i] AS DOUBLE)
+       |        for i in generate_series(1, $Dim)]) AS bdot,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.embedding", "c.cemb")} DESC, c.cid) AS r
+       |    FROM rqvecs q, rcents c WHERE $queryPred)
+       |  WHERE r <= $IvfProbe
+       |), rlut AS (
+       |  SELECT q.vec_id AS qid, c.sub, c.cid,
+       |    list_sum([CAST(q.qv[c.sub * $dsub + i] AS DOUBLE) * c.cent[i]
+       |      for i in generate_series(1, $dsub)]) AS dq
+       |  FROM rqvecs q, pb$iters c WHERE $queryPred
+       |), radc AS (
+       |  SELECT qid, vec_id,
+       |         (max(bdot) + list_sum(list(dq ORDER BY sub))) / 1e8 AS adot
+       |  FROM (
+       |    SELECT pr.qid, pr.bdot, b.vec_id, p.sub, l.dq
+       |    FROM rprobes pr
+       |    JOIN rbuckets b ON b.bcid = pr.bcid
+       |    JOIN pcode p ON p.vec_id = b.vec_id
+       |    JOIN rlut l ON l.qid = pr.qid AND l.sub = p.sub AND l.cid = p.cid
+       |    WHERE b.vec_id <> pr.qid)
+       |  GROUP BY qid, vec_id
+       |), rranked AS (
+       |  SELECT qid, vec_id, adot,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY adot DESC, vec_id) AS rank
+       |  FROM radc
+       |)""".stripMargin
+  }
 
   /** DuckDB twin of [[pqRecall]] for queries `vec_id < 5`; composes
     * after [[topKPqSql]] (which defines `pqranked`) and defines

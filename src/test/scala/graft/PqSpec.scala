@@ -174,6 +174,53 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 140L)
   }
 
+  test("residual tier: twins share bucket and code; build is deterministic") {
+    val base = clustered(100, 4)
+    val s = spark
+    val twins = base.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(twins)
+    val (coded, books, _) = Similarity.residualPqBuild(corpus)
+    val rows = coded.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    (0L until 8L).foreach { i =>
+      assert(rows(i) === rows(i + 1000), s"twin of $i diverged")
+    }
+    val (coded2, books2, _) = Similarity.residualPqBuild(corpus)
+    assert(books === books2)
+    assert(coded2.collect().map(_.toSeq).toSet ===
+      coded.collect().map(_.toSeq).toSet)
+  }
+
+  test("residual books resolve within-bucket structure: recall >= raw-vector PQ") {
+    // richer local jitter (±0.75 vs the stripe magnitude 5): the
+    // clusters stay unambiguous for the coarse tier, but the
+    // within-cluster neighbor order now rides on detail that 16
+    // GLOBAL codewords must share with the stripe structure, while
+    // the residual books spend all 16 on the jitter alone
+    val s = spark; import s.implicits._
+    val corpus = (0 until 240).map { i =>
+      val g = i % 4
+      (i.toLong, (0 until Similarity.Dim).map { j =>
+        val base = if (j % 4 == g) 5f else 0f
+        base + (((i * 31 + j * 17) % 7) - 3) * 0.25f
+      }.toList)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    def hitSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hitSet(Similarity.topKExact(corpus, queries, 10))
+    val res = hitSet(Similarity.topKIvfPqResidual(corpus, queries, 10))
+    val raw = hitSet(Similarity.topKIvfPq(corpus, queries, 10,
+      Similarity.pqCodebooks(corpus)))
+    val resHits = (res intersect truth).size
+    val rawHits = (raw intersect truth).size
+    assert(resHits >= rawHits,
+      s"residual recall $resHits < raw $rawHits (of ${truth.size})")
+    assert(resHits > 0)
+  }
+
   test("pqRecall is 1.0 when the corpus lies on codewords") {
     // 8 distinct patterns (< Ksub), each with exactly Dim/8 high
     // positions so ALL norms are equal: after training, every
