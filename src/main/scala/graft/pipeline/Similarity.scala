@@ -1006,6 +1006,16 @@ object Similarity {
       m: Int = PqM, ksub: Int = PqKsub,
       iters: Int = PqIters): DataFrame = {
     val (coded, books, centroids) = residualPqBuild(corpus, m, ksub, iters)
+    adcProbeCodedResidual(coded, centroids, queries, k, books, ksub)
+  }
+
+  /** The serve kernel of the residual tier — probe + bucket-dot +
+    * residual ADC against an already-coded corpus; shared by
+    * [[topKIvfPqResidual]] (fused) and [[topKPqResServe]]
+    * (published index). */
+  private def adcProbeCodedResidual(coded: DataFrame,
+      centroids: DataFrame, queries: DataFrame, k: Int,
+      books: Seq[Seq[(Long, Seq[Double])]], ksub: Int): DataFrame = {
     val cents = broadcast(centroids.select(col("cid"), col("cent")))
     val probes = queries.select(col("vec_id").as("qid"), emb.as("qemb"))
       .crossJoin(cents)
@@ -1153,6 +1163,40 @@ object Similarity {
       "books" -> Snapshot.readTable(spark, dir, "books", v),
       "centroids" -> centroids, "coded" -> merged,
       "meta" -> Snapshot.readTable(spark, dir, "meta", v)), dir)
+  }
+
+  /** Build and atomically publish a RESIDUAL PQ index — same
+    * four-table snapshot contract as [[publishPqIndex]] (books,
+    * centroids, coded, meta in ONE version; the serving tier holds
+    * 4-byte codes + K-bounded metadata only), with the books trained
+    * on long residuals and the codes encoding them. Returns the
+    * committed version. */
+  def publishResidualPqIndex(corpus: DataFrame, dir: String,
+      m: Int = PqM, ksub: Int = PqKsub, iters: Int = PqIters): Long = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (coded, books, centroids) = residualPqBuild(corpus, m, ksub, iters)
+    val booksDf = books.zipWithIndex.flatMap { case (sub, s) =>
+      sub.map { case (cid, cent) => (s, cid, cent) } }
+      .toDF("sub", "cid", "cent")
+    val meta = Seq((m, ksub)).toDF("m", "ksub")
+    Snapshot.publishTables(Seq("books" -> booksDf,
+      "centroids" -> centroids, "coded" -> coded, "meta" -> meta), dir)
+  }
+
+  /** Serve residual-ADC top-k from a [[publishResidualPqIndex]]
+    * version (latest, or pinned) — result-identical to
+    * [[topKIvfPqResidual]] over the corpus the index was built from
+    * (spec-pinned). One version resolution covers every table read,
+    * the torn-version guard all serve/append entries share. */
+  def topKPqResServe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(Snapshot.latestVersion(spark, dir))
+    val (books, ksub) = loadPqBooks(spark, dir, v)
+    adcProbeCodedResidual(Snapshot.readTable(spark, dir, "coded", v),
+      Snapshot.readTable(spark, dir, "centroids", v), queries, k,
+      books, ksub)
   }
 
   /** Recall@k of the flat ADC tier against the exact top-k — the PQ

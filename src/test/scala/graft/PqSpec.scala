@@ -221,6 +221,20 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resHits > 0)
   }
 
+  test("published residual index: serve equals the fused residual path") {
+    val dir = Files.createTempDirectory("pqres").toString
+    val corpus = clustered(150, 4)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val v = Similarity.publishResidualPqIndex(corpus, dir)
+    assert(v === 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = rows(Similarity.topKPqResServe(spark, dir, queries, 5))
+    val fused = rows(Similarity.topKIvfPqResidual(corpus, queries, 5))
+    assert(served === fused && served.nonEmpty)
+  }
+
   test("pqRecall is 1.0 when the corpus lies on codewords") {
     // 8 distinct patterns (< Ksub), each with exactly Dim/8 high
     // positions so ALL norms are equal: after training, every
