@@ -39,8 +39,10 @@ object Bench {
     // round-8 additions: capped SemDeDup over the two-level k-means
     // substrate (skew-constructed corpus), one-scan funnel
     "sim_semdedup_skew", "ev_funnel",
-    // round-10 addition: PQ-ADC serving (codebook train + 4-byte scan)
-    "sim_topk_pq")
+    // round-10 additions: PQ-ADC serving (codebook train + 4-byte
+    // scan), residual IVFADC, bucketized interval join, hybrid
+    // BM25+Rocchio RRF retrieval
+    "sim_topk_pq", "sim_topk_ivf_pq_res", "ev_range_join", "tx_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
