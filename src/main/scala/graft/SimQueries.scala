@@ -132,6 +132,41 @@ object SimQueries {
            |WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= $MinCos
            |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // semantic contamination: corpus vecs (id % 5 != 0) within 0.35
+    // cosine of any eval vec (id % 5 == 0) — LSH cross-frame
+    // candidates, exact verify, per-vector hit census
+    ("sim_semantic_contam",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.semanticContamination(
+            e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+            MinCos)
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("n_hits").cast("long").as("n_hits"), col("max_cos"))
+          .orderBy("vec_id")
+      }): Q,
+      Some(
+        s"""WITH ${Similarity.lshSigSql},
+           |bands AS (
+           |  SELECT vec_id, j AS bix,
+           |         (sig >> (j * ${Similarity.BandBits})) & ${(1L << Similarity.BandBits) - 1} AS bkey
+           |  FROM sigs, (SELECT unnest(generate_series(0, ${Similarity.NumBands - 1})) AS j)
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id, b.vec_id AS eid
+           |  FROM bands a JOIN bands b ON a.bix = b.bix AND a.bkey = b.bkey
+           |  WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0
+           |), ver AS (
+           |  SELECT c.vec_id, ${Similarity.cosineSql("ea.embedding", "eb.embedding")} AS cos
+           |  FROM cand c
+           |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = c.eid
+           |)
+           |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           |       CAST(count(*) AS BIGINT) AS n_hits,
+           |       ${Round6.r6Sql("max(cos)")} AS max_cos
+           |FROM ver WHERE cos >= $MinCos
+           |GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
     // IVF ANN: nearest-centroid buckets, nProbe probing, exact rank
     ("sim_topk_ivf",
       ((s, d) => {

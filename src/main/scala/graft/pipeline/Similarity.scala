@@ -200,6 +200,40 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Semantic benchmark contamination — the embedding-space
+    * complement of the n-gram decontamination ops
+    * ([[Curation]]): corpus vectors within `minCos` of ANY eval
+    * vector, with hit count and closest-eval cosine per contaminated
+    * vector (paraphrased eval leakage that shares no 3-grams still
+    * sits next to its source in embedding space). Same LSH-bucket
+    * shape as [[pairsLsh]], cross-frame: the band join carries ONLY
+    * (band, id) pairs — at 100 TB the corpus embeddings never ride
+    * the candidate exchange — and the embeddings join back once for
+    * the exact cosine verify. Eval-side bands are |eval|-sized
+    * (benchmarks are small); candidates are band-collision-bounded,
+    * never |corpus|·|eval|. Returns (vec_id, n_hits, max_cos). */
+  def semanticContamination(corpus: DataFrame, evalVecs: DataFrame,
+      minCos: Double): DataFrame = {
+    val cb = corpus.select(col("vec_id"), lshSig(emb).as("sig"))
+    val ebv = evalVecs.select(col("vec_id"), lshSig(emb).as("sig"))
+    def bands(df: DataFrame, idAs: String) = df
+      .select(col("vec_id").as(idAs),
+        posexplode(array((0 until NumBands).map(j =>
+          shiftright(col("sig"), j * BandBits)
+            .bitwiseAND(lit((1L << BandBits) - 1))): _*)).as(Seq("bix", "bkey")))
+      .select(col(idAs), col("bix"), col("bkey"))
+    val cand = bands(cb, "vec_id").join(bands(ebv, "eid"), Seq("bix", "bkey"))
+      .select(col("vec_id"), col("eid")).distinct()
+    cand
+      .join(corpus.select(col("vec_id"), emb.as("ea")), Seq("vec_id"))
+      .join(evalVecs.select(col("vec_id").as("eid"), emb.as("eb")), Seq("eid"))
+      .select(col("vec_id"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        graft.ts.Round6.r6(max(col("cos"))).as("max_cos"))
+  }
+
   /** IVF (inverted-file) ANN: assign every vector to its nearest
     * centroid once (the "index build" — one broadcast pass over the
     * corpus), then answer queries by probing only the `nProbe` nearest

@@ -145,6 +145,44 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq((1L, 0L)))
   }
 
+  test("semanticContamination: planted eval copies always flagged; census exact vs brute force") {
+    val s = spark; import s.implicits._
+    val corpus = (0L until 80L).map { i =>
+      (i, (0 until Similarity.Dim).map(j =>
+        (((i * 31 + j * 17) % 13) - 6).toFloat).toList)
+    }.toDF("vec_id", "embedding")
+    // eval = 5 held-out vectors; corpus rows 70-74 are EXACT copies
+    // of them (identical sig -> every band collides -> LSH recall 1)
+    val evalVecs = (1000L until 1005L).map { e =>
+      (e, (0 until Similarity.Dim).map(j =>
+        ((((e - 1000 + 70) * 31 + j * 17) % 13) - 6).toFloat).toList)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(corpus, evalVecs, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (70L until 75L).foreach { i =>
+      assert(got.contains(i), s"planted eval copy $i not flagged")
+    }
+    // soundness at a loose threshold: every flagged vector has a true
+    // >= minCos eval neighbor, counts match the brute-force census
+    // RESTRICTED to LSH-candidate pairs (band collisions bound recall;
+    // the exact-copy case above pins the recall-1 regime)
+    val loose = Similarity.semanticContamination(corpus, evalVecs, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cvecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val evecs = evalVecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def q(x: Seq[Float]) = x.map(v => math.floor(v * 10000 + 0.5))
+      val (qa, qb) = (q(a), q(b))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(qa.map(x => x * x).sum) * math.sqrt(qb.map(x => x * x).sum))
+    }
+    loose.foreach { case (vid, n) =>
+      val truth = evecs.values.count(e => cos(cvecs(vid), e) >= 0.3)
+      assert(n <= truth, s"vec $vid over-counted: $n > $truth")
+      assert(n >= 1)
+    }
+  }
+
   test("hardNegatives: never surfaces the query's own label; matches filtered exact top-k") {
     val s = spark; import s.implicits._
     // 3 tight same-label neighbors around the query + 3 other-label
