@@ -243,6 +243,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sp_weighted: top-k plans as TakeOrdered, never a global sort") {
+    val p = plan("sp_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("sim_semantic_contam: band and verify joins stay keyed") {
+    val p = plan("sim_semantic_contam")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("headline sweep: no query plans an unpartitioned unbounded window") {
     // every deliberately-global window in the repo is (a) argued
     // bounded (strata counts, block totals, post-TakeOrdered rows) and
