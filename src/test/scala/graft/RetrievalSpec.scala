@@ -145,6 +145,28 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq((1L, 0L)))
   }
 
+  test("edge cases: unmatched terms vanish, k beyond pool, same-label corpus, empty intervals") {
+    val s = spark; import s.implicits._
+    // a term matching no document contributes no centroid and no rows
+    val docs = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    val vecs = Seq((0L, vec(0 -> 1f))).toDF("vec_id", "embedding")
+    val exp = TextAnalysis.semanticExpand(docs, vecs,
+      Seq("alpha", "nosuchterm"), 5).collect()
+    assert(exp.map(_.getAs[String]("term")).distinct.toSeq === Seq("alpha"))
+    // rrfFuse with k past the candidate pool returns the whole pool
+    val a = arm(Seq(("q", 1L, 1L), ("q", 2L, 2L)))
+    assert(TextAnalysis.rrfFuse(Seq(a), 100).count() === 2L)
+    // hard negatives over an all-same-label corpus: empty, not error
+    val mono = Seq((0L, vec(0 -> 1f), 1), (1L, vec(1 -> 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(mono,
+      mono.filter(col("vec_id") === 0L), 3).count() === 0L)
+    // range join against an empty interval table: empty, not error
+    val pts = Seq((1L, 10L)).toDF("pt_id", "t")
+    val noIvs = Seq.empty[(Long, Long, Long)].toDF("iv_id", "t_start", "t_end")
+    assert(graft.pipeline.Events.rangeJoin(pts, noIvs, 64L).count() === 0L)
+  }
+
   test("semanticContamination: planted eval copies always flagged; census exact vs brute force") {
     val s = spark; import s.implicits._
     val corpus = (0L until 80L).map { i =>
