@@ -258,6 +258,14 @@ object PipelineQueries {
         .orderBy("term", "rank")): Q,
       Some(pipeline.TextAnalysis.bm25Sql(Seq("spark", "window", "hash"), 10))),
 
+    // TF-IDF keyword extraction: per-doc top-5 distinguishing terms
+    ("tx_keywords",
+      ((s, d) => pipeline.TextAnalysis.keywords(Tables.documents(s, d), 5)
+        .select(col("doc_id").cast("long").as("doc_id"), col("rank"),
+          col("term"), col("score"))
+        .orderBy("doc_id", "rank")): Q,
+      Some(pipeline.TextAnalysis.keywordsSql(5))),
+
     // Rocchio pseudo-relevance feedback: per-term centroid of the
     // lexically-matching docs' embeddings, corpus ranked by cosine —
     // the semantic arm of hybrid retrieval

@@ -101,6 +101,69 @@ object TextAnalysis {
        |FROM ranked WHERE rank <= $topK ORDER BY term, rank""".stripMargin
   }
 
+  // ---- TF-IDF keyword extraction ----
+
+  /** Per-document top-k keywords by smoothed TF-IDF — the corpus-side
+    * complement of [[bm25]]'s query-side scoring: BM25 ranks documents
+    * for a term, this tags each document with the terms that
+    * distinguish it (topic labels, dedup-cluster names, curriculum
+    * features). idf = ln((N+1)/(df+1)) + 1 (smoothed: a term in every
+    * document still scores, just minimally); score compares ROUNDED
+    * (the bm25 rule) with term tie-break.
+    *
+    * Scale shape: tf is one map-side-combined aggregate over the
+    * token explode; df one more over tf's (corpus-bounded, vocab-
+    * grain) frame; their equi-join shuffles on the token key, and the
+    * per-doc rank is a `WindowGroupLimit`-bounded window on doc_id —
+    * no frame here ever exceeds (doc, distinct-token) grain. Returns
+    * (doc_id, rank, term, score). */
+  def keywords(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.select(count(lit(1)).cast("double").as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val score = graft.ts.Round6.r6(col("tf") *
+      (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+    tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), score.as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("score"))
+  }
+
+  /** DuckDB twin of [[keywords]] over `documents`. A complete
+    * SELECT. */
+  def keywordsSql(k: Int): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |    FROM documents)
+       |  GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+       |), n AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT t.doc_id, t.term,
+       |         ${graft.ts.Round6.r6Sql(
+              "t.tf * (ln((n.n_docs + 1.0) / (q.df + 1.0)) + 1.0)")} AS score
+       |  FROM tf t JOIN dfq q USING (term), n
+       |), ranked AS (
+       |  SELECT doc_id, term, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, term) AS rank
+       |  FROM scored
+       |)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank,
+       |       term, score
+       |FROM ranked WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
   // ---- hybrid retrieval: semantic expansion + rank fusion ----
 
   /** RRF dampening constant (the standard 60 from Cormack et al.). */
