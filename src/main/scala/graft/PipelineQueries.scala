@@ -1024,6 +1024,26 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // deterministic train/val/test split: 80/10/10 by stable key
+    // hash — per-split census (consistent across derived tables)
+    ("sp_split",
+      ((s, d) => {
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        pipeline.Sampling.splitAssign(
+            Tables.documents(s, d), col("doc_id"), splits)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("n_chars"))
+          .orderBy("split")
+      }): Q,
+      Some({
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        s"""SELECT ${pipeline.Sampling.splitAssignSql("doc_id", splits)} AS split,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+           |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+      })),
+
     // Efraimidis–Spirakis weighted sampling without replacement:
     // top-50 docs by ln(u)/n_chars — longer docs proportionally
     // likelier, selection engine-portable via the rounded log key

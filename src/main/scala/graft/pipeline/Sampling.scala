@@ -160,6 +160,43 @@ object Sampling {
        |  FROM ushare, ulvl
        |)""".stripMargin
 
+  /** Deterministic train/val/test split assignment: each row gets the
+    * split whose cumulative hash-bucket range its key lands in —
+    * train [0, f₁·10⁴), val [f₁·10⁴, (f₁+f₂)·10⁴), … in the order
+    * given. The same stable hash family as [[hashSample]], so the
+    * split is reproducible run-to-run and engine-to-engine, stable
+    * under repartitioning/retries, and CONSISTENT ACROSS DERIVED
+    * TABLES (a document and its embedding land in the same split);
+    * eval-set leakage into train cannot happen by nondeterminism.
+    * Fractions must sum to ≤ 1 (a remainder falls into the LAST
+    * split, keeping the assignment total). Map-side only — one
+    * projection, no shuffle at any corpus size. Adds a `split`
+    * column. */
+  def splitAssign(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000) }.tail
+    val b = bucket(key)
+    val expr0 = splits.init.zip(cuts.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (els, ((name, _), cut)) =>
+        when(b < cut, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", expr0)
+  }
+
+  /** SQL twin of [[splitAssign]]'s split expression for key
+    * expression `e`. */
+  def splitAssignSql(e: String, splits: Seq[(String, Double)]): String = {
+    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000) }.tail
+    val b = bucketSql(e)
+    val cases = splits.init.zip(cuts.init).map { case ((name, _), cut) =>
+      s"WHEN $b < $cut THEN '$name'" }.mkString(" ")
+    s"(CASE $cases ELSE '${splits.last._1}' END)"
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
     * row i keys on u_i^(1/w_i) with u_i a stable hash-uniform in
     * (0,1); the k largest keys are a weight-proportional

@@ -713,6 +713,32 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perDoc.size === 20 && perDoc.values.exists(_ == 2))
   }
 
+  test("splitAssign: exact partition, cross-table consistency, remainder to last") {
+    val s = spark; import s.implicits._
+    val d = (0L until 500L).map(i => (i, i % 7)).toDF("doc_id", "grp")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = pipeline.Sampling.splitAssign(d, col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every row gets exactly one split; all three names appear
+    assert(out.size === 500)
+    assert(out.values.toSet === Set("train", "val", "test"))
+    // hash-expected proportions: train dominates, val+test minor
+    val n = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 350 && n("val") < 100 && n("test") < 100)
+    // cross-table consistency: a second table keyed the same way
+    // lands every shared key in the SAME split
+    val e = (0L until 500L).map(i => (i, i * 2)).toDF("vec_id", "x")
+    val out2 = pipeline.Sampling.splitAssign(e, col("vec_id"), splits)
+      .select("vec_id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall { case (k, v) => out2(k) == v })
+    // fractions summing under 1: the remainder falls into the LAST
+    // split, so the assignment still totals
+    val under = pipeline.Sampling.splitAssign(d, col("doc_id"),
+        Seq("a" -> 0.5, "b" -> 0.2))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(under("a") + under("b") === 500L && under("b") > 100L)
+  }
+
   test("weightedSample: exact model replay; huge weight dominates; k caps output") {
     val s = spark; import s.implicits._
     val rows = (0L until 200L).map(i => (i, 1.0 + (i % 7)))
