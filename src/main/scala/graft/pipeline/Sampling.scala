@@ -189,6 +189,11 @@ object Sampling {
   /** SQL twin of [[splitAssign]]'s split expression for key
     * expression `e`. */
   def splitAssignSql(e: String, splits: Seq[(String, Double)]): String = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    // one split = every row gets it; a CASE with zero WHEN branches
+    // is a syntax error (the Scala twin folds to lit(name) here)
+    if (splits.size == 1) return s"'${splits.head._1}'"
     val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
       acc + math.round(f * 10000) }.tail
     val b = bucketSql(e)

@@ -63,11 +63,58 @@ object ArchiveStore {
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** True when `dir` holds the round-9 LEGACY layout: top-level
+    * `pt=` partition dirs with no `_latest` pointer. Such a store
+    * predates the manifest protocol — treating it as empty would
+    * silently drop all its on-disk history (the first post-upgrade
+    * merge would commit a manifest omitting it). */
+  def isLegacyLayout(spark: SparkSession, dir: String): Boolean = {
+    val f = fsOf(spark, dir)
+    val base = new Path(dir)
+    Snapshot.latestVersion(spark, dir).isEmpty && f.exists(base) &&
+      f.listStatus(base).exists(_.getPath.getName.startsWith("pt="))
+  }
+
+  /** Migrate a legacy (pre-manifest) store in place: move the
+    * top-level `pt=` dirs into one fresh immutable `data-` chunk and
+    * commit them as the v1 manifest, so the existing history becomes
+    * the store's initial version instead of silently vanishing.
+    * Pure driver-side renames (same filesystem, no data rewrite).
+    * Returns the committed version; None when there is nothing to
+    * adopt (already versioned, or genuinely empty). Caller holds the
+    * store's writer mutex. */
+  def adoptLegacy(spark: SparkSession, dir: String): Option[Long] = {
+    if (!isLegacyLayout(spark, dir)) return None
+    val f = fsOf(spark, dir)
+    val base = new Path(dir)
+    val dd = newDataDir()
+    val ddPath = new Path(base, dd)
+    f.mkdirs(ddPath)
+    val pts = f.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("pt="))
+      .flatMap(n => n.stripPrefix("pt=").toLongOption.map(n -> _))
+    pts.foreach { case (n, _) =>
+      if (!f.rename(new Path(base, n), new Path(ddPath, n)))
+        throw new IllegalStateException(
+          s"legacy-store adoption: rename of $dir/$n failed")
+    }
+    Some(commit(spark, dir, pts.map { case (n, pt) => pt -> dd }.toMap))
+  }
+
   /** Resolve the latest committed state; None for a never-written
-    * store. `version` pins an older (still-vacuum-retained) one. */
+    * store. `version` pins an older (still-vacuum-retained) one.
+    * FAILS LOUDLY on a legacy (pre-manifest) layout — a store with
+    * on-disk `pt=` history but no pointer must be adopted
+    * ([[adoptLegacy]], run automatically by the merge path) before
+    * any read; returning None here would silently read it as empty. */
   def state(spark: SparkSession, dir: String,
       version: Option[Long] = None): Option[State] = {
     val v = version.orElse(Snapshot.latestVersion(spark, dir))
+    if (v.isEmpty && isLegacyLayout(spark, dir))
+      throw new IllegalStateException(
+        s"archive store $dir has pre-manifest pt= history but no " +
+          "_latest pointer; run ArchiveStore.adoptLegacy (the daemon " +
+          "merge path does this automatically) before reading")
     v.flatMap { ver =>
       val f = fsOf(spark, dir)
       val mf = new Path(dir, s"v=$ver/manifest")
@@ -236,20 +283,26 @@ object ArchiveStore {
     if (!f.exists(base)) return
     val latest = Snapshot.latestVersion(spark, dir).getOrElse(return)
     val floor = latest - keepVersions + 1
+    val now = System.currentTimeMillis()
     // old versions (and their slot locks) first, so the live set below
-    // is computed over exactly the retained manifests
+    // is computed over exactly the retained manifests. A v > latest
+    // dir gets the same modification-time grace as staged data/.tmp
+    // dirs: it may be ANOTHER process's commit racing between its
+    // v=N rename and the pointer swing — deleting it inside the
+    // window would silently destroy that committed data instead of
+    // making the single-writer violation loud.
     f.listStatus(base).foreach { s =>
       val n = s.getPath.getName
       val stale =
         (n.startsWith("v=") &&
-          n.drop(2).toLongOption.exists(v => v < floor || v > latest)) ||
+          n.drop(2).toLongOption.exists(v => v < floor ||
+            (v > latest && now - s.getModificationTime > orphanGraceMs))) ||
         (n.startsWith(".lock-v=") &&
           n.stripPrefix(".lock-v=").toLongOption.exists(_ < floor))
       if (stale) { f.delete(s.getPath, true); () }
     }
     val live: Set[String] = (floor to latest).flatMap(v =>
       state(spark, dir, Some(v)).toSeq.flatMap(_.manifest.values)).toSet
-    val now = System.currentTimeMillis()
     f.listStatus(base).foreach { s =>
       val n = s.getPath.getName
       val unreferenced = n.startsWith("data-") && !live.contains(n)

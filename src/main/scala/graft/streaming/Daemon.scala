@@ -247,7 +247,7 @@ object Daemon {
     * scan once per store MUTATION instead of once per refresh, and a
     * mutated series can never serve a stale payload. `cap = 0`
     * disables caching, as the reference's `0 cap == disable LRU`. */
-  final class RenderCache(val cap: Int) {
+  final class RenderCache(val cap: Int, maxSpins: Int = 16) {
     val hits = new java.util.concurrent.atomic.AtomicLong
     val misses = new java.util.concurrent.atomic.AtomicLong
     val evictions = new java.util.concurrent.atomic.AtomicLong
@@ -278,14 +278,20 @@ object Daemon {
       // winners and renders at its own generations directly, so churn
       // can delay a request by at most `maxSpins` winner waits.
       var spins = 0
-      val maxSpins = 16
       while (true) {
         map.synchronized(Option(map.get(key))).filter(_._1 == gens) match {
           case Some((_, payload)) => hits.incrementAndGet(); return payload
           case None if spins >= maxSpins =>
             val payload = compute
             misses.incrementAndGet()
-            map.synchronized { map.put(key, (gens, payload)); () }
+            // after maxSpins lost races our gens are stale relative to
+            // the winners we were chasing — install only if the slot is
+            // empty or already at our gens, never overwrite a fresher
+            // entry with one no future request can hit
+            map.synchronized {
+              val cur = Option(map.get(key))
+              if (cur.forall(_._1 == gens)) { map.put(key, (gens, payload)); () }
+            }
             return payload
           case None =>
             val fresh =

@@ -343,6 +343,11 @@ object Ingest {
       // cannot interleave and lose this merge's partitions. Readers
       // take no lock — they pin the pre- or post-commit version.
       StoreLock.write(archiveDir) {
+        // a daemon restarted over a pre-manifest (round-9 layout) data
+        // dir adopts its on-disk history as v1 before the first merge
+        // — otherwise state() would fail loudly rather than silently
+        // commit a manifest that omits all pre-existing partitions
+        ArchiveStore.adoptLegacy(spark, archiveDir)
         val st = ArchiveStore.state(spark, archiveDir)
         val manifest = st.map(_.manifest).getOrElse(Map.empty[Long, String])
         val touchedSet = touched.toSet

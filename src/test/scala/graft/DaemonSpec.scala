@@ -233,6 +233,26 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 === "gen2" && cache.misses.get === 2L)
   }
 
+  test("render cache spin-exhausted fallback never clobbers a fresher entry") {
+    // maxSpins = 0 sends every miss straight to the direct-compute
+    // fallback; a fallback carrying STALE gens (it lost its races to
+    // fresher winners) must not overwrite the cached entry with a
+    // payload no future request's gens can match
+    val cache = new Daemon.RenderCache(8, maxSpins = 0)
+    assert(cache.getOrCompute("k", Seq(5L))("fresh") === "fresh")
+    // older-gens request: computes directly, gets its own payload...
+    assert(cache.getOrCompute("k", Seq(4L))("stale") === "stale")
+    // ...but the gen-5 entry survives: the next gen-5 request HITS
+    val hitsBefore = cache.hits.get
+    val r = cache.getOrCompute("k", Seq(5L)) {
+      fail("fresh entry was clobbered by the stale fallback") }
+    assert(r === "fresh" && cache.hits.get === hitsBefore + 1)
+    // an empty slot still installs through the fallback path
+    assert(cache.getOrCompute("k2", Seq(1L))("first") === "first")
+    assert(cache.getOrCompute("k2", Seq(1L)) {
+      fail("fallback failed to install into an empty slot") } === "first")
+  }
+
   /** Poll `/stats` until `field` reaches at least `want` (or deadline). */
   private def awaitStat(base: String, field: String, want: Long,
       timeoutMs: Long = 20000): Long = {

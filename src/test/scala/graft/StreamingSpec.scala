@@ -935,4 +935,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("legacy pre-manifest store: reads fail loudly, merge adopts it as v1") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy")
+      .toString + "/slots"
+    // the round-9 layout: top-level pt= partition dirs, no _latest
+    // pointer — a daemon restarted over such a data dir must NOT read
+    // it as an empty store and commit a manifest omitting its history
+    Seq(("old", 0L, 20.0, 10.0)).toDF("name", "t", "vw", "dur")
+      .withColumn("pt", lit(0L)).write.partitionBy("pt").parquet(dir)
+    intercept[IllegalStateException] { graft.streaming.ArchiveStore.state(s, dir) }
+    intercept[IllegalStateException] { ArchiveStore.readLatest(s, dir) }
+    // the first merge adopts in place: pre-existing history becomes v1
+    // and survives alongside the new batch
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("new", 100L, 110L, 3.0)).toDF(), dir, stepSec = 10)
+    val got = ArchiveStore.readLatest(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.contains(("old", 0L)) && got(("old", 0L)) === 20.0,
+      s"pre-manifest history lost on adoption: $got")
+    assert(got.keys.exists(_._1 == "new"), s"merge rows missing: $got")
+    // adoption is a no-op on an already-versioned (or empty) store
+    assert(ArchiveStore.adoptLegacy(s, dir).isEmpty)
+    assert(ArchiveStore.adoptLegacy(s, dir + "-absent").isEmpty)
+  }
+
+  test("vacuum: a v>latest dir gets the same grace as staged chunks") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vgrace")
+      .toString + "/slots"
+    Seq(("a", 0L, 1.0, 1.0)).toDF("name", "t", "vw", "dur")
+      .withColumn("pt", lit(0L)).write.partitionBy("pt")
+      .parquet(s"$dir/data-a")
+    ArchiveStore.commit(s, dir, Map(0L -> "data-a"))
+    // another process's commit caught between its v=N rename and the
+    // pointer swing: inside the grace window vacuum must not destroy it
+    val v9 = java.nio.file.Paths.get(dir, "v=9")
+    java.nio.file.Files.createDirectories(v9)
+    java.nio.file.Files.write(v9.resolve("manifest"),
+      "0\tdata-a\n".getBytes("UTF-8"))
+    ArchiveStore.vacuum(s, dir, keepVersions = 1)
+    assert(java.nio.file.Files.exists(v9),
+      "in-flight future version deleted inside the grace window")
+    // past the window it is debris of a crashed commit and reclaims
+    ArchiveStore.vacuum(s, dir, keepVersions = 1, orphanGraceMs = -1)
+    assert(!java.nio.file.Files.exists(v9))
+    // the committed version and its chunk are untouched throughout
+    assert(ArchiveStore.readLatest(s, dir).count() === 1L)
+  }
 }
