@@ -95,6 +95,33 @@ object PipelineQueries {
            | FROM out ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // Bloom-prefiltered incremental exact dedup: even doc_ids are the
+    // history, the batch is the odd docs plus planted copies of the
+    // first 10 even texts — the bloom tier routes only candidates to
+    // the exact confirm, so output is exact membership at any fpp
+    ("dd_bloom_novel",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(hist.filter(col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + 10000))
+        pipeline.Dedup.bloomNovelty(hist, batch,
+            expectedItems = 1000L, fpp = 0.01)
+          .select(col("doc_id").cast("long").as("doc_id"), col("is_dup"))
+          .orderBy("doc_id")
+      }): Q,
+      Some(
+        """WITH hist AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+          |batch AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 10000 AS doc_id, text FROM hist WHERE doc_id < 20)
+          |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+          |       (b.text IS NOT NULL AND EXISTS (
+          |          SELECT 1 FROM hist h WHERE h.text = b.text)) AS is_dup
+          |FROM batch b ORDER BY doc_id""".stripMargin)),
+
     // exact n-gram Jaccard via df-capped inverted shingle index
     ("dd_ngram_jaccard",
       ((s, d) => pipeline.NearDup.ngramJaccardPairs(Tables.documents(s, d), 0.5)

@@ -1,8 +1,11 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.BinaryType
 
 /** Deduplication operators for large-scale document corpora.
   *
@@ -34,5 +37,100 @@ object Dedup {
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1).drop("__rn")
     withText.unionByName(docs.filter(col("text").isNull))
+  }
+
+  /** Spark's runtime-filter cap (`spark.sql.optimizer.runtime.
+    * bloomFilter.maxNumBits` default): 64 Mbit = an 8 MB blob, the
+    * budget past which the filter stops growing and its false-positive
+    * rate rises instead. */
+  val BloomMaxNumBits: Long = 67108864L
+
+  /** Optimal Bloom bit count for `n` items at false-positive rate
+    * `fpp` (the standard -n·ln p/ln²2), capped at `maxNumBits` — the
+    * same sizing rule Spark's own injected runtime filters use. */
+  def bloomNumBits(n: Long, fpp: Double,
+      maxNumBits: Long = BloomMaxNumBits): Long = {
+    require(n > 0 && fpp > 0 && fpp < 1, "need n > 0, 0 < fpp < 1")
+    val ln2 = math.log(2.0)
+    math.min(maxNumBits,
+      math.max(64L, math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toLong))
+  }
+
+  /** BLOOM-PREFILTERED incremental exact dedup — the membership tier
+    * an ingest pipeline runs BEFORE touching the history store. A
+    * plain `batch ⟕ history` novelty check re-scans the full history
+    * per batch; at 100 TB that is the pipeline's whole cost. Instead:
+    *
+    *  1. ONE aggregate over the history builds a Bloom filter of
+    *     `xxhash64(text)` (Spark's native codegen'd
+    *     `BloomFilterAggregate` — map-side partial blooms, one
+    *     `mergeInPlace` reduce; the blob is the only thing the driver
+    *     holds, capped at [[BloomMaxNumBits]] exactly like Spark's
+    *     injected runtime join filters). At a steady cadence the blob
+    *     is built once and reused across batches, so the amortized
+    *     history cost is zero scans.
+    *  2. The batch probes the blob as a LITERAL (codegen'd
+    *     `might_contain`, map-side, no shuffle): definite-novel rows
+    *     exit immediately — for a mostly-novel corpus that is almost
+    *     the whole batch.
+    *  3. Only Bloom-POSITIVE rows (true dups + fpp·novel false
+    *     positives) reach the exact confirm — a semi-join whose left
+    *     side is candidate-sized, not batch-sized, and whose right
+    *     side prunes to candidate hash partitions.
+    *
+    * False positives COST (a row rides to the confirm join) but never
+    * LIE (the join decides) — output is bit-identical to the exact
+    * novelty check at any fpp, which is what lets the cap degrade the
+    * filter gracefully instead of breaking it. NULL-text rows are
+    * never duplicates (md5/xxhash of NULL is NULL), matching
+    * [[exactDedup]].
+    *
+    * History beyond what one capped blob discriminates (≳10⁹ rows
+    * at useful fpp) shards the same construction by hash range —
+    * per-shard blooms each under the cap, batch rows probing their
+    * shard's blob — before falling back to the store itself.
+    *
+    * Returns the batch plus `is_dup` (exact membership of `text` in
+    * the history). */
+  def bloomNovelty(history: DataFrame, batch: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      maxNumBits: Long = BloomMaxNumBits): DataFrame = {
+    val blob = bloomBuild(history.select(col("text")), col("text"),
+      expectedItems, fpp, maxNumBits)
+    bloomNoveltyWith(history, batch, blob)
+  }
+
+  /** Step 1 of [[bloomNovelty]] standalone: the serialized Bloom blob
+    * over `key` (null for an empty frame). Build once per store
+    * epoch, reuse across batches. */
+  def bloomBuild(df: DataFrame, key: Column, expectedItems: Long,
+      fpp: Double, maxNumBits: Long = BloomMaxNumBits): Array[Byte] = {
+    val bits = bloomNumBits(math.max(1L, expectedItems), fpp, maxNumBits)
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(xxhash64(key)),
+      Literal(math.max(1L, expectedItems)), Literal(bits))
+      .toAggregateExpression()
+    df.filter(key.isNotNull)
+      .select(GraftBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Steps 2–3 of [[bloomNovelty]] against a prebuilt blob. */
+  def bloomNoveltyWith(history: DataFrame, batch: DataFrame,
+      blob: Array[Byte]): DataFrame = {
+    if (blob == null) // empty history: everything is novel
+      return batch.withColumn("is_dup", lit(false))
+    val probe = GraftBridge.column(new BloomFilterMightContain(
+      Literal(blob, BinaryType),
+      GraftBridge.expression(xxhash64(col("text")))))
+    val candidates = batch
+      .filter(col("text").isNotNull && probe)
+      .select(col("doc_id"), col("text"))
+    val confirmed = candidates
+      .join(history.select(col("text")).filter(col("text").isNotNull),
+        Seq("text"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    batch.join(confirmed, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
   }
 }

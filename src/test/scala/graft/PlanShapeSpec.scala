@@ -339,4 +339,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans === 1, s"expected 1 event-log scan, found $scans:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("dd_bloom_novel: might_contain prunes the batch before the exact confirm") {
+    // the batch side must carry the codegen'd bloom probe as a plain
+    // filter (map-side, no shuffle to reach it), so only candidates
+    // ride into the exact semi-join; nothing degenerates to a cartesian
+    val p = plan("dd_bloom_novel")
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

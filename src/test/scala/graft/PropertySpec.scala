@@ -713,6 +713,30 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perDoc.size === 20 && perDoc.values.exists(_ == 2))
   }
 
+  test("bloomNovelty: exact membership at any fpp; nulls and empty history") {
+    val s = spark; import s.implicits._
+    val hist = Seq((0L, "aa"), (2L, "bb"), (4L, "cc"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val batch = Seq((1L, "aa"), (3L, "zz"), (5L, null.asInstanceOf[String]),
+      (7L, "cc")).toDF("doc_id", "text")
+    def run(fpp: Double, bits: Long = pipeline.Dedup.BloomMaxNumBits) =
+      pipeline.Dedup.bloomNovelty(hist, batch, expectedItems = 4L,
+          fpp = fpp, maxNumBits = bits)
+        .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    val want = Map(1L -> true, 3L -> false, 5L -> false, 7L -> true)
+    assert(run(0.01) === want)
+    // a pathologically tiny filter (64 bits for the whole history)
+    // floods the confirm join with false positives but CANNOT change
+    // the answer — FPs cost, they never lie
+    assert(run(0.5, bits = 64L) === want)
+    // empty history: everything is novel, no probe, no join
+    val none = pipeline.Dedup.bloomNovelty(hist.limit(0), batch)
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect()
+    assert(none.length === 4 && none.forall(!_._2))
+    // null-text batch rows are never duplicates of anything
+    assert(!run(0.01)(5L))
+  }
+
   test("splitAssign: exact partition, cross-table consistency, remainder to last") {
     val s = spark; import s.implicits._
     val d = (0L until 500L).map(i => (i, i % 7)).toDF("doc_id", "grp")
@@ -737,6 +761,14 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq("a" -> 0.5, "b" -> 0.2))
       .groupBy("split").count().as[(String, Long)].collect().toMap
     assert(under("a") + under("b") === 500L && under("b") > 100L)
+    // degenerate single split: both twins assign every row to it (the
+    // SQL twin must not emit a zero-WHEN CASE, a DuckDB syntax error)
+    val one = pipeline.Sampling.splitAssign(d, col("doc_id"),
+        Seq("all" -> 1.0))
+      .select("split").distinct().as[String].collect().toSeq
+    assert(one === Seq("all"))
+    assert(pipeline.Sampling.splitAssignSql("doc_id",
+      Seq("all" -> 1.0)) === "'all'")
   }
 
   test("weightedSample: exact model replay; huge weight dominates; k caps output") {
