@@ -453,14 +453,16 @@ object Similarity {
         "kmeansAuto / semDedupAuto dispatchers")
     val spark = corpus.sparkSession
     import spark.implicits._
-    // every Lloyd round must rescan the corpus by nature; persisting
-    // the quantized projection for the rounds' duration means each
-    // rescan reads the cache instead of re-paying the upstream
-    // lineage (parquet scan + quantize — or worse, a constructed
-    // corpus's whole build) once per round. MEMORY_AND_DISK so an
-    // over-memory corpus spills instead of evicting to recompute.
+    // every Lloyd round must rescan the corpus by nature; a LAZY
+    // localCheckpoint means each rescan reads the blocks instead of
+    // re-paying the upstream lineage (parquet scan + quantize — or
+    // worse, a constructed corpus's whole build), and — unlike the
+    // plain persist it replaces — each round's driver-side plan build
+    // re-analyzes an RDD scan, not the whole construction tree.
+    // Storage is MEMORY_AND_DISK (localCheckpoint's default), so an
+    // over-memory corpus spills instead of failing.
     val qv = corpus.select(col("vec_id"), qvec(emb).as("qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     try {
       var cents: Seq[(Long, Seq[Double])] = qv.filter(col("vec_id") < k)
         .select(col("vec_id").cast("long").as("cid"),
@@ -478,7 +480,7 @@ object Similarity {
           .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
       }
       cents
-    } finally { qv.unpersist(); () }
+    } finally { freeCheckpoint(qv) }
   }
 
   /** Centroid frame (cid, cent: array<double>) after `iters` Lloyd
@@ -1656,9 +1658,17 @@ object Similarity {
     val coarse = kmeansCentroidsSeq(corpus, coarseK, coarseIters)
     val nc = graft.functions.VectorExprs.nearestCentroid(
       col("qv"), coarse.sortBy(_._1))
+    // LAZY localCheckpoint, not persist: same block storage and the
+    // same first-action materialization, but it also TRUNCATES the
+    // logical plan to an RDD scan. Every fine round, chunk level and
+    // serve path downstream re-embeds this frame's lineage; with a
+    // bare persist Catalyst re-analyzes the whole corpus-construction
+    // tree (Dim-wide aggregates, unrolled Lloyd rounds) at every plan
+    // build — measured as 3-4 s of pure DRIVER time per semdedup pass
+    // at sf0.1 while the actual jobs sum to well under 1 s.
     val ac = corpus.select(col("vec_id"), emb, qvec(emb).as("qv"))
       .select(col("vec_id"), emb, col("qv"), nc.getField("cid").as("ccid"))
-      .persist()
+      .localCheckpoint(false)
     val seeds = ac
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("ccid")).orderBy(col("vec_id"))))
@@ -1697,8 +1707,22 @@ object Similarity {
     val out = assigned.select(col("vec_id"), emb, col("ccid"),
       (col("ccid") * fineK + col("fcid")).as("cid"))
     TwoLevelIndex(out, cellsFinal, coarse,
-      () => { ac.unpersist(); cellsFinal.unpersist(); () })
+      () => { freeCheckpoint(ac); cellsFinal.unpersist(); () })
   }
+
+  /** Release the blocks behind a [[org.apache.spark.sql.Dataset
+    * .localCheckpoint]]-backed frame (falls back to `unpersist` for
+    * anything else). Deterministic twin of the GC-based reclaim the
+    * eager-checkpoint paths rely on; after this the frame is dead —
+    * checkpoint blocks are its only copy — so callers keep the
+    * release-after-last-consuming-action contract the persist-based
+    * handles already had. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => df.unpersist(); ()
+    }
 
   /** SemDeDup over the [[twoLevelAssign]] substrate with a HARD
     * per-self-join-cell bound — the degenerate-corpus guard the flat
@@ -1770,7 +1794,14 @@ object Similarity {
       capTarget: Int, levels: Int): (DataFrame, () => Unit) = {
     require(capTarget > 0 && levels >= 1, "capTarget > 0, levels >= 1")
     val handles = scala.collection.mutable.ListBuffer[DataFrame]()
-    var survivors = assigned.select(col("vec_id"), emb, col("cid")).persist()
+    // lazy localCheckpoint per level, not persist: each level's plan
+    // otherwise embeds every previous level's join/anti-join tree (and
+    // the whole assignment build below that), and Catalyst re-analyzes
+    // that growing tree at every broadcast, action and cache lookup —
+    // the measured cost was driver time, not executor time. Block
+    // storage and materialization timing are unchanged.
+    var survivors = assigned.select(col("vec_id"), emb, col("cid"))
+      .localCheckpoint(false)
     handles += survivors
     (1 to levels).foreach { _ =>
       // chunk count per cluster from the CURRENT survivor census —
@@ -1786,11 +1817,12 @@ object Similarity {
         .filter(col("vec_a") < col("vec_b") &&
           cosine(col("ea"), col("eb")) >= eps)
         .select(col("vec_b").as("vec_id")).distinct()
-      survivors = survivors.join(dropped, Seq("vec_id"), "left_anti").persist()
+      survivors = survivors.join(dropped, Seq("vec_id"), "left_anti")
+        .localCheckpoint(false)
       handles += survivors
     }
     val out = survivors.select(col("vec_id"), col("cid"))
-    (out, () => { handles.foreach(_.unpersist()); () })
+    (out, () => { handles.foreach(freeCheckpoint); () })
   }
 
   /** DuckDB twin of [[twoLevelAssign]] over source CTE/table `src`
