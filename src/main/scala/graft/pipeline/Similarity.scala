@@ -853,10 +853,14 @@ object Similarity {
     def regroup(rows: Seq[(Int, Long, Seq[Double])]) =
       rows.groupBy(_._1).toSeq.sortBy(_._1)
         .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
-    // persist the NARROW quantized frame (N×Dim longs), not the ×M
-    // subvector explode: each round re-derives its view from cache
+    // lazy localCheckpoint of the NARROW quantized frame (N×Dim
+    // longs), not the ×M subvector explode: each round re-derives its
+    // view from the blocks AND plans against an RDD leaf instead of
+    // re-analyzing the corpus construction per Lloyd round (the
+    // kmeansCentroidsSeq lesson — the residual tier's qv embeds a
+    // whole coarse-assignment build)
     val qvf = qvFrame.select(col("vec_id"), col("qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     try {
       var books = regroup(qvf.filter(col("vec_id") < ksub)
         .select(col("vec_id"), posexplode(array((0 until m).map(s =>
@@ -881,7 +885,7 @@ object Similarity {
           .as[(Int, Long, Seq[Double])].collect().toSeq)
       }
       books
-    } finally { qvf.unpersist(); () }
+    } finally { freeCheckpoint(qvf) }
   }
 
   /** PQ-encode the corpus: (vec_id, code array<long>, code_key, rerr).
