@@ -426,6 +426,47 @@ object PipelineQueries {
     // UniMax budget allocation: water-fill 1.35x the corpus's tokens
     // across sources at <= 1.5 epochs each, then realize the mixture —
     // small sources cap at 1.5 epochs, large ones share the level
+    // temperature-smoothed mixture: p ∝ n^τ source shares realized as
+    // mixtureSample epoch weights, then the sampled census proves the
+    // weights drive the corpus pass identically in both engines
+    ("sp_temperature",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val cnt = docs.groupBy(col("source").as("stratum"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val alloc = pipeline.Sampling.temperatureAlloc(cnt,
+          budget = 400.0, tau = 0.5)
+        val sampled = pipeline.Sampling.mixtureSample(
+          docs, col("source"), col("doc_id"),
+          alloc.select(col("stratum"), col("weight")), 0.0)
+        sampled.groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_copies"))
+          .join(alloc.select(col("stratum").as("source"), col("c"),
+            col("weight")), Seq("source"))
+          .select(col("source"), col("c"),
+            ts.Round6.r6(col("weight")).as("weight"),
+            col("n_docs"), col("n_copies"))
+          .orderBy("source")
+      }): Q,
+      Some(
+        s"""WITH cnt AS (
+           |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1
+           |), ${pipeline.Sampling.temperatureAllocSql("400.0", 0.5)},
+           |tdocs AS (
+           |  SELECT d.doc_id, d.source,
+           |    ${pipeline.Sampling.mixtureCopiesSql("t.weight", "d.doc_id")} AS n
+           |  FROM documents d JOIN tma t ON d.source = t.stratum
+           |)
+           |SELECT d.source, t.c, ${ts.Round6.r6Sql("t.weight")} AS weight,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(d.n) AS BIGINT) AS n_copies
+           |FROM tdocs d JOIN tma t ON d.source = t.stratum
+           |WHERE d.n > 0
+           |GROUP BY d.source, t.c, t.weight
+           |ORDER BY d.source""".stripMargin)),
+
     ("sp_unimax",
       ((s, d) => {
         val docs = Tables.documents(s, d)
@@ -943,6 +984,21 @@ object PipelineQueries {
     // the materialized selection-score table: every model/surface
     // signal joined on doc_id in one frame (what a 100 TB pipeline
     // stores once and filters per experiment)
+    // quality-threshold yield curve: survivors (docs + tokens) at each
+    // decile cutoff — the gauge a pipeline reads before fixing its
+    // minQuality gate; all ten thresholds emit even when empty
+    ("cu_yield_curve",
+      ((s, d) => pipeline.Curation.yieldCurve(Tables.documents(s, d))
+        .select(col("threshold"), col("n_docs").cast("long").as("n_docs"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("threshold")): Q,
+      Some(
+        s"""SELECT threshold, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens
+           |FROM (${pipeline.Curation.yieldCurveSql(
+                     ts.Round6.r6Sql("CAST(quality AS DOUBLE)"))})
+           |ORDER BY threshold""".stripMargin)),
+
     ("cu_scores",
       ((s, d) => pipeline.Curation.scoreTable(Tables.documents(s, d))
         .select(col("doc_id").cast("long").as("doc_id"), col("source"),

@@ -1,0 +1,54 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+// scratch profiler: wall vs sum-of-job time per bench query — NOT library code
+object SkewProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobNanos = new AtomicLong
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        starts.put(js.jobId, System.nanoTime()); ()
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(je.jobId)).foreach(t0 =>
+          jobNanos.addAndGet(System.nanoTime() - t0))
+        ()
+      }
+    })
+    val targets =
+      if (args.nonEmpty) args.toSeq
+      else Seq("sim_semdedup_skew", "cu_pipeline", "cu_bpe", "cu_select",
+        "sim_semdedup", "tx_hybrid_rrf", "sim_topk_pq", "sim_topk_ivf_pq_res",
+        "dd_window_fp", "sim_kmeans")
+    val qs = SparkEntry.queries
+    targets.foreach { name =>
+      // warm pass then measured pass
+      (1 to 2).foreach { p =>
+        jobNanos.set(0L)
+        val t0 = System.nanoTime()
+        val n = qs(name)(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (p == 2) {
+          Thread.sleep(200) // let listener events drain
+          println(f"PROFQ $name%-22s wall ${wall}%6.2f s  jobs ${jobNanos.get / 1e9}%6.2f s  rows $n")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -253,6 +253,53 @@ object Curation {
     * (contiguous ranges, so block-major order IS doc_id order) plus a
     * one-row-per-block offset table joined back broadcast — so no
     * row-grain data ever funnels through one partition. */
+  /** Quality-threshold YIELD CURVE — the tuning gauge every gated
+    * pipeline reads before committing a `minQuality`: for each cutoff
+    * t = k/10 (k = 0..9), how many documents and tokens survive
+    * `quality >= t`. One corpus pass: bucket each doc by its
+    * [[graft.ts.Round6]]-stabilized quality decile (r6 makes both
+    * engines bucket the SAME double, so a boundary-sitting score
+    * cannot flip buckets cross-engine), aggregate per decile, then a
+    * 10-row cumulative-from-above window. All 10 thresholds emit even
+    * when empty. Returns (threshold, n_docs, n_tokens). */
+  def yieldCurve(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val q = TextAnalysis.qualityScore(docs).select(
+      least(floor(graft.ts.Round6.r6(col("quality")) * 10), lit(9))
+        .cast("long").as("b"),
+      col("n_tokens"))
+    val per = q.groupBy(col("b")).agg(count(lit(1)).as("d"),
+      sum(col("n_tokens")).as("t"))
+    val all = spark.range(10).select(col("id").as("b"))
+      .join(per, Seq("b"), "left")
+      .na.fill(0L, Seq("d", "t"))
+    // deliberate single-partition window over the 10-row decile frame
+    // (the unimaxAlloc idiom — non-foldable constant key keeps it off
+    // the empty-partition warn path)
+    val pk = coalesce(col("b") % 1, lit(0L))
+    val w = Window.partitionBy(pk)
+      .orderBy(col("b").desc).rowsBetween(Long.MinValue, 0)
+    all.select((col("b").cast("double") / 10.0).as("threshold"),
+        sum(col("d")).over(w).as("n_docs"),
+        sum(col("t")).over(w).as("n_tokens"))
+      .orderBy(col("threshold"))
+  }
+
+  /** SQL twin of [[yieldCurve]] over `documents`; a SELECT, not a
+    * CTE fragment. */
+  def yieldCurveSql(r6q: String): String =
+    s"""SELECT CAST(b AS DOUBLE) / 10.0 AS threshold,
+       |  sum(d) OVER (ORDER BY b DESC) AS n_docs,
+       |  sum(t) OVER (ORDER BY b DESC) AS n_tokens
+       |FROM (
+       |  SELECT g.b, count(q.n_tokens) AS d,
+       |         coalesce(sum(q.n_tokens), 0) AS t
+       |  FROM (SELECT unnest(generate_series(0, 9)) AS b) g
+       |  LEFT JOIN (
+       |    SELECT least(CAST(floor($r6q * 10) AS BIGINT), 9) AS b, n_tokens
+       |    FROM (${TextAnalysis.qualityScoreSql})) q USING (b)
+       |  GROUP BY g.b)""".stripMargin
+
   def packSequences(docs: DataFrame, budget: Int, blockDocs: Int = 4096): DataFrame = {
     val toks = docs.select(col("doc_id"),
       size(tokens).cast("long").as("n_tok"),

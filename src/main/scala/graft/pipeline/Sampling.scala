@@ -138,6 +138,41 @@ object Sampling {
         col("alloc") / greatest(col("c").cast("double"), lit(1.0)))
   }
 
+  /** Temperature-smoothed mixture weights — the OTHER standard
+    * multilingual mixing law ([[unimaxAlloc]]'s water-filling is the
+    * epoch-capped one): sampling share p_i ∝ n_iᵗᵃᵘ, so τ = 1 is
+    * proportional (each stratum at its natural share), τ → 0
+    * approaches uniform (low-resource strata maximally upweighted),
+    * and the realized epoch weight over stratum i is
+    * w_i = budget·n_iᵗᵃᵘ⁻¹ / Σ n_jᵗᵃᵘ — exactly the frame
+    * [[mixtureSample]] consumes (stratum, c, weight).
+    *
+    * Scale shape: runs entirely on the S-row counts frame (strata are
+    * metadata-scale); the corpus is touched only by the mixture pass
+    * this feeds. The one cross-stratum reduction (Σ n^τ) broadcasts. */
+  def temperatureAlloc(counts: DataFrame, budget: Double,
+      tau: Double): DataFrame = {
+    require(budget >= 0 && tau > 0 && tau <= 1,
+      "budget >= 0, 0 < tau <= 1")
+    val z = broadcast(counts.agg(
+      sum(pow(col("c").cast("double"), tau)).as("__z")))
+    counts.crossJoin(z).select(col("stratum"), col("c"),
+      (lit(budget) * pow(col("c").cast("double"), tau) / col("__z") /
+        greatest(col("c").cast("double"), lit(1.0))).as("weight"))
+  }
+
+  /** SQL twin of [[temperatureAlloc]] over a CTE `cnt(stratum, c)`;
+    * defines `tma(stratum, c, weight)`. */
+  def temperatureAllocSql(budget: String, tau: Double): String =
+    s"""tmz AS (
+       |  SELECT sum(pow(CAST(c AS DOUBLE), $tau)) AS z FROM cnt
+       |), tma AS (
+       |  SELECT stratum, c,
+       |    $budget * pow(CAST(c AS DOUBLE), $tau) / z
+       |      / greatest(CAST(c AS DOUBLE), 1.0) AS weight
+       |  FROM cnt, tmz
+       |)""".stripMargin
+
   /** SQL twin of [[unimaxAlloc]] over a CTE `cnt(stratum, c)`;
     * defines `uma(stratum, c, cap, alloc, weight)`. */
   def unimaxAllocSql(budget: String, maxEpochs: Double): String =

@@ -713,6 +713,49 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perDoc.size === 20 && perDoc.values.exists(_ == 2))
   }
 
+  test("temperatureAlloc: hand-computed weights; tau=1 is proportional") {
+    val s = spark; import s.implicits._
+    val cnt = Seq(("a", 100L), ("b", 400L)).toDF("stratum", "c")
+    // tau=0.5: n^tau = 10, 20; Z = 30; w_i = B·n^tau/Z/n
+    val w = pipeline.Sampling.temperatureAlloc(cnt, budget = 300.0, tau = 0.5)
+      .select("stratum", "weight").as[(String, Double)].collect().toMap
+    assert(math.abs(w("a") - 1.0) < 1e-12 && math.abs(w("b") - 0.5) < 1e-12)
+    // tau=1 degenerates to proportional: every stratum gets the same
+    // epoch weight budget/Σn — natural shares preserved
+    val p = pipeline.Sampling.temperatureAlloc(cnt, budget = 300.0, tau = 1.0)
+      .select("stratum", "weight").as[(String, Double)].collect().toMap
+    assert(p.values.forall(v => math.abs(v - 0.6) < 1e-12))
+    // smaller tau upweights the low-resource stratum relative to its
+    // natural share: w_a/w_b grows as tau falls
+    assert(w("a") / w("b") > p("a") / p("b"))
+    intercept[IllegalArgumentException] {
+      pipeline.Sampling.temperatureAlloc(cnt, 300.0, tau = 0.0)
+    }
+  }
+
+  test("yieldCurve: cumulative from above, all deciles emit, totals at 0") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then it runs home"),
+      (2L, "99 1234 55 777 000 311 222 9 8 7"), // digit-heavy -> low quality
+      (3L, "a be to of and in it is was for on with he as you do at this but")
+    ).toDF("doc_id", "text")
+    val out = pipeline.Curation.yieldCurve(docs)
+      .select("threshold", "n_docs", "n_tokens")
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    assert(out.length === 10, s"expected all 10 deciles: ${out.toSeq}")
+    assert(out.map(_._1).toSeq === (0 until 10).map(_ / 10.0))
+    // threshold 0 admits everything
+    val totTok = docs.select(sum(size(split(trim(col("text")), "\\s+"))))
+      .first().getLong(0)
+    assert(out.head._2 === 3L && out.head._3 === totTok)
+    // survivors only fall as the cutoff rises
+    assert(out.sliding(2).forall { case Array(lo, hi) =>
+      lo._2 >= hi._2 && lo._3 >= hi._3 })
+    // the digit-heavy doc dies before the stopword-rich ones
+    assert(out.exists(r => r._2 < 3L && r._2 > 0L))
+  }
+
   test("bloomNovelty: exact membership at any fpp; nulls and empty history") {
     val s = spark; import s.implicits._
     val hist = Seq((0L, "aa"), (2L, "bb"), (4L, "cc"),
