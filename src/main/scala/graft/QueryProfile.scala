@@ -5,8 +5,18 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
-// scratch profiler: wall vs sum-of-job time per bench query — NOT library code
-object SkewProfile {
+/** Wall-vs-job-time profiler for registered queries — the gauge that
+  * separates EXECUTOR-bound time (real work in Spark jobs) from
+  * DRIVER-bound time (Catalyst analysis/optimization/codegen between
+  * jobs). A query whose wall time far exceeds its summed job time is
+  * losing to plan building, usually accumulated iterative lineage —
+  * the signal that found the round-11 localCheckpoint fixes (e.g.
+  * sim_semdedup_skew at ~11 s wall / <1 s jobs before truncation).
+  * Usage: `runMain graft.QueryProfile [query ...]` (defaults to the
+  * historically slowest bench queries); each query gets one warm-up
+  * pass, the second pass is reported. */
+object QueryProfile {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
