@@ -115,14 +115,22 @@ object Dedup {
       .head().getAs[Array[Byte]]("bf")
   }
 
+  /** Codegen'd membership probe of a `blob` built by [[bloomBuild]]:
+    * `might_contain(blob, xxhash64(key))` with the blob as a literal
+    * (the only form the native expression accepts — and the right
+    * one: the blob rides the closure once per executor, not per row).
+    * SYMMETRIC with the build: both sides wrap `key` in xxhash64, so
+    * callers pass the same raw key expression to both. */
+  def bloomProbe(blob: Array[Byte], key: Column): Column =
+    GraftBridge.column(new BloomFilterMightContain(
+      Literal(blob, BinaryType), GraftBridge.expression(xxhash64(key))))
+
   /** Steps 2–3 of [[bloomNovelty]] against a prebuilt blob. */
   def bloomNoveltyWith(history: DataFrame, batch: DataFrame,
       blob: Array[Byte]): DataFrame = {
     if (blob == null) // empty history: everything is novel
       return batch.withColumn("is_dup", lit(false))
-    val probe = GraftBridge.column(new BloomFilterMightContain(
-      Literal(blob, BinaryType),
-      GraftBridge.expression(xxhash64(col("text")))))
+    val probe = bloomProbe(blob, col("text"))
     val candidates = batch
       .filter(col("text").isNotNull && probe)
       .select(col("doc_id"), col("text"))

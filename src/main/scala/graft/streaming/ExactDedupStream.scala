@@ -1,0 +1,177 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Dedup
+
+/** Streaming EXACT dedup with a Bloom epoch tier — the continuous
+  * form of [[graft.pipeline.Dedup.bloomNovelty]], and the membership
+  * architecture a 100 TB rolling ingest actually runs:
+  *
+  *  - STATE is one bid-partitioned parquet frame `hashes(h, rep)` —
+  *    the content-hash census of everything ever admitted (`h` =
+  *    xxhash64 of text, `rep` the keeper doc). Replay-idempotent the
+  *    same way [[DedupStream]]'s near-dup state is: each batch
+  *    overwrites exactly its own `bid=` partition with deterministic
+  *    rows.
+  *  - Every `bloomEvery` batches the accumulated census is folded
+  *    into ONE Bloom blob (an EPOCH, covering all `bid <` the epoch
+  *    number) via the native distributed aggregate. Per batch, the
+  *    probe plan is then: blob literal (codegen'd `might_contain`,
+  *    map-side) over the epoch-covered history + an exact join
+  *    against only the POST-EPOCH DELTA partitions (the last <
+  *    `bloomEvery` batches — batch-scale, not history-scale). The
+  *    full history is scanned only by bloom-POSITIVE rows' confirm
+  *    join and the epoch rebuilds — at a mostly-novel cadence the
+  *    steady-state per-batch cost no longer grows with history.
+  *  - False positives cost a confirm-join row, never an answer:
+  *    admission is decided by exact joins at every path, so the
+  *    survivor set is bit-identical to batch-exact dedup at ANY fpp.
+  *  - A REPLAYED batch resolves the newest epoch `<=` its own bid —
+  *    an epoch built after it (covering its own rows) is invisible,
+  *    so replay sees exactly the pre-crash read set.
+  *
+  * Per batch the report frame `novel(doc_id, h, is_dup)` lands under
+  * `outDir` (`is_dup` = exact-duplicate of history or of an earlier
+  * doc in the same batch), and novel hashes append to the census. */
+object ExactDedupStream {
+
+  private val hashesSchema = StructType(Seq(
+    StructField("h", LongType), StructField("rep", LongType)))
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Census partitions with `geBid <= bid < ltBid` (empty frame when
+    * none landed yet). */
+  def readHashes(spark: SparkSession, stateDir: String, ltBid: Long,
+      geBid: Long = 0L): DataFrame = {
+    val dir = s"$stateDir/hashes"
+    if (!fsOf(spark, dir).exists(new Path(dir)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], hashesSchema)
+    else
+      spark.read.schema(hashesSchema.add(StructField("bid", LongType)))
+        .parquet(dir)
+        .filter(col("bid") >= geBid && col("bid") < ltBid)
+        .select(col("h"), col("rep"))
+  }
+
+  /** Newest epoch `<= leBid` and its blob, if any. Epoch N covers all
+    * census partitions with `bid < N`. */
+  def loadBloom(spark: SparkSession, stateDir: String,
+      leBid: Long): Option[(Long, Array[Byte])] = {
+    val f = fsOf(spark, stateDir)
+    val base = new Path(s"$stateDir/bloom")
+    if (!f.exists(base)) return None
+    val epochs = f.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .flatMap(_.stripPrefix("epoch=").toLongOption)
+      .filter(_ <= leBid)
+    if (epochs.isEmpty) None
+    else {
+      val e = epochs.max
+      val in = f.open(new Path(base, s"epoch=$e/blob"))
+      val blob =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      Some((e, blob))
+    }
+  }
+
+  /** One micro-batch. Package-visible so the spec can drive replays
+    * and epoch boundaries directly. */
+  private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
+      bid: Long, stateDir: String, outDir: String, bloomEvery: Int,
+      expectedItems: Long, fpp: Double): Unit = {
+    require(bloomEvery >= 1, "bloomEvery >= 1")
+    val b = batch.select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+      .filter(col("text").isNotNull)
+      .withColumn("h", xxhash64(col("text")))
+    // intra-batch seniority: first (lowest doc_id) per hash is the
+    // batch's own candidate; later twins are dups by construction
+    val first = b
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .withColumn("__intra", col("__rn") > 1)
+    // history membership: bloom-probed over the epoch-covered
+    // partitions, exact over the post-epoch delta
+    val dupIds = loadBloom(spark, stateDir, bid) match {
+      case Some((e, blob)) =>
+        val probed = first.filter(!col("__intra") &&
+            Dedup.bloomProbe(blob, col("h")))
+          .join(readHashes(spark, stateDir, e), Seq("h"), "left_semi")
+        val delta = first.filter(!col("__intra"))
+          .join(readHashes(spark, stateDir, bid, geBid = e),
+            Seq("h"), "left_semi")
+        probed.select("doc_id").unionByName(delta.select("doc_id")).distinct()
+      case None =>
+        first.filter(!col("__intra"))
+          .join(readHashes(spark, stateDir, bid), Seq("h"), "left_semi")
+          .select("doc_id").distinct()
+    }
+    val report = first
+      .join(dupIds.withColumn("__histdup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("h"),
+        (col("__intra") || coalesce(col("__histdup"), lit(false)))
+          .as("is_dup"))
+      .localCheckpoint(true) // one compute; appends + report reuse it
+    // report FIRST (it reads state lazily; the batch's own append must
+    // not land before it materializes — the DedupStream ordering rule,
+    // here enforced by the eager checkpoint above)
+    report.withColumn("bid", lit(bid)).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(s"$outDir/novel")
+    report.filter(!col("is_dup"))
+      .select(col("h"), col("doc_id").as("rep"))
+      .withColumn("bid", lit(bid)).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(s"$stateDir/hashes")
+    // epoch rebuild on cadence: fold census < bid+1 into one blob.
+    // Replay-safe: the same bid rebuilds the same epoch from the same
+    // partitions (bloom bits OR commutatively — content is
+    // order-independent), overwriting in place.
+    if ((bid + 1) % bloomEvery == 0) {
+      val blob = Dedup.bloomBuild(readHashes(spark, stateDir, bid + 1),
+        col("h"), expectedItems, fpp)
+      if (blob != null) {
+        val f = fsOf(spark, stateDir)
+        val p = new Path(s"$stateDir/bloom/epoch=${bid + 1}/blob")
+        val out = f.create(p, true)
+        try out.write(blob) finally out.close()
+      }
+    }
+  }
+
+  /** Start the lifecycle over a streaming `(doc_id, text)` frame. */
+  def start(docs: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String, bloomEvery: Int = 16,
+      expectedItems: Long = 10000000L, fpp: Double = 0.01)
+      : StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        processBatch(spark, batch, bid, stateDir, outDir, bloomEvery,
+          expectedItems, fpp)
+      }
+      .start()
+  }
+
+  /** The accumulated novelty report (doc_id, h, is_dup, bid). */
+  def report(spark: SparkSession, outDir: String): DataFrame = {
+    val dir = s"$outDir/novel"
+    if (!fsOf(spark, dir).exists(new Path(dir)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("h", LongType), StructField("is_dup", BooleanType),
+          StructField("bid", LongType))))
+    else spark.read.parquet(dir)
+  }
+}

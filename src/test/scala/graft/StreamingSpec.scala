@@ -936,6 +936,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exact-dedup stream: bloom epochs, batch slicing ≡ whole-corpus, replay no-op") {
+    val s = spark; import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-xdedup").toString
+    val (stateDir, outDir) = (s"$base/state", s"$base/out")
+    // 60 docs in 6 batches of 10; text repeats with period 7, so dups
+    // land within batches, across adjacent batches, AND across epoch
+    // boundaries (bloomEvery = 2 -> epochs at bids 2, 4, 6)
+    val docs = (0L until 60L).map(i => (i, s"text ${i % 7} body"))
+    docs.grouped(10).zipWithIndex.foreach { case (chunk, bid) =>
+      graft.streaming.ExactDedupStream.processBatch(s,
+        chunk.toDF("doc_id", "text"), bid.toLong, stateDir, outDir,
+        bloomEvery = 2, expectedItems = 100L, fpp = 0.01)
+    }
+    val got = graft.streaming.ExactDedupStream.report(s, outDir)
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    // oracle: a doc is a dup iff a lower doc_id carries the same text
+    val want = docs.map { case (id, _) => id -> (id >= 7) }.toMap
+    assert(got === want)
+    // census holds exactly the 7 distinct texts, keepers = ids 0..6
+    val census = graft.streaming.ExactDedupStream
+      .readHashes(s, stateDir, ltBid = 6L)
+      .select("rep").as[Long].collect().sorted.toSeq
+    assert(census === (0L until 7L))
+    // replay of the last batch: same report, no doubled census rows
+    graft.streaming.ExactDedupStream.processBatch(s,
+      docs.grouped(10).toSeq.last.toDF("doc_id", "text"), 5L, stateDir,
+      outDir, bloomEvery = 2, expectedItems = 100L, fpp = 0.01)
+    assert(graft.streaming.ExactDedupStream.report(s, outDir).count() === 60L)
+    assert(graft.streaming.ExactDedupStream
+      .readHashes(s, stateDir, ltBid = 6L).count() === 7L)
+    // a pathologically small, FP-flooded filter changes nothing: every
+    // admission is decided by an exact join (FPs cost, never lie)
+    val base2 = java.nio.file.Files.createTempDirectory("graft-xdedup2").toString
+    docs.grouped(10).zipWithIndex.foreach { case (chunk, bid) =>
+      graft.streaming.ExactDedupStream.processBatch(s,
+        chunk.toDF("doc_id", "text"), bid.toLong, s"$base2/state",
+        s"$base2/out", bloomEvery = 2, expectedItems = 1L, fpp = 0.5)
+    }
+    val flooded = graft.streaming.ExactDedupStream.report(s, s"$base2/out")
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(flooded === want)
+  }
+
   test("legacy pre-manifest store: reads fail loudly, merge adopts it as v1") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-legacy")
