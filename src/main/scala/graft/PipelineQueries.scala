@@ -426,6 +426,25 @@ object PipelineQueries {
     // UniMax budget allocation: water-fill 1.35x the corpus's tokens
     // across sources at <= 1.5 epochs each, then realize the mixture —
     // small sources cap at 1.5 epochs, large ones share the level
+    // leakage-robust split: near-dup clusters ride into one split
+    // together (cluster-keyed bucketing; singletons by own id), so a
+    // paraphrase of an eval doc cannot land in train
+    ("sp_split_leakfree",
+      ((s, d) => pipeline.Sampling.splitAssignLeakFree(
+          Tables.documents(s, d),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), minJ = 0.8)
+        .select(col("doc_id").cast("long").as("doc_id"), col("split"))
+        .orderBy("doc_id")): Q,
+      Some(pipeline.NearDup.minhashPairsSql(0.8)
+        .replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        s", ${pipeline.NearDup.clustersSql}" +
+        s""" SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           |   ${pipeline.Sampling.splitAssignSql(
+                 "coalesce(c.cluster, d.doc_id)",
+                 Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+           | FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+           | ORDER BY doc_id""".stripMargin)),
+
     // temperature-smoothed mixture: p ∝ n^τ source shares realized as
     // mixtureSample epoch weights, then the sampled census proves the
     // weights drive the corpus pass identically in both engines

@@ -187,6 +187,31 @@ object ScaleProbe {
         pipeline.Sampling.shuffleRank(keys, col("doc_id"), "epoch1")
           .filter(col("rank") <= 5).count()
       },
+      time("bloom_novelty_10m") { // membership tier: nKeys-row history
+        // folded into ONE capped blob (native distributed aggregate),
+        // then a nKeys/10 batch (10 % planted dups) probes it as a
+        // codegen'd literal — only candidates reach the exact confirm.
+        // In-stage asserts: exact dup census at any fpp, AND the
+        // prefilter actually bounds confirm traffic (candidates ≤
+        // dups + ~fpp·novel with slack for the bit-budget cap).
+        val hist = keys.select(col("doc_id"),
+          concat(lit("k"), col("doc_id")).as("text"))
+        val nBatch = nKeys / 10
+        val nDup = nBatch / 10
+        val batch = spark.range(nBatch).select(
+          (col("id") + nKeys).as("doc_id"),
+          when(col("id") < nDup, concat(lit("k"), col("id") * 7))
+            .otherwise(concat(lit("novel"), col("id"))).as("text"))
+        val blob = pipeline.Dedup.bloomBuild(hist, col("text"), nKeys, 0.01)
+        val cand = batch.filter(
+          pipeline.Dedup.bloomProbe(blob, col("text"))).count()
+        require(cand <= nDup + (nBatch * 0.05).toLong,
+          s"bloom prefilter not bounding: $cand candidates for $nDup dups")
+        val dups = pipeline.Dedup.bloomNoveltyWith(hist, batch, blob)
+          .filter(col("is_dup")).count()
+        require(dups == nDup, s"exact dup census: got $dups, want $nDup")
+        dups
+      },
       time("contamination_200k") { // corpus grams vs broadcast bench grams
         pipeline.Curation.contamination(
           docs.filter(col("doc_id") % 17 =!= 0),
@@ -279,11 +304,16 @@ object ScaleProbe {
         // not the operator — only the union evaluation is timed.
         val dir = java.nio.file.Files.createTempDirectory("probe-arch")
           .toString + "/slots"
-        keys.select(concat(lit("m"), pmod(col("doc_id"), lit(1000))).as("name"),
+        val dd = streaming.ArchiveStore.newDataDir()
+        val slotRows = keys
+          .select(concat(lit("m"), pmod(col("doc_id"), lit(1000))).as("name"),
             (col("doc_id") * 10).as("t"),
             col("doc_id").cast("double").as("vw"), lit(1.0).as("dur"))
           .withColumn("pt", floor(col("t").cast("double") / 86400).cast("long"))
-          .write.partitionBy("pt").parquet(dir)
+        slotRows.write.partitionBy("pt").parquet(s"$dir/$dd")
+        val pts = slotRows.select(col("pt")).distinct()
+          .collect().map(_.getLong(0))
+        streaming.ArchiveStore.commit(spark, dir, pts.map(_ -> dd).toMap)
         val archive = streaming.Ingest.readArchive(spark, dir)
         val maxT = nKeys * 10
         val pending = spark.range(1000).select(

@@ -221,6 +221,29 @@ object Sampling {
     df.withColumn("split", expr0)
   }
 
+  /** LEAKAGE-ROBUST train/val/test split: like [[splitAssign]], but
+    * near-duplicate documents can never straddle splits — the quiet
+    * eval-contamination channel a per-document split leaves open (a
+    * paraphrase of a test doc lands in train with probability
+    * 1 − f_test). Each doc is keyed by its near-dup CLUSTER label
+    * ([[NearDup.clusters]] over the MinHash-LSH pair graph; docs with
+    * no near-dup keep their own id), so a whole duplicate family
+    * rides into one split together.
+    *
+    * Scale shape: the pair graph and its components are
+    * near-dup-sized, not corpus-sized; the corpus is touched by one
+    * keyed join on doc_id plus the map-side bucket projection. Same
+    * hash family as [[splitAssign]] — reproducible, retry-stable,
+    * and consistent across derived tables keyed the same way. */
+  def splitAssignLeakFree(docs: DataFrame, splits: Seq[(String, Double)],
+      minJ: Double): DataFrame = {
+    val comp = NearDup.clusters(NearDup.minhashPairs(docs, minJ))
+      .select(col("doc_id"), col("cluster"))
+    val keyed = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("__sk", coalesce(col("cluster"), col("doc_id")))
+    splitAssign(keyed, col("__sk"), splits).drop("__sk", "cluster")
+  }
+
   /** SQL twin of [[splitAssign]]'s split expression for key
     * expression `e`. */
   def splitAssignSql(e: String, splits: Seq[(String, Double)]): String = {

@@ -713,6 +713,31 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perDoc.size === 20 && perDoc.values.exists(_ == 2))
   }
 
+  test("splitAssignLeakFree: clusters never straddle; singletons match splitAssign") {
+    val s = spark; import s.implicits._
+    // 40 singleton docs (distinct texts) + 3 planted near-dup families
+    // of 4 members each (identical texts -> Jaccard 1 pairs)
+    val famText = (f: Long) =>
+      s"family $f shares this exact body of repeated tokens " * 3
+    val docs = ((0L until 40L).map(i =>
+        (i, s"singleton $i with its own words ${i * 31} and ${i * 17}")) ++
+      (0L until 12L).map(i => (100L + i, famText(i % 3)))).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val out = pipeline.Sampling.splitAssignLeakFree(docs, splits, minJ = 0.8)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.size === 52)
+    // every family lands WHOLE in one split
+    (0L until 3L).foreach { f =>
+      val fam = (0L until 12L).filter(_ % 3 == f).map(i => out(100L + i))
+      assert(fam.distinct.size === 1, s"family $f straddles: $fam")
+    }
+    // docs with no near-dup split exactly as the per-doc assignment
+    val base = pipeline.Sampling.splitAssign(
+        docs.filter(col("doc_id") < 40), col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert((0L until 40L).forall(i => out(i) == base(i)))
+  }
+
   test("temperatureAlloc: hand-computed weights; tau=1 is proportional") {
     val s = spark; import s.implicits._
     val cnt = Seq(("a", 100L), ("b", 400L)).toDF("stratum", "c")
