@@ -126,6 +126,25 @@ object ClusterSmoke {
       release()
       exact.nonEmpty && xl == exact
     }
+    check("native bloom build + literal probe across executor JVMs") {
+      // the round-11 membership tier end-to-end on REAL executor
+      // processes: BloomFilterAggregate's partial blooms merge across
+      // the exchange, the blob literal rides the serialized plan back
+      // out to executors for might_contain, and the exact confirm
+      // keeps the answer exact — dup census must equal the planted set
+      val hist = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(hist.limit(5)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val out = graft.pipeline.Dedup.bloomNovelty(hist, batch,
+        expectedItems = 1000L, fpp = 0.01)
+      val nDup = out.filter(col("is_dup")).count()
+      val exact = batch.join(hist.select("text").distinct(),
+        Seq("text"), "left_semi").count()
+      nDup == exact && nDup >= 5L
+    }
     check("two-level k-means assignment across executor JVMs") {
       // the round-8 kernel: the per-cell centroid arrays ride a
       // broadcast join into NearestInCellExpr's generated code on real
