@@ -42,7 +42,10 @@ object Bench {
     // round-10 additions: PQ-ADC serving (codebook train + 4-byte
     // scan), residual IVFADC, bucketized interval join, hybrid
     // BM25+Rocchio RRF retrieval
-    "sim_topk_pq", "sim_topk_ivf_pq_res", "ev_range_join", "tx_hybrid_rrf")
+    "sim_topk_pq", "sim_topk_ivf_pq_res", "ev_range_join", "tx_hybrid_rrf",
+    // round-11 addition: bloom membership tier (capped blob build +
+    // literal probe + candidate-bounded exact confirm)
+    "dd_bloom_novel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
