@@ -1157,6 +1157,16 @@ object Daemon {
         s"$dataDir/pixel", settings.flushSec,
         checkpointDir = s"$dataDir/ckpt-pixel",
         retainSec = settings.retainSec))
+    // a daemon restarted over a round-9 (pre-manifest) data dir adopts
+    // each store's on-disk history as its v1 manifest BEFORE anything
+    // serves: without this, renders would fail loudly (by design)
+    // until the first merge batch happened to land on each store.
+    // Covers the per-RRA sibling stores of the points writer too.
+    (Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel") ++
+      boot.rras.map(_.dir(s"$dataDir/points")))
+      .foreach { d =>
+        Ingest.StoreLock.write(d) { ArchiveStore.adoptLegacy(spark, d) }
+      }
     @volatile var active = startAll(boot)
     // in-daemon load generator, inert until /blaster/set raises its
     // rate (the reference's zero-limit boot state); its lines feed the

@@ -148,6 +148,34 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("ExactDedupStream: MemoryStream end-to-end with epoch rebuilds") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("xdedup-mem").toString
+    val mem = MemoryStream[(Long, String)]
+    // bloomEvery = 1: every batch commits an epoch, so the second
+    // batch's history membership rides the blob + empty delta path
+    val q = graft.streaming.ExactDedupStream.start(
+      mem.toDF().toDF("doc_id", "text"), s"$dir/state", s"$dir/out",
+      s"$dir/ckpt", bloomEvery = 1, expectedItems = 100L, fpp = 0.01)
+    try {
+      mem.addData((0L until 20L).map(i => (i, s"t ${i % 8} body")): _*)
+      q.processAllAvailable()
+      mem.addData((20L until 40L).map(i => (i, s"t ${i % 8} body")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.streaming.ExactDedupStream.report(s, s"$dir/out")
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(got.size === 40)
+    assert((0L until 40L).forall(i => got(i) == (i >= 8)),
+      s"dup census diverged: $got")
+    // census: exactly the 8 distinct texts, keepers 0..7
+    val reps = graft.streaming.ExactDedupStream
+      .readHashes(s, s"$dir/state", ltBid = 99L)
+      .select("rep").as[Long].collect().sorted.toSeq
+    assert(reps === (0L until 8L))
+  }
+
   // ---- semantic (embedding) streaming dedup ----
 
   import graft.pipeline.Similarity
