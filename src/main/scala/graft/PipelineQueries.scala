@@ -122,6 +122,33 @@ object PipelineQueries {
           |          SELECT 1 FROM hist h WHERE h.text = b.text)) AS is_dup
           |FROM batch b ORDER BY doc_id""".stripMargin)),
 
+    // sharded membership tier — the path past one blob's bit budget:
+    // per-hash-range blobs keep k calibrated at the true per-shard
+    // count; output stays exact membership, same oracle semantics
+    ("dd_bloom_shards",
+      ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(hist.filter(col("doc_id") >= 20 && col("doc_id") < 60)
+            .withColumn("doc_id", col("doc_id") + 20000))
+        pipeline.Dedup.bloomNoveltySharded(hist, batch, shards = 4,
+            expectedItems = 1000L, fpp = 0.01)
+          .select(col("doc_id").cast("long").as("doc_id"), col("is_dup"))
+          .orderBy("doc_id")
+      }): Q,
+      Some(
+        """WITH hist AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+          |batch AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 20000 AS doc_id, text FROM hist
+          |  WHERE doc_id >= 20 AND doc_id < 60)
+          |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+          |       (b.text IS NOT NULL AND EXISTS (
+          |          SELECT 1 FROM hist h WHERE h.text = b.text)) AS is_dup
+          |FROM batch b ORDER BY doc_id""".stripMargin)),
+
     // exact n-gram Jaccard via df-capped inverted shingle index
     ("dd_ngram_jaccard",
       ((s, d) => pipeline.NearDup.ngramJaccardPairs(Tables.documents(s, d), 0.5)

@@ -212,6 +212,31 @@ object ScaleProbe {
         require(dups == nDup, s"exact dup census: got $dups, want $nDup")
         dups
       },
+      time("bloom_novelty_sharded_10m") { // past one blob's bit budget:
+        // 8 hash-range shards keep k calibrated at the true per-shard
+        // count, so the requested fpp actually holds where the single
+        // capped blob degrades — the candidate bound here is TIGHTER
+        // (2.5% of batch vs the single blob's 5% slack).
+        val hist = keys.select(col("doc_id"),
+          concat(lit("k"), col("doc_id")).as("text"))
+        val nBatch = nKeys / 10
+        val nDup = nBatch / 10
+        val batch = spark.range(nBatch).select(
+          (col("id") + nKeys).as("doc_id"),
+          when(col("id") < nDup, concat(lit("k"), col("id") * 7))
+            .otherwise(concat(lit("novel"), col("id"))).as("text"))
+        val blobs = pipeline.Dedup.bloomBuildSharded(hist, col("text"),
+          shards = 8, nKeys, 0.01)
+        val cand = batch.filter(
+          pipeline.Dedup.bloomProbeSharded(blobs, col("text"))).count()
+        require(cand <= nDup + (nBatch * 0.025).toLong,
+          s"sharded prefilter not bounding: $cand candidates for $nDup dups")
+        val dups = pipeline.Dedup.bloomNoveltySharded(hist, batch,
+            shards = 8, expectedItems = nKeys, fpp = 0.01)
+          .filter(col("is_dup")).count()
+        require(dups == nDup, s"sharded dup census: got $dups, want $nDup")
+        dups
+      },
       time("contamination_200k") { // corpus grams vs broadcast bench grams
         pipeline.Curation.contamination(
           docs.filter(col("doc_id") % 17 =!= 0),

@@ -142,6 +142,71 @@ object Dedup {
     GraftBridge.column(new BloomFilterMightContain(
       Literal(blob, BinaryType), GraftBridge.expression(xxhash64(key))))
 
+  /** SHARDED blob build — the path past the single blob's bit budget.
+    * One capped blob stops discriminating once the history outgrows
+    * what [[BloomMaxNumBits]] resolves (≈50 M items at 1 % fpp); here
+    * the hash domain is split into `shards` ranges, each folded into
+    * its OWN blob sized for `expectedItems / shards` — total bits
+    * scale linearly with history while every blob stays under the
+    * per-shard cap and k stays calibrated at the TRUE per-shard count.
+    * Build is one scan + one batch-of-longs shuffle (hash, not data),
+    * then one in-memory fold per shard partition. Returns the blobs
+    * in shard order (shard = pmod(xxhash64(key), shards)). */
+  def bloomBuildSharded(df: DataFrame, key: Column, shards: Int,
+      expectedItems: Long, fpp: Double,
+      maxNumBits: Long = BloomMaxNumBits): Seq[Array[Byte]] = {
+    require(shards >= 1, "shards >= 1")
+    val perShard = math.max(1L, expectedItems / shards)
+    val bits = bloomNumBits(perShard, fpp, maxNumBits)
+    val pairs = df.select(xxhash64(key).as("h"))
+      .filter(col("h").isNotNull)
+      .select(pmod(col("h"), lit(shards.toLong)).cast("int").as("s"),
+        col("h"))
+      .rdd.map(r => (r.getInt(0), r.getLong(1)))
+      .partitionBy(new org.apache.spark.HashPartitioner(shards))
+    val built = pairs.mapPartitionsWithIndex { (i, it) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(perShard, bits)
+      it.foreach { case (_, h) => bf.putLong(h) }
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      Iterator((i, bos.toByteArray))
+    }.collect().toMap
+    (0 until shards).map(built(_))
+  }
+
+  /** Probe for a [[bloomBuildSharded]] blob set: the row's hash picks
+    * its shard, that shard's literal answers — one scan, `shards`
+    * codegen'd literal probes gated by the shard test. */
+  def bloomProbeSharded(blobs: Seq[Array[Byte]], key: Column): Column = {
+    require(blobs.nonEmpty, "need at least one shard blob")
+    val h = xxhash64(key)
+    val s = pmod(h, lit(blobs.size.toLong))
+    blobs.zipWithIndex.map { case (b, i) =>
+      (s === i.toLong) && GraftBridge.column(new BloomFilterMightContain(
+        Literal(b, BinaryType), GraftBridge.expression(h)))
+    }.reduce(_ || _)
+  }
+
+  /** [[bloomNovelty]] over a sharded blob set. Output is exact at any
+    * fpp, same as the single-blob form — sharding changes only how
+    * much novel traffic leaks into the confirm join. */
+  def bloomNoveltySharded(history: DataFrame, batch: DataFrame,
+      shards: Int, expectedItems: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
+    val blobs = bloomBuildSharded(history.select(col("text")),
+      col("text"), shards, expectedItems, fpp)
+    val candidates = batch
+      .filter(col("text").isNotNull &&
+        bloomProbeSharded(blobs, col("text")))
+      .select(col("doc_id"), col("text"))
+    val confirmed = candidates
+      .join(history.select(col("text")).filter(col("text").isNotNull),
+        Seq("text"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    batch.join(confirmed, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+  }
+
   /** Steps 2–3 of [[bloomNovelty]] against a prebuilt blob. */
   def bloomNoveltyWith(history: DataFrame, batch: DataFrame,
       blob: Array[Byte]): DataFrame = {

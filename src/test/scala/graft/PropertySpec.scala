@@ -803,6 +803,15 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.length === 4 && none.forall(!_._2))
     // null-text batch rows are never duplicates of anything
     assert(!run(0.01)(5L))
+    // the sharded form answers identically (sharding changes only how
+    // much novel traffic leaks into the confirm join), at any shard
+    // count — including shards > distinct hashes (empty shards)
+    Seq(1, 3, 16).foreach { b =>
+      val sh = pipeline.Dedup.bloomNoveltySharded(hist, batch, shards = b,
+          expectedItems = 4L, fpp = 0.01)
+        .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+      assert(sh === want, s"sharded ($b) diverged")
+    }
   }
 
   test("splitAssign: exact partition, cross-table consistency, remainder to last") {
