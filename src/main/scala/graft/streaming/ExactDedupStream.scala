@@ -62,10 +62,11 @@ object ExactDedupStream {
         .select(col("h"), col("rep"))
   }
 
-  /** Newest epoch `<= leBid` and its blob, if any. Epoch N covers all
-    * census partitions with `bid < N`. */
+  /** Newest epoch `<= leBid` and its blob shard set, if any. Epoch N
+    * covers all census partitions with `bid < N`; its directory holds
+    * `blob-0 .. blob-(B-1)` (B = 1 for the unsharded cadence). */
   def loadBloom(spark: SparkSession, stateDir: String,
-      leBid: Long): Option[(Long, Array[Byte])] = {
+      leBid: Long): Option[(Long, Seq[Array[Byte]])] = {
     val f = fsOf(spark, stateDir)
     val base = new Path(s"$stateDir/bloom")
     if (!f.exists(base)) return None
@@ -76,11 +77,17 @@ object ExactDedupStream {
     if (epochs.isEmpty) None
     else {
       val e = epochs.max
-      val in = f.open(new Path(base, s"epoch=$e/blob"))
-      val blob =
+      val dir = new Path(base, s"epoch=$e")
+      val shards = f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("blob-"))
+        .flatMap(n => n.stripPrefix("blob-").toIntOption.map(n -> _))
+        .sortBy(_._2)
+      val blobs = shards.map { case (n, _) =>
+        val in = f.open(new Path(dir, n))
         try org.apache.commons.io.IOUtils.toByteArray(in)
         finally in.close()
-      Some((e, blob))
+      }.toSeq
+      if (blobs.isEmpty) None else Some((e, blobs))
     }
   }
 
@@ -88,8 +95,8 @@ object ExactDedupStream {
     * and epoch boundaries directly. */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       bid: Long, stateDir: String, outDir: String, bloomEvery: Int,
-      expectedItems: Long, fpp: Double): Unit = {
-    require(bloomEvery >= 1, "bloomEvery >= 1")
+      expectedItems: Long, fpp: Double, shards: Int = 1): Unit = {
+    require(bloomEvery >= 1 && shards >= 1, "bloomEvery >= 1, shards >= 1")
     val b = batch.select(col("doc_id").cast("long").as("doc_id"),
         col("text"))
       .filter(col("text").isNotNull)
@@ -103,9 +110,9 @@ object ExactDedupStream {
     // history membership: bloom-probed over the epoch-covered
     // partitions, exact over the post-epoch delta
     val dupIds = loadBloom(spark, stateDir, bid) match {
-      case Some((e, blob)) =>
+      case Some((e, blobs)) =>
         val probed = first.filter(!col("__intra") &&
-            Dedup.bloomProbe(blob, col("h")))
+            Dedup.bloomProbeSharded(blobs, col("h")))
           .join(readHashes(spark, stateDir, e), Seq("h"), "left_semi")
         val delta = first.filter(!col("__intra"))
           .join(readHashes(spark, stateDir, bid, geBid = e),
@@ -138,28 +145,38 @@ object ExactDedupStream {
     // partitions (bloom bits OR commutatively — content is
     // order-independent), overwriting in place.
     if ((bid + 1) % bloomEvery == 0) {
-      val blob = Dedup.bloomBuild(readHashes(spark, stateDir, bid + 1),
-        col("h"), expectedItems, fpp)
-      if (blob != null) {
-        val f = fsOf(spark, stateDir)
-        val p = new Path(s"$stateDir/bloom/epoch=${bid + 1}/blob")
-        val out = f.create(p, true)
-        try out.write(blob) finally out.close()
+      val blobs =
+        if (shards == 1)
+          Seq(Dedup.bloomBuild(readHashes(spark, stateDir, bid + 1),
+            col("h"), expectedItems, fpp))
+        else
+          Dedup.bloomBuildSharded(readHashes(spark, stateDir, bid + 1),
+            col("h"), shards, expectedItems, fpp)
+      val f = fsOf(spark, stateDir)
+      blobs.zipWithIndex.foreach { case (blob, i) =>
+        if (blob != null) {
+          val p = new Path(s"$stateDir/bloom/epoch=${bid + 1}/blob-$i")
+          val out = f.create(p, true)
+          try out.write(blob) finally out.close()
+        }
       }
     }
   }
 
-  /** Start the lifecycle over a streaming `(doc_id, text)` frame. */
+  /** Start the lifecycle over a streaming `(doc_id, text)` frame.
+    * `shards > 1` switches the epochs to the sharded blob set
+    * ([[graft.pipeline.Dedup.bloomBuildSharded]]) — the path when the
+    * census outgrows one capped blob's bit budget. */
   def start(docs: DataFrame, stateDir: String, outDir: String,
       checkpointDir: String, bloomEvery: Int = 16,
-      expectedItems: Long = 10000000L, fpp: Double = 0.01)
-      : StreamingQuery = {
+      expectedItems: Long = 10000000L, fpp: Double = 0.01,
+      shards: Int = 1): StreamingQuery = {
     val spark = docs.sparkSession
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         processBatch(spark, batch, bid, stateDir, outDir, bloomEvery,
-          expectedItems, fpp)
+          expectedItems, fpp, shards)
       }
       .start()
   }

@@ -977,6 +977,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val flooded = graft.streaming.ExactDedupStream.report(s, s"$base2/out")
       .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
     assert(flooded === want)
+    // sharded epochs (the past-one-blob's-bit-budget path) answer
+    // identically across the same epoch boundaries
+    val base3 = java.nio.file.Files.createTempDirectory("graft-xdedup3").toString
+    docs.grouped(10).zipWithIndex.foreach { case (chunk, bid) =>
+      graft.streaming.ExactDedupStream.processBatch(s,
+        chunk.toDF("doc_id", "text"), bid.toLong, s"$base3/state",
+        s"$base3/out", bloomEvery = 2, expectedItems = 100L, fpp = 0.01,
+        shards = 4)
+    }
+    val sharded = graft.streaming.ExactDedupStream.report(s, s"$base3/out")
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(sharded === want)
   }
 
   test("legacy pre-manifest store: reads fail loudly, merge adopts it as v1") {
