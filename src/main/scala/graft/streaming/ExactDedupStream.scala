@@ -14,12 +14,13 @@ import graft.pipeline.Dedup
   * form of [[graft.pipeline.Dedup.bloomNovelty]], and the membership
   * architecture a 100 TB rolling ingest actually runs:
   *
-  *  - STATE is one bid-partitioned parquet frame `hashes(h, rep)` —
-  *    the content-hash census of everything ever admitted (`h` =
-  *    xxhash64 of text, `rep` the keeper doc). Replay-idempotent the
-  *    same way [[DedupStream]]'s near-dup state is: each batch
-  *    overwrites exactly its own `bid=` partition with deterministic
-  *    rows.
+  *  - STATE is one (bid, hb)-partitioned parquet frame
+  *    `hashes(h, rep)` — the content-hash census of everything ever
+  *    admitted (`h` = xxhash64 of text, `rep` the keeper doc, `hb`
+  *    the fixed [[HashBuckets]]-way hash bucket that lets confirm
+  *    reads prune to candidate buckets). Replay-idempotent the same
+  *    way [[DedupStream]]'s near-dup state is: each batch overwrites
+  *    exactly its own `bid=` partitions with deterministic rows.
   *  - Every `bloomEvery` batches the accumulated census is folded
   *    into ONE Bloom blob (an EPOCH, covering all `bid <` the epoch
   *    number) via the native distributed aggregate. Per batch, the
@@ -48,18 +49,37 @@ object ExactDedupStream {
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Census partitions with `geBid <= bid < ltBid` (empty frame when
-    * none landed yet). */
+  /** The census's fixed hash-bucket fanout — the second partition
+    * level (`hb = pmod(h, HashBuckets)`) under `bid=`. What it buys:
+    * the confirm join's epoch-covered read prunes to the CANDIDATE
+    * buckets (hive partition pruning on a driver-bounded ≤
+    * HashBuckets-value list), so a mostly-novel batch — few
+    * candidates, few touched buckets — reads a FRACTION of the
+    * census instead of scanning all of it per batch. Fixed for the
+    * store's life: hb values are data, a fanout change would silently
+    * mis-prune. */
+  val HashBuckets = 64
+
+  /** Census partitions with `geBid <= bid < ltBid`, optionally pruned
+    * to the `hb` buckets in `hbIn` (empty frame when none landed
+    * yet). */
   def readHashes(spark: SparkSession, stateDir: String, ltBid: Long,
-      geBid: Long = 0L): DataFrame = {
+      geBid: Long = 0L, hbIn: Option[Seq[Long]] = None): DataFrame = {
     val dir = s"$stateDir/hashes"
     if (!fsOf(spark, dir).exists(new Path(dir)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], hashesSchema)
-    else
-      spark.read.schema(hashesSchema.add(StructField("bid", LongType)))
+    else {
+      val base = spark.read.schema(hashesSchema
+          .add(StructField("bid", LongType))
+          .add(StructField("hb", LongType)))
         .parquet(dir)
         .filter(col("bid") >= geBid && col("bid") < ltBid)
-        .select(col("h"), col("rep"))
+      val pruned = hbIn match {
+        case Some(hbs) => base.filter(col("hb").isin(hbs.map(Long.box): _*))
+        case None => base
+      }
+      pruned.select(col("h"), col("rep"))
+    }
   }
 
   /** Newest epoch `<= leBid` and its blob shard set, if any. Epoch N
@@ -108,19 +128,30 @@ object ExactDedupStream {
         Window.partitionBy(col("h")).orderBy(col("doc_id"))))
       .withColumn("__intra", col("__rn") > 1)
     // history membership: bloom-probed over the epoch-covered
-    // partitions, exact over the post-epoch delta
+    // partitions, exact over the post-epoch delta. Every census read
+    // prunes to the probing rows' hash buckets — a driver-bounded
+    // (≤ HashBuckets) value list collected from the candidate set, so
+    // a mostly-novel batch's confirm join reads a FRACTION of the
+    // history instead of scanning all of it per batch.
+    def hbOf(df: DataFrame): Seq[Long] =
+      df.select(pmod(col("h"), lit(HashBuckets.toLong)).as("hb"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
     val dupIds = loadBloom(spark, stateDir, bid) match {
       case Some((e, blobs)) =>
-        val probed = first.filter(!col("__intra") &&
-            Dedup.bloomProbeSharded(blobs, col("h")))
-          .join(readHashes(spark, stateDir, e), Seq("h"), "left_semi")
+        val cand = first.filter(!col("__intra") &&
+          Dedup.bloomProbeSharded(blobs, col("h")))
+        val probed = cand
+          .join(readHashes(spark, stateDir, e, hbIn = Some(hbOf(cand))),
+            Seq("h"), "left_semi")
         val delta = first.filter(!col("__intra"))
           .join(readHashes(spark, stateDir, bid, geBid = e),
             Seq("h"), "left_semi")
         probed.select("doc_id").unionByName(delta.select("doc_id")).distinct()
       case None =>
-        first.filter(!col("__intra"))
-          .join(readHashes(spark, stateDir, bid), Seq("h"), "left_semi")
+        val fresh = first.filter(!col("__intra"))
+        fresh
+          .join(readHashes(spark, stateDir, bid, hbIn = Some(hbOf(fresh))),
+            Seq("h"), "left_semi")
           .select("doc_id").distinct()
     }
     val report = first
@@ -137,9 +168,11 @@ object ExactDedupStream {
       .partitionBy("bid").parquet(s"$outDir/novel")
     report.filter(!col("is_dup"))
       .select(col("h"), col("doc_id").as("rep"))
-      .withColumn("bid", lit(bid)).write.mode("overwrite")
+      .withColumn("bid", lit(bid))
+      .withColumn("hb", pmod(col("h"), lit(HashBuckets.toLong)))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bid").parquet(s"$stateDir/hashes")
+      .partitionBy("bid", "hb").parquet(s"$stateDir/hashes")
     // epoch rebuild on cadence: fold census < bid+1 into one blob.
     // Replay-safe: the same bid rebuilds the same epoch from the same
     // partitions (bloom bits OR commutatively — content is
