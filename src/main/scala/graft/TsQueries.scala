@@ -212,6 +212,16 @@ object TsQueries {
       Some(sparseQ(
         "SELECT name, (t // 86400) * 86400 AS t, arg_max(value, t) AS value FROM series GROUP BY 1, 2"))),
 
+    // LTTB visual downsampling: where summarize/consolidateBy AVERAGE
+    // a bucket (flattening spikes), LTTB keeps the real point per
+    // bucket that preserves the most triangle area with its kept
+    // neighbours — exact-integer areas so both engines replay the
+    // same argmax and tie-breaks
+    ("ts_lttb",
+      ((s, d) => fin(ts.Lttb.lttb(M.sparse(s, d), 50))): Q,
+      Some((M.sparseSql() + s",\n${ts.Lttb.lttbSql(50)}" + tail())
+        .replaceFirst("^WITH ", "WITH RECURSIVE "))),
+
     // ===== moving-window =====
     ("ts_moving_average",
       ((s, d) => fin(O.movingAverage(M.dense(s, d), 5))): Q,

@@ -713,6 +713,43 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perDoc.size === 20 && perDoc.values.exists(_ == 2))
   }
 
+  test("lttb: endpoints kept, spikes survive averaging, bucket laws hold") {
+    val s = spark; import s.implicits._
+    // flat series with one spike: bucket averaging would flatten it,
+    // LTTB must keep the spike point itself
+    val rows = (0L until 30L).map(i =>
+      ("s", i * 10, if (i == 17) 100.0 else 1.0))
+    val out = ts.Lttb.lttb(rows.toDF("name", "t", "value"), 5)
+      .orderBy("t").as[(String, Long, Double)].collect()
+    assert(out.length === 5)
+    assert(out.head._2 === 0L && out.last._2 === 290L, "endpoints not kept")
+    assert(out.exists(p => p._2 == 170L && p._3 == 100.0), "spike flattened")
+    // n <= threshold: identity (all points, original values)
+    assert(ts.Lttb.lttb(rows.toDF("name", "t", "value"), 30).count() === 30L)
+    // nulls (dense-grid gaps) are dropped before selection
+    val withNulls = rows.map(r => (r._1, r._2, Some(r._3))) :+
+      (("s", 500L, None: Option[Double]))
+    assert(ts.Lttb.lttb(withNulls.toDF("name", "t", "value"), 5)
+      .count() === 5L)
+    // bucket laws on a pseudo-random series: exactly one point per
+    // middle bucket, strictly increasing, endpoints present
+    val n = 101; val k = 12
+    val ts0 = (0 until n).map(i => (i * 7L + (i % 3))).toArray
+    val qs0 = (0 until n).map(i => ((i * 2654435761L) % 997) - 500).toArray
+    val idx = ts.Lttb.selectIdx(ts0, qs0, k)
+    assert(idx.length === k && idx.head === 0 && idx.last === n - 1)
+    assert(idx.sliding(2).forall { case Seq(a, b) => a < b })
+    def bound(x: Int): Int = 1 + (x.toLong * (n - 2) / (k - 2)).toInt
+    val mids = idx.tail.init
+    (0 until k - 2).foreach { j =>
+      val inB = mids.count(p => p >= bound(j) && p < bound(j + 1))
+      assert(inB === 1, s"bucket $j holds $inB selections (want 1)")
+    }
+    intercept[IllegalArgumentException] {
+      ts.Lttb.lttb(rows.toDF("name", "t", "value"), 2)
+    }
+  }
+
   test("splitAssignLeakFree: clusters never straddle; singletons match splitAssign") {
     val s = spark; import s.implicits._
     // 40 singleton docs (distinct texts) + 3 planted near-dup families
