@@ -130,6 +130,18 @@ object DslQueries {
           | FROM series WHERE regexp_matches(name, '^events\.signup\.[^.]*$')
           | GROUP BY 1, 2""".stripMargin))),
 
+    // LTTB through the render DSL (extension function): spike-
+    // preserving visual downsampling callable from a /render target
+    ("dsl_lttb",
+      dq("lttb(events.view.*, 40)"),
+      Some((M.multiSql() +
+        """, serflt AS (
+          |  SELECT name, t, value FROM series
+          |  WHERE regexp_matches(name, '^events\.view\.[^.]*$')
+          |)""".stripMargin +
+        s",\n${graft.ts.Lttb.lttbSql(40, "serflt")}" + tail())
+        .replaceFirst("^WITH ", "WITH RECURSIVE "))),
+
     // viewport range pushdown: ctx from/until bounds every fetch
     ("dsl_range_fetch",
       ((s, d) => {

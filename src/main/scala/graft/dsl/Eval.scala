@@ -347,6 +347,12 @@ object Eval {
       O.groupByTags(df, str(rest(0)) match {
         case "average" => "avg"; case cf => cf
       }, rest.drop(1).map(str))))
+    // visual downsampling (extension beyond both the reference and
+    // graphite-web): lttb(series, threshold) keeps ≤ threshold REAL
+    // points per series, spike-preserving where maxDataPoints
+    // consolidation averages — see [[graft.ts.Lttb]]
+    add(Seq("lttb"))(onSeries((_, df, rest, _) =>
+      graft.ts.Lttb.lttb(df, num(rest.head).toInt)))
 
     // ----- forecasting (dsl/funcs.go:2395-2622) -----
     // seasonLimit is accepted-and-unused here: the ctx store is already

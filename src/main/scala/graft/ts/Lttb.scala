@@ -99,7 +99,7 @@ object Lttb {
     * area argmax with first-wins ties (`list_position` finds the
     * FIRST maximum, matching the Scala `>` scan). Defines
     * `out(name, t, value)`. Compose under `WITH RECURSIVE`. */
-  def lttbSql(threshold: Int): String = {
+  def lttbSql(threshold: Int, src: String = "series"): String = {
     val k = threshold
     // lists are 1-based; idx/a/lo/hi values are 0-based point indices
     s"""lpk AS (
@@ -108,7 +108,7 @@ object Lttb {
        |         list(CAST(floor(value * 10000 + 0.5) AS HUGEINT) ORDER BY t) AS qs,
        |         list(value ORDER BY t) AS vs
        |  FROM (SELECT name, CAST(t AS BIGINT) AS t, CAST(value AS DOUBLE) AS value
-       |        FROM series WHERE value IS NOT NULL)
+       |        FROM $src WHERE value IS NOT NULL)
        |  GROUP BY name
        |), lsel AS (
        |  SELECT name, CAST(-1 AS BIGINT) AS j, CAST(0 AS BIGINT) AS a
