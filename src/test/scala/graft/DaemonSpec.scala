@@ -127,6 +127,31 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { stream.stop(); gw.close() }
   }
 
+  test("render: lttb(target, k) downsamples through the whole HTTP chain") {
+    // the DSL extension is reachable from a real /render URL: 30
+    // stored slots with one spike, lttb(…, 5) must return exactly 5
+    // points per series INCLUDING the spike (bucket averaging would
+    // flatten it), straight off the archive store
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("rlttb").toString + "/slots"
+    val pieces = (0 until 30).map { i =>
+      Ingest.Piece("web.req", 1000000L + i * 10, 1000010L + i * 10,
+        if (i == 17) 100.0 else 1.0)
+    }
+    Ingest.mergePiecesIntoArchive(s, pieces.toDF(), dir, stepSec = 10)
+    val http = Daemon.startHttp(s, 0, Seq(dir), stepSec = 10,
+      now = () => 1000400L)
+    try {
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      val body = httpGet(s"$base/render?target=lttb(web.req,5)" +
+        "&from=999990&until=now")._2
+      assert(body.contains("web.req"), body)
+      val points = "\\[[-0-9.]+,\\d+\\]".r.findAllIn(body).toSeq
+      assert(points.length === 5, s"expected 5 lttb points: $body")
+      assert(body.contains("[100,1000170]"), s"spike flattened: $body")
+    } finally http.stop(0)
+  }
+
   test("render cache: identical render hits, archive mutation invalidates") {
     // the reference's query LRU (dsl/ds_lru.go, query-cache-size):
     // a dashboard re-requesting the same target must not re-scan the
