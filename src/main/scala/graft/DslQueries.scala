@@ -142,6 +142,15 @@ object DslQueries {
         s",\n${graft.ts.Lttb.lttbSql(40, "serflt")}" + tail())
         .replaceFirst("^WITH ", "WITH RECURSIVE "))),
 
+    // trend line through the render DSL (extension function)
+    ("dsl_linreg",
+      dq("linearRegression(events.view.u1)"),
+      Some(M.multiSql() +
+        """, serflt AS (
+          |  SELECT name, t, value FROM series WHERE name = 'events.view.u1'
+          |)""".stripMargin +
+        s",\n${O.linearRegressionSql("serflt")}" + tail())),
+
     // viewport range pushdown: ctx from/until bounds every fetch
     ("dsl_range_fetch",
       ((s, d) => {

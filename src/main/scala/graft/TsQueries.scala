@@ -222,6 +222,13 @@ object TsQueries {
       Some((M.sparseSql() + s",\n${ts.Lttb.lttbSql(50)}" + tail())
         .replaceFirst("^WITH ", "WITH RECURSIVE "))),
 
+    // least-squares trend line (graphite-web extension): exact-integer
+    // sufficient statistics, one fixed double expression both engines
+    // evaluate identically
+    ("ts_linreg",
+      ((s, d) => fin(O.linearRegression(M.sparse(s, d)))): Q,
+      Some(M.sparseSql() + s",\n${O.linearRegressionSql()}" + tail())),
+
     // ===== moving-window =====
     ("ts_moving_average",
       ((s, d) => fin(O.movingAverage(M.dense(s, d), 5))): Q,

@@ -353,6 +353,11 @@ object Eval {
     // consolidation averages — see [[graft.ts.Lttb]]
     add(Seq("lttb"))(onSeries((_, df, rest, _) =>
       graft.ts.Lttb.lttb(df, num(rest.head).toInt)))
+    // least-squares trend line (graphite-web's linearRegression;
+    // extension beyond the reference) — exact-statistics fit,
+    // see [[graft.ts.SeriesOps.linearRegression]]
+    add(Seq("linearRegression"))(onSeries((_, df, _, _) =>
+      O.linearRegression(df)))
 
     // ----- forecasting (dsl/funcs.go:2395-2622) -----
     // seasonLimit is accepted-and-unused here: the ctx store is already

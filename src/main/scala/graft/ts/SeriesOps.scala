@@ -589,6 +589,86 @@ object SeriesOps {
       .otherwise(lower + (pos - fp) * (upper - lower))
   }
 
+  /** Least-squares trend line per series — graphite-web's
+    * `linearRegression` (an EXTENSION beyond the reference's DSL, like
+    * the tag functions and `lttb`): fit v ≈ A + B·t over the series'
+    * non-null points, emit the fitted value at every input timestamp
+    * (the line Grafana overlays on the raw series).
+    *
+    * Determinism contract (the kmeans idiom): the five sufficient
+    * statistics (n, Σdt, Σdt², Σq, Σdt·q with q the ×10⁴-quantized
+    * value and dt the per-series t offset) accumulate EXACTLY —
+    * DECIMAL(38,0) here, HUGEINT in the DuckDB twin — and only the
+    * final fit runs in doubles, in ONE fixed expression shape both
+    * engines evaluate identically from identical integers. A
+    * degenerate fit (constant t, or < 2 observed points ⇒ zero
+    * denominator) emits the flat mean line. All window aggregates are
+    * series-partitioned — one shuffle, no driver state. */
+  def linearRegression(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("name"))
+    val dec = "decimal(38,0)"
+    val obs = col("value").isNotNull
+    val base = df.select(col("name"), col("t").cast("long").as("t"),
+        col("value").cast("double").as("value"))
+      .withColumn("__t0", min(when(obs, col("t"))).over(w))
+      .withColumn("__dt", (col("t") - col("__t0")).cast(dec))
+      .withColumn("__q",
+        floor(col("value") * 10000 + lit(0.5)).cast(dec))
+    val n = count(when(obs, lit(1))).over(w).cast(dec)
+    val sx = coalesce(sum(when(obs, col("__dt"))).over(w), lit(0).cast(dec))
+    val sxx = coalesce(sum(when(obs, col("__dt") * col("__dt"))).over(w),
+      lit(0).cast(dec))
+    val sy = coalesce(sum(when(obs, col("__q"))).over(w), lit(0).cast(dec))
+    val sxy = coalesce(sum(when(obs, col("__dt") * col("__q"))).over(w),
+      lit(0).cast(dec))
+    val bnum = n * sxy - sx * sy
+    val bden = n * sxx - sx * sx
+    val bb = when(bden === lit(0).cast(dec), lit(0.0))
+      .otherwise(bnum.cast("double") / bden.cast("double"))
+    val aa = (sy.cast("double") - bb * sx.cast("double")) / n.cast("double")
+    base
+      .withColumn("value",
+        when(n === lit(0).cast(dec), lit(null).cast("double"))
+          .otherwise((aa + bb * col("__dt").cast("double")) / lit(10000.0)))
+      .select(col("name"), col("t"), col("value"))
+  }
+
+  /** DuckDB twin of [[linearRegression]] over CTE `src(name, t,
+    * value)`; defines `out(name, t, value)`. Formula-identical: exact
+    * HUGEINT statistics, the same single double expression. */
+  def linearRegressionSql(src: String = "series"): String =
+    s"""lr0 AS (
+       |  SELECT name, min(CASE WHEN value IS NOT NULL THEN t END) AS t0
+       |  FROM $src GROUP BY name
+       |), lrs AS (
+       |  SELECT s.name,
+       |    CAST(count(s.value) AS HUGEINT) AS n,
+       |    coalesce(sum(CASE WHEN s.value IS NOT NULL
+       |      THEN CAST(s.t - l.t0 AS HUGEINT) END), 0) AS sx,
+       |    coalesce(sum(CASE WHEN s.value IS NOT NULL
+       |      THEN CAST(s.t - l.t0 AS HUGEINT) * CAST(s.t - l.t0 AS HUGEINT) END), 0) AS sxx,
+       |    coalesce(sum(CASE WHEN s.value IS NOT NULL
+       |      THEN CAST(floor(CAST(s.value AS DOUBLE) * 10000 + 0.5) AS HUGEINT) END), 0) AS sy,
+       |    coalesce(sum(CASE WHEN s.value IS NOT NULL
+       |      THEN CAST(s.t - l.t0 AS HUGEINT) *
+       |           CAST(floor(CAST(s.value AS DOUBLE) * 10000 + 0.5) AS HUGEINT) END), 0) AS sxy
+       |  FROM $src s JOIN lr0 l USING (name) GROUP BY s.name
+       |), lrf AS (
+       |  SELECT name, n,
+       |    CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+       |         ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+       |              / CAST(n * sxx - sx * sx AS DOUBLE) END AS bb,
+       |    sx, sy
+       |  FROM lrs
+       |), out AS (
+       |  SELECT s.name, s.t,
+       |    CASE WHEN f.n = 0 THEN NULL
+       |         ELSE ((CAST(f.sy AS DOUBLE) - f.bb * CAST(f.sx AS DOUBLE))
+       |                 / CAST(f.n AS DOUBLE)
+       |               + f.bb * CAST(s.t - l.t0 AS DOUBLE)) / 10000.0 END AS value
+       |  FROM $src s JOIN lr0 l USING (name) JOIN lrf f USING (name)
+       |)""".stripMargin
+
   /** SQL text of refQuantile for the DuckDB oracle — `s` must be a sorted
     * DuckDB list expression, `p` the quantile. Kept adjacent to
     * [[refQuantile]]; the two must stay formula-identical. */

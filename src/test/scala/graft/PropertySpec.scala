@@ -713,6 +713,33 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perDoc.size === 20 && perDoc.values.exists(_ == 2))
   }
 
+  test("linearRegression: exact fit on a perfect line, flat degenerate, nulls") {
+    val s = spark; import s.implicits._
+    // perfect line v = 1 + 0.1·t: fit must reproduce it exactly (the
+    // quantized statistics are exact; the double fit has zero residual)
+    val line = Seq(("a", 0L, Some(1.0)), ("a", 10L, Some(2.0)),
+      ("a", 20L, Some(3.0)),
+      // single-point series: zero denominator -> flat mean line
+      ("b", 5L, Some(7.0)),
+      // all-null series: stays null
+      ("c", 0L, None: Option[Double]), ("c", 10L, None: Option[Double]))
+    val out = graft.ts.SeriesOps.linearRegression(
+        line.toDF("name", "t", "value"))
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("a", 0L)).contains(1.0) && out(("a", 10L)).contains(2.0) &&
+      out(("a", 20L)).contains(3.0), s"line not reproduced: $out")
+    assert(out(("b", 5L)).contains(7.0))
+    assert(out(("c", 0L)).isEmpty && out(("c", 10L)).isEmpty)
+    // a null gap inside an observed series still gets a fitted value
+    val gap = Seq(("d", 0L, Some(0.0)), ("d", 10L, None: Option[Double]),
+      ("d", 20L, Some(2.0)))
+    val g = graft.ts.SeriesOps.linearRegression(gap.toDF("name", "t", "value"))
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(g(10L).contains(1.0), s"gap not on the line: $g")
+  }
+
   test("lttb: endpoints kept, spikes survive averaging, bucket laws hold") {
     val s = spark; import s.implicits._
     // flat series with one spike: bucket averaging would flatten it,
