@@ -229,6 +229,13 @@ object TsQueries {
       ((s, d) => fin(O.linearRegression(M.sparse(s, d)))): Q,
       Some(M.sparseSql() + s",\n${O.linearRegressionSql()}" + tail())),
 
+    // exponential moving average (graphite-web extension): sequential
+    // per-series recurrence, double ops in the oracle's exact order
+    ("ts_ema",
+      ((s, d) => fin(O.exponentialMovingAverage(M.sparse(s, d), 10))): Q,
+      Some((M.sparseSql() + s",\n${O.exponentialMovingAverageSql(10)}" +
+        tail()).replaceFirst("^WITH ", "WITH RECURSIVE "))),
+
     // ===== moving-window =====
     ("ts_moving_average",
       ((s, d) => fin(O.movingAverage(M.dense(s, d), 5))): Q,

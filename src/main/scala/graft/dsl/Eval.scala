@@ -358,6 +358,10 @@ object Eval {
     // see [[graft.ts.SeriesOps.linearRegression]]
     add(Seq("linearRegression"))(onSeries((_, df, _, _) =>
       O.linearRegression(df)))
+    // EMA (graphite-web's exponentialMovingAverage; extension) —
+    // first-observation seed, see SeriesOps scaladoc
+    add(Seq("exponentialMovingAverage"))(onSeries((_, df, rest, _) =>
+      O.exponentialMovingAverage(df, num(rest.head).toInt)))
 
     // ----- forecasting (dsl/funcs.go:2395-2622) -----
     // seasonLimit is accepted-and-unused here: the ctx store is already

@@ -589,6 +589,65 @@ object SeriesOps {
       .otherwise(lower + (pos - fp) * (upper - lower))
   }
 
+  /** Exponential moving average per series — graphite-web's
+    * `exponentialMovingAverage` (extension beyond the reference's
+    * DSL): α = 2/(w+1), seeded with the series' FIRST observed value
+    * (`ema₀ = v₀`; graphite-web seeds with a window average of
+    * backfilled history the render viewport doesn't carry — the seed
+    * choice is documented API here), then
+    * `emaᵢ = α·vᵢ + (1−α)·emaᵢ₋₁` over the non-null points in t
+    * order. A sequential per-series recurrence — `flatMapGroups` over
+    * viewport-bounded arrays, the Holt-Winters shape — whose double
+    * ops run in the exact same order as the oracle's recursive CTE,
+    * so results replay bit-identically. Null points are dropped (no
+    * EMA at a gap), matching the observed-points contract of
+    * [[graft.ts.Lttb]]. */
+  def exponentialMovingAverage(df: DataFrame, windowSize: Int): DataFrame = {
+    require(windowSize >= 1, "exponentialMovingAverage window must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val alpha = 2.0 / (windowSize + 1)
+    df.filter(col("value").isNotNull)
+      .select(col("name"), col("t").cast("long").as("t"),
+        col("value").cast("double").as("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (name, it) =>
+        val pts = it.toArray.sortBy(_._2)
+        var e = 0.0
+        pts.iterator.zipWithIndex.map { case ((_, t, v), i) =>
+          e = if (i == 0) v else alpha * v + (1 - alpha) * e
+          (name, t, e)
+        }
+      }
+      .toDF("name", "t", "value")
+  }
+
+  /** DuckDB twin of [[exponentialMovingAverage]] over CTE
+    * `src(name, t, value)`: pack per series, recurse index-by-index
+    * with the identical `α·v + (1−α)·e` expression. Defines
+    * `out(name, t, value)`; compose under `WITH RECURSIVE`. */
+  def exponentialMovingAverageSql(windowSize: Int,
+      src: String = "series"): String = {
+    val a = s"(2.0 / (${windowSize} + 1))"
+    s"""epk AS (
+       |  SELECT name, CAST(count(*) AS BIGINT) AS n,
+       |         list(t ORDER BY t) AS ts,
+       |         list(CAST(value AS DOUBLE) ORDER BY t) AS vs
+       |  FROM $src WHERE value IS NOT NULL GROUP BY name
+       |), ema AS (
+       |  SELECT name, CAST(0 AS BIGINT) AS i, vs[1] AS e FROM epk
+       |  UNION ALL
+       |  SELECT m.name, m.i + 1,
+       |         $a * p.vs[CAST(m.i AS INT) + 2] + (1 - $a) * m.e
+       |  FROM ema m JOIN epk p USING (name)
+       |  WHERE m.i + 1 < p.n
+       |), out AS (
+       |  SELECT m.name, p.ts[CAST(m.i AS INT) + 1] AS t, m.e AS value
+       |  FROM ema m JOIN epk p USING (name)
+       |)""".stripMargin
+  }
+
   /** Least-squares trend line per series — graphite-web's
     * `linearRegression` (an EXTENSION beyond the reference's DSL, like
     * the tag functions and `lttb`): fit v ≈ A + B·t over the series'

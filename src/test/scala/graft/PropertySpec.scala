@@ -713,6 +713,21 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perDoc.size === 20 && perDoc.values.exists(_ == 2))
   }
 
+  test("exponentialMovingAverage: hand-computed recurrence, seed, null drop") {
+    val s = spark; import s.implicits._
+    // w=3 -> alpha=0.5: e0=4, e1=0.5·8+0.5·4=6, e2=0.5·2+0.5·6=4
+    val rows = Seq(("a", 0L, Some(4.0)), ("a", 10L, Some(8.0)),
+      ("a", 20L, None: Option[Double]), ("a", 30L, Some(2.0)))
+    val out = ts.SeriesOps.exponentialMovingAverage(
+        rows.toDF("name", "t", "value"), 3)
+      .orderBy("t").as[(String, Long, Double)].collect().toSeq
+    // the null point is dropped, not zero-filled; recurrence exact
+    assert(out === Seq(("a", 0L, 4.0), ("a", 10L, 6.0), ("a", 30L, 4.0)))
+    intercept[IllegalArgumentException] {
+      ts.SeriesOps.exponentialMovingAverage(rows.toDF("name", "t", "value"), 0)
+    }
+  }
+
   test("linearRegression: exact fit on a perfect line, flat degenerate, nulls") {
     val s = spark; import s.implicits._
     // perfect line v = 1 + 0.1·t: fit must reproduce it exactly (the
