@@ -312,6 +312,89 @@ object DslQueries {
            |  FROM series2 WHERE regexp_matches(name, '^ev')
            |  GROUP BY 1, 2
            |)""".stripMargin + tail()))
+  ) ++ extensionEntries
+
+  /** graphite-web extension functions 7-10 (round 12): perSecond,
+    * averageAbove/Below, the sortBy* ordering family. */
+  private def extensionEntries: Seq[(String, Q, Option[String])] = Seq(
+
+    // perSecond with a counter max: rate = delta/dt, wrap-aware —
+    // identical CASE order on both engines
+    ("dsl_per_second",
+      dq("perSecond(events.error.u2, maxValue=400)"),
+      Some(multiQ(
+        s"""SELECT name, t,
+           |  CASE WHEN value > 400.0 THEN NULL
+           |       WHEN prev <= 400.0 AND value - prev >= 0
+           |         THEN (value - prev) / CAST(t - pt AS DOUBLE)
+           |       WHEN prev <= 400.0
+           |         THEN ((400.0 - prev) + value + 1.0) / CAST(t - pt AS DOUBLE)
+           |       ELSE NULL
+           |  END AS value
+           | FROM (SELECT name, t, value, lag(value) OVER ($byNameT) AS prev,
+           |              lag(t) OVER ($byNameT) AS pt
+           |       FROM series WHERE name = 'events.error.u2')""".stripMargin))),
+
+    // averageAbove/Below: the summary filter keyed on the viewport
+    // average (threshold sits in a ≥0.04 gap between series averages —
+    // far beyond cross-engine sum-order noise)
+    ("dsl_average_above",
+      dq("averageAbove(group(events.*.*), 50)"),
+      Some(multiQ(
+        """SELECT s.name, s.t, s.value FROM series s
+          | JOIN (SELECT name FROM series GROUP BY name
+          |       HAVING avg(value) > 50.0) k USING (name)""".stripMargin))),
+
+    ("dsl_average_below",
+      dq("averageBelow(group(events.*.*), 48)"),
+      Some(multiQ(
+        """SELECT s.name, s.t, s.value FROM series s
+          | JOIN (SELECT name FROM series GROUP BY name
+          |       HAVING avg(value) < 48.0) k USING (name)""".stripMargin))),
+
+    // the sortBy* family: the attached __ord render-order channel IS
+    // the observable — emitted as data so the gate can hash it (series
+    // maxes/sums are well-separated; max is order-independent exact)
+    ("dsl_sort_by_maxima",
+      ((s, d) => {
+        val ctx = Eval.Ctx(s, M.multi(s, d), M.StepSeconds, 0L, 0L)
+        Eval.evalExpr(ctx, "sortByMaxima(events.click.*)")
+          .select(col("name"), col("__ord").cast("long").as("ord"))
+          .distinct().orderBy("ord")
+      }): Q,
+      Some(M.multiSql() +
+        """ SELECT name, CAST(row_number() OVER (ORDER BY smax DESC, name) AS BIGINT) AS ord
+          | FROM (SELECT name, max(value) AS smax FROM series
+          |       WHERE regexp_matches(name, '^events\.click\.[^.]*$')
+          |       GROUP BY name)
+          | ORDER BY ord""".stripMargin)),
+
+    ("dsl_sort_by_total",
+      ((s, d) => {
+        val ctx = Eval.Ctx(s, M.multi(s, d), M.StepSeconds, 0L, 0L)
+        Eval.evalExpr(ctx, "sortByTotal(events.view.*)")
+          .select(col("name"), col("__ord").cast("long").as("ord"))
+          .distinct().orderBy("ord")
+      }): Q,
+      Some(M.multiSql() +
+        """ SELECT name, CAST(row_number() OVER (ORDER BY ssum DESC, name) AS BIGINT) AS ord
+          | FROM (SELECT name, sum(value) AS ssum FROM series
+          |       WHERE regexp_matches(name, '^events\.view\.[^.]*$')
+          |       GROUP BY name)
+          | ORDER BY ord""".stripMargin)),
+
+    ("dsl_sort_by_name",
+      ((s, d) => {
+        val ctx = Eval.Ctx(s, M.multi(s, d), M.StepSeconds, 0L, 0L)
+        Eval.evalExpr(ctx, "sortByName(group(events.*.u2))")
+          .select(col("name"), col("__ord").cast("long").as("ord"))
+          .distinct().orderBy("ord")
+      }): Q,
+      Some(M.multiSql() +
+        """ SELECT name, CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS ord
+          | FROM (SELECT DISTINCT name FROM series
+          |       WHERE regexp_matches(name, '^events\.[^.]*\.u2$'))
+          | ORDER BY ord""".stripMargin))
   )
 
   /** Canonical tagged twin of the multi store (`ev.req;dc=uN;type=T`)

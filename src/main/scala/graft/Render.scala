@@ -11,10 +11,15 @@ import org.apache.spark.sql.DataFrame
   * iterators into the response writer. */
 object Render {
 
+  /** Series order: by the sortBy* family's `__ord` channel when the
+    * plan carries one (see `SeriesOps.sortSeries`), else by name. */
   def toGraphiteJson(df: DataFrame): String = {
-    val rows = df.select("name", "t", "value")
-      .orderBy("name", "t")
-      .collect()
+    val rows =
+      (if (df.columns.contains("__ord"))
+        df.orderBy("__ord", "name", "t")
+      else df.orderBy("name", "t"))
+        .select("name", "t", "value")
+        .collect()
     renderRows(rows.map(r => (r.getString(0), r)))
   }
 
@@ -59,12 +64,19 @@ object Render {
   def renderTargets(ctx: graft.dsl.Eval.Ctx, targets: Seq[String]): String =
     if (targets.isEmpty) "[]"
     else {
-      import org.apache.spark.sql.functions.lit
+      import org.apache.spark.sql.functions.{col, lit}
+      // normalize the order channel per target: a target without a
+      // sortBy* stage renders in name order (constant __ord)
       val tagged = targets.zipWithIndex.map { case (t, i) =>
-        graft.dsl.Eval.render(ctx, t).withColumn("__tgt", lit(i))
+        val df = graft.dsl.Eval.render(ctx, t)
+        val withOrd =
+          if (df.columns.contains("__ord")) df
+          else df.withColumn("__ord", lit(Int.MaxValue))
+        withOrd.select(col("name"), col("t"), col("value"), col("__ord"))
+          .withColumn("__tgt", lit(i))
       }.reduce(_.unionByName(_))
-      val rows = tagged.select("name", "t", "value", "__tgt")
-        .orderBy("__tgt", "name", "t")
+      val rows = tagged.orderBy("__tgt", "__ord", "name", "t")
+        .select("name", "t", "value", "__tgt")
         .collect()
       renderRows(rows.map(r => ((r.getInt(3), r.getString(0)), r)))
     }

@@ -68,9 +68,15 @@ object Eval {
     val bucket = graft.rrd.Fetch.groupByStep(
       ctx.fromSec, ctx.toSec, ctx.maxPoints.toLong, ctx.stepSec)
     if (bucket <= ctx.stepSec) df
-    else df.groupBy(col("name"),
+    else {
+      val g = df.groupBy(col("name"),
         (floor(col("t").cast("double") / bucket).cast("long") * bucket).as("t"))
-      .agg(avg(col("value")).as("value"))
+      // the sortBy* family's render-order channel is per-series
+      // constant — carry it through the re-bucket
+      if (df.columns.contains("__ord"))
+        g.agg(avg(col("value")).as("value"), min(col("__ord")).as("__ord"))
+      else g.agg(avg(col("value")).as("value"))
+    }
   }
 
   def evalExpr(ctx: Ctx, expr: String): DataFrame =
@@ -318,6 +324,22 @@ object Eval {
       O.limitSeries(df, num(rest.head).toInt)))
     add(Seq("exclude"))(onSeries((_, df, rest, _) =>
       O.exclude(df, str(rest.head))))
+    // graphite-web's averageAbove/Below — the summary-filter family's
+    // members the reference lacks (extension; see SeriesOps scaladoc)
+    add(Seq("averageAbove"))(onSeries((_, df, rest, _) =>
+      O.averageAbove(df, num(rest.head))))
+    add(Seq("averageBelow"))(onSeries((_, df, rest, _) =>
+      O.averageBelow(df, num(rest.head))))
+    // graphite-web's perSecond — counter rate (extension; the
+    // reference's values are already rates, dsl/funcs.go:279)
+    add(Seq("perSecond"))(onSeries((_, df, rest, kw) =>
+      O.perSecond(df, (rest.headOption orElse kw.get("maxValue")).map(num))))
+    // graphite-web's sortBy* dashboard ordering (extension): attaches
+    // the __ord render-order channel Render honors
+    add(Seq("sortByMaxima"))(onSeries((_, df, _, _) => O.sortByMaxima(df)))
+    add(Seq("sortByMinima"))(onSeries((_, df, _, _) => O.sortByMinima(df)))
+    add(Seq("sortByTotal"))(onSeries((_, df, _, _) => O.sortByTotal(df)))
+    add(Seq("sortByName"))(onSeries((_, df, _, _) => O.sortByName(df)))
 
     // ----- aliasing -----
     add(Seq("alias"))(onSeries((_, df, rest, _) => O.aliasAll(df, str(rest.head))))

@@ -175,16 +175,26 @@ object Dedup {
   }
 
   /** Probe for a [[bloomBuildSharded]] blob set: the row's hash picks
-    * its shard, that shard's literal answers — one scan, `shards`
-    * codegen'd literal probes gated by the shard test. */
+    * its shard, that shard's literal answers. Built as ONE CaseWhen
+    * keyed on the shard expression — per row, branch conditions stop
+    * at the matching shard and exactly one `might_contain` evaluates
+    * (an OR-reduce would carry every branch's shard test through the
+    * predicate as shard counts grow with history). */
   def bloomProbeSharded(blobs: Seq[Array[Byte]], key: Column): Column = {
     require(blobs.nonEmpty, "need at least one shard blob")
     val h = xxhash64(key)
     val s = pmod(h, lit(blobs.size.toLong))
-    blobs.zipWithIndex.map { case (b, i) =>
-      (s === i.toLong) && GraftBridge.column(new BloomFilterMightContain(
+    def probe(b: Array[Byte]): Column =
+      GraftBridge.column(new BloomFilterMightContain(
         Literal(b, BinaryType), GraftBridge.expression(h)))
-    }.reduce(_ || _)
+    // pmod over a non-null hash is exhaustive on 0..shards-1, so the
+    // last shard is the otherwise branch
+    blobs.init.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (b, i)) =>
+        val c = s === i.toLong
+        Some(acc.fold(when(c, probe(b)))(_.when(c, probe(b))))
+      }
+      .fold(probe(blobs.last))(_.otherwise(probe(blobs.last)))
   }
 
   /** [[bloomNovelty]] over a sharded blob set. Output is exact at any

@@ -214,14 +214,18 @@ object ExactDedupStream {
       .start()
   }
 
-  /** The accumulated novelty report (doc_id, h, is_dup, bid). */
+  private val novelSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("h", LongType),
+    StructField("is_dup", BooleanType), StructField("bid", LongType)))
+
+  /** The accumulated novelty report (doc_id, h, is_dup, bid). Read
+    * with the explicit schema (the [[DedupStream]] convention) so the
+    * `bid=` partition column is LongType whether the store is empty
+    * or populated — inference would type it IntegerType. */
   def report(spark: SparkSession, outDir: String): DataFrame = {
     val dir = s"$outDir/novel"
     if (!fsOf(spark, dir).exists(new Path(dir)))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("h", LongType), StructField("is_dup", BooleanType),
-          StructField("bid", LongType))))
-    else spark.read.parquet(dir)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], novelSchema)
+    else spark.read.schema(novelSchema).parquet(dir)
   }
 }

@@ -73,7 +73,10 @@ object Lttb {
   }
 
   /** Downsample `(name, t, value)` to ≤ `threshold` points per series.
-    * Returns the kept rows with their ORIGINAL values. */
+    * Returns the kept rows with their ORIGINAL values. Per-series
+    * input is materialized as one task-local array under the
+    * sequential-op family's [[SeriesOps.SeqOpMaxPoints]] ceiling
+    * (loud failure, not executor ballooning). */
   def lttb(series: DataFrame, threshold: Int): DataFrame = {
     require(threshold >= 3, "lttb threshold must be >= 3")
     val spark = series.sparkSession
@@ -84,7 +87,7 @@ object Lttb {
       .as[(String, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (name, it) =>
-        val pts = it.toArray.sortBy(_._2)
+        val pts = SeriesOps.boundedSeries("lttb", name, it).sortBy(_._2)
         val ts = pts.map(_._2)
         val qs = pts.map(p => q(p._3))
         selectIdx(ts, qs, threshold).iterator

@@ -22,6 +22,35 @@ object SeriesOps {
 
   private val v = col("value")
 
+  /** Hard per-series point ceiling for the SEQUENTIAL op family (LTTB,
+    * EMA, Holt-Winters fits) — the ops that pull one series into one
+    * task-local array via `flatMapGroups`. The render path bounds the
+    * fetch upstream (a viewport resolves to one RRA's span/step, ≤ a
+    * few thousand points), so the bound is a loud guard against a
+    * caller feeding an unconsolidated raw firehose into a per-series
+    * array, not a working limit: 4 M points ≈ 64 MB of (Long, Double)
+    * per task, safely inside an executor's task budget, while a 5-year
+    * 10 s-step series (~15.8 M points) fails with a message naming the
+    * series instead of silently ballooning the executor heap. */
+  val SeqOpMaxPoints: Int = 4 * 1024 * 1024
+
+  /** Materialize one series' iterator under [[SeqOpMaxPoints]],
+    * failing loudly (op + series name + bound) on overflow. */
+  private[graft] def boundedSeries[T: scala.reflect.ClassTag](op: String,
+      name: String, it: Iterator[T],
+      maxPoints: Int = SeqOpMaxPoints): Array[T] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[T]()
+    while (it.hasNext) {
+      if (buf.length >= maxPoints)
+        throw new IllegalStateException(
+          s"$op: series '$name' exceeds the $maxPoints-point " +
+            "per-series bound of the sequential-op family; consolidate " +
+            "(summarize/consolidateBy/BestRRA) before calling")
+      buf += it.next()
+    }
+    buf.toArray
+  }
+
   // ===== per-point scalar transforms (reference wraps AliasSeries and
   // ===== overrides CurrentValue(); here: one withColumn each) =====
 
@@ -92,6 +121,35 @@ object SeriesOps {
       case Some(m) => when(diff > 0, diff)
         .when(lit(m) > v, (lit(m) - prev) + v + 1.0) // else NULL
       case None    => when(diff > 0, diff) // else NULL
+    }
+    df.withColumn("value", out)
+  }
+
+  /** perSecond(maxValue) — counter rate (graphite-web's `perSecond`;
+    * extension: the reference OMITS it because its stored values are
+    * already rates, `dsl/funcs.go:279` "everything here is perSecond()
+    * already" — this engine also ingests raw counters, where the
+    * dominant dashboard idiom is perSecond). graphite-web semantics
+    * per point: a reading above `maxValue` is a bogus sample (null —
+    * AND it invalidates itself as the next point's prev, graphite's
+    * `return None, None`); a non-negative delta emits `delta / dt`; a
+    * negative delta with `maxValue` known applies the wrap formula
+    * `(maxValue − prev + v + 1) / dt`; otherwise null. `dt` is the
+    * actual t-gap to the previous point (graphite-web divides by the
+    * fixed series step; on a sparse frame the t-delta is that step).
+    * graphite's `minValue` kwarg is not bound (rarely used; the
+    * maxValue counter form is the dashboard idiom). */
+  def perSecond(df: DataFrame, maxValue: Option[Double]): DataFrame = {
+    val prev = lag(v, 1).over(w)
+    val dt = (col("t") - lag(col("t"), 1).over(w)).cast("double")
+    val diff = v - prev
+    val out = maxValue match {
+      case Some(m) =>
+        // a null/bogus prev fails both guarded branches → null
+        when(v > m, lit(null).cast("double"))
+          .when(prev <= m && diff >= 0, diff / dt)
+          .when(prev <= m, ((lit(m) - prev) + v + 1.0) / dt)
+      case None => when(diff >= 0, diff / dt) // else NULL
     }
     df.withColumn("value", out)
   }
@@ -438,6 +496,7 @@ object SeriesOps {
       avg(v).as("savg"),
       max(v).as("smax"),
       min(v).as("smin"),
+      sum(v).as("ssum"),
       stddev_samp(v).as("sstd"),
       max_by(v, when(v.isNotNull, col("t"))).as("slast"))
 
@@ -460,6 +519,7 @@ object SeriesOps {
       avg(v).as("savg"),
       max(v).as("smax"),
       min(v).as("smin"),
+      sum(v).as("ssum"),
       stddev_samp(v).as("sstd"),
       max_by(v, when(v.isNotNull, col("t"))).as("slast"),
       collect_list(struct(col("t"), v.as("value"))).as("__pts"))
@@ -499,6 +559,13 @@ object SeriesOps {
   def minimumAbove(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("smin") > x)
   def minimumBelow(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("smin") < x)
 
+  /** averageAbove/Below — graphite-web's missing members of the
+    * summary-filter family (the reference stops at max/min/current,
+    * `dsl/funcs.go:1569-1623`; extension): keep series whose viewport
+    * AVERAGE clears the threshold. Same one-pass packed machinery. */
+  def averageAbove(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("savg") > x)
+  def averageBelow(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("savg") < x)
+
   /** useSeriesAbove(value, search, replace) — `dsl/funcs.go:2237-2253` */
   def useSeriesAbove(df: DataFrame, x: Double, search: String, replace: String): DataFrame =
     aliasSub(keepWhere(df, col("smax") > x), search, replace)
@@ -512,6 +579,38 @@ object SeriesOps {
   /** exclude(regex) — `dsl/funcs.go:2197-2211` */
   def exclude(df: DataFrame, pattern: String): DataFrame =
     df.filter(!col("name").rlike(pattern))
+
+  /** The sortBy* family (graphite-web's dashboard-ordering functions;
+    * extension — the reference renders map-ordered,
+    * `dsl/funcs.go:339-341` "?? sortByMaxima / sortByName"): a
+    * `(name, t, value)` frame has no series order of its own, so these
+    * attach `__ord` — the series' 1-based position in the requested
+    * order — which the render boundary honors ([[graft.Render]]
+    * orders by `__ord` before name) and `Eval.render`'s maxPoints
+    * re-bucket preserves. The rank window is a global orderBy over the
+    * PACKED summary frame — ONE ROW PER SERIES, the render-response
+    * bound of [[packedSummaries]], never over point rows — and the
+    * points ride the same single pass. */
+  private def sortSeries(df: DataFrame, key: String, asc: Boolean): DataFrame = {
+    val k = col(key)
+    val ord =
+      if (asc) Seq(k.asc_nulls_last, col("name").asc)
+      else Seq(k.desc_nulls_last, col("name").asc)
+    packedSummaries(df)
+      .withColumn("__ord", row_number().over(Window.orderBy(ord: _*)))
+      .select(col("name"), col("__ord"), explode(col("__pts")).as("__p"))
+      .select(col("name"), col("__p.t").as("t"),
+        col("__p.value").as("value"), col("__ord"))
+  }
+
+  /** sortByMaxima — highest series max first. */
+  def sortByMaxima(df: DataFrame): DataFrame = sortSeries(df, "smax", asc = false)
+  /** sortByMinima — lowest series min first. */
+  def sortByMinima(df: DataFrame): DataFrame = sortSeries(df, "smin", asc = true)
+  /** sortByTotal — highest series sum first. */
+  def sortByTotal(df: DataFrame): DataFrame = sortSeries(df, "ssum", asc = false)
+  /** sortByName — lexicographic (graphite's default `natural=false`). */
+  def sortByName(df: DataFrame): DataFrame = sortSeries(df, "name", asc = true)
 
   /** Series-similarity search: rank series by Pearson correlation with
     * `target` over their common timestamps — "find series shaped like
@@ -591,17 +690,30 @@ object SeriesOps {
 
   /** Exponential moving average per series — graphite-web's
     * `exponentialMovingAverage` (extension beyond the reference's
-    * DSL): α = 2/(w+1), seeded with the series' FIRST observed value
-    * (`ema₀ = v₀`; graphite-web seeds with a window average of
-    * backfilled history the render viewport doesn't carry — the seed
-    * choice is documented API here), then
+    * DSL): α = 2/(w+1), seeded the way graphite-web seeds — with the
+    * SIMPLE average of the first `w` observed points. The seed EMA is
+    * emitted at the w-th observed point's timestamp and the leading
+    * w−1 points are consumed as warm-up (graphite-web backfills the
+    * warm-up window from pre-viewport history; a viewport-only engine
+    * consumes the viewport's leading window instead — that residual
+    * divergence is the documented API, see README §DSL extensions).
+    * A series with fewer than `w` observed points falls back to the
+    * `ema₀ = v₀` seed with every point emitted. After the seed,
     * `emaᵢ = α·vᵢ + (1−α)·emaᵢ₋₁` over the non-null points in t
     * order. A sequential per-series recurrence — `flatMapGroups` over
     * viewport-bounded arrays, the Holt-Winters shape — whose double
-    * ops run in the exact same order as the oracle's recursive CTE,
-    * so results replay bit-identically. Null points are dropped (no
-    * EMA at a gap), matching the observed-points contract of
-    * [[graft.ts.Lttb]]. */
+    * ops (left-to-right warm-up sum, one division, then the
+    * recurrence) run in the exact same order as the oracle's
+    * recursive CTE, so results replay bit-identically. Null points
+    * are dropped (no EMA at a gap), matching the observed-points
+    * contract of [[graft.ts.Lttb]].
+    *
+    * MEMORY CONTRACT (the [[graft.ts.Lttb]] one): each series is
+    * materialized as ONE task-local array, so callers must bound the
+    * per-series point count upstream — the render path does (a fetch
+    * is viewport-bounded by the RRA's span/step) — and the operator
+    * enforces a hard ceiling of [[SeqOpMaxPoints]] points per series,
+    * failing loudly rather than silently ballooning an executor. */
   def exponentialMovingAverage(df: DataFrame, windowSize: Int): DataFrame = {
     require(windowSize >= 1, "exponentialMovingAverage window must be >= 1")
     val spark = df.sparkSession
@@ -613,11 +725,19 @@ object SeriesOps {
       .as[(String, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (name, it) =>
-        val pts = it.toArray.sortBy(_._2)
+        val pts = boundedSeries("exponentialMovingAverage", name, it)
+          .sortBy(_._2)
+        val full = pts.length >= windowSize
         var e = 0.0
-        pts.iterator.zipWithIndex.map { case ((_, t, v), i) =>
-          e = if (i == 0) v else alpha * v + (1 - alpha) * e
-          (name, t, e)
+        pts.iterator.zipWithIndex.flatMap { case ((_, t, v), i) =>
+          if (full && i < windowSize - 1) { // warm-up: running sum
+            e = e + v; None
+          } else if (full && i == windowSize - 1) { // seed = SMA of window
+            e = (e + v) / windowSize; Some((name, t, e))
+          } else { // recurrence (and the n<w fallback's v0 seed at i=0)
+            e = if (i == 0) v else alpha * v + (1 - alpha) * e
+            Some((name, t, e))
+          }
         }
       }
       .toDF("name", "t", "value")
@@ -625,11 +745,13 @@ object SeriesOps {
 
   /** DuckDB twin of [[exponentialMovingAverage]] over CTE
     * `src(name, t, value)`: pack per series, recurse index-by-index
-    * with the identical `α·v + (1−α)·e` expression. Defines
-    * `out(name, t, value)`; compose under `WITH RECURSIVE`. */
+    * through the identical warm-up-sum / SMA-seed / `α·v + (1−α)·e`
+    * phases. Defines `out(name, t, value)`; compose under
+    * `WITH RECURSIVE`. */
   def exponentialMovingAverageSql(windowSize: Int,
       src: String = "series"): String = {
-    val a = s"(2.0 / (${windowSize} + 1))"
+    val w = windowSize
+    val a = s"(2.0 / (${w} + 1))"
     s"""epk AS (
        |  SELECT name, CAST(count(*) AS BIGINT) AS n,
        |         list(t ORDER BY t) AS ts,
@@ -639,12 +761,18 @@ object SeriesOps {
        |  SELECT name, CAST(0 AS BIGINT) AS i, vs[1] AS e FROM epk
        |  UNION ALL
        |  SELECT m.name, m.i + 1,
-       |         $a * p.vs[CAST(m.i AS INT) + 2] + (1 - $a) * m.e
+       |    CASE WHEN p.n >= $w AND m.i + 1 < $w - 1
+       |           THEN m.e + p.vs[CAST(m.i AS INT) + 2]
+       |         WHEN p.n >= $w AND m.i + 1 = $w - 1
+       |           THEN (m.e + p.vs[CAST(m.i AS INT) + 2]) / $w
+       |         ELSE $a * p.vs[CAST(m.i AS INT) + 2] + (1 - $a) * m.e
+       |    END
        |  FROM ema m JOIN epk p USING (name)
        |  WHERE m.i + 1 < p.n
        |), out AS (
        |  SELECT m.name, p.ts[CAST(m.i AS INT) + 1] AS t, m.e AS value
        |  FROM ema m JOIN epk p USING (name)
+       |  WHERE p.n < $w OR m.i >= $w - 1
        |)""".stripMargin
   }
 
@@ -662,7 +790,18 @@ object SeriesOps {
     * engines evaluate identically from identical integers. A
     * degenerate fit (constant t, or < 2 observed points ⇒ zero
     * denominator) emits the flat mean line. All window aggregates are
-    * series-partitioned — one shuffle, no driver state. */
+    * series-partitioned — one shuffle, no driver state.
+    *
+    * DOMAIN BOUND (loudly enforced): the exact statistics live in
+    * decimal(38,0) here and HUGEINT (~1.7e38 signed) in the twin, so
+    * per-series `n·Σ(dt·q)` and `n·Σdt²` must stay under 1e38 — i.e.
+    * t-span × quantized-value products bounded by ~1e38/n. Under
+    * ANSI mode (the Spark 4 default) the decimal arithmetic raises on
+    * its own; under non-ANSI an overflow is a silent null that
+    * unguarded would fall through to a flat/null fit while DuckDB
+    * raises — here any overflow null (a sum that is null despite
+    * n > 0, or a null product of non-null sums) raises the same loud
+    * error, so the engines never silently diverge in either mode. */
   def linearRegression(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("name"))
     val dec = "decimal(38,0)"
@@ -674,15 +813,30 @@ object SeriesOps {
       .withColumn("__q",
         floor(col("value") * 10000 + lit(0.5)).cast(dec))
     val n = count(when(obs, lit(1))).over(w).cast(dec)
-    val sx = coalesce(sum(when(obs, col("__dt"))).over(w), lit(0).cast(dec))
-    val sxx = coalesce(sum(when(obs, col("__dt") * col("__dt"))).over(w),
-      lit(0).cast(dec))
-    val sy = coalesce(sum(when(obs, col("__q"))).over(w), lit(0).cast(dec))
-    val sxy = coalesce(sum(when(obs, col("__dt") * col("__q"))).over(w),
-      lit(0).cast(dec))
+    val zero = lit(0).cast(dec)
+    // a decimal overflow surfaces as null (non-ANSI); with n > 0 a
+    // null sum can ONLY mean overflow — raise rather than coalesce it
+    // into a silently-wrong 0 (the DuckDB twin raises on HUGEINT
+    // overflow, so loud-fail keeps the engines in lockstep)
+    def guarded(c: Column): Column = {
+      val s = sum(when(obs, c)).over(w)
+      when(n > zero && s.isNull, raise_error(lit(
+        "linearRegression: exact statistic overflowed decimal(38,0) — " +
+          "t-span x quantized-value products must stay under 1e38 " +
+          "(consolidate or re-baseline t before fitting)")).cast(dec))
+        .otherwise(coalesce(s, zero))
+    }
+    val sx = guarded(col("__dt"))
+    val sxx = guarded(col("__dt") * col("__dt"))
+    val sy = guarded(col("__q"))
+    val sxy = guarded(col("__dt") * col("__q"))
     val bnum = n * sxy - sx * sy
     val bden = n * sxx - sx * sx
-    val bb = when(bden === lit(0).cast(dec), lit(0.0))
+    val bb = when((bnum.isNull || bden.isNull) && n > zero, raise_error(lit(
+        "linearRegression: n*Sxy - Sx*Sy (or the denominator) " +
+          "overflowed decimal(38,0) — see the operator's domain bound"))
+        .cast("double"))
+      .when(bden === zero, lit(0.0))
       .otherwise(bnum.cast("double") / bden.cast("double"))
     val aa = (sy.cast("double") - bb * sx.cast("double")) / n.cast("double")
     base

@@ -713,19 +713,67 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perDoc.size === 20 && perDoc.values.exists(_ == 2))
   }
 
-  test("exponentialMovingAverage: hand-computed recurrence, seed, null drop") {
+  test("exponentialMovingAverage: SMA seed, recurrence, fallback, null drop") {
     val s = spark; import s.implicits._
-    // w=3 -> alpha=0.5: e0=4, e1=0.5·8+0.5·4=6, e2=0.5·2+0.5·6=4
+    // graphite-web seeding, w=3 -> alpha=0.5: observed points (null
+    // dropped) are 4, 8, 2, 6; the first w-1=2 are warm-up, seed SMA
+    // (4+8+2)/3 = 14/3 emitted at t=30, then e = 0.5·6 + 0.5·(14/3)
     val rows = Seq(("a", 0L, Some(4.0)), ("a", 10L, Some(8.0)),
-      ("a", 20L, None: Option[Double]), ("a", 30L, Some(2.0)))
+      ("a", 20L, None: Option[Double]), ("a", 30L, Some(2.0)),
+      ("a", 40L, Some(6.0)))
     val out = ts.SeriesOps.exponentialMovingAverage(
         rows.toDF("name", "t", "value"), 3)
       .orderBy("t").as[(String, Long, Double)].collect().toSeq
-    // the null point is dropped, not zero-filled; recurrence exact
-    assert(out === Seq(("a", 0L, 4.0), ("a", 10L, 6.0), ("a", 30L, 4.0)))
+    val seed = (4.0 + 8.0 + 2.0) / 3
+    assert(out === Seq(("a", 30L, seed), ("a", 40L, 0.5 * 6.0 + 0.5 * seed)))
+    // series shorter than the window: documented v0-seed fallback,
+    // every observed point emitted
+    val short = ts.SeriesOps.exponentialMovingAverage(
+        Seq(("b", 0L, 4.0), ("b", 10L, 8.0)).toDF("name", "t", "value"), 3)
+      .orderBy("t").as[(String, Long, Double)].collect().toSeq
+    assert(short === Seq(("b", 0L, 4.0), ("b", 10L, 0.5 * 8.0 + 0.5 * 4.0)))
     intercept[IllegalArgumentException] {
       ts.SeriesOps.exponentialMovingAverage(rows.toDF("name", "t", "value"), 0)
     }
+  }
+
+  test("sequential-op family: per-series point bound fails loudly") {
+    // the guard itself, at a test-scale bound: names the op, the
+    // series, and the remedy instead of ballooning a task array
+    val e = intercept[IllegalStateException] {
+      ts.SeriesOps.boundedSeries("lttb", "web.cpu", Iterator.range(0, 10),
+        maxPoints = 5)
+    }
+    assert(e.getMessage.contains("lttb") && e.getMessage.contains("web.cpu")
+      && e.getMessage.contains("consolidate"))
+    // under the bound: pass-through
+    assert(ts.SeriesOps.boundedSeries("lttb", "web.cpu",
+      Iterator.range(0, 5), maxPoints = 5).toSeq === Seq(0, 1, 2, 3, 4))
+  }
+
+  test("linearRegression: decimal overflow raises loudly (DuckDB parity)") {
+    val s = spark; import s.implicits._
+    // dt ~ 9e18 times q ~ 1e20 overflows decimal(38,0) in one product.
+    // Under ANSI (the Spark 4 default) the arithmetic itself raises;
+    // under non-ANSI the overflow is a silent null that unguarded
+    // code would coalesce to 0 and emit as a wrong flat fit where the
+    // HUGEINT oracle raises — the operator's guard turns that null
+    // into the same loud failure. Both modes must fail, never lie.
+    val rows = Seq(("a", 0L, 1.0e16), ("a", 9000000000000000000L, 2.0e16))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    def fit(): Unit =
+      graft.ts.SeriesOps.linearRegression(rows.toDF("name", "t", "value"))
+        .collect()
+    val ansi = intercept[Exception](fit())
+    assert(msgs(ansi).exists(m => m.contains("NUMERIC_VALUE_OUT_OF_RANGE")
+      || m.contains("overflowed decimal(38,0)")))
+    val saved = s.conf.get("spark.sql.ansi.enabled")
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val quiet = intercept[Exception](fit())
+      assert(msgs(quiet).exists(_.contains("overflowed decimal(38,0)")))
+    } finally s.conf.set("spark.sql.ansi.enabled", saved)
   }
 
   test("linearRegression: exact fit on a perfect line, flat degenerate, nulls") {

@@ -516,4 +516,62 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(sparse) === run(dense))
     assert(run(sparse).map(_._2) === (0 until 10).map(_ * 10L))
   }
+
+  // ===== round-12 graphite-web extensions 7-10: hand vectors =====
+
+  test("extension: perSecond — rate, wrap, bogus sample resets prev") {
+    val s = spark; import s.implicits._
+    // counter at step 10 with maxValue=400: 0, 50 (rate 5), 30 (wrap:
+    // (400-50+30+1)/10 = 38.1), 420 (bogus -> null AND invalidates
+    // prev, graphite's None,None), 60 (prev bogus -> null), 80 (rate 2)
+    val pts = Seq(0.0, 50.0, 30.0, 420.0, 60.0, 80.0).zipWithIndex
+      .map { case (v, i) => ("p.ctr", i * 10L, v) }
+    val c = Eval.Ctx(s, pts.toDF("name", "t", "value"), 10, 0, 50)
+    val out = Eval.evalExpr(c, "perSecond('p.ctr', maxValue=400)")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2).map(_._3)
+    assert(out.toSeq === Seq(None, Some(5.0), Some(38.1), None, None, Some(2.0)))
+    // no maxValue: negative delta is just unknown (no wrap guess)
+    val out2 = Eval.evalExpr(c, "perSecond('p.ctr')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2).map(_._3)
+    assert(out2.toSeq === Seq(None, Some(5.0), None, Some(39.0), None, Some(2.0)))
+  }
+
+  test("extension: averageAbove/Below filter on the viewport average") {
+    val s = spark; import s.implicits._
+    def names(expr: String): Set[String] =
+      Eval.evalExpr(ctx, expr)
+        .as[(String, Long, Option[Double])].collect().map(_._1).toSet
+    assert(names("averageAbove('foo.*.baz', 15)") === Set("foo.bar2.baz"))
+    assert(names("averageBelow('foo.*.baz', 15)") === Set("foo.bar1.baz"))
+    assert(names("averageAbove('foo.*.baz', 5)") ===
+      Set("foo.bar1.baz", "foo.bar2.baz"))
+  }
+
+  test("extension: sortBy* attaches __ord and the render honors it") {
+    val s = spark; import s.implicits._
+    def ords(expr: String): Seq[(String, Int)] =
+      Eval.evalExpr(ctx, expr)
+        .select("name", "__ord").distinct()
+        .as[(String, Int)].collect().sortBy(_._2).toSeq
+    // maxima: the 20-series first; name: lexicographic
+    assert(ords("sortByMaxima('foo.*.baz')") ===
+      Seq("foo.bar2.baz" -> 1, "foo.bar1.baz" -> 2))
+    assert(ords("sortByMinima('foo.*.baz')") ===
+      Seq("foo.bar1.baz" -> 1, "foo.bar2.baz" -> 2))
+    assert(ords("sortByTotal('foo.*.baz')") ===
+      Seq("foo.bar2.baz" -> 1, "foo.bar1.baz" -> 2))
+    assert(ords("sortByName('foo.*.baz')") ===
+      Seq("foo.bar1.baz" -> 1, "foo.bar2.baz" -> 2))
+    // the render boundary emits series in __ord order, not name order
+    val json = graft.Render.toGraphiteJson(
+      Eval.evalExpr(ctx, "sortByMaxima('foo.*.baz')"))
+    val firstTarget = """"target":"([^"]+)"""".r
+      .findFirstMatchIn(json).get.group(1)
+    assert(firstTarget === "foo.bar2.baz")
+    // ...and a sort-less frame still renders in name order
+    val plain = graft.Render.toGraphiteJson(
+      Eval.evalExpr(ctx, "group('foo.*.baz')"))
+    assert(""""target":"([^"]+)"""".r.findFirstMatchIn(plain)
+      .get.group(1) === "foo.bar1.baz")
+  }
 }
