@@ -792,10 +792,13 @@ object NearDup {
   def clusters(pairs: DataFrame): DataFrame = {
     // unpersist the blocks behind a localCheckpoint()'d frame: its plan
     // is a LogicalRDD over the materialized blocks, which
-    // DataFrame.unpersist (CacheManager entries only) never touches
+    // DataFrame.unpersist (CacheManager entries only) never touches.
+    // Quiet form (GraftBridge): RDD.unpersist's truncated-lineage WARN
+    // is known-safe noise under the release-after-last-action contract
     def releaseCkpt(df: DataFrame): Unit = df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false); ()
+        org.apache.spark.sql.GraftBridge.unpersistRddQuietly(
+          df.sparkSession.sparkContext, l.rdd.id)
       case _ => ()
     }
     // symmetrize in ONE pass: a union of two selects over the same

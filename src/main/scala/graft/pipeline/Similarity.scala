@@ -1720,11 +1720,17 @@ object Similarity {
     * eager-checkpoint paths rely on; after this the frame is dead —
     * checkpoint blocks are its only copy — so callers keep the
     * release-after-last-consuming-action contract the persist-based
-    * handles already had. */
+    * handles already had. Released through
+    * [[org.apache.spark.sql.GraftBridge.unpersistRddQuietly]]: the
+    * public `RDD.unpersist` WARNs that a truncated lineage cannot
+    * recompute — true, intended, and (spec-pinned in PropertySpec's
+    * post-free case) unreachable here, so the per-release warning is
+    * pure log flood at production scale. */
   private def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
+        org.apache.spark.sql.GraftBridge.unpersistRddQuietly(
+          df.sparkSession.sparkContext, lr.rdd.id)
       case _ => df.unpersist(); ()
     }
 

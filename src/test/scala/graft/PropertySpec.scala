@@ -1286,4 +1286,69 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(AhoCorasick(Seq("x")).countMatches("aaa") === 0L)
     assert(AhoCorasick(Seq.empty).countMatches("abc") === 0L)
   }
+
+  test("quiet checkpoint release: blocks freed, no lineage WARN, post-free reads safe") {
+    val s = spark; import s.implicits._
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    // capture appender on the rdd package so the truncated-lineage
+    // warning is OBSERVED when Spark emits it (positive control) and
+    // provably absent under the quiet release
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val app = new AbstractAppender(
+        "graft-capture", null, null, true, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    app.start()
+    val lctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = lctx.getConfiguration
+    val pkg = "org.apache.spark.rdd"
+    cfg.getRootLogger()  // force init
+    org.apache.logging.log4j.core.config.Configurator.setLevel(pkg, Level.WARN)
+    cfg.getLoggerConfig(cfg.getRootLogger.getName).addAppender(app, Level.WARN, null)
+    lctx.updateLoggers()
+    def warns(): Seq[String] =
+      captured.toArray.map(_.toString).toSeq.filter(_.contains("locally checkpointed"))
+    try {
+      import org.apache.spark.sql.execution.LogicalRDD
+      def ckptId(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.analyzed.asInstanceOf[LogicalRDD].rdd.id
+      // positive control: the PUBLIC unpersist path does warn
+      val loud = s.range(100).toDF("x").localCheckpoint(false)
+      assert(loud.count() === 100)
+      val loudId = ckptId(loud)
+      loud.queryExecution.analyzed.asInstanceOf[LogicalRDD]
+        .rdd.unpersist(blocking = false)
+      assert(warns().nonEmpty, "control: RDD.unpersist should WARN")
+      assert(!s.sparkContext.getPersistentRDDs.contains(loudId))
+      captured.clear()
+      // quiet release: same block drop, no warning
+      val quiet = s.range(200).toDF("x").localCheckpoint(false)
+      assert(quiet.count() === 200)
+      val qid = ckptId(quiet)
+      assert(s.sparkContext.getPersistentRDDs.contains(qid))
+      org.apache.spark.sql.GraftBridge.unpersistRddQuietly(s.sparkContext, qid)
+      assert(!s.sparkContext.getPersistentRDDs.contains(qid))
+      assert(warns().isEmpty, s"quiet release warned: ${warns()}")
+      // post-free recompute is unreachable through the operator
+      // surface: the eager convenience path (materialize -> release
+      // build caches) hands back a frame that stays fully consumable —
+      // repeated actions read the EAGER checkpoint, never the freed
+      // lazy build frames
+      val corpus = (0L until 40L).map(i =>
+        (i, Array.tabulate(graft.pipeline.Similarity.Dim)(d =>
+          ((i * 7 + d) % 13).toFloat / 13f).toSeq)).toDF("vec_id", "embedding")
+      val out = graft.pipeline.Similarity.twoLevelAssign(corpus, 2, 2)
+      assert(out.count() === 40)
+      assert(out.count() === 40) // second action: no freed-block read
+      assert(warns().isEmpty)
+    } finally {
+      cfg.getLoggerConfig(cfg.getRootLogger.getName).removeAppender("graft-capture")
+      lctx.updateLoggers()
+      app.stop()
+    }
+  }
 }
