@@ -45,7 +45,11 @@ object Bench {
     "sim_topk_pq", "sim_topk_ivf_pq_res", "ev_range_join", "tx_hybrid_rrf",
     // round-11 addition: bloom membership tier (capped blob build +
     // literal probe + candidate-bounded exact confirm)
-    "dd_bloom_novel")
+    "dd_bloom_novel",
+    // round-12 additions: the round-11 operator surface under
+    // regression tracking — LTTB downsampling, EMA recurrence, the
+    // sharded bloom tier, E-S weighted sampling
+    "ts_lttb", "ts_ema", "dd_bloom_shards", "sp_weighted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

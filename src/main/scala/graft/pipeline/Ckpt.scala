@@ -1,0 +1,22 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared release helper for `localCheckpoint`-backed frames — the
+  * deterministic twin of the GC-based reclaim the eager-checkpoint
+  * paths rely on. Frees the blocks behind the frame's `LogicalRDD`
+  * through [[org.apache.spark.sql.GraftBridge.unpersistRddQuietly]]
+  * (the public `RDD.unpersist` would WARN about the truncated lineage
+  * on every release — known-safe noise under the iterative operators'
+  * release-after-last-consuming-action contract, spec-pinned in
+  * PropertySpec's quiet-release case). After `free` the frame is dead:
+  * the checkpoint blocks were its only copy. */
+private[graft] object Ckpt {
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        org.apache.spark.sql.GraftBridge.unpersistRddQuietly(
+          df.sparkSession.sparkContext, lr.rdd.id)
+      case _ => df.unpersist(); ()
+    }
+}

@@ -469,7 +469,9 @@ object Curation {
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val sess = docs.sparkSession
     import sess.implicits._
-    bpeCore(docs, rounds)._1.toDF("round", "pair", "n")
+    val (m, _, _, release) = bpeCore(docs, rounds)
+    release() // the merge table is already driver-side; drop the state
+    m.toDF("round", "pair", "n")
   }
 
   /** Symbol state re-materializes every this many merge rounds
@@ -481,11 +483,6 @@ object Curation {
     * total. K trades plan depth against cache count. */
   private val BpeMatEvery = 8
 
-  /** Shared training loop: returns (merge table, vocab frame, the
-    * expression mapping that frame's rows to the POST-merge symbol
-    * string). The returned frame/expression re-derive the
-    * (unpersisted) vocab lazily — consumers pay one extra token-count
-    * aggregate at action time, the price of not leaking a cache. */
   /** Initial symbol state of a `word` column: space-joined characters
     * plus the `</w>` end-of-word marker. */
   private def charSplit: Column = expr(
@@ -510,20 +507,32 @@ object Curation {
     trim(replace(fused, lit("  "), lit(" ")))
   }
 
+  /** Shared training loop: returns (merge table, vocab frame, the
+    * expression mapping that frame's rows to the POST-merge symbol
+    * string, release handle). Symbol state rides `localCheckpoint`s,
+    * not persist: each round's driver-side plan build re-analyzes an
+    * RDD leaf plus the ≤ [[BpeMatEvery]]-deep replace chain instead
+    * of the full corpus lineage per round (the kmeans idiom; with a
+    * bare persist the profiler measured ~0.1 s of pure driver time
+    * per round at sf0.1). Epoch checkpoints are LAZY — the next
+    * round's argmax action materializes them, no extra job — and all
+    * free deterministically through the release handle; callers that
+    * consume the final state lazily skip the release and leave the
+    * blocks to GC-reclaim with the frame (the eager-checkpoint
+    * contract). */
   private def bpeCore(docs: DataFrame, rounds: Int)
-      : (Seq[(Long, String, Long)], DataFrame, Column) = {
+      : (Seq[(Long, String, Long)], DataFrame, Column, () => Unit) = {
     val wcPlan = docs.select(explode(tokens).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val s0: Column = charSplit
-    // `cur` + `sCol` together denote the current symbol state; caches
-    // accumulate one persisted frame per materialization epoch and all
-    // release on exit (recompute stays correct, just uncached)
-    var cur: DataFrame = wcPlan.persist()
+    // `cur` + `sCol` together denote the current symbol state
+    var cur: DataFrame = wcPlan.localCheckpoint(false)
     var sCol: Column = s0
-    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
+    val handles = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var exhausted = false
+    def release(): Unit = { handles.foreach(Ckpt.free); () }
     try {
       for (r <- 1 to rounds if !exhausted) {
         val wc = cur
@@ -543,16 +552,15 @@ object Curation {
           merges += ((r.toLong, pr, n))
           sCol = fusePair(sCol, pr) // [[fusePair]]: leftmost non-overlap scan
           if (r % BpeMatEvery == 0 && r < rounds) {
-            val mat = cur.select(col("word"), col("cnt"), sCol.as("s"))
-              .persist()
-            caches += mat
-            cur = mat
+            cur = cur.select(col("word"), col("cnt"), sCol.as("s"))
+              .localCheckpoint(false) // lazy: next argmax materializes it
+            handles += cur
             sCol = col("s")
           }
         }
       }
-    } finally { caches.foreach(_.unpersist()); () }
-    (merges.toSeq, cur, sCol)
+    } catch { case t: Throwable => release(); throw t }
+    (merges.toSeq, cur, sCol, release)
   }
 
   /** Tokenize the corpus with the merges [[bpeMerges]] learns on it —
@@ -574,7 +582,9 @@ object Curation {
     * row (the silently-vanish class [[sourceDrift]]'s fix names).
     * Returns (doc_id, bpe: array<string>). */
   def bpeTokenize(docs: DataFrame, rounds: Int): DataFrame = {
-    val (_, wc, sCol) = bpeCore(docs, rounds)
+    // the final symbol state backs the returned plan; its checkpoint
+    // blocks GC-reclaim with the frame (eager-checkpoint contract)
+    val (_, wc, sCol, _) = bpeCore(docs, rounds)
     tokenizeWithMap(docs, wc.select(col("word"), split(sCol, " ").as("syms")))
   }
 
@@ -593,20 +603,23 @@ object Curation {
     var cur = docs.select(explode(tokens).as("word"))
       .filter(length(col("word")) > 0).distinct()
     var sCol: Column = charSplit
-    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    try {
-      merges.zipWithIndex.foreach { case (pr, i) =>
-        sCol = fusePair(sCol, pr)
-        if ((i + 1) % BpeMatEvery == 0 && i + 1 < merges.size) {
-          val mat = cur.select(col("word"), sCol.as("s")).persist()
-          caches += mat
-          cur = mat
-          sCol = col("s")
-        }
+    // LAZY localCheckpoint per epoch, not persist: nothing acts inside
+    // the loop, so the caller's one action materializes the epoch
+    // chain in sequence — each epoch truncates to an RDD leaf as it
+    // lands, so BOTH the replace-expression depth AND the analyzed
+    // plan stay ≤ one epoch deep (a 32k-merge tokenizer would
+    // otherwise re-analyze a 32k-stage lineage). Superseded epochs
+    // drop their parent references at truncation and GC-reclaim; the
+    // final epoch's blocks back the returned plan.
+    merges.zipWithIndex.foreach { case (pr, i) =>
+      sCol = fusePair(sCol, pr)
+      if ((i + 1) % BpeMatEvery == 0 && i + 1 < merges.size) {
+        cur = cur.select(col("word"), sCol.as("s")).localCheckpoint(false)
+        sCol = col("s")
       }
-      tokenizeWithMap(docs,
-        cur.select(col("word"), split(sCol, " ").as("syms")))
-    } finally { caches.foreach(_.unpersist()); () }
+    }
+    tokenizeWithMap(docs,
+      cur.select(col("word"), split(sCol, " ").as("syms")))
   }
 
   /** Word-major document reassembly shared by the apply paths: join

@@ -795,12 +795,7 @@ object NearDup {
     // DataFrame.unpersist (CacheManager entries only) never touches.
     // Quiet form (GraftBridge): RDD.unpersist's truncated-lineage WARN
     // is known-safe noise under the release-after-last-action contract
-    def releaseCkpt(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        org.apache.spark.sql.GraftBridge.unpersistRddQuietly(
-          df.sparkSession.sparkContext, l.rdd.id)
-      case _ => ()
-    }
+    def releaseCkpt(df: DataFrame): Unit = Ckpt.free(df)
     // symmetrize in ONE pass: a union of two selects over the same
     // `pairs` plan would evaluate the whole upstream pipeline (band
     // join + verify) twice inside the checkpoint job

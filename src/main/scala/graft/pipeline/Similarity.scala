@@ -1726,13 +1726,7 @@ object Similarity {
     * recompute — true, intended, and (spec-pinned in PropertySpec's
     * post-free case) unreachable here, so the per-release warning is
     * pure log flood at production scale. */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        org.apache.spark.sql.GraftBridge.unpersistRddQuietly(
-          df.sparkSession.sparkContext, lr.rdd.id)
-      case _ => df.unpersist(); ()
-    }
+  private def freeCheckpoint(df: DataFrame): Unit = Ckpt.free(df)
 
   /** SemDeDup over the [[twoLevelAssign]] substrate with a HARD
     * per-self-join-cell bound — the degenerate-corpus guard the flat
