@@ -217,6 +217,160 @@ object ClusterSmoke {
         .collect().toSet
       !execPids.contains(driverPid) && execPids.nonEmpty
     }
+    check("sharded ingest: 2 forked daemon JVMs == 1, union render") {
+      shardedDaemonsCheck(spark, addOpens)
+    }
     spark.stop()
+  }
+
+  /** The VERDICT-r11 cluster-ingest proof: THREE real forked daemon
+    * processes — shards 0 and 1 of a 2-shard deployment plus a
+    * single-daemon control — each a full `graft.streaming.Daemon`
+    * JVM with its own SparkSession, gateways and MVCC stores. One
+    * graphite stream feeds the shards (each series entering at a
+    * FIXED but owner-independent daemon, so the forwarding hop fires
+    * in both directions) and, identically, the control. The parent
+    * then proves, through the filesystem alone: every series sits on
+    * the shard `pmod(xxhash64(name), 2)` assigns it, and the UNION
+    * render of the two shard stores is bit-identical to the control
+    * store (`cluster/cluster.go:209-250`, `receiver/director.go:89-117`
+    * re-expressed — see [[graft.streaming.Shard]]). */
+  private def shardedDaemonsCheck(spark: SparkSession,
+      addOpens: String): Boolean = {
+    import java.net.{ServerSocket, Socket}
+    import java.io.PrintWriter
+    import scala.util.Try
+    import graft.streaming.Ingest
+    val root = java.nio.file.Files.createTempDirectory("smoke-shard").toString
+    def freePort(): Int = {
+      val ss = new ServerSocket(0); val p = ss.getLocalPort; ss.close(); p
+    }
+    val Seq(pA, pB, pC) = Seq.fill(3)(freePort())
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    def daemon(tag: String, gPort: Int,
+        shard: Option[(Int, Int, String)]): Process = {
+      val env = Map(
+        "GRAFT_DATA_DIR" -> s"$root/$tag",
+        "GRAFT_MASTER" -> "local[2]",
+        "GRAFT_SHUFFLE_PARTITIONS" -> "2",
+        "GRAFT_STEP_SEC" -> "10",
+        "GRAFT_GRAPHITE_PORT" -> gPort.toString,
+        "GRAFT_STATSD_PORT" -> freePort().toString,
+        "GRAFT_PICKLE_PORT" -> freePort().toString,
+        "GRAFT_HTTP_PORT" -> freePort().toString) ++
+        shard.map { case (i, n, peers) => Map(
+          "GRAFT_SHARD_INDEX" -> i.toString,
+          "GRAFT_SHARD_COUNT" -> n.toString,
+          "GRAFT_SHARD_PEERS" -> peers)
+        }.getOrElse(Map.empty)
+      val cmd = Seq(javaBin) ++ addOpens.split(" ").toSeq ++ Seq(
+        "-Dspark.ui.enabled=false", "-Xmx2g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.streaming.Daemon")
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      pb.environment().putAll(scala.jdk.CollectionConverters
+        .MapHasAsJava(env).asJava)
+      pb.start()
+    }
+    // drain each child's stdout continuously (an undrained pipe fills
+    // and BLOCKS the child mid-log), keeping a bounded tail for
+    // diagnostics; boot-wait polls the drained buffer for the banner
+    def drain(p: Process, sb: StringBuilder): Thread = {
+      val t = new Thread(() => {
+        val in = p.getInputStream
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          sb.synchronized {
+            sb.append(new String(buf, 0, n, "UTF-8"))
+            if (sb.length > 64000) sb.delete(0, sb.length - 32000)
+            ()
+          }
+          n = in.read(buf)
+        }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    def awaitBanner(p: Process, sb: StringBuilder): Boolean = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (System.currentTimeMillis() < deadline) {
+        if (sb.synchronized(sb.toString).contains("graft daemon:"))
+          return true
+        if (!p.isAlive) return false
+        Thread.sleep(200)
+      }
+      false
+    }
+    val peers = s"$pA,$pB"
+    val procs = Seq(
+      daemon("a", pA, Some((0, 2, peers))),
+      daemon("b", pB, Some((1, 2, peers))),
+      daemon("c", pC, None))
+    val logs = Seq.fill(3)(new StringBuilder)
+    procs.zip(logs).foreach { case (p, l) => drain(p, l) }
+    try {
+      if (!procs.zip(logs).forall { case (p, l) => awaitBanner(p, l) }) {
+        logs.zipWithIndex.foreach { case (l, i) =>
+          println(s"--- daemon $i log tail ---\n" +
+            l.synchronized(l.toString).takeRight(1500))
+        }
+        return false
+      }
+      // the stream: 12 plain series + one tagged series spelled two
+      // ways; entry daemon fixed per series (order survives the hop)
+      val base = (System.currentTimeMillis() / 1000L - 4000) / 10 * 10
+      val names = (1 to 12).map(i => s"srv$i.cpu") ++
+        Seq("tag.m;zone=z;dc=east", "tag.m;dc=east;zone=z")
+      def linesOf(n: String): Seq[String] =
+        (0 until 6).map(k => s"$n ${k + 1}.5 ${base + k * 10}")
+      val socks = Seq(pA, pB, pC).map(p => new Socket("127.0.0.1", p))
+      val outs = socks.map(s => new PrintWriter(s.getOutputStream, true))
+      names.zipWithIndex.foreach { case (n, i) =>
+        linesOf(n).foreach { l => outs(i % 2).println(l); outs(2).println(l) }
+      }
+      outs.foreach(_.flush())
+      val want = 13L * 5L // 13 canonical series, 6 points -> 5 slots
+      def testRows(tag: String): Long =
+        Try(Ingest.readArchive(spark, s"$root/$tag/points")
+          .filter(col("name").startsWith("srv") ||
+            col("name").startsWith("tag.m"))
+          .count()).getOrElse(0L)
+      val deadline = System.currentTimeMillis() + 180000
+      while ((testRows("a") + testRows("b") < want ||
+          testRows("c") < want) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      // disjoint ownership on EVERYTHING stored (self-stats included:
+      // they are ordinary points through the same director)
+      def misOwned(tag: String, own: Int): Long =
+        Ingest.readArchive(spark, s"$root/$tag/points")
+          .select(col("name")).distinct()
+          .filter(pmod(xxhash64(col("name")), lit(2L)).cast("int") =!= own)
+          .count()
+      // union render vs the control, test series only (each shard
+      // daemon also emits its OWN self-stats stream — two stat
+      // streams vs the control's one, deliberately out of scope)
+      def testSet(dirs: Seq[String]): Set[(String, Long, Double)] =
+        Ingest.readArchives(spark, dirs)
+          .filter(col("name").startsWith("srv") ||
+            col("name").startsWith("tag.m"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+      val union = testSet(Seq(s"$root/a/points", s"$root/b/points"))
+      val single = testSet(Seq(s"$root/c/points"))
+      socks.foreach(s => Try(s.close()))
+      val ok = misOwned("a", 0) == 0 && misOwned("b", 1) == 0 &&
+        union == single && union.size.toLong == want &&
+        union.exists(_._1 == "tag.m;dc=east;zone=z")
+      if (!ok) println(s"shard check: union=${union.size} single=" +
+        s"${single.size} misA=${misOwned("a", 0)} misB=${misOwned("b", 1)}")
+      ok
+    } finally {
+      procs.foreach { p =>
+        Try(p.destroy())
+        if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+          Try(p.destroyForcibly())
+      }
+    }
   }
 }

@@ -60,7 +60,8 @@ object Daemon {
     * ([[Daemon.startPickleIngest]]). Framed mode is TCP-only, like the
     * reference's pickle listener. */
   final class LineGateway(val listenPort: Int, val feedPort: Int,
-      capacity: Int = 1 << 20, framed: Boolean = false) {
+      capacity: Int = 1 << 20, framed: Boolean = false,
+      route: String => Option[String] = Some(_)) {
     private val queue = new LinkedBlockingQueue[String](capacity)
     private val running = new AtomicBoolean(true)
     private val listenSock = new ServerSocket()
@@ -82,8 +83,13 @@ object Daemon {
 
     /** Enqueue one line, shedding the oldest beyond `capacity`. Public:
       * the pixel HTTP handler feeds its gateways directly, without a
-      * socket ([[pixelRoute]]). */
-    def offer(line: String): Unit =
+      * socket ([[pixelRoute]]). Every entry path — TCP, UDP, direct
+      * offers (blaster, self-stats, pixel) — passes the `route` hook
+      * first: a sharded daemon's [[Shard.Director]] keeps, rewrites
+      * (strips the forward marker), or forwards-and-drops the line. */
+    def offer(line: String): Unit = route(line).foreach(enqueue)
+
+    private def enqueue(line: String): Unit =
       if (!queue.offer(line)) { queue.poll(); queue.offer(line); () }
 
     private def daemonThread(name: String)(body: => Unit): Thread = {
@@ -1118,8 +1124,29 @@ object Daemon {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Ingest scale-out (cluster/cluster.go selectNodes + receiver/
+    // director.go, re-expressed as the hash partition rule — see
+    // [[Shard]]): GRAFT_SHARD_COUNT daemons, this one at
+    // GRAFT_SHARD_INDEX, peers' graphite ports (index-aligned, own
+    // slot ignored) in GRAFT_SHARD_PEERS. Single-daemon (count=1)
+    // boots the identity route — zero cost, identical behavior.
+    val shardCount = env("GRAFT_SHARD_COUNT", "1").toInt
+    val shardIndex = env("GRAFT_SHARD_INDEX", "0").toInt
+    val director: Option[Shard.Director] =
+      if (shardCount <= 1) None
+      else {
+        val peers = sys.env.getOrElse("GRAFT_SHARD_PEERS",
+          sys.error("GRAFT_SHARD_COUNT > 1 needs GRAFT_SHARD_PEERS " +
+            "(comma-separated peer graphite ports, index-aligned)"))
+          .split(",").map(_.trim.toInt).toSeq
+        require(peers.size == shardCount,
+          s"GRAFT_SHARD_PEERS has ${peers.size} entries for $shardCount shards")
+        Some(new Shard.Director(shardIndex, shardCount,
+          new Shard.Forwarder(peers)))
+      }
     val gGw = new LineGateway(
-      portOf("GRAFT_GRAPHITE_PORT", conf.flatMap(_.graphitePort), 2003), 0)
+      portOf("GRAFT_GRAPHITE_PORT", conf.flatMap(_.graphitePort), 2003), 0,
+      route = director.map(d => d.route _).getOrElse(Some(_: String)))
     val sGw = new LineGateway(
       portOf("GRAFT_STATSD_PORT", conf.flatMap(_.statsdPort), 8125), 0)
     val pkGw = new LineGateway(
@@ -1201,7 +1228,8 @@ object Daemon {
     }
     println(s"graft daemon: graphite=${gGw.boundListenPort} " +
       s"pickle=${pkGw.boundListenPort} statsd=${sGw.boundListenPort} " +
-      s"http=${http.getAddress.getPort} data=$dataDir")
+      s"http=${http.getAddress.getPort} data=$dataDir" +
+      (if (shardCount > 1) s" shard=$shardIndex/$shardCount" else ""))
     // graceful RESTART (the reference's SIGHUP handoff,
     // daemon/daemon.go:131-143 + graceful/): the gateways keep
     // listening and buffering while every streaming lifecycle stops at
@@ -1224,6 +1252,7 @@ object Daemon {
       pidFile.foreach(pf => Try(Files.deleteIfExists(
         java.nio.file.Paths.get(pf))))
       Try(blaster.close())
+      director.foreach(d => Try(d.close()))
       Seq(gGw, sGw, pkGw, pxDpGw, pxGw).foreach(gw => Try(gw.close()))
       Try(http.stop(0))
       spark.streams.active.foreach(q => Try(q.stop()))

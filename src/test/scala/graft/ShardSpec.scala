@@ -1,0 +1,207 @@
+package graft
+
+import java.io.PrintWriter
+import java.net.{ServerSocket, Socket}
+import java.nio.file.Files
+
+import scala.util.Try
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.{Daemon, Ingest, Shard}
+
+/** The ingest scale-out tier (SURVEY §2.1 cluster row;
+  * `cluster/cluster.go:209-218` + `receiver/director.go:89-117`):
+  * partition-rule parity with Spark SQL, the director's keep/forward/
+  * marker semantics over real sockets, and the in-process two-shard
+  * end-to-end — disjoint stores, union render bit-identical to a
+  * single daemon fed the same stream. The FORKED-JVM twin (two real
+  * daemon processes) runs in `graft.ClusterSmoke` (kept out of sbt
+  * test with the other cross-process cases). */
+class ShardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark0: SparkSession = _
+  private def spark: SparkSession = spark0
+
+  override def beforeAll(): Unit = {
+    spark0 = SparkSession.builder()
+      .master("local[4]").appName("shard-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark0 != null) spark0.stop()
+
+  test("canonicalName: plain-JVM twin bit-equal to the Column form") {
+    val s = spark; import s.implicits._
+    // ownership is computed at the gateway from the plain twin while
+    // the stored name comes from the Column form at parse — any
+    // divergence splits a series across shards, so pin them equal on
+    // the nasty cases: junk chars, spaces, tags unsorted/duplicated/
+    // valueless, empty keys, trailing separators
+    val raws = Seq(
+      "plain.name", "with space.and/slash", "unicode.naïve.café",
+      "semi;only", "t.m;b=2;a=1", "t.m;a=1;b=2", "t.m;a=1;a=2",
+      "t.m;=v;k=", "t.m;novalue;k=v", "t.m;k=v;", "t.m;k=a=b",
+      "t.m;k v=x y;z/w=q/r", "  lead.trail  ", "t;name=shadow;a=1",
+      "a;b=c;b=d;b=e", "x.y;k2=v;k10=v", "")
+    val plain = raws.map(Shard.canonicalName)
+    val viaColumn = raws.toDF("n")
+      .select(Ingest.sanitizeTagged(col("n")).as("c"))
+      .as[String].collect().toSeq
+    assert(plain === viaColumn)
+  }
+
+  test("owner: plain-JVM rule bit-equal to pmod(xxhash64(name), n)") {
+    val s = spark; import s.implicits._
+    val names = (0 until 200).map(i => s"srv$i.cpu.load") ++
+      Seq("a", "a.b;k=v", "ünïcode.series", "x" * 300)
+    for (n <- Seq(1, 2, 3, 16)) {
+      val viaSql = names.toDF("name")
+        .select(pmod(xxhash64(col("name")), lit(n.toLong)).cast("int"))
+        .as[Int].collect().toSeq
+      assert(names.map(Shard.owner(_, n)) === viaSql, s"shards=$n")
+    }
+    // ...and the rule actually spreads: no shard owns everything
+    val spread = names.map(Shard.owner(_, 3)).toSet
+    assert(spread === Set(0, 1, 2))
+  }
+
+  test("director: keep / forward / marker semantics over a real socket") {
+    // stub peer: collect whatever the forwarder delivers
+    val srv = new ServerSocket(0)
+    val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      val c = srv.accept()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(c.getInputStream, "UTF-8"))
+      Iterator.continually(in.readLine()).takeWhile(_ != null).foreach(got.put)
+    })
+    t.setDaemon(true); t.start()
+    try {
+      // find names owned by 0 and by 1 at shards=2
+      val mine = (1 to 50).map(i => s"m$i.x").find(Shard.owner(_, 2) == 0).get
+      val theirs = (1 to 50).map(i => s"t$i.x").find(Shard.owner(_, 2) == 1).get
+      val d = new Shard.Director(0, 2,
+        new Shard.Forwarder(Seq(0, srv.getLocalPort)))
+      try {
+        // owned: kept verbatim
+        assert(d.route(s"$mine 1 100") === Some(s"$mine 1 100"))
+        // foreign: forwarded (marked), dropped locally
+        assert(d.route(s"$theirs 2 100") === None)
+        val fwd = got.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        assert(fwd === Shard.FwdMarker + s"$theirs 2 100")
+        // a marked line ingests where it lands — never re-forwarded,
+        // even when the rule says it belongs elsewhere (dp.Hops)
+        assert(d.route(fwd) === Some(s"$theirs 2 100"))
+        // malformed lines pass through for the local parse to drop
+        assert(d.route("   ") === Some("   "))
+        assert(d.kept.get === 1L && d.received.get === 1L)
+      } finally d.close()
+    } finally srv.close()
+  }
+
+  test("two in-process shards == one daemon: disjoint stores, union render") {
+    val s = spark
+    val root = Files.createTempDirectory("graft-shard").toString
+    val base = (System.currentTimeMillis() / 1000L - 4000) / 10 * 10
+    // series mix: plain names spread over both owners, plus one tagged
+    // series spelled TWO ways that must canonicalize to one identity
+    val plainNames = (1 to 12).map(i => s"srv$i.cpu")
+    val spellA = "tag.m;zone=z;dc=east"
+    val spellB = "tag.m;dc=east;zone=z" // same canonical series
+    def linesOf(name: String): Seq[String] =
+      (0 until 6).map(k => s"$name ${k + 1}.5 ${base + k * 10}")
+    // entry daemon per series is FIXED (a collector's stable route):
+    // per-series arrival order then survives the forwarding hop
+    val entries: Seq[(String, Int)] =
+      plainNames.zipWithIndex.map { case (n, i) => (n, i % 2) } ++
+        Seq((spellA, 0), (spellB, 1))
+    // shard gateways wired to each other through real directors
+    val gwA0 = new ServerSocket(0); val pA = gwA0.getLocalPort; gwA0.close()
+    val gwB0 = new ServerSocket(0); val pB = gwB0.getLocalPort; gwB0.close()
+    val dirA = new Shard.Director(0, 2, new Shard.Forwarder(Seq(pA, pB)))
+    val dirB = new Shard.Director(1, 2, new Shard.Forwarder(Seq(pA, pB)))
+    val gA = new Daemon.LineGateway(pA, 0, route = dirA.route)
+    val gB = new Daemon.LineGateway(pB, 0, route = dirB.route)
+    val pkA = new Daemon.LineGateway(0, 0, framed = true)
+    val pkB = new Daemon.LineGateway(0, 0, framed = true)
+    // the single-daemon reference fed the identical stream
+    val gC = new Daemon.LineGateway(0, 0)
+    val pkC = new Daemon.LineGateway(0, 0, framed = true)
+    def recv(g: Daemon.LineGateway, pk: Daemon.LineGateway, tag: String) =
+      Daemon.startReceiver(s, g.boundFeedPort, pk.boundFeedPort,
+        s"$root/$tag/points", stepSec = 10, heartbeatSec = 7200,
+        checkpointDir = s"$root/$tag/ckpt")
+    val qA = recv(gA, pkA, "a"); val qB = recv(gB, pkB, "b")
+    val qC = recv(gC, pkC, "c")
+    try {
+      val sockA = new Socket("127.0.0.1", gA.boundListenPort)
+      val sockB = new Socket("127.0.0.1", gB.boundListenPort)
+      val sockC = new Socket("127.0.0.1", gC.boundListenPort)
+      val outA = new PrintWriter(sockA.getOutputStream, true)
+      val outB = new PrintWriter(sockB.getOutputStream, true)
+      val outC = new PrintWriter(sockC.getOutputStream, true)
+      entries.foreach { case (name, e) =>
+        linesOf(name).foreach { l =>
+          (if (e == 0) outA else outB).println(l)
+          outC.println(l)
+        }
+      }
+      Seq(outA, outB, outC).foreach(_.flush())
+      // both directions of the forwarding hop must actually fire
+      def rows(tag: String): Long =
+        Try(Ingest.readArchive(s, s"$root/$tag/points").count())
+          .getOrElse(0L)
+      // n points per series consolidate to n-1 slots (the last point
+      // opens the in-progress PDP interval, not a stored slot)
+      val want = (plainNames.size + 1) * 5L
+      val deadline = System.currentTimeMillis() + 120000
+      while ((rows("a") + rows("b") < want || rows("c") < want) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        Seq(qA, qB, qC).foreach(_.processAllAvailable())
+      }
+      Seq(qA, qB, qC).foreach(_.processAllAvailable())
+      assert(dirA.kept.get > 0 && dirB.kept.get > 0)
+      assert(dirA.received.get > 0 && dirB.received.get > 0,
+        "forwarding must fire in BOTH directions")
+      // disjoint ownership, asserted with the SQL form of the rule
+      def names(tag: String, own: Int): (Long, Long) = {
+        val df = Ingest.readArchive(s, s"$root/$tag/points")
+          .select(col("name")).distinct()
+          .withColumn("o", pmod(xxhash64(col("name")), lit(2L)).cast("int"))
+        (df.count(), df.filter(col("o") === own).count())
+      }
+      val (na, oa) = names("a", 0); val (nb, ob) = names("b", 1)
+      assert(na > 0 && na === oa, "shard A holds a series it does not own")
+      assert(nb > 0 && nb === ob, "shard B holds a series it does not own")
+      // the two tagged spellings converged on ONE canonical identity
+      val tagged = Ingest.readArchives(s,
+          Seq(s"$root/a/points", s"$root/b/points"))
+        .select(col("name")).distinct()
+        .filter(col("name").startsWith("tag.m"))
+        .collect().map(_.getString(0)).toSeq
+      assert(tagged === Seq("tag.m;dc=east;zone=z"))
+      // union render == the single daemon, bit-identical
+      def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+        df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val union = rowsOf(Ingest.readArchives(s,
+        Seq(s"$root/a/points", s"$root/b/points")))
+      val single = rowsOf(Ingest.readArchive(s, s"$root/c/points"))
+      assert(union === single,
+        "sharded union render diverged from the single-daemon store")
+      assert(union.size.toLong === want)
+      sockA.close(); sockB.close(); sockC.close()
+    } finally {
+      Seq(qA, qB, qC).foreach(q => Try(q.stop()))
+      Seq(gA, gB, gC, pkA, pkB, pkC).foreach(g => Try(g.close()))
+      Seq(dirA, dirB).foreach(d => Try(d.close()))
+    }
+  }
+}
