@@ -12,7 +12,7 @@ import scala.util.Try
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -582,6 +582,23 @@ object Daemon {
         .as[(String, Long, Double)]
     }
     val pts = pxPts.foldLeft(gPts.union(pkPts))(_ union _)
+    startReceiverFromPoints(spark, pts, archiveDir, stepSec, heartbeatSec,
+      checkpointDir, retainSec, rras, compactEvery, compactFanout)
+  }
+
+  /** The receiver pipeline downstream of ANY replayable point source —
+    * the source-agnostic seam [[graft.sources.GatewaySource]]'s
+    * contract names ("a production cluster swaps Kafka in and every
+    * operator downstream is unchanged"): [[startReceiver]] feeds it
+    * gateway-socket points, a production deployment feeds it
+    * Kafka-parsed points, and StreamingSpec's swap-proof case feeds it
+    * a FILE-source twin — same PDP state machine, same exactly-once
+    * archive merge, offset-exact replay parity pinned by the spec. */
+  def startReceiverFromPoints(spark: SparkSession,
+      pts: Dataset[(String, Long, Double)], archiveDir: String,
+      stepSec: Long, heartbeatSec: Long, checkpointDir: String,
+      retainSec: Option[Long] = None, rras: Seq[Rra] = Seq.empty,
+      compactEvery: Int = 0, compactFanout: Int = 4): StreamingQuery =
     Ingest.pdpPieces(spark, pts, heartbeatSec).toDF()
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -614,7 +631,6 @@ object Daemon {
         }
       }
       .start()
-  }
 
   /** Route one pixel request line to the right lifecycle at the HTTP
     * boundary, as the reference's per-route handlers do

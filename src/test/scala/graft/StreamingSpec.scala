@@ -1039,4 +1039,91 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the committed version and its chunk are untouched throughout
     assert(ArchiveStore.readLatest(s, dir).count() === 1L)
   }
+
+  test("replayable-source swap: file-source twin == gateway path, offset-exact restart") {
+    val s = spark; import s.implicits._
+    import graft.streaming.Daemon
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-swap").toString
+    val base = 1704067200L // fixed epoch: both paths see explicit ts only
+    // three micro-batches over two series; b2 carries an OUT-OF-ORDER
+    // point (older than b1's last) that only survives-as-dropped if
+    // the PDP state rides the checkpoint across the restart
+    val batches = Seq(
+      Seq(s"sw.a 1.0 $base", s"sw.b 5.0 $base",
+        s"sw.a 2.0 ${base + 10}", s"sw.b 6.0 ${base + 10}"),
+      Seq(s"sw.a 3.0 ${base + 20}", s"sw.b 7.0 ${base + 30}"),
+      Seq(s"sw.a 9.9 ${base + 5}", // out-of-order: must drop in both paths
+        s"sw.a 4.0 ${base + 30}", s"sw.b 8.0 ${base + 40}"))
+    // ---- gateway path (the daemon's own source) ----
+    val gw = new Daemon.LineGateway(0, 0)
+    val pk = new Daemon.LineGateway(0, 0, framed = true)
+    val q1 = Daemon.startReceiver(s, gw.boundFeedPort, pk.boundFeedPort,
+      s"$root/gw/points", stepSec = 10, heartbeatSec = 7200,
+      checkpointDir = s"$root/gw/ckpt")
+    try {
+      val sock = new java.net.Socket("127.0.0.1", gw.boundListenPort)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      def rows(tag: String): Long =
+        scala.util.Try(Ingest.readArchive(s, s"$root/$tag/points").count())
+          .getOrElse(0L)
+      // barrier per batch: b2's stale point must reach the state
+      // machine in a LATER micro-batch than b1 (in one batch the sort
+      // would legally accept it), matching the file twin's batch cuts
+      val cumRows = Seq(2L, 5L, 7L)
+      batches.zip(cumRows).foreach { case (b, want) =>
+        b.foreach(out.println); out.flush()
+        val deadline = System.currentTimeMillis() + 60000
+        while (rows("gw") < want && System.currentTimeMillis() < deadline) {
+          Thread.sleep(100); q1.processAllAvailable()
+        }
+        assert(rows("gw") === want, s"gateway path stalled before $want rows")
+      }
+      sock.close()
+    } finally q1.stop()
+    // ---- file-source twin through the SAME downstream seam ----
+    val landing = s"$root/landing"
+    Files.createDirectories(Paths.get(landing))
+    def fileReceiver() = {
+      val pts = Ingest.parseGraphite(
+          s.readStream.text(landing).withColumnRenamed("value", "line"),
+          nowSec = lit(base)) // unused: every line carries its ts
+        .as[(String, Long, Double)]
+      Daemon.startReceiverFromPoints(s, pts, s"$root/file/points",
+        stepSec = 10, heartbeatSec = 7200,
+        checkpointDir = s"$root/file/ckpt")
+    }
+    def drop(i: Int): Unit = {
+      Files.write(Paths.get(s"$landing/b$i.txt"),
+        (batches(i).mkString("\n") + "\n").getBytes("UTF-8"))
+      ()
+    }
+    val qa = fileReceiver()
+    try { drop(0); qa.processAllAvailable()
+          drop(1); qa.processAllAvailable() } finally qa.stop()
+    val vMid = ArchiveStore.state(s, s"$root/file/points").get.version
+    // bounce: a fresh query on the same checkpoint must NOT re-merge
+    // the committed files (offset-exact resume), and the restored PDP
+    // state must still reject b2's out-of-order point
+    val qb = fileReceiver()
+    try {
+      qb.processAllAvailable() // replay window: no new input
+      assert(ArchiveStore.state(s, s"$root/file/points").get.version === vMid,
+        "restart re-merged committed batches")
+      drop(2); qb.processAllAvailable()
+    } finally qb.stop()
+    // ---- parity: bit-identical stores ----
+    def store(tag: String): Map[(String, Long), Double] =
+      Ingest.readArchive(s, s"$root/$tag/points").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val gwStore = store("gw"); val fileStore = store("file")
+    assert(gwStore === fileStore,
+      "file-source twin diverged from the gateway path")
+    // the stale point contaminated NEITHER store: slot base is the
+    // pure (base, base+10] piece (2.0), not the 9.9-blended 5.95 a
+    // state loss across the bounce would have admitted
+    assert(fileStore(("sw.a", base)) === 2.0)
+    assert(gwStore(("sw.a", base)) === 2.0)
+    assert(fileStore.size === 7)
+  }
 }
