@@ -394,7 +394,96 @@ object DslQueries {
         """ SELECT name, CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS ord
           | FROM (SELECT DISTINCT name FROM series
           |       WHERE regexp_matches(name, '^events\.[^.]*\.u2$'))
-          | ORDER BY ord""".stripMargin))
+          | ORDER BY ord""".stripMargin)),
+
+    // the generic combine (graphite-web 1.1 `aggregate`): median and
+    // stddev exercise the two members with no xxxSeries twin —
+    // reference-quantile and the square-then-fold stddev whose sums
+    // both engines accumulate over the SAME value-sorted list
+    ("dsl_aggregate_median",
+      dq("aggregate(events.click.*, 'median')"),
+      Some(multiQ(
+        s"""SELECT 'aggregate' AS name, t,
+           |  ${O.refQuantileSql("list(value ORDER BY value)", 0.5)} AS value
+           | FROM series WHERE regexp_matches(name, '^events\\.click\\.[^.]*$$')
+           | GROUP BY t""".stripMargin))),
+
+    ("dsl_aggregate_stddev",
+      dq("aggregate(events.click.*, 'stddev')"),
+      Some(multiQ(
+        """SELECT 'aggregate' AS name, t,
+          |  CASE WHEN n = 0 THEN NULL
+          |       ELSE sqrt(greatest(sq / n - (sm / n) * (sm / n), 0.0)) END AS value
+          | FROM (SELECT t, CAST(len(ls) AS DOUBLE) AS n,
+          |         CASE WHEN len(ls) = 0 THEN 0.0
+          |              ELSE list_reduce(ls, (a, x) -> a + x) END AS sm,
+          |         CASE WHEN len(ls) = 0 THEN 0.0
+          |              ELSE list_reduce(list_transform(ls, x -> x * x),
+          |                               (a, x) -> a + x) END AS sq
+          |       FROM (SELECT t,
+          |               list_sort(list(value) FILTER (WHERE value IS NOT NULL)) AS ls
+          |             FROM series
+          |             WHERE regexp_matches(name, '^events\.click\.[^.]*$')
+          |             GROUP BY t))""".stripMargin))),
+
+    ("dsl_aggregate_last",
+      dq("aggregate(events.view.*, 'last')"),
+      Some(multiQ(
+        """SELECT 'aggregate' AS name, t, arg_max(value, name) AS value
+          | FROM series WHERE regexp_matches(name, '^events\.view\.[^.]*$')
+          | GROUP BY t""".stripMargin))),
+
+    // last-known-value filter (threshold in the 45.1→54.6 gap of the
+    // per-series arg_max(value, t) — exact values, no float noise)
+    ("dsl_current_above",
+      dq("currentAbove(group(events.*.*), 50)"),
+      Some(multiQ(
+        """SELECT s.name, s.t, s.value FROM series s
+          | JOIN (SELECT name FROM series GROUP BY name
+          |       HAVING arg_max(value, t) > 50.0) k USING (name)""".stripMargin))),
+
+    // per-point transforms: invert (0 -> NULL), sqrt (IEEE-exact in
+    // both engines), min-max normalization, delay, timeSlice
+    ("dsl_invert",
+      dq("invert(events.error.u2)"),
+      Some(multiQ(
+        """SELECT name, t,
+          |  CASE WHEN value = 0 THEN NULL ELSE 1.0 / value END AS value
+          | FROM series WHERE name = 'events.error.u2'""".stripMargin))),
+
+    ("dsl_square_root",
+      dq("squareRoot(events.view.u1)"),
+      Some(multiQ(
+        """SELECT name, t,
+          |  CASE WHEN value < 0 THEN NULL ELSE sqrt(value) END AS value
+          | FROM series WHERE name = 'events.view.u1'""".stripMargin))),
+
+    ("dsl_min_max",
+      dq("minMax(group(events.signup.*))"),
+      Some(multiQ(
+        """SELECT name, t,
+          |  CASE WHEN value IS NULL THEN NULL
+          |       WHEN mx = mn THEN 0.0
+          |       ELSE (value - mn) / (mx - mn) END AS value
+          | FROM (SELECT name, t, value,
+          |         min(value) OVER (PARTITION BY name) AS mn,
+          |         max(value) OVER (PARTITION BY name) AS mx
+          |       FROM series
+          |       WHERE regexp_matches(name, '^events\.signup\.[^.]*$'))""".stripMargin))),
+
+    ("dsl_delay",
+      dq("delay(events.click.u0, 3)"),
+      Some(multiQ(
+        s"""SELECT name, t, lag(value, 3) OVER ($byNameT) AS value
+           | FROM series WHERE name = 'events.click.u0'""".stripMargin))),
+
+    ("dsl_time_slice",
+      dq("timeSlice(events.purchase.u1, 1704499200, 1704585600)"),
+      Some(multiQ(
+        """SELECT name, t,
+          |  CASE WHEN t >= 1704499200 AND t <= 1704585600
+          |       THEN value ELSE NULL END AS value
+          | FROM series WHERE name = 'events.purchase.u1'""".stripMargin)))
   )
 
   /** Canonical tagged twin of the multi store (`ev.req;dc=uN;type=T`)

@@ -1103,6 +1103,110 @@ object ScaleProbe {
       Seq(rowMain, rowUnion, rowLoad)
     }
 
+    // ---- SHARDED-INGEST SOAK (round 12): the cluster tier under load.
+    // The blaster stream enters TWO director-routed daemons (entry
+    // chosen per series INDEPENDENTLY of ownership, so ~half of all
+    // traffic crosses the forwarding hop), each consolidating into its
+    // own store. In-stage asserts: zero forwarder drops, zero source
+    // drops, every stored series on its owning shard
+    // (pmod(xxhash64(name), 2) in ONE plan), and the two-store UNION
+    // ≡ batch re-consolidation of the exact lines sent.
+    val shardRows: Seq[(String, Double, Long)] = {
+      import graft.streaming.{Daemon, Ingest, Shard}
+      val rate = sys.env.getOrElse("SPARK_GRAFT_SOAK_RATE", "10000").toInt
+      val sec = sys.env.getOrElse("SPARK_GRAFT_SHARD_SOAK_SEC", "30").toInt
+      val dir = java.nio.file.Files.createTempDirectory("shard-soak").toString
+      def freePort(): Int = {
+        val ss = new java.net.ServerSocket(0)
+        val p = ss.getLocalPort; ss.close(); p
+      }
+      val (pA, pB) = (freePort(), freePort())
+      val fwdA = new Shard.Forwarder(Seq(pA, pB))
+      val fwdB = new Shard.Forwarder(Seq(pA, pB))
+      val dirA = new Shard.Director(0, 2, fwdA)
+      val dirB = new Shard.Director(1, 2, fwdB)
+      val gA = new Daemon.LineGateway(pA, 0, capacity = 1 << 22,
+        route = dirA.route)
+      val gB = new Daemon.LineGateway(pB, 0, capacity = 1 << 22,
+        route = dirB.route)
+      val pkA = new Daemon.LineGateway(0, 0, framed = true)
+      val pkB = new Daemon.LineGateway(0, 0, framed = true)
+      val qA = Daemon.startReceiver(spark, gA.boundFeedPort,
+        pkA.boundFeedPort, s"$dir/a/points", stepSec = 10,
+        heartbeatSec = 300, checkpointDir = s"$dir/a/ckpt",
+        maxQueue = 1 << 22)
+      val qB = Daemon.startReceiver(spark, gB.boundFeedPort,
+        pkB.boundFeedPort, s"$dir/b/points", stepSec = 10,
+        heartbeatSec = 300, checkpointDir = s"$dir/b/ckpt",
+        maxQueue = 1 << 22)
+      val cap = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      // entry shard per series: stable, deliberately NOT the owner
+      // rule (hashCode vs xxhash64), so both directions forward
+      def entry(line: String): Int =
+        java.lang.Math.floorMod(
+          Shard.nameOf(line).getOrElse("").hashCode, 2)
+      val blaster = new graft.streaming.Blaster.LiveBlaster(line => {
+        cap.add(line)
+        (if (entry(line) == 0) gA else gB).offer(line)
+      })
+      val row = time(s"shard_ingest_2x_${rate}eps") {
+        blaster.setNSeries(1000)
+        blaster.setRate(rate)
+        Thread.sleep(sec * 1000L)
+        blaster.setRate(0)
+        blaster.close()
+        var zA = 0; var zB = 0
+        val deadline = System.currentTimeMillis() + 180000L
+        while ((zA < 3 || zB < 3) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(1000L)
+          Option(qA.lastProgress).foreach(p =>
+            zA = if (p.numInputRows == 0) zA + 1 else 0)
+          Option(qB.lastProgress).foreach(p =>
+            zB = if (p.numInputRows == 0) zB + 1 else 0)
+        }
+        qA.stop(); qB.stop()
+        require(fwdA.dropped.get == 0 && fwdB.dropped.get == 0,
+          s"forwarders dropped ${fwdA.dropped.get}+${fwdB.dropped.get} lines")
+        require(fwdA.forwarded.get > 0 && fwdB.forwarded.get > 0,
+          "the hop must fire in both directions")
+        Seq(gA, gB).foreach(g =>
+          require(graft.sources.GatewayStats.dropped(
+            s"127.0.0.1:${g.boundFeedPort}") == 0L,
+            "shard soak dropped lines below the cap"))
+        def misOwned(tag: String, own: Int): Long =
+          Ingest.readArchive(spark, s"$dir/$tag/points")
+            .select(col("name")).distinct()
+            .filter(pmod(xxhash64(col("name")), lit(2L)).cast("int") =!= own)
+            .count()
+        require(misOwned("a", 0) == 0 && misOwned("b", 1) == 0,
+          "a shard holds a series it does not own")
+        import spark.implicits._
+        val pts = Ingest.parseGraphite(
+            cap.toArray(new Array[String](0)).toSeq.toDF("line"),
+            nowSec = lit(0L))
+          .select(col("name"), col("tsSec").as("ts"), col("value"))
+          .persist()
+        val expected = Consolidate.consolidate(pts, 10L, "wmean", 0.0, 300)
+          .withColumnRenamed("value", "exp").persist()
+        val union = Ingest.readArchives(spark,
+          Seq(s"$dir/a/points", s"$dir/b/points"))
+        val bad = expected.join(union, Seq("name", "t"), "left")
+          .filter(col("value").isNull ||
+            abs(col("value") - col("exp")) > 1e-9)
+          .count()
+        require(bad == 0, s"sharded union diverged on $bad slots")
+        require(union.count() == expected.count(),
+          "sharded union holds slots the batch oracle does not")
+        val total = pts.count()
+        pts.unpersist(); expected.unpersist()
+        total
+      }
+      Seq(dirA, dirB).foreach(d => scala.util.Try(d.close()))
+      Seq(gA, gB, pkA, pkB).foreach(g => scala.util.Try(g.close()))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      Seq(row)
+    }
+
     // serving a published two-level index should amortize the build;
     // wall-clock ratios are environment-dependent, so the ratio is
     // REPORTED (for the judge to diff) and only an order-of-magnitude
@@ -1114,7 +1218,7 @@ object ScaleProbe {
       s"serve ${secOf("two_level_serve_1m_k8192")}s is ${serveVsBuild}x " +
         "the fused build — an inversion no co-tenant noise explains")
 
-    val json = (results ++ soakRows).map { case (l, sec, n) =>
+    val json = (results ++ soakRows ++ shardRows).map { case (l, sec, n) =>
       s""""$l":{"sec":$sec,"rows":$n}"""
     }.mkString("{", ",", "}")
     println(s"""{"probe_rows":$rows,"series":$nSeries,""" +

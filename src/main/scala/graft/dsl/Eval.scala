@@ -340,6 +340,49 @@ object Eval {
     add(Seq("sortByMinima"))(onSeries((_, df, _, _) => O.sortByMinima(df)))
     add(Seq("sortByTotal"))(onSeries((_, df, _, _) => O.sortByTotal(df)))
     add(Seq("sortByName"))(onSeries((_, df, _, _) => O.sortByName(df)))
+    // graphite-web's currentAbove/Below — the summary-filter family on
+    // the last known value (extension)
+    add(Seq("currentAbove"))(onSeries((_, df, rest, _) =>
+      O.currentAbove(df, num(rest.head))))
+    add(Seq("currentBelow"))(onSeries((_, df, rest, _) =>
+      O.currentBelow(df, num(rest.head))))
+    // graphite-web 1.1's GENERIC combine — aggregate(series, 'func')
+    // subsumes the xxxSeries family; output series is named
+    // 'aggregate' (extension; dispatch documented per member)
+    add(Seq("aggregate"))(onSeries((_, df, rest, _) => {
+      val out = "aggregate"
+      str(rest.head) match {
+        case "sum" | "total"     => O.sumSeries(df, out)
+        case "avg" | "average"   => O.averageSeries(df, out)
+        case "max"               => O.maxSeries(df, out)
+        case "min"               => O.minSeries(df, out)
+        case "multiply"          => O.multiplySeries(df, out)
+        case "range" | "rangeOf" => O.rangeOfSeries(df, out)
+        case "diff"              => O.diffSeries(df, out)
+        case "count"             => O.countSeries(df, out)
+        case "median"            => O.percentileOfSeries(df, 0.5, out)
+        case "stddev"            => O.stddevSeries(df, out)
+        case "last" | "current"  => O.lastSeries(df, out)
+        case other => throw new IllegalArgumentException(
+          s"aggregate: unknown function '$other'")
+      }
+    }))
+    add(Seq("stddevSeries"))(onSeries((_, df, _, _) => O.stddevSeries(df)))
+    // graphite-web per-point transforms (extensions)
+    add(Seq("invert"))(onSeries((_, df, _, _) => O.invert(df)))
+    add(Seq("pow"))(onSeries((_, df, rest, _) =>
+      O.powSeries(df, num(rest.head))))
+    add(Seq("squareRoot"))(onSeries((_, df, _, _) => O.squareRoot(df)))
+    add(Seq("minMax"))(onSeries((_, df, _, _) => O.minMax(df)))
+    add(Seq("delay"))(onSeries((_, df, rest, _) =>
+      O.delay(df, num(rest.head).toInt)))
+    // timeSlice(series, startEpochSec, endEpochSec) — absolute epoch
+    // bounds (documented; graphite's relative-time strings resolve at
+    // its HTTP layer, which this engine's Viewport already covers)
+    add(Seq("timeSlice"))(onSeries((_, df, rest, _) =>
+      O.timeSlice(df, num(rest(0)).toLong, num(rest(1)).toLong)))
+    // render hints with no data semantics — no-ops like color()
+    add(Seq("stacked", "secondYAxis"))(onSeries((_, df, _, _) => df))
 
     // ----- aliasing -----
     add(Seq("alias"))(onSeries((_, df, rest, _) => O.aliasAll(df, str(rest.head))))

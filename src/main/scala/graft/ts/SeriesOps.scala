@@ -75,6 +75,53 @@ object SeriesOps {
   def transformNull(df: DataFrame, dflt: Double): DataFrame =
     df.withColumn("value", coalesce(v, lit(dflt)))
 
+  // ----- graphite-web per-point transforms (extensions; the engine's
+  // ----- NULL≡NaN model maps graphite's NaN/Inf outputs to NULL) -----
+
+  /** invert() — 1/v; 0 → NULL (the ±Inf stand-in, the
+    * [[divideSeries]] convention). */
+  def invert(df: DataFrame): DataFrame =
+    df.withColumn("value",
+      when(v === 0.0, lit(null)).otherwise(lit(1.0) / v))
+
+  /** pow(n) — vⁿ; a NaN result (negative base, fractional exponent)
+    * maps to NULL. */
+  def powSeries(df: DataFrame, n: Double): DataFrame = {
+    val p = pow(v, lit(n))
+    df.withColumn("value", when(isnan(p), lit(null)).otherwise(p))
+  }
+
+  /** squareRoot() — √v; negative values map to NULL. */
+  def squareRoot(df: DataFrame): DataFrame = {
+    val p = sqrt(v)
+    df.withColumn("value", when(isnan(p), lit(null)).otherwise(p))
+  }
+
+  /** minMax() — per-series min-max normalization to [0, 1]; a
+    * constant series (zero range) maps to 0, as graphite-web does. */
+  def minMax(df: DataFrame): DataFrame = {
+    val mn = min(v).over(wAll)
+    val mx = max(v).over(wAll)
+    df.withColumn("value",
+      when(v.isNull, lit(null))
+        .when(mx === mn, lit(0.0))
+        .otherwise((v - mn) / (mx - mn)))
+  }
+
+  /** delay(steps) — shift values by `steps` grid points (positive =
+    * into the future, the counter-ramp alignment trick; negative
+    * peeks ahead). Timestamps keep their grid; vacated points are
+    * NULL. */
+  def delay(df: DataFrame, steps: Int): DataFrame =
+    df.withColumn("value",
+      if (steps >= 0) lag(v, steps).over(w) else lead(v, -steps).over(w))
+
+  /** timeSlice(startSec, endSec) — values outside the window become
+    * NULL; the grid itself survives (graphite-web's timeSlice). */
+  def timeSlice(df: DataFrame, startSec: Long, endSec: Long): DataFrame =
+    df.withColumn("value",
+      when(col("t") >= startSec && col("t") <= endSec, v))
+
   /** scaleToSeconds(n) — v*n (values are already per-second rates) —
     * `dsl/funcs.go:2213-2235` */
   def scaleToSeconds(df: DataFrame, n: Double): DataFrame = scale(df, n)
@@ -308,6 +355,31 @@ object SeriesOps {
   def percentileOfSeries(df: DataFrame, p: Double,
       outName: String = "percentileOfSeries"): DataFrame =
     combine(df, outName, refQuantile(sort_array(collect_list(v)), p))
+
+  /** stddevSeries — per-timestamp POPULATION stddev across the series'
+    * non-null values (graphite-web's `stddevSeries`; extension — the
+    * reference's combine family stops at range). Determinism contract:
+    * BOTH engines square-then-fold the SAME value-sorted list
+    * left-to-right (a built-in stddev aggregate accumulates in
+    * engine-specific order — Welford vs naive — and would diverge in
+    * the last ulp), then evaluate the one fixed expression
+    * `sqrt(max(Σv²/n − (Σv/n)², 0))`. */
+  def stddevSeries(df: DataFrame, outName: String = "stddevSeries"): DataFrame = {
+    val sorted = sort_array(collect_list(v)) // collect_list skips nulls
+    val n = size(sorted).cast("double")
+    val sm = aggregate(sorted, lit(0.0), (a, x) => a + x)
+    val sq = aggregate(transform(sorted, x => x * x), lit(0.0), (a, x) => a + x)
+    combine(df, outName,
+      when(size(sorted) === 0, lit(null))
+        .otherwise(sqrt(greatest(sq / n - (sm / n) * (sm / n), lit(0.0)))))
+  }
+
+  /** lastSeries — per-timestamp value of the LAST series in name order,
+    * nulls skipped (the `aggregate(…, 'last')` member; documented
+    * semantics — graphite takes the last non-None of the value list,
+    * whose order is its series order; name order is this engine's). */
+  def lastSeries(df: DataFrame, outName: String = "lastSeries"): DataFrame =
+    combine(df, outName, max_by(v, when(v.isNotNull, col("name"))))
 
   /** diffSeries — first (by name) minus the rest; NaN propagates through
     * Go float arithmetic (`dsl/funcs.go:614-647`, `series/seriesslice.go:281-291`) */
@@ -565,6 +637,13 @@ object SeriesOps {
     * AVERAGE clears the threshold. Same one-pass packed machinery. */
   def averageAbove(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("savg") > x)
   def averageBelow(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("savg") < x)
+
+  /** currentAbove/Below — the summary-filter family on the LAST known
+    * value (graphite-web; extension): keep series whose most recent
+    * non-null reading clears the threshold — the "alert view" filter.
+    * Same one-pass packed machinery (slast). */
+  def currentAbove(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("slast") > x)
+  def currentBelow(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("slast") < x)
 
   /** useSeriesAbove(value, search, replace) — `dsl/funcs.go:2237-2253` */
   def useSeriesAbove(df: DataFrame, x: Double, search: String, replace: String): DataFrame =

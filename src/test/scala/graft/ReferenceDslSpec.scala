@@ -574,4 +574,74 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(""""target":"([^"]+)"""".r.findFirstMatchIn(plain)
       .get.group(1) === "foo.bar1.baz")
   }
+
+  test("extension: aggregate() dispatches the generic combine") {
+    val s = spark; import s.implicits._
+    def every(expr: String, expected: Double): Unit = everyValueIs(expr, expected)
+    every("aggregate('foo.*.baz', 'sum')", 30)
+    every("aggregate('foo.*.baz', 'total')", 30)
+    every("aggregate('foo.*.baz', 'average')", 15)
+    every("aggregate('foo.*.baz', 'max')", 20)
+    every("aggregate('foo.*.baz', 'min')", 10)
+    every("aggregate('foo.*.baz', 'multiply')", 200)
+    every("aggregate('foo.*.baz', 'range')", 10)
+    every("aggregate('foo.*.baz', 'count')", 2)
+    // reference quantile at p=.5 over [10, 20]: pos 1.5 -> 10 + .5*10
+    every("aggregate('foo.*.baz', 'median')", 15)
+    // population stddev of {10, 20}
+    every("aggregate('foo.*.baz', 'stddev')", 5)
+    // 'last' = the last series in name order (documented)
+    every("aggregate('foo.*.baz', 'last')", 20)
+    every("aggregate('foo.*.baz', 'diff')", -10)
+    intercept[IllegalArgumentException] {
+      Eval.evalExpr(ctx, "aggregate('foo.*.baz', 'mode')").collect()
+    }
+  }
+
+  test("extension: per-point transforms and filters (vectors)") {
+    val s = spark; import s.implicits._
+    everyValueIs("invert(constantLine(4))", 0.25)
+    everyValueIs("pow('foo.bar1.baz', 2)", 100)
+    everyValueIs("squareRoot(constantLine(16))", 4)
+    // invert(0) and sqrt(negative) map to NULL (the NaN/Inf stand-in)
+    def allNull(expr: String): Unit = {
+      val rows = Eval.evalExpr(ctx, expr)
+        .as[(String, Long, Option[Double])].collect()
+      assert(rows.nonEmpty && rows.forall(_._3.isEmpty), expr)
+    }
+    allNull("invert(constantLine(0))")
+    allNull("squareRoot(constantLine(-9))")
+    // currentAbove/Below on the last reading
+    def names(expr: String): Set[String] =
+      Eval.evalExpr(ctx, expr)
+        .as[(String, Long, Option[Double])].collect().map(_._1).toSet
+    assert(names("currentAbove('foo.*.baz', 15)") === Set("foo.bar2.baz"))
+    assert(names("currentBelow('foo.*.baz', 15)") === Set("foo.bar1.baz"))
+    // stacked/secondYAxis are render hints: data no-ops
+    assert(Eval.evalExpr(ctx, "stacked('foo.bar1.baz')")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+      .forall(_ == 10.0))
+    // ramp fixture for minMax / delay / timeSlice
+    val ramp = (0 until 5).map(i => ("r.m", i * 10L, i * 2.0))
+    val c = Eval.Ctx(s, ramp.toDF("name", "t", "value"), 10, 0, 40)
+    def vals(expr: String): Seq[Option[Double]] =
+      Eval.evalExpr(c, expr)
+        .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+        .map(_._3).toSeq
+    // ramp 0,2,4,6,8 -> minMax 0, .25, .5, .75, 1
+    assert(vals("minMax('r.m')") ===
+      Seq(Some(0.0), Some(0.25), Some(0.5), Some(0.75), Some(1.0)))
+    // constant series normalizes to 0 (zero range)
+    assert(Eval.evalExpr(ctx, "minMax('foo.bar1.baz')")
+      .as[(String, Long, Option[Double])].collect().flatMap(_._3)
+      .forall(_ == 0.0))
+    // delay shifts values onto later grid points; vacated -> null
+    assert(vals("delay('r.m', 2)") ===
+      Seq(None, None, Some(0.0), Some(2.0), Some(4.0)))
+    assert(vals("delay('r.m', -2)") ===
+      Seq(Some(4.0), Some(6.0), Some(8.0), None, None))
+    // timeSlice nulls values outside the window, grid survives
+    assert(vals("timeSlice('r.m', 10, 30)") ===
+      Seq(None, Some(2.0), Some(4.0), Some(6.0), None))
+  }
 }
