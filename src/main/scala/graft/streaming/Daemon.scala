@@ -1148,23 +1148,34 @@ object Daemon {
     // boots the identity route — zero cost, identical behavior.
     val shardCount = env("GRAFT_SHARD_COUNT", "1").toInt
     val shardIndex = env("GRAFT_SHARD_INDEX", "0").toInt
+    def peersOf(key: String): Seq[Int] = {
+      val peers = sys.env.getOrElse(key,
+        sys.error(s"GRAFT_SHARD_COUNT > 1 needs $key " +
+          "(comma-separated peer ports, index-aligned)"))
+        .split(",").map(_.trim.toInt).toSeq
+      require(peers.size == shardCount,
+        s"$key has ${peers.size} entries for $shardCount shards")
+      peers
+    }
     val director: Option[Shard.Director] =
       if (shardCount <= 1) None
-      else {
-        val peers = sys.env.getOrElse("GRAFT_SHARD_PEERS",
-          sys.error("GRAFT_SHARD_COUNT > 1 needs GRAFT_SHARD_PEERS " +
-            "(comma-separated peer graphite ports, index-aligned)"))
-          .split(",").map(_.trim.toInt).toSeq
-        require(peers.size == shardCount,
-          s"GRAFT_SHARD_PEERS has ${peers.size} entries for $shardCount shards")
-        Some(new Shard.Director(shardIndex, shardCount,
-          new Shard.Forwarder(peers)))
-      }
+      else Some(new Shard.Director(shardIndex, shardCount,
+        new Shard.Forwarder(peersOf("GRAFT_SHARD_PEERS"))))
+    // statsd directs too (the reference's director sits behind every
+    // protocol) when the statsd peer ports are given; ownership keys
+    // on the sanitized WIRE name — see [[Shard.Director]]
+    val sdDirector: Option[Shard.Director] =
+      if (shardCount <= 1 || !sys.env.contains("GRAFT_SHARD_STATSD_PEERS"))
+        None
+      else Some(new Shard.Director(shardIndex, shardCount,
+        new Shard.Forwarder(peersOf("GRAFT_SHARD_STATSD_PEERS")),
+        parseName = Shard.statsdNameOf, canon = Shard.sanitizePlain))
     val gGw = new LineGateway(
       portOf("GRAFT_GRAPHITE_PORT", conf.flatMap(_.graphitePort), 2003), 0,
       route = director.map(d => d.route _).getOrElse(Some(_: String)))
     val sGw = new LineGateway(
-      portOf("GRAFT_STATSD_PORT", conf.flatMap(_.statsdPort), 8125), 0)
+      portOf("GRAFT_STATSD_PORT", conf.flatMap(_.statsdPort), 8125), 0,
+      route = sdDirector.map(d => d.route _).getOrElse(Some(_: String)))
     val pkGw = new LineGateway(
       portOf("GRAFT_PICKLE_PORT", conf.flatMap(_.picklePort), 2004), 0,
       framed = true)
@@ -1268,7 +1279,7 @@ object Daemon {
       pidFile.foreach(pf => Try(Files.deleteIfExists(
         java.nio.file.Paths.get(pf))))
       Try(blaster.close())
-      director.foreach(d => Try(d.close()))
+      (director ++ sdDirector).foreach(d => Try(d.close()))
       Seq(gGw, sGw, pkGw, pxDpGw, pxGw).foreach(gw => Try(gw.close()))
       Try(http.stop(0))
       spark.streams.active.foreach(q => Try(q.stop()))

@@ -93,6 +93,13 @@ object Shard {
   def nameOf(line: String): Option[String] =
     line.trim.split("\\s+").headOption.filter(_.nonEmpty)
 
+  /** StatsD line name: the token before `:`
+    * (`daemon/statsd_text.go`'s split). */
+  def statsdNameOf(line: String): Option[String] = {
+    val i = line.indexOf(':')
+    if (i > 0) Some(line.substring(0, i)) else None
+  }
+
   /** Line forwarder to peer gateways — the reference's cluster send
     * channel (`receiver/director.go:55-66`). One lazily-connected,
     * per-peer socket, re-dialed once per send on failure; a line that
@@ -153,9 +160,19 @@ object Shard {
     * they land. Plugs into [[Daemon.LineGateway]]'s `route` hook, so
     * the blaster, self-stats and pixel offers direct exactly like
     * socket traffic (the reference's self-stats are ordinary points
-    * through the same director). */
+    * through the same director).
+    *
+    * `parseName`/`canon` default to the graphite text wire; the
+    * statsd gateway directs with [[statsdNameOf]]/[[sanitizePlain]]
+    * (ownership keys on the sanitized WIRE name — the invariant is
+    * "each statsd series aggregates on exactly ONE shard", which is
+    * what makes the sharded union's per-series mass equal a single
+    * daemon's; the stored names carry type-routing prefixes and are
+    * derived, not the partition key). */
   final class Director(val shardIndex: Int, val shardCount: Int,
-      forwarder: Forwarder) {
+      forwarder: Forwarder,
+      parseName: String => Option[String] = nameOf,
+      canon: String => String = canonicalName) {
     require(shardIndex >= 0 && shardIndex < shardCount,
       s"shard index $shardIndex outside 0..${shardCount - 1}")
     val kept = new AtomicLong
@@ -165,10 +182,10 @@ object Shard {
       if (line.startsWith(FwdMarker)) { // hops exhausted: ingest here
         received.incrementAndGet()
         Some(line.substring(FwdMarker.length))
-      } else nameOf(line) match {
+      } else parseName(line) match {
         case None => Some(line) // malformed: local parse drops it
         case Some(raw) =>
-          val o = owner(canonicalName(raw), shardCount)
+          val o = owner(canon(raw), shardCount)
           if (o == shardIndex) { kept.incrementAndGet(); Some(line) }
           else { forwarder.send(o, FwdMarker + line); None }
       }

@@ -204,4 +204,68 @@ class ShardSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(dirA, dirB).foreach(d => Try(d.close()))
     }
   }
+
+  test("statsd directs too: single-owner aggregation, mass conserved") {
+    val s = spark
+    val root = Files.createTempDirectory("graft-shard-sd").toString
+    val gwA0 = new ServerSocket(0); val pA = gwA0.getLocalPort; gwA0.close()
+    val gwB0 = new ServerSocket(0); val pB = gwB0.getLocalPort; gwB0.close()
+    // statsd ownership keys on the sanitized WIRE name
+    val dirA = new Shard.Director(0, 2, new Shard.Forwarder(Seq(pA, pB)),
+      parseName = Shard.statsdNameOf, canon = Shard.sanitizePlain)
+    val dirB = new Shard.Director(1, 2, new Shard.Forwarder(Seq(pA, pB)),
+      parseName = Shard.statsdNameOf, canon = Shard.sanitizePlain)
+    val gA = new Daemon.LineGateway(pA, 0, route = dirA.route)
+    val gB = new Daemon.LineGateway(pB, 0, route = dirB.route)
+    def sd(g: Daemon.LineGateway, tag: String) =
+      Daemon.startStatsdIngest(s, g.boundFeedPort, s"$root/$tag/statsd",
+        flushSec = 10, checkpointDir = s"$root/$tag/ckpt")
+    val qA = sd(gA, "a"); val qB = sd(gB, "b")
+    try {
+      // 8 counters, each sent from BOTH entry daemons (the worst case:
+      // split aggregation would halve per-store mass but keep the
+      // union's total — only single-owner aggregation puts each
+      // series' WHOLE mass in one store)
+      val names = (1 to 8).map(i => s"ctr$i")
+      val sockA = new Socket("127.0.0.1", gA.boundListenPort)
+      val sockB = new Socket("127.0.0.1", gB.boundListenPort)
+      val outA = new PrintWriter(sockA.getOutputStream, true)
+      val outB = new PrintWriter(sockB.getOutputStream, true)
+      (1 to 5).foreach { _ =>
+        names.foreach { n => outA.println(s"$n:2|c"); outB.println(s"$n:3|c") }
+      }
+      outA.flush(); outB.flush()
+      def mass(tag: String): Map[String, Double] =
+        Try(graft.streaming.ArchiveStore
+            .readLatest(s, s"$root/$tag/statsd")
+            .groupBy(col("name")).agg(sum(col("vw")).as("m"))
+            .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+          .getOrElse(Map.empty)
+      val deadline = System.currentTimeMillis() + 120000
+      while ((mass("a").size + mass("b").size < names.size ||
+          (mass("a").values.sum + mass("b").values.sum) < 200.0 - 1e-6) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        Seq(qA, qB).foreach(_.processAllAvailable())
+      }
+      Seq(qA, qB).foreach(_.processAllAvailable())
+      val (ma, mb) = (mass("a"), mass("b"))
+      // forwarding fired both ways and every series has ONE owner
+      assert(dirA.received.get > 0 && dirB.received.get > 0)
+      assert(ma.keySet.intersect(mb.keySet).isEmpty,
+        s"split aggregation: ${ma.keySet.intersect(mb.keySet)}")
+      // whole mass per series: 5 sends x (2+3) from the two entries
+      val union = ma ++ mb
+      assert(union.keySet === names.map(n => s"stats.$n").toSet)
+      names.foreach { n =>
+        assert(math.abs(union(s"stats.$n") - 25.0) < 1e-9,
+          s"$n mass ${union.get(s"stats.$n")}")
+      }
+      sockA.close(); sockB.close()
+    } finally {
+      Seq(qA, qB).foreach(q => Try(q.stop()))
+      Seq(gA, gB).foreach(g => Try(g.close()))
+      Seq(dirA, dirB).foreach(d => Try(d.close()))
+    }
+  }
 }
