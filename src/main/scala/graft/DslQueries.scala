@@ -483,7 +483,59 @@ object DslQueries {
         """SELECT name, t,
           |  CASE WHEN t >= 1704499200 AND t <= 1704585600
           |       THEN value ELSE NULL END AS value
-          | FROM series WHERE name = 'events.purchase.u1'""".stripMargin)))
+          | FROM series WHERE name = 'events.purchase.u1'""".stripMargin))),
+
+    // the remaining trailing-window members (same emitted-from-nth
+    // contract as movingAverage; min/max are NaN-skipping)
+    ("dsl_moving_sum",
+      dq("movingSum(events.error.u2, 5)"),
+      Some(multiQ(
+        s"""SELECT name, t, CASE WHEN cnt < 5 THEN NULL ELSE sm END AS value
+           | FROM (SELECT name, t,
+           |         row_number() OVER ($byNameT) AS rn,
+           |         count(value) OVER ($byNameT ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cnt,
+           |         sum(value) OVER ($byNameT ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sm
+           |       FROM series WHERE name = 'events.error.u2')
+           | WHERE rn >= 5""".stripMargin))),
+
+    ("dsl_moving_min",
+      dq("movingMin(events.view.u0, 5)"),
+      Some(multiQ(
+        s"""SELECT name, t, mn AS value
+           | FROM (SELECT name, t,
+           |         row_number() OVER ($byNameT) AS rn,
+           |         min(value) OVER ($byNameT ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mn
+           |       FROM series WHERE name = 'events.view.u0')
+           | WHERE rn >= 5""".stripMargin))),
+
+    ("dsl_moving_max",
+      dq("movingMax(events.view.u0, 5)"),
+      Some(multiQ(
+        s"""SELECT name, t, mx AS value
+           | FROM (SELECT name, t,
+           |         row_number() OVER ($byNameT) AS rn,
+           |         max(value) OVER ($byNameT ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mx
+           |       FROM series WHERE name = 'events.view.u0')
+           | WHERE rn >= 5""".stripMargin))),
+
+    // per-day odometer: exclusive running sum resetting at the
+    // interval boundary
+    ("dsl_integral_by_interval",
+      dq("integralByInterval(events.click.u1, '1d')"),
+      Some(multiQ(
+        """SELECT name, t,
+          |  coalesce(sum(value) OVER (
+          |    PARTITION BY name, t // 86400 ORDER BY t
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS value
+          | FROM series WHERE name = 'events.click.u1'""".stripMargin))),
+
+    // multi-node grouping: key = '.'-joined nodes 1,2 (type.bucket)
+    ("dsl_group_by_nodes",
+      dq("groupByNodes(events.*.*, 'sum', 1, 2)"),
+      Some(multiQ(
+        """SELECT split_part(name, '.', 2) || '.' || split_part(name, '.', 3) AS name,
+          |       t, sum(coalesce(value, 0.0)) AS value
+          | FROM series GROUP BY 1, 2""".stripMargin)))
   )
 
   /** Canonical tagged twin of the multi store (`ev.req;dc=uN;type=T`)

@@ -298,6 +298,16 @@ object Eval {
       O.movingMedian(df, windowPoints(ctx, rest.head))))
     add(Seq("stdev"))(onSeries((ctx, df, rest, _) =>
       O.stdev(df, windowPoints(ctx, rest.head))))
+    // graphite-web's remaining trailing-window members (extensions)
+    add(Seq("movingSum"))(onSeries((ctx, df, rest, _) =>
+      O.movingSum(df, windowPoints(ctx, rest.head))))
+    add(Seq("movingMin"))(onSeries((ctx, df, rest, _) =>
+      O.movingMin(df, windowPoints(ctx, rest.head))))
+    add(Seq("movingMax"))(onSeries((ctx, df, rest, _) =>
+      O.movingMax(df, windowPoints(ctx, rest.head))))
+    // per-interval reset integral (graphite-web; extension)
+    add(Seq("integralByInterval"))(onSeries((_, df, rest, _) =>
+      O.integralByInterval(df, durSec(rest.head))))
 
     // ----- series-set filters / top-k -----
     add(Seq("highestCurrent"))(onSeries((_, df, rest, _) =>
@@ -404,6 +414,12 @@ object Eval {
       O.groupByNode(df, num(rest(0)).toInt, str(rest(1)) match {
         case "average" => "avg"; case cf => cf
       })))
+    // multi-node generalization (graphite-web's groupByNodes:
+    // callback FIRST, then the node list — extension)
+    add(Seq("groupByNodes"))(onSeries((_, df, rest, _) =>
+      O.groupByNodes(df, str(rest.head) match {
+        case "average" => "avg"; case cf => cf
+      }, rest.drop(1).map(num(_).toInt))))
     // tag twins of the node functions (graphite-web's tagged-path
     // pair; extension beyond the reference's DSL)
     add(Seq("aliasByTags"))(onSeries((_, df, rest, _) =>

@@ -298,6 +298,35 @@ object SeriesOps {
     emitFromNth(df, Seq("value" -> stddev_samp(v).over(frame)), n)
   }
 
+  /** movingSum / movingMin / movingMax — graphite-web's remaining
+    * trailing-window members (extensions; same window contract as
+    * [[movingAverage]]: emitted from the n-th point, null until the
+    * window holds n known values for sum — min/max are NaN-skipping
+    * like their cross-series twins). */
+  def movingSum(df: DataFrame, n: Int): DataFrame = {
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val s = when(count(v).over(frame) < n, lit(null))
+      .otherwise(sum(v).over(frame))
+    emitFromNth(df, Seq("value" -> s), n)
+  }
+  def movingMin(df: DataFrame, n: Int): DataFrame =
+    emitFromNth(df, Seq("value" -> min(v).over(w.rowsBetween(-(n - 1), 0))), n)
+  def movingMax(df: DataFrame, n: Int): DataFrame =
+    emitFromNth(df, Seq("value" -> max(v).over(w.rowsBetween(-(n - 1), 0))), n)
+
+  /** integralByInterval(intervalSec) — running NaN-skipping sum that
+    * RESETS at each interval boundary (graphite-web; extension): the
+    * per-day odometer form of [[integral]]. Same exclusive-prefix
+    * semantics as [[integral]] (the reference accumulates before
+    * advancing), per (series, interval bucket). */
+  def integralByInterval(df: DataFrame, intervalSec: Long): DataFrame = {
+    val bucket = floor(col("t").cast("double") / intervalSec).cast("long")
+    val wb = Window.partitionBy(col("name"), bucket).orderBy(col("t"))
+    df.withColumn("value",
+      coalesce(sum(v).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+  }
+
   // ===== cross-series combines (vertical aggregation on the aligned
   // ===== grid) — reference reducers in series/seriesslice.go =====
 
@@ -476,6 +505,27 @@ object SeriesOps {
       case "avg" => sum(coalesce(v, lit(0.0))) / count(lit(1))
       case "max" => max(v)
       case "min" => min(v)
+    }
+    df.groupBy(key.as("name"), col("t")).agg(aggV.as("value"))
+  }
+
+  /** groupByNodes(cf, nodes…) — the multi-node generalization
+    * (graphite-web; extension): output name = the '.'-joined selected
+    * nodes, aggregator from the [[groupByNode]] set plus median (the
+    * reference quantile) and last (name-order, the `aggregate` member). */
+  def groupByNodes(df: DataFrame, cf: String, nodes: Seq[Int]): DataFrame = {
+    require(nodes.nonEmpty, "groupByNodes needs at least one node")
+    val key = array_join(
+      array(nodes.map(n => element_at(nameParts, n + 1)): _*), ".")
+    val aggV = cf match {
+      case "sum"    => sum(coalesce(v, lit(0.0)))
+      case "avg"    => sum(coalesce(v, lit(0.0))) / count(lit(1))
+      case "max"    => max(v)
+      case "min"    => min(v)
+      case "median" => refQuantile(sort_array(collect_list(v)), 0.5)
+      case "last"   => max_by(v, when(v.isNotNull, col("name")))
+      case other => throw new IllegalArgumentException(
+        s"groupByNodes: unknown aggregator '$other'")
     }
     df.groupBy(key.as("name"), col("t")).agg(aggV.as("value"))
   }

@@ -644,4 +644,35 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals("timeSlice('r.m', 10, 30)") ===
       Seq(None, Some(2.0), Some(4.0), Some(6.0), None))
   }
+
+  test("extension: moving window members, integralByInterval, groupByNodes") {
+    val s = spark; import s.implicits._
+    val ramp = (0 until 6).map(i => ("r.w", i * 10L, i * 1.0))
+    val c = Eval.Ctx(s, ramp.toDF("name", "t", "value"), 10, 0, 50)
+    def vals(expr: String): Seq[Option[Double]] =
+      Eval.evalExpr(c, expr)
+        .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+        .map(_._3).toSeq
+    // ramp 0..5: trailing-3 sums from the 3rd point
+    assert(vals("movingSum('r.w', 3)") ===
+      Seq(Some(3.0), Some(6.0), Some(9.0), Some(12.0)))
+    assert(vals("movingMin('r.w', 3)") ===
+      Seq(Some(0.0), Some(1.0), Some(2.0), Some(3.0)))
+    assert(vals("movingMax('r.w', 3)") ===
+      Seq(Some(2.0), Some(3.0), Some(4.0), Some(5.0)))
+    // interval 30s: exclusive running sum resets at t=30
+    assert(vals("integralByInterval('r.w', '30s')") ===
+      Seq(Some(0.0), Some(0.0), Some(1.0), Some(0.0), Some(3.0), Some(7.0)))
+    // groupByNodes joins the selected nodes and aggregates the set
+    val g = Eval.evalExpr(ctx, "groupByNodes('foo.*.baz', 'sum', 0, 2)")
+      .as[(String, Long, Option[Double])].collect()
+    assert(g.map(_._1).toSet === Set("foo.baz"))
+    assert(g.flatMap(_._3).forall(_ == 30.0))
+    val g2 = Eval.evalExpr(ctx, "groupByNodes('foo.*.baz', 'median', 1)")
+      .as[(String, Long, Option[Double])].collect()
+    assert(g2.map(_._1).toSet === Set("bar1", "bar2"))
+    intercept[IllegalArgumentException] {
+      Eval.evalExpr(ctx, "groupByNodes('foo.*.baz', 'mode', 1)").collect()
+    }
+  }
 }
