@@ -535,6 +535,15 @@ object DslQueries {
       Some(multiQ(
         """SELECT split_part(name, '.', 2) || '.' || split_part(name, '.', 3) AS name,
           |       t, sum(coalesce(value, 0.0)) AS value
+          | FROM series GROUP BY 1, 2""".stripMargin))),
+
+    // generic-cf wildcard collapse: user bucket wildcarded, max per
+    // collapsed (events.<type>.*) name
+    ("dsl_aggregate_wildcards",
+      dq("aggregateWithWildcards(events.*.*, 'max', 2)"),
+      Some(multiQ(
+        """SELECT split_part(name, '.', 1) || '.' || split_part(name, '.', 2) || '.*' AS name,
+          |       t, max(value) AS value
           | FROM series GROUP BY 1, 2""".stripMargin)))
   )
 

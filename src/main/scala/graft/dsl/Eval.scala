@@ -420,6 +420,12 @@ object Eval {
       O.groupByNodes(df, str(rest.head) match {
         case "average" => "avg"; case cf => cf
       }, rest.drop(1).map(num(_).toInt))))
+    // generic-cf wildcard collapse (graphite-web's
+    // aggregateWithWildcards: callback first, then positions)
+    add(Seq("aggregateWithWildcards"))(onSeries((_, df, rest, _) =>
+      O.aggregateWithWildcards(df, str(rest.head) match {
+        case "average" => "avg"; case cf => cf
+      }, rest.drop(1).map(num(_).toInt))))
     // tag twins of the node functions (graphite-web's tagged-path
     // pair; extension beyond the reference's DSL)
     add(Seq("aliasByTags"))(onSeries((_, df, rest, _) =>

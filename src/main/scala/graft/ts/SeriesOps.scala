@@ -480,6 +480,35 @@ object SeriesOps {
 
   private def nameParts = split(col("name"), "\\.")
 
+  /** Shared aggregator dispatch for the name-keyed grouping family
+    * ([[groupByNodes]], [[aggregateWithWildcards]]): the reference's
+    * sum/avg set extended with max/min, median (reference quantile)
+    * and last (name order). */
+  private def nodeAggOf(cf: String): Column = cf match {
+    case "sum"    => sum(coalesce(v, lit(0.0)))
+    case "avg"    => sum(coalesce(v, lit(0.0))) / count(lit(1))
+    case "max"    => max(v)
+    case "min"    => min(v)
+    case "median" => refQuantile(sort_array(collect_list(v)), 0.5)
+    case "last"   => max_by(v, when(v.isNotNull, col("name")))
+    case other => throw new IllegalArgumentException(
+      s"unknown aggregator '$other'")
+  }
+
+  /** aggregateWithWildcards(cf, positions…) — the generic-cf form of
+    * the wildcard collapse (graphite-web; extension): series whose
+    * names agree outside the wildcarded positions merge under
+    * [[nodeAggOf]]'s aggregator set. */
+  def aggregateWithWildcards(df: DataFrame, cf: String,
+      positions: Seq[Int]): DataFrame = {
+    val collapsed = array_join(
+      transform(nameParts, (p, i) =>
+        when(positions.foldLeft(lit(false))((acc, n) => acc || i === n),
+          lit("*")).otherwise(p)),
+      ".")
+    df.groupBy(collapsed.as("name"), col("t")).agg(nodeAggOf(cf).as("value"))
+  }
+
   /** sumSeriesWithWildcards(pos...) / averageSeriesWithWildcards —
     * collapse name node(s) to `*`, combine per collapsed name
     * (`dsl/funcs.go:684-798`) */
@@ -517,17 +546,7 @@ object SeriesOps {
     require(nodes.nonEmpty, "groupByNodes needs at least one node")
     val key = array_join(
       array(nodes.map(n => element_at(nameParts, n + 1)): _*), ".")
-    val aggV = cf match {
-      case "sum"    => sum(coalesce(v, lit(0.0)))
-      case "avg"    => sum(coalesce(v, lit(0.0))) / count(lit(1))
-      case "max"    => max(v)
-      case "min"    => min(v)
-      case "median" => refQuantile(sort_array(collect_list(v)), 0.5)
-      case "last"   => max_by(v, when(v.isNotNull, col("name")))
-      case other => throw new IllegalArgumentException(
-        s"groupByNodes: unknown aggregator '$other'")
-    }
-    df.groupBy(key.as("name"), col("t")).agg(aggV.as("value"))
+    df.groupBy(key.as("name"), col("t")).agg(nodeAggOf(cf).as("value"))
   }
 
   /** weightedAverage(avgSet, weightSet, node) — pair the two sets by name

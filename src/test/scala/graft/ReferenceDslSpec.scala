@@ -674,5 +674,10 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Eval.evalExpr(ctx, "groupByNodes('foo.*.baz', 'mode', 1)").collect()
     }
+    // aggregateWithWildcards: same dispatch, wildcarded key
+    val aw = Eval.evalExpr(ctx, "aggregateWithWildcards('foo.*.baz', 'max', 1)")
+      .as[(String, Long, Option[Double])].collect()
+    assert(aw.map(_._1).toSet === Set("foo.*.baz"))
+    assert(aw.flatMap(_._3).forall(_ == 20.0))
   }
 }
