@@ -573,7 +573,73 @@ object SimQueries {
            |)
            |SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
            |       ${Round6.r6Sql("cos")} AS cos
-           |FROM out WHERE cos >= $MinCos ORDER BY vec_a, vec_b""".stripMargin))
+           |FROM out WHERE cos >= $MinCos ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Maximal Marginal Relevance: diversity-aware top-8 against vec 0's
+    // embedding over a 16-candidate relevance pool — exact integer
+    // scores (quantized dots, integer weights 7/3), so the greedy
+    // selection replays bit-identically through the recursive CTE
+    ("sim_mmr",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .selectExpr("transform(embedding, x -> cast(x as double)) AS q")
+          .head.getSeq[Double](0)
+        Similarity.mmrSelect(e.filter(col("vec_id") =!= 0), q,
+            k = 8, poolN = 16)
+          .orderBy("rank")
+      }): Q,
+      Some(
+        """WITH RECURSIVE qv AS (
+          |  SELECT vec_id, list_transform(embedding,
+          |    e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), qq AS (
+          |  SELECT q FROM qv WHERE vec_id = 0
+          |), relt AS (
+          |  SELECT v.vec_id,
+          |    list_reduce(list_transform(generate_series(1, len(v.q)),
+          |      i -> v.q[i] * qq.q[i]), (a, b) -> a + b) AS rel,
+          |    v.q
+          |  FROM qv v, qq WHERE v.vec_id <> 0
+          |), pool AS (
+          |  SELECT vec_id, rel, q FROM relt ORDER BY rel DESC, vec_id LIMIT 16
+          |), ppk AS (
+          |  SELECT list(vec_id ORDER BY vec_id) AS ids,
+          |         list(rel ORDER BY vec_id) AS rels,
+          |         list(q ORDER BY vec_id) AS qs,
+          |         CAST(count(*) AS BIGINT) AS n
+          |  FROM pool
+          |), msel AS (
+          |  SELECT CAST(0 AS BIGINT) AS round, CAST([] AS BIGINT[]) AS picked,
+          |         CAST(NULL AS BIGINT) AS pick, CAST(NULL AS BIGINT) AS score
+          |  FROM ppk
+          |  UNION ALL
+          |  SELECT round + 1, list_append(picked, bi), bi,
+          |         scores[CAST(bi AS INT)]
+          |  FROM (
+          |    SELECT round, picked, scores,
+          |      CAST(list_position(scores, list_max(scores)) AS BIGINT) AS bi
+          |    FROM (
+          |      SELECT m.round, m.picked,
+          |        list_transform(generate_series(1, CAST(p.n AS INT)), i ->
+          |          CASE WHEN list_contains(m.picked, CAST(i AS BIGINT)) THEN NULL
+          |               ELSE 7 * p.rels[i] -
+          |                 CASE WHEN len(m.picked) = 0 THEN 0
+          |                      ELSE 3 * list_max(list_transform(m.picked, j ->
+          |                        list_reduce(list_transform(
+          |                          generate_series(1, len(p.qs[i])),
+          |                          dd -> p.qs[i][dd] * p.qs[CAST(j AS INT)][dd]),
+          |                          (a, b) -> a + b)))
+          |                 END
+          |          END) AS scores
+          |      FROM msel m, ppk p
+          |      WHERE m.round < 8 AND len(m.picked) < p.n
+          |    )
+          |  )
+          |)
+          |SELECT m.round AS rank, p.ids[CAST(m.pick AS INT)] AS vec_id, m.score AS score
+          |FROM msel m, ppk p WHERE m.round >= 1 ORDER BY rank""".stripMargin))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

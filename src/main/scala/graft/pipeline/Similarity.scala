@@ -126,6 +126,85 @@ object Similarity {
         col("vec_id"), col("cos"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998)
+    * — the diversity-aware top-k a few-shot / eval-set / RAG-context
+    * builder wants: greedily pick `k` items trading relevance to the
+    * query against redundancy with what is already picked,
+    * `next = argmax  wRel·rel(d) − wDiv·max_{s∈picked} sim(d, s)`
+    * (the first pick is pure relevance). Plain relevance top-k hands
+    * back k near-duplicates of the best hit; MMR hands back k
+    * DIFFERENT good hits.
+    *
+    * Scale shape: relevance scoring is the distributed part — one
+    * map-side quantized-dot scan of the corpus, TakeOrdered into a
+    * `poolN`-row candidate pool. The selection loop is inherently
+    * sequential (each pick reshapes every survivor's score) and runs
+    * on the POOL ONLY: ≤ poolN·Dim longs of driver state and
+    * O(k·poolN·Dim) integer ops — the k-means centroid-bounce class,
+    * require-bounded.
+    *
+    * Determinism contract (the kmeans idiom): rel and sim are EXACT
+    * integer dots over [[qvec]]-quantized vectors, the weights are
+    * integers, so every score is an exact BIGINT both engines compute
+    * identically; ties break by (score desc, vec_id asc) and the pool
+    * cutoff by (rel desc, vec_id asc). Returns (rank, vec_id, score)
+    * with `score` in the exact integer domain. */
+  def mmrSelect(corpus: DataFrame, queryVec: Seq[Double], k: Int,
+      poolN: Int = 256, wRel: Long = 7L, wDiv: Long = 3L): DataFrame = {
+    require(k >= 1 && poolN >= 1, "k, poolN >= 1")
+    require(poolN <= 100000,
+      s"poolN $poolN exceeds the driver-state bound of the MMR pool " +
+        "(poolN x Dim longs bounce through the driver)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qq = queryVec.map(x => math.floor(x * 10000d + 0.5d).toLong)
+    val qqLit = array(qq.map(lit(_)): _*)
+    val rel = aggregate(zip_with(qvec(emb), qqLit, (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    // distributed: score + TakeOrdered pool (orderBy+limit, no
+    // single-partition window), then the bounded driver bounce
+    val pool = corpus.select(col("vec_id").cast("long").as("vec_id"),
+        qvec(emb).as("qv"), rel.as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(poolN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1) // vec_id frame: first-wins argmax == lowest vec_id
+    val n = pool.length
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val pickedFlag = Array.fill(n)(false)
+    val maxSim = Array.fill(n)(Long.MinValue) // exact once >= 1 pick made
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var round = 0
+    while (round < math.min(k, n)) {
+      var bi = -1; var best = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!pickedFlag(i)) {
+          val s =
+            if (round == 0) wRel * pool(i)._3
+            else wRel * pool(i)._3 - wDiv * maxSim(i)
+          if (s > best) { best = s; bi = i } // first wins ties
+        }
+        i += 1
+      }
+      pickedFlag(bi) = true
+      out += (((round + 1).toLong, pool(bi)._1, best))
+      i = 0
+      while (i < n) {
+        if (!pickedFlag(i))
+          maxSim(i) = math.max(maxSim(i), dot(pool(i)._2, pool(bi)._2))
+        i += 1
+      }
+      round += 1
+    }
+    out.toSeq.toDF("rank", "vec_id", "score")
+  }
+
   /** Scale tier of [[hardNegatives]]: over-fetch `k·overFetch`
     * candidates from the k-means IVF index, drop same-label rows,
     * keep the k nearest survivors. Approximate on two axes a

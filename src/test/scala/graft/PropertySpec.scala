@@ -1351,4 +1351,29 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       app.stop()
     }
   }
+
+  test("mmrSelect: diversity beats redundancy; pure-relevance degenerate") {
+    val s = spark; import s.implicits._
+    // query along dim 0. Candidates 1 and 2 are twins whose MUTUAL
+    // similarity (dot 2.0) exceeds their relevance (dot 1.0) — the
+    // redundancy penalty outweighs 2's relevance edge over 3, which
+    // points AWAY from the twins in dim 1 (sim −0.1). Pure relevance
+    // = (1, 2, 3); MMR must pick 1, JUMP to 3, take 2 last.
+    val q = Seq(1.0, 0.0, 0.0)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.9f, -1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val picks = graft.pipeline.Similarity.mmrSelect(corpus, q, k = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(picks === Seq(1L, 3L, 2L))
+    // wDiv = 0 degenerates to pure relevance order
+    val rel = graft.pipeline.Similarity.mmrSelect(corpus, q, k = 3, wDiv = 0L)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(rel === Seq(1L, 2L, 3L))
+    // k past the pool: every candidate emitted once, no repeats
+    val all = graft.pipeline.Similarity.mmrSelect(corpus, q, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all.sorted === Seq(1L, 2L, 3L))
+  }
 }
