@@ -1161,6 +1161,16 @@ object Daemon {
       if (shardCount <= 1) None
       else Some(new Shard.Director(shardIndex, shardCount,
         new Shard.Forwarder(peersOf("GRAFT_SHARD_PEERS"))))
+    // pickle frames decode AT the gateway and direct too (the
+    // reference's pickle listener parses before its director); foreign
+    // points forward as marked text into the owner's GRAPHITE gateway
+    // (all point protocols funnel into the one receiver), so the
+    // pickle director dials the same graphite peer ports — on its own
+    // connections, preserving per-path ordering
+    val pkDirector: Option[Shard.PickleDirector] =
+      if (shardCount <= 1) None
+      else Some(new Shard.PickleDirector(shardIndex, shardCount,
+        new Shard.Forwarder(peersOf("GRAFT_SHARD_PEERS"))))
     // statsd directs too (the reference's director sits behind every
     // protocol) when the statsd peer ports are given; ownership keys
     // on the sanitized WIRE name — see [[Shard.Director]]
@@ -1178,7 +1188,8 @@ object Daemon {
       route = sdDirector.map(d => d.route _).getOrElse(Some(_: String)))
     val pkGw = new LineGateway(
       portOf("GRAFT_PICKLE_PORT", conf.flatMap(_.picklePort), 2004), 0,
-      framed = true)
+      framed = true,
+      route = pkDirector.map(d => d.route _).getOrElse(Some(_: String)))
     // both fed by the HTTP handler (pixelRoute), not a listen socket:
     // bare /pixel dp lines feed the receiver, /pixel/* commands their
     // own lifecycle
@@ -1280,6 +1291,7 @@ object Daemon {
         java.nio.file.Paths.get(pf))))
       Try(blaster.close())
       (director ++ sdDirector).foreach(d => Try(d.close()))
+      pkDirector.foreach(d => Try(d.close()))
       Seq(gGw, sGw, pkGw, pxDpGw, pxGw).foreach(gw => Try(gw.close()))
       Try(http.stop(0))
       spark.streams.active.foreach(q => Try(q.stop()))

@@ -192,4 +192,50 @@ object Shard {
 
     def close(): Unit = forwarder.close()
   }
+
+  /** Pickle-frame director — the carbon-pickle protocol's member of
+    * the shard tier. The reference's pickle listener PARSES frames
+    * before the director sees the points (`daemon/graphite_pickle.go`
+    * → the shared receiver), and so does this: each base64 frame the
+    * pickle gateway relays is decoded AT THE GATEWAY, its owned
+    * points re-encode into a local frame, and its foreign points
+    * forward as MARKED canonical graphite TEXT lines to their owner's
+    * graphite gateway — legitimate because every point protocol
+    * funnels into the ONE receiver ([[Daemon.startReceiver]] unions
+    * graphite + pickle into shared PDP state), so a text-forwarded
+    * pickle point is semantically identical to a framed one. The
+    * canonical name is computed before re-emission (sanitization is
+    * idempotent, and canonical names carry no whitespace, so the text
+    * framing is safe); `Double.toString` round-trips values exactly
+    * and the parse normalizes NaN/Inf tokens. Undecodable frames pass
+    * through for the executor-side parse to drop, like malformed
+    * text lines. */
+  final class PickleDirector(val shardIndex: Int, val shardCount: Int,
+      forwarder: Forwarder) {
+    require(shardIndex >= 0 && shardIndex < shardCount,
+      s"shard index $shardIndex outside 0..${shardCount - 1}")
+    val kept = new AtomicLong // points kept in local frames
+    val forwardedPoints = new AtomicLong
+
+    def route(b64: String): Option[String] = {
+      val pts =
+        try Pickle.decodeFrames(java.util.Base64.getDecoder.decode(b64))
+        catch { case _: Exception => return Some(b64) } // executor drops it
+      val (mine, theirs) = pts.partition(p =>
+        owner(canonicalName(p.name), shardCount) == shardIndex)
+      theirs.foreach { p =>
+        val canon = canonicalName(p.name)
+        forwarder.send(owner(canon, shardCount),
+          FwdMarker + s"$canon ${p.value} ${p.tsSec}")
+        forwardedPoints.incrementAndGet(); ()
+      }
+      kept.addAndGet(mine.size.toLong)
+      if (mine.isEmpty) None
+      else if (theirs.isEmpty) Some(b64) // untouched frame, no re-encode
+      else Some(java.util.Base64.getEncoder
+        .encodeToString(Pickle.encodeFrame(mine)))
+    }
+
+    def close(): Unit = forwarder.close()
+  }
 }

@@ -268,4 +268,81 @@ class ShardSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(dirA, dirB).foreach(d => Try(d.close()))
     }
   }
+
+  test("pickle frames direct too: decode at the gateway, text-forward foreign points") {
+    val s = spark
+    import graft.streaming.Pickle
+    val root = Files.createTempDirectory("graft-shard-pk").toString
+    val base = (System.currentTimeMillis() / 1000L - 4000) / 10 * 10
+    val gwA0 = new ServerSocket(0); val pA = gwA0.getLocalPort; gwA0.close()
+    val gwB0 = new ServerSocket(0); val pB = gwB0.getLocalPort; gwB0.close()
+    // graphite directors on the graphite gateways; the pickle director
+    // forwards INTO the graphite ports (marked text)
+    val dirA = new Shard.Director(0, 2, new Shard.Forwarder(Seq(pA, pB)))
+    val dirB = new Shard.Director(1, 2, new Shard.Forwarder(Seq(pA, pB)))
+    val pkDirA = new Shard.PickleDirector(0, 2, new Shard.Forwarder(Seq(pA, pB)))
+    val pkDirB = new Shard.PickleDirector(1, 2, new Shard.Forwarder(Seq(pA, pB)))
+    val gA = new Daemon.LineGateway(pA, 0, route = dirA.route)
+    val gB = new Daemon.LineGateway(pB, 0, route = dirB.route)
+    val pkA = new Daemon.LineGateway(0, 0, framed = true, route = pkDirA.route)
+    val pkB = new Daemon.LineGateway(0, 0, framed = true, route = pkDirB.route)
+    val gC = new Daemon.LineGateway(0, 0)
+    val pkC = new Daemon.LineGateway(0, 0, framed = true)
+    def recv(g: Daemon.LineGateway, pk: Daemon.LineGateway, tag: String) =
+      Daemon.startReceiver(s, g.boundFeedPort, pk.boundFeedPort,
+        s"$root/$tag/points", stepSec = 10, heartbeatSec = 7200,
+        checkpointDir = s"$root/$tag/ckpt")
+    val qA = recv(gA, pkA, "a"); val qB = recv(gB, pkB, "b")
+    val qC = recv(gC, pkC, "c")
+    try {
+      // 8 series, values with awkward decimals (text round-trip must
+      // be exact); per-series entry fixed: frames to A carry series
+      // 1-4, frames to B carry 5-8 — ownership is hash-spread, so
+      // frames split between local re-encode and text forwarding
+      val names = (1 to 8).map(i => s"pk$i.m")
+      def ptsOf(k: Int): Seq[Pickle.Point] =
+        names.zipWithIndex.map { case (n, i) =>
+          Pickle.Point(n, base + k * 10L, (i + 1) * 1.1 + k * 0.01) }
+      def frameFor(entry: Int, k: Int): String =
+        java.util.Base64.getEncoder.encodeToString(Pickle.encodeFrame(
+          ptsOf(k).filter(p => (names.indexOf(p.name) < 4) == (entry == 0))))
+      (0 until 6).foreach { k =>
+        pkA.offer(frameFor(0, k)); pkB.offer(frameFor(1, k))
+        pkC.offer(java.util.Base64.getEncoder.encodeToString(
+          Pickle.encodeFrame(ptsOf(k))))
+      }
+      def rows(tag: String): Long =
+        Try(Ingest.readArchive(s, s"$root/$tag/points").count())
+          .getOrElse(0L)
+      val want = 8L * 5L
+      val deadline = System.currentTimeMillis() + 120000
+      while ((rows("a") + rows("b") < want || rows("c") < want) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        Seq(qA, qB, qC).foreach(_.processAllAvailable())
+      }
+      Seq(qA, qB, qC).foreach(_.processAllAvailable())
+      assert(pkDirA.forwardedPoints.get > 0 && pkDirB.forwardedPoints.get > 0,
+        "pickle text-forwarding must fire in both directions")
+      def misOwned(tag: String, own: Int): Long =
+        Ingest.readArchive(s, s"$root/$tag/points")
+          .select(col("name")).distinct()
+          .filter(pmod(xxhash64(col("name")), lit(2L)).cast("int") =!= own)
+          .count()
+      assert(misOwned("a", 0) === 0 && misOwned("b", 1) === 0)
+      def rowsOf(dirs: Seq[String]): Set[(String, Long, Double)] =
+        Ingest.readArchives(s, dirs).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val union = rowsOf(Seq(s"$root/a/points", s"$root/b/points"))
+      val single = rowsOf(Seq(s"$root/c/points"))
+      assert(union === single,
+        "pickle-sharded union diverged from the single daemon")
+      assert(union.size.toLong === want)
+    } finally {
+      Seq(qA, qB, qC).foreach(q => Try(q.stop()))
+      Seq(gA, gB, gC, pkA, pkB, pkC).foreach(g => Try(g.close()))
+      Seq(dirA, dirB).foreach(d => Try(d.close()))
+      Seq(pkDirA, pkDirB).foreach(d => Try(d.close()))
+    }
+  }
 }
