@@ -246,8 +246,9 @@ object ClusterSmoke {
       val ss = new ServerSocket(0); val p = ss.getLocalPort; ss.close(); p
     }
     val Seq(pA, pB, pC) = Seq.fill(3)(freePort())
+    val Seq(hA, hB, hC) = Seq.fill(3)(freePort())
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    def daemon(tag: String, gPort: Int,
+    def daemon(tag: String, gPort: Int, hPort: Int,
         shard: Option[(Int, Int, String)]): Process = {
       val env = Map(
         "GRAFT_DATA_DIR" -> s"$root/$tag",
@@ -257,7 +258,7 @@ object ClusterSmoke {
         "GRAFT_GRAPHITE_PORT" -> gPort.toString,
         "GRAFT_STATSD_PORT" -> freePort().toString,
         "GRAFT_PICKLE_PORT" -> freePort().toString,
-        "GRAFT_HTTP_PORT" -> freePort().toString) ++
+        "GRAFT_HTTP_PORT" -> hPort.toString) ++
         shard.map { case (i, n, peers) => Map(
           "GRAFT_SHARD_INDEX" -> i.toString,
           "GRAFT_SHARD_COUNT" -> n.toString,
@@ -303,9 +304,9 @@ object ClusterSmoke {
     }
     val peers = s"$pA,$pB"
     val procs = Seq(
-      daemon("a", pA, Some((0, 2, peers))),
-      daemon("b", pB, Some((1, 2, peers))),
-      daemon("c", pC, None))
+      daemon("a", pA, hA, Some((0, 2, peers))),
+      daemon("b", pB, hB, Some((1, 2, peers))),
+      daemon("c", pC, hC, None))
     val logs = Seq.fill(3)(new StringBuilder)
     procs.zip(logs).foreach { case (p, l) => drain(p, l) }
     try {
@@ -359,11 +360,32 @@ object ClusterSmoke {
       val union = testSet(Seq(s"$root/a/points", s"$root/b/points"))
       val single = testSet(Seq(s"$root/c/points"))
       socks.foreach(s => Try(s.close()))
+      // the shard counters surface on /stats (the reference's
+      // stats.forwarded / forwarded_to ops visibility)
+      def statsOf(port: Int): String = Try {
+        val c = new java.net.URL(s"http://127.0.0.1:$port/stats")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setConnectTimeout(5000); c.setReadTimeout(30000)
+        val body = new String(c.getInputStream.readAllBytes(), "UTF-8")
+        c.disconnect(); body
+      }.getOrElse("")
+      def statLong(body: String, k: String): Long =
+        s""""$k":(\\d+)""".r.findFirstMatchIn(body)
+          .map(_.group(1).toLong).getOrElse(-1L)
+      val (stA, stB) = (statsOf(hA), statsOf(hB))
+      val statsOk =
+        statLong(stA, "shard.index") == 0L &&
+          statLong(stB, "shard.index") == 1L &&
+          statLong(stA, "shard.graphite.forwarded") > 0L &&
+          statLong(stB, "shard.graphite.forwarded") > 0L &&
+          statLong(stA, "shard.graphite.fwd_dropped") == 0L &&
+          statLong(stB, "shard.graphite.fwd_dropped") == 0L
       val ok = misOwned("a", 0) == 0 && misOwned("b", 1) == 0 &&
         union == single && union.size.toLong == want &&
-        union.exists(_._1 == "tag.m;dc=east;zone=z")
+        union.exists(_._1 == "tag.m;dc=east;zone=z") && statsOk
       if (!ok) println(s"shard check: union=${union.size} single=" +
-        s"${single.size} misA=${misOwned("a", 0)} misB=${misOwned("b", 1)}")
+        s"${single.size} misA=${misOwned("a", 0)} misB=${misOwned("b", 1)} " +
+        s"statsOk=$statsOk statsA=${stA.take(400)}")
       ok
     } finally {
       procs.foreach { p =>

@@ -205,6 +205,30 @@ object Similarity {
     out.toSeq.toDF("rank", "vec_id", "score")
   }
 
+  /** Scale tier of [[mmrSelect]]: the relevance pool comes from the
+    * IVF index (nProbe nearest buckets) instead of a full corpus scan
+    * — approximate on the same axis every IVF read is (out-of-bucket
+    * candidates are invisible), while the greedy selection over the
+    * pool stays EXACT integer math. Converges on [[mmrSelect]] when
+    * probing covers the corpus and poolN admits it (spec-pinned with
+    * kmK ≤ [[IvfProbe]] and poolN ≥ |corpus| — every bucket probed,
+    * both pools are then the whole corpus). The query joins the index
+    * as a one-row frame; everything after the pool is the bounded
+    * driver bounce. */
+  def mmrSelectIvf(corpus: DataFrame, queryVec: Seq[Double], k: Int,
+      poolN: Int = 256, wRel: Long = 7L, wDiv: Long = 3L,
+      kmK: Int = KmK, iters: Int = KmIters): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qdf = Seq((-1L, queryVec.map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val poolIds = topKIvfWith(corpus, kmeansCentroids(corpus, kmK, iters),
+        qdf, poolN)
+      .select(col("vec_id"))
+    mmrSelect(corpus.join(broadcast(poolIds), Seq("vec_id"), "left_semi"),
+      queryVec, k, poolN, wRel, wDiv)
+  }
+
   /** Scale tier of [[hardNegatives]]: over-fetch `k·overFetch`
     * candidates from the k-means IVF index, drop same-label rows,
     * keep the k nearest survivors. Approximate on two axes a

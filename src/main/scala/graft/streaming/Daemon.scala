@@ -716,7 +716,8 @@ object Daemon {
       blaster: Option[Blaster.LiveBlaster] = None,
       allowOrigin: Option[String] = None,
       queryCacheSize: Int = 512,
-      renderConcurrency: Int = 64): HttpServer = {
+      renderConcurrency: Int = 64,
+      extraStats: () => String = () => ""): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // Concurrent request dispatch — the reference's Go HTTP server runs
     // one goroutine per request and bounds only the render fan-out
@@ -1012,7 +1013,8 @@ object Daemon {
         s""""http.max_in_flight":${httpMaxInFlight.get},""" +
         s""""render.in_flight":${renderInFlight.get},""" +
         s""""render.max_in_flight":${renderMaxInFlight.get},""" +
-        s""""render.permits_available":${renderPermits.availablePermits}}"""
+        s""""render.permits_available":${renderPermits.availablePermits}""" +
+        extraStats() + "}"
     })
 
     // /quantiles?name=a.b.c&q=0.5,0.99&window=3600 — value quantiles of
@@ -1252,7 +1254,30 @@ object Daemon {
       // (sample:35 "Default is 0 == cache disabled"); the sample
       // config sets 512
       queryCacheSize = sys.env.get("GRAFT_QUERY_CACHE_SIZE").map(_.toInt)
-        .getOrElse(conf.map(_.queryCacheSize).getOrElse(0)))
+        .getOrElse(conf.map(_.queryCacheSize).getOrElse(0)),
+      // ops visibility for the shard tier — the reference's
+      // stats.forwarded / forwarded_to counters (director.go:105-107)
+      extraStats = () =>
+        if (shardCount <= 1) ""
+        else {
+          val d = director.get
+          val pk = pkDirector.get
+          val sd = sdDirector
+          s""","shard.index":$shardIndex,"shard.count":$shardCount""" +
+            s""","shard.graphite.kept":${d.kept.get}""" +
+            s""","shard.graphite.received":${d.received.get}""" +
+            s""","shard.graphite.forwarded":${d.forwarder.forwarded.get}""" +
+            s""","shard.graphite.fwd_dropped":${d.forwarder.dropped.get}""" +
+            s""","shard.pickle.kept":${pk.kept.get}""" +
+            s""","shard.pickle.forwarded":${pk.forwardedPoints.get}""" +
+            s""","shard.pickle.fwd_dropped":${pk.forwarder.dropped.get}""" +
+            sd.map(x =>
+              s""","shard.statsd.kept":${x.kept.get}""" +
+                s""","shard.statsd.received":${x.received.get}""" +
+                s""","shard.statsd.forwarded":${x.forwarder.forwarded.get}""" +
+                s""","shard.statsd.fwd_dropped":${x.forwarder.dropped.get}""")
+              .getOrElse("")
+        })
     // pid-file (daemon/config.go:36; savePid at boot): written before
     // the banner so supervisors can signal immediately. Env wins over
     // conf, same precedence as every other GRAFT_* override.

@@ -170,7 +170,7 @@ object Shard {
     * daemon's; the stored names carry type-routing prefixes and are
     * derived, not the partition key). */
   final class Director(val shardIndex: Int, val shardCount: Int,
-      forwarder: Forwarder,
+      val forwarder: Forwarder,
       parseName: String => Option[String] = nameOf,
       canon: String => String = canonicalName) {
     require(shardIndex >= 0 && shardIndex < shardCount,
@@ -211,7 +211,7 @@ object Shard {
     * through for the executor-side parse to drop, like malformed
     * text lines. */
   final class PickleDirector(val shardIndex: Int, val shardCount: Int,
-      forwarder: Forwarder) {
+      val forwarder: Forwarder) {
     require(shardIndex >= 0 && shardIndex < shardCount,
       s"shard index $shardIndex outside 0..${shardCount - 1}")
     val kept = new AtomicLong // points kept in local frames

@@ -1376,4 +1376,23 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("vec_id").as[Long].collect().toSeq
     assert(all.sorted === Seq(1L, 2L, 3L))
   }
+
+  test("mmrSelectIvf == mmrSelect when probing covers the corpus") {
+    val s = spark; import s.implicits._
+    import graft.pipeline.Similarity
+    val corpus = (0L until 30L).map(i => (i,
+      Array.tabulate(Similarity.Dim)(d =>
+        (((i * 13 + d * 7) % 17).toFloat - 8f) / 8f).toSeq))
+      .toDF("vec_id", "embedding")
+    val q = Array.tabulate(Similarity.Dim)(d =>
+      (((d * 5) % 11).toDouble - 5.0) / 8.0).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    // kmK 4 <= IvfProbe 4 and poolN >= |corpus|: every bucket probed,
+    // both pools are the whole corpus -> identical greedy selection
+    val exact = rows(Similarity.mmrSelect(corpus, q, k = 6, poolN = 64))
+    val ivf = rows(Similarity.mmrSelectIvf(corpus, q, k = 6, poolN = 64,
+      kmK = 4, iters = 1))
+    assert(exact.nonEmpty && ivf === exact)
+  }
 }
