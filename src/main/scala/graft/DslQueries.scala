@@ -537,6 +537,25 @@ object DslQueries {
           |       t, sum(coalesce(value, 0.0)) AS value
           | FROM series GROUP BY 1, 2""".stripMargin))),
 
+    // removeEmptySeries with an xFilesFactor: removeAboveValue(3)
+    // leaves each series 1.2-5% known; xff=0.02 drops exactly the
+    // view.u2 series (exact count fractions — no float noise)
+    ("dsl_remove_empty",
+      dq("removeEmptySeries(removeAboveValue(group(events.*.u2), 3), 0.02)"),
+      Some(multiQ(
+        """SELECT s.name, s.t,
+          |  CASE WHEN s.value > 3.0 THEN NULL ELSE s.value END AS value
+          | FROM series s JOIN (
+          |   SELECT name FROM (
+          |     SELECT name,
+          |       CAST(count(*) FILTER (WHERE value <= 3.0) AS DOUBLE)
+          |         / count(*) AS f
+          |     FROM series
+          |     WHERE regexp_matches(name, '^events\.[^.]*\.u2$')
+          |     GROUP BY name)
+          |   WHERE f >= 0.02) k USING (name)
+          | WHERE regexp_matches(s.name, '^events\.[^.]*\.u2$')""".stripMargin))),
+
     // generic-cf wildcard collapse: user bucket wildcarded, max per
     // collapsed (events.<type>.*) name
     ("dsl_aggregate_wildcards",

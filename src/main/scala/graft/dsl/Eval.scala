@@ -356,6 +356,10 @@ object Eval {
       O.currentAbove(df, num(rest.head))))
     add(Seq("currentBelow"))(onSeries((_, df, rest, _) =>
       O.currentBelow(df, num(rest.head))))
+    // graphite-web's removeEmptySeries (extension): drop all-unknown
+    // series; optional xFilesFactor raises the known-fraction bar
+    add(Seq("removeEmptySeries"))(onSeries((_, df, rest, _) =>
+      O.removeEmptySeries(df, rest.headOption.map(num).getOrElse(0.0))))
     // graphite-web 1.1's GENERIC combine — aggregate(series, 'func')
     // subsumes the xxxSeries family; output series is named
     // 'aggregate' (extension; dispatch documented per member)

@@ -639,7 +639,8 @@ object SeriesOps {
       min(v).as("smin"),
       sum(v).as("ssum"),
       stddev_samp(v).as("sstd"),
-      max_by(v, when(v.isNotNull, col("t"))).as("slast"))
+      max_by(v, when(v.isNotNull, col("t"))).as("slast"),
+      (count(v).cast("double") / count(lit(1))).as("sfrac"))
 
   /** [[summaries]] plus the series rows themselves, packed as a
     * `(t, value)` struct array — ONE aggregation pass, so the
@@ -663,6 +664,7 @@ object SeriesOps {
       sum(v).as("ssum"),
       stddev_samp(v).as("sstd"),
       max_by(v, when(v.isNotNull, col("t"))).as("slast"),
+      (count(v).cast("double") / count(lit(1))).as("sfrac"),
       collect_list(struct(col("t"), v.as("value"))).as("__pts"))
 
   /** Re-explode a [[packedSummaries]] selection back to series rows.
@@ -713,6 +715,15 @@ object SeriesOps {
     * Same one-pass packed machinery (slast). */
   def currentAbove(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("slast") > x)
   def currentBelow(df: DataFrame, x: Double): DataFrame = keepWhere(df, col("slast") < x)
+
+  /** removeEmptySeries(xff) — graphite-web's dashboard-hygiene filter
+    * (extension): drop series the viewport knows nothing about.
+    * `xff ≤ 0` keeps any series with at least ONE known point (the
+    * graphite default); `xff > 0` requires the known fraction of the
+    * series' grid rows to reach it. Same one-pass packed machinery. */
+  def removeEmptySeries(df: DataFrame, xff: Double = 0.0): DataFrame =
+    keepWhere(df,
+      if (xff <= 0.0) col("sfrac") > 0.0 else col("sfrac") >= xff)
 
   /** useSeriesAbove(value, search, replace) — `dsl/funcs.go:2237-2253` */
   def useSeriesAbove(df: DataFrame, x: Double, search: String, replace: String): DataFrame =

@@ -674,6 +674,20 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Eval.evalExpr(ctx, "groupByNodes('foo.*.baz', 'mode', 1)").collect()
     }
+    // removeEmptySeries: the all-null series drops; xff raises the bar
+    val gap = (0 until 10).flatMap(i => Seq(
+      ("re.full", i * 10L, Some(1.0)),
+      ("re.half", i * 10L, if (i < 5) Some(2.0) else None),
+      ("re.none", i * 10L, None: Option[Double])))
+    val rc = Eval.Ctx(s, gap.toDF("name", "t", "value"), 10, 0, 90)
+    def keptNames(expr: String): Set[String] =
+      Eval.evalExpr(rc, expr)
+        .as[(String, Long, Option[Double])].collect().map(_._1).toSet
+    assert(keptNames("removeEmptySeries('re.*')") ===
+      Set("re.full", "re.half"))
+    assert(keptNames("removeEmptySeries('re.*', 0.6)") === Set("re.full"))
+    assert(keptNames("removeEmptySeries('re.*', 0.5)") ===
+      Set("re.full", "re.half")) // fraction >= xff keeps the boundary
     // aggregateWithWildcards: same dispatch, wildcarded key
     val aw = Eval.evalExpr(ctx, "aggregateWithWildcards('foo.*.baz', 'max', 1)")
       .as[(String, Long, Option[Double])].collect()
