@@ -529,12 +529,24 @@ object DslQueries {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS value
           | FROM series WHERE name = 'events.click.u1'""".stripMargin))),
 
-    // multi-node grouping: key = '.'-joined nodes 1,2 (type.bucket)
+    // multi-node grouping: key = '.'-joined nodes 1,2 (type.bucket);
+    // graphite-web safeSum skips Nones (all-gap slot stays a gap)
     ("dsl_group_by_nodes",
       dq("groupByNodes(events.*.*, 'sum', 1, 2)"),
       Some(multiQ(
         """SELECT split_part(name, '.', 2) || '.' || split_part(name, '.', 3) AS name,
-          |       t, sum(coalesce(value, 0.0)) AS value
+          |       t, sum(value) AS value
+          | FROM series GROUP BY 1, 2""".stripMargin))),
+
+    // null-skipping avg (graphite-web safeAvg): removeAboveValue gaps
+    // the high points first, so slots where some members are gapped
+    // pin the divide-by-known-count semantics (gap-as-zero would
+    // deflate them)
+    ("dsl_group_by_nodes_avg",
+      dq("groupByNodes(removeAboveValue(events.*.*, 3), 'avg', 1)"),
+      Some(multiQ(
+        """SELECT split_part(name, '.', 2) AS name, t,
+          |       avg(CASE WHEN value > 3.0 THEN NULL ELSE value END) AS value
           | FROM series GROUP BY 1, 2""".stripMargin))),
 
     // removeEmptySeries with an xFilesFactor: removeAboveValue(3)
@@ -563,7 +575,76 @@ object DslQueries {
       Some(multiQ(
         """SELECT split_part(name, '.', 1) || '.' || split_part(name, '.', 2) || '.*' AS name,
           |       t, max(value) AS value
-          | FROM series GROUP BY 1, 2""".stripMargin)))
+          | FROM series GROUP BY 1, 2""".stripMargin))),
+
+    // name-surgery pair: grep keeps matching names (exclude's dual)...
+    ("dsl_grep",
+      dq("grep(events.*.*, 'click')"),
+      Some(multiQ(
+        """SELECT name, t, value FROM series
+          | WHERE regexp_matches(name, 'click')""".stripMargin))),
+
+    // ...and substr slices name nodes (start=1, to the end)
+    ("dsl_substr",
+      dq("substr(events.*.u0, 1)"),
+      Some(multiQ(
+        """SELECT split_part(name, '.', 2) || '.' || split_part(name, '.', 3) AS name,
+          |       t, value FROM series
+          | WHERE regexp_matches(name, '^events\.[^.]*\.u0$')""".stripMargin))),
+
+    // empty primary set falls back to the second expression
+    ("dsl_fallback",
+      dq("fallbackSeries(events.zzz.*, events.click.u0)"),
+      Some(multiQ(
+        """SELECT name, t, value FROM series
+          | WHERE name = 'events.click.u0'""".stripMargin))),
+
+    // linear interior gap fill: removeAboveValue(3) gaps the high
+    // points, interpolate rejoins the known neighbors along the line;
+    // leading/trailing unknowns stay unknown in both engines
+    ("dsl_interpolate",
+      dq("interpolate(removeAboveValue(events.view.u0, 3))"),
+      Some(multiQ(
+        """SELECT name, t,
+          |  CASE WHEN value IS NOT NULL THEN value
+          |       WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+          |         pv + (nv - pv) * CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)
+          |       ELSE NULL END AS value
+          | FROM (
+          |  SELECT name, t, value,
+          |    last_value(value IGNORE NULLS) OVER (PARTITION BY name ORDER BY t
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          |    last_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS)
+          |      OVER (PARTITION BY name ORDER BY t
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+          |    first_value(value IGNORE NULLS) OVER (PARTITION BY name ORDER BY t
+          |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          |    first_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS)
+          |      OVER (PARTITION BY name ORDER BY t
+          |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+          |  FROM (SELECT name, t,
+          |          CASE WHEN value > 3.0 THEN NULL ELSE value END AS value
+          |        FROM series WHERE name = 'events.view.u0'))""".stripMargin))),
+
+    // from-anchored re-bucket: anchor = min(t)+1800 is deliberately
+    // NOT slot- or interval-aligned, so the bucket edges straddle the
+    // store's 3600s slots and the first slot falls before the window
+    ("dsl_smart_summarize",
+      ((s, d) => {
+        val store = M.multi(s, d)
+        val minT = store.agg(min(col("t"))).head.getLong(0)
+        val ctx = Eval.Ctx(s, store, M.StepSeconds, minT + 1800L, 0L)
+        fin(Eval.evalExpr(ctx, "smartSummarize(events.click.u0, '2h', 'sum')"))
+      }): Q,
+      Some(multiQ(
+        """SELECT name,
+          |  (SELECT min(t) + 1800 FROM series)
+          |    + ((t - (SELECT min(t) + 1800 FROM series)) // 7200) * 7200 AS t,
+          |  sum(value) AS value
+          | FROM series
+          | WHERE name = 'events.click.u0'
+          |   AND t >= (SELECT min(t) + 1800 FROM series)
+          | GROUP BY 1, 2""".stripMargin)))
   )
 
   /** Canonical tagged twin of the multi store (`ev.req;dc=uN;type=T`)

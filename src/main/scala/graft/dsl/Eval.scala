@@ -360,6 +360,32 @@ object Eval {
     // series; optional xFilesFactor raises the known-fraction bar
     add(Seq("removeEmptySeries"))(onSeries((_, df, rest, _) =>
       O.removeEmptySeries(df, rest.headOption.map(num).getOrElse(0.0))))
+    // graphite-web's grep — exclude's keep-side dual (extension)
+    add(Seq("grep"))(onSeries((_, df, rest, _) =>
+      O.grep(df, str(rest.head))))
+    // graphite-web's substr — name-node slice, negative indices count
+    // from the end, stop=0 = "to the end" (extension)
+    add(Seq("substr"))(onSeries((_, df, rest, _) =>
+      O.substrName(df, rest.headOption.map(num(_).toInt).getOrElse(0),
+        rest.drop(1).headOption.map(num(_).toInt).getOrElse(0))))
+    // graphite-web's fallbackSeries — the fallback set when the
+    // primary pattern matched nothing (extension)
+    add(Seq("fallbackSeries")) { (ctx, args, _) =>
+      require(args.size == 2, "fallbackSeries(seriesList, fallback)")
+      SeriesV(O.fallbackSeries(asSeries(ctx, args(0)), asSeries(ctx, args(1))))
+    }
+    // graphite-web's interpolate — linear interior gap fill, optional
+    // run-length limit (extension)
+    add(Seq("interpolate"))(onSeries((_, df, rest, _) =>
+      O.interpolate(df, rest.headOption.map(num(_).toInt))))
+    // graphite-web's smartSummarize — re-bucket anchored at the
+    // query's from-time instead of the epoch (extension); default cf
+    // is sum, like graphite's
+    add(Seq("smartSummarize"))(onSeries((ctx, df, rest, _) =>
+      O.smartSummarize(df, durSec(rest.head),
+        rest.drop(1).headOption.map(str).getOrElse("sum") match {
+          case "average" => "avg"; case cf => cf
+        }, ctx.fromSec)))
     // graphite-web 1.1's GENERIC combine — aggregate(series, 'func')
     // subsumes the xxxSeries family; output series is named
     // 'aggregate' (extension; dispatch documented per member)

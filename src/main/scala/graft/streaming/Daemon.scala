@@ -215,12 +215,20 @@ object Daemon {
     * semantics), the queue length as a gauge point. Like the
     * reference's, the report itself rides the normal ingest path —
     * including its bounds ("this too might be dropped").
+    *
+    * `extraCounters` feeds additional CUMULATIVE counters (name →
+    * running total) reported as per-interval deltas under the same
+    * prefix — the shard tier's kept/received/forwarded/fwd_dropped,
+    * the reference's `stats.forwarded`/`forwarded_to` stored series
+    * (`receiver/director.go:105-107`).
     * Returns the started daemon thread. */
   def startSelfStats(offer: String => Unit, queueSizes: () => Long,
-      flushSec: Long, prefix: String = "graft"): Thread = {
+      flushSec: Long, prefix: String = "graft",
+      extraCounters: () => Seq[(String, Long)] = () => Seq.empty): Thread = {
     val t = new Thread(() => {
       var lastTotal = 0L
       var lastDropped = 0L
+      val lastExtra = scala.collection.mutable.Map.empty[String, Long]
       while (true) {
         Thread.sleep(math.max(1L, flushSec) * 1000L)
         val now = System.currentTimeMillis() / 1000L
@@ -231,6 +239,11 @@ object Daemon {
         offer(s"$prefix.receiver.queue_len ${queueSizes()} $now")
         lastTotal = total
         lastDropped = dropped
+        extraCounters().foreach { case (name, cum) =>
+          val prev = lastExtra.getOrElse(name, 0L)
+          offer(s"$prefix.$name ${cum - prev} $now")
+          lastExtra(name) = cum
+        }
       }
     }, "graft-self-stats")
     t.setDaemon(true)
@@ -1150,6 +1163,13 @@ object Daemon {
     // boots the identity route — zero cost, identical behavior.
     val shardCount = env("GRAFT_SHARD_COUNT", "1").toInt
     val shardIndex = env("GRAFT_SHARD_INDEX", "0").toInt
+    // n-copy replication (cluster/cluster.go:183-191 Copies +
+    // selectNodes ring placement): each POINT series also lands on its
+    // owner's copies-1 ring successors, in a separate per-shard
+    // REPLICA store (primary stores stay disjoint). Scope: the point
+    // path (graphite/pickle/pixel dp) — statsd aggregation state is
+    // single-owner by its mass-conservation invariant.
+    val shardCopies = env("GRAFT_SHARD_COPIES", "1").toInt
     def peersOf(key: String): Seq[Int] = {
       val peers = sys.env.getOrElse(key,
         sys.error(s"GRAFT_SHARD_COUNT > 1 needs $key " +
@@ -1159,10 +1179,20 @@ object Daemon {
         s"$key has ${peers.size} entries for $shardCount shards")
       peers
     }
+    // replica ingest rides its own internal gateways (fed by the
+    // directors, not a listen socket) into its own receiver + store
+    val replGw: Option[LineGateway] =
+      if (shardCount > 1 && shardCopies > 1) Some(new LineGateway(0, 0))
+      else None
+    val replPkGw: Option[LineGateway] =
+      replGw.map(_ => new LineGateway(0, 0, framed = true)) // dormant
+    val replicaOffer: String => Unit =
+      replGw.map(g => g.offer _).getOrElse((_: String) => ())
     val director: Option[Shard.Director] =
       if (shardCount <= 1) None
       else Some(new Shard.Director(shardIndex, shardCount,
-        new Shard.Forwarder(peersOf("GRAFT_SHARD_PEERS"))))
+        new Shard.Forwarder(peersOf("GRAFT_SHARD_PEERS")),
+        copies = shardCopies, replicaOffer = replicaOffer))
     // pickle frames decode AT the gateway and direct too (the
     // reference's pickle listener parses before its director); foreign
     // points forward as marked text into the owner's GRAPHITE gateway
@@ -1172,7 +1202,8 @@ object Daemon {
     val pkDirector: Option[Shard.PickleDirector] =
       if (shardCount <= 1) None
       else Some(new Shard.PickleDirector(shardIndex, shardCount,
-        new Shard.Forwarder(peersOf("GRAFT_SHARD_PEERS"))))
+        new Shard.Forwarder(peersOf("GRAFT_SHARD_PEERS")),
+        copies = shardCopies, replicaOffer = replicaOffer))
     // statsd directs too (the reference's director sits behind every
     // protocol) when the statsd peer ports are given; ownership keys
     // on the sanitized WIRE name — see [[Shard.Director]]
@@ -1194,8 +1225,13 @@ object Daemon {
       route = pkDirector.map(d => d.route _).getOrElse(Some(_: String)))
     // both fed by the HTTP handler (pixelRoute), not a listen socket:
     // bare /pixel dp lines feed the receiver, /pixel/* commands their
-    // own lifecycle
-    val pxDpGw = new LineGateway(0, 0)
+    // own lifecycle. The dp gateway shares the graphite DIRECTOR: its
+    // lines ARE plain graphite dp lines, and without the route a
+    // pixel point served by a non-owner shard would archive locally,
+    // splitting one series' PDP state across two stores and breaking
+    // the store-disjointness invariant the render union relies on.
+    val pxDpGw = new LineGateway(0, 0,
+      route = director.map(d => d.route _).getOrElse(Some(_: String)))
     val pxGw = new LineGateway(0, 0)
     // one archive store per writer: points (graphite+pickle+pixel dps,
     // via the shared receiver), statsd commands, pixel commands — the
@@ -1223,14 +1259,30 @@ object Daemon {
       startPixelIngest(spark, pxGw.boundFeedPort,
         s"$dataDir/pixel", settings.flushSec,
         checkpointDir = s"$dataDir/ckpt-pixel",
-        retainSec = settings.retainSec))
+        retainSec = settings.retainSec)) ++
+      // the REPLICA receiver (copies > 1): the unchanged point
+      // pipeline over the repl-marked lines the directors divert here,
+      // into a store the primary union never reads — only the
+      // owner-preferred fallback does (Shard.readClusterArchives)
+      replGw.map(g => startReceiver(spark, g.boundFeedPort,
+        replPkGw.get.boundFeedPort, s"$dataDir/replica/points",
+        settings.stepSec, settings.heartbeatSec,
+        checkpointDir = s"$dataDir/replica/ckpt-points",
+        retainSec = settings.retainSec, rras = settings.rras,
+        maxQueue = settings.maxQueue, maxMemory = settings.maxMemory,
+        compactEvery = sys.env.get("GRAFT_COMPACT_EVERY").map(_.toInt)
+          .getOrElse(16),
+        compactFanout = sys.env.get("GRAFT_COMPACT_FANOUT").map(_.toInt)
+          .getOrElse(4))).toSeq
     // a daemon restarted over a round-9 (pre-manifest) data dir adopts
     // each store's on-disk history as its v1 manifest BEFORE anything
     // serves: without this, renders would fail loudly (by design)
     // until the first merge batch happened to land on each store.
     // Covers the per-RRA sibling stores of the points writer too.
     (Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel") ++
-      boot.rras.map(_.dir(s"$dataDir/points")))
+      boot.rras.map(_.dir(s"$dataDir/points")) ++
+      replGw.toSeq.flatMap(_ => s"$dataDir/replica/points" +:
+        boot.rras.map(_.dir(s"$dataDir/replica/points"))))
       .foreach { d =>
         Ingest.StoreLock.write(d) { ArchiveStore.adoptLegacy(spark, d) }
       }
@@ -1240,10 +1292,37 @@ object Daemon {
     // graphite gateway exactly like an external sender's would
     val blaster = new Blaster.LiveBlaster(gGw.offer)
     // internal stats as stored series under graft.receiver.* (the
-    // reference's ReportStats path, always on: daemon/daemon.go:117)
+    // reference's ReportStats path, always on: daemon/daemon.go:117).
+    // A sharded daemon also reports its director counters as stored
+    // series — the reference's stats.forwarded / forwarded_to
+    // (receiver/director.go:105-107) — so cluster health is graphable
+    // from the data itself, not just the /stats JSON.
     startSelfStats(gGw.offer,
-      () => Seq(gGw, sGw, pkGw, pxDpGw, pxGw).map(_.queueSize.toLong).sum,
-      boot.flushSec)
+      () => (Seq(gGw, sGw, pkGw, pxDpGw, pxGw) ++ replGw)
+        .map(_.queueSize.toLong).sum,
+      boot.flushSec,
+      extraCounters = () =>
+        if (shardCount <= 1) Seq.empty
+        else {
+          val d = director.get
+          val pk = pkDirector.get
+          Seq(
+            "receiver.graphite.kept" -> d.kept.get,
+            "receiver.graphite.received" -> d.received.get,
+            "receiver.graphite.forwarded" -> d.forwarder.forwarded.get,
+            "receiver.graphite.fwd_dropped" -> d.forwarder.dropped.get,
+            "receiver.graphite.repl_kept" -> d.replKept.get,
+            "receiver.graphite.repl_received" -> d.replReceived.get,
+            "receiver.pickle.kept" -> pk.kept.get,
+            "receiver.pickle.forwarded" -> pk.forwardedPoints.get,
+            "receiver.pickle.fwd_dropped" -> pk.forwarder.dropped.get,
+            "receiver.pickle.replicated" -> pk.replicatedPoints.get) ++
+            sdDirector.toSeq.flatMap(x => Seq(
+              "receiver.statsd.kept" -> x.kept.get,
+              "receiver.statsd.received" -> x.received.get,
+              "receiver.statsd.forwarded" -> x.forwarder.forwarded.get,
+              "receiver.statsd.fwd_dropped" -> x.forwarder.dropped.get))
+        })
     val http = startHttp(spark,
       portOf("GRAFT_HTTP_PORT", conf.flatMap(_.httpPort), 8080),
       Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel"),
@@ -1264,13 +1343,17 @@ object Daemon {
           val pk = pkDirector.get
           val sd = sdDirector
           s""","shard.index":$shardIndex,"shard.count":$shardCount""" +
+            s""","shard.copies":$shardCopies""" +
             s""","shard.graphite.kept":${d.kept.get}""" +
             s""","shard.graphite.received":${d.received.get}""" +
             s""","shard.graphite.forwarded":${d.forwarder.forwarded.get}""" +
             s""","shard.graphite.fwd_dropped":${d.forwarder.dropped.get}""" +
+            s""","shard.graphite.repl_kept":${d.replKept.get}""" +
+            s""","shard.graphite.repl_received":${d.replReceived.get}""" +
             s""","shard.pickle.kept":${pk.kept.get}""" +
             s""","shard.pickle.forwarded":${pk.forwardedPoints.get}""" +
             s""","shard.pickle.fwd_dropped":${pk.forwarder.dropped.get}""" +
+            s""","shard.pickle.replicated":${pk.replicatedPoints.get}""" +
             sd.map(x =>
               s""","shard.statsd.kept":${x.kept.get}""" +
                 s""","shard.statsd.received":${x.received.get}""" +
@@ -1292,7 +1375,8 @@ object Daemon {
     println(s"graft daemon: graphite=${gGw.boundListenPort} " +
       s"pickle=${pkGw.boundListenPort} statsd=${sGw.boundListenPort} " +
       s"http=${http.getAddress.getPort} data=$dataDir" +
-      (if (shardCount > 1) s" shard=$shardIndex/$shardCount" else ""))
+      (if (shardCount > 1) s" shard=$shardIndex/$shardCount" +
+        (if (shardCopies > 1) s" copies=$shardCopies" else "") else ""))
     // graceful RESTART (the reference's SIGHUP handoff,
     // daemon/daemon.go:131-143 + graceful/): the gateways keep
     // listening and buffering while every streaming lifecycle stops at
@@ -1317,7 +1401,8 @@ object Daemon {
       Try(blaster.close())
       (director ++ sdDirector).foreach(d => Try(d.close()))
       pkDirector.foreach(d => Try(d.close()))
-      Seq(gGw, sGw, pkGw, pxDpGw, pxGw).foreach(gw => Try(gw.close()))
+      (Seq(gGw, sGw, pkGw, pxDpGw, pxGw) ++ replGw ++ replPkGw)
+        .foreach(gw => Try(gw.close()))
       Try(http.stop(0))
       spark.streams.active.foreach(q => Try(q.stop()))
       Try(spark.stop())

@@ -227,15 +227,20 @@ object Pickle {
     * Python-2 carbon client emits it: PROTO 2, EMPTY_LIST, MARK,
     * (SHORT_BINSTRING name, (BININT ts, BINFLOAT value) TUPLE2) TUPLE2
     * per point, APPENDS, STOP — prefixed with the uint32 BE frame
-    * length. */
+    * length. Names over 255 bytes use BINSTRING (i32le length), the
+    * pickle escape every client library takes — total, never throws:
+    * the sharded PickleDirector re-encodes OWNED points from arbitrary
+    * external frames on the gateway connection thread, where an
+    * exception would kill the connection and drop the frame. */
   def encodeFrame(points: Seq[Point]): Array[Byte] = {
     val body = new java.io.ByteArrayOutputStream()
     def w(bytes: Int*): Unit = bytes.foreach(b => body.write(b & 0xff))
     w(0x80, 2, 0x5d, 0x28)
     points.foreach { p =>
       val nameBytes = p.name.getBytes(StandardCharsets.ISO_8859_1)
-      require(nameBytes.length <= 255, "name too long for SHORT_BINSTRING")
-      w(0x55, nameBytes.length)
+      val n = nameBytes.length
+      if (n <= 255) w(0x55, n)
+      else w(0x54, n & 0xff, (n >> 8) & 0xff, (n >> 16) & 0xff, (n >> 24) & 0xff)
       body.write(nameBytes, 0, nameBytes.length)
       val ts = p.tsSec.toInt
       w(0x4a, ts & 0xff, (ts >> 8) & 0xff, (ts >> 16) & 0xff, (ts >> 24) & 0xff)

@@ -5,7 +5,9 @@ import java.net.{InetSocketAddress, Socket}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Ingest-tier scale-out: N daemon processes each OWN a hash-slice of
@@ -48,6 +50,16 @@ object Shard {
     * nothing here — the director checks it BEFORE parse, and external
     * senders speak plain graphite. */
   val FwdMarker = "__graft_fwd__ "
+
+  /** Envelope marking a REPLICA copy (the reference's n-copy placement:
+    * `cluster/cluster.go:183-191` `Copies`, `cluster.go:209-218`
+    * `selectNodes` assigns `nodes[(id+i) % len]` for i < copies — the
+    * owner plus its ring successors; `receiver/director.go:89-117`
+    * forwards every incoming point to EVERY selected node it is not
+    * itself). A repl-marked line ingests into the landing shard's
+    * REPLICA store — never its primary (store disjointness holds), and
+    * never re-forwards (same one-hop rule as [[FwdMarker]]). */
+  val ReplMarker = "__graft_repl__ "
 
   /** Plain-JVM twin of [[Ingest.sanitizeName]] (`misc/misc.go:28-37`):
     * whitespace→_, /→-, strip everything outside [a-zA-Z_\-0-9.]. */
@@ -101,54 +113,122 @@ object Shard {
   }
 
   /** Line forwarder to peer gateways — the reference's cluster send
-    * channel (`receiver/director.go:55-66`). One lazily-connected,
-    * per-peer socket, re-dialed once per send on failure; a line that
-    * cannot be delivered DROPS with a counter (the reference logs and
-    * skips — `director: Error forwarding a data point`), it never
-    * blocks the gateway. */
-  final class Forwarder(peerPorts: Seq[Int], host: String = "127.0.0.1") {
-    private val socks = Array.fill[Option[(Socket, OutputStream)]](
-      peerPorts.size)(None)
-    val forwarded = new AtomicLong
-    val dropped = new AtomicLong
+    * CHANNEL (`receiver/director.go:55-66`: the director enqueues into
+    * a buffered channel and moves on; a dedicated goroutine drains it
+    * to the peer connection). Same decoupling here: [[send]] is a
+    * non-blocking bounded-queue offer — O(µs), no shared lock, no
+    * socket I/O on the caller (the gateway reader threads: TCP conns,
+    * the UDP datagram loop, pixel HTTP) — and one DAEMON SENDER THREAD
+    * per peer drains its queue over a buffered socket, flushing when
+    * the queue goes momentarily empty or every `flushLines` lines. A
+    * line that cannot be delivered DROPS with a counter (the reference
+    * logs and skips — `director: Error forwarding a data point`), it
+    * never blocks the gateway: a FULL queue drops the new line at
+    * offer, and a dead peer trips a cooldown circuit-breaker so the
+    * drain drops instantly instead of paying the connect timeout per
+    * line. Per-peer ordering is preserved (single queue, single
+    * drainer).
+    *
+    * At scale this is the shape that survives: a slow or down peer
+    * costs bounded memory (`queueCap` lines) and zero gateway latency,
+    * while the happy path batches thousands of lines per syscall
+    * instead of one write+flush each. */
+  final class Forwarder(peerPorts: Seq[Int], host: String = "127.0.0.1",
+      queueCap: Int = 1 << 16, connectTimeoutMs: Int = 250,
+      cooldownMs: Long = 2000L, flushLines: Int = 2048) {
+    val forwarded = new AtomicLong // lines written to a peer socket
+    val dropped = new AtomicLong // queue-full + delivery failures
 
-    private def connect(i: Int): (Socket, OutputStream) = {
-      val s = new Socket()
-      s.connect(new InetSocketAddress(host, peerPorts(i)), 2000)
-      val out = s.getOutputStream
-      socks(i) = Some((s, out))
-      (s, out)
-    }
+    private final class Peer(port: Int) {
+      val q = new java.util.concurrent.ArrayBlockingQueue[String](queueCap)
+      val started = new java.util.concurrent.atomic.AtomicBoolean(false)
+      @volatile var thread: Thread = null
+      @volatile private var sock: Option[(Socket, OutputStream)] = None
+      private var downUntil = 0L // drain-thread-only
 
-    /** Send one line to peer `i` (appends the newline). */
-    def send(i: Int, line: String): Unit = synchronized {
-      val bytes = (line + "\n").getBytes(StandardCharsets.UTF_8)
-      def attempt(conn: (Socket, OutputStream)): Unit = {
-        conn._2.write(bytes); conn._2.flush()
+      private def closeSock(): Unit = {
+        sock.foreach(c => { try c._1.close() catch { case _: IOException => () } })
+        sock = None
       }
-      try {
-        attempt(socks(i).getOrElse(connect(i)))
-        forwarded.incrementAndGet(); ()
-      } catch {
-        case _: IOException =>
-          socks(i).foreach(c => { try c._1.close() catch { case _: IOException => () } })
-          socks(i) = None
-          try {
-            attempt(connect(i))
-            forwarded.incrementAndGet(); ()
-          } catch {
-            case _: IOException =>
-              socks(i).foreach(c => { try c._1.close() catch { case _: IOException => () } })
-              socks(i) = None
-              dropped.incrementAndGet(); ()
+
+      private def conn(): OutputStream = sock match {
+        case Some((_, out)) => out
+        case None =>
+          val s = new Socket()
+          s.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+          // buffered: the drain loop writes line-by-line, the wire
+          // sees kilobyte batches
+          val out = new java.io.BufferedOutputStream(
+            s.getOutputStream, 64 * 1024)
+          sock = Some((s, out))
+          out
+      }
+
+      private def drain(): Unit = {
+        var sinceFlush = 0
+        while (running.get || !q.isEmpty) {
+          val line = q.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (line == null) {
+            // queue momentarily empty: push buffered bytes to the wire
+            if (sinceFlush > 0) {
+              try { conn().flush(); forwarded.addAndGet(sinceFlush.toLong) }
+              catch { case _: IOException =>
+                closeSock(); dropped.addAndGet(sinceFlush.toLong)
+                downUntil = System.currentTimeMillis() + cooldownMs
+              }
+              sinceFlush = 0
+            }
+          } else if (downUntil > System.currentTimeMillis()) {
+            dropped.incrementAndGet(); () // circuit open: drop fast
+          } else {
+            try {
+              conn().write((line + "\n").getBytes(StandardCharsets.UTF_8))
+              sinceFlush += 1
+              if (sinceFlush >= flushLines) {
+                conn().flush(); forwarded.addAndGet(sinceFlush.toLong)
+                sinceFlush = 0
+              }
+            } catch {
+              case _: IOException =>
+                closeSock()
+                dropped.addAndGet(sinceFlush.toLong + 1L)
+                sinceFlush = 0
+                downUntil = System.currentTimeMillis() + cooldownMs
+            }
           }
+        }
+        if (sinceFlush > 0) { // final flush on shutdown
+          try { conn().flush(); forwarded.addAndGet(sinceFlush.toLong) }
+          catch { case _: IOException => dropped.addAndGet(sinceFlush.toLong) }
+        }
+        closeSock()
+      }
+
+      def offer(line: String): Unit = {
+        if (started.compareAndSet(false, true)) {
+          val t = new Thread(() => try drain() catch { case _: Throwable => () },
+            s"shard-fwd-$host:$port")
+          t.setDaemon(true); thread = t; t.start()
+        }
+        if (!q.offer(line)) { dropped.incrementAndGet(); () }
       }
     }
 
-    def close(): Unit = synchronized {
-      socks.indices.foreach { i =>
-        socks(i).foreach(c => { try c._1.close() catch { case _: IOException => () } })
-        socks(i) = None
+    private val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+    private val peers = peerPorts.map(new Peer(_)).toArray
+
+    /** Enqueue one line for peer `i` (the drainer appends the
+      * newline). Never blocks: a full queue drops the line. */
+    def send(i: Int, line: String): Unit = peers(i).offer(line)
+
+    /** Stop accepting, give the drainers a bounded grace to flush what
+      * is queued (so a graceful daemon shutdown does not shed lines a
+      * peer would have taken), then cut. */
+    def close(): Unit = if (running.compareAndSet(true, false)) {
+      val deadline = System.currentTimeMillis() + 1000
+      peers.foreach { p =>
+        val t = p.thread
+        if (t != null) t.join(math.max(1, deadline - System.currentTimeMillis()))
       }
     }
   }
@@ -172,25 +252,79 @@ object Shard {
   final class Director(val shardIndex: Int, val shardCount: Int,
       val forwarder: Forwarder,
       parseName: String => Option[String] = nameOf,
-      canon: String => String = canonicalName) {
+      canon: String => String = canonicalName,
+      val copies: Int = 1,
+      replicaOffer: String => Unit = _ => ()) {
     require(shardIndex >= 0 && shardIndex < shardCount,
       s"shard index $shardIndex outside 0..${shardCount - 1}")
+    require(copies >= 1 && copies <= shardCount,
+      s"copies $copies outside 1..$shardCount")
     val kept = new AtomicLong
     val received = new AtomicLong // forwarded lines accepted here
+    val replKept = new AtomicLong // replica copies stored here
+    val replReceived = new AtomicLong // repl-marked lines accepted here
+
+    /** The ring successors holding replicas of series owned by `o` —
+      * `selectNodes`' `nodes[(id+i) % len]`, i in 1..copies-1. */
+    private def replicasOf(o: Int): Seq[Int] =
+      (1 until copies).map(i => (o + i) % shardCount)
 
     def route(line: String): Option[String] =
       if (line.startsWith(FwdMarker)) { // hops exhausted: ingest here
         received.incrementAndGet()
         Some(line.substring(FwdMarker.length))
+      } else if (line.startsWith(ReplMarker)) { // replica copy: own store
+        replReceived.incrementAndGet()
+        replicaOffer(line.substring(ReplMarker.length))
+        None
       } else parseName(line) match {
         case None => Some(line) // malformed: local parse drops it
         case Some(raw) =>
           val o = owner(canon(raw), shardCount)
+          // the reference's director: deliver to EVERY selected node
+          // from the entry (process locally when self is selected,
+          // forward to the rest) — each copy travels at most one hop
+          replicasOf(o).foreach { r =>
+            if (r == shardIndex) { replKept.incrementAndGet(); replicaOffer(line) }
+            else forwarder.send(r, ReplMarker + line)
+          }
           if (o == shardIndex) { kept.incrementAndGet(); Some(line) }
           else { forwarder.send(o, FwdMarker + line); None }
       }
 
     def close(): Unit = forwarder.close()
+  }
+
+  /** OWNER-PREFERRED cluster render over primary + replica stores: the
+    * union of every live shard's primary store, with a DOWN shard's
+    * slice served from the replica store on its nearest live ring
+    * successor, FILTERED to the down shard's ownership predicate
+    * (`pmod(xxhash64(name), n) = i`) — a replica store on shard r
+    * holds the series of EVERY owner that selected r (all o with
+    * r − o < copies on the ring), so the filter is what keeps the
+    * union double-count-free for any `copies`. All-up this degenerates
+    * to the plain primary union (replicas never read). The reference
+    * renders owner-preferred the same way: `NodesForDistDatum` lists
+    * owner first, the query goes to the first ready node. */
+  def readClusterArchives(spark: SparkSession, shardPointDirs: Seq[String],
+      replicaPointDirs: Seq[String], copies: Int,
+      down: Set[Int] = Set.empty): DataFrame = {
+    val n = shardPointDirs.size
+    require(replicaPointDirs.size == n,
+      s"${replicaPointDirs.size} replica dirs for $n shards")
+    require(down.size < n, "every shard is down")
+    val primaries = shardPointDirs.indices.filterNot(down)
+      .map(i => Ingest.readArchive(spark, shardPointDirs(i)))
+    val fallbacks = shardPointDirs.indices.filter(down).map { i =>
+      val r = (1 until copies).map(k => (i + k) % n).find(!down(_))
+        .getOrElse(sys.error(
+          s"shard $i is down and so is every replica holder " +
+            s"(copies=$copies)"))
+      Ingest.readArchive(spark, replicaPointDirs(r))
+        .filter(pmod(xxhash64(col("name")), lit(n.toLong)).cast("int")
+          === i)
+    }
+    (primaries ++ fallbacks).reduce(_.unionByName(_))
   }
 
   /** Pickle-frame director — the carbon-pickle protocol's member of
@@ -211,11 +345,16 @@ object Shard {
     * through for the executor-side parse to drop, like malformed
     * text lines. */
   final class PickleDirector(val shardIndex: Int, val shardCount: Int,
-      val forwarder: Forwarder) {
+      val forwarder: Forwarder,
+      val copies: Int = 1,
+      replicaOffer: String => Unit = _ => ()) {
     require(shardIndex >= 0 && shardIndex < shardCount,
       s"shard index $shardIndex outside 0..${shardCount - 1}")
+    require(copies >= 1 && copies <= shardCount,
+      s"copies $copies outside 1..$shardCount")
     val kept = new AtomicLong // points kept in local frames
     val forwardedPoints = new AtomicLong
+    val replicatedPoints = new AtomicLong
 
     def route(b64: String): Option[String] = {
       val pts =
@@ -223,11 +362,27 @@ object Shard {
         catch { case _: Exception => return Some(b64) } // executor drops it
       val (mine, theirs) = pts.partition(p =>
         owner(canonicalName(p.name), shardCount) == shardIndex)
+      // replica copies travel as marked canonical TEXT lines, same as
+      // the forwarding hop (every point protocol funnels into the one
+      // receiver); a replica slot that is THIS shard feeds the local
+      // replica store directly
+      def replicate(canon: String, textLine: String): Unit =
+        (1 until copies).map(i =>
+            (owner(canon, shardCount) + i) % shardCount).foreach { r =>
+          if (r == shardIndex) replicaOffer(textLine)
+          else forwarder.send(r, ReplMarker + textLine)
+          replicatedPoints.incrementAndGet(); ()
+        }
       theirs.foreach { p =>
         val canon = canonicalName(p.name)
-        forwarder.send(owner(canon, shardCount),
-          FwdMarker + s"$canon ${p.value} ${p.tsSec}")
-        forwardedPoints.incrementAndGet(); ()
+        val textLine = s"$canon ${p.value} ${p.tsSec}"
+        forwarder.send(owner(canon, shardCount), FwdMarker + textLine)
+        forwardedPoints.incrementAndGet()
+        replicate(canon, textLine)
+      }
+      mine.foreach { p =>
+        val canon = canonicalName(p.name)
+        replicate(canon, s"$canon ${p.value} ${p.tsSec}")
       }
       kept.addAndGet(mine.size.toLong)
       if (mine.isEmpty) None

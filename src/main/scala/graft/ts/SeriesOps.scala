@@ -262,6 +262,57 @@ object SeriesOps {
   def consolidateBy(df: DataFrame, intervalSec: Long, cf: String): DataFrame =
     summarize(df, intervalSec, cf)
 
+  /** smartSummarize(interval, cf) — graphite-web's aligned re-bucket
+    * (extension; the reference has only the summarize scaling hack):
+    * buckets anchor at the QUERY's from-time instead of the epoch, so
+    * a "1d" summary of a dashboard window starts at the window's left
+    * edge, not midnight UTC. Points before the anchor are outside the
+    * window by construction and drop, as graphite's pre-fetch window
+    * does. Same shuffle shape as [[summarize]] — one groupBy on
+    * (name, bucket). */
+  def smartSummarize(df: DataFrame, intervalSec: Long, cf: String,
+      anchorSec: Long): DataFrame = {
+    val bucket = (lit(anchorSec) +
+      floor((col("t") - anchorSec).divide(lit(intervalSec))).cast("long") *
+        intervalSec).as("t")
+    val aggV = cf match {
+      case "sum"  => sum(v)
+      case "avg"  => avg(v)
+      case "max"  => max(v)
+      case "min"  => min(v)
+      case "last" => max_by(v, when(v.isNotNull, col("t")))
+      case other  => throw new IllegalArgumentException(s"smartSummarize cf: $other")
+    }
+    df.filter(col("t") >= anchorSec)
+      .groupBy(col("name"), bucket).agg(aggV.as("value"))
+  }
+
+  /** interpolate([limit]) — graphite-web's linear gap fill (extension):
+    * an INTERIOR run of unknowns between two known points fills along
+    * the line joining them; leading/trailing unknowns stay unknown
+    * (nothing to anchor the line). `limit` bounds the run length that
+    * fills (graphite's `limit` arg); None fills every interior run.
+    * Columnar: the bracketing known points come from two ignore-nulls
+    * window scans, so the op stays in whole-stage codegen. */
+  def interpolate(df: DataFrame, limit: Option[Int] = None): DataFrame = {
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    // rn materializes first: window functions cannot nest
+    val staged = df.withColumn("__rn", row_number().over(w))
+    val pv = last(v, ignoreNulls = true).over(back)
+    val pt = last(when(v.isNotNull, col("t")), ignoreNulls = true).over(back)
+    val pr = last(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(back)
+    val nv = first(v, ignoreNulls = true).over(fwd)
+    val nt = first(when(v.isNotNull, col("t")), ignoreNulls = true).over(fwd)
+    val nr = first(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(fwd)
+    val runLen = nr - pr - 1 // consecutive unknowns in this gap
+    val interior = v.isNull && pt.isNotNull && nt.isNotNull
+    val fill = pv + (nv - pv) * (col("t") - pt).cast("double") /
+      (nt - pt).cast("double")
+    val bounded = limit.map(l => interior && runLen <= l).getOrElse(interior)
+    staged.withColumn("value", when(bounded, fill).otherwise(v)).drop("__rn")
+  }
+
   // ===== moving-window functions — ring buffer over trailing N points;
   // ===== the reference emits only once the buffer is full =====
 
@@ -483,10 +534,16 @@ object SeriesOps {
   /** Shared aggregator dispatch for the name-keyed grouping family
     * ([[groupByNodes]], [[aggregateWithWildcards]]): the reference's
     * sum/avg set extended with max/min, median (reference quantile)
-    * and last (name order). */
+    * and last (name order). This family advertises GRAPHITE-WEB
+    * semantics, whose safe-aggregators SKIP Nones (`functions.py
+    * safeAvg/safeSum`): `avg` divides by the KNOWN count only and
+    * `sum` of an all-gap slot is a gap, not 0 — unlike the older
+    * [[groupByNode]]/[[seriesWithWildcards]], which keep the
+    * reference's gap-as-zero fold deliberately (tgres sums NaN-poison;
+    * its NaN≡NULL re-expression zero-fills — documented there). */
   private def nodeAggOf(cf: String): Column = cf match {
-    case "sum"    => sum(coalesce(v, lit(0.0)))
-    case "avg"    => sum(coalesce(v, lit(0.0))) / count(lit(1))
+    case "sum"    => sum(v)
+    case "avg"    => avg(v)
     case "max"    => max(v)
     case "min"    => min(v)
     case "median" => refQuantile(sort_array(collect_list(v)), 0.5)
@@ -738,6 +795,42 @@ object SeriesOps {
   /** exclude(regex) — `dsl/funcs.go:2197-2211` */
   def exclude(df: DataFrame, pattern: String): DataFrame =
     df.filter(!col("name").rlike(pattern))
+
+  /** grep(regex) — [[exclude]]'s keep-side dual (graphite-web;
+    * extension — the reference has only exclude): keep the series
+    * whose names match. A name-only predicate, so Catalyst pushes it
+    * into the archive scan like exclude's. */
+  def grep(df: DataFrame, pattern: String): DataFrame =
+    df.filter(col("name").rlike(pattern))
+
+  /** substr(start[, stop]) — graphite-web's name-node slice
+    * (extension): rename each series to the '.'-joined nodes
+    * `[start, stop)` of its dotted name; negative indices count from
+    * the end, stop=0 means "to the end" (graphite's defaults). Pure
+    * rename — rows, values and timestamps pass through, and two series
+    * may legitimately collapse onto one display name (graphite renders
+    * both). */
+  def substrName(df: DataFrame, start: Int, stop: Int = 0): DataFrame = {
+    val parts = split(col("name"), "\\.")
+    val n = size(parts)
+    val s0 = if (start < 0) greatest(n + start, lit(0)) else least(lit(start), n)
+    val e0 = if (stop == 0) n
+      else if (stop < 0) greatest(n + stop, lit(0))
+      else least(lit(stop), n)
+    val len = greatest(e0 - s0, lit(0))
+    df.withColumn("name",
+      when(len > 0, array_join(slice(parts, s0 + 1, len), "."))
+        .otherwise(lit("")))
+  }
+
+  /** fallbackSeries(fallback) — graphite-web's empty-set fallback
+    * (extension): the primary set if it matched ANY series, else the
+    * fallback set. The emptiness probe is a metadata-scale action (the
+    * planner answers it with a 1-row limit over the pruned scan), run
+    * once at plan time — the returned frame is whichever side won,
+    * with no runtime union or join. */
+  def fallbackSeries(primary: DataFrame, fallback: DataFrame): DataFrame =
+    if (primary.isEmpty) fallback else primary
 
   /** The sortBy* family (graphite-web's dashboard-ordering functions;
     * extension — the reference renders map-ordered,

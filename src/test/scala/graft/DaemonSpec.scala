@@ -464,6 +464,52 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { stream.stop(); gw.close() }
   }
 
+  test("self-stats: a forwarding shard reports its director deltas") {
+    // the reference stores stats.forwarded as a series
+    // (receiver/director.go:105-107); a sharded daemon's reporter must
+    // carry the forwarded counter DELTA per interval, not the
+    // cumulative — two windows after one burst of forwards must show
+    // the burst once, then zero
+    import graft.streaming.Shard
+    val srv = new java.net.ServerSocket(0)
+    val sink = new Thread(() => { // keep the peer reading
+      try {
+        val c = srv.accept()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(c.getInputStream, "UTF-8"))
+        while (in.readLine() != null) {}
+      } catch { case _: java.io.IOException => () }
+    })
+    sink.setDaemon(true); sink.start()
+    val dir = new Shard.Director(0, 2,
+      new Shard.Forwarder(Seq(0, srv.getLocalPort)))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val theirs = (1 to 50).map(i => s"fs$i.x").find(Shard.owner(_, 2) == 1).get
+      (1 to 7).foreach(k => dir.route(s"$theirs $k 10$k"))
+      // wait for the drain thread to deliver before the reporter reads
+      val d0 = System.currentTimeMillis() + 10000
+      while (dir.forwarder.forwarded.get < 7L && System.currentTimeMillis() < d0)
+        Thread.sleep(50)
+      assert(dir.forwarder.forwarded.get === 7L)
+      Daemon.startSelfStats(line => { got.add(line); () }, () => 0L,
+        flushSec = 1L,
+        extraCounters = () => Seq(
+          "receiver.graphite.forwarded" -> dir.forwarder.forwarded.get,
+          "receiver.graphite.fwd_dropped" -> dir.forwarder.dropped.get))
+      def fwdLines(): Seq[String] = got.toArray(new Array[String](0)).toSeq
+        .filter(_.startsWith("graft.receiver.graphite.forwarded "))
+      val d1 = System.currentTimeMillis() + 15000
+      while (fwdLines().size < 2 && System.currentTimeMillis() < d1)
+        Thread.sleep(100)
+      val deltas = fwdLines().map(_.split(" ")(1).toLong)
+      assert(deltas.head === 7L, s"first window must carry the burst: $deltas")
+      assert(deltas.tail.forall(_ === 0L), s"later windows re-report: $deltas")
+      assert(got.toArray(new Array[String](0)).toSeq
+        .exists(_.startsWith("graft.receiver.graphite.fwd_dropped ")))
+    } finally { dir.close(); scala.util.Try(srv.close()); () }
+  }
+
   test("find catalog cache: repeats hit, a new series invalidates") {
     // the reference's fsFindCache role: /metrics/find and the tag
     // routes share one cached name catalog per store generation —

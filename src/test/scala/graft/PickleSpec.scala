@@ -133,4 +133,14 @@ class PickleSpec extends AnyFunSuite {
       Point("b", 2147483647L, Double.MinPositiveValue))
     assert(Pickle.decodeFrames(Pickle.encodeFrame(pts)) === pts)
   }
+
+  test("encoder: names over 255 bytes take the BINSTRING escape, total") {
+    // the sharded PickleDirector re-encodes OWNED points from external
+    // frames on the gateway connection thread — a throw there would
+    // kill the connection and drop the frame, so long names must
+    // round-trip, not raise
+    val long = "n." + ("x" * 300)
+    val pts = Seq(Point(long, 100L, 1.5), Point("short", 101L, 2.5))
+    assert(Pickle.decodeFrames(Pickle.encodeFrame(pts)) === pts)
+  }
 }

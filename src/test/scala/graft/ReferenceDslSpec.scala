@@ -693,5 +693,90 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long, Option[Double])].collect()
     assert(aw.map(_._1).toSet === Set("foo.*.baz"))
     assert(aw.flatMap(_._3).forall(_ == 20.0))
+    // graphite-web safeAvg/safeSum skip Nones: over re.full(=1)/
+    // re.half(=2, gapped past t=40)/re.none(all gaps), the late slots
+    // average the ONE known member (gap-as-zero would give 1/3) and an
+    // all-considered sum keeps the gap semantics per-slot
+    val gavg = Eval.evalExpr(rc, "groupByNodes('re.*', 'avg', 0)")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(gavg.map(_._1).toSet === Set("re"))
+    assert(gavg.map(_._3).toSeq ===
+      (0 until 10).map(i => Some(if (i < 5) 1.5 else 1.0)))
+  }
+
+  test("extension: grep / substr — the name-surgery pair") {
+    val s = spark; import s.implicits._
+    // grep keeps matching names (exclude's dual)
+    val g = Eval.evalExpr(ctx, "grep('foo.*.baz', 'bar1')")
+      .as[(String, Long, Option[Double])].collect()
+    assert(g.map(_._1).toSet === Set("foo.bar1.baz"))
+    assert(g.length === 10)
+    // substr: node slice; values/timestamps pass through untouched
+    def names(expr: String): Set[String] =
+      Eval.evalExpr(ctx, expr)
+        .as[(String, Long, Option[Double])].collect().map(_._1).toSet
+    assert(names("substr('foo.*.baz', 1)") === Set("bar1.baz", "bar2.baz"))
+    assert(names("substr('foo.*.baz', 1, 2)") === Set("bar1", "bar2"))
+    assert(names("substr('foo.*.baz', 0, -1)") === Set("foo.bar1", "foo.bar2"))
+    assert(names("substr('foo.*.baz', -1)") === Set("baz"))
+    // out-of-range slice clamps, never throws
+    assert(names("substr('foo.*.baz', 5)") === Set(""))
+    val sub = Eval.evalExpr(ctx, "substr('foo.bar1.baz', 1, 2)")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(sub.map(_._3).forall(_.contains(10.0)) && sub.length === 10)
+  }
+
+  test("extension: fallbackSeries — empty primary falls back") {
+    val s = spark; import s.implicits._
+    val fb = Eval.evalExpr(ctx, "fallbackSeries('no.such.*', 'foo.bar1.baz')")
+      .as[(String, Long, Option[Double])].collect()
+    assert(fb.map(_._1).toSet === Set("foo.bar1.baz"))
+    // a non-empty primary wins — the fallback is NOT unioned in
+    val keep = Eval.evalExpr(ctx,
+        "fallbackSeries('foo.bar2.baz', 'foo.bar1.baz')")
+      .as[(String, Long, Option[Double])].collect()
+    assert(keep.map(_._1).toSet === Set("foo.bar2.baz"))
+  }
+
+  test("extension: interpolate — linear interior fill, leading/trailing stay") {
+    val s = spark; import s.implicits._
+    val pts: Seq[(String, Long, Option[Double])] = Seq(
+      ("ip.m", 0L, None), // leading unknown: no left anchor
+      ("ip.m", 10L, Some(1.0)),
+      ("ip.m", 20L, None), // run of 2 between 1.0 and 4.0
+      ("ip.m", 30L, None),
+      ("ip.m", 40L, Some(4.0)),
+      ("ip.m", 50L, None), // run of 1 between 4.0 and 6.0
+      ("ip.m", 60L, Some(6.0)),
+      ("ip.m", 70L, None)) // trailing unknown: no right anchor
+    val c = Eval.Ctx(s, pts.toDF("name", "t", "value"), 10, 0, 70)
+    def vals(expr: String): Seq[Option[Double]] =
+      Eval.evalExpr(c, expr)
+        .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+        .map(_._3).toSeq
+    assert(vals("interpolate('ip.m')") ===
+      Seq(None, Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(5.0),
+        Some(6.0), None))
+    // limit bounds the RUN length: the 2-run stays, the 1-run fills
+    assert(vals("interpolate('ip.m', 1)") ===
+      Seq(None, Some(1.0), None, None, Some(4.0), Some(5.0),
+        Some(6.0), None))
+  }
+
+  test("extension: smartSummarize — buckets anchor at the query from") {
+    val s = spark; import s.implicits._
+    // ramp v=k at t=10k; from=5 → t=0 is outside the window, buckets
+    // [5,25)={1,2}, [25,45)={3,4}, [45,65)={5}
+    val ramp = (0 until 6).map(i => ("sm.m", i * 10L, i * 1.0))
+    val c = Eval.Ctx(s, ramp.toDF("name", "t", "value"), 10,
+      fromSec = 5, toSec = 55)
+    val out = Eval.evalExpr(c, "smartSummarize('sm.m', 20, 'sum')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(out.map(r => (r._2, r._3)).toSeq ===
+      Seq((5L, Some(3.0)), (25L, Some(7.0)), (45L, Some(5.0))))
+    // default cf is sum; 'average' spelling maps to avg
+    val avg = Eval.evalExpr(c, "smartSummarize('sm.m', 20, 'average')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(avg.map(_._3).toSeq === Seq(Some(1.5), Some(3.5), Some(5.0)))
   }
 }

@@ -345,4 +345,162 @@ class ShardSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(pkDirA, pkDirB).foreach(d => Try(d.close()))
     }
   }
+
+  test("replication: copies=2 mirrors each shard's slice; owner-preferred render") {
+    val s = spark
+    val root = Files.createTempDirectory("graft-repl").toString
+    val base = (System.currentTimeMillis() / 1000L - 4000) / 10 * 10
+    val names = (1 to 10).map(i => s"rp$i.cpu")
+    def linesOf(name: String): Seq[String] =
+      (0 until 6).map(k => s"$name ${k + 1}.25 ${base + k * 10}")
+    val gwA0 = new ServerSocket(0); val pA = gwA0.getLocalPort; gwA0.close()
+    val gwB0 = new ServerSocket(0); val pB = gwB0.getLocalPort; gwB0.close()
+    // replica traffic diverts into its own gateway + store per shard
+    val replA = new Daemon.LineGateway(0, 0)
+    val replB = new Daemon.LineGateway(0, 0)
+    val dirA = new Shard.Director(0, 2, new Shard.Forwarder(Seq(pA, pB)),
+      copies = 2, replicaOffer = replA.offer)
+    val dirB = new Shard.Director(1, 2, new Shard.Forwarder(Seq(pA, pB)),
+      copies = 2, replicaOffer = replB.offer)
+    val gA = new Daemon.LineGateway(pA, 0, route = dirA.route)
+    val gB = new Daemon.LineGateway(pB, 0, route = dirB.route)
+    val pk = Seq.fill(4)(new Daemon.LineGateway(0, 0, framed = true))
+    def recv(g: Daemon.LineGateway, pkg: Daemon.LineGateway, tag: String) =
+      Daemon.startReceiver(s, g.boundFeedPort, pkg.boundFeedPort,
+        s"$root/$tag/points", stepSec = 10, heartbeatSec = 7200,
+        checkpointDir = s"$root/$tag/ckpt")
+    val qs = Seq(recv(gA, pk(0), "a"), recv(gB, pk(1), "b"),
+      recv(replA, pk(2), "ra"), recv(replB, pk(3), "rb"))
+    try {
+      // entry alternates independently of ownership: every placement
+      // combination (entry=owner, entry=replica, both directions) fires
+      val sockA = new Socket("127.0.0.1", gA.boundListenPort)
+      val sockB = new Socket("127.0.0.1", gB.boundListenPort)
+      val outA = new PrintWriter(sockA.getOutputStream, true)
+      val outB = new PrintWriter(sockB.getOutputStream, true)
+      names.zipWithIndex.foreach { case (n, i) =>
+        linesOf(n).foreach(l => (if (i % 2 == 0) outA else outB).println(l))
+      }
+      outA.flush(); outB.flush()
+      def rows(tag: String): Long =
+        Try(Ingest.readArchive(s, s"$root/$tag/points").count())
+          .getOrElse(0L)
+      val want = names.size * 5L // 6 points -> 5 closed slots
+      val deadline = System.currentTimeMillis() + 120000
+      while ((rows("a") + rows("b") < want ||
+          rows("ra") + rows("rb") < want) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        qs.foreach(_.processAllAvailable())
+      }
+      qs.foreach(_.processAllAvailable())
+      def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+        df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val primA = rowsOf(Ingest.readArchive(s, s"$root/a/points"))
+      val primB = rowsOf(Ingest.readArchive(s, s"$root/b/points"))
+      val repA = rowsOf(Ingest.readArchive(s, s"$root/ra/points"))
+      val repB = rowsOf(Ingest.readArchive(s, s"$root/rb/points"))
+      // with N=2, copies=2: each shard's replica store mirrors the
+      // OTHER shard's primary slice bit-identically
+      assert(repA === primB, "A's replica store must mirror B's primary")
+      assert(repB === primA, "B's replica store must mirror A's primary")
+      assert(primA.nonEmpty && primB.nonEmpty)
+      // owner-preferred render: all-up reads primaries only...
+      val allUp = rowsOf(Shard.readClusterArchives(s,
+        Seq(s"$root/a/points", s"$root/b/points"),
+        Seq(s"$root/ra/points", s"$root/rb/points"), copies = 2))
+      assert(allUp === primA ++ primB)
+      // ...and with shard B down, A's replica serves B's slice —
+      // render identical, nothing double-counted
+      val bDown = rowsOf(Shard.readClusterArchives(s,
+        Seq(s"$root/a/points", s"$root/b/points"),
+        Seq(s"$root/ra/points", s"$root/rb/points"), copies = 2,
+        down = Set(1)))
+      assert(bDown === allUp,
+        "owner-preferred render with a dead shard must equal the all-up render")
+      assert(allUp.size.toLong === want)
+      sockA.close(); sockB.close()
+    } finally {
+      qs.foreach(q => Try(q.stop()))
+      (Seq(gA, gB, replA, replB) ++ pk).foreach(g => Try(g.close()))
+      Seq(dirA, dirB).foreach(d => Try(d.close()))
+    }
+  }
+
+  // ---- forwarder fault model (receiver/director.go:55-66 channel
+  // semantics: enqueue-and-move-on; a dead/slow peer costs the CHANNEL
+  // its buffer, never the director its latency) ----
+
+  test("forwarder: dead peer — sends stay O(µs), circuit drops fast") {
+    // a port with nothing listening: connect fails. The OLD design
+    // paid up to 2x2000ms connect timeout per line ON the caller; the
+    // async forwarder must take 10k sends in well under a second and
+    // let the drain thread account every line as dropped.
+    val dead = { val ss = new ServerSocket(0); val p = ss.getLocalPort; ss.close(); p }
+    val f = new Shard.Forwarder(Seq(dead), connectTimeoutMs = 100,
+      cooldownMs = 200)
+    try {
+      val t0 = System.nanoTime()
+      (1 to 10000).foreach(i => f.send(0, s"m$i.x 1 100"))
+      val callerMs = (System.nanoTime() - t0) / 1000000
+      assert(callerMs < 1000, s"gateway-side send took ${callerMs}ms for 10k lines")
+      val deadline = System.currentTimeMillis() + 20000
+      while (f.dropped.get < 10000L && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(f.dropped.get === 10000L, "every line must be accounted dropped")
+      assert(f.forwarded.get === 0L)
+    } finally f.close()
+  }
+
+  test("forwarder: slow-not-dead peer — bounded memory, caller unaffected") {
+    // peer accepts but never reads: TCP backpressure blocks the DRAIN
+    // thread mid-batch; the bounded queue fills and sheds, while the
+    // caller's offer latency stays flat (this is the contract the
+    // gateway reader threads rely on)
+    val srv = new ServerSocket(0)
+    srv.setReceiveBufferSize(4096)
+    val f = new Shard.Forwarder(Seq(srv.getLocalPort), queueCap = 4096)
+    try {
+      val line = "slowpeer.metric.with.a.reasonably.long.name 123.456 1700000000"
+      val t0 = System.nanoTime()
+      (1 to 200000).foreach(_ => f.send(0, line))
+      val callerMs = (System.nanoTime() - t0) / 1000000
+      assert(callerMs < 5000, s"200k sends took ${callerMs}ms against a stalled peer")
+      val deadline = System.currentTimeMillis() + 10000
+      while (f.dropped.get === 0L && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(f.dropped.get > 0L, "full queue must shed with a counter")
+    } finally { f.close(); Try(srv.close()); () }
+  }
+
+  test("forwarder: live peer — batched delivery, ordered, >=10k lines/s") {
+    val srv = new ServerSocket(0)
+    val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      val c = srv.accept()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(c.getInputStream, "UTF-8"))
+      Iterator.continually(in.readLine()).takeWhile(_ != null).foreach(got.put)
+    })
+    t.setDaemon(true); t.start()
+    val f = new Shard.Forwarder(Seq(srv.getLocalPort))
+    try {
+      val n = 50000
+      val t0 = System.nanoTime()
+      (1 to n).foreach(i => f.send(0, s"fast.m $i ${1700000000L + i}"))
+      val lines = new scala.collection.mutable.ArrayBuffer[String](n)
+      val deadline = System.currentTimeMillis() + 15000
+      while (lines.size < n && System.currentTimeMillis() < deadline) {
+        val l = got.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (l != null) lines += l
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(lines.size === n, s"only ${lines.size}/$n delivered")
+      // per-peer ordering survives the queue + single drainer
+      assert(lines.toSeq === (1 to n).map(i => s"fast.m $i ${1700000000L + i}"))
+      assert(f.dropped.get === 0L)
+      assert(f.forwarded.get === n.toLong)
+      assert(n / secs > 10000.0, f"forwarded at ${n / secs}%.0f lines/s")
+    } finally { f.close(); Try(srv.close()); () }
+  }
 }
