@@ -220,7 +220,173 @@ object ClusterSmoke {
     check("sharded ingest: 2 forked daemon JVMs == 1, union render") {
       shardedDaemonsCheck(spark, addOpens)
     }
+    check("replication: kill one shard, replica serves its slice, ingest continues") {
+      replicatedKillCheck(spark, addOpens)
+    }
     spark.stop()
+  }
+
+  /** The VERDICT-r12 replication proof (`cluster/cluster.go:183-191`
+    * `Copies`, n-copy `selectNodes` placement): two real forked daemon
+    * JVMs at copies=2, so every point series lands on its owner's
+    * primary store AND its ring successor's replica store. The parent
+    * kills shard 1 MID-RUN (destroyForcibly — a crash, no shutdown
+    * hooks) and proves: (1) the owner-preferred render with shard 1
+    * down — survivor primaries + the survivor's ownership-FILTERED
+    * replica slice — is bit-identical to the pre-kill render for the
+    * victim's series; (2) the survivor keeps ingesting its own series
+    * (its replica sends to the dead peer drop fast through the
+    * forwarder's circuit breaker instead of stalling the gateway). */
+  private def replicatedKillCheck(spark: SparkSession,
+      addOpens: String): Boolean = {
+    import java.net.{ServerSocket, Socket}
+    import java.io.PrintWriter
+    import scala.util.Try
+    import graft.streaming.{Ingest, Shard}
+    val root = java.nio.file.Files.createTempDirectory("smoke-repl").toString
+    def freePort(): Int = {
+      val ss = new ServerSocket(0); val p = ss.getLocalPort; ss.close(); p
+    }
+    val Seq(pA, pB) = Seq.fill(2)(freePort())
+    val Seq(hA, hB) = Seq.fill(2)(freePort())
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    def daemon(tag: String, i: Int, gPort: Int, hPort: Int): Process = {
+      val env = Map(
+        "GRAFT_DATA_DIR" -> s"$root/$tag",
+        "GRAFT_MASTER" -> "local[2]",
+        "GRAFT_SHUFFLE_PARTITIONS" -> "2",
+        "GRAFT_STEP_SEC" -> "10",
+        "GRAFT_GRAPHITE_PORT" -> gPort.toString,
+        "GRAFT_STATSD_PORT" -> freePort().toString,
+        "GRAFT_PICKLE_PORT" -> freePort().toString,
+        "GRAFT_HTTP_PORT" -> hPort.toString,
+        "GRAFT_SHARD_INDEX" -> i.toString,
+        "GRAFT_SHARD_COUNT" -> "2",
+        "GRAFT_SHARD_COPIES" -> "2",
+        "GRAFT_SHARD_PEERS" -> s"$pA,$pB")
+      val cmd = Seq(javaBin) ++ addOpens.split(" ").toSeq ++ Seq(
+        "-Dspark.ui.enabled=false", "-Xmx2g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.streaming.Daemon")
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      pb.environment().putAll(scala.jdk.CollectionConverters
+        .MapHasAsJava(env).asJava)
+      pb.start()
+    }
+    def drain(p: Process, sb: StringBuilder): Unit = {
+      val t = new Thread(() => {
+        val in = p.getInputStream
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          sb.synchronized {
+            sb.append(new String(buf, 0, n, "UTF-8"))
+            if (sb.length > 64000) sb.delete(0, sb.length - 32000)
+            ()
+          }
+          n = in.read(buf)
+        }
+      })
+      t.setDaemon(true); t.start()
+    }
+    val procs = Seq(daemon("a", 0, pA, hA), daemon("b", 1, pB, hB))
+    val logs = Seq.fill(2)(new StringBuilder)
+    procs.zip(logs).foreach { case (p, l) => drain(p, l) }
+    def awaitBanner(p: Process, sb: StringBuilder): Boolean = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (System.currentTimeMillis() < deadline) {
+        if (sb.synchronized(sb.toString).contains("graft daemon:"))
+          return true
+        if (!p.isAlive) return false
+        Thread.sleep(200)
+      }
+      false
+    }
+    try {
+      if (!procs.zip(logs).forall { case (p, l) => awaitBanner(p, l) }) {
+        logs.zipWithIndex.foreach { case (l, i) =>
+          println(s"--- repl daemon $i log tail ---\n" +
+            l.synchronized(l.toString).takeRight(1500))
+        }
+        return false
+      }
+      val base = (System.currentTimeMillis() / 1000L - 4000) / 10 * 10
+      val names = (1 to 10).map(i => s"rk$i.cpu")
+      def linesOf(n: String): Seq[String] =
+        (0 until 6).map(k => s"$n ${k + 1}.5 ${base + k * 10}")
+      val socks = Seq(pA, pB).map(p => new Socket("127.0.0.1", p))
+      val outs = socks.map(s => new PrintWriter(s.getOutputStream, true))
+      names.zipWithIndex.foreach { case (n, i) =>
+        linesOf(n).foreach(l => outs(i % 2).println(l))
+      }
+      outs.foreach(_.flush())
+      val isTest = col("name").startsWith("rk")
+      def testRows(dir: String): Long =
+        Try(Ingest.readArchive(spark, dir).filter(isTest).count())
+          .getOrElse(0L)
+      val want = names.size * 5L
+      val deadline = System.currentTimeMillis() + 180000
+      // primaries AND replicas must both hold every closed slot
+      while ((testRows(s"$root/a/points") + testRows(s"$root/b/points") < want ||
+          testRows(s"$root/a/replica/points") +
+            testRows(s"$root/b/replica/points") < want) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      def testSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+        df.filter(isTest).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val preKill = testSet(Ingest.readArchives(spark,
+        Seq(s"$root/a/points", s"$root/b/points")))
+      val victimSeries = names.filter(n => Shard.owner(n, 2) == 1).toSet
+      val preKillVictim = preKill.filter(r => victimSeries(r._1))
+      if (preKill.size.toLong != want || preKillVictim.isEmpty ||
+          victimSeries.size == names.size) {
+        println(s"repl precondition: preKill=${preKill.size} want=$want " +
+          s"victims=${victimSeries.size}/${names.size}")
+        return false
+      }
+      // CRASH shard 1 (no graceful hooks)
+      procs(1).destroyForcibly()
+      procs(1).waitFor(15, java.util.concurrent.TimeUnit.SECONDS)
+      // the survivor keeps ingesting its own series: new points for an
+      // A-owned name, later timestamps; its replica sends to the dead
+      // peer must DROP fast, not stall the gateway
+      val aOwned = names.find(n => Shard.owner(n, 2) == 0).get
+      val contBase = base + 200
+      (0 until 6).foreach(k =>
+        outs(0).println(s"$aOwned ${k + 9}.5 ${contBase + k * 10}"))
+      outs(0).flush()
+      val contWant = 5L
+      val d2 = System.currentTimeMillis() + 180000
+      def contRows(): Long =
+        Try(Ingest.readArchive(spark, s"$root/a/points")
+          .filter(col("name") === aOwned && col("t") >= contBase)
+          .count()).getOrElse(0L)
+      while (contRows() < contWant && System.currentTimeMillis() < d2)
+        Thread.sleep(500)
+      // owner-preferred render with shard 1 down: survivor primary +
+      // survivor's replica slice filtered to the victim's ownership
+      val postRender = testSet(Shard.readClusterArchives(spark,
+        Seq(s"$root/a/points", s"$root/b/points"),
+        Seq(s"$root/a/replica/points", s"$root/b/replica/points"),
+        copies = 2, down = Set(1)))
+      val postVictim = postRender.filter(r => victimSeries(r._1))
+      val ok = postVictim == preKillVictim && contRows() >= contWant &&
+        // every victim row came from the REPLICA store, never the dead
+        // primary: the replica slice alone reproduces it
+        testSet(Ingest.readArchive(spark, s"$root/a/replica/points"))
+          .filter(r => victimSeries(r._1)) == preKillVictim
+      if (!ok) println(s"repl check: preVictim=${preKillVictim.size} " +
+        s"postVictim=${postVictim.size} cont=${contRows()}")
+      socks.foreach(s => Try(s.close()))
+      ok
+    } finally {
+      procs.foreach { p =>
+        Try(p.destroy())
+        if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+          Try(p.destroyForcibly())
+      }
+    }
   }
 
   /** The VERDICT-r11 cluster-ingest proof: THREE real forked daemon
