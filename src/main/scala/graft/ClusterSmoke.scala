@@ -223,7 +223,228 @@ object ClusterSmoke {
     check("replication: kill one shard, replica serves its slice, ingest continues") {
       replicatedKillCheck(spark, addOpens)
     }
+    check("reshard: 2-shard fleet resizes to 3 mid-stream, render == single daemon") {
+      reshardCheck(spark, addOpens)
+    }
     spark.stop()
+  }
+
+  /** The VERDICT-r12 dynamic-membership proof (Transition/Relinquish,
+    * `cluster/cluster.go:667-700`, `receiver/dscache.go:287-315`): a
+    * 2-shard fleet of REAL forked daemon JVMs resizes to 3 MID-STREAM,
+    * with a planted series whose in-progress PDP interval straddles
+    * the resize. Lifecycle: the old fleet stops gracefully (SIGTERM —
+    * every accepted line committed, state checkpointed), the parent
+    * runs the remap ([[graft.streaming.Reshard.writeSeeds]]: state out
+    * of the stopped checkpoints via the state data source, re-homed to
+    * `pmod(xxhash64, 3)` owners), and a NEW 3-daemon fleet boots with
+    * `GRAFT_PDP_SEED` + `GRAFT_EXTRA_STORES`. Archive data never
+    * moves. Proof: the union render over old + new stores is
+    * bit-identical to a single-daemon control fed the same lines —
+    * zero double-counted, zero gapped slots — and the new primaries
+    * are disjoint at M=3. */
+  private def reshardCheck(spark: SparkSession,
+      addOpens: String): Boolean = {
+    import java.net.{ServerSocket, Socket}
+    import java.io.PrintWriter
+    import scala.util.Try
+    import graft.streaming.{Ingest, Reshard, Shard}
+    val root = java.nio.file.Files.createTempDirectory("smoke-resize").toString
+    def freePort(): Int = {
+      val ss = new ServerSocket(0); val p = ss.getLocalPort; ss.close(); p
+    }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    def daemon(tag: String, gPort: Int,
+        shard: Option[(Int, Int, String)],
+        extra: Map[String, String] = Map.empty): Process = {
+      val env = Map(
+        "GRAFT_DATA_DIR" -> s"$root/$tag",
+        "GRAFT_MASTER" -> "local[2]",
+        "GRAFT_SHUFFLE_PARTITIONS" -> "2",
+        "GRAFT_STEP_SEC" -> "10",
+        "GRAFT_HEARTBEAT_SEC" -> "7200",
+        "GRAFT_GRAPHITE_PORT" -> gPort.toString,
+        "GRAFT_STATSD_PORT" -> freePort().toString,
+        "GRAFT_PICKLE_PORT" -> freePort().toString,
+        "GRAFT_HTTP_PORT" -> freePort().toString) ++
+        shard.map { case (i, n, peers) => Map(
+          "GRAFT_SHARD_INDEX" -> i.toString,
+          "GRAFT_SHARD_COUNT" -> n.toString,
+          "GRAFT_SHARD_PEERS" -> peers)
+        }.getOrElse(Map.empty) ++ extra
+      val cmd = Seq(javaBin) ++ addOpens.split(" ").toSeq ++ Seq(
+        "-Dspark.ui.enabled=false", "-Xmx2g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.streaming.Daemon")
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      pb.environment().putAll(scala.jdk.CollectionConverters
+        .MapHasAsJava(env).asJava)
+      pb.start()
+    }
+    def drain(p: Process, sb: StringBuilder): Unit = {
+      val t = new Thread(() => {
+        val in = p.getInputStream
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          sb.synchronized {
+            sb.append(new String(buf, 0, n, "UTF-8"))
+            if (sb.length > 64000) sb.delete(0, sb.length - 32000)
+            ()
+          }
+          n = in.read(buf)
+        }
+      })
+      t.setDaemon(true); t.start()
+    }
+    def bootAll(specs: Seq[(String, Int, Option[(Int, Int, String)],
+        Map[String, String])]): Option[Seq[Process]] = {
+      val procs = specs.map { case (t, p, sh, ex) => daemon(t, p, sh, ex) }
+      val logs = Seq.fill(procs.size)(new StringBuilder)
+      procs.zip(logs).foreach { case (p, l) => drain(p, l) }
+      val deadline = System.currentTimeMillis() + 150000
+      while (System.currentTimeMillis() < deadline) {
+        if (logs.forall(l => l.synchronized(l.toString)
+            .contains("graft daemon:")))
+          return Some(procs)
+        if (procs.exists(!_.isAlive)) {
+          logs.foreach(l => println("--- resize boot log tail ---\n" +
+            l.synchronized(l.toString).takeRight(1200)))
+          procs.foreach(p => Try(p.destroyForcibly()))
+          return None
+        }
+        Thread.sleep(200)
+      }
+      procs.foreach(p => Try(p.destroyForcibly()))
+      None
+    }
+    val base = (System.currentTimeMillis() / 1000L - 4000) / 10 * 10
+    val names = (1 to 9).map(i => s"rz$i.cpu")
+    // epoch-1 ends MID-SLOT at base+55: the in-progress PDP interval
+    // [55, ?) must survive the resize
+    def e1Lines(n: String, v0: Int): Seq[String] =
+      Seq(0L, 10L, 20L, 30L, 40L, 55L).zipWithIndex.map { case (dt, k) =>
+        s"$n ${v0 + k}.5 ${base + dt}" }
+    def e2Lines(n: String, v0: Int): Seq[String] =
+      Seq(58L -> 6, 70L -> 7, 80L -> 8).map { case (dt, k) =>
+        s"$n ${v0 + k}.5 ${base + dt}" }
+    val isTest = col("name").startsWith("rz")
+    def testRows(dir: String): Long =
+      Try(Ingest.readArchive(spark, dir).filter(isTest).count())
+        .getOrElse(0L)
+    def feed(ports: Seq[Int], linesFor: Int => Seq[String]): Boolean = Try {
+      val socks = ports.map(p => new Socket("127.0.0.1", p))
+      val outs = socks.map(s => new PrintWriter(s.getOutputStream, true))
+      names.indices.foreach(i =>
+        linesFor(i).foreach(outs(i % (ports.size - 1)).println))
+      // last port = the control, gets everything
+      names.indices.foreach(i => linesFor(i).foreach(outs.last.println))
+      outs.foreach(_.flush())
+      Thread.sleep(200)
+      socks.foreach(s => Try(s.close()))
+    }.isSuccess
+    // ---- control + epoch 1 ----
+    val pCtl = freePort()
+    val Seq(p1a, p1b) = Seq.fill(2)(freePort())
+    val ctl = bootAll(Seq(("ctl", pCtl, None, Map.empty))).getOrElse {
+      return false
+    }
+    val e1 = bootAll(Seq(
+      ("e1/a", p1a, Some((0, 2, s"$p1a,$p1b")), Map.empty),
+      ("e1/b", p1b, Some((1, 2, s"$p1a,$p1b")), Map.empty))).getOrElse {
+      ctl.foreach(p => Try(p.destroyForcibly())); return false
+    }
+    try {
+      if (!feed(Seq(p1a, p1b, pCtl), i => e1Lines(names(i), i * 10)))
+        return false
+      val wantE1 = names.size * 6L
+      val d1 = System.currentTimeMillis() + 180000
+      while ((testRows(s"$root/e1/a/points") + testRows(s"$root/e1/b/points")
+          < wantE1 || testRows(s"$root/ctl/points") < wantE1) &&
+          System.currentTimeMillis() < d1)
+        Thread.sleep(500)
+      if (testRows(s"$root/e1/a/points") + testRows(s"$root/e1/b/points")
+          < wantE1) {
+        println(s"resize: epoch-1 drain incomplete " +
+          s"(${testRows(s"$root/e1/a/points")}+${testRows(s"$root/e1/b/points")})")
+        return false
+      }
+      // ---- graceful stop of the old fleet (SIGTERM = Relinquish) ----
+      e1.foreach(_.destroy())
+      if (!e1.forall(_.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))) {
+        e1.foreach(p => Try(p.destroyForcibly())); return false
+      }
+      // ---- the remap ----
+      val seeds = (0 until 3).map(i => s"$root/seed/$i")
+      Reshard.writeSeeds(spark,
+        Seq(s"$root/e1/a/ckpt-points", s"$root/e1/b/ckpt-points"), 3, seeds)
+      val seeded = seeds.map(p => spark.read.parquet(p)
+        .filter(isTest).count()).sum
+      if (seeded != names.size.toLong) {
+        println(s"resize: seeds carry $seeded of ${names.size} test series")
+        return false
+      }
+      // ---- epoch 2: three daemons, seeded, old stores read-only ----
+      val Seq(p2a, p2b, p2c) = Seq.fill(3)(freePort())
+      val peers2 = s"$p2a,$p2b,$p2c"
+      val extraStores = s"$root/e1/a/points,$root/e1/b/points"
+      val e2 = bootAll(Seq("a", "b", "c").zip(Seq(p2a, p2b, p2c)).zipWithIndex
+        .map { case ((t, p), i) =>
+          (s"e2/$t", p, Some((i, 3, peers2)), Map(
+            "GRAFT_PDP_SEED" -> seeds(i),
+            "GRAFT_EXTRA_STORES" -> extraStores))
+        }).getOrElse { return false }
+      try {
+        if (!feed(Seq(p2a, p2b, p2c, pCtl), i => e2Lines(names(i), i * 10)))
+          return false
+        val e2dirs = Seq("a", "b", "c").map(t => s"$root/e2/$t/points")
+        val wantCtl = names.size * 8L
+        val d2 = System.currentTimeMillis() + 180000
+        while ((e2dirs.map(testRows).sum < names.size * 3L ||
+            testRows(s"$root/ctl/points") < wantCtl) &&
+            System.currentTimeMillis() < d2)
+          Thread.sleep(500)
+        def testSet(dirs: Seq[String]): Set[(String, Long, Double)] =
+          Ingest.readArchives(spark, dirs).filter(isTest)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSet
+        val union = testSet(Seq(s"$root/e1/a/points", s"$root/e1/b/points")
+          ++ e2dirs)
+        val control = testSet(Seq(s"$root/ctl/points"))
+        // disjoint new primaries at M=3
+        val misOwned = e2dirs.zipWithIndex.map { case (d, i) =>
+          Try(Ingest.readArchive(spark, d).filter(isTest)
+            .select(col("name")).distinct()
+            .filter(pmod(xxhash64(col("name")), lit(3L)).cast("int") =!= i)
+            .count()).getOrElse(-1L)
+        }
+        // the straddling slot: 5s of the e1 value + 3s + 2s of epoch-2
+        // values, recombined across stores by the (vw, dur) merge
+        val straddleOk = names.indices.forall { i =>
+          union.find(r => r._1 == names(i) && r._2 == base + 50)
+            .exists(_._3 == (5 * (i * 10 + 5.5) + 3 * (i * 10 + 6.5) +
+              2 * (i * 10 + 7.5)) / 10)
+        }
+        val ok = union == control && union.size.toLong == wantCtl &&
+          misOwned.forall(_ == 0L) && straddleOk
+        if (!ok) println(s"resize check: union=${union.size} " +
+          s"control=${control.size} want=$wantCtl mis=$misOwned " +
+          s"straddle=$straddleOk")
+        ok
+      } finally {
+        e2.foreach { p =>
+          Try(p.destroy())
+          if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+            Try(p.destroyForcibly())
+        }
+      }
+    } finally {
+      (ctl ++ e1).foreach { p =>
+        Try(p.destroy())
+        if (p.isAlive && !p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+          Try(p.destroyForcibly())
+      }
+    }
   }
 
   /** The VERDICT-r12 replication proof (`cluster/cluster.go:183-191`

@@ -572,7 +572,9 @@ object Daemon {
       rras: Seq[Rra] = Seq.empty,
       pixelDpFeedPort: Option[Int] = None,
       maxQueue: Int = 0, maxMemory: Long = 0L,
-      compactEvery: Int = 0, compactFanout: Int = 4): StreamingQuery = {
+      compactEvery: Int = 0, compactFanout: Int = 4,
+      pdpSeed: Option[Dataset[(String, Ingest.PdpState)]] = None)
+      : StreamingQuery = {
     import spark.implicits._
     // maxQueue/maxMemory > 0 = the reference's max-receiver-queue-size
     // and max-memory-bytes drop bounds, applied per feed (drops
@@ -596,7 +598,7 @@ object Daemon {
     }
     val pts = pxPts.foldLeft(gPts.union(pkPts))(_ union _)
     startReceiverFromPoints(spark, pts, archiveDir, stepSec, heartbeatSec,
-      checkpointDir, retainSec, rras, compactEvery, compactFanout)
+      checkpointDir, retainSec, rras, compactEvery, compactFanout, pdpSeed)
   }
 
   /** The receiver pipeline downstream of ANY replayable point source —
@@ -611,8 +613,10 @@ object Daemon {
       pts: Dataset[(String, Long, Double)], archiveDir: String,
       stepSec: Long, heartbeatSec: Long, checkpointDir: String,
       retainSec: Option[Long] = None, rras: Seq[Rra] = Seq.empty,
-      compactEvery: Int = 0, compactFanout: Int = 4): StreamingQuery =
-    Ingest.pdpPieces(spark, pts, heartbeatSec).toDF()
+      compactEvery: Int = 0, compactFanout: Int = 4,
+      pdpSeed: Option[Dataset[(String, Ingest.PdpState)]] = None)
+      : StreamingQuery =
+    Ingest.pdpPieces(spark, pts, heartbeatSec, initial = pdpSeed).toDF()
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -1238,6 +1242,12 @@ object Daemon {
     // HTTP surface reads their union. startAll re-reads the config so
     // a SIGHUP restart picks up edited settings (ports stay boot-fixed:
     // the gateways ARE the reference's inherited listener FDs).
+    // reshard seed (Reshard.writeSeeds output): the in-progress PDP
+    // state this shard inherits at a resize. Applied only when the
+    // checkpoint is FRESH (first post-resize boot); a resumed
+    // checkpoint carries its own state and Spark ignores the seed.
+    val pdpSeed = sys.env.get("GRAFT_PDP_SEED")
+      .map(p => Reshard.readSeed(spark, p))
     def startAll(settings: DaemonSettings): Seq[StreamingQuery] = Seq(
       startReceiver(spark, gGw.boundFeedPort, pkGw.boundFeedPort,
         s"$dataDir/points", settings.stepSec, settings.heartbeatSec,
@@ -1245,6 +1255,7 @@ object Daemon {
         retainSec = settings.retainSec,
         rras = settings.rras, pixelDpFeedPort = Some(pxDpGw.boundFeedPort),
         maxQueue = settings.maxQueue, maxMemory = settings.maxMemory,
+        pdpSeed = pdpSeed,
         // small-file maintenance cadence (0 = off): a long-running
         // daemon's merge-per-batch cadence fragments the store into
         // one chunk per surviving batch epoch without it — ON by
@@ -1323,9 +1334,16 @@ object Daemon {
               "receiver.statsd.forwarded" -> x.forwarder.forwarded.get,
               "receiver.statsd.fwd_dropped" -> x.forwarder.dropped.get))
         })
+    // pre-resize epochs' frozen stores (comma-separated, read-only):
+    // archive data never moves at a resize — the render union covers
+    // the old epoch through readArchives' (vw, dur) weighted merge
+    val extraStores = sys.env.get("GRAFT_EXTRA_STORES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     val http = startHttp(spark,
       portOf("GRAFT_HTTP_PORT", conf.flatMap(_.httpPort), 8080),
-      Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel"),
+      Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel") ++
+        extraStores,
       boot.stepSec, pixelOffer = Some(pixelRoute(pxDpGw.offer, pxGw.offer)),
       blaster = Some(blaster),
       allowOrigin = conf.flatMap(_.httpAllowOrigin),

@@ -177,9 +177,20 @@ object Ingest {
     * clean), so the timeout changes memory, not output. On a batch frame
     * (no watermark possible) the state lives only for the single
     * invocation and timeouts are moot — NoTimeout path. */
+  /** `initial` SEEDS the per-series PDP state — the reshard lifecycle's
+    * handoff (`receiver/dscache.go:287-315` `Relinquish` flushes the
+    * in-progress DS record for the next owner to load; here the state
+    * comes out of the OLD owner's checkpoint via the state data source,
+    * [[Reshard.pdpState]]): a re-homed series' first point at its new
+    * owner closes the interval [old lastTs, ts) exactly as the old
+    * owner would have, so the slot straddling a resize neither gaps nor
+    * double-counts. Seeded series carry no eviction timeout until their
+    * first point arrives (then the normal heartbeat horizon arms) —
+    * same emitted output either way, documented at the timeout arm. */
   def pdpPieces(spark: SparkSession,
       points: Dataset[(String, Long, Double)],
-      heartbeatSec: Long): Dataset[Piece] = {
+      heartbeatSec: Long,
+      initial: Option[Dataset[(String, PdpState)]] = None): Dataset[Piece] = {
     import spark.implicits._
     // capture on the driver — the handler closure must not touch the
     // Dataset (its logical plan is not serialized to executors)
@@ -221,25 +232,47 @@ object Ingest {
         }
         out.result().iterator
       }
-    if (!points.isStreaming)
-      points.groupByKey(_._1)
-        .flatMapGroupsWithState[PdpState, Piece](
-          org.apache.spark.sql.streaming.OutputMode.Append,
-          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
-          (n, it, st) => handle(n, it.map(e => (e._2, e._3)), st))
-    else
+    val initKv = initial.map(_.groupByKey(_._1).mapValues(_._2))
+    if (!points.isStreaming) {
+      val grouped = points.groupByKey(_._1)
+      val f = (n: String, it: Iterator[(String, Long, Double)],
+          st: GroupState[PdpState]) =>
+        handle(n, it.map(e => (e._2, e._3)), st)
+      initKv match {
+        case Some(init) =>
+          grouped.flatMapGroupsWithState[PdpState, Piece](
+            org.apache.spark.sql.streaming.OutputMode.Append,
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+            init)(f)
+        case None =>
+          grouped.flatMapGroupsWithState[PdpState, Piece](
+            org.apache.spark.sql.streaming.OutputMode.Append,
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(f)
+      }
+    } else {
       // the watermarked event-time column must stay in the operator's
       // input (Spark checks the child output for it before allowing
       // setTimeoutTimestamp), so the grouped rows keep all 4 fields
-      points.toDF("name", "tsSec", "value")
+      val grouped = points.toDF("name", "tsSec", "value")
         .withColumn("__et", timestamp_seconds(col("tsSec")))
         .withWatermark("__et", s"$heartbeatSec seconds")
         .as[(String, Long, Double, java.sql.Timestamp)]
         .groupByKey(_._1)
-        .flatMapGroupsWithState[PdpState, Piece](
-          org.apache.spark.sql.streaming.OutputMode.Append,
-          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
-          (n, it, st) => handle(n, it.map(e => (e._2, e._3)), st))
+      val f = (n: String, it: Iterator[(String, Long, Double, java.sql.Timestamp)],
+          st: GroupState[PdpState]) =>
+        handle(n, it.map(e => (e._2, e._3)), st)
+      initKv match {
+        case Some(init) =>
+          grouped.flatMapGroupsWithState[PdpState, Piece](
+            org.apache.spark.sql.streaming.OutputMode.Append,
+            org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+            init)(f)
+        case None =>
+          grouped.flatMapGroupsWithState[PdpState, Piece](
+            org.apache.spark.sql.streaming.OutputMode.Append,
+            org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(f)
+      }
+    }
   }
 
   /** The archive sink (`foreachBatch` body): merge a micro-batch of

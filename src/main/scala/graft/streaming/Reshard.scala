@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dynamic shard membership — the reference's Transition/Relinquish
+  * re-expressed for a shared-nothing archive tier
+  * (`cluster/cluster.go:667-700` `Transition`: on a membership change
+  * each moving series' OLD owner `Relinquish`es — flushes its
+  * in-progress DS record to the shared database — and the new owner
+  * loads it from there, `receiver/dscache.go:287-315`;
+  * `receiver/director.go:255-265` triggers it from the cluster-change
+  * channel).
+  *
+  * Spark-first shape — a resize costs O(live series), never O(data):
+  *
+  *  1. ARCHIVE DATA NEVER MOVES. Ownership only decides who WRITES a
+  *     series next; the render tier already weighted-merges (vw, dur)
+  *     slot partials across any number of stores
+  *     ([[Ingest.readArchives]]), so the old epoch's stores simply
+  *     stay in the render union, read-only, and a slot whose pieces
+  *     straddle the resize recombines to the exact single-daemon value
+  *     by the same math every cross-batch merge already uses.
+  *  2. WHAT MOVES is the reference's "incomplete state in DS": the
+  *     per-series (lastTs, lastVal) pair of the in-progress PDP
+  *     interval, which lives in the receiver's flatMapGroupsWithState
+  *     state. The old fleet stops at a micro-batch boundary (its
+  *     normal graceful stop — every accepted line committed, state
+  *     checkpointed); [[pdpState]] reads that state OUT of the stopped
+  *     checkpoint with Spark's state data source (the Relinquish
+  *     flush), and [[writeSeeds]] re-homes each series' pair to its
+  *     `pmod(xxhash64(name), M)` owner at the NEW count M (the remap).
+  *  3. The new fleet boots at M with `GRAFT_PDP_SEED` pointing at its
+  *     slice; the receiver seeds its state from it
+  *     ([[Ingest.pdpPieces]] `initial`), so the first post-resize
+  *     point of a moved series closes [old lastTs, ts) exactly as the
+  *     old owner would have — zero gapped, zero double-counted slots.
+  *
+  * At 100 TB: the seed frame is one row per live series (the DS-cache
+  * analogue), the remap is one small shuffle, and the stores — the
+  * 100 TB — are untouched; compare to consistent-hash stores that
+  * re-balance data on every membership change. */
+object Reshard {
+
+  /** The Relinquish read: the per-series in-progress PDP state out of
+    * a STOPPED receiver checkpoint, via the state data source over the
+    * flatMapGroupsWithState operator. Columns: name, lastTs, lastVal. */
+  def pdpState(spark: SparkSession, checkpointDir: String): DataFrame = {
+    // this is a BATCH read of streaming state: no streaming query is
+    // running, so the driver has no StateStoreCoordinator endpoint —
+    // executor-side snapshot-lag reporting (on by default) would RPC
+    // into the void and fail the load on any multi-process master
+    // (local[*] masks it: driver and executor share the JVM). The
+    // report is a lag METRIC, not a correctness path.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+      "false")
+    spark.read.format("statestore").load(checkpointDir)
+      .select(col("key.value").as("name"),
+        col("value.groupState.lastTs").as("lastTs"),
+        col("value.groupState.lastVal").as("lastVal"))
+  }
+
+  /** The remap tool: union the old fleet's relinquished states and
+    * write one seed per NEW shard, each holding exactly the series the
+    * `pmod(xxhash64(name), newCount)` rule assigns it. Stored names
+    * are already canonical (ownership and storage share the rule —
+    * [[Shard.canonicalName]]), so the hash applies directly. A series
+    * can only have state in ONE old checkpoint (single-owner
+    * invariant); `max_by(lastTs)` makes the union safe even if an
+    * operator feeds overlapping checkpoints (e.g. a replica
+    * receiver's). */
+  def writeSeeds(spark: SparkSession, oldCheckpoints: Seq[String],
+      newCount: Int, seedPaths: Seq[String]): Unit = {
+    require(seedPaths.size == newCount,
+      s"${seedPaths.size} seed paths for $newCount shards")
+    val all = oldCheckpoints.map(pdpState(spark, _))
+      .reduce(_.unionByName(_))
+      .groupBy(col("name"))
+      .agg(max_by(struct(col("lastTs"), col("lastVal")),
+        col("lastTs")).as("s"))
+      .select(col("name"), col("s.lastTs").as("lastTs"),
+        col("s.lastVal").as("lastVal"))
+      .withColumn("__owner",
+        pmod(xxhash64(col("name")), lit(newCount.toLong)).cast("int"))
+      .persist()
+    try {
+      seedPaths.zipWithIndex.foreach { case (path, i) =>
+        all.filter(col("__owner") === i).drop("__owner")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        ()
+      }
+    } finally { all.unpersist(); () }
+  }
+
+  /** Load one shard's seed for [[Ingest.pdpPieces]]' `initial`. */
+  def readSeed(spark: SparkSession,
+      path: String): Dataset[(String, Ingest.PdpState)] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("name"), col("lastTs"), col("lastVal"))
+      .as[(String, Long, Double)]
+      .map { case (n, ts, v) => (n, Ingest.PdpState(ts, v)) }
+  }
+}

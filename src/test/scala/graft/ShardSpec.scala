@@ -427,6 +427,145 @@ class ShardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("reshard 2->3: PDP state re-homes, straddling slot exact, no data moves") {
+    val s = spark
+    import graft.streaming.Reshard
+    val root = Files.createTempDirectory("graft-reshard").toString
+    val base = (System.currentTimeMillis() / 1000L - 4000) / 10 * 10
+    val names = (1 to 8).map(i => s"rs$i.cpu")
+    // epoch-1 points end MID-SLOT at base+55: slot [50,60) holds a
+    // 5s partial and the in-progress interval [55, ?) is open — the
+    // state the resize must hand to the new owner
+    def e1Lines(n: String, v0: Int): Seq[String] =
+      (Seq(0L, 10L, 20L, 30L, 40L, 55L).zipWithIndex).map { case (dt, k) =>
+        s"$n ${v0 + k}.5 ${base + dt}" }
+    // epoch-2 closes the straddle at base+58 and keeps going
+    def e2Lines(n: String, v0: Int): Seq[String] =
+      Seq(58L -> 6, 70L -> 7, 80L -> 8).map { case (dt, k) =>
+        s"$n ${v0 + k}.5 ${base + dt}" }
+    def gw(port: Int, route: String => Option[String]) =
+      new Daemon.LineGateway(port, 0, route = route)
+    def pkGw() = new Daemon.LineGateway(0, 0, framed = true)
+    def recv(g: Daemon.LineGateway, tag: String,
+        seed: Option[String] = None) =
+      Daemon.startReceiver(s, g.boundFeedPort, pkGw().boundFeedPort,
+        s"$root/$tag/points", stepSec = 10, heartbeatSec = 7200,
+        checkpointDir = s"$root/$tag/ckpt",
+        pdpSeed = seed.map(Reshard.readSeed(s, _)))
+    def rows(tag: String): Long =
+      Try(Ingest.readArchive(s, s"$root/$tag/points").count()).getOrElse(0L)
+    def drainTo(want: Long, tags: Seq[String],
+        qs: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (tags.map(rows).sum < want &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250); qs.foreach(_.processAllAvailable())
+      }
+      qs.foreach(_.processAllAvailable())
+    }
+    // ---- control: one daemon fed everything, never restarted ----
+    val gC = new Daemon.LineGateway(0, 0)
+    val qC = recv(gC, "ctl")
+    // ---- epoch 1: two shards ----
+    def freePort(): Int = {
+      val ss = new ServerSocket(0); val p = ss.getLocalPort; ss.close(); p
+    }
+    val Seq(p1a, p1b) = Seq.fill(2)(freePort())
+    val dir1a = new Shard.Director(0, 2, new Shard.Forwarder(Seq(p1a, p1b)))
+    val dir1b = new Shard.Director(1, 2, new Shard.Forwarder(Seq(p1a, p1b)))
+    val g1a = gw(p1a, dir1a.route); val g1b = gw(p1b, dir1b.route)
+    val q1a = recv(g1a, "e1/a"); val q1b = recv(g1b, "e1/b")
+    try {
+      names.zipWithIndex.foreach { case (n, i) =>
+        e1Lines(n, i * 10).foreach { l =>
+          (if (i % 2 == 0) g1a else g1b).offer(l); gC.offer(l)
+        }
+      }
+      // 6 slots per series land (slot 50 as a 5s partial)
+      drainTo(names.size * 6L, Seq("e1/a", "e1/b"), Seq(q1a, q1b))
+      drainTo(names.size * 6L, Seq("ctl"), Seq(qC))
+      // graceful epoch stop: every accepted line committed, state
+      // checkpointed at the final micro-batch
+      q1a.stop(); q1b.stop()
+      // ---- the remap: relinquished state -> seeds at M=3 ----
+      val seeds = (0 until 3).map(i => s"$root/seed/$i")
+      Reshard.writeSeeds(s, Seq(s"$root/e1/a/ckpt", s"$root/e1/b/ckpt"),
+        3, seeds)
+      // each seed holds exactly its owner's series, union = all live
+      val seedNames = seeds.zipWithIndex.map { case (p, i) =>
+        val df = s.read.parquet(p)
+        val ns = df.select("name").collect().map(_.getString(0)).toSet
+        assert(ns.forall(Shard.owner(_, 3) == i), s"seed $i mis-homed")
+        // the handed-over state is the OPEN interval: lastTs = base+55
+        df.collect().filter(r => r.getAs[String]("name").startsWith("rs"))
+          .foreach(r => assert(r.getAs[Long]("lastTs") === base + 55))
+        ns
+      }.reduce(_ ++ _)
+      assert(names.toSet.subsetOf(seedNames))
+      // ---- epoch 2: three shards, seeded, fresh checkpoints ----
+      val Seq(p2a, p2b, p2c) = Seq.fill(3)(freePort())
+      val ports2 = Seq(p2a, p2b, p2c)
+      val dirs2 = (0 until 3).map(i =>
+        new Shard.Director(i, 3, new Shard.Forwarder(ports2)))
+      val gws2 = ports2.zip(dirs2).map { case (p, d) => gw(p, d.route) }
+      val tags2 = Seq("e2/a", "e2/b", "e2/c")
+      val qs2 = gws2.zip(tags2).zipWithIndex.map { case ((g, t), i) =>
+        recv(g, t, seed = Some(seeds(i))) }
+      try {
+        names.zipWithIndex.foreach { case (n, i) =>
+          e2Lines(n, i * 10).foreach { l =>
+            gws2(i % 3).offer(l); gC.offer(l)
+          }
+        }
+        // per series: e1 stores keep their 6 frozen rows (incl. the
+        // 5s partial of slot 50); e2 stores gain slot 50's OTHER
+        // partial plus slots 60 and 70 — 9 raw rows across stores,
+        // 8 distinct slots after the (vw, dur) merge
+        drainTo(names.size * 9L, Seq("e1/a", "e1/b") ++ tags2,
+          qs2)
+        drainTo(names.size * 8L, Seq("ctl"), Seq(qC))
+        def setOf(dirs: Seq[String]): Set[(String, Long, Double)] =
+          Ingest.readArchives(s, dirs)
+            .filter(col("name").startsWith("rs"))
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSet
+        val union = setOf(Seq(s"$root/e1/a/points", s"$root/e1/b/points",
+          s"$root/e2/a/points", s"$root/e2/b/points", s"$root/e2/c/points"))
+        val control = setOf(Seq(s"$root/ctl/points"))
+        // bit-identical union: the straddling slot's pieces live in
+        // TWO stores and recombine through the (vw, dur) merge to the
+        // single-daemon value — zero gapped, zero double-counted slots
+        assert(union === control,
+          "resharded union diverged from the single-daemon control")
+        assert(union.size.toLong === names.size * 8L)
+        // the straddling slot specifically: [50,60) = 5s of the e1
+        // value + 3s of the first e2 value + 2s of the next
+        names.zipWithIndex.foreach { case (n, i) =>
+          val v = union.find(r => r._1 == n && r._2 == base + 50).get._3
+          val expect = (5 * (i * 10 + 5.5) + 3 * (i * 10 + 6.5) +
+            2 * (i * 10 + 7.5)) / 10
+          assert(v === expect, s"straddling slot of $n")
+        }
+        // epoch-2 primaries are disjoint at M=3
+        tags2.zipWithIndex.foreach { case (t, i) =>
+          val mis = Ingest.readArchive(s, s"$root/$t/points")
+            .select(col("name")).distinct()
+            .filter(pmod(xxhash64(col("name")), lit(3L)).cast("int") =!= i)
+            .count()
+          assert(mis === 0L, s"epoch-2 shard $i holds a foreign series")
+        }
+      } finally {
+        qs2.foreach(q => Try(q.stop()))
+        gws2.foreach(g => Try(g.close()))
+        dirs2.foreach(d => Try(d.close()))
+      }
+    } finally {
+      Seq(q1a, q1b, qC).foreach(q => Try(q.stop()))
+      Seq(g1a, g1b, gC).foreach(g => Try(g.close()))
+      Seq(dir1a, dir1b).foreach(d => Try(d.close()))
+    }
+  }
+
   // ---- forwarder fault model (receiver/director.go:55-66 channel
   // semantics: enqueue-and-move-on; a dead/slow peer costs the CHANNEL
   // its buffer, never the director its latency) ----
