@@ -489,23 +489,33 @@ object Curation {
     "concat(array_join(transform(sequence(1, length(word)), " +
       "i -> substring(word, i, 1)), ' '), ' </w>')")
 
-  /** Apply one learned merge to a symbol-string column — canonical
-    * BPE's leftmost non-overlapping scan. A plain
+  /** Apply a SEQUENCE of learned merges as ONE stable expression: fold
+    * the merge array over the symbol string, each element applied with
+    * canonical BPE's leftmost non-overlapping scan. A plain
     * `replace(" a b ", " ab ")` misses adjacent repeats ("a b a b"):
     * the scanner consumes the shared middle space, so the second
     * occurrence lacks its leading delimiter. DOUBLING every space
     * first gives each boundary two spaces; the pattern takes ONE from
     * each side, leaving the neighbor's delimiter intact — every
     * boundary ends the pass with exactly two spaces, which then halve
-    * back. (Same chain, same scan semantics, in the SQL twins.) */
-  private def fusePair(sCol: Column, pr: String): Column = {
-    val Array(pa, pb) = pr.split(" ", 2)
-    val doubled = replace(concat(lit(" "), sCol, lit(" ")),
-      lit(" "), lit("  "))
-    val fused = replace(doubled,
-      lit(" " + pa + "  " + pb + " "), lit(" " + pa + pb + " "))
-    trim(replace(fused, lit("  "), lit(" ")))
-  }
+    * back. (Same ops, same order, in the SQL twins — unchanged.)
+    *
+    * The array rides a single `typedlit` — REFERENCED by the plan,
+    * never inlined — so the expression source is independent of merge
+    * content AND count: per-round training plans stop recompiling (the
+    * round-12 profile's cu_bpe gap was per-round codegen of the
+    * inline-literal replace chain), and a 32k-merge tokenizer applies
+    * as one constant-depth plan node instead of a 32k-deep chain. */
+  private def fuseChain(sCol: Column, prs: Seq[String]): Column =
+    if (prs.isEmpty) sCol
+    else aggregate(typedlit(prs), sCol, (acc, pr) => {
+      val doubled = replace(concat(lit(" "), acc, lit(" ")),
+        lit(" "), lit("  "))
+      val fused = replace(doubled,
+        concat(lit(" "), replace(pr, lit(" "), lit("  ")), lit(" ")),
+        concat(lit(" "), replace(pr, lit(" "), lit("")), lit(" ")))
+      trim(replace(fused, lit("  "), lit(" ")))
+    })
 
   /** Shared training loop: returns (merge table, vocab frame, the
     * expression mapping that frame's rows to the POST-merge symbol
@@ -526,9 +536,14 @@ object Curation {
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val s0: Column = charSplit
-    // `cur` + `sCol` together denote the current symbol state
+    // `cur` + (`base` folded with `pending`) denote the current symbol
+    // state: base is the last epoch's materialized column, pending the
+    // merges since — applied via ONE [[fuseChain]] fold whose codegen
+    // source never changes round-over-round
     var cur: DataFrame = wcPlan.localCheckpoint(false)
-    var sCol: Column = s0
+    var base: Column = s0
+    val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sCol: Column = fuseChain(base, pending.toSeq)
     val handles = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var exhausted = false
@@ -550,12 +565,13 @@ object Curation {
         else {
           val (pr, n) = (top(0).getString(0), top(0).getLong(1))
           merges += ((r.toLong, pr, n))
-          sCol = fusePair(sCol, pr) // [[fusePair]]: leftmost non-overlap scan
+          pending += pr // [[fuseChain]]: leftmost non-overlap scan each
           if (r % BpeMatEvery == 0 && r < rounds) {
             cur = cur.select(col("word"), col("cnt"), sCol.as("s"))
               .localCheckpoint(false) // lazy: next argmax materializes it
             handles += cur
-            sCol = col("s")
+            base = col("s")
+            pending.clear()
           }
         }
       }
@@ -600,26 +616,16 @@ object Curation {
     * ([[BpeMatEvery]]), then one word-grain join reassembles
     * documents. Returns (doc_id, bpe: array<string>). */
   def bpeTokenizeWith(docs: DataFrame, merges: Seq[String]): DataFrame = {
-    var cur = docs.select(explode(tokens).as("word"))
+    val cur = docs.select(explode(tokens).as("word"))
       .filter(length(col("word")) > 0).distinct()
-    var sCol: Column = charSplit
-    // LAZY localCheckpoint per epoch, not persist: nothing acts inside
-    // the loop, so the caller's one action materializes the epoch
-    // chain in sequence — each epoch truncates to an RDD leaf as it
-    // lands, so BOTH the replace-expression depth AND the analyzed
-    // plan stay ≤ one epoch deep (a 32k-merge tokenizer would
-    // otherwise re-analyze a 32k-stage lineage). Superseded epochs
-    // drop their parent references at truncation and GC-reclaim; the
-    // final epoch's blocks back the returned plan.
-    merges.zipWithIndex.foreach { case (pr, i) =>
-      sCol = fusePair(sCol, pr)
-      if ((i + 1) % BpeMatEvery == 0 && i + 1 < merges.size) {
-        cur = cur.select(col("word"), sCol.as("s")).localCheckpoint(false)
-        sCol = col("s")
-      }
-    }
+    // the whole merge table applies as ONE constant-depth fold
+    // ([[fuseChain]]): a 32k-merge tokenizer is one plan node over a
+    // 32k-element referenced array — no 32k-deep replace chain, no
+    // per-epoch re-materialization jobs, nothing for the analyzer to
+    // walk per merge. Work per word is the same M scans either way.
     tokenizeWithMap(docs,
-      cur.select(col("word"), split(sCol, " ").as("syms")))
+      cur.select(col("word"),
+        split(fuseChain(charSplit, merges), " ").as("syms")))
   }
 
   /** Word-major document reassembly shared by the apply paths: join
