@@ -1,9 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -66,6 +69,25 @@ object VectorExprs {
       books: Seq[Seq[(Long, Seq[Double])]]): Column =
     GraftBridge.column(PqEncodeExpr(GraftBridge.expression(vec),
       books.map(_.map(_._1)), books.map(_.map(_._2))))
+
+  /** Elementwise sum of an `array<bigint>` column as ONE aggregate —
+    * the k-means/PQ Lloyd update's per-dim sums without unrolling Dim
+    * `sum(getItem(i))` columns into the plan; see [[LongArraySumAgg]].
+    * Long addition is associative and exact, so the result is
+    * bit-identical to the per-dim columns whatever order partials
+    * combine in. */
+  def arraySumLong(c: Column): Column =
+    GraftBridge.column(
+      LongArraySumAgg(GraftBridge.expression(c)).toAggregateExpression())
+
+  /** Per-query ADC lookup table — the M·Ksub <query subvector,
+    * codeword> dots as one fused pass; see [[PqLutExpr]]. Dead
+    * codeword slots hold 0.0. `books(sub)` = cid-ascending
+    * (cid, codeword) pairs, cids in [0, ksub). */
+  def pqLut(qq: Column, books: Seq[Seq[(Long, Seq[Double])]],
+      ksub: Int): Column =
+    GraftBridge.column(PqLutExpr(GraftBridge.expression(qq),
+      books.map(_.map(_._1)), books.map(_.map(_._2)), ksub))
 
   /** Accepts primitive numeric element types only — DecimalType is
     * rejected at ANALYSIS time because the fused loops read elements
@@ -704,5 +726,252 @@ case class PqEncodeExpr(child: Expression,
     })
 
   override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Elementwise sum of `array<bigint>` rows as one
+  * [[TypedImperativeAggregate]] — the Lloyd-update aggregate.
+  *
+  * The k-means/PQ centroid updates previously unrolled Dim parallel
+  * `sum(qv[i])` columns into every round's plan: correct and map-side
+  * combined, but each Lloyd round re-analyzed and re-optimized a
+  * ~4·Dim-expression tree on the DRIVER — profiled as the dominant
+  * wall−jobs gap of the iterative sim_* queries (the jobs themselves
+  * are milliseconds at any one round). This aggregate carries the same
+  * per-dim long sums as ONE plan node, so a round's analyzed tree is a
+  * dozen expressions regardless of Dim.
+  *
+  * Exactness: long addition is associative/commutative and the
+  * quantized-domain sums stay far inside 2⁶³ (|qv_i| ≤ ~10⁶ · 10⁴),
+  * so partial/final combine order cannot change the result — the
+  * emitted sums are bit-identical to the per-dim `sum` columns and the
+  * DuckDB twins' `sum(qv[i])`. Null handling mirrors `sum`: null
+  * ARRAYS are skipped; a group with no non-null input evaluates to
+  * null. Null ELEMENTS are rejected (quantized vectors never carry
+  * them — malformed input fails loudly rather than skewing a
+  * centroid). Mixed lengths within a group are rejected the same way. */
+case class LongArraySumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LongArraySumAgg.Buf]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_array_sum_long requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_array_sum_long"
+
+  override def createAggregationBuffer(): LongArraySumAgg.Buf =
+    new LongArraySumAgg.Buf(null)
+
+  override def update(buf: LongArraySumAgg.Buf, input: InternalRow)
+      : LongArraySumAgg.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (buf.sums == null) buf.sums = new Array[Long](n)
+      require(buf.sums.length == n,
+        s"graft_array_sum_long: mixed array lengths (${buf.sums.length} vs $n)")
+      var i = 0
+      while (i < n) {
+        require(!arr.isNullAt(i),
+          "graft_array_sum_long: null element in input array")
+        buf.sums(i) += arr.getLong(i)
+        i += 1
+      }
+    }
+    buf
+  }
+  override def merge(buf: LongArraySumAgg.Buf, other: LongArraySumAgg.Buf)
+      : LongArraySumAgg.Buf = {
+    if (other.sums != null) {
+      if (buf.sums == null) buf.sums = other.sums.clone()
+      else {
+        require(buf.sums.length == other.sums.length,
+          s"graft_array_sum_long: mixed array lengths " +
+            s"(${buf.sums.length} vs ${other.sums.length})")
+        var i = 0
+        while (i < buf.sums.length) { buf.sums(i) += other.sums(i); i += 1 }
+      }
+    }
+    buf
+  }
+  override def eval(buf: LongArraySumAgg.Buf): Any =
+    if (buf.sums == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.sums)
+
+  override def serialize(buf: LongArraySumAgg.Buf): Array[Byte] =
+    if (buf.sums == null) Array.emptyByteArray
+    else {
+      val bb = java.nio.ByteBuffer.allocate(buf.sums.length * 8)
+      buf.sums.foreach(bb.putLong)
+      bb.array()
+    }
+  override def deserialize(bytes: Array[Byte]): LongArraySumAgg.Buf =
+    if (bytes.isEmpty) new LongArraySumAgg.Buf(null)
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val out = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+      new LongArraySumAgg.Buf(out)
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LongArraySumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LongArraySumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): LongArraySumAgg =
+    copy(child = newChild)
+}
+
+object LongArraySumAgg {
+  /** Adopt-on-first-input running sums (dim is carried by the data). */
+  final class Buf(var sums: Array[Long])
+}
+
+/** Per-query ADC lookup table as one fused expression: a flat
+  * M·Ksub `array<double>` where slot s·Ksub+c holds the
+  * <query subvector s, codeword c> dot (0.0 for dead codeword slots —
+  * no live code ever indexes them; codebooks may hold fewer than Ksub
+  * live codewords after empty-cluster drops during training).
+  *
+  * Replaces the composed per-slot HOF stack
+  * (M·Ksub × `aggregate(zip_with(slice(...), typedlit(cent), ·*·))`)
+  * on the query side of the ADC serve paths: that formulation builds a
+  * ~2000-node projection tree whose ANALYSIS + compile dominated
+  * sim_topk_pq's wall−jobs gap, and its HOFs are CodegenFallback
+  * besides. Dots accumulate `(double) qq[s·dsub+i] · cent[i]` in IEEE
+  * double in index order with a 0.0 init — bit-identical to the HOF
+  * fold (PqSpec pins the equivalence). Null/malformed input (null
+  * vector, null element, length ≠ M·Dsub) ⇒ null result, the
+  * [[NearestCentroidExpr]] convention. */
+case class PqLutExpr(child: Expression,
+    subCids: Seq[Seq[Long]], subCents: Seq[Seq[Seq[Double]]], ksub: Int)
+    extends UnaryExpression {
+
+  private val m = subCids.length
+  private val dsub = subCents.headOption.flatMap(_.headOption)
+    .map(_.length).getOrElse(0)
+  private val dim = m * dsub
+  require(m > 0 && ksub > 0 && subCents.length == m &&
+    subCids.zip(subCents).forall(p => p._1.length == p._2.length) &&
+    subCents.forall(_.forall(_.length == dsub)),
+    "codebooks must be non-empty and rectangular per subspace")
+  require(subCids.forall(s => s.forall(c => c >= 0 && c < ksub)),
+    "codeword cids must lie in [0, ksub)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.numericElem(prettyName, child.dataType)
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_lut"
+
+  /** row-major (s·Ksub+c)×dsub codeword matrix; dead slots zero */
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](m * ksub * dsub)
+    subCids.zip(subCents).zipWithIndex.foreach { case ((cids, cents), s) =>
+      cids.zip(cents).foreach { case (c, cent) =>
+        var i = 0
+        while (i < dsub) {
+          out((s * ksub + c.toInt) * dsub + i) = cent(i)
+          i += 1
+        }
+      }
+    }
+    out
+  }
+  /** live(s·Ksub+c) — dead slots emit 0.0 without a dot */
+  @transient private lazy val live: Array[Boolean] = {
+    val out = new Array[Boolean](m * ksub)
+    subCids.zipWithIndex.foreach { case (cids, s) =>
+      cids.foreach(c => out(s * ksub + c.toInt) = true)
+    }
+    out
+  }
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    val et = elemType
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        val slot = s * ksub + c
+        if (live(slot)) {
+          var acc = 0.0
+          i = 0
+          while (i < dsub) {
+            acc += VectorExprs.evalAsDouble(arr, s * dsub + i, et) *
+              flat(slot * dsub + i)
+            i += 1
+          }
+          out(slot) = acc
+        }
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cRef = ctx.addReferenceObj("lutCents", flat, "double[]")
+      val lRef = ctx.addReferenceObj("lutLive", live, "boolean[]")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val slot = ctx.freshName("slot")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
+      val xi = ctx.freshName("xi")
+      val getAt = VectorExprs.getAsDouble(arr, xi, elemType)
+      s"""
+         |boolean $bad = ($arr.numElements() != $dim);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($arr.isNullAt($i)) { $bad = true; break; }
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  double[] $out = new double[${m * ksub}];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    for (int $c = 0; $c < $ksub; $c++) {
+         |      int $slot = $s * $ksub + $c;
+         |      if ($lRef[$slot]) {
+         |        double $acc = 0.0;
+         |        for (int $i = 0; $i < $dsub; $i++) {
+         |          int $xi = $s * $dsub + $i;
+         |          $acc += ($getAt) * $cRef[$slot * $dsub + $i];
+         |        }
+         |        $out[$slot] = $acc;
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
     copy(child = newChild)
 }

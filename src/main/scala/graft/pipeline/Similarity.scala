@@ -572,14 +572,19 @@ object Similarity {
           transform(col("qv"), x => x.cast("double")).as("cent"))
         .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
       (1 to iters).foreach { _ =>
-        // element-wise sums as Dim parallel column aggregates — one
-        // map-side-combined hash agg over the corpus, no row explosion
-        val sums = (0 until Dim).map(i => sum(col("qv").getItem(i)).as(s"s$i"))
+        // element-wise sums as ONE native array aggregate
+        // ([[graft.functions.LongArraySumAgg]]) — still one
+        // map-side-combined agg over the corpus, no row explosion, and
+        // each round's analyzed plan stays a dozen expressions instead
+        // of an unrolled 4·Dim tree (the profiled per-round driver
+        // cost). Long sums are exact, so cent values are bit-identical
+        // to the per-dim sum columns this replaces.
         cents = kmeansAssign(qv, cents)
           .groupBy(col("cid"))
-          .agg(count(lit(1)).as("n"), sums: _*)
-          .select(col("cid"), array((0 until Dim).map(i =>
-            col(s"s$i").cast("double") / col("n")): _*).as("cent"))
+          .agg(count(lit(1)).as("n"),
+            graft.functions.VectorExprs.arraySumLong(col("qv")).as("s"))
+          .select(col("cid"),
+            transform(col("s"), x => x.cast("double") / col("n")).as("cent"))
           .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
       }
       cents
@@ -972,19 +977,19 @@ object Similarity {
           transform(col("sv"), x => x.cast("double")).as("cent"))
         .as[(Int, Long, Seq[Double])].collect().toSeq)
       (1 to iters).foreach { _ =>
-        val sums = (0 until dsub).map(i =>
-          sum(col("sv").getItem(i)).as(s"s$i"))
         // assignment: ONE fused native pass computes all M codes per
         // row; the explode that follows carries only (sub, cid) + the
-        // sliced subvector into the (sub, cid, dim)-bounded aggregate
+        // sliced subvector into the (sub, cid, dim)-bounded aggregate;
+        // per-dim sums as one native aggregate — see kmeansCentroidsSeq
         books = regroup(qvf.select(col("qv"),
             posexplode(pqCodeCol(col("qv"), books)).as(Seq("sub", "cid")))
           .select(col("sub"), col("cid"),
             slice(col("qv"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
           .groupBy(col("sub"), col("cid"))
-          .agg(count(lit(1)).as("n"), sums: _*)
-          .select(col("sub"), col("cid"), array((0 until dsub).map(i =>
-            col(s"s$i").cast("double") / col("n")): _*).as("cent"))
+          .agg(count(lit(1)).as("n"),
+            graft.functions.VectorExprs.arraySumLong(col("sv")).as("s"))
+          .select(col("sub"), col("cid"),
+            transform(col("s"), x => x.cast("double") / col("n")).as("cent"))
           .as[(Int, Long, Seq[Double])].collect().toSeq)
       }
       books
@@ -1024,8 +1029,19 @@ object Similarity {
   /** Per-query ADC lookup table: flat array of M·Ksub
     * <query subvector, codeword> dots (dead codeword slots hold 0.0 —
     * no live code ever indexes them). Computed on the (small,
-    * broadcast) query side only. */
+    * broadcast) query side only — one fused native pass
+    * ([[graft.functions.PqLutExpr]]). */
   private def pqLut(qq: Column,
+      books: Seq[Seq[(Long, Seq[Double])]], ksub: Int): Column =
+    graft.functions.VectorExprs.pqLut(qq, books, ksub)
+
+  /** HOF reference formulation of [[pqLut]] — kept (like [[pqBestHof]])
+    * as the composed form the native expression is spec-tested
+    * bit-identical against; production serve paths use the native
+    * expression (the M·Ksub per-slot HOF stack is a ~2000-node
+    * projection whose per-query analysis + compile dominated the ADC
+    * serve paths' driver time, and HOFs are CodegenFallback besides). */
+  def pqLutHof(qq: Column,
       books: Seq[Seq[(Long, Seq[Double])]], ksub: Int): Column = {
     val m = books.size; val dsub = Dim / m
     array((0 until m).flatMap { s =>
@@ -1799,11 +1815,12 @@ object Similarity {
     cells.count() // materialize: truncates per-round lineage
     var assigned = assignF(cells)
     (1 to fineIters).foreach { _ =>
-      val sums = (0 until Dim).map(i => sum(col("qv").getItem(i)).as(s"s$i"))
+      // per-dim sums as one native aggregate — see kmeansCentroidsSeq
       val newCents = assigned.groupBy(col("ccid"), col("fcid"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .select(col("ccid"), col("fcid"), array((0 until Dim).map(i =>
-          col(s"s$i").cast("double") / col("n")): _*).as("cent"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.VectorExprs.arraySumLong(col("qv")).as("s"))
+        .select(col("ccid"), col("fcid"),
+          transform(col("s"), x => x.cast("double") / col("n")).as("cent"))
       val nxt = toCells(newCents).persist()
       nxt.count()
       cells.unpersist()

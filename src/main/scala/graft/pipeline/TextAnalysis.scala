@@ -184,8 +184,8 @@ object TextAnalysis {
     * step a training-corpus search runs beside [[bm25]].
     *
     * Scale shape: the matching set reduces through one map-side-
-    * combined per-dim aggregate (Dim parallel long-sum columns over
-    * the INT-QUANTIZED embeddings, so the centroid is exact whatever
+    * combined per-dim aggregate (one native long-array sum over the
+    * INT-QUANTIZED embeddings, so the centroid is exact whatever
     * order partitions combine in — the k-means update idiom); the
     * per-term centroid frame is tiny and broadcasts; the cosine scan
     * is one map-side pass over the corpus. The final per-term rank
@@ -202,13 +202,16 @@ object TextAnalysis {
       .filter(col("tok").isin(terms: _*))
       .select(col("tok").as("term"), col("doc_id")).distinct()
     val qv = vecs.select(col("vec_id"), Similarity.qvec(col("embedding")).as("qv"))
-    val sums = (0 until dim).map(i => sum(col("qv").getItem(i)).as(s"s$i"))
+    // per-dim sums as one native aggregate (exact long addition —
+    // values identical to unrolled sum columns); see
+    // [[graft.functions.LongArraySumAgg]]
     val cents = broadcast(matching
       .join(qv.select(col("vec_id").as("doc_id"), col("qv")), Seq("doc_id"))
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("n"), sums: _*)
-      .select(col("term"), array((0 until dim).map(i =>
-        col(s"s$i").cast("double") / col("n")): _*).as("cent")))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VectorExprs.arraySumLong(col("qv")).as("s"))
+      .select(col("term"),
+        transform(col("s"), x => x.cast("double") / col("n")).as("cent")))
     qv.crossJoin(cents)
       .select(col("term"), col("vec_id"),
         Similarity.cosine(col("cent"),

@@ -135,6 +135,34 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length === 1 && out(0).isNullAt(0))
   }
 
+  test("native ADC LUT is bit-identical to the HOF formulation") {
+    val s = spark; import s.implicits._
+    val corpus = clustered(120, 4)
+    val trained = Similarity.pqCodebooks(corpus)
+    // force DEAD codeword slots in some subspaces: the native
+    // expression's live-mask path and the HOF's lit(0.0) arm must agree
+    val books = trained.zipWithIndex.map { case (sub, i) =>
+      if (i % 4 == 0 && sub.size > 1) sub.tail else sub
+    }
+    def qv = transform(col("embedding"),
+      e => floor(e.cast("double") * 10000d + 0.5d).cast("long"))
+    val rows = corpus.select(
+        graft.functions.VectorExprs.pqLut(qv, books, Similarity.PqKsub)
+          .as("nat"),
+        Similarity.pqLutHof(qv, books, Similarity.PqKsub).as("hof"))
+      .collect()
+    assert(rows.length === 120)
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1))
+    }
+    // malformed input (wrong dimensionality) nulls out, never truncates
+    val short = Seq((0L, Seq.fill(10)(1f))).toDF("vec_id", "embedding")
+    val out = short.select(
+      graft.functions.VectorExprs.pqLut(qv, books, Similarity.PqKsub))
+      .collect()
+    assert(out.length === 1 && out(0).isNullAt(0))
+  }
+
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.select("qid", "rank", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -442,6 +442,48 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wrong.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("native arraySumLong ≡ unrolled per-dim sum columns, exact") {
+    val s = spark; import s.implicits._
+    val dim = 7
+    val genCase = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 3)
+        vs <- Gen.listOfN(dim, Gen.choose(-1000000L, 1000000L))
+      } yield (g, vs.toSeq))
+    } yield rows
+    forAll(genCase, n = 4) { rows =>
+      // repartition forces the partial/final MERGE path through the
+      // serialized buffer, not just single-partition update+eval
+      val df = rows.toDF("g", "qv").repartition(5)
+      val nat = df.groupBy(col("g"))
+        .agg(graft.functions.VectorExprs.arraySumLong(col("qv")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      val sums = (0 until dim).map(i => sum(col("qv").getItem(i)).as(s"s$i"))
+      val un = df.groupBy(col("g")).agg(sums.head, sums.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(i => r.getLong(i + 1)).toSeq)
+        .toMap
+      assert(nat === un)
+    }
+    // null ARRAYS are skipped like sum; an all-null group is null
+    val withNulls = Seq((0, Seq(1L, 2L)), (0, null: Seq[Long]),
+      (1, null: Seq[Long])).toDF("g", "qv")
+    val out = withNulls.groupBy(col("g"))
+      .agg(graft.functions.VectorExprs.arraySumLong(col("qv")).as("s"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(out(0) === Some(Seq(1L, 2L)))
+    assert(out(1) === None)
+    // mixed lengths within a group fail loudly, never silently skew
+    val mixed = Seq((0, Seq(1L)), (0, Seq(1L, 2L))).toDF("g", "qv")
+    val err = intercept[Exception] {
+      mixed.groupBy(col("g"))
+        .agg(graft.functions.VectorExprs.arraySumLong(col("qv")).as("s"))
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("native nearestInCell ≡ plan-time nearestCentroid, bit-exact") {
     val s = spark; import s.implicits._
     val dim = 8
