@@ -559,9 +559,7 @@ object Similarity {
     // every Lloyd round must rescan the corpus by nature; a LAZY
     // localCheckpoint means each rescan reads the blocks instead of
     // re-paying the upstream lineage (parquet scan + quantize — or
-    // worse, a constructed corpus's whole build), and — unlike the
-    // plain persist it replaces — each round's driver-side plan build
-    // re-analyzes an RDD scan, not the whole construction tree.
+    // worse, a constructed corpus's whole build).
     // Storage is MEMORY_AND_DISK (localCheckpoint's default), so an
     // over-memory corpus spills instead of failing.
     val qv = corpus.select(col("vec_id"), qvec(emb).as("qv"))
@@ -571,24 +569,93 @@ object Similarity {
         .select(col("vec_id").cast("long").as("cid"),
           transform(col("qv"), x => x.cast("double")).as("cent"))
         .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-      (1 to iters).foreach { _ =>
-        // element-wise sums as ONE native array aggregate
-        // ([[graft.functions.LongArraySumAgg]]) — still one
-        // map-side-combined agg over the corpus, no row explosion, and
-        // each round's analyzed plan stays a dozen expressions instead
-        // of an unrolled 4·Dim tree (the profiled per-round driver
-        // cost). Long sums are exact, so cent values are bit-identical
-        // to the per-dim sum columns this replaces.
-        cents = kmeansAssign(qv, cents)
-          .groupBy(col("cid"))
-          .agg(count(lit(1)).as("n"),
-            graft.functions.VectorExprs.arraySumLong(col("qv")).as("s"))
-          .select(col("cid"),
-            transform(col("s"), x => x.cast("double") / col("n")).as("cent"))
-          .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      if (iters > 0 && cents.nonEmpty) {
+        // The training rounds run at the RDD level (the classic
+        // distributed-Lloyd shape: broadcast centroids + one
+        // treeAggregate of exact per-centroid long sums per round).
+        // The per-round DATA movement is identical to the
+        // groupBy-on-cid form this replaces — one map-side-combined
+        // K×dim reduction — but a round costs ZERO driver-side
+        // Catalyst work: the deserializer plan below is analyzed once,
+        // and each round is just a broadcast + one job on the same RDD
+        // (profiled: the iterative sim_* queries' wall−jobs gap was
+        // per-round plan analysis, not executor time). Assignment math
+        // is the [[graft.functions.NearestCentroidExpr]] twin op for
+        // op, and long sums are exact, so the centroids — and every
+        // oracle row downstream — are bit-identical to the plan form.
+        val vecs = qv.select(col("qv")).as[Array[Long]].rdd
+        (1 to iters).foreach { _ => cents = lloydRoundRdd(vecs, cents) }
       }
       cents
     } finally { freeCheckpoint(qv) }
+  }
+
+  /** One flat-tier Lloyd round: broadcast the (cid-ascending) centroid
+    * matrix, assign each vector by double-precision cosine — the exact
+    * op order, strict-improvement tie-break and NaN-first rule of
+    * [[graft.functions.NearestCentroidExpr]] — and treeAggregate the
+    * per-centroid element sums (exact longs) and counts. Division
+    * matches the plan form's `cast("double") / n` bit for bit. Empty
+    * centroids drop, like the groupBy that emitted no row. Malformed
+    * vectors (wrong length) fail loudly, like the null-cid encoder
+    * crash of the plan form. */
+  private def lloydRoundRdd(vecs: org.apache.spark.rdd.RDD[Array[Long]],
+      cents: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val k = cents.length
+    val dim = cents.head._2.length
+    val cidArr = cents.map(_._1).toArray
+    val flat = cents.flatMap(_._2).toArray
+    val norms = cents.map { c =>
+      var a = 0.0; var i = 0
+      while (i < c._2.length) { a += c._2(i) * c._2(i); i += 1 }
+      math.sqrt(a)
+    }.toArray
+    val bc = vecs.sparkContext.broadcast((flat, norms))
+    try {
+      val (sums, counts) = vecs.treeAggregate(
+        (new Array[Long](k * dim), new Array[Long](k)))(
+        seqOp = { case ((s, n), v) =>
+          require(v != null && v.length == dim,
+            s"malformed quantized vector (dim ${if (v == null) -1 else v.length} != $dim)")
+          val (fl, nm) = bc.value
+          var qacc = 0.0
+          var i = 0
+          while (i < dim) { val x = v(i).toDouble; qacc += x * x; i += 1 }
+          val qn = math.sqrt(qacc)
+          var best = 0
+          var bestCos = 0.0
+          var c = 0
+          while (c < k) {
+            var dacc = 0.0
+            i = 0
+            while (i < dim) { dacc += v(i).toDouble * fl(c * dim + i); i += 1 }
+            val cos = dacc / (qn * nm(c))
+            val better =
+              if (c == 0) true
+              else if (cos.isNaN != bestCos.isNaN) cos.isNaN
+              else cos > bestCos
+            if (better) { best = c; bestCos = cos }
+            c += 1
+          }
+          i = 0
+          while (i < dim) { s(best * dim + i) += v(i); i += 1 }
+          n(best) += 1
+          (s, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < n1.length) { n1(i) += n2(i); i += 1 }
+          (s1, n1)
+        })
+      (0 until k).iterator.filter(counts(_) > 0).map { c =>
+        val n = counts(c)
+        (cidArr(c),
+          (0 until dim).map(i => sums(c * dim + i).toDouble / n.toDouble)
+            : Seq[Double])
+      }.toSeq
+    } finally { bc.destroy(); () }
   }
 
   /** Centroid frame (cid, cent: array<double>) after `iters` Lloyd
@@ -976,24 +1043,94 @@ object Similarity {
         .select(col("sub"), col("vec_id").cast("long").as("cid"),
           transform(col("sv"), x => x.cast("double")).as("cent"))
         .as[(Int, Long, Seq[Double])].collect().toSeq)
-      (1 to iters).foreach { _ =>
-        // assignment: ONE fused native pass computes all M codes per
-        // row; the explode that follows carries only (sub, cid) + the
-        // sliced subvector into the (sub, cid, dim)-bounded aggregate;
-        // per-dim sums as one native aggregate — see kmeansCentroidsSeq
-        books = regroup(qvf.select(col("qv"),
-            posexplode(pqCodeCol(col("qv"), books)).as(Seq("sub", "cid")))
-          .select(col("sub"), col("cid"),
-            slice(col("qv"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
-          .groupBy(col("sub"), col("cid"))
-          .agg(count(lit(1)).as("n"),
-            graft.functions.VectorExprs.arraySumLong(col("sv")).as("s"))
-          .select(col("sub"), col("cid"),
-            transform(col("s"), x => x.cast("double") / col("n")).as("cent"))
-          .as[(Int, Long, Seq[Double])].collect().toSeq)
+      // training rounds at the RDD level, like [[lloydRoundRdd]]: a
+      // round is one broadcast of the M·Ksub·Dsub codebooks + one
+      // treeAggregate of exact per-codeword long sums — zero per-round
+      // Catalyst work, same data movement as the explode+groupBy form
+      // this replaces. Assignment math is the
+      // [[graft.functions.PqEncodeExpr]] twin op for op (squared-L2 in
+      // index order, strict improvement, cid-ascending candidates), so
+      // the books — and the oracle rows downstream — are bit-identical.
+      if (iters > 0) {
+        val vecs = qvf.select(col("qv")).as[Array[Long]].rdd
+        (1 to iters).foreach { _ =>
+          books = pqLloydRoundRdd(vecs, books, m, dsub)
+        }
       }
       books
     } finally { freeCheckpoint(qvf) }
+  }
+
+  /** One PQ-codebook Lloyd round over the quantized-vector RDD: all M
+    * subspace argmins per row with the exact op order, strict
+    * improvement and cid-ascending candidate scan of
+    * [[graft.functions.PqEncodeExpr]]; per-codeword element sums are
+    * exact longs, division matches the plan form's
+    * `cast("double") / n`. Empty codewords drop (the groupBy that
+    * emitted no row); rows whose vector is malformed are SKIPPED, as
+    * the explode-of-null they replace was. Returns books(sub) =
+    * cid-ascending (cid, cent). */
+  private def pqLloydRoundRdd(vecs: org.apache.spark.rdd.RDD[Array[Long]],
+      books: Seq[Seq[(Long, Seq[Double])]], m: Int, dsub: Int)
+      : Seq[Seq[(Long, Seq[Double])]] = {
+    val offs = books.map(_.length).scanLeft(0)(_ + _).toArray
+    val cidArr = books.flatMap(_.map(_._1)).toArray
+    val flat = books.flatMap(_.flatMap(_._2)).toArray
+    val total = offs(m)
+    val dim = m * dsub
+    val bc = vecs.sparkContext.broadcast((offs, flat))
+    try {
+      val (sums, counts) = vecs.treeAggregate(
+        (new Array[Long](total * dsub), new Array[Long](total)))(
+        seqOp = { case (acc @ (s, n), v) =>
+          if (v != null && v.length == dim) {
+            val (of, fl) = bc.value
+            var sub = 0
+            while (sub < m) {
+              var bestIdx = of(sub)
+              var bestD = 0.0
+              var first = true
+              var c = of(sub)
+              while (c < of(sub + 1)) {
+                var dacc = 0.0
+                var i = 0
+                while (i < dsub) {
+                  val diff = v(sub * dsub + i).toDouble - fl(c * dsub + i)
+                  dacc += diff * diff
+                  i += 1
+                }
+                if (first || dacc < bestD) { bestIdx = c; bestD = dacc }
+                first = false
+                c += 1
+              }
+              var i = 0
+              while (i < dsub) {
+                s(bestIdx * dsub + i) += v(sub * dsub + i)
+                i += 1
+              }
+              n(bestIdx) += 1
+              sub += 1
+            }
+          }
+          acc
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < n1.length) { n1(i) += n2(i); i += 1 }
+          (s1, n1)
+        })
+      (0 until m).map { sub =>
+        (offs(sub) until offs(sub + 1)).iterator.filter(counts(_) > 0)
+          .map { c =>
+            val n = counts(c)
+            (cidArr(c),
+              (0 until dsub).map(i => sums(c * dsub + i).toDouble / n.toDouble)
+                : Seq[Double])
+          }.toSeq
+      }
+    } finally { bc.destroy(); () }
   }
 
   /** PQ-encode the corpus: (vec_id, code array<long>, code_key, rerr).
