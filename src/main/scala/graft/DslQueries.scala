@@ -179,6 +179,21 @@ object DslQueries {
           |   AND t >= 1704499200 AND t <= 1704585600
           | GROUP BY t""".stripMargin))),
 
+    // cumulative ≡ consolidateBy(..., 'sum') — the graphite-web alias
+    // (extension); same mirrored reference scaling hack, same twin
+    ("dsl_cumulative",
+      ((s, d) => {
+        val ctx = Eval.Ctx(s, M.multi(s, d), M.StepSeconds,
+          fromSec = 1704499200L, toSec = 1704585600L, maxPoints = 240)
+        fin(Eval.evalExpr(ctx, "cumulative(sumSeries(events.*.u1))"))
+      }): Q,
+      Some(multiQ(
+        """SELECT 'sumSeries' AS name, t,
+          |        sum(coalesce(value, 0.0)) * 360.0 AS value
+          | FROM series WHERE regexp_matches(name, '^events\.[^.]*\.u1$')
+          |   AND t >= 1704499200 AND t <= 1704585600
+          | GROUP BY t""".stripMargin))),
+
     // relative-time viewport: from="-1d"&until="now" through the
     // parseTime grammar (http/graphite.go:197-221), clock anchored at
     // 2024-01-07T00:00Z → same window as dsl_range_fetch
@@ -644,7 +659,80 @@ object DslQueries {
           | FROM series
           | WHERE name = 'events.click.u0'
           |   AND t >= (SELECT min(t) + 1800 FROM series)
-          | GROUP BY 1, 2""".stripMargin)))
+          | GROUP BY 1, 2""".stripMargin))),
+
+    // safeMul across the type node: any unknown member gaps the slot;
+    // the product folds the VALUE-SORTED members on both engines
+    // (1.0-init vs first-elem-init is exact: 1.0 * x == x)
+    ("dsl_multiply_wildcards",
+      dq("multiplySeriesWithWildcards(events.*.u0, 1)"),
+      Some(multiQ(
+        """SELECT split_part(name, '.', 1) || '.*.' || split_part(name, '.', 3) AS name,
+          |       t,
+          |       CASE WHEN count(*) FILTER (WHERE value IS NULL) > 0 THEN NULL
+          |            ELSE list_reduce(list_sort(list(value)), (a, b) -> a * b)
+          |       END AS value
+          | FROM series WHERE regexp_matches(name, '^events\.[^.]*\.u0$')
+          | GROUP BY 1, 2""".stripMargin))),
+
+    // band filter on the per-series averages: n=80 keeps series whose
+    // average escapes the [20th, 80th] reference-quantile band of all
+    // the averages
+    ("dsl_avg_outside_percentile",
+      dq("averageOutsidePercentile(events.*.*, 80)"),
+      Some(multiQ(
+        s"""SELECT s.name, s.t, s.value FROM series s JOIN (
+           |  SELECT name FROM (
+           |    SELECT name, avg(value) AS a,
+           |      ${O.refQuantileSql("(list_sort(list(avg(value)) OVER ()))", 0.2)} AS lo,
+           |      ${O.refQuantileSql("(list_sort(list(avg(value)) OVER ()))", 0.8)} AS hi
+           |    FROM series GROUP BY name)
+           |  WHERE NOT (a > lo AND a < hi)) k USING (name)""".stripMargin))),
+
+    // per-slot band: a series survives when ANY of its points escapes
+    // its timestamp's [20th, 80th] band across the series
+    ("dsl_remove_between_percentile",
+      dq("removeBetweenPercentile(events.*.*, 80)"),
+      Some(multiQ(
+        s"""SELECT s.name, s.t, s.value FROM series s JOIN (
+           |  SELECT name FROM (
+           |    SELECT name, value,
+           |      ${O.refQuantileSql("(list_sort(list(value) OVER (PARTITION BY t)))", 0.2)} AS lo,
+           |      ${O.refQuantileSql("(list_sort(list(value) OVER (PARTITION BY t)))", 0.8)} AS hi
+           |    FROM series)
+           |  GROUP BY name
+           |  HAVING bool_or(coalesce(value > hi OR value < lo, false))) k
+           |  USING (name)""".stripMargin))),
+
+    // threshold = a labeled constantLine over the ctx viewport
+    ("dsl_threshold",
+      ((s, d) => {
+        val store = M.multi(s, d)
+        val b = store.agg(min(col("t")), max(col("t"))).head
+        val ctx = Eval.Ctx(s, store, M.StepSeconds, b.getLong(0), b.getLong(1))
+        fin(Eval.evalExpr(ctx, "threshold(3.5, 'limit')"))
+      }): Q,
+      Some(multiQ(
+        """SELECT 'limit' AS name, min(t) AS t, 3.5 AS value FROM series
+          | UNION ALL
+          | SELECT 'limit' AS name, max(t) AS t, 3.5 AS value FROM series""".stripMargin))),
+
+    // identity: value(t) = t on the generator grid (maxPoints=2 pins
+    // the two-point endpoints form; ReferenceDslSpec pins a dense grid)
+    ("dsl_identity",
+      ((s, d) => {
+        val store = M.multi(s, d)
+        val b = store.agg(min(col("t")), max(col("t"))).head
+        val ctx = Eval.Ctx(s, store, M.StepSeconds, b.getLong(0), b.getLong(1),
+          maxPoints = 2)
+        fin(Eval.evalExpr(ctx, "identity('x')"))
+      }): Q,
+      Some(multiQ(
+        """SELECT 'x' AS name, min(t) AS t, CAST(min(t) AS DOUBLE) AS value
+          |   FROM series
+          | UNION ALL
+          | SELECT 'x' AS name, max(t) AS t, CAST(max(t) AS DOUBLE) AS value
+          |   FROM series""".stripMargin)))
   )
 
   /** Canonical tagged twin of the multi store (`ev.req;dc=uN;type=T`)

@@ -246,6 +246,13 @@ object Eval {
       O.removeBelowValue(df, num(rest.head))))
     add(Seq("removeAbovePercentile"))(onSeries((_, df, rest, _) =>
       O.removeAbovePercentile(df, num(rest.head) / 100)))
+    // graphite-web's percentile-BAND filters (extensions): series-level
+    // band on the averages / per-slot band on the values — see
+    // SeriesOps for the n<50 mirror and reference-Quantile house rule
+    add(Seq("averageOutsidePercentile"))(onSeries((_, df, rest, _) =>
+      O.averageOutsidePercentile(df, num(rest.head))))
+    add(Seq("removeBetweenPercentile"))(onSeries((_, df, rest, _) =>
+      O.removeBetweenPercentile(df, num(rest.head))))
     add(Seq("removeBelowPercentile"))(onSeries((_, df, rest, _) =>
       O.removeBelowPercentile(df, num(rest.head) / 100)))
     add(Seq("nPercentile"))(onSeries((_, df, rest, _) =>
@@ -276,6 +283,15 @@ object Eval {
       val factor =
         if (str(rest.head) == "sum" && ctx.maxPoints > 0 &&
             ctx.toSec > ctx.fromSec)
+          (ctx.toSec - ctx.fromSec).toDouble / ctx.maxPoints
+        else 1.0
+      df.withColumn("value", col("value") * factor)
+    }))
+    // cumulative(series) ≡ consolidateBy(series, 'sum') (graphite-web;
+    // extension) — the same literally-mirrored reference scaling hack
+    add(Seq("cumulative"))(onSeries((ctx, df, _, _) => {
+      val factor =
+        if (ctx.maxPoints > 0 && ctx.toSec > ctx.fromSec)
           (ctx.toSec - ctx.fromSec).toDouble / ctx.maxPoints
         else 1.0
       df.withColumn("value", col("value") * factor)
@@ -422,7 +438,9 @@ object Eval {
     add(Seq("timeSlice"))(onSeries((_, df, rest, _) =>
       O.timeSlice(df, num(rest(0)).toLong, num(rest(1)).toLong)))
     // render hints with no data semantics — no-ops like color()
-    add(Seq("stacked", "secondYAxis"))(onSeries((_, df, _, _) => df))
+    // (drawAsInfinite/dashed are line-style hints; graphite-web)
+    add(Seq("stacked", "secondYAxis", "drawAsInfinite", "dashed"))(
+      onSeries((_, df, _, _) => df))
 
     // ----- aliasing -----
     add(Seq("alias"))(onSeries((_, df, rest, _) => O.aliasAll(df, str(rest.head))))
@@ -440,6 +458,11 @@ object Eval {
       O.seriesWithWildcards(df, rest.map(num(_).toInt), "sum")))
     add(Seq("averageSeriesWithWildcards"))(onSeries((_, df, rest, _) =>
       O.seriesWithWildcards(df, rest.map(num(_).toInt), "avg")))
+    // the multiply member (graphite-web; extension): safeMul semantics
+    // — any unknown member ⇒ unknown slot — via the generic wildcard
+    // collapse's 'multiply' aggregator, NOT the older gap-as-zero pair
+    add(Seq("multiplySeriesWithWildcards"))(onSeries((_, df, rest, _) =>
+      O.aggregateWithWildcards(df, "multiply", rest.map(num(_).toInt))))
     add(Seq("groupByNode"))(onSeries((_, df, rest, _) =>
       O.groupByNode(df, num(rest(0)).toInt, str(rest(1)) match {
         case "average" => "avg"; case cf => cf
@@ -541,6 +564,24 @@ object Eval {
         lit("sinusoid").as("name"),
         (lit(ctx.fromSec) + col("id") * step).as("t"),
         sin(col("id").cast("double") * (2.0 * math.Pi / 10.0)).as("value")))
+    }
+    // threshold(value[, label[, color]]) — graphite-web: a constantLine
+    // the dashboard names; color is a render hint, accepted and ignored
+    add(Seq("threshold")) { (ctx, args, kw) =>
+      val value = num(args.head)
+      val label = args.lift(1).orElse(kw.get("label")).map(str)
+      val base = O.constantLine(ctx.spark, value, ctx.fromSec, ctx.toSec)
+      SeriesV(label.fold(base)(l => O.aliasAll(base, l)))
+    }
+    // identity(name) — graphite-web: value(t) = t (epoch seconds) on
+    // the sinusoid's maxPoints grid over the ctx range
+    add(Seq("identity")) { (ctx, args, _) =>
+      val nm = str(args.head)
+      val n = math.max(ctx.maxPoints, 2)
+      val step = math.max((ctx.toSec - ctx.fromSec) / (n - 1), 1L)
+      val t = lit(ctx.fromSec) + col("id") * step
+      SeriesV(ctx.spark.range(n).select(
+        lit(nm).as("name"), t.as("t"), t.cast("double").as("value")))
     }
     add(Seq("timeStack")) { (ctx, args, _) =>
       // fetch the same pattern at N period-shifted windows

@@ -548,6 +548,13 @@ object SeriesOps {
     case "min"    => min(v)
     case "median" => refQuantile(sort_array(collect_list(v)), 0.5)
     case "last"   => max_by(v, when(v.isNotNull, col("name")))
+    // graphite-web safeMul: ANY unknown member ⇒ unknown slot. The
+    // fold runs over the VALUE-SORTED list (double multiplication is
+    // order-dependent; sorting pins one order on both engines — the
+    // stddevSeries idiom)
+    case "multiply" => when(count(v) < count(lit(1)), lit(null))
+      .otherwise(aggregate(sort_array(collect_list(v)), lit(1.0),
+        (acc, x) => acc * x))
     case other => throw new IllegalArgumentException(
       s"unknown aggregator '$other'")
   }
@@ -781,6 +788,52 @@ object SeriesOps {
   def removeEmptySeries(df: DataFrame, xff: Double = 0.0): DataFrame =
     keepWhere(df,
       if (xff <= 0.0) col("sfrac") > 0.0 else col("sfrac") >= xff)
+
+  /** averageOutsidePercentile(n) — graphite-web's band filter on the
+    * per-series AVERAGES (extension): keep the series whose viewport
+    * average lies OUTSIDE the [100−n, n] percentile band of all the
+    * series' averages (n < 50 mirrors to 100−n, as graphite does).
+    * Band edges use the repo-wide reference Quantile ([[refQuantile]];
+    * graphite's own step-quantile differs on small sets — same
+    * documented house rule as nPercentile). The band is computed with
+    * one window over the ONE-ROW-PER-SERIES packed frame
+    * (render-response bound — the [[sortSeries]] argument); averages
+    * skip unknowns (house summary rule), and a series with NO known
+    * points has a null average and is KEPT (it cannot lie strictly
+    * inside the band — graphite's comparison is false for None too). */
+  def averageOutsidePercentile(df: DataFrame, n: Double): DataFrame = {
+    val nn = if (n < 50) 100.0 - n else n
+    val wGlob = Window.partitionBy()
+    val avgs = sort_array(collect_list(col("savg")).over(wGlob))
+    val lo = refQuantile(avgs, (100.0 - nn) / 100.0)
+    val hi = refQuantile(avgs, nn / 100.0)
+    unpack(packedSummaries(df)
+      .withColumn("__in", col("savg") > lo && col("savg") < hi)
+      .filter(!coalesce(col("__in"), lit(false)))
+      .drop("__in"))
+  }
+
+  /** removeBetweenPercentile(n) — graphite-web's per-TIMESTAMP band
+    * filter (extension): at each t, the [100−n, n] percentile band of
+    * all series' values (n < 50 mirrors); a series survives if ANY of
+    * its known points escapes its slot's band (the graphite rule —
+    * unknown points never count as outside). Band edges per slot via
+    * [[refQuantile]] over one t-partitioned window; the survivor pick
+    * is the one-pass pack/filter/unpack shape of the summary filters. */
+  def removeBetweenPercentile(df: DataFrame, n: Double): DataFrame = {
+    val nn = if (n < 50) 100.0 - n else n
+    val wT = Window.partitionBy(col("t"))
+    val sortedAtT = sort_array(collect_list(v).over(wT))
+    val lo = refQuantile(sortedAtT, (100.0 - nn) / 100.0)
+    val hi = refQuantile(sortedAtT, nn / 100.0)
+    df.withColumn("__out", coalesce(v > hi || v < lo, lit(false)))
+      .groupBy(col("name"))
+      .agg(collect_list(struct(col("t"), v.as("value"))).as("__pts"),
+        max(col("__out")).as("__any"))
+      .filter(col("__any"))
+      .select(col("name"), explode(col("__pts")).as("__p"))
+      .select(col("name"), col("__p.t").as("t"), col("__p.value").as("value"))
+  }
 
   /** useSeriesAbove(value, search, replace) — `dsl/funcs.go:2237-2253` */
   def useSeriesAbove(df: DataFrame, x: Double, search: String, replace: String): DataFrame =

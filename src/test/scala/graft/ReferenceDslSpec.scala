@@ -763,6 +763,70 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
         Some(6.0), None))
   }
 
+  test("extension: threshold / identity / cumulative / multiply-wildcards") {
+    val s = spark; import s.implicits._
+    // threshold: a labeled constantLine over the viewport
+    val th = Eval.evalExpr(ctx, "threshold(42.5, 'limit')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(th.map(_._1).toSet === Set("limit"))
+    assert(th.map(r => (r._2, r._3)).toSeq ===
+      Seq((0L, Some(42.5)), (90L, Some(42.5))))
+    // unlabeled keeps constantLine's own name
+    val th0 = Eval.evalExpr(ctx, "threshold(42.5)")
+      .as[(String, Long, Option[Double])].collect()
+    assert(th0.map(_._1).toSet === Set("constantLine(42.5)"))
+    // identity: value(t) = t on the maxPoints generator grid
+    val idn = Eval.evalExpr(ctx.copy(maxPoints = 10), "identity('t.series')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(idn.map(_._1).toSet === Set("t.series"))
+    assert(idn.length === 10 && idn.head._2 === 0L && idn.last._2 === 90L)
+    assert(idn.forall(r => r._3.contains(r._2.toDouble)))
+    // cumulative ≡ consolidateBy('sum') — same mirrored scaling hack
+    val c9 = ctx.copy(maxPoints = 9) // factor (90-0)/9 = 10
+    val cu = Eval.evalExpr(c9, "cumulative('foo.bar1.baz')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2).toSeq
+    val cb = Eval.evalExpr(c9, "consolidateBy('foo.bar1.baz', 'sum')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2).toSeq
+    assert(cu === cb && cu.forall(_._3.contains(100.0)))
+    // multiplySeriesWithWildcards: bar-node collapse → 10·20 per slot
+    val mw = Eval.evalExpr(ctx, "multiplySeriesWithWildcards(foo.*.baz, 1)")
+      .as[(String, Long, Option[Double])].collect()
+    assert(mw.map(_._1).toSet === Set("foo.*.baz"))
+    assert(mw.length === 10 && mw.forall(_._3.contains(200.0)))
+    // render-hint no-ops pass rows through
+    val nop = Eval.evalExpr(ctx, "dashed(drawAsInfinite('foo.bar1.baz'))")
+      .as[(String, Long, Option[Double])].collect()
+    assert(nop.length === 10 && nop.forall(_._3.contains(10.0)))
+  }
+
+  test("extension: percentile-band filters (vectors)") {
+    val s = spark; import s.implicits._
+    // five constant series 1..5; averages [1..5] → reference-quantile
+    // band (p=.2, .8) = (1.2, 4.8): only the 1 and 5 series escape
+    val pts5 = for { k <- 1 to 5; i <- 0 until 4 }
+      yield (s"p.s$k", i * 10L, k.toDouble)
+    val c5 = Eval.Ctx(s, pts5.toDF("name", "t", "value"), 10, 0, 30)
+    def names(c: Eval.Ctx, expr: String): Set[String] =
+      Eval.evalExpr(c, expr)
+        .as[(String, Long, Option[Double])].collect().map(_._1).toSet
+    assert(names(c5, "averageOutsidePercentile(p.*, 80)") ===
+      Set("p.s1", "p.s5"))
+    // n < 50 mirrors to 100 − n
+    assert(names(c5, "averageOutsidePercentile(p.*, 20)") ===
+      Set("p.s1", "p.s5"))
+    // removeBetweenPercentile: per-slot bands; constant frame agrees
+    assert(names(c5, "removeBetweenPercentile(p.*, 80)") ===
+      Set("p.s1", "p.s5"))
+    // ONE escaping point rescues a series (the ANY rule): spike s3 at
+    // one slot far above that slot's band
+    val spiked = pts5.map { case (n, t, v) =>
+      if (n == "p.s3" && t == 20L) (n, t, 100.0) else (n, t, v)
+    }
+    val cs = Eval.Ctx(s, spiked.toDF("name", "t", "value"), 10, 0, 30)
+    assert(names(cs, "removeBetweenPercentile(p.*, 80)") ===
+      Set("p.s1", "p.s3", "p.s5"))
+  }
+
   test("extension: smartSummarize — buckets anchor at the query from") {
     val s = spark; import s.implicits._
     // ramp v=k at t=10k; from=5 → t=0 is outside the window, buckets
