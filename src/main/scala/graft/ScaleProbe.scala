@@ -1241,6 +1241,138 @@ object ScaleProbe {
       Seq(row)
     }
 
+    // ---- RESHARD AT THE DESIGN POINT (round 13): a 2-shard fleet
+    // resizes to 3 MID-STREAM under blaster load. Phase 1 blasts the
+    // full series population into two director-routed receivers; the
+    // fleet stops at a micro-batch boundary; Reshard reads every
+    // series' in-progress PDP pair out of the stopped checkpoints (the
+    // Relinquish flush) and re-homes them to pmod(xxhash64, 3) seeds;
+    // a THREE-shard fleet boots on FRESH stores with the seeds and
+    // phase 2 blasts on. In-stage asserts: the 5-store union (2 old
+    // read-only epochs + 3 new) ≡ batch re-consolidation of every
+    // line sent — the slot straddling the resize neither gaps nor
+    // double-counts — and no new store holds a series it doesn't own
+    // at M=3. Archive data never moves: the old stores are byte-frozen
+    // the moment the old fleet stops.
+    val reshardRows: Seq[(String, Double, Long)] = {
+      import graft.streaming.{Daemon, Ingest, Reshard, Shard}
+      val rate = sys.env.getOrElse("SPARK_GRAFT_RESHARD_RATE",
+        sys.env.getOrElse("SPARK_GRAFT_SOAK_RATE", "20000")).toInt
+      val phaseSec = sys.env.getOrElse("SPARK_GRAFT_RESHARD_SEC", "12").toInt
+      val dir = java.nio.file.Files.createTempDirectory("reshard").toString
+      def freePort(): Int = {
+        val ss = new java.net.ServerSocket(0)
+        val p = ss.getLocalPort; ss.close(); p
+      }
+      val cap = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def drainStop(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery])
+          : Unit = {
+        val zeros = Array.fill(qs.size)(0)
+        val deadline = System.currentTimeMillis() + 180000L
+        while (zeros.exists(_ < 3) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(1000L)
+          qs.zipWithIndex.foreach { case (q, i) =>
+            Option(q.lastProgress).foreach(p =>
+              zeros(i) = if (p.numInputRows == 0) zeros(i) + 1 else 0)
+          }
+        }
+        qs.foreach { q => q.processAllAvailable(); q.stop() }
+      }
+      def fleet(n: Int, tag: String,
+          seeds: Option[Seq[String]]): (Seq[Daemon.LineGateway],
+          Seq[Daemon.LineGateway], Seq[Shard.Director],
+          Seq[org.apache.spark.sql.streaming.StreamingQuery]) = {
+        val ports = Seq.fill(n)(freePort())
+        val fwds = ports.indices.map(_ => new Shard.Forwarder(ports))
+        val dirs = ports.indices.map(i => new Shard.Director(i, n, fwds(i)))
+        val gws = ports.indices.map(i => new Daemon.LineGateway(ports(i), 0,
+          capacity = 1 << 22, route = dirs(i).route))
+        val pks = ports.indices.map(_ => new Daemon.LineGateway(0, 0,
+          framed = true))
+        val qs = ports.indices.map { i =>
+          Daemon.startReceiver(spark, gws(i).boundFeedPort,
+            pks(i).boundFeedPort, s"$dir/$tag$i/points", stepSec = 10,
+            heartbeatSec = 300, checkpointDir = s"$dir/$tag$i/ckpt",
+            maxQueue = 1 << 22,
+            pdpSeed = seeds.map(ps => Reshard.readSeed(spark, ps(i))))
+        }
+        (gws, pks, dirs, qs)
+      }
+      def blast(gws: Seq[Daemon.LineGateway], sec: Int): Unit = {
+        val n = gws.size
+        val blaster = new graft.streaming.Blaster.LiveBlaster(line => {
+          cap.add(line)
+          // entry shard per series: stable, deliberately NOT the owner
+          // rule, so the forwarding hop carries real traffic
+          gws(java.lang.Math.floorMod(
+            Shard.nameOf(line).getOrElse("").hashCode, n)).offer(line)
+        })
+        blaster.setNSeries(1000)
+        blaster.setRate(rate)
+        Thread.sleep(sec * 1000L)
+        blaster.setRate(0)
+        blaster.close()
+      }
+      val row = time(s"reshard_2to3_${rate}eps") {
+        val (gA, pkA, dA, qA) = fleet(2, "old", None)
+        blast(gA, phaseSec)
+        drainStop(qA)
+        dA.foreach(d => scala.util.Try(d.close()))
+        (gA ++ pkA).foreach(g => scala.util.Try(g.close()))
+        // the Relinquish read + remap: one small job over live-series
+        // state rows — O(live series), never O(data)
+        val seedPaths = (0 until 3).map(i => s"$dir/seed$i")
+        Reshard.writeSeeds(spark,
+          (0 until 2).map(i => s"$dir/old$i/ckpt"), 3, seedPaths)
+        val (gB, pkB, dB, qB) = fleet(3, "new", Some(seedPaths))
+        blast(gB, phaseSec)
+        drainStop(qB)
+        dB.foreach(d => scala.util.Try(d.close()))
+        (gB ++ pkB).foreach(g => scala.util.Try(g.close()))
+        // new stores obey the M=3 ownership rule
+        (0 until 3).foreach { i =>
+          val mis = Ingest.readArchive(spark, s"$dir/new$i/points")
+            .select(col("name")).distinct()
+            .filter(pmod(xxhash64(col("name")), lit(3L)).cast("int") =!= i)
+            .count()
+          require(mis == 0, s"new shard $i holds $mis foreign series")
+        }
+        import spark.implicits._
+        val pts = Ingest.parseGraphite(
+            cap.toArray(new Array[String](0)).toSeq.toDF("line"),
+            nowSec = lit(0L))
+          .select(col("name"), col("tsSec").as("ts"), col("value"))
+          .persist()
+        val expected = Consolidate.consolidate(pts, 10L, "wmean", 0.0, 300)
+          .withColumnRenamed("value", "exp").persist()
+        val union = Ingest.readArchives(spark,
+          (0 until 2).map(i => s"$dir/old$i/points") ++
+            (0 until 3).map(i => s"$dir/new$i/points"))
+        val bad = expected.join(union, Seq("name", "t"), "left")
+          .filter(col("value").isNull ||
+            abs(col("value") - col("exp")) > 1e-9)
+          .count()
+        require(bad == 0,
+          s"resized union diverged on $bad slots (straddling slot " +
+            "double-counted or gapped)")
+        // extras only at each series' trailing incomplete slot (the
+        // batch oracle's documented cutoff) — anything else means the
+        // handoff slot double-materialized
+        val lastUp = pts.groupBy(col("name")).agg(max(col("ts")).as("__last"))
+        val badExtra = union.join(expected, Seq("name", "t"), "left_anti")
+          .join(lastUp, Seq("name"))
+          .filter(col("t") + 10 <= col("__last"))
+          .count()
+        require(badExtra == 0,
+          s"resized union holds $badExtra COMPLETE slots the oracle lacks")
+        val total = pts.count()
+        pts.unpersist(); expected.unpersist()
+        total
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      Seq(row)
+    }
+
     // serving a published two-level index should amortize the build;
     // wall-clock ratios are environment-dependent, so the ratio is
     // REPORTED (for the judge to diff) and only an order-of-magnitude
@@ -1252,9 +1384,10 @@ object ScaleProbe {
       s"serve ${secOf("two_level_serve_1m_k8192")}s is ${serveVsBuild}x " +
         "the fused build — an inversion no co-tenant noise explains")
 
-    val json = (results ++ soakRows ++ shardRows).map { case (l, sec, n) =>
-      s""""$l":{"sec":$sec,"rows":$n}"""
-    }.mkString("{", ",", "}")
+    val json = (results ++ soakRows ++ shardRows ++ reshardRows)
+      .map { case (l, sec, n) =>
+        s""""$l":{"sec":$sec,"rows":$n}"""
+      }.mkString("{", ",", "}")
     println(s"""{"probe_rows":$rows,"series":$nSeries,""" +
       s""""serve_vs_build":${math.rint(serveVsBuild * 1000) / 1000},""" +
       s""""stream_drift":$driftJson,""" +
