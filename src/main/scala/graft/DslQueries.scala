@@ -717,6 +717,22 @@ object DslQueries {
           | UNION ALL
           | SELECT 'limit' AS name, max(t) AS t, 3.5 AS value FROM series""".stripMargin))),
 
+    // verticalLine: the render marker — two 1.0 points at [ts, ts+1]
+    ("dsl_vertical_line",
+      ((s, d) => {
+        val store = M.multi(s, d)
+        val b = store.agg(min(col("t")), max(col("t"))).head
+        val ctx = Eval.Ctx(s, store, M.StepSeconds, b.getLong(0), b.getLong(1))
+        fin(Eval.evalExpr(ctx,
+          s"verticalLine(${b.getLong(0) + 3600}, 'deploy')"))
+      }): Q,
+      Some(multiQ(
+        """SELECT 'deploy' AS name, min(t) + 3600 AS t, 1.0 AS value
+          |   FROM series
+          | UNION ALL
+          | SELECT 'deploy' AS name, min(t) + 3601 AS t, 1.0 AS value
+          |   FROM series""".stripMargin))),
+
     // identity: value(t) = t on the generator grid (maxPoints=2 pins
     // the two-point endpoints form; ReferenceDslSpec pins a dense grid)
     ("dsl_identity",

@@ -573,6 +573,24 @@ object Eval {
       val base = O.constantLine(ctx.spark, value, ctx.fromSec, ctx.toSec)
       SeriesV(label.fold(base)(l => O.aliasAll(base, l)))
     }
+    // verticalLine(ts[, label]) — graphite-web's render marker: a
+    // two-point 1.0 series at [ts, ts+1], drawn infinite by the UI
+    // (the flag is a no-op here like the other render hints). Graphite
+    // raises when ts falls outside the viewport; mirrored, with the
+    // unbounded sentinel (from == to) passing through
+    add(Seq("verticalLine")) { (ctx, args, _) =>
+      val ts = num(args.head).toLong
+      val label = args.lift(1).map(str).getOrElse("verticalLine")
+      require(ctx.fromSec == ctx.toSec ||
+        (ts >= ctx.fromSec && ts <= ctx.toSec),
+        s"verticalLine timestamp $ts outside the viewport " +
+          s"[${ctx.fromSec}, ${ctx.toSec}]")
+      import org.apache.spark.sql.functions.{lit => l}
+      SeriesV(ctx.spark.range(2).select(
+        l(label).as("name"),
+        (l(ts) + col("id")).as("t"),
+        l(1.0).as("value")))
+    }
     // identity(name) — graphite-web: value(t) = t (epoch seconds) on
     // the sinusoid's maxPoints grid over the ctx range
     add(Seq("identity")) { (ctx, args, _) =>

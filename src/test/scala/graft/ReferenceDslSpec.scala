@@ -797,6 +797,15 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nop = Eval.evalExpr(ctx, "dashed(drawAsInfinite('foo.bar1.baz'))")
       .as[(String, Long, Option[Double])].collect()
     assert(nop.length === 10 && nop.forall(_._3.contains(10.0)))
+    // verticalLine: two 1.0 points at [ts, ts+1]; outside-viewport raises
+    val vl = Eval.evalExpr(ctx, "verticalLine(50, 'mark')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(vl.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq(("mark", 50L, Some(1.0)), ("mark", 51L, Some(1.0))))
+    val err = intercept[IllegalArgumentException] {
+      Eval.evalExpr(ctx, "verticalLine(500)")
+    }
+    assert(err.getMessage.contains("outside the viewport"))
   }
 
   test("extension: percentile-band filters (vectors)") {
