@@ -37,6 +37,11 @@ object TextExprs {
       ac: org.apache.spark.broadcast.Broadcast[AhoCorasick]): Column =
     GraftBridge.column(AhoCountExpr(GraftBridge.expression(s), ac))
 
+  /** Apply a BPE merge SEQUENCE to a space-separated symbol string —
+    * one native compiled fold; see [[BpeMergeFoldExpr]]. */
+  def bpeMergeFold(s: Column, merges: Seq[String]): Column =
+    GraftBridge.column(BpeMergeFoldExpr(GraftBridge.expression(s), merges))
+
   /** First 60 bits of md5 as a non-negative long — the engine's
     * portable hash primitive, identical in value to
     * `conv(substring(md5(s), 1, 15), 16, 10)` but computed straight
@@ -111,6 +116,90 @@ object NfcClean {
   * the same text otherwise hash apart. Spark has no normalization
   * builtin; the JDK normalizer does the heavy step and the
   * strip/collapse runs in the same pass. */
+/** Shared eval body for [[BpeMergeFoldExpr]] (interpreted + codegen):
+  * apply a learned-merge sequence to a space-separated symbol string
+  * with canonical BPE's leftmost non-overlapping scan. Per merge, the
+  * EXACT column-op sequence of the fold it replaces (the space-
+  * doubling trick — see [[graft.pipeline.Curation]] `fuseChain`):
+  * double every space, replace " pa  pb " with " papb ", halve, trim.
+  * `UTF8String.replace` is the same primitive `StringReplace` codegens
+  * to, and `trim()` strips 0x20 only, exactly like the `trim` column
+  * function — so outputs are bit-identical to the HOF fold and the
+  * SQL twins. */
+object BpeMergeFold {
+  private val SP = UTF8String.fromString(" ")
+  private val SP2 = UTF8String.fromString("  ")
+
+  /** (finds, repls) for a merge list: find = " pa  pb " (doubled
+    * inner boundary), repl = " papb ". */
+  def tables(merges: Seq[String]): (Array[UTF8String], Array[UTF8String]) = {
+    val fs = new Array[UTF8String](merges.length)
+    val rs = new Array[UTF8String](merges.length)
+    merges.zipWithIndex.foreach { case (pr, i) =>
+      val cut = pr.indexOf(' ')
+      require(cut > 0 && pr.indexOf(' ', cut + 1) < 0,
+        s"malformed merge pair '$pr' (need exactly one space)")
+      val pa = pr.substring(0, cut); val pb = pr.substring(cut + 1)
+      fs(i) = UTF8String.fromString(" " + pa + "  " + pb + " ")
+      rs(i) = UTF8String.fromString(" " + pa + pb + " ")
+    }
+    (fs, rs)
+  }
+
+  def fold(input: UTF8String, finds: Array[UTF8String],
+      repls: Array[UTF8String]): UTF8String = {
+    var cur = input
+    var i = 0
+    while (i < finds.length) {
+      val doubled =
+        UTF8String.concat(SP, cur, SP).replace(SP, SP2)
+      cur = doubled.replace(finds(i), repls(i)).replace(SP2, SP).trim()
+      i += 1
+    }
+    cur
+  }
+}
+
+/** The BPE merge-sequence fold as ONE native expression: the merge
+  * tables ride the references array (stable codegen source regardless
+  * of merge content AND count — per-round training plans never
+  * recompile, a 32k-merge tokenizer is one plan node) and each row
+  * pays one compiled loop instead of an interpreted `aggregate()` HOF
+  * walk (the HOF form profiled 1.5× slower at the 200k-doc probe
+  * point). Output is bit-identical to the HOF fold ([[BpeMergeFold]]
+  * scaladoc); CurationSpec pins the equivalence and the oracle rows
+  * stay hash-exact. */
+case class BpeMergeFoldExpr(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_merge_fold"
+
+  @transient private lazy val tables = BpeMergeFold.tables(merges)
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeMergeFold.fold(input.asInstanceOf[UTF8String],
+      tables._1, tables._2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { in =>
+      val fRef = ctx.addReferenceObj("bpeFinds", tables._1,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val rRef = ctx.addReferenceObj("bpeRepls", tables._2,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      s"${ev.value} = graft.functions.BpeMergeFold.fold($in, $fRef, $rRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeFoldExpr =
+    copy(child = newChild)
+}
+
 case class NfcCleanExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

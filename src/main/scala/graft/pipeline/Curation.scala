@@ -489,24 +489,33 @@ object Curation {
     "concat(array_join(transform(sequence(1, length(word)), " +
       "i -> substring(word, i, 1)), ' '), ' </w>')")
 
-  /** Apply a SEQUENCE of learned merges as ONE stable expression: fold
-    * the merge array over the symbol string, each element applied with
-    * canonical BPE's leftmost non-overlapping scan. A plain
-    * `replace(" a b ", " ab ")` misses adjacent repeats ("a b a b"):
-    * the scanner consumes the shared middle space, so the second
-    * occurrence lacks its leading delimiter. DOUBLING every space
-    * first gives each boundary two spaces; the pattern takes ONE from
-    * each side, leaving the neighbor's delimiter intact — every
+  /** Apply a SEQUENCE of learned merges as ONE stable native
+    * expression ([[graft.functions.BpeMergeFoldExpr]]), each merge
+    * applied with canonical BPE's leftmost non-overlapping scan. A
+    * plain `replace(" a b ", " ab ")` misses adjacent repeats
+    * ("a b a b"): the scanner consumes the shared middle space, so the
+    * second occurrence lacks its leading delimiter. DOUBLING every
+    * space first gives each boundary two spaces; the pattern takes ONE
+    * from each side, leaving the neighbor's delimiter intact — every
     * boundary ends the pass with exactly two spaces, which then halve
     * back. (Same ops, same order, in the SQL twins — unchanged.)
     *
-    * The array rides a single `typedlit` — REFERENCED by the plan,
-    * never inlined — so the expression source is independent of merge
-    * content AND count: per-round training plans stop recompiling (the
-    * round-12 profile's cu_bpe gap was per-round codegen of the
-    * inline-literal replace chain), and a 32k-merge tokenizer applies
-    * as one constant-depth plan node instead of a 32k-deep chain. */
+    * The merge tables ride the expression's references — never the
+    * code — so the codegen source is independent of merge content AND
+    * count: per-round training plans never recompile (the round-12
+    * profile's cu_bpe gap was per-round codegen of the inline-literal
+    * replace chain), a 32k-merge tokenizer is one constant-depth plan
+    * node, and each row pays one COMPILED loop (the interpreted
+    * `aggregate()`-HOF fold it replaces profiled 1.5× slower at the
+    * 200k-doc probe point). [[fuseChainHof]] is the composed twin the
+    * native expression is spec-pinned bit-identical against. */
   private def fuseChain(sCol: Column, prs: Seq[String]): Column =
+    if (prs.isEmpty) sCol
+    else graft.functions.TextExprs.bpeMergeFold(sCol, prs)
+
+  /** HOF reference formulation of [[fuseChain]] — spec-pinned
+    * bit-identical to the native expression (CurationSpec). */
+  def fuseChainHof(sCol: Column, prs: Seq[String]): Column =
     if (prs.isEmpty) sCol
     else aggregate(typedlit(prs), sCol, (acc, pr) => {
       val doubled = replace(concat(lit(" "), acc, lit(" ")),

@@ -164,6 +164,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2 === Seq((1L, "a a", 4L), (2L, "a </w>", 2L)))
   }
 
+  test("native BPE merge fold ≡ HOF fold, adjacent repeats included") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // symbol strings with adjacent repeats, runs, and missing pairs;
+    // merges applied in sequence where later ones depend on earlier
+    val rows = Seq("a b a b </w>", "a a a </w>", "x y z </w>",
+      "a b c </w>", "b a b a b </w>", "q </w>", "a b</w> a b")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val merges = Seq("a b", "ab </w>", "ab ab</w>", "x y")
+    val df = rows.toDF("id", "sym")
+    val out = df.select(
+        graft.functions.TextExprs.bpeMergeFold(col("sym"), merges).as("nat"),
+        Curation.fuseChainHof(col("sym"), merges).as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // hand-pinned: both occurrences of "a b" fuse in one application
+    val one = df.filter(col("id") === 0).select(
+      graft.functions.TextExprs.bpeMergeFold(col("sym"), merges)).head
+    assert(one.getString(0) === "abab</w>")
+  }
+
   test("sourceDrift: a zero-vocab-mass source surfaces as a null-drift row") {
     val s = spark; import s.implicits._
     // top-1 vocab is "x" (3 occurrences); source b's tokens never hit
