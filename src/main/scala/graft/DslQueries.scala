@@ -717,6 +717,84 @@ object DslQueries {
           | UNION ALL
           | SELECT 'limit' AS name, max(t) AS t, 3.5 AS value FROM series""".stripMargin))),
 
+    // graphite 1.1's add() spelling of offset
+    ("dsl_add",
+      dq("add(events.view.u0, 2.5)"),
+      Some(multiQ(
+        """SELECT name, t, value + 2.5 AS value FROM series
+          | WHERE name = 'events.view.u0'""".stripMargin))),
+
+    // time(name, step): value(t) = t on an explicit step grid
+    ("dsl_time",
+      ((s, d) => {
+        val store = M.multi(s, d)
+        val b = store.agg(min(col("t")), max(col("t"))).head
+        val ctx = Eval.Ctx(s, store, M.StepSeconds, b.getLong(0), b.getLong(1))
+        fin(Eval.evalExpr(ctx, "time('clock', 7200)"))
+      }): Q,
+      Some(multiQ(
+        """SELECT 'clock' AS name, t, CAST(t AS DOUBLE) AS value
+          | FROM (SELECT unnest(generate_series(
+          |         (SELECT min(t) FROM series),
+          |         (SELECT max(t) FROM series), 7200)) AS t)""".stripMargin))),
+
+    // the highest family's average member
+    ("dsl_highest_average",
+      dq("highestAverage(events.*.*, 2)"),
+      Some(multiQ(
+        """SELECT s.name, s.t, s.value FROM series s JOIN (
+          |   SELECT name FROM (
+          |     SELECT name, avg(value) AS a FROM series GROUP BY name)
+          |   ORDER BY a DESC, name LIMIT 2) k USING (name)""".stripMargin))),
+
+    // unique(): overlapping globs union the same series twice;
+    // distinct collapses the exact-duplicate rows
+    ("dsl_unique",
+      dq("unique(group(events.*.u0, events.view.*))"),
+      Some(multiQ(
+        """SELECT DISTINCT name, t, value FROM (
+          |  SELECT name, t, value FROM series
+          |   WHERE regexp_matches(name, '^events\.[^.]*\.u0$')
+          |  UNION ALL
+          |  SELECT name, t, value FROM series
+          |   WHERE regexp_matches(name, '^events\.view\.[^.]*$'))""".stripMargin))),
+
+    // name-case surgery
+    ("dsl_name_case",
+      dq("toUpperCase(events.view.u0)"),
+      Some(multiQ(
+        """SELECT upper(name) AS name, t, value FROM series
+          | WHERE name = 'events.view.u0'""".stripMargin))),
+
+    // aggregateLine: per-series two-point constant line at the summary
+    ("dsl_aggregate_line",
+      ((s, d) => {
+        val store = M.multi(s, d)
+        val b = store.agg(min(col("t")), max(col("t"))).head
+        val ctx = Eval.Ctx(s, store, M.StepSeconds, b.getLong(0), b.getLong(1))
+        fin(Eval.evalExpr(ctx, "aggregateLine(events.*.u1, 'max')"))
+      }): Q,
+      Some(multiQ(
+        """SELECT 'aggregateLine(' || g.name || ', max)' AS name,
+          |        ts.t AS t, g.mx AS value
+          | FROM (SELECT name, max(value) AS mx FROM series
+          |       WHERE regexp_matches(name, '^events\.[^.]*\.u1$')
+          |       GROUP BY name) g
+          | CROSS JOIN (SELECT min(t) AS t FROM series
+          |             UNION ALL SELECT max(t) FROM series) ts""".stripMargin))),
+
+    // movingWindow dispatches the trailing-window family by name
+    ("dsl_moving_window",
+      dq("movingWindow(events.view.u0, 5, 'sum')"),
+      Some(multiQ(
+        s"""SELECT name, t, CASE WHEN cnt < 5 THEN NULL ELSE sm END AS value
+           | FROM (SELECT name, t,
+           |         row_number() OVER ($byNameT) AS rn,
+           |         count(value) OVER ($byNameT ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cnt,
+           |         sum(value) OVER ($byNameT ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sm
+           |       FROM series WHERE name = 'events.view.u0')
+           | WHERE rn >= 5""".stripMargin))),
+
     // verticalLine: the render marker — two 1.0 points at [ts, ts+1]
     ("dsl_vertical_line",
       ((s, d) => {

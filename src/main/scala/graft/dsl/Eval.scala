@@ -321,6 +321,19 @@ object Eval {
       O.movingMin(df, windowPoints(ctx, rest.head))))
     add(Seq("movingMax"))(onSeries((ctx, df, rest, _) =>
       O.movingMax(df, windowPoints(ctx, rest.head))))
+    // generic dispatcher over the family (graphite-web; extension)
+    add(Seq("movingWindow"))(onSeries((ctx, df, rest, _) => {
+      val w = windowPoints(ctx, rest.head)
+      rest.lift(1).map(str).getOrElse("average") match {
+        case "average" | "avg" => O.movingAverage(df, w)
+        case "sum" | "total"   => O.movingSum(df, w)
+        case "min"             => O.movingMin(df, w)
+        case "max"             => O.movingMax(df, w)
+        case "median"          => O.movingMedian(df, w)
+        case other => throw new IllegalArgumentException(
+          s"movingWindow: unknown aggregator '$other'")
+      }
+    }))
     // per-interval reset integral (graphite-web; extension)
     add(Seq("integralByInterval"))(onSeries((_, df, rest, _) =>
       O.integralByInterval(df, durSec(rest.head))))
@@ -328,6 +341,8 @@ object Eval {
     // ----- series-set filters / top-k -----
     add(Seq("highestCurrent"))(onSeries((_, df, rest, _) =>
       O.highestCurrent(df, num(rest.head).toInt)))
+    add(Seq("highestAverage"))(onSeries((_, df, rest, _) =>
+      O.highestAverage(df, num(rest.head).toInt)))
     add(Seq("highestMax"))(onSeries((_, df, rest, _) =>
       O.highestMax(df, num(rest.head).toInt)))
     add(Seq("lowestAverage"))(onSeries((_, df, rest, _) =>
@@ -426,6 +441,26 @@ object Eval {
     add(Seq("stddevSeries"))(onSeries((_, df, _, _) => O.stddevSeries(df)))
     // graphite-web per-point transforms (extensions)
     add(Seq("invert"))(onSeries((_, df, _, _) => O.invert(df)))
+    // sigmoid/logit/exp (graphite-web; extensions) — `exp` is not
+    // correctly-rounded cross-engine, so the trio is vector-pinned
+    // like pow, not hash-oracled
+    add(Seq("sigmoid"))(onSeries((_, df, _, _) => O.sigmoidSeries(df)))
+    add(Seq("logit"))(onSeries((_, df, _, _) => O.logitSeries(df)))
+    add(Seq("exp"))(onSeries((_, df, _, _) => O.expSeries(df)))
+    // round(precision=0) — python-3 half-to-even (bround); vector-pinned
+    add(Seq("round"))(onSeries((_, df, rest, _) =>
+      O.roundSeries(df, rest.headOption.map(num(_).toInt).getOrElse(0))))
+    // add(series, constant) — graphite 1.1's spelling of offset
+    add(Seq("add"))(onSeries((_, df, rest, _) => O.offset(df, num(rest.head))))
+    // name surgery (graphite-web; extensions)
+    add(Seq("toLowerCase"))(onSeries((_, df, _, _) =>
+      df.withColumn("name", lower(col("name")))))
+    add(Seq("toUpperCase"))(onSeries((_, df, _, _) =>
+      df.withColumn("name", upper(col("name")))))
+    // unique(): collapse exact duplicate series rows (overlapping
+    // globs union the same series twice; graphite keeps the first —
+    // identical rows here, so distinct is the relational spelling)
+    add(Seq("unique"))(onSeries((_, df, _, _) => df.distinct()))
     add(Seq("pow"))(onSeries((_, df, rest, _) =>
       O.powSeries(df, num(rest.head))))
     add(Seq("squareRoot"))(onSeries((_, df, _, _) => O.squareRoot(df)))
@@ -533,6 +568,11 @@ object Eval {
     b += "holtWintersAberration" -> (
       (ctx, args, kw) => hw("aberr", 3.0)(ctx, args.take(1),
         kw ++ args.drop(1).headOption.map("devScale" -> _)))
+    // graphite-web's area variant draws the same two band series with
+    // a fill style — a render hint; the data is the bands (extension)
+    b += "holtWintersConfidenceArea" -> (
+      (ctx, args, kw) => hw("conf", 3.0)(ctx, args.take(1),
+        kw ++ args.drop(1).headOption.map("devScale" -> _)))
 
     // ----- tagged-series selector (graphite 1.1 `seriesByTag`) -----
     // seriesByTag('k=v', 'k=~re', 'k!=v', 'k!=~re'): conjunctive tag
@@ -591,16 +631,30 @@ object Eval {
         (l(ts) + col("id")).as("t"),
         l(1.0).as("value")))
     }
-    // identity(name) — graphite-web: value(t) = t (epoch seconds) on
-    // the sinusoid's maxPoints grid over the ctx range
-    add(Seq("identity")) { (ctx, args, _) =>
+    // identity(name) / time(name[, step]) / timeFunction — graphite-
+    // web: value(t) = t (epoch seconds). identity rides the sinusoid's
+    // maxPoints grid; time with an explicit step uses that grid
+    // (graphite's default 60 s grid is a maxPoints grid here — the
+    // engine's generator convention, documented)
+    add(Seq("identity", "time", "timeFunction")) { (ctx, args, _) =>
       val nm = str(args.head)
-      val n = math.max(ctx.maxPoints, 2)
-      val step = math.max((ctx.toSec - ctx.fromSec) / (n - 1), 1L)
+      val stepArg = args.lift(1).map(num(_).toLong).filter(_ > 0)
+      val (n, step) = stepArg match {
+        case Some(s) =>
+          (math.max((ctx.toSec - ctx.fromSec) / s + 1, 1L), s)
+        case None =>
+          val n0 = math.max(ctx.maxPoints, 2).toLong
+          (n0, math.max((ctx.toSec - ctx.fromSec) / (n0 - 1), 1L))
+      }
       val t = lit(ctx.fromSec) + col("id") * step
       SeriesV(ctx.spark.range(n).select(
         lit(nm).as("name"), t.as("t"), t.cast("double").as("value")))
     }
+    // aggregateLine(series[, cf]) — per-series constant line at the
+    // series' summary value over the ctx viewport (graphite-web)
+    add(Seq("aggregateLine"))(onSeries((ctx, df, rest, _) =>
+      O.aggregateLine(df, rest.headOption.map(str).getOrElse("average"),
+        ctx.fromSec, ctx.toSec)))
     add(Seq("timeStack")) { (ctx, args, _) =>
       // fetch the same pattern at N period-shifted windows
       // (`dsl/funcs.go:2326-2393`); one union branch per shift — the

@@ -97,6 +97,40 @@ object SeriesOps {
     df.withColumn("value", when(isnan(p), lit(null)).otherwise(p))
   }
 
+  /** sigmoid() — 1/(1+e^(−v)) (graphite-web; extension). `exp` is not
+    * correctly-rounded-guaranteed across engines, so this family is
+    * vector-pinned (the pow rule), not hash-oracled. An e^(−v)
+    * overflow saturates to +Inf → 0.0, the mathematically-correct
+    * limit (graphite raises to None there — documented divergence in
+    * favor of the honest value). */
+  def sigmoidSeries(df: DataFrame): DataFrame =
+    df.withColumn("value", lit(1.0) / (lit(1.0) + exp(-v)))
+
+  /** logit() — ln(v/(1−v)) (graphite-web; extension): inputs outside
+    * (0, 1) map to NULL (graphite's ValueError/ZeroDivision → None),
+    * including the ±∞ endpoints. Vector-pinned like [[sigmoidSeries]]. */
+  def logitSeries(df: DataFrame): DataFrame = {
+    val p = log(v / (lit(1.0) - v))
+    df.withColumn("value",
+      when(isnan(p) || p === Double.PositiveInfinity ||
+        p === Double.NegativeInfinity, lit(null)).otherwise(p))
+  }
+
+  /** exp() — e^v (graphite-web; extension); an overflow (+Inf) maps
+    * to NULL (graphite's OverflowError → None). Vector-pinned like
+    * [[sigmoidSeries]]. */
+  def expSeries(df: DataFrame): DataFrame = {
+    val p = exp(v)
+    df.withColumn("value",
+      when(p === Double.PositiveInfinity, lit(null)).otherwise(p))
+  }
+
+  /** round(precision) — graphite-web's roundFunction: python 3
+    * `round` is banker's (half-to-even), so this is `bround`.
+    * Vector-pinned (cross-engine tie-rounding differs; the pow rule). */
+  def roundSeries(df: DataFrame, precision: Int = 0): DataFrame =
+    df.withColumn("value", bround(v, precision))
+
   /** minMax() — per-series min-max normalization to [0, 1]; a
     * constant series (zero range) maps to 0, as graphite-web does. */
   def minMax(df: DataFrame): DataFrame = {
@@ -744,6 +778,39 @@ object SeriesOps {
     // plans this as a distributed TakeOrdered (per-partition top-n +
     // driver merge) instead of shuffling every summary row into one task
     unpack(packedSummaries(df).orderBy(ord: _*).limit(n))
+  }
+
+  /** highestAverage(n) — graphite-web's missing member of the highest
+    * family (extension); the savg twin of [[lowestAverage]]. */
+  def highestAverage(df: DataFrame, n: Int): DataFrame =
+    keepTop(df, col("savg"), n, asc = false)
+
+  /** aggregateLine(cf) — per input series, a two-point constant line
+    * over the viewport at the series' summary value (graphite-web;
+    * extension). cf ∈ avg/average, max, min, sum/total, last/current
+    * — the [[summaries]] columns, null-skipping by the house summary
+    * rule. Output name `aggregateLine(<name>, <cf>)` — graphite embeds
+    * the VALUE via %g; a cross-engine float print is not portable, so
+    * the cf spells the name instead (documented divergence). A series
+    * whose summary is null (no known points) emits null points. */
+  def aggregateLine(df: DataFrame, cf: String, fromSec: Long,
+      toSec: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val metric = cf match {
+      case "avg" | "average" => col("savg")
+      case "max"             => col("smax")
+      case "min"             => col("smin")
+      case "sum" | "total"   => col("ssum")
+      case "last" | "current" => col("slast")
+      case other => throw new IllegalArgumentException(
+        s"unknown aggregator '$other'")
+    }
+    summaries(df)
+      .select(concat(lit("aggregateLine("), col("name"), lit(s", $cf)"))
+        .as("name"), metric.as("value"))
+      .crossJoin(Seq(fromSec, toSec).toDF("t"))
+      .select(col("name"), col("t"), col("value"))
   }
 
   /** highestCurrent(n) — `dsl/funcs.go:1480-1497` */

@@ -808,6 +808,55 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("outside the viewport"))
   }
 
+  test("extension: sigmoid/logit/exp/round vectors; add, case, movingWindow, aggregateLine, time") {
+    val s = spark; import s.implicits._
+    def vals(expr: String): Seq[Option[Double]] =
+      Eval.evalExpr(ctx, expr)
+        .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+        .map(_._3).toSeq
+    def names(expr: String): Set[String] =
+      Eval.evalExpr(ctx, expr)
+        .as[(String, Long, Option[Double])].collect().map(_._1).toSet
+    // sigmoid/exp on the constant-10 fixture; logit domain rules
+    assert(vals("sigmoid('foo.bar1.baz')")
+      .forall(_.contains(1.0 / (1.0 + math.exp(-10.0)))))
+    assert(vals("exp('foo.bar1.baz')").forall(_.contains(math.exp(10.0))))
+    assert(vals("exp(scale('foo.bar1.baz', 100))").forall(_.isEmpty)) // overflow
+    assert(vals("logit('foo.bar1.baz')").forall(_.isEmpty)) // 10 ∉ (0,1)
+    assert(vals("logit(scale('foo.bar1.baz', 0.01))")
+      .forall(_.contains(math.log(0.1 / 0.9))))
+    // round: python-3 half-to-even ties, precision arg
+    assert(vals("round(scale('foo.bar1.baz', 0.05))").forall(_.contains(0.0)))
+    assert(vals("round(scale('foo.bar1.baz', 0.15))").forall(_.contains(2.0)))
+    assert(vals("round(scale('foo.bar1.baz', 0.333), 1)")
+      .forall(_.contains(3.3)))
+    // add ≡ offset
+    assert(vals("add('foo.bar1.baz', 2.5)").forall(_.contains(12.5)))
+    // case surgery round-trips
+    assert(names("toUpperCase('foo.bar1.baz')") === Set("FOO.BAR1.BAZ"))
+    assert(names("toLowerCase(toUpperCase('foo.bar1.baz'))") ===
+      Set("foo.bar1.baz"))
+    // unique: a double-fetched series collapses to one copy
+    val u = Eval.evalExpr(ctx, "unique(group('foo.bar1.baz', 'foo.*.baz'))")
+      .as[(String, Long, Option[Double])].collect()
+    assert(u.count(_._1 == "foo.bar1.baz") === 10)
+    assert(u.length === 20)
+    // movingWindow dispatches the family by name
+    assert(vals("movingWindow('foo.bar1.baz', 3, 'max')") ===
+      vals("movingMax('foo.bar1.baz', 3)"))
+    // aggregateLine: two-point constant line at the summary value
+    val al = Eval.evalExpr(ctx, "aggregateLine('foo.bar1.baz', 'avg')")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(al.map(_._1).toSet === Set("aggregateLine(foo.bar1.baz, avg)"))
+    assert(al.map(r => (r._2, r._3)).toSeq ===
+      Seq((0L, Some(10.0)), (90L, Some(10.0))))
+    // time(name, step): explicit grid, value = t
+    val tm = Eval.evalExpr(ctx, "time('clock', 30)")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(tm.map(_._2).toSeq === Seq(0L, 30L, 60L, 90L))
+    assert(tm.forall(r => r._3.contains(r._2.toDouble)))
+  }
+
   test("extension: percentile-band filters (vectors)") {
     val s = spark; import s.implicits._
     // five constant series 1..5; averages [1..5] → reference-quantile
