@@ -717,6 +717,59 @@ object DslQueries {
           | UNION ALL
           | SELECT 'limit' AS name, max(t) AS t, 3.5 AS value FROM series""".stripMargin))),
 
+    // pairwise list division: name-sorted rank pairs view.uK / click.uK
+    ("dsl_divide_lists",
+      dq("divideSeriesLists(events.view.*, events.click.*)"),
+      Some(multiQ(
+        """SELECT pr.outn AS name, a.t,
+          |       CASE WHEN b.value = 0.0 THEN NULL
+          |            ELSE a.value / b.value END AS value
+          | FROM (
+          |   SELECT ra.na, rb.nb,
+          |          'divideSeries(' || ra.na || ',' || rb.nb || ')' AS outn
+          |   FROM (SELECT name AS na,
+          |                row_number() OVER (ORDER BY name) AS r
+          |         FROM (SELECT DISTINCT name FROM series
+          |               WHERE regexp_matches(name, '^events\.view\.[^.]*$'))) ra
+          |   JOIN (SELECT name AS nb,
+          |                row_number() OVER (ORDER BY name) AS r
+          |         FROM (SELECT DISTINCT name FROM series
+          |               WHERE regexp_matches(name, '^events\.click\.[^.]*$'))) rb
+          |   USING (r)) pr
+          | JOIN series a ON a.name = pr.na
+          | JOIN series b ON b.name = pr.nb AND b.t = a.t""".stripMargin))),
+
+    // pairwise list sum: gap-as-zero over the pair's GRID UNION (the
+    // sumSeries convention — the two members' viewports differ)
+    ("dsl_sum_lists",
+      dq("sumSeriesLists(events.view.*, events.error.*)"),
+      Some(multiQ(
+        """SELECT pr.outn AS name, s.t,
+          |       sum(coalesce(s.value, 0.0)) AS value
+          | FROM (
+          |   SELECT ra.na, rb.nb,
+          |          'sumSeries(' || ra.na || ',' || rb.nb || ')' AS outn
+          |   FROM (SELECT name AS na,
+          |                row_number() OVER (ORDER BY name) AS r
+          |         FROM (SELECT DISTINCT name FROM series
+          |               WHERE regexp_matches(name, '^events\.view\.[^.]*$'))) ra
+          |   JOIN (SELECT name AS nb,
+          |                row_number() OVER (ORDER BY name) AS r
+          |         FROM (SELECT DISTINCT name FROM series
+          |               WHERE regexp_matches(name, '^events\.error\.[^.]*$'))) rb
+          |   USING (r)) pr
+          | JOIN series s ON s.name = pr.na OR s.name = pr.nb
+          | GROUP BY 1, 2""".stripMargin))),
+
+    // applyByNode: per-prefix template expansion with '%' substitution
+    ("dsl_apply_by_node",
+      dq("applyByNode(events.*.*, 1, 'sumSeries(%.*)', '%.total')"),
+      Some(multiQ(
+        """SELECT split_part(name, '.', 1) || '.' ||
+          |       split_part(name, '.', 2) || '.total' AS name,
+          |       t, sum(coalesce(value, 0.0)) AS value
+          | FROM series GROUP BY 1, 2""".stripMargin))),
+
     // graphite 1.1's add() spelling of offset
     ("dsl_add",
       dq("add(events.view.u0, 2.5)"),

@@ -210,6 +210,42 @@ object Eval {
       require(args.size == 2, "divideSeries(num, den)")
       SeriesV(O.divideSeries(asSeries(ctx, args(0)), asSeries(ctx, args(1))))
     }
+    // pairwise list combines (graphite-web; extensions): position =
+    // name-sorted rank per side, loud on length mismatch
+    Seq("divideSeriesLists" -> "divideSeries",
+      "diffSeriesLists" -> "diffSeries",
+      "sumSeriesLists" -> "sumSeries",
+      "multiplySeriesLists" -> "multiplySeries").foreach { case (nm, op) =>
+      add(Seq(nm)) { (ctx, args, _) =>
+        require(args.size == 2, s"$nm(listA, listB)")
+        SeriesV(O.pairwiseSeriesLists(asSeries(ctx, args(0)),
+          asSeries(ctx, args(1)), op))
+      }
+    }
+    // applyByNode(series, nodeNum, template[, newName]) — evaluate the
+    // template once per distinct (nodeNum+1)-node prefix with '%'
+    // substituted (graphite-web; extension). The prefix list is a
+    // driver-side DISTINCT over the fetched names — catalog-bounded,
+    // exactly what graphite itself expands.
+    add(Seq("applyByNode")) { (ctx, args, kw) =>
+      val series = asSeries(ctx, args.head)
+      val nodeNum = num(args(1)).toInt
+      val template = str(args(2))
+      val newName = args.lift(3).map(str).orElse(kw.get("newName").map(str))
+      val s2 = ctx.spark
+      import s2.implicits._
+      val prefixes = series.select(
+          array_join(slice(split(col("name"), "\\."), 1, nodeNum + 1), ".")
+            .as("p"))
+        .distinct().as[String].collect().sorted
+      require(prefixes.nonEmpty, "applyByNode: no series matched")
+      val parts = prefixes.map { p =>
+        val df = evalExpr(ctx, template.replace("%", p))
+        newName.fold(df)(nn =>
+          df.withColumn("name", lit(nn.replace("%", p))))
+      }
+      SeriesV(parts.reduce(_.unionByName(_)))
+    }
     add(Seq("asPercent")) { (ctx, args, _) =>
       val series = asSeries(ctx, args.head)
       args.drop(1).headOption match {
@@ -377,6 +413,11 @@ object Eval {
       O.perSecond(df, (rest.headOption orElse kw.get("maxValue")).map(num))))
     // graphite-web's sortBy* dashboard ordering (extension): attaches
     // the __ord render-order channel Render honors
+    // generic sortBy(func='average', reverse=false): bare true/false
+    // tokens arrive as patterns — string-compare them
+    add(Seq("sortBy"))(onSeries((_, df, rest, _) =>
+      O.sortBy(df, rest.headOption.map(str).getOrElse("average"),
+        rest.lift(1).map(str).exists(_.equalsIgnoreCase("true")))))
     add(Seq("sortByMaxima"))(onSeries((_, df, _, _) => O.sortByMaxima(df)))
     add(Seq("sortByMinima"))(onSeries((_, df, _, _) => O.sortByMinima(df)))
     add(Seq("sortByTotal"))(onSeries((_, df, _, _) => O.sortByTotal(df)))

@@ -975,6 +975,74 @@ object SeriesOps {
         col("__p.value").as("value"), col("__ord"))
   }
 
+  /** sortBy(func, reverse) — the generic member of the family
+    * (graphite-web; extension): ASCENDING by the chosen summary
+    * (graphite's default), descending under `reverse`. */
+  def sortBy(df: DataFrame, cf: String, reverse: Boolean): DataFrame = {
+    val key = cf match {
+      case "average" | "avg"  => "savg"
+      case "max" | "maximum"  => "smax"
+      case "min" | "minimum"  => "smin"
+      case "sum" | "total"    => "ssum"
+      case "current" | "last" => "slast"
+      case "stddev"           => "sstd"
+      case "name"             => "name"
+      case other => throw new IllegalArgumentException(
+        s"sortBy: unknown aggregator '$other'")
+    }
+    sortSeries(df, key, asc = !reverse)
+  }
+
+  /** divideSeriesLists / diffSeriesLists / sumSeriesLists /
+    * multiplySeriesLists — pairwise combine of two series LISTS by
+    * position (graphite-web; extensions). A relational frame has no
+    * list order, so position = the NAME-SORTED rank on each side
+    * (graphite's own pairing is its fetch order — this is the
+    * deterministic spelling; documented convention). Unequal list
+    * lengths fail LOUDLY at execution (graphite raises) — the check
+    * rides the output-name expression so pruning can't drop it. Per
+    * pair, the value formula is the corresponding 2-series combine's:
+    * divide (zero or unknown denominator ⇒ unknown, [[divideSeries]]),
+    * diff (unknown on either side ⇒ unknown, [[diffSeriesOrdered]]),
+    * multiply (unknown on either side ⇒ unknown, [[multiplySeries]]),
+    * sum (gap-as-zero over the grid union, [[sumSeries]]). Output
+    * name `<op>(<aName>,<bName>)`. The rank windows run over
+    * one-row-per-series name frames (render-response bound — the
+    * [[sortSeries]] argument). */
+  def pairwiseSeriesLists(a: DataFrame, b: DataFrame, op: String): DataFrame = {
+    require(Set("divideSeries", "diffSeries", "sumSeries",
+      "multiplySeries")(op), s"unknown pairwise op '$op'")
+    def ranked(df: DataFrame, side: String) =
+      df.select(col("name")).distinct()
+        .withColumn("__r", row_number().over(Window.orderBy(col("name"))))
+        .select(col("name").as(s"__n$side"), col("__r"))
+    val pairs = ranked(a, "a").join(ranked(b, "b"), Seq("__r"), "full_outer")
+      .select(col("__na"), col("__nb"),
+        when(col("__na").isNull || col("__nb").isNull,
+          raise_error(concat(lit(s"$op: the two series lists differ " +
+            "in length at rank "), col("__r").cast("string"))))
+          .otherwise(concat(lit(s"$op("), col("__na"), lit(","),
+            col("__nb"), lit(")"))).as("__out"))
+    val pa = a.join(pairs.select(col("__na").as("name"), col("__out")),
+        Seq("name"))
+      .select(col("__out"), col("t"), v.as("__va"))
+    val pb = b.join(pairs.select(col("__nb").as("name"), col("__out")),
+        Seq("name"))
+      .select(col("__out"), col("t"), v.as("__vb"))
+    val joinType = if (op == "sumSeries") "full_outer" else "inner"
+    val value = op match {
+      case "divideSeries" =>
+        when(col("__vb") === 0.0, lit(null))
+          .otherwise(col("__va") / col("__vb"))
+      case "diffSeries" => col("__va") - col("__vb")
+      case "sumSeries" =>
+        coalesce(col("__va"), lit(0.0)) + coalesce(col("__vb"), lit(0.0))
+      case "multiplySeries" => col("__va") * col("__vb")
+    }
+    pa.join(pb, Seq("__out", "t"), joinType)
+      .select(col("__out").as("name"), col("t"), value.as("value"))
+  }
+
   /** sortByMaxima — highest series max first. */
   def sortByMaxima(df: DataFrame): DataFrame = sortSeries(df, "smax", asc = false)
   /** sortByMinima — lowest series min first. */

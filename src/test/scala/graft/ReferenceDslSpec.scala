@@ -857,6 +857,45 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tm.forall(r => r._3.contains(r._2.toDouble)))
   }
 
+  test("extension: sortBy, pairwise series lists, applyByNode") {
+    val s = spark; import s.implicits._
+    // sortBy('max', true) ≡ sortByMaxima on the render-order channel
+    def ords(expr: String): Map[String, Int] =
+      Eval.evalExpr(ctx, expr)
+        .select("name", "__ord").distinct()
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ords("sortBy('foo.*.baz', 'max', true)") ===
+      ords("sortByMaxima('foo.*.baz')"))
+    // default: ascending by average — bar1 (10) first
+    assert(ords("sortBy('foo.*.baz')") ===
+      Map("foo.bar1.baz" -> 1, "foo.bar2.baz" -> 2))
+    // pairwise division: one pair, 10/20 at every slot
+    val dv = Eval.evalExpr(ctx,
+        "divideSeriesLists('foo.bar1.baz', 'foo.bar2.baz')")
+      .as[(String, Long, Option[Double])].collect()
+    assert(dv.map(_._1).toSet ===
+      Set("divideSeries(foo.bar1.baz,foo.bar2.baz)"))
+    assert(dv.length === 10 && dv.forall(_._3.contains(0.5)))
+    // pairwise sum over the same pair: 30 everywhere
+    val sm = Eval.evalExpr(ctx,
+        "sumSeriesLists('foo.bar1.baz', 'foo.bar2.baz')")
+      .as[(String, Long, Option[Double])].collect()
+    assert(sm.length === 10 && sm.forall(_._3.contains(30.0)))
+    // unequal lengths fail loudly at execution
+    val err = intercept[Exception] {
+      Eval.evalExpr(ctx, "divideSeriesLists('foo.*.baz', 'foo.bar1.baz')")
+        .collect()
+    }
+    assert(err.getMessage != null)
+    // applyByNode: per-prefix template + newName substitution
+    val ab = Eval.evalExpr(ctx,
+        "applyByNode('foo.*.baz', 1, 'scale(%.baz, 2)', '%.x2')")
+      .as[(String, Long, Option[Double])].collect()
+    assert(ab.map(_._1).toSet === Set("foo.bar1.x2", "foo.bar2.x2"))
+    assert(ab.filter(_._1 == "foo.bar1.x2").forall(_._3.contains(20.0)))
+    assert(ab.filter(_._1 == "foo.bar2.x2").forall(_._3.contains(40.0)))
+  }
+
   test("extension: percentile-band filters (vectors)") {
     val s = spark; import s.implicits._
     // five constant series 1..5; averages [1..5] → reference-quantile
