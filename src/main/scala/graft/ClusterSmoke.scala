@@ -264,9 +264,14 @@ object ClusterSmoke {
         "GRAFT_STEP_SEC" -> "10",
         "GRAFT_HEARTBEAT_SEC" -> "7200",
         "GRAFT_GRAPHITE_PORT" -> gPort.toString,
-        "GRAFT_STATSD_PORT" -> freePort().toString,
-        "GRAFT_PICKLE_PORT" -> freePort().toString,
-        "GRAFT_HTTP_PORT" -> freePort().toString) ++
+        // the check never dials these surfaces: bind them EPHEMERAL
+        // (port 0) instead of freePort()-probed — the probe-then-bind
+        // race across 3+ concurrently-booting child JVMs was a real
+        // flake (BindException at startHttp). Only the graphite ports
+        // must be known a priori (GRAFT_SHARD_PEERS is index-aligned).
+        "GRAFT_STATSD_PORT" -> "0",
+        "GRAFT_PICKLE_PORT" -> "0",
+        "GRAFT_HTTP_PORT" -> "0") ++
         shard.map { case (i, n, peers) => Map(
           "GRAFT_SHARD_INDEX" -> i.toString,
           "GRAFT_SHARD_COUNT" -> n.toString,

@@ -306,28 +306,21 @@ object Eval {
         rest.drop(1).headOption.map(str).getOrElse("avg") match {
           case "average" => "avg"; case cf => cf
         })))
-    add(Seq("consolidateBy"))(onSeries((ctx, df, rest, _) => {
-      // the reference's consolidateBy is self-describedly "fake"
-      // (`dsl/funcs.go:2255-2286`): for cf=sum it scales every value by
-      // seconds-per-point (span / maxPoints) — emulating how a
-      // sum-consolidated graphite render reads — and is a no-op for any
-      // other cf. Mirrored literally here; the HONEST re-bucketing
-      // consolidation lives in `SeriesOps.consolidateBy` / `summarize`
-      // (ts_consolidate_by_* queries), per the SURVEY directive.
-      // guard the unbounded-viewport sentinel (fromSec == toSec): a
-      // zero span would zero the whole series instead of scaling it
+    // the reference's consolidateBy is self-describedly "fake"
+    // (`dsl/funcs.go:2255-2286`): for cf=sum it scales every value by
+    // seconds-per-point (span / maxPoints) — emulating how a
+    // sum-consolidated graphite render reads — and is a no-op for any
+    // other cf. Mirrored literally here; the HONEST re-bucketing
+    // consolidation lives in `SeriesOps.consolidateBy` / `summarize`
+    // (ts_consolidate_by_* queries), per the SURVEY directive.
+    // guard the unbounded-viewport sentinel (fromSec == toSec): a
+    // zero span would zero the whole series instead of scaling it.
+    // cumulative(series) (graphite-web; extension) IS
+    // consolidateBy(series, 'sum') — one handler, cf defaulting to sum
+    add(Seq("consolidateBy", "cumulative"))(onSeries((ctx, df, rest, _) => {
       val factor =
-        if (str(rest.head) == "sum" && ctx.maxPoints > 0 &&
-            ctx.toSec > ctx.fromSec)
-          (ctx.toSec - ctx.fromSec).toDouble / ctx.maxPoints
-        else 1.0
-      df.withColumn("value", col("value") * factor)
-    }))
-    // cumulative(series) ≡ consolidateBy(series, 'sum') (graphite-web;
-    // extension) — the same literally-mirrored reference scaling hack
-    add(Seq("cumulative"))(onSeries((ctx, df, _, _) => {
-      val factor =
-        if (ctx.maxPoints > 0 && ctx.toSec > ctx.fromSec)
+        if (rest.headOption.map(str).getOrElse("sum") == "sum" &&
+            ctx.maxPoints > 0 && ctx.toSec > ctx.fromSec)
           (ctx.toSec - ctx.fromSec).toDouble / ctx.maxPoints
         else 1.0
       df.withColumn("value", col("value") * factor)

@@ -806,10 +806,16 @@ case class LongArraySumAgg(
     if (buf.sums == null) null
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.sums)
 
+  // a leading presence byte keeps the null (no-input) buffer distinct
+  // from a legitimate ZERO-LENGTH sums array across the serialization
+  // boundary — without it an empty-array group would evaluate to []
+  // un-shuffled but NULL after a spill, and would silently bypass the
+  // mixed-length check on merge
   override def serialize(buf: LongArraySumAgg.Buf): Array[Byte] =
     if (buf.sums == null) Array.emptyByteArray
     else {
-      val bb = java.nio.ByteBuffer.allocate(buf.sums.length * 8)
+      val bb = java.nio.ByteBuffer.allocate(1 + buf.sums.length * 8)
+      bb.put(1.toByte)
       buf.sums.foreach(bb.putLong)
       bb.array()
     }
@@ -817,7 +823,8 @@ case class LongArraySumAgg(
     if (bytes.isEmpty) new LongArraySumAgg.Buf(null)
     else {
       val bb = java.nio.ByteBuffer.wrap(bytes)
-      val out = new Array[Long](bytes.length / 8)
+      bb.get() // presence byte
+      val out = new Array[Long]((bytes.length - 1) / 8)
       var i = 0
       while (i < out.length) { out(i) = bb.getLong(); i += 1 }
       new LongArraySumAgg.Buf(out)

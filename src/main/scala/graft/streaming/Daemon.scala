@@ -1248,6 +1248,32 @@ object Daemon {
     // checkpoint carries its own state and Spark ignores the seed.
     val pdpSeed = sys.env.get("GRAFT_PDP_SEED")
       .map(p => Reshard.readSeed(spark, p))
+    // the REPLICA receiver's seed at a resize: with GRAFT_PDP_SEED_ALL
+    // (every new shard's seed path, index-aligned) the replica store
+    // of shard i seeds with the union of the slices of the shards it
+    // REPLICATES — the ring predecessors o with (o + k) mod M = i for
+    // k < copies — so a re-homed series' resize-straddling slot is
+    // exact in the replica store too (an owner crash right after a
+    // resize otherwise serves that one slot gapped from the fallback)
+    val replicaSeed = sys.env.get("GRAFT_PDP_SEED_ALL")
+      .filter(_ => replGw.nonEmpty)
+      .map { all =>
+        val paths = all.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(paths.size == shardCount,
+          s"GRAFT_PDP_SEED_ALL has ${paths.size} entries for $shardCount shards")
+        val preds = Shard.replicatedBy(shardIndex, shardCount, shardCopies)
+        require(preds.nonEmpty, "GRAFT_PDP_SEED_ALL set with copies <= 1")
+        preds.map(o => Reshard.readSeed(spark, paths(o))).reduce(_ union _)
+      }
+    // small-file maintenance cadence (0 = off): a long-running
+    // daemon's merge-per-batch cadence fragments the store into one
+    // chunk per surviving batch epoch without it — ON by default, and
+    // cheap: only under-fanout size tiers rewrite. Shared by the
+    // primary and replica receivers.
+    val compactEvery = sys.env.get("GRAFT_COMPACT_EVERY").map(_.toInt)
+      .getOrElse(16)
+    val compactFanout = sys.env.get("GRAFT_COMPACT_FANOUT").map(_.toInt)
+      .getOrElse(4)
     def startAll(settings: DaemonSettings): Seq[StreamingQuery] = Seq(
       startReceiver(spark, gGw.boundFeedPort, pkGw.boundFeedPort,
         s"$dataDir/points", settings.stepSec, settings.heartbeatSec,
@@ -1256,14 +1282,7 @@ object Daemon {
         rras = settings.rras, pixelDpFeedPort = Some(pxDpGw.boundFeedPort),
         maxQueue = settings.maxQueue, maxMemory = settings.maxMemory,
         pdpSeed = pdpSeed,
-        // small-file maintenance cadence (0 = off): a long-running
-        // daemon's merge-per-batch cadence fragments the store into
-        // one chunk per surviving batch epoch without it — ON by
-        // default, and cheap: only under-fanout size tiers rewrite
-        compactEvery = sys.env.get("GRAFT_COMPACT_EVERY").map(_.toInt)
-          .getOrElse(16),
-        compactFanout = sys.env.get("GRAFT_COMPACT_FANOUT").map(_.toInt)
-          .getOrElse(4)),
+        compactEvery = compactEvery, compactFanout = compactFanout),
       startStatsdIngest(spark, sGw.boundFeedPort, s"$dataDir/statsd",
         settings.flushSec, checkpointDir = s"$dataDir/ckpt-statsd",
         retainSec = settings.retainSec, statsPrefix = settings.statsPrefix),
@@ -1281,10 +1300,8 @@ object Daemon {
         checkpointDir = s"$dataDir/replica/ckpt-points",
         retainSec = settings.retainSec, rras = settings.rras,
         maxQueue = settings.maxQueue, maxMemory = settings.maxMemory,
-        compactEvery = sys.env.get("GRAFT_COMPACT_EVERY").map(_.toInt)
-          .getOrElse(16),
-        compactFanout = sys.env.get("GRAFT_COMPACT_FANOUT").map(_.toInt)
-          .getOrElse(4))).toSeq
+        pdpSeed = replicaSeed,
+        compactEvery = compactEvery, compactFanout = compactFanout)).toSeq
     // a daemon restarted over a round-9 (pre-manifest) data dir adopts
     // each store's on-disk history as its v1 manifest BEFORE anything
     // serves: without this, renders would fail loudly (by design)

@@ -51,14 +51,28 @@ object Reshard {
     // executor-side snapshot-lag reporting (on by default) would RPC
     // into the void and fail the load on any multi-process master
     // (local[*] masks it: driver and executor share the JVM). The
-    // report is a lag METRIC, not a correctness path.
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
-      "false")
-    spark.read.format("statestore").load(checkpointDir)
-      .select(col("key.value").as("name"),
-        col("value.groupState.lastTs").as("lastTs"),
-        col("value.groupState.lastVal").as("lastVal"))
+    // report is a lag METRIC, not a correctness path. The conf is
+    // restored after the read materializes: a later streaming query in
+    // the SAME session (the probe boots the new fleet right after)
+    // must not silently lose its lag reporting.
+    val key =
+      "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      // localCheckpoint materializes the state rows NOW, under the
+      // disabled flag, so the restored conf cannot race the read
+      spark.read.format("statestore").load(checkpointDir)
+        .select(col("key.value").as("name"),
+          col("value.groupState.lastTs").as("lastTs"),
+          col("value.groupState.lastVal").as("lastVal"))
+        .localCheckpoint(true)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** The remap tool: union the old fleet's relinquished states and

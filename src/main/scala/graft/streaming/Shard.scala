@@ -51,6 +51,16 @@ object Shard {
     * senders speak plain graphite. */
   val FwdMarker = "__graft_fwd__ "
 
+  /** The ring PREDECESSORS whose series shard `i`'s replica store
+    * holds — the inverse of the director's successor placement
+    * (`replicasOf(o) = {(o+k) mod n, 0 < k < copies}`): all owners o
+    * with i ∈ replicasOf(o). The reshard lifecycle seeds a replica
+    * receiver with exactly these shards' seed slices
+    * (`GRAFT_PDP_SEED_ALL`). */
+  def replicatedBy(i: Int, n: Int, copies: Int): Seq[Int] =
+    (1 until copies).map(k => java.lang.Math.floorMod(i - k, n))
+      .distinct.filter(_ != i)
+
   /** Envelope marking a REPLICA copy (the reference's n-copy placement:
     * `cluster/cluster.go:183-191` `Copies`, `cluster.go:209-218`
     * `selectNodes` assigns `nodes[(id+i) % len]` for i < copies — the
@@ -191,6 +201,14 @@ object Shard {
             } catch {
               case _: IOException =>
                 closeSock()
+                // PESSIMISTIC accounting: the 64 KB buffer auto-flushes
+                // mid-batch, so some of sinceFlush may already be on
+                // the peer's wire when the failure fires — their fate
+                // is unknowable from this side, and a line is counted
+                // forwarded only once its batch flush SUCCEEDS. Drops
+                // therefore over-count on a connection failure (never
+                // under-count): at-most-once bookkeeping, matching the
+                // reference's drop-when-behind channel accounting.
                 dropped.addAndGet(sinceFlush.toLong + 1L)
                 sinceFlush = 0
                 downUntil = System.currentTimeMillis() + cooldownMs
@@ -264,6 +282,7 @@ object Shard {
     val replKept = new AtomicLong // replica copies stored here
     val replReceived = new AtomicLong // repl-marked lines accepted here
 
+    /** See [[Shard.replicatedBy]] for the inverse (who `r` holds). */
     /** The ring successors holding replicas of series owned by `o` —
       * `selectNodes`' `nodes[(id+i) % len]`, i in 1..copies-1. */
     private def replicasOf(o: Int): Seq[Int] =

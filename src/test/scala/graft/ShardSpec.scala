@@ -642,4 +642,17 @@ class ShardSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(n / secs > 10000.0, f"forwarded at ${n / secs}%.0f lines/s")
     } finally { f.close(); Try(srv.close()); () }
   }
+
+  test("replicatedBy is the exact inverse of the successor placement") {
+    // the replica-seed slice at a resize depends on this inverse: a
+    // replica receiver seeds with the shards whose series it HOLDS
+    for (n <- Seq(2, 3, 5); copies <- 1 to math.min(3, n)) {
+      def replicasOf(o: Int): Seq[Int] = (1 until copies).map(k => (o + k) % n)
+      for (i <- 0 until n; o <- 0 until n) {
+        assert(Shard.replicatedBy(i, n, copies).contains(o) ===
+          replicasOf(o).contains(i),
+          s"n=$n copies=$copies i=$i o=$o")
+      }
+    }
+  }
 }
