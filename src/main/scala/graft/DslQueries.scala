@@ -879,7 +879,202 @@ object DslQueries {
           |   FROM series
           | UNION ALL
           | SELECT 'x' AS name, max(t) AS t, CAST(max(t) AS DOUBLE) AS value
-          |   FROM series""".stripMargin)))
+          |   FROM series""".stripMargin))),
+
+    // ----- the closing graphite-web wave: generic top-n / filter,
+    // ----- pairwise generic combine, map/reduce, legends, generators -----
+
+    // highest(set, n, func): the generic spelling of highestMax
+    ("dsl_highest",
+      dq("highest(events.*.*, 2, 'max')"),
+      Some(multiQ(
+        """SELECT s.name, s.t, s.value FROM series s JOIN (
+          |   SELECT name FROM (
+          |     SELECT name, row_number() OVER (ORDER BY mx DESC, name) AS r
+          |     FROM (SELECT name, max(value) AS mx FROM series GROUP BY name))
+          |   WHERE r <= 2) k USING (name)""".stripMargin))),
+
+    // lowest(set, n, func): bottom-2 by viewport total
+    ("dsl_lowest",
+      dq("lowest(events.*.u1, 2, 'total')"),
+      Some(multiQ(
+        """SELECT s.name, s.t, s.value FROM series s JOIN (
+          |   SELECT name FROM (
+          |     SELECT name, row_number() OVER (ORDER BY sm ASC, name) AS r
+          |     FROM (SELECT name, sum(value) AS sm FROM series
+          |           WHERE regexp_matches(name, '^events\.[^.]*\.u1$')
+          |           GROUP BY name))
+          |   WHERE r <= 2) k USING (name)""".stripMargin))),
+
+    // filterSeries: the generic summary filter (averageAbove's spelling)
+    ("dsl_filter_series",
+      dq("filterSeries(events.*.*, 'average', '>', 49)"),
+      Some(multiQ(
+        """SELECT s.name, s.t, s.value FROM series s
+          | JOIN (SELECT name FROM series GROUP BY name
+          |       HAVING avg(value) > 49.0) k USING (name)""".stripMargin))),
+
+    // aggregateSeriesLists: name-rank pairing, SAFE 'diff' (an unknown
+    // minuend yields the subtrahend — graphite's safeDiff)
+    ("dsl_agg_series_lists",
+      dq("aggregateSeriesLists(events.click.*, events.view.*, 'diff')"),
+      Some(multiQ(
+        """SELECT coalesce(va.outn, vb.outn) AS name,
+          |       coalesce(va.t, vb.t) AS t,
+          |       CASE WHEN va.a IS NOT NULL AND vb.b IS NOT NULL THEN va.a - vb.b
+          |            ELSE coalesce(va.a, vb.b) END AS value
+          | FROM (SELECT p.outn, s.t, s.value AS a FROM series s JOIN (
+          |         SELECT pa.name AS na, pb.name AS nb,
+          |                'diffSeries(' || pa.name || ',' || pb.name || ')' AS outn
+          |         FROM (SELECT name, row_number() OVER (ORDER BY name) AS r
+          |               FROM (SELECT DISTINCT name FROM series
+          |                     WHERE regexp_matches(name, '^events\.click\.[^.]*$'))) pa
+          |         JOIN (SELECT name, row_number() OVER (ORDER BY name) AS r
+          |               FROM (SELECT DISTINCT name FROM series
+          |                     WHERE regexp_matches(name, '^events\.view\.[^.]*$'))) pb
+          |         USING (r)) p ON s.name = p.na) va
+          | FULL OUTER JOIN (SELECT p.outn, s.t, s.value AS b FROM series s JOIN (
+          |         SELECT pa.name AS na, pb.name AS nb,
+          |                'diffSeries(' || pa.name || ',' || pb.name || ')' AS outn
+          |         FROM (SELECT name, row_number() OVER (ORDER BY name) AS r
+          |               FROM (SELECT DISTINCT name FROM series
+          |                     WHERE regexp_matches(name, '^events\.click\.[^.]*$'))) pa
+          |         JOIN (SELECT name, row_number() OVER (ORDER BY name) AS r
+          |               FROM (SELECT DISTINCT name FROM series
+          |                     WHERE regexp_matches(name, '^events\.view\.[^.]*$'))) pb
+          |         USING (r)) p ON s.name = p.nb) vb
+          |   ON va.outn = vb.outn AND va.t = vb.t""".stripMargin))),
+
+    // powSeries: name-order power fold; minMax pre-normalizes into
+    // [0,1] so the cross-engine pow ulp is absorbed by round-6
+    ("dsl_pow_series",
+      dq("powSeries(minMax(events.click.u0), minMax(events.click.u2))"),
+      Some(multiQ(
+        """SELECT 'powSeries' AS name, t,
+          |   CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN pow(a, b)
+          |        ELSE coalesce(a, b) END AS value
+          | FROM (SELECT t,
+          |         max(CASE WHEN name = 'events.click.u0' THEN v END) AS a,
+          |         max(CASE WHEN name = 'events.click.u2' THEN v END) AS b
+          |       FROM (SELECT name, t,
+          |               CASE WHEN max(value) OVER (PARTITION BY name)
+          |                      = min(value) OVER (PARTITION BY name) THEN 0.0
+          |                    ELSE (value - min(value) OVER (PARTITION BY name))
+          |                       / (max(value) OVER (PARTITION BY name)
+          |                        - min(value) OVER (PARTITION BY name)) END AS v
+          |             FROM series
+          |             WHERE name IN ('events.click.u0', 'events.click.u2'))
+          |       GROUP BY t)""".stripMargin))),
+
+    // reduceSeries(mapSeries(...)): graphite's map/reduce pair —
+    // per-prefix asPercent of the click slot over the view slot
+    ("dsl_map_reduce",
+      dq("reduceSeries(mapSeries(events.*.u0, 1), 'asPercent', 1, 'click', 'view')"),
+      Some(multiQ(
+        """SELECT 'events.reduce.asPercent' AS name, t,
+          |   CASE WHEN b IS NULL OR b = 0 THEN NULL ELSE a / b * 100.0 END AS value
+          | FROM (SELECT t,
+          |         max(CASE WHEN name = 'events.click.u0' THEN value END) AS a,
+          |         max(CASE WHEN name = 'events.view.u0' THEN value END) AS b
+          |       FROM series
+          |       WHERE name IN ('events.click.u0', 'events.view.u0')
+          |       GROUP BY t)""".stripMargin))),
+
+    // cactiStyle: column-aligned Current/Max/Min legend in the name;
+    // %.2f of the half-even-prerounded value (round_even ≡ bround)
+    ("dsl_cacti_style",
+      dq("cactiStyle(events.*.u1)"),
+      Some(multiQ(
+        """SELECT rpad(g.name, g.nw, ' ') || ' Current:' || rpad(g.l, g.lw, ' ')
+          |     || ' Max:' || rpad(g.mx, g.xw, ' ')
+          |     || ' Min:' || rpad(g.mn, g.mw, ' ') || ' ' AS name,
+          |       s.t, s.value
+          | FROM series s JOIN (
+          |   SELECT name, l, mx, mn,
+          |     CAST(max(length(name)) OVER () AS INTEGER) AS nw,
+          |     CAST(max(length(l)) OVER () AS INTEGER) AS lw,
+          |     CAST(max(length(mx)) OVER () AS INTEGER) AS xw,
+          |     CAST(max(length(mn)) OVER () AS INTEGER) AS mw
+          |   FROM (SELECT name,
+          |           printf('%.2f', round_even(arg_max(value, t), 2)) AS l,
+          |           printf('%.2f', round_even(max(value), 2)) AS mx,
+          |           printf('%.2f', round_even(min(value), 2)) AS mn
+          |         FROM series
+          |         WHERE regexp_matches(name, '^events\.[^.]*\.u1$')
+          |         GROUP BY name)) g ON s.name = g.name""".stripMargin))),
+
+    // legendValue: per-type name suffixes in argument order
+    ("dsl_legend_value",
+      dq("legendValue(events.*.u2, 'avg', 'max')"),
+      Some(multiQ(
+        """SELECT s.name || ' (avg: ' || printf('%.2f', round_even(g.a, 2))
+          |     || ')' || ' (max: ' || printf('%.2f', round_even(g.m, 2))
+          |     || ')' AS name, s.t, s.value
+          | FROM series s JOIN (
+          |   SELECT name, avg(value) AS a, max(value) AS m FROM series
+          |   WHERE regexp_matches(name, '^events\.[^.]*\.u2$')
+          |   GROUP BY name) g ON s.name = g.name""".stripMargin))),
+
+    // aliasQuery: per-series query rewrite; %d truncates toward zero
+    ("dsl_alias_query",
+      dq("aliasQuery(events.click.u0, 'events.click.(.*)', " +
+        "'events.view.\\1', 'clicks (views last: %d)')"),
+      Some(multiQ(
+        """SELECT 'clicks (views last: ' ||
+          |   CAST(CAST(trunc((SELECT arg_max(value, t) FROM series
+          |                    WHERE name = 'events.view.u0')) AS BIGINT)
+          |     AS VARCHAR) || ')' AS name, t, value
+          | FROM series WHERE name = 'events.click.u0'""".stripMargin))),
+
+    // setXFilesFactor channel honored by a bare removeEmptySeries:
+    // series whose ≤50 fraction misses the 0.61 bar drop
+    ("dsl_set_xff",
+      dq("removeEmptySeries(setXFilesFactor(removeAboveValue(events.*.u0, 50), 0.61))"),
+      Some(multiQ(
+        """SELECT s.name, s.t,
+          |   CASE WHEN s.value > 50 THEN NULL ELSE s.value END AS value
+          | FROM series s JOIN (
+          |   SELECT name FROM series
+          |   WHERE regexp_matches(name, '^events\.[^.]*\.u0$')
+          |   GROUP BY name
+          |   HAVING avg(CASE WHEN value <= 50 THEN 1.0 ELSE 0.0 END) >= 0.61) k
+          |  USING (name)""".stripMargin))),
+
+    // sinFunction: amplitude·sin(t) on an end-exclusive step grid
+    ("dsl_sin_function",
+      ((s, d) => {
+        val store = M.multi(s, d)
+        val b = store.agg(min(col("t")), max(col("t"))).head
+        val ctx = Eval.Ctx(s, store, M.StepSeconds, b.getLong(0), b.getLong(1))
+        fin(Eval.evalExpr(ctx, "sinFunction('sine', 2, 7200)"))
+      }): Q,
+      Some(multiQ(
+        """SELECT 'sine' AS name, t, sin(CAST(t AS DOUBLE)) * 2 AS value
+          | FROM (SELECT unnest(generate_series(
+          |         (SELECT min(t) FROM series),
+          |         (SELECT max(t) FROM series) - 1, 7200)) AS t)""".stripMargin))),
+
+    // randomWalk: the deterministic-LCG variant — exact integer PRN,
+    // power-of-two divide, sequential cumulative sum (bit-identical
+    // cross-engine; see the Eval binder's contract)
+    ("dsl_random_walk",
+      ((s, d) => {
+        val store = M.multi(s, d)
+        val b = store.agg(min(col("t")), max(col("t"))).head
+        val ctx = Eval.Ctx(s, store, M.StepSeconds, b.getLong(0), b.getLong(1))
+        fin(Eval.evalExpr(ctx, "randomWalk('rw', 7200)"))
+      }): Q,
+      Some(multiQ(
+        """SELECT 'rw' AS name,
+          |   (SELECT min(t) FROM series) + i * 7200 AS t,
+          |   coalesce(sum(u) OVER (ORDER BY i
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS value
+          | FROM (SELECT i,
+          |         CAST((1103515245 * i + 12345) % 2147483648 AS DOUBLE)
+          |           / 2147483648.0 - 0.5 AS u
+          |       FROM (SELECT unnest(generate_series(0,
+          |              (SELECT (max(t) - min(t) + 7199) // 7200 - 1
+          |               FROM series))) AS i))""".stripMargin)))
   )
 
   /** Canonical tagged twin of the multi store (`ev.req;dc=uN;type=T`)

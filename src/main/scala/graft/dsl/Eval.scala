@@ -222,6 +222,20 @@ object Eval {
           asSeries(ctx, args(1)), op))
       }
     }
+    // aggregateSeriesLists(listA, listB, func) — the generic-cf
+    // pairwise combine (graphite-web 1.1; extension): graphite's SAFE
+    // aggregator semantics over the name-rank pairing — see
+    // SeriesOps.aggregateSeriesLists for the per-member table
+    add(Seq("aggregateSeriesLists")) { (ctx, args, _) =>
+      require(args.size >= 3, "aggregateSeriesLists(listA, listB, func)")
+      SeriesV(O.aggregateSeriesLists(asSeries(ctx, args(0)),
+        asSeries(ctx, args(1)), str(args(2)) match {
+          case "average" => "avg"; case f => f
+        }))
+    }
+    // powSeries — per-timestamp power fold in name order (graphite-web;
+    // extension): any unknown member poisons the slot, like multiply
+    add(Seq("powSeries"))(onAllSeries(df => O.powSeriesList(df)))
     // applyByNode(series, nodeNum, template[, newName]) — evaluate the
     // template once per distinct (nodeNum+1)-node prefix with '%'
     // substituted (graphite-web; extension). The prefix list is a
@@ -422,9 +436,29 @@ object Eval {
     add(Seq("currentBelow"))(onSeries((_, df, rest, _) =>
       O.currentBelow(df, num(rest.head))))
     // graphite-web's removeEmptySeries (extension): drop all-unknown
-    // series; optional xFilesFactor raises the known-fraction bar
+    // series; optional xFilesFactor raises the known-fraction bar, and
+    // with no explicit bar an upstream setXFilesFactor channel is the
+    // default (graphite 1.1's series.xFilesFactor chain)
     add(Seq("removeEmptySeries"))(onSeries((_, df, rest, _) =>
-      O.removeEmptySeries(df, rest.headOption.map(num).getOrElse(0.0))))
+      rest.headOption.map(x => O.removeEmptySeries(df, num(x)))
+        .getOrElse(O.removeEmptySeriesDefault(df))))
+    // graphite-web 1.1's setXFilesFactor/xFilesFactor — identity on
+    // the data, attaches the __xff channel removeEmptySeries defaults
+    // to (extension; see SeriesOps.setXFilesFactor)
+    add(Seq("setXFilesFactor", "xFilesFactor"))(onSeries((_, df, rest, _) =>
+      O.setXFilesFactor(df, num(rest.head))))
+    // graphite-web 1.1's generic top/bottom-n and summary filter —
+    // the generic spellings of the highest*/lowest*/…Above families
+    add(Seq("highest"))(onSeries((_, df, rest, kw) =>
+      O.highest(df,
+        (rest.headOption orElse kw.get("n")).map(num(_).toInt).getOrElse(1),
+        (rest.lift(1) orElse kw.get("func")).map(str).getOrElse("average"))))
+    add(Seq("lowest"))(onSeries((_, df, rest, kw) =>
+      O.lowest(df,
+        (rest.headOption orElse kw.get("n")).map(num(_).toInt).getOrElse(1),
+        (rest.lift(1) orElse kw.get("func")).map(str).getOrElse("average"))))
+    add(Seq("filterSeries"))(onSeries((_, df, rest, _) =>
+      O.filterSeries(df, str(rest(0)), str(rest(1)), num(rest(2)))))
     // graphite-web's grep — exclude's keep-side dual (extension)
     add(Seq("grep"))(onSeries((_, df, rest, _) =>
       O.grep(df, str(rest.head))))
@@ -507,9 +541,36 @@ object Eval {
     add(Seq("timeSlice"))(onSeries((_, df, rest, _) =>
       O.timeSlice(df, num(rest(0)).toLong, num(rest(1)).toLong)))
     // render hints with no data semantics — no-ops like color()
-    // (drawAsInfinite/dashed are line-style hints; graphite-web)
-    add(Seq("stacked", "secondYAxis", "drawAsInfinite", "dashed"))(
+    // (drawAsInfinite/dashed/alpha/lineWidth are line-style hints;
+    // areaBetween marks its exactly-two input series for filled
+    // rendering — data unchanged in graphite too; graphite-web)
+    add(Seq("stacked", "secondYAxis", "drawAsInfinite", "dashed",
+      "alpha", "lineWidth", "areaBetween"))(
       onSeries((_, df, _, _) => df))
+    // mapSeries/reduceSeries — graphite's map/reduce pair (extension).
+    // mapSeries' list-of-lists grouping is RE-DERIVED by reduceSeries
+    // from the name prefix nodes[0:reduceNode] (exactly graphite's
+    // reduceSeriesName key), so the map step is the identity on the
+    // relational frame; a standalone mapSeries renders flattened,
+    // which is graphite's behavior too.
+    add(Seq("mapSeries", "map"))(onSeries((_, df, _, _) => df))
+    add(Seq("reduceSeries", "reduce"))(onSeries((_, df, rest, _) =>
+      O.reduceSeries(df, str(rest(0)), num(rest(1)).toInt,
+        rest.drop(2).map(str))))
+    // cactiStyle/legendValue — legend-in-the-name functions
+    // (graphite-web; extensions): per-series summaries printed into
+    // the name by the cross-engine %.2f-of-bround rule (SeriesOps)
+    // graphite's signature is cactiStyle(series, system=None,
+    // units=None): the POSITIONAL second arg is the unit SYSTEM
+    // ('si'/'binary'), which is unsupported — loud, not misread
+    add(Seq("cactiStyle"))(onSeries((_, df, rest, kw) => {
+      require(rest.isEmpty,
+        "cactiStyle: si/binary unit systems unsupported — " +
+          "use cactiStyle(series, units='…')")
+      O.cactiStyle(df, kw.get("units").map(str))
+    }))
+    add(Seq("legendValue"))(onSeries((_, df, rest, _) =>
+      O.legendValue(df, rest.map(str))))
 
     // ----- aliasing -----
     add(Seq("alias"))(onSeries((_, df, rest, _) => O.aliasAll(df, str(rest.head))))
@@ -638,6 +699,92 @@ object Eval {
         lit("sinusoid").as("name"),
         (lit(ctx.fromSec) + col("id") * step).as("t"),
         sin(col("id").cast("double") * (2.0 * math.Pi / 10.0)).as("value")))
+    }
+    // sinFunction/sin (graphite-web; extension): amplitude · sin(t
+    // epoch-seconds) on a `step` grid from the viewport start,
+    // end-exclusive like graphite's while-loop (`functions.py
+    // sinFunction`). sin's cross-engine ulp is absorbed by the
+    // oracle's round-6 (|sin| ≤ 1), like the sinusoid generator.
+    add(Seq("sinFunction", "sin")) { (ctx, args, kw) =>
+      val nm = str(args.head)
+      val amp = args.lift(1).orElse(kw.get("amplitude")).map(num).getOrElse(1.0)
+      val step = args.lift(2).orElse(kw.get("step")).map(num(_).toLong)
+        .filter(_ > 0).getOrElse(60L)
+      val n = math.max((ctx.toSec - ctx.fromSec + step - 1) / step, 2L)
+      val t = lit(ctx.fromSec) + col("id") * step
+      SeriesV(ctx.spark.range(n).select(
+        lit(nm).as("name"), t.as("t"),
+        (sin(t.cast("double")) * amp).as("value")))
+    }
+    // randomWalk/randomWalkFunction (graphite-web; extension —
+    // DETERMINISTIC variant, documented divergence: graphite seeds
+    // python's global RNG, so any reproducible engine must fix the
+    // generator). uᵢ = LCG(i)/2³¹ − 0.5 with glibc's (1103515245·i +
+    // 12345) mod 2³¹; valueᵢ = Σ_{j<i} uⱼ (graphite appends BEFORE
+    // stepping, so point 0 is 0). Integer LCG and the power-of-two
+    // divide are exact in ieee-754, and both engines cumulative-sum in
+    // ascending t — bit-identical cross-engine, hence hash-oracled.
+    // The rank window is over the GENERATOR frame (viewport/step rows,
+    // the sinusoid class) — never over stored data.
+    add(Seq("randomWalk", "randomWalkFunction")) { (ctx, args, kw) =>
+      val nm = str(args.head)
+      val step = args.lift(1).orElse(kw.get("step")).map(num(_).toLong)
+        .filter(_ > 0).getOrElse(60L)
+      val n = math.max((ctx.toSec - ctx.fromSec + step - 1) / step, 2L)
+      val u = ((lit(1103515245L) * col("id") + lit(12345L)) %
+        lit(2147483648L)).cast("double") / 2147483648.0 - 0.5
+      val wSeq = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      SeriesV(ctx.spark.range(n).select(
+        lit(nm).as("name"),
+        (lit(ctx.fromSec) + col("id") * step).as("t"),
+        coalesce(sum(u).over(wSeq), lit(0.0)).as("value")))
+    }
+    // aliasQuery(series, search, replace, newName) — graphite-web
+    // 1.1.4 (extension): per input series, regex-rewrite its name into
+    // a NEW target expression, evaluate it, take the last known value
+    // of its first series (name order, latest t), and print it into
+    // newName's one %-format slot (%d truncates toward zero like
+    // python's int-format of a float; %.Nf fixed; %s prints the
+    // %.6f-trimmed form). Per-series driver loop + one small action
+    // each — catalog-bounded, exactly graphite's evaluateTarget loop
+    // (the applyByNode precedent above); raises when a query matches
+    // nothing or its last value is unknown, as graphite does.
+    add(Seq("aliasQuery")) { (ctx, args, _) =>
+      require(args.size == 4, "aliasQuery(series, search, replace, newName)")
+      val series = asSeries(ctx, args.head)
+      val search = str(args(1))
+      val replace = str(args(2)).replaceAll("""\\(\d)""", """\$$1""")
+      val newName = str(args(3))
+      def fmt(pattern: String, value: Double): String = {
+        val m = java.util.regex.Pattern.compile("%(\\.\\d+)?[dfs]")
+          .matcher(pattern)
+        require(m.find(), s"aliasQuery: newName has no %-slot: $pattern")
+        val slot = m.group()
+        val printed =
+          if (slot == "%d") value.toLong.toString
+          else if (slot == "%s")
+            String.format(java.util.Locale.ROOT, "%.6f", Double.box(value))
+              .reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+          else String.format(java.util.Locale.ROOT, slot, Double.box(value))
+        pattern.substring(0, m.start) + printed + pattern.substring(m.end)
+      }
+      val s2 = ctx.spark
+      import s2.implicits._
+      val names = series.select(col("name")).distinct()
+        .as[String].collect().sorted
+      require(names.nonEmpty, "aliasQuery: no series matched")
+      val renames = names.toSeq.map { nm =>
+        val q = nm.replaceAll(search, replace)
+        val row = evalExpr(ctx, q).filter(col("value").isNotNull)
+          .orderBy(col("name").asc, col("t").desc).limit(1)
+          .select(col("value").cast("double")).collect()
+        require(row.nonEmpty, s"aliasQuery: no data for query: $q")
+        (nm, fmt(newName, row.head.getDouble(0)))
+      }
+      val mapDf = renames.toDF("name", "__nn")
+      SeriesV(series.join(broadcast(mapDf), Seq("name"))
+        .select(col("__nn").as("name"), col("t"), col("value")))
     }
     // threshold(value[, label[, color]]) — graphite-web: a constantLine
     // the dashboard names; color is a render hint, accepted and ignored

@@ -495,6 +495,27 @@ object SeriesOps {
   def lastSeries(df: DataFrame, outName: String = "lastSeries"): DataFrame =
     combine(df, outName, max_by(v, when(v.isNotNull, col("name"))))
 
+  /** powSeries — graphite-web's per-timestamp power FOLD (extension):
+    * v₁ ^ v₂ ^ … in NAME order. pow is non-commutative, so the fold
+    * order is part of the contract: graphite folds in fetch order,
+    * and name order is this engine's deterministic spelling (the
+    * [[pairwiseSeriesLists]] convention). Any unknown member ⇒ unknown
+    * slot (graphite's in-loop None check). Named `powSeriesList` in
+    * Scala — `powSeries(df, exponent)` is the scalar `pow()` binder's
+    * operator. Like pow/exp, cross-engine float-print of x^y is exact
+    * only to the last ulp, so oracle rows pre-normalize inputs into
+    * [0, 1] where round-6 absorbs it; the spec pins exact vectors. */
+  def powSeriesList(df: DataFrame, outName: String = "powSeries"): DataFrame = {
+    val sorted = array_sort(collect_list(struct(col("name"), v.as("value"))))
+    val vals = transform(sorted, s => s.getField("value"))
+    combine(df, outName,
+      when(count(v) < count(lit(1)), lit(null))
+        .otherwise(aggregate(
+          slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+          element_at(vals, 1),
+          (acc, x) => pow(acc, x))))
+  }
+
   /** diffSeries — first (by name) minus the rest; NaN propagates through
     * Go float arithmetic (`dsl/funcs.go:614-647`, `series/seriesslice.go:281-291`) */
   def diffSeries(df: DataFrame, outName: String = "diffSeries"): DataFrame =
@@ -605,6 +626,58 @@ object SeriesOps {
           lit("*")).otherwise(p)),
       ".")
     df.groupBy(collapsed.as("name"), col("t")).agg(nodeAggOf(cf).as("value"))
+  }
+
+  /** reduceSeries(mapped, reduceFunction, reduceNode, matchers…) —
+    * graphite-web's map/reduce pair's reduce side (extension). Groups
+    * series by the name prefix `nodes[0:reduceNode]`, extracts per
+    * group the series whose node[reduceNode] equals each matcher, and
+    * applies the reduce function across the matcher slots; output name
+    * `<prefix>.reduce.<fn>` — graphite's exact `reduceSeriesName`
+    * (`functions.py reduceSeries`). mapSeries is the identity on the
+    * relational frame: graphite's list-of-lists grouping is re-derived
+    * here from the prefix, which is precisely how reduceSeries itself
+    * regroups, so the composition is semantics-preserving. One hash
+    * shuffle (groupBy prefix,t + an explicit-values pivot — no
+    * distinct-scan). Binary fns: asPercent (a/b·100), divideSeries,
+    * diffSeries (both the repo's divide/diff conventions: zero-or-
+    * unknown denominator ⇒ unknown; diff null-propagates); n-ary:
+    * sumSeries (gap-as-zero), averageSeries (known-count mean). A
+    * matcher slot with no series in a group is unknown. */
+  def reduceSeries(df: DataFrame, fn: String, reduceNode: Int,
+      matchers: Seq[String]): DataFrame = {
+    require(matchers.nonEmpty, "reduceSeries needs at least one matcher")
+    require(reduceNode >= 1, "reduceSeries: reduceNode must be >= 1")
+    val parts = split(col("name"), "\\.")
+    val nodeV = element_at(parts, reduceNode + 1)
+    val prefix = array_join(slice(parts, 1, reduceNode), ".")
+    val wide = df.filter(nodeV.isin(matchers: _*))
+      .select(concat(prefix, lit(s".reduce.$fn")).as("name"), col("t"),
+        nodeV.as("__m"), v)
+      .groupBy(col("name"), col("t"))
+      .pivot("__m", matchers)
+      .agg(first(v, ignoreNulls = false))
+    val cs = matchers.map(m => wide(s"`$m`"))
+    def binary(f: (Column, Column) => Column): Column = {
+      require(matchers.size == 2,
+        s"reduceSeries: '$fn' takes exactly 2 matchers")
+      f(cs(0), cs(1))
+    }
+    val value = fn match {
+      case "asPercent" => binary((a, b) =>
+        when(b === 0.0, lit(null)).otherwise(a / b * 100.0))
+      case "divideSeries" => binary((a, b) =>
+        when(b === 0.0, lit(null)).otherwise(a / b))
+      case "diffSeries" => binary((a, b) => a - b)
+      case "sumSeries" =>
+        cs.map(c => coalesce(c, lit(0.0))).reduce(_ + _)
+      case "averageSeries" =>
+        cs.map(c => coalesce(c, lit(0.0))).reduce(_ + _) /
+          cs.map(_.isNotNull.cast("int")).reduce(_ + _).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"reduceSeries: unsupported reduce function '$other'")
+    }
+    wide.select(col("name"), col("t"), value.as("value"))
   }
 
   /** sumSeriesWithWildcards(pos...) / averageSeriesWithWildcards —
@@ -856,6 +929,94 @@ object SeriesOps {
     keepWhere(df,
       if (xff <= 0.0) col("sfrac") > 0.0 else col("sfrac") >= xff)
 
+  /** setXFilesFactor(xff) — graphite-web 1.1 (extension): identity on
+    * the data; attaches the `__xff` channel (a per-row constant column,
+    * like the sortBy family's `__ord`) that downstream xff-honoring
+    * functions read as their default — [[removeEmptySeriesDefault]].
+    * Scope: the channel applies to this subtree; merging a tagged
+    * frame with an untagged one in a var-arg set is a schema mismatch
+    * (loud), the same contract as `__ord`. */
+  def setXFilesFactor(df: DataFrame, xff: Double): DataFrame =
+    df.withColumn("__xff", lit(xff))
+
+  /** removeEmptySeries with NO explicit bar: honors an upstream
+    * [[setXFilesFactor]] `__xff` channel when present (graphite 1.1's
+    * series.xFilesFactor default chain), else the keep-any-known-point
+    * graphite default. The channel rides the same one-pass summary
+    * aggregation; the output drops it (consumed). */
+  def removeEmptySeriesDefault(df: DataFrame): DataFrame =
+    if (!df.columns.contains("__xff")) removeEmptySeries(df, 0.0)
+    else df.groupBy(col("name")).agg(
+        (count(v).cast("double") / count(lit(1))).as("sfrac"),
+        max(col("__xff")).as("__xff"),
+        collect_list(struct(col("t"), v.as("value"))).as("__pts"))
+      .filter(when(col("__xff") <= 0.0, col("sfrac") > 0.0)
+        .otherwise(col("sfrac") >= col("__xff")))
+      .select(col("name"), explode(col("__pts")).as("__p"))
+      .select(col("name"), col("__p.t").as("t"), col("__p.value").as("value"))
+
+  /** cactiStyle(units?) — graphite-web's legend-in-the-name function
+    * (extension): every series renamed to the column-aligned
+    * `<name> Current:<last> Max:<max> Min:<min> ` layout (graphite's
+    * exact shape including the trailing space, `functions.py
+    * cactiStyle`); column widths are the set-wide maxima, computed
+    * with windows over the ONE-ROW-PER-SERIES packed frame (the
+    * [[sortSeries]] render-response bound). Numbers print as %.2f of
+    * the half-even-prerounded value (`bround` / DuckDB `round_even` —
+    * pre-rounding removes the tie cases where Java's HALF_UP %.2f and
+    * C's half-even printf would disagree); an unknown summary prints
+    * "nan" (graphite formats float('nan')). The si/binary unit SYSTEMS
+    * are not supported (loud) — `units` is the plain suffix form. */
+  def cactiStyle(df: DataFrame, units: Option[String] = None): DataFrame = {
+    val u = units.map(" " + _).getOrElse("")
+    def f(c: Column) = when(c.isNull, lit("nan"))
+      .otherwise(concat(format_string("%.2f", bround(c, 2)), lit(u)))
+    val wGlob = Window.partitionBy()
+    val p = packedSummaries(df)
+      .withColumn("__l", f(col("slast")))
+      .withColumn("__mx", f(col("smax")))
+      .withColumn("__mn", f(col("smin")))
+      .withColumn("__nw", max(length(col("name"))).over(wGlob))
+      .withColumn("__lw", max(length(col("__l"))).over(wGlob))
+      .withColumn("__xw", max(length(col("__mx"))).over(wGlob))
+      .withColumn("__mw", max(length(col("__mn"))).over(wGlob))
+      .withColumn("name", concat(
+        expr("rpad(name, __nw, ' ')"), lit(" Current:"),
+        expr("rpad(__l, __lw, ' ')"), lit(" Max:"),
+        expr("rpad(__mx, __xw, ' ')"), lit(" Min:"),
+        expr("rpad(__mn, __mw, ' ')"), lit(" ")))
+    unpack(p)
+  }
+
+  /** legendValue(valueTypes…) — graphite-web's name-suffix legend
+    * (extension): appends " (type: value)" per requested type, in
+    * argument order; types from the summary set (avg/average,
+    * total/sum, min, max, last/current). Numbers print by the same
+    * cross-engine rule as [[cactiStyle]] (%.2f of the half-even-
+    * prerounded double — graphite prints python str(); documented
+    * divergence); an unknown summary prints "None" (graphite's
+    * literal). The si/binary system args are not supported (loud). */
+  def legendValue(df: DataFrame, valueTypes: Seq[String]): DataFrame = {
+    require(valueTypes.nonEmpty, "legendValue needs a value type")
+    def f(c: Column) = when(c.isNull, lit("None"))
+      .otherwise(format_string("%.2f", bround(c, 2)))
+    val suffixes = valueTypes.map { vt =>
+      val c = vt match {
+        case "avg" | "average"  => col("savg")
+        case "total" | "sum"    => col("ssum")
+        case "min"              => col("smin")
+        case "max"              => col("smax")
+        case "last" | "current" => col("slast")
+        case other => throw new IllegalArgumentException(
+          s"legendValue: unknown value type '$other' " +
+            "(si/binary systems unsupported)")
+      }
+      concat(lit(s" ($vt: "), f(c), lit(")"))
+    }
+    unpack(packedSummaries(df)
+      .withColumn("name", concat(col("name") +: suffixes: _*)))
+  }
+
   /** averageOutsidePercentile(n) — graphite-web's band filter on the
     * per-series AVERAGES (extension): keep the series whose viewport
     * average lies OUTSIDE the [100−n, n] percentile band of all the
@@ -975,22 +1136,60 @@ object SeriesOps {
         col("__p.value").as("value"), col("__ord"))
   }
 
+  /** Summary-column key for a graphite aggregator name — shared by
+    * [[sortBy]], the generic [[highest]]/[[lowest]] pair and
+    * [[filterSeries]] (all ride the one-pass [[packedSummaries]]
+    * columns). */
+  private def summaryKey(cf: String): String = cf match {
+    case "average" | "avg"  => "savg"
+    case "max" | "maximum"  => "smax"
+    case "min" | "minimum"  => "smin"
+    case "sum" | "total"    => "ssum"
+    case "current" | "last" => "slast"
+    case "stddev"           => "sstd"
+    case "name"             => "name"
+    case other => throw new IllegalArgumentException(
+      s"unknown aggregator '$other'")
+  }
+
   /** sortBy(func, reverse) — the generic member of the family
     * (graphite-web; extension): ASCENDING by the chosen summary
     * (graphite's default), descending under `reverse`. */
-  def sortBy(df: DataFrame, cf: String, reverse: Boolean): DataFrame = {
-    val key = cf match {
-      case "average" | "avg"  => "savg"
-      case "max" | "maximum"  => "smax"
-      case "min" | "minimum"  => "smin"
-      case "sum" | "total"    => "ssum"
-      case "current" | "last" => "slast"
-      case "stddev"           => "sstd"
-      case "name"             => "name"
+  def sortBy(df: DataFrame, cf: String, reverse: Boolean): DataFrame =
+    sortSeries(df, summaryKey(cf), asc = !reverse)
+
+  /** highest(n, func) / lowest(n, func) — graphite-web 1.1's generic
+    * spelling of the highestX / lowestX family (extension): top/bottom-n
+    * series by ANY summary aggregator, over the same one-pass
+    * [[packedSummaries]] + distributed-TakeOrdered machinery as the
+    * named members. */
+  def highest(df: DataFrame, n: Int, cf: String): DataFrame =
+    keepTop(df, col(summaryKey(cf)), n, asc = false)
+  def lowest(df: DataFrame, n: Int, cf: String): DataFrame =
+    keepTop(df, col(summaryKey(cf)), n, asc = true)
+
+  /** filterSeries(func, operator, threshold) — graphite-web 1.1's
+    * generic summary filter (extension): keep series whose `func`
+    * summary satisfies `operator threshold`; the named members
+    * (averageAbove, maximumBelow, currentAbove, …) are its fixed
+    * instances, and it rides their one-pass packed machinery. A series
+    * whose summary is unknown (no known points) is dropped — SQL
+    * three-valued logic, matching graphite, where a None summary fails
+    * every comparison. */
+  def filterSeries(df: DataFrame, cf: String, operator: String,
+      x: Double): DataFrame = {
+    val m = col(summaryKey(cf))
+    val pred = operator match {
+      case "=" | "==" => m === x
+      case "!="       => m =!= x
+      case ">"        => m > x
+      case ">="       => m >= x
+      case "<"        => m < x
+      case "<="       => m <= x
       case other => throw new IllegalArgumentException(
-        s"sortBy: unknown aggregator '$other'")
+        s"filterSeries: unknown operator '$other'")
     }
-    sortSeries(df, key, asc = !reverse)
+    keepWhere(df, pred)
   }
 
   /** divideSeriesLists / diffSeriesLists / sumSeriesLists /
@@ -1012,23 +1211,6 @@ object SeriesOps {
   def pairwiseSeriesLists(a: DataFrame, b: DataFrame, op: String): DataFrame = {
     require(Set("divideSeries", "diffSeries", "sumSeries",
       "multiplySeries")(op), s"unknown pairwise op '$op'")
-    def ranked(df: DataFrame, side: String) =
-      df.select(col("name")).distinct()
-        .withColumn("__r", row_number().over(Window.orderBy(col("name"))))
-        .select(col("name").as(s"__n$side"), col("__r"))
-    val pairs = ranked(a, "a").join(ranked(b, "b"), Seq("__r"), "full_outer")
-      .select(col("__na"), col("__nb"),
-        when(col("__na").isNull || col("__nb").isNull,
-          raise_error(concat(lit(s"$op: the two series lists differ " +
-            "in length at rank "), col("__r").cast("string"))))
-          .otherwise(concat(lit(s"$op("), col("__na"), lit(","),
-            col("__nb"), lit(")"))).as("__out"))
-    val pa = a.join(pairs.select(col("__na").as("name"), col("__out")),
-        Seq("name"))
-      .select(col("__out"), col("t"), v.as("__va"))
-    val pb = b.join(pairs.select(col("__nb").as("name"), col("__out")),
-        Seq("name"))
-      .select(col("__out"), col("t"), v.as("__vb"))
     val joinType = if (op == "sumSeries") "full_outer" else "inner"
     val value = op match {
       case "divideSeries" =>
@@ -1039,8 +1221,83 @@ object SeriesOps {
         coalesce(col("__va"), lit(0.0)) + coalesce(col("__vb"), lit(0.0))
       case "multiplySeries" => col("__va") * col("__vb")
     }
-    pa.join(pb, Seq("__out", "t"), joinType)
+    pairedPoints(a, b, op, joinType)
       .select(col("__out").as("name"), col("t"), value.as("value"))
+  }
+
+  /** Name-rank pairing of two series lists: a `(__out, t, __va, __vb)`
+    * frame, one row per pair and grid slot, under output name
+    * `<label>(<a>,<b>)` — raising loudly on a length mismatch. The
+    * shared substrate of [[pairwiseSeriesLists]] and
+    * [[aggregateSeriesLists]]; the rank windows run over one-row-per-
+    * series name frames (render-response bound — the [[sortSeries]]
+    * argument). */
+  private def pairedPoints(a: DataFrame, b: DataFrame, label: String,
+      joinType: String): DataFrame = {
+    def ranked(df: DataFrame, side: String) =
+      df.select(col("name")).distinct()
+        .withColumn("__r", row_number().over(Window.orderBy(col("name"))))
+        .select(col("name").as(s"__n$side"), col("__r"))
+    val pairs = ranked(a, "a").join(ranked(b, "b"), Seq("__r"), "full_outer")
+      .select(col("__na"), col("__nb"),
+        when(col("__na").isNull || col("__nb").isNull,
+          raise_error(concat(lit(s"$label: the two series lists differ " +
+            "in length at rank "), col("__r").cast("string"))))
+          .otherwise(concat(lit(s"$label("), col("__na"), lit(","),
+            col("__nb"), lit(")"))).as("__out"))
+    val pa = a.join(pairs.select(col("__na").as("name"), col("__out")),
+        Seq("name"))
+      .select(col("__out"), col("t"), v.as("__va"))
+    val pb = b.join(pairs.select(col("__nb").as("name"), col("__out")),
+        Seq("name"))
+      .select(col("__out"), col("t"), v.as("__vb"))
+    pa.join(pb, Seq("__out", "t"), joinType)
+  }
+
+  /** aggregateSeriesLists(listA, listB, func) — graphite-web 1.1's
+    * generic pairwise-list combine (extension): series pair by
+    * name-sorted rank (the [[pairwiseSeriesLists]] convention; a
+    * length mismatch raises), and each pair combines under graphite's
+    * SAFE (None-skipping) aggregator semantics — a slot known on only
+    * one side aggregates that one known value, both-unknown ⇒ unknown
+    * (graphite's per-column `if vals:` gate). Exceptions faithful to
+    * graphite's aggregator table: `multiply` is safeMul (ANY unknown ⇒
+    * unknown) and `diff` is safeDiff (the first KNOWN value minus the
+    * remaining knowns — so an unknown minuend yields the subtrahend,
+    * positive). Output name `<func>Series(<a>,<b>)` (graphite embeds
+    * its fetch-order name list; documented divergence, same as the
+    * fixed quartet). The fixed quartet keeps the reference-derived
+    * semantics (gap-as-zero sum, null-propagating diff/multiply,
+    * inner-grid join) — this generic form is the graphite-faithful
+    * safe family over the full-outer grid, kept separate deliberately. */
+  def aggregateSeriesLists(a: DataFrame, b: DataFrame, func: String): DataFrame = {
+    val va = col("__va"); val vb = col("__vb")
+    val bothNull = va.isNull && vb.isNull
+    val known2 = va.isNotNull && vb.isNotNull
+    val knownCount =
+      (va.isNotNull.cast("int") + vb.isNotNull.cast("int")).cast("double")
+    val safeMean = (coalesce(va, lit(0.0)) + coalesce(vb, lit(0.0))) / knownCount
+    val value = func match {
+      case "sum" | "total" =>
+        coalesce(va, lit(0.0)) + coalesce(vb, lit(0.0))
+      case "avg" | "average"   => safeMean
+      // median of ≤ 2 known values IS their mean
+      case "median"            => safeMean
+      case "max"               => greatest(va, vb) // greatest/least skip NULLs
+      case "min"               => least(va, vb)
+      case "range" | "rangeOf" => greatest(va, vb) - least(va, vb)
+      case "diff"              => when(known2, va - vb).otherwise(coalesce(va, vb))
+      case "multiply"          => va * vb
+      case "count"             => knownCount
+      case "last" | "current"  => coalesce(vb, va)
+      // population stddev of the knowns: one known value → 0
+      case "stddev" => when(known2, abs(va - vb) / 2.0).otherwise(lit(0.0))
+      case other => throw new IllegalArgumentException(
+        s"aggregateSeriesLists: unknown function '$other'")
+    }
+    pairedPoints(a, b, s"${func}Series", "full_outer")
+      .select(col("__out").as("name"), col("t"),
+        when(bothNull, lit(null)).otherwise(value).as("value"))
   }
 
   /** sortByMaxima — highest series max first. */

@@ -924,6 +924,174 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("p.s1", "p.s3", "p.s5"))
   }
 
+  test("extension: generic top-n / filterSeries / powSeries / " +
+      "aggregateSeriesLists — the closing graphite-web wave") {
+    val s = spark; import s.implicits._
+    def names(expr: String): Set[String] =
+      Eval.evalExpr(ctx, expr)
+        .as[(String, Long, Option[Double])].collect().map(_._1).toSet
+
+    // highest/lowest: the generic spellings; default n=1 func=average
+    assert(names("highest('foo.*.baz', 1, 'max')") === Set("foo.bar2.baz"))
+    assert(names("lowest('foo.*.baz', 1, 'total')") === Set("foo.bar1.baz"))
+    assert(names("highest('foo.*.baz')") === Set("foo.bar2.baz"))
+
+    // filterSeries: every operator
+    assert(names("filterSeries('foo.*.baz', 'average', '>', 15)") ===
+      Set("foo.bar2.baz"))
+    assert(names("filterSeries('foo.*.baz', 'max', '<=', 10)") ===
+      Set("foo.bar1.baz"))
+    assert(names("filterSeries('foo.*.baz', 'last', '=', 20)") ===
+      Set("foo.bar2.baz"))
+    assert(names("filterSeries('foo.*.baz', 'sum', '!=', 100)") ===
+      Set("foo.bar2.baz"))
+    intercept[IllegalArgumentException] {
+      Eval.evalExpr(ctx, "filterSeries('foo.*.baz', 'avg', '~', 1)")
+    }
+
+    // powSeries: name-order fold; a missing member shortens the fold,
+    // an UNKNOWN member poisons the slot
+    val pf = Seq(
+      ("p.a", 0L, Some(2.0)), ("p.b", 0L, Some(3.0)), ("p.c", 0L, Some(2.0)),
+      ("p.a", 10L, Some(4.0)), ("p.b", 10L, Some(0.5)),
+      ("p.a", 20L, None), ("p.b", 20L, Some(3.0)))
+    val cp = Eval.Ctx(s, pf.toDF("name", "t", "value"), 10, 0, 20)
+    val pv = Eval.evalExpr(cp, "powSeries(p.*)")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(pv.map(_._1).forall(_ == "powSeries"))
+    assert(pv.map(_._3).toSeq === Seq(Some(64.0), Some(2.0), None))
+
+    // aggregateSeriesLists: name-rank pairing + graphite's SAFE
+    // aggregators — a one-sided 'diff' yields the known side POSITIVE
+    // (safeDiff's first-known rule), 'sum' of one known is that value
+    val lf = Seq(
+      ("a.x", 0L, Some(10.0)), ("b.x", 0L, Some(4.0)),
+      ("a.x", 10L, None), ("b.x", 10L, Some(4.0)),
+      ("a.y", 0L, Some(7.0)), ("b.y", 0L, None),
+      ("a.y", 10L, None), ("b.y", 10L, None))
+    val cl = Eval.Ctx(s, lf.toDF("name", "t", "value"), 10, 0, 10)
+    def agg(fn: String): Map[(String, Long), Option[Double]] =
+      Eval.evalExpr(cl, s"aggregateSeriesLists(a.*, b.*, '$fn')")
+        .as[(String, Long, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val d = agg("diff")
+    assert(d(("diffSeries(a.x,b.x)", 0L)) === Some(6.0))
+    assert(d(("diffSeries(a.x,b.x)", 10L)) === Some(4.0)) // subtrahend, positive
+    assert(d(("diffSeries(a.y,b.y)", 0L)) === Some(7.0))
+    assert(d(("diffSeries(a.y,b.y)", 10L)) === None)
+    val sm = agg("sum")
+    assert(sm(("sumSeries(a.x,b.x)", 0L)) === Some(14.0))
+    assert(sm(("sumSeries(a.x,b.x)", 10L)) === Some(4.0))
+    val mx = agg("max")
+    assert(mx(("maxSeries(a.x,b.x)", 0L)) === Some(10.0))
+    assert(mx(("maxSeries(a.y,b.y)", 0L)) === Some(7.0))
+    val ml = agg("multiply") // safeMul: ANY unknown ⇒ unknown
+    assert(ml(("multiplySeries(a.y,b.y)", 0L)) === None)
+    val st = agg("stddev") // pop stddev of the knowns; one known → 0
+    assert(st(("stddevSeries(a.x,b.x)", 0L)) === Some(3.0))
+    assert(st(("stddevSeries(a.y,b.y)", 0L)) === Some(0.0))
+    // length mismatch raises at execution (raise_error in the name)
+    val lf2 = Seq(("a.x", 0L, 1.0), ("a.y", 0L, 2.0), ("b.x", 0L, 3.0))
+    val cl2 = Eval.Ctx(s, lf2.toDF("name", "t", "value"), 10, 0, 0)
+    intercept[Exception] {
+      Eval.evalExpr(cl2, "aggregateSeriesLists(a.*, b.*, 'sum')").collect()
+    }
+  }
+
+  test("extension: mapSeries/reduceSeries, cactiStyle/legendValue, " +
+      "aliasQuery, xff channel, render no-ops") {
+    val s = spark; import s.implicits._
+    // reduceSeries: graphite's canonical servers.*.disk.* example
+    val disk = Seq(
+      ("sv.s1.disk.used", 0L, 25.0), ("sv.s1.disk.total", 0L, 100.0),
+      ("sv.s2.disk.used", 0L, 30.0), ("sv.s2.disk.total", 0L, 60.0))
+    val cd = Eval.Ctx(s, disk.toDF("name", "t", "value"), 10, 0, 0)
+    val red = Eval.evalExpr(cd,
+      "reduceSeries(mapSeries(sv.*.disk.*, 1), 'asPercent', 3, 'used', 'total')")
+      .as[(String, Long, Option[Double])].collect()
+    assert(red.map(r => r._1 -> r._3).toMap === Map(
+      "sv.s1.disk.reduce.asPercent" -> Some(25.0),
+      "sv.s2.disk.reduce.asPercent" -> Some(50.0)))
+    // mapSeries standalone renders flattened (identity)
+    assert(Eval.evalExpr(cd, "mapSeries(sv.*.disk.*, 1)").count() === 4)
+
+    // cactiStyle: exact layout, set-wide column alignment (both names
+    // are 12 chars; all numbers 5 chars — no padding visible here)
+    def nameSet(c: Eval.Ctx, e: String): Set[String] =
+      Eval.evalExpr(c, e)
+        .as[(String, Long, Option[Double])].collect().map(_._1).toSet
+    assert(nameSet(ctx, "cactiStyle('foo.*.baz')") === Set(
+      "foo.bar1.baz Current:10.00 Max:10.00 Min:10.00 ",
+      "foo.bar2.baz Current:20.00 Max:20.00 Min:20.00 "))
+    // width alignment: a shorter name/number pads to the set max
+    val pad = Seq(("n.a", 0L, 5.0), ("n.longer", 0L, 123.456))
+    val cpad = Eval.Ctx(s, pad.toDF("name", "t", "value"), 10, 0, 0)
+    assert(nameSet(cpad, "cactiStyle('n.*')") === Set(
+      "n.a      Current:5.00   Max:5.00   Min:5.00   ",
+      "n.longer Current:123.46 Max:123.46 Min:123.46 "))
+    // units suffix; positional system arg is loud
+    assert(nameSet(cpad, "cactiStyle('n.a', units='b')") === Set(
+      "n.a Current:5.00 b Max:5.00 b Min:5.00 b "))
+    intercept[IllegalArgumentException] {
+      Eval.evalExpr(cpad, "cactiStyle('n.*', 'si')")
+    }
+
+    // legendValue: suffixes in argument order
+    assert(nameSet(ctx, "legendValue('foo.bar1.baz', 'avg', 'max')") ===
+      Set("foo.bar1.baz (avg: 10.00) (max: 10.00)"))
+
+    // aliasQuery: rewrite foo.bar1.baz → foo.bar2.baz, print its last
+    // value through the %d slot (truncation toward zero)
+    assert(nameSet(ctx,
+      "aliasQuery('foo.bar1.baz', 'bar1', 'bar2', 'peer last %d')") ===
+      Set("peer last 20"))
+    intercept[IllegalArgumentException] {
+      Eval.evalExpr(ctx,
+        "aliasQuery('foo.bar1.baz', 'bar1', 'nosuch', 'x %d')")
+    }
+
+    // setXFilesFactor channel: a bare removeEmptySeries honors it
+    val gap = (0 until 10).flatMap(i => Seq(
+      ("xf.full", i * 10L, Some(1.0)),
+      ("xf.half", i * 10L, if (i < 5) Some(2.0) else None)))
+    val cg = Eval.Ctx(s, gap.toDF("name", "t", "value"), 10, 0, 90)
+    assert(nameSet(cg, "removeEmptySeries(xf.*)") ===
+      Set("xf.full", "xf.half"))
+    assert(nameSet(cg, "removeEmptySeries(setXFilesFactor(xf.*, 0.6))") ===
+      Set("xf.full"))
+    assert(nameSet(cg, "removeEmptySeries(xFilesFactor(xf.*, 0.4))") ===
+      Set("xf.full", "xf.half"))
+
+    // render no-ops pass data through
+    for (e <- Seq("alpha('foo.bar1.baz', 0.5)", "lineWidth('foo.bar1.baz', 2)",
+        "areaBetween('foo.*.baz')"))
+      assert(Eval.evalExpr(ctx, e).count() > 0, e)
+  }
+
+  test("extension: sinFunction and the deterministic randomWalk") {
+    val s = spark; import s.implicits._
+    val c = Eval.Ctx(s, Seq(("x.y", 0L, 1.0)).toDF("name", "t", "value"),
+      10, fromSec = 100, toSec = 150)
+    // sinFunction: amplitude·sin(t epoch) on an end-EXCLUSIVE grid
+    val sv = Eval.evalExpr(c, "sinFunction('sine', 2, 10)")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(sv.map(_._2).toSeq === Seq(100L, 110L, 120L, 130L, 140L))
+    assert(sv.map(_._3.get).toSeq ===
+      Seq(100L, 110L, 120L, 130L, 140L).map(t => math.sin(t.toDouble) * 2))
+    // randomWalk: point 0 is 0; point i is the LCG partial sum
+    val rv = Eval.evalExpr(c, "randomWalk('rw', 10)")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    def u(i: Long): Double =
+      ((1103515245L * i + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+    val expect = Seq.iterate((0L, 0.0), 5) { case (i, acc) =>
+      (i + 1, acc + u(i)) }.map(_._2)
+    assert(rv.map(_._3.get).toSeq === expect)
+    // and it is reproducible run-to-run
+    val rv2 = Eval.evalExpr(c, "randomWalkFunction('rw', 10)")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._2)
+    assert(rv2.map(_._3).toSeq === rv.map(_._3).toSeq)
+  }
+
   test("extension: smartSummarize — buckets anchor at the query from") {
     val s = spark; import s.implicits._
     // ramp v=k at t=10k; from=5 → t=0 is outside the window, buckets
