@@ -81,6 +81,45 @@ object Render {
       renderRows(rows.map(r => ((r.getInt(3), r.getString(0)), r)))
     }
 
+  /** Pie-mode `/render` (graphite-web's `graphType=pie`; extension —
+    * the reference renders lines only): each series reduces to ONE
+    * number by `pieMode` — graphite's PieFunctions table: average
+    * (None-skipping mean), maximum, minimum — and the response is
+    * `[{"target": <name>, "value": <v>}, ...]`, graphite's json pie
+    * shape (render/views.py). An all-unknown series emits null.
+    * Order: (target ordinal, name), like the line form; the per-series
+    * reduction is ONE map-side-combinable aggregate over the already
+    * viewport-bounded plan — nothing new collects beyond the
+    * one-row-per-series response. */
+  def renderPieTargets(ctx: graft.dsl.Eval.Ctx, targets: Seq[String],
+      pieMode: String): String = {
+    import org.apache.spark.sql.functions._
+    val agg = pieMode match {
+      case "average" | "avg" => avg(col("value"))
+      case "maximum" | "max" => max(col("value"))
+      case "minimum" | "min" => min(col("value"))
+      case other => throw new IllegalArgumentException(
+        s"unknown pieMode '$other'")
+    }
+    if (targets.isEmpty) "[]"
+    else {
+      val tagged = targets.zipWithIndex.map { case (t, i) =>
+        graft.dsl.Eval.render(ctx, t)
+          .select(col("name"), col("t"), col("value"))
+          .withColumn("__tgt", lit(i))
+      }.reduce(_.unionByName(_))
+      val rows = tagged.groupBy(col("__tgt"), col("name")).agg(agg.as("v"))
+        .orderBy("__tgt", "name").select("name", "v").collect()
+      rows.map { r =>
+        val v = if (r.isNullAt(1)) "null" else {
+          val d = r.getDouble(1)
+          if (d.isNaN || d.isInfinite) "null" else formatNum(d)
+        }
+        s"""{"target":"${escape(r.getString(0))}","value":$v}"""
+      }.mkString("[", ",", "]")
+    }
+  }
+
   /** `/metrics/find` JSON (`http/graphite.go:39-75`): one node object
     * per row of a [[graft.streaming.Find.findNodes]] frame, with the
     * last name segment as `text`. */

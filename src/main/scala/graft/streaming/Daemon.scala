@@ -874,6 +874,13 @@ object Daemon {
       val until = p.get("until").flatMap(_.headOption).getOrElse("")
       val maxDp = p.get("maxDataPoints").flatMap(_.headOption)
         .map(_.toInt).getOrElse(maxPointsDefault)
+      // graphite-web's pie mode (extension; the reference renders
+      // lines only): graphType=pie reduces each series to one number
+      // by pieMode (average default) — see Render.renderPieTargets
+      val graphType = p.get("graphType").flatMap(_.headOption)
+        .getOrElse("line")
+      val pieMode = p.get("pieMode").flatMap(_.headOption)
+        .getOrElse("average")
       // cache key on the RESOLVED viewport — resolved cheaply here so
       // a hit skips even the archive listing/schema read. The
       // resolution clock is QUANTIZED to the archive's finest step:
@@ -893,8 +900,8 @@ object Daemon {
       // legal inside a target expression, so a '|'-joined suffix could
       // alias a different (targets, from, until, maxDp) tuple and
       // serve the wrong cached payload.
-      val key = (targets :+ f.toString :+ u.toString :+ maxDp.toString)
-        .mkString("\u0000")
+      val key = (targets :+ f.toString :+ u.toString :+ maxDp.toString :+
+        graphType :+ pieMode).mkString("\u0000")
       // pin the stores' snapshot states ONCE: the cache-key generation
       // vector and the compute below read the same committed versions
       val states = archiveDirs.map(ArchiveStore.state(spark, _))
@@ -916,7 +923,8 @@ object Daemon {
           val ctx = Viewport.ctx(spark,
             Ingest.readArchives(spark, archiveDirs, pinned = Some(states)),
             stepSec, from, until, nowS, maxDp)
-          Render.renderTargets(ctx, targets)
+          if (graphType == "pie") Render.renderPieTargets(ctx, targets, pieMode)
+          else Render.renderTargets(ctx, targets)
         } finally { renderInFlight.decrementAndGet(); renderPermits.release() }
       }
     })

@@ -152,6 +152,37 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally http.stop(0)
   }
 
+  test("render: graphType=pie reduces each series to one value") {
+    // graphite-web's pie mode (extension): per-series safe summary by
+    // pieMode; json body is [{"target": name, "value": v}, ...] in
+    // name order. Two series: a ramp (avg ≠ max ≠ min distinguishes
+    // the modes) and a flat line; cache keys must not alias the line
+    // form (the same target renders BOTH shapes in one test).
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("rpie").toString + "/slots"
+    val pieces =
+      (0 until 4).map(i =>
+        Ingest.Piece("web.a", 1000000L + i * 10, 1000010L + i * 10,
+          (i + 1) * 2.0)) :+ // 2,4,6,8 → avg 5, max 8, min 2
+        Ingest.Piece("web.b", 1000000L, 1000010L, 7.0)
+    Ingest.mergePiecesIntoArchive(s, pieces.toDF(), dir, stepSec = 10)
+    val http = Daemon.startHttp(s, 0, Seq(dir), stepSec = 10,
+      now = () => 1000100L)
+    try {
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      val q = "/render?target=web.*&from=999990&until=now"
+      assert(httpGet(s"$base$q&graphType=pie")._2 ===
+        """[{"target":"web.a","value":5},{"target":"web.b","value":7}]""")
+      assert(httpGet(s"$base$q&graphType=pie&pieMode=maximum")._2 ===
+        """[{"target":"web.a","value":8},{"target":"web.b","value":7}]""")
+      assert(httpGet(s"$base$q&graphType=pie&pieMode=minimum")._2 ===
+        """[{"target":"web.a","value":2},{"target":"web.b","value":7}]""")
+      // the line form still renders datapoints under the same target
+      // (distinct cache key despite identical target/viewport)
+      assert(httpGet(s"$base$q")._2.contains("datapoints"))
+    } finally http.stop(0)
+  }
+
   test("render cache: identical render hits, archive mutation invalidates") {
     // the reference's query LRU (dsl/ds_lru.go, query-cache-size):
     // a dashboard re-requesting the same target must not re-scan the
