@@ -1054,6 +1054,24 @@ object DslQueries {
           |         (SELECT min(t) FROM series),
           |         (SELECT max(t) FROM series) - 1, 7200)) AS t)""".stripMargin))),
 
+    // events(*tags): annotations-as-a-series — per-step event counts;
+    // the ctx events frame here derives from the events TABLE (one
+    // tag per row = its type) so the whole function has a real oracle
+    ("dsl_events",
+      ((s, d) => {
+        val ev = Tables.events(s, d).select(
+          unix_timestamp(col("ts")).as("when"),
+          array(col("event_type")).as("tags"))
+        val ctx = Eval.Ctx(s, M.multi(s, d), M.StepSeconds, 0L, 0L,
+          events = Some(ev))
+        fin(Eval.evalExpr(ctx, "events(click)"))
+      }): Q,
+      Some(multiQ(
+        """SELECT 'events(click)' AS name,
+          |   CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS t,
+          |   CAST(count(*) AS DOUBLE) AS value
+          | FROM events WHERE event_type = 'click' GROUP BY 2""".stripMargin))),
+
     // randomWalk: the deterministic-LCG variant — exact integer PRN,
     // power-of-two divide, sequential cumulative sum (bit-identical
     // cross-engine; see the Eval binder's contract)

@@ -37,7 +37,13 @@ object Eval {
     * frame; from/to bound generator functions (`constantLine`,
     * `sinusoid`, `timeStack` re-fetches). */
   final case class Ctx(spark: SparkSession, store: DataFrame,
-      stepSec: Long, fromSec: Long, toSec: Long, maxPoints: Int = 512) {
+      stepSec: Long, fromSec: Long, toSec: Long, maxPoints: Int = 512,
+      /** Optional events frame `(when: Long, tags: Array[String])` for
+        * the `events()` function (graphite-web's annotations query;
+        * extension) — the daemon builds it from its [[graft.streaming
+        * .EventStore]], specs hand a small frame. None = no events
+        * subsystem: `events()` then yields an empty series. */
+      events: Option[DataFrame] = None) {
     /** Pattern → series: glob over the name catalog
       * (`dsl/named_ds.go:91-96`) plus the viewport time-range predicate
       * (`http/graphite.go:197-221` from/until → `serde/dbseries.go`
@@ -699,6 +705,37 @@ object Eval {
         lit("sinusoid").as("name"),
         (lit(ctx.fromSec) + col("id") * step).as("t"),
         sin(col("id").cast("double") * (2.0 * math.Pi / 10.0)).as("value")))
+    }
+    // events(*tags) — graphite-web's annotations-as-a-series function
+    // (extension; the reference's events surface is a permanent []):
+    // count of stored events per step slot within the viewport, tag
+    // args as a subset match (every requested tag present — the
+    // find_events rule). Graphite emits 1-valued points on a 1-second
+    // grid; this engine consolidates to its step grid (documented —
+    // the same slot convention as every stored series), with absent
+    // slots simply absent (the sparse-store convention). The events
+    // frame is daemon-provided annotation data (human-scale), so the
+    // aggregate is trivially bounded.
+    add(Seq("events")) { (ctx, args, _) =>
+      val tags = args.map(str)
+      val name = "events(" + tags.mkString(", ") + ")"
+      val base = ctx.events.getOrElse {
+        val s2 = ctx.spark
+        import s2.implicits._
+        Seq.empty[(Long, Seq[String])].toDF("when", "tags")
+      }
+      val tagged = tags.foldLeft(base)((df, t) =>
+        df.filter(array_contains(col("tags"), t)))
+      val windowed =
+        if (ctx.fromSec < ctx.toSec)
+          tagged.filter(col("when") >= ctx.fromSec &&
+            col("when") <= ctx.toSec)
+        else tagged
+      SeriesV(windowed
+        .groupBy((floor(col("when").cast("double") / ctx.stepSec)
+          .cast("long") * ctx.stepSec).as("t"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit(name).as("name"), col("t"), col("value")))
     }
     // sinFunction/sin (graphite-web; extension): amplitude · sin(t
     // epoch-seconds) on a `step` grid from the viewport start,

@@ -176,9 +176,23 @@ object Snapshot {
     // standard pointer swing (FileContext's rename-OVERWRITE where
     // available). A crash between the two leaves no pointer — readers
     // fall back to "no snapshot" rather than a torn one, and the next
-    // publish restores it.
-    f.delete(new Path(dir, Pointer), false)
-    require(f.rename(tmp, new Path(dir, Pointer)), s"pointer swing failed: $dir")
+    // publish restores it. Under CONCURRENT publishers the window
+    // between a peer's delete and its rename makes THIS rename land on
+    // an existing destination and fail — so the swing RETRIES: every
+    // failed round means a peer completed a swing (lock-free
+    // progress), and any pointer a racer lands names a fully committed
+    // version (slot renames happen before any swing), so last-writer-
+    // wins is the documented contract (SnapshotSpec's race case). The
+    // attempt bound only guards a filesystem that refuses renames
+    // outright.
+    var attempts = 0
+    var done = false
+    while (!done) {
+      f.delete(new Path(dir, Pointer), false)
+      done = f.rename(tmp, new Path(dir, Pointer))
+      attempts += 1
+      require(done || attempts < 64, s"pointer swing failed: $dir")
+    }
   }
 
   /** Read the latest committed snapshot (or a pinned `version`). */

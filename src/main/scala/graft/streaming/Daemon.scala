@@ -734,7 +734,8 @@ object Daemon {
       allowOrigin: Option[String] = None,
       queryCacheSize: Int = 512,
       renderConcurrency: Int = 64,
-      extraStats: () => String = () => ""): HttpServer = {
+      extraStats: () => String = () => "",
+      events: Option[EventStore] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // Concurrent request dispatch — the reference's Go HTTP server runs
     // one goroutine per request and bounds only the render fan-out
@@ -830,18 +831,57 @@ object Daemon {
       ex.close()
     }
 
-    // health + annotations, byte-for-byte the reference's replies:
-    // /ping answers "OK\n" (`daemon/http.go:45`); /events/get_data is
-    // Grafana's annotations endpoint, which the reference serves as a
-    // permanent empty list ("Annotations not implemented",
-    // `http/graphite.go:188-195`)
+    // health + annotations: /ping answers "OK\n" byte-for-byte
+    // (`daemon/http.go:45`). /events/get_data is Grafana's annotations
+    // endpoint, which the reference serves as a permanent empty list
+    // ("Annotations not implemented", `http/graphite.go:188-195`) —
+    // HONORED when no event store is wired (and an EMPTY store answers
+    // the same bytes); with a store (graphite-web's events API;
+    // extension) it serves the window + subset-tag query, and POST
+    // /events stores a graphite-shaped JSON event body.
     server.createContext("/ping",
       (ex: HttpExchange) => respondText(ex, 200, "OK\n"))
     server.createContext("/events/get_data", (ex: HttpExchange) => {
       allowOrigin.foreach(o =>
         ex.getResponseHeaders.set("Access-Control-Allow-Origin", o))
-      respondText(ex, 200, "[]\n")
+      events match {
+        case None => respondText(ex, 200, "[]\n")
+        case Some(store) =>
+          val p = params(ex)
+          val nowS = now()
+          def bound(k: String, dflt: Long): Long =
+            p.get(k).flatMap(_.headOption)
+              .flatMap(graft.dsl.Viewport.parseTimeSec(_, nowS))
+              .getOrElse(dflt)
+          val tags = p.get("tags").flatMap(_.headOption)
+            .map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)
+          val evs = store.query(bound("from", 0L),
+            bound("until", nowS), tags)
+          respondText(ex, 200,
+            evs.map(_.toJson).mkString("[", ",", "]") + "\n")
+      }
     })
+    // POST /events — graphite-web's event-submission API (extension):
+    // {"what": required, "tags": list|"a b", "when": epoch (default
+    // now), "data": string}. NOTE: the JDK server matches contexts by
+    // longest prefix, so /events/get_data above keeps its own handler.
+    events.foreach { store =>
+      server.createContext("/events", (ex: HttpExchange) => {
+        if (ex.getRequestMethod != "POST") respondText(ex, 405, "Error\n")
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          EventStore.parseEventBody(body) match {
+            case Some((when, what, tags, data)) =>
+              val ev = store.add(when.getOrElse(now()), what, tags, data)
+              respondText(ex, 200, ev.toJson + "\n")
+            case None => respondText(ex, 400, "Error\n")
+          }
+        }
+      })
+      ()
+    }
 
     // /blaster/set?rate=N&n=M — runtime control of the in-daemon load
     // generator (`http/blaster.go:26-67`): each recognized form value
@@ -903,9 +943,12 @@ object Daemon {
       val key = (targets :+ f.toString :+ u.toString :+ maxDp.toString :+
         graphType :+ pieMode).mkString("\u0000")
       // pin the stores' snapshot states ONCE: the cache-key generation
-      // vector and the compute below read the same committed versions
+      // vector and the compute below read the same committed versions.
+      // The event store's change counter rides the same vector so an
+      // events() render never serves stale after a new event lands.
       val states = archiveDirs.map(ArchiveStore.state(spark, _))
-      val gens = states.map(_.map(_.version).getOrElse(0L))
+      val gens = states.map(_.map(_.version).getOrElse(0L)) ++
+        events.map(_.version)
       renderCache.getOrCompute(key, gens) {
         // Cold render only: bounded at `renderConcurrency` concurrent
         // Spark jobs (BATCH_LIMIT parity). Cache hits and single-flight
@@ -920,9 +963,16 @@ object Daemon {
         // entry with a pre-commit vector no future request can observe
         // (versions are monotone): dead weight, never a stale serve.
         try {
+          // events frame: a driver-local annotations table (bounded,
+          // human-scale) — built per cold render, cached like any body
+          val evFrame = events.map { store =>
+            val s2 = spark
+            import s2.implicits._
+            store.all().map(e => (e.when, e.tags)).toDF("when", "tags")
+          }
           val ctx = Viewport.ctx(spark,
             Ingest.readArchives(spark, archiveDirs, pinned = Some(states)),
-            stepSec, from, until, nowS, maxDp)
+            stepSec, from, until, nowS, maxDp).copy(events = evFrame)
           if (graphType == "pie") Render.renderPieTargets(ctx, targets, pieMode)
           else Render.renderTargets(ctx, targets)
         } finally { renderInFlight.decrementAndGet(); renderPermits.release() }
@@ -1365,11 +1415,16 @@ object Daemon {
     val extraStores = sys.env.get("GRAFT_EXTRA_STORES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // graphite-web events API (extension): annotations journal under
+    // the data dir — survives restarts like the archive stores
+    val eventStore = new EventStore(
+      Some(java.nio.file.Paths.get(s"$dataDir/events.jsonl")))
     val http = startHttp(spark,
       portOf("GRAFT_HTTP_PORT", conf.flatMap(_.httpPort), 8080),
       Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel") ++
         extraStores,
       boot.stepSec, pixelOffer = Some(pixelRoute(pxDpGw.offer, pxGw.offer)),
+      events = Some(eventStore),
       blaster = Some(blaster),
       allowOrigin = conf.flatMap(_.httpAllowOrigin),
       // reference default: cache disabled unless configured

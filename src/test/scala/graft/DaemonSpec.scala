@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.streaming.{Daemon, Find, Ingest, Pickle}
+import graft.streaming.{Daemon, EventStore, Find, Ingest, Pickle}
 import graft.dsl.Viewport
 
 /** End-to-end process-frontend test: real TCP sockets in, real HTTP
@@ -46,6 +46,76 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     val body = new String(is.readAllBytes(), StandardCharsets.UTF_8)
     conn.disconnect()
     (code, body)
+  }
+
+  private def httpPost(url: String, body: String): (Int, String) = {
+    val conn = new URI(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000); conn.setReadTimeout(30000)
+    conn.setRequestMethod("POST"); conn.setDoOutput(true)
+    conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val out = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, out)
+  }
+
+  test("events: POST stores, get_data queries, events() renders, " +
+      "journal survives restart") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("revents")
+    val slots = dir.toString + "/slots"
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("web.req", 1000000L, 1000010L, 2.0)).toDF(),
+      slots, stepSec = 10)
+    val store = new EventStore(Some(dir.resolve("events.jsonl")))
+    val http = Daemon.startHttp(s, 0, Seq(slots), stepSec = 10,
+      now = () => 1000100L, events = Some(store))
+    try {
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      // an EMPTY store answers the reference's exact bytes
+      assert(httpGet(s"$base/events/get_data")._2 === "[]\n")
+      // POST both graphite body shapes: list tags and the pre-1.1
+      // space-separated string
+      assert(httpPost(s"$base/events",
+        """{"what": "deploy", "tags": ["prod", "api"],""" +
+          """ "when": 1000010, "data": "v2"}""")._1 === 200)
+      assert(httpPost(s"$base/events",
+        """{"what": "incident", "tags": "prod db", "when": 1000035}""")
+        ._1 === 200)
+      // window + subset-tag query
+      val all = httpGet(s"$base/events/get_data?from=1000000&until=now")._2
+      assert(all.contains("\"what\":\"deploy\"") &&
+        all.contains("\"what\":\"incident\""), all)
+      val api = httpGet(
+        s"$base/events/get_data?from=1000000&until=now&tags=api")._2
+      assert(api.contains("deploy") && !api.contains("incident"), api)
+      // events() through the real render chain: per-slot counts on
+      // the step grid (10 s slots here)
+      val body = httpGet(s"$base/render?target=events(prod)" +
+        "&from=1000000&until=now")._2
+      assert(body.contains("events(prod)"), body)
+      assert(body.contains("[1,1000010]") && body.contains("[1,1000030]"),
+        body)
+      // a NEW event invalidates the cached render (version vector)
+      assert(httpPost(s"$base/events",
+        """{"what": "deploy2", "tags": ["prod"], "when": 1000012}""")
+        ._1 === 200)
+      val body2 = httpGet(s"$base/render?target=events(prod)" +
+        "&from=1000000&until=now")._2
+      assert(body2.contains("[2,1000010]"), body2)
+      // malformed JSON and a missing `what` both answer 400
+      assert(httpPost(s"$base/events", "{nope")._1 === 400)
+      assert(httpPost(s"$base/events", """{"tags":["x"]}""")._1 === 400)
+      // GET on the submission route is a 405
+      assert(httpGet(s"$base/events")._1 === 405)
+    } finally http.stop(0)
+    // restart: the journal replays into a fresh store
+    val store2 = new EventStore(Some(dir.resolve("events.jsonl")))
+    assert(store2.all().map(e => (e.when, e.what)).toSet ===
+      Set((1000010L, "deploy"), (1000035L, "incident"),
+        (1000012L, "deploy2")))
   }
 
   test("gateway sheds the OLDEST lines past capacity, newest survive") {
