@@ -103,8 +103,14 @@ object Render {
     }
     if (targets.isEmpty) "[]"
     else {
+      // evalExpr, NOT Eval.render: the pie reduction must see the
+      // FETCHED series values (graphite's PieFunctions reduce the raw
+      // fetched list) — rendering first would re-bucket to maxPoints
+      // by average, making pieMode=maximum/minimum (and gap-skipping
+      // averages) wrong and resolution-dependent, even though a pie
+      // response has no datapoint resolution at all.
       val tagged = targets.zipWithIndex.map { case (t, i) =>
-        graft.dsl.Eval.render(ctx, t)
+        graft.dsl.Eval.evalExpr(ctx, t)
           .select(col("name"), col("t"), col("value"))
           .withColumn("__tgt", lit(i))
       }.reduce(_.unionByName(_))

@@ -747,7 +747,11 @@ object Eval {
       val amp = args.lift(1).orElse(kw.get("amplitude")).map(num).getOrElse(1.0)
       val step = args.lift(2).orElse(kw.get("step")).map(num(_).toLong)
         .filter(_ > 0).getOrElse(60L)
-      val n = math.max((ctx.toSec - ctx.fromSec + step - 1) / step, 2L)
+      // end-exclusive ceil like graphite's while-loop — a viewport
+      // shorter than one step emits exactly one point, never a point
+      // past `until`; the floor of 1 covers only the from == to
+      // unbounded-sentinel test contexts
+      val n = math.max((ctx.toSec - ctx.fromSec + step - 1) / step, 1L)
       val t = lit(ctx.fromSec) + col("id") * step
       SeriesV(ctx.spark.range(n).select(
         lit(nm).as("name"), t.as("t"),
@@ -767,7 +771,8 @@ object Eval {
       val nm = str(args.head)
       val step = args.lift(1).orElse(kw.get("step")).map(num(_).toLong)
         .filter(_ > 0).getOrElse(60L)
-      val n = math.max((ctx.toSec - ctx.fromSec + step - 1) / step, 2L)
+      // end-exclusive ceil, floor 1 — the sinFunction contract above
+      val n = math.max((ctx.toSec - ctx.fromSec + step - 1) / step, 1L)
       val u = ((lit(1103515245L) * col("id") + lit(12345L)) %
         lit(2147483648L)).cast("double") / 2147483648.0 - 0.5
       val wSeq = org.apache.spark.sql.expressions.Window.orderBy(col("id"))

@@ -868,7 +868,17 @@ object Daemon {
     // longest prefix, so /events/get_data above keeps its own handler.
     events.foreach { store =>
       server.createContext("/events", (ex: HttpExchange) => {
-        if (ex.getRequestMethod != "POST") respondText(ex, 405, "Error\n")
+        allowOrigin.foreach(o =>
+          ex.getResponseHeaders.set("Access-Control-Allow-Origin", o))
+        // the JDK server matches contexts by PREFIX, so confine the
+        // submission route to the exact path — /events/anything must
+        // 404, not journal a typo'd request as a real annotation
+        // (/events/get_data has its own longer-prefix context)
+        val path = ex.getRequestURI.getPath
+        if (path != "/events" && path != "/events/")
+          respondText(ex, 404, "Error\n")
+        else if (ex.getRequestMethod != "POST")
+          respondText(ex, 405, "Error\n")
         else {
           val body = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
@@ -944,11 +954,14 @@ object Daemon {
         graphType :+ pieMode).mkString("\u0000")
       // pin the stores' snapshot states ONCE: the cache-key generation
       // vector and the compute below read the same committed versions.
-      // The event store's change counter rides the same vector so an
-      // events() render never serves stale after a new event lands.
+      // The event store's change counter rides the vector ONLY for
+      // requests whose targets reference events() — so an events()
+      // render never serves stale after a new event lands, and a
+      // deploy-marker firehose does not evict every cached dashboard.
       val states = archiveDirs.map(ArchiveStore.state(spark, _))
       val gens = states.map(_.map(_.version).getOrElse(0L)) ++
-        events.map(_.version)
+        (if (targets.exists(_.contains("events(")))
+          events.map(_.version) else None)
       renderCache.getOrCompute(key, gens) {
         // Cold render only: bounded at `renderConcurrency` concurrent
         // Spark jobs (BATCH_LIMIT parity). Cache hits and single-flight

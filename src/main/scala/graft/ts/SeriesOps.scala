@@ -834,6 +834,11 @@ object SeriesOps {
       min(v).as("smin"),
       sum(v).as("ssum"),
       stddev_samp(v).as("sstd"),
+      // the POPULATION stddev twin: graphite's safeStdDev divides by
+      // n, so the graphite-advertised generic names (sortBy, highest/
+      // lowest, filterSeries) rank/filter by sstdp; mostDeviant keeps
+      // the sample form its reference oracle pins (sstd)
+      sqrt(var_pop(v)).as("sstdp"),
       max_by(v, when(v.isNotNull, col("t"))).as("slast"),
       (count(v).cast("double") / count(lit(1))).as("sfrac"),
       collect_list(struct(col("t"), v.as("value"))).as("__pts"))
@@ -1146,7 +1151,9 @@ object SeriesOps {
     case "min" | "minimum"  => "smin"
     case "sum" | "total"    => "ssum"
     case "current" | "last" => "slast"
-    case "stddev"           => "sstd"
+    // population, graphite's safeStdDev (divides by n) — the sample
+    // column sstd stays for mostDeviant's reference-pinned ranking
+    case "stddev"           => "sstdp"
     case "name"             => "name"
     case other => throw new IllegalArgumentException(
       s"unknown aggregator '$other'")

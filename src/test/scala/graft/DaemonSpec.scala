@@ -110,6 +110,12 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(httpPost(s"$base/events", """{"tags":["x"]}""")._1 === 400)
       // GET on the submission route is a 405
       assert(httpGet(s"$base/events")._1 === 405)
+      // the submission context must NOT prefix-capture subpaths: a
+      // typo'd path 404s instead of journaling a bogus annotation
+      assert(httpPost(s"$base/events/get_dat",
+        """{"what": "typo", "when": 1000050}""")._1 === 404)
+      assert(!httpGet(s"$base/events/get_data?from=1000000&until=now")._2
+        .contains("typo"))
     } finally http.stop(0)
     // restart: the journal replays into a fresh store
     val store2 = new EventStore(Some(dir.resolve("events.jsonl")))
@@ -247,6 +253,12 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
         """[{"target":"web.a","value":8},{"target":"web.b","value":7}]""")
       assert(httpGet(s"$base$q&graphType=pie&pieMode=minimum")._2 ===
         """[{"target":"web.a","value":2},{"target":"web.b","value":7}]""")
+      // the reduction sees FETCHED values, not the maxDataPoints
+      // re-bucket: with maxDataPoints=1 a render-then-reduce would
+      // average web.a to one 5.0 bucket and report maximum=5
+      assert(httpGet(s"$base$q&graphType=pie&pieMode=maximum" +
+        "&maxDataPoints=1")._2 ===
+        """[{"target":"web.a","value":8},{"target":"web.b","value":7}]""")
       // the line form still renders datapoints under the same target
       // (distinct cache key despite identical target/viewport)
       assert(httpGet(s"$base$q")._2.contains("datapoints"))

@@ -960,6 +960,13 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long, Option[Double])].collect().sortBy(_._2)
     assert(pv.map(_._1).forall(_ == "powSeries"))
     assert(pv.map(_._3).toSeq === Seq(Some(64.0), Some(2.0), None))
+    // the generic stddev is POPULATION (graphite's safeStdDev divides
+    // by n): a single-point series has stddev 0, not the sample form's
+    // undefined — filterSeries '=' 0 must keep it
+    def cpNames(expr: String): Set[String] =
+      Eval.evalExpr(cp, expr)
+        .as[(String, Long, Option[Double])].collect().map(_._1).toSet
+    assert(cpNames("filterSeries(p.*, 'stddev', '=', 0)") === Set("p.c"))
 
     // aggregateSeriesLists: name-rank pairing + graphite's SAFE
     // aggregators — a one-sided 'diff' yields the known side POSITIVE
@@ -1090,6 +1097,14 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rv2 = Eval.evalExpr(c, "randomWalkFunction('rw', 10)")
       .as[(String, Long, Option[Double])].collect().sortBy(_._2)
     assert(rv2.map(_._3).toSeq === rv.map(_._3).toSeq)
+    // a viewport SHORTER than one step emits exactly one point at the
+    // start — never a point past `until` (graphite's end-exclusive
+    // while-loop)
+    val cShort = Eval.Ctx(s, Seq(("x.y", 0L, 1.0)).toDF("name", "t", "value"),
+      10, fromSec = 100, toSec = 130)
+    val short = Eval.evalExpr(cShort, "sinFunction('s', 1, 60)")
+      .as[(String, Long, Option[Double])].collect()
+    assert(short.map(_._2).toSeq === Seq(100L))
   }
 
   test("extension: smartSummarize — buckets anchor at the query from") {
