@@ -226,6 +226,9 @@ object ClusterSmoke {
     check("reshard: 2-shard fleet resizes to 3 mid-stream, render == single daemon") {
       reshardCheck(spark, addOpens)
     }
+    check("replicated reshard: copies=2 fleet resizes 2->3, then survives losing a NEW shard") {
+      reshardCheck(spark, addOpens, copies = 2)
+    }
     spark.stop()
   }
 
@@ -244,7 +247,7 @@ object ClusterSmoke {
     * zero double-counted, zero gapped slots — and the new primaries
     * are disjoint at M=3. */
   private def reshardCheck(spark: SparkSession,
-      addOpens: String): Boolean = {
+      addOpens: String, copies: Int = 1): Boolean = {
     import java.net.{ServerSocket, Socket}
     import java.io.PrintWriter
     import scala.util.Try
@@ -275,7 +278,9 @@ object ClusterSmoke {
         shard.map { case (i, n, peers) => Map(
           "GRAFT_SHARD_INDEX" -> i.toString,
           "GRAFT_SHARD_COUNT" -> n.toString,
-          "GRAFT_SHARD_PEERS" -> peers)
+          "GRAFT_SHARD_PEERS" -> peers) ++
+          (if (copies > 1) Map("GRAFT_SHARD_COPIES" -> copies.toString)
+           else Map.empty)
         }.getOrElse(Map.empty) ++ extra
       val cmd = Seq(javaBin) ++ addOpens.split(" ").toSeq ++ Seq(
         "-Dspark.ui.enabled=false", "-Xmx2g",
@@ -397,7 +402,13 @@ object ClusterSmoke {
         .map { case ((t, p), i) =>
           (s"e2/$t", p, Some((i, 3, peers2)), Map(
             "GRAFT_PDP_SEED" -> seeds(i),
-            "GRAFT_EXTRA_STORES" -> extraStores))
+            "GRAFT_EXTRA_STORES" -> extraStores) ++
+            // replicated fleets also seed the replica receivers: each
+            // shard's replica store inherits the slices of the shards
+            // it replicates (the ring predecessors)
+            (if (copies > 1)
+              Map("GRAFT_PDP_SEED_ALL" -> seeds.mkString(","))
+             else Map.empty))
         }).getOrElse { return false }
       try {
         if (!feed(Seq(p2a, p2b, p2c, pCtl), i => e2Lines(names(i), i * 10)))
@@ -435,7 +446,40 @@ object ClusterSmoke {
         if (!ok) println(s"resize check: union=${union.size} " +
           s"control=${control.size} want=$wantCtl mis=$misOwned " +
           s"straddle=$straddleOk")
-        ok
+        // ---- replicated variant: survive losing a NEW shard ----
+        // The degraded render (down = the new shard 1; its slice from
+        // its ring successor's ownership-filtered replica store, one
+        // raw (vw, dur) merge across old-epoch + survivor + fallback
+        // sources) must equal the control EXACTLY — including the
+        // resize-straddling slot, which only works because the replica
+        // receivers seeded at the resize (GRAFT_PDP_SEED_ALL). First
+        // wait for the replica stores to drain (read-only probe, no
+        // kill), then crash the shard for real and re-assert over the
+        // now-static files.
+        val okDegraded = if (!ok || copies <= 1) ok else {
+          val e2repl = Seq("a", "b", "c").map(t =>
+            s"$root/e2/$t/replica/points")
+          def degradedSet(): Set[(String, Long, Double)] =
+            Try(Shard.readClusterArchivesRaw(spark,
+                Seq(s"$root/e1/a/points", s"$root/e1/b/points"),
+                e2dirs, e2repl, copies, down = Set(1))
+              .filter(isTest).collect()
+              .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+              .toSet).getOrElse(Set.empty)
+          val d3 = System.currentTimeMillis() + 120000
+          var ds = degradedSet()
+          while (ds != control && System.currentTimeMillis() < d3) {
+            Thread.sleep(1000); ds = degradedSet()
+          }
+          e2(1).destroyForcibly()
+          e2(1).waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+          val after = degradedSet()
+          if (ds != control || after != control)
+            println(s"resize+replica degraded render: drained=${ds.size} " +
+              s"post-kill=${after.size} control=${control.size}")
+          ds == control && after == control
+        }
+        okDegraded
       } finally {
         e2.foreach { p =>
           Try(p.destroy())

@@ -7,7 +7,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Ingest-tier scale-out: N daemon processes each OWN a hash-slice of
@@ -344,6 +344,49 @@ object Shard {
           === i)
     }
     (primaries ++ fallbacks).reduce(_.unionByName(_))
+  }
+
+  /** [[readClusterArchives]] for a fleet that is RESIZED and DEGRADED
+    * at once: every source — the live shards' primary stores, an
+    * ownership-FILTERED replica slice standing in for each down shard,
+    * and the previous epochs' read-only primary stores (`extraDirs`) —
+    * contributes its RAW (vw, dur) slot pieces, and ONE weighted merge
+    * recombines resize-straddling slots exactly (the
+    * `Ingest.readArchives` merge, extended with the replica-fallback
+    * selection). `extraDirs` must be prior epochs' PRIMARY stores
+    * only: a slot present under two sources with the same data (a
+    * primary and its replica) would double its weight in the merge —
+    * the fallback slices are ownership-filtered for exactly that
+    * reason. A store directory with no committed state contributes
+    * nothing (a fresh shard that never ingested). */
+  def readClusterArchivesRaw(spark: SparkSession, extraDirs: Seq[String],
+      shardPointDirs: Seq[String], replicaPointDirs: Seq[String],
+      copies: Int, down: Set[Int]): DataFrame = {
+    val n = shardPointDirs.size
+    require(replicaPointDirs.size == n,
+      s"${replicaPointDirs.size} replica dirs for $n shards")
+    require(down.size < n, "every shard is down")
+    def raw(dir: String): Option[DataFrame] =
+      ArchiveStore.state(spark, dir).map(st =>
+        ArchiveStore.readRaw(spark, dir, st)
+          .select(col("name"), col("t"), col("vw"), col("dur")))
+    val primaries = shardPointDirs.indices.filterNot(down)
+      .flatMap(i => raw(shardPointDirs(i)))
+    val fallbacks = shardPointDirs.indices.filter(down).flatMap { i =>
+      val r = (1 until copies).map(k => (i + k) % n).find(!down(_))
+        .getOrElse(sys.error(
+          s"shard $i is down and so is every replica holder " +
+            s"(copies=$copies)"))
+      raw(replicaPointDirs(r)).map(_.filter(
+        pmod(xxhash64(col("name")), lit(n.toLong)).cast("int") === i))
+    }
+    val frames = extraDirs.flatMap(raw) ++ primaries ++ fallbacks
+    if (frames.isEmpty)
+      spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("t"),
+        lit(0.0).as("value")).limit(0)
+    else frames.reduce(_.unionByName(_))
+      .groupBy(col("name"), col("t"))
+      .agg((sum(col("vw")) / sum(col("dur"))).as("value"))
   }
 
   /** Pickle-frame director — the carbon-pickle protocol's member of

@@ -643,6 +643,47 @@ class ShardSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { f.close(); Try(srv.close()); () }
   }
 
+  test("readClusterArchivesRaw: resized+degraded render — raw merge, " +
+      "filtered fallback, down primary never read") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-clraw").toString
+    def ownerOf(nm: String) = Shard.owner(Shard.canonicalName(nm), 3)
+    val cands = (1 to 60).map(i => s"cr$i.cpu")
+    val victim = cands.find(ownerOf(_) == 1).get
+    val other0 = cands.find(ownerOf(_) == 0).get
+    val bogus2 = cands.find(ownerOf(_) == 2).get
+    def put(dir: String, pieces: Seq[Ingest.Piece]): Unit =
+      Ingest.mergePiecesIntoArchive(s, pieces.toDF(), dir, stepSec = 10)
+    // old epoch's primary: the straddle's first half + a full slot
+    put(s"$root/old/points", Seq(
+      Ingest.Piece(victim, 50L, 55L, 2.0),
+      Ingest.Piece(other0, 50L, 60L, 1.0)))
+    put(s"$root/p0/points", Seq(Ingest.Piece(other0, 60L, 70L, 3.0)))
+    // shard 1 is DOWN: its primary must never be read — poison it
+    put(s"$root/p1/points", Seq(
+      Ingest.Piece(victim, 55L, 60L, 4.0),
+      Ingest.Piece(victim, 60L, 70L, 99.0)))
+    // shard 2's replica store: the fallback slice for owner 1, plus a
+    // stale foreign row the ownership filter must strip
+    put(s"$root/r2/points", Seq(
+      Ingest.Piece(victim, 55L, 60L, 4.0),
+      Ingest.Piece(bogus2, 50L, 60L, 7.0)))
+    val out = Shard.readClusterArchivesRaw(s,
+      extraDirs = Seq(s"$root/old/points"),
+      shardPointDirs =
+        Seq(s"$root/p0/points", s"$root/p1/points", s"$root/p2/points"),
+      replicaPointDirs =
+        Seq(s"$root/r0/points", s"$root/r1/points", s"$root/r2/points"),
+      copies = 2, down = Set(1))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(out === Set(
+      // 5 s @ 2.0 (old epoch) + 5 s @ 4.0 (replica fallback) recombine
+      (victim, 50L, 3.0),
+      (other0, 50L, 1.0),
+      (other0, 60L, 3.0)))
+  }
+
   test("replicatedBy is the exact inverse of the successor placement") {
     // the replica-seed slice at a resize depends on this inverse: a
     // replica receiver seeds with the shards whose series it HOLDS
