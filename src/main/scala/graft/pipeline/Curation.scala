@@ -441,6 +441,97 @@ object Curation {
        |FROM toks GROUP BY tok
        |ORDER BY tf DESC, tok LIMIT $topK""".stripMargin
 
+  /** Trained quality classifier — multinomial Naive Bayes over
+    * whitespace tokens: the CCNet / GPT-3 "quality filter" recipe
+    * (seed labels from a TRUSTED and an UNTRUSTED reference slice,
+    * train, score the whole corpus, threshold downstream). Per doc,
+    *
+    *   score = ln(nGoodDocs/nBadDocs)
+    *         + Σ_tok [ln p(tok|good) − ln p(tok|bad)]
+    *
+    * with Laplace +1 smoothing over the seeds' UNION vocabulary
+    * (p(tok|c) = (count_c(tok)+1)/(N_c + V)); a corpus token outside
+    * the vocabulary contributes the smoothing floor
+    * ln((N_bad+V)/(N_good+V)) — both classes at count 0 — never a
+    * silent drop, since out-of-vocabulary mass is precisely what
+    * separates boilerplate from reference prose.
+    *
+    * Scale shape: training is ONE (token, class) count aggregate
+    * bounded by the vocabulary; scoring explodes corpus tokens once,
+    * joins the VOCABULARY-SIZED per-token term table (broadcastable),
+    * and re-aggregates per doc — no model literal in the plan, and the
+    * only driver bounce is the 1-row class-totals read (the k-means
+    * centroid idiom). Determinism contract: the per-doc sum folds the
+    * VALUE-SORTED term list left-to-right from the prior (the
+    * stddevSeries rule — DuckDB replays it with
+    * list_reduce(list_prepend(prior, list_sort(...)))), and ln is
+    * ≤ 1 ulp cross-engine, absorbed by the oracle boundary's round-6. */
+  def nbQualityScores(docs: DataFrame, goodSeed: DataFrame,
+      badSeed: DataFrame): DataFrame = {
+    def classCounts(seed: DataFrame, out: String): DataFrame =
+      seed.select(explode(tokens).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(out))
+    val vocab = classCounts(goodSeed, "cg")
+      .join(classCounts(badSeed, "cb"), Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("cg"), lit(0L)).as("cg"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val s0 = vocab.agg(sum("cg"), sum("cb"), count(lit(1))).head
+    require(!s0.isNullAt(0) && s0.getLong(2) > 0,
+      "nbQualityScores: empty seed vocabulary")
+    val (ng, nb, v) = (s0.getLong(0), s0.getLong(1), s0.getLong(2))
+    val (nGood, nBad) = (goodSeed.count(), badSeed.count())
+    require(nGood > 0 && nBad > 0, "nbQualityScores: empty seed class")
+    val prior = math.log(nGood.toDouble / nBad.toDouble)
+    val floor = math.log((nb + v).toDouble / (ng + v).toDouble)
+    val terms = vocab.select(col("tok"),
+      (log((col("cg") + 1.0) / (ng + v).toDouble) -
+        log((col("cb") + 1.0) / (nb + v).toDouble)).as("term"))
+    docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .join(broadcast(terms), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        sort_array(collect_list(coalesce(col("term"), lit(floor)))),
+        lit(prior), (a, x) => a + x).as("score"))
+  }
+
+  /** DuckDB twin of [[nbQualityScores]] over the `documents` table,
+    * seeds selected by source membership; emits (doc_id, score)
+    * round-6 in doc_id order. */
+  def nbQualitySql(goodSources: Seq[String], badSources: Seq[String]): String = {
+    def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents
+       |), gd AS (SELECT doc_id FROM documents WHERE source IN (${inList(goodSources)})),
+       |bd AS (SELECT doc_id FROM documents WHERE source IN (${inList(badSources)})),
+       |gct AS (SELECT tok, count(*) AS cg FROM toks JOIN gd USING (doc_id) GROUP BY tok),
+       |bct AS (SELECT tok, count(*) AS cb FROM toks JOIN bd USING (doc_id) GROUP BY tok),
+       |vocab AS (
+       |  SELECT coalesce(gct.tok, bct.tok) AS tok,
+       |         coalesce(cg, 0) AS cg, coalesce(cb, 0) AS cb
+       |  FROM gct FULL OUTER JOIN bct ON gct.tok = bct.tok
+       |), consts AS (
+       |  SELECT sum(cg) AS ng, sum(cb) AS nb, count(*) AS v,
+       |    ln(CAST((SELECT count(*) FROM gd) AS DOUBLE)
+       |       / (SELECT count(*) FROM bd)) AS prior
+       |  FROM vocab
+       |), terms AS (
+       |  SELECT tok,
+       |    ln((cg + 1.0) / (ng + v)) - ln((cb + 1.0) / (nb + v)) AS term
+       |  FROM vocab, consts
+       |)
+       |SELECT t.doc_id,
+       |  ${graft.ts.Round6.r6Sql(
+      """list_reduce(
+        |    list_prepend((SELECT prior FROM consts),
+        |      list_sort(list(coalesce(m.term,
+        |        (SELECT ln((nb + v) * 1.0 / (ng + v)) FROM consts))))),
+        |    (a, x) -> a + x)""".stripMargin)} AS score
+       |FROM toks t LEFT JOIN terms m USING (tok)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---- BPE merge training ----
 
   /** Distributed BPE merge training — the vocabulary-construction step

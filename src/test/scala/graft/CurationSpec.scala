@@ -347,6 +347,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Seq(0L, 1L, 7L))
   }
 
+  test("nbQualityScores: hand-computed log-odds; OOV floor; seed separation") {
+    val s = spark; import s.implicits._
+    // seeds: good = {the cat}, bad = {buy now} — disjoint vocabularies
+    val good = docs(Seq((1L, "the cat"), (2L, "the the")))
+    val bad = docs(Seq((3L, "buy now")))
+    // counts: cg(the)=3 cg(cat)=1; cb(buy)=1 cb(now)=1; Ng=4 Nb=2 V=4
+    val ng = 4.0; val nb = 2.0; val v = 4.0
+    def t(cg: Double, cb: Double): Double =
+      math.log((cg + 1) / (ng + v)) - math.log((cb + 1) / (nb + v))
+    val prior = math.log(2.0 / 1.0)
+    val floor = math.log((nb + v) / (ng + v))
+    val corpus = docs(Seq(
+      (10L, "the cat"),          // pure good vocabulary
+      (11L, "buy now buy"),      // pure bad vocabulary (buy twice)
+      (12L, "zzz qqq")))         // fully out-of-vocabulary
+    val out = Curation.nbQualityScores(corpus, good, bad)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def sortedFold(terms: Seq[Double]): Double =
+      terms.sorted.foldLeft(prior)(_ + _)
+    assert(out(10L) === sortedFold(Seq(t(3, 0), t(1, 0))))
+    assert(out(11L) === sortedFold(Seq(t(0, 1), t(0, 1), t(0, 1))))
+    assert(out(12L) === sortedFold(Seq(floor, floor)))
+    // and the signs separate the classes
+    assert(out(10L) > 0 && out(11L) < out(10L) &&
+      out(11L) < prior + 0.0)
+    // empty seeds are loud
+    intercept[IllegalArgumentException] {
+      Curation.nbQualityScores(corpus, good.limit(0), bad)
+    }
+  }
+
   test("selectTraining: sample is gate-consistent, epoch-bounded, deterministic") {
     val s = spark; import s.implicits._
     // 8 docs over 2 sources; loose gates so a non-trivial set survives
