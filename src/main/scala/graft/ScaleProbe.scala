@@ -527,6 +527,18 @@ object ScaleProbe {
         pipeline.Sampling.mixtureSample(strat, col("source"), col("doc_id"),
           alloc.select(col("stratum"), col("weight")), 0.0).count()
       },
+      time("nb_quality_200k") { // trained NB quality filter at probe
+        // scale: vocab-bounded (token, class) training aggregate over
+        // 20k seed docs, then one explode + broadcast vocabulary join
+        // + per-doc sorted-fold re-aggregate over the full 200k corpus
+        val good = docs.filter(col("doc_id") < 10000)
+        val bad = docs.filter(col("doc_id") >= 10000 &&
+          col("doc_id") < 20000)
+        val out = pipeline.Curation.nbQualityScores(docs, good, bad)
+        val n = out.count()
+        require(n == nDocs, s"nb_quality scored $n of $nDocs docs")
+        n
+      },
       {
         val srcDocs = docs.withColumn("source",
           concat(lit("s"), pmod(col("doc_id"), lit(20))))
