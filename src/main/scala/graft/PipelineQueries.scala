@@ -1049,21 +1049,24 @@ object PipelineQueries {
     // trusted and an untrusted source slice, scored over the WHOLE
     // corpus (the CCNet/GPT-3 recipe) — log-odds per doc, hash-exact
     // via the sorted-fold determinism rule
-    ("cu_nb_quality",
-      ((s, d) => {
-        val docs = Tables.documents(s, d)
-        val good = docs.filter(col("source")
-          .isin("src0", "src1", "src2", "src3", "src4"))
-        val bad = docs.filter(col("source")
-          .isin("src15", "src16", "src17", "src18", "src19"))
-        pipeline.Curation.nbQualityScores(docs, good, bad)
-          .select(col("doc_id").cast("long").as("doc_id"),
-            ts.Round6.r6(col("score")).as("score"))
-          .orderBy("doc_id")
-      }): Q,
-      Some(pipeline.Curation.nbQualitySql(
-        Seq("src0", "src1", "src2", "src3", "src4"),
-        Seq("src15", "src16", "src17", "src18", "src19")))),
+    {
+      // ONE pair of seed slices feeds both engines — a drift between
+      // the Spark filter and the oracle's IN-list would only surface
+      // as an opaque hash mismatch
+      val goodSrcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val badSrcs = Seq("src15", "src16", "src17", "src18", "src19")
+      ("cu_nb_quality",
+        ((s, d) => {
+          val docs = Tables.documents(s, d)
+          val good = docs.filter(col("source").isin(goodSrcs: _*))
+          val bad = docs.filter(col("source").isin(badSrcs: _*))
+          pipeline.Curation.nbQualityScores(docs, good, bad)
+            .select(col("doc_id").cast("long").as("doc_id"),
+              ts.Round6.r6(col("score")).as("score"))
+            .orderBy("doc_id")
+        }): Q,
+        Some(pipeline.Curation.nbQualitySql(goodSrcs, badSrcs)))
+    },
 
     ("cu_scores",
       ((s, d) => pipeline.Curation.scoreTable(Tables.documents(s, d))

@@ -457,11 +457,14 @@ object Curation {
     * separates boilerplate from reference prose.
     *
     * Scale shape: training is ONE (token, class) count aggregate
-    * bounded by the vocabulary; scoring explodes corpus tokens once,
-    * joins the VOCABULARY-SIZED per-token term table (broadcastable),
-    * and re-aggregates per doc — no model literal in the plan, and the
-    * only driver bounce is the 1-row class-totals read (the k-means
-    * centroid idiom). Determinism contract: the per-doc sum folds the
+    * bounded by the vocabulary, collected once to the driver (the
+    * model IS vocabulary-bounded by contract — the scoring side
+    * broadcasts it — so the collect is the same k-means centroid-bounce
+    * class, and the seed corpus tokenizes exactly once instead of
+    * recomputing under the scoring join); scoring explodes corpus
+    * tokens once, joins the broadcast term table, and re-aggregates
+    * per doc — no model literal in the plan. Determinism contract: the
+    * per-doc sum folds the
     * VALUE-SORTED term list left-to-right from the prior (the
     * stddevSeries rule — DuckDB replays it with
     * list_reduce(list_prepend(prior, list_sort(...)))), and ln is
@@ -471,21 +474,29 @@ object Curation {
     def classCounts(seed: DataFrame, out: String): DataFrame =
       seed.select(explode(tokens).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as(out))
+    // the model is vocabulary-bounded BY CONTRACT (the scoring join
+    // broadcasts it), so collect it ONCE — the seed corpus tokenizes
+    // in exactly one job, instead of once for the totals and again
+    // under the scoring join's recompute of an uncached plan
     val vocab = classCounts(goodSeed, "cg")
       .join(classCounts(badSeed, "cb"), Seq("tok"), "full_outer")
       .select(col("tok"), coalesce(col("cg"), lit(0L)).as("cg"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val s0 = vocab.agg(sum("cg"), sum("cb"), count(lit(1))).head
-    require(!s0.isNullAt(0) && s0.getLong(2) > 0,
-      "nbQualityScores: empty seed vocabulary")
-    val (ng, nb, v) = (s0.getLong(0), s0.getLong(1), s0.getLong(2))
+      .collect()
+    require(vocab.nonEmpty, "nbQualityScores: empty seed vocabulary")
+    val ng = vocab.map(_.getLong(1)).sum
+    val nb = vocab.map(_.getLong(2)).sum
+    val v = vocab.length.toLong
     val (nGood, nBad) = (goodSeed.count(), badSeed.count())
     require(nGood > 0 && nBad > 0, "nbQualityScores: empty seed class")
     val prior = math.log(nGood.toDouble / nBad.toDouble)
     val floor = math.log((nb + v).toDouble / (ng + v).toDouble)
-    val terms = vocab.select(col("tok"),
-      (log((col("cg") + 1.0) / (ng + v).toDouble) -
-        log((col("cb") + 1.0) / (nb + v).toDouble)).as("term"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = vocab.toSeq.map(r => (r.getString(0),
+        math.log((r.getLong(1) + 1.0) / (ng + v).toDouble) -
+          math.log((r.getLong(2) + 1.0) / (nb + v).toDouble)))
+      .toDF("tok", "term")
     docs.select(col("doc_id"), explode(tokens).as("tok"))
       .join(broadcast(terms), Seq("tok"), "left")
       .groupBy(col("doc_id"))

@@ -325,20 +325,33 @@ object Shard {
     * to the plain primary union (replicas never read). The reference
     * renders owner-preferred the same way: `NodesForDistDatum` lists
     * owner first, the query goes to the first ready node. */
+  /** The nearest LIVE ring successor holding shard `i`'s replica —
+    * loud when every holder is down too (the slice is unservable).
+    * Shared by both cluster readers so the owner-preferred and raw
+    * render paths can never diverge on holder selection. */
+  private def fallbackHolder(i: Int, n: Int, copies: Int,
+      down: Set[Int]): Int =
+    (1 until copies).map(k => (i + k) % n).find(!down(_))
+      .getOrElse(sys.error(
+        s"shard $i is down and so is every replica holder " +
+          s"(copies=$copies)"))
+
+  private def requireClusterDirs(n: Int, replicaDirs: Seq[String],
+      down: Set[Int]): Unit = {
+    require(replicaDirs.size == n,
+      s"${replicaDirs.size} replica dirs for $n shards")
+    require(down.size < n, "every shard is down")
+  }
+
   def readClusterArchives(spark: SparkSession, shardPointDirs: Seq[String],
       replicaPointDirs: Seq[String], copies: Int,
       down: Set[Int] = Set.empty): DataFrame = {
     val n = shardPointDirs.size
-    require(replicaPointDirs.size == n,
-      s"${replicaPointDirs.size} replica dirs for $n shards")
-    require(down.size < n, "every shard is down")
+    requireClusterDirs(n, replicaPointDirs, down)
     val primaries = shardPointDirs.indices.filterNot(down)
       .map(i => Ingest.readArchive(spark, shardPointDirs(i)))
     val fallbacks = shardPointDirs.indices.filter(down).map { i =>
-      val r = (1 until copies).map(k => (i + k) % n).find(!down(_))
-        .getOrElse(sys.error(
-          s"shard $i is down and so is every replica holder " +
-            s"(copies=$copies)"))
+      val r = fallbackHolder(i, n, copies, down)
       Ingest.readArchive(spark, replicaPointDirs(r))
         .filter(pmod(xxhash64(col("name")), lit(n.toLong)).cast("int")
           === i)
@@ -363,22 +376,24 @@ object Shard {
       shardPointDirs: Seq[String], replicaPointDirs: Seq[String],
       copies: Int, down: Set[Int]): DataFrame = {
     val n = shardPointDirs.size
-    require(replicaPointDirs.size == n,
-      s"${replicaPointDirs.size} replica dirs for $n shards")
-    require(down.size < n, "every shard is down")
+    requireClusterDirs(n, replicaPointDirs, down)
     def raw(dir: String): Option[DataFrame] =
       ArchiveStore.state(spark, dir).map(st =>
         ArchiveStore.readRaw(spark, dir, st)
           .select(col("name"), col("t"), col("vw"), col("dur")))
     val primaries = shardPointDirs.indices.filterNot(down)
       .flatMap(i => raw(shardPointDirs(i)))
-    val fallbacks = shardPointDirs.indices.filter(down).flatMap { i =>
-      val r = (1 until copies).map(k => (i + k) % n).find(!down(_))
-        .getOrElse(sys.error(
-          s"shard $i is down and so is every replica holder " +
-            s"(copies=$copies)"))
-      raw(replicaPointDirs(r)).map(_.filter(
-        pmod(xxhash64(col("name")), lit(n.toLong)).cast("int") === i))
+    val fallbacks = shardPointDirs.indices.filter(down).map { i =>
+      val r = fallbackHolder(i, n, copies, down)
+      // LOUD when the holder never committed replica state: serving
+      // the render with shard i's slice silently missing is the one
+      // failure an operator cannot see (the all-holders-down sibling
+      // above fails loudly for the same reason)
+      raw(replicaPointDirs(r)).getOrElse(sys.error(
+          s"shard $i is down and its replica holder $r has no " +
+            s"committed replica store (${replicaPointDirs(r)})"))
+        .filter(
+          pmod(xxhash64(col("name")), lit(n.toLong)).cast("int") === i)
     }
     val frames = extraDirs.flatMap(raw) ++ primaries ++ fallbacks
     if (frames.isEmpty)
