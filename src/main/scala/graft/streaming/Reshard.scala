@@ -107,6 +107,57 @@ object Reshard {
     } finally { all.unpersist(); () }
   }
 
+  /** Runnable resize tool — the operator's one command between
+    * stopping the old fleet and booting the new one:
+    *
+    * {{{
+    * sbt "runMain graft.streaming.Reshard <newCount> <seedOutDir> \
+    *      <oldCkpt1> [oldCkpt2 ...]"
+    * }}}
+    *
+    * Reads every stopped shard's in-progress PDP state out of its
+    * checkpoint (the Relinquish flush), re-homes each series to its
+    * `pmod(xxhash64, newCount)` owner, writes the per-shard seeds
+    * under `<seedOutDir>/<i>`, and prints the boot env each new shard
+    * needs: `GRAFT_PDP_SEED` (its own slice), `GRAFT_PDP_SEED_ALL`
+    * for replicated fleets (replica receivers seed with the shards
+    * they replicate), and the `GRAFT_EXTRA_STORES` reminder — archive
+    * stores never move at a resize, the old epoch's PRIMARY stores
+    * stay read-only under the render union. Reuses a live session
+    * when invoked in-process (and then does NOT stop it), builds its
+    * own under `GRAFT_MASTER`/`GRAFT_CPUS` when standalone. */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: Reshard <newCount> <seedOutDir> <oldCkpt1> [oldCkpt2 ...]")
+    val newCount = args(0).toInt
+    require(newCount >= 1, s"newCount must be >= 1, got $newCount")
+    val seedOut = args(1)
+    val oldCkpts = args.drop(2).toSeq
+    def env(k: String, d: String) = sys.env.getOrElse(k, d)
+    val preExisting =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = preExisting.getOrElse(SparkSession.builder()
+      .master(env("GRAFT_MASTER", s"local[${env("GRAFT_CPUS", "4")}]"))
+      .appName("graft-reshard")
+      .config("spark.sql.shuffle.partitions", env("GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    val seeds = (0 until newCount).map(i => s"$seedOut/$i")
+    writeSeeds(spark, oldCkpts, newCount, seeds)
+    val n = seeds.map(p => spark.read.parquet(p).count()).sum
+    println(s"reshard: $n series re-homed across $newCount seeds " +
+      s"under $seedOut")
+    seeds.zipWithIndex.foreach { case (p, i) =>
+      println(s"shard $i boot env: GRAFT_PDP_SEED=$p")
+    }
+    println("replicated fleets additionally: " +
+      s"GRAFT_PDP_SEED_ALL=${seeds.mkString(",")}")
+    println("old PRIMARY stores stay read-only: list them in " +
+      "GRAFT_EXTRA_STORES (comma-separated) on every new shard")
+    if (preExisting.isEmpty) spark.stop()
+  }
+
   /** Load one shard's seed for [[Ingest.pdpPieces]]' `initial`. */
   def readSeed(spark: SparkSession,
       path: String): Dataset[(String, Ingest.PdpState)] = {

@@ -502,6 +502,18 @@ class ShardSpec extends AnyFunSuite with BeforeAndAfterAll {
         ns
       }.reduce(_ ++ _)
       assert(names.toSet.subsetOf(seedNames))
+      // the CLI entry point writes the SAME seeds (and reuses this
+      // suite's live session without stopping it)
+      Reshard.main(Array("3", s"$root/seedcli",
+        s"$root/e1/a/ckpt", s"$root/e1/b/ckpt"))
+      assert(!s.sparkContext.isStopped, "Reshard.main stopped a live session")
+      (0 until 3).foreach { i =>
+        def rows(p: String) = s.read.parquet(p)
+          .select("name", "lastTs", "lastVal").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(rows(s"$root/seedcli/$i") === rows(seeds(i)), s"cli seed $i")
+      }
+      intercept[IllegalArgumentException] { Reshard.main(Array("3")) }
       // ---- epoch 2: three shards, seeded, fresh checkpoints ----
       val Seq(p2a, p2b, p2c) = Seq.fill(3)(freePort())
       val ports2 = Seq(p2a, p2b, p2c)
