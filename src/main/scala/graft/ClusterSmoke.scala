@@ -507,6 +507,17 @@ object ClusterSmoke {
     * victim's series; (2) the survivor keeps ingesting its own series
     * (its replica sends to the dead peer drop fast through the
     * forwarder's circuit breaker instead of stalling the gateway). */
+  /** The bound HTTP port out of a drained daemon-banner log — the
+    * non-dialed surfaces bind EPHEMERAL (port 0) to kill the freePort
+    * probe-then-bind race across concurrently-booting child JVMs (the
+    * reshardCheck fix, applied fleet-wide), so dialed ports are read
+    * back from the banner instead of probed a priori. */
+  private def bannerHttpPort(sb: StringBuilder): Int = {
+    val s = sb.synchronized(sb.toString)
+    "http=(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      .getOrElse(sys.error("no http= in daemon banner"))
+  }
+
   private def replicatedKillCheck(spark: SparkSession,
       addOpens: String): Boolean = {
     import java.net.{ServerSocket, Socket}
@@ -518,18 +529,20 @@ object ClusterSmoke {
       val ss = new ServerSocket(0); val p = ss.getLocalPort; ss.close(); p
     }
     val Seq(pA, pB) = Seq.fill(2)(freePort())
-    val Seq(hA, hB) = Seq.fill(2)(freePort())
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    def daemon(tag: String, i: Int, gPort: Int, hPort: Int): Process = {
+    def daemon(tag: String, i: Int, gPort: Int): Process = {
       val env = Map(
         "GRAFT_DATA_DIR" -> s"$root/$tag",
         "GRAFT_MASTER" -> "local[2]",
         "GRAFT_SHUFFLE_PARTITIONS" -> "2",
         "GRAFT_STEP_SEC" -> "10",
         "GRAFT_GRAPHITE_PORT" -> gPort.toString,
-        "GRAFT_STATSD_PORT" -> freePort().toString,
-        "GRAFT_PICKLE_PORT" -> freePort().toString,
-        "GRAFT_HTTP_PORT" -> hPort.toString,
+        // only the graphite ports are dialed a priori (the peer list
+        // is index-aligned); everything else binds EPHEMERAL — the
+        // freePort probe-then-bind race was a real flake here too
+        "GRAFT_STATSD_PORT" -> "0",
+        "GRAFT_PICKLE_PORT" -> "0",
+        "GRAFT_HTTP_PORT" -> "0",
         "GRAFT_SHARD_INDEX" -> i.toString,
         "GRAFT_SHARD_COUNT" -> "2",
         "GRAFT_SHARD_COPIES" -> "2",
@@ -559,7 +572,7 @@ object ClusterSmoke {
       })
       t.setDaemon(true); t.start()
     }
-    val procs = Seq(daemon("a", 0, pA, hA), daemon("b", 1, pB, hB))
+    val procs = Seq(daemon("a", 0, pA), daemon("b", 1, pB))
     val logs = Seq.fill(2)(new StringBuilder)
     procs.zip(logs).foreach { case (p, l) => drain(p, l) }
     def awaitBanner(p: Process, sb: StringBuilder): Boolean = {
@@ -623,17 +636,28 @@ object ClusterSmoke {
       // peer must DROP fast, not stall the gateway
       val aOwned = names.find(n => Shard.owner(n, 2) == 0).get
       val contBase = base + 200
-      (0 until 6).foreach(k =>
-        outs(0).println(s"$aOwned ${k + 9}.5 ${contBase + k * 10}"))
-      outs(0).flush()
       val contWant = 5L
       val d2 = System.currentTimeMillis() + 180000
       def contRows(): Long =
         Try(Ingest.readArchive(spark, s"$root/a/points")
           .filter(col("name") === aOwned && col("t") >= contBase)
           .count()).getOrElse(0L)
-      while (contRows() < contWant && System.currentTimeMillis() < d2)
-        Thread.sleep(500)
+      // send over a FRESH connection each retry round: the pre-kill
+      // socket can die silently (PrintWriter swallows IOExceptions),
+      // which lost the whole batch with no retry — the one observed
+      // flake of this check. Replays are safe: the PDP rejects
+      // ts <= lastTs, so a re-sent point can never double-count.
+      while (contRows() < contWant && System.currentTimeMillis() < d2) {
+        Try {
+          val sock = new Socket("127.0.0.1", pA)
+          val out = new PrintWriter(sock.getOutputStream, true)
+          (0 until 6).foreach(k =>
+            out.println(s"$aOwned ${k + 9}.5 ${contBase + k * 10}"))
+          out.flush()
+          sock.close()
+        }
+        Thread.sleep(3000)
+      }
       // owner-preferred render with shard 1 down: survivor primary +
       // survivor's replica slice filtered to the victim's ownership
       val postRender = testSet(Shard.readClusterArchives(spark,
@@ -646,8 +670,29 @@ object ClusterSmoke {
         // primary: the replica slice alone reproduces it
         testSet(Ingest.readArchive(spark, s"$root/a/replica/points"))
           .filter(r => victimSeries(r._1)) == preKillVictim
-      if (!ok) println(s"repl check: preVictim=${preKillVictim.size} " +
-        s"postVictim=${postVictim.size} cont=${contRows()}")
+      if (!ok) {
+        println(s"repl check: preVictim=${preKillVictim.size} " +
+          s"postVictim=${postVictim.size} cont=${contRows()}")
+        // flake forensics: is the survivor even alive, what do its
+        // stats say, what did it last log?
+        println(s"repl survivor alive=${procs(0).isAlive}" +
+          (if (!procs(0).isAlive) s" exit=${procs(0).exitValue()}" else ""))
+        println("repl survivor /stats: " + Try {
+          val hA = bannerHttpPort(logs(0))
+          val c = new java.net.URI(s"http://127.0.0.1:$hA/stats").toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          c.setConnectTimeout(3000); c.setReadTimeout(5000)
+          val b = new String(c.getInputStream.readAllBytes(), "UTF-8")
+          c.disconnect(); b
+        }.getOrElse("<unreachable>"))
+        println("repl aOwned slots present: " + Try(
+          Ingest.readArchive(spark, s"$root/a/points")
+            .filter(col("name") === aOwned).select("t").collect()
+            .map(_.getLong(0)).sorted.mkString(","))
+          .getOrElse("<unreadable>"))
+        println("--- repl survivor log tail ---\n" +
+          logs(0).synchronized(logs(0).toString).takeRight(2500))
+      }
       socks.foreach(s => Try(s.close()))
       ok
     } finally {
@@ -682,9 +727,8 @@ object ClusterSmoke {
       val ss = new ServerSocket(0); val p = ss.getLocalPort; ss.close(); p
     }
     val Seq(pA, pB, pC) = Seq.fill(3)(freePort())
-    val Seq(hA, hB, hC) = Seq.fill(3)(freePort())
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    def daemon(tag: String, gPort: Int, hPort: Int,
+    def daemon(tag: String, gPort: Int,
         shard: Option[(Int, Int, String)]): Process = {
       val env = Map(
         "GRAFT_DATA_DIR" -> s"$root/$tag",
@@ -692,9 +736,12 @@ object ClusterSmoke {
         "GRAFT_SHUFFLE_PARTITIONS" -> "2",
         "GRAFT_STEP_SEC" -> "10",
         "GRAFT_GRAPHITE_PORT" -> gPort.toString,
-        "GRAFT_STATSD_PORT" -> freePort().toString,
-        "GRAFT_PICKLE_PORT" -> freePort().toString,
-        "GRAFT_HTTP_PORT" -> hPort.toString) ++
+        // non-dialed surfaces bind EPHEMERAL; the /stats ports are
+        // read back from the boot banner (the freePort probe-then-bind
+        // race was a real flake here too — BindException at startHttp)
+        "GRAFT_STATSD_PORT" -> "0",
+        "GRAFT_PICKLE_PORT" -> "0",
+        "GRAFT_HTTP_PORT" -> "0") ++
         shard.map { case (i, n, peers) => Map(
           "GRAFT_SHARD_INDEX" -> i.toString,
           "GRAFT_SHARD_COUNT" -> n.toString,
@@ -740,9 +787,9 @@ object ClusterSmoke {
     }
     val peers = s"$pA,$pB"
     val procs = Seq(
-      daemon("a", pA, hA, Some((0, 2, peers))),
-      daemon("b", pB, hB, Some((1, 2, peers))),
-      daemon("c", pC, hC, None))
+      daemon("a", pA, Some((0, 2, peers))),
+      daemon("b", pB, Some((1, 2, peers))),
+      daemon("c", pC, None))
     val logs = Seq.fill(3)(new StringBuilder)
     procs.zip(logs).foreach { case (p, l) => drain(p, l) }
     try {
@@ -808,7 +855,8 @@ object ClusterSmoke {
       def statLong(body: String, k: String): Long =
         s""""$k":(\\d+)""".r.findFirstMatchIn(body)
           .map(_.group(1).toLong).getOrElse(-1L)
-      val (stA, stB) = (statsOf(hA), statsOf(hB))
+      val (stA, stB) =
+        (statsOf(bannerHttpPort(logs(0))), statsOf(bannerHttpPort(logs(1))))
       val statsOk =
         statLong(stA, "shard.index") == 0L &&
           statLong(stB, "shard.index") == 1L &&

@@ -93,7 +93,17 @@ object Daemon {
       if (!queue.offer(line)) { queue.poll(); queue.offer(line); () }
 
     private def daemonThread(name: String)(body: => Unit): Thread = {
-      val t = new Thread(() => try body catch { case _: Throwable if !running.get => () }, name)
+      val t = new Thread(() => try body catch {
+        case _: Throwable if !running.get => ()
+        // a gateway thread dying WHILE RUNNING must be loud: a dead
+        // accept loop is the worst silent failure — the kernel backlog
+        // keeps completing connects nobody reads, so senders see
+        // success while every line vanishes (observed as the smoke's
+        // cont=0 flake)
+        case e: Throwable =>
+          System.err.println(s"gateway thread '$name' died: $e")
+          throw e
+      }, name)
       t.setDaemon(true); t.start(); t
     }
 
@@ -134,7 +144,11 @@ object Daemon {
         } catch {
           // transient accept() failure: keep accepting. Shutdown closes
           // the socket with running=false, exiting via the while guard.
+          // NON-IO throwables must not kill the loop either (see
+          // daemonThread's contract) — log and keep accepting.
           case _: IOException if running.get => ()
+          case scala.util.control.NonFatal(e) if running.get =>
+            System.err.println(s"gateway-accept error (continuing): $e")
         }
       }
     }
@@ -152,7 +166,13 @@ object Daemon {
                 StandardCharsets.UTF_8)
               .split("\n").iterator.map(_.stripSuffix("\r"))
               .filter(_.nonEmpty).foreach(offer)
-          } catch { case _: IOException if running.get => () }
+          } catch {
+            case _: IOException if running.get => ()
+            case scala.util.control.NonFatal(e) if running.get =>
+              // a poison datagram (route-hook error) drops ITSELF,
+              // never the UDP loop
+              System.err.println(s"gateway-udp error (continuing): $e")
+          }
         }
       }
     }
@@ -190,7 +210,14 @@ object Daemon {
             out.println(line)
             pending = if (out.checkError()) Some(line) else None
           } finally { Try(client.close()); () }
-        } catch { case _: IOException if running.get => () }
+        } catch {
+          case _: IOException if running.get => ()
+          case scala.util.control.NonFatal(e) if running.get =>
+            // the feed loop feeds the RECEIVER: its death strands the
+            // queue (grows until shedding) with the daemon looking
+            // alive — log and keep serving
+            System.err.println(s"gateway-feed error (continuing): $e")
+        }
       }
     }
 
@@ -410,6 +437,9 @@ object Daemon {
       .as[(String, Long, Double)]
     Ingest.pdpPieces(spark, pts, heartbeatSec).toDF()
       .writeStream
+      // query NAME = its checkpoint dir: /stats' ingest.streams keys
+      // then say WHICH receiver a frozen batch id belongs to
+      .queryName(checkpointDir)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec,
@@ -470,6 +500,7 @@ object Daemon {
       .toDF("line")
     val cmds = Ingest.statsdToCommands(Ingest.parseStatsd(lines), statsPrefix)
     cmds.writeStream
+      .queryName(checkpointDir)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (raw: DataFrame, bid: Long) =>
         Ingest.mergePiecesIntoArchive(spark,
@@ -514,6 +545,9 @@ object Daemon {
       .toDF("name", "tsSec", "value")).as[(String, Long, Double)]
     Ingest.pdpPieces(spark, pts, heartbeatSec).toDF()
       .writeStream
+      // query NAME = its checkpoint dir: /stats' ingest.streams keys
+      // then say WHICH receiver a frozen batch id belongs to
+      .queryName(checkpointDir)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         Ingest.mergePiecesIntoArchive(spark, batch, archiveDir, stepSec,
@@ -618,6 +652,9 @@ object Daemon {
       : StreamingQuery =
     Ingest.pdpPieces(spark, pts, heartbeatSec, initial = pdpSeed).toDF()
       .writeStream
+      // query NAME = its checkpoint dir: /stats' ingest.streams keys
+      // then say WHICH receiver a frozen batch id belongs to
+      .queryName(checkpointDir)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val tok = writerToken(checkpointDir)
@@ -680,6 +717,7 @@ object Daemon {
     val urls = gatewayLines(spark, feedPort)
       .toDF("url")
     urls.writeStream
+      .queryName(checkpointDir)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val cmds = Pixel.parseRequests(batch,
@@ -1447,8 +1485,26 @@ object Daemon {
         .getOrElse(conf.map(_.queryCacheSize).getOrElse(0)),
       // ops visibility for the shard tier — the reference's
       // stats.forwarded / forwarded_to counters (director.go:105-107)
-      extraStats = () =>
-        if (shardCount <= 1) ""
+      // — plus ingest-health gauges: per-gateway queue depth and each
+      // streaming query's last batch id/timestamp, so a silently
+      // stalled receiver (queue growing, batch id frozen) is visible
+      // from /stats instead of only from a missing render
+      extraStats = () => {
+        val queues = Seq("graphite" -> gGw, "statsd" -> sGw,
+          "pickle" -> pkGw, "pixel_dp" -> pxDpGw, "pixel_cmd" -> pxGw) ++
+          replGw.map("replica" -> _)
+        val qJson = queues.map { case (n, g) =>
+          s""""$n":${g.queueSize}""" }.mkString(",")
+        val sJson = spark.streams.active.zipWithIndex.map { case (q, i) =>
+          val p = Option(q.lastProgress)
+          val nm = Option(q.name).getOrElse(s"q$i")
+          s""""$nm":{"batchId":${p.map(_.batchId).getOrElse(-1L)},""" +
+            s""""inputRows":${p.map(_.numInputRows).getOrElse(-1L)},""" +
+            s""""active":${q.isActive},""" +
+            s""""exception":${q.exception.isDefined}}"""
+        }.mkString(",")
+        s""","ingest.queues":{$qJson},"ingest.streams":{$sJson}""" +
+        (if (shardCount <= 1) ""
         else {
           val d = director.get
           val pk = pkDirector.get
@@ -1472,6 +1528,7 @@ object Daemon {
                 s""","shard.statsd.fwd_dropped":${x.forwarder.dropped.get}""")
               .getOrElse("")
         })
+      })
     // pid-file (daemon/config.go:36; savePid at boot): written before
     // the banner so supervisors can signal immediately. Env wins over
     // conf, same precedence as every other GRAFT_* override.
