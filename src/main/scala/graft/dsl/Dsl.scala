@@ -88,6 +88,22 @@ object Dsl {
     node
   }
 
+  /** True when the parsed target calls `name` anywhere in its tree.
+    * AST-based (not a substring test) because the tokenizer skips
+    * whitespace — `events (deploy)` is the same call as
+    * `events(deploy)` — and a function name can appear inside string
+    * literals or metric paths without being a call. An unparseable
+    * target answers true: conservative for cache-invalidation use
+    * (the render fails anyway; never under-invalidate). */
+  def callsFunction(expr: String, name: String): Boolean = {
+    def walk(n: Node): Boolean = n match {
+      case Call(fn, args, kwargs) =>
+        fn == name || args.exists(walk) || kwargs.valuesIterator.exists(walk)
+      case _ => false
+    }
+    try walk(parse(expr)) catch { case scala.util.control.NonFatal(_) => true }
+  }
+
   private def parseExpr(t: Vector[Tok]): (Node, Vector[Tok]) = {
     var (node, rest) = parsePrimary(t)
     // chained calls: `.fn(args)` with the receiver as first argument

@@ -19,6 +19,17 @@ import graft.ts.{Durations, SeriesOps => O}
   * reference's `preprocessArgFuncs` (`dsl/funcs.go:64-345`); adding a
   * function is adding a map entry.
   */
+/** Driver-side plan-shape bounds for the two DSL functions whose plan
+  * size grows with the matched-series count (aliasQuery, applyByNode).
+  * Both are catalog-bounded by construction — graphite expands the same
+  * loops — but an accidental `*` glob should fail loudly, not build a
+  * 100k-arm union that stalls Catalyst analysis. */
+object EvalLimits {
+  /** Max union arms one DSL call may build (env `GRAFT_DSL_MAX_FANOUT`). */
+  def maxPlanFanout: Int =
+    sys.env.get("GRAFT_DSL_MAX_FANOUT").map(_.toInt).getOrElse(2000)
+}
+
 object Eval {
 
   sealed trait Val
@@ -233,7 +244,11 @@ object Eval {
     // aggregator semantics over the name-rank pairing — see
     // SeriesOps.aggregateSeriesLists for the per-member table
     add(Seq("aggregateSeriesLists")) { (ctx, args, _) =>
-      require(args.size >= 3, "aggregateSeriesLists(listA, listB, func)")
+      // exactly 3: graphite's 4th positional (xFilesFactor) is not
+      // implemented — reject loudly rather than silently dropping it
+      // (the file's convention; cf. cactiStyle's `system` arg)
+      require(args.size == 3,
+        "aggregateSeriesLists(listA, listB, func) — xFilesFactor not supported")
       SeriesV(O.aggregateSeriesLists(asSeries(ctx, args(0)),
         asSeries(ctx, args(1)), str(args(2)) match {
           case "average" => "avg"; case f => f
@@ -259,6 +274,13 @@ object Eval {
             .as("p"))
         .distinct().as[String].collect().sorted
       require(prefixes.nonEmpty, "applyByNode: no series matched")
+      // plan size grows with the prefix count (one union arm each);
+      // bound it loudly rather than let a runaway glob build a
+      // 100k-arm plan that stalls Catalyst analysis
+      require(prefixes.length <= EvalLimits.maxPlanFanout,
+        s"applyByNode: ${prefixes.length} distinct prefixes exceeds " +
+          s"the ${EvalLimits.maxPlanFanout}-arm plan bound " +
+          "(GRAFT_DSL_MAX_FANOUT)")
       val parts = prefixes.map { p =>
         val df = evalExpr(ctx, template.replace("%", p))
         newName.fold(df)(nn =>
@@ -788,10 +810,11 @@ object Eval {
     // of its first series (name order, latest t), and print it into
     // newName's one %-format slot (%d truncates toward zero like
     // python's int-format of a float; %.Nf fixed; %s prints the
-    // %.6f-trimmed form). Per-series driver loop + one small action
-    // each — catalog-bounded, exactly graphite's evaluateTarget loop
-    // (the applyByNode precedent above); raises when a query matches
-    // nothing or its last value is unknown, as graphite does.
+    // %.6f-trimmed form). Where graphite loops evaluateTarget
+    // per-series, here the rewritten queries are ONE unioned plan with
+    // a per-source window — a single Spark action however many series
+    // match; raises when a query matches nothing or its last value is
+    // unknown, as graphite does.
     add(Seq("aliasQuery")) { (ctx, args, _) =>
       require(args.size == 4, "aliasQuery(series, search, replace, newName)")
       val series = asSeries(ctx, args.head)
@@ -816,13 +839,32 @@ object Eval {
       val names = series.select(col("name")).distinct()
         .as[String].collect().sorted
       require(names.nonEmpty, "aliasQuery: no series matched")
-      val renames = names.toSeq.map { nm =>
+      require(names.length <= EvalLimits.maxPlanFanout,
+        s"aliasQuery: ${names.length} matched series exceeds the " +
+          s"${EvalLimits.maxPlanFanout}-arm plan bound (GRAFT_DSL_MAX_FANOUT)")
+      // ONE unioned plan + ONE action regardless of series count:
+      // each rewritten query's frame is tagged with its source name,
+      // and a per-tag window picks the first series (name asc) at its
+      // latest known value — the exact row the old per-series
+      // `limit(1)` action picked, minus the ~0.1 s-per-name driver
+      // round-trip tax (500 matched series = 1 job, not 500).
+      val tagged = names.toSeq.map { nm =>
         val q = nm.replaceAll(search, replace)
-        val row = evalExpr(ctx, q).filter(col("value").isNotNull)
-          .orderBy(col("name").asc, col("t").desc).limit(1)
-          .select(col("value").cast("double")).collect()
-        require(row.nonEmpty, s"aliasQuery: no data for query: $q")
-        (nm, fmt(newName, row.head.getDouble(0)))
+        evalExpr(ctx, q).select(lit(nm).as("__src"), col("name"),
+          col("t"), col("value").cast("double").as("value"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__src")).orderBy(col("name").asc, col("t").desc)
+      val picked = tagged.reduce(_.union(_))
+        .filter(col("value").isNotNull)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__src"), col("value")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val renames = names.toSeq.map { nm =>
+        require(picked.contains(nm),
+          s"aliasQuery: no data for query: ${nm.replaceAll(search, replace)}")
+        (nm, fmt(newName, picked(nm)))
       }
       val mapDf = renames.toDF("name", "__nn")
       SeriesV(series.join(broadcast(mapDf), Seq("name"))

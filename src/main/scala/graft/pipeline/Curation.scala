@@ -509,7 +509,8 @@ object Curation {
     * seeds selected by source membership; emits (doc_id, score)
     * round-6 in doc_id order. */
   def nbQualitySql(goodSources: Seq[String], badSources: Seq[String]): String = {
-    def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString(", ")
+    def inList(xs: Seq[String]) =
+      xs.map(s => "'" + s.replace("'", "''") + "'").mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
        |  FROM documents

@@ -59,6 +59,8 @@ object GatewayStats {
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
   private val accepts =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private val commits =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
   private def at(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
       key: String) =
     m.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong)
@@ -72,6 +74,14 @@ object GatewayStats {
   /** Lines accepted (offset-assigned) at `host:port` since JVM start. */
   def accepted(key: String): Long =
     Option(accepts.get(key)).map(_.get).getOrElse(0L)
+  private[sources] def commitCounter(key: String): java.util.concurrent.atomic.AtomicLong =
+    at(commits, key)
+  /** Lines whose offsets the engine has COMMITTED at `host:port` —
+    * `accepted(k) == committed(k)` means every line the source ever
+    * buffered is durably in the store (the rolling-resize quiesce
+    * barrier reads exactly this). */
+  def committed(key: String): Long =
+    Option(commits.get(key)).map(_.get).getOrElse(0L)
   import scala.jdk.CollectionConverters._
   /** All drop counters, stable order. */
   def all(): Seq[(String, Long)] =
@@ -230,7 +240,9 @@ class GatewayMicroBatchStream(host: String, port: Int, maxQueue: Int = 0,
     val e = offVal(end)
     if (aligned && e >= committed) {
       val n = math.max(0L, e + 1 - firstOff).toInt
-      buf.remove(0, math.min(n, buf.size))
+      val removed = math.min(n, buf.size)
+      buf.remove(0, removed)
+      GatewayStats.commitCounter(s"$host:$port").addAndGet(removed.toLong)
       firstOff = math.max(firstOff, e + 1)
       committed = e
     }

@@ -64,6 +64,39 @@ object Daemon {
       route: String => Option[String] = Some(_)) {
     private val queue = new LinkedBlockingQueue[String](capacity)
     private val running = new AtomicBoolean(true)
+    // swappable route + pre-route hold buffer — the rolling-resize
+    // seam (the reference's memberlist Transition window,
+    // `cluster/cluster.go:667-700`): while HELD, incoming lines park
+    // RAW (markers intact, un-routed) so the resize can re-route them
+    // under the NEW shard count once every fleet member has flushed
+    // its old-epoch forwards; the listen sockets never close, so a
+    // sender never sees a refused connect across the resize.
+    private val routeRef =
+      new java.util.concurrent.atomic.AtomicReference(route)
+    @volatile private var holding = false
+    private val holdQ = new LinkedBlockingQueue[String](capacity)
+
+    /** Swap the route hook (resize: the new-count director). */
+    def setRoute(r: String => Option[String]): Unit = routeRef.set(r)
+
+    /** Park new lines raw until [[release]] — listeners stay open. */
+    def hold(): Unit = holding = true
+
+    /** Lines parked while held. */
+    def heldSize: Int = holdQ.size()
+
+    /** Re-admit parked lines through the CURRENT route (swap it
+      * first), oldest-first, then resume direct routing. Lines
+      * arriving during the drain keep parking until the queue is
+      * empty, preserving per-sender order; the final sweep covers the
+      * unhold race window. */
+    def release(): Unit = {
+      var l = holdQ.poll()
+      while (l != null) { routeRef.get()(l).foreach(enqueue); l = holdQ.poll() }
+      holding = false
+      l = holdQ.poll()
+      while (l != null) { routeRef.get()(l).foreach(enqueue); l = holdQ.poll() }
+    }
     private val listenSock = new ServerSocket()
     private val feedSock = new ServerSocket()
     listenSock.bind(new InetSocketAddress("127.0.0.1", listenPort))
@@ -87,7 +120,10 @@ object Daemon {
       * offers (blaster, self-stats, pixel) — passes the `route` hook
       * first: a sharded daemon's [[Shard.Director]] keeps, rewrites
       * (strips the forward marker), or forwards-and-drops the line. */
-    def offer(line: String): Unit = route(line).foreach(enqueue)
+    def offer(line: String): Unit =
+      if (holding) {
+        if (!holdQ.offer(line)) { holdQ.poll(); holdQ.offer(line); () }
+      } else routeRef.get()(line).foreach(enqueue)
 
     private def enqueue(line: String): Unit =
       if (!queue.offer(line)) { queue.poll(); queue.offer(line); () }
@@ -379,7 +415,9 @@ object Daemon {
     * catalog can never serve a name the store no longer holds. The
     * cached artifact is a DataFrame, not a driver trie — at 100 TB the
     * catalog is series-cardinality-sized and belongs on executors. */
-  final class CatalogCache(spark: SparkSession, archiveDirs: Seq[String]) {
+  final class CatalogCache(spark: SparkSession, dirsNow: () => Seq[String]) {
+    def this(spark: SparkSession, archiveDirs: Seq[String]) =
+      this(spark, () => archiveDirs)
     val hits = new java.util.concurrent.atomic.AtomicLong
     val misses = new java.util.concurrent.atomic.AtomicLong
     private var cached: Option[(Seq[Long], DataFrame)] = None
@@ -388,7 +426,11 @@ object Daemon {
       // pin the snapshot states ONCE: the generation vector and the
       // rebuild below read the same committed versions, so a merge
       // landing mid-rebuild cannot tear the catalog (it reads
-      // immutable files) — no lock needed, in- or cross-process
+      // immutable files) — no lock needed, in- or cross-process.
+      // `dirsNow` re-reads the CURRENT dir set per call: a rolling
+      // resize adds the new epoch's stores and the longer generation
+      // vector misses the cache exactly once.
+      val archiveDirs = dirsNow()
       val states = archiveDirs.map(ArchiveStore.state(spark, _))
       val gens = states.map(_.map(_.version).getOrElse(0L))
       cached match {
@@ -764,7 +806,7 @@ object Daemon {
     * answers the 1×1 GIF immediately and its `path?query` line is
     * offered to the pixel gateway for [[startPixelIngest]]. `now` is
     * injectable for tests; production defaults to the wall clock. */
-  def startHttp(spark: SparkSession, port: Int, archiveDirs: Seq[String],
+  def startHttp(spark: SparkSession, port: Int, archiveDirs0: Seq[String],
       stepSec: Long, maxPointsDefault: Int = 512,
       now: () => Long = () => System.currentTimeMillis() / 1000L,
       pixelOffer: Option[String => Unit] = None,
@@ -773,7 +815,14 @@ object Daemon {
       queryCacheSize: Int = 512,
       renderConcurrency: Int = 64,
       extraStats: () => String = () => "",
-      events: Option[EventStore] = None): HttpServer = {
+      events: Option[EventStore] = None,
+      // rolling resize: the daemon's store set GROWS when a new epoch
+      // starts writing — pass a thunk and every route (render, find,
+      // catalog, sketches) reads the CURRENT set per request; the
+      // per-request generation vectors keep the caches exact
+      archiveDirsDyn: Option[() => Seq[String]] = None): HttpServer = {
+    def archiveDirs: Seq[String] =
+      archiveDirsDyn.map(_()).getOrElse(archiveDirs0)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // Concurrent request dispatch — the reference's Go HTTP server runs
     // one goroutine per request and bounds only the render fan-out
@@ -801,7 +850,7 @@ object Daemon {
       while (v > cur && !max.compareAndSet(cur, v)) cur = max.get
     }
     val renderCache = new RenderCache(queryCacheSize)
-    val catalog = new CatalogCache(spark, archiveDirs)
+    val catalog = new CatalogCache(spark, () => archiveDirs)
 
     // query string PLUS a form-encoded POST body — Grafana's graphite
     // datasource POSTs its render requests (the reference reads both
@@ -918,13 +967,28 @@ object Daemon {
         else if (ex.getRequestMethod != "POST")
           respondText(ex, 405, "Error\n")
         else {
-          val body = new String(ex.getRequestBody.readAllBytes(),
-            StandardCharsets.UTF_8)
-          EventStore.parseEventBody(body) match {
-            case Some((when, what, tags, data)) =>
-              val ev = store.add(when.getOrElse(now()), what, tags, data)
-              respondText(ex, 200, ev.toJson + "\n")
-            case None => respondText(ex, 400, "Error\n")
+          // bounded read: annotations are human-scale — read at most
+          // cap+1 bytes and answer 413 past the cap, so one oversized
+          // body can neither balloon heap nor bloat the journal
+          val cap = EventStore.MaxBodyBytes
+          val raw = ex.getRequestBody.readNBytes(cap + 1)
+          if (raw.length > cap) respondText(ex, 413, "Error\n")
+          else {
+            val body = new String(raw, StandardCharsets.UTF_8)
+            EventStore.parseEventBody(body) match {
+              case Some((when, what, tags, data)) =>
+                // journal IO failure (disk full, perms) → 500, not an
+                // unhandled escape from the handler
+                try {
+                  val ev = store.add(when.getOrElse(now()), what, tags, data)
+                  respondText(ex, 200, ev.toJson + "\n")
+                } catch {
+                  case e: java.io.IOException =>
+                    System.err.println(s"events journal write failed: $e")
+                    respondText(ex, 500, "Error\n")
+                }
+              case None => respondText(ex, 400, "Error\n")
+            }
           }
         }
       })
@@ -998,7 +1062,7 @@ object Daemon {
       // deploy-marker firehose does not evict every cached dashboard.
       val states = archiveDirs.map(ArchiveStore.state(spark, _))
       val gens = states.map(_.map(_.version).getOrElse(0L)) ++
-        (if (targets.exists(_.contains("events(")))
+        (if (targets.exists(graft.dsl.Dsl.callsFunction(_, "events")))
           events.map(_.version) else None)
       renderCache.getOrCompute(key, gens) {
         // Cold render only: bounded at `renderConcurrency` concurrent
@@ -1469,7 +1533,9 @@ object Daemon {
     // graphite-web events API (extension): annotations journal under
     // the data dir — survives restarts like the archive stores
     val eventStore = new EventStore(
-      Some(java.nio.file.Paths.get(s"$dataDir/events.jsonl")))
+      Some(java.nio.file.Paths.get(s"$dataDir/events.jsonl")),
+      maxEvents = sys.env.get("GRAFT_EVENTS_MAX").map(_.toInt)
+        .getOrElse(EventStore.DefaultMax))
     val http = startHttp(spark,
       portOf("GRAFT_HTTP_PORT", conf.flatMap(_.httpPort), 8080),
       Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel") ++
@@ -1493,17 +1559,22 @@ object Daemon {
         val queues = Seq("graphite" -> gGw, "statsd" -> sGw,
           "pickle" -> pkGw, "pixel_dp" -> pxDpGw, "pixel_cmd" -> pxGw) ++
           replGw.map("replica" -> _)
+        // keys are JSON-escaped: stream names carry checkpoint-dir
+        // paths (set via queryName), and a quote/backslash/control
+        // char in a data dir must not corrupt the /stats document
         val qJson = queues.map { case (n, g) =>
-          s""""$n":${g.queueSize}""" }.mkString(",")
+          s""""${EventStore.esc(n)}":${g.queueSize}""" }.mkString(",")
         val sJson = spark.streams.active.zipWithIndex.map { case (q, i) =>
           val p = Option(q.lastProgress)
-          val nm = Option(q.name).getOrElse(s"q$i")
+          val nm = EventStore.esc(Option(q.name).getOrElse(s"q$i"))
           s""""$nm":{"batchId":${p.map(_.batchId).getOrElse(-1L)},""" +
             s""""inputRows":${p.map(_.numInputRows).getOrElse(-1L)},""" +
             s""""active":${q.isActive},""" +
             s""""exception":${q.exception.isDefined}}"""
         }.mkString(",")
         s""","ingest.queues":{$qJson},"ingest.streams":{$sJson}""" +
+        s""","events.count":${eventStore.count}""" +
+        s""","events.dropped":${eventStore.dropped}""" +
         (if (shardCount <= 1) ""
         else {
           val d = director.get

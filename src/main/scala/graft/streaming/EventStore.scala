@@ -20,39 +20,91 @@ import scala.collection.mutable.ArrayBuffer
   * matches when EVERY requested tag is among its tags (subset match);
   * no tags requested matches everything in the window.
   */
-final class EventStore(journal: Option[Path]) {
+final class EventStore(journal: Option[Path],
+    maxEvents: Int = EventStore.DefaultMax) {
   import EventStore.Ev
+  require(maxEvents > 0, s"maxEvents must be positive: $maxEvents")
 
   private val evs = new ArrayBuffer[Ev]()
   @volatile private var ver = 0L
+  // monotone id source — ids never reuse after an eviction
+  private var nextId = 0L
+  // journal lines written since last compaction (drives the 2×-cap
+  // compaction trigger) and total evictions (a /stats gauge)
+  private var journalLines = 0L
+  @volatile private var droppedCt = 0L
 
   // restart durability: replay the journal (ids re-assigned densely,
-  // like any table reload — ids are response-local handles)
+  // like any table reload — ids are response-local handles), then
+  // trim to the cap and compact so boot replay is itself bounded
   journal.filter(Files.exists(_)).foreach { p =>
     Files.readAllLines(p, StandardCharsets.UTF_8).forEach { line =>
       if (line.nonEmpty) EventStore.parseEventBody(line).foreach {
         case (when, what, tags, data) =>
-          evs += Ev(evs.length + 1L, when.getOrElse(0L), what, tags, data)
+          nextId += 1
+          evs += Ev(nextId, when.getOrElse(0L), what, tags, data)
       }
+    }
+    journalLines = evs.length.toLong
+    if (evs.length > maxEvents) {
+      droppedCt += (evs.length - maxEvents).toLong
+      evs.remove(0, evs.length - maxEvents)
+      compact(p)
     }
     ver = evs.length.toLong
   }
 
   def version: Long = ver
+  def count: Int = synchronized { evs.length }
+  def dropped: Long = droppedCt
 
   /** Append one event; journals before publishing so a crash between
-    * the two loses the event but never forgets a served one. */
+    * the two loses the event but never forgets a served one. Journal
+    * IO failures propagate to the caller (the HTTP handler answers
+    * 5xx) without publishing. Beyond `maxEvents` the OLDEST event is
+    * evicted (annotations are a time-ordered ring — the recent window
+    * is the useful one), and the journal is compacted once it holds
+    * 2× the cap, so neither driver heap nor boot-replay time grows
+    * without bound under a misbehaving poster. */
   def add(when: Long, what: String, tags: Seq[String],
       data: String): Ev = synchronized {
-    val ev = Ev(evs.length + 1L, when, what, tags, data)
+    nextId += 1
+    val ev = Ev(nextId, when, what, tags, data)
     journal.foreach { p =>
       Files.createDirectories(p.getParent)
       Files.write(p, (ev.toJson + "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      journalLines += 1
     }
     evs += ev
+    if (evs.length > maxEvents) {
+      droppedCt += (evs.length - maxEvents).toLong
+      evs.remove(0, evs.length - maxEvents)
+    }
+    // amortized O(1): a full rewrite every maxEvents appends
+    if (journalLines > 2L * maxEvents) journal.foreach(compact)
     ver += 1
     ev
+  }
+
+  /** Rewrite the journal to exactly the live (capped) set, atomically
+    * (temp file + move), so a crash mid-compaction keeps the old
+    * journal. Caller holds the lock (or is the single-threaded
+    * constructor). */
+  private def compact(p: Path): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    val body = evs.iterator.map(_.toJson + "\n").mkString
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    journalLines = evs.length.toLong
   }
 
   /** Window + subset-tag query, when-then-id ordered. */
@@ -68,6 +120,17 @@ final class EventStore(journal: Option[Path]) {
 }
 
 object EventStore {
+
+  /** Default ring cap: annotations are human-scale (graphite deploys
+    * + incidents — thousands per fleet); 20k bounds driver heap at a
+    * few MB and boot replay at tens of ms while holding months of
+    * real traffic. Override per-daemon via `GRAFT_EVENTS_MAX`. */
+  val DefaultMax: Int = 20000
+
+  /** Largest accepted POST /events body: annotations are human-scale
+    * prose — 64 KiB is generous; beyond it the daemon answers 413
+    * rather than ballooning heap + journal on one request. */
+  val MaxBodyBytes: Int = 64 * 1024
 
   final case class Ev(id: Long, when: Long, what: String,
       tags: Seq[String], data: String) {

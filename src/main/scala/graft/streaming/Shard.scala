@@ -296,7 +296,10 @@ object Shard {
         replReceived.incrementAndGet()
         replicaOffer(line.substring(ReplMarker.length))
         None
-      } else parseName(line) match {
+      } else routePlain(line)
+
+    private def routePlain(line: String): Option[String] =
+      parseName(line) match {
         case None => Some(line) // malformed: local parse drops it
         case Some(raw) =>
           val o = owner(canon(raw), shardCount)
@@ -310,6 +313,33 @@ object Shard {
           if (o == shardIndex) { kept.incrementAndGet(); Some(line) }
           else { forwarder.send(o, FwdMarker + line); None }
       }
+
+    /** Transition-window route (the membership-change re-home): a held
+      * line's marker encodes a decision made under the OLD shard count,
+      * so it is VOID here — strip it and re-decide under THIS director's
+      * count. Safe under agreement (re-routing a marked line lands it at
+      * its new owner and stops — no loop), and duplicate replica copies
+      * self-heal downstream: the PDP state machine rejects a second
+      * point at the same (name, ts) (`Ingest.pdpPieces` `ts > lastTs`),
+      * so a held repl copy plus the re-replication its unwrapped primary
+      * triggers store exactly once. */
+    def reroute(line: String): Option[String] =
+      if (line.startsWith(FwdMarker)) routePlain(line.substring(FwdMarker.length))
+      else if (line.startsWith(ReplMarker)) {
+        replicateOnly(line.substring(ReplMarker.length)); None
+      } else routePlain(line)
+
+    /** Deliver a bare line to its series' CURRENT replica holders only
+      * (no primary delivery — the primary copy travels separately). */
+    def replicateOnly(line: String): Unit = parseName(line) match {
+      case None => () // malformed: nothing to place
+      case Some(raw) =>
+        val o = owner(canon(raw), shardCount)
+        replicasOf(o).foreach { r =>
+          if (r == shardIndex) { replKept.incrementAndGet(); replicaOffer(line) }
+          else forwarder.send(r, ReplMarker + line)
+        }
+    }
 
     def close(): Unit = forwarder.close()
   }

@@ -124,6 +124,46 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
         (1000012L, "deploy2")))
   }
 
+  test("events: ring cap evicts oldest, journal compacts at 2x cap, " +
+      "restart replays the capped set; oversized POST body answers 413") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("revcap")
+    val jp = dir.resolve("events.jsonl")
+    val store = new EventStore(Some(jp), maxEvents = 5)
+    (1 to 12).foreach(i => store.add(1000000L + i, s"ev$i", Seq("t"), ""))
+    // ring: only the newest 5 remain, 7 evicted, ids never reused
+    assert(store.count === 5)
+    assert(store.dropped === 7L)
+    assert(store.all().map(_.what) === (8 to 12).map(i => s"ev$i"))
+    assert(store.all().map(_.id) === (8L to 12L))
+    // journal compacted at the 2×-cap trigger: bounded, not 12 lines
+    val lines = Files.readAllLines(jp, StandardCharsets.UTF_8)
+    assert(lines.size <= 10, s"journal not compacted: ${lines.size} lines")
+    // restart replays exactly the capped set (when/what/tags/data)
+    val store2 = new EventStore(Some(jp), maxEvents = 5)
+    assert(store2.all().map(e => (e.when, e.what, e.tags, e.data)) ===
+      store.all().map(e => (e.when, e.what, e.tags, e.data)))
+
+    // oversized POST body → 413, nothing journaled
+    val slots = dir.toString + "/slots"
+    Ingest.mergePiecesIntoArchive(s,
+      Seq(Ingest.Piece("web.req", 1000000L, 1000010L, 2.0)).toDF(),
+      slots, stepSec = 10)
+    val http = Daemon.startHttp(s, 0, Seq(slots), stepSec = 10,
+      now = () => 1000100L, events = Some(store2))
+    try {
+      val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+      val big = """{"what": """" + ("x" * (EventStore.MaxBodyBytes + 10)) +
+        """"}"""
+      assert(httpPost(s"$base/events", big)._1 === 413)
+      assert(store2.count === 5)
+      // a normal-sized post still lands
+      assert(httpPost(s"$base/events",
+        """{"what": "small", "when": 1000050}""")._1 === 200)
+      assert(store2.all().last.what === "small")
+    } finally http.stop(0)
+  }
+
   test("gateway sheds the OLDEST lines past capacity, newest survive") {
     // the reference's bounded ingest channels shed load rather than
     // OOM; the gateway must do the same — offer 6 lines into a

@@ -1003,6 +1003,11 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] {
       Eval.evalExpr(cl2, "aggregateSeriesLists(a.*, b.*, 'sum')").collect()
     }
+    // graphite's 4th positional (xFilesFactor) is unimplemented —
+    // loud, never silently dropped
+    intercept[IllegalArgumentException] {
+      Eval.evalExpr(cl2, "aggregateSeriesLists(a.*, b.*, 'sum', 0.5)")
+    }
   }
 
   test("extension: mapSeries/reduceSeries, cactiStyle/legendValue, " +
@@ -1056,6 +1061,50 @@ class ReferenceDslSpec extends AnyFunSuite with BeforeAndAfterAll {
       Eval.evalExpr(ctx,
         "aliasQuery('foo.bar1.baz', 'bar1', 'nosuch', 'x %d')")
     }
+
+    // aliasQuery over MANY series runs a BOUNDED number of Spark jobs
+    // (one unioned plan + one pick action — not one job per series):
+    // 40 matched series under the old per-series loop issued 40+
+    // sequential collect() actions; the union form stays < 10 jobs
+    val many = (0 until 40).flatMap(i => Seq(
+      (f"m.src$i%02d.q", 0L, i.toDouble), (f"m.dst$i%02d.q", 0L, i * 2.0)))
+    val cm = Eval.Ctx(s, many.toDF("name", "t", "value"), 10, 0, 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val out = Eval.evalExpr(cm,
+        "aliasQuery('m.src*.q', 'src', 'dst', 'v %d')")
+        .as[(String, Long, Option[Double])].collect()
+      // listener events post asynchronously — wait until the count is
+      // stable (the 40-vs-<10 margin dwarfs any straggler)
+      var prev = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        if (jobs.get() == prev) stable += 1 else { stable = 0; prev = jobs.get() }
+      }
+      assert(out.map(_._1).toSet === (0 until 40).map(i => s"v ${i * 2}").toSet)
+      assert(jobs.get() < 10,
+        s"aliasQuery issued ${jobs.get()} jobs for 40 series — not batched")
+    } finally s.sparkContext.removeSparkListener(listener)
+    // the plan-fanout guard is loud, not a silent truncation
+    val tight = "GRAFT_DSL_MAX_FANOUT" // env-config'd; default 2000 ≫ 40
+    assert(graft.dsl.EvalLimits.maxPlanFanout >= 40, tight)
+
+    // callsFunction: AST-based events() detection — whitespace before
+    // the paren, nesting, and string literals all classify correctly
+    import graft.dsl.Dsl
+    assert(Dsl.callsFunction("events(deploy)", "events"))
+    assert(Dsl.callsFunction("events (deploy)", "events"))
+    assert(Dsl.callsFunction("alias(events(a, b), 'x')", "events"))
+    assert(!Dsl.callsFunction("alias(foo.events.bar, 'events(')", "events"))
+    assert(!Dsl.callsFunction("sumSeries(foo.*)", "events"))
 
     // setXFilesFactor channel: a bare removeEmptySeries honors it
     val gap = (0 until 10).flatMap(i => Seq(
