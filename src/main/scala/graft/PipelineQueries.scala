@@ -953,6 +953,47 @@ object PipelineQueries {
            |LEFT JOIN ent e USING (doc_id)
            |ORDER BY doc_id""".stripMargin)),
 
+    // streaming curation scores (the batch/stream duality proof for
+    // the curation family): the corpus arrives as FOUR micro-batches
+    // through CurationStream.processBatch — with batch 2 REPLAYED
+    // (the crash-recovery path: a replay rewrites its own bid
+    // partition, never appends) — and the accumulated score store
+    // must equal a whole-corpus docScores, which is what the oracle
+    // computes per-doc over the full table
+    ("cu_stream_scores",
+      ((s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("text"))
+        val dir = java.nio.file.Files.createTempDirectory("strsc")
+          .toString + "/scores"
+        (0L until 4L).foreach(bid =>
+          streaming.CurationStream.processBatch(
+            docs.filter(col("doc_id") % 4 === bid), bid, dir))
+        // replay bid 2 — the accumulated table must not change
+        streaming.CurationStream.processBatch(
+          docs.filter(col("doc_id") % 4 === 2L), 2L, dir)
+        streaming.CurationStream.readScores(s, dir)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            ts.Round6.r6(col("quality")).as("quality"), col("lang_pred"),
+            ts.Round6.r6(col("entropy")).as("entropy"))
+          .orderBy("doc_id")
+      }): Q,
+      Some(
+        s"""WITH ${pipeline.TextAnalysis.charEntropySql},
+           |qual AS (${pipeline.TextAnalysis.qualityScoreSql}),
+           |lang AS (${pipeline.TextAnalysis.languageIdSql})
+           |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+           |  CAST(q.n_tokens AS BIGINT) AS n_tokens,
+           |  ${ts.Round6.r6Sql("CAST(q.quality AS DOUBLE)")} AS quality,
+           |  l.lang_pred,
+           |  ${ts.Round6.r6Sql("e.entropy")} AS entropy
+           |FROM documents d
+           |LEFT JOIN qual q USING (doc_id)
+           |LEFT JOIN lang l USING (doc_id)
+           |LEFT JOIN ent e USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)),
+
     // Zipf-fit diagnostic: per-source ln(tf) ~ ln(rank) slope over the
     // top-100 vocabulary — the synthetic-content alarm next to
     // cu_drift's JS monitor

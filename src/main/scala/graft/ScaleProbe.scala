@@ -1315,16 +1315,19 @@ object ScaleProbe {
         }
         (gws, pks, dirs, qs)
       }
-      def blast(gws: Seq[Daemon.LineGateway], sec: Int): Unit = {
+      def blast(gws: Seq[Daemon.LineGateway], sec: Int,
+          nSeries: Int = 1000,
+          into: java.util.concurrent.ConcurrentLinkedQueue[String] = cap)
+          : Unit = {
         val n = gws.size
         val blaster = new graft.streaming.Blaster.LiveBlaster(line => {
-          cap.add(line)
+          into.add(line)
           // entry shard per series: stable, deliberately NOT the owner
           // rule, so the forwarding hop carries real traffic
           gws(java.lang.Math.floorMod(
             Shard.nameOf(line).getOrElse("").hashCode, n)).offer(line)
         })
-        blaster.setNSeries(1000)
+        blaster.setNSeries(nSeries)
         blaster.setRate(rate)
         Thread.sleep(sec * 1000L)
         blaster.setRate(0)
@@ -1386,8 +1389,82 @@ object ScaleProbe {
         pts.unpersist(); expected.unpersist()
         total
       }
+      // fleet-scale resize (VERDICT r13 task 5): 8 -> 12 with ~100k
+      // LIVE series under the same blast rate. The Relinquish read +
+      // remap is one job over live-series STATE rows — O(series),
+      // never O(data) — so the seed write must land in seconds (hard
+      // in-stage bound), and the batch oracle must hold over the
+      // resized union exactly as at 2 -> 3: zero gapped, zero doubled
+      // slots.
+      val bigSeries = sys.env.getOrElse("SPARK_GRAFT_RESHARD_SERIES",
+        "100000").toInt
+      val bigRows: Seq[(String, Double, Long)] =
+        if (sys.env.get("SPARK_GRAFT_RESHARD_BIG").contains("0")) Seq.empty
+        else {
+          val cap2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+          val (gA, pkA, dA, qA) = fleet(8, "bo", None)
+          blast(gA, phaseSec, bigSeries, cap2)
+          drainStop(qA)
+          dA.foreach(d => scala.util.Try(d.close()))
+          (gA ++ pkA).foreach(g => scala.util.Try(g.close()))
+          val seedPaths = (0 until 12).map(i => s"$dir/bseed$i")
+          val seedRow = time("reshard_seed_write_8to12") {
+            Reshard.writeSeeds(spark,
+              (0 until 8).map(i => s"$dir/bo$i/ckpt"), 12, seedPaths)
+            spark.read.parquet(seedPaths: _*).count()
+          }
+          require(seedRow._2 < 180.0,
+            s"8->12 seed write took ${seedRow._2}s for ${seedRow._3} " +
+              "series — not O(live series)")
+          val row2 = time(s"reshard_8to12_${bigSeries}ser") {
+            val (gB, pkB, dB, qB) = fleet(12, "bn", Some(seedPaths))
+            blast(gB, phaseSec, bigSeries, cap2)
+            drainStop(qB)
+            dB.foreach(d => scala.util.Try(d.close()))
+            (gB ++ pkB).foreach(g => scala.util.Try(g.close()))
+            (0 until 12).foreach { i =>
+              val mis = Ingest.readArchive(spark, s"$dir/bn$i/points")
+                .select(col("name")).distinct()
+                .filter(pmod(xxhash64(col("name")), lit(12L)).cast("int")
+                  =!= i)
+                .count()
+              require(mis == 0, s"new shard $i holds $mis foreign series")
+            }
+            import spark.implicits._
+            val pts = Ingest.parseGraphite(
+                cap2.toArray(new Array[String](0)).toSeq.toDF("line"),
+                nowSec = lit(0L))
+              .select(col("name"), col("tsSec").as("ts"), col("value"))
+              .persist()
+            val expected = Consolidate.consolidate(pts, 10L, "wmean",
+                0.0, 300)
+              .withColumnRenamed("value", "exp").persist()
+            val union = Ingest.readArchives(spark,
+              (0 until 8).map(i => s"$dir/bo$i/points") ++
+                (0 until 12).map(i => s"$dir/bn$i/points"))
+            val bad = expected.join(union, Seq("name", "t"), "left")
+              .filter(col("value").isNull ||
+                abs(col("value") - col("exp")) > 1e-9)
+              .count()
+            require(bad == 0,
+              s"8->12 union diverged on $bad slots (gapped or doubled)")
+            val lastUp = pts.groupBy(col("name"))
+              .agg(max(col("ts")).as("__last"))
+            val badExtra = union.join(expected, Seq("name", "t"),
+                "left_anti")
+              .join(lastUp, Seq("name"))
+              .filter(col("t") + 10 <= col("__last"))
+              .count()
+            require(badExtra == 0,
+              s"8->12 union holds $badExtra COMPLETE slots the oracle lacks")
+            val total = pts.count()
+            pts.unpersist(); expected.unpersist()
+            total
+          }
+          Seq(seedRow, row2)
+        }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-      Seq(row)
+      Seq(row) ++ bigRows
     }
 
     // serving a published two-level index should amortize the build;

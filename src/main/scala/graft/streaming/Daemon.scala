@@ -1338,7 +1338,12 @@ object Daemon {
     // GRAFT_SHARD_INDEX, peers' graphite ports (index-aligned, own
     // slot ignored) in GRAFT_SHARD_PEERS. Single-daemon (count=1)
     // boots the identity route — zero cost, identical behavior.
-    val shardCount = env("GRAFT_SHARD_COUNT", "1").toInt
+    // `var`: a rolling resize (admin routes below) re-binds the count
+    // and the directors in place — the gateways' listen sockets never
+    // close, so line senders never see a refused connect (the
+    // memberlist-Transition availability property,
+    // `cluster/cluster.go:667-700`)
+    @volatile var shardCount = env("GRAFT_SHARD_COUNT", "1").toInt
     val shardIndex = env("GRAFT_SHARD_INDEX", "0").toInt
     // n-copy replication (cluster/cluster.go:183-191 Copies +
     // selectNodes ring placement): each POINT series also lands on its
@@ -1365,7 +1370,7 @@ object Daemon {
       replGw.map(_ => new LineGateway(0, 0, framed = true)) // dormant
     val replicaOffer: String => Unit =
       replGw.map(g => g.offer _).getOrElse((_: String) => ())
-    val director: Option[Shard.Director] =
+    @volatile var director: Option[Shard.Director] =
       if (shardCount <= 1) None
       else Some(new Shard.Director(shardIndex, shardCount,
         new Shard.Forwarder(peersOf("GRAFT_SHARD_PEERS")),
@@ -1376,7 +1381,7 @@ object Daemon {
     // (all point protocols funnel into the one receiver), so the
     // pickle director dials the same graphite peer ports — on its own
     // connections, preserving per-path ordering
-    val pkDirector: Option[Shard.PickleDirector] =
+    @volatile var pkDirector: Option[Shard.PickleDirector] =
       if (shardCount <= 1) None
       else Some(new Shard.PickleDirector(shardIndex, shardCount,
         new Shard.Forwarder(peersOf("GRAFT_SHARD_PEERS")),
@@ -1384,22 +1389,32 @@ object Daemon {
     // statsd directs too (the reference's director sits behind every
     // protocol) when the statsd peer ports are given; ownership keys
     // on the sanitized WIRE name — see [[Shard.Director]]
-    val sdDirector: Option[Shard.Director] =
+    @volatile var sdDirector: Option[Shard.Director] =
       if (shardCount <= 1 || !sys.env.contains("GRAFT_SHARD_STATSD_PEERS"))
         None
       else Some(new Shard.Director(shardIndex, shardCount,
         new Shard.Forwarder(peersOf("GRAFT_SHARD_STATSD_PEERS")),
         parseName = Shard.statsdNameOf, canon = Shard.sanitizePlain))
+    // routes deref the director VARS per line: a resize re-binds the
+    // director and every subsequent line routes under the new count —
+    // no stale captures (setRoute is used only for the transition
+    // rerouter window)
+    val gRoute: String => Option[String] =
+      l => director.map(_.route(l)).getOrElse(Some(l))
+    val sRoute: String => Option[String] =
+      l => sdDirector.map(_.route(l)).getOrElse(Some(l))
+    val pkRoute: String => Option[String] =
+      l => pkDirector.map(_.route(l)).getOrElse(Some(l))
     val gGw = new LineGateway(
       portOf("GRAFT_GRAPHITE_PORT", conf.flatMap(_.graphitePort), 2003), 0,
-      route = director.map(d => d.route _).getOrElse(Some(_: String)))
+      route = gRoute)
     val sGw = new LineGateway(
       portOf("GRAFT_STATSD_PORT", conf.flatMap(_.statsdPort), 8125), 0,
-      route = sdDirector.map(d => d.route _).getOrElse(Some(_: String)))
+      route = sRoute)
     val pkGw = new LineGateway(
       portOf("GRAFT_PICKLE_PORT", conf.flatMap(_.picklePort), 2004), 0,
       framed = true,
-      route = pkDirector.map(d => d.route _).getOrElse(Some(_: String)))
+      route = pkRoute)
     // both fed by the HTTP handler (pixelRoute), not a listen socket:
     // bare /pixel dp lines feed the receiver, /pixel/* commands their
     // own lifecycle. The dp gateway shares the graphite DIRECTOR: its
@@ -1407,8 +1422,7 @@ object Daemon {
     // pixel point served by a non-owner shard would archive locally,
     // splitting one series' PDP state across two stores and breaking
     // the store-disjointness invariant the render union relies on.
-    val pxDpGw = new LineGateway(0, 0,
-      route = director.map(d => d.route _).getOrElse(Some(_: String)))
+    val pxDpGw = new LineGateway(0, 0, route = gRoute)
     val pxGw = new LineGateway(0, 0)
     // one archive store per writer: points (graphite+pickle+pixel dps,
     // via the shared receiver), statsd commands, pixel commands — the
@@ -1419,7 +1433,7 @@ object Daemon {
     // state this shard inherits at a resize. Applied only when the
     // checkpoint is FRESH (first post-resize boot); a resumed
     // checkpoint carries its own state and Spark ignores the seed.
-    val pdpSeed = sys.env.get("GRAFT_PDP_SEED")
+    @volatile var pdpSeed = sys.env.get("GRAFT_PDP_SEED")
       .map(p => Reshard.readSeed(spark, p))
     // the REPLICA receiver's seed at a resize: with GRAFT_PDP_SEED_ALL
     // (every new shard's seed path, index-aligned) the replica store
@@ -1428,16 +1442,16 @@ object Daemon {
     // k < copies — so a re-homed series' resize-straddling slot is
     // exact in the replica store too (an owner crash right after a
     // resize otherwise serves that one slot gapped from the fallback)
-    val replicaSeed = sys.env.get("GRAFT_PDP_SEED_ALL")
-      .filter(_ => replGw.nonEmpty)
-      .map { all =>
-        val paths = all.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        require(paths.size == shardCount,
-          s"GRAFT_PDP_SEED_ALL has ${paths.size} entries for $shardCount shards")
-        val preds = Shard.replicatedBy(shardIndex, shardCount, shardCopies)
-        require(preds.nonEmpty, "GRAFT_PDP_SEED_ALL set with copies <= 1")
-        preds.map(o => Reshard.readSeed(spark, paths(o))).reduce(_ union _)
-      }
+    def replicaSeedOf(all: String): Dataset[(String, Ingest.PdpState)] = {
+      val paths = all.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(paths.size == shardCount,
+        s"seed-all has ${paths.size} entries for $shardCount shards")
+      val preds = Shard.replicatedBy(shardIndex, shardCount, shardCopies)
+      require(preds.nonEmpty, "seed-all set with copies <= 1")
+      preds.map(o => Reshard.readSeed(spark, paths(o))).reduce(_ union _)
+    }
+    @volatile var replicaSeed = sys.env.get("GRAFT_PDP_SEED_ALL")
+      .filter(_ => replGw.nonEmpty).map(replicaSeedOf)
     // small-file maintenance cadence (0 = off): a long-running
     // daemon's merge-per-batch cadence fragments the store into one
     // chunk per surviving batch epoch without it — ON by default, and
@@ -1447,47 +1461,75 @@ object Daemon {
       .getOrElse(16)
     val compactFanout = sys.env.get("GRAFT_COMPACT_FANOUT").map(_.toInt)
       .getOrElse(4)
-    def startAll(settings: DaemonSettings): Seq[StreamingQuery] = Seq(
-      startReceiver(spark, gGw.boundFeedPort, pkGw.boundFeedPort,
-        s"$dataDir/points", settings.stepSec, settings.heartbeatSec,
-        checkpointDir = s"$dataDir/ckpt-points",
-        retainSec = settings.retainSec,
-        rras = settings.rras, pixelDpFeedPort = Some(pxDpGw.boundFeedPort),
-        maxQueue = settings.maxQueue, maxMemory = settings.maxMemory,
-        pdpSeed = pdpSeed,
-        compactEvery = compactEvery, compactFanout = compactFanout),
-      startStatsdIngest(spark, sGw.boundFeedPort, s"$dataDir/statsd",
-        settings.flushSec, checkpointDir = s"$dataDir/ckpt-statsd",
-        retainSec = settings.retainSec, statsPrefix = settings.statsPrefix),
-      startPixelIngest(spark, pxGw.boundFeedPort,
-        s"$dataDir/pixel", settings.flushSec,
-        checkpointDir = s"$dataDir/ckpt-pixel",
-        retainSec = settings.retainSec)) ++
-      // the REPLICA receiver (copies > 1): the unchanged point
-      // pipeline over the repl-marked lines the directors divert here,
-      // into a store the primary union never reads — only the
-      // owner-preferred fallback does (Shard.readClusterArchives)
-      replGw.map(g => startReceiver(spark, g.boundFeedPort,
-        replPkGw.get.boundFeedPort, s"$dataDir/replica/points",
-        settings.stepSec, settings.heartbeatSec,
-        checkpointDir = s"$dataDir/replica/ckpt-points",
-        retainSec = settings.retainSec, rras = settings.rras,
-        maxQueue = settings.maxQueue, maxMemory = settings.maxMemory,
-        pdpSeed = replicaSeed,
-        compactEvery = compactEvery, compactFanout = compactFanout)).toSeq
+    // Resize epochs: each rolling resize starts a NEW write epoch —
+    // fresh checkpoints (the seeded PDP state applies only to a fresh
+    // checkpoint) and fresh store dirs, with every prior epoch's store
+    // kept read-only in the render union (archive data never moves at
+    // a resize — Reshard's invariant 1). Epoch 0 is the legacy layout
+    // (`$dataDir/points` ...); epoch E > 0 nests under `$dataDir/epE`.
+    // The current epoch persists in `$dataDir/EPOCH` so a process
+    // restart resumes the right checkpoints.
+    val epochFile = java.nio.file.Paths.get(s"$dataDir/EPOCH")
+    @volatile var epoch: Int =
+      (if (Files.exists(epochFile))
+        Some(Files.readString(epochFile).trim.toInt) else None)
+        .orElse(sys.env.get("GRAFT_EPOCH").map(_.toInt)).getOrElse(0)
+    def edir(e: Int): String = if (e == 0) dataDir else s"$dataDir/ep$e"
+    def startAll(settings: DaemonSettings): Seq[StreamingQuery] = {
+      val ed = edir(epoch)
+      Seq(
+        startReceiver(spark, gGw.boundFeedPort, pkGw.boundFeedPort,
+          s"$ed/points", settings.stepSec, settings.heartbeatSec,
+          checkpointDir = s"$ed/ckpt-points",
+          retainSec = settings.retainSec,
+          rras = settings.rras, pixelDpFeedPort = Some(pxDpGw.boundFeedPort),
+          maxQueue = settings.maxQueue, maxMemory = settings.maxMemory,
+          pdpSeed = pdpSeed,
+          compactEvery = compactEvery, compactFanout = compactFanout),
+        startStatsdIngest(spark, sGw.boundFeedPort, s"$ed/statsd",
+          settings.flushSec, checkpointDir = s"$ed/ckpt-statsd",
+          retainSec = settings.retainSec, statsPrefix = settings.statsPrefix),
+        startPixelIngest(spark, pxGw.boundFeedPort,
+          s"$ed/pixel", settings.flushSec,
+          checkpointDir = s"$ed/ckpt-pixel",
+          retainSec = settings.retainSec)) ++
+        // the REPLICA receiver (copies > 1): the unchanged point
+        // pipeline over the repl-marked lines the directors divert here,
+        // into a store the primary union never reads — only the
+        // owner-preferred fallback does (Shard.readClusterArchives)
+        replGw.map(g => startReceiver(spark, g.boundFeedPort,
+          replPkGw.get.boundFeedPort, s"$ed/replica/points",
+          settings.stepSec, settings.heartbeatSec,
+          checkpointDir = s"$ed/replica/ckpt-points",
+          retainSec = settings.retainSec, rras = settings.rras,
+          maxQueue = settings.maxQueue, maxMemory = settings.maxMemory,
+          pdpSeed = replicaSeed,
+          compactEvery = compactEvery, compactFanout = compactFanout)).toSeq
+    }
     // a daemon restarted over a round-9 (pre-manifest) data dir adopts
     // each store's on-disk history as its v1 manifest BEFORE anything
     // serves: without this, renders would fail loudly (by design)
     // until the first merge batch happened to land on each store.
     // Covers the per-RRA sibling stores of the points writer too.
-    (Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel") ++
-      boot.rras.map(_.dir(s"$dataDir/points")) ++
-      replGw.toSeq.flatMap(_ => s"$dataDir/replica/points" +:
-        boot.rras.map(_.dir(s"$dataDir/replica/points"))))
-      .foreach { d =>
-        Ingest.StoreLock.write(d) { ArchiveStore.adoptLegacy(spark, d) }
-      }
-    @volatile var active = startAll(boot)
+    def adoptEpoch(e: Int): Unit = {
+      val ed = edir(e)
+      (Seq(s"$ed/points", s"$ed/statsd", s"$ed/pixel") ++
+        boot.rras.map(_.dir(s"$ed/points")) ++
+        replGw.toSeq.flatMap(_ => s"$ed/replica/points" +:
+          boot.rras.map(_.dir(s"$ed/replica/points"))))
+        .foreach { d =>
+          Ingest.StoreLock.write(d) { ArchiveStore.adoptLegacy(spark, d) }
+        }
+    }
+    (0 to epoch).foreach(adoptEpoch)
+    // GRAFT_STANDBY=1: a JOINING node of a rolling resize — gateways
+    // bound and HELD (lines park raw), streams deferred until the
+    // coordinator's /admin/resume (the reference's new memberlist
+    // member before Transition: visible, not yet owning)
+    val standby = env("GRAFT_STANDBY", "0") == "1"
+    if (standby) Seq(gGw, sGw, pkGw, pxDpGw, pxGw).foreach(_.hold())
+    @volatile var active: Seq[StreamingQuery] =
+      if (standby) Seq.empty else startAll(boot)
     // in-daemon load generator, inert until /blaster/set raises its
     // rate (the reference's zero-limit boot state); its lines feed the
     // graphite gateway exactly like an external sender's would
@@ -1536,11 +1578,16 @@ object Daemon {
       Some(java.nio.file.Paths.get(s"$dataDir/events.jsonl")),
       maxEvents = sys.env.get("GRAFT_EVENTS_MAX").map(_.toInt)
         .getOrElse(EventStore.DefaultMax))
+    // the render union: prior-epoch stores first (operator-listed
+    // extras, then every local epoch oldest-first), current epoch last
+    def allStoreDirs(): Seq[String] = extraStores ++
+      (0 to epoch).flatMap(e =>
+        Seq(s"${edir(e)}/points", s"${edir(e)}/statsd", s"${edir(e)}/pixel"))
     val http = startHttp(spark,
       portOf("GRAFT_HTTP_PORT", conf.flatMap(_.httpPort), 8080),
-      Seq(s"$dataDir/points", s"$dataDir/statsd", s"$dataDir/pixel") ++
-        extraStores,
+      allStoreDirs(),
       boot.stepSec, pixelOffer = Some(pixelRoute(pxDpGw.offer, pxGw.offer)),
+      archiveDirsDyn = Some(() => allStoreDirs()),
       events = Some(eventStore),
       blaster = Some(blaster),
       allowOrigin = conf.flatMap(_.httpAllowOrigin),
@@ -1600,6 +1647,167 @@ object Daemon {
               .getOrElse("")
         })
       })
+    // ---- rolling-resize admin surface ----------------------------
+    // The memberlist-Transition control plane re-expressed as four
+    // 127.0.0.1 routes a COORDINATOR drives (`Reshard rolling`, the
+    // operator's one command): hold → quiesce → (coordinator re-homes
+    // PDP state) → resume. The listen sockets never close, so a line
+    // sender never sees a refused connect across the resize; held
+    // lines park RAW and re-decide ownership under the new count at
+    // release (`Shard.Director.reroute`).
+    val restartGen = new java.util.concurrent.atomic.AtomicLong(0)
+    val heldGws = Seq(gGw, sGw, pkGw, pxDpGw, pxGw)
+    @volatile var held = standby
+    def adminText(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    def adminParam(ex: HttpExchange, k: String): Option[String] =
+      Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+        .filter(_.nonEmpty).collectFirst {
+          case kv if kv.takeWhile(_ != '=') == k =>
+            java.net.URLDecoder.decode(kv.dropWhile(_ != '=').drop(1),
+              StandardCharsets.UTF_8)
+        }
+    def infoJson: String =
+      s"""{"index":$shardIndex,"count":$shardCount,""" +
+        s""""copies":$shardCopies,"epoch":$epoch,""" +
+        s""""dataDir":"${EventStore.esc(dataDir)}",""" +
+        s""""ckptPoints":"${EventStore.esc(s"${edir(epoch)}/ckpt-points")}",""" +
+        s""""graphitePort":${gGw.boundListenPort},""" +
+        s""""held":$held,"standby":$standby}"""
+    http.createContext("/admin/info",
+      (ex: HttpExchange) => adminText(ex, 200, infoJson + "\n"))
+    http.createContext("/admin/hold", (ex: HttpExchange) =>
+      if (ex.getRequestMethod != "POST") adminText(ex, 405, "Error\n")
+      else {
+        heldGws.foreach(_.hold())
+        held = true
+        adminText(ex, 200, "held\n")
+      })
+    // every line accepted BEFORE the hold must be durably in the old
+    // epoch's store before the streams stop: gateway queues empty AND
+    // every feed's accepted==committed (the sources' uncommitted
+    // buffers drained) — then stopping at the micro-batch boundary
+    // loses nothing (the Relinquish flush precondition)
+    def feedPorts: Seq[Int] =
+      (heldGws ++ replGw ++ replPkGw).map(_.boundFeedPort)
+    def drained: Boolean =
+      (heldGws ++ replGw ++ replPkGw).forall(_.queueSize == 0) &&
+        feedPorts.forall { p =>
+          val k = s"127.0.0.1:$p"
+          graft.sources.GatewayStats.accepted(k) ==
+            graft.sources.GatewayStats.committed(k)
+        }
+    http.createContext("/admin/quiesce", (ex: HttpExchange) =>
+      if (ex.getRequestMethod != "POST") adminText(ex, 405, "Error\n")
+      else if (!held) adminText(ex, 409, "Error: not held\n")
+      else {
+        val timeoutMs = adminParam(ex, "timeoutSec").map(_.toLong)
+          .getOrElse(120L) * 1000L
+        val deadline = System.currentTimeMillis() + timeoutMs
+        while (!drained && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        if (!drained)
+          adminText(ex, 500, "Error: drain timeout (queues=" +
+            (heldGws ++ replGw ++ replPkGw).map(_.queueSize).mkString(",") +
+            ")\n")
+        else {
+          restartGen.incrementAndGet()
+          active.foreach(q => Try(q.stop()))
+          active = Seq.empty
+          director.foreach(d => Try(d.close()))
+          pkDirector.foreach(d => Try(d.close()))
+          sdDirector.foreach(d => Try(d.close()))
+          adminText(ex, 200,
+            s"""{"index":$shardIndex,"epoch":$epoch,""" +
+              s""""ckptPoints":"${EventStore.esc(s"${edir(epoch)}/ckpt-points")}",""" +
+              s""""hadStreams":${Files.exists(java.nio.file.Paths.get(
+                s"${edir(epoch)}/ckpt-points"))}}""" + "\n")
+        }
+      })
+    http.createContext("/admin/resume", (ex: HttpExchange) =>
+      if (ex.getRequestMethod != "POST") adminText(ex, 405, "Error\n")
+      else if (!held) adminText(ex, 409, "Error: not held\n")
+      else try {
+        val m = adminParam(ex, "count").map(_.toInt).getOrElse(shardCount)
+        val newPeers = adminParam(ex, "peers").map(_.split(",")
+          .map(_.trim.toInt).toSeq).getOrElse(Seq.empty)
+        val targetEpoch = adminParam(ex, "epoch").map(_.toInt)
+          .getOrElse(epoch + 1)
+        require(m >= 1 && shardIndex < m,
+          s"index $shardIndex outside new count $m")
+        require(m <= 1 || newPeers.size == m,
+          s"${newPeers.size} peers for count $m")
+        require(targetEpoch > epoch || (standby && targetEpoch >= epoch),
+          s"epoch $targetEpoch not ahead of $epoch")
+        shardCount = m
+        pdpSeed = adminParam(ex, "seed").map(p => Reshard.readSeed(spark, p))
+        replicaSeed = adminParam(ex, "seedAll")
+          .filter(_ => replGw.nonEmpty).map(replicaSeedOf)
+        director =
+          if (m <= 1) None
+          else Some(new Shard.Director(shardIndex, m,
+            new Shard.Forwarder(newPeers),
+            copies = shardCopies, replicaOffer = replicaOffer))
+        pkDirector =
+          if (m <= 1) None
+          else Some(new Shard.PickleDirector(shardIndex, m,
+            new Shard.Forwarder(newPeers),
+            copies = shardCopies, replicaOffer = replicaOffer))
+        val sdPeers = adminParam(ex, "statsdPeers").map(_.split(",")
+          .map(_.trim.toInt).toSeq)
+        require(sdPeers.nonEmpty || sdDirector.isEmpty,
+          "statsd director active but no statsdPeers in resume")
+        sdDirector = sdPeers.filter(_ => m > 1).map(sp =>
+          new Shard.Director(shardIndex, m, new Shard.Forwarder(sp),
+            parseName = Shard.statsdNameOf, canon = Shard.sanitizePlain))
+        epoch = targetEpoch
+        Files.createDirectories(epochFile.getParent)
+        Files.writeString(epochFile, epoch.toString)
+        adoptEpoch(epoch)
+        restartGen.incrementAndGet()
+        active = startAll(loadSettings(confPath)._2)
+        // release the held lines through the TRANSITION router: a
+        // marker is an old-count decision, void now (reroute strips
+        // and re-decides; safe for new-count markers too — re-routing
+        // lands them where they already are)
+        val gRe: String => Option[String] = l => director match {
+          case Some(d) => d.reroute(l)
+          case None =>
+            if (l.startsWith(Shard.ReplMarker)) None
+            else if (l.startsWith(Shard.FwdMarker))
+              Some(l.substring(Shard.FwdMarker.length))
+            else Some(l)
+        }
+        val sRe: String => Option[String] = l => sdDirector match {
+          case Some(d) => d.reroute(l)
+          case None =>
+            if (l.startsWith(Shard.ReplMarker)) None
+            else if (l.startsWith(Shard.FwdMarker))
+              Some(l.substring(Shard.FwdMarker.length))
+            else Some(l)
+        }
+        // pickle holds raw b64 frames only (marked pickle points
+        // travel as TEXT into the graphite gateway): the plain route
+        // IS the reroute
+        Seq(gGw -> gRe, pxDpGw -> gRe, sGw -> sRe,
+          pkGw -> pkRoute).foreach { case (gw, re) =>
+          gw.setRoute(re); gw.release()
+        }
+        pxGw.release()
+        Seq(gGw -> gRoute, pxDpGw -> gRoute, sGw -> sRoute,
+          pkGw -> pkRoute).foreach { case (gw, r) => gw.setRoute(r) }
+        held = false
+        adminText(ex, 200, s"""{"resumed":true,"epoch":$epoch,""" +
+          s""""count":$shardCount}""" + "\n")
+      } catch {
+        case e: Exception =>
+          adminText(ex, 500, s"Error: $e\n")
+      })
+
     // pid-file (daemon/config.go:36; savePid at boot): written before
     // the banner so supervisors can signal immediately. Env wins over
     // conf, same precedence as every other GRAFT_* override.
@@ -1622,7 +1830,6 @@ object Daemon {
     // a micro-batch boundary and relaunches with the re-read config —
     // no listener closes, no accepted line drops (held by the feed
     // thread), the checkpointed exactly-once merge de-dupes any replay.
-    val restartGen = new java.util.concurrent.atomic.AtomicLong(0)
     Try {
       sun.misc.Signal.handle(new sun.misc.Signal("HUP"),
         (_: sun.misc.Signal) => {

@@ -180,7 +180,7 @@ object EventStore {
     * dependency exists in this build, and the daemon needs exactly
     * this one shape; not a general-purpose parser (no streaming, no
     * surrogate-pair re-pairing). */
-  private object Json {
+  private[streaming] object Json {
     def parse(s: String): Option[Any] =
       try {
         val p = new P(s)

@@ -166,17 +166,26 @@ object Ingest {
     * piece stream is then slot-aggregated (time-weighted mean) by
     * [[piecesToSlots]] — in production inside `foreachBatch` merging
     * into the archive table. Per-key state is one (ts, value) pair, and
-    * key count is kept bounded by *evicting idle series*: a watermark
-    * (delay = heartbeat) is attached to the event time, each series arms
-    * an `EventTimeTimeout` at `lastTs + heartbeat`, and a series that
-    * stays silent past its heartbeat is dropped from the store — the
-    * reference evicts the same series from its DS LRU
-    * (`dsl/ds_lru.go:29-295`). Eviction is observably free: the next
-    * point after a > heartbeat gap emits nothing whether state was kept
-    * (gap rejected, `rrd/ds.go:320-330`) or evicted (series restarts
-    * clean), so the timeout changes memory, not output. On a batch frame
-    * (no watermark possible) the state lives only for the single
-    * invocation and timeouts are moot — NoTimeout path. */
+    * key count is kept bounded by *evicting idle series*: the
+    * watermark rides the BATCH timestamp (wall clock), each series
+    * arms an `EventTimeTimeout` a heartbeat past its last batch's
+    * clock, and a series that receives nothing for a heartbeat of WALL
+    * time is dropped from the store — the reference evicts the same
+    * series from its DS LRU (`dsl/ds_lru.go:29-295`), also on a
+    * wall-clock cadence. Eviction is observably free: the next point
+    * after a > heartbeat gap emits nothing whether state was kept (gap
+    * rejected, `rrd/ds.go:320-330`) or evicted (series restarts
+    * clean), so the timeout changes memory, not output. Deliberately
+    * NOT a watermark on the DATA time: Spark silently FILTERS input
+    * older than the event-time watermark, so one wall-clock series
+    * (the daemon's self-stats) would make every BACKFILLING sender's
+    * old-but-valid points vanish — the reference has no such gate
+    * (`rrd/ds.go:304-306` rejects per-series out-of-order only, and a
+    * whisper import or delayed relay legitimately writes hours-old
+    * points). Found live: the kill-one-shard smoke's continued-ingest
+    * feed (ts ≈ now−4000, heartbeat 300) was eaten whole by a
+    * data-time watermark. On a batch frame the state lives only for
+    * the single invocation and timeouts are moot — NoTimeout path. */
   /** `initial` SEEDS the per-series PDP state — the reshard lifecycle's
     * handoff (`receiver/dscache.go:287-315` `Relinquish` flushes the
     * in-progress DS record for the next owner to load; here the state
@@ -222,13 +231,19 @@ object Ingest {
         }
         st.foreach { s =>
           state.update(s)
-          if (streaming) {
-            // arm eviction at the heartbeat horizon; the timestamp must
-            // sit past the current watermark or Spark rejects it
-            val horizon = (s.lastTs + heartbeatSec) * 1000L
+          // arm eviction one heartbeat past the CURRENT batch clock
+          // (watermark ≈ previous batch's wall clock − heartbeat, so
+          // watermark + 2·hb ≈ this batch + hb): fires once batches
+          // run a heartbeat of wall time past this series' last data.
+          // NOT armed while the watermark is still 0 (first batch):
+          // that timeout would sit in 1970 and fire on the first
+          // advance, evicting a live series mid-interval — the one
+          // case where eviction is NOT observably free (its next
+          // point would prime instead of closing the piece). Unarmed
+          // state re-arms at the series' next data batch.
+          if (streaming && state.getCurrentWatermarkMs() > 0)
             state.setTimeoutTimestamp(
-              math.max(horizon, state.getCurrentWatermarkMs() + 1))
-          }
+              state.getCurrentWatermarkMs() + 2 * heartbeatSec * 1000L + 1)
         }
         out.result().iterator
       }
@@ -250,11 +265,20 @@ object Ingest {
             org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(f)
       }
     } else {
-      // the watermarked event-time column must stay in the operator's
-      // input (Spark checks the child output for it before allowing
-      // setTimeoutTimestamp), so the grouped rows keep all 4 fields
+      // The EVICTION CLOCK is the BATCH timestamp (wall clock), not
+      // the data's: the watermark then tracks processing time, so a
+      // row can never be "late" (its __et IS the current batch's
+      // clock) and BACKFILL survives — while idle-series eviction
+      // still rides EventTimeTimeout, firing once the newest batch's
+      // clock is a heartbeat past a series' last data. The two
+      // alternatives both fail: a watermark on the DATA time silently
+      // eats backfill (one wall-clock series — self-stats — outruns
+      // every old-ts sender), and ProcessingTimeTimeout makes the
+      // engine run EMPTY batches back-to-back forever
+      // (FlatMapGroupsWithStateExec.shouldRunAnotherBatch ≡ true) —
+      // a continuous stream of no-op archive merges.
       val grouped = points.toDF("name", "tsSec", "value")
-        .withColumn("__et", timestamp_seconds(col("tsSec")))
+        .withColumn("__et", current_timestamp())
         .withWatermark("__et", s"$heartbeatSec seconds")
         .as[(String, Long, Double, java.sql.Timestamp)]
         .groupByKey(_._1)

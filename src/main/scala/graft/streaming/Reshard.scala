@@ -107,6 +107,126 @@ object Reshard {
     } finally { all.unpersist(); () }
   }
 
+  // ---------------- rolling resize coordinator ----------------------
+
+  private def httpGet(url: String): String = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000); conn.setReadTimeout(300000)
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    conn.disconnect()
+    require(code == 200, s"$url -> $code: ${body.trim}")
+    body
+  }
+
+  private def httpPost(url: String): String = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000); conn.setReadTimeout(300000)
+    conn.setRequestMethod("POST"); conn.setDoOutput(true)
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    conn.disconnect()
+    require(code == 200, s"$url -> $code: ${body.trim}")
+    body
+  }
+
+  private def jsonObj(s: String): Map[String, Any] =
+    EventStore.Json.parse(s.trim) match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case other => sys.error(s"expected a JSON object, got $other in: $s")
+    }
+  private def jLong(m: Map[String, Any], k: String): Long = m(k) match {
+    case d: Double => d.toLong
+    case l: Long => l
+    case other => sys.error(s"field $k not numeric: $other")
+  }
+  private def jStr(m: Map[String, Any], k: String): String =
+    m(k).asInstanceOf[String]
+
+  /** The ONE-COMMAND rolling resize — the reference's
+    * memberlist-triggered `Transition()` (`cluster/cluster.go:667-700`,
+    * fired from the cluster-change channel,
+    * `receiver/director.go:255-265`) as a supervised coordinator over
+    * the daemons' /admin control plane:
+    *
+    *  1. `/admin/hold` on EVERY member (old actives + standby
+    *     joiners): gateways keep accepting, new lines park raw.
+    *  2. `/admin/quiesce` on every member: each drains its queues,
+    *     waits for every accepted line to COMMIT to the old epoch's
+    *     store, stops its streams at the micro-batch boundary, and
+    *     flushes its forwarder queues (whose lines land in peers' hold
+    *     buffers — every member is already holding, so no old-count
+    *     decision can reach a store). The Relinquish barrier.
+    *  3. [[writeSeeds]] re-homes the relinquished PDP state to the
+    *     `pmod(xxhash64, M)` owners.
+    *  4. `/admin/resume?count=M&peers=…&epoch=E&seed=…` on every
+    *     member: new directors at count M, held lines re-decided under
+    *     M (`Shard.Director.reroute`), streams relaunched against the
+    *     new epoch's stores seeded with the re-homed state.
+    *
+    * Line senders never see a refused connect: the gateway listen
+    * sockets stay open end-to-end, and ingestion pauses only for the
+    * quiesce window (lines buffer in the hold queues, bounded by the
+    * gateway capacity). Requires the daemons' checkpoint/seed paths on
+    * a filesystem this coordinator shares — the Spark-cluster norm. */
+  def rolling(spark: SparkSession, newCount: Int, seedOut: String,
+      oldAdmin: Seq[String], standbyAdmin: Seq[String],
+      newPeers: Seq[Int]): Unit = {
+    require(newCount >= 1, s"newCount must be >= 1, got $newCount")
+    require(newPeers.size == newCount || newCount == 1,
+      s"${newPeers.size} peer ports for $newCount shards")
+    val all = oldAdmin ++ standbyAdmin
+    require(all.size == newCount,
+      s"${oldAdmin.size} old + ${standbyAdmin.size} standby members " +
+        s"for new count $newCount")
+    def base(u: String) =
+      if (u.startsWith("http://") || u.startsWith("https://")) u
+      else s"http://$u"
+    // 0: verify membership — indices must cover 0..M-1 exactly
+    val infos = all.map(u => u -> jsonObj(httpGet(s"${base(u)}/admin/info")))
+    val idx = infos.map { case (_, m) => jLong(m, "index").toInt }
+    require(idx.sorted == (0 until newCount),
+      s"member indices $idx do not cover 0..${newCount - 1}")
+    val epochs = infos.map { case (_, m) => jLong(m, "epoch").toInt }
+    val targetEpoch = epochs.max + 1
+    // 1: hold everyone — from here no line reaches a store until
+    // resume, and none is refused (listeners stay open)
+    all.foreach(u => httpPost(s"${base(u)}/admin/hold"))
+    // 2: quiesce everyone — the Relinquish barrier
+    val quiesced = all.map(u =>
+      u -> jsonObj(httpPost(s"${base(u)}/admin/quiesce")))
+    val ckpts = quiesced.collect {
+      case (_, m) if m("hadStreams") == true => jStr(m, "ckptPoints")
+    }
+    require(ckpts.nonEmpty, "no member had committed PDP state")
+    // 3: the remap (O(live series), stores untouched)
+    val seeds = (0 until newCount).map(i => s"$seedOut/$i")
+    writeSeeds(spark, ckpts, newCount, seeds)
+    // 4: resume everyone at the new count/epoch with its seed slice
+    val peersCsv = newPeers.mkString(",")
+    val seedsCsv = seeds.mkString(",")
+    infos.foreach { case (u, m) =>
+      val i = jLong(m, "index").toInt
+      val copies = jLong(m, "copies").toInt
+      val seedAll = if (copies > 1)
+        s"&seedAll=${java.net.URLEncoder.encode(seedsCsv, "UTF-8")}" else ""
+      httpPost(s"${base(u)}/admin/resume?count=$newCount" +
+        s"&peers=${java.net.URLEncoder.encode(peersCsv, "UTF-8")}" +
+        s"&epoch=$targetEpoch" +
+        s"&seed=${java.net.URLEncoder.encode(seeds(i), "UTF-8")}" + seedAll)
+      ()
+    }
+    println(s"rolling reshard: ${oldAdmin.size} -> $newCount members " +
+      s"at epoch $targetEpoch, seeds under $seedOut")
+  }
+
   /** Runnable resize tool — the operator's one command between
     * stopping the old fleet and booting the new one:
     *
@@ -127,6 +247,31 @@ object Reshard {
     * when invoked in-process (and then does NOT stop it), builds its
     * own under `GRAFT_MASTER`/`GRAFT_CPUS` when standalone. */
   def main(args: Array[String]): Unit = {
+    // `Reshard rolling M seedOut old1,old2 standby3 p1,p2,p3` — the
+    // one-command LIVE resize over the admin control plane ([[rolling]]);
+    // bare `Reshard M seedOut ckpts…` stays the stop-the-world remap.
+    if (args.headOption.contains("rolling")) {
+      require(args.length == 6,
+        "usage: Reshard rolling <newCount> <seedOutDir> " +
+          "<oldAdminCsv> <standbyAdminCsv|-> <newGraphitePeerPortsCsv>")
+      def csv(s: String): Seq[String] =
+        if (s == "-") Seq.empty
+        else s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      def env(k: String, d: String) = sys.env.getOrElse(k, d)
+      val preExisting =
+        SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      val spark = preExisting.getOrElse(SparkSession.builder()
+        .master(env("GRAFT_MASTER", s"local[${env("GRAFT_CPUS", "4")}]"))
+        .appName("graft-reshard-rolling")
+        .config("spark.sql.shuffle.partitions", env("GRAFT_CPUS", "4"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+      spark.sparkContext.setLogLevel("WARN")
+      rolling(spark, args(1).toInt, args(2), csv(args(3)), csv(args(4)),
+        csv(args(5)).map(_.toInt))
+      if (preExisting.isEmpty) spark.stop()
+      return
+    }
     require(args.length >= 3,
       "usage: Reshard <newCount> <seedOutDir> <oldCkpt1> [oldCkpt2 ...]")
     val newCount = args(0).toInt

@@ -106,6 +106,87 @@ class ShardSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("reroute: a marker is an old-count decision — stripped and " +
+      "re-decided; replicateOnly targets the current holders") {
+    val srv = new ServerSocket(0)
+    val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      val c = srv.accept()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(c.getInputStream, "UTF-8"))
+      Iterator.continually(in.readLine()).takeWhile(_ != null).foreach(got.put)
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val mine = (1 to 80).map(i => s"rm$i.x").find(Shard.owner(_, 3) == 0).get
+      val theirs = (1 to 80).map(i => s"rt$i.x").find(Shard.owner(_, 3) == 1).get
+      val replHere = new java.util.concurrent.LinkedBlockingQueue[String]()
+      // a count-3 director standing in for the post-resize view; peer 1
+      // is the stub, peer 2 unused here
+      val d = new Shard.Director(0, 3,
+        new Shard.Forwarder(Seq(0, srv.getLocalPort, 0)),
+        copies = 2, replicaOffer = l => { replHere.put(l); () })
+      try {
+        // an OLD-count forward marker on a line this shard now owns:
+        // reroute strips it and KEEPS the line (plain route would have
+        // blindly ingested a foreign line under the marker)
+        val keptLine = s"$mine 1 100"
+        assert(d.reroute(Shard.FwdMarker + keptLine) === Some(keptLine))
+        // ... and replicates it under the NEW placement (owner 0 ->
+        // replica on 1, the stub)
+        val repl = got.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        assert(repl === Shard.ReplMarker + keptLine)
+        // an old-count marker on a line now owned ELSEWHERE: re-forwarded
+        // to owner 1 (the stub); its replica goes to holder 2, not here
+        val fwdLine = s"$theirs 2 100"
+        assert(d.reroute(Shard.FwdMarker + fwdLine) === None)
+        assert(got.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+          === Shard.FwdMarker + fwdLine)
+        // an old REPL copy re-homes to the new holders only — here the
+        // owner is 1, so its replica is 2 (not this shard, not primary)
+        assert(d.reroute(Shard.ReplMarker + fwdLine) === None)
+        assert(replHere.isEmpty)
+        // a replica of a series owned by 2 lands HERE (0 = (2+1) mod 3)
+        val ownedBy2 = (1 to 120).map(i => s"rz$i.x")
+          .find(Shard.owner(_, 3) == 2).get
+        assert(d.reroute(Shard.ReplMarker + s"$ownedBy2 3 100") === None)
+        assert(replHere.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+          === s"$ownedBy2 3 100")
+        // plain lines re-decide identically to route
+        assert(d.reroute(keptLine) === Some(keptLine))
+      } finally d.close()
+    } finally srv.close()
+  }
+
+  test("gateway hold/release: lines park raw, re-admit through the " +
+      "swapped route in order; listeners stay open") {
+    val gw = new Daemon.LineGateway(0, 0, capacity = 64)
+    try {
+      gw.hold()
+      // lines offered while held: parked, NOT routed, NOT fed
+      (1 to 3).foreach(i => gw.offer(s"held$i"))
+      assert(gw.heldSize === 3 && gw.queueSize === 0)
+      // the listen socket still accepts while held
+      val s = new Socket("127.0.0.1", gw.boundListenPort)
+      val out = new PrintWriter(s.getOutputStream, true)
+      out.println("held4")
+      val d = System.currentTimeMillis() + 5000
+      while (gw.heldSize < 4 && System.currentTimeMillis() < d)
+        Thread.sleep(20)
+      assert(gw.heldSize === 4)
+      s.close()
+      // release through a SWAPPED route: tag each line, keep order
+      val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+      gw.setRoute(l => { seen += l; Some(s"re:$l") })
+      gw.release()
+      assert(seen.toSeq === Seq("held1", "held2", "held3", "held4"))
+      assert(gw.queueSize === 4)
+      // post-release lines route directly
+      gw.offer("after")
+      assert(seen.last === "after" && gw.heldSize === 0)
+    } finally gw.close()
+  }
+
   test("two in-process shards == one daemon: disjoint stores, union render") {
     val s = spark
     val root = Files.createTempDirectory("graft-shard").toString

@@ -757,20 +757,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(slots == Map(0L -> 2.0, 10L -> 2.0, 20L -> (4.0 * 10 + 8.0 * 5) / 15, 40L -> 6.0))
   }
 
-  test("idle series state is evicted once the watermark passes its heartbeat") {
+  test("idle series state is evicted after a heartbeat of wall-clock " +
+      "silence; backfill (old ts) is never dropped as late") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val mem = MemoryStream[(String, Long, Double)]
-    val pieces = Ingest.pdpPieces(spark, mem.toDS(), heartbeatSec = 60)
+    // heartbeat 2 s of PROCESSING time — eviction is wall-clock
+    // idleness (the DS-LRU shape), NOT an event-time watermark
+    val pieces = Ingest.pdpPieces(spark, mem.toDS(), heartbeatSec = 2)
     val q = pieces.writeStream.format("memory").queryName("evict")
       .outputMode("append").start()
 
     val B = 100000L
     mem.addData(("idle", B, 1.0), ("busy", B, 1.0))
-    q.processAllAvailable()              // state: {idle, busy}
-    mem.addData(("busy", B + 200L, 2.0)) // batch end → watermark B+140
+    q.processAllAvailable()              // batch 1: watermark 0, unarmed
+    mem.addData(("idle", B + 1L, 1.5), ("busy", B + 1L, 2.0))
+    q.processAllAvailable()              // batch 2: both series armed
+    Thread.sleep(5000)                   // > 2 heartbeats of wall silence
+    mem.addData(("busy", B + 2L, 3.0))   // watermark advances...
     q.processAllAvailable()
-    mem.addData(("busy", B + 210L, 3.0)) // idle's horizon (B+60) < B+140 → timeout
+    mem.addData(("busy", B + 3L, 4.0))   // ...and this batch fires it
     q.processAllAvailable()
 
     val states = q.recentProgress.flatMap(_.stateOperators.headOption)
@@ -780,6 +786,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected both series in state at some point, got ${states.toSeq}")
     assert(states.last == 1,
       s"expected the idle series evicted, got ${states.toSeq}")
+
+    // BACKFILL acceptance (the reference's `rrd/ds.go:304-306`: only
+    // per-series out-of-order is rejected, never "lateness"): after a
+    // wall-clock-ts series advanced the event clock by ~100000 s, a
+    // series writing OLD timestamps must still store its pieces —
+    // under the previous event-time watermark these vanished silently
+    val mem2 = MemoryStream[(String, Long, Double)]
+    val now = System.currentTimeMillis() / 1000L
+    val q2 = Ingest.pdpPieces(spark, mem2.toDS(), heartbeatSec = 300)
+      .writeStream.format("memory").queryName("backfill")
+      .outputMode("append").start()
+    try {
+      mem2.addData(("clock", now, 1.0))
+      q2.processAllAvailable()
+      mem2.addData(("old", now - 3800, 1.0), ("old", now - 3790, 2.0))
+      q2.processAllAvailable()
+      mem2.addData(("old", now - 3780, 3.0))
+      q2.processAllAvailable()
+      val oldPieces = spark.table("backfill")
+        .filter(col("name") === "old").count()
+      assert(oldPieces === 2L,
+        s"backfill pieces dropped: got $oldPieces of 2")
+    } finally q2.stop()
   }
 
   test("stateful PDP stream equals batch Consolidate across micro-batches") {

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Round sf0.1 spot-gate (VERDICT r13 task 7): the 303-query gate runs
+at sf0.01, where scale-dependent wrongness (tie-bucketing, overflow,
+sampling skew) can hide. This runs a representative sample -- the bench
+headline set, which spans every operator family -- against DuckDB at
+sf0.1 and writes a driver-shaped CORRECTNESS json.
+
+Usage: sf01_gate.py <verifyOutDir> <sfDir> <outJson> [query...]
+(queries default to every name with spark output present)"""
+import json, sys, math, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+out_dir, sf_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
+only = set(sys.argv[4:])
+
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)
+    return repr(v)
+
+report = {}
+for name, sql in sorted(oracle.items()):
+    pdir = f"{out_dir}/{name}"
+    has_out = bool(glob.glob(f"{pdir}/*.parquet"))
+    if only and name not in only:
+        continue
+    if not only and not has_out:
+        continue
+    row = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": 0, "oracle_rows": 0, "err": None}
+    report[name] = row
+    if not has_out:
+        row["err"] = "no spark output"
+        continue
+    try:
+        tbl = pq.read_table(pdir)
+    except Exception as e:
+        row["err"] = f"read error: {e}"
+        continue
+    try:
+        want = con.execute(sql).fetch_arrow_table()
+    except Exception as e:
+        row["err"] = f"oracle error: {e}"
+        continue
+    got_cols = sorted(tbl.column_names)
+    want_cols = sorted(want.column_names)
+    row["spark_rows"] = tbl.num_rows
+    row["oracle_rows"] = want.num_rows
+    row["rows_match"] = tbl.num_rows == want.num_rows
+    row["schema_match"] = got_cols == want_cols
+    if not row["schema_match"] or not row["rows_match"]:
+        continue
+    g = [[norm(v) for v in r]
+         for r in zip(*[tbl.column(c).to_pylist() for c in got_cols])]
+    w = [[norm(v) for v in r]
+         for r in zip(*[want.column(c).to_pylist() for c in want_cols])]
+    row["hash_match"] = g == w
+
+with open(out_json, "w") as f:
+    json.dump(report, f, indent=1, sort_keys=True)
+
+bad = [n for n, r in report.items()
+       if not (r["rows_match"] and r["schema_match"] and r["hash_match"])]
+print(f"{len(report) - len(bad)}/{len(report)} green -> {out_json}")
+if bad:
+    for n in bad:
+        print(f"FAIL {n}: {report[n]}")
+    sys.exit(1)
+print("ALL GREEN")
