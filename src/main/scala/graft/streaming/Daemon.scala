@@ -1701,10 +1701,19 @@ object Daemon {
           graft.sources.GatewayStats.accepted(k) ==
             graft.sources.GatewayStats.committed(k)
         }
+    // one state-changing admin op at a time: quiesce/resume mutate the
+    // director/stream vars, and the coordinator is sequential by
+    // design — an overlapping call (operator typo, retry storm) gets a
+    // clean 409 instead of racing the transition
+    val adminBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def exclusively(ex: HttpExchange)(body: => Unit): Unit =
+      if (!adminBusy.compareAndSet(false, true))
+        adminText(ex, 409, "Error: admin op in progress\n")
+      else try body finally adminBusy.set(false)
     http.createContext("/admin/quiesce", (ex: HttpExchange) =>
       if (ex.getRequestMethod != "POST") adminText(ex, 405, "Error\n")
       else if (!held) adminText(ex, 409, "Error: not held\n")
-      else {
+      else exclusively(ex) {
         val timeoutMs = adminParam(ex, "timeoutSec").map(_.toLong)
           .getOrElse(120L) * 1000L
         val deadline = System.currentTimeMillis() + timeoutMs
@@ -1731,7 +1740,7 @@ object Daemon {
     http.createContext("/admin/resume", (ex: HttpExchange) =>
       if (ex.getRequestMethod != "POST") adminText(ex, 405, "Error\n")
       else if (!held) adminText(ex, 409, "Error: not held\n")
-      else try {
+      else exclusively(ex) (try {
         val m = adminParam(ex, "count").map(_.toInt).getOrElse(shardCount)
         val newPeers = adminParam(ex, "peers").map(_.split(",")
           .map(_.trim.toInt).toSeq).getOrElse(Seq.empty)
@@ -1806,7 +1815,7 @@ object Daemon {
       } catch {
         case e: Exception =>
           adminText(ex, 500, s"Error: $e\n")
-      })
+      }))
 
     // pid-file (daemon/config.go:36; savePid at boot): written before
     // the banner so supervisors can signal immediately. Env wins over

@@ -178,7 +178,11 @@ object Reshard {
     * a filesystem this coordinator shares — the Spark-cluster norm. */
   def rolling(spark: SparkSession, newCount: Int, seedOut: String,
       oldAdmin: Seq[String], standbyAdmin: Seq[String],
-      newPeers: Seq[Int]): Unit = {
+      newPeers: Seq[Int],
+      // statsd gateway peer ports at the NEW count — required iff the
+      // fleet runs a statsd director (GRAFT_SHARD_STATSD_PEERS): a
+      // resume without them on such a daemon fails loudly by design
+      statsdPeers: Seq[Int] = Seq.empty): Unit = {
     require(newCount >= 1, s"newCount must be >= 1, got $newCount")
     require(newPeers.size == newCount || newCount == 1,
       s"${newPeers.size} peer ports for $newCount shards")
@@ -217,10 +221,14 @@ object Reshard {
       val copies = jLong(m, "copies").toInt
       val seedAll = if (copies > 1)
         s"&seedAll=${java.net.URLEncoder.encode(seedsCsv, "UTF-8")}" else ""
+      val sdArg = if (statsdPeers.isEmpty) ""
+        else "&statsdPeers=" + java.net.URLEncoder.encode(
+          statsdPeers.mkString(","), "UTF-8")
       httpPost(s"${base(u)}/admin/resume?count=$newCount" +
         s"&peers=${java.net.URLEncoder.encode(peersCsv, "UTF-8")}" +
         s"&epoch=$targetEpoch" +
-        s"&seed=${java.net.URLEncoder.encode(seeds(i), "UTF-8")}" + seedAll)
+        s"&seed=${java.net.URLEncoder.encode(seeds(i), "UTF-8")}" +
+        seedAll + sdArg)
       ()
     }
     println(s"rolling reshard: ${oldAdmin.size} -> $newCount members " +
@@ -251,9 +259,10 @@ object Reshard {
     // one-command LIVE resize over the admin control plane ([[rolling]]);
     // bare `Reshard M seedOut ckpts…` stays the stop-the-world remap.
     if (args.headOption.contains("rolling")) {
-      require(args.length == 6,
+      require(args.length == 6 || args.length == 7,
         "usage: Reshard rolling <newCount> <seedOutDir> " +
-          "<oldAdminCsv> <standbyAdminCsv|-> <newGraphitePeerPortsCsv>")
+          "<oldAdminCsv> <standbyAdminCsv|-> <newGraphitePeerPortsCsv> " +
+          "[newStatsdPeerPortsCsv]")
       def csv(s: String): Seq[String] =
         if (s == "-") Seq.empty
         else s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -268,7 +277,8 @@ object Reshard {
         .getOrCreate())
       spark.sparkContext.setLogLevel("WARN")
       rolling(spark, args(1).toInt, args(2), csv(args(3)), csv(args(4)),
-        csv(args(5)).map(_.toInt))
+        csv(args(5)).map(_.toInt),
+        args.lift(6).map(csv(_).map(_.toInt)).getOrElse(Seq.empty))
       if (preExisting.isEmpty) spark.stop()
       return
     }

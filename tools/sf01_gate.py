@@ -49,7 +49,15 @@ for name, sql in sorted(oracle.items()):
     try:
         want = con.execute(sql).fetch_arrow_table()
     except Exception as e:
-        row["err"] = f"oracle error: {e}"
+        # an oracle that cannot RUN at this scale (DuckDB OOM on the
+        # quadratic all-pairs restatements) is a limit of the oracle,
+        # not a wrongness -- recorded distinctly, excluded from the
+        # pass/fail accounting, and printed so the skip is never silent
+        if "Out of Memory" in str(e):
+            row["err"] = f"oracle infeasible at this sf: {e}"
+            row["oracle_infeasible"] = True
+        else:
+            row["err"] = f"oracle error: {e}"
         continue
     got_cols = sorted(tbl.column_names)
     want_cols = sorted(want.column_names)
@@ -68,9 +76,15 @@ for name, sql in sorted(oracle.items()):
 with open(out_json, "w") as f:
     json.dump(report, f, indent=1, sort_keys=True)
 
+skipped = [n for n, r in report.items() if r.get("oracle_infeasible")]
 bad = [n for n, r in report.items()
-       if not (r["rows_match"] and r["schema_match"] and r["hash_match"])]
-print(f"{len(report) - len(bad)}/{len(report)} green -> {out_json}")
+       if not (r["rows_match"] and r["schema_match"] and r["hash_match"])
+       and not r.get("oracle_infeasible")]
+judged = len(report) - len(skipped)
+print(f"{judged - len(bad)}/{judged} green "
+      f"({len(skipped)} oracle-infeasible skipped) -> {out_json}")
+for n in skipped:
+    print(f"SKIP {n}: {report[n]['err']}")
 if bad:
     for n in bad:
         print(f"FAIL {n}: {report[n]}")
