@@ -663,6 +663,34 @@ object ClusterSmoke {
       val dPost = System.currentTimeMillis() + 60000
       while (waves < atResume + 10 && System.currentTimeMillis() < dPost)
         Thread.sleep(100)
+      // ---- ABORT drill: a transition that stops after quiesce ----
+      // (coordinator death): /admin/release must return every member
+      // to service — held lines re-admitted under the UNCHANGED count,
+      // streams relaunched at the current epoch — with zero loss; the
+      // final bit-identity below covers the lines parked during it
+      def adminPost(u: String, path: String): Int = Try {
+        val c = new java.net.URI(s"http://$u$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setConnectTimeout(5000); c.setReadTimeout(300000)
+        c.setRequestMethod("POST"); c.setDoOutput(true)
+        c.getOutputStream.close()
+        val code = c.getResponseCode
+        c.disconnect(); code
+      }.getOrElse(-1)
+      val admins3 = admin // all three, now full members at M=3
+      if (admins3.exists(u => adminPost(u, "/admin/hold") != 200)) {
+        stop = true; println("abort drill: hold failed"); return false
+      }
+      if (admins3.exists(u => adminPost(u, "/admin/quiesce") != 200)) {
+        stop = true; println("abort drill: quiesce failed"); return false
+      }
+      if (admins3.exists(u => adminPost(u, "/admin/release") != 200)) {
+        stop = true; println("abort drill: release failed"); return false
+      }
+      val atAbort = waves
+      val dAb = System.currentTimeMillis() + 60000
+      while (waves < atAbort + 10 && System.currentTimeMillis() < dAb)
+        Thread.sleep(100)
       stop = true
       feeder.join(10000)
       val k = waves

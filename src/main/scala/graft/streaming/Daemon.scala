@@ -1727,15 +1727,40 @@ object Daemon {
           restartGen.incrementAndGet()
           active.foreach(q => Try(q.stop()))
           active = Seq.empty
-          director.foreach(d => Try(d.close()))
-          pkDirector.foreach(d => Try(d.close()))
-          sdDirector.foreach(d => Try(d.close()))
+          // FLUSH the forwarders (pending forwards land in peers' hold
+          // buffers) but keep the directors LIVE: an aborted
+          // transition (/admin/release) must still be able to route
+          // under the old count — resume closes and replaces them
+          val flushedAll = (director.map(_.forwarder.flushed()) ++
+            pkDirector.map(_.forwarder.flushed()) ++
+            sdDirector.map(_.forwarder.flushed())).forall(identity)
           adminText(ex, 200,
             s"""{"index":$shardIndex,"epoch":$epoch,""" +
               s""""ckptPoints":"${EventStore.esc(s"${edir(epoch)}/ckpt-points")}",""" +
+              s""""flushed":$flushedAll,""" +
               s""""hadStreams":${Files.exists(java.nio.file.Paths.get(
                 s"${edir(epoch)}/ckpt-points"))}}""" + "\n")
         }
+      })
+    // abort path — the escape hatch for a coordinator that died
+    // mid-transition: re-admit held lines through the CURRENT (still
+    // old-count) routes and restart the streams at the CURRENT epoch.
+    // The fleet returns to its pre-transition shape; nothing moved.
+    // A standby joiner stays held (it has no pre-transition shape to
+    // return to — kill it instead).
+    http.createContext("/admin/release", (ex: HttpExchange) =>
+      if (ex.getRequestMethod != "POST") adminText(ex, 405, "Error\n")
+      else if (!held) adminText(ex, 409, "Error: not held\n")
+      else if (standby && active.isEmpty && epoch == 0)
+        adminText(ex, 409, "Error: standby stays held (kill to abort)\n")
+      else exclusively(ex) {
+        if (active.isEmpty) {
+          restartGen.incrementAndGet()
+          active = startAll(loadSettings(confPath)._2)
+        }
+        heldGws.foreach(_.release())
+        held = false
+        adminText(ex, 200, s"""{"released":true,"epoch":$epoch}""" + "\n")
       })
     http.createContext("/admin/resume", (ex: HttpExchange) =>
       if (ex.getRequestMethod != "POST") adminText(ex, 405, "Error\n")
@@ -1752,6 +1777,11 @@ object Daemon {
           s"${newPeers.size} peers for count $m")
         require(targetEpoch > epoch || (standby && targetEpoch >= epoch),
           s"epoch $targetEpoch not ahead of $epoch")
+        // the old directors stayed live through quiesce (abort path);
+        // their forwarders were flushed there — cut them now
+        director.foreach(d => Try(d.close()))
+        pkDirector.foreach(d => Try(d.close()))
+        sdDirector.foreach(d => Try(d.close()))
         shardCount = m
         pdpSeed = adminParam(ex, "seed").map(p => Reshard.readSeed(spark, p))
         replicaSeed = adminParam(ex, "seedAll")

@@ -203,33 +203,49 @@ object Reshard {
     // 1: hold everyone — from here no line reaches a store until
     // resume, and none is refused (listeners stay open)
     all.foreach(u => httpPost(s"${base(u)}/admin/hold"))
-    // 2: quiesce everyone — the Relinquish barrier
-    val quiesced = all.map(u =>
-      u -> jsonObj(httpPost(s"${base(u)}/admin/quiesce")))
-    val ckpts = quiesced.collect {
-      case (_, m) if m("hadStreams") == true => jStr(m, "ckptPoints")
-    }
-    require(ckpts.nonEmpty, "no member had committed PDP state")
-    // 3: the remap (O(live series), stores untouched)
-    val seeds = (0 until newCount).map(i => s"$seedOut/$i")
-    writeSeeds(spark, ckpts, newCount, seeds)
-    // 4: resume everyone at the new count/epoch with its seed slice
-    val peersCsv = newPeers.mkString(",")
-    val seedsCsv = seeds.mkString(",")
-    infos.foreach { case (u, m) =>
-      val i = jLong(m, "index").toInt
-      val copies = jLong(m, "copies").toInt
-      val seedAll = if (copies > 1)
-        s"&seedAll=${java.net.URLEncoder.encode(seedsCsv, "UTF-8")}" else ""
-      val sdArg = if (statsdPeers.isEmpty) ""
-        else "&statsdPeers=" + java.net.URLEncoder.encode(
-          statsdPeers.mkString(","), "UTF-8")
-      httpPost(s"${base(u)}/admin/resume?count=$newCount" +
-        s"&peers=${java.net.URLEncoder.encode(peersCsv, "UTF-8")}" +
-        s"&epoch=$targetEpoch" +
-        s"&seed=${java.net.URLEncoder.encode(seeds(i), "UTF-8")}" +
-        seedAll + sdArg)
-      ()
+    try {
+      // 2: quiesce everyone — the Relinquish barrier
+      val quiesced = all.map(u =>
+        u -> jsonObj(httpPost(s"${base(u)}/admin/quiesce")))
+      val ckpts = quiesced.collect {
+        case (_, m) if m("hadStreams") == true => jStr(m, "ckptPoints")
+      }
+      require(ckpts.nonEmpty, "no member had committed PDP state")
+      // 3: the remap (O(live series), stores untouched)
+      val seeds = (0 until newCount).map(i => s"$seedOut/$i")
+      writeSeeds(spark, ckpts, newCount, seeds)
+      // 4: resume everyone at the new count/epoch with its seed slice
+      val peersCsv = newPeers.mkString(",")
+      val seedsCsv = seeds.mkString(",")
+      infos.foreach { case (u, m) =>
+        val i = jLong(m, "index").toInt
+        val copies = jLong(m, "copies").toInt
+        val seedAll = if (copies > 1)
+          s"&seedAll=${java.net.URLEncoder.encode(seedsCsv, "UTF-8")}" else ""
+        val sdArg = if (statsdPeers.isEmpty) ""
+          else "&statsdPeers=" + java.net.URLEncoder.encode(
+            statsdPeers.mkString(","), "UTF-8")
+        httpPost(s"${base(u)}/admin/resume?count=$newCount" +
+          s"&peers=${java.net.URLEncoder.encode(peersCsv, "UTF-8")}" +
+          s"&epoch=$targetEpoch" +
+          s"&seed=${java.net.URLEncoder.encode(seeds(i), "UTF-8")}" +
+          seedAll + sdArg)
+        ()
+      }
+    } catch {
+      // ABORT: a failure before every member resumed leaves the fleet
+      // held (ingest parked) — roll the OLD members back to their
+      // pre-transition shape (/admin/release: held lines re-admit
+      // under the old count, streams restart at the current epoch;
+      // directors stayed live through quiesce for exactly this), then
+      // surface the original failure. Standby joiners stay held —
+      // kill them. Best-effort: a member that already resumed answers
+      // 409 (not held) and is ignored.
+      case scala.util.control.NonFatal(e) =>
+        oldAdmin.foreach(u =>
+          scala.util.Try(httpPost(s"${base(u)}/admin/release")))
+        throw new RuntimeException(
+          s"rolling reshard failed (old members rolled back): $e", e)
     }
     println(s"rolling reshard: ${oldAdmin.size} -> $newCount members " +
       s"at epoch $targetEpoch, seeds under $seedOut")

@@ -239,6 +239,26 @@ object Shard {
       * newline). Never blocks: a full queue drops the line. */
     def send(i: Int, line: String): Unit = peers(i).offer(line)
 
+    /** Wait (bounded) for every peer queue to drain to the wire
+      * WITHOUT stopping the drainers — the quiesce barrier's flush: a
+      * resize must see pending forwards delivered (into peers' hold
+      * buffers) while keeping the forwarder usable, so an ABORTED
+      * transition can still route (the old directors stay live until
+      * resume replaces them). Returns false when a dead peer's queue
+      * could not drain in time — its lines are bounded by `queueCap`
+      * and counted dropped by the circuit breaker, the reference's
+      * drop-when-behind accounting. */
+    def flushed(timeoutMs: Long = 5000): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (peers.exists(p => !p.q.isEmpty) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      // queues empty → one more drain-loop empty-poll cycle pushes the
+      // buffered bytes to the wire (the 100 ms poll flush)
+      Thread.sleep(250)
+      peers.forall(_.q.isEmpty)
+    }
+
     /** Stop accepting, give the drainers a bounded grace to flush what
       * is queued (so a graceful daemon shutdown does not shed lines a
       * peer would have taken), then cut. */
