@@ -99,15 +99,27 @@ object Bench {
       (names.map(n => n -> agg(n)), cMin, cMed)
     }
     // Calibration-gated retry: a capture whose calib median exceeds
-    // ~1.2× the machine's known clean floor (0.089 s, measured idle on
-    // this hardware; override GRAFT_BENCH_CALIB_FLOOR) was co-tenant
-    // polluted — retry up to GRAFT_BENCH_ATTEMPTS full captures and, if
-    // none comes in clean, emit the LEAST-polluted one stamped
-    // `"calib":{"ok":false,...}` so the artifact can never silently
-    // present a polluted capture as a regression (the round-13 verdict
-    // had to do forensics to distinguish the two).
-    val floor = sys.env.get("GRAFT_BENCH_CALIB_FLOOR").map(_.toDouble)
+    // ~1.2× the machine's floor was co-tenant polluted — retry up to
+    // GRAFT_BENCH_ATTEMPTS full captures and, if none comes in clean,
+    // emit the LEAST-polluted one stamped `"calib":{"ok":false,...}`
+    // so the artifact can never silently present a polluted capture as
+    // a regression (the round-13 verdict had to do forensics to
+    // distinguish the two).
+    //
+    // The floor is MEASURED AT STARTUP (min of five calibration runs
+    // after one JIT warm-up), so `ok` means "no noisier than this
+    // machine was before the timed passes" on ANY hardware — the old
+    // hard-coded constant (0.089, one machine's idle) burned all retry
+    // attempts on any slower box and stamped honest captures false.
+    // GRAFT_BENCH_CALIB_FLOOR still overrides. REF_FLOOR stays the
+    // round-12 clean-machine constant every round's artifacts
+    // normalize against: `value_norm = value × ref_floor / calib.med`
+    // is the machine-independent headline (a capture on a 1.3×-loaded
+    // box reads 1.3× too slow in `value` and ~right in `value_norm`).
+    val refFloor = sys.env.get("GRAFT_BENCH_REF_FLOOR").map(_.toDouble)
       .getOrElse(0.089)
+    val floor = sys.env.get("GRAFT_BENCH_CALIB_FLOOR").map(_.toDouble)
+      .getOrElse { calib(); (1 to 5).map(_ => calib()).min }
     val threshold = floor * 1.2
     val maxAttempts = sys.env.get("GRAFT_BENCH_ATTEMPTS").map(_.toInt)
       .getOrElse(3)
@@ -128,18 +140,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2._1).filter(_ >= 0).sum)
     val totalMed = r3(results.map(_._2._2).filter(_ >= 0).sum)
+    val totalNorm = r3(total * refFloor / calMed)
     val calibJson =
-      s"""{"min":$calMin,"med":$calMed,"floor":$floor,""" +
-        s""""ok":$calibOk,"attempts":$attempts}"""
+      s"""{"min":$calMin,"med":$calMed,"floor":${r3(floor)},""" +
+        s""""ref_floor":$refFloor,"ok":$calibOk,"attempts":$attempts}"""
     // stdout line stays compact (driver tail-captures ~2.7 KB): per-
     // query MINs + aggregate median + calibration
     val line = s"""{"metric":"headline_total_warm","value":$total,""" +
-      s""""value_med":$totalMed,"calib":$calibJson,"unit":"sec",""" +
+      s""""value_med":$totalMed,"value_norm":$totalNorm,""" +
+      s""""calib":$calibJson,"unit":"sec",""" +
       s""""queries":$qjson,"sf":"$sfDir"}"""
     println(line)
     // the in-repo artifact carries the FULL per-query medians too
     val fileLine = s"""{"metric":"headline_total_warm","value":$total,""" +
-      s""""value_med":$totalMed,"calib":$calibJson,"unit":"sec",""" +
+      s""""value_med":$totalMed,"value_norm":$totalNorm,""" +
+      s""""calib":$calibJson,"unit":"sec",""" +
       s""""queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (fileLine + "\n").getBytes("UTF-8"))

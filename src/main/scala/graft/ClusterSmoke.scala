@@ -237,6 +237,12 @@ object ClusterSmoke {
     check("rolling reshard: ONE command resizes 2->3 under live load, senders never refused") {
       rollingReshardCheck(spark, addOpens)
     }
+    check("roll-forward: coordinator dies between commits, fleet converges fully at M") {
+      rollForwardCheck(spark, addOpens)
+    }
+    check("auto transition: standby joins then a member dies — fleet resizes both ways with no operator command") {
+      autoTransitionCheck(spark, addOpens)
+    }
     spark.stop()
   }
 
@@ -747,6 +753,515 @@ object ClusterSmoke {
         logs.zipWithIndex.foreach { case (l, i) =>
           println(s"--- rolling daemon $i log tail ---\n" +
             l.synchronized(l.toString).takeRight(1000))
+        }
+      }
+      ok
+    } finally {
+      procs.foreach { p =>
+        Try(p.destroy())
+        if (p.isAlive && !p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+          Try(p.destroyForcibly())
+      }
+    }
+  }
+
+  /** The round-15 partial-RESUME drill (the verdict's one remaining
+    * transition hazard): the coordinator "dies" BETWEEN two commit
+    * posts, after the whole fleet PREPARED and exactly one member
+    * committed. The two-phase contract says recovery is roll-FORWARD —
+    * commit the rest (idempotent), never release — and the fleet must
+    * converge fully at M with zero feeder errors and a union render
+    * bit-identical to the single-daemon control. The mid-commit mixed
+    * window is observable via /admin/info (`prepared`), and a repeat
+    * commit on an already-committed member answers 200. */
+  private def rollForwardCheck(spark: SparkSession,
+      addOpens: String): Boolean = {
+    import java.net.{ServerSocket, Socket}
+    import java.io.PrintWriter
+    import scala.util.Try
+    import graft.streaming.{Ingest, Reshard}
+    val root = java.nio.file.Files.createTempDirectory("smoke-rollfwd").toString
+    def freePort(): Int = {
+      val ss = new ServerSocket(0); val p = ss.getLocalPort; ss.close(); p
+    }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    def daemon(tag: String, gPort: Int,
+        extra: Map[String, String]): Process = {
+      val env = Map(
+        "GRAFT_DATA_DIR" -> s"$root/$tag",
+        "GRAFT_MASTER" -> "local[2]",
+        "GRAFT_SHUFFLE_PARTITIONS" -> "2",
+        "GRAFT_STEP_SEC" -> "10",
+        "GRAFT_HEARTBEAT_SEC" -> "7200",
+        "GRAFT_GRAPHITE_PORT" -> gPort.toString,
+        "GRAFT_STATSD_PORT" -> "0",
+        "GRAFT_PICKLE_PORT" -> "0",
+        "GRAFT_HTTP_PORT" -> "0") ++ extra
+      val cmd = Seq(javaBin) ++ addOpens.split(" ").toSeq ++ Seq(
+        "-Dspark.ui.enabled=false", "-Xmx2g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.streaming.Daemon")
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      pb.environment().putAll(scala.jdk.CollectionConverters
+        .MapHasAsJava(env).asJava)
+      pb.start()
+    }
+    def drain(p: Process, sb: StringBuilder): Unit = {
+      val t = new Thread(() => try {
+        val in = p.getInputStream
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          sb.synchronized {
+            sb.append(new String(buf, 0, n, "UTF-8"))
+            if (sb.length > 64000) sb.delete(0, sb.length - 32000)
+            ()
+          }
+          n = in.read(buf)
+        }
+      } catch { case _: java.io.IOException => () })
+      t.setDaemon(true); t.start()
+    }
+    val pCtl = freePort()
+    val Seq(p1, p2, p3) = Seq.fill(3)(freePort())
+    val peersOld = s"$p1,$p2"
+    val procs = Seq(
+      daemon("ctl", pCtl, Map.empty),
+      daemon("d1", p1, Map("GRAFT_SHARD_INDEX" -> "0",
+        "GRAFT_SHARD_COUNT" -> "2", "GRAFT_SHARD_PEERS" -> peersOld)),
+      daemon("d2", p2, Map("GRAFT_SHARD_INDEX" -> "1",
+        "GRAFT_SHARD_COUNT" -> "2", "GRAFT_SHARD_PEERS" -> peersOld)),
+      daemon("d3", p3, Map("GRAFT_STANDBY" -> "1",
+        "GRAFT_SHARD_INDEX" -> "2", "GRAFT_SHARD_COUNT" -> "3",
+        "GRAFT_SHARD_PEERS" -> s"$p1,$p2,$p3")))
+    val logs = Seq.fill(procs.size)(new StringBuilder)
+    procs.zip(logs).foreach { case (p, l) => drain(p, l) }
+    try {
+      val deadline = System.currentTimeMillis() + 150000
+      var booted = false
+      while (!booted && System.currentTimeMillis() < deadline) {
+        booted = logs.forall(l =>
+          l.synchronized(l.toString).contains("graft daemon:"))
+        if (procs.exists(!_.isAlive)) {
+          logs.foreach(l => println("--- rollfwd boot log tail ---\n" +
+            l.synchronized(l.toString).takeRight(1200)))
+          return false
+        }
+        if (!booted) Thread.sleep(200)
+      }
+      if (!booted) return false
+      val admin = logs.drop(1).map(l => s"127.0.0.1:${bannerHttpPort(l)}")
+      def adminPost(u: String, path: String): (Int, String) = Try {
+        val c = new java.net.URI(s"http://$u$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setConnectTimeout(5000); c.setReadTimeout(300000)
+        c.setRequestMethod("POST"); c.setDoOutput(true)
+        c.getOutputStream.close()
+        val code = c.getResponseCode
+        val is = if (code >= 400) c.getErrorStream else c.getInputStream
+        val body = new String(is.readAllBytes(), "UTF-8")
+        c.disconnect(); (code, body)
+      }.getOrElse((-1, ""))
+      def adminGet(u: String): String = Try {
+        val c = new java.net.URI(s"http://$u/admin/info").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setConnectTimeout(5000); c.setReadTimeout(10000)
+        val b = new String(c.getInputStream.readAllBytes(), "UTF-8")
+        c.disconnect(); b
+      }.getOrElse("")
+
+      val base = (System.currentTimeMillis() / 1000L - 4000) / 10 * 10
+      val names = (1 to 9).map(i => s"rf$i.cpu")
+      @volatile var waves = 0
+      @volatile var errors = 0
+      @volatile var stop = false
+      val feeder = new Thread(() => {
+        try {
+          val socks = Seq(pCtl, p1, p2).map(p => new Socket("127.0.0.1", p))
+          val outs = socks.map(s => new PrintWriter(s.getOutputStream, true))
+          try {
+            while (!stop) {
+              val k = waves
+              names.indices.foreach { i =>
+                val line = s"${names(i)} ${i * 10 + k}.5 ${base + 10L * k}"
+                outs(1 + (i % 2)).println(line)
+                outs(0).println(line)
+              }
+              if (outs.exists(_.checkError())) errors += 1
+              waves = k + 1
+              Thread.sleep(500)
+            }
+            outs.foreach(_.flush())
+            if (outs.exists(_.checkError())) errors += 1
+          } finally socks.foreach(s => Try(s.close()))
+        } catch { case _: Exception => errors += 1 }
+      })
+      feeder.start()
+      val dWave = System.currentTimeMillis() + 60000
+      while (waves < 8 && System.currentTimeMillis() < dWave)
+        Thread.sleep(100)
+      if (waves < 8) { stop = true; return false }
+
+      // ---- manual coordinator, dying between commits ----
+      if (admin.exists(u => adminPost(u, "/admin/hold")._1 != 200)) {
+        stop = true; println("rollfwd: hold failed"); return false
+      }
+      val quiesced = admin.map(u => adminPost(u, "/admin/quiesce"))
+      if (quiesced.exists(_._1 != 200) ||
+          quiesced.take(2).exists(!_._2.contains("\"flushed\":true"))) {
+        stop = true; println(s"rollfwd: quiesce failed: $quiesced")
+        return false
+      }
+      val seeds = (0 until 3).map(i => s"$root/seed/$i")
+      Reshard.writeSeeds(spark,
+        Seq(s"$root/d1/ckpt-points", s"$root/d2/ckpt-points"), 3, seeds)
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      def resumeQs(i: Int, phase: String) =
+        s"/admin/resume?phase=$phase&count=3&index=$i" +
+          s"&peers=${enc(s"$p1,$p2,$p3")}&epoch=1&seed=${enc(seeds(i))}"
+      val prepCodes = admin.zipWithIndex.map { case (u, i) =>
+        adminPost(u, resumeQs(i, "prepare"))._1 }
+      if (prepCodes.exists(_ != 200)) {
+        stop = true; println(s"rollfwd: prepare failed: $prepCodes")
+        return false
+      }
+      if (!admin.forall(adminGet(_).contains("\"prepared\":{"))) {
+        stop = true; println("rollfwd: prepared not visible in info")
+        return false
+      }
+      // commit member 0 only — the coordinator "dies" here
+      if (adminPost(admin(0), resumeQs(0, "commit"))._1 != 200) {
+        stop = true; println("rollfwd: first commit failed"); return false
+      }
+      // the mixed window is observable: d1 serving at M=3, d2/d3 held
+      // with staged state
+      val midOk = adminGet(admin(0)).contains("\"count\":3") &&
+        admin.drop(1).forall { u =>
+          val j = adminGet(u)
+          j.contains("\"held\":true") && j.contains("\"prepared\":{")
+        }
+      if (!midOk) {
+        stop = true; println("rollfwd: mixed window not as contracted")
+        return false
+      }
+      // RECOVERY: roll forward — commit the rest; repeat-commit on the
+      // already-committed member must answer 200 (idempotent)
+      val fwd = admin.drop(1).map(u =>
+        adminPost(u, resumeQs(0, "commit"))._1)
+      val again = adminPost(admin(0), resumeQs(0, "commit"))
+      if (fwd.exists(_ != 200) || again._1 != 200 ||
+          !again._2.contains("\"already\":true")) {
+        stop = true
+        println(s"rollfwd: roll-forward failed: $fwd again=$again")
+        return false
+      }
+      if (!admin.forall { u =>
+        val j = adminGet(u)
+        j.contains("\"count\":3") && j.contains("\"epoch\":1") &&
+          j.contains("\"held\":false")
+      }) { stop = true; println("rollfwd: fleet not converged at M"); return false }
+
+      val atResume = waves
+      val dPost = System.currentTimeMillis() + 60000
+      while (waves < atResume + 10 && System.currentTimeMillis() < dPost)
+        Thread.sleep(100)
+      stop = true
+      feeder.join(10000)
+      val k = waves
+      if (errors > 0 || k < atResume + 10) {
+        println(s"rollfwd feeder: errors=$errors waves=$k")
+        return false
+      }
+
+      val isTest = col("name").startsWith("rf")
+      val fleetDirs = Seq(s"$root/d1/points", s"$root/d2/points",
+        s"$root/d1/ep1/points", s"$root/d2/ep1/points",
+        s"$root/d3/ep1/points")
+      def testSet(dirs: Seq[String]): Set[(String, Long, Double)] =
+        Try(Ingest.readArchives(spark, dirs).filter(isTest)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toSet).getOrElse(Set.empty)
+      val want = names.size.toLong * (k - 1)
+      def rowsOf(dirs: Seq[String]): Long =
+        Try(Ingest.readArchives(spark, dirs).filter(isTest).count())
+          .getOrElse(0L)
+      val d2l = System.currentTimeMillis() + 420000
+      while ((rowsOf(Seq(s"$root/ctl/points")) < want ||
+          rowsOf(fleetDirs) < want) &&
+          System.currentTimeMillis() < d2l)
+        Thread.sleep(2000)
+      var ctlSet = testSet(Seq(s"$root/ctl/points"))
+      var fleet = testSet(fleetDirs)
+      while ((ctlSet.size.toLong < want || fleet != ctlSet) &&
+          System.currentTimeMillis() < d2l) {
+        Thread.sleep(2000)
+        ctlSet = testSet(Seq(s"$root/ctl/points"))
+        fleet = testSet(fleetDirs)
+      }
+      val ok = fleet == ctlSet && ctlSet.size.toLong == want
+      if (!ok) {
+        println(s"rollfwd: fleet=${fleet.size} ctl=${ctlSet.size} " +
+          s"want=$want errors=$errors waves=$k")
+        logs.zipWithIndex.foreach { case (l, i) =>
+          println(s"--- rollfwd daemon $i log tail ---\n" +
+            l.synchronized(l.toString).takeRight(1000))
+        }
+      }
+      ok
+    } finally {
+      procs.foreach { p =>
+        Try(p.destroy())
+        if (p.isAlive && !p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+          Try(p.destroyForcibly())
+      }
+    }
+  }
+
+  /** The round-15 AUTOMATIC-transition proof — the reference's last
+    * uncovered delta (`receiver/director.go:255-265`: Transition fired
+    * from the memberlist cluster-change channel, NO operator in the
+    * loop). A copies=2 fleet runs with `GRAFT_FLEET_FILE` armed; the
+    * smoke only (1) boots a standby and registers its address — the
+    * fleet LEADER detects the join and grows 2→3 by itself — then
+    * (2) kills a member outright — the leader confirms death over
+    * missed heartbeats and shrinks 3→2 by itself, survivors re-ranked,
+    * the departed member's series seeded from the survivors' REPLICA
+    * state. Proofs: both transitions complete with zero operator
+    * commands and zero feeder errors, and the final owner-preferred
+    * union render (replica fallback standing in for the dead member's
+    * epoch-1 slice) is bit-identical to the single-daemon control. */
+  private def autoTransitionCheck(spark: SparkSession,
+      addOpens: String): Boolean = {
+    import java.net.{ServerSocket, Socket}
+    import java.io.PrintWriter
+    import scala.util.Try
+    import graft.streaming.{Ingest, Shard}
+    val root = java.nio.file.Files.createTempDirectory("smoke-auto").toString
+    val fleetFile = java.nio.file.Paths.get(s"$root/fleet.txt")
+    def freePort(): Int = {
+      val ss = new ServerSocket(0); val p = ss.getLocalPort; ss.close(); p
+    }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val fleetEnv = Map(
+      "GRAFT_FLEET_FILE" -> fleetFile.toString,
+      "GRAFT_FLEET_POLL_MS" -> "1000",
+      "GRAFT_FLEET_DEBOUNCE" -> "2",
+      "GRAFT_FLEET_DEAD_POLLS" -> "5")
+    def daemon(tag: String, gPort: Int,
+        extra: Map[String, String]): Process = {
+      val env = Map(
+        "GRAFT_DATA_DIR" -> s"$root/$tag",
+        "GRAFT_MASTER" -> "local[2]",
+        "GRAFT_SHUFFLE_PARTITIONS" -> "2",
+        "GRAFT_STEP_SEC" -> "10",
+        "GRAFT_HEARTBEAT_SEC" -> "7200",
+        "GRAFT_GRAPHITE_PORT" -> gPort.toString,
+        "GRAFT_STATSD_PORT" -> "0",
+        "GRAFT_PICKLE_PORT" -> "0",
+        "GRAFT_HTTP_PORT" -> "0") ++ extra
+      val cmd = Seq(javaBin) ++ addOpens.split(" ").toSeq ++ Seq(
+        "-Dspark.ui.enabled=false", "-Xmx2g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.streaming.Daemon")
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      pb.environment().putAll(scala.jdk.CollectionConverters
+        .MapHasAsJava(env).asJava)
+      pb.start()
+    }
+    def drain(p: Process, sb: StringBuilder): Unit = {
+      val t = new Thread(() => try {
+        val in = p.getInputStream
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          sb.synchronized {
+            sb.append(new String(buf, 0, n, "UTF-8"))
+            if (sb.length > 64000) sb.delete(0, sb.length - 32000)
+            ()
+          }
+          n = in.read(buf)
+        }
+      } catch { case _: java.io.IOException => () })
+      t.setDaemon(true); t.start()
+    }
+    val pCtl = freePort()
+    val Seq(p1, p2, p3) = Seq.fill(3)(freePort())
+    val peersOld = s"$p1,$p2"
+    val procs = collection.mutable.ArrayBuffer(
+      daemon("ctl", pCtl, Map.empty),
+      daemon("d1", p1, Map("GRAFT_SHARD_INDEX" -> "0",
+        "GRAFT_SHARD_COUNT" -> "2", "GRAFT_SHARD_PEERS" -> peersOld,
+        "GRAFT_SHARD_COPIES" -> "2") ++ fleetEnv),
+      daemon("d2", p2, Map("GRAFT_SHARD_INDEX" -> "1",
+        "GRAFT_SHARD_COUNT" -> "2", "GRAFT_SHARD_PEERS" -> peersOld,
+        "GRAFT_SHARD_COPIES" -> "2") ++ fleetEnv))
+    val logs = collection.mutable.ArrayBuffer(
+      Seq.fill(procs.size)(new StringBuilder): _*)
+    procs.zip(logs).foreach { case (p, l) => drain(p, l) }
+    try {
+      def awaitBanner(dl: Long): Boolean = {
+        var booted = false
+        while (!booted && System.currentTimeMillis() < dl) {
+          booted = logs.forall(l =>
+            l.synchronized(l.toString).contains("graft daemon:"))
+          if (!booted) Thread.sleep(200)
+        }
+        booted
+      }
+      if (!awaitBanner(System.currentTimeMillis() + 150000)) {
+        logs.foreach(l => println("--- auto boot log tail ---\n" +
+          l.synchronized(l.toString).takeRight(1200)))
+        return false
+      }
+      val a1 = s"127.0.0.1:${bannerHttpPort(logs(1))}"
+      val a2 = s"127.0.0.1:${bannerHttpPort(logs(2))}"
+      // register the founding members — the memberlist join list
+      java.nio.file.Files.writeString(fleetFile, s"$a1\n$a2\n")
+      def adminGet(u: String): String = Try {
+        val c = new java.net.URI(s"http://$u/admin/info").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setConnectTimeout(3000); c.setReadTimeout(10000)
+        val b = new String(c.getInputStream.readAllBytes(), "UTF-8")
+        c.disconnect(); b
+      }.getOrElse("")
+
+      val base = (System.currentTimeMillis() / 1000L - 4000) / 10 * 10
+      val names = (1 to 9).map(i => s"at$i.cpu")
+      @volatile var waves = 0
+      @volatile var errors = 0
+      @volatile var stop = false
+      val feeder = new Thread(() => {
+        try { // d3 is doomed: feed only the founding members + control
+          val socks = Seq(pCtl, p1, p2).map(p => new Socket("127.0.0.1", p))
+          val outs = socks.map(s => new PrintWriter(s.getOutputStream, true))
+          try {
+            while (!stop) {
+              val k = waves
+              names.indices.foreach { i =>
+                val line = s"${names(i)} ${i * 10 + k}.5 ${base + 10L * k}"
+                outs(1 + (i % 2)).println(line)
+                outs(0).println(line)
+              }
+              if (outs.exists(_.checkError())) errors += 1
+              waves = k + 1
+              Thread.sleep(500)
+            }
+            outs.foreach(_.flush())
+            if (outs.exists(_.checkError())) errors += 1
+          } finally socks.foreach(s => Try(s.close()))
+        } catch { case _: Exception => errors += 1 }
+      })
+      feeder.start()
+      val dWave = System.currentTimeMillis() + 60000
+      while (waves < 8 && System.currentTimeMillis() < dWave)
+        Thread.sleep(100)
+      if (waves < 8) { stop = true; return false }
+
+      // ---- JOIN: boot a standby, register it, and DO NOTHING ----
+      procs += daemon("d3", p3, Map("GRAFT_STANDBY" -> "1",
+        "GRAFT_SHARD_INDEX" -> "2", "GRAFT_SHARD_COUNT" -> "3",
+        "GRAFT_SHARD_PEERS" -> s"$p1,$p2,$p3",
+        "GRAFT_SHARD_COPIES" -> "2") ++ fleetEnv)
+      val l3 = new StringBuilder
+      logs += l3
+      drain(procs.last, l3)
+      if (!awaitBanner(System.currentTimeMillis() + 150000)) {
+        stop = true; println("auto: standby never booted"); return false
+      }
+      val a3 = s"127.0.0.1:${bannerHttpPort(l3)}"
+      java.nio.file.Files.writeString(fleetFile, s"$a1\n$a2\n$a3\n")
+      def allShow(admins: Seq[String], count: Int, epoch: Int): Boolean =
+        admins.forall { u =>
+          val j = adminGet(u)
+          j.contains(s""""count":$count""") &&
+            j.contains(s""""epoch":$epoch""") &&
+            j.contains(""""held":false""")
+        }
+      val dGrow = System.currentTimeMillis() + 180000
+      while (!allShow(Seq(a1, a2, a3), 3, 1) &&
+          System.currentTimeMillis() < dGrow)
+        Thread.sleep(1000)
+      if (!allShow(Seq(a1, a2, a3), 3, 1)) {
+        stop = true
+        println("auto: grow never fired; infos=" +
+          Seq(a1, a2, a3).map(adminGet).mkString(" | "))
+        println("--- d1 log tail ---\n" +
+          logs(1).synchronized(logs(1).toString).takeRight(1500))
+        return false
+      }
+      val atGrow = waves
+      val dMid = System.currentTimeMillis() + 60000
+      while (waves < atGrow + 10 && System.currentTimeMillis() < dMid)
+        Thread.sleep(100)
+
+      // ---- LEAVE: kill the joiner outright, and DO NOTHING ----
+      procs.last.destroyForcibly()
+      val dShrink = System.currentTimeMillis() + 180000
+      while (!allShow(Seq(a1, a2), 2, 2) &&
+          System.currentTimeMillis() < dShrink)
+        Thread.sleep(1000)
+      if (!allShow(Seq(a1, a2), 2, 2)) {
+        stop = true
+        println("auto: shrink never fired; infos=" +
+          Seq(a1, a2).map(adminGet).mkString(" | "))
+        println("--- d1 log tail ---\n" +
+          logs(1).synchronized(logs(1).toString).takeRight(1500))
+        return false
+      }
+      val atShrink = waves
+      val dEnd = System.currentTimeMillis() + 60000
+      while (waves < atShrink + 10 && System.currentTimeMillis() < dEnd)
+        Thread.sleep(100)
+      stop = true
+      feeder.join(10000)
+      val k = waves
+      if (errors > 0 || k < atShrink + 10) {
+        println(s"auto feeder: errors=$errors waves=$k")
+        return false
+      }
+
+      // bit-identity: epoch-0 + epoch-2 primaries read plain; epoch-1
+      // (the count-3 epoch) reads owner-preferred with the DEAD shard's
+      // slice served from its replica holder, filtered to its
+      // ownership predicate — one weighted merge over all raw pieces
+      val isTest = col("name").startsWith("at")
+      def fleetSet(): Set[(String, Long, Double)] =
+        Try(Shard.readClusterArchivesRaw(spark,
+          extraDirs = Seq(s"$root/d1/points", s"$root/d2/points",
+            s"$root/d1/ep2/points", s"$root/d2/ep2/points"),
+          shardPointDirs = Seq(s"$root/d1/ep1/points",
+            s"$root/d2/ep1/points", s"$root/d3/ep1/points"),
+          replicaPointDirs = Seq(s"$root/d1/ep1/replica/points",
+            s"$root/d2/ep1/replica/points",
+            s"$root/d3/ep1/replica/points"),
+          copies = 2, down = Set(2))
+          .filter(isTest)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toSet).getOrElse(Set.empty)
+      def ctlSetNow(): Set[(String, Long, Double)] =
+        Try(Ingest.readArchives(spark, Seq(s"$root/ctl/points"))
+          .filter(isTest)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toSet).getOrElse(Set.empty)
+      val want = names.size.toLong * (k - 1)
+      val d2l = System.currentTimeMillis() + 420000
+      var ctlSet = ctlSetNow()
+      var fleet = fleetSet()
+      while ((ctlSet.size.toLong < want || fleet != ctlSet) &&
+          System.currentTimeMillis() < d2l) {
+        Thread.sleep(2000)
+        ctlSet = ctlSetNow()
+        fleet = fleetSet()
+      }
+      val ok = fleet == ctlSet && ctlSet.size.toLong == want
+      if (!ok) {
+        println(s"auto: fleet=${fleet.size} ctl=${ctlSet.size} " +
+          s"want=$want errors=$errors waves=$k " +
+          s"missing=${(ctlSet -- fleet).take(5)} " +
+          s"extra=${(fleet -- ctlSet).take(5)}")
+        logs.zipWithIndex.foreach { case (l, i) =>
+          println(s"--- auto daemon $i log tail ---\n" +
+            l.synchronized(l.toString).takeRight(1200))
         }
       }
       ok

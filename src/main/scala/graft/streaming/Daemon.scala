@@ -88,13 +88,16 @@ object Daemon {
     /** Re-admit parked lines through the CURRENT route (swap it
       * first), oldest-first, then resume direct routing. Lines
       * arriving during the drain keep parking until the queue is
-      * empty, preserving per-sender order; the final sweep covers the
-      * unhold race window. */
+      * empty, preserving per-sender order; the final sweep plus
+      * [[offer]]'s park-then-recheck covers the unhold race window. */
     def release(): Unit = {
-      var l = holdQ.poll()
-      while (l != null) { routeRef.get()(l).foreach(enqueue); l = holdQ.poll() }
+      drainHold()
       holding = false
-      l = holdQ.poll()
+      drainHold()
+    }
+
+    private def drainHold(): Unit = {
+      var l = holdQ.poll()
       while (l != null) { routeRef.get()(l).foreach(enqueue); l = holdQ.poll() }
     }
     private val listenSock = new ServerSocket()
@@ -123,6 +126,14 @@ object Daemon {
     def offer(line: String): Unit =
       if (holding) {
         if (!holdQ.offer(line)) { holdQ.poll(); holdQ.offer(line); () }
+        // park/release race: release() may have finished its final
+        // sweep between our `holding` read and the park above — the
+        // line would sit invisibly until the next hold cycle. If
+        // `holding` has cleared, drain it ourselves: `holding` is
+        // volatile, so a park that the final sweep missed implies this
+        // re-read sees false; a double drain is harmless (poll is
+        // atomic — each line re-admits exactly once).
+        if (!holding) drainHold()
       } else routeRef.get()(line).foreach(enqueue)
 
     private def enqueue(line: String): Unit =
@@ -1344,7 +1355,10 @@ object Daemon {
     // memberlist-Transition availability property,
     // `cluster/cluster.go:667-700`)
     @volatile var shardCount = env("GRAFT_SHARD_COUNT", "1").toInt
-    val shardIndex = env("GRAFT_SHARD_INDEX", "0").toInt
+    // var: a SHRINK transition re-ranks the survivors 0..M-1 (the
+    // departed member's index must not leave a hole — ownership is
+    // pmod over the count)
+    @volatile var shardIndex = env("GRAFT_SHARD_INDEX", "0").toInt
     // n-copy replication (cluster/cluster.go:183-191 Copies +
     // selectNodes ring placement): each POINT series also lands on its
     // owner's copies-1 ring successors, in a separate per-shard
@@ -1442,16 +1456,18 @@ object Daemon {
     // k < copies — so a re-homed series' resize-straddling slot is
     // exact in the replica store too (an owner crash right after a
     // resize otherwise serves that one slot gapped from the fallback)
-    def replicaSeedOf(all: String): Dataset[(String, Ingest.PdpState)] = {
+    def replicaSeedOf(all: String, idx: Int,
+        cnt: Int): Dataset[(String, Ingest.PdpState)] = {
       val paths = all.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      require(paths.size == shardCount,
-        s"seed-all has ${paths.size} entries for $shardCount shards")
-      val preds = Shard.replicatedBy(shardIndex, shardCount, shardCopies)
+      require(paths.size == cnt,
+        s"seed-all has ${paths.size} entries for $cnt shards")
+      val preds = Shard.replicatedBy(idx, cnt, shardCopies)
       require(preds.nonEmpty, "seed-all set with copies <= 1")
       preds.map(o => Reshard.readSeed(spark, paths(o))).reduce(_ union _)
     }
     @volatile var replicaSeed = sys.env.get("GRAFT_PDP_SEED_ALL")
-      .filter(_ => replGw.nonEmpty).map(replicaSeedOf)
+      .filter(_ => replGw.nonEmpty)
+      .map(replicaSeedOf(_, shardIndex, shardCount))
     // small-file maintenance cadence (0 = off): a long-running
     // daemon's merge-per-batch cadence fragments the store into one
     // chunk per surviving batch epoch without it — ON by default, and
@@ -1525,8 +1541,11 @@ object Daemon {
     // GRAFT_STANDBY=1: a JOINING node of a rolling resize — gateways
     // bound and HELD (lines park raw), streams deferred until the
     // coordinator's /admin/resume (the reference's new memberlist
-    // member before Transition: visible, not yet owning)
-    val standby = env("GRAFT_STANDBY", "0") == "1"
+    // member before Transition: visible, not yet owning). var: a
+    // committed transition makes the joiner a full member — /admin/info
+    // must stop reporting it as a standby or the fleet watcher would
+    // re-trigger the join forever.
+    @volatile var standby = env("GRAFT_STANDBY", "0") == "1"
     if (standby) Seq(gGw, sGw, pkGw, pxDpGw, pxGw).foreach(_.hold())
     @volatile var active: Seq[StreamingQuery] =
       if (standby) Seq.empty else startAll(boot)
@@ -1671,12 +1690,43 @@ object Daemon {
             java.net.URLDecoder.decode(kv.dropWhile(_ != '=').drop(1),
               StandardCharsets.UTF_8)
         }
+    // Two-phase resume (the all-or-nothing Transition contract,
+    // cluster/cluster.go:667-700): PREPARE parses and validates EVERY
+    // parameter and stages the new routing state — directors, seed
+    // frames — without touching anything live, so a failed prepare
+    // answers 500 and leaves the daemon exactly as quiesce left it;
+    // COMMIT swaps the staged state in. The coordinator prepares the
+    // WHOLE fleet before committing anyone, so no validation failure
+    // can strand a mixed-count fleet, and commit is idempotent (a
+    // retry after an ambiguous network failure answers 200) — once
+    // any member committed, recovery is roll-FORWARD: commit the
+    // rest, never release.
+    final case class PreparedTransition(count: Int, index: Int,
+      targetEpoch: Int,
+      director: Option[Shard.Director],
+      pkDirector: Option[Shard.PickleDirector],
+      sdDirector: Option[Shard.Director],
+      seed: Option[Dataset[(String, Ingest.PdpState)]],
+      seedAll: Option[Dataset[(String, Ingest.PdpState)]])
+    @volatile var prepared: Option[PreparedTransition] = None
+    def discardPrepared(): Unit = {
+      prepared.foreach { p =>
+        p.director.foreach(d => Try(d.closeDiscarding()))
+        p.pkDirector.foreach(d => Try(d.closeDiscarding()))
+        p.sdDirector.foreach(d => Try(d.closeDiscarding()))
+      }
+      prepared = None
+    }
     def infoJson: String =
       s"""{"index":$shardIndex,"count":$shardCount,""" +
         s""""copies":$shardCopies,"epoch":$epoch,""" +
         s""""dataDir":"${EventStore.esc(dataDir)}",""" +
         s""""ckptPoints":"${EventStore.esc(s"${edir(epoch)}/ckpt-points")}",""" +
         s""""graphitePort":${gGw.boundListenPort},""" +
+        s""""statsdPort":${sGw.boundListenPort},""" +
+        prepared.map(p => s""""prepared":{"count":${p.count},""" +
+          s""""index":${p.index},"epoch":${p.targetEpoch}},""")
+          .getOrElse("") +
         s""""held":$held,"standby":$standby}"""
     http.createContext("/admin/info",
       (ex: HttpExchange) => adminText(ex, 200, infoJson + "\n"))
@@ -1734,9 +1784,21 @@ object Daemon {
           val flushedAll = (director.map(_.forwarder.flushed()) ++
             pkDirector.map(_.forwarder.flushed()) ++
             sdDirector.map(_.forwarder.flushed())).forall(identity)
+          // the replica receiver's checkpoint too (when one ran): a
+          // SHRINK seeds a departed member's series from the freshest
+          // relinquished state, and that lives in a survivor's REPLICA
+          // state — the departed primary's own checkpoint is stale by
+          // the whole dead window (writeSeeds' max_by picks per series)
+          val replCkpt = s"${edir(epoch)}/replica/ckpt-points"
+          val replJson =
+            if (replGw.nonEmpty &&
+                Files.exists(java.nio.file.Paths.get(replCkpt)))
+              s""""ckptReplica":"${EventStore.esc(replCkpt)}","""
+            else ""
           adminText(ex, 200,
             s"""{"index":$shardIndex,"epoch":$epoch,""" +
               s""""ckptPoints":"${EventStore.esc(s"${edir(epoch)}/ckpt-points")}",""" +
+              replJson +
               s""""flushed":$flushedAll,""" +
               s""""hadStreams":${Files.exists(java.nio.file.Paths.get(
                 s"${edir(epoch)}/ckpt-points"))}}""" + "\n")
@@ -1751,59 +1813,98 @@ object Daemon {
     http.createContext("/admin/release", (ex: HttpExchange) =>
       if (ex.getRequestMethod != "POST") adminText(ex, 405, "Error\n")
       else if (!held) adminText(ex, 409, "Error: not held\n")
-      else if (standby && active.isEmpty && epoch == 0)
-        adminText(ex, 409, "Error: standby stays held (kill to abort)\n")
       else exclusively(ex) {
-        if (active.isEmpty) {
-          restartGen.incrementAndGet()
-          active = startAll(loadSettings(confPath)._2)
+        // an aborted transition's staged state is void either way
+        discardPrepared()
+        if (standby && active.isEmpty && epoch == 0)
+          adminText(ex, 409, "Error: standby stays held (kill to abort)\n")
+        else {
+          if (active.isEmpty) {
+            restartGen.incrementAndGet()
+            active = startAll(loadSettings(confPath)._2)
+          }
+          heldGws.foreach(_.release())
+          held = false
+          adminText(ex, 200, s"""{"released":true,"epoch":$epoch}""" + "\n")
         }
-        heldGws.foreach(_.release())
-        held = false
-        adminText(ex, 200, s"""{"released":true,"epoch":$epoch}""" + "\n")
       })
-    http.createContext("/admin/resume", (ex: HttpExchange) =>
-      if (ex.getRequestMethod != "POST") adminText(ex, 405, "Error\n")
-      else if (!held) adminText(ex, 409, "Error: not held\n")
-      else exclusively(ex) (try {
-        val m = adminParam(ex, "count").map(_.toInt).getOrElse(shardCount)
-        val newPeers = adminParam(ex, "peers").map(_.split(",")
-          .map(_.trim.toInt).toSeq).getOrElse(Seq.empty)
-        val targetEpoch = adminParam(ex, "epoch").map(_.toInt)
-          .getOrElse(epoch + 1)
-        require(m >= 1 && shardIndex < m,
-          s"index $shardIndex outside new count $m")
-        require(m <= 1 || newPeers.size == m,
-          s"${newPeers.size} peers for count $m")
-        require(targetEpoch > epoch || (standby && targetEpoch >= epoch),
-          s"epoch $targetEpoch not ahead of $epoch")
-        // the old directors stayed live through quiesce (abort path);
-        // their forwarders were flushed there — cut them now
-        director.foreach(d => Try(d.close()))
-        pkDirector.foreach(d => Try(d.close()))
-        sdDirector.foreach(d => Try(d.close()))
-        shardCount = m
-        pdpSeed = adminParam(ex, "seed").map(p => Reshard.readSeed(spark, p))
-        replicaSeed = adminParam(ex, "seedAll")
-          .filter(_ => replGw.nonEmpty).map(replicaSeedOf)
-        director =
-          if (m <= 1) None
-          else Some(new Shard.Director(shardIndex, m,
-            new Shard.Forwarder(newPeers),
-            copies = shardCopies, replicaOffer = replicaOffer))
-        pkDirector =
-          if (m <= 1) None
-          else Some(new Shard.PickleDirector(shardIndex, m,
-            new Shard.Forwarder(newPeers),
-            copies = shardCopies, replicaOffer = replicaOffer))
-        val sdPeers = adminParam(ex, "statsdPeers").map(_.split(",")
-          .map(_.trim.toInt).toSeq)
-        require(sdPeers.nonEmpty || sdDirector.isEmpty,
-          "statsd director active but no statsdPeers in resume")
-        sdDirector = sdPeers.filter(_ => m > 1).map(sp =>
-          new Shard.Director(shardIndex, m, new Shard.Forwarder(sp),
-            parseName = Shard.statsdNameOf, canon = Shard.sanitizePlain))
-        epoch = targetEpoch
+    // PREPARE: parse + validate every parameter, stage the new state.
+    // No live state is touched — a throw here leaves the daemon
+    // exactly as quiesce left it (old directors live, lines held).
+    def doPrepare(ex: HttpExchange): Unit = {
+      val m = adminParam(ex, "count").map(_.toInt).getOrElse(shardCount)
+      val newIdx = adminParam(ex, "index").map(_.toInt).getOrElse(shardIndex)
+      val newPeers = adminParam(ex, "peers").map(_.split(",")
+        .map(_.trim.toInt).toSeq).getOrElse(Seq.empty)
+      val targetEpoch = adminParam(ex, "epoch").map(_.toInt)
+        .getOrElse(epoch + 1)
+      require(m >= 1 && newIdx >= 0 && newIdx < m,
+        s"index $newIdx outside new count $m")
+      require(m <= 1 || newPeers.size == m,
+        s"${newPeers.size} peers for count $m")
+      require(targetEpoch > epoch || (standby && targetEpoch >= epoch),
+        s"epoch $targetEpoch not ahead of $epoch")
+      val sdPeers = adminParam(ex, "statsdPeers").map(_.split(",")
+        .map(_.trim.toInt).toSeq)
+      require(sdPeers.nonEmpty || sdDirector.isEmpty,
+        "statsd director active but no statsdPeers in resume")
+      require(sdPeers.forall(sp => m <= 1 || sp.size == m),
+        s"statsdPeers size mismatch for count $m")
+      // seed readability is part of validation: spark.read.parquet
+      // fails NOW on a missing/unreadable path, while the old shape
+      // is still intact
+      val seed = adminParam(ex, "seed")
+        .map(p => Reshard.readSeed(spark, p))
+      val seedAll = adminParam(ex, "seedAll")
+        .filter(_ => replGw.nonEmpty).map(replicaSeedOf(_, newIdx, m))
+      val nd = if (m <= 1) None
+        else Some(new Shard.Director(newIdx, m,
+          new Shard.Forwarder(newPeers),
+          copies = shardCopies, replicaOffer = replicaOffer))
+      val npk = if (m <= 1) None
+        else Some(new Shard.PickleDirector(newIdx, m,
+          new Shard.Forwarder(newPeers),
+          copies = shardCopies, replicaOffer = replicaOffer))
+      val nsd = sdPeers.filter(_ => m > 1).map(sp =>
+        new Shard.Director(newIdx, m, new Shard.Forwarder(sp),
+          parseName = Shard.statsdNameOf, canon = Shard.sanitizePlain))
+      discardPrepared() // a coordinator retry re-prepares in place
+      prepared = Some(PreparedTransition(m, newIdx, targetEpoch,
+        nd, npk, nsd, seed, seedAll))
+    }
+    // COMMIT: swap the staged state in. Idempotent (nothing prepared +
+    // not held = already committed → 200) and re-entrant: the gateway
+    // release is the LAST step, so a failed attempt retries from a
+    // clean stream sweep with lines still held.
+    def doCommit(ex: HttpExchange): Unit = prepared match {
+      case None =>
+        if (!held) adminText(ex, 200,
+          s"""{"resumed":true,"epoch":$epoch,"count":$shardCount,""" +
+            s""""already":true}""" + "\n")
+        else adminText(ex, 409, "Error: nothing prepared\n")
+      case Some(p) =>
+        // a prior failed attempt may have left stray queries — sweep
+        active = Seq.empty
+        spark.streams.active.foreach(q => Try(q.stop()))
+        // cut the OLD directors, DISCARDING anything still queued:
+        // quiesce flushed every forward that mattered (the coordinator
+        // verifies `flushed`); a line queued since carries an
+        // old-count routing decision and must never deliver into a
+        // peer that already resumed at the new count
+        director.filter(d => !p.director.exists(_ eq d))
+          .foreach(d => Try(d.closeDiscarding()))
+        pkDirector.filter(d => !p.pkDirector.exists(_ eq d))
+          .foreach(d => Try(d.closeDiscarding()))
+        sdDirector.filter(d => !p.sdDirector.exists(_ eq d))
+          .foreach(d => Try(d.closeDiscarding()))
+        shardCount = p.count
+        shardIndex = p.index
+        pdpSeed = p.seed
+        replicaSeed = p.seedAll
+        director = p.director
+        pkDirector = p.pkDirector
+        sdDirector = p.sdDirector
+        epoch = p.targetEpoch
         Files.createDirectories(epochFile.getParent)
         Files.writeString(epochFile, epoch.toString)
         adoptEpoch(epoch)
@@ -1840,13 +1941,55 @@ object Daemon {
         Seq(gGw -> gRoute, pxDpGw -> gRoute, sGw -> sRoute,
           pkGw -> pkRoute).foreach { case (gw, r) => gw.setRoute(r) }
         held = false
+        standby = false // a committed joiner is a full member
+        prepared = None
         adminText(ex, 200, s"""{"resumed":true,"epoch":$epoch,""" +
           s""""count":$shardCount}""" + "\n")
+    }
+    http.createContext("/admin/resume", (ex: HttpExchange) =>
+      if (ex.getRequestMethod != "POST") adminText(ex, 405, "Error\n")
+      else exclusively(ex) (try {
+        adminParam(ex, "phase") match {
+          case Some("prepare") =>
+            if (!held) adminText(ex, 409, "Error: not held\n")
+            else {
+              doPrepare(ex)
+              val p = prepared.get
+              adminText(ex, 200, s"""{"prepared":true,""" +
+                s""""count":${p.count},"index":${p.index},""" +
+                s""""epoch":${p.targetEpoch}}""" + "\n")
+            }
+          case Some("commit") => doCommit(ex)
+          case None => // one-shot: validate-all-THEN-mutate (atomic)
+            if (!held) adminText(ex, 409, "Error: not held\n")
+            else { doPrepare(ex); doCommit(ex) }
+          case Some(other) =>
+            adminText(ex, 400, s"Error: unknown phase '$other'\n")
+        }
       } catch {
         case e: Exception =>
           adminText(ex, 500, s"Error: $e\n")
       }))
 
+    // GRAFT_FLEET_FILE: the membership registry (the memberlist
+    // join-address analogue) — arms the AUTOMATIC transition trigger:
+    // a watcher polls every registered member's /admin/info and the
+    // fleet LEADER fires Reshard.rolling itself when a standby joins
+    // or a member is confirmed dead (the reference's
+    // receiver/director.go:255-265 cluster-change channel; no operator
+    // in the loop). Seeds land under this member's dataDir — shared
+    // filesystem, like the checkpoints.
+    val fleetWatch = sys.env.get("GRAFT_FLEET_FILE").map { ff =>
+      val fw = new FleetWatch(spark, java.nio.file.Paths.get(ff),
+        selfAdminPort = http.getAddress.getPort,
+        hasStatsdDirector = () => sdDirector.nonEmpty,
+        seedBase = s"$dataDir/autoseed",
+        pollMs = env("GRAFT_FLEET_POLL_MS", "5000").toLong,
+        debounce = env("GRAFT_FLEET_DEBOUNCE", "3").toInt,
+        deadPolls = env("GRAFT_FLEET_DEAD_POLLS", "5").toInt)
+      fw.start()
+      fw
+    }
     // pid-file (daemon/config.go:36; savePid at boot): written before
     // the banner so supervisors can signal immediately. Env wins over
     // conf, same precedence as every other GRAFT_* override.
@@ -1884,6 +2027,7 @@ object Daemon {
       pidFile.foreach(pf => Try(Files.deleteIfExists(
         java.nio.file.Paths.get(pf))))
       Try(blaster.close())
+      fleetWatch.foreach(f => Try(f.close()))
       (director ++ sdDirector).foreach(d => Try(d.close()))
       pkDirector.foreach(d => Try(d.close()))
       (Seq(gGw, sGw, pkGw, pxDpGw, pxGw) ++ replGw ++ replPkGw)

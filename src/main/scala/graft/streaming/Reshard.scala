@@ -182,7 +182,14 @@ object Reshard {
       // statsd gateway peer ports at the NEW count — required iff the
       // fleet runs a statsd director (GRAFT_SHARD_STATSD_PEERS): a
       // resume without them on such a daemon fails loudly by design
-      statsdPeers: Seq[Int] = Seq.empty): Unit = {
+      statsdPeers: Seq[Int] = Seq.empty,
+      // SHRINK inputs: a departed member's last checkpoint (readable
+      // on the shared filesystem — its state is as of its last
+      // committed batch, the reference's crash semantics with replicas
+      // covering the gap), and reindex=true re-ranks the survivors
+      // 0..M-1 by old index so the pmod ownership rule has no holes
+      deadCkpts: Seq[String] = Seq.empty,
+      reindex: Boolean = false): Unit = {
     require(newCount >= 1, s"newCount must be >= 1, got $newCount")
     require(newPeers.size == newCount || newCount == 1,
       s"${newPeers.size} peer ports for $newCount shards")
@@ -193,39 +200,75 @@ object Reshard {
     def base(u: String) =
       if (u.startsWith("http://") || u.startsWith("https://")) u
       else s"http://$u"
-    // 0: verify membership — indices must cover 0..M-1 exactly
+    // 0: verify membership and assign indices — either the members'
+    // boot indices cover 0..M-1 exactly (grow), or reindex re-ranks
+    // the survivors by old index (shrink)
     val infos = all.map(u => u -> jsonObj(httpGet(s"${base(u)}/admin/info")))
-    val idx = infos.map { case (_, m) => jLong(m, "index").toInt }
-    require(idx.sorted == (0 until newCount),
-      s"member indices $idx do not cover 0..${newCount - 1}")
+    val oldIdx = infos.map { case (_, m) => jLong(m, "index").toInt }
+    val assigned: Map[String, Int] =
+      if (reindex)
+        infos.sortBy { case (_, m) => jLong(m, "index") }
+          .map(_._1).zipWithIndex.toMap
+      else {
+        require(oldIdx.sorted == (0 until newCount),
+          s"member indices $oldIdx do not cover 0..${newCount - 1}")
+        infos.map { case (u, m) => u -> jLong(m, "index").toInt }.toMap
+      }
     val epochs = infos.map { case (_, m) => jLong(m, "epoch").toInt }
     val targetEpoch = epochs.max + 1
     // 1: hold everyone — from here no line reaches a store until
     // resume, and none is refused (listeners stay open)
     all.foreach(u => httpPost(s"${base(u)}/admin/hold"))
+    // phase A (abortable): quiesce + remap + PREPARE. Nothing here
+    // mutates a member's live shape, so any failure rolls back clean.
     try {
-      // 2: quiesce everyone — the Relinquish barrier
+      // 2: quiesce everyone — the Relinquish barrier. EVERY member
+      // must report its forwarder queues flushed: an unflushed queue
+      // holds old-count FwdMarker lines that would deliver AFTER the
+      // peer resumed and ingest on a non-owner's new-epoch store,
+      // breaking the store-disjointness invariant the render union
+      // relies on. (A departed peer's queue drop-drains through the
+      // circuit breaker, so a shrink still flushes true.)
       val quiesced = all.map(u =>
         u -> jsonObj(httpPost(s"${base(u)}/admin/quiesce")))
-      val ckpts = quiesced.collect {
-        case (_, m) if m("hadStreams") == true => jStr(m, "ckptPoints")
+      quiesced.foreach { case (u, m) =>
+        require(m.get("flushed").contains(true),
+          s"$u forwarder queues did not flush at quiesce — aborting " +
+            "(stale old-count forwards must never reach a resumed peer)")
       }
+      // primary checkpoints, plus every REPLICA checkpoint a member
+      // reports: for a healthy series the replica state duplicates the
+      // primary's (same points, max_by ties are identical), and for a
+      // DEPARTED member's series the survivor's replica state is the
+      // only fresh copy — the dead primary's own checkpoint (passed in
+      // deadCkpts) is stale by the whole dead window
+      val ckpts = quiesced.flatMap { case (_, m) =>
+        (if (m("hadStreams") == true) Seq(jStr(m, "ckptPoints"))
+         else Seq.empty) ++
+          (m.get("ckptReplica") match {
+            case Some(s: String) => Seq(s)
+            case _ => Seq.empty
+          })
+      } ++ deadCkpts
       require(ckpts.nonEmpty, "no member had committed PDP state")
       // 3: the remap (O(live series), stores untouched)
       val seeds = (0 until newCount).map(i => s"$seedOut/$i")
       writeSeeds(spark, ckpts, newCount, seeds)
-      // 4: resume everyone at the new count/epoch with its seed slice
+      // 4a: PREPARE everyone — each member validates the whole
+      // parameter set and stages its new directors/seeds WITHOUT
+      // touching live state; a failure anywhere still aborts clean
       val peersCsv = newPeers.mkString(",")
       val seedsCsv = seeds.mkString(",")
       infos.foreach { case (u, m) =>
-        val i = jLong(m, "index").toInt
+        val i = assigned(u)
         val copies = jLong(m, "copies").toInt
         val seedAll = if (copies > 1)
           s"&seedAll=${java.net.URLEncoder.encode(seedsCsv, "UTF-8")}" else ""
         val sdArg = if (statsdPeers.isEmpty) ""
           else "&statsdPeers=" + java.net.URLEncoder.encode(
             statsdPeers.mkString(","), "UTF-8")
-        httpPost(s"${base(u)}/admin/resume?count=$newCount" +
+        httpPost(s"${base(u)}/admin/resume?phase=prepare" +
+          s"&count=$newCount&index=$i" +
           s"&peers=${java.net.URLEncoder.encode(peersCsv, "UTF-8")}" +
           s"&epoch=$targetEpoch" +
           s"&seed=${java.net.URLEncoder.encode(seeds(i), "UTF-8")}" +
@@ -233,19 +276,57 @@ object Reshard {
         ()
       }
     } catch {
-      // ABORT: a failure before every member resumed leaves the fleet
-      // held (ingest parked) — roll the OLD members back to their
-      // pre-transition shape (/admin/release: held lines re-admit
-      // under the old count, streams restart at the current epoch;
-      // directors stayed live through quiesce for exactly this), then
-      // surface the original failure. Standby joiners stay held —
-      // kill them. Best-effort: a member that already resumed answers
-      // 409 (not held) and is ignored.
+      // ABORT: no member has changed shape yet — roll the OLD members
+      // back (/admin/release: staged state discarded, held lines
+      // re-admit under the old count, streams restart at the current
+      // epoch), then surface the original failure. Standby joiners
+      // stay held — kill them.
       case scala.util.control.NonFatal(e) =>
         oldAdmin.foreach(u =>
           scala.util.Try(httpPost(s"${base(u)}/admin/release")))
         throw new RuntimeException(
-          s"rolling reshard failed (old members rolled back): $e", e)
+          s"rolling reshard failed before any member resumed " +
+            s"(old members rolled back): $e", e)
+    }
+    // phase B (roll-FORWARD): COMMIT everyone. Every member already
+    // validated and staged — a commit failure is environmental, and
+    // once ANY member committed the only safe direction is forward
+    // (commit is idempotent on the daemon: a retry after an ambiguous
+    // network failure answers 200). NEVER release here: releasing a
+    // not-yet-committed member while others run at the new count is
+    // the split-brain this phase exists to prevent.
+    var pending = infos.map(_._1).toList
+    var committedAny = false
+    var lastErr: Throwable = null
+    var attempt = 0
+    while (pending.nonEmpty && attempt < 4) {
+      if (attempt > 0) Thread.sleep(500L * attempt)
+      pending = pending.flatMap { u =>
+        try {
+          httpPost(s"${base(u)}/admin/resume?phase=commit")
+          committedAny = true
+          None
+        } catch {
+          case scala.util.control.NonFatal(e) => lastErr = e; Some(u)
+        }
+      }
+      attempt += 1
+    }
+    if (pending.nonEmpty) {
+      if (!committedAny) {
+        // nobody made it to the new count: clean abort is still safe
+        oldAdmin.foreach(u =>
+          scala.util.Try(httpPost(s"${base(u)}/admin/release")))
+        throw new RuntimeException(
+          s"rolling reshard: no member committed (old members rolled " +
+            s"back): $lastErr", lastErr)
+      }
+      throw new RuntimeException(
+        s"rolling reshard MIXED STATE: committed members are at count " +
+          s"$newCount epoch $targetEpoch, but commit failed on " +
+          s"${pending.mkString(", ")} — roll FORWARD by POSTing " +
+          s"/admin/resume?phase=commit to the failed members; do NOT " +
+          s"release. Last error: $lastErr", lastErr)
     }
     println(s"rolling reshard: ${oldAdmin.size} -> $newCount members " +
       s"at epoch $targetEpoch, seeds under $seedOut")

@@ -269,6 +269,27 @@ object Shard {
         if (t != null) t.join(math.max(1, deadline - System.currentTimeMillis()))
       }
     }
+
+    /** Cut DISCARDING whatever is still queued (counted dropped) — the
+      * resize-commit close: these queues hold decisions made under the
+      * OLD shard count, and flushing them after a peer resumed at the
+      * new count would plant a series on a non-owner's store
+      * ([[Director.route]] ingests a marked line where it lands, by
+      * the one-hop rule). Quiesce already flushed everything that
+      * mattered (and the coordinator verifies `flushed`); anything
+      * still here is stale by definition. */
+    def closeDiscarding(): Unit = if (running.compareAndSet(true, false)) {
+      peers.foreach { p =>
+        var n = 0
+        while (p.q.poll() != null) n += 1
+        if (n > 0) { dropped.addAndGet(n.toLong); () }
+      }
+      val deadline = System.currentTimeMillis() + 500
+      peers.foreach { p =>
+        val t = p.thread
+        if (t != null) t.join(math.max(1, deadline - System.currentTimeMillis()))
+      }
+    }
   }
 
   /** The director (`receiver/director.go:89-117`): every line landing
@@ -362,6 +383,9 @@ object Shard {
     }
 
     def close(): Unit = forwarder.close()
+
+    /** Resize-commit close: see [[Forwarder.closeDiscarding]]. */
+    def closeDiscarding(): Unit = forwarder.closeDiscarding()
   }
 
   /** OWNER-PREFERRED cluster render over primary + replica stores: the
@@ -519,5 +543,8 @@ object Shard {
     }
 
     def close(): Unit = forwarder.close()
+
+    /** Resize-commit close: see [[Forwarder.closeDiscarding]]. */
+    def closeDiscarding(): Unit = forwarder.closeDiscarding()
   }
 }
