@@ -994,6 +994,51 @@ object PipelineQueries {
            |LEFT JOIN ent e USING (doc_id)
            |ORDER BY doc_id""".stripMargin)),
 
+    // the COMPOSED streaming pipeline (dedup -> scores -> periodic
+    // selection as one lifecycle): the corpus arrives as four
+    // micro-batches through PipelineStream.processBatch — with batch 1
+    // REPLAYED (the crash path that dies BETWEEN stages: both stores
+    // rewrite their own bid partitions) — then ONE selection pass
+    // composes the accumulated state: dedup survivors × the stored
+    // entropy gate × select-time corpus-model scores. Must equal the
+    // oracle's batch restatement: selectTraining over the
+    // minhash-dedup survivor corpus.
+    ("cu_stream_pipeline",
+      ((s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("text"))
+        val dir = java.nio.file.Files.createTempDirectory("strpipe")
+          .toString
+        (0L until 4L).foreach(bid =>
+          streaming.PipelineStream.processBatch(s,
+            docs.filter(col("doc_id") % 4 === bid), bid, dir, 0.8))
+        // replay bid 1 — the accumulated state must not change
+        streaming.PipelineStream.processBatch(s,
+          docs.filter(col("doc_id") % 4 === 1L), 1L, dir, 0.8)
+        streaming.PipelineStream.select(s, docs, dir,
+            maxPpl = 31.0, minEntropy = 2.7, budgetFrac = 0.8,
+            maxEpochs = 2.0)
+          .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+            col("copy"))
+          .orderBy("source", "doc_id", "copy")
+      }): Q,
+      Some(
+        s"""${pipeline.NearDup.minhashPairsSql(0.8)
+               .replaceFirst("^WITH ", "WITH RECURSIVE ")},
+           |${pipeline.NearDup.clustersSql},
+           |keepers AS (
+           |  SELECT doc_id FROM documents
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster)
+           |), survcorp AS (
+           |  SELECT d.doc_id, d.source, d.text
+           |  FROM documents d JOIN keepers USING (doc_id)
+           |),
+           |${pipeline.Curation.selectTrainingSql(31.0, 2.7, 0.8, 2.0,
+               "survcorp")}
+           |SELECT source, CAST(doc_id AS BIGINT) AS doc_id, copy
+           |FROM sel ORDER BY source, doc_id, copy""".stripMargin)),
+
     // Zipf-fit diagnostic: per-source ln(tf) ~ ln(rank) slope over the
     // top-100 vocabulary — the synthetic-content alarm next to
     // cu_drift's JS monitor

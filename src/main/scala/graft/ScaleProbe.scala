@@ -550,6 +550,35 @@ object ScaleProbe {
         }
       },
       {
+        // the COMPOSED streaming pipeline at the design point: the
+        // 200k corpus lands as 4 micro-batches through BOTH
+        // accumulation stages (near-dup increment + doc-local scores,
+        // bid-partitioned), then ONE selection pass composes dedup
+        // survivors × the stored entropy gate × select-time
+        // corpus-model scores. In-stage asserts: the select is
+        // non-empty and dedup genuinely gated (planted near-dup pairs
+        // collapse, survivors < corpus).
+        val srcDocs = docs.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(20))))
+        val dir = java.nio.file.Files
+          .createTempDirectory("pipe-stream-probe").toString
+        time("pipeline_stream_200k_4b") {
+          (0L until 4L).foreach(bid =>
+            streaming.PipelineStream.processBatch(spark,
+              srcDocs.filter(pmod(col("doc_id"), lit(4)) === bid),
+              bid, dir, 0.6))
+          val (out, release) = streaming.PipelineStream.selectScoped(
+            spark, srcDocs, dir, 1e18, 0.0, 0.8, 2.0)
+          val n = out.count(); release()
+          require(n > 0, "composed pipeline selected nothing")
+          val surv = streaming.PipelineStream
+            .survivors(spark, srcDocs, dir).count()
+          require(surv < nDocs,
+            s"dedup stage gated nothing ($surv of $nDocs)")
+          n
+        }
+      },
+      {
         // 30% one hot token, the rest ~7M-distinct tail: the regime
         // where exact counting must shuffle the whole tail
         val toks = keys.select(

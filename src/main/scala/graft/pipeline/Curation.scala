@@ -1053,14 +1053,19 @@ object Curation {
 
   /** DuckDB twin of [[dsirWeights]]; defines
     * `dsw(doc_id, n_tokens, logw)`. */
-  def dsirWeightsSql: String = {
+  def dsirWeightsSql: String = dsirWeightsSql("documents")
+
+  /** [[dsirWeightsSql]] over an arbitrary corpus relation — the
+    * composed streaming pipeline estimates the target/raw bucket
+    * distributions on the dedup-SURVIVOR corpus. */
+  def dsirWeightsSql(from: String): String = {
     val b = DsirBuckets
     s"""dsb AS (
        |  SELECT doc_id,
        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $b AS bk
        |  FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-       |    FROM documents) WHERE tok <> ''
+       |    FROM $from) WHERE tok <> ''
        |), dsd AS (
        |  SELECT bk,
        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ct,
@@ -1072,7 +1077,7 @@ object Curation {
        |  FROM dsd, dst
        |), dsw AS (
        |  SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens, s.logw
-       |  FROM documents d LEFT JOIN (
+       |  FROM $from d LEFT JOIN (
        |    SELECT b.doc_id, count(*) AS n, sum(w.lw) AS logw
        |    FROM dsb b JOIN dsw0 w USING (bk) GROUP BY b.doc_id) s
        |  USING (doc_id)
@@ -1280,24 +1285,38 @@ object Curation {
 
   /** [[selectTraining]] plus a release handle for the survivor cache;
     * call it after the final action that consumes the sample (same
-    * contract as [[curateScoped]]). */
+    * contract as [[curateScoped]]).
+    *
+    * `entropyOk` substitutes a PRE-COMPUTED entropy gate (doc_ids that
+    * already passed `entropy >= minEntropy`) for the charEntropy
+    * derivation — the composed streaming pipeline feeds the score
+    * table its CurationStream accumulated instead of re-scoring the
+    * corpus (entropy is doc-local, so the stored value is identical to
+    * a recompute; the corpus-model scores — perplexity, DSIR — cannot
+    * be batch-local by definition and always compute here). */
   def selectTrainingScoped(docs: DataFrame, maxPpl: Double,
-      minEntropy: Double, budgetFrac: Double, maxEpochs: Double)
+      minEntropy: Double, budgetFrac: Double, maxEpochs: Double,
+      entropyOk: Option[DataFrame] = None)
       : (DataFrame, () => Unit) = {
     require(budgetFrac > 0 && maxEpochs > 0, "budgetFrac, maxEpochs > 0")
+    val entGate = entropyOk.getOrElse(
+      TextAnalysis.charEntropy(docs)
+        .filter(col("entropy").isNotNull && col("entropy") >= minEntropy)
+        .select(col("doc_id")))
     val surv = docs.select(col("doc_id"), col("source"))
       .join(TextAnalysis.perplexity(docs)
         .filter(col("ppl").isNotNull && col("ppl") <= maxPpl)
         .select(col("doc_id")), Seq("doc_id"))
-      .join(TextAnalysis.charEntropy(docs)
-        .filter(col("entropy").isNotNull && col("entropy") >= minEntropy)
-        .select(col("doc_id")), Seq("doc_id"))
+      .join(entGate.select(col("doc_id")), Seq("doc_id"))
       .join(dsirWeights(docs).filter(col("logw") > 0)
         .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
       .persist()
     val cnt = surv.groupBy(col("source").as("stratum"))
       .agg(sum(col("n_tokens")).cast("long").as("c"))
-    val total = cnt.agg(sum(col("c"))).first().getLong(0)
+    // coalesce: an all-filtered corpus must select an EMPTY mix, not
+    // crash on the null sum
+    val total = cnt.agg(coalesce(sum(col("c")), lit(0L)))
+      .first().getLong(0)
     val alloc = Sampling.unimaxAlloc(cnt, budgetFrac * total, maxEpochs)
     val out = Sampling.mixtureSample(surv, col("source"), col("doc_id"),
         alloc.select(col("stratum"), col("weight")), 0.0)
@@ -1312,12 +1331,19 @@ object Curation {
     * `sel(source, doc_id, copy)`. */
   def selectTrainingSql(maxPpl: Double, minEntropy: Double,
       budgetFrac: Double, maxEpochs: Double): String =
-    s"""${TextAnalysis.perplexitySql},
-       |${TextAnalysis.charEntropySql},
-       |$dsirWeightsSql,
+    selectTrainingSql(maxPpl, minEntropy, budgetFrac, maxEpochs,
+      "documents")
+
+  /** [[selectTrainingSql]] over an arbitrary corpus relation (the
+    * composed streaming pipeline selects over the dedup survivors). */
+  def selectTrainingSql(maxPpl: Double, minEntropy: Double,
+      budgetFrac: Double, maxEpochs: Double, from: String): String =
+    s"""${TextAnalysis.perplexitySql(from)},
+       |${TextAnalysis.charEntropySql(from)},
+       |${dsirWeightsSql(from)},
        |surv AS (
        |  SELECT d.doc_id, d.source, w.n_tokens
-       |  FROM documents d
+       |  FROM $from d
        |  JOIN ppx p USING (doc_id)
        |  JOIN ent e USING (doc_id)
        |  JOIN dsw w USING (doc_id)

@@ -599,12 +599,17 @@ object TextAnalysis {
 
   /** DuckDB twin of [[perplexity]]; defines `ppx(doc_id, n_bigrams,
     * ppl)`. */
-  def perplexitySql: String =
+  def perplexitySql: String = perplexitySql("documents")
+
+  /** [[perplexitySql]] over an arbitrary corpus relation — the
+    * composed streaming pipeline trains the LM on the dedup-SURVIVOR
+    * corpus, not the raw table. */
+  def perplexitySql(from: String): String =
     s"""ptoks AS (
        |  SELECT doc_id, coalesce(list_filter(
        |    regexp_split_to_array(trim(lower(text)), '\\s+'),
        |    t -> t <> ''), []) AS tk
-       |  FROM documents
+       |  FROM $from
        |), pbg AS (
        |  SELECT doc_id, list_zip(tk[1:greatest(len(tk) - 1, 0)],
        |                          tk[2:len(tk)]) AS bg
@@ -632,7 +637,7 @@ object TextAnalysis {
        |), ppx AS (
        |  SELECT d.doc_id, coalesce(p.n, 0) AS n_bigrams,
        |    CASE WHEN p.n > 0 THEN exp(-p.lp / p.n) END AS ppl
-       |  FROM documents d LEFT JOIN psc p USING (doc_id)
+       |  FROM $from d LEFT JOIN psc p USING (doc_id)
        |)""".stripMargin
 
   // ---- character entropy ----
@@ -666,11 +671,14 @@ object TextAnalysis {
 
   /** DuckDB twin of [[charEntropy]]; defines `ent(doc_id, n_chars,
     * entropy)`. */
-  def charEntropySql: String =
+  def charEntropySql: String = charEntropySql("documents")
+
+  /** [[charEntropySql]] over an arbitrary corpus relation. */
+  def charEntropySql(from: String): String =
     s"""echr AS (
        |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
-       |        FROM documents) WHERE ch <> ''
+       |        FROM $from) WHERE ch <> ''
        |  GROUP BY doc_id, ch
        |), edoc AS (
        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
@@ -678,7 +686,7 @@ object TextAnalysis {
        |  FROM echr GROUP BY doc_id
        |), ent AS (
        |  SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars, e.entropy
-       |  FROM documents d LEFT JOIN edoc e USING (doc_id)
+       |  FROM $from d LEFT JOIN edoc e USING (doc_id)
        |)""".stripMargin
 
   def fingerprintsSql: String =

@@ -5,6 +5,11 @@ sampling skew) can hide. This runs a representative sample -- the bench
 headline set, which spans every operator family -- against DuckDB at
 sf0.1 and writes a driver-shaped CORRECTNESS json.
 
+Since round 15 the sample ROTATES (tools/rotate_sample.py picks a
+deterministic ~1/3 slice of the whole board per round, so every family
+gets sf0.1 exposure within 3 rounds); set GRAFT_SF01_META (e.g.
+"round=15 k=3") to record the sample parameters in the artifact.
+
 Usage: sf01_gate.py <verifyOutDir> <sfDir> <outJson> [query...]
 (queries default to every name with spark output present)"""
 import json, sys, math, glob, os
@@ -73,8 +78,13 @@ for name, sql in sorted(oracle.items()):
          for r in zip(*[want.column(c).to_pylist() for c in want_cols])]
     row["hash_match"] = g == w
 
+meta = os.environ.get("GRAFT_SF01_META")
+if meta:
+    report["__meta"] = {"sample": meta}
+
 with open(out_json, "w") as f:
     json.dump(report, f, indent=1, sort_keys=True)
+report.pop("__meta", None)  # accounting below is queries only
 
 skipped = [n for n, r in report.items() if r.get("oracle_infeasible")]
 bad = [n for n, r in report.items()
