@@ -56,7 +56,7 @@ object Curation {
 
   /** The benchmark's distinct gram hashes, collected once (eval-suite
     * bounded), sorted, and broadcast for [[CountInSetExpr]]'s probe. */
-  private def benchGrams(
+  private[graft] def benchGrams(
       bench: DataFrame): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
     val a = NearDup.shingles(bench).select(col("xh")).distinct()
       .collect().map(_.getLong(0))
@@ -1517,7 +1517,14 @@ object Curation {
     val pairs = NearDup.expandExactDups(repPairs, members, "jaccard", lit(1.0))
     val losers = NearDup.clusters(pairs)
       .filter(col("doc_id") =!= col("cluster")).select("doc_id")
-    val qOk = TextAnalysis.qualityScore(reps)
+    // score quality on the representatives REDERIVED from the cached
+    // membership map (one join against `members`) — `reps` itself
+    // re-evaluates collapseExact's md5+groupBy+join chain on every
+    // use, and this is its only consumer outside the already-cached
+    // set frame (profiled round-15: two shuffles out of the hot path)
+    val qOk = TextAnalysis.qualityScore(
+        docs.join(members.filter(col("doc_id") === col("rep"))
+          .select(col("doc_id")), "doc_id"))
       .filter(col("quality") >= minQuality)
       .select(col("doc_id").cast("long").as("rep"))
     // decontamination: map-side membership count over the SAME persisted

@@ -192,7 +192,7 @@ object NearDup {
     * value (identical texts ⇒ identical signatures/sets), within-group
     * pairs get `selfValue` (Jaccard 1.0 / Hamming 0). Linear in the size
     * of the final answer — no quadratic intermediate. */
-  private[pipeline] def expandExactDups(pairs: DataFrame, members: DataFrame,
+  private[graft] def expandExactDups(pairs: DataFrame, members: DataFrame,
       valueCol: String, selfValue: Column): DataFrame = {
     val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("xa"))
     val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("xb"))
@@ -807,6 +807,53 @@ object NearDup {
       // as fresh scans — truncated lineage keeps the iterative plan from
       // compounding and sidesteps self-join ambiguity
       .localCheckpoint()
+    // SIZE-GATED driver path (the k-means-centroid pattern): the pair
+    // graph is corpus-METADATA-sized — near-dup pairs, not documents —
+    // and in every realistic dedup it is tiny next to the corpus. When
+    // it fits a bounded driver budget (count is a scan of the blocks
+    // the checkpoint just materialized), union–find replaces the
+    // 2-3-round propagation loop's per-iteration checkpoint jobs with
+    // one collect — the profiled round-15 win that cut cu_pipeline's
+    // dominant stage. Result is IDENTICAL (cluster = min doc_id of the
+    // component) and the distributed loop below remains the path for
+    // graphs past the gate.
+    val driverMax = sys.env.get("GRAFT_CC_DRIVER_MAX").map(_.toLong)
+      .getOrElse(1L << 21) // ~2M directed edges ≈ 32 MB of longs
+    if (sym.count() <= driverMax) {
+      val edges = sym.collect()
+      releaseCkpt(sym)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.foreach { e =>
+        val (a, b) = (e.getLong(0), e.getLong(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root: every component's root stays its minimum
+        // element, so find() below IS the min-label the loop computes
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val spark = pairs.sparkSession
+      val rows = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row](parent.size())
+      parent.keySet().forEach { n =>
+        rows += org.apache.spark.sql.Row(n, find(n)); ()
+      }
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq,
+          math.max(1, math.min(32, rows.size / 50000 + 1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     var ckpt = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).localCheckpoint()
     var labels = ckpt
