@@ -933,19 +933,23 @@ object ClusterSmoke {
       if (adminPost(admin(0), resumeQs(0, "commit"))._1 != 200) {
         stop = true; println("rollfwd: first commit failed"); return false
       }
-      // the mixed window is observable: d1 serving at M=3, d2/d3 held
-      // with staged state
-      val midOk = adminGet(admin(0)).contains("\"count\":3") &&
+      // the mixed window is observable: d1 committed at M=3 (still
+      // parking, awaiting the fleet-wide open), d2/d3 held with staged
+      // state
+      val j0 = adminGet(admin(0))
+      val midOk = j0.contains("\"count\":3") &&
+        j0.contains("\"awaitingOpen\":true") &&
         admin.drop(1).forall { u =>
           val j = adminGet(u)
           j.contains("\"held\":true") && j.contains("\"prepared\":{")
         }
       if (!midOk) {
-        stop = true; println("rollfwd: mixed window not as contracted")
+        stop = true; println(s"rollfwd: mixed window not as contracted: $j0")
         return false
       }
       // RECOVERY: roll forward — commit the rest; repeat-commit on the
-      // already-committed member must answer 200 (idempotent)
+      // already-committed member must answer 200 (idempotent); then the
+      // fleet-wide drain rounds and open
       val fwd = admin.drop(1).map(u =>
         adminPost(u, resumeQs(0, "commit"))._1)
       val again = adminPost(admin(0), resumeQs(0, "commit"))
@@ -953,6 +957,15 @@ object ClusterSmoke {
           !again._2.contains("\"already\":true")) {
         stop = true
         println(s"rollfwd: roll-forward failed: $fwd again=$again")
+        return false
+      }
+      val drainCodes = (1 to 3).flatMap(_ => admin.map(u =>
+        adminPost(u, "/admin/resume?phase=drain")._1))
+      val openCodes = admin.map(u =>
+        adminPost(u, "/admin/resume?phase=open")._1)
+      if ((drainCodes ++ openCodes).exists(_ != 200)) {
+        stop = true
+        println(s"rollfwd: drain/open failed: $drainCodes $openCodes")
         return false
       }
       if (!admin.forall { u =>

@@ -96,9 +96,20 @@ object Daemon {
       drainHold()
     }
 
-    private def drainHold(): Unit = {
+    private def drainHold(): Unit = { drainHeld(); () }
+
+    /** Sweep the currently-parked lines through the CURRENT route while
+      * STAYING held — the transition's fleet-wide re-admission rounds:
+      * re-decided lines land in still-held peers' park buffers, so no
+      * member's live traffic can overtake a held line anywhere in the
+      * fleet. Returns the lines swept. */
+    def drainHeld(): Int = {
+      var n = 0
       var l = holdQ.poll()
-      while (l != null) { routeRef.get()(l).foreach(enqueue); l = holdQ.poll() }
+      while (l != null) {
+        routeRef.get()(l).foreach(enqueue); n += 1; l = holdQ.poll()
+      }
+      n
     }
     private val listenSock = new ServerSocket()
     private val feedSock = new ServerSocket()
@@ -1709,6 +1720,10 @@ object Daemon {
       seed: Option[Dataset[(String, Ingest.PdpState)]],
       seedAll: Option[Dataset[(String, Ingest.PdpState)]])
     @volatile var prepared: Option[PreparedTransition] = None
+    // committed but not yet opened (gateways still parking): a commit
+    // RETRY in this window answers 200 (idempotent), and /admin/info
+    // reports it so a recovering coordinator can tell the states apart
+    @volatile var awaitingOpen = false
     def discardPrepared(): Unit = {
       prepared.foreach { p =>
         p.director.foreach(d => Try(d.closeDiscarding()))
@@ -1727,6 +1742,7 @@ object Daemon {
         prepared.map(p => s""""prepared":{"count":${p.count},""" +
           s""""index":${p.index},"epoch":${p.targetEpoch}},""")
           .getOrElse("") +
+        s""""awaitingOpen":$awaitingOpen,""" +
         s""""held":$held,"standby":$standby}"""
     http.createContext("/admin/info",
       (ex: HttpExchange) => adminText(ex, 200, infoJson + "\n"))
@@ -1823,8 +1839,13 @@ object Daemon {
             restartGen.incrementAndGet()
             active = startAll(loadSettings(confPath)._2)
           }
+          // routes may still be the transition router (a release after
+          // commit) — go live on the PLAIN routes either way
+          Seq(gGw -> gRoute, pxDpGw -> gRoute, sGw -> sRoute,
+            pkGw -> pkRoute).foreach { case (gw, r) => gw.setRoute(r) }
           heldGws.foreach(_.release())
           held = false
+          awaitingOpen = false // a committed member "releases" as open
           adminText(ex, 200, s"""{"released":true,"epoch":$epoch}""" + "\n")
         }
       })
@@ -1878,7 +1899,7 @@ object Daemon {
     // clean stream sweep with lines still held.
     def doCommit(ex: HttpExchange): Unit = prepared match {
       case None =>
-        if (!held) adminText(ex, 200,
+        if (!held || awaitingOpen) adminText(ex, 200,
           s"""{"resumed":true,"epoch":$epoch,"count":$shardCount,""" +
             s""""already":true}""" + "\n")
         else adminText(ex, 409, "Error: nothing prepared\n")
@@ -1910,16 +1931,22 @@ object Daemon {
         adoptEpoch(epoch)
         restartGen.incrementAndGet()
         active = startAll(loadSettings(confPath)._2)
-        // release the held lines through the TRANSITION router: a
-        // marker is an old-count decision, void now (reroute strips
-        // and re-decides; safe for new-count markers too — re-routing
-        // lands them where they already are)
+        // arm the TRANSITION router and STAY HELD: a parked marker is
+        // an old-count decision, void now (reroute strips and
+        // re-decides; safe for new-count markers too — re-routing
+        // lands them where they already are). The actual re-admission
+        // happens in the DRAIN rounds — fleet-wide, while every
+        // gateway still parks — so a re-decided line delivered across
+        // members can never be overtaken by live traffic; OPEN then
+        // restores the plain routes and goes live.
         val gRe: String => Option[String] = l => director match {
           case Some(d) => d.reroute(l)
           case None =>
             if (l.startsWith(Shard.ReplMarker)) None
             else if (l.startsWith(Shard.FwdMarker))
               Some(l.substring(Shard.FwdMarker.length))
+            else if (l.startsWith(Shard.Fwd1Marker))
+              Some(l.substring(Shard.Fwd1Marker.length))
             else Some(l)
         }
         val sRe: String => Option[String] = l => sdDirector match {
@@ -1928,24 +1955,49 @@ object Daemon {
             if (l.startsWith(Shard.ReplMarker)) None
             else if (l.startsWith(Shard.FwdMarker))
               Some(l.substring(Shard.FwdMarker.length))
+            else if (l.startsWith(Shard.Fwd1Marker))
+              Some(l.substring(Shard.Fwd1Marker.length))
             else Some(l)
         }
         // pickle holds raw b64 frames only (marked pickle points
         // travel as TEXT into the graphite gateway): the plain route
         // IS the reroute
         Seq(gGw -> gRe, pxDpGw -> gRe, sGw -> sRe,
-          pkGw -> pkRoute).foreach { case (gw, re) =>
-          gw.setRoute(re); gw.release()
-        }
-        pxGw.release()
-        Seq(gGw -> gRoute, pxDpGw -> gRoute, sGw -> sRoute,
-          pkGw -> pkRoute).foreach { case (gw, r) => gw.setRoute(r) }
-        held = false
+          pkGw -> pkRoute).foreach { case (gw, re) => gw.setRoute(re) }
         standby = false // a committed joiner is a full member
         prepared = None
+        awaitingOpen = true
         adminText(ex, 200, s"""{"resumed":true,"epoch":$epoch,""" +
-          s""""count":$shardCount}""" + "\n")
+          s""""count":$shardCount,"held":true}""" + "\n")
     }
+    // DRAIN: one fleet-wide re-admission round — sweep parked lines
+    // through the transition router (re-decisions land in still-held
+    // peers), then flush the new forwarders to the wire. The
+    // coordinator repeats this on every member until a full round
+    // sweeps nothing it started with; OPEN goes live afterwards.
+    def doDrain(ex: HttpExchange): Unit =
+      if (!held) adminText(ex, 200, """{"swept":0,"open":true}""" + "\n")
+      else {
+        val swept = heldGws.map(_.drainHeld()).sum
+        val flushed = (director.map(_.forwarder.flushed()) ++
+          pkDirector.map(_.forwarder.flushed()) ++
+          sdDirector.map(_.forwarder.flushed())).forall(identity)
+        adminText(ex, 200,
+          s"""{"swept":$swept,"flushed":$flushed}""" + "\n")
+      }
+    // OPEN: restore the plain routes and go live. Idempotent.
+    def doOpen(ex: HttpExchange): Unit =
+      if (!held) adminText(ex, 200,
+        s"""{"open":true,"already":true}""" + "\n")
+      else {
+        Seq(gGw -> gRoute, pxDpGw -> gRoute, sGw -> sRoute,
+          pkGw -> pkRoute).foreach { case (gw, r) => gw.setRoute(r) }
+        heldGws.foreach(_.release())
+        held = false
+        awaitingOpen = false
+        adminText(ex, 200, s"""{"open":true,"epoch":$epoch,""" +
+          s""""count":$shardCount}""" + "\n")
+      }
     http.createContext("/admin/resume", (ex: HttpExchange) =>
       if (ex.getRequestMethod != "POST") adminText(ex, 405, "Error\n")
       else exclusively(ex) (try {
@@ -1960,11 +2012,26 @@ object Daemon {
                 s""""epoch":${p.targetEpoch}}""" + "\n")
             }
           case Some("commit") => doCommit(ex)
-          case None => // one-shot: validate-all-THEN-mutate (atomic)
+          case Some("drain") => doDrain(ex)
+          case Some("open") => doOpen(ex)
+          case None => // one-shot: validate-all-THEN-mutate (atomic),
+            // then re-admit and go live in one call (the
+            // single-member / manual path; fleets use the phased
+            // coordinator so every member drains before any opens)
             if (!held) adminText(ex, 409, "Error: not held\n")
-            else { doPrepare(ex); doCommit(ex) }
-          case Some(other) =>
-            adminText(ex, 400, s"Error: unknown phase '$other'\n")
+            else {
+              doPrepare(ex)
+              doCommit(ex) // answers the exchange; drain+open follow
+              heldGws.foreach(_.drainHeld())
+              (director.map(_.forwarder) ++ pkDirector.map(_.forwarder) ++
+                sdDirector.map(_.forwarder)).foreach(f => { f.flushed(); () })
+              heldGws.foreach(_.drainHeld())
+              Seq(gGw -> gRoute, pxDpGw -> gRoute, sGw -> sRoute,
+                pkGw -> pkRoute).foreach { case (gw, r) => gw.setRoute(r) }
+              heldGws.foreach(_.release())
+              held = false
+              awaitingOpen = false
+            }
         }
       } catch {
         case e: Exception =>

@@ -62,11 +62,31 @@ object Reshard {
     try {
       // localCheckpoint materializes the state rows NOW, under the
       // disabled flag, so the restored conf cannot race the read
-      spark.read.format("statestore").load(checkpointDir)
-        .select(col("key.value").as("name"),
-          col("value.groupState.lastTs").as("lastTs"),
-          col("value.groupState.lastVal").as("lastVal"))
-        .localCheckpoint(true)
+      try {
+        spark.read.format("statestore").load(checkpointDir)
+          .select(col("key.value").as("name"),
+            col("value.groupState.lastTs").as("lastTs"),
+            col("value.groupState.lastVal").as("lastVal"))
+          .localCheckpoint(true)
+      } catch {
+        // a checkpoint whose writer died before committing ANY batch
+        // (a joiner killed right after its resume — the auto-shrink
+        // smoke found this live) holds NO relinquished state by
+        // definition: contribute an empty frame, don't abort the
+        // transition (the departed series' fresh state comes from the
+        // survivors' replica checkpoints anyway)
+        case e: Exception
+            if e.getClass.getName.contains("CommittedBatchUnavailable") =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("name",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("lastTs",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("lastVal",
+                org.apache.spark.sql.types.DoubleType))))
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -85,10 +105,19 @@ object Reshard {
     * operator feeds overlapping checkpoints (e.g. a replica
     * receiver's). */
   def writeSeeds(spark: SparkSession, oldCheckpoints: Seq[String],
-      newCount: Int, seedPaths: Seq[String]): Unit = {
+      newCount: Int, seedPaths: Seq[String],
+      // pre-filtered supplementary state frames (name, lastTs,
+      // lastVal) — the shrink path's replica-checkpoint slices for
+      // DEAD owners. Must never contain a series whose owner also has
+      // primary state here with an OLDER lastTs unless the newer state
+      // is render-reachable: a replica state that ran AHEAD of its
+      // primary (the replica copy beat a still-queued forward) would
+      // otherwise make the new owner reject the re-delivered line as
+      // stale, stranding the slot's only piece in an unread store
+      extraStates: Seq[DataFrame] = Seq.empty): Unit = {
     require(seedPaths.size == newCount,
       s"${seedPaths.size} seed paths for $newCount shards")
-    val all = oldCheckpoints.map(pdpState(spark, _))
+    val all = (oldCheckpoints.map(pdpState(spark, _)) ++ extraStates)
       .reduce(_.unionByName(_))
       .groupBy(col("name"))
       .agg(max_by(struct(col("lastTs"), col("lastVal")),
@@ -236,24 +265,41 @@ object Reshard {
           s"$u forwarder queues did not flush at quiesce — aborting " +
             "(stale old-count forwards must never reach a resumed peer)")
       }
-      // primary checkpoints, plus every REPLICA checkpoint a member
-      // reports: for a healthy series the replica state duplicates the
-      // primary's (same points, max_by ties are identical), and for a
-      // DEPARTED member's series the survivor's replica state is the
-      // only fresh copy — the dead primary's own checkpoint (passed in
-      // deadCkpts) is stale by the whole dead window
-      val ckpts = quiesced.flatMap { case (_, m) =>
-        (if (m("hadStreams") == true) Seq(jStr(m, "ckptPoints"))
-         else Seq.empty) ++
-          (m.get("ckptReplica") match {
-            case Some(s: String) => Seq(s)
-            case _ => Seq.empty
-          })
+      // primary checkpoints always; REPLICA checkpoints contribute
+      // ONLY the DEAD owners' slices in a shrink. For a departed
+      // member's series the survivor's replica state is the only
+      // fresh copy (the dead primary's own checkpoint, in deadCkpts,
+      // is stale by the whole dead window, and its slice renders from
+      // the replica store anyway). For a LIVE owner's series the
+      // replica state must NOT win: it can run AHEAD of the primary —
+      // a replica copy delivers directly while the primary forward is
+      // still queued at hold time — and a seed ahead of the primary
+      // makes the re-routed line land as "stale" at the new owner,
+      // stranding the straddle slot's only piece in an old-epoch
+      // replica store no render reads (found by the auto-transition
+      // smoke: one wave lost for exactly the moved series).
+      val ckpts = quiesced.collect {
+        case (_, m) if m("hadStreams") == true => jStr(m, "ckptPoints")
       } ++ deadCkpts
       require(ckpts.nonEmpty, "no member had committed PDP state")
+      val extraStates =
+        if (deadCkpts.isEmpty) Seq.empty[DataFrame]
+        else {
+          val oldN = jLong(infos.head._2, "count").toInt
+          val liveOldIdx = oldIdx
+          val deadOwned = !pmod(xxhash64(col("name")), lit(oldN.toLong))
+            .cast("int").isin(liveOldIdx: _*)
+          quiesced.flatMap { case (_, m) =>
+            m.get("ckptReplica") match {
+              case Some(s: String) =>
+                Seq(pdpState(spark, s).filter(deadOwned))
+              case _ => Seq.empty
+            }
+          }
+        }
       // 3: the remap (O(live series), stores untouched)
       val seeds = (0 until newCount).map(i => s"$seedOut/$i")
-      writeSeeds(spark, ckpts, newCount, seeds)
+      writeSeeds(spark, ckpts, newCount, seeds, extraStates)
       // 4a: PREPARE everyone — each member validates the whole
       // parameter set and stages its new directors/seeds WITHOUT
       // touching live state; a failure anywhere still aborts clean
@@ -325,9 +371,42 @@ object Reshard {
         s"rolling reshard MIXED STATE: committed members are at count " +
           s"$newCount epoch $targetEpoch, but commit failed on " +
           s"${pending.mkString(", ")} — roll FORWARD by POSTing " +
-          s"/admin/resume?phase=commit to the failed members; do NOT " +
+          s"/admin/resume?phase=commit to the failed members, then " +
+          s"phase=drain (3 rounds, everyone) and phase=open; do NOT " +
           s"release. Last error: $lastErr", lastErr)
     }
+    // phase C (still roll-forward): fleet-wide RE-ADMISSION rounds,
+    // then OPEN. Every member is committed but still parking — drains
+    // sweep each member's held lines through the transition router
+    // while every peer still parks, so a re-decided line delivered
+    // across members can never be overtaken by live traffic (the race
+    // the auto-transition smoke caught: a held line's cross-member
+    // redelivery lost to the next live wave). Round 1 moves every
+    // commit-time line to its final member (the in-round flush pushes
+    // it onto the wire), round 2 admits what moved, round 3 covers
+    // reader-lag stragglers; open restores plain routes and goes live.
+    def rollForwardStep(label: String, url: String => String): Unit = {
+      var pend = infos.map(_._1).toList
+      var err: Throwable = null
+      var tries = 0
+      while (pend.nonEmpty && tries < 4) {
+        if (tries > 0) Thread.sleep(500L * tries)
+        pend = pend.flatMap { u =>
+          try { httpPost(url(u)); None }
+          catch { case scala.util.control.NonFatal(e) => err = e; Some(u) }
+        }
+        tries += 1
+      }
+      if (pend.nonEmpty) throw new RuntimeException(
+        s"rolling reshard MIXED STATE at $label: failed on " +
+          s"${pend.mkString(", ")} — roll FORWARD by re-POSTing " +
+          s"phase=drain (3 rounds) then phase=open to every member; " +
+          s"do NOT release. Last error: $err", err)
+    }
+    (1 to 3).foreach(r => rollForwardStep(s"drain round $r",
+      u => s"${base(u)}/admin/resume?phase=drain"))
+    rollForwardStep("open",
+      u => s"${base(u)}/admin/resume?phase=open")
     println(s"rolling reshard: ${oldAdmin.size} -> $newCount members " +
       s"at epoch $targetEpoch, seeds under $seedOut")
   }

@@ -51,6 +51,15 @@ object Shard {
     * senders speak plain graphite. */
   val FwdMarker = "__graft_fwd__ "
 
+  /** Envelope marking a primary copy RE-DELIVERED from a replica copy
+    * during a transition ([[Director.reroute]]): ingested where it
+    * lands like [[FwdMarker]], but NEVER re-fans replica copies even
+    * under reroute — the fan is what the replica side already did, and
+    * without the distinction a rerouted keep-and-fan and a rerouted
+    * replica re-home feed each other forever (fan → ReplMarker →
+    * re-deliver → fan → …). */
+  val Fwd1Marker = "__graft_fwd1__ "
+
   /** The ring PREDECESSORS whose series shard `i`'s replica store
     * holds — the inverse of the director's successor placement
     * (`replicasOf(o) = {(o+k) mod n, 0 < k < copies}`): all owners o
@@ -333,6 +342,9 @@ object Shard {
       if (line.startsWith(FwdMarker)) { // hops exhausted: ingest here
         received.incrementAndGet()
         Some(line.substring(FwdMarker.length))
+      } else if (line.startsWith(Fwd1Marker)) { // same one-hop rule
+        received.incrementAndGet()
+        Some(line.substring(Fwd1Marker.length))
       } else if (line.startsWith(ReplMarker)) { // replica copy: own store
         replReceived.incrementAndGet()
         replicaOffer(line.substring(ReplMarker.length))
@@ -359,28 +371,56 @@ object Shard {
       * line's marker encodes a decision made under the OLD shard count,
       * so it is VOID here — strip it and re-decide under THIS director's
       * count. Safe under agreement (re-routing a marked line lands it at
-      * its new owner and stops — no loop), and duplicate replica copies
-      * self-heal downstream: the PDP state machine rejects a second
-      * point at the same (name, ts) (`Ingest.pdpPieces` `ts > lastTs`),
-      * so a held repl copy plus the re-replication its unwrapped primary
-      * triggers store exactly once. */
+      * its new owner and stops), and every duplicate delivery the rules
+      * below create self-heals downstream: the PDP state machine rejects
+      * a second point at the same (name, ts) (`Ingest.pdpPieces`
+      * `ts > lastTs`).
+      *
+      * Per-flavor rules, each send-bounded so rerouting members cannot
+      * feed each other forever:
+      *  - PLAIN: full [[routePlain]] (primary keep-or-forward + replica
+      *    fan) — the line has never been decided.
+      *  - [[FwdMarker]] (an old-count primary copy): keep-or-forward
+      *    under the new count, and FAN replicas when kept — its replica
+      *    twin may have been consumed into an OLD epoch's replica store
+      *    before the hold, so without the fan the new-count replica
+      *    tier would miss the line (observed: the straddle slot gone
+      *    from the fallback render after the new owner died).
+      *  - [[ReplMarker]] (an old-count replica copy): deliver the
+      *    replica locally if this shard is a new-count holder (else one
+      *    hop to the first holder), AND re-deliver the PRIMARY as
+      *    [[Fwd1Marker]] — the copy that traveled as the primary may
+      *    have DIED with a departed member (observed: the replica copy
+      *    was the slot's only surviving piece, stranded in a store no
+      *    render reads). Fwd1 keeps WITHOUT fanning, which is what
+      *    breaks the fan→repl→re-deliver→fan cycle.
+      *  - [[Fwd1Marker]]: keep-or-forward, never fan. */
     def reroute(line: String): Option[String] =
       if (line.startsWith(FwdMarker)) routePlain(line.substring(FwdMarker.length))
-      else if (line.startsWith(ReplMarker)) {
-        replicateOnly(line.substring(ReplMarker.length)); None
-      } else routePlain(line)
-
-    /** Deliver a bare line to its series' CURRENT replica holders only
-      * (no primary delivery — the primary copy travels separately). */
-    def replicateOnly(line: String): Unit = parseName(line) match {
-      case None => () // malformed: nothing to place
-      case Some(raw) =>
-        val o = owner(canon(raw), shardCount)
-        replicasOf(o).foreach { r =>
-          if (r == shardIndex) { replKept.incrementAndGet(); replicaOffer(line) }
-          else forwarder.send(r, ReplMarker + line)
+      else if (line.startsWith(Fwd1Marker)) {
+        val l = line.substring(Fwd1Marker.length)
+        parseName(l) match {
+          case None => Some(l)
+          case Some(raw) =>
+            val o = owner(canon(raw), shardCount)
+            if (o == shardIndex) { kept.incrementAndGet(); Some(l) }
+            else { forwarder.send(o, Fwd1Marker + l); None }
         }
-    }
+      } else if (line.startsWith(ReplMarker)) {
+        val l = line.substring(ReplMarker.length)
+        parseName(l) match {
+          case None => None // malformed replica copy: nothing to place
+          case Some(raw) =>
+            val o = owner(canon(raw), shardCount)
+            val holders = replicasOf(o)
+            if (holders.contains(shardIndex)) {
+              replKept.incrementAndGet(); replicaOffer(l)
+            } else holders.headOption.foreach(r =>
+              forwarder.send(r, ReplMarker + l))
+            if (o == shardIndex) { kept.incrementAndGet(); Some(l) }
+            else { forwarder.send(o, Fwd1Marker + l); None }
+        }
+      } else routePlain(line)
 
     def close(): Unit = forwarder.close()
 

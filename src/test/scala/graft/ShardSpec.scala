@@ -107,7 +107,7 @@ class ShardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("reroute: a marker is an old-count decision — stripped and " +
-      "re-decided; replicateOnly targets the current holders") {
+      "re-decided; a repl copy re-homes AND re-delivers its primary") {
     val srv = new ServerSocket(0)
     val got = new java.util.concurrent.LinkedBlockingQueue[String]()
     val t = new Thread(() => {
@@ -142,9 +142,15 @@ class ShardSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(d.reroute(Shard.FwdMarker + fwdLine) === None)
         assert(got.poll(5, java.util.concurrent.TimeUnit.SECONDS)
           === Shard.FwdMarker + fwdLine)
-        // an old REPL copy re-homes to the new holders only — here the
-        // owner is 1, so its replica is 2 (not this shard, not primary)
+        // an old REPL copy re-homes to the new holders AND re-delivers
+        // the primary as a no-fan Fwd1 (the copy that traveled as the
+        // primary may have died with a departed member; when it did
+        // not, the same-(name,ts) rejection self-heals the duplicate).
+        // Here the owner is 1 (the stub — it gets the Fwd1) and the
+        // holder is 2 (not this shard, so no local replica delivery).
         assert(d.reroute(Shard.ReplMarker + fwdLine) === None)
+        assert(got.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+          === Shard.Fwd1Marker + fwdLine)
         assert(replHere.isEmpty)
         // a replica of a series owned by 2 lands HERE (0 = (2+1) mod 3)
         val ownedBy2 = (1 to 120).map(i => s"rz$i.x")

@@ -20,6 +20,13 @@ out_dir, sf_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
 only = set(sys.argv[4:])
 
 con = duckdb.connect()
+# Bound the oracle's resources: a quadratic CTE restatement at sf0.1
+# otherwise spills until the DISK fills (observed: 79 GB of temp for
+# cu_stream_pipeline's minhash CTE before ENOSPC) — with a cap it dies
+# fast and is recorded oracle-infeasible like the OOM rows.
+con.execute("SET temp_directory='/tmp/duckdb_sf01_spill'")
+con.execute("SET max_temp_directory_size='%s'"
+            % os.environ.get("GRAFT_SF01_SPILL_CAP", "48GB"))
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -54,11 +61,15 @@ for name, sql in sorted(oracle.items()):
     try:
         want = con.execute(sql).fetch_arrow_table()
     except Exception as e:
-        # an oracle that cannot RUN at this scale (DuckDB OOM on the
-        # quadratic all-pairs restatements) is a limit of the oracle,
-        # not a wrongness -- recorded distinctly, excluded from the
-        # pass/fail accounting, and printed so the skip is never silent
-        if "Out of Memory" in str(e):
+        # an oracle that cannot RUN at this scale (DuckDB OOM or
+        # spill-to-disk exhaustion on the quadratic all-pairs
+        # restatements) is a limit of the oracle, not a wrongness --
+        # recorded distinctly, excluded from the pass/fail accounting,
+        # and printed so the skip is never silent
+        msg = str(e)
+        if ("Out of Memory" in msg or "No space left on device" in msg
+                or "temp_directory" in msg
+                or "temporary directory size" in msg):
             row["err"] = f"oracle infeasible at this sf: {e}"
             row["oracle_infeasible"] = True
         else:
