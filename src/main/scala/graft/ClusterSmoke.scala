@@ -326,7 +326,7 @@ object ClusterSmoke {
       val procs = specs.map { case (t, p, sh, ex) => daemon(t, p, sh, ex) }
       val logs = Seq.fill(procs.size)(new StringBuilder)
       procs.zip(logs).foreach { case (p, l) => drain(p, l) }
-      val deadline = System.currentTimeMillis() + 150000
+      val deadline = System.currentTimeMillis() + 240000
       while (System.currentTimeMillis() < deadline) {
         if (logs.forall(l => l.synchronized(l.toString)
             .contains("graft daemon:")))
@@ -601,7 +601,7 @@ object ClusterSmoke {
     val logs = Seq.fill(procs.size)(new StringBuilder)
     procs.zip(logs).foreach { case (p, l) => drain(p, l) }
     try {
-      val deadline = System.currentTimeMillis() + 150000
+      val deadline = System.currentTimeMillis() + 240000
       var booted = false
       while (!booted && System.currentTimeMillis() < deadline) {
         booted = logs.forall(l =>
@@ -653,7 +653,7 @@ object ClusterSmoke {
       val dWave = System.currentTimeMillis() + 60000
       while (waves < 8 && System.currentTimeMillis() < dWave)
         Thread.sleep(100)
-      if (waves < 8) { stop = true; return false }
+      if (waves < 8) { stop = true; println(s"smoke: feeder stalled at $waves waves (errors=$errors)"); return false }
 
       // ---- THE one command, mid-stream ----
       try Reshard.rolling(spark, 3, s"$root/seed",
@@ -837,7 +837,7 @@ object ClusterSmoke {
     val logs = Seq.fill(procs.size)(new StringBuilder)
     procs.zip(logs).foreach { case (p, l) => drain(p, l) }
     try {
-      val deadline = System.currentTimeMillis() + 150000
+      val deadline = System.currentTimeMillis() + 240000
       var booted = false
       while (!booted && System.currentTimeMillis() < deadline) {
         booted = logs.forall(l =>
@@ -900,7 +900,7 @@ object ClusterSmoke {
       val dWave = System.currentTimeMillis() + 60000
       while (waves < 8 && System.currentTimeMillis() < dWave)
         Thread.sleep(100)
-      if (waves < 8) { stop = true; return false }
+      if (waves < 8) { stop = true; println(s"smoke: feeder stalled at $waves waves (errors=$errors)"); return false }
 
       // ---- manual coordinator, dying between commits ----
       if (admin.exists(u => adminPost(u, "/admin/hold")._1 != 200)) {
@@ -1121,7 +1121,7 @@ object ClusterSmoke {
         }
         booted
       }
-      if (!awaitBanner(System.currentTimeMillis() + 150000)) {
+      if (!awaitBanner(System.currentTimeMillis() + 240000)) {
         logs.foreach(l => println("--- auto boot log tail ---\n" +
           l.synchronized(l.toString).takeRight(1200)))
         return false
@@ -1168,7 +1168,7 @@ object ClusterSmoke {
       val dWave = System.currentTimeMillis() + 60000
       while (waves < 8 && System.currentTimeMillis() < dWave)
         Thread.sleep(100)
-      if (waves < 8) { stop = true; return false }
+      if (waves < 8) { stop = true; println(s"smoke: feeder stalled at $waves waves (errors=$errors)"); return false }
 
       // ---- JOIN: boot a standby, register it, and DO NOTHING ----
       procs += daemon("d3", p3, Map("GRAFT_STANDBY" -> "1",
@@ -1178,7 +1178,7 @@ object ClusterSmoke {
       val l3 = new StringBuilder
       logs += l3
       drain(procs.last, l3)
-      if (!awaitBanner(System.currentTimeMillis() + 150000)) {
+      if (!awaitBanner(System.currentTimeMillis() + 240000)) {
         stop = true; println("auto: standby never booted"); return false
       }
       val a3 = s"127.0.0.1:${bannerHttpPort(l3)}"
