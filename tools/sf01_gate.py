@@ -27,6 +27,9 @@ con = duckdb.connect()
 con.execute("SET temp_directory='/tmp/duckdb_sf01_spill'")
 con.execute("SET max_temp_directory_size='%s'"
             % os.environ.get("GRAFT_SF01_SPILL_CAP", "48GB"))
+mem = os.environ.get("GRAFT_SF01_MEM")
+if mem:  # optional: makes a doomed quadratic oracle die fast (OOM)
+    con.execute(f"SET memory_limit='{mem}'")
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
