@@ -102,8 +102,13 @@ object Daemon {
       * STAYING held — the transition's fleet-wide re-admission rounds:
       * re-decided lines land in still-held peers' park buffers, so no
       * member's live traffic can overtake a held line anywhere in the
-      * fleet. Returns the lines swept. */
-    def drainHeld(): Int = {
+      * fleet. Returns the lines swept. Serialized on [[drainLock]]:
+      * [[offer]]'s park-then-recheck drain may race [[release]]'s
+      * final sweep, and two concurrent drainers polling one FIFO can
+      * enqueue two points of a series out of order (the PDP ts>lastTs
+      * rule would then DROP the older sample instead of reordering) —
+      * one drainer at a time keeps poll order = enqueue order. */
+    def drainHeld(): Int = drainLock.synchronized {
       var n = 0
       var l = holdQ.poll()
       while (l != null) {
@@ -111,6 +116,7 @@ object Daemon {
       }
       n
     }
+    private val drainLock = new Object
     private val listenSock = new ServerSocket()
     private val feedSock = new ServerSocket()
     listenSock.bind(new InetSocketAddress("127.0.0.1", listenPort))
@@ -1732,9 +1738,15 @@ object Daemon {
       }
       prepared = None
     }
+    // A per-boot nonce round-tripped via /admin/info so the fleet
+    // watcher can recognize ITSELF in the registry by identity, not by
+    // port (homogeneous multi-host fleets share the same admin port —
+    // a port compare would elect every member leader at once).
+    val bootNonce = java.util.UUID.randomUUID().toString
     def infoJson: String =
       s"""{"index":$shardIndex,"count":$shardCount,""" +
         s""""copies":$shardCopies,"epoch":$epoch,""" +
+        s""""nonce":"$bootNonce",""" +
         s""""dataDir":"${EventStore.esc(dataDir)}",""" +
         s""""ckptPoints":"${EventStore.esc(s"${edir(epoch)}/ckpt-points")}",""" +
         s""""graphitePort":${gGw.boundListenPort},""" +
@@ -1939,25 +1951,30 @@ object Daemon {
         // gateway still parks — so a re-decided line delivered across
         // members can never be overtaken by live traffic; OPEN then
         // restores the plain routes and goes live.
+        // None director (shrink to count 1): strip EVERY marker and
+        // ingest as primary. A parked ReplMarker in particular must
+        // NOT be dropped — its primary twin may have been parked on
+        // the departed member and die with it; ingesting the replica
+        // copy as primary re-delivers it (the m>1 path's Fwd1Marker
+        // analogue), and when the primary copy ALSO survived, the
+        // same-(name,ts) PDP rejection self-heals the duplicate.
+        // (Statsd directors always run copies=1, so no statsd
+        // ReplMarker line can exist — that branch is vacuous for sRe.)
+        def strip1(l: String): Option[String] =
+          if (l.startsWith(Shard.ReplMarker))
+            Some(l.substring(Shard.ReplMarker.length))
+          else if (l.startsWith(Shard.FwdMarker))
+            Some(l.substring(Shard.FwdMarker.length))
+          else if (l.startsWith(Shard.Fwd1Marker))
+            Some(l.substring(Shard.Fwd1Marker.length))
+          else Some(l)
         val gRe: String => Option[String] = l => director match {
           case Some(d) => d.reroute(l)
-          case None =>
-            if (l.startsWith(Shard.ReplMarker)) None
-            else if (l.startsWith(Shard.FwdMarker))
-              Some(l.substring(Shard.FwdMarker.length))
-            else if (l.startsWith(Shard.Fwd1Marker))
-              Some(l.substring(Shard.Fwd1Marker.length))
-            else Some(l)
+          case None => strip1(l)
         }
         val sRe: String => Option[String] = l => sdDirector match {
           case Some(d) => d.reroute(l)
-          case None =>
-            if (l.startsWith(Shard.ReplMarker)) None
-            else if (l.startsWith(Shard.FwdMarker))
-              Some(l.substring(Shard.FwdMarker.length))
-            else if (l.startsWith(Shard.Fwd1Marker))
-              Some(l.substring(Shard.Fwd1Marker.length))
-            else Some(l)
+          case None => strip1(l)
         }
         // pickle holds raw b64 frames only (marked pickle points
         // travel as TEXT into the graphite gateway): the plain route
@@ -2048,7 +2065,7 @@ object Daemon {
     // filesystem, like the checkpoints.
     val fleetWatch = sys.env.get("GRAFT_FLEET_FILE").map { ff =>
       val fw = new FleetWatch(spark, java.nio.file.Paths.get(ff),
-        selfAdminPort = http.getAddress.getPort,
+        selfNonce = bootNonce,
         hasStatsdDirector = () => sdDirector.nonEmpty,
         seedBase = s"$dataDir/autoseed",
         pollMs = env("GRAFT_FLEET_POLL_MS", "5000").toLong,

@@ -39,7 +39,7 @@ import org.apache.spark.sql.SparkSession
 final class FleetWatch(
     spark: SparkSession,
     fleetFile: java.nio.file.Path,
-    selfAdminPort: Int,
+    selfNonce: String,
     hasStatsdDirector: () => Boolean,
     seedBase: String,
     pollMs: Long = 5000L,
@@ -47,14 +47,14 @@ final class FleetWatch(
     deadPolls: Int = 5,
     log: String => Unit = s => println(s"fleetwatch: $s")) {
 
-  private final case class Info(index: Int, count: Int, epoch: Int,
-    graphitePort: Int, statsdPort: Int, ckptPoints: String,
-    held: Boolean, standby: Boolean)
+  private[graft] final case class Info(index: Int, count: Int,
+    epoch: Int, graphitePort: Int, statsdPort: Int, ckptPoints: String,
+    held: Boolean, standby: Boolean, nonce: String)
 
-  private sealed trait Plan
-  private final case class Grow(actives: Seq[(String, Info)],
+  private[graft] sealed trait Plan
+  private[graft] final case class Grow(actives: Seq[(String, Info)],
     joiners: Seq[(String, Info)]) extends Plan
-  private final case class Shrink(survivors: Seq[(String, Info)],
+  private[graft] final case class Shrink(survivors: Seq[(String, Info)],
     deadCkpts: Seq[String]) extends Plan
 
   private val failCount = collection.mutable.Map.empty[String, Int]
@@ -84,7 +84,8 @@ final class FleetWatch(
           Some(Info(num("index"), num("count"), num("epoch"),
             num("graphitePort"), num("statsdPort"),
             j("ckptPoints").asInstanceOf[String],
-            j("held") == true, j("standby") == true))
+            j("held") == true, j("standby") == true,
+            j.get("nonce").fold("")(_.toString)))
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -98,12 +99,9 @@ final class FleetWatch(
         .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq.distinct
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
-  private def portOf(addr: String): Int =
-    addr.substring(addr.lastIndexOf(':') + 1).toInt
-
   /** One observation → an actionable plan, or None. Package-private
     * pieces kept together so the spec can drive [[pollOnce]]. */
-  private def pollOnce(): Option[Plan] = {
+  private[graft] def pollOnce(): Option[Plan] = {
     val addrs = members()
     if (addrs.isEmpty) return None
     val polled = addrs.map(a => a -> info(a))
@@ -127,8 +125,13 @@ final class FleetWatch(
         lastKnown.get(a).exists(i => !i.standby))
       .map(a => (a, lastKnown(a)))
     if (actives.isEmpty) return None
-    // LEADERSHIP: the live active with the lowest index acts
-    if (portOf(actives.head._1) != selfAdminPort) return None
+    // LEADERSHIP: the live active with the lowest index acts. Self is
+    // recognized by the boot nonce its own /admin/info round-trips —
+    // NOT by admin port, which every member of a homogeneous
+    // multi-host deploy shares (a port compare elects everyone leader
+    // at once, and the losers' aborted 409s then /admin/release the
+    // real coordinator's staged state mid-transition).
+    if (actives.head._2.nonce != selfNonce) return None
     val n = actives.head._2.count
     val consistent = actives.forall(_._2.count == n)
     if (!consistent) return None
@@ -178,17 +181,27 @@ final class FleetWatch(
       s"shrink:${s.map(_._1).mkString(",")}-${d.size}"
   }
 
+  /** Debounce state machine, one observation in → the plan to FIRE (or
+    * None): a plan fires only after `debounce` CONSECUTIVE observations
+    * with the identical plan key — any flip (plan change, or a no-plan
+    * tick, e.g. a presumed-dead member answering again mid-shrink)
+    * resets the streak. Extracted from the poll thread so the spec can
+    * pin the boundary (stableFor == debounce) and the reset cases
+    * without timing. */
+  private[graft] def step(plan: Option[Plan]): Option[Plan] = {
+    val key = planKey(plan)
+    if (key.nonEmpty && key == lastPlanKey) stableFor += 1
+    else stableFor = if (key.nonEmpty) 1 else 0
+    lastPlanKey = key
+    if (stableFor >= debounce) { stableFor = 0; lastPlanKey = ""; plan }
+    else None
+  }
+
   private val thread = new Thread(() => {
     while (running) {
       try {
-        val plan = pollOnce()
-        val key = planKey(plan)
-        if (key.nonEmpty && key == lastPlanKey) stableFor += 1
-        else stableFor = if (key.nonEmpty) 1 else 0
-        lastPlanKey = key
-        if (stableFor >= debounce) {
-          stableFor = 0; lastPlanKey = ""
-          try execute(plan.get)
+        step(pollOnce()).foreach { p =>
+          try execute(p)
           catch {
             case scala.util.control.NonFatal(e) =>
               log(s"transition failed: $e")
