@@ -1027,10 +1027,10 @@ object PipelineQueries {
         s"""${pipeline.NearDup.minhashPairsSql(0.8)
                .replaceFirst("^WITH ", "WITH RECURSIVE ")},
            |${pipeline.NearDup.clustersSql},
-           |keepers AS (
+           |keepers AS MATERIALIZED (
            |  SELECT doc_id FROM documents
            |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster)
-           |), survcorp AS (
+           |), survcorp AS MATERIALIZED (
            |  SELECT d.doc_id, d.source, d.text
            |  FROM documents d JOIN keepers USING (doc_id)
            |),

@@ -15,6 +15,19 @@ object SimQueries {
   private val K = 10
   private val MinCos = 0.35
 
+  /** Cache unless an equivalent plan is already cached — the bench
+    * runs every headline query three passes, and an unguarded
+    * `.cache()` on the identical plan floods the tail with
+    * `CacheManager: Asked to cache already cached data` warnings
+    * (the driver tail-captures ~2.7 KB; warning spam once truncated
+    * the bench line past parseability). `storageLevel` is a
+    * CacheManager lookup by plan, so the second pass sees the first
+    * pass's entry. */
+  private[graft] def cacheOnce(df: DataFrame): Unit =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.cache(); ()
+    }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // brute-force cosine top-10 for 5 query vectors (broadcast side)
@@ -193,11 +206,11 @@ object SimQueries {
         .orderBy("vec_id")): Q,
       Some(
         s"""WITH RECURSIVE ${Similarity.lshSigSql},
-           |bands AS (
+           |bands AS MATERIALIZED (
            |  SELECT vec_id, embedding, j AS bix,
            |         (sig >> (j * ${Similarity.BandBits})) & ${(1L << Similarity.BandBits) - 1} AS bkey
            |  FROM sigs, (SELECT unnest(generate_series(0, ${Similarity.NumBands - 1})) AS j)
-           |), out AS (
+           |), out AS MATERIALIZED (
            |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
            |  FROM bands a JOIN bands b ON a.bix = b.bix AND a.bkey = b.bkey
            |  WHERE a.vec_id < b.vec_id
@@ -443,7 +456,7 @@ object SimQueries {
           .orderBy("vec_id")
         // the oracle dump is one action; release caches afterwards is
         // safe because orderBy output is what gets written
-        res.cache(); res.count(); release()
+        SimQueries.cacheOnce(res); res.count(); release()
         res
       }): Q,
       Some(
@@ -465,7 +478,7 @@ object SimQueries {
           col("vec_id").cast("long").as("vec_id"),
           Round6.r6(col("cos")).as("cos"))
           .orderBy("qid", "rank")
-        res.cache(); res.count(); release()
+        SimQueries.cacheOnce(res); res.count(); release()
         res
       }): Q,
       Some(
@@ -486,7 +499,7 @@ object SimQueries {
           fineIters = 1, capTarget = 16, levels = 2)
         val res = out.select(col("vec_id").cast("long").as("vec_id"),
           col("cid").cast("long").as("cid")).orderBy("vec_id")
-        res.cache(); res.count(); release()
+        SimQueries.cacheOnce(res); res.count(); release()
         res
       }): Q,
       Some(
@@ -507,7 +520,7 @@ object SimQueries {
           fineIters = 1, capTarget = 16, levels = 1)
         val res = out.select(col("vec_id").cast("long").as("vec_id"),
           col("cid").cast("long").as("cid")).orderBy("vec_id")
-        res.cache(); res.count(); release()
+        SimQueries.cacheOnce(res); res.count(); release()
         res
       }): Q,
       Some(
@@ -539,7 +552,7 @@ object SimQueries {
             levels = 2)
           .select(col("vec_id").cast("long").as("vec_id"),
             col("cid").cast("long").as("cid")).orderBy("vec_id")
-        res.cache(); res.count()
+        SimQueries.cacheOnce(res); res.count()
         res
       }): Q,
       Some(
@@ -561,7 +574,7 @@ object SimQueries {
         .orderBy("vec_a", "vec_b")): Q,
       Some(
         s"""WITH ${Similarity.lshSigSql},
-           |bands AS (
+           |bands AS MATERIALIZED (
            |  SELECT vec_id, embedding, j AS bix,
            |         (sig >> (j * ${Similarity.BandBits})) & ${(1L << Similarity.BandBits) - 1} AS bkey
            |  FROM sigs, (SELECT unnest(generate_series(0, ${Similarity.NumBands - 1})) AS j)

@@ -19,4 +19,18 @@ private[graft] object Ckpt {
           df.sparkSession.sparkContext, lr.rdd.id)
       case _ => df.unpersist(); ()
     }
+
+  /** `persist()` unless an equivalent plan is already in the cache —
+    * CacheManager reuses the existing entry either way, but the
+    * unguarded call logs `Asked to cache already cached data` per hit,
+    * and two operators sharing a fixture plan in one session (e.g.
+    * dd_minhash_pairs then dd_dedup_keep, both persisting the same
+    * collapseExact membership frame) flood the bench/verify tail with
+    * it. `storageLevel` is a CacheManager lookup by plan equivalence,
+    * so the guard sees the earlier operator's entry. */
+  def persistOnce(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
 }

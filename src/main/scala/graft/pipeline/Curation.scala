@@ -105,8 +105,8 @@ object Curation {
   def contaminationXlScoped(corpus: DataFrame, ref: DataFrame,
       fpp: Double = 0.01): (DataFrame, () => Unit) = {
     val spark = corpus.sparkSession
-    val refGrams = NearDup.shingles(ref).select(col("xh")).distinct()
-      .persist()
+    val refGrams = Ckpt.persistOnce(
+      NearDup.shingles(ref).select(col("xh")).distinct())
     val n = math.max(refGrams.count(), 1L)
     val bloom = refGrams.stat.bloomFilter("xh", n, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
@@ -760,19 +760,25 @@ object Curation {
   /** DuckDB twin of [[bpeMerges]]: the loop unrolled as w0→(pN,mN,wN)
     * CTE rounds (the [[graft.pipeline.Similarity.kmeansSql]] idiom);
     * defines `outb(round, pair, n)`. `src` is the training corpus
-    * (any FROM-able expression with a `text` column). */
+    * (any FROM-able expression with a `text` column). The chain CTEs
+    * are MATERIALIZED: each round references its predecessor 2-3
+    * times, and DuckDB's default inlining re-evaluates the whole
+    * prefix per reference — exponential in the unrolled depth
+    * (cu_bpe's sf0.01 oracle: 76 s plain → 0.2 s materialized,
+    * row-identical; see the NearDup.verifySql note for the same
+    * pathology on the minhash chain). */
   def bpeMergesSql(rounds: Int, src: String = "documents"): String = {
     def round(r: Int) =
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT pr, sum(cnt) AS n FROM (
          |    SELECT w.cnt, sy[i] || ' ' || sy[i+1] AS pr
          |    FROM (SELECT cnt, string_split(s, ' ') AS sy FROM w${r - 1}) w,
          |         unnest(generate_series(1, len(sy) - 1)) AS t(i))
          |  GROUP BY pr
-         |), m$r AS (
+         |), m$r AS MATERIALIZED (
          |  SELECT CAST($r AS BIGINT) AS round, pr, n
          |  FROM p$r ORDER BY n DESC, pr LIMIT 1
-         |), w$r AS (
+         |), w$r AS MATERIALIZED (
          |  SELECT w.word, w.cnt,
          |    CASE WHEN m.pr IS NULL THEN w.s ELSE trim(replace(replace(
          |      replace(' ' || w.s || ' ', ' ', '  '),
@@ -781,11 +787,11 @@ object Curation {
          |      '  ', ' ')) END AS s
          |  FROM w${r - 1} w LEFT JOIN m$r m ON TRUE
          |)""".stripMargin
-    s"""wcb AS (
+    s"""wcb AS MATERIALIZED (
        |  SELECT tok AS word, count(*) AS cnt FROM (
        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
        |    FROM $src) WHERE tok <> '' GROUP BY tok
-       |), w0 AS (
+       |), w0 AS MATERIALIZED (
        |  SELECT word, cnt, array_to_string([substr(word, i, 1)
        |    for i in generate_series(1, len(word))], ' ') || ' </w>' AS s
        |  FROM wcb
@@ -824,7 +830,7 @@ object Curation {
     * reassembles documents. Defines `tokzt(doc_id, bpe)`. */
   def bpeTransferSql(rounds: Int, applySrc: String): String = {
     def round(r: Int) =
-      s"""bw$r AS (
+      s"""bw$r AS MATERIALIZED (
          |  SELECT w.word,
          |    CASE WHEN m.pr IS NULL THEN w.s ELSE trim(replace(replace(
          |      replace(' ' || w.s || ' ', ' ', '  '),
@@ -833,7 +839,7 @@ object Curation {
          |      '  ', ' ')) END AS s
          |  FROM bw${r - 1} w LEFT JOIN m$r m ON TRUE
          |)""".stripMargin
-    s"""bw0 AS (
+    s"""bw0 AS MATERIALIZED (
        |  SELECT word, array_to_string([substr(word, i, 1)
        |    for i in generate_series(1, len(word))], ' ') || ' </w>' AS s
        |  FROM (SELECT DISTINCT tok AS word FROM (
@@ -1210,9 +1216,8 @@ object Curation {
   def curriculumOrderScoped(docs: DataFrame, nStages: Int, salt: String,
       blocks: Int = 256): (DataFrame, () => Unit) = {
     require(nStages >= 2, "curriculum needs >= 2 stages")
-    val scored = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), graft.ts.Round6.r6(col("quality")).as("q"))
-      .persist()
+    val scored = Ckpt.persistOnce(TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), graft.ts.Round6.r6(col("quality")).as("q")))
     val qs = (1 until nStages).map(_.toDouble / nStages)
     val thr = scored.agg(graft.functions.SketchExprs
       .quantiles(col("q"), 8192, qs).as("t"))
@@ -1310,7 +1315,7 @@ object Curation {
       .join(entGate.select(col("doc_id")), Seq("doc_id"))
       .join(dsirWeights(docs).filter(col("logw") > 0)
         .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
-      .persist()
+      .transform(Ckpt.persistOnce)
     val cnt = surv.groupBy(col("source").as("stratum"))
       .agg(sum(col("n_tokens")).cast("long").as("c"))
     // coalesce: an all-filtered corpus must select an EMPTY mix, not
@@ -1510,7 +1515,7 @@ object Curation {
     // work versus running each stage over the raw corpus — with
     // identical output, since identical texts get identical scores.
     val (members, reps) = NearDup.collapseExact(docs)
-    val sets = NearDup.shingleSets(reps).persist()
+    val sets = Ckpt.persistOnce(NearDup.shingleSets(reps))
     val repPairs = NearDup.verifyJaccard(
       NearDup.candidates(NearDup.bands(NearDup.signaturesFromSets(sets))),
       sets, minJ)
@@ -1544,12 +1549,12 @@ object Curation {
       .join(qOk.join(cOk, "rep"), "rep")
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"))
-      .persist()
+      .transform(Ckpt.persistOnce)
     // persisted: the capped set feeds BOTH the packing input filter and
     // the final (source, rn) attach — without the cache the two-pass
     // rank evaluates twice per action. Size is bounded by construction:
     // ≤ cap rows per source, i.e. exactly the kept output set.
-    val capped = sourceCap(survivors, cap, salt).persist()
+    val capped = Ckpt.persistOnce(sourceCap(survivors, cap, salt))
     val out = packSequences(survivors.join(capped.select("doc_id"), "doc_id"), budget)
       .join(capped, "doc_id")
       .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"),

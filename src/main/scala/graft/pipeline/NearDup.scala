@@ -181,7 +181,7 @@ object NearDup {
     val fp = docs.select(col("doc_id"), col("text"), md5(col("text")).as("__fp"))
     val repByFp = fp.groupBy(col("__fp")).agg(min(col("doc_id")).as("rep"))
     val joined = fp.join(repByFp, "__fp")
-    val members = joined.select(col("doc_id"), col("rep")).persist()
+    val members = Ckpt.persistOnce(joined.select(col("doc_id"), col("rep")))
     val reps = joined.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("text"))
     (members, reps)
@@ -227,7 +227,7 @@ object NearDup {
     * that consumes the returned pairs. */
   def minhashPairsScoped(docs: DataFrame, minJ: Double): (DataFrame, () => Unit) = {
     val (members, reps) = collapseExact(docs)
-    val sets = shingleSets(reps).persist()
+    val sets = Ckpt.persistOnce(shingleSets(reps))
     val repPairs = verifyJaccard(candidates(bands(signaturesFromSets(sets))), sets, minJ)
     val pairs = expandExactDups(repPairs, members, "jaccard", lit(1.0))
     (pairs, () => { sets.unpersist(); members.unpersist(); () })
@@ -252,7 +252,7 @@ object NearDup {
     val n = docs.count()
     require(n <= maxRows,
       s"exact baseline refuses $n docs > $maxRows — gauge a sample")
-    val sets = shingleSets(docs).persist()
+    val sets = Ckpt.persistOnce(shingleSets(docs))
     try {
       val sh = sets.select(col("doc_id"), explode(col("hs")).as("xh"))
       val ecand = sh.select(col("xh"), col("doc_id").as("doc_a"))
@@ -424,7 +424,7 @@ object NearDup {
     val (members, reps) = collapseExact(docs)
     // one map-side set build feeds BOTH the inverted index (exploded)
     // and verification — no re-collect shuffle of the exploded stream
-    val sets = shingleSets(reps).persist()
+    val sets = Ckpt.persistOnce(shingleSets(reps))
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("xh"))
     val rare = sh.groupBy(col("xh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("xh")
@@ -546,7 +546,7 @@ object NearDup {
     val toksCol = split(trim(lower(col("text"))), "\\s+")
     val reps = docs.filter(col("text").isNotNull)
       .groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
-    val base = reps.select(col("rep"), toksCol.as("ts")).persist()
+    val base = Ckpt.persistOnce(reps.select(col("rep"), toksCol.as("ts")))
     val wins0 = base.filter(size(col("ts")) >= window)
       .select(col("rep"), col("ts"), explode(sequence(lit(0L),
         (size(col("ts")) - window).cast("long"),
@@ -554,7 +554,7 @@ object NearDup {
       .select(col("rep"), col("st"), pmod(h64(concat_ws(" ",
         slice(col("ts"), (col("st") + 1).cast("int"), lit(window)))),
         lit(X)).as("wh"))
-    val wins = wins0.persist()
+    val wins = Ckpt.persistOnce(wins0)
     val hot = wins.select(col("rep"), col("wh")).distinct()
       .groupBy("wh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("wh")
@@ -562,7 +562,7 @@ object NearDup {
       .select(col("rep"),
         explode(sequence(col("st"), col("st") + (window - 1))).as("p"))
       .distinct()
-      .persist() // feeds the anti-join AND the n_removed count
+      .transform(Ckpt.persistOnce) // feeds the anti-join AND the n_removed count
     val tokRows = base.select(col("rep"),
       posexplode(col("ts")).as(Seq("p", "tok")))
     val cleaned = tokRows
@@ -644,7 +644,7 @@ object NearDup {
     require(window > 0 && stride > 0 && minShared > 0,
       "window, stride, minShared must be positive")
     val (members, reps) = collapseExact(docs)
-    val wsets = windowSets(reps, window, stride).persist()
+    val wsets = Ckpt.persistOnce(windowSets(reps, window, stride))
     val wh = wsets.select(col("doc_id"), explode(col("ws")).as("wh"))
     val rare = wh.groupBy(col("wh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("wh")
@@ -820,7 +820,20 @@ object NearDup {
     val driverMax = sys.env.get("GRAFT_CC_DRIVER_MAX").map(_.toLong)
       .getOrElse(1L << 21) // ~2M directed edges ≈ 32 MB of longs
     if (sym.count() <= driverMax) {
-      val edges = sym.collect()
+      val spark = pairs.sparkSession
+      // collect as FLAT PRIMITIVE long arrays (one per partition,
+      // [src0,dst0,src1,dst1,…]) — a Row collect would hold every edge
+      // as a GenericRow of boxed Longs (100+ B/edge, hundreds of MB at
+      // the gate boundary); primitive chunks are 16 B/edge, so the
+      // 2 M-edge budget really is the ~32 MB the gate assumes
+      import spark.implicits._
+      val chunks: Array[Array[Long]] =
+        sym.select(col("src"), col("dst")).as[(Long, Long)].rdd
+          .mapPartitions { it =>
+            val b = scala.collection.mutable.ArrayBuilder.make[Long]
+            it.foreach { case (s, d) => b += s; b += d }
+            Iterator.single(b.result())
+          }.collect()
       releaseCkpt(sym)
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -830,29 +843,37 @@ object NearDup {
         while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      edges.foreach { e =>
-        val (a, b) = (e.getLong(0), e.getLong(1))
-        if (!parent.containsKey(a)) parent.put(a, a)
-        if (!parent.containsKey(b)) parent.put(b, b)
-        val (ra, rb) = (find(a), find(b))
-        // union by MIN root: every component's root stays its minimum
-        // element, so find() below IS the min-label the loop computes
-        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      chunks.foreach { ch =>
+        var i = 0
+        while (i < ch.length) {
+          val a = ch(i); val b = ch(i + 1); i += 2
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          // union by MIN root: every component's root stays its minimum
+          // element, so find() below IS the min-label the loop computes
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        }
       }
-      val spark = pairs.sparkSession
-      val rows = new scala.collection.mutable.ArrayBuffer[
-        org.apache.spark.sql.Row](parent.size())
-      parent.keySet().forEach { n =>
-        rows += org.apache.spark.sql.Row(n, find(n)); ()
+      // result frame from two primitive arrays shipped once via
+      // broadcast — no driver-side Row/tuple materialization
+      val n = parent.size()
+      val nodes = new Array[Long](n)
+      val roots = new Array[Long](n)
+      var i = 0
+      parent.keySet().forEach { k =>
+        nodes(i) = k; roots(i) = find(k); i += 1
       }
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq,
-          math.max(1, math.min(32, rows.size / 50000 + 1))),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("cluster",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+      val nParts = math.max(1, math.min(32, n / 50000 + 1))
+      val bcNodes = spark.sparkContext.broadcast(nodes)
+      val bcRoots = spark.sparkContext.broadcast(roots)
+      val per = (n + nParts - 1) / nParts
+      return spark.sparkContext.parallelize(0 until nParts, nParts)
+        .flatMap { p =>
+          val nd = bcNodes.value; val rt = bcRoots.value
+          val s = p * per; val e = math.min(nd.length, s + per)
+          (s until e).iterator.map(j => (nd(j), rt(j)))
+        }.toDF("doc_id", "cluster")
     }
     var ckpt = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).localCheckpoint()
@@ -937,7 +958,13 @@ object NearDup {
        |)""".stripMargin
   }
 
-  /** CTE `out(doc_a, doc_b, jaccard)` verifying `cand` at `minJ`. */
+  /** CTE `out(doc_a, doc_b, jaccard)` verifying `cand` at `minJ`.
+    * MATERIALIZED: downstream restatements reference `out` (directly
+    * or through CTEs built on it) several times, and DuckDB's default
+    * inlining re-evaluates the whole shingle→minhash→band→verify
+    * chain per reference — measured 5.06→0.47 s on cu_pipeline's
+    * oracle at sf0.01, and the difference between 45 MINUTES and
+    * 0.46 s on cu_stream_pipeline's (the round-15 gate wedge). */
   def verifySql(minJ: Double): String =
     s"""szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
@@ -946,7 +973,7 @@ object NearDup {
        |  JOIN sh sa ON sa.doc_id = c.doc_a
        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.xh = sa.xh
        |  GROUP BY c.doc_a, c.doc_b
-       |), out AS (
+       |), out AS MATERIALIZED (
        |  SELECT i.doc_a, i.doc_b,
        |         CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) AS jaccard
        |  FROM inter i
@@ -962,14 +989,14 @@ object NearDup {
     * pair CTE; UNION dedup bounds the recursion. Defines
     * `comp(doc_id, cluster)`. */
   val clustersSql: String =
-    """sym AS (
+    """sym AS MATERIALIZED (
       |  SELECT doc_a AS src, doc_b AS dst FROM out
       |  UNION SELECT doc_b, doc_a FROM out
       |), reach AS (
       |  SELECT src, dst FROM sym UNION SELECT src, src FROM sym
       |  UNION
       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-      |), comp AS (
+      |), comp AS MATERIALIZED (
       |  SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src
       |)""".stripMargin
 

@@ -2089,7 +2089,13 @@ object Similarity {
   /** DuckDB twin of [[twoLevelAssign]] over source CTE/table `src`
     * (vec_id, embedding): coarse Lloyd rounds unrolled (the
     * [[kmeansSql]] pattern), per-cell fine seeds, fine rounds as
-    * join-on-ccid windows. Defines `tfin(vec_id, ccid, fcid, cid)`. */
+    * join-on-ccid windows. Defines `tfin(vec_id, ccid, fcid, cid)`.
+    * Every CTE is MATERIALIZED: the chain is deep (tlq→tc*→tca→tg*→
+    * tfin) with multi-reference fan-out at each stage, and DuckDB's
+    * default inlining re-evaluates the whole prefix per reference —
+    * exponential in chain depth (sim_semdedup_auto's sf0.1 row OOM'd
+    * on 4 000 vectors; materialized it runs in ~10 s under a 12 GB
+    * cap, row-identical at sf0.01). */
   def twoLevelSql(src: String, coarseK: Int, fineK: Int,
       coarseIters: Int, fineIters: Int): String = {
     def dot(x: String, y: String) =
@@ -2097,7 +2103,7 @@ object Similarity {
     def cos(q: String, c: String) =
       s"(${dot(q, c)} / (sqrt(${dot(q, q)}) * sqrt(${dot(c, c)})))"
     def cassign(name: String, cents: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT vec_id, cid, qv FROM (
          |    SELECT q.vec_id, c.cid, q.qv,
          |           row_number() OVER (PARTITION BY q.vec_id
@@ -2106,7 +2112,7 @@ object Similarity {
          |  WHERE r = 1
          |)""".stripMargin
     def cupdate(name: String, assigned: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT cid, list(sx / n ORDER BY i) AS cent FROM (
          |    SELECT a.cid, t.i, sum(a.qv[t.i]) AS sx, count(*) AS n
          |    FROM $assigned a
@@ -2115,7 +2121,7 @@ object Similarity {
          |  GROUP BY cid
          |)""".stripMargin
     def fassign(name: String, cents: String, last: Boolean) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT vec_id, ccid, fcid${if (last) s", ccid * $fineK + fcid AS cid" else ", qv"} FROM (
          |    SELECT a.vec_id, a.ccid, c.fcid, a.qv,
          |           row_number() OVER (PARTITION BY a.vec_id
@@ -2124,7 +2130,7 @@ object Similarity {
          |  WHERE r = 1
          |)""".stripMargin
     def fupdate(name: String, assigned: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT ccid, fcid, list(sx / n ORDER BY i) AS cent FROM (
          |    SELECT a.ccid, a.fcid, t.i, sum(a.qv[t.i]) AS sx, count(*) AS n
          |    FROM $assigned a
@@ -2138,20 +2144,20 @@ object Similarity {
     val fineRounds = (1 to fineIters).map(r =>
       fassign(s"tfa$r", s"tg${r - 1}", last = false) + ",\n" +
         fupdate(s"tg$r", s"tfa$r")).mkString(",\n")
-    s"""tlq AS (
+    s"""tlq AS MATERIALIZED (
        |  SELECT vec_id,
        |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
        |     for e in embedding] AS qv
        |  FROM $src
-       |), tc0 AS (
+       |), tc0 AS MATERIALIZED (
        |  SELECT CAST(vec_id AS BIGINT) AS cid,
        |         [CAST(x AS DOUBLE) for x in qv] AS cent
        |  FROM tlq WHERE vec_id < $coarseK
        |),
        |$coarseRounds,
        |${cassign("tcaq", s"tc$coarseIters")},
-       |tca AS (SELECT vec_id, cid AS ccid, qv FROM tcaq),
-       |tg0 AS (
+       |tca AS MATERIALIZED (SELECT vec_id, cid AS ccid, qv FROM tcaq),
+       |tg0 AS MATERIALIZED (
        |  SELECT ccid, CAST(rn - 1 AS BIGINT) AS fcid,
        |         [CAST(x AS DOUBLE) for x in qv] AS cent
        |  FROM (SELECT ccid, qv,
@@ -2573,26 +2579,26 @@ object Similarity {
       fineK: Int, coarseIters: Int, fineIters: Int, capTarget: Int,
       levels: Int): String = {
     val lvls = (1 to levels).map { l =>
-      s"""tn$l AS (
+      s"""tn$l AS MATERIALIZED (
          |  SELECT cid,
          |    CAST(ceil(CAST(count(*) AS DOUBLE) / $capTarget) AS BIGINT) AS nch
          |  FROM tv${l - 1} GROUP BY cid
-         |), tch$l AS (
+         |), tch$l AS MATERIALIZED (
          |  SELECT s.vec_id, s.cid, s.embedding,
          |         ((s.vec_id * 2654435761) % 1000003) % n.nch AS chunk
          |  FROM tv${l - 1} s JOIN tn$l n USING (cid)
-         |), td$l AS (
+         |), td$l AS MATERIALIZED (
          |  SELECT DISTINCT b.vec_id
          |  FROM tch$l a JOIN tch$l b
          |    ON a.cid = b.cid AND a.chunk = b.chunk AND a.vec_id < b.vec_id
          |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= $eps
-         |), tv$l AS (
+         |), tv$l AS MATERIALIZED (
          |  SELECT vec_id, cid, embedding FROM tv${l - 1}
          |  WHERE vec_id NOT IN (SELECT vec_id FROM td$l)
          |)""".stripMargin
     }.mkString(",\n")
     s"""${twoLevelSql(src, coarseK, fineK, coarseIters, fineIters)},
-       |tv0 AS (
+       |tv0 AS MATERIALIZED (
        |  SELECT f.vec_id, f.cid, s.embedding FROM tfin f JOIN $src s USING (vec_id)
        |),
        |$lvls,
@@ -2731,12 +2737,12 @@ object Similarity {
          |  for i in generate_series(1, $Dim)]) >= 0
          |  THEN ${1L << k} ELSE 0 END""".stripMargin
     }.mkString(" + ")
-    s"""qvecs AS (
+    s"""qvecs AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    [CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)
        |     for e in embedding] AS qv
        |  FROM embeddings
-       |), sigs AS (
+       |), sigs AS MATERIALIZED (
        |  SELECT vec_id, embedding, $bitTerms AS sig FROM qvecs
        |)""".stripMargin
   }
