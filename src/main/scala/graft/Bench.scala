@@ -51,6 +51,33 @@ object Bench {
     // sharded bloom tier, E-S weighted sampling
     "ts_lttb", "ts_ema", "dd_bloom_shards", "sp_weighted")
 
+  /** Warm-until-plateau calibration floor: keep sampling until the
+    * last three readings all land within `tol` of the RUNNING MINIMUM
+    * (then floor = that minimum), capped at `maxRuns`. A fixed warm-up
+    * count is the wrong tool — the JIT knee moves with hardware and
+    * load, and round 15's one-warm-up floor measured ~1.6× the
+    * machine's true idle floor, making the `med ≤ 1.2 × floor`
+    * pollution gate unable to fail. The min-anchored test matters:
+    * "last three within tol of EACH OTHER" plateaus prematurely on a
+    * slow monotone JIT decline (observed: 0.18 "floor" against an
+    * in-capture med of 0.109), while the running min keeps falling
+    * until the decline actually flattens. The calib job is CPU-bound,
+    * so noise can only inflate a reading, never deflate it — the min
+    * is trustworthy. Under sustained co-tenant load the readings
+    * plateau HIGH, which is the correct floor for the "was this
+    * capture noisier than the machine's baseline" question the gate
+    * asks. */
+  def plateauFloor(sample: () => Double, tol: Double = 0.10,
+      maxRuns: Int = 40): Double = {
+    val readings = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def plateaued = readings.size >= 3 && {
+      val bound = readings.min * (1 + tol)
+      readings.takeRight(3).forall(_ <= bound)
+    }
+    while (!plateaued && readings.size < maxRuns) readings += sample()
+    readings.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -106,34 +133,48 @@ object Bench {
     // a regression (the round-13 verdict had to do forensics to
     // distinguish the two).
     //
-    // The floor is MEASURED AT STARTUP (min of five calibration runs
-    // after one JIT warm-up), so `ok` means "no noisier than this
-    // machine was before the timed passes" on ANY hardware — the old
-    // hard-coded constant (0.089, one machine's idle) burned all retry
-    // attempts on any slower box and stamped honest captures false.
-    // GRAFT_BENCH_CALIB_FLOOR still overrides. REF_FLOOR stays the
-    // round-12 clean-machine constant every round's artifacts
-    // normalize against: `value_norm = value × ref_floor / calib.med`
-    // is the machine-independent headline (a capture on a 1.3×-loaded
-    // box reads 1.3× too slow in `value` and ~right in `value_norm`).
+    // The floor is MEASURED AT STARTUP by WARMING UNTIL THE READING
+    // PLATEAUS ([[Bench.plateauFloor]]): the round-15 floor (min of
+    // five runs after ONE warm-up) was still JIT-polluted — it read
+    // 0.149–0.153 while the capture's own honest medians read
+    // 0.088–0.110, so `med ≤ 1.2 × floor` could never fail and
+    // `ok:true` was vacuous. Running until the last three readings
+    // agree within 10 % lands past the JIT knee on any hardware; `ok`
+    // then means "no noisier than this machine was before the timed
+    // passes". GRAFT_BENCH_CALIB_FLOOR still overrides. REF_FLOOR
+    // stays the round-12 clean-machine constant every round's
+    // artifacts normalize against: `value_norm = value × ref_floor /
+    // calib.med` is the machine-independent headline (a capture on a
+    // 1.3×-loaded box reads 1.3× too slow in `value` and ~right in
+    // `value_norm`).
     val refFloor = sys.env.get("GRAFT_BENCH_REF_FLOOR").map(_.toDouble)
       .getOrElse(0.089)
-    val floor = sys.env.get("GRAFT_BENCH_CALIB_FLOOR").map(_.toDouble)
-      .getOrElse { calib(); (1 to 5).map(_ => calib()).min }
-    val threshold = floor * 1.2
+    // Startup estimate, then RETROSPECTIVELY tightened by the captures'
+    // own calib minima: the startup plateau is honest for the moment it
+    // runs, but the JVM keeps warming through the first capture
+    // (observed: startup plateau 0.17 vs in-capture min 0.085 — shared
+    // codegen/JIT paths the calib job alone never exercises), and a
+    // floor that high re-vacates the gate. The calib job is CPU-bound —
+    // a reading can only be inflated, never fast — so min(startup,
+    // every in-capture reading) is the machine's demonstrated floor.
+    val floor0 = sys.env.get("GRAFT_BENCH_CALIB_FLOOR").map(_.toDouble)
+      .getOrElse(plateauFloor(() => calib()))
     val maxAttempts = sys.env.get("GRAFT_BENCH_ATTEMPTS").map(_.toInt)
       .getOrElse(3)
     var attempts = 0
+    var floorEst = floor0
     var best: (Seq[(String, (Double, Double))], Double, Double) = null
     var done = false
     while (!done) {
       val c = capture()
       attempts += 1
+      if (c._2 > 0) floorEst = math.min(floorEst, c._2)
       if (best == null || c._3 < best._3) best = c
-      done = c._3 <= threshold || attempts >= maxAttempts
+      done = c._3 <= floorEst * 1.2 || attempts >= maxAttempts
     }
     val (results, calMin, calMed) = best
-    val calibOk = calMed <= threshold
+    val floor = floorEst
+    val calibOk = calMed <= floor * 1.2
     val qjson = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val qjsonMed = results.map { case (k, (_, md)) => s"\"" + k + "\":" + md }
