@@ -89,6 +89,12 @@ object VectorExprs {
     GraftBridge.column(PqLutExpr(GraftBridge.expression(qq),
       books.map(_.map(_._1)), books.map(_.map(_._2)), ksub))
 
+  /** SemDeDup senior-keeper rule over ONE collected chunk — see
+    * [[ChunkKeepersExpr]]. `xs` = vec_id-ascending
+    * `array<struct<vec_id, embedding>>`; returns the kept subset. */
+  def chunkKeepers(xs: Column, eps: Double): Column =
+    GraftBridge.column(ChunkKeepersExpr(GraftBridge.expression(xs), eps))
+
   /** Accepts primitive numeric element types only — DecimalType is
     * rejected at ANALYSIS time because the fused loops read elements
     * with primitive getters (a decimal array would otherwise crash at
@@ -980,5 +986,122 @@ case class PqLutExpr(child: Expression,
     })
 
   override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+/** The SemDeDup senior-keeper rule over one COLLECTED chunk: input is
+  * a vec_id-ascending `array<struct<vec_id, embedding>>` (one hash
+  * chunk of one cluster, `sort_array∘collect_list`), output the subset
+  * that survives — element j is dropped iff SOME earlier element i has
+  * `cosine(e_i, e_j) >= eps` (all earlier elements are seniors, kept or
+  * not — the pairwise rule of the join formulation, not the chained
+  * one).
+  *
+  * This replaces the per-level self-join → `distinct` → anti-join
+  * pipeline of [[graft.pipeline.Similarity.semDedupChunkedScoped]]
+  * with ONE aggregation: where the join shuffles up to k² pair rows
+  * per chunk each carrying BOTH embeddings (2·dim floats), this
+  * shuffles each chunk's k rows once and runs the k²/2 cosines in a
+  * tight in-memory loop with early exit on the first senior hit —
+  * strictly fewer cosine evaluations and two fewer shuffles per
+  * refinement level. Group state is one chunk (capTarget × dim
+  * floats — the same bound the join's per-cell quadratic already
+  * assumed).
+  *
+  * Bit-compatibility: cosine = dot(a,b)/(sqrt(dot(a,a))·sqrt(dot(b,b)))
+  * with every element widened to double and summed in index order —
+  * exactly [[DotProductExpr]]'s math, so the kept SET matches the join
+  * formulation row for row (PropertySpec asserts it on random chunks).
+  * Predicate mirror of Catalyst's `cos >= eps` on doubles: true when
+  * the primitive compare holds OR cos is NaN (Spark orders NaN above
+  * every double; eps is never NaN). Null/mismatch mirror of the join:
+  * a pair whose dot is null (null embedding, null element, length
+  * mismatch) never drops anything, and an element with null vec_id is
+  * always kept and never drops others (a null join/filter key made
+  * both sides of the old predicate unknowable). */
+case class ChunkKeepersExpr(child: Expression, eps: Double)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _) if st.length >= 2 =>
+      VectorExprs.numericElem(prettyName, st(1).dataType)
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<vec_id, embedding>>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_chunk_keepers"
+
+  private lazy val structType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val embElemType =
+    structType(1).dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nf = structType.length
+    // unpack once: embeddings widened to double (null = malformed)
+    val embs = new Array[Array[Double]](n)
+    val vecNull = new Array[Boolean](n)
+    val rows = new Array[InternalRow](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, nf)
+      rows(i) = row
+      vecNull(i) = row.isNullAt(0)
+      if (!row.isNullAt(1)) {
+        val ea = row.getArray(1)
+        val d = ea.numElements()
+        var ok = true
+        val v = new Array[Double](d)
+        var j = 0
+        while (ok && j < d) {
+          if (ea.isNullAt(j)) ok = false
+          else { v(j) = VectorExprs.evalAsDouble(ea, j, embElemType); j += 1 }
+        }
+        if (ok) embs(i) = v
+      }
+      i += 1
+    }
+    val norms = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      if (embs(i) != null) {
+        var acc = 0.0
+        var j = 0
+        val v = embs(i)
+        while (j < v.length) { acc += v(j) * v(j); j += 1 }
+        norms(i) = math.sqrt(acc)
+      }
+      i += 1
+    }
+    val kept = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var b = 0
+    while (b < n) {
+      var dropped = false
+      if (!vecNull(b) && embs(b) != null) {
+        var a = 0
+        while (!dropped && a < b) {
+          if (!vecNull(a) && embs(a) != null &&
+              embs(a).length == embs(b).length) {
+            val va = embs(a); val vb = embs(b)
+            var dab = 0.0
+            var j = 0
+            while (j < va.length) { dab += va(j) * vb(j); j += 1 }
+            val cos = dab / (norms(a) * norms(b))
+            if (cos >= eps || java.lang.Double.isNaN(cos)) dropped = true
+          }
+          a += 1
+        }
+      }
+      if (!dropped) kept += rows(b).copy()
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(kept.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkKeepersExpr =
     copy(child = newChild)
 }

@@ -1915,6 +1915,7 @@ object Similarity {
       coarseIters: Int = KmIters, fineIters: Int = 1): TwoLevelIndex = {
     require(coarseK > 0 && fineK > 0 && coarseIters >= 0 && fineIters >= 0,
       "coarseK, fineK must be positive; iteration counts non-negative")
+    val spark = corpus.sparkSession
     val coarse = kmeansCentroidsSeq(corpus, coarseK, coarseIters)
     val nc = graft.functions.VectorExprs.nearestCentroid(
       col("qv"), coarse.sortBy(_._1))
@@ -1929,16 +1930,6 @@ object Similarity {
     val ac = corpus.select(col("vec_id"), emb, qvec(emb).as("qv"))
       .select(col("vec_id"), emb, col("qv"), nc.getField("cid").as("ccid"))
       .localCheckpoint(false)
-    val seeds = ac
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("ccid")).orderBy(col("vec_id"))))
-      .filter(col("__rn") <= fineK)
-      .select(col("ccid"), (col("__rn") - 1).cast("long").as("fcid"),
-        transform(col("qv"), x => x.cast("double")).as("cent"))
-    def toCells(cents: DataFrame): DataFrame =
-      cents.groupBy(col("ccid"))
-        .agg(sort_array(collect_list(struct(col("fcid"), col("cent"))))
-          .as("cents"))
     def assignF(cells: DataFrame): DataFrame = {
       val rhs = // deterministic broadcast-vs-shuffle choice, see scaladoc
         if (coarseK.toLong * fineK * Dim * 8 <= (64L << 20)) broadcast(cells)
@@ -1948,27 +1939,201 @@ object Similarity {
           graft.functions.VectorExprs.nearestInCell(col("qv"), col("cents"))
             .getField("fcid").as("fcid"))
     }
-    var cells = toCells(seeds).persist()
-    cells.count() // materialize: truncates per-round lineage
-    var assigned = assignF(cells)
-    (1 to fineIters).foreach { _ =>
-      // per-dim sums as one native aggregate — see kmeansCentroidsSeq
-      val newCents = assigned.groupBy(col("ccid"), col("fcid"))
-        .agg(count(lit(1)).as("n"),
-          graft.functions.VectorExprs.arraySumLong(col("qv")).as("s"))
-        .select(col("ccid"), col("fcid"),
-          transform(col("s"), x => x.cast("double") / col("n")).as("cent"))
-      val nxt = toCells(newCents).persist()
-      nxt.count()
-      cells.unpersist()
-      cells = nxt
-      assigned = assignF(cells)
-    }
-    val cellsFinal = cells
+    // TIERED fine training, same dispatch expression as the assignF
+    // broadcast gate. Under the 64 MB cells budget (the common case,
+    // and every caller in this repo) the seed pick and Lloyd updates
+    // run as RDD treeAggregates with the cells held on the driver
+    // between rounds — the [[lloydRoundRdd]] playbook: a round costs
+    // ONE job and zero per-round Catalyst work, where the plan form
+    // paid a window shuffle plus two aggregate+persist+count chains
+    // (profiled as the dominant driver cost of the iterative sim_*
+    // queries at toy scale). Past the budget the fine tier trains
+    // distributed exactly as before — cells stay a DataFrame end to
+    // end, the shape K ≈ 10⁶ requires.
+    val cellsFinal: DataFrame =
+      if (coarseK.toLong * fineK * Dim * 8 <= (64L << 20)) {
+        import spark.implicits._
+        val rows = ac.select(col("vec_id"), col("qv"), col("ccid"))
+          .filter(col("ccid").isNotNull)
+          .as[(Long, Array[Long], Long)].rdd
+        var cellsLocal = fineSeedsRdd(rows, fineK)
+        (1 to fineIters).foreach { _ =>
+          cellsLocal = fineRoundRdd(rows, cellsLocal, fineK)
+        }
+        val cellRows = cellsLocal.toSeq.sortBy(_._1).map { case (ccid, cs) =>
+          (ccid, cs.map { case (fcid, cent) =>
+            FineCell(fcid, cent.toSeq) }.toSeq)
+        }
+        // a LocalRelation — driver-held rows; broadcasting it later is
+        // a local collect, so persisting would only add cache traffic
+        spark.createDataset(cellRows).toDF("ccid", "cents")
+      } else {
+        val seeds = ac
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("ccid")).orderBy(col("vec_id"))))
+          .filter(col("__rn") <= fineK)
+          .select(col("ccid"), (col("__rn") - 1).cast("long").as("fcid"),
+            transform(col("qv"), x => x.cast("double")).as("cent"))
+        def toCells(cents: DataFrame): DataFrame =
+          cents.groupBy(col("ccid"))
+            .agg(sort_array(collect_list(struct(col("fcid"), col("cent"))))
+              .as("cents"))
+        var cells = toCells(seeds).persist()
+        cells.count() // materialize: truncates per-round lineage
+        (1 to fineIters).foreach { _ =>
+          // per-dim sums as one native aggregate — see kmeansCentroidsSeq
+          val newCents = assignF(cells).groupBy(col("ccid"), col("fcid"))
+            .agg(count(lit(1)).as("n"),
+              graft.functions.VectorExprs.arraySumLong(col("qv")).as("s"))
+            .select(col("ccid"), col("fcid"),
+              transform(col("s"), x => x.cast("double") / col("n")).as("cent"))
+          val nxt = toCells(newCents).persist()
+          nxt.count()
+          cells.unpersist()
+          cells = nxt
+        }
+        cells
+      }
+    val assigned = assignF(cellsFinal)
     val out = assigned.select(col("vec_id"), emb, col("ccid"),
       (col("ccid") * fineK + col("fcid")).as("cid"))
     TwoLevelIndex(out, cellsFinal, coarse,
       () => { freeCheckpoint(ac); cellsFinal.unpersist(); () })
+  }
+
+  /** Inner element of the driver-built cells frame — field names must
+    * match the plan-form `struct(fcid, cent)` exactly (the
+    * [[graft.functions.NearestInCellExpr]] input contract). */
+  private[pipeline] case class FineCell(fcid: Long, cent: Seq[Double])
+
+  /** Fine-tier seed pick as ONE treeAggregate: per coarse cell, the
+    * `fineK` LOWEST vec_ids with their quantized vectors widened to
+    * double — exactly the `row_number over (partition by ccid order by
+    * vec_id) <= fineK` seed rule of the plan form. Driver state is
+    * ≤ coarseK·fineK·(dim+1) numbers, inside the same 64 MB budget
+    * that gates this path. Returns ccid → fcid-ascending cells. */
+  private def fineSeedsRdd(
+      rows: org.apache.spark.rdd.RDD[(Long, Array[Long], Long)],
+      fineK: Int): collection.Map[Long, Array[(Long, Array[Double])]] = {
+    type Acc = collection.mutable.HashMap[Long,
+      collection.mutable.ArrayBuffer[(Long, Array[Long])]]
+    def insert(acc: Acc, ccid: Long, vecId: Long, qv: Array[Long]): Acc = {
+      val buf = acc.getOrElseUpdate(ccid,
+        new collection.mutable.ArrayBuffer[(Long, Array[Long])](fineK + 1))
+      if (buf.size < fineK || buf.last._1 > vecId) {
+        val at = buf.indexWhere(_._1 > vecId)
+        if (at < 0) buf.append((vecId, qv)) else buf.insert(at, (vecId, qv))
+        if (buf.size > fineK) buf.remove(fineK)
+      }
+      acc
+    }
+    val seeds = rows.treeAggregate(new Acc)(
+      seqOp = { case (acc, (vecId, qv, ccid)) => insert(acc, ccid, vecId, qv) },
+      combOp = { (a, b) =>
+        b.foreach { case (ccid, buf) =>
+          buf.foreach { case (vecId, qv) => insert(a, ccid, vecId, qv) } }
+        a
+      })
+    seeds.map { case (ccid, buf) =>
+      ccid -> buf.zipWithIndex.map { case ((_, qv), i) =>
+        (i.toLong, qv.map(_.toDouble)) }.toArray
+    }
+  }
+
+  /** One fine-tier Lloyd round as ONE treeAggregate: assign each row
+    * within its coarse cell by the EXACT op order of
+    * [[graft.functions.NearestInCellExpr]] (self-norm once, cells in
+    * fcid order, dot and cell-norm in one index loop, strict
+    * improvement, NaN above numbers), and accumulate exact per-(ccid,
+    * fcid) long sums and counts. Means divide as double(sum)/double(n)
+    * — bit-identical to the plan form's
+    * `arraySumLong(qv) cast double / count`. Cells that lose all
+    * members emit nothing, like the groupBy that produced no row. */
+  private def fineRoundRdd(
+      rows: org.apache.spark.rdd.RDD[(Long, Array[Long], Long)],
+      cells: collection.Map[Long, Array[(Long, Array[Double])]],
+      fineK: Int): collection.Map[Long, Array[(Long, Array[Double])]] = {
+    val bc = rows.sparkContext.broadcast(cells)
+    // per-ccid dense fineK slots (fcids are always in [0, fineK));
+    // sparse across ccids, like the plan form's map-side combine
+    type Acc = collection.mutable.HashMap[Long, (Array[Long], Array[Long])]
+    try {
+      val agg = rows.treeAggregate(new Acc)(
+        seqOp = { case (acc, (_, qv, ccid)) =>
+          bc.value.get(ccid) match {
+            case Some(cs) if cs.nonEmpty =>
+              val dim = qv.length
+              var qacc = 0.0
+              var i = 0
+              while (i < dim) {
+                val x = qv(i).toDouble; qacc += x * x; i += 1
+              }
+              val qn = math.sqrt(qacc)
+              var bestFcid = 0L
+              var bestCos = 0.0
+              var c = 0
+              var ok = true
+              while (ok && c < cs.length) {
+                val cent = cs(c)._2
+                if (cent.length != dim) ok = false
+                else {
+                  var dacc = 0.0
+                  var cacc = 0.0
+                  i = 0
+                  while (i < dim) {
+                    val y = cent(i)
+                    dacc += qv(i).toDouble * y
+                    cacc += y * y
+                    i += 1
+                  }
+                  val cos = dacc / (qn * math.sqrt(cacc))
+                  val better =
+                    if (c == 0) true
+                    else if (cos.isNaN != bestCos.isNaN) cos.isNaN
+                    else cos > bestCos
+                  if (better) { bestFcid = cs(c)._1; bestCos = cos }
+                  c += 1
+                }
+              }
+              if (ok) {
+                val (sums, ns) = acc.getOrElseUpdate(ccid,
+                  (new Array[Long](fineK * dim), new Array[Long](fineK)))
+                val off = bestFcid.toInt * dim
+                i = 0
+                while (i < dim) { sums(off + i) += qv(i); i += 1 }
+                ns(bestFcid.toInt) += 1
+              }
+              acc
+            case _ => acc // no cells for this ccid — row unassignable
+          }
+        },
+        combOp = { (a, b) =>
+          b.foreach { case (ccid, (s2, n2)) =>
+            a.get(ccid) match {
+              case Some((s1, n1)) =>
+                var i = 0
+                while (i < s1.length) { s1(i) += s2(i); i += 1 }
+                i = 0
+                while (i < n1.length) { n1(i) += n2(i); i += 1 }
+              case None => a.put(ccid, (s2, n2))
+            }
+          }
+          a
+        })
+      agg.map { case (ccid, (sums, ns)) =>
+        val dim = sums.length / fineK
+        ccid -> (0 until fineK).iterator
+          .filter(f => ns(f) > 0)
+          .map { f =>
+            val cent = new Array[Double](dim)
+            var i = 0
+            while (i < dim) {
+              cent(i) = sums(f * dim + i).toDouble / ns(f).toDouble; i += 1
+            }
+            (f.toLong, cent)
+          }.toArray
+      }
+    } finally bc.destroy()
   }
 
   /** Release the blocks behind a [[org.apache.spark.sql.Dataset
@@ -2070,15 +2235,22 @@ object Similarity {
       val chunked = survivors
         .join(broadcast(chunkCounts(survivors, capTarget)), Seq("cid"))
         .withColumn("chunk", chunkOf(col("vec_id"), col("__nch")))
-      val a = chunked.select(col("cid"), col("chunk"),
-        col("vec_id").as("vec_a"), emb.as("ea"))
-      val b = chunked.select(col("cid"), col("chunk"),
-        col("vec_id").as("vec_b"), emb.as("eb"))
-      val dropped = a.join(b, Seq("cid", "chunk"))
-        .filter(col("vec_a") < col("vec_b") &&
-          cosine(col("ea"), col("eb")) >= eps)
-        .select(col("vec_b").as("vec_id")).distinct()
-      survivors = survivors.join(dropped, Seq("vec_id"), "left_anti")
+      // ONE shuffle per level: collect each (cid, chunk) cell —
+      // capTarget-bounded in expectation, the bound the probe asserts —
+      // and run the senior-keeper rule as a tight in-memory kernel
+      // ([[graft.functions.ChunkKeepersExpr]]). The join formulation
+      // this replaces shuffled up to k² pair rows per cell (each
+      // carrying two embeddings), then a `distinct` shuffle and an
+      // anti-join shuffle back against the survivors; the kernel is
+      // the same k²/2 cosines with early exit, kept set identical
+      // (bit-equal cosine math — PropertySpec pins it).
+      survivors = chunked
+        .groupBy(col("cid"), col("chunk"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), emb))).as("__xs"))
+        .select(col("cid"), explode(
+          graft.functions.VectorExprs.chunkKeepers(col("__xs"), eps)).as("__e"))
+        .select(col("__e.vec_id").as("vec_id"),
+          col("__e.embedding").as("embedding"), col("cid"))
         .localCheckpoint(false)
       handles += survivors
     }

@@ -1437,4 +1437,47 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       kmK = 4, iters = 1))
     assert(exact.nonEmpty && ivf === exact)
   }
+
+  test("native chunkKeepers ≡ self-join senior-drop, kept set identical") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Similarity
+    // random chunks with planted near-duplicates: base vectors plus
+    // scaled copies (cos 1 to their senior) and antipodes (cos -1)
+    val chunkGen: Gen[List[(Long, Seq[Float])]] = for {
+      n <- Gen.choose(2, 12)
+      dim <- Gen.choose(2, 6)
+      raw <- Gen.listOfN(n * dim, Gen.choose(-8, 8).map(_.toFloat / 4f))
+      dups <- Gen.listOfN(n, Gen.oneOf(0, 0, 1, 2)) // 0 fresh, 1 copy, 2 antipode
+    } yield (0 until n).map { i =>
+      val base = raw.slice(i * dim, (i + 1) * dim)
+      val v = dups(i) match {
+        case 1 if i > 0 => raw.slice((i - 1) * dim, i * dim).map(_ * 2f)
+        case 2 if i > 0 => raw.slice((i - 1) * dim, i * dim).map(-_)
+        case _ => base
+      }
+      (i.toLong * 3 + 1, v: Seq[Float])
+    }.toList
+    forAll(chunkGen, n = 8) { chunk =>
+      val eps = 0.9
+      val df = chunk.toDF("vec_id", "embedding")
+      // the join formulation semDedupChunkedScoped used to run,
+      // restricted to one (cid, chunk) cell
+      val a = df.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = df.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val dropped = a.crossJoin(b)
+        .filter(col("vec_a") < col("vec_b") &&
+          Similarity.cosine(col("ea"), col("eb")) >= eps)
+        .select(col("vec_b").as("vec_id")).distinct()
+      val joinKept = df.join(dropped, Seq("vec_id"), "left_anti")
+        .select("vec_id").as[Long].collect().toSet
+      val kernelKept = df
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("xs"))
+        .select(explode(graft.functions.VectorExprs.chunkKeepers(
+          col("xs"), eps)).as("e"))
+        .select("e.vec_id").as[Long].collect().toSet
+      assert(kernelKept === joinKept, s"chunk $chunk")
+    }
+  }
 }
