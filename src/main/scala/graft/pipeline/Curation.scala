@@ -300,10 +300,15 @@ object Curation {
        |    FROM (${TextAnalysis.qualityScoreSql})) q USING (b)
        |  GROUP BY g.b)""".stripMargin
 
-  def packSequences(docs: DataFrame, budget: Int, blockDocs: Int = 4096): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      size(tokens).cast("long").as("n_tok"),
-      floor(col("doc_id").cast("long") / blockDocs).as("__blk"))
+  /** `carry` columns of the input ride through to the output unchanged
+    * — lets a caller that would otherwise re-join the packed frame
+    * against its own input (e.g. [[curate]]'s capped (source, rn)
+    * attach) skip that join. */
+  def packSequences(docs: DataFrame, budget: Int, blockDocs: Int = 4096,
+      carry: Seq[String] = Nil): DataFrame = {
+    val toks = docs.select(col("doc_id") +: (carry.map(col) :+
+      size(tokens).cast("long").as("n_tok")) :+
+      floor(col("doc_id").cast("long") / blockDocs).as("__blk"): _*)
     val local = toks.withColumn("__local_end",
       sum(col("n_tok")).over(Window.partitionBy(col("__blk"))
         .orderBy(col("doc_id"))
@@ -319,8 +324,8 @@ object Curation {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__blk"), col("__blk_off"))
     local.join(broadcast(blkOffsets), "__blk")
-      .select(col("doc_id"), col("n_tok"),
-        (col("__blk_off") + col("__local_end") - col("n_tok")).as("tok_start"))
+      .select(col("doc_id") +: (carry.map(col) :+ col("n_tok")) :+
+        (col("__blk_off") + col("__local_end") - col("n_tok")).as("tok_start"): _*)
       .withColumn("seq_id", floor(col("tok_start") / budget).cast("long"))
       .withColumn("seq_pos", (col("tok_start") % budget).cast("long"))
   }
@@ -1519,9 +1524,20 @@ object Curation {
     val repPairs = NearDup.verifyJaccard(
       NearDup.candidates(NearDup.bands(NearDup.signaturesFromSets(sets))),
       sets, minJ)
-    val pairs = NearDup.expandExactDups(repPairs, members, "jaccard", lit(1.0))
-    val losers = NearDup.clusters(pairs)
+    // Losers from the REP-level component graph — provably the same
+    // set as clustering the member-expanded pairs (the oracle's
+    // formulation) without paying expandExactDups' two joins and a
+    // component pass over the expanded graph: every rep is the MIN of
+    // its exact-dup group, so a component's min over expanded members
+    // equals its min over reps — a non-rep member always loses (its
+    // group has ≥ 2 members, so the within-group pair puts it in a
+    // component rooted at ≤ its rep < it), and a rep loses iff it is
+    // not its rep-component's root. The union is disjoint by
+    // construction (doc ≠ rep vs rep rows).
+    val losers = NearDup.clusters(repPairs)
       .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+      .unionByName(members.filter(col("doc_id") =!= col("rep"))
+        .select("doc_id"))
     // score quality on the representatives REDERIVED from the cached
     // membership map (one join against `members`) — `reps` itself
     // re-evaluates collapseExact's md5+groupBy+join chain on every
@@ -1555,9 +1571,14 @@ object Curation {
     // rank evaluates twice per action. Size is bounded by construction:
     // ≤ cap rows per source, i.e. exactly the kept output set.
     val capped = Ckpt.persistOnce(sourceCap(survivors, cap, salt))
-    val out = packSequences(survivors.join(capped.select("doc_id"), "doc_id"), budget)
-      .join(capped, "doc_id")
-      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"),
+    // ONE capped join: (source, rn) ride through the packing as carry
+    // columns instead of a second join back against capped
+    val out = packSequences(
+        survivors.join(capped.select("doc_id", "source", "rn")
+          .withColumnRenamed("source", "__csrc"), "doc_id"),
+        budget, carry = Seq("__csrc", "rn"))
+      .select(col("doc_id"), col("__csrc").as("source"),
+        col("rn").cast("long").as("rn"),
         col("n_tok"), col("tok_start"), col("seq_id"), col("seq_pos"))
     (out, () => { sets.unpersist(); members.unpersist(); survivors.unpersist()
       capped.unpersist(); () })
