@@ -61,7 +61,20 @@ object Daemon {
     * reference's pickle listener. */
   final class LineGateway(val listenPort: Int, val feedPort: Int,
       capacity: Int = 1 << 20, framed: Boolean = false,
-      route: String => Option[String] = Some(_)) {
+      route: String => Option[String] = Some(_),
+      // transition-fence intercept: counts [[Shard.FenceMarker]] lines
+      // (control signals from peer forwarders — never parked, never
+      // routed) so the coordinator can prove a flush LANDED
+      onFence: String => Unit = _ => (),
+      // when set, [[drainHeld]] re-admits parked lines in THIS key
+      // order (stable) instead of arrival order: cross-member
+      // redeliveries for one series can arrive interleaved across
+      // sender connections, and re-admitting the younger point first
+      // makes the PDP's ts>lastTs rule drop the older one (the
+      // forensic of the auto-transition value flake). Graphite text
+      // gateways pass a (series, ts) parser; statsd (no ts field) and
+      // pickle (framed) stay FIFO.
+      sweepKey: Option[String => (String, Long)] = None) {
     private val queue = new LinkedBlockingQueue[String](capacity)
     private val running = new AtomicBoolean(true)
     // swappable route + pre-route hold buffer — the rolling-resize
@@ -109,12 +122,23 @@ object Daemon {
       * rule would then DROP the older sample instead of reordering) —
       * one drainer at a time keeps poll order = enqueue order. */
     def drainHeld(): Int = drainLock.synchronized {
-      var n = 0
-      var l = holdQ.poll()
-      while (l != null) {
-        routeRef.get()(l).foreach(enqueue); n += 1; l = holdQ.poll()
+      sweepKey match {
+        case None =>
+          var n = 0
+          var l = holdQ.poll()
+          while (l != null) {
+            routeRef.get()(l).foreach(enqueue); n += 1; l = holdQ.poll()
+          }
+          n
+        case Some(keyOf) =>
+          val buf = new scala.collection.mutable.ArrayBuffer[String](
+            math.max(holdQ.size(), 8))
+          var l = holdQ.poll()
+          while (l != null) { buf += l; l = holdQ.poll() }
+          buf.sortBy(keyOf) // stable: equal keys keep arrival order
+            .foreach(x => routeRef.get()(x).foreach(enqueue))
+          buf.size
       }
-      n
     }
     private val drainLock = new Object
     private val listenSock = new ServerSocket()
@@ -141,7 +165,9 @@ object Daemon {
       * first: a sharded daemon's [[Shard.Director]] keeps, rewrites
       * (strips the forward marker), or forwards-and-drops the line. */
     def offer(line: String): Unit =
-      if (holding) {
+      if (line.startsWith(Shard.FenceMarker)) {
+        onFence(line.substring(Shard.FenceMarker.length).trim)
+      } else if (holding) {
         if (!holdQ.offer(line)) { holdQ.poll(); holdQ.offer(line); () }
         // park/release race: release() may have finished its final
         // sweep between our `holding` read and the park above — the
@@ -1436,12 +1462,44 @@ object Daemon {
       l => sdDirector.map(_.route(l)).getOrElse(Some(l))
     val pkRoute: String => Option[String] =
       l => pkDirector.map(_.route(l)).getOrElse(Some(l))
+    // transition-fence ledger: tag → count of fences received from
+    // peer forwarders (see [[Shard.FenceMarker]]); read by the rolling
+    // coordinator through /admin/info to prove a drain round's
+    // redeliveries LANDED before the next round (or open) runs. Tags
+    // are per-transition and few — trimmed wholesale past a bound.
+    val fenceRecv = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+    val onFence: String => Unit = tag => {
+      if (fenceRecv.size > 64) fenceRecv.clear()
+      fenceRecv.computeIfAbsent(tag,
+        _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+      ()
+    }
+    // (series, ts) sweep key for graphite-format hold buffers: strip
+    // the one-hop markers, then "name value ts". Unparseable lines
+    // sort together at the front, arrival order preserved (stable).
+    val graphiteSweepKey: String => (String, Long) = { raw =>
+      val l =
+        if (raw.startsWith(Shard.FwdMarker))
+          raw.substring(Shard.FwdMarker.length)
+        else if (raw.startsWith(Shard.Fwd1Marker))
+          raw.substring(Shard.Fwd1Marker.length)
+        else if (raw.startsWith(Shard.ReplMarker))
+          raw.substring(Shard.ReplMarker.length)
+        else raw
+      val f = l.trim.split("\\s+")
+      if (f.length == 3)
+        try (f(0), math.floor(f(2).toDouble).toLong)
+        catch { case _: NumberFormatException => ("", Long.MinValue) }
+      else ("", Long.MinValue)
+    }
     val gGw = new LineGateway(
       portOf("GRAFT_GRAPHITE_PORT", conf.flatMap(_.graphitePort), 2003), 0,
-      route = gRoute)
+      route = gRoute, onFence = onFence,
+      sweepKey = Some(graphiteSweepKey))
     val sGw = new LineGateway(
       portOf("GRAFT_STATSD_PORT", conf.flatMap(_.statsdPort), 8125), 0,
-      route = sRoute)
+      route = sRoute, onFence = onFence)
     val pkGw = new LineGateway(
       portOf("GRAFT_PICKLE_PORT", conf.flatMap(_.picklePort), 2004), 0,
       framed = true,
@@ -1453,8 +1511,24 @@ object Daemon {
     // pixel point served by a non-owner shard would archive locally,
     // splitting one series' PDP state across two stores and breaking
     // the store-disjointness invariant the render union relies on.
-    val pxDpGw = new LineGateway(0, 0, route = gRoute)
+    val pxDpGw = new LineGateway(0, 0, route = gRoute,
+      sweepKey = Some(graphiteSweepKey))
     val pxGw = new LineGateway(0, 0)
+    // Send one fence per DIRECTOR CONNECTION CLASS, tag-suffixed so the
+    // coordinator can verify each class independently (graphite and
+    // pickle forwarders both dial peers' graphite ports but on their
+    // OWN connections — a fence on one proves nothing about the
+    // other). Flush afterwards so the fences hit the wire. Returns the
+    // total fences enqueued.
+    def sendFences(tag: String): Int = {
+      val n = (director.map(d => d.forwarder.fence(s"$tag/g", d.shardIndex)) ++
+        pkDirector.map(d => d.forwarder.fence(s"$tag/pk", d.shardIndex)) ++
+        sdDirector.map(d => d.forwarder.fence(s"$tag/sd", d.shardIndex))).sum
+      (director.map(_.forwarder.flushed()) ++
+        pkDirector.map(_.forwarder.flushed()) ++
+        sdDirector.map(_.forwarder.flushed())).forall(identity)
+      n
+    }
     // one archive store per writer: points (graphite+pickle+pixel dps,
     // via the shared receiver), statsd commands, pixel commands — the
     // HTTP surface reads their union. startAll re-reads the config so
@@ -1743,10 +1817,15 @@ object Daemon {
     // port (homogeneous multi-host fleets share the same admin port —
     // a port compare would elect every member leader at once).
     val bootNonce = java.util.UUID.randomUUID().toString
-    def infoJson: String =
+    def infoJson: String = {
+      val fences = {
+        import scala.jdk.CollectionConverters._
+        fenceRecv.asScala.toSeq.sortBy(_._1).map { case (t, n) =>
+          s""""${EventStore.esc(t)}":${n.get}""" }.mkString("{", ",", "}")
+      }
       s"""{"index":$shardIndex,"count":$shardCount,""" +
         s""""copies":$shardCopies,"epoch":$epoch,""" +
-        s""""nonce":"$bootNonce",""" +
+        s""""nonce":"$bootNonce","fences":$fences,""" +
         s""""dataDir":"${EventStore.esc(dataDir)}",""" +
         s""""ckptPoints":"${EventStore.esc(s"${edir(epoch)}/ckpt-points")}",""" +
         s""""graphitePort":${gGw.boundListenPort},""" +
@@ -1756,6 +1835,7 @@ object Daemon {
           .getOrElse("") +
         s""""awaitingOpen":$awaitingOpen,""" +
         s""""held":$held,"standby":$standby}"""
+    }
     http.createContext("/admin/info",
       (ex: HttpExchange) => adminText(ex, 200, infoJson + "\n"))
     http.createContext("/admin/hold", (ex: HttpExchange) =>
@@ -1812,6 +1892,16 @@ object Daemon {
           val flushedAll = (director.map(_.forwarder.flushed()) ++
             pkDirector.map(_.forwarder.flushed()) ++
             sdDirector.map(_.forwarder.flushed())).forall(identity)
+          // fence the quiesce flush like a drain round (see doDrain):
+          // the coordinator waits for these to be COUNTED before the
+          // first re-admission round, so every old-count forward is
+          // parked at its peer when round 1 sweeps. These fences ride
+          // the OLD directors' connections — the very connections the
+          // commit later cuts with closeDiscarding — so they order
+          // against exactly the bytes the quiesce flush put on the
+          // wire.
+          val fencesSent = adminParam(ex, "fence").map(sendFences)
+            .getOrElse(0)
           // the replica receiver's checkpoint too (when one ran): a
           // SHRINK seeds a departed member's series from the freshest
           // relinquished state, and that lives in a survivor's REPLICA
@@ -1827,7 +1917,7 @@ object Daemon {
             s"""{"index":$shardIndex,"epoch":$epoch,""" +
               s""""ckptPoints":"${EventStore.esc(s"${edir(epoch)}/ckpt-points")}",""" +
               replJson +
-              s""""flushed":$flushedAll,""" +
+              s""""flushed":$flushedAll,"fencesSent":$fencesSent,""" +
               s""""hadStreams":${Files.exists(java.nio.file.Paths.get(
                 s"${edir(epoch)}/ckpt-points"))}}""" + "\n")
         }
@@ -1999,8 +2089,15 @@ object Daemon {
         val flushed = (director.map(_.forwarder.flushed()) ++
           pkDirector.map(_.forwarder.flushed()) ++
           sdDirector.map(_.forwarder.flushed())).forall(identity)
+        // fence the round: a [[Shard.FenceMarker]] after the flush on
+        // every forwarder connection; once every peer's /admin/info
+        // counts the fleet's fences for this tag, THIS round's
+        // redeliveries are all parked — the coordinator's co-presence
+        // wait before the next round / open.
+        val fencesSent = adminParam(ex, "fence").map(sendFences).getOrElse(0)
         adminText(ex, 200,
-          s"""{"swept":$swept,"flushed":$flushed}""" + "\n")
+          s"""{"swept":$swept,"flushed":$flushed,""" +
+            s""""fencesSent":$fencesSent}""" + "\n")
       }
     // OPEN: restore the plain routes and go live. Idempotent.
     def doOpen(ex: HttpExchange): Unit =

@@ -179,6 +179,44 @@ object Reshard {
   private def jStr(m: Map[String, Any], k: String): String =
     m(k).asInstanceOf[String]
 
+  /** Bounded wait until every member at `adminBases` reports at least
+    * `expected` fences for each of `tag`'s per-connection-class
+    * suffixes (`/g` graphite, `/pk` pickle, `/sd` statsd when
+    * configured) in its `/admin/info` `fences` ledger. A timeout warns
+    * LOUDLY and proceeds — the pre-fence behavior, observable — rather
+    * than wedging the transition on a stalled reader. */
+  private def waitFences(adminBases: Seq[String], tag: String,
+      expected: Int, statsd: Boolean, timeoutMs: Long = 20000L): Unit = {
+    if (expected <= 0 || adminBases.isEmpty) return
+    val suffixes = Seq("/g", "/pk") ++ (if (statsd) Seq("/sd") else Nil)
+    def counts(u: String): Map[String, Long] =
+      jsonObj(httpGet(s"$u/admin/info")).get("fences") match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> (v match {
+            case d: Double => d.toLong
+            case l: Long => l
+            case _ => 0L
+          }) }
+        case _ => Map.empty
+      }
+    def settled(): Boolean = adminBases.forall { u =>
+      val c = counts(u)
+      suffixes.forall(s => c.getOrElse(tag + s, 0L) >= expected.toLong)
+    }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var ok = settled()
+    while (!ok && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      ok = settled()
+    }
+    if (!ok) println(s"rolling reshard: fence wait '$tag' timed out " +
+      s"after ${timeoutMs} ms (expected >= $expected per class " +
+      s"${suffixes.mkString(",")} at every member) — proceeding; " +
+      s"counts: " + adminBases.map(u =>
+        s"$u=${scala.util.Try(counts(u).filter(_._1.startsWith(tag)))
+          .getOrElse(Map.empty)}").mkString(" "))
+  }
+
   /** The ONE-COMMAND rolling resize — the reference's
     * memberlist-triggered `Transition()` (`cluster/cluster.go:667-700`,
     * fired from the cluster-change channel,
@@ -258,13 +296,26 @@ object Reshard {
       // breaking the store-disjointness invariant the render union
       // relies on. (A departed peer's queue drop-drains through the
       // circuit breaker, so a shrink still flushes true.)
+      // only OLD members fence here: a standby's quiesce fences would
+      // share the tag and could satisfy an old member's threshold
+      // while a real old-member flush is still in flight
       val quiesced = all.map(u =>
-        u -> jsonObj(httpPost(s"${base(u)}/admin/quiesce")))
+        u -> jsonObj(httpPost(s"${base(u)}/admin/quiesce" +
+          (if (oldAdmin.contains(u)) s"?fence=q$targetEpoch" else ""))))
       quiesced.foreach { case (u, m) =>
         require(m.get("flushed").contains(true),
           s"$u forwarder queues did not flush at quiesce — aborting " +
             "(stale old-count forwards must never reach a resumed peer)")
       }
+      // co-presence proof for the quiesce flush: every OLD member must
+      // count the other old members' per-connection fences before any
+      // re-admission round sweeps (the fences rode the old directors'
+      // connections AFTER the flush, so TCP FIFO + the one reader
+      // thread per connection mean every flushed line is parked once
+      // its fence is counted). The standby receives nothing here — it
+      // is in no old peer list.
+      waitFences(oldAdmin.map(base), s"q$targetEpoch",
+        oldAdmin.size - 1, statsdPeers.nonEmpty)
       // primary checkpoints always; REPLICA checkpoints contribute
       // ONLY the DEAD owners' slices in a shrink. For a departed
       // member's series the survivor's replica state is the only
@@ -403,8 +454,23 @@ object Reshard {
           s"phase=drain (3 rounds) then phase=open to every member; " +
           s"do NOT release. Last error: $err", err)
     }
-    (1 to 3).foreach(r => rollForwardStep(s"drain round $r",
-      u => s"${base(u)}/admin/resume?phase=drain"))
+    // Each round: sweep + flush + per-connection fences; the next
+    // round (and open) starts only after every member has counted the
+    // fleet's fences for the round — WITHOUT this wait, a round's
+    // cross-member redeliveries can still be in a peer's socket buffer
+    // when the next round (or open) runs, and a series whose
+    // consecutive points were parked on DIFFERENT members re-admits
+    // younger-first at the new owner, where the PDP's ts>lastTs rule
+    // drops the older point (forensic: the auto-transition smoke's
+    // replica store lost exactly one wave under a 5x co-tenant
+    // slowdown). The gateway's sorted sweep restores per-series order
+    // for everything the fence proves co-present.
+    (1 to 3).foreach { r =>
+      rollForwardStep(s"drain round $r",
+        u => s"${base(u)}/admin/resume?phase=drain&fence=ep${targetEpoch}r$r")
+      waitFences(all.map(base), s"ep${targetEpoch}r$r",
+        newCount - 1, statsdPeers.nonEmpty)
+    }
     rollForwardStep("open",
       u => s"${base(u)}/admin/resume?phase=open")
     println(s"rolling reshard: ${oldAdmin.size} -> $newCount members " +

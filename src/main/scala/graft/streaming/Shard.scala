@@ -80,6 +80,19 @@ object Shard {
     * never re-forwards (same one-hop rule as [[FwdMarker]]). */
   val ReplMarker = "__graft_repl__ "
 
+  /** Transition FENCE line (never stored): sent by a member's
+    * forwarders to every peer after a drain/quiesce flush, counted by
+    * the receiving gateway ([[graft.streaming.Daemon.LineGateway]])
+    * and reported via `/admin/info`. TCP is FIFO per connection and
+    * each gateway connection has ONE reader thread, so once a peer has
+    * counted the fence, every line the sender wrote BEFORE it on that
+    * connection is parked in the peer's hold buffer — the co-presence
+    * proof the transition's re-admission rounds need (a drain round
+    * that runs before a prior round's redeliveries have LANDED leaves
+    * them to race live traffic after open; observed as one wave lost
+    * on the replica path under a 5× co-tenant slowdown). */
+  val FenceMarker = "__graft_fence__ "
+
   /** Plain-JVM twin of [[Ingest.sanitizeName]] (`misc/misc.go:28-37`):
     * whitespace→_, /→-, strip everything outside [a-zA-Z_\-0-9.]. */
   def sanitizePlain(s: String): String =
@@ -266,6 +279,20 @@ object Shard {
       // buffered bytes to the wire (the 100 ms poll flush)
       Thread.sleep(250)
       peers.forall(_.q.isEmpty)
+    }
+
+    /** Enqueue a [[FenceMarker]] line to every peer except `except`
+      * (self — peers are shard-index-aligned and self-delivery is
+      * local). Returns the number of peers fenced; follow with
+      * [[flushed]] to push the fences to the wire. A cooled-down dead
+      * peer drops its fence like any line — the coordinator's bounded
+      * fence-wait times out loudly instead of wedging. */
+    def fence(tag: String, except: Int): Int = {
+      var n = 0
+      peers.indices.foreach { i =>
+        if (i != except) { peers(i).offer(FenceMarker + tag); n += 1 }
+      }
+      n
     }
 
     /** Stop accepting, give the drainers a bounded grace to flush what
