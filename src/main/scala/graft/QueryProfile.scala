@@ -30,14 +30,27 @@ object QueryProfile {
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_LOG", "ERROR"))
     val jobNanos = new AtomicLong
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    // GRAFT_PROF_JOBS=1: per-job lines (duration + callsite description)
+    // for the measured pass — attributes a query's wall to its stages
+    val perJob = sys.env.get("GRAFT_PROF_JOBS").contains("1")
+    val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        starts.put(js.jobId, System.nanoTime()); ()
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
+        starts.put(js.jobId, (System.nanoTime(), desc)); ()
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        Option(starts.remove(je.jobId)).foreach(t0 =>
-          jobNanos.addAndGet(System.nanoTime() - t0))
+        Option(starts.remove(je.jobId)).foreach { case (t0, desc) =>
+          val d = System.nanoTime() - t0
+          jobNanos.addAndGet(d)
+          if (perJob) jobLines.add(
+            f"  JOB ${je.jobId}%4d ${d / 1e9}%7.3f s  $desc")
+        }
         ()
       }
     })
@@ -51,12 +64,14 @@ object QueryProfile {
       // warm pass then measured pass
       (1 to 2).foreach { p =>
         jobNanos.set(0L)
+        jobLines.clear()
         val t0 = System.nanoTime()
         val n = qs(name)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         if (p == 2) {
           Thread.sleep(200) // let listener events drain
           println(f"PROFQ $name%-22s wall ${wall}%6.2f s  jobs ${jobNanos.get / 1e9}%6.2f s  rows $n")
+          jobLines.forEach(l => println(l))
         }
       }
     }

@@ -60,6 +60,16 @@ object TextExprs {
     * whitespace/control run collapse → trim. See [[NfcCleanExpr]]. */
   def nfcClean(s: Column): Column =
     GraftBridge.column(NfcCleanExpr(GraftBridge.expression(s)))
+
+  /** Doc-local Shannon entropy of the code-point distribution (nats)
+    * — see [[CharEntropyExpr]]; caller guards empty strings. */
+  def charEntropy(s: Column): Column =
+    GraftBridge.column(CharEntropyExpr(GraftBridge.expression(s)))
+
+  /** Doc-local DSIR score against a driver-bounced bucket weight
+    * table — struct(n_tokens, logw); see [[DsirScoreExpr]]. */
+  def dsirScore(s: Column, lw: Seq[Double]): Column =
+    GraftBridge.column(DsirScoreExpr(GraftBridge.expression(s), lw))
 }
 
 /** Shared eval body for [[NfcCleanExpr]] (interpreted + codegen).
@@ -554,5 +564,140 @@ case class AhoCountExpr(child: Expression,
     })
 
   override protected def withNewChildInternal(newChild: Expression): AhoCountExpr =
+    copy(child = newChild)
+}
+
+/** Shared eval body for [[CharEntropyExpr]] (interpreted + codegen):
+  * Shannon entropy of the per-code-point distribution in nats,
+  * H = ln n − (Σ_c c·ln c)/n, one native pass with an ASCII-array
+  * fast path. Counting is per CODE POINT — exactly the groups
+  * `split(text, "")` + `length(ch) > 0` produces (Java's empty-regex
+  * split advances by code point), so the value is the explode +
+  * two-level aggregate's, minus the explode and both exchanges.
+  * Caller guards empty input (n = 0 has no defined entropy). */
+object CharEntropy {
+  def entropy(input: UTF8String): Double = {
+    val s = input.toString
+    val ascii = new Array[Int](128)
+    var other: java.util.HashMap[Integer, Array[Int]] = null
+    var i = 0
+    var n = 0.0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1.0
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Array[Int]]()
+        val slot = other.get(cp)
+        if (slot == null) other.put(cp, Array(1)) else slot(0) += 1
+      }
+    }
+    var clc = 0.0
+    var c = 0
+    while (c < 128) {
+      val k = ascii(c)
+      if (k > 0) clc += k * math.log(k.toDouble)
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        val k = it.next()(0)
+        clc += k * math.log(k.toDouble)
+      }
+    }
+    math.log(n) - clc / n
+  }
+}
+
+/** Doc-local character entropy — null input yields null; the caller
+  * guards n = 0 (empty string) with a `when(length > 0, …)`. */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropy.entropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.CharEntropy.entropy($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+    copy(child = newChild)
+}
+
+/** Shared eval body for [[DsirScoreExpr]]: tokenize (lower → trim →
+  * whitespace split, the pipeline's normalization — same kernel
+  * semantics as [[ShingleSet]]), hash each token with the portable
+  * md5-prefix60, and fold the per-bucket log-weight — the whole DSIR
+  * scoring pass as one compiled walk over the document. Returns
+  * (n_tokens, logw) with logw null when the document has no tokens. */
+object DsirScore {
+  def score(input: UTF8String, lw: Array[Double])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = input.toLowerCase.trim.toString.split("\\s+", -1)
+    val b = lw.length.toLong
+    var n = 0L
+    var s = 0.0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        n += 1
+        s += lw(Math.floorMod(
+          Md5Prefix60.hash(UTF8String.fromString(t)), b).toInt)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, if (n > 0) java.lang.Double.valueOf(s) else null))
+  }
+}
+
+/** Doc-local DSIR score over a driver-bounced bucket weight table —
+  * struct(n_tokens, logw); null input yields a null struct. Value-
+  * identical to exploding the token stream, joining the B-row weight
+  * table on `pmod(md5_prefix60(tok), B)` and re-aggregating by doc
+  * (PropertySpec pins the equivalence); the fold runs in token order,
+  * a float-sum order change absorbed by the Round6 trip like the
+  * shuffle-order sum it replaces. */
+case class DsirScoreExpr(child: Expression, lw: Seq[Double])
+    extends UnaryExpression {
+
+  // Seq, not Array: case-class equality must be VALUE equality so the
+  // expression canonicalizes stably (plan-identical invocations reuse
+  // the CacheManager entry; an Array field compares by reference and
+  // silently defeats that). The eval-side array is derived once.
+  @transient private lazy val lwArr: Array[Double] = lw.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("logw", DoubleType, nullable = true)))
+  override def prettyName: String = "graft_dsir_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DsirScore.score(input.asInstanceOf[UTF8String], lwArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { in =>
+      val lwRef = ctx.addReferenceObj("dsirLw", lwArr, "double[]")
+      s"${ev.value} = graft.functions.DsirScore.score($in, $lwRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DsirScoreExpr =
     copy(child = newChild)
 }

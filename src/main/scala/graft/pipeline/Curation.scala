@@ -1036,30 +1036,61 @@ object Curation {
   val DsirBuckets = 64
 
   def dsirWeights(docs: DataFrame): DataFrame = {
+    // no release contract on this entry point: free the estimation
+    // cache as soon as the weights are bounced (the scoring columns
+    // embed the values and never read the cache again)
+    val (nTok, logw, rel) = dsirCols(docs)
+    rel()
+    docs.select(col("doc_id"), nTok.as("n_tokens"), logw.as("logw"))
+  }
+
+  /** DSIR scoring as doc-local COLUMNS over `docs` — the round-16
+    * shape: the B-row bucket weight table (B = [[DsirBuckets]] = 64 by
+    * construction) is a bounded driver bounce (the k-means-centroid
+    * class), embedded as a 64-double array literal, and each document
+    * scores itself in one map-side fold over its own tokens. The
+    * previous plan re-tokenized and re-exploded the corpus a second
+    * time to shuffle-join the exploded stream against the broadcast
+    * weight table and re-aggregate by doc_id — three exchanges and a
+    * join-back for a value that is a pure function of (document,
+    * 64 doubles). Weight values are computed by the IDENTICAL
+    * expression as before (same one-pass dual count, same Laplace
+    * smoothing), so scores are unchanged; the per-doc sum now runs in
+    * token order (cross-engine float drift was always absorbed by the
+    * Round6 trip, as with the shuffle-order sums it replaces). */
+  private[pipeline] def dsirCols(docs: DataFrame)
+      : (Column, Column, () => Unit) = {
     val b = lit(DsirBuckets.toLong)
     val bucketed = docs
       .select(col("doc_id"), explode(tokens).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("doc_id"), pmod(NearDup.h64(col("tok")), b).as("bk"))
-    // one pass induces BOTH halves' bucket counts
-    val dist = bucketed
+    // one pass induces BOTH halves' bucket counts. The B-row count
+    // frame is persisted (plan-keyed, like every shared fixture):
+    // the collect below runs at CONSTRUCTION time, so without the
+    // cache entry each re-construction of the same selection (e.g.
+    // the bench's min-of-3 passes) would re-run the corpus token
+    // pass that every LAZY stage shares through the CacheManager.
+    val dist = Ckpt.persistOnce(bucketed
       .groupBy(col("bk"))
       .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ct"),
-        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cr"))
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cr")))
     val tot = dist.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-    val w = broadcast(dist.crossJoin(broadcast(tot))
+    val rows = dist.crossJoin(broadcast(tot))
       .select(col("bk"),
         log(((col("ct") + 1.0) / (col("tt") + lit(DsirBuckets.toDouble))) /
           ((col("cr") + 1.0) / (col("tr") + lit(DsirBuckets.toDouble))))
-          .as("lw")))
-    docs.select(col("doc_id"))
-      .join(bucketed.join(w, Seq("bk"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).cast("long").as("n_tokens"),
-            sum(col("lw")).as("logw")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("logw"))
+          .as("lw"))
+      .collect()
+    val lw = Array.fill(DsirBuckets)(0.0) // unseen buckets are never probed
+    rows.foreach(r => lw(r.getLong(0).toInt) = r.getDouble(1))
+    // ONE fused compiled pass per document (tokenize + hash + fold —
+    // [[graft.functions.DsirScoreExpr]]); a higher-order-function fold
+    // would run interpreted (ArrayAggregate is CodegenFallback) and
+    // measured SLOWER than the shuffle shape it replaced
+    val d = graft.functions.TextExprs.dsirScore(col("text"), lw.toIndexedSeq)
+    (coalesce(d.getField("n_tokens"), lit(0L)).as("n_tokens"),
+      d.getField("logw"), () => { dist.unpersist(); () })
   }
 
   /** DuckDB twin of [[dsirWeights]]; defines
@@ -1103,12 +1134,20 @@ object Curation {
     * [[selectTraining]]'s scaladoc points at for the 100 TB shape —
     * compute each signal's one-pass aggregate ONCE, store the result,
     * and let every downstream selection policy filter the stored
-    * columns instead of re-running model passes per experiment. All
-    * five joins are doc_id-keyed (co-partitioned under AQE); every
-    * score frame covers every document, so inner/left are equivalent —
-    * left keeps the contract explicit. */
-  def scoreTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"))
+    * columns instead of re-running model passes per experiment.
+    * Doc-local signals (entropy — and DSIR scoring, once its B-row
+    * weight table is driver-bounced) are computed IN PLACE on the
+    * corpus scan (round 16); the aggregate-shaped signals keep their
+    * doc_id-keyed joins (co-partitioned under AQE; every score frame
+    * covers every document, so inner/left are equivalent — left keeps
+    * the contract explicit). */
+  def scoreTable(docs: DataFrame): DataFrame = {
+    val (_, logw, dsirRel) = dsirCols(docs)
+    dsirRel()
+    val ent = when(length(col("text")) > 0,
+      graft.functions.TextExprs.charEntropy(col("text")))
+    docs.select(col("doc_id"), col("source"), ent.as("entropy"),
+        logw.as("logw"))
       .join(TextAnalysis.qualityScore(docs)
         .select(col("doc_id"), col("n_tokens"), col("quality")),
         Seq("doc_id"), "left")
@@ -1117,10 +1156,10 @@ object Curation {
         Seq("doc_id"), "left")
       .join(TextAnalysis.perplexity(docs).select(col("doc_id"), col("ppl")),
         Seq("doc_id"), "left")
-      .join(TextAnalysis.charEntropy(docs)
-        .select(col("doc_id"), col("entropy")), Seq("doc_id"), "left")
-      .join(dsirWeights(docs).select(col("doc_id"), col("logw")),
-        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"),
+        col("lang_pred"), col("lang_score"), col("ppl"), col("entropy"),
+        col("logw"))
+  }
 
   /** [[scoreTable]] published as an atomic [[Snapshot]] version —
     * the materialization step itself. */
@@ -1133,16 +1172,19 @@ object Curation {
     * (Corpus-relative scores — perplexity's LM, DSIR's bucket
     * distributions — are trained ON the corpus and go stale when it
     * changes; [[scoreTable]] recomputes those.) */
-  def docScores(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"))
+  def docScores(docs: DataFrame): DataFrame = {
+    val ent = when(length(col("text")) > 0,
+      graft.functions.TextExprs.charEntropy(col("text")))
+    docs.select(col("doc_id"), col("source"), ent.as("entropy"))
       .join(TextAnalysis.qualityScore(docs)
         .select(col("doc_id"), col("n_tokens"), col("quality")),
         Seq("doc_id"), "left")
       .join(TextAnalysis.languageId(docs)
         .select(col("doc_id"), col("lang_pred"), col("lang_score")),
         Seq("doc_id"), "left")
-      .join(TextAnalysis.charEntropy(docs)
-        .select(col("doc_id"), col("entropy")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"),
+        col("lang_pred"), col("lang_score"), col("entropy"))
+  }
 
   /** Zipf-fit diagnostic: per source, the least-squares slope of
     * ln(tf) against ln(rank) over the top-`topK` vocabulary — natural
@@ -1309,17 +1351,29 @@ object Curation {
       entropyOk: Option[DataFrame] = None)
       : (DataFrame, () => Unit) = {
     require(budgetFrac > 0 && maxEpochs > 0, "budgetFrac, maxEpochs > 0")
-    val entGate = entropyOk.getOrElse(
-      TextAnalysis.charEntropy(docs)
-        .filter(col("entropy").isNotNull && col("entropy") >= minEntropy)
-        .select(col("doc_id")))
-    val surv = docs.select(col("doc_id"), col("source"))
+    // Round 16: entropy and DSIR are doc-local now ([[TextAnalysis
+    // .charEntropy]], [[dsirCols]]), so their gates are FILTERS on the
+    // corpus scan instead of two join-backs of separately aggregated
+    // score frames — the one corpus-relative score left (the bigram
+    // LM) keeps its join. Predicates are unchanged: entropy ≥ min
+    // (null fails the when-guard), logw > 0 (null > 0 is null →
+    // filtered), ppl ≤ max on the joined frame.
+    val (nTok, logw, dsirRel) = dsirCols(docs)
+    val entOkDocs = entropyOk match {
+      case Some(ok) => docs.join(ok.select(col("doc_id")), Seq("doc_id"))
+      case None =>
+        val ent = when(length(col("text")) > 0,
+          graft.functions.TextExprs.charEntropy(col("text")))
+        docs.filter(ent.isNotNull && ent >= minEntropy)
+    }
+    val surv = entOkDocs
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"),
+        logw.as("__logw"))
+      .filter(col("__logw") > 0)
       .join(TextAnalysis.perplexity(docs)
         .filter(col("ppl").isNotNull && col("ppl") <= maxPpl)
         .select(col("doc_id")), Seq("doc_id"))
-      .join(entGate.select(col("doc_id")), Seq("doc_id"))
-      .join(dsirWeights(docs).filter(col("logw") > 0)
-        .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
       .transform(Ckpt.persistOnce)
     val cnt = surv.groupBy(col("source").as("stratum"))
       .agg(sum(col("n_tokens")).cast("long").as("c"))
@@ -1331,7 +1385,7 @@ object Curation {
     val out = Sampling.mixtureSample(surv, col("source"), col("doc_id"),
         alloc.select(col("stratum"), col("weight")), 0.0)
       .select(col("source"), col("doc_id"), col("copy"))
-    (out, () => { surv.unpersist(); () })
+    (out, () => { surv.unpersist(); dsirRel(); () })
   }
 
   /** DuckDB restatement of [[selectTraining]]: composes

@@ -648,26 +648,23 @@ object TextAnalysis {
     * H = ln n − (Σ_c c·ln c)/n over per-doc char counts c. Null/empty
     * text surfaces as n_chars = 0 with null entropy.
     *
-    * Scale shape: the per-char explode feeds a map-side-combined
-    * (doc_id, char) count — the shuffle carries one row per DISTINCT
-    * char per document (≤ alphabet size, ~10² rows/doc), not one per
-    * character, so the exchange is corpus-metadata-sized. The log-sum
-    * identity keeps the whole reduction one aggregate instead of a
-    * normalize-then-dot second pass over the counts. */
-  def charEntropy(docs: DataFrame): DataFrame = {
-    val perChar = docs
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .filter(length(col("ch")) > 0)
-      .groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).cast("double").as("c"))
-    val perDoc = perChar.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n"), sum(col("c") * log(col("c"))).as("clc"))
-      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
-        (log(col("n")) - col("clc") / col("n")).as("entropy"))
-    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_chars"), lit(0L)).as("n_chars"), col("entropy"))
-  }
+    * Scale shape: entropy is a pure function of the one document, so
+    * it is computed DOC-LOCALLY in one native pass
+    * ([[graft.functions.CharEntropyExpr]]) — no explode, no exchange,
+    * no join-back. (Round 16: the previous explode + two-level
+    * aggregate + broadcast-join-back shape paid 3 exchanges and a
+    * per-CHARACTER row stream through the partial aggregate for a
+    * value every row already owned; the kernel counts code points —
+    * exactly the groups `split(text, "") … length(ch) > 0` produced —
+    * and applies the same log-sum identity, so the value is
+    * unchanged.) n_chars = `length(text)` (code points, = the kept
+    * per-char rows); null/empty text surfaces as n_chars = 0 with
+    * null entropy, as before. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      coalesce(length(col("text")).cast("long"), lit(0L)).as("n_chars"),
+      when(length(col("text")) > 0,
+        graft.functions.TextExprs.charEntropy(col("text"))).as("entropy"))
 
   /** DuckDB twin of [[charEntropy]]; defines `ent(doc_id, n_chars,
     * entropy)`. */

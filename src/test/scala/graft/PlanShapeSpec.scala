@@ -99,16 +99,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("cu_dsir: the B-row bucket-weight table broadcasts into the token stream") {
-    // the per-token weight lookup joins a table that is DsirBuckets
-    // rows by construction — if the explicit broadcast hint were ever
-    // dropped, the exploded token stream would shuffle against a
-    // 64-row frame. The final docs⋈per-doc-aggregate join legitimately
-    // shuffles (both sides are corpus-sized), so only the broadcast's
-    // presence is pinned, not a global no-SMJ.
+  test("cu_dsir: scoring is one doc-local pass — no join, no explode") {
+    // round 16: the B-row weight table (DsirBuckets by construction)
+    // is a bounded driver bounce embedded in graft_dsir_score, so the
+    // SCORING side of the plan must be join-free and explode-free —
+    // one project over the corpus scan. (The weight ESTIMATION pass
+    // keeps its explode+aggregate, but runs once at construction and
+    // is not part of this plan.) A join or Generate reappearing here
+    // means the scoring regressed to the shuffle shape.
     val p = plan("cu_dsir")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_dsir_score"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
   }
 
   test("sim_semdedup: pair search stays confined to cluster buckets") {

@@ -1480,4 +1480,96 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(kernelKept === joinKept, s"chunk $chunk")
     }
   }
+
+  test("native charEntropy ≡ explode∘two-level-aggregate entropy") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial shapes: empty, single char, runs, whitespace-only,
+    // non-ASCII (code-point counting), null text
+    val texts: Seq[Option[String]] = Seq(
+      Some(""), Some("a"), Some("aaaa"), Some("   "), Some("ab ab ab"),
+      Some("ÄØß Σίσυφος"), Some("the quick brown fox"), None,
+      Some("0123456789 0123456789"), Some("\t\nmixed  WS\u00A0runs"))
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.orNull) }.toDF("doc_id", "text")
+    val native = graft.pipeline.TextAnalysis.charEntropy(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // the pre-round-16 formulation, restated inline
+    val perChar = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val perDoc = perChar.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * log(col("c"))).as("clc"))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        (log(col("n")) - col("clc") / col("n")).as("entropy"))
+    val legacy = docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"), col("entropy"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    native.zip(legacy).foreach { case ((di, ni, ei), (dl, nl, el)) =>
+      assert(di === dl); assert(ni === nl)
+      (ei, el) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12,
+          s"doc $di entropy $a vs $b")
+        case (a, b) => assert(a === b, s"doc $di nullness $a vs $b")
+      }
+    }
+  }
+
+  test("native dsirScore ≡ explode∘join∘re-aggregate DSIR weights") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Curation, NearDup}
+    val texts: Seq[Option[String]] = Seq(
+      Some("alpha beta gamma"), Some("  alpha\talpha  "), Some(""),
+      Some("one"), None, Some("ÄØß Σίσυφος mixed CASE case"),
+      Some("the the the the"), Some("z"))
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.orNull) }.toDF("doc_id", "text")
+    val native = Curation.dsirWeights(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // the pre-round-16 formulation, restated inline
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val b = lit(Curation.DsirBuckets.toLong)
+    val bucketed = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), pmod(NearDup.h64(col("tok")), b).as("bk"))
+    val dist = bucketed.groupBy(col("bk"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cr"))
+    val tot = dist.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val w = broadcast(dist.crossJoin(broadcast(tot))
+      .select(col("bk"),
+        log(((col("ct") + 1.0) / (col("tt") + lit(Curation.DsirBuckets.toDouble))) /
+          ((col("cr") + 1.0) / (col("tr") + lit(Curation.DsirBuckets.toDouble))))
+          .as("lw")))
+    val legacy = docs.select(col("doc_id"))
+      .join(bucketed.join(w, Seq("bk"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum(col("lw")).as("logw")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("logw"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    native.zip(legacy).foreach { case ((di, ni, wi), (dl, nl, wl)) =>
+      assert(di === dl); assert(ni === nl, s"doc $di n_tokens")
+      (wi, wl) match {
+        case (Some(a), Some(bb)) => assert(math.abs(a - bb) < 1e-12,
+          s"doc $di logw $a vs $bb")
+        case (a, bb) => assert(a === bb, s"doc $di nullness $a vs $bb")
+      }
+    }
+  }
 }
