@@ -653,6 +653,28 @@ object Curation {
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val s0: Column = charSplit
+    // SIZE-GATED driver tier (round 16; the union-find /
+    // k-means-centroid pattern): BPE training state is VOCABULARY-
+    // sized — distinct words with counts, not the corpus — and the
+    // argmax rounds are inherently sequential, so past the one
+    // distributed word-count they cost one small Spark job + one plan
+    // build PER ROUND (the profiled cu_bpe driver gap). When the vocab
+    // fits a bounded driver budget, run the rounds in memory on the
+    // collected (word, cnt) table: pair counts are exact long sums,
+    // the argmax tie-break compares UTF8 bytes like the column
+    // orderBy, and merges apply through the SAME compiled kernel the
+    // distributed fold uses ([[graft.functions.BpeMergeFold]]), so the
+    // merge table and the post-merge vocab state are value-identical
+    // (CurationSpec pins driver ≡ distributed on a forced-distributed
+    // twin). The capped limit+collect bounds driver memory BEFORE
+    // anything large materializes; past the gate the distributed loop
+    // below is unchanged.
+    val driverMax = sys.props.get("graft.bpe.driver.max")
+      .orElse(sys.env.get("GRAFT_BPE_DRIVER_MAX")).map(_.toInt)
+      .getOrElse(1 << 18) // ~262k distinct words ≈ tens of MB of strings
+    val wcRows = wcPlan.limit(driverMax + 1).collect()
+    if (wcRows.length <= driverMax)
+      return bpeCoreDriver(docs.sparkSession, wcRows, rounds)
     // `cur` + (`base` folded with `pending`) denote the current symbol
     // state: base is the last epoch's materialized column, pending the
     // merges since — applied via ONE [[fuseChain]] fold whose codegen
@@ -694,6 +716,101 @@ object Curation {
       }
     } catch { case t: Throwable => release(); throw t }
     (merges.toSeq, cur, sCol, release)
+  }
+
+  /** Driver tier of [[bpeCore]] — the rounds run in memory over the
+    * collected vocabulary. Pair counts are exact long sums; the argmax
+    * tie-break is (n DESC, pair ASC by UTF8 BYTES — `orderBy` on a
+    * string column compares UTF8String binary, and Java's String
+    * order diverges on supplementary planes); merges apply through
+    * [[graft.functions.BpeMergeFold]], the same kernel [[fuseChain]]
+    * codegens, so per-word symbol states match the distributed loop
+    * bit-for-bit. */
+  private def bpeCoreDriver(sess: org.apache.spark.sql.SparkSession,
+      wcRows: Array[org.apache.spark.sql.Row], rounds: Int)
+      : (Seq[(Long, String, Long)], DataFrame, Column, () => Unit) = {
+    import sess.implicits._
+    val nW = wcRows.length
+    val words = new Array[String](nW)
+    val cnts = new Array[Long](nW)
+    val syms = new Array[String](nW)
+    var i = 0
+    while (i < nW) {
+      val w = wcRows(i).getString(0)
+      words(i) = w
+      cnts(i) = wcRows(i).getLong(1)
+      // charSplit twin: per-CODE-POINT symbols (Spark substring(w,i,1)
+      // slices code points) + the </w> marker
+      val sb = new java.lang.StringBuilder(w.length * 2 + 5)
+      var j = 0
+      while (j < w.length) {
+        val cp = w.codePointAt(j)
+        sb.appendCodePoint(cp).append(' ')
+        j += Character.charCount(cp)
+      }
+      sb.append("</w>")
+      syms(i) = sb.toString
+      i += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val counts = new java.util.HashMap[String, Array[Long]]()
+      var k = 0
+      while (k < nW) {
+        val parts = syms(k).split(" ", -1)
+        if (parts.length > 1) {
+          var p = 0
+          while (p < parts.length - 1) {
+            val pr = parts(p) + " " + parts(p + 1)
+            val slot = counts.get(pr)
+            if (slot == null) counts.put(pr, Array(cnts(k)))
+            else slot(0) += cnts(k)
+            p += 1
+          }
+        }
+        k += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPr: String = null
+        var bestU: org.apache.spark.unsafe.types.UTF8String = null
+        var bestN = Long.MinValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val n = e.getValue()(0)
+          if (n > bestN) {
+            bestN = n; bestPr = e.getKey()
+            bestU = org.apache.spark.unsafe.types.UTF8String.fromString(bestPr)
+          } else if (n == bestN) {
+            val u = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey())
+            if (u.compareTo(bestU) < 0) { bestPr = e.getKey(); bestU = u }
+          }
+        }
+        merges += ((r.toLong, bestPr, bestN))
+        val (finds, repls) = graft.functions.BpeMergeFold.tables(Seq(bestPr))
+        var m = 0
+        while (m < nW) {
+          if (syms(m).contains(bestPr)) // cheap superset pre-check
+            syms(m) = graft.functions.BpeMergeFold.fold(
+              org.apache.spark.unsafe.types.UTF8String.fromString(syms(m)),
+              finds, repls).toString
+          m += 1
+        }
+      }
+    }
+    val cur = sess.createDataFrame(sess.sparkContext.parallelize(
+        (0 until nW).map(j => org.apache.spark.sql.Row(
+          words(j), cnts(j), syms(j))), math.max(1, math.min(8, nW / 50000 + 1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    (merges.toSeq, cur, col("s"), () => ())
   }
 
   /** Tokenize the corpus with the merges [[bpeMerges]] learns on it —
@@ -1592,16 +1709,14 @@ object Curation {
       .filter(col("doc_id") =!= col("cluster")).select("doc_id")
       .unionByName(members.filter(col("doc_id") =!= col("rep"))
         .select("doc_id"))
-    // score quality on the representatives REDERIVED from the cached
-    // membership map (one join against `members`) — `reps` itself
-    // re-evaluates collapseExact's md5+groupBy+join chain on every
-    // use, and this is its only consumer outside the already-cached
-    // set frame (profiled round-15: two shuffles out of the hot path)
-    val qOk = TextAnalysis.qualityScore(
-        docs.join(members.filter(col("doc_id") === col("rep"))
-          .select(col("doc_id")), "doc_id"))
-      .filter(col("quality") >= minQuality)
-      .select(col("doc_id").cast("long").as("rep"))
+    // quality gate: a DOC-LOCAL filter on the corpus scan (round 16).
+    // The score is a pure function of `text` and exact-dup members
+    // share their rep's text verbatim (collapseExact groups on the
+    // text hash), so filtering each doc on its OWN quality is
+    // row-identical to the previous shape — scoring the reps and
+    // joining the passing rep set back through the membership map —
+    // and is literally the oracle's formulation (`q` gates per doc).
+    // Two corpus-sized joins and a second corpus scan drop out.
     // decontamination: map-side membership count over the SAME persisted
     // set frame dedup uses — no exploded-gram shuffle (see contamination)
     val bg = benchGrams(bench)
@@ -1615,8 +1730,9 @@ object Curation {
     // dedup+quality+decontamination join pipeline re-evaluates 3-4×
     val survivors = docs.select(col("doc_id").cast("long").as("doc_id"),
         col("source"), col("text"))
+      .filter(TextAnalysis.qualityColumn >= minQuality)
       .join(members.select(col("doc_id"), col("rep")), "doc_id")
-      .join(qOk.join(cOk, "rep"), "rep")
+      .join(cOk, "rep")
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"))
       .transform(Ckpt.persistOnce)
@@ -1626,10 +1742,14 @@ object Curation {
     // ≤ cap rows per source, i.e. exactly the kept output set.
     val capped = Ckpt.persistOnce(sourceCap(survivors, cap, salt))
     // ONE capped join: (source, rn) ride through the packing as carry
-    // columns instead of a second join back against capped
+    // columns instead of a second join back against capped. The capped
+    // frame is ≤ cap rows PER SOURCE by construction (corpus-metadata-
+    // sized at any scale, like the offs table sourceCap already
+    // broadcasts), so broadcast it explicitly instead of letting the
+    // planner sort-merge two survivor-sized sides.
     val out = packSequences(
-        survivors.join(capped.select("doc_id", "source", "rn")
-          .withColumnRenamed("source", "__csrc"), "doc_id"),
+        survivors.join(broadcast(capped.select("doc_id", "source", "rn")
+          .withColumnRenamed("source", "__csrc")), "doc_id"),
         budget, carry = Seq("__csrc", "rn"))
       .select(col("doc_id"), col("__csrc").as("source"),
         col("rn").cast("long").as("rn"),

@@ -436,16 +436,29 @@ object TextAnalysis {
     val meanTokLen =
       length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok
     val stopR = hitRatio(StopEn)
-    val lengthOk = when(size(tokens).between(5, 10000), lit(1.0)).otherwise(lit(0.0))
-    val quality = least(lit(1.0), greatest(lit(0.0),
-      lit(0.3) * lengthOk +
-        lit(0.4) * least(stopR * 4, lit(1.0)) +
-        lit(0.3) * (lit(1.0) - least(punct * 10 + digit * 5 + upper * 5, lit(1.0)))))
     docs.select(col("doc_id"),
       size(tokens).cast("long").as("n_tokens"),
       punct.as("punct_ratio"), digit.as("digit_ratio"),
       upper.as("upper_ratio"), meanTokLen.as("mean_tok_len"),
-      stopR.as("stopword_ratio"), quality.as("quality"))
+      stopR.as("stopword_ratio"), qualityColumn.as("quality"))
+  }
+
+  /** The composite quality score as a doc-local COLUMN over any frame
+    * with `text` — identical expression to [[qualityScore]]'s
+    * `quality` output; lets gate-shaped consumers (e.g.
+    * [[Curation.curate]]'s quality floor) FILTER on it in place
+    * instead of joining the score frame back on doc_id. */
+  private[pipeline] def qualityColumn: Column = {
+    val len = greatest(length(col("text")), lit(1)).cast("double")
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") / len
+    val digit = regexp_count(col("text"), lit("[0-9]")).cast("double") / len
+    val upper = regexp_count(col("text"), lit("[A-Z]")).cast("double") / len
+    val stopR = hitRatio(StopEn)
+    val lengthOk = when(size(tokens).between(5, 10000), lit(1.0)).otherwise(lit(0.0))
+    least(lit(1.0), greatest(lit(0.0),
+      lit(0.3) * lengthOk +
+        lit(0.4) * least(stopR * 4, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - least(punct * 10 + digit * 5 + upper * 5, lit(1.0)))))
   }
 
   def qualityScoreSql: String = {

@@ -577,4 +577,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fert(0) === 3.0)
     assert(fert(2) === 1.0)
   }
+
+  test("bpe driver tier ≡ forced-distributed loop: merges, tokenize, transfer") {
+    // the round-16 size gate routes small vocabularies through the
+    // in-memory trainer; graft.bpe.driver.max=0 forces the distributed
+    // loop on the SAME corpus — merge tables and token streams must be
+    // value-identical (exact long counts, UTF8-byte tie-break, shared
+    // BpeMergeFold kernel)
+    val d = docs(Seq(
+      1L -> "abcdef abcdef abcdef", 2L -> "abcxyz abcxyz ÄØß ÄØß",
+      3L -> "defxyz one two two three", 4L -> "abcdefxyz abcdef a",
+      5L -> "", 6L -> "repeat repeat repeat repeat"))
+    def merged() = Curation.bpeMerges(d, 12).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    def tokens() = Curation.bpeTokenize(d, 12).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    val (mDriver, tDriver) = (merged(), tokens())
+    System.setProperty("graft.bpe.driver.max", "0")
+    try {
+      val (mDist, tDist) = (merged(), tokens())
+      assert(mDriver === mDist)
+      assert(tDriver === tDist)
+    } finally System.clearProperty("graft.bpe.driver.max")
+  }
 }
