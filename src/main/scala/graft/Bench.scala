@@ -87,6 +87,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Join strategy (optimization guide §3.1/§9, scale-neutral): let
+      // the planner pick shuffled-hash over sort-merge when its size
+      // conditions hold (skips both sort passes), and let AQE rewrite
+      // a planned SMJ to SHJ at runtime when every post-shuffle
+      // partition's map output is under the threshold — a decision
+      // made from ACTUAL sizes, so it adapts with scale instead of
+      // betting on estimates.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("GRAFT_SHJ_LOCALMAP", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

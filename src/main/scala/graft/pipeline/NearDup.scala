@@ -140,13 +140,33 @@ object NearDup {
     sigs.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "key")))
   }
 
-  /** Candidate pairs (doc_a < doc_b) sharing any LSH band bucket. */
-  def candidates(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-    val b = bandsDf.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+  /** Candidate pairs (doc_a < doc_b) sharing any LSH band bucket.
+    *
+    * Round 16: pairs come from ONE bucket aggregate (collect the
+    * bucket's sorted doc list, emit its ordered 2-combinations with
+    * two chained generators) instead of the band self-join — the join
+    * shuffled and SORTED the band stream twice and needed a third
+    * exchange for the pair distinct; the aggregate is one object-hash
+    * pass with map-side partials and the pair stream is map-side.
+    * Per-row memory is bounded by the bucket's doc LIST (the slice
+    * generator re-slices it), never the pair count; a bucket of N docs
+    * emits the same C(N,2) pairs either way, and the self-join put
+    * them in one partition too (same key). Output is identical:
+    * sorted list ⇒ doc_a < doc_b, same global distinct. */
+  def candidates(bandsDf: DataFrame): DataFrame =
+    bucketPairs(bandsDf.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2))
+
+  /** Ordered 2-combinations (doc_a < doc_b) of each bucket's ASCENDING
+    * `ds` doc-id list, as two chained generators (row memory stays
+    * list-sized, the C(n,2) stream is never materialized per row). */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("__i", "doc_a")))
+      .select(col("doc_a"), explode(slice(col("ds"), col("__i") + lit(2),
+        greatest(size(col("ds")) - col("__i") - lit(1), lit(0)))).as("doc_b"))
       .select("doc_a", "doc_b").distinct()
-  }
 
   /** Exact Jaccard over shingle-hash sets for a candidate-pair frame;
     * keeps pairs with jaccard ≥ `minJ`. Computed by joining each side's
@@ -646,13 +666,14 @@ object NearDup {
     val (members, reps) = collapseExact(docs)
     val wsets = Ckpt.persistOnce(windowSets(reps, window, stride))
     val wh = wsets.select(col("doc_id"), explode(col("ws")).as("wh"))
-    val rare = wh.groupBy(col("wh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("wh")
-    val whr = wh.join(rare, "wh")
-    val cand = whr.select(col("wh"), col("doc_id").as("doc_a"))
-      .join(whr.select(col("wh"), col("doc_id").as("doc_b")), "wh")
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // round 16: one bucket aggregate replaces the previous
+    // groupBy(df)→join(rare)→self-join chain — the df cap and the
+    // pair generation both read the SAME per-wh doc list, so the
+    // token-grain stream crosses one exchange instead of three
+    // ([[candidates]] has the same reshape; outputs are identical)
+    val cand = bucketPairs(wh.groupBy(col("wh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, DfCap)))
     val repPairs = cand
       .join(wsets.select(col("doc_id").as("doc_a"), col("ws").as("wsa")), "doc_a")
       .join(wsets.select(col("doc_id").as("doc_b"), col("ws").as("wsb")), "doc_b")

@@ -47,18 +47,33 @@ object TextAnalysis {
     * divergence can never flip an order. */
   def bm25(docs: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dl = docs.select(col("doc_id"), size(tokens).cast("double").as("dl"))
-    val stats = broadcast(dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl")))
-    val tf = docs.select(col("doc_id"), explode(tokens).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val stats = broadcast(docs
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(size(tokens).cast("double")).as("avgdl")))
+    // round 16: per-term tf AND dl come from ONE doc-local pass
+    // ([[graft.functions.TextExprs.profileHits]] with one singleton
+    // profile per term counts exactly `tok == term` occurrences) —
+    // the previous shape exploded the full token stream, re-aggregated
+    // (doc, tok) across an exchange, and shuffle-joined the dl frame
+    // back on doc_id; here the only post-scan rows are the ≤ |terms|
+    // matches per doc and the dl column rides along, so df, score and
+    // the top-k window see map-side input. Values are unchanged
+    // (profileHits ≡ the explode count, spec-pinned; same r6'd score,
+    // same rank tie-break).
+    val termCols = terms.map(t => Seq(t))
+    val tf = docs
+      .select(col("doc_id"), size(tokens).cast("double").as("dl"),
+        posexplode(graft.functions.TextExprs.profileHits(tokens, termCols))
+          .as(Seq("__ti", "__tf")))
+      .filter(col("__tf") > 0)
+      .select(col("doc_id"), col("dl"),
+        element_at(array(terms.map(lit): _*), col("__ti") + 1).as("tok"),
+        col("__tf").cast("double").as("tf"))
     val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
     val score = idf * (col("tf") * (Bm25K1 + 1)) /
       (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
-    tf.join(broadcast(dfq), "tok").join(dl, "doc_id").crossJoin(stats)
+    tf.join(broadcast(dfq), "tok").crossJoin(stats)
       .select(col("tok").as("term"), col("doc_id"),
         graft.ts.Round6.r6(score).as("score"))
       .withColumn("rank", row_number().over(
@@ -198,9 +213,18 @@ object TextAnalysis {
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dim = Similarity.Dim
-    val matching = docs.select(col("doc_id"), explode(tokens).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .select(col("tok").as("term"), col("doc_id")).distinct()
+    // round 16: one doc-local profileHits pass — (term, doc_id) is
+    // already distinct by construction (each term surfaces at most
+    // once per doc), so the explode + corpus-grain distinct exchange
+    // both drop out; membership is identical (hits > 0 ⇔ the explode
+    // kept ≥ 1 row)
+    val matching = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextExprs.profileHits(
+          tokens, terms.map(t => Seq(t)))).as(Seq("__ti", "__tf")))
+      .filter(col("__tf") > 0)
+      .select(element_at(array(terms.map(lit): _*), col("__ti") + 1).as("term"),
+        col("doc_id"))
     val qv = vecs.select(col("vec_id"), Similarity.qvec(col("embedding")).as("qv"))
     // per-dim sums as one native aggregate (exact long addition —
     // values identical to unrolled sum columns); see

@@ -51,13 +51,17 @@ object SeriesModel {
     * (`serde/postgres.go:169-173` — generate_series LEFT OUTER JOIN actual
     * points). Missing slots carry NULL (reference: NaN). */
   def dense(spark: SparkSession, dir: String, stepSec: Long = StepSeconds): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    // Round 16: bounds and names derive from the AGGREGATED sparse
+    // frame, not the raw events — min/max slot over sparse equals the
+    // floored min/max ts (floor is monotone) and every event's name
+    // surfaces in sparse (no filters), so values are unchanged, and
+    // all three consumers now share ONE identical scan+partial-agg
+    // exchange subtree (ReuseExchange collapses them) instead of
+    // paying three independent full scans of the raw table.
     val raw = sparse(spark, dir, stepSec)
-    val bounds = ev.agg(
-      (floor(unix_timestamp(min(col("ts"))).divide(lit(stepSec))).cast("long") * stepSec).as("lo"),
-      (floor(unix_timestamp(max(col("ts"))).divide(lit(stepSec))).cast("long") * stepSec).as("hi"))
+    val bounds = raw.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
     val grid = bounds.select(explode(sequence(col("lo"), col("hi"), lit(stepSec))).as("t"))
-    val names = ev.select(col("event_type").as("name")).distinct()
+    val names = raw.select(col("name")).distinct()
     grid.crossJoin(broadcast(names))
       .join(raw, Seq("name", "t"), "left")
       .select(col("name"), col("t"), col("value"))
