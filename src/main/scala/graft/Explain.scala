@@ -6,6 +6,12 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror the bench session's join-strategy settings so printed
+      // plans are the benched plans
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("GRAFT_SHJ_LOCALMAP", "64m"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"

@@ -1572,4 +1572,5 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
 }
