@@ -672,14 +672,22 @@ object Curation {
     val driverMax = sys.props.get("graft.bpe.driver.max")
       .orElse(sys.env.get("GRAFT_BPE_DRIVER_MAX")).map(_.toInt)
       .getOrElse(1 << 18) // ~262k distinct words ≈ tens of MB of strings
-    val wcRows = wcPlan.limit(driverMax + 1).collect()
-    if (wcRows.length <= driverMax)
-      return bpeCoreDriver(docs.sparkSession, wcRows, rounds)
     // `cur` + (`base` folded with `pending`) denote the current symbol
     // state: base is the last epoch's materialized column, pending the
     // merges since — applied via ONE [[fuseChain]] fold whose codegen
     // source never changes round-over-round
     var cur: DataFrame = wcPlan.localCheckpoint(false)
+    // Gate probe reads THROUGH the lazy checkpoint, so a failed gate
+    // costs no extra vocab pass: whatever partitions the capped
+    // collect computed are checkpointed and the loop's first argmax
+    // completes the rest (probed: a pre-checkpoint limit+collect paid
+    // one full extra vocab aggregate at the 200k-doc point).
+    val wcRows = cur.limit(driverMax + 1).collect()
+    if (wcRows.length <= driverMax) {
+      val r = bpeCoreDriver(docs.sparkSession, wcRows, rounds)
+      Ckpt.free(cur) // driver path never reads the blocks again
+      return r
+    }
     var base: Column = s0
     val pending = scala.collection.mutable.ArrayBuffer.empty[String]
     def sCol: Column = fuseChain(base, pending.toSeq)

@@ -59,22 +59,19 @@ object Consolidate {
     // (`rrd/pdp.go:97-99`: AddValue no-ops on NaN, but ds.lastUpdate
     // still advances) — the row participates in the lag pairing above
     // and its own interval drops here, value and duration both.
-    // Incomplete-slot cutoff input: per-series lastUpdate rides the
-    // SAME (name, ts)-sorted window pass as the lag pairing (round 16
-    // — identical partitioning+ordering ⇒ one WindowExec; the value is
-    // max ts over the WHOLE partition, taken before any filter), so
-    // the previous second scan of the update stream, its aggregate and
-    // the broadcast join-back all drop out. Value unchanged: the max
-    // is over every update of the series, exactly the old aggregate.
+    // Round 16 NOTE: folding the per-series lastUpdate into the lag
+    // window as `max(ts) over (… unbounded following)` was tried and
+    // REVERTED — an unbounded-FOLLOWING frame makes WindowExec buffer
+    // the whole partition before emitting a row (the streaming lag
+    // frame doesn't), and the 100 M-row probe read 12 s → 73 s on
+    // consolidate_1m. The second scan + broadcast join-back is the
+    // cheaper shape at scale.
     val iv = updateStream
       .withColumn("begin", lag(col("ts"), 1).over(byName))
-      .withColumn("__last", max(col("ts")).over(byName
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("begin").isNotNull && col("ts") > col("begin") &&
         (col("ts") - col("begin")) <= heartbeatSec)
       .filter(!isnan(col("value")))
-      .select(col("name"), col("begin"), col("ts").as("end"),
-        col("value").as("v"), col("__last"))
+      .select(col("name"), col("begin"), col("ts").as("end"), col("value").as("v"))
 
     val pieces = explodeOverlap(iv, stepSec)
 
@@ -86,9 +83,14 @@ object Consolidate {
       case other   => throw new IllegalArgumentException(s"cf: $other")
     }
 
-    pieces.groupBy(col("name"), col("t"))
-      .agg(cfValue.as("value"), sum(col("overlap")).as("dur"),
-        max(col("__last")).as("__last")) // constant within a series
+    val agg = pieces.groupBy(col("name"), col("t"))
+      .agg(cfValue.as("value"), sum(col("overlap")).as("dur"))
+
+    // Incomplete-slot cutoff: per-series lastUpdate (cheap agg, broadcast).
+    val lastUpdate = updateStream.groupBy(col("name"))
+      .agg(max(col("ts")).as("__last"))
+
+    agg.join(broadcast(lastUpdate), Seq("name"))
       .filter(col("t") + stepSec <= col("__last"))
       .filter(col("dur") >= lit(xff * stepSec))
       .select(col("name"), col("t"), col("value"))
