@@ -121,20 +121,41 @@ object Bench {
       spark.range(0L, 50000000L, 1L, 1).selectExpr("sum(id)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // MULTI-CORE calibration gauge (round 17): the same range-sum at
+    // `cpus` partitions, each partition the 1-core job's work. The
+    // 1-core gauge cannot referee a multi-core bench — round 16's c8
+    // control read a near-idle 1-core calib (0.109) while the 32-core
+    // query total stayed 25% inflated, so whether co-tenant load
+    // stole the OTHER 31 cores was undecidable from the artifact.
+    // Under N-core contention this job's wall rises even when one
+    // core is free, which is exactly what the queries experience.
+    // Reported alongside the 1-core gauge (`calib_mc`, `value_norm_mc`);
+    // the 1-core `calib`/`value_norm` keep their round-12 reference
+    // semantics so cross-round comparisons stay valid.
+    val nCores = math.max(1, cpus.toInt)
+    def calibMc(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L * nCores, 1L, nCores)
+        .selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // min-of-3 with per-query MEDIAN alongside: the min is the
     // headline (least-polluted pass), and a med ≫ min spread is the
     // in-artifact noise flag — sustained co-tenant load shows up as
     // med/min ratios the judge can read without a rerun.
     def r3(v: Double) = math.rint(v * 1000) / 1000
-    def capture(): (Seq[(String, (Double, Double))], Double, Double) = {
+    def capture(): (Seq[(String, (Double, Double))], Double, Double,
+        Double, Double) = {
       val passes = (1 to 3).map(_ =>
-        (names.map(n => n -> time(n)) :+ ("__calib" -> calib())).toMap)
+        (names.map(n => n -> time(n)) :+ ("__calib" -> calib())
+          :+ ("__calib_mc" -> calibMc())).toMap)
       def agg(n: String): (Double, Double) = {
         val ok = passes.map(_(n)).filter(_ >= 0).sorted
         if (ok.isEmpty) (-1.0, -1.0) else (r3(ok.min), r3(ok(ok.size / 2)))
       }
       val (cMin, cMed) = agg("__calib")
-      (names.map(n => n -> agg(n)), cMin, cMed)
+      val (mMin, mMed) = agg("__calib_mc")
+      (names.map(n => n -> agg(n)), cMin, cMed, mMin, mMed)
     }
     // Calibration-gated retry: a capture whose calib median exceeds
     // ~1.2× the machine's floor was co-tenant polluted — retry up to
@@ -170,22 +191,32 @@ object Bench {
     // every in-capture reading) is the machine's demonstrated floor.
     val floor0 = sys.env.get("GRAFT_BENCH_CALIB_FLOOR").map(_.toDouble)
       .getOrElse(plateauFloor(() => calib()))
+    // the mc gauge gets its own plateau floor (same JIT-knee argument);
+    // it does not gate retries — the 1-core gate keeps its round-12
+    // semantics — it REPORTS the multi-core contention the capture ran
+    // under, which is the number the 1-core gauge cannot see.
+    val floorMc0 = sys.env.get("GRAFT_BENCH_CALIB_FLOOR_MC").map(_.toDouble)
+      .getOrElse(plateauFloor(() => calibMc()))
     val maxAttempts = sys.env.get("GRAFT_BENCH_ATTEMPTS").map(_.toInt)
       .getOrElse(3)
     var attempts = 0
     var floorEst = floor0
-    var best: (Seq[(String, (Double, Double))], Double, Double) = null
+    var floorMcEst = floorMc0
+    var best: (Seq[(String, (Double, Double))], Double, Double,
+      Double, Double) = null
     var done = false
     while (!done) {
       val c = capture()
       attempts += 1
       if (c._2 > 0) floorEst = math.min(floorEst, c._2)
+      if (c._4 > 0) floorMcEst = math.min(floorMcEst, c._4)
       if (best == null || c._3 < best._3) best = c
       done = c._3 <= floorEst * 1.2 || attempts >= maxAttempts
     }
-    val (results, calMin, calMed) = best
+    val (results, calMin, calMed, calMcMin, calMcMed) = best
     val floor = floorEst
     val calibOk = calMed <= floor * 1.2
+    val calibMcOk = calMcMed <= floorMcEst * 1.2
     val qjson = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val qjsonMed = results.map { case (k, (_, md)) => s"\"" + k + "\":" + md }
@@ -193,20 +224,30 @@ object Bench {
     val total = r3(results.map(_._2._1).filter(_ >= 0).sum)
     val totalMed = r3(results.map(_._2._2).filter(_ >= 0).sum)
     val totalNorm = r3(total * refFloor / calMed)
+    // quiet-machine reference floor for the MULTI-CORE gauge (round-17
+    // constant, measured on a calib-ok capture; override like refFloor)
+    val refFloorMc = sys.env.get("GRAFT_BENCH_REF_FLOOR_MC").map(_.toDouble)
+      .getOrElse(0.175)
+    val totalNormMc = r3(total * refFloorMc / calMcMed)
     val calibJson =
       s"""{"min":$calMin,"med":$calMed,"floor":${r3(floor)},""" +
         s""""ref_floor":$refFloor,"ok":$calibOk,"attempts":$attempts}"""
+    val calibMcJson =
+      s"""{"min":$calMcMin,"med":$calMcMed,"floor":${r3(floorMcEst)},""" +
+        s""""ref_floor":$refFloorMc,"ok":$calibMcOk}"""
     // stdout line stays compact (driver tail-captures ~2.7 KB): per-
     // query MINs + aggregate median + calibration
     val line = s"""{"metric":"headline_total_warm","value":$total,""" +
       s""""value_med":$totalMed,"value_norm":$totalNorm,""" +
-      s""""calib":$calibJson,"unit":"sec",""" +
+      s""""value_norm_mc":$totalNormMc,"cpus":$nCores,""" +
+      s""""calib":$calibJson,"calib_mc":$calibMcJson,"unit":"sec",""" +
       s""""queries":$qjson,"sf":"$sfDir"}"""
     println(line)
     // the in-repo artifact carries the FULL per-query medians too
     val fileLine = s"""{"metric":"headline_total_warm","value":$total,""" +
       s""""value_med":$totalMed,"value_norm":$totalNorm,""" +
-      s""""calib":$calibJson,"unit":"sec",""" +
+      s""""value_norm_mc":$totalNormMc,"cpus":$nCores,""" +
+      s""""calib":$calibJson,"calib_mc":$calibMcJson,"unit":"sec",""" +
       s""""queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (fileLine + "\n").getBytes("UTF-8"))

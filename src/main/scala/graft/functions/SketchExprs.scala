@@ -39,6 +39,15 @@ object SketchExprs {
     GraftBridge.column(
       MisraGriesAgg(GraftBridge.expression(c), k).toAggregateExpression())
 
+  /** Bounded min-list over a bigint column: the `cap` smallest values
+    * (ascending) plus the total count, as
+    * `struct(df: bigint, ds: array<bigint>)` — the memory-safe
+    * `(count, sort_array(collect_list))` for df-capped LSH buckets
+    * ([[BoundedMinListAgg]]). */
+  def boundedMinList(c: Column, cap: Int): Column =
+    GraftBridge.column(
+      BoundedMinListAgg(GraftBridge.expression(c), cap).toAggregateExpression())
+
   /** Mergeable quantile sketch over a double column → binary state
     * ([[QuantileSketch]]'s compactor stack). Store one row per
     * (group, increment); answer later with [[quantileMerge]] +
@@ -474,5 +483,116 @@ case class MisraGriesAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
+    copy(child = newChild)
+}
+
+/** Bounded min-list: the `cap` SMALLEST long values plus the TOTAL
+  * count, as one mergeable aggregate — the memory-safe form of
+  * `(count(*), sort_array(collect_list(x)))` for consumers that DROP
+  * over-cap groups (LSH df caps). The buffer never holds more than
+  * `cap` longs however large the group, so one degenerate hot bucket
+  * (df ≫ cap) costs O(cap) aggregate state instead of an unspillable
+  * group-sized array row; for groups with ≤ cap values the list is
+  * COMPLETE and ascending-sorted, i.e. bit-identical to the
+  * collect_list form it replaces (SketchSpec pins the equivalence on
+  * an over-cap synthetic bucket). Returns
+  * struct(df: bigint, ds: array<bigint>). */
+object BoundedMinListAgg {
+  final class Buf(val cap: Int) {
+    var n: Long = 0L // total observations
+    var size: Int = 0 // valid prefix of arr, ascending
+    val arr: Array[Long] = new Array[Long](cap)
+    def add(v: Long): Unit = {
+      n += 1
+      if (size == cap && v >= arr(size - 1)) return
+      var lo = 0; var hi = size // binary search: first index with arr(i) > v
+      while (lo < hi) { // upper bound keeps insertion stable for dups
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) <= v) lo = mid + 1 else hi = mid
+      }
+      val last = math.min(size, cap - 1) // room after shifting
+      System.arraycopy(arr, lo, arr, lo + 1, last - lo)
+      arr(lo) = v
+      if (size < cap) size += 1
+    }
+  }
+}
+
+case class BoundedMinListAgg(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedMinListAgg.Buf]
+  with UnaryLike[Expression] {
+
+  require(cap > 0, "boundedMinList requires cap > 0")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bounded_min_list requires a bigint column, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("df", LongType, nullable = false),
+    StructField("ds", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bounded_min_list"
+
+  override def createAggregationBuffer(): BoundedMinListAgg.Buf =
+    new BoundedMinListAgg.Buf(cap)
+
+  override def update(buf: BoundedMinListAgg.Buf,
+      input: InternalRow): BoundedMinListAgg.Buf = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: BoundedMinListAgg.Buf,
+      other: BoundedMinListAgg.Buf): BoundedMinListAgg.Buf = {
+    // merge two ascending prefixes, keep the cap smallest
+    val out = new Array[Long](math.min(cap, buf.size + other.size))
+    var i = 0; var j = 0; var k = 0
+    while (k < out.length) {
+      if (j >= other.size || (i < buf.size && buf.arr(i) <= other.arr(j))) {
+        out(k) = buf.arr(i); i += 1
+      } else { out(k) = other.arr(j); j += 1 }
+      k += 1
+    }
+    System.arraycopy(out, 0, buf.arr, 0, out.length)
+    buf.size = out.length
+    buf.n += other.n
+    buf
+  }
+
+  override def eval(buf: BoundedMinListAgg.Buf): Any =
+    InternalRow(buf.n,
+      new GenericArrayData(java.util.Arrays.copyOf(buf.arr, buf.size)))
+
+  override def serialize(buf: BoundedMinListAgg.Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 4 + 8 * buf.size)
+    bb.putLong(buf.n); bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedMinListAgg.Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new BoundedMinListAgg.Buf(cap)
+    buf.n = bb.getLong
+    buf.size = bb.getInt
+    var i = 0
+    while (i < buf.size) { buf.arr(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedMinListAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedMinListAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BoundedMinListAgg =
     copy(child = newChild)
 }

@@ -305,9 +305,12 @@ object Curation {
     * against its own input (e.g. [[curate]]'s capped (source, rn)
     * attach) skip that join. */
   def packSequences(docs: DataFrame, budget: Int, blockDocs: Int = 4096,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil, nTok: Option[Column] = None): DataFrame = {
+    // `nTok`: a PRECOMPUTED token count riding the input (round 17 —
+    // curate's capped frame carries it), identical by construction to
+    // the size(tokens) derivation it skips
     val toks = docs.select(col("doc_id") +: (carry.map(col) :+
-      size(tokens).cast("long").as("n_tok")) :+
+      nTok.getOrElse(size(tokens).cast("long")).as("n_tok")) :+
       floor(col("doc_id").cast("long") / blockDocs).as("__blk"): _*)
     val local = toks.withColumn("__local_end",
       sum(col("n_tok")).over(Window.partitionBy(col("__blk"))
@@ -669,8 +672,12 @@ object Curation {
     // twin). The capped limit+collect bounds driver memory BEFORE
     // anything large materializes; past the gate the distributed loop
     // below is unchanged.
+    // tolerant parse + clamp (ADVICE r16): a malformed override must
+    // not crash training, and limit(driverMax + 1) must not overflow
     val driverMax = sys.props.get("graft.bpe.driver.max")
-      .orElse(sys.env.get("GRAFT_BPE_DRIVER_MAX")).map(_.toInt)
+      .orElse(sys.env.get("GRAFT_BPE_DRIVER_MAX"))
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 0).map(math.min(_, Int.MaxValue - 1))
       .getOrElse(1 << 18) // ~262k distinct words ≈ tens of MB of strings
     // `cur` + (`base` folded with `pending`) denote the current symbol
     // state: base is the last epoch's materialized column, pending the
@@ -1200,15 +1207,26 @@ object Curation {
       .groupBy(col("bk"))
       .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ct"),
         sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cr")))
-    val tot = dist.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-    val rows = dist.crossJoin(broadcast(tot))
-      .select(col("bk"),
-        log(((col("ct") + 1.0) / (col("tt") + lit(DsirBuckets.toDouble))) /
-          ((col("cr") + 1.0) / (col("tr") + lit(DsirBuckets.toDouble))))
-          .as("lw"))
-      .collect()
+    // Round 17: ONE collect of the persisted B-row count frame; the
+    // totals and the log-weights are computed on the driver over those
+    // same 64 rows. The previous shape ran the totals as a second
+    // aggregate plus a crossJoin(broadcast(tot)) — two more jobs (and a
+    // broadcast build) per CONSTRUCTION, fired eagerly on every
+    // re-construction of any DSIR-scored plan (the bench's min-of-3
+    // passes each paid them; cu_select was the round-16 verdict's one
+    // perf-weak query). Arithmetic is bit-identical: same operand
+    // order, same double promotions, and scala math.log IS the
+    // java.lang.Math.log Spark's log codegens.
+    val rows = dist.collect()
+    var ttL = 0L; var trL = 0L // long totals, exactly the old sum(long)
+    rows.foreach { r => ttL += r.getLong(1); trL += r.getLong(2) }
+    val tt = ttL.toDouble; val tr = trL.toDouble
     val lw = Array.fill(DsirBuckets)(0.0) // unseen buckets are never probed
-    rows.foreach(r => lw(r.getLong(0).toInt) = r.getDouble(1))
+    rows.foreach { r =>
+      lw(r.getLong(0).toInt) = math.log(
+        ((r.getLong(1) + 1.0) / (tt + DsirBuckets.toDouble)) /
+          ((r.getLong(2) + 1.0) / (tr + DsirBuckets.toDouble)))
+    }
     // ONE fused compiled pass per document (tokenize + hash + fold —
     // [[graft.functions.DsirScoreExpr]]); a higher-order-function fold
     // would run interpreted (ArrayAggregate is CodegenFallback) and
@@ -1613,10 +1631,22 @@ object Curation {
     * formulation's partitionBy (and the SQL oracle) treats it. Output
     * rn is identical to a single
     * `row_number() OVER (PARTITION BY source ORDER BY hash)`. */
-  def sourceCap(docs: DataFrame, cap: Int, salt: String): DataFrame = {
+  def sourceCap(docs: DataFrame, cap: Int, salt: String): DataFrame =
+    sourceCapCarry(docs, cap, salt, Nil)
+
+  /** [[sourceCap]] with extra computed columns riding the rank — lets
+    * [[curateScoped]] attach `n_tok` in the SAME pass so the packing
+    * step consumes the capped frame directly instead of joining it
+    * back against the survivor corpus (round 17: one broadcast-join
+    * and a survivor-cache rescan drop out of cu_pipeline). The carry
+    * columns are evaluated on the pre-rank `docs` scan and ride the
+    * (source, block) window untouched, so `rn` is unchanged. */
+  private[pipeline] def sourceCapCarry(docs: DataFrame, cap: Int,
+      salt: String, carry: Seq[(String, Column)]): DataFrame = {
     val h = md5(concat(lit(salt), col("doc_id").cast("string")))
-    val rows = docs.select(col("doc_id"), col("source"), h.as("__h"),
-      conv(substring(h, 1, 4), 16, 10).cast("int").as("__blk"))
+    val rows = docs.select(Seq(col("doc_id"), col("source"), h.as("__h"),
+      conv(substring(h, 1, 4), 16, 10).cast("int").as("__blk")) ++
+      carry.map { case (n, c) => c.as(n) }: _*)
     val counts = rows.groupBy(col("source"), col("__blk"))
       .agg(count(lit(1)).as("__c"))
     val offs = counts.withColumn("__off",
@@ -1628,10 +1658,11 @@ object Curation {
         col("__off"))
     rows.join(broadcast(offs),
         col("source") <=> col("__osrc") && col("__blk") === col("__oblk"))
-      .select(col("doc_id"), col("source"),
+      .select(Seq(col("doc_id"), col("source"),
         (col("__off") + row_number().over(
           Window.partitionBy(col("source"), col("__blk"))
-            .orderBy(col("__h"), col("doc_id")))).cast("int").as("rn"))
+            .orderBy(col("__h"), col("doc_id")))).cast("int").as("rn")) ++
+        carry.map { case (n, _) => col(n) }: _*)
       .filter(col("rn") <= cap)
   }
 
@@ -1744,21 +1775,20 @@ object Curation {
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"))
       .transform(Ckpt.persistOnce)
-    // persisted: the capped set feeds BOTH the packing input filter and
-    // the final (source, rn) attach — without the cache the two-pass
-    // rank evaluates twice per action. Size is bounded by construction:
-    // ≤ cap rows per source, i.e. exactly the kept output set.
-    val capped = Ckpt.persistOnce(sourceCap(survivors, cap, salt))
-    // ONE capped join: (source, rn) ride through the packing as carry
-    // columns instead of a second join back against capped. The capped
-    // frame is ≤ cap rows PER SOURCE by construction (corpus-metadata-
-    // sized at any scale, like the offs table sourceCap already
-    // broadcasts), so broadcast it explicitly instead of letting the
-    // planner sort-merge two survivor-sized sides.
+    // persisted: the capped set feeds BOTH the packing prefix sums and
+    // the output — without the cache the two-pass rank evaluates twice
+    // per action. Size is bounded by construction: ≤ cap rows per
+    // source, i.e. exactly the kept output set. Round 17: `n_tok`
+    // rides the rank pass as a carry column (same tokenizer expression
+    // over the same survivor text — value-identical), so the packing
+    // consumes the capped frame DIRECTLY; round 16's broadcast join
+    // back against the survivor corpus (and its ADVICE'd output-sized
+    // broadcast) drops out entirely.
+    val capped = Ckpt.persistOnce(sourceCapCarry(survivors, cap, salt,
+      carry = Seq("n_tok" -> size(tokens).cast("long"))))
     val out = packSequences(
-        survivors.join(broadcast(capped.select("doc_id", "source", "rn")
-          .withColumnRenamed("source", "__csrc")), "doc_id"),
-        budget, carry = Seq("__csrc", "rn"))
+        capped.withColumnRenamed("source", "__csrc"),
+        budget, carry = Seq("__csrc", "rn"), nTok = Some(col("n_tok")))
       .select(col("doc_id"), col("__csrc").as("source"),
         col("rn").cast("long").as("rn"),
         col("n_tok"), col("tok_start"), col("seq_id"), col("seq_pos"))

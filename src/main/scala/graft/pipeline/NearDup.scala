@@ -670,10 +670,20 @@ object NearDup {
     // groupBy(df)→join(rare)→self-join chain — the df cap and the
     // pair generation both read the SAME per-wh doc list, so the
     // token-grain stream crosses one exchange instead of three
-    // ([[candidates]] has the same reshape; outputs are identical)
+    // ([[candidates]] has the same reshape; outputs are identical).
+    // Round 17: the aggregate is the BOUNDED min-list ([[graft
+    // .functions.SketchExprs.boundedMinList]]) — over-cap buckets are
+    // DROPPED by the df filter anyway (hot boilerplate windows are
+    // precisely the fat ones), so the buffer keeps at most DfCap+1
+    // ids and one degenerate window can no longer materialize a
+    // bucket-sized unspillable array row; for surviving buckets
+    // (df ≤ DfCap) the list is complete and ascending — identical to
+    // sort_array(collect_list).
     val cand = bucketPairs(wh.groupBy(col("wh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, DfCap)))
+      .agg(graft.functions.SketchExprs
+        .boundedMinList(col("doc_id"), DfCap + 1).as("bl"))
+      .filter(col("bl.df").between(2, DfCap))
+      .select(col("bl.ds").as("ds")))
     val repPairs = cand
       .join(wsets.select(col("doc_id").as("doc_a"), col("ws").as("wsa")), "doc_a")
       .join(wsets.select(col("doc_id").as("doc_b"), col("ws").as("wsb")), "doc_b")
@@ -826,8 +836,11 @@ object NearDup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       // checkpoint: each round re-reads the graph and the prior labels
       // as fresh scans — truncated lineage keeps the iterative plan from
-      // compounding and sidesteps self-join ambiguity
-      .localCheckpoint()
+      // compounding and sidesteps self-join ambiguity. LAZY (round 17):
+      // the size-gate count below is the first action and materializes
+      // it — an eager checkpoint here was one whole extra job per
+      // clustering (the bpeCore gate-probe pattern).
+      .localCheckpoint(false)
     // SIZE-GATED driver path (the k-means-centroid pattern): the pair
     // graph is corpus-METADATA-sized — near-dup pairs, not documents —
     // and in every realistic dedup it is tiny next to the corpus. When
@@ -838,7 +851,8 @@ object NearDup {
     // dominant stage. Result is IDENTICAL (cluster = min doc_id of the
     // component) and the distributed loop below remains the path for
     // graphs past the gate.
-    val driverMax = sys.env.get("GRAFT_CC_DRIVER_MAX").map(_.toLong)
+    val driverMax = sys.env.get("GRAFT_CC_DRIVER_MAX")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ >= 0)
       .getOrElse(1L << 21) // ~2M directed edges ≈ 32 MB of longs
     if (sym.count() <= driverMax) {
       val spark = pairs.sparkSession

@@ -1021,13 +1021,6 @@ object Similarity {
     * domain-agnostic). */
   def pqCodebooksQv(qvFrame: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
       iters: Int = PqIters): Seq[Seq[(Long, Seq[Double])]] = {
-    require(Dim % m == 0, s"PqM must divide Dim=$Dim")
-    val dsub = Dim / m
-    val spark = qvFrame.sparkSession
-    import spark.implicits._
-    def regroup(rows: Seq[(Int, Long, Seq[Double])]) =
-      rows.groupBy(_._1).toSeq.sortBy(_._1)
-        .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
     // lazy localCheckpoint of the NARROW quantized frame (N×Dim
     // longs), not the ×M subvector explode: each round re-derives its
     // view from the blocks AND plans against an RDD leaf instead of
@@ -1036,29 +1029,46 @@ object Similarity {
     // whole coarse-assignment build)
     val qvf = qvFrame.select(col("vec_id"), col("qv"))
       .localCheckpoint(false)
-    try {
-      var books = regroup(qvf.filter(col("vec_id") < ksub)
-        .select(col("vec_id"), posexplode(array((0 until m).map(s =>
-          slice(col("qv"), s * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
-        .select(col("sub"), col("vec_id").cast("long").as("cid"),
-          transform(col("sv"), x => x.cast("double")).as("cent"))
-        .as[(Int, Long, Seq[Double])].collect().toSeq)
-      // training rounds at the RDD level, like [[lloydRoundRdd]]: a
-      // round is one broadcast of the M·Ksub·Dsub codebooks + one
-      // treeAggregate of exact per-codeword long sums — zero per-round
-      // Catalyst work, same data movement as the explode+groupBy form
-      // this replaces. Assignment math is the
-      // [[graft.functions.PqEncodeExpr]] twin op for op (squared-L2 in
-      // index order, strict improvement, cid-ascending candidates), so
-      // the books — and the oracle rows downstream — are bit-identical.
-      if (iters > 0) {
-        val vecs = qvf.select(col("qv")).as[Array[Long]].rdd
-        (1 to iters).foreach { _ =>
-          books = pqLloydRoundRdd(vecs, books, m, dsub)
-        }
+    try pqCodebooksQvOn(qvf, m, ksub, iters)
+    finally freeCheckpoint(qvf)
+  }
+
+  /** [[pqCodebooksQv]] over a frame whose rescans are ALREADY cheap
+    * (checkpointed/cached by the caller, who owns its lifecycle) — the
+    * residual tier trains AND encodes from one shared checkpoint
+    * instead of rebuilding the coarse-assignment pipeline twice
+    * (round 17). */
+  private def pqCodebooksQvOn(qvf: DataFrame, m: Int, ksub: Int,
+      iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    require(Dim % m == 0, s"PqM must divide Dim=$Dim")
+    val dsub = Dim / m
+    val spark = qvf.sparkSession
+    import spark.implicits._
+    def regroup(rows: Seq[(Int, Long, Seq[Double])])
+        : Seq[Seq[(Long, Seq[Double])]] =
+      rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
+    var books = regroup(qvf.filter(col("vec_id") < ksub)
+      .select(col("vec_id"), posexplode(array((0 until m).map(s =>
+        slice(col("qv"), s * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
+      .select(col("sub"), col("vec_id").cast("long").as("cid"),
+        transform(col("sv"), x => x.cast("double")).as("cent"))
+      .as[(Int, Long, Seq[Double])].collect().toSeq)
+    // training rounds at the RDD level, like [[lloydRoundRdd]]: a
+    // round is one broadcast of the M·Ksub·Dsub codebooks + one
+    // treeAggregate of exact per-codeword long sums — zero per-round
+    // Catalyst work, same data movement as the explode+groupBy form
+    // this replaces. Assignment math is the
+    // [[graft.functions.PqEncodeExpr]] twin op for op (squared-L2 in
+    // index order, strict improvement, cid-ascending candidates), so
+    // the books — and the oracle rows downstream — are bit-identical.
+    if (iters > 0) {
+      val vecs = qvf.select(col("qv")).as[Array[Long]].rdd
+      (1 to iters).foreach { _ =>
+        books = pqLloydRoundRdd(vecs, books, m, dsub)
       }
-      books
-    } finally { freeCheckpoint(qvf) }
+    }
+    books
   }
 
   /** One PQ-codebook Lloyd round over the quantized-vector RDD: all M
@@ -1276,14 +1286,23 @@ object Similarity {
     val centSeq = collectCentroidSeq(centroids, "cid", "cent")
     val qcents = broadcast(centroids.select(col("cid").as("bcid"),
       qvec(col("cent")).as("qcent")))
-    def resid = corpus.select(col("vec_id"), emb, qvec(emb).as("qv"))
+    // ONE lazy checkpoint of the residual frame (vec_id, bcid, qv)
+    // feeds BOTH codebook training and the encode (round 17): the
+    // previous shape re-derived the coarse-assignment pipeline for
+    // `coded` after training had already checkpointed an identical
+    // frame — one redundant corpus pass plus a full re-analysis of the
+    // assignment tree in the serve plan. Blocks are GC-reclaimed with
+    // the returned frame (the eager-checkpoint contract — this entry
+    // point has no release handle).
+    val resid = corpus.select(col("vec_id"), emb, qvec(emb).as("qv"))
       .select(col("vec_id"), col("qv"),
         graft.functions.VectorExprs.nearestCentroid(emb, centSeq)
           .getField("cid").as("bcid"))
       .join(qcents, Seq("bcid"))
       .select(col("vec_id"), col("bcid"),
         zip_with(col("qv"), col("qcent"), (a, b) => a - b).as("qv"))
-    val books = pqCodebooksQv(resid.select(col("vec_id"), col("qv")),
+      .localCheckpoint(false)
+    val books = pqCodebooksQvOn(resid.select(col("vec_id"), col("qv")),
       m, ksub, iters)
     val coded = resid.select(col("vec_id"), col("bcid"),
       pqCodeCol(col("qv"), books).as("code"))

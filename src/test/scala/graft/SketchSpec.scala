@@ -288,4 +288,51 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(causes(ex).exists(_.getMessage != null) &&
       causes(ex).exists(c => Option(c.getMessage).exists(_.contains("mixed sketch k"))))
   }
+
+  test("bounded min-list: complete and collect_list-identical under cap, min-prefix + exact df over cap") {
+    val s = spark; import s.implicits._
+    // groups: g1 has 3 values (under cap), g2 has 120 values (over a
+    // cap of 51) spread over 8 partitions so partial merges run; dup
+    // values included
+    val rows = Seq.tabulate(120)(i => ("g2", (977L * i) % 401)) ++
+      Seq(("g1", 7L), ("g1", 3L), ("g1", 7L))
+    val df = scala.util.Random.shuffle(rows).toDF("g", "v").repartition(8)
+    val cap = 51
+    val got = df.groupBy(col("g"))
+      .agg(SketchExprs.boundedMinList(col("v"), cap).as("bl"))
+      .select(col("g"), col("bl.df").as("df"), col("bl.ds").as("ds"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    val ref = df.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("v"))).as("ds"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    // under cap: bit-identical to (count, sort_array(collect_list))
+    assert(got("g1") === ref("g1"))
+    // over cap: exact total df, ds = the cap smallest of the full list
+    assert(got("g2")._1 === ref("g2")._1)
+    assert(got("g2")._2 === ref("g2")._2.take(cap))
+  }
+
+  test("bounded min-list caps buffer but keeps a DfCap-wide bucket complete (windowFp law)") {
+    val s = spark; import s.implicits._
+    // the exact windowFpPairs usage: cap = DfCap + 1; a bucket with
+    // df <= DfCap must come back COMPLETE (pair set preserved), a
+    // fat bucket must report df > DfCap (dropped by the filter)
+    val dfCap = 50
+    val under = (1L to dfCap.toLong).map(("w_ok", _))
+    val over = (1L to 1000L).map(("w_hot", _))
+    val df = scala.util.Random.shuffle(under ++ over).toDF("wh", "doc_id")
+      .repartition(8)
+    val agg = df.groupBy(col("wh"))
+      .agg(SketchExprs.boundedMinList(col("doc_id"), dfCap + 1).as("bl"))
+      .select(col("wh"), col("bl.df").as("df"), col("bl.ds").as("ds"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    assert(agg("w_ok")._1 === dfCap.toLong)
+    assert(agg("w_ok")._2 === (1L to dfCap.toLong))
+    assert(agg("w_hot")._1 === 1000L) // exact df: the filter sees truth
+    assert(agg("w_hot")._2.size === dfCap + 1) // buffer stayed bounded
+  }
 }

@@ -156,4 +156,21 @@ class WindowFpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strip(d, w = 8, m = 2) === Seq(
       (1L, "a b c", 0L), (2L, "a b c", 0L), (3L, null, 0L)))
   }
+
+  test("fat bucket (df > DfCap) is dropped without unbounded state; disjoint pairs unaffected") {
+    // 60 docs (> DfCap = 50) share one 8-token boilerplate passage:
+    // its window buckets are over-cap and must surface NO pairs —
+    // while the bounded aggregate keeps only DfCap+1 ids per bucket
+    // (round 17), never the 60-wide list. An unrelated planted pair
+    // must be unaffected. Pair-set equality with the pre-r17
+    // collect_list shape is BY CONSTRUCTION (over-cap buckets were
+    // filtered there too); this pins it empirically.
+    // 10 boilerplate tokens → 3 full 8-token windows shared by all 60
+    // docs (≥ minShared, so WITHOUT the df cap they would all pair)
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val fat = (100L until 160L).map(i => i -> s"$boiler x$i y$i z$i")
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val d = docs(fat ++ Seq(1L -> s"q1 q2 $passage", 2L -> s"$passage r1 r2"))
+    assert(pairs(d, w = 8, m = 3) === Seq((1L, 2L, 3L)))
+  }
 }
