@@ -224,10 +224,14 @@ object Bench {
     val total = r3(results.map(_._2._1).filter(_ >= 0).sum)
     val totalMed = r3(results.map(_._2._2).filter(_ >= 0).sum)
     val totalNorm = r3(total * refFloor / calMed)
-    // quiet-machine reference floor for the MULTI-CORE gauge (round-17
-    // constant, measured on a calib-ok capture; override like refFloor)
+    // reference floor for the MULTI-CORE gauge (round-17 constant = the
+    // minimum plateau/in-capture mc floor observed across that round's
+    // captures, 0.177 — the sandbox never showed 32 idle cores, so this
+    // is "least-contended observed", not a true idle floor; override
+    // like refFloor). `value_norm_mc` therefore normalizes against the
+    // best machine state the gauge has actually seen.
     val refFloorMc = sys.env.get("GRAFT_BENCH_REF_FLOOR_MC").map(_.toDouble)
-      .getOrElse(0.175)
+      .getOrElse(0.177)
     val totalNormMc = r3(total * refFloorMc / calMcMed)
     val calibJson =
       s"""{"min":$calMin,"med":$calMed,"floor":${r3(floor)},""" +
