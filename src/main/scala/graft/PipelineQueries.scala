@@ -520,10 +520,10 @@ object PipelineQueries {
           t => length(t) > 0))
         val cnt = docs.groupBy(col("source").as("stratum"))
           .agg(sum(coalesce(ntok, lit(0))).cast("long").as("c"))
-        // budget from the S-row counts frame: bounded driver bounce,
-        // same contract as the k-means centroid round-trip
-        val total = cnt.agg(sum(col("c"))).first().getLong(0)
-        val alloc = pipeline.Sampling.unimaxAlloc(cnt, 1.35 * total, 1.5)
+        // budget + water-fill from ONE S-row collect: bounded driver
+        // bounce, same contract as the k-means centroid round-trip
+        val (alloc, _) = pipeline.Sampling.unimaxAllocScaled(cnt,
+          t => 1.35 * t, 1.5)
         val sampled = pipeline.Sampling.mixtureSample(
           docs, col("source"), col("doc_id"),
           alloc.select(col("stratum"), col("weight")), 0.0)

@@ -1520,11 +1520,14 @@ object Curation {
       .transform(Ckpt.persistOnce)
     val cnt = surv.groupBy(col("source").as("stratum"))
       .agg(sum(col("n_tokens")).cast("long").as("c"))
-    // coalesce: an all-filtered corpus must select an EMPTY mix, not
-    // crash on the null sum
-    val total = cnt.agg(coalesce(sum(col("c")), lit(0L)))
-      .first().getLong(0)
-    val alloc = Sampling.unimaxAlloc(cnt, budgetFrac * total, maxEpochs)
+    // ONE S-row collect yields the token total AND the driver-side
+    // water-fill (round 17 — [[Sampling.unimaxAllocScaled]]): the
+    // previous shape ran a separate totals job per construction plus
+    // two single-partition windows and a crossJoin(broadcast) inside
+    // the selection plan. An all-filtered corpus still selects an
+    // EMPTY mix (total = 0 over zero rows).
+    val (alloc, _) = Sampling.unimaxAllocScaled(cnt,
+      t => budgetFrac * t, maxEpochs)
     val out = Sampling.mixtureSample(surv, col("source"), col("doc_id"),
         alloc.select(col("stratum"), col("weight")), 0.0)
       .select(col("source"), col("doc_id"), col("copy"))

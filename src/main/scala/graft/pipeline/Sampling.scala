@@ -108,6 +108,92 @@ object Sampling {
     * itself is touched only by the [[mixtureSample]] this frame feeds,
     * which stays one map-side scan. */
   def unimaxAlloc(counts: DataFrame, budget: Double,
+      maxEpochs: Double): DataFrame =
+    unimaxAllocScaled(counts, _ => budget, maxEpochs)._1
+
+  /** [[unimaxAlloc]] with the budget derived FROM the collected total
+    * (`budgetOf(Σc)`), so callers that scale their budget off the
+    * corpus token count ([[graft.pipeline.Curation.selectTraining]],
+    * sp_unimax) pay ONE S-row collect for both numbers. Round 17: the
+    * water-fill itself runs on the driver over the collected rows —
+    * strata are metadata-scale by contract (sources/languages; the
+    * scaladoc above has always said so), the same bounded-bounce class
+    * as k-means centroids and the DSIR bucket table. The previous plan
+    * formulation paid two deliberately-single-partition windows plus a
+    * crossJoin(broadcast(level)) INSIDE every consuming plan — three
+    * extra stages and their Catalyst analysis per construction, per
+    * bench pass. Arithmetic is replicated operation-for-operation
+    * (sequential prefix sum in (cap, stratum-UTF8-binary, nulls-first)
+    * order, `(budget − p) / (S − rn + 1)` with the same long/double
+    * promotions, order-free max level, least/greatest twins), so the
+    * alloc/weight doubles — and every mixture copy count downstream —
+    * are bit-identical; PropertySpec pins driver ≡ plan formulation and
+    * the oracle rows (sp_unimax, cu_select, sp_mixture family) pin it
+    * end-to-end. Returns (alloc frame as a LocalRelation, Σc). */
+  def unimaxAllocScaled(counts: DataFrame, budgetOf: Long => Double,
+      maxEpochs: Double): (DataFrame, Long) = {
+    require(maxEpochs > 0, "maxEpochs > 0")
+    val spark = counts.sparkSession
+    val stratumField = counts.schema("stratum")
+    require(stratumField.dataType ==
+      org.apache.spark.sql.types.StringType,
+      "unimaxAlloc driver fill expects a string stratum")
+    val rows = counts.select(col("stratum"), col("c").cast("long")).collect()
+    var total = 0L
+    rows.foreach(r => if (!r.isNullAt(1)) total += r.getLong(1))
+    val budget = budgetOf(total)
+    require(budget >= 0, "budget >= 0")
+    // (stratum, c, cap) sorted by (cap asc NaN-last, stratum asc
+    // UTF8-binary nulls-first) — exactly the window ORDER BY
+    final case class S(stratum: String, c: Long, cap: Double)
+    val srt = rows.map { r =>
+      val c = if (r.isNullAt(1)) 0L else r.getLong(1)
+      S(if (r.isNullAt(0)) null else r.getString(0), c,
+        c.toDouble * maxEpochs)
+    }.sortWith { (a, b) =>
+      val byCap = java.lang.Double.compare(a.cap, b.cap)
+      if (byCap != 0) byCap < 0
+      else if (a.stratum == null) b.stratum != null
+      else if (b.stratum == null) false
+      else org.apache.spark.unsafe.types.UTF8String.fromString(a.stratum)
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b.stratum)) < 0
+    }
+    val n = srt.length
+    // sequential prefix sum + first-feasible level, the window twin
+    var p = 0.0
+    var lvl = Double.NaN
+    var hasLvl = false
+    var i = 0
+    val shares = new Array[Double](n)
+    while (i < n) {
+      shares(i) = (budget - p) / (n - i).toDouble // __s − __rn + 1 = n − i
+      if (shares(i) <= srt(i).cap &&
+          (!hasLvl || shares(i) > lvl)) { lvl = shares(i); hasLvl = true }
+      p += srt(i).cap
+      i += 1
+    }
+    val out = srt.map { s =>
+      val alloc = if (!hasLvl) s.cap else math.min(s.cap, lvl)
+      org.apache.spark.sql.Row(s.stratum, s.c, s.cap, alloc,
+        alloc / math.max(s.c.toDouble, 1.0))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("stratum", StringType, stratumField.nullable),
+      StructField("c", LongType, nullable = true),
+      StructField("cap", DoubleType, nullable = true),
+      StructField("alloc", DoubleType, nullable = true),
+      StructField("weight", DoubleType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    (spark.createDataFrame(out.toSeq.asJava, schema), total)
+  }
+
+  /** The pre-round-17 PLAN formulation of [[unimaxAlloc]] — kept as
+    * the reference implementation the driver water-fill is
+    * property-tested against (PropertySpec), the
+    * [[graft.pipeline.NearDup.signaturesFromSetsHof]] pattern. */
+  private[graft] def unimaxAllocPlan(counts: DataFrame, budget: Double,
       maxEpochs: Double): DataFrame = {
     require(budget >= 0 && maxEpochs > 0, "budget >= 0, maxEpochs > 0")
     // deliberately single-partition windows over the S-row strata

@@ -1573,4 +1573,32 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+
+  test("driver unimaxAlloc water-fill ≡ plan formulation, bit-exact") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(1717)
+    // vectors: binding and non-binding budgets, ties in cap, a null-c
+    // guard via coalesced longs, S from 1 to 40, fractional maxEpochs
+    (1 to 12).foreach { trial =>
+      val nS = 1 + rnd.nextInt(40)
+      val rows = (0 until nS).map { i =>
+        (s"src${rnd.nextInt(30)}_$i", math.abs(rnd.nextLong()) % 100000L)
+      }
+      val cnt = rows.toDF("stratum", "c").repartition(3)
+      val maxEp = Seq(0.5, 1.0, 1.5, 2.0)(rnd.nextInt(4))
+      val totalC = rows.map(_._2).sum
+      val budget = Seq(0.0, 0.3, 0.8, 1.35, 10.0)(rnd.nextInt(5)) * totalC
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))
+      val got = pipeline.Sampling.unimaxAlloc(cnt, budget, maxEp)
+        .collect().map(key).sortBy(_._1).toSeq
+      val ref = pipeline.Sampling.unimaxAllocPlan(cnt, budget, maxEp)
+        .collect().map(key).sortBy(_._1).toSeq
+      assert(got === ref, s"trial $trial (S=$nS, budget=$budget, maxEp=$maxEp)")
+      // and the scaled entry returns the exact long total
+      val (_, tot) = pipeline.Sampling.unimaxAllocScaled(cnt, identity(_).toDouble, maxEp)
+      assert(tot === totalC)
+    }
+  }
 }
