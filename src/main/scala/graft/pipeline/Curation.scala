@@ -64,6 +64,23 @@ object Curation {
     bench.sparkSession.sparkContext.broadcast(a)
   }
 
+  /** [[benchGrams]] with the eval-gram frame persisted PLAN-KEYED and a
+    * release handle (round 17): the collect fires at CONSTRUCTION time
+    * on every re-construction (the bench's min-of-3 re-runs curate from
+    * scratch), so without the cache each one re-runs the bench-gram
+    * shingle pass. Eval-suite bounded. Scoped-only — the unscoped
+    * [[benchGrams]] stays cache-free so [[contamination]] keeps its
+    * no-session-state contract. */
+  private[graft] def benchGramsScoped(bench: DataFrame)
+      : (org.apache.spark.broadcast.Broadcast[Array[Long]], () => Unit) = {
+    val grams = Ckpt.persistOnce(
+      NearDup.shingles(bench).select(col("xh")).distinct())
+    val a = grams.collect().map(_.getLong(0))
+    java.util.Arrays.sort(a)
+    (bench.sparkSession.sparkContext.broadcast(a),
+      () => { grams.unpersist(); () })
+  }
+
   /** Cross-corpus contamination where the reference side is ITSELF a
     * large corpus — decontaminating a new crawl against an existing
     * training set, where [[contamination]]'s collected-set broadcast
@@ -1761,7 +1778,7 @@ object Curation {
     // Two corpus-sized joins and a second corpus scan drop out.
     // decontamination: map-side membership count over the SAME persisted
     // set frame dedup uses — no exploded-gram shuffle (see contamination)
-    val bg = benchGrams(bench)
+    val (bg, bgRel) = benchGramsScoped(bench)
     val cOk = sets.select(col("doc_id"),
         size(col("hs")).cast("long").as("n"),
         graft.functions.HashExprs.countInSet(col("hs"), bg).as("nh"))
@@ -1795,7 +1812,8 @@ object Curation {
       .select(col("doc_id"), col("__csrc").as("source"),
         col("rn").cast("long").as("rn"),
         col("n_tok"), col("tok_start"), col("seq_id"), col("seq_pos"))
-    (out, () => { sets.unpersist(); members.unpersist(); survivors.unpersist()
+    (out, () => { sets.unpersist(); members.unpersist(); bgRel()
+      survivors.unpersist()
       capped.unpersist(); () })
   }
 
